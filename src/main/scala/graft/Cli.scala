@@ -1,0 +1,110 @@
+package graft
+
+import graft.cdc.{FileChangeSource, ReplicatePipeline}
+import graft.config.GraftConfig
+import graft.control.StatsServer
+import graft.replicate.{Replicator, ReplicatorRegistry}
+import graft.schema.FieldSpec
+import graft.snapshot.Archiver
+import org.apache.spark.sql.SparkSession
+
+/** Command-line dispatcher, mirroring the reference's cobra commands
+  * (SURVEY.md §3):
+  *
+  *   graft.Cli snapshot -c config.yml [--id ID]
+  *   graft.Cli replicate --source <dir> --target <dir> --id <ID>
+  *       --checkpoint <dir> [--port N] [--once]
+  *   graft.Cli schema-generate --ddl "CREATE TABLE ..."
+  *
+  * `replicate --once` drains all available input and exits (offline/test
+  * mode); without it the stream runs until SIGTERM, with the control-plane
+  * HTTP server exposed on --port.
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def parseFlags(args: Seq[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Seq(k, v) if k.startsWith("-") => k.dropWhile(_ == '-') -> v
+    }.toMap ++ args.filter(a => a == "--once").map(a => a.dropWhile(_ == '-') -> "true")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "snapshot" :: rest =>
+      val flags = parseFlags(rest)
+      val cfgPath = flags.getOrElse("c", flags.getOrElse("config",
+        sys.error("snapshot: missing -c <config.yml>")))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val id = flags.getOrElse("id", java.util.UUID.randomUUID().toString)
+        val catalog = Archiver.snapshot(spark, GraftConfig.fromFile(cfgPath), id)
+        println(
+          s"""{"id":"${catalog.id}","num_source_records":${catalog.numSourceRecords},""" +
+          s""""num_records_processed":${catalog.numRecordsProcessed},"success":${catalog.success}}""")
+        if (!catalog.success) sys.exit(1)
+      } finally spark.stop()
+
+    case "replicate" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"replicate: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val id = req("id")
+      val repl = new Replicator(id, spark, s =>
+        ReplicatePipeline.startToParquet(
+          FileChangeSource(req("source")), s,
+          flags.getOrElse("connector", "postgres"), id,
+          req("target"), req("checkpoint")))
+      ReplicatorRegistry.register(repl)
+      repl.start()
+      if (flags.contains("once")) {
+        repl.processAllAvailable()
+        repl.stop()
+        println(repl.stateJson)
+        spark.stop()
+      } else {
+        val server = new StatsServer(flags.getOrElse("port", "8080").toInt)
+        val port = server.start()
+        println(s"""{"id":"$id","control":"http://localhost:$port/api/v1/replicators"}""")
+        sys.addShutdownHook { server.stop(); spark.stop() }
+        spark.streams.awaitAnyTermination()
+      }
+
+    case "schema-generate" :: rest =>
+      val flags = parseFlags(rest)
+      val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
+      val fields = FieldSpec.fromDdl(ddl)
+      // YAML fields block, like `librarian schema generate` (generate.go:45-51)
+      println("fields:")
+      fields.foreach { f =>
+        val attrs = Seq(
+          Some(s"name: ${f.name}"),
+          Some(s"type: ${f.tpe}"),
+          f.convertedType.map(ct => s"converted_type: $ct"),
+          f.repetitionType.map(rt => s"repetition_type: $rt"),
+          f.scale.map(s => s"scale: $s"),
+          f.precision.map(p => s"length: $p")).flatten
+        println(s"  - {${attrs.mkString(", ")}}")
+      }
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.headOption.getOrElse("")}
+           |usage:
+           |  snapshot -c <config.yml> [--id ID]
+           |  replicate --source <dir> --target <dir> --id <ID> --checkpoint <dir> [--port N] [--once]
+           |  schema-generate --ddl "CREATE TABLE ..."""".stripMargin)
+      sys.exit(2)
+  }
+}
