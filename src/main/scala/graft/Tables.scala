@@ -12,9 +12,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one table from a scale-factor directory.
+    *
+    * Timestamp normalization (the session runs in UTC):
+    *   - parquet naive timestamps load as LTZ (not NTZ) so the full
+    *     timestamp function surface applies; with a UTC session the wall
+    *     times are identical to DuckDB's naive reading;
+    *   - `events.ts` is nanosecond-precision, which Spark's vectorized
+    *     reader rejects — it is read as raw nanos (legacy conf) and
+    *     floor-converted to a microsecond timestamp, matching DuckDB's
+    *     ns->ms truncation semantics.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // integer division keeps full precision (a double division would
+      // lose bits above 2^53)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-level API for graft's custom expressions + their SQL
+  * registration. Usage:
+  * {{{
+  *   import graft.functions._
+  *   emb.select(vec_cosine(col("embedding"), lit_vec(q)))
+  *   // or, after registerAll(spark):  spark.sql("SELECT vec_cosine(a, b) ...")
+  * }}}
+  */
+package object functions {
+
+  private def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlShim.column(e)
+
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlShim.expression(c)
+
+  /** Single-pass fused dot product over two array<float> columns. */
+  def vec_dot(a: Column, b: Column): Column = toColumn(DotProduct(exprOf(a), exprOf(b)))
+
+  /** Single-pass fused cosine similarity over two array<float> columns. */
+  def vec_cosine(a: Column, b: Column): Column = toColumn(CosineSimilarity(exprOf(a), exprOf(b)))
+
+  /** A float-array literal column (e.g. a query vector for ANN). */
+  def lit_vec(v: Seq[Float]): Column =
+    org.apache.spark.sql.functions.lit(v.toArray)
+
+  /** MinHash signature (array<long> of numPerm mins) over a shingle array. */
+  def minhash_sig(shingles: Column, numPerm: Int): Column =
+    toColumn(MinHashSignature(exprOf(shingles), numPerm))
+
+  /** 64-bit SimHash over a token array. */
+  def simhash64(tokens: Column): Column = toColumn(SimHash64(exprOf(tokens)))
+
+  /** Register the custom expressions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+  }
+}

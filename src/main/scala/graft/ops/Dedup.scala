@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.functions.{minhash_sig, simhash64, vec_cosine}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *   - exact: one hash-shuffle on the key (map-side combine via the
+  *     aggregate form); no sort of the full data.
+  *   - MinHash-LSH: per-doc signature (map-only, custom codegen'd
+  *     expression), explode into `bands` keys, shuffle on band key only —
+  *     candidate pairs are generated inside buckets, never a cross join.
+  *   - SimHash: 64-bit signature, near-dup = Hamming<=3 via 4-chunk
+  *     pigeonhole banding (any pair at distance <=3 shares at least one
+  *     exact 16-bit chunk).
+  *   - embedding cosine: LSH banding over random-hyperplane sign bits, then
+  *     exact cosine verification inside buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `orderCol` per key.
+    * Window + filter keeps whole rows; a single hash shuffle on `keys`.
+    */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-dup groups: key -> surviving id + number of copies (aggregate
+    * form — map-side partial aggregation, cheapest possible exact dedup
+    * audit).
+    */
+  def exactGroups(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash-LSH candidate pairs with exact Jaccard verification.
+    *
+    * @param shingle  word n-gram size for the shingle set
+    * @param numPerm  signature length (permutations)
+    * @param bands    LSH bands; rows-per-band = numPerm / bands. With
+    *                 (128, 32) the match probability curve crosses ~50% at
+    *                 jaccard ~ (1/32)^(1/4) ~ 0.42 — standard LSH tuning
+    *                 (Leskovec et al., Mining of Massive Datasets ch.3).
+    * @param threshold exact-Jaccard cutoff applied to candidates
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingles = array_distinct(TextAnalysis.wordShingles(toks, shingle))
+    val withSig = docs.select(
+      col(idCol).as("id"), shingles.as("shingles"),
+      minhash_sig(shingles, numPerm).as("sig"))
+
+    // band key = hash of the band's signature slice; explode -> shuffle on
+    // (band, key) only
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.shingles").as("sh_a"), col("r.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Greedy MinHash dedup: drop every doc that near-matches a smaller id
+    * (the standard single-pass policy — no connected components pass).
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashPairs(docs, idCol, textCol, shingle, numPerm, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Per-doc 64-bit SimHash frame. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs at Hamming distance <= maxDist (default 3).
+    * Pigeonhole banding: split 64 bits into (maxDist+1) chunks; any pair
+    * within maxDist agrees exactly on >=1 chunk, so candidates come from
+    * an equi-join on (chunk index, chunk value) — never a cross join.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sigs = simhashSignatures(docs, idCol, textCol)
+
+    val chunkCols = (0 until chunks).map(c =>
+      shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH bucketing + exact
+    * cosine verification. Plane signs are generated from a fixed seed on
+    * the driver and inlined as literals (tiny), so assignment is map-only;
+    * the only shuffle is on the band keys.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, bits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col(vecCol), dim, bits, seed)
+    val rowsPer = bits / bands
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), sigCol.as("sig"))
+      .select(col("id"), col("vec"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", vec_cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.functions.{lit_vec, vec_cosine, vec_dot}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force top-k is the exact baseline: a map-only cosine pass + Spark's
+  * TakeOrderedAndProject (per-partition heap top-k, merge of k*partitions
+  * rows on the driver — no global sort, no shuffle of the data). That is
+  * already the right 100 TB plan for one-off queries.
+  *
+  * The scale path for repeated queries is IVF: partition vectors into
+  * Voronoi cells around trained centroids (index build = one map pass +
+  * optional repartition by cell), then probe only `nprobe` cells per query
+  * — the standard inverted-file ANN design (Jegou et al., "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011, minus the
+  * PQ compression).
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine. Deterministic tie-break on id. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    emb.select(col(idCol),
+        round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Random-hyperplane sign signature packed into a long (LSH for cosine,
+    * Charikar 2002). Planes come from a fixed seed so signatures are
+    * reproducible across runs/executors.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    require(bits <= 63, "bits must fit in a long")
+    val rnd = new Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    planes.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(vec, lit_vec(p.toSeq)) > 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Train IVF centroids with Lloyd's iterations on a driver-side sample.
+    * Sampling keeps the training cost independent of table size (at 100 TB
+    * you train on <<1% and still converge); assignment stays distributed.
+    */
+  def trainCentroids(emb: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
+    val n = emb.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    val sample: Array[Array[Float]] = emb.select(col(vecCol))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train centroids on an empty table")
+
+    val rnd = new Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    val dim = sample.head.length
+
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * cs(c)(i); na += v(i).toDouble * v(i)
+        nb += cs(c)(i).toDouble * cs(c)(i); i += 1
+      }
+      val sim = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build the IVF index: every vector tagged with its nearest centroid
+    * (map-only — centroids are inlined literals). Persist/bucket the result
+    * by `cell` for repeated querying.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val sims = array(centroids.map(c => vec_cosine(col(vecCol), lit_vec(c.toSeq))): _*)
+    emb.select(col(idCol), col(vecCol),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+  }
+
+  /** Query the IVF index: probe the nprobe nearest cells, exact cosine
+    * inside them. Cell pruning happens in the scan filter, so a
+    * cell-partitioned index only reads nprobe/k of the data.
+    */
+  def ivfTopK(index: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], query: Seq[Float], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < q.length) {
+        dot += q(j) * c(j); na += q(j) * q(j); nb += c(j).toDouble * c(j); j += 1
+      }
+      (if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb)), i)
+    }.sortBy(-_._1).take(nprobe).map(_._2)
+
+    index.filter(col("cell").isin(probes.toSeq: _*))
+      .select(col(idCol), round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+}

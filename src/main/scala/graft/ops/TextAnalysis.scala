@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure column
+  * expressions over Spark built-ins — they ride whole-stage codegen and
+  * need no shuffle (per-document map work), so they scale linearly with
+  * partitions at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword-boundary tokens: word pieces, numbers, and single
+    * punctuation marks as separate tokens (a simplified GPT-2 pre-tokenizer
+    * regex).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Punctuation characters / total characters (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(total === 0, 0.0).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Ratio of tokens that are common English stopwords. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(array_intersect_count(toks, stops)).cast("double") / size(toks).cast("double"))
+  }
+
+  // array_intersect drops duplicates, which would undercount stopword
+  // occurrences; filter keeps multiplicity.
+  private def array_intersect_count(toks: Column, stops: Column): Column =
+    filter(toks, t => array_contains(stops, t))
+
+  /** Mean token length in characters (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with
+    * word-like tokens and some (but not excessive) stopwords/punctuation.
+    * Heuristic in the spirit of C4/Gopher text-quality rules (published
+    * filtering heuristics), expressed as one codegen'd column.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 64.0, lit(1.0)) // saturates at 64 tokens
+    val meanLen = meanTokenLen(text)
+    val wordShapeScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatio(text).between(0.05, 0.6), 1.0).otherwise(0.7)
+    round(lengthScore * 0.4 + wordShapeScore * 0.2 + punctScore * 0.2 + stopScore * 0.2, 4)
+  }
+
+  /** Language-ID by stopword-profile voting: score(text, lang) = fraction
+    * of tokens found in that language's marker set; predicted lang = argmax
+    * (ties break by profile order). N-gram-profile classification per
+    * Cavnar & Trenkle (1994), simplified to word-level markers so it stays
+    * a pure column expression.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "en"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def langScores(text: Column): Column = {
+    val toks = tokens(text)
+    val entries = langProfiles.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(
+        (when(size(toks) === 0, 0.0).otherwise(
+          size(filter(toks, t => array_contains(m, t))).cast("double") /
+            size(toks).cast("double"))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array(entries: _*)
+  }
+
+  /** Predicted language code; "und" (undetermined) when no marker hits. */
+  def langId(text: Column): Column = {
+    val best = array_max(langScores(text))
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit content fingerprint: FNV/splitmix MinHash over char 8-gram
+    * shingles of the normalized text — stable under whitespace/case noise,
+    * unlike a plain hash of the raw string.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    graft.functions.minhash_sig(charShingles(norm, 8), 1).getItem(0)
+  }
+
+  /** Char k-gram shingles via HOF (no UDF): substring at each offset. */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) < k, array(text)).otherwise(
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+
+  /** Word n-gram shingles from a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Full per-document stats frame (the `queries` surface). */
+  def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      bpeTokenCount(text).as("n_bpe_tokens"),
+      round(punctRatio(text), 4).as("punct_ratio"),
+      round(stopwordRatio(text), 4).as("stopword_ratio"),
+      round(meanTokenLen(text), 4).as("mean_token_len"),
+      qualityScore(text).as("quality"),
+      langId(text).as("lang_pred"),
+      fingerprint(text).as("fingerprint"))
+  }
+}

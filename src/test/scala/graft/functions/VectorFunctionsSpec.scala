@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def df2(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+
+  test("dot product matches reference computation") {
+    val a = Seq(1f, 2f, 3f); val b = Seq(4f, 5f, 6f)
+    val got = df2(a, b).select(vec_dot(col("a"), col("b"))).head.getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0, opposite is -1") {
+    assert(math.abs(df2(Seq(1f, 2f), Seq(1f, 2f))
+      .select(vec_cosine(col("a"), col("b"))).head.getDouble(0) - 1.0) < 1e-12)
+    assert(df2(Seq(1f, 0f), Seq(0f, 1f))
+      .select(vec_cosine(col("a"), col("b"))).head.getDouble(0) == 0.0)
+    assert(math.abs(df2(Seq(1f, 1f), Seq(-1f, -1f))
+      .select(vec_cosine(col("a"), col("b"))).head.getDouble(0) + 1.0) < 1e-12)
+  }
+
+  test("zero vector convention: cosine = 0") {
+    assert(df2(Seq(0f, 0f), Seq(1f, 2f))
+      .select(vec_cosine(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
+  test("null input -> null") {
+    val got = Seq((Some(Seq(1f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b").select(vec_cosine(col("a"), col("b"))).head
+    assert(got.isNullAt(0))
+  }
+
+  test("length mismatch raises") {
+    val ex = intercept[Exception] {
+      df2(Seq(1f, 2f), Seq(1f)).select(vec_dot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("type check rejects non-float arrays at analysis") {
+    val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[Exception](bad.select(vec_dot(col("a"), col("b"))).collect())
+  }
+
+  test("SQL registration works") {
+    registerAll(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vec_cosine(a, b) AS s FROM vecs").head.getDouble(0) == 1.0)
+  }
+
+  test("agrees with a driver-side double computation on real embeddings") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .limit(50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = emb.head._2
+    val expected = emb.map { case (id, v) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      v.indices.foreach { i =>
+        dot += v(i).toDouble * q(i); na += v(i).toDouble * v(i); nb += q(i).toDouble * q(i)
+      }
+      id -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }.toMap
+    val got = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .limit(50)
+      .select(col("vec_id"), vec_cosine(col("embedding"), lit_vec(q.toSeq)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"vec $id: $e vs ${got(id)}")
+    }
+  }
+
+  test("minhash_sig: identical inputs same sig; sig length = numPerm") {
+    val d = Seq((Seq("a b", "b c", "c d"), Seq("a b", "b c", "c d")),
+      (Seq("x y", "y z", "z w"), Seq("q r", "r s", "s t"))).toDF("s1", "s2")
+    val rows = d.select(minhash_sig(col("s1"), 16).as("m1"),
+      minhash_sig(col("s2"), 16).as("m2")).collect()
+    assert(rows(0).getSeq[Long](0) == rows(0).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](0).length == 16)
+    assert(rows(1).getSeq[Long](0) != rows(1).getSeq[Long](1))
+  }
+
+  test("simhash64: identical token sets equal; disjoint differ") {
+    val d = Seq((Seq("spark", "fast", "engine"), Seq("spark", "fast", "engine")),
+      (Seq("aa", "bb", "cc"), Seq("xx", "yy", "zz"))).toDF("t1", "t2")
+    val rows = d.select(simhash64(col("t1")), simhash64(col("t2"))).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).getLong(0) != rows(1).getLong(1))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("warm", "cold")), // near dup of 1
+    (4L, "completely different content about distributed query engines and shuffle partitioning strategies in spark"),
+    (5L, "yet another unrelated document mentioning parquet files compaction and columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps the smallest id per key") {
+    val out = Dedup.exactKeepFirst(docs, Seq("text"), "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter(col("doc_id") === 2).count() == 0)
+    assert(out.filter(col("doc_id") === 1).count() == 1)
+  }
+
+  test("exactGroups reports survivor and copy counts") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(g(1L) == 2L) // keep_id 1 has 2 copies
+    assert(g(3L) == 1L)
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"false positive with 5: $pairs")
+  }
+
+  test("minhashPairs jaccard is exact on the verified pair") {
+    val j = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head.getDouble(2)
+    assert(j == 1.0, s"identical docs must have jaccard 1.0, got $j")
+  }
+
+  test("minhashDedup keeps one representative per dup cluster") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhashPairs: exact dup at distance 0; unrelated docs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors") {
+    val dim = 8
+    val v = Array(0.9f, 0.1f, 0.3f, 0.7f, 0.2f, 0.8f, 0.4f, 0.6f)
+    val vNear = v.clone(); vNear(0) = 0.91f
+    val vFar = Array(-0.5f, 0.9f, -0.1f, 0.2f, -0.7f, 0.1f, -0.3f, 0.4f)
+    val emb = Seq((1L, v.toSeq), (2L, vNear.toSeq), (3L, vFar.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim,
+      threshold = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("minhash dedup scales shape: runs on the real documents table") {
+    val real = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val n = real.count()
+    val kept = Dedup.minhashDedup(real, "doc_id", "text", threshold = 0.8).count()
+    assert(kept > 0 && kept <= n)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val emb = spark.read
+    .parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+
+  private lazy val queryVec: Seq[Float] = emb
+    .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+    .head.getSeq[Float](1)
+
+  test("brute-force topK: self is rank 1 with sim ~1.0") {
+    val top = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    // scores are non-increasing
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("IVF index assigns every vector to a valid cell") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val cells = idx.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(idx.count() == emb.count())
+    assert(cells.size > 1, "kmeans collapsed to a single cell")
+  }
+
+  test("IVF topK recall vs brute force is high at nprobe=4/8") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).cache()
+    try {
+      val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(idx, "vec_id", "embedding", cents,
+        queryVec, 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      val recall = exact.intersect(approx).size / 10.0
+      assert(recall >= 0.6, s"recall $recall too low (exact=$exact approx=$approx)")
+    } finally idx.unpersist()
+  }
+
+  test("IVF topK reads less data than brute force (cell pruning)") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).cache()
+    try {
+      val probed = Similarity.ivfTopK(idx, "vec_id", "embedding", cents,
+        queryVec, 10, nprobe = 2)
+      // the filter must prune cells before the cosine evaluation
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("cell"), "expected a cell filter in the plan")
+    } finally idx.unpersist()
+  }
+
+  test("hyperplane signature is deterministic for a fixed seed") {
+    import org.apache.spark.sql.functions.col
+    val sig1 = emb.limit(20).select(
+      Similarity.hyperplaneSignature(col("embedding"), 64, 16, 42L).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val sig2 = emb.limit(20).select(
+      Similarity.hyperplaneSignature(col("embedding"), 64, 16, 42L).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sig1 == sig2)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("token counts: whitespace and bpe-ish") {
+    val r = one("Hello world, it's 42 degrees!").select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeTokenCount(col("text"))).head
+    assert(r.getInt(0) == 5)
+    // Hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getInt(1) == 9)
+  }
+
+  test("punct ratio and empty text safety") {
+    val r = one("a,b.c").select(TextAnalysis.punctRatio(col("text"))).head.getDouble(0)
+    assert(math.abs(r - 0.4) < 1e-9)
+    val e = one("").select(TextAnalysis.punctRatio(col("text"))).head.getDouble(0)
+    assert(e == 0.0)
+  }
+
+  test("stopword ratio counts multiplicity") {
+    val r = one("the cat and the dog").select(
+      TextAnalysis.stopwordRatio(col("text"))).head.getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-9) // the, and, the = 3/5
+  }
+
+  test("langId predicts marker-bearing text; und when no markers") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy"),
+      (2L, "der hund und die katze sind nicht zu hause"),
+      (3L, "le chat est dans la maison pour la nuit"),
+      (4L, "el perro y la casa es muy grande por ahora"),
+      (5L, "qwerty zxcvb asdfgh")).toDF("doc_id", "text")
+    val got = samples.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "es")
+    assert(got(5L) == "und")
+  }
+
+  test("fingerprint is stable under whitespace/case noise, differs across content") {
+    val d = Seq(
+      (1L, "The Quick  Brown   Fox"),
+      (2L, "the quick brown fox"),
+      (3L, "a totally different sentence")).toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("shingles: char and word shapes") {
+    val r = one("abcdef").select(TextAnalysis.charShingles(col("text"), 4)).head.getSeq[String](0)
+    assert(r == Seq("abcd", "bcde", "cdef"))
+    val w = one("a b c d").select(
+      TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2)).head.getSeq[String](0)
+    assert(w == Seq("a b", "b c", "c d"))
+    // shorter than the shingle size falls back to the whole text
+    val s = one("ab").select(TextAnalysis.charShingles(col("text"), 4)).head.getSeq[String](0)
+    assert(s == Seq("ab"))
+  }
+
+  test("documentStats runs over the real documents table with sane ranges") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val stats = TextAnalysis.documentStats(docs, "doc_id", "text")
+    val rows = stats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("n_tokens")) > 0)
+      val q = r.getDouble(r.fieldIndex("quality"))
+      assert(q >= 0.0 && q <= 1.0, s"quality out of range: $q")
+      val pr = r.getDouble(r.fieldIndex("punct_ratio"))
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
+  test("quality favors normal prose over degenerate text") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far into the quiet woods " * 4),
+      (2L, "!!! ??? ... ;;; ::: @@@ ### $$$ %%% ^^^"),
+      (3L, "x")).toDF("doc_id", "text")
+    val q = d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L), s"prose ${q(1L)} should beat punct soup ${q(2L)}")
+    assert(q(1L) > q(3L), s"prose ${q(1L)} should beat single char ${q(3L)}")
+  }
+}
