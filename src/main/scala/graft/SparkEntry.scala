@@ -291,7 +291,10 @@ object SparkEntry {
     // exact embedding near-dup pairs (oracle-checked).
     "q51_ann_neardup_exact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      // spread the streamed side of the nested-loop pair join across cores
+      // (single-file inputs otherwise serialize the O(n^2) cosine work)
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("sim", round(graft.functions.vec_cosine(col("va"), col("vb")), 6))
@@ -303,7 +306,7 @@ object SparkEntry {
     // LSH-bucketed embedding near-dup (the scale path; rows-only).
     "q52_ann_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, bits = 16, bands = 8)
+        dim = 64, threshold = 0.4, bits = 48, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF ANN: index build + probe (rows-only: centroid training is

@@ -39,13 +39,19 @@ object Hash64 {
     z ^ (z >>> 31)
   }
 
+  // per-permutation seeds, computed once per JVM per numPerm (not per row)
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seeds(numPerm: Int): Array[Long] =
+    seedCache.computeIfAbsent(numPerm, p => Array.tabulate(p)(i => mix(i.toLong)))
+
   /** MinHash signature: perm p's value = min over shingles of
-    * mix(fnv64(shingle) ^ mix(p)). One O(shingles) pass computes the base
+    * mix(fnv64(shingle) ^ seed(p)). One O(shingles) pass computes the base
     * hashes; each of the P permutations is then just a mix() — O(S*P)
     * total, no string re-hashing per permutation.
     */
   def minhash(shingles: ArrayData, numPerm: Int): Array[Long] = {
     val n = shingles.numElements()
+    val ss = seeds(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -53,10 +59,29 @@ object Hash64 {
         val base = fnv64(shingles.getUTF8String(i))
         var p = 0
         while (p < numPerm) {
-          val h = mix(base ^ mix(p.toLong))
+          val h = mix(base ^ ss(p))
           if (h < sig(p)) sig(p) = h
           p += 1
         }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** minhash over pre-hashed (long) shingles. */
+  def minhashLongs(shingles: ArrayData, numPerm: Int): Array[Long] = {
+    val n = shingles.numElements()
+    val ss = seeds(numPerm)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = shingles.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val h = mix(base ^ ss(p))
+        if (h < sig(p)) sig(p) = h
+        p += 1
       }
       i += 1
     }
@@ -91,25 +116,98 @@ object Hash64 {
   }
 }
 
-/** minhash_sig(shingles, numPerm) -> array<long>. */
+/** word_shingle_hashes(tokens, n) -> array<long>: 64-bit hashes of the
+  * n-gram shingles of a token array, distinct, order-sensitive combine —
+  * WITHOUT materializing shingle strings. One imperative pass; feeds
+  * minhash/jaccard at a fraction of the cost of string shingles (whose
+  * construction runs as an interpreted HOF lambda per element).
+  */
+object ShingleHash {
+  def shingleHashes(tokens: ArrayData, n: Int): Array[Long] = {
+    val m = tokens.numElements()
+    val tokHash = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      tokHash(i) = if (tokens.isNullAt(i)) 0L else Hash64.fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val count = math.max(0, m - n + 1)
+    if (count == 0) {
+      // fewer tokens than the shingle size: one shingle of everything
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < m) { h = Hash64.mix(h * 31 + tokHash(j)); j += 1 }
+      return Array(h)
+    }
+    val set = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < count) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      while (j < i + n) { h = Hash64.mix(h * 31 + tokHash(j)); j += 1 }
+      if (set.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    if (k == count) out else java.util.Arrays.copyOf(out, k)
+  }
+}
+
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes needs array<string> and n>0, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleHash.shingleHashes(v.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHash.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_sig(shingles, numPerm) -> array<long>. Accepts array<string>
+  * (hashes each element) or array<long> (pre-hashed shingles).
+  */
 case class MinHashSignature(child: Expression, numPerm: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numPerm > 0 => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig needs array<string> and numPerm>0, got ${child.dataType.simpleString}")
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Hash64.minhash(v.asInstanceOf[ArrayData], numPerm))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numPerm > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<string|long> and numPerm>0, got ${child.dataType.simpleString}")
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(v: Any): Any = {
+    val ad = v.asInstanceOf[ArrayData]
+    val sig = if (preHashed) Hash64.minhashLongs(ad, numPerm)
+              else Hash64.minhash(ad, numPerm)
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (preHashed) "minhashLongs" else "minhash"
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.Hash64.minhash($c, $numPerm))")
+        s"graft.functions.Hash64.$fn($c, $numPerm))")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

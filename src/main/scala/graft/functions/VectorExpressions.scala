@@ -68,6 +68,60 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH signature (Charikar 2002): bit i of the result =
+  * sign(dot(vec, plane_i)). Planes are seeded Gaussians generated once per
+  * JVM per (dim, bits, seed) — NOT inlined as literals, which would bloat
+  * the expression tree by dim*bits nodes and swamp codegen.
+  */
+object Hyperplanes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Float]]]()
+  def planes(dim: Int, bits: Int, seed: Long): Array[Array[Float]] =
+    cache.computeIfAbsent((dim, bits, seed), { case (d, b, s) =>
+      val rnd = new java.util.Random(s)
+      Array.fill(b)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    })
+
+  def signature(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int, bits: Int, seed: Long): Long = {
+    val ps = planes(dim, bits, seed)
+    val xs = vec.toFloatArray()
+    var sig = 0L
+    var b = 0
+    while (b < ps.length) {
+      val p = ps(b)
+      var dot = 0.0d
+      var i = 0
+      val n = math.min(xs.length, p.length)
+      while (i < n) { dot += xs(i).toDouble * p(i).toDouble; i += 1 }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class HyperplaneSignature(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits <= 63, "bits must fit in a long")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig needs array<float>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    Hyperplanes.signature(v.asInstanceOf[ArrayData], dim, bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hyperplanes.signature($c, $dim, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** cosine(a, b) = dot / (|a|*|b|) in ONE pass (three accumulators); 0.0
   * when either norm is zero (convention: nothing is similar to the zero
   * vector).

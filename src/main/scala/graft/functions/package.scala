@@ -35,6 +35,16 @@ package object functions {
   /** 64-bit SimHash over a token array. */
   def simhash64(tokens: Column): Column = toColumn(SimHash64(exprOf(tokens)))
 
+  /** Distinct 64-bit hashes of word n-gram shingles (no string
+    * materialization — the fast path for minhash/jaccard pipelines).
+    */
+  def word_shingle_hashes(tokens: Column, n: Int): Column =
+    toColumn(WordShingleHashes(exprOf(tokens), n))
+
+  /** Packed sign bits of dot(vec, plane_i) for seeded Gaussian planes. */
+  def hyperplane_sig(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    toColumn(HyperplaneSignature(exprOf(vec), dim, bits, seed))
+
   /** Register the custom expressions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -56,15 +56,27 @@ object Dedup {
     val rows = numPerm / bands
 
     val toks = TextAnalysis.tokens(col(textCol))
-    val shingles = array_distinct(TextAnalysis.wordShingles(toks, shingle))
-    val withSig = docs.select(
-      col(idCol).as("id"), shingles.as("shingles"),
-      minhash_sig(shingles, numPerm).as("sig"))
+    // Shingles are 64-bit hashes, not strings (word_shingle_hashes is one
+    // codegen'd pass; string shingles would run an interpreted HOF lambda
+    // per n-gram). Exact-jaccard verification over the hash sets is exact
+    // up to 64-bit collisions (~1e-19 per pair).
+    val shingles = graft.functions.word_shingle_hashes(toks, shingle)
+    // Signature computation is CPU-bound; small inputs arrive as a single
+    // file split, so spread it across the cluster explicitly (at 100 TB
+    // the same rule applies: parallelism for this stage should track
+    // cores, not input bytes).
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val withShingles = spread.select(col(idCol).as("id"), shingles.as("shingles"))
+    val withSig = withShingles.select(
+      col("id"), minhash_sig(col("shingles"), numPerm).as("sig"))
 
     // band key = hash of the band's signature slice; explode -> shuffle on
-    // (band, key) only
+    // (band, key) only. CRITICAL at scale: the candidate join moves ONLY
+    // (id, band, bkey) — candidate-pair volume is quadratic in bucket
+    // size, so payloads (shingle sets here) must not ride through it;
+    // they are re-attached per UNIQUE pair afterwards.
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
 
@@ -73,11 +85,28 @@ object Dedup {
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.shingles").as("sh_a"), col("r.shingles").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    // Signature-estimated jaccard (fraction of agreeing minhash slots)
+    // prunes candidates before the exact set intersection — 128 long
+    // comparisons vs ~hundreds of string hashes per pair (MMDS ch.3's
+    // estimate-then-verify). Margin of threshold/2 keeps est-vs-exact
+    // variance from costing recall.
+    val sigA = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val estimated = candidates
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_j",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numPerm.toDouble)
+      .filter(col("est_j") >= threshold / 2)
+      .select(col("id_a"), col("id_b"))
+
+    val shA = withShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    estimated
+      .join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -98,8 +127,9 @@ object Dedup {
 
   /** Per-doc 64-bit SimHash frame. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (default 3).
     * Pigeonhole banding: split 64 bits into (maxDist+1) chunks; any pair
@@ -134,19 +164,26 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, bits: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val sigCol = Similarity.hyperplaneSignature(col(vecCol), dim, bits, seed)
+    val sigCol = Similarity.hyperplaneSignature(col("vec"), dim, bits, seed)
     val rowsPer = bits / bands
     val bandCols = (0 until bands).map(b =>
       shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), sigCol.as("sig"))
-      .select(col("id"), col("vec"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    // ids-only through the quadratic candidate join (see minhashPairs);
+    // vectors re-attached per unique pair for verification.
+    val base = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = base.select(col("id"), sigCol.as("sig"))
+      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val va = base.select(col("id").as("id_a"), col("vec").as("va"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vb"))
+    candidates
+      .join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", vec_cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))

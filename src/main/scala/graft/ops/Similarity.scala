@@ -32,16 +32,11 @@ object Similarity {
 
   /** Random-hyperplane sign signature packed into a long (LSH for cosine,
     * Charikar 2002). Planes come from a fixed seed so signatures are
-    * reproducible across runs/executors.
+    * reproducible across runs/executors; they are generated inside the
+    * expression (memoized per JVM), keeping the plan tree small.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    require(bits <= 63, "bits must fit in a long")
-    val rnd = new Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    planes.zipWithIndex.map { case (p, i) =>
-      when(vec_dot(vec, lit_vec(p.toSeq)) > 0d, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    graft.functions.hyperplane_sig(vec, dim, bits, seed)
 
   /** Train IVF centroids with Lloyd's iterations on a driver-side sample.
     * Sampling keeps the training cost independent of table size (at 100 TB
