@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Event-time streaming analytics over the engine's event stream — beyond
+  * the reference's processing-time-only surface (SURVEY §2.8 notes
+  * watermarks/windows are absent there), these are the Structured
+  * Streaming primitives a 100 TB pipeline actually runs on:
+  *
+  *   - watermarked tumbling/sliding windows (state store bounded by the
+  *     watermark — without it, window state grows unboundedly);
+  *   - arbitrary stateful processing (session windows with explicit state
+  *     and timeouts via flatMapGroupsWithState).
+  */
+object StreamOps {
+
+  /** Input row contract for typed stateful ops. */
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A closed user session. */
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Long, sum_value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling-window aggregation: counts + exact decimal sums
+    * per (window, event_type). Late events beyond the watermark are
+    * dropped — bounded state, append-mode emission on watermark advance.
+    */
+  def windowedEventStats(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows via flatMapGroupsWithState: a session closes after
+    * `gapMs` of inactivity (event-time timeout). State per user is one
+    * small struct; the timeout bounds its lifetime — the pattern scales to
+    * any number of keys because state lives in the state store, not the
+    * heap.
+    */
+  def sessionize(events: Dataset[EventRow], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
