@@ -224,6 +224,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // §2.4 as-of join (point-in-time): latest order at-or-before a derived
+    // per-event cutoff, per customer. Composed as tagged-union + running
+    // window (one shuffle; no range explosion) — see ops/AsOfJoin.
+    "q19_asof_join" -> ((s, dir) => {
+      val cutoff = expr(
+        "timestamp'1995-01-01' + make_interval(0, 0, 0, cast(event_id % 2000 as int), 0, 0, 0)")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), cutoff.as("cut_ts"))
+      // deterministic right side: one row per (custkey, orderdate)
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.ops.AsOfJoin.asOf(
+          ev, "user_id", "cut_ts",
+          ord.withColumnRenamed("o_orderdate", "o_ts"), "o_custkey", "o_ts",
+          payload = Seq("o_orderkey", "o_ts"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_ts").as("o_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     // ================= training-data pipeline operators ===================
 
     // exact dedup audit: survivor id + copy count per text key.
@@ -439,6 +460,19 @@ object SparkEntry {
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2000) DAY AS cut_ts
+        |  FROM events),
+        |r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT ev.event_id, ev.user_id, r.o_orderkey, r.o_orderdate
+        |FROM ev ASOF LEFT JOIN r
+        |  ON ev.user_id = r.o_custkey AND ev.cut_ts >= r.o_orderdate
+        |ORDER BY ev.event_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies
