@@ -340,6 +340,16 @@ object SparkEntry {
       Similarity.ivfTopK(idx, "vec_id", "embedding", cents, q, 10, nprobe = 4)
     }),
 
+    // batch k-NN join: top-3 neighbors for every vector via LSH bucketing
+    // (rows-only: candidate set is hash-dependent; recall asserted in
+    // ScaleSpec with planted clusters).
+    "q54_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoin(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 24, bands = 12)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // multimodal plumbing: binary blobs -> stub-decoded features (rows-only).
     "q60_multimodal_features" -> ((s, dir) => {
       val blobs = t(s, dir, "documents")

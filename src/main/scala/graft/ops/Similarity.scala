@@ -102,6 +102,42 @@ object Similarity {
       (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
   }
 
+  /** Batch k-NN join: top-k neighbors in `emb` for EVERY query row (not
+    * one vector). Bucketed by LSH band so each query only meets its
+    * bucket's candidates, then per-query top-k via window — the scalable
+    * form of "ANN join" (a cross join + per-row sort would be quadratic).
+    * Exactness: candidates are limited to hyperplane-bucket collisions;
+    * raise `bits`/`bands` for recall like any LSH index.
+    */
+  def knnJoin(queries: DataFrame, qId: String, qVec: String,
+      emb: DataFrame, eId: String, eVec: String,
+      k: Int, dim: Int, bits: Int = 48, bands: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val rowsPer = bits / bands
+    def banded(df: DataFrame, id: String, vec: String) = {
+      val base = df.select(col(id).as("id"), col(vec).as("vec"))
+      val sig = graft.functions.hyperplane_sig(col("vec"), dim, bits, seed)
+      val bandCols = (0 until bands).map(b =>
+        shiftright(sig, b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
+      base.select(col("id"), col("vec"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    }
+    val q = banded(queries, qId, qVec)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("band"), col("bkey"))
+    val e = banded(emb, eId, eVec)
+      .select(col("id").as("eid"), col("vec").as("evec"), col("band"), col("bkey"))
+    val pairs = q.join(e, Seq("band", "bkey"))
+      .filter(col("qid") =!= col("eid"))
+      .select(col("qid"), col("eid"), col("qvec"), col("evec"))
+      .dropDuplicates("qid", "eid")
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("eid"), col("sim"))
+  }
+
   /** Query the IVF index: probe the nprobe nearest cells, exact cosine
     * inside them. Cell pruning happens in the scan filter, so a
     * cell-partitioned index only reads nprobe/k of the data.

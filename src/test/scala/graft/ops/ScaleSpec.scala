@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedAgg equals plain aggregation (correctness under salting)") {
+    val df = spark.range(0, 10000)
+      .select((col("id") % 7).as("k"), (col("id") % 100).cast("double").as("v"))
+    val expected = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val salted = Scale.saltedAgg(df, Seq("k"), salts = 16,
+      partials = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      merges = Seq(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == expected.toSeq)
+  }
+
+  test("bucketed join elides both shuffles") {
+    val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Scale.writeBucketed(a, "bkt_a", "k", 4)
+    Scale.writeBucketed(b, "bkt_b", "k", 4)
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("knnJoin: planted clusters find their own members first") {
+    // two tight clusters far apart; every member's top neighbors must be
+    // from its own cluster
+    def jitter(base: Array[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, j) => v + ((i * 31 + j) % 7) * 0.001f }.toSeq
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0 until 10).map(i => (i.toLong, jitter(c1, i))) ++
+      (10 until 20).map(i => (i.toLong, jitter(c2, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(emb, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, dim = 16, bits = 12, bands = 4)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val qid = r.getLong(0); val eid = r.getLong(2)
+      assert((qid < 10) == (eid < 10),
+        s"neighbor $eid crossed clusters for query $qid (sim=${r.getDouble(3)})")
+    }
+    // each query that produced results has at most k of them, ranked
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
