@@ -81,6 +81,17 @@ object Cli {
         spark.streams.awaitAnyTermination()
       }
 
+    case "fixtures" :: rest =>
+      val flags = parseFlags(rest)
+      val n = flags.getOrElse("records", "1000").toLong
+      val out = flags.getOrElse("out", sys.error("fixtures: missing --out <dir>"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        graft.tools.Fixtures.write(spark, n, out)
+        println(s"""{"table":"property_sales","records":$n,"out":"$out"}""")
+      } finally spark.stop()
+
     case "schema-generate" :: rest =>
       val flags = parseFlags(rest)
       val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
@@ -104,7 +115,8 @@ object Cli {
            |usage:
            |  snapshot -c <config.yml> [--id ID]
            |  replicate --source <dir> --target <dir> --id <ID> --checkpoint <dir> [--port N] [--once]
-           |  schema-generate --ddl "CREATE TABLE ..."""".stripMargin)
+           |  schema-generate --ddl "CREATE TABLE ..."
+           |  fixtures --records N --out <dir>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -346,7 +346,7 @@ object SparkEntry {
     "q54_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnJoin(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-        k = 3, dim = 64, bits = 24, bands = 12)
+        k = 3, dim = 64, bits = 48, bands = 8)
         .orderBy(col("qid"), col("rank"))
     }),
 

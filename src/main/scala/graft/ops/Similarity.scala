@@ -111,29 +111,32 @@ object Similarity {
     */
   def knnJoin(queries: DataFrame, qId: String, qVec: String,
       emb: DataFrame, eId: String, eVec: String,
-      k: Int, dim: Int, bits: Int = 48, bands: Int = 12,
+      k: Int, dim: Int, bits: Int = 48, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPer = bits / bands
-    def banded(df: DataFrame, id: String, vec: String) = {
-      val base = df.select(col(id).as("id"), col(vec).as("vec"))
+    val parallelism = queries.sparkSession.sparkContext.defaultParallelism
+    // ids-only through the band join (candidate volume is quadratic in
+    // bucket size — payloads must not ride it); vectors re-attached per
+    // UNIQUE candidate pair before scoring.
+    def banded(df: DataFrame, id: String, vec: String, idOut: String) = {
+      val base = df.repartition(parallelism).select(col(id).as(idOut), col(vec).as("vec"))
       val sig = graft.functions.hyperplane_sig(col("vec"), dim, bits, seed)
       val bandCols = (0 until bands).map(b =>
         shiftright(sig, b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
-      base.select(col("id"), col("vec"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+      base.select(col(idOut), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     }
-    val q = banded(queries, qId, qVec)
-      .select(col("id").as("qid"), col("vec").as("qvec"), col("band"), col("bkey"))
-    val e = banded(emb, eId, eVec)
-      .select(col("id").as("eid"), col("vec").as("evec"), col("band"), col("bkey"))
-    val pairs = q.join(e, Seq("band", "bkey"))
+    val candidates = banded(queries, qId, qVec, "qid")
+      .join(banded(emb, eId, eVec, "eid"), Seq("band", "bkey"))
       .filter(col("qid") =!= col("eid"))
-      .select(col("qid"), col("eid"), col("qvec"), col("evec"))
+      .select(col("qid"), col("eid"))
       .dropDuplicates("qid", "eid")
+    val qv = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val ev = emb.select(col(eId).as("eid"), col(eVec).as("evec"))
+    val scored = candidates.join(qv, "qid").join(ev, "eid")
       .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
-    pairs.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }
