@@ -193,6 +193,19 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
+    // §2.5 approximate aggregation: HLL distinct + quantile sketches
+    // (rows-only: sketch internals differ across engines; accuracy vs
+    // exact is asserted in a spec).
+    "q46_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("p99_price"))
+    }),
+
     // event-time tumbling window aggregation (batch form; the streaming
     // form with watermarks is in graft.cdc / StreamingSpec).
     "q30_events_tumbling" -> ((s, dir) => {

@@ -147,14 +147,10 @@ class CdcMicroBatchStream(options: Map[String, String]) extends MicroBatchStream
 case class CdcInputPartition(fromLsn: Long, toLsn: Long,
     options: Map[String, String]) extends InputPartition
 
-class CdcPartitionReader(p: CdcInputPartition) extends PartitionReader[InternalRow] {
-  private val it = WalClients.instantiate(p.options).read(p.fromLsn, p.toLsn)
-  private var current: WalRecord = _
-
-  override def next(): Boolean = {
-    if (it.hasNext) { current = it.next(); true } else false
-  }
-
+/** WalRecord -> InternalRow in the raw-change schema (shared by the LSN
+  * and resume-token sources).
+  */
+object CdcRows {
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
@@ -170,12 +166,23 @@ class CdcPartitionReader(p: CdcInputPartition) extends PartitionReader[InternalR
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
     }
 
-  override def get(): InternalRow =
+  def toInternalRow(r: WalRecord): InternalRow =
     InternalRow(
-      utf8(current.db), utf8(current.schema), utf8(current.table),
-      utf8(current.op), current.tsMs,
-      mapData(current.before), mapData(current.after),
-      current.lsn, current.txId)
+      utf8(r.db), utf8(r.schema), utf8(r.table),
+      utf8(r.op), r.tsMs,
+      mapData(r.before), mapData(r.after),
+      r.lsn, r.txId)
+}
+
+class CdcPartitionReader(p: CdcInputPartition) extends PartitionReader[InternalRow] {
+  private val it = WalClients.instantiate(p.options).read(p.fromLsn, p.toLsn)
+  private var current: WalRecord = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+
+  override def get(): InternalRow = CdcRows.toInternalRow(current)
 
   override def close(): Unit = ()
 }

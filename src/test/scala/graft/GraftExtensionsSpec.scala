@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("registerAll exposes the expressions to pure SQL") {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .createOrReplaceTempView("ext_vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) AS d FROM ext_vecs").head.getDouble(0) == 14.0)
+    assert(spark.sql("SELECT vec_cosine(a, b) AS c FROM ext_vecs").head.getDouble(0) == 1.0)
+    assert(!spark.sql("SELECT simhash64(array('a','b')) AS h").head.isNullAt(0))
+  }
+
+  test("q46 approx aggregates are close to exact") {
+    val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("parts"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50")).head
+    val approx = SparkEntry.queries("q46_approx")(spark, SparkTestSession.sf0001).head
+    val exactParts = exact.getLong(0)
+    val approxParts = approx.getLong(0)
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05,
+      s"HLL off by >5%: $approxParts vs $exactParts")
+    val p50 = approx.getDouble(2)
+    assert(math.abs(p50 - exact.getDouble(1)) / exact.getDouble(1) < 0.05)
+  }
+}
