@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -315,6 +315,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // composed curation pipeline: quality gate -> exact dedup -> annotate
+    // (oracle-checked subset — token-count/punct gates + keep-first dedup).
+    "q47_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = Curation.qualityFilter(docs, "text", 20, 5000, 0.2)
+      Dedup.exactKeepFirst(filtered, Seq("text"), "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // brute-force cosine top-k (oracle-checked; query = vec_id 0).
     "q50_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -527,6 +538,18 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.02
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_curation" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 20 AND 5000
+        |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |      / length(text)::DOUBLE <= 0.2),
+        |d AS (SELECT doc_id, text,
+        |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q50_ann_topk" ->
       """SELECT a.vec_id,
