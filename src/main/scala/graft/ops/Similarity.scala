@@ -91,6 +91,50 @@ object Similarity {
     best
   }
 
+  /** Fully distributed Lloyd's iterations: assignment is the map-only
+    * argmax against broadcast centroids; the update step computes per-cell
+    * per-dimension sums via posexplode + one hash shuffle, collecting only
+    * k*dim aggregate rows to the driver per iteration. Use this over
+    * [[trainCentroids]] when the sample wouldn't be representative (heavy
+    * cluster imbalance) — cost is `iters` extra passes over the data.
+    */
+  def trainCentroidsDistributed(emb: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Float]] = {
+    // deterministic init: k distinct vectors chosen by seeded hash order
+    var centroids: Array[Array[Float]] = emb
+      .select(col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("vec").cast("string"), lit(seed)))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "cannot train centroids on an empty table")
+    val dim = centroids.head.length
+
+    for (_ <- 0 until iters) {
+      val sims = array(centroids.map(c => vec_cosine(col(vecCol), lit_vec(c.toSeq))): _*)
+      val assigned = emb.select(col(vecCol).as("vec"),
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+      // per-(cell, dim) partial sums: k*dim rows total reach the driver
+      val stats = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) += r.getDouble(2)
+        if (p == 0) counts(c) = r.getLong(3)
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
   /** Build the IVF index: every vector tagged with its nearest centroid
     * (map-only — centroids are inlined literals). Persist/bucket the result
     * by `cell` for repeated querying.

@@ -57,6 +57,22 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("distributed centroid training converges like the sampled version") {
+    val cents = Similarity.trainCentroidsDistributed(emb, "embedding", k = 8, iters = 3)
+    assert(cents.length == 8 && cents.head.length == 64)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).cache()
+    try {
+      val cells = idx.select("cell").distinct().count()
+      assert(cells > 1, "distributed kmeans collapsed to one cell")
+      val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(idx, "vec_id", "embedding", cents,
+        queryVec, 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      assert(exact.intersect(approx).size >= 6,
+        s"recall too low: ${exact.intersect(approx).size}/10")
+    } finally idx.unpersist()
+  }
+
   test("hyperplane signature is deterministic for a fixed seed") {
     import org.apache.spark.sql.functions.col
     val sig1 = emb.limit(20).select(
