@@ -45,6 +45,12 @@ package object functions {
   def hyperplane_sig(vec: Column, dim: Int, bits: Int, seed: Long): Column =
     toColumn(HyperplaneSignature(exprOf(vec), dim, bits, seed))
 
+  /** Element-wise sum aggregate over array<float|double> (one buffer row
+    * per group — the scalable form of vector averaging).
+    */
+  def vec_sum(vec: Column): Column =
+    toColumn(VectorSum(exprOf(vec)).toAggregateExpression())
+
   /** Register the custom expressions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

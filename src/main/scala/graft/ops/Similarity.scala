@@ -114,18 +114,20 @@ object Similarity {
       val sims = array(centroids.map(c => vec_cosine(col(vecCol), lit_vec(c.toSeq))): _*)
       val assigned = emb.select(col(vecCol).as("vec"),
         (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
-      // per-(cell, dim) partial sums: k*dim rows total reach the driver
+      // one buffer row per cell via the native vec_sum aggregate — k rows
+      // reach the driver, independent of data size and dimension count
       val stats = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(graft.functions.vec_sum(col("vec")).as("s"), count(lit(1)).as("n"))
         .collect()
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       stats.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        sums(c)(p) += r.getDouble(2)
-        if (p == 0) counts(c) = r.getLong(3)
+        val c = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        var i = 0
+        while (i < dim) { sums(c)(i) = s(i); i += 1 }
+        counts(c) = r.getLong(2)
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
