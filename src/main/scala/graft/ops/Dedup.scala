@@ -168,16 +168,23 @@ object Dedup {
     val rowsPer = bits / bands
     val bandCols = (0 until bands).map(b =>
       shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
-    // ids-only through the quadratic candidate join (see minhashPairs);
-    // vectors re-attached per unique pair for verification.
+    // ids + 8-byte signature through the quadratic candidate join (sigs
+    // are cheap enough to ride; vectors are not — see minhashPairs).
     val base = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = base.select(col("id"), sigCol.as("sig"))
-      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+      .select(col("id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val l = banded.as("l"); val r = banded.as("r")
+    // Hamming pre-filter: E[hamming] = bits * acos(cos_sim)/pi, so pairs
+    // above `threshold` concentrate below bits*acos(threshold)/pi; a
+    // +25% margin keeps the variance tail. Survivors only then pay the
+    // vector re-attach + exact cosine.
+    val maxHam = math.ceil(bits * math.acos(threshold) / math.Pi * 1.25).toInt
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
+      .filter(bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= maxHam)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val va = base.select(col("id").as("id_a"), col("vec").as("va"))
