@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -315,6 +315,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // deterministic stratified sampling: cap each language at 30 docs,
+    // hash-ordered (reproducible across engines — md5-based score).
+    "q48_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), Seq("lang"), "doc_id", 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level n-gram stats: top word-trigrams with deterministic ties.
+    "q49_top_ngrams" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.wordShingles(toks, 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // composed curation pipeline: quality gate -> exact dedup -> annotate
     // (oracle-checked subset — token-count/punct gates + keep-first dedup).
     "q47_curation" -> ((s, dir) => {
@@ -538,6 +556,24 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.02
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 30
+        |ORDER BY doc_id""".stripMargin,
+
+    "q49_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS ngram
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT ngram, count(*) AS n FROM g
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
     "q47_curation" ->
       """WITH f AS (
