@@ -36,8 +36,10 @@ class StatsServer(port: Int) {
       try {
         (method, path.split("/").filter(_.nonEmpty).toList) match {
           case ("GET", Nil) =>
+            val all = ReplicatorRegistry.all
             respond(ex, 200,
-              ReplicatorRegistry.all.map(_.stateJson).mkString("[", ",", "]"))
+              s"""{"count":${all.size},"replicators":${
+                all.map(_.stateJson).mkString("[", ",", "]")}}""")
           case ("GET", id :: Nil) =>
             ReplicatorRegistry.get(id) match {
               case Some(r) => respond(ex, 200, r.stateJson)

@@ -105,6 +105,39 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** "Resize": re-encode each blob to a target pixel budget. STUB: the
+    * deterministic stand-in scales the byte payload by the area ratio
+    * (a real impl decodes, resamples, re-encodes inside the same
+    * partition loop). The contract — per-row binary->binary with updated
+    * meta, batch shape preserved — is the real part.
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("meta", metaType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Row(r.get(idIdx), null, null)
+        else {
+          val (origMeta, _) = decodeStub(bytes, 1)
+          val origW = origMeta.getInt(1); val origH = origMeta.getInt(2)
+          val ratio = (targetW.toLong * targetH).toDouble /
+            math.max(1L, origW.toLong * origH)
+          val newLen = math.max(1, math.min(bytes.length, (bytes.length * ratio).toInt))
+          val out = java.util.Arrays.copyOf(bytes, newLen)
+          Row(r.get(idIdx),
+            Row("stub/rgb", targetW, targetH, 1, out.length.toLong), out)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Typed metadata without decoding payloads (cheap catalog pass). */
   def describe(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(col(idCol),

@@ -14,17 +14,36 @@ class ReplicatorStats {
   val totalBatches = new AtomicLong(0)
   val checkpoints = new AtomicLong(0)
   val errors = new AtomicLong(0)
+  val signalsReceived = new AtomicLong(0)
   val startedAtMs = new AtomicLong(0)
   val lastEventAtMs = new AtomicLong(0)
 
   def uptimeMs: Long =
     if (startedAtMs.get == 0) 0 else System.currentTimeMillis() - startedAtMs.get
 
-  def toJson: String =
-    s"""{"total_events":${totalEvents.get},"total_batches":${totalBatches.get},
-       |"checkpoints":${checkpoints.get},"errors":${errors.get},
-       |"uptime_ms":$uptimeMs,"last_event_at_ms":${lastEventAtMs.get}}"""
-      .stripMargin.replace("\n", "")
+  private def iso(ms: Long): String =
+    if (ms == 0) "1970-01-01T00:00:00Z"
+    else java.time.Instant.ofEpochMilli(ms).toString
+
+  /** Three-level stats payload, shape-compatible with the reference
+    * (`README.md:180-224`: source / target / replicator blocks).
+    */
+  def toJson(state: String, healthy: Boolean): String = {
+    val src =
+      s"""{"total_events":${totalEvents.get},"connection_healthy":$healthy,
+         |"event_error_count":${errors.get},
+         |"last_event_at":"${iso(lastEventAtMs.get)}"}""".stripMargin.replace("\n", "")
+    val tgt =
+      s"""{"total_events":${totalEvents.get},"connection_healthy":$healthy,
+         |"write_error_count":${errors.get},
+         |"last_write_at":"${iso(lastEventAtMs.get)}"}""".stripMargin.replace("\n", "")
+    val repl =
+      s"""{"started_at":"${iso(startedAtMs.get)}","uptime_seconds":${uptimeMs / 1000},
+         |"state":"$state","checkpoint_count":${checkpoints.get},
+         |"total_batches":${totalBatches.get},
+         |"signals_received":${signalsReceived.get}}""".stripMargin.replace("\n", "")
+    s"""{"source":$src,"target":$tgt,"replicator":$repl}"""
+  }
 }
 
 /** Streaming-CDC control plane: wraps a restartable StreamingQuery behind
@@ -84,22 +103,26 @@ class Replicator(
   }
 
   def pause(): Unit = synchronized {
+    stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Paused)
     Option(query.getAndSet(null)).foreach(_.stop())
   }
 
   def resume(): Unit = synchronized {
+    stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Streaming)
     query.set(buildQuery(spark))
   }
 
   def stop(): Unit = synchronized {
+    stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Stopped)
     Option(query.getAndSet(null)).foreach(_.stop())
     spark.streams.removeListener(listener)
   }
 
   def restart(): Unit = synchronized {
+    stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Reconnecting)
     Option(query.getAndSet(null)).foreach(_.stop())
     query.set(buildQuery(spark))
@@ -114,8 +137,11 @@ class Replicator(
 
   def activeQuery: Option[StreamingQuery] = Option(query.get)
 
-  def stateJson: String =
-    s"""{"id":"$id","state":"${fsm.state.toString.toLowerCase}","stats":${stats.toJson}}"""
+  def stateJson: String = {
+    val state = fsm.state.toString.toLowerCase
+    val healthy = fsm.state == FsmState.Streaming || fsm.state == FsmState.Paused
+    s"""{"id":"$id","state":"$state","stats":${stats.toJson(state, healthy)}}"""
+  }
 }
 
 /** Process-wide registry backing the stats/control HTTP server. */

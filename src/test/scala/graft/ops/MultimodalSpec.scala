@@ -59,6 +59,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize rewrites meta to target dims and shrinks payloads") {
+    val out = Multimodal.resize(blobs, "doc_id", "content", 8, 8).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val meta = r.getStruct(1)
+      assert(meta.getInt(1) == 8 && meta.getInt(2) == 8)
+      assert(r.getAs[Array[Byte]](2).length <= 256)
+    }
+  }
+
   test("features feed directly into the similarity ops (integration seam)") {
     val feats = Multimodal.extractFeatures(blobs, "doc_id", "content", dim = 16)
       .select(col("id").as("vec_id"), col("features").as("embedding"))
