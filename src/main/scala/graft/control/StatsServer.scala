@@ -28,6 +28,18 @@ class StatsServer(port: Int) {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** JSON string escape for interpolated text (error messages etc.). */
+  private def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/replicators")
@@ -43,27 +55,27 @@ class StatsServer(port: Int) {
           case ("GET", id :: Nil) =>
             ReplicatorRegistry.get(id) match {
               case Some(r) => respond(ex, 200, r.stateJson)
-              case None    => respond(ex, 404, s"""{"error":"unknown replicator: $id"}""")
+              case None    => respond(ex, 404, s"""{"error":${jstr(s"unknown replicator: $id")}}""")
             }
           case ("POST", id :: action :: Nil) =>
             ReplicatorRegistry.get(id) match {
-              case None => respond(ex, 404, s"""{"error":"unknown replicator: $id"}""")
+              case None => respond(ex, 404, s"""{"error":${jstr(s"unknown replicator: $id")}}""")
               case Some(r) =>
                 action match {
                   case "pause"   => r.pause(); respond(ex, 200, r.stateJson)
                   case "resume"  => r.resume(); respond(ex, 200, r.stateJson)
                   case "stop"    => r.stop(); respond(ex, 200, r.stateJson)
                   case "restart" => r.restart(); respond(ex, 200, r.stateJson)
-                  case other => respond(ex, 400, s"""{"error":"unknown action: $other"}""")
+                  case other => respond(ex, 400, s"""{"error":${jstr(s"unknown action: $other")}}""")
                 }
             }
           case _ => respond(ex, 405, """{"error":"method not allowed"}""")
         }
       } catch {
         case e: IllegalStateException =>
-          respond(ex, 409, s"""{"error":"${e.getMessage}"}""")
+          respond(ex, 409, s"""{"error":${jstr(e.getMessage)}}""")
         case e: Throwable =>
-          respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
+          respond(ex, 500, s"""{"error":${jstr(e.getMessage)}}""")
       }
     }
 

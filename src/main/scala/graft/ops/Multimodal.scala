@@ -125,11 +125,13 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row(r.get(idIdx), null, null)
         else {
-          val (origMeta, _) = decodeStub(bytes, 1)
-          val origW = origMeta.getInt(1); val origH = origMeta.getInt(2)
+          // meta depends only on length — no need to run the decode hash
+          val side = math.max(1, math.sqrt(bytes.length / 3.0).toInt)
           val ratio = (targetW.toLong * targetH).toDouble /
-            math.max(1L, origW.toLong * origH)
-          val newLen = math.max(1, math.min(bytes.length, (bytes.length * ratio).toInt))
+            math.max(1L, side.toLong * side)
+          // scales BOTH ways: downscale truncates, upscale zero-pads, so
+          // meta dims and payload size stay consistent
+          val newLen = math.max(1, (bytes.length * ratio).toInt)
           val out = java.util.Arrays.copyOf(bytes, newLen)
           Row(r.get(idIdx),
             Row("stub/rgb", targetW, targetH, 1, out.length.toLong), out)

@@ -16,10 +16,18 @@ class ReplicatorStats {
   val errors = new AtomicLong(0)
   val signalsReceived = new AtomicLong(0)
   val startedAtMs = new AtomicLong(0)
+  val stoppedAtMs = new AtomicLong(0)
   val lastEventAtMs = new AtomicLong(0)
 
+  /** Frozen at stop time — a stopped replicator's uptime must not keep
+    * climbing.
+    */
   def uptimeMs: Long =
-    if (startedAtMs.get == 0) 0 else System.currentTimeMillis() - startedAtMs.get
+    if (startedAtMs.get == 0) 0
+    else {
+      val end = if (stoppedAtMs.get != 0) stoppedAtMs.get else System.currentTimeMillis()
+      end - startedAtMs.get
+    }
 
   private def iso(ms: Long): String =
     if (ms == 0) "1970-01-01T00:00:00Z"
@@ -93,6 +101,7 @@ class Replicator(
       spark.streams.addListener(listener)
       query.set(buildQuery(spark))
       stats.startedAtMs.set(System.currentTimeMillis())
+      stats.stoppedAtMs.set(0)
       fsm.transition(FsmState.Streaming)
     } catch {
       case e: Throwable =>
@@ -118,6 +127,7 @@ class Replicator(
     stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Stopped)
     Option(query.getAndSet(null)).foreach(_.stop())
+    stats.stoppedAtMs.set(System.currentTimeMillis())
     spark.streams.removeListener(listener)
   }
 
@@ -138,8 +148,10 @@ class Replicator(
   def activeQuery: Option[StreamingQuery] = Option(query.get)
 
   def stateJson: String = {
-    val state = fsm.state.toString.toLowerCase
-    val healthy = fsm.state == FsmState.Streaming || fsm.state == FsmState.Paused
+    val st = fsm.state // single read — state/healthy must agree under races
+    val state = st.toString.toLowerCase
+    // paused stops the query: no live connection, so not "healthy"
+    val healthy = st == FsmState.Streaming
     s"""{"id":"$id","state":"$state","stats":${stats.toJson(state, healthy)}}"""
   }
 }
