@@ -34,10 +34,27 @@ object Cli {
       .getOrCreate()
   }
 
-  private def parseFlags(args: Seq[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Seq(k, v) if k.startsWith("-") => k.dropWhile(_ == '-') -> v
-    }.toMap ++ args.filter(a => a == "--once").map(a => a.dropWhile(_ == '-') -> "true")
+  private val booleanFlags = Set("once")
+
+  /** Flag parser that keeps alignment across valueless flags (--once can
+    * appear in any position).
+    */
+  private def parseFlags(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: tail if k.startsWith("-") &&
+            booleanFlags.contains(k.dropWhile(_ == '-')) =>
+          go(tail, acc + (k.dropWhile(_ == '-') -> "true"))
+        case k :: v :: tail if k.startsWith("-") =>
+          go(tail, acc + (k.dropWhile(_ == '-') -> v))
+        case other :: tail =>
+          System.err.println(s"ignoring unexpected argument: $other")
+          go(tail, acc)
+      }
+    go(args.toList, Map.empty)
+  }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "snapshot" :: rest =>

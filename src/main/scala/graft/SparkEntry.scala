@@ -532,13 +532,13 @@ object SparkEntry {
 
     "q41_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
-        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tokens,
         |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
         |    / length(text)::DOUBLE, 4) AS punct_ratio,
-        |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  round(len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
         |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
         |        'that','for','on','with','as','was','at','by','be','this'], t)))::DOUBLE
-        |    / len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE, 4) AS stopword_ratio
+        |    / len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))::DOUBLE, 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q45_ngram_jaccard" ->
@@ -547,7 +547,7 @@ object SparkEntry {
         |    array_to_string(toks[i:i+2], ' ')
         |    FOR i IN range(1, len(toks) - 1)
         |  ]) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |        FROM documents WHERE doc_id < 100))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
@@ -570,7 +570,7 @@ object SparkEntry {
         |  SELECT unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |    ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
         |    END) AS ngram
-        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |        FROM documents))
         |SELECT ngram, count(*) AS n FROM g
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
@@ -578,13 +578,13 @@ object SparkEntry {
     "q47_curation" ->
       """WITH f AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 20 AND 5000
+        |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) BETWEEN 20 AND 5000
         |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
         |      / length(text)::DOUBLE <= 0.2),
         |d AS (SELECT doc_id, text,
         |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id,
-        |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))::BIGINT AS n_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q50_ann_topk" ->

@@ -85,14 +85,17 @@ object Hyperplanes {
       dim: Int, bits: Int, seed: Long): Long = {
     val ps = planes(dim, bits, seed)
     val xs = vec.toFloatArray()
+    // a silent truncation here would quietly collapse LSH recall — fail
+    // loudly like vec_dot/vec_cosine do on length mismatch
+    require(xs.length == dim,
+      s"hyperplane_sig: vector has ${xs.length} dims, planes built for $dim")
     var sig = 0L
     var b = 0
     while (b < ps.length) {
       val p = ps(b)
       var dot = 0.0d
       var i = 0
-      val n = math.min(xs.length, p.length)
-      while (i < n) { dot += xs(i).toDouble * p(i).toDouble; i += 1 }
+      while (i < dim) { dot += xs(i).toDouble * p(i).toDouble; i += 1 }
       if (dot > 0) sig |= (1L << b)
       b += 1
     }

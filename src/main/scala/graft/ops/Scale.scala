@@ -29,7 +29,13 @@ object Scale {
       partials: Seq[org.apache.spark.sql.Column],
       merges: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(salts > 0, "salts must be positive")
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // the salt MUST be a deterministic function of the row: partition-id/
+    // monotonic-id salts change on task retry after a shuffle-fetch
+    // failure, double-counting or losing rows (the SPARK-23207 class of
+    // bug). Hashing the full row keeps retries stable and still spreads a
+    // hot key's (distinct) rows across reducers.
+    val rowHash = hash(df.columns.map(col).toSeq: _*)
+    df.withColumn("__salt", pmod(rowHash, lit(salts)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -165,11 +165,15 @@ object Similarity {
     // bucket size — payloads must not ride it); vectors re-attached per
     // UNIQUE candidate pair before scoring.
     def banded(df: DataFrame, id: String, vec: String, idOut: String) = {
-      val base = df.repartition(parallelism).select(col(id).as(idOut), col(vec).as("vec"))
-      val sig = graft.functions.hyperplane_sig(col("vec"), dim, bits, seed)
+      // materialize the signature ONCE per row before slicing bands —
+      // referencing the sig expression inside each band column would
+      // recompute the dim*bits dot products `bands` times
+      val withSig = df.repartition(parallelism)
+        .select(col(id).as(idOut),
+          graft.functions.hyperplane_sig(col(vec), dim, bits, seed).as("sig"))
       val bandCols = (0 until bands).map(b =>
-        shiftright(sig, b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
-      base.select(col(idOut), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+        shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
+      withSig.select(col(idOut), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     }
     val candidates = banded(queries, qId, qVec, "qid")
       .join(banded(emb, eId, eVec, "eid"), Seq("band", "bkey"))

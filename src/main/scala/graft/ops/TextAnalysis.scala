@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. */
+  /** Whitespace tokens, lowercased. Empty strings are filtered so empty/
+    * whitespace-only text yields 0 tokens (a bare split returns [""]),
+    * keeping the zero-token guards downstream meaningful.
+    */
   def tokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** BPE-ish subword-boundary tokens: word pieces, numbers, and single
     * punctuation marks as separate tokens (a simplified GPT-2 pre-tokenizer

@@ -28,7 +28,10 @@ class FilesystemCheckpointer(dir: String) extends Checkpointer {
   Files.createDirectories(base)
 
   private def fileFor(id: String): Path = {
-    require(!id.contains('/') && !id.contains(".."), s"bad replicator id: $id")
+    // strict allow-list: the id lands in both a filename and a JSON string
+    // literal, so reject anything that would need escaping in either
+    require(id.nonEmpty && id.matches("[A-Za-z0-9._\\-]+"),
+      s"bad replicator id (allowed: letters, digits, . _ -): $id")
     base.resolve(s"$id.json")
   }
 

@@ -119,8 +119,18 @@ class Replicator(
 
   def resume(): Unit = synchronized {
     stats.signalsReceived.incrementAndGet()
-    fsm.transition(FsmState.Streaming)
-    query.set(buildQuery(spark))
+    // build first: a failed build must leave the FSM in Error, not claim
+    // a healthy streaming state with no query behind it
+    try {
+      val q = buildQuery(spark)
+      query.set(q)
+      fsm.transition(FsmState.Streaming)
+    } catch {
+      case e: Throwable =>
+        stats.errors.incrementAndGet()
+        fsm.transition(FsmState.Error)
+        throw e
+    }
   }
 
   def stop(): Unit = synchronized {
@@ -135,8 +145,15 @@ class Replicator(
     stats.signalsReceived.incrementAndGet()
     fsm.transition(FsmState.Reconnecting)
     Option(query.getAndSet(null)).foreach(_.stop())
-    query.set(buildQuery(spark))
-    fsm.transition(FsmState.Streaming)
+    try {
+      query.set(buildQuery(spark))
+      fsm.transition(FsmState.Streaming)
+    } catch {
+      case e: Throwable =>
+        stats.errors.incrementAndGet()
+        fsm.transition(FsmState.Error)
+        throw e
+    }
   }
 
   /** Block until the current query has processed all available input —

@@ -146,6 +146,7 @@ object Archiver {
     val start = System.currentTimeMillis()
     var success = false
     var processed = 0L
+    var failure: Option[Throwable] = None
 
     val df = source.frame(spark)
     val numSourceRecords = df.count() // audit pre-count (metadata-only for parquet)
@@ -155,9 +156,13 @@ object Archiver {
     val typed = Preserver.applySchema(df, fields)
       .observe(obs, count(lit(1)).as("rows_written"))
 
-    Preserver.write(typed, dest, batchSizeNumRecords)
-    processed = obs.get("rows_written").asInstanceOf[Long]
-    success = true
+    try {
+      Preserver.write(typed, dest, batchSizeNumRecords)
+      processed = obs.get("rows_written").asInstanceOf[Long]
+      success = true
+    } catch {
+      case e: Throwable => failure = Some(e)
+    }
 
     val catalog = Catalog(
       id = snapshotId,
@@ -167,7 +172,11 @@ object Archiver {
       numSourceRecords = numSourceRecords,
       numRecordsProcessed = processed,
       success = success)
-    writeCatalog(catalog, dest)
+    // a failed snapshot still leaves an audit record (success=false),
+    // like the reference's catalog path — then the error propagates
+    try writeCatalog(catalog, dest, spark)
+    catch { case e: Throwable => if (failure.isEmpty) failure = Some(e) }
+    failure.foreach(throw _)
     catalog
   }
 
@@ -180,9 +189,10 @@ object Archiver {
   val CatalogFileName = "_catalog.json"
 
   /** Write the catalog under the destination prefix (local path or via the
-    * Hadoop FS API for object stores).
+    * Hadoop FS API for object stores — using the SESSION's Hadoop conf so
+    * s3a credentials/endpoints configured on the session apply here too).
     */
-  private def writeCatalog(c: Catalog, dest: String): Unit = {
+  private def writeCatalog(c: Catalog, dest: String, spark: SparkSession): Unit = {
     val json =
       s"""{"id":"${c.id}","start_time_ms":${c.startTimeMs},"end_time_ms":${c.endTimeMs},
          |"source":${jsonStr(c.source)},"num_source_records":${c.numSourceRecords},
@@ -190,7 +200,7 @@ object Archiver {
     if (dest.startsWith("s3a://") || dest.startsWith("hdfs://")) {
       // route through Hadoop FS so the same code works on object stores
       val path = new org.apache.hadoop.fs.Path(dest, CatalogFileName)
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(path, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     } else {

@@ -78,7 +78,11 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // never set a timeout at/behind the watermark — allowed-late
+              // events (within the watermark delay) would otherwise crash
+              // the query with "timeout cannot be earlier than watermark"
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.reverseIterator
           }
