@@ -1,0 +1,120 @@
+package graft.tools
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale evidence runner (not a unit test): synthesizes data 1-3 orders of
+  * magnitude beyond the sf0.1 fixtures and measures the quality/throughput
+  * of the operators whose behavior can't be judged at 60k rows — LSH
+  * dedup recall/precision on planted near-dups, IVF recall vs brute
+  * force, archiver write throughput. Results are recorded in
+  * SCALECHECK.md.
+  *
+  * Everything is deterministic (hash-derived data, fixed seeds).
+  */
+object ScaleCheck {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Synthetic corpus: `n` docs of ~80 tokens from a 5k-word vocabulary;
+    * every 20th doc gets a near-duplicate (3 tokens perturbed) planted at
+    * id + n.
+    */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 80).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(5000)))): _*).as("text"))
+    val dups = spark.range(n).filter(col("id") % 20 === 0)
+      .select((col("id") + n).as("doc_id"),
+        concat_ws(" ", (0 until 80).map(i =>
+          if (i % 27 == 13) concat(lit("x"), pmod(xxhash64(col("id"), lit(i + 9999)), lit(5000)))
+          else concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(5000)))): _*).as("text"))
+    base.unionByName(dups)
+  }
+
+  /** Clustered embeddings (the workload IVF exists for): 40 hash-derived
+    * centers, each vector = its center + 10% noise.
+    */
+  def embeddings(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    val cluster = pmod(col("id"), lit(40))
+    def u(c: org.apache.spark.sql.Column, salt: Int) =
+      pmod(xxhash64(c, lit(salt)), lit(2000)).cast("double") / 1000.0 - 1.0
+    val cols = (0 until dim).map(i =>
+      (u(cluster, i) + u(col("id"), i + 100000) * 0.1).cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), array(cols: _*).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"), Some(32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- 1. MinHash-LSH dedup on 210k docs with 10k planted near-dups --
+    val nDocs = 200000L
+    val docs = corpus(spark, nDocs).cache()
+    docs.count()
+    val planted = (0L until nDocs by 20).map(i => (i, i + nDocs)).toSet
+    val (pairs, tDedup) = time {
+      Dedup.minhashPairs(docs, "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.6)
+        .collect()
+    }
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.intersect(found).size.toDouble / planted.size
+    // precision vs plant: found pairs are exact-jaccard-verified, so any
+    // extra pairs are real vocabulary collisions, not false positives
+    println(f"DEDUP> docs=${docs.count()} planted=${planted.size} found=${found.size} " +
+      f"recall=$recall%.4f time=${tDedup}%.1f s")
+
+    // ---- 2. IVF vs brute force on 50k x 64-dim vectors ----------------
+    val emb = embeddings(spark, 50000L, 64).cache()
+    emb.count()
+    val q = emb.filter(col("vec_id") === 123).head.getSeq[Float](1)
+    val (exact, tBrute) = time {
+      Similarity.topK(emb, "vec_id", "embedding", q, 20).collect().map(_.getLong(0)).toSet
+    }
+    val (cents, tTrain) = time {
+      Similarity.trainCentroids(emb, "embedding", k = 32, iters = 4)
+    }
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).cache()
+    idx.count()
+    val (approx, tProbe) = time {
+      Similarity.ivfTopK(idx, "vec_id", "embedding", cents, q, 20, nprobe = 6)
+        .collect().map(_.getLong(0)).toSet
+    }
+    println(f"ANN> n=50000 recall@20=${exact.intersect(approx).size / 20.0}%.2f " +
+      f"brute=${tBrute}%.2f s train=${tTrain}%.2f s probe=${tProbe}%.2f s")
+
+    // ---- 3. Archiver throughput on 5M generated rows ------------------
+    val rows = 5000000L
+    val out = java.nio.file.Files.createTempDirectory("scalecheck").toString
+    Fixtures.write(spark, rows, s"$out/src") // generate first (not timed)
+    val cfgYaml =
+      s"""archiver:
+         |  source: {type: parquet, path: $out/src_as_table, table: property_sales}
+         |  preserver:
+         |    batch_size_num_records: 1000000
+         |  repository: {type: local, path: $out/dest}
+         |""".stripMargin
+    // stage the generated parquet as <dir>/<table>.parquet for the source
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/src_as_table"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$out/src"),
+      java.nio.file.Paths.get(s"$out/src_as_table/property_sales.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (cat, tSnap) = time {
+      graft.snapshot.Archiver.snapshot(spark,
+        graft.config.GraftConfig.fromString(cfgYaml), "scale-1")
+    }
+    println(f"SNAPSHOT> rows=${cat.numRecordsProcessed} " +
+      f"ok=${cat.numSourceRecords == cat.numRecordsProcessed && cat.success} " +
+      f"time=${tSnap}%.1f s throughput=${cat.numRecordsProcessed / tSnap / 1e6}%.2f M rows/s")
+
+    spark.stop()
+  }
+}
