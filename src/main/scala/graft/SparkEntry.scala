@@ -85,6 +85,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // CDC apply: materialize a change batch onto base state (latest LSN
+    // per key wins, deletes drop, unchanged base passes through). Changes
+    // synthesized from events; base = customer.
+    "q24_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").cast(StringType).as("id"), col("c_name").as("name"))
+      val changes = t(s, dir, "events").select(
+        lit("db").as("db"), lit("s").as("schema"), lit("customer").as("table"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "purchase", "u")
+          .when(col("event_type") === "error", "d")
+          .otherwise("r").as("op"),
+        col("event_id").as("ts_ms"),
+        lit(null).cast("map<string,string>").as("before"),
+        map(lit("id"), (col("user_id") + 1).cast(StringType),
+          lit("name"), concat(lit("user_"), col("user_id"))).as("after"),
+        col("event_id").as("lsn"), col("event_id").as("txId"))
+      graft.cdc.Apply.applyChanges(base, changes, "id", Seq("name"))
+        .orderBy(col("id").cast(LongType))
+    }),
+
     // ============ categories the reference pushes to its source DB ========
 
     // §2.5 aggregation (TPC-H Q1 shape).
@@ -423,6 +444,23 @@ object SparkEntry {
         |  WHEN 'error' THEN 'd' ELSE 'r' END AS op,
         |epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q24_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT (user_id + 1)::VARCHAR AS key,
+        |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+        |    'user_' || user_id::VARCHAR AS name,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |latest AS (SELECT key, op, name FROM ch WHERE rn = 1),
+        |base AS (SELECT c_custkey::VARCHAR AS id, c_name AS name FROM customer)
+        |SELECT id, name FROM (
+        |  SELECT id, name FROM base
+        |    WHERE NOT EXISTS (SELECT 1 FROM latest WHERE key = id)
+        |  UNION ALL
+        |  SELECT key AS id, name FROM latest WHERE op <> 'd')
+        |ORDER BY CAST(id AS BIGINT)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,92 @@
+package graft.cdc
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Apply CDC changes to materialized table state — the consumer side of
+  * the replication loop (the reference ships events to Kafka and stops;
+  * this is what a lakehouse does with them).
+  *
+  * Semantics (Debezium apply rules):
+  *   - per key, the change with the highest position (LSN) wins;
+  *   - op 'd' removes the row; c/u/r upsert the after-image;
+  *   - base rows with no change pass through.
+  *
+  * Shape: one hash shuffle on the key + per-key window — merge cost is
+  * O(base + changes), never a cross product, and the same code runs
+  * per-micro-batch under foreachBatch for continuous materialization.
+  */
+object Apply {
+
+  /** Merge a batch of raw changes (ChangeSource.rawSchema) into `base`.
+    *
+    * @param base    current state: one row per key, columns = data cols
+    * @param changes raw change rows; after/before maps hold the images
+    * @param keyCol  key field inside the after/before image
+    * @param cols    data columns to materialize (from the images)
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    // latest change per key wins (LSN order, txId tiebreak)
+    val keyFromImage = coalesce(
+      col("after").getItem(keyCol), col("before").getItem(keyCol))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("lsn").desc, col("txId").desc)
+    val latest = changes
+      .withColumn("__key", keyFromImage)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        Seq(col("__key"), col("op")) ++
+          cols.map(c => col("after").getItem(c).as(c)): _*)
+
+    val baseKeyed = base.select(
+      (col(keyCol).cast("string").as("__key") +: cols.map(col)): _*)
+
+    // survivors: base rows without a change + upserts; deletes drop out
+    val unchanged = baseKeyed.join(latest.select(col("__key")), Seq("__key"), "left_anti")
+    val upserts = latest.filter(col("op") =!= "d").drop("op")
+    unchanged.unionByName(upserts)
+      .withColumnRenamed("__key", keyCol)
+  }
+
+  /** Continuous materialization: consume a raw change stream and keep a
+    * parquet table at `tableDir` up to date, one merge per micro-batch
+    * (overwrite-on-merge; swap in MERGE INTO on a lakehouse format for
+    * transactional updates).
+    */
+  def startMaterialize(spark: SparkSession, changes: DataFrame, keyCol: String,
+      cols: Seq[String], tableDir: String, checkpointDir: String,
+      triggerMs: Long = 500L): StreamingQuery = {
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val current =
+          try s.read.parquet(tableDir)
+          catch {
+            case _: Throwable =>
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(
+                  org.apache.spark.sql.types.StructField(keyCol,
+                    org.apache.spark.sql.types.StringType) +:
+                    cols.map(c => org.apache.spark.sql.types.StructField(c,
+                      org.apache.spark.sql.types.StringType))))
+          }
+        val merged = applyChanges(current, batch, keyCol, cols)
+        // stage + swap: the overwrite must not read the dir it replaces
+        val staged = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(tableDir))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+  }
+}

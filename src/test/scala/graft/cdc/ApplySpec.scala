@@ -1,0 +1,88 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import graft.sources.{InMemoryWal, WalRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ApplySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def change(lsn: Long, op: String, id: String, name: String): (String, String, String, String, Long, Map[String, String], Map[String, String], Long, Long) =
+    ("db", "s", "users", op, lsn,
+      if (op == "c") null else Map("id" -> id, "name" -> "old"),
+      if (op == "d") null else Map("id" -> id, "name" -> name),
+      lsn, lsn)
+
+  private def changesDf(rows: Seq[(String, String, String, String, Long, Map[String, String], Map[String, String], Long, Long)]) =
+    rows.toDF("db", "schema", "table", "op", "ts_ms", "before", "after", "lsn", "txId")
+
+  test("applyChanges: upsert, update-latest-wins, delete, passthrough") {
+    val base = Seq(("1", "alice"), ("2", "bob"), ("3", "carol"))
+      .toDF("id", "name")
+    val changes = changesDf(Seq(
+      change(10, "u", "2", "bobby"),     // update bob
+      change(11, "u", "2", "bobbie"),    // later update wins
+      change(12, "d", "3", null),        // delete carol
+      change(13, "c", "4", "dave")))     // insert dave
+
+    val out = Apply.applyChanges(base, changes, "id", Seq("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "1" -> "alice",   // untouched passthrough
+      "2" -> "bobbie",  // highest-lsn update
+      "4" -> "dave"))   // insert; 3 deleted
+  }
+
+  test("delete then re-insert within one batch resolves by lsn order") {
+    val base = Seq(("1", "x")).toDF("id", "name")
+    val changes = changesDf(Seq(
+      change(20, "d", "1", null),
+      change(21, "c", "1", "reborn")))
+    val out = Apply.applyChanges(base, changes, "id", Seq("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("1" -> "reborn"))
+    // and the reverse order deletes
+    val changes2 = changesDf(Seq(
+      change(31, "c", "1", "zombie"),
+      change(32, "d", "1", null)))
+    assert(Apply.applyChanges(base, changes2, "id", Seq("name")).count() == 0)
+  }
+
+  test("continuous materialization from the DSv2 CDC source") {
+    val walId = "apply-wal"
+    InMemoryWal.clear(walId)
+    def rec(lsn: Long, op: String, id: String, name: String) =
+      WalRecord(lsn, "db", "s", "users", op, lsn,
+        if (op == "c") null else Map("id" -> id),
+        if (op == "d") null else Map("id" -> id, "name" -> name), lsn)
+
+    InMemoryWal.append(walId, rec(1, "c", "1", "alice"))
+    InMemoryWal.append(walId, rec(2, "c", "2", "bob"))
+
+    val table = Files.createTempDirectory("apply-table").toString + "/t"
+    val ckpt = Files.createTempDirectory("apply-ckpt").toString
+    val changes = spark.readStream
+      .format("graft.sources.CdcSourceProvider")
+      .option("wal.client", "graft.sources.InMemoryWalClient")
+      .option("wal.id", walId)
+      .load()
+    val q = Apply.startMaterialize(spark, changes, "id", Seq("name"),
+      table, ckpt, triggerMs = 50)
+    try {
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(table).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(s1 == Map("1" -> "alice", "2" -> "bob"))
+
+      InMemoryWal.append(walId, rec(3, "u", "1", "alicia"))
+      InMemoryWal.append(walId, rec(4, "d", "2", null))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(table).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(s2 == Map("1" -> "alicia"), s"got $s2")
+    } finally q.stop()
+  }
+}
