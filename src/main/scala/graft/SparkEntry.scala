@@ -345,9 +345,12 @@ object SparkEntry {
     }),
 
     // corpus-level n-gram stats: top word-trigrams with deterministic ties.
+    // (repartition first: the shingle HOF is CPU-bound and the input is a
+    // single file split)
     "q49_top_ngrams" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(TextAnalysis.wordShingles(toks, 3)).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
