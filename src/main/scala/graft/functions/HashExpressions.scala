@@ -154,6 +154,62 @@ object ShingleHash {
   }
 }
 
+/** word_shingles(tokens, n) -> array<string>: the space-joined n-gram
+  * shingle strings of a token array in one imperative JVM pass. Replaces
+  * the transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))
+  * composition, whose lambda runs through Catalyst's interpreted
+  * per-element HOF evaluation — the dominant cost of corpus n-gram
+  * counting (q49 was 8.2 s of 30 s at sf0.1). Semantics match the HOF
+  * form exactly: fewer than n tokens -> one shingle of the whole array;
+  * null tokens are skipped by the separator join (concat_ws semantics).
+  */
+object ShingleStrings {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val count = m - n + 1
+    if (count <= 0) {
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(SPACE, toks: _*)))
+    }
+    val out = new Array[Any](count)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SPACE, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs array<string> and n>0, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleStrings.shingles(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleStrings.shingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"

@@ -41,6 +41,12 @@ package object functions {
   def word_shingle_hashes(tokens: Column, n: Int): Column =
     toColumn(WordShingleHashes(exprOf(tokens), n))
 
+  /** Word n-gram shingle strings in one codegen'd pass (the fast form of
+    * the transform+slice+concat_ws HOF composition).
+    */
+  def word_shingles(tokens: Column, n: Int): Column =
+    toColumn(WordShingles(exprOf(tokens), n))
+
   /** Packed sign bits of dot(vec, plane_i) for seeded Gaussian planes. */
   def hyperplane_sig(vec: Column, dim: Int, bits: Int, seed: Long): Column =
     toColumn(HyperplaneSignature(exprOf(vec), dim, bits, seed))

@@ -122,11 +122,14 @@ object TextAnalysis {
       transform(sequence(lit(1), length(text) - (k - 1)),
         i => text.substr(i, lit(k))))
 
-  /** Word n-gram shingles from a token array. */
+  /** Word n-gram shingles from a token array. Codegen'd imperative kernel
+    * (functions.WordShingles) — the equivalent HOF composition
+    * transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))
+    * evaluates its lambda interpreted per element and dominated corpus
+    * n-gram counting at sf0.1.
+    */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.word_shingles(toks, n)
 
   /** Full per-document stats frame (the `queries` surface). */
   def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
