@@ -229,17 +229,31 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
-    // §2.5 approximate aggregation: HLL distinct + quantile sketches
-    // (rows-only: sketch internals differ across engines; accuracy vs
-    // exact is asserted in a spec).
+    // §2.5 approximate aggregation: HLL distinct + quantile sketches.
+    // Oracle-checked via the exact side: the sketch values themselves are
+    // engine-internal, so the query emits the EXACT aggregates plus
+    // error-bound booleans (sketch within 5% of exact / 2% of exact
+    // quantile) — DuckDB reproduces the exact side and literal TRUEs. If
+    // a sketch regresses past its bound, the boolean flips and the
+    // driver's hash catches it.
     "q46_approx" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
-          .as("p99_price"))
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99a"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99e"))
+        .select(
+          col("n_parts"), col("n_orders"),
+          round(col("p50e"), 4).as("p50"), round(col("p99e"), 4).as("p99"),
+          (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_err_ok"),
+          (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.05).as("orders_err_ok"),
+          (abs(col("p50a") - col("p50e")) <= abs(col("p50e")) * 0.02).as("p50_err_ok"),
+          (abs(col("p99a") - col("p99e")) <= abs(col("p99e")) * 0.02).as("p99_err_ok"))
     }),
 
     // event-time tumbling window aggregation (batch form; the streaming
@@ -322,8 +336,14 @@ object SparkEntry {
       TextAnalysis.documentStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // MinHash-LSH near-dup candidate pairs (rows-only: LSH recall is
-    // hash-dependent; exact-jaccard verification inside).
+    // MinHash-LSH near-dup pairs, oracle-checked against the exact
+    // all-pairs word-trigram Jaccard: the pipeline's OUTPUT is the exact
+    // jaccard over candidates, so when LSH recall is 1.0 (it is at this
+    // threshold/banding — (128, 32) crosses 50% match probability at
+    // j~0.42, and every true pair sits at j>=0.5) the result set equals
+    // the exact computation. A recall regression would drop rows and fail
+    // the driver's row/hash check. Jaccard over 64-bit shingle hashes ==
+    // jaccard over string shingles modulo ~1e-19/pair collisions.
     "q43_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
@@ -415,23 +435,42 @@ object SparkEntry {
         dim = 64, threshold = 0.4, bits = 48, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // IVF ANN: index build + probe (rows-only: centroid training is
-    // graft-internal; recall asserted in SimilaritySpec).
+    // IVF ANN: index build + probe, oracle-checked via the exact side
+    // (VERDICT r1 #5): output = exact brute-force top-10 (DuckDB
+    // reproduces it) + a deterministic recall bound on the IVF probe
+    // (seeded centroids => fixed assignment; measured 0.8 at nprobe=4/8
+    // on sf0.01). An IVF regression flips the boolean -> hash mismatch.
     "q53_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
       val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
-      Similarity.ivfTopK(idx, "vec_id", "embedding", cents, q, 10, nprobe = 4)
+      val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", cents, q, 10, nprobe = 4)
+      val exact = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      val hits = exact.select("vec_id")
+        .join(ivf.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      exact.withColumn("ivf_recall_ok", lit(hits >= 7L))
+        .orderBy(desc("sim"), col("vec_id"))
     }),
 
-    // batch k-NN join: top-3 neighbors for every vector via LSH bucketing
-    // (rows-only: candidate set is hash-dependent; recall asserted in
-    // ScaleSpec with planted clusters).
+    // batch k-NN join via LSH bucketing, oracle-checked via the exact
+    // side: output = exact top-3 for a bounded query set (qid < 150 —
+    // fixed-size quadratic stage, same device as q45/q51) + a
+    // deterministic recall bound on the LSH candidates (seeded planes;
+    // measured 0.36 on sf0.01's near-uniform vectors, where LSH has no
+    // similarity gap to exploit — ScaleSpec shows recall 1.0 once real
+    // near-dup structure exists). Full-table LSH recall stays covered by
+    // ScaleSpec; a candidate-generation regression flips the boolean.
     "q54_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnJoin(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-        k = 3, dim = 64, bits = 48, bands = 8)
+      val queries = emb.filter(col("vec_id") < 150)
+      val lsh = Similarity.knnJoin(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, dim = 64, bits = 48, bands = 8)
+      val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+      val hits = exact.select("qid", "eid")
+        .join(lsh.select("qid", "eid"), Seq("qid", "eid"), "left_semi").count()
+      exact.withColumn("lsh_recall_ok", lit(hits >= 90L)) // 0.2 * 450
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -662,6 +701,49 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 500 AND b.vec_id < 500
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs word-trigram jaccard — the LSH pipeline's output
+    // equals this when recall holds (see the q43 query comment).
+    "q43_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_approx" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  TRUE AS parts_err_ok, TRUE AS orders_err_ok,
+        |  TRUE AS p50_err_ok, TRUE AS p99_err_ok
+        |FROM lineitem""".stripMargin,
+
+    "q53_ann_ivf" ->
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+        |  TRUE AS ivf_recall_ok
+        |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q54_knn_join" ->
+      """SELECT qid, rank, eid, sim, TRUE AS lsh_recall_ok FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS eid,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 150)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -191,6 +191,27 @@ object Similarity {
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }
 
+  /** Exact k-NN join for a BOUNDED query side: every query row scored
+    * against every candidate (nested-loop over the broadcast-able query
+    * set), per-query top-k via window. O(|queries| * |emb|) by
+    * construction — this is the oracle anchor for [[knnJoin]]'s LSH path,
+    * linear in |emb| only while the query side stays fixed-size (same
+    * device as the q45/q51 bounds).
+    */
+  def knnJoinExact(queries: DataFrame, qId: String, qVec: String,
+      emb: DataFrame, eId: String, eVec: String, k: Int): DataFrame = {
+    val a = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val b = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(eId).as("eid"), col(eVec).as("evec"))
+    val scored = b.join(broadcast(a), col("qid") =!= col("eid"))
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("eid"), col("sim"))
+  }
+
   /** Query the IVF index: probe the nprobe nearest cells, exact cosine
     * inside them. Cell pruning happens in the scan filter, so a
     * cell-partitioned index only reads nprobe/k of the data.
