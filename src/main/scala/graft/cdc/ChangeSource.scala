@@ -68,20 +68,64 @@ object ReplicatePipeline {
       connector: String, name: String): DataFrame =
     Envelope.toKafkaFrame(source.changes(spark), connector, name)
 
+  /** The reference target's producer tuning
+    * (`internal/integrations/kafka/repository.go:49-60`), expressed as the
+    * `kafka.`-prefixed options Spark's Kafka sink forwards to the
+    * producer. A first-class map so specs (and callers layering their own
+    * overrides — the reference lets URL query params override config,
+    * `repository.go:62-81`) see exactly what the sink gets.
+    */
+  def kafkaProducerOptions(brokers: String, topic: String,
+      overrides: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "topic" -> topic,
+      "kafka.acks" -> "1",
+      "kafka.retries" -> "3",
+      "kafka.batch.size" -> "16384",
+      "kafka.linger.ms" -> "5",
+      "kafka.compression.type" -> "snappy",
+      "kafka.max.in.flight.requests.per.connection" -> "5",
+      "kafka.request.timeout.ms" -> "5000",
+      "kafka.delivery.timeout.ms" -> "10000") ++
+      overrides.map { case (k, v) =>
+        (if (k.startsWith("kafka.") || k == "topic") k else s"kafka.$k") -> v
+      }
+
   /** Kafka sink writer (compiles offline; needs brokers to run). */
   def kafkaWriter(frame: DataFrame, brokers: String, topic: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String,
+      overrides: Map[String, String] = Map.empty): DataStreamWriter[Row] =
     frame.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("topic", topic)
-      .option("kafka.acks", "1")
-      .option("kafka.retries", "3")
-      .option("kafka.batch.size", "16384")
-      .option("kafka.linger.ms", "5")
-      .option("kafka.compression.type", "snappy")
-      .option("kafka.max.in.flight.requests.per.connection", "5")
+      .options(kafkaProducerOptions(brokers, topic, overrides))
       .option("checkpointLocation", checkpointDir)
+
+  /** Per-batch delivery-report seam. The reference surfaces async produce
+    * failures through a delivery-report loop that logs and counts them
+    * ("Add your retry logic, DLQ, or alerting here",
+    * `internal/integrations/kafka/repository.go:100-119`); Spark's sink
+    * fails the micro-batch instead, so the parity hook is per-batch:
+    * `onError` fires with (batchId, error) before the failure propagates,
+    * and the batch retries under the stream's at-least-once contract.
+    */
+  def startWithDeliveryReports(frame: DataFrame,
+      writeBatch: (DataFrame, Long) => Unit,
+      onError: (Long, Throwable) => Unit,
+      checkpointDir: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    frame.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        try writeBatch(df, batchId)
+        catch {
+          case e: Throwable =>
+            onError(batchId, e)
+            throw e // keep at-least-once: the batch must not be committed
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
 
   /** File sink used offline (same envelope frame, parquet instead of
     * Kafka) — lets tests and the archiver-to-lake path share wiring.

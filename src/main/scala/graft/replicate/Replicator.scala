@@ -14,10 +14,24 @@ class ReplicatorStats {
   val totalBatches = new AtomicLong(0)
   val checkpoints = new AtomicLong(0)
   val errors = new AtomicLong(0)
+  val writeErrors = new AtomicLong(0)
   val signalsReceived = new AtomicLong(0)
   val startedAtMs = new AtomicLong(0)
   val stoppedAtMs = new AtomicLong(0)
   val lastEventAtMs = new AtomicLong(0)
+  val lastError = new AtomicReference[String]("")
+
+  /** Target-side delivery-report hook (wire to
+    * [[graft.cdc.ReplicatePipeline.startWithDeliveryReports]]): counts
+    * write failures separately from query-level errors, like the
+    * reference's WriteErrorCount vs EventErrorCount
+    * (`pkg/replicator/stats.go`, fed at
+    * `internal/integrations/kafka/repository.go:106-109`).
+    */
+  def recordWriteError(batchId: Long, e: Throwable): Unit = {
+    writeErrors.incrementAndGet()
+    lastError.set(s"batch $batchId: ${e.getMessage}")
+  }
 
   /** Frozen at stop time — a stopped replicator's uptime must not keep
     * climbing.
@@ -43,7 +57,8 @@ class ReplicatorStats {
          |"last_event_at":"${iso(lastEventAtMs.get)}"}""".stripMargin.replace("\n", "")
     val tgt =
       s"""{"total_events":${totalEvents.get},"connection_healthy":$healthy,
-         |"write_error_count":${errors.get},
+         |"write_error_count":${writeErrors.get},
+         |"last_error":"${lastError.get.replace("\"", "'")}",
          |"last_write_at":"${iso(lastEventAtMs.get)}"}""".stripMargin.replace("\n", "")
     val repl =
       s"""{"started_at":"${iso(startedAtMs.get)}","uptime_seconds":${uptimeMs / 1000},
