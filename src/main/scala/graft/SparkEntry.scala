@@ -23,7 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     renders DuckDB decimals as float64 but Spark parquet decimals as
   *     java Decimal, so any trailing-zero decimal cell ("x.60" vs "x.6")
   *     hash-mismatches; identical float64 bits render identically.
-  *     NO DECIMAL COLUMN MAY REACH A DRIVER-FACING OUTPUT;
+  *     NO DECIMAL COLUMN MAY REACH A DRIVER-FACING OUTPUT.
+  *     Magnitude bound (ADVICE r2): "identical float64 bits" relies on
+  *     correctly-rounded decimal->double conversion on both sides. Spark
+  *     (BigDecimal.doubleValue) rounds correctly; DuckDB divides two
+  *     doubles ((double)unscaled / 10^scale), which can double-round 1 ulp
+  *     off once the unscaled value exceeds 2^53 (~9e15, i.e. sums beyond
+  *     ~9e13 at scale 2). Our sf0.1 sums sit below 1e10 — 4 orders of
+  *     margin; a query whose aggregate could cross 2^53 unscaled must
+  *     round to a fixed dp instead (as the cosine queries already do);
   *   - cosine similarities are computed in double in BOTH engines
   *     (DuckDB: `::DOUBLE[]` cast) and rounded to 6 dp;
   *   - every query ends in a total ORDER BY (deterministic row order and

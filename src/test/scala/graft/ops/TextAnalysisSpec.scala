@@ -70,6 +70,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s == Seq("ab"))
   }
 
+  test("wordShingles edges match the HOF semantics (ADVICE r2)") {
+    // fewer tokens than n -> ONE shingle of the whole array
+    val single = one("hello").select(
+      TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2)).head.getSeq[String](0)
+    assert(single == Seq("hello"))
+    // empty token array -> one empty shingle (concat_ws of nothing)
+    val empty = spark.sql("SELECT array()").select(
+      TextAnalysis.wordShingles(col("array()").cast("array<string>"), 3)).head.getSeq[String](0)
+    assert(empty == Seq(""))
+    // null tokens are skipped by the separator join (concat_ws semantics)
+    val withNulls = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+      .select(TextAnalysis.wordShingles(col("toks"), 2)).head.getSeq[String](0)
+    assert(withNulls == Seq("a", "b"))
+    // and the whole-array fallback also drops nulls
+    val nullsShort = spark.sql("SELECT array('a', CAST(NULL AS STRING)) AS toks")
+      .select(TextAnalysis.wordShingles(col("toks"), 3)).head.getSeq[String](0)
+    assert(nullsShort == Seq("a"))
+  }
+
   test("documentStats runs over the real documents table with sane ranges") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
     val stats = TextAnalysis.documentStats(docs, "doc_id", "text")

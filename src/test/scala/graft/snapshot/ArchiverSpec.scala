@@ -60,6 +60,33 @@ class ArchiverSpec extends AnyFunSuite {
     assert(catJson.contains("\"success\":true"))
   }
 
+  test("DATE and DECIMAL output types survive to collect() (ADVICE r2: " +
+    "q22 renders them as timestamp/double for driver parity, so this is " +
+    "where a date/decimal output regression gets caught)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val typed = spark.read.parquet(s"${SparkTestSession.sf0001}/orders.parquet")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
+        col("o_orderdate").cast(DateType).as("order_date"))
+    assert(typed.schema("price_dec").dataType == DecimalType(12, 2))
+    assert(typed.schema("order_date").dataType == DateType)
+    val rows = typed.orderBy("o_orderkey").limit(5).collect()
+    rows.foreach { r =>
+      assert(r.get(r.fieldIndex("price_dec")).isInstanceOf[java.math.BigDecimal])
+      assert(r.get(r.fieldIndex("order_date")).isInstanceOf[java.sql.Date])
+      assert(r.getAs[java.math.BigDecimal]("price_dec").scale == 2)
+    }
+    // and the typed columns round-trip through a parquet write (T2/T3
+    // conversions, internal/parquet/sql.go:33-49 -> Spark casts)
+    val dest = outDir
+    typed.write.parquet(s"$dest/typed")
+    val back = spark.read.parquet(s"$dest/typed")
+    assert(back.schema("price_dec").dataType == DecimalType(12, 2))
+    assert(back.schema("order_date").dataType == DateType)
+  }
+
   test("schema arity mismatch fails like RecordToParquetRow (schema.go:53-59)") {
     val df = spark.read.parquet(s"${SparkTestSession.sf0001}/region.parquet")
     val oneField = Seq(graft.schema.FieldSpec("r_regionkey", "INT64"))
