@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The Spark-side architecture here is real and tested — schema contracts,
-  * `mapPartitions` batch shape (decode cost amortized across a batch, no
-  * per-row JVM<->native churn), partition sizing — while the actual
-  * codec work is STUBBED (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic pseudo-pixels from the bytes, where a
-  * real deployment would call JavaCV/TwelveMonkeys/ffmpeg inside the same
-  * partition loop. Swap `decodeStub` for a real codec and nothing else
-  * changes — that seam is the point.
+  * IMAGE decode is REAL: payloads whose magic bytes identify a format the
+  * JDK's `javax.imageio` decodes natively (PNG/JPEG/BMP/GIF/WBMP) are
+  * decoded to pixels — true width/height metadata, grid-pooled luminance
+  * features, and a real resample path in [[resize]]. No external codec
+  * libraries are involved; the partition loop amortizes reader setup
+  * across the batch.
+  *
+  * Non-image payloads (audio/video containers, or the text-bytes test
+  * fixtures) fall through to `decodeStub`, a deterministic stand-in that
+  * keeps the pipeline total — a real deployment would hook
+  * ffmpeg/JavaCV into the same `mapPartitions` seam for those modalities.
   */
 object Multimodal {
 
@@ -33,9 +36,70 @@ object Multimodal {
     StructField("meta", metaType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
+  // ---------------------------------------------------------- real codec —
+
+  /** Container sniff by magic bytes (cheap; never touches a decoder). */
+  private[ops] def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = bytes(i) & 0xFF
+    if (bytes.length < 12) None
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("image/png")
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) Some("image/jpeg")
+    else if (at(0) == 'B' && at(1) == 'M') Some("image/bmp")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      Some("image/gif")
+    else None
+  }
+
+  /** Real image decode via the JDK's ImageIO: true dimensions in meta,
+    * features = g x g grid-pooled mean luminance in [0,1] (g^2 = dim) —
+    * the standard tiny-thumbnail embedding for near-dup screening.
+    */
+  private[ops] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Row, Array[Float])] =
+    sniffFormat(bytes).flatMap { fmt =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null } // truncated/corrupt payload
+      Option(img).map { im =>
+        val g = math.sqrt(dim).toInt
+        require(g * g == dim, s"image feature dim must be a perfect square, got $dim")
+        (Row(fmt, im.getWidth, im.getHeight, 1, bytes.length.toLong),
+          luminanceGrid(im, g))
+      }
+    }
+
+  private def luminanceGrid(im: java.awt.image.BufferedImage, g: Int): Array[Float] = {
+    val w = im.getWidth; val h = im.getHeight
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    val line = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, line, 0, w) // one bulk scanline, not per-pixel
+      val cy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val rgb = line(x)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        val c = cy * g + math.min(g - 1, x * g / w)
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(g * g)(c =>
+      if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+  }
+
+  /** Decode dispatch: real codec for images, deterministic stub otherwise. */
+  private[ops] def decode(bytes: Array[Byte], dim: Int): (Row, Array[Float]) =
+    decodeImage(bytes, dim).getOrElse(decodeStub(bytes, dim))
+
   // ---------------------------------------------------------------- STUB —
-  /** Deterministic fake decode: bytes -> (meta, "pixel" floats). A real
-    * implementation replaces ONLY this function with a codec call.
+  /** Deterministic fake decode for NON-IMAGE payloads (no audio/video
+    * codecs in the JDK): bytes -> (meta, pseudo-pixel floats). A real
+    * deployment replaces ONLY this function with an ffmpeg/JavaCV call.
     */
   private[ops] def decodeStub(bytes: Array[Byte], dim: Int): (Row, Array[Float]) = {
     // fake meta: pretend square RGB derived from payload size
@@ -69,7 +133,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row(r.get(idIdx), null, null)
         else {
-          val (meta, feats) = decodeStub(bytes, dim)
+          val (meta, feats) = decode(bytes, dim)
           Row(r.get(idIdx), meta, feats)
         }
       }
@@ -105,11 +169,12 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** "Resize": re-encode each blob to a target pixel budget. STUB: the
-    * deterministic stand-in scales the byte payload by the area ratio
-    * (a real impl decodes, resamples, re-encodes inside the same
-    * partition loop). The contract — per-row binary->binary with updated
-    * meta, batch shape preserved — is the real part.
+  /** Resize each blob to the target dimensions. Images take the REAL
+    * path: ImageIO decode -> bilinear Graphics2D resample -> PNG
+    * re-encode, with meta carrying the true output dims/bytes. Non-image
+    * payloads keep the deterministic byte-scaling stand-in so the
+    * pipeline stays total. Per-row binary->binary with updated meta,
+    * batch shape preserved.
     */
   def resize(df: DataFrame, idCol: String, binCol: String,
       targetW: Int, targetH: Int): DataFrame = {
@@ -124,21 +189,47 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row(r.get(idIdx), null, null)
-        else {
-          // meta depends only on length — no need to run the decode hash
-          val side = math.max(1, math.sqrt(bytes.length / 3.0).toInt)
-          val ratio = (targetW.toLong * targetH).toDouble /
-            math.max(1L, side.toLong * side)
-          // scales BOTH ways: downscale truncates, upscale zero-pads, so
-          // meta dims and payload size stay consistent
-          val newLen = math.max(1, (bytes.length * ratio).toInt)
-          val out = java.util.Arrays.copyOf(bytes, newLen)
-          Row(r.get(idIdx),
-            Row("stub/rgb", targetW, targetH, 1, out.length.toLong), out)
+        else resizeOne(bytes, targetW, targetH) match {
+          case Some(out) => Row(r.get(idIdx),
+            Row("image/png", targetW, targetH, 1, out.length.toLong), out)
+          case None =>
+            // non-image: deterministic byte-scale stand-in (no JDK codec)
+            val side = math.max(1, math.sqrt(bytes.length / 3.0).toInt)
+            val ratio = (targetW.toLong * targetH).toDouble /
+              math.max(1L, side.toLong * side)
+            // scales BOTH ways: downscale truncates, upscale zero-pads,
+            // so meta dims and payload size stay consistent
+            val newLen = math.max(1, (bytes.length * ratio).toInt)
+            val out = java.util.Arrays.copyOf(bytes, newLen)
+            Row(r.get(idIdx),
+              Row("stub/rgb", targetW, targetH, 1, out.length.toLong), out)
         }
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** Real resample + re-encode (PNG: lossless, always writable by the
+    * JDK); None for payloads ImageIO can't decode.
+    */
+  private[ops] def resizeOne(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    sniffFormat(bytes).flatMap { _ =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      Option(img).map { im =>
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = out.createGraphics()
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(im, 0, 0, targetW, targetH, null)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
 
   /** Typed metadata without decoding payloads (cheap catalog pass). */
   def describe(df: DataFrame, idCol: String, binCol: String): DataFrame =
