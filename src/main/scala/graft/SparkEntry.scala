@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -412,6 +412,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination (oracle-checked): training docs sharing
+    // >=1 distinct word 8-gram with the benchmark partition (doc_id%10==0
+    // stands in for the eval suite), with the shared-gram count. Gram
+    // hashes stand in for gram strings (same device as q43).
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      Decontamination.overlapReport(train, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash split (oracle-checked): train/val/test assignment
+    // as a pure function of the id — reproducible cross-engine from
+    // md5(id) alone, zero-shuffle at any scale.
+    "q56_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // brute-force cosine top-k (oracle-checked; query = vec_id 0).
     "q50_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -738,6 +759,28 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q55_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct([
+        |    array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)
+        |  ])) AS g
+        |  FROM toks WHERE len(toks) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT t.doc_id, count(*) AS n_shared
+        |FROM grams t JOIN bench b ON t.g = b.g
+        |WHERE t.doc_id % 10 <> 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q56_hash_split" ->
+      """SELECT doc_id, CASE
+        |  WHEN substring(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+        |  WHEN substring(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q46_approx" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard LLM-training-data hygiene
+  * pass: find (and drop) training documents that share word n-grams with
+  * an evaluation/benchmark set, so test data doesn't leak into training.
+  * The n-gram-overlap rule is the published methodology (GPT-3 appendix C
+  * uses 13-grams; PaLM/Llama report 8–10-gram variants); n is a knob
+  * here.
+  *
+  * 100 TB shape: both sides reduce to (id, 64-bit gram hash) — the
+  * codegen'd `word_shingle_hashes` kernel, no gram strings materialized.
+  * The benchmark gram set is deduped and broadcast (eval suites are
+  * orders of magnitude smaller than the corpus), so the scan side never
+  * shuffles: explode -> broadcast-hash-join -> partial-aggregated count
+  * per doc. Gram-hash equality stands in for string equality at ~1e-19
+  * collision odds per pair.
+  */
+object Decontamination {
+
+  /** (id?, gram-hash) pairs: distinct word n-gram hashes per document.
+    * Documents with fewer than n tokens carry no n-gram (the whole-array
+    * fallback shingle would fake one) — they cannot be contaminated.
+    */
+  private def gramHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .withColumn("g", explode(array_distinct(
+        graft.functions.word_shingle_hashes(col("__toks"), n))))
+      .drop("__toks")
+  }
+
+  /** Per-training-doc count of distinct n-grams shared with ANY benchmark
+    * document: (trainId, n_shared), only contaminated docs returned.
+    */
+  def overlapReport(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    val tg = gramHashes(train.select(col(trainId).as("doc_id"), col(trainText)),
+      trainText, n).select(col("doc_id"), col("g"))
+    val bg = gramHashes(bench.select(col(benchText)), benchText, n)
+      .select(col("g")).distinct()
+    // per-(doc, g) rows are unique on both sides -> count(*) == distinct
+    tg.join(broadcast(bg), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Drop training docs sharing >= minShared n-grams with the benchmark
+    * set (anti-join on the flagged ids only — the corpus never shuffles).
+    */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    val flagged = overlapReport(train, trainId, trainText, bench, benchText, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id").as(trainId))
+    train.join(flagged, Seq(trainId), "left_anti")
+  }
+}

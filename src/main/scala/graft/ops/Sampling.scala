@@ -23,6 +23,33 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashScore(col(idCol)) < fraction)
 
+  /** Deterministic named splits (train/val/test): each row lands in the
+    * split whose cumulative-weight interval contains its id hash. Pure
+    * function of the id — identical across engines, runs, retries, and
+    * cluster sizes, and map-only (zero shuffle at any scale). The
+    * comparison runs on the md5 HEX PREFIX against precomputed hex
+    * bounds, so an external system (or the DuckDB oracle) reproduces
+    * assignments with nothing but `md5(id)`: split k gets
+    * [floor(cum_{k-1} * 2^32), floor(cum_k * 2^32)) of the first 8 hex
+    * chars.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val hex = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.floor(c * 4294967296.0).toLong.min(0xFFFFFFFFL)}%08x")
+    val chain = splits.init.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), bound)) =>
+        val cond = hex < lit(bound)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    val assigned = chain.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Stratified top-k: per stratum, the k rows with the smallest hash
     * score (ties broken by id). One shuffle on the stratum keys; balanced
     * output regardless of stratum skew — the standard way to cap a
