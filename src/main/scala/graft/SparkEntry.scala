@@ -412,6 +412,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher/MassiveText quality rules (oracle-checked): the published
+    // per-document gates (Rae et al. 2021 A1.1) as one map-only pass.
+    "q57_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination (oracle-checked): training docs sharing
     // >=1 distinct word 8-gram with the benchmark partition (doc_id%10==0
     // stands in for the eval suite), with the shared-gram count. Gram
@@ -759,6 +765,37 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q57_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE
+        |    END AS mean_word_len_raw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      ((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks)::DOUBLE
+        |    END AS symbol_word_ratio_raw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks)::DOUBLE
+        |    END AS alpha_word_ratio_raw,
+        |    len(list_intersect(toks,
+        |      ['the','be','to','of','and','that','have','with']))::BIGINT AS stopword_types
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len_raw, 4) AS mean_word_len,
+        |  round(symbol_word_ratio_raw, 4) AS symbol_word_ratio,
+        |  round(alpha_word_ratio_raw, 4) AS alpha_word_ratio,
+        |  stopword_types,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len_raw BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio_raw <= 0.1 AND alpha_word_ratio_raw >= 0.8
+        |   AND stopword_types >= 2) AS passes_gopher
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q55_decontaminate" ->
       """WITH toks AS (

@@ -131,6 +131,56 @@ object TextAnalysis {
   def wordShingles(toks: Column, n: Int): Column =
     graft.functions.word_shingles(toks, n)
 
+  // ------------------------------------------------- Gopher quality gate —
+
+  /** The Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1 — published heuristics):
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of words contain
+    * an alphabetic character, and >= 2 distinct Gopher stopwords present.
+    * All pure column expressions (map-only; the alpha-word filter is the
+    * one interpreted HOF lambda — acceptable for a gate that runs once
+    * per corpus pass).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val n = size(toks)
+    val nd = n.cast("double")
+    // total non-whitespace chars / word count (no per-token HOF needed)
+    val meanLen = when(n === 0, 0.0).otherwise(
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nd)
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCount =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(n === 0, 0.0)
+      .otherwise((hashCount + ellipsisCount).cast("double") / nd)
+    val alphaRatio = when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nd)
+    val stopTypes = size(array_intersect(toks,
+      array(gopherStopwords.map(lit): _*)))
+    docs.select(
+      col(idCol),
+      n.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_word_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopTypes.cast("long").as("stopword_types"),
+      (n.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && alphaRatio >= 0.8 && stopTypes >= 2)
+        .as("passes_gopher"))
+  }
+
+  /** Keep only documents passing the Gopher rules. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      gopherStats(docs, idCol, textCol)
+        .filter(col("passes_gopher")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Full per-document stats frame (the `queries` surface). */
   def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)

@@ -89,6 +89,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nullsShort == Seq("a"))
   }
 
+  test("gopher rules: published gates admit prose, reject degenerate docs") {
+    val prose = ("the data and the model that we have built with care " * 6).trim // 66 words
+    val docs = Seq(
+      (1L, prose),                                  // passes all five gates
+      (2L, "short doc of the and that"),            // < 50 words
+      (3L, ("## ### #### " * 20 + prose)),          // symbol ratio > 0.1
+      (4L, ("a b c d e f g h i j " * 6) + "the of") // mean word len < 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("passes_gopher"))
+    assert(got(1L).getAs[Long]("n_words") == 66L)
+    assert(got(1L).getAs[Long]("stopword_types") >= 4) // the/and/that/have/with
+    assert(got(1L).getAs[Double]("alpha_word_ratio") == 1.0)
+    assert(!got(2L).getAs[Boolean]("passes_gopher"))
+    assert(!got(3L).getAs[Boolean]("passes_gopher"))
+    assert(got(3L).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(!got(4L).getAs[Boolean]("passes_gopher"))
+
+    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("documentStats runs over the real documents table with sane ranges") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
     val stats = TextAnalysis.documentStats(docs, "doc_id", "text")
