@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Decontamination, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -70,6 +70,22 @@ object ScaleCheck {
     // extra pairs are real vocabulary collisions, not false positives
     println(f"DEDUP> docs=${docs.count()} planted=${planted.size} found=${found.size} " +
       f"recall=$recall%.4f time=${tDedup}%.1f s")
+
+    // ---- 1b. Decontamination on the same 210k docs --------------------
+    // benchmark = the 10k planted near-dup partners (ids >= nDocs): every
+    // base doc with a planted partner shares 8-grams with the benchmark,
+    // so expected flags = the 10k planted partners' sources.
+    val bench = docs.filter(col("doc_id") >= nDocs)
+    val train = docs.filter(col("doc_id") < nDocs)
+    val (contaminated, tDecon) = time {
+      Decontamination.overlapReport(train, "doc_id", "text", bench, "text", n = 8)
+        .collect()
+    }
+    val flagged = contaminated.map(_.getLong(0)).toSet
+    val expected = (0L until nDocs by 20).toSet
+    val deconRecall = expected.intersect(flagged).size.toDouble / expected.size
+    println(f"DECON> train=${nDocs} bench=10000 flagged=${flagged.size} " +
+      f"recall=$deconRecall%.4f time=${tDecon}%.1f s")
 
     // ---- 2. IVF vs brute force on 50k x 64-dim vectors ----------------
     val emb = embeddings(spark, 50000L, 64).cache()
