@@ -412,6 +412,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // within-document repetition rate (oracle-checked): duplicate word
+    // bigram fraction per doc — the Gopher repetition-family signal.
+    "q58_repetition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (size(toks) - 1).cast(LongType).as("n_bigrams"),
+        round(TextAnalysis.repetitionRatio(toks, 2), 4).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher/MassiveText quality rules (oracle-checked): the published
     // per-document gates (Rae et al. 2021 A1.1) as one map-only pass.
     "q57_gopher_rules" -> ((s, dir) =>
@@ -765,6 +776,17 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (len(toks) - 1)::BIGINT AS n_bigrams,
+        |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        |    round(1.0 - len(list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]))::DOUBLE
+        |      / (len(toks) - 1)::DOUBLE, 4) END AS dup_bigram_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q57_gopher_rules" ->
       """WITH t AS (

@@ -174,6 +174,19 @@ object TextAnalysis {
         .as("passes_gopher"))
   }
 
+  /** Within-document repetition: fraction of duplicate word n-grams
+    * (Gopher A1.1's repetition family). Free on top of the codegen'd
+    * shingle kernel — `word_shingle_hashes` already emits DISTINCT
+    * hashes, so the ratio is 1 - distinct/total windows. 0 for docs too
+    * short to carry an n-gram.
+    */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val windows = size(toks) - (n - 1)
+    when(windows <= 0, 0.0).otherwise(
+      lit(1.0) - size(graft.functions.word_shingle_hashes(toks, n))
+        .cast("double") / windows.cast("double"))
+  }
+
   /** Keep only documents passing the Gopher rules. */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(

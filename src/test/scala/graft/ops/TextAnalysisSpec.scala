@@ -113,6 +113,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("repetitionRatio: duplicate n-gram fraction, short-doc guard") {
+    val df = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab,ba,ab,ba,ab -> 2 distinct of 5
+      (2L, "one two three four"), // all distinct
+      (3L, "word")                // too short for a bigram
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      round(TextAnalysis.repetitionRatio(TextAnalysis.tokens(col("text")), 2), 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.6)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
   test("documentStats runs over the real documents table with sane ranges") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
     val stats = TextAnalysis.documentStats(docs, "doc_id", "text")
