@@ -92,9 +92,60 @@ object Multimodal {
       if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
   }
 
-  /** Decode dispatch: real codec for images, deterministic stub otherwise. */
+  /** Real audio decode for WAV/AIFF via the JDK's javax.sound.sampled:
+    * meta carries (sample rate -> width, channels -> height, PCM frame
+    * count -> n_frames) — the image-field reuse is documented here rather
+    * than widening the struct per modality — and features are `dim`
+    * RMS-energy windows over the normalized 16-bit PCM stream (the
+    * standard cheap audio embedding for silence/activity screening).
+    */
+  private[ops] def decodeAudio(bytes: Array[Byte], dim: Int): Option[(Row, Array[Float])] = {
+    def magic(a: Int, b: Int, c: Int, d: Int) = bytes.length > 12 &&
+      bytes(0) == a.toByte && bytes(1) == b.toByte &&
+      bytes(2) == c.toByte && bytes(3) == d.toByte
+    val isWav = magic('R', 'I', 'F', 'F')
+    val isAiff = magic('F', 'O', 'R', 'M')
+    if (!isWav && !isAiff) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val data = in.readAllBytes()
+        val n = data.length / frameSize
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        val bigEndian = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          // first channel, 16-bit PCM sample -> [-1, 1]
+          val off = i * frameSize
+          val s =
+            if (bigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+          val v = s / 32768.0
+          val w = math.min(dim - 1, (i.toLong * dim / math.max(1, n)).toInt)
+          sums(w) += v * v; counts(w) += 1
+          i += 1
+        }
+        val feats = Array.tabulate(dim)(w =>
+          if (counts(w) == 0) 0f else math.sqrt(sums(w) / counts(w)).toFloat)
+        val mime = if (isWav) "audio/wav" else "audio/aiff"
+        Some((Row(mime, fmt.getSampleRate.toInt, fmt.getChannels,
+          frames.toInt, bytes.length.toLong), feats))
+      } finally in.close()
+    } catch { case _: Exception => None } // unsupported encoding/corrupt
+  }
+
+  /** Decode dispatch: real codecs first (image, then audio),
+    * deterministic stub for everything else.
+    */
   private[ops] def decode(bytes: Array[Byte], dim: Int): (Row, Array[Float]) =
-    decodeImage(bytes, dim).getOrElse(decodeStub(bytes, dim))
+    decodeImage(bytes, dim)
+      .orElse(decodeAudio(bytes, dim))
+      .getOrElse(decodeStub(bytes, dim))
 
   // ---------------------------------------------------------------- STUB —
   /** Deterministic fake decode for NON-IMAGE payloads (no audio/video

@@ -191,6 +191,19 @@ object Similarity {
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }
 
+  /** Persist the IVF index partitioned BY CELL: repeated queries then
+    * read only the probed cells — [[ivfTopK]]'s `cell IN (probes)` filter
+    * becomes a partition filter, pruned at file-listing time, so each
+    * query scans nprobe/k of the data no matter the corpus size. This is
+    * the index lifecycle for the repeated-query workload (build once,
+    * probe many).
+    */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Exact k-NN join for a BOUNDED query side: every query row scored
     * against every candidate (nested-loop over the broadcast-able query
     * set), per-query top-k via window. O(|queries| * |emb|) by

@@ -41,6 +41,17 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with watermark-bounded state: each key's
+    * fingerprint lives in the state store only until the watermark passes
+    * it (`dropDuplicatesWithinWatermark`), so state stays proportional to
+    * the watermark window, not the stream's lifetime — the streaming form
+    * of `Dedup.exactKeepFirst` for continuous ingest pipelines.
+    */
+  def streamingDedup(rows: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

@@ -138,6 +138,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lum(0) < lum(8) && lum(8) < lum(15))
   }
 
+  test("real audio decode: WAV meta + RMS features separate silence from tone") {
+    // 8 kHz mono 16-bit PCM, 1 s: first half silence, second half 440 Hz
+    val rate = 8000
+    val pcm = new Array[Byte](rate * 2)
+    for (i <- rate / 2 until rate) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toShort
+      pcm(i * 2) = (s & 0xFF).toByte          // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, rate.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val df = Seq((1L, wav)).toDF("doc_id", "content")
+    val r = Multimodal.extractFeatures(df, "doc_id", "content", dim = 16).head
+    val meta = r.getStruct(1)
+    assert(meta.getString(0) == "audio/wav")
+    assert(meta.getInt(1) == 8000)    // sample rate rides the width field
+    assert(meta.getInt(2) == 1)       // channels ride the height field
+    assert(meta.getInt(3) == 8000)    // PCM frames
+    val feats = r.getSeq[Float](2)
+    assert(feats.take(8).forall(_ < 0.01f), "first half is silence")
+    // sine RMS = amplitude/sqrt(2) ~ 0.43 at 20000/32768
+    assert(feats.drop(8).forall(f => f > 0.35f && f < 0.5f), "second half is tone")
+  }
+
   test("features feed directly into the similarity ops (integration seam)") {
     val feats = Multimodal.extractFeatures(blobs, "doc_id", "content", dim = 16)
       .select(col("id").as("vec_id"), col("features").as("embedding"))

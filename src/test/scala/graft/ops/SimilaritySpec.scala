@@ -57,6 +57,33 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("persisted IVF index: probes prune PARTITIONS and match the in-memory path") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/index"
+    Similarity.writeIndex(idx, path)
+
+    // cell is a partition column on disk
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "index must be laid out one directory per cell")
+
+    val onDisk = Similarity.readIndex(spark, path)
+    val probed = Similarity.ivfTopK(onDisk, "vec_id", "embedding", cents,
+      queryVec, 10, nprobe = 4)
+    // the cell IN (...) filter must reach the scan as a PARTITION filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell probe did not become a partition filter:\n${plan.take(600)}")
+
+    val fromDisk = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = Similarity.ivfTopK(idx, "vec_id", "embedding", cents,
+      queryVec, 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk == inMem, "persisted index must answer identically")
+  }
+
   test("distributed centroid training converges like the sampled version") {
     val cents = Similarity.trainCentroidsDistributed(emb, "embedding", k = 8, iters = 3)
     assert(cents.length == 8 && cents.head.length == 64)

@@ -72,4 +72,35 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(u2.length == 1 && u2.head.getLong(3) == 1)
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-watermark duplicates, state stays bounded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = StreamOps.streamingDedup(input.toDF(), Seq("user_id", "event_type"),
+      "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(1), 1, "click", 2.0),  // dup key within watermark
+        EventRow(3, ts(2), 2, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(EventRow(4, ts(3), 1, "click", 4.0)) // still a dup
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_out").head.getLong(0) == 2)
+
+      // once the watermark passes the old key's window, the SAME key is
+      // new again — exactly the bounded-state semantics
+      input.addData(EventRow(5, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "x", 0.0))
+      q.processAllAvailable() // advance watermark far past 10:xx
+      input.addData(EventRow(6, Timestamp.valueOf("2024-01-01 12:01:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      val users = spark.sql(
+        "SELECT user_id, count(*) FROM dedup_out GROUP BY 1 ORDER BY 1").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(users(1L) == 2, "re-arrival after watermark expiry is a new row")
+      assert(users(2L) == 1 && users(9L) == 1)
+    } finally q.stop()
+  }
 }
