@@ -531,6 +531,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // REAL image decode under the correctness gate: deterministic 4x4
+    // grayscale BMPs (pixel = (doc_id*31 + cell)*7 mod 256) are encoded
+    // and decoded through the JDK codec; with one pixel per grid cell the
+    // luminance features ARE the pixel values, so the oracle reproduces
+    // them by plain arithmetic. 4-dp rounding absorbs the float cast.
+    "q59_multimodal_decode" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val imgs = Multimodal.patternImages(ids, "doc_id", side = 4)
+      Multimodal.extractFeatures(imgs, "id", "content", dim = 16)
+        .select(col("id").as("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"),
+          round(element_at(col("features"), 6).cast(DoubleType), 4).as("f5"),
+          round(element_at(col("features"), 16).cast(DoubleType), 4).as("f15"))
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing: binary blobs -> stub-decoded features (rows-only).
     "q60_multimodal_features" -> ((s, dir) => {
       val blobs = t(s, dir, "documents")
@@ -776,6 +795,18 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_multimodal_decode" ->
+      """SELECT doc_id, 'image/bmp' AS format, 4 AS width, 4 AS height,
+        |  round(CAST((0.299*v0 + 0.587*v0 + 0.114*v0) / 255.0 AS FLOAT4)::DOUBLE, 4) AS f0,
+        |  round(CAST((0.299*v5 + 0.587*v5 + 0.114*v5) / 255.0 AS FLOAT4)::DOUBLE, 4) AS f5,
+        |  round(CAST((0.299*v15 + 0.587*v15 + 0.114*v15) / 255.0 AS FLOAT4)::DOUBLE, 4) AS f15
+        |FROM (SELECT doc_id,
+        |        CAST((doc_id*31 + 0) * 7 % 256 AS DOUBLE) AS v0,
+        |        CAST((doc_id*31 + 5) * 7 % 256 AS DOUBLE) AS v5,
+        |        CAST((doc_id*31 + 15) * 7 % 256 AS DOUBLE) AS v15
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_repetition" ->
       """WITH t AS (

@@ -282,6 +282,50 @@ object Multimodal {
       }
     }
 
+  /** Deterministic grayscale test-pattern BMP (side x side, pixel value =
+    * (seed*31 + y*side + x) * 7 mod 256) — generated through the JDK's
+    * own encoder, so decoding it exercises the REAL codec path end-to-end
+    * with output reproducible by plain arithmetic (the q59 oracle).
+    */
+  def patternBmp(seed: Long, side: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val v = (((seed * 31 + y * side + x) * 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** (id, content=patternBmp(id)) frame — the synthetic image corpus for
+    * driving the real decoder under the correctness gate.
+    */
+  def patternImages(ids: DataFrame, idCol: String, side: Int): DataFrame = {
+    val idType = ids.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("content", BinaryType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        Row(r.get(idIdx), patternBmp(seed, side))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Typed metadata without decoding payloads (cheap catalog pass). */
   def describe(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(col(idCol),
