@@ -33,6 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, numPerm) - MinHash signature array"),
+      (es: Seq[Expression]) =>
+        MinHashSignature(es(0), functions.intArg(es(1), "minhash_sig", "numPerm"))))
+    e.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes",
+        "word_shingle_hashes(tokens, n) - distinct 64-bit n-gram shingle hashes"),
+      (es: Seq[Expression]) =>
+        WordShingleHashes(es(0), functions.intArg(es(1), "word_shingle_hashes", "n"))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) - n-gram shingle strings"),
+      (es: Seq[Expression]) =>
+        WordShingles(es(0), functions.intArg(es(1), "word_shingles", "n"))))
+    e.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig",
+        "hyperplane_sig(vec, dim, bits, seed) - packed LSH sign bits"),
+      (es: Seq[Expression]) => HyperplaneSignature(es(0),
+        functions.intArg(es(1), "hyperplane_sig", "dim"),
+        functions.intArg(es(2), "hyperplane_sig", "bits"),
+        functions.longArg(es(3), "hyperplane_sig", "seed"))))
+    e.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(vec) - element-wise sum aggregate over vectors"),
+      (es: Seq[Expression]) => VectorSum(es.head).toAggregateExpression()))
   }
 }
 

@@ -57,11 +57,44 @@ package object functions {
   def vec_sum(vec: Column): Column =
     toColumn(VectorSum(exprOf(vec)).toAggregateExpression())
 
-  /** Register the custom expressions for SQL use. */
+  /** Constant-folded integer argument (n/bits/seed parameters come into
+    * SQL as literals).
+    */
+  private[graft] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private[graft] def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Register ALL custom expressions for SQL use (same surface the
+    * GraftExtensions config-time injection provides).
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSignature(es(0), intArg(es(1), "minhash_sig", "numPerm")), "built-in")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      es => WordShingleHashes(es(0), intArg(es(1), "word_shingle_hashes", "n")), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), intArg(es(1), "word_shingles", "n")), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      es => HyperplaneSignature(es(0), intArg(es(1), "hyperplane_sig", "dim"),
+        intArg(es(2), "hyperplane_sig", "bits"),
+        longArg(es(3), "hyperplane_sig", "seed")), "built-in")
+    reg.createOrReplaceTempFunction("vec_sum",
+      es => VectorSum(es.head).toAggregateExpression(), "built-in")
   }
 }

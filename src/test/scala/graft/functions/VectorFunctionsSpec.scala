@@ -1,6 +1,49 @@
 package graft.functions
 
 import graft.SparkTestSession
+import org.scalatest.funsuite.{AnyFunSuite => SqlSuite}
+
+/** The pure-SQL surface: every custom expression callable from
+  * `spark.sql` after `registerAll` (same set GraftExtensions injects at
+  * config time).
+  */
+class SqlRegistrationSpec extends SqlSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("all kernels are callable from SQL with literal parameters") {
+    graft.functions.registerAll(spark)
+    spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .limit(50).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT vec_id,
+        |  vec_dot(embedding, embedding) AS d,
+        |  vec_cosine(embedding, embedding) AS c,
+        |  hyperplane_sig(embedding, 64, 16, 42) AS sig
+        |FROM emb_sql ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r.forall(row => math.abs(row.getDouble(2) - 1.0) < 1e-6))
+    assert(r.forall(row => row.getDouble(1) > 0.0))
+
+    val txt = spark.sql(
+      """SELECT simhash64(array('a','b','c')) AS sh,
+        |  minhash_sig(array('x','y'), 8) AS mh,
+        |  word_shingles(array('a','b','c'), 2) AS ws,
+        |  word_shingle_hashes(array('a','b','c'), 2) AS wh""".stripMargin).head
+    assert(txt.getSeq[Long](1).length == 8)
+    assert(txt.getSeq[String](2) == Seq("a b", "b c"))
+    assert(txt.getSeq[Long](3).length == 2)
+
+    val agg = spark.sql(
+      "SELECT vec_sum(embedding) AS s FROM emb_sql").head.getSeq[Double](0)
+    assert(agg.length == 64)
+
+    // non-literal parameter is rejected with a clear message
+    val ex = intercept[Exception](
+      spark.sql("SELECT word_shingles(array('a'), vec_id) FROM emb_sql").collect())
+    assert(ex.getMessage.contains("integer literal") ||
+      Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
