@@ -88,19 +88,32 @@ object PgOutput {
 
   // --------------------------------------------------------------- decode
 
+  /** Strict-bounds reader: every read checks the buffer first. Without
+    * this, `Arrays.copyOfRange` would ZERO-PAD past the end of a
+    * truncated frame and a cut-off tuple value would decode silently
+    * with fabricated bytes — truncation must be an error, not data.
+    */
   private final class Reader(buf: Array[Byte]) {
     private var pos = 0
-    def u8(): Int = { val v = buf(pos) & 0xFF; pos += 1; v }
+    private def need(n: Int): Unit =
+      if (pos + n > buf.length || n < 0)
+        throw new IllegalArgumentException(
+          s"truncated pgoutput message: need $n bytes at offset $pos of ${buf.length}")
+    def u8(): Int = { need(1); val v = buf(pos) & 0xFF; pos += 1; v }
     def i16(): Int = (u8() << 8) | u8()
     def i32(): Int = (i16() << 16) | i16()
     def i64(): Long = ((i32().toLong & 0xFFFFFFFFL) << 32) | (i32().toLong & 0xFFFFFFFFL)
-    def byte(): Byte = { val v = buf(pos); pos += 1; v }
+    def byte(): Byte = { need(1); val v = buf(pos); pos += 1; v }
     def bytes(n: Int): Array[Byte] = {
+      need(n)
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
     def cstring(): String = {
       val start = pos
-      while (buf(pos) != 0) pos += 1
+      while (pos < buf.length && buf(pos) != 0) pos += 1
+      if (pos >= buf.length)
+        throw new IllegalArgumentException(
+          s"truncated pgoutput message: unterminated string at offset $start")
       val s = new String(buf, start, pos - start, StandardCharsets.UTF_8)
       pos += 1 // NUL
       s
