@@ -125,7 +125,19 @@ object WalClients {
 class CdcMicroBatchStream(options: Map[String, String]) extends MicroBatchStream {
   private val driverClient = WalClients.instantiate(options)
 
-  override def initialOffset(): Offset = LsnOffset(0L)
+  /** First-start position (only consulted when no checkpoint exists —
+    * afterwards the offset log wins, SURVEY ST3/ST6):
+    * `earliest` (default) replays the full WAL the client can serve;
+    * `latest` = new data only, the reference's no-checkpoint behavior
+    * (`pg_current_wal_lsn()`, `pkg/postgres/source.go:597-621`); or an
+    * explicit LSN number.
+    */
+  override def initialOffset(): Offset =
+    options.getOrElse("start.position", "earliest") match {
+      case "earliest" => LsnOffset(0L)
+      case "latest" => LsnOffset(driverClient.latest())
+      case lsn => LsnOffset(java.lang.Long.parseLong(lsn))
+    }
   override def latestOffset(): Offset = LsnOffset(driverClient.latest())
   override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

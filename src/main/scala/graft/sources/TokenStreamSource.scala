@@ -117,7 +117,18 @@ object TokenStreamClients {
 class TokenMicroBatchStream(options: Map[String, String]) extends MicroBatchStream {
   private val client = TokenStreamClients.instantiate(options)
 
-  override def initialOffset(): Offset = TokenOffset("")
+  /** First-start position (no-checkpoint case only): `earliest` (default)
+    * replays the whole log the client can serve; `latest` = new events
+    * only — a live change stream's natural behavior (`collection.Watch`
+    * with no resume token delivers from now, `pkg/mongo/source.go:71-87`).
+    */
+  override def initialOffset(): Offset =
+    options.getOrElse("start.position", "earliest") match {
+      case "earliest" => TokenOffset("")
+      case "latest" => TokenOffset(client.latestToken().getOrElse(""))
+      case other => throw new IllegalArgumentException(
+        s"start.position must be earliest|latest for token streams, got $other")
+    }
   override def latestOffset(): Offset =
     TokenOffset(client.latestToken().getOrElse(""))
   override def deserializeOffset(json: String): Offset = TokenOffset(json)

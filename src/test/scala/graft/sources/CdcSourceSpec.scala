@@ -100,6 +100,34 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("start.position=latest delivers new data only (no-checkpoint " +
+    "reference behavior, source.go:597-621)") {
+    val walId = "wal-latest"
+    InMemoryWal.clear(walId)
+    (1 to 5).foreach(i => InMemoryWal.append(walId, rec(i, "c", i)))
+
+    val out = Files.createTempDirectory("cdc-out4").toString
+    val ckpt = Files.createTempDirectory("cdc-ckpt4").toString
+    val q = spark.readStream
+      .format("graft.sources.CdcSourceProvider")
+      .option("wal.client", "graft.sources.InMemoryWalClient")
+      .option("wal.id", walId)
+      .option("start.position", "latest")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 0, "history must be skipped")
+      (6 to 8).foreach(i => InMemoryWal.append(walId, rec(i, "u", i)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3, "only post-start records delivered")
+      assert(rows.select("lsn").collect().map(_.getLong(0)).toSet == Set(6L, 7L, 8L))
+    } finally q.stop()
+  }
+
   test("missing options fail the query with a clear message") {
     val q = spark.readStream.format("graft.sources.CdcSourceProvider")
       .option("wal.client", "graft.sources.InMemoryWalClient")
