@@ -109,6 +109,57 @@ object Cli {
         println(s"""{"table":"property_sales","records":$n,"out":"$out"}""")
       } finally spark.stop()
 
+    // training-data pipeline verbs: corpus in (parquet dir + table), corpus
+    // out, JSON audit line on stdout — the operational form of ops/*.
+    case "curate" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"curate: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val gated =
+          if (flags.getOrElse("gopher", "false") == "true")
+            graft.ops.TextAnalysis.gopherFilter(docs, idCol, textCol)
+          else graft.ops.Curation.qualityFilter(docs, textCol,
+            flags.getOrElse("min-tokens", "20").toInt,
+            flags.getOrElse("max-tokens", "5000").toInt,
+            flags.getOrElse("max-punct", "0.2").toDouble)
+        val deduped = graft.ops.Dedup.exactKeepFirst(gated, Seq(textCol), idCol)
+        val cleaned = flags.get("bench") match {
+          case Some(benchPath) =>
+            val bench = spark.read.parquet(benchPath)
+            graft.ops.Decontamination.decontaminate(deduped, idCol, textCol,
+              bench, textCol, n = flags.getOrElse("ngram", "8").toInt)
+          case None => deduped
+        }
+        val out = req("out")
+        cleaned.write.mode("overwrite").parquet(out)
+        println(s"""{"in":${docs.count()},"kept":${spark.read.parquet(out).count()},"out":"$out"}""")
+      } finally spark.stop()
+
+    case "dedup" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"dedup: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val kept = flags.getOrElse("mode", "exact") match {
+          case "exact" => graft.ops.Dedup.exactKeepFirst(docs, Seq(textCol), idCol)
+          case "minhash" => graft.ops.Dedup.minhashDedup(docs, idCol, textCol,
+            threshold = flags.getOrElse("threshold", "0.8").toDouble)
+          case other => sys.error(s"dedup: unknown --mode $other (exact|minhash)")
+        }
+        val out = req("out")
+        kept.write.mode("overwrite").parquet(out)
+        println(s"""{"in":${docs.count()},"kept":${spark.read.parquet(out).count()},"out":"$out"}""")
+      } finally spark.stop()
+
     case "schema-generate" :: rest =>
       val flags = parseFlags(rest)
       val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
@@ -133,7 +184,10 @@ object Cli {
            |  snapshot -c <config.yml> [--id ID]
            |  replicate --source <dir> --target <dir> --id <ID> --checkpoint <dir> [--port N] [--once]
            |  schema-generate --ddl "CREATE TABLE ..."
-           |  fixtures --records N --out <dir>""".stripMargin)
+           |  fixtures --records N --out <dir>
+           |  curate --in <sfdir> --table documents --out <dir>
+           |         [--gopher true] [--bench <parquet>] [--ngram 8]
+           |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash]""".stripMargin)
       sys.exit(2)
   }
 }
