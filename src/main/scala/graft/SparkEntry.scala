@@ -450,6 +450,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // sequence packing (oracle-checked): docs in id order concatenated
+    // and cut into ~512-token packs via a DISTRIBUTED prefix sum (per-
+    // range-partition running sums + broadcast offsets — no global
+    // single-partition window).
+    "q61_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      Curation.packSequential(docs, "doc_id", "n_tokens", budget = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // brute-force cosine top-k (oracle-checked; query = vec_id 0).
     "q50_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -795,6 +807,15 @@ object SparkEntry {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q61_sequence_packing" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id,
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))::BIGINT AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q59_multimodal_decode" ->
       """SELECT doc_id, 'image/bmp' AS format, 4 AS width, 4 AS height,

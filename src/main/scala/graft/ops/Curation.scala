@@ -19,6 +19,51 @@ object Curation {
     */
   case class CurationAudit(input: Long, afterFilter: Long, afterDedup: Long)
 
+  /** Sequence packing for training batches: documents in `orderCol` order
+    * are conceptually concatenated and cut into packs of ~`budget` tokens
+    * (pack = floor(exclusive running token total / budget) — the standard
+    * concat-then-chunk policy; a doc may straddle a boundary, which the
+    * token-level chunker downstream resolves).
+    *
+    * The running total is a DISTRIBUTED prefix sum: range-partition by
+    * the order column, per-partition running sums via a partition-local
+    * window, then per-partition subtotals (one tiny row each) are
+    * collected and rebroadcast as offsets. No global single-partition
+    * window — the classic scalable prefix-sum shape, deterministic and
+    * independent of the partition count.
+    */
+  def packSequential(docs: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val parts = docs
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    // tiny: one row per partition
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol)).as("__psum"))
+      .collect()
+      .sortBy(_.getInt(0))
+    var running = 0L
+    val offsetByPid = offsets.map { r =>
+      val pid = r.getInt(0)
+      val here = running
+      running += r.getLong(1)
+      pid -> here
+    }.toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { (acc, r) =>
+      when(col("__pid") === r.getInt(0), lit(offsetByPid(r.getInt(0)))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parts
+      .withColumn("__cum_excl",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + offsetExpr)
+      .withColumn("pack_id", floor(col("__cum_excl") / budget).cast("long"))
+      .drop("__pid", "__cum_excl")
+  }
+
   /** Rule-based quality gate: token count in [minTokens, maxTokens],
     * punctuation ratio <= maxPunct. (The score-based gate is
     * `TextAnalysis.qualityScore`; this variant is cross-engine exact.)

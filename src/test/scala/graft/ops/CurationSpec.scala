@@ -38,4 +38,43 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.curate(docs, "doc_id", "text")
     assert(out.count() > 0)
   }
+
+  test("packSequential: distributed prefix sum matches the serial reference " +
+    "and is independent of partition count") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val budget = 512L
+
+    // serial reference: driver-side cumulative sum in id order
+    val serial = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val expected = serial.map { case (id, n) =>
+      val pack = cum / budget
+      cum += n
+      id -> pack
+    }.toMap
+
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Curation.packSequential(
+        docs.repartition(parts), "doc_id", "n_tokens", budget)
+        .select("doc_id", "pack_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+
+    // packs are contiguous in id order and sized ~budget: every non-final
+    // pack's token total crosses the budget only via its last (straddling)
+    // doc
+    val packed = Curation.packSequential(docs, "doc_id", "n_tokens", budget)
+      .groupBy("pack_id").agg(sum("n_tokens").as("total"))
+      .orderBy("pack_id").collect()
+    val maxDoc = serial.map(_._2).max
+    packed.dropRight(1).foreach { r =>
+      assert(r.getLong(1) >= budget - maxDoc && r.getLong(1) <= budget + maxDoc,
+        s"pack ${r.getLong(0)} total ${r.getLong(1)} out of range")
+    }
+  }
 }
