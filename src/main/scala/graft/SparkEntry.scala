@@ -792,12 +792,16 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact all-pairs word-trigram jaccard — the LSH pipeline's output
-    // equals this when recall holds (see the q43 query comment).
+    // equals this when recall holds (see the q43 query comment). The CASE
+    // models the kernel's short-doc fallback (fewer tokens than n -> ONE
+    // whole-array shingle), same as the q49 oracle — without it, two
+    // identical sub-3-token docs would pair in Spark but not here.
     "q43_dedup_minhash" ->
       """WITH sh AS (
-        |  SELECT doc_id, list_distinct([
-        |    array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
-        |  ]) AS grams
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |        FROM documents))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -849,7 +853,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    len(toks)::BIGINT AS n_words,
         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |      length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE
+        |      length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(toks)::DOUBLE
         |    END AS mean_word_len_raw,
         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
         |      ((length(text) - length(replace(text, '#', ''))) +

@@ -35,10 +35,17 @@ object Curation {
   def packSequential(docs: DataFrame, orderCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // persist PINS the range partitioning: the offsets job and the output
+    // job must see the SAME partition boundaries, and repartitionByRange
+    // re-samples its boundaries per job when recomputed (reservoir seed
+    // varies with the RDD id) — without the pin, a boundary row can move
+    // between jobs and shift every subsequent pack assignment
     val parts = docs
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .persist()
+    parts.count() // materialize under the pin before deriving offsets
     // tiny: one row per partition
     val offsets = parts.groupBy(col("__pid"))
       .agg(sum(col(tokenCol)).as("__psum"))
@@ -48,7 +55,7 @@ object Curation {
     val offsetByPid = offsets.map { r =>
       val pid = r.getInt(0)
       val here = running
-      running += r.getLong(1)
+      running += (if (r.isNullAt(1)) 0L else r.getLong(1)) // all-null partition
       pid -> here
     }.toMap
     val offsetExpr = offsets.foldLeft(lit(0L)) { (acc, r) =>

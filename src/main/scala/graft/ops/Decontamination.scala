@@ -28,8 +28,9 @@ object Decontamination {
     val toks = TextAnalysis.tokens(col(textCol))
     df.withColumn("__toks", toks)
       .filter(size(col("__toks")) >= n)
-      .withColumn("g", explode(array_distinct(
-        graft.functions.word_shingle_hashes(col("__toks"), n))))
+      // the kernel already emits DISTINCT hashes — no extra dedup pass
+      .withColumn("g", explode(
+        graft.functions.word_shingle_hashes(col("__toks"), n)))
       .drop("__toks")
   }
 

@@ -150,9 +150,12 @@ object TextAnalysis {
     val toks = tokens(text)
     val n = size(toks)
     val nd = n.cast("double")
-    // total non-whitespace chars / word count (no per-token HOF needed)
+    // mean WORD length = letter chars / word count (punctuation and
+    // digits excluded, per the rule's intent — counting all non-ws chars
+    // would inflate punctuation-heavy docs past the [3,10] gate); still
+    // no per-token HOF, one regex strip over the doc
     val meanLen = when(n === 0, 0.0).otherwise(
-      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nd)
+      length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / nd)
     val hashCount = length(text) - length(regexp_replace(text, "#", ""))
     val ellipsisCount =
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3

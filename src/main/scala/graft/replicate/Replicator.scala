@@ -30,8 +30,20 @@ class ReplicatorStats {
     */
   def recordWriteError(batchId: Long, e: Throwable): Unit = {
     writeErrors.incrementAndGet()
-    lastError.set(s"batch $batchId: ${e.getMessage}")
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    lastError.set(s"batch $batchId: $msg")
   }
+
+  /** JSON string escape — exception messages carry quotes/backslashes/
+    * control chars that would otherwise corrupt the stats payload.
+    */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Frozen at stop time — a stopped replicator's uptime must not keep
     * climbing.
@@ -58,7 +70,7 @@ class ReplicatorStats {
     val tgt =
       s"""{"total_events":${totalEvents.get},"connection_healthy":$healthy,
          |"write_error_count":${writeErrors.get},
-         |"last_error":"${lastError.get.replace("\"", "'")}",
+         |"last_error":"${jsonEscape(lastError.get)}",
          |"last_write_at":"${iso(lastEventAtMs.get)}"}""".stripMargin.replace("\n", "")
     val repl =
       s"""{"started_at":"${iso(startedAtMs.get)}","uptime_seconds":${uptimeMs / 1000},

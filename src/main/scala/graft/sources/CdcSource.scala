@@ -39,6 +39,11 @@ trait WalClient {
   def configure(options: Map[String, String]): Unit
   def latest(): Long
   def read(fromExclusive: Long, toInclusive: Long): Iterator[WalRecord]
+  /** Batch-commit hook: everything at or below `upToInclusive` is in the
+    * offset log and will never be re-read — clients holding a decode
+    * buffer trim it here (default no-op for stateless/test clients).
+    */
+  def commit(upToInclusive: Long): Unit = ()
 }
 
 /** Offline test double: a process-wide WAL keyed by `wal.id`, appendable
@@ -136,11 +141,16 @@ class CdcMicroBatchStream(options: Map[String, String]) extends MicroBatchStream
     options.getOrElse("start.position", "earliest") match {
       case "earliest" => LsnOffset(0L)
       case "latest" => LsnOffset(driverClient.latest())
+      // explicit LSN: PG's native X/X hex form (what formatLsn and the
+      // reference's checkpoints print) or a plain decimal
+      case lsn if lsn.contains('/') => LsnOffset(PgOutput.parseLsn(lsn))
       case lsn => LsnOffset(java.lang.Long.parseLong(lsn))
     }
   override def latestOffset(): Offset = LsnOffset(driverClient.latest())
   override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  // committed batches can never be re-read: let buffering clients trim
+  override def commit(end: Offset): Unit =
+    driverClient.commit(end.asInstanceOf[LsnOffset].lsn)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

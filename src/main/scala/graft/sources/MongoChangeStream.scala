@@ -133,15 +133,29 @@ class ChangeStreamTokenClient extends TokenStreamClient {
 
   override def readAfter(fromExclusive: Option[String],
       toInclusive: String): Iterator[WalRecord] = {
-    val evs = state.events
-    val fromIdx = fromExclusive
-      .map(t => evs.indexWhere(_.resumeToken == t) + 1).getOrElse(0)
-    val toIdx = evs.indexWhere(_.resumeToken == toInclusive)
-    if (toIdx < 0) Iterator.empty
-    else evs.slice(fromIdx, toIdx + 1).iterator.map { ev =>
+    // under the state lock: partition-reader threads race the driver's
+    // latestToken() appends otherwise (ArrayBuffer has no happens-before)
+    val snapshot = state.synchronized {
+      val evs = state.events
+      val fromIdx = fromExclusive
+        .map(t => evs.indexWhere(_.resumeToken == t) + 1).getOrElse(0)
+      val toIdx = evs.indexWhere(_.resumeToken == toInclusive)
+      if (toIdx < 0) Vector.empty
+      else evs.slice(fromIdx, toIdx + 1).toVector
+    }
+    snapshot.iterator.map { ev =>
       WalRecord(0L, ev.db, "", ev.coll, ev.op, ev.clusterTimeMillis,
         ev.before, ev.after, 0L)
     }
+  }
+
+  /** Committed events are never re-read — trim through the token so the
+    * buffer is bounded by the uncommitted window. (The token itself must
+    * stay: readAfter resolves `fromExclusive` by finding it.)
+    */
+  override def commitToken(token: String): Unit = state.synchronized {
+    val idx = state.events.indexWhere(_.resumeToken == token)
+    if (idx > 0) state.events.remove(0, idx)
   }
 }
 

@@ -189,6 +189,13 @@ class PgOutputWalClient extends WalClient {
           ch.commitTimeMillis, ch.before, ch.after, ch.xid)
       }
   }
+
+  /** Committed batches are never re-read — drop their decoded changes so
+    * the buffer stays bounded by the uncommitted window, not the stream's
+    * lifetime.
+    */
+  override def commit(upToInclusive: Long): Unit =
+    state.buffer.headMap(upToInclusive, true).clear()
 }
 
 /** Process-wide transport + stream-state registries (local-mode executors

@@ -31,6 +31,11 @@ trait TokenStreamClient {
     * to and including `toInclusive`.
     */
   def readAfter(fromExclusive: Option[String], toInclusive: String): Iterator[WalRecord]
+  /** Batch-commit hook: events up to and including `token` are in the
+    * offset log and will never be re-read — buffering clients trim here
+    * (default no-op for stateless/test clients).
+    */
+  def commitToken(token: String): Unit = ()
 }
 
 class InMemoryTokenClient extends TokenStreamClient {
@@ -132,7 +137,10 @@ class TokenMicroBatchStream(options: Map[String, String]) extends MicroBatchStre
   override def latestOffset(): Offset =
     TokenOffset(client.latestToken().getOrElse(""))
   override def deserializeOffset(json: String): Offset = TokenOffset(json)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val t = end.asInstanceOf[TokenOffset].token
+    if (t.nonEmpty) client.commitToken(t)
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

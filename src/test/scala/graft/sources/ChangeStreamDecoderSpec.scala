@@ -84,6 +84,16 @@ class ChangeStreamDecoderSpec extends AnyFunSuite {
 
     val q = start()
     try q.processAllAvailable() finally q.stop()
+    // commit trims the buffer down to the resume token itself (Spark may
+    // defer the final commit callback, so exercise the contract directly)
+    locally {
+      val client = new ChangeStreamTokenClient
+      client.configure(Map("stream.cursor.id" -> cid))
+      client.commitToken("T3")
+      val left = ChangeStreamRegistry.state(cid).events
+      assert(left.size == 1 && left.head.resumeToken == "T3",
+        s"buffer should keep only the committed token, got ${left.map(_.resumeToken)}")
+    }
     val rows = spark.read.parquet(out).orderBy("ts_ms", "op").collect()
     assert(rows.length == 3)
     assert(rows.map(_.getAs[String]("op")).sorted.toSeq == Seq("c", "d", "u"))

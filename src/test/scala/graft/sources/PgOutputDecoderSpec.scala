@@ -331,5 +331,15 @@ class PgOutputDecoderSpec extends AnyFunSuite {
       assert(del.getAs[Long]("lsn") == 200L && del.getAs[Long]("txId") == 8L)
       assert(del.getAs[Map[String, String]]("after") == null)
     } finally q.stop()
+    // commit trims the decode buffer (Spark may defer the final commit
+    // callback past processAllAvailable, so exercise the contract
+    // directly: committed LSNs are never re-read and must be dropped)
+    val client = new PgOutputWalClient
+    client.configure(Map("pg.transport.id" -> tid, "pg.database" -> "appdb"))
+    client.commit(100L)
+    assert(!PgStreams.state(tid).buffer.containsKey(100L), "lsn 100 trimmed")
+    client.commit(200L)
+    assert(PgStreams.state(tid).buffer.isEmpty,
+      "buffer bounded by the uncommitted window")
   }
 }
