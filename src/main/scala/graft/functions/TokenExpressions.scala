@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token-counting kernels: membership/regex counts over a token array in
+  * one imperative JVM pass. These replace `size(filter(toks, lambda))`
+  * compositions, whose lambdas evaluate through Catalyst's INTERPRETED
+  * per-element HOF path — the same cost class that dominated corpus
+  * n-gram counting before the shingle kernels (q49, round 1). Sets and
+  * compiled regexes are memoized per JVM keyed by their definition, so
+  * the plan tree stays small.
+  */
+object TokenSets {
+  val Sep = '\u0001'
+
+  private val sets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[UTF8String]]()
+  private val regexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  private def set(key: String): java.util.HashSet[UTF8String] =
+    sets.computeIfAbsent(key, { k =>
+      val s = new java.util.HashSet[UTF8String]()
+      k.split(Sep).foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    })
+
+  private def pattern(regex: String): java.util.regex.Pattern =
+    regexes.computeIfAbsent(regex, java.util.regex.Pattern.compile(_))
+
+  /** Tokens present in the set — counting multiplicity (== the
+    * `size(filter(toks, t => array_contains(set, t)))` composition).
+    */
+  def countIn(tokens: ArrayData, key: String): Int = {
+    val s = set(key)
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && s.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** DISTINCT tokens present in the set (== `size(array_intersect(toks,
+    * set))`).
+    */
+  def countDistinctIn(tokens: ArrayData, key: String): Int = {
+    val s = set(key)
+    val seen = new java.util.HashSet[UTF8String]()
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (s.contains(t) && seen.add(t)) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Tokens matching the regex, unanchored-find semantics (== the
+    * `size(filter(toks, t => t.rlike(regex)))` composition).
+    */
+  def countMatching(tokens: ArrayData, regex: String): Int = {
+    val p = pattern(regex)
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) &&
+        p.matcher(tokens.getUTF8String(i).toString).find()) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+sealed trait TokenCountExpression extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${t.simpleString}")
+  }
+}
+
+case class CountInSet(child: Expression, words: Seq[String],
+    distinct: Boolean = false) extends TokenCountExpression {
+  require(words.nonEmpty && words.forall(w => w != null && !w.contains(TokenSets.Sep)),
+    "word set must be non-empty, null-free and separator-free")
+  private val key = words.mkString(TokenSets.Sep.toString)
+  override def prettyName: String = if (distinct) "count_distinct_in_set" else "count_in_set"
+
+  override protected def nullSafeEval(v: Any): Any =
+    if (distinct) TokenSets.countDistinctIn(v.asInstanceOf[ArrayData], key)
+    else TokenSets.countIn(v.asInstanceOf[ArrayData], key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("tokenSetKey", key, "java.lang.String")
+    val fn = if (distinct) "countDistinctIn" else "countIn"
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSets.$fn($c, $keyRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CountMatching(child: Expression, regex: String)
+    extends TokenCountExpression {
+  require(regex != null && regex.nonEmpty, "regex must be non-empty")
+  override def prettyName: String = "count_matching"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokenSets.countMatching(v.asInstanceOf[ArrayData], regex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val regexRef = ctx.addReferenceObj("tokenRegex", regex, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSets.countMatching($c, $regexRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

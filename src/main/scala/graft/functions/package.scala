@@ -57,6 +57,18 @@ package object functions {
   def vec_sum(vec: Column): Column =
     toColumn(VectorSum(exprOf(vec)).toAggregateExpression())
 
+  /** Tokens present in a fixed word set — multiplicity-counting by
+    * default, distinct token types with `distinct = true`. One codegen'd
+    * pass; replaces interpreted `filter`/`array_intersect` HOF forms.
+    */
+  def count_in_set(tokens: Column, words: Seq[String],
+      distinct: Boolean = false): Column =
+    toColumn(CountInSet(exprOf(tokens), words, distinct))
+
+  /** Tokens matching a regex (unanchored find), one codegen'd pass. */
+  def count_matching(tokens: Column, regex: String): Column =
+    toColumn(CountMatching(exprOf(tokens), regex))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */

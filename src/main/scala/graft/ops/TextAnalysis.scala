@@ -42,15 +42,12 @@ object TextAnalysis {
 
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    val stops = array(stopwords.map(lit): _*)
+    // multiplicity-counting membership via the codegen'd kernel (the
+    // filter/array_contains HOF form runs interpreted per element)
     when(size(toks) === 0, 0.0).otherwise(
-      size(array_intersect_count(toks, stops)).cast("double") / size(toks).cast("double"))
+      graft.functions.count_in_set(toks, stopwords).cast("double") /
+        size(toks).cast("double"))
   }
-
-  // array_intersect drops duplicates, which would undercount stopword
-  // occurrences; filter keeps multiplicity.
-  private def array_intersect_count(toks: Column, stops: Column): Column =
-    filter(toks, t => array_contains(stops, t))
 
   /** Mean token length in characters (0 for empty). */
   def meanTokenLen(text: Column): Column = {
@@ -91,10 +88,9 @@ object TextAnalysis {
   def langScores(text: Column): Column = {
     val toks = tokens(text)
     val entries = langProfiles.map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
       struct(
         (when(size(toks) === 0, 0.0).otherwise(
-          size(filter(toks, t => array_contains(m, t))).cast("double") /
+          graft.functions.count_in_set(toks, markers).cast("double") /
             size(toks).cast("double"))).as("score"),
         lit(lang).as("lang"))
     }
@@ -138,9 +134,9 @@ object TextAnalysis {
     * word count in [50, 100k], mean word length in [3, 10],
     * symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of words contain
     * an alphabetic character, and >= 2 distinct Gopher stopwords present.
-    * All pure column expressions (map-only; the alpha-word filter is the
-    * one interpreted HOF lambda — acceptable for a gate that runs once
-    * per corpus pass).
+    * All pure column expressions, map-only; the per-token counts run
+    * through the codegen'd TokenSets kernels (no interpreted HOF lambdas
+    * in the gate).
     */
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -162,9 +158,9 @@ object TextAnalysis {
     val symbolRatio = when(n === 0, 0.0)
       .otherwise((hashCount + ellipsisCount).cast("double") / nd)
     val alphaRatio = when(n === 0, 0.0).otherwise(
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nd)
-    val stopTypes = size(array_intersect(toks,
-      array(gopherStopwords.map(lit): _*)))
+      graft.functions.count_matching(toks, "[a-z]").cast("double") / nd)
+    val stopTypes = graft.functions.count_in_set(toks, gopherStopwords,
+      distinct = true)
     docs.select(
       col(idCol),
       n.cast("long").as("n_words"),

@@ -113,6 +113,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("token-count kernels match their HOF equivalents") {
+    val df = spark.sql(
+      "SELECT array('the','cat','the','dog', CAST(NULL AS STRING), 'a1') AS toks")
+    val r = df.select(
+      graft.functions.count_in_set(col("toks"), Seq("the", "a", "dog")).as("multi"),
+      graft.functions.count_in_set(col("toks"), Seq("the", "a", "dog"),
+        distinct = true).as("types"),
+      graft.functions.count_matching(col("toks"), "[0-9]").as("with_digit"),
+      // HOF reference forms
+      size(filter(col("toks"), t =>
+        array_contains(array(lit("the"), lit("a"), lit("dog")), t))).as("multi_hof"),
+      size(array_intersect(col("toks"),
+        array(lit("the"), lit("a"), lit("dog")))).as("types_hof"),
+      size(filter(col("toks"), t => t.rlike("[0-9]"))).as("digit_hof")).head
+    assert(r.getInt(0) == 3 && r.getInt(0) == r.getInt(3)) // the,the,dog
+    assert(r.getInt(1) == 2 && r.getInt(1) == r.getInt(4)) // {the,dog}
+    assert(r.getInt(2) == 1 && r.getInt(2) == r.getInt(5)) // a1
+    // null array -> null result
+    val n = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS toks")
+      .select(graft.functions.count_in_set(col("toks"), Seq("x"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("repetitionRatio: duplicate n-gram fraction, short-doc guard") {
     val df = Seq(
       (1L, "a b a b a b"),        // bigrams: ab,ba,ab,ba,ab -> 2 distinct of 5
