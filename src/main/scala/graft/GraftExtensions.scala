@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_sum"),
       info("vec_sum", "vec_sum(vec) - element-wise sum aggregate over vectors"),
       (es: Seq[Expression]) => VectorSum(es.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("count_in_set"),
+      info("count_in_set",
+        "count_in_set(tokens, words[, distinct]) - tokens present in the word set"),
+      (es: Seq[Expression]) =>
+        CountInSet(es(0), functions.stringArrayArg(es(1), "count_in_set", "words"),
+          distinct = es.length > 2 && es(2).eval(null) == true)))
+    e.injectFunction((FunctionIdentifier("count_matching"),
+      info("count_matching",
+        "count_matching(tokens, regex) - tokens matching the regex"),
+      (es: Seq[Expression]) =>
+        CountMatching(es(0), functions.stringArg(es(1), "count_matching", "regex"))))
   }
 }
 

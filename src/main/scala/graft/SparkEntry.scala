@@ -731,12 +731,14 @@ object SparkEntry {
         |    / len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))::DOUBLE, 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // CASE models the kernel's short-doc fallback (one whole-array
+    // shingle when fewer tokens than n) — same device as q43/q49.
     "q45_ngram_jaccard" ->
       """WITH sh AS (
-        |  SELECT doc_id, list_distinct([
-        |    array_to_string(toks[i:i+2], ' ')
-        |    FOR i IN range(1, len(toks) - 1)
-        |  ]) AS grams
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |        FROM documents WHERE doc_id < 100))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -853,14 +855,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    len(toks)::BIGINT AS n_words,
         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |      length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(toks)::DOUBLE
+        |      length(regexp_replace(text, '[^\p{L}]', '', 'g'))::DOUBLE / len(toks)::DOUBLE
         |    END AS mean_word_len_raw,
         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
         |      ((length(text) - length(replace(text, '#', ''))) +
         |       (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks)::DOUBLE
         |    END AS symbol_word_ratio_raw,
         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |      len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks)::DOUBLE
+        |      len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))::DOUBLE / len(toks)::DOUBLE
         |    END AS alpha_word_ratio_raw,
         |    len(list_intersect(toks,
         |      ['the','be','to','of','and','that','have','with']))::BIGINT AS stopword_types

@@ -95,8 +95,12 @@ sealed trait TokenCountExpression extends UnaryExpression {
 
 case class CountInSet(child: Expression, words: Seq[String],
     distinct: Boolean = false) extends TokenCountExpression {
-  require(words.nonEmpty && words.forall(w => w != null && !w.contains(TokenSets.Sep)),
-    "word set must be non-empty, null-free and separator-free")
+  // empty words are rejected because the joined-key round trip drops
+  // trailing empty segments (String.split), which would silently diverge
+  // from the HOF-equivalent semantics
+  require(words.nonEmpty &&
+    words.forall(w => w != null && w.nonEmpty && !w.contains(TokenSets.Sep)),
+    "word set must be non-empty, with non-empty separator-free words")
   private val key = words.mkString(TokenSets.Sep.toString)
   override def prettyName: String = if (distinct) "count_distinct_in_set" else "count_in_set"
 

@@ -88,6 +88,32 @@ package object functions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  /** Constant-folded string-array argument (word sets arrive from SQL as
+    * `array('a','b',...)`, folded to an array literal).
+    */
+  private[graft] def stringArrayArg(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        a: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+      (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.forall(_.foldable) =>
+      children.map(c => Option(c.eval(null)).map(_.toString).orNull)
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string-array literal, got $other")
+  }
+
+  private[graft] def stringArg(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
   /** Register ALL custom expressions for SQL use (same surface the
     * GraftExtensions config-time injection provides).
     */
@@ -108,5 +134,10 @@ package object functions {
         longArg(es(3), "hyperplane_sig", "seed")), "built-in")
     reg.createOrReplaceTempFunction("vec_sum",
       es => VectorSum(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("count_in_set",
+      es => CountInSet(es(0), stringArrayArg(es(1), "count_in_set", "words"),
+        distinct = es.length > 2 && es(2).eval(null) == true), "built-in")
+    reg.createOrReplaceTempFunction("count_matching",
+      es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex")), "built-in")
   }
 }

@@ -35,17 +35,19 @@ object Curation {
   def packSequential(docs: DataFrame, orderCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    // persist PINS the range partitioning: the offsets job and the output
-    // job must see the SAME partition boundaries, and repartitionByRange
-    // re-samples its boundaries per job when recomputed (reservoir seed
-    // varies with the RDD id) — without the pin, a boundary row can move
-    // between jobs and shift every subsequent pack assignment
+    // localCheckpoint PINS the range partitioning: the offsets job and
+    // the output job must see the SAME partition boundaries, and
+    // repartitionByRange re-samples its boundaries when recomputed —
+    // without the pin, a boundary row can move between jobs and shift
+    // every subsequent pack assignment. Checkpoint over persist(): the
+    // truncated lineage CANNOT re-sample, and the blocks are released by
+    // the ContextCleaner once the returned frame is unreferenced (a
+    // bare persist would leak one pinned copy per call).
     val parts = docs
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
-    parts.count() // materialize under the pin before deriving offsets
+      .localCheckpoint(eager = true)
     // tiny: one row per partition
     val offsets = parts.groupBy(col("__pid"))
       .agg(sum(col(tokenCol)).as("__psum"))

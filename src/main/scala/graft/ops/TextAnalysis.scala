@@ -148,17 +148,18 @@ object TextAnalysis {
     val nd = n.cast("double")
     // mean WORD length = letter chars / word count (punctuation and
     // digits excluded, per the rule's intent — counting all non-ws chars
-    // would inflate punctuation-heavy docs past the [3,10] gate); still
-    // no per-token HOF, one regex strip over the doc
+    // would inflate punctuation-heavy docs past the [3,10] gate).
+    // \p{L}, not [a-z]: an ASCII-only class would zero the metric for
+    // every non-Latin-script document and hard-fail the gate on them.
     val meanLen = when(n === 0, 0.0).otherwise(
-      length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / nd)
+      length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / nd)
     val hashCount = length(text) - length(regexp_replace(text, "#", ""))
     val ellipsisCount =
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val symbolRatio = when(n === 0, 0.0)
       .otherwise((hashCount + ellipsisCount).cast("double") / nd)
     val alphaRatio = when(n === 0, 0.0).otherwise(
-      graft.functions.count_matching(toks, "[a-z]").cast("double") / nd)
+      graft.functions.count_matching(toks, "\\p{L}").cast("double") / nd)
     val stopTypes = graft.functions.count_in_set(toks, gopherStopwords,
       distinct = true)
     docs.select(

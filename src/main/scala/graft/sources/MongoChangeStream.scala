@@ -137,8 +137,14 @@ class ChangeStreamTokenClient extends TokenStreamClient {
     // latestToken() appends otherwise (ArrayBuffer has no happens-before)
     val snapshot = state.synchronized {
       val evs = state.events
-      val fromIdx = fromExclusive
-        .map(t => evs.indexWhere(_.resumeToken == t) + 1).getOrElse(0)
+      val fromIdx = fromExclusive.map { t =>
+        val i = evs.indexWhere(_.resumeToken == t)
+        // a token older than the trim head must fail fast — falling back
+        // to the buffer start would silently duplicate/omit records
+        if (i < 0) throw new IllegalStateException(
+          s"resume token $t not in the stream buffer (trimmed past it?)")
+        i + 1
+      }.getOrElse(0)
       val toIdx = evs.indexWhere(_.resumeToken == toInclusive)
       if (toIdx < 0) Vector.empty
       else evs.slice(fromIdx, toIdx + 1).toVector

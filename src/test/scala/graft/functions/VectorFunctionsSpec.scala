@@ -37,6 +37,12 @@ class SqlRegistrationSpec extends SqlSuite {
       "SELECT vec_sum(embedding) AS s FROM emb_sql").head.getSeq[Double](0)
     assert(agg.length == 64)
 
+    val tk = spark.sql(
+      """SELECT count_in_set(array('a','b','a'), array('a','c')) AS multi,
+        |  count_in_set(array('a','b','a'), array('a','c'), true) AS types,
+        |  count_matching(array('x1','yy'), '[0-9]') AS digits""".stripMargin).head
+    assert(tk.getInt(0) == 2 && tk.getInt(1) == 1 && tk.getInt(2) == 1)
+
     // non-literal parameter is rejected with a clear message
     val ex = intercept[Exception](
       spark.sql("SELECT word_shingles(array('a'), vec_id) FROM emb_sql").collect())
