@@ -35,6 +35,15 @@ object Curation {
   def packSequential(docs: DataFrame, orderCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // fail fast on a non-integral token column: the offset collection
+    // below reads longs, and silently truncating a double/decimal token
+    // count would corrupt every pack boundary
+    docs.schema(tokenCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"packSequential needs an integral token column; '$tokenCol' is ${other.simpleString}")
+    }
     // localCheckpoint PINS the range partitioning: the offsets job and
     // the output job must see the SAME partition boundaries, and
     // repartitionByRange re-samples its boundaries when recomputed —
@@ -50,27 +59,33 @@ object Curation {
       .localCheckpoint(eager = true)
     // tiny: one row per partition
     val offsets = parts.groupBy(col("__pid"))
-      .agg(sum(col(tokenCol)).as("__psum"))
+      .agg(sum(col(tokenCol)).cast("long").as("__psum"))
       .collect()
       .sortBy(_.getInt(0))
     var running = 0L
-    val offsetByPid = offsets.map { r =>
+    val offsetRows = offsets.map { r =>
       val pid = r.getInt(0)
       val here = running
       running += (if (r.isNullAt(1)) 0L else r.getLong(1)) // all-null partition
-      pid -> here
-    }.toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { (acc, r) =>
-      when(col("__pid") === r.getInt(0), lit(offsetByPid(r.getInt(0)))).otherwise(acc)
+      (pid, here)
     }
+    // (pid, offset) as a broadcast-joined frame, NOT a chained when()
+    // expression: the expression form is O(P)-deep — at thousands of range
+    // partitions it defeats codegen and risks analyzer stack overflow; a
+    // broadcast hash join on __pid is O(1)-deep at any partition count
+    val session = docs.sparkSession
+    import session.implicits._
+    val offsetsDf = broadcast(
+      offsetRows.toSeq.toDF("__pid", "__offset"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     parts
+      .join(offsetsDf, Seq("__pid"))
       .withColumn("__cum_excl",
-        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + offsetExpr)
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + col("__offset"))
       .withColumn("pack_id", floor(col("__cum_excl") / budget).cast("long"))
-      .drop("__pid", "__cum_excl")
+      .drop("__pid", "__offset", "__cum_excl")
   }
 
   /** Rule-based quality gate: token count in [minTokens, maxTokens],

@@ -146,8 +146,12 @@ class ChangeStreamTokenClient extends TokenStreamClient {
         i + 1
       }.getOrElse(0)
       val toIdx = evs.indexWhere(_.resumeToken == toInclusive)
-      if (toIdx < 0) Vector.empty
-      else evs.slice(fromIdx, toIdx + 1).toVector
+      // same fail-fast as fromExclusive: a planned batch end that is no
+      // longer in the buffer means registry/state loss — an empty batch
+      // here would mask silent data loss
+      if (toIdx < 0) throw new IllegalStateException(
+        s"batch-end token $toInclusive not in the stream buffer (state lost?)")
+      evs.slice(fromIdx, toIdx + 1).toVector
     }
     snapshot.iterator.map { ev =>
       WalRecord(0L, ev.db, "", ev.coll, ev.op, ev.clusterTimeMillis,

@@ -95,8 +95,11 @@ object PgOutput {
     */
   private final class Reader(buf: Array[Byte]) {
     private var pos = 0
+    // overflow-safe form: `pos + n > buf.length` wraps negative for n near
+    // Int.MaxValue and would bypass the guard (surfacing later as a
+    // confusing copyOfRange error instead of the truncation message)
     private def need(n: Int): Unit =
-      if (pos + n > buf.length || n < 0)
+      if (n < 0 || n > buf.length - pos)
         throw new IllegalArgumentException(
           s"truncated pgoutput message: need $n bytes at offset $pos of ${buf.length}")
     def u8(): Int = { need(1); val v = buf(pos) & 0xFF; pos += 1; v }

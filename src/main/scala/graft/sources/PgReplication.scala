@@ -72,6 +72,20 @@ class PgOutputSession(transport: ReplicationTransport,
   private var txCommitTimeMillis = 0L
   private var currentLsnVar = 0L
   private var lastHeartbeatAt = clock()
+  @volatile private var durableLsnVar = 0L
+
+  /** The engine's durably-committed LSN (the micro-batch offset log).
+    * Once set, standby status updates ack flush/apply no further than
+    * this: acking the server's raw WAL end (reference parity,
+    * `pkg/postgres/source.go:140-152`) lets the server recycle slot WAL
+    * that a crashed stream still needs to replay. Before the first batch
+    * commit the behavior is exactly the reference's.
+    */
+  def markDurable(lsn: Long): Unit =
+    if (lsn > durableLsnVar) durableLsnVar = lsn
+
+  private def ackPosition(candidate: Long): Long =
+    if (durableLsnVar > 0L) math.min(candidate, durableLsnVar) else candidate
 
   /** Last committed LSN seen — the resume position. */
   def currentLsn: Long = currentLsnVar
@@ -91,7 +105,7 @@ class PgOutputSession(transport: ReplicationTransport,
               // reference (`pkg/postgres/source.go:140-152`)
               if (replyRequested)
                 transport.send(encodeStandbyStatusUpdate(
-                  serverWalEnd, epochMillisToPgMicros(clock())))
+                  ackPosition(serverWalEnd), epochMillisToPgMicros(clock())))
             case XLogData(_, _, _, data) =>
               val change = dispatch(decodeLogical(data))
               if (change.isDefined) return change
@@ -114,7 +128,7 @@ class PgOutputSession(transport: ReplicationTransport,
       currentLsnVar = commitLsn
       if (clock() - lastHeartbeatAt > heartbeatMillis) {
         transport.send(encodeStandbyStatusUpdate(
-          commitLsn, epochMillisToPgMicros(clock())))
+          ackPosition(commitLsn), epochMillisToPgMicros(clock())))
         lastHeartbeatAt = clock()
       }
       None
@@ -194,8 +208,12 @@ class PgOutputWalClient extends WalClient {
     * the buffer stays bounded by the uncommitted window, not the stream's
     * lifetime.
     */
-  override def commit(upToInclusive: Long): Unit =
+  override def commit(upToInclusive: Long): Unit = {
+    // the offset log has durably recorded this batch — from here on the
+    // session may ack the server up to it (see PgOutputSession.markDurable)
+    state.session.markDurable(upToInclusive)
     state.buffer.headMap(upToInclusive, true).clear()
+  }
 }
 
 /** Process-wide transport + stream-state registries (local-mode executors
