@@ -18,9 +18,16 @@ object Hash64 {
   /** FNV-1a 64-bit over the UTF-8 bytes of a string. */
   def fnv64(s: UTF8String): Long = {
     val bytes = s.getBytes
+    fnv64Range(bytes, 0, bytes.length)
+  }
+
+  /** FNV-1a 64-bit over a byte range — lets shingle kernels hash windows
+    * of one shared buffer without materializing substring copies.
+    */
+  def fnv64Range(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h ^= (bytes(i) & 0xFFL)
       h *= 0x100000001B3L
       i += 1
@@ -189,6 +196,99 @@ object ShingleStrings {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Char k-gram shingle kernels over a STRING input, by code point (same
+  * unit as Spark's `length`/`substr`). Semantics match the HOF form
+  * `when(length(s) < k, array(s)).otherwise(transform(sequence(1,
+  * length(s)-k+1), i -> substr(s, i, k)))` exactly — fewer than k chars
+  * (including empty) yields ONE shingle of the whole string — but run as
+  * one imperative pass over the UTF-8 bytes instead of an interpreted
+  * per-offset lambda. The hash variant never materializes substrings:
+  * each window is FNV-1a'd in place over the shared byte buffer.
+  */
+object CharShingleKernel {
+  /** Byte offsets of each code-point start, plus the end offset; returns
+    * the char count and fills `offs` (length >= bytes.length + 1).
+    */
+  private def charOffsets(bytes: Array[Byte], offs: Array[Int]): Int = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(n) = i; n += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    n
+  }
+
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val n = charOffsets(bytes, offs)
+    if (n < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromBytes(bytes)))
+    val count = n - k + 1
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingleHashes(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    val n = charOffsets(bytes, offs)
+    if (n < k) return Array(Hash64.fnv64Range(bytes, 0, bytes.length))
+    val count = n - k + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      out(i) = Hash64.fnv64Range(bytes, offs(i), offs(i + k))
+      i += 1
+    }
+    out
+  }
+}
+
+sealed trait CharShingleExpression extends UnaryExpression {
+  def n: Int
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input and n>0, got ${child.dataType.simpleString}")
+  }
+}
+
+case class CharShingles(child: Expression, n: Int) extends CharShingleExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharShingleKernel.shingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CharShingleHashes(child: Expression, n: Int) extends CharShingleExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(CharShingleKernel.shingleHashes(v.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.CharShingleKernel.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {

@@ -67,6 +67,21 @@ object TokenSets {
     c
   }
 
+  /** Sum of per-token character counts (== the
+    * `aggregate(toks, 0L, (acc, t) => acc + length(t))` composition for
+    * null-free token arrays; null elements are skipped, like countIn).
+    */
+  def sumLengths(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) total += tokens.getUTF8String(i).numChars()
+      i += 1
+    }
+    total
+  }
+
   /** Tokens matching the regex, unanchored-find semantics (== the
     * `size(filter(toks, t => t.rlike(regex)))` composition).
     */
@@ -113,6 +128,23 @@ case class CountInSet(child: Expression, words: Seq[String],
     val fn = if (distinct) "countDistinctIn" else "countIn"
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenSets.$fn($c, $keyRef)")
   }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sum_token_lengths(tokens) -> long: total characters across the token
+  * array in one codegen'd pass — replaces the interpreted
+  * `aggregate(toks, 0L, (acc, t) => acc + length(t))` HOF (the mean-token-
+  * length hot path).
+  */
+case class SumTokenLengths(child: Expression) extends TokenCountExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_token_lengths"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokenSets.sumLengths(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSets.sumLengths($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

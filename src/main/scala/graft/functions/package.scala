@@ -69,6 +69,22 @@ package object functions {
   def count_matching(tokens: Column, regex: String): Column =
     toColumn(CountMatching(exprOf(tokens), regex))
 
+  /** Total characters across a token array, one codegen'd pass (the fast
+    * form of the aggregate-lambda sum feeding mean token length).
+    */
+  def sum_token_lengths(tokens: Column): Column =
+    toColumn(SumTokenLengths(exprOf(tokens)))
+
+  /** Char k-gram shingle strings of a string column, one codegen'd pass. */
+  def char_shingles(text: Column, k: Int): Column =
+    toColumn(CharShingles(exprOf(text), k))
+
+  /** 64-bit FNV hashes of char k-gram shingles — no substring
+    * materialization (the fingerprint/minhash fast path).
+    */
+  def char_shingle_hashes(text: Column, k: Int): Column =
+    toColumn(CharShingleHashes(exprOf(text), k))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -139,5 +155,11 @@ package object functions {
         distinct = es.length > 2 && es(2).eval(null) == true), "built-in")
     reg.createOrReplaceTempFunction("count_matching",
       es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex")), "built-in")
+    reg.createOrReplaceTempFunction("sum_token_lengths",
+      es => SumTokenLengths(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_shingles",
+      es => CharShingles(es(0), intArg(es(1), "char_shingles", "k")), "built-in")
+    reg.createOrReplaceTempFunction("char_shingle_hashes",
+      es => CharShingleHashes(es(0), intArg(es(1), "char_shingle_hashes", "k")), "built-in")
   }
 }

@@ -75,10 +75,13 @@ object Dedup {
     // (id, band, bkey) — candidate-pair volume is quadratic in bucket
     // size, so payloads (shingle sets here) must not ride through it;
     // they are re-attached per UNIQUE pair afterwards.
+    // bands is a plan-time constant, so the band keys are a literal array
+    // of codegen'd hash(slice(...)) expressions — not a transform() HOF,
+    // whose lambda would evaluate interpreted per band per row
     val banded = withSig.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("band", "bkey")))
 
     val l = banded.as("l")
     val r = banded.as("r")

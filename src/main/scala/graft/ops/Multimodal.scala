@@ -48,6 +48,10 @@ object Multimodal {
     else if (at(0) == 'B' && at(1) == 'M') Some("image/bmp")
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
       Some("image/gif")
+    // WBMP type 0: TypeField=0x00, FixHeaderField=0x00 (weak magic — a
+    // non-image payload that happens to start 00 00 just fails ImageIO
+    // decode and falls through to the audio/stub path)
+    else if (at(0) == 0x00 && at(1) == 0x00) Some("image/vnd.wap.wbmp")
     else None
   }
 
@@ -322,6 +326,62 @@ object Multimodal {
           case other => other.toString.toLong
         }
         Row(r.get(idIdx), patternBmp(seed, side))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Deterministic 16-bit mono PCM WAV test pattern: `windows` constant-
+    * amplitude segments of `perWindow` samples each, segment w's sample
+    * value = ((seed*31 + w) * 7 mod 256) * 128. Decoding through the real
+    * javax.sound path ([[decodeAudio]]) then yields RMS features that are
+    * EXACTLY ((seed*31 + w)*7 mod 256)/256 — constant-within-window makes
+    * the RMS the amplitude itself, and k/256 is dyadic so the double/float
+    * round trip is exact — reproducible by plain arithmetic (the q60
+    * oracle). Canonical 44-byte RIFF header, so size_bytes is
+    * 44 + 2*windows*perWindow.
+    */
+  def patternWav(seed: Long, windows: Int, perWindow: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val n = windows * perWindow
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + 2 * n); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes); buf.putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val w = i / perWindow
+      buf.putShort(((((seed * 31 + w) * 7) % 256) * 128).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** (id, content=patternWav(id)) frame — the synthetic audio corpus for
+    * driving the real javax.sound decoder under the correctness gate
+    * (sibling of [[patternImages]]).
+    */
+  def patternAudio(ids: DataFrame, idCol: String, windows: Int,
+      perWindow: Int): DataFrame = {
+    val idType = ids.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("content", BinaryType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        Row(r.get(idIdx), patternWav(seed, windows, perWindow))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

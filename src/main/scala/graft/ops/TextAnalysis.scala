@@ -49,11 +49,14 @@ object TextAnalysis {
         size(toks).cast("double"))
   }
 
-  /** Mean token length in characters (0 for empty). */
+  /** Mean token length in characters (0 for empty). Total length runs
+    * through the codegen'd sum_token_lengths kernel — the aggregate-HOF
+    * form evaluates its lambda interpreted per element.
+    */
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      graft.functions.sum_token_lengths(toks).cast("double") /
         size(toks).cast("double"))
   }
 
@@ -69,7 +72,13 @@ object TextAnalysis {
     val wordShapeScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.5)
     val stopScore = when(stopwordRatio(text).between(0.05, 0.6), 1.0).otherwise(0.7)
-    round(lengthScore * 0.4 + wordShapeScore * 0.2 + punctScore * 0.2 + stopScore * 0.2, 4)
+    // 5 dp, not 4: every attainable score is an EXACT 5-decimal value
+    // (lengthScore*0.4 = nTok*0.00625 capped at 0.4, plus 0.1/0.2-grid
+    // terms), so 4-dp rounding lands exactly on .5 boundaries where
+    // HALF_UP-on-shortest-decimal (Spark) and multiply-then-rint (DuckDB)
+    // disagree by 1; at 5 dp the round is a no-op on the exact value in
+    // both engines.
+    round(lengthScore * 0.4 + wordShapeScore * 0.2 + punctScore * 0.2 + stopScore * 0.2, 5)
   }
 
   /** Language-ID by stopword-profile voting: score(text, lang) = fraction
@@ -109,14 +118,19 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    graft.functions.minhash_sig(charShingles(norm, 8), 1).getItem(0)
+    // hash shingles, never substring strings: char_shingle_hashes FNVs
+    // each window in place over the shared byte buffer, and minhash over
+    // pre-hashed longs equals minhash over the string shingles (whose
+    // base hash is the same FNV)
+    graft.functions.minhash_sig(
+      graft.functions.char_shingle_hashes(norm, 8), 1).getItem(0)
   }
 
-  /** Char k-gram shingles via HOF (no UDF): substring at each offset. */
+  /** Char k-gram shingles (codegen'd kernel — the transform(sequence(...))
+    * HOF form runs its lambda interpreted per offset).
+    */
   def charShingles(text: Column, k: Int): Column =
-    when(length(text) < k, array(text)).otherwise(
-      transform(sequence(lit(1), length(text) - (k - 1)),
-        i => text.substr(i, lit(k))))
+    graft.functions.char_shingles(text, k)
 
   /** Word n-gram shingles from a token array. Codegen'd imperative kernel
     * (functions.WordShingles) — the equivalent HOF composition
