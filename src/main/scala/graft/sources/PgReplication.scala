@@ -182,6 +182,14 @@ class PgOutputWalClient extends WalClient {
     val id = options.getOrElse("pg.transport.id",
       throw new IllegalArgumentException("PgOutputWalClient needs option pg.transport.id"))
     db = options.getOrElse("pg.database", "postgres")
+    // live wiring: when connection options are present and nothing is
+    // registered under this id yet, open the real socket transport
+    // (PgSocketTransport: startup, publication check, slot create,
+    // START_REPLICATION). Tests and fixtures pre-register a
+    // ScriptedTransport instead, and the computeIfAbsent registry makes
+    // re-configure a no-op either way.
+    if (options.contains("pg.host"))
+      PgTransports.ensure(id)(PgSocketTransport.fromOptions(options, db))
     state = PgStreams.state(id)
   }
 
@@ -223,6 +231,11 @@ class PgOutputWalClient extends WalClient {
 object PgTransports {
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, ReplicationTransport]()
   def register(id: String, t: ReplicationTransport): Unit = reg.put(id, t)
+  /** Register-if-absent (atomic): the live-socket wiring connects at most
+    * once per id even under concurrent configure() calls.
+    */
+  def ensure(id: String)(mk: => ReplicationTransport): ReplicationTransport =
+    reg.computeIfAbsent(id, _ => mk)
   def get(id: String): ReplicationTransport =
     Option(reg.get(id)).getOrElse(
       throw new IllegalArgumentException(s"no transport registered: $id"))
