@@ -413,6 +413,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // transitive near-dup clusters (oracle-checked): connected components
+    // over the exact near-dup pair set — each doc labeled with its
+    // cluster's minimum id (the survivor). Pointer-jumping label
+    // propagation on Spark; a recursive CTE reproduces the closure in
+    // DuckDB. Chains collapse fully: a-b, b-c share one cluster even when
+    // a-c never paired (greedy drop-larger would keep two survivors).
+    "q62_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram Jaccard similarity, exact (oracle-checked): all pairs with
     // word-trigram jaccard >= 0.02 among the first 100 docs.
     "q45_ngram_jaccard" -> ((s, dir) => {
@@ -900,6 +915,31 @@ object SparkEntry {
         |WHERE a.vec_id < 500 AND b.vec_id < 500
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the exact near-dup pair graph via a recursive
+    // CTE: reach(id, comp) accumulates every label reachable from id; the
+    // component representative is the minimum.
+    "q62_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id,
+        |  (id = min(comp)) AS is_survivor
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // constant-amplitude PCM windows: RMS feature w == amplitude ==
     // ((doc_id*31 + w)*7 mod 256)/256 exactly (dyadic — the double/float

@@ -117,8 +117,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list: each node gets
+    * the MINIMUM id reachable from it (the canonical cluster
+    * representative for transitive near-dup dedup — greedy drop-larger
+    * keeps every "local minimum" of the pair graph; CC collapses whole
+    * chains a-b, b-c to one survivor even when a-c never paired).
+    *
+    * Scale shape: iterative min-label propagation with POINTER JUMPING
+    * (comp := comp(comp) each round — CC in O(log n) rounds instead of
+    * O(diameter); cf.
+    * large-star/small-star, Kiveris et al. 2014). Per round: one join +
+    * partial-agg min for neighbor labels, one join for the jump, both on
+    * (id, comp) pairs only — payloads never enter. Each round is
+    * localCheckpoint'ed so lineage stays flat and the convergence probe
+    * (any-label-changed, a limit(1) count on a checkpointed frame) is
+    * cheap. The label table holds only nodes that APPEAR IN PAIRS — at
+    * 100 TB that is the near-dup subgraph, orders of magnitude smaller
+    * than the corpus.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("s"),
+        col(aCol).cast("long").as("d")))
+      .distinct()
+      // pin: the upstream pair pipeline (LSH) must not recompute per round
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighbor min: comp := min(comp, min over neighbors of their comp)
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("d"), col("comp").as("ncomp")), Seq("d"))
+        .groupBy(col("s").as("id")).agg(min(col("ncomp")).as("ncomp"))
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp(comp) — collapses chains exponentially
+      val jumped = propagated.as("l")
+        .join(propagated.select(col("id").as("comp"), col("comp").as("jcomp")).as("m"),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = jumped
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Cluster-level dedup: keep each component's minimum-id doc (plus every
+    * doc with no near-dup pair at all). The transitive-closure form of
+    * [[minhashDedup]].
+    */
+  def dedupByComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Greedy MinHash dedup: drop every doc that near-matches a smaller id
-    * (the standard single-pass policy — no connected components pass).
+    * (the standard single-pass policy; see [[dedupByComponents]] for the
+    * transitive-closure variant).
     */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,

@@ -83,4 +83,57 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.minhashDedup(real, "doc_id", "text", threshold = 0.8).count()
     assert(kept > 0 && kept <= n)
   }
+
+  // ---------------------------------------------- connected components —
+
+  /** Brute-force union-find oracle for CC tests. */
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents collapses a chain to its minimum (greedy would not)") {
+    // chain 1-3, 2-3: greedy drop-larger keeps {1, 2}; CC keeps min 1 only
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents matches union-find on a multi-component graph") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // long chain
+      (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
+      (20L, 21L),                                       // pair
+      (30L, 31L), (32L, 31L), (33L, 30L), (34L, 33L))   // star-ish
+    val expected = ufComponents(edges)
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == expected)
+  }
+
+  test("connectedComponents converges logarithmically on a long path") {
+    // path of 64 nodes: diameter 63, pointer jumping must converge well
+    // under the 50-round cap (plain propagation would need 63 rounds)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.values.toSet == Set(0L), s"all 64 nodes must label 0: $cc")
+  }
+
+  test("dedupByComponents keeps one survivor per cluster plus singletons") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3} is one near-dup cluster -> keep 1; 4 and 5 are singletons
+    assert(kept == Set(1L, 4L, 5L), s"got $kept")
+  }
 }
