@@ -154,19 +154,25 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("d"), col("comp").as("ncomp")), Seq("d"))
         .groupBy(col("s").as("id")).agg(min(col("ncomp")).as("ncomp"))
-      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val propagated = labels.withColumnRenamed("comp", "old")
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("ncomp"), col("old"))).as("comp"))
       // pointer jump: comp := comp(comp) — collapses chains exponentially
       val jumped = propagated.as("l")
         .join(propagated.select(col("id").as("comp"), col("comp").as("jcomp")).as("m"),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
+        .select(col("id"), col("old"), coalesce(col("jcomp"), col("comp")).as("comp"))
+      // convergence probe rides the checkpoint's materialization job via
+      // observe() — no separate count job per round
+      val obs = org.apache.spark.sql.Observation()
       labels = jumped
-      converged = changed == 0L
+        .observe(obs, max((col("comp") =!= col("old")).cast("int")).as("changed"))
+        .drop("old")
+        .localCheckpoint(eager = true)
+      // null = zero rows observed (empty pair graph) -> trivially converged
+      val changed = obs.get("changed")
+      converged = changed == null || changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

@@ -129,6 +129,11 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(0L), s"all 64 nodes must label 0: $cc")
   }
 
+  test("connectedComponents on an empty pair set is empty (and converges)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("dedupByComponents keeps one survivor per cluster plus singletons") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
     val kept = Dedup.dedupByComponents(docs, "doc_id", pairs)
