@@ -99,6 +99,48 @@ object TokenSets {
   }
 }
 
+/** sig_agreement(a, b) -> int: number of index-aligned equal slots of two
+  * long-array signatures (the MinHash similarity estimate's numerator).
+  * Replaces `size(filter(zip_with(a, b, (x, y) => x === y), x => x))`,
+  * whose two lambdas evaluate interpreted per slot per candidate pair —
+  * the estimate-prune hot path of LSH dedup.
+  */
+object SigOps {
+  def agreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement needs two array<long>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigOps.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigOps.agreement($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 sealed trait TokenCountExpression extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -75,6 +75,12 @@ package object functions {
   def sum_token_lengths(tokens: Column): Column =
     toColumn(SumTokenLengths(exprOf(tokens)))
 
+  /** Count of index-aligned equal slots of two long-array signatures (the
+    * MinHash similarity estimate), one codegen'd pass.
+    */
+  def sig_agreement(a: Column, b: Column): Column =
+    toColumn(SignatureAgreement(exprOf(a), exprOf(b)))
+
   /** Char k-gram shingle strings of a string column, one codegen'd pass. */
   def char_shingles(text: Column, k: Int): Column =
     toColumn(CharShingles(exprOf(text), k))
@@ -157,6 +163,8 @@ package object functions {
       es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex")), "built-in")
     reg.createOrReplaceTempFunction("sum_token_lengths",
       es => SumTokenLengths(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sig_agreement",
+      es => SignatureAgreement(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_shingles",
       es => CharShingles(es(0), intArg(es(1), "char_shingles", "k")), "built-in")
     reg.createOrReplaceTempFunction("char_shingle_hashes",

@@ -101,8 +101,8 @@ object Dedup {
     val estimated = candidates
       .join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("est_j",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-          x => x)).cast("double") / numPerm.toDouble)
+        graft.functions.sig_agreement(col("sig_a"), col("sig_b"))
+          .cast("double") / numPerm.toDouble)
       .filter(col("est_j") >= threshold / 2)
       .select(col("id_a"), col("id_b"))
 

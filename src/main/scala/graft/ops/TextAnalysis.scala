@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. Empty strings are filtered so empty/
+  /** Whitespace tokens, lowercased. Empty strings are removed so empty/
     * whitespace-only text yields 0 tokens (a bare split returns [""]),
-    * keeping the zero-token guards downstream meaningful.
+    * keeping the zero-token guards downstream meaningful. array_remove,
+    * not filter(t => t =!= ""): identical semantics on split output (no
+    * nulls), but array_remove is a codegen'd built-in while the filter
+    * lambda evaluates interpreted per token — this runs in EVERY text
+    * query's tokenize step.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** BPE-ish subword-boundary tokens: word pieces, numbers, and single
     * punctuation marks as separate tokens (a simplified GPT-2 pre-tokenizer
