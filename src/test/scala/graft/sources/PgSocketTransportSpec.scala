@@ -17,7 +17,8 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
   */
 class ScriptedPgServer(salt: Array[Byte],
     answers: String => ScriptedPgServer.Action,
-    copyFrames: Seq[Array[Byte]]) {
+    copyFrames: Seq[Array[Byte]],
+    cleartextAuth: Boolean = false) {
   import ScriptedPgServer._
 
   private val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
@@ -46,8 +47,12 @@ class ScriptedPgServer(salt: Array[Byte],
     in.readFully(body)
     require(ByteBuffer.wrap(body).getInt() == ProtocolVersion, "bad protocol version")
 
-    // MD5 challenge, then AuthenticationOk + ready
-    out.write(typedMessage('R', ByteBuffer.allocate(8).putInt(5).put(salt).array()))
+    // auth challenge (MD5 by default, cleartext on request), then
+    // AuthenticationOk + ready
+    if (cleartextAuth)
+      out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(3).array()))
+    else
+      out.write(typedMessage('R', ByteBuffer.allocate(8).putInt(5).put(salt).array()))
     out.flush()
     val pw = PgWire.readMessage(in)
     require(pw.tpe == 'p'.toByte, s"expected password message, got '${pw.tpe.toChar}'")
@@ -237,6 +242,30 @@ class PgSocketTransportSpec extends AnyFunSuite {
       PgTransports.clear(tid)
       server.stop()
     }
+  }
+
+  test("cleartext auth sends the raw password; missing password fails fast") {
+    val server = new ScriptedPgServer(salt,
+      stdAnswers(pubExists = true, slotExists = true), Seq.empty,
+      cleartextAuth = true)
+    try {
+      val transport = new PgSocketTransport("127.0.0.1", server.port, "appdb",
+        "alice", Some("hunter2"), "graft_slot", "graft_pub",
+        startLsn = Some(1L), pollMillis = 300)
+      try assert(server.passwordSeen.get() == "hunter2")
+      finally transport.close()
+    } finally server.stop()
+
+    val server2 = new ScriptedPgServer(salt,
+      stdAnswers(pubExists = true, slotExists = true), Seq.empty,
+      cleartextAuth = true)
+    try {
+      val e = intercept[IllegalStateException] {
+        new PgSocketTransport("127.0.0.1", server2.port, "appdb", "alice",
+          password = None, "graft_slot", "graft_pub", startLsn = Some(1L))
+      }
+      assert(e.getMessage.contains("requires a password"))
+    } finally server2.stop()
   }
 
   test("missing publication fails fast with the reference's manual-create hint") {
