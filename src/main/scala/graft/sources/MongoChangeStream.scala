@@ -117,6 +117,11 @@ class ChangeStreamTokenClient extends TokenStreamClient {
     val id = options.getOrElse("stream.cursor.id",
       throw new IllegalArgumentException(
         "ChangeStreamTokenClient needs option stream.cursor.id"))
+    // live wiring (the PgOutputWalClient device): connection options +
+    // nothing registered -> open the real wire-protocol cursor; tests
+    // pre-register a ScriptedChangeStream under the same id instead
+    if (options.contains("mongo.host"))
+      ChangeStreamRegistry.ensure(id)(MongoSocketCursor.fromOptions(options))
     state = ChangeStreamRegistry.state(id)
   }
 
@@ -176,6 +181,11 @@ object ChangeStreamRegistry {
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, State]()
   def register(id: String, c: ChangeStreamCursor): Unit =
     reg.put(id, new State(c))
+  /** Register-if-absent (atomic): the live-socket wiring connects at most
+    * once per id even under concurrent configure() calls.
+    */
+  def ensure(id: String)(mk: => ChangeStreamCursor): State =
+    reg.computeIfAbsent(id, _ => new State(mk))
   def state(id: String): State =
     Option(reg.get(id)).getOrElse(
       throw new IllegalArgumentException(s"no change-stream cursor registered: $id"))
