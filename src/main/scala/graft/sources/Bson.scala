@@ -124,7 +124,9 @@ object Bson {
   private def readDoc(buf: ByteBuffer): BDoc = {
     val start = buf.position()
     val len = buf.getInt()
-    require(len >= 5 && start + len <= buf.limit(),
+    // overflow-safe: `start + len` wraps negative for len near Int.MaxValue
+    // and would pass a `start + len <= limit` guard
+    require(len >= 5 && len <= buf.limit() - start,
       s"bad BSON document length $len at $start (limit ${buf.limit()})")
     val fields = Vector.newBuilder[(String, Any)]
     var tpe = buf.get()

@@ -38,6 +38,10 @@ object MongoWire {
     in.readFully(head)
     val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
     val len = hb.getInt()
+    // sanity-bound before allocating: MongoDB's max message size is 48 MB;
+    // a corrupt/hostile length must not drive a giant or negative alloc
+    require(len >= 16 + 4 + 1 + 5 && len <= 48 * 1024 * 1024,
+      s"bad OP_MSG length $len")
     hb.getInt(); hb.getInt()
     val op = hb.getInt()
     require(op == OpMsg, s"expected OP_MSG (2013), got $op")
@@ -110,9 +114,13 @@ object Scram {
     }
   }
 
-  def newNonce(): String =
-    b64(java.security.SecureRandom.getInstanceStrong.generateSeed(18))
-      .replace(",", "-") // nonce must not contain ','
+  def newNonce(): String = {
+    // plain SecureRandom, NOT getInstanceStrong: the strong instance can
+    // block on /dev/random entropy at connect time
+    val b = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(b)
+    b64(b).replace(",", "-") // nonce must not contain ','
+  }
 }
 
 /** Live change-stream cursor over the wire protocol, driving the exact

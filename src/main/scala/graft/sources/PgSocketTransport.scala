@@ -87,7 +87,8 @@ object PgWire {
     */
   def readAfterType(in: DataInputStream, tpe: Byte): BackendMessage = {
     val len = in.readInt()
-    require(len >= 4, s"bad backend message length $len")
+    // rows can be large but a corrupt length must not drive a giant alloc
+    require(len >= 4 && len <= (1 << 30), s"bad backend message length $len")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     BackendMessage(tpe, body)

@@ -163,8 +163,11 @@ class PgSocketTransportSpec extends AnyFunSuite {
         assert(transport.startedAt == 0x2000L,
           "no checkpoint -> start from the server's current WAL position")
 
-        // the documented MD5 response for (user, password, salt)
-        assert(server.passwordSeen.get() == md5Password("alice", "secret", salt))
+        // the documented MD5 response for (alice, secret, 01020304) —
+        // expected value computed INDEPENDENTLY (python hashlib), so this
+        // is not our own md5Password checking itself
+        assert(server.passwordSeen.get() == "md598a0412b9c31436fc53776e863350083")
+        assert(md5Password("alice", "secret", salt) == server.passwordSeen.get())
 
         // reference setup sequence: pub check, slot check, slot create,
         // head LSN, then START_REPLICATION with pgoutput args
