@@ -153,7 +153,12 @@ object Cli {
           case "exact" => graft.ops.Dedup.exactKeepFirst(docs, Seq(textCol), idCol)
           case "minhash" => graft.ops.Dedup.minhashDedup(docs, idCol, textCol,
             threshold = flags.getOrElse("threshold", "0.8").toDouble)
-          case other => sys.error(s"dedup: unknown --mode $other (exact|minhash)")
+          // transitive-closure variant: one survivor per connected near-dup
+          // cluster (chains collapse fully; greedy minhash keeps local minima)
+          case "cc" => graft.ops.Dedup.dedupByComponents(docs, idCol,
+            graft.ops.Dedup.minhashPairs(docs, idCol, textCol,
+              threshold = flags.getOrElse("threshold", "0.8").toDouble))
+          case other => sys.error(s"dedup: unknown --mode $other (exact|minhash|cc)")
         }
         val out = req("out")
         kept.write.mode("overwrite").parquet(out)
@@ -187,7 +192,7 @@ object Cli {
            |  fixtures --records N --out <dir>
            |  curate --in <sfdir> --table documents --out <dir>
            |         [--gopher true] [--bench <parquet>] [--ngram 8]
-           |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash]""".stripMargin)
+           |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash|cc]""".stripMargin)
       sys.exit(2)
   }
 }
