@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the physical-plan properties that decide 100 TB
+  * behavior. A refactor that silently loses a broadcast, reintroduces a
+  * cartesian product, or drops parquet pushdown changes these plans long
+  * before it changes sf0.01 results — so the shapes are asserted here,
+  * not just eyeballed via PlanAudit.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf0001
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q10 dimension joins broadcast the small side (no sort-merge of dims)") {
+    val p = plan("q10_join_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q20 snapshot scan pushes the filter and prunes columns") {
+    val p = plan("q20_snapshot_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n${p.take(800)}")
+    // 5 of 16 lineitem columns in the read schema
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q61 packing attaches offsets via broadcast join, not a when-chain") {
+    val p = plan("q61_sequence_packing")
+    assert(p.contains("BroadcastHashJoin"), "offsets must broadcast-join")
+    assert(!p.contains("CASE WHEN"),
+      "O(P)-deep case expression reintroduced in the offset attach")
+  }
+
+  test("LSH pipelines never plan a cartesian product") {
+    Seq("q43_dedup_minhash", "q44_dedup_simhash", "q52_ann_neardup_lsh",
+      "q62_dedup_clusters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n${p.take(500)}")
+    }
+  }
+
+  test("q55 decontamination broadcasts the benchmark gram set (corpus never shuffles to it)") {
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+}
