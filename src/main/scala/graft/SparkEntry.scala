@@ -528,6 +528,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction (oracle-checked): the fixture has no PII, so the
+    // query plants deterministic emails/IPs/phones derived from doc_id
+    // (the q59/q60 device) and scrubs them — both engines construct and
+    // redact the same text, so the oracle reproduces the scrub exactly.
+    "q63_pii_redaction" -> ((s, dir) => {
+      val planted = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+        (col("doc_id") % 256).cast(LongType), lit(".7 or "),
+        lit("555-1"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-4242"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.Redaction.emailCount(planted).cast(LongType).as("n_emails"),
+        graft.ops.Redaction.ipCount(planted).cast(LongType).as("n_ips"),
+        graft.ops.Redaction.phoneCount(planted).cast(LongType).as("n_phones"),
+        graft.ops.Redaction.scrub(planted).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level duplicate-line removal (oracle-checked): documents are
+    // re-lined into five 8-token lines (deterministic construction both
+    // engines share); any line occurring more than 3 times corpus-wide is
+    // boilerplate and dropped from every doc, survivors reassembled in
+    // order. The operator's scale shape is count -> broadcast the tiny
+    // frequent set -> anti-join (the decontamination shape).
+    "q64_line_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val lines = (0 until 5).map(i => concat_ws(" ", slice(toks, 1 + 8 * i, 8)))
+      val relined = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(array(lines: _*), "\n").as("text"))
+      Dedup.dedupLines(relined, "doc_id", "text", maxOccurrences = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
     // brute-force cosine top-k (oracle-checked; query = vec_id 0).
     "q50_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -940,6 +975,59 @@ object SparkEntry {
         |SELECT id AS doc_id, min(comp) AS cluster_id,
         |  (id = min(comp)) AS is_survivor
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // both engines build the same planted-PII text and run the same
+    // RE2-subset regexes; DuckDB's regexp_replace needs the 'g' flag for
+    // Spark's replace-all semantics.
+    "q63_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+        |      (doc_id % 256) || '.7 or 555-1' ||
+        |      lpad((doc_id % 100)::VARCHAR, 2, '0') || '-4242' AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(planted, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(planted, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same five-line construction, then the duplicate-line removal:
+    // corpus-frequent lines (count > 3) drop from every doc, survivors
+    // reassemble in position order; fully-boilerplate docs come back as
+    // empty strings.
+    "q64_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |relined AS (
+        |  -- coalesce: array_to_string of an empty slice is NULL here but
+        |  -- Spark's concat_ws is '' — and a NULL line would poison NOT IN
+        |  SELECT doc_id, [coalesce(array_to_string(toks[1:8], ' '), ''),
+        |    coalesce(array_to_string(toks[9:16], ' '), ''),
+        |    coalesce(array_to_string(toks[17:24], ' '), ''),
+        |    coalesce(array_to_string(toks[25:32], ' '), ''),
+        |    coalesce(array_to_string(toks[33:40], ' '), '')] AS lines
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, u.line AS line, u.pos AS pos FROM (
+        |    SELECT doc_id,
+        |      unnest([{'line': lines[i], 'pos': i} FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM relined)),
+        |boiler AS (SELECT line FROM l GROUP BY line HAVING count(*) > 3),
+        |kept AS (SELECT l.* FROM l ANTI JOIN boiler USING (line)),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+        |    count(*) AS n_lines_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // constant-amplitude PCM windows: RMS feature w == amplitude ==
     // ((doc_id*31 + w)*7 mod 256)/256 exactly (dyadic — the double/float

@@ -179,6 +179,41 @@ object Dedup {
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 
+  /** Corpus-level duplicate-line removal (MassiveText-style boilerplate
+    * filtering): every line occurring more than `maxOccurrences` times
+    * ACROSS the corpus is dropped from every document; surviving lines
+    * are reassembled in order (docs whose every line was boilerplate
+    * come back as empty strings, not dropped rows).
+    *
+    * Scale shape: explode lines (map-only), count by line (one shuffle
+    * with map-side combine), keep only the FREQUENT lines (tiny — the
+    * boilerplate set), broadcast anti-join, then one ordered-window
+    * reassembly shuffle on the doc id. The corpus lines never join
+    * against each other — only against the broadcast boilerplate set,
+    * the same shape as decontamination.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long = 3L): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boilerplate), Seq("line"), "left_anti")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val reassembled = kept
+      .withColumn("__clean", array_join(collect_list(col("line")).over(w), "\n"))
+      .groupBy(col(idCol)).agg(first(col("__clean")).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** Cluster-level dedup: keep each component's minimum-id doc (plus every
     * doc with no near-dup pair at all). The transitive-closure form of
     * [[minhashDedup]].

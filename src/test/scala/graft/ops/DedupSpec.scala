@@ -129,6 +129,23 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(0L), s"all 64 nodes must label 0: $cc")
   }
 
+  test("dedupLines drops corpus-frequent lines, keeps order, keeps emptied docs") {
+    val boiler = "subscribe to our newsletter"
+    val docsL = Seq(
+      (1L, s"unique one\n$boiler\nunique two"),
+      (2L, s"$boiler\nanother thing"),
+      (3L, s"third doc line\n$boiler"),
+      (4L, s"fourth doc line\n$boiler"),
+      (5L, boiler) // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docsL, "doc_id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("unique one\nunique two", 2L), "order preserved across the gap")
+    assert(out(2L) == ("another thing", 1L))
+    assert(out(5L) == ("", 0L), "fully-boilerplate doc stays as an empty row")
+    assert(out.size == 5)
+  }
+
   test("connectedComponents on an empty pair set is empty (and converges)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
