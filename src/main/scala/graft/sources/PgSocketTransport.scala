@@ -63,6 +63,14 @@ object PgWire {
     java.util.Arrays.copyOf(b, b.length + 1) // NUL-terminated
   }
 
+  /** NUL-terminated string off a ByteBuffer (SASL mechanism lists). */
+  def readCStringFrom(buf: java.nio.ByteBuffer): String = {
+    val sb = new StringBuilder
+    var b = buf.get()
+    while (b != 0) { sb.append(b.toChar); b = buf.get() }
+    sb.toString
+  }
+
   /** `md5` + hex(md5(hex(md5(password + user)) + salt)) — the documented
     * MD5 auth response.
     */
@@ -164,7 +172,8 @@ object PgSocketTransport {
 class PgSocketTransport(host: String, port: Int, database: String,
     user: String, password: Option[String], slotName: String,
     publication: String, startLsn: Option[Long] = None,
-    pollMillis: Int = 1000, connectTimeoutMillis: Int = 10000)
+    pollMillis: Int = 1000, connectTimeoutMillis: Int = 10000,
+    nonceFactory: () => String = Scram.newNonce _)
     extends ReplicationTransport {
 
   import PgWire._
@@ -194,6 +203,9 @@ class PgSocketTransport(host: String, port: Int, database: String,
       "application_name" -> "graft")))
     out.flush()
     var ready = false
+    var scram: Scram.Conversation = null
+    def pw: String = password.getOrElse(
+      throw new IllegalStateException("server requires a password"))
     while (!ready) {
       val m = readMessage(in)
       m.tpe.toChar match {
@@ -202,18 +214,42 @@ class PgSocketTransport(host: String, port: Int, database: String,
           buf.getInt() match {
             case 0 => // AuthenticationOk
             case 3 => // cleartext
-              out.write(passwordMessage(password.getOrElse(
-                throw new IllegalStateException("server requires a password"))))
+              out.write(passwordMessage(pw))
               out.flush()
             case 5 => // MD5
               val salt = new Array[Byte](4)
               buf.get(salt)
-              out.write(passwordMessage(md5Password(user,
-                password.getOrElse(throw new IllegalStateException(
-                  "server requires a password")), salt)))
+              out.write(passwordMessage(md5Password(user, pw, salt)))
               out.flush()
+            case 10 => // AuthenticationSASL: pick SCRAM-SHA-256 (the PG
+              // default since v14; -PLUS needs TLS channel binding)
+              val mechanisms = Iterator.continually(readCStringFrom(buf))
+                .takeWhile(_.nonEmpty).toSeq
+              require(mechanisms.contains("SCRAM-SHA-256"),
+                s"no supported SASL mechanism in ${mechanisms.mkString(",")}")
+              // empty SCRAM username, libpq parity — the server uses the
+              // startup user and ignores n=
+              scram = new Scram.Conversation("", pw, nonceFactory())
+              val initial = scram.clientFirst.getBytes(StandardCharsets.UTF_8)
+              val body = new java.io.ByteArrayOutputStream()
+              body.write(cstr("SCRAM-SHA-256"))
+              body.write(java.nio.ByteBuffer.allocate(4).putInt(initial.length).array())
+              body.write(initial, 0, initial.length)
+              out.write(typedMessage('p', body.toByteArray))
+              out.flush()
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              require(scram != null, "SASLContinue before SASL start")
+              val serverFirst = new String(m.body, 4, m.body.length - 4,
+                StandardCharsets.UTF_8)
+              out.write(typedMessage('p',
+                scram.clientFinal(serverFirst).getBytes(StandardCharsets.UTF_8)))
+              out.flush()
+            case 12 => // AuthenticationSASLFinal: verify server signature
+              require(scram != null, "SASLFinal before SASL start")
+              scram.verifyServerFinal(new String(m.body, 4, m.body.length - 4,
+                StandardCharsets.UTF_8))
             case other => throw new IllegalStateException(
-              s"unsupported auth method $other (supported: trust, cleartext, md5)")
+              s"unsupported auth method $other (supported: trust, cleartext, md5, scram-sha-256)")
           }
         case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
         case 'Z' => ready = true

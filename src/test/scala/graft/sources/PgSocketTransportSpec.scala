@@ -18,7 +18,7 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
 class ScriptedPgServer(salt: Array[Byte],
     answers: String => ScriptedPgServer.Action,
     copyFrames: Seq[Array[Byte]],
-    cleartextAuth: Boolean = false) {
+    authMode: String = "md5") {
   import ScriptedPgServer._
 
   private val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
@@ -47,16 +47,50 @@ class ScriptedPgServer(salt: Array[Byte],
     in.readFully(body)
     require(ByteBuffer.wrap(body).getInt() == ProtocolVersion, "bad protocol version")
 
-    // auth challenge (MD5 by default, cleartext on request), then
-    // AuthenticationOk + ready
-    if (cleartextAuth)
-      out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(3).array()))
-    else
-      out.write(typedMessage('R', ByteBuffer.allocate(8).putInt(5).put(salt).array()))
-    out.flush()
-    val pw = PgWire.readMessage(in)
-    require(pw.tpe == 'p'.toByte, s"expected password message, got '${pw.tpe.toChar}'")
-    passwordSeen.set(new String(pw.body, 0, pw.body.length - 1, StandardCharsets.UTF_8))
+    // auth challenge (md5 | cleartext | scram), then AuthenticationOk + ready
+    authMode match {
+      case "cleartext" =>
+        out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(3).array()))
+        out.flush()
+        val pw = PgWire.readMessage(in)
+        require(pw.tpe == 'p'.toByte, s"expected password, got '${pw.tpe.toChar}'")
+        passwordSeen.set(new String(pw.body, 0, pw.body.length - 1, StandardCharsets.UTF_8))
+      case "md5" =>
+        out.write(typedMessage('R', ByteBuffer.allocate(8).putInt(5).put(salt).array()))
+        out.flush()
+        val pw = PgWire.readMessage(in)
+        require(pw.tpe == 'p'.toByte, s"expected password, got '${pw.tpe.toChar}'")
+        passwordSeen.set(new String(pw.body, 0, pw.body.length - 1, StandardCharsets.UTF_8))
+      case "scram" =>
+        // replay the independently generated (python hashlib) vector for
+        // (user '', password 'secret', salt QSXCR+Q6sek8bf92, i=4096,
+        // client nonce graftnonce123456, server ext SRVEXT789)
+        out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(10).array() ++
+          cstr("SCRAM-SHA-256") ++ Array(0.toByte)))
+        out.flush()
+        val init = PgWire.readMessage(in)
+        require(init.tpe == 'p'.toByte, "expected SASLInitialResponse")
+        val ib = ByteBuffer.wrap(init.body)
+        val mech = new StringBuilder
+        var b = ib.get(); while (b != 0) { mech.append(b.toChar); b = ib.get() }
+        require(mech.toString == "SCRAM-SHA-256", s"mechanism ${mech.toString}")
+        val ilen = ib.getInt()
+        val ipay = new Array[Byte](ilen); ib.get(ipay)
+        require(new String(ipay, StandardCharsets.UTF_8) == "n,,n=,r=graftnonce123456",
+          s"client-first mismatch: ${new String(ipay, StandardCharsets.UTF_8)}")
+        out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(11).array() ++
+          "r=graftnonce123456SRVEXT789,s=QSXCR+Q6sek8bf92,i=4096".getBytes(StandardCharsets.UTF_8)))
+        out.flush()
+        val fin = PgWire.readMessage(in)
+        require(fin.tpe == 'p'.toByte, "expected SASLResponse")
+        val finStr = new String(fin.body, StandardCharsets.UTF_8)
+        require(finStr ==
+          "c=biws,r=graftnonce123456SRVEXT789,p=LW2S/uJ9cw9Ig192XxejNxIlio6NJAST5b+WMzYBAFA=",
+          s"client proof mismatch (python-generated vector): $finStr")
+        passwordSeen.set(finStr)
+        out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(12).array() ++
+          "v=TkrRLdcN4S+5QEf32a7mK+UiCsjQMOqxbH75qEw024Q=".getBytes(StandardCharsets.UTF_8)))
+    }
     out.write(typedMessage('R', ByteBuffer.allocate(4).putInt(0).array()))
     out.write(typedMessage('S', cstr("server_version") ++ cstr("16.0")))
     out.write(typedMessage('K', ByteBuffer.allocate(8).putInt(42).putInt(7).array()))
@@ -247,10 +281,30 @@ class PgSocketTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("SCRAM-SHA-256 SASL auth (the PG default) against an independent vector") {
+    val server = new ScriptedPgServer(salt,
+      stdAnswers(pubExists = true, slotExists = true), Seq.empty,
+      authMode = "scram")
+    try {
+      val transport = new PgSocketTransport("127.0.0.1", server.port, "appdb",
+        "alice", Some("secret"), "graft_slot", "graft_pub",
+        startLsn = Some(1L), pollMillis = 300,
+        nonceFactory = () => "graftnonce123456")
+      try {
+        // the server verified the client proof against a python-hashlib
+        // vector; the client verified the server signature (a mismatch
+        // would have thrown before this point)
+        assert(server.passwordSeen.get() != null)
+        assert(transport.receive().isEmpty) // stream idle but live
+      } finally transport.close()
+      assert(server.failure == null, s"server-side failure: ${server.failure}")
+    } finally server.stop()
+  }
+
   test("cleartext auth sends the raw password; missing password fails fast") {
     val server = new ScriptedPgServer(salt,
       stdAnswers(pubExists = true, slotExists = true), Seq.empty,
-      cleartextAuth = true)
+      authMode = "cleartext")
     try {
       val transport = new PgSocketTransport("127.0.0.1", server.port, "appdb",
         "alice", Some("hunter2"), "graft_slot", "graft_pub",
@@ -261,7 +315,7 @@ class PgSocketTransportSpec extends AnyFunSuite {
 
     val server2 = new ScriptedPgServer(salt,
       stdAnswers(pubExists = true, slotExists = true), Seq.empty,
-      cleartextAuth = true)
+      authMode = "cleartext")
     try {
       val e = intercept[IllegalStateException] {
         new PgSocketTransport("127.0.0.1", server2.port, "appdb", "alice",
