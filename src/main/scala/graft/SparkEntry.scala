@@ -528,6 +528,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // mergeable distinct-count sketches (oracle-checked): per-group HLL
+    // sketches (Spark's datasketches built-ins — the persist-partial-
+    // sketches-then-union pattern every sharded pipeline needs), union-
+    // merged IN-PLAN to a corpus estimate checked against the exact
+    // distinct count (q46's deterministic error-bound device; the sketch
+    // is deterministic, so the boolean is too). Exact per-group counts
+    // are the DuckDB-reproducible output.
+    "q65_hll_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          count_distinct(col("l_partkey")).as("nd_parts"))
+      val exactTotal = li.agg(count_distinct(col("l_partkey")).as("exact_total"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perFlag.crossJoin(broadcast(exactTotal))
+        .withColumn("hll_est",
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .withColumn("hll_err_ok",
+          abs(col("hll_est") - col("exact_total")).cast(DoubleType) /
+            col("exact_total").cast(DoubleType) <= 0.05)
+        .select(col("l_returnflag"), col("nd_parts"), col("exact_total"),
+          col("hll_err_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // PII redaction (oracle-checked): the fixture has no PII, so the
     // query plants deterministic emails/IPs/phones derived from doc_id
     // (the q59/q60 device) and scrubs them — both engines construct and
@@ -975,6 +1000,16 @@ object SparkEntry {
         |SELECT id AS doc_id, min(comp) AS cluster_id,
         |  (id = min(comp)) AS is_survivor
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // exact per-group and corpus distinct counts; the HLL union estimate
+    // bound is TRUE by construction (deterministic sketch).
+    "q65_hll_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_total,
+        |  TRUE AS hll_err_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // both engines build the same planted-PII text and run the same
     // RE2-subset regexes; DuckDB's regexp_replace needs the 'g' flag for
