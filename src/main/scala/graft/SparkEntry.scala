@@ -507,6 +507,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // within-corpus duplicated n-gram spans (oracle-checked): per doc, how
+    // many of its distinct word 8-grams appear in >=1 OTHER doc — the
+    // distributed approximation of exact-substring dedup (Lee et al.
+    // 2021). Gram hashes stand in for gram strings (the q43/q55 device);
+    // DuckDB reproduces the counts from the gram strings themselves.
+    "q66_dup_ngrams" -> ((s, dir) =>
+      Dedup.duplicatedGramReport(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))),
+
     // deterministic hash split (oracle-checked): train/val/test assignment
     // as a pure function of the id — reproducible cross-engine from
     // md5(id) alone, zero-shuffle at any scale.
@@ -1218,6 +1227,21 @@ object SparkEntry {
         |FROM grams t JOIN bench b ON t.g = b.g
         |WHERE t.doc_id % 10 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q66_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct([
+        |    array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)
+        |  ])) AS g
+        |  FROM toks WHERE len(toks) >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+        |SELECT gr.doc_id, count(*) AS n_grams, count(d.g) AS n_dup_grams,
+        |  round(count(d.g)::DOUBLE / count(*), 6) AS dup_frac
+        |FROM grams gr LEFT JOIN dup d ON gr.g = d.g
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
 
     "q56_hash_split" ->
       """SELECT doc_id, CASE

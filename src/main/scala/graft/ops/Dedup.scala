@@ -214,6 +214,42 @@ object Dedup {
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
 
+  /** Within-corpus duplicated n-gram report: for each document, how many
+    * of its distinct word n-grams also appear in at least one OTHER
+    * document — the distributed approximation of exact-substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", uses suffix arrays on a single machine; hashed fixed-length
+    * n-grams are the shuffle-friendly form used by large corpus
+    * pipelines).
+    *
+    * Scale shape: the corpus reduces to (doc_id, 64-bit gram hash) via the
+    * codegen'd `word_shingle_hashes` kernel (already distinct per doc) —
+    * one groupBy(g) with map-side combine marks grams seen in >1 doc,
+    * then one hash join back on g (both sides g-partitioned after the
+    * aggregate, so AQE reuses the exchange) and a final per-doc count.
+    * No gram strings materialize and no doc joins any other doc directly
+    * — pair volume never appears, unlike pairwise dedup.
+    */
+  def duplicatedGramReport(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.word_shingle_hashes(col("__toks"), n)).as("g"))
+    // per-(doc, g) rows are unique -> count(*) == distinct-doc count
+    val gramDocCounts = grams.groupBy(col("g"))
+      .agg((count(lit(1)) > 1).as("isdup"))
+    grams.join(gramDocCounts, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Cluster-level dedup: keep each component's minimum-id doc (plus every
     * doc with no near-dup pair at all). The transitive-closure form of
     * [[minhashDedup]].

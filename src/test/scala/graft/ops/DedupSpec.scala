@@ -58,6 +58,17 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("duplicatedGramReport counts grams shared with other docs") {
+    // base has 20 tokens -> 13 word 8-grams; docs 1/2 identical, doc 3
+    // changes token 16 ("warm"->"cold") which sits in the last 5 grams
+    val rep = Dedup.duplicatedGramReport(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep(1L) == ((13L, 13L)), s"doc1: ${rep(1L)}")
+    assert(rep(2L) == ((13L, 13L)), s"doc2: ${rep(2L)}")
+    assert(rep(3L) == ((13L, 8L)), s"doc3: ${rep(3L)}")
+    assert(rep(4L)._2 == 0L && rep(5L)._2 == 0L, s"unrelated docs dup'd: $rep")
+  }
+
   test("simhashPairs: exact dup at distance 0; unrelated docs far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
