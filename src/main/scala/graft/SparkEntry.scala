@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontamination, Dedup, Importance, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -506,6 +506,16 @@ object SparkEntry {
       Decontamination.overlapReport(train, "doc_id", "text", bench, "text", n = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // DSIR-style importance weights (oracle-checked): per-doc unigram
+    // log-likelihood ratio of the target language model (lang='en' docs)
+    // over the raw corpus model, add-one smoothed (Xie et al. 2023). The
+    // oracle rebuilds both models from the same token stream; ln deltas
+    // across engines sit ~1e-15, absorbed by round 6.
+    "q67_dsir_weights" -> ((s, dir) =>
+      Importance.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy(col("doc_id"))),
 
     // within-corpus duplicated n-gram spans (oracle-checked): per doc, how
     // many of its distinct word 8-grams appear in >=1 OTHER doc — the
@@ -1227,6 +1237,30 @@ object SparkEntry {
         |FROM grams t JOIN bench b ON t.g = b.g
         |WHERE t.doc_id % 10 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q67_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, is_target, unnest(toks) AS w FROM toks),
+        |docw AS (
+        |  SELECT doc_id, is_target, w, count(*) AS c
+        |  FROM words GROUP BY ALL),
+        |vocab AS (
+        |  SELECT w, sum(c) AS n_raw,
+        |    sum(CASE WHEN is_target THEN c ELSE 0 END) AS n_tgt
+        |  FROM docw GROUP BY w),
+        |tot AS (
+        |  SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt, count(*) AS v
+        |  FROM vocab)
+        |SELECT d.doc_id,
+        |  round(sum(d.c * (ln((vb.n_tgt + 1)::DOUBLE / (t.tot_tgt + t.v)) -
+        |    ln((vb.n_raw + 1)::DOUBLE / (t.tot_raw + t.v)))), 6) AS dsir_score,
+        |  sum(d.c)::BIGINT AS n_tokens
+        |FROM docw d JOIN vocab vb USING (w) CROSS JOIN tot t
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q66_dup_ngrams" ->
       """WITH toks AS (

@@ -305,6 +305,53 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): assign every embedding to
+    * its nearest centroid by cosine, then find near-duplicate pairs ONLY
+    * within a cluster — the quadratic stage is bounded by cluster size,
+    * never the corpus. Cross-cluster pairs are deliberately out of scope
+    * (that is the algorithm's recall trade).
+    *
+    * Scale shape: assignment is map-only — centroids inline as literals
+    * into K codegen'd `vec_cosine` kernel calls (K is a plan-time
+    * constant; at web scale K grows with the corpus — the paper uses 50k
+    * clusters — keeping per-cluster pair counts bounded, and the
+    * assignment becomes the IVF probe in [[Similarity]]). The only
+    * shuffle is the equi-join on the cluster key; vectors must ride it
+    * because every within-cluster pair needs its exact cosine — that is
+    * SemDeDup's defined cost, not an implementation accident.
+    *
+    * Ties in the argmax go to the smallest centroid index
+    * (deterministic, engine-reproducible).
+    */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], threshold: Double = 0.9): DataFrame = {
+    require(centroids.size >= 2, "semanticPairs needs at least 2 centroids")
+    val cosCols = centroids.map(c => vec_cosine(col("__vec"), graft.functions.lit_vec(c)))
+    val m = greatest(cosCols: _*)
+    val cluster = cosCols.zipWithIndex.tail
+      .foldLeft(when(cosCols.head === m, 0)) {
+        case (acc, (cc, j)) => acc.when(cc === m, j)
+      }
+    val base = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("__vec"))
+      .withColumn("cluster", cluster)
+    val a = base.select(col("cluster"), col("id").as("id_a"), col("__vec").as("va"))
+    val b = base.select(col("cluster"), col("id").as("id_b"), col("__vec").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(vec_cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("sim"))
+  }
+
+  /** Block-indicator centroids (centroid j is 1 on dimensions i where
+    * i % k == j): a deterministic, engine-reproducible centroid set for
+    * testing/oracling [[semanticPairs]] — production callers pass
+    * [[Similarity.trainCentroids]] output instead.
+    */
+  def blockCentroids(k: Int, dim: Int): Seq[Seq[Float]] =
+    (0 until k).map(j => (0 until dim).map(i => if (i % k == j) 1.0f else 0.0f))
+
   /** Embedding near-dup pairs: random-hyperplane LSH bucketing + exact
     * cosine verification. Plane signs are generated from a fixed seed on
     * the driver and inlined as literals (tiny), so assignment is map-only;
