@@ -641,6 +641,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup semantic dedup (oracle-checked): nearest-centroid cluster
+    // assignment + within-cluster-only near-dup pairs (Abbas et al.
+    // 2023). Deterministic block-indicator centroids make the assignment
+    // engine-reproducible (DuckDB recomputes the same argmax); the
+    // vec_id < 500 bound is the q51 quadratic-anchor device — the full
+    // corpus path is the same plan with trained centroids.
+    "q68_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", Dedup.blockCentroids(8, 64), threshold = 0.4)
+        .withColumn("cluster", col("cluster").cast(LongType))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // IVF ANN: index build + probe, oracle-checked via the exact side
     // (VERDICT r1 #5): output = exact brute-force top-10 (DuckDB
     // reproduces it) + a deterministic recall bound on the IVF probe
@@ -1130,6 +1143,26 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q68_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
+        |cents AS (
+        |  SELECT j, list_transform(range(64),
+        |    i -> CASE WHEN i % 8 = j THEN 1.0 ELSE 0.0 END) AS c
+        |  FROM range(8) t(j)),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.j, list_cosine_similarity(e.v, c.c) AS cs
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, v, j AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, j) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q51_ann_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

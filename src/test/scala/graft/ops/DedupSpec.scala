@@ -76,6 +76,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semanticPairs pairs only within a cluster; exact dup found") {
+    val dim = 8
+    def vec(block: Int, jitter: Float): Seq[Float] =
+      (0 until dim).map(i => if (i % 4 == block) 1.0f else jitter)
+    val emb = Seq(
+      (1L, vec(0, 0.0f)), (2L, vec(0, 0.01f)), // near-identical, cluster 0
+      (3L, vec(1, 0.0f)), // other cluster, orthogonal-ish to 1/2
+      (4L, vec(0, 0.02f)) // cluster 0, near 1/2
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val pairs = Dedup.semanticPairs(emb, "vec_id", "embedding",
+      Dedup.blockCentroids(4, dim), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), s"near-identical pair missing: $pairs")
+    assert(pairs.contains((1L, 4L, 0)) && pairs.contains((2L, 4L, 0)), s"$pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"cross-cluster pair leaked: $pairs")
+  }
+
+  test("semanticPairs argmax tie-break picks the smallest centroid index") {
+    // the all-ones vector ties on every block centroid -> cluster 0
+    val emb = Seq((1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Dedup.semanticPairs(emb, "vec_id", "embedding",
+      Dedup.blockCentroids(4, 8), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0)), s"got ${out.toSeq}")
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors") {
     val dim = 8
     val v = Array(0.9f, 0.1f, 0.3f, 0.7f, 0.2f, 0.8f, 0.4f, 0.6f)
