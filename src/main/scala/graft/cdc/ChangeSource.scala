@@ -127,6 +127,46 @@ object ReplicatePipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
+  /** Kafka sink over the library's own wire producer ([[KafkaWireProducer]]
+    * — no client jar): each micro-batch partition opens its own broker
+    * connection and produces its rows with murmur2 key partitioning, so
+    * the work stays on the executors (no driver collect). Failures raise
+    * through `onError` and fail the batch — at-least-once, identical to
+    * [[startWithDeliveryReports]]. The partition count is resolved once
+    * per batch on the driver (one tiny metadata round-trip).
+    */
+  def startToKafkaWire(frame: DataFrame, host: String, port: Int,
+      topic: String, checkpointDir: String,
+      onError: (Long, Throwable) => Unit = (_, _) => (),
+      triggerMs: Long = 100L): StreamingQuery =
+    startWithDeliveryReports(frame,
+      writeBatch = (df, _) => {
+        val meta = new KafkaWireProducer(host, port)
+        val numPartitions =
+          try meta.partitionCount(topic)
+          finally meta.close()
+        import org.apache.spark.sql.functions.col
+        df.select(col("key").cast("string"), col("value").cast("string"))
+          .foreachPartition { (rows: Iterator[Row]) =>
+            if (rows.hasNext) {
+              val producer = new KafkaWireProducer(host, port)
+              try {
+                val now = System.currentTimeMillis()
+                val records = rows.map { r =>
+                  (r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                    r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                    now)
+                }.toSeq
+                producer.send(topic, numPartitions, records)
+                ()
+              } finally producer.close()
+            }
+          }
+      },
+      onError = onError,
+      checkpointDir = checkpointDir,
+      triggerMs = triggerMs)
+
   /** File sink used offline (same envelope frame, parquet instead of
     * Kafka) — lets tests and the archiver-to-lake path share wiring.
     */

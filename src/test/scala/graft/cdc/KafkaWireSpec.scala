@@ -1,0 +1,314 @@
+package graft.cdc
+
+import graft.cdc.KafkaWire._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Scripted Kafka broker on a real localhost socket: decodes request
+  * frames with its own header parser (not the producer's encoder),
+  * answers canned ApiVersions/Metadata responses, captures Produce record
+  * sets verbatim, and can inject per-partition error codes — the offline
+  * test bed for the wire producer (the live-broker half the KafkaSinkSpec
+  * stubs out).
+  */
+class ScriptedKafkaBroker(topic: String, numPartitions: Int,
+    produceErrors: Map[Int, Short] = Map.empty,
+    maxProduceVersion: Short = 9) {
+
+  private val server = new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  case class Captured(partition: Int, recordSet: Array[Byte], acks: Short)
+  val produced = new ConcurrentLinkedQueue[Captured]()
+  val clientIds = new ConcurrentLinkedQueue[String]()
+  @volatile var failure: Throwable = _
+
+  private val acceptThread = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val sock = server.accept()
+        val h = new Thread(() => {
+          try serve(sock)
+          catch { case t: Throwable => failure = t }
+        }, "scripted-kafka-conn")
+        h.setDaemon(true)
+        h.start()
+      }
+    } catch { case _: java.io.IOException => } // closed
+  }, "scripted-kafka-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      while (true) {
+        val len = in.readInt()
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        val buf = ByteBuffer.wrap(frame)
+        val apiKey = buf.getShort
+        val apiVersion = buf.getShort
+        val cid = buf.getInt
+        val clientIdLen = buf.getShort
+        val cidBytes = new Array[Byte](clientIdLen)
+        buf.get(cidBytes)
+        clientIds.add(new String(cidBytes, StandardCharsets.UTF_8))
+
+        val body = new ByteArrayOutputStream()
+        writeInt(body, cid)
+        apiKey match {
+          case ApiVersions =>
+            require(apiVersion == 0, s"expected ApiVersions v0, got $apiVersion")
+            writeShort(body, 0)
+            val ranges = Seq((ApiProduce, 0: Short, maxProduceVersion),
+              (ApiMetadata, 0: Short, 12: Short),
+              (ApiVersions, 0: Short, 3: Short))
+            writeInt(body, ranges.size)
+            ranges.foreach { case (k, lo, hi) =>
+              writeShort(body, k); writeShort(body, lo); writeShort(body, hi)
+            }
+          case ApiMetadata =>
+            require(apiVersion == 1, s"expected Metadata v1, got $apiVersion")
+            val nTopics = buf.getInt
+            val requested = (0 until nTopics).map(_ => readString(buf))
+            writeInt(body, 1) // brokers
+            writeInt(body, 0) // node_id
+            writeStringTo(body, "127.0.0.1")
+            writeInt(body, port)
+            writeShort(body, -1) // rack = null
+            writeInt(body, 0) // controller_id
+            writeInt(body, requested.size)
+            requested.foreach { t =>
+              writeShort(body, if (t == topic) 0 else 3) // 3 = UNKNOWN_TOPIC
+              writeStringTo(body, t)
+              body.write(0) // is_internal
+              val parts = if (t == topic) numPartitions else 0
+              writeInt(body, parts)
+              (0 until parts).foreach { p =>
+                writeShort(body, 0)
+                writeInt(body, p)
+                writeInt(body, 0) // leader
+                writeInt(body, 1); writeInt(body, 0) // replicas [0]
+                writeInt(body, 1); writeInt(body, 0) // isr [0]
+              }
+            }
+          case ApiProduce =>
+            require(apiVersion == 3, s"expected Produce v3, got $apiVersion")
+            val txLen = buf.getShort // transactional_id (null = -1)
+            if (txLen > 0) buf.position(buf.position() + txLen)
+            val acks = buf.getShort
+            buf.getInt // timeout
+            val nTopics = buf.getInt
+            writeInt(body, nTopics)
+            (0 until nTopics).foreach { _ =>
+              val t = readString(buf)
+              val nParts = buf.getInt
+              writeStringTo(body, t)
+              writeInt(body, nParts)
+              (0 until nParts).foreach { _ =>
+                val p = buf.getInt
+                val setLen = buf.getInt
+                val set = new Array[Byte](setLen)
+                buf.get(set)
+                produced.add(Captured(p, set, acks))
+                writeInt(body, p)
+                writeShort(body, produceErrors.getOrElse(p, 0: Short))
+                writeLong(body, 100L + p) // base_offset
+                writeLong(body, -1L) // log_append_time
+              }
+            }
+            writeInt(body, 0) // throttle_time_ms
+          case other => throw new IllegalStateException(s"broker got api $other")
+        }
+        val b = body.toByteArray
+        out.writeInt(b.length)
+        out.write(b)
+        out.flush()
+      }
+    } catch { case _: java.io.IOException => } // client closed
+  }
+
+  private def writeStringTo(out: ByteArrayOutputStream, s: String): Unit =
+    writeString(out, s)
+
+  def stop(): Unit = server.close()
+}
+
+class KafkaWireSpec extends AnyFunSuite {
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // the values asserted in Apache Kafka's own UtilsTest (public repo),
+    // independently reproduced with a python reimplementation of the
+    // published algorithm before being pinned here
+    val vectors = Seq(
+      "21" -> -973932308,
+      "foobar" -> -790332482,
+      "a-little-bit-long-string" -> -985981536,
+      "a-little-bit-longer-string" -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8" -> -58897971,
+      "abc" -> 479470107)
+    vectors.foreach { case (s, expected) =>
+      assert(murmur2(s.getBytes(StandardCharsets.UTF_8)) == expected,
+        s"murmur2('$s')")
+    }
+    assert(partitionFor("abc".getBytes, 4) == (479470107 & 0x7fffffff) % 4)
+  }
+
+  test("varint/varlong zigzag round-trips the int/long edges") {
+    val ints = Seq(0, 1, -1, 63, 64, -64, -65, 300, -300,
+      Int.MaxValue, Int.MinValue)
+    ints.foreach { v =>
+      val out = new ByteArrayOutputStream()
+      writeVarint(out, v)
+      assert(readVarint(ByteBuffer.wrap(out.toByteArray)) == v, s"varint $v")
+    }
+    val longs = Seq(0L, 1L, -1L, 1234567890123L, -1234567890123L,
+      Long.MaxValue, Long.MinValue)
+    longs.foreach { v =>
+      val out = new ByteArrayOutputStream()
+      writeVarlong(out, v)
+      assert(readVarlong(ByteBuffer.wrap(out.toByteArray)) == v, s"varlong $v")
+    }
+  }
+
+  test("record batch v2 round-trips through its own decoder with CRC intact") {
+    val records = Seq(
+      Record(Some("k1".getBytes), "v1".getBytes, 1000L),
+      Record(None, "v2-no-key".getBytes, 1005L),
+      Record(Some("k3".getBytes), Array.emptyByteArray, 1010L))
+    val batch = recordBatch(records)
+    val decoded = decodeRecordBatch(batch)
+    assert(decoded.size == 3)
+    assert(decoded(0).key.map(new String(_)).contains("k1"))
+    assert(new String(decoded(0).value) == "v1")
+    assert(decoded(0).timestampMs == 1000L)
+    assert(decoded(1).key.isEmpty)
+    assert(decoded(2).value.isEmpty)
+    assert(decoded(2).timestampMs == 1010L)
+
+    // a flipped payload byte must fail the CRC, not decode garbage
+    val corrupt = batch.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](decodeRecordBatch(corrupt))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("produce end-to-end through a real socket: partitioning, framing, offsets") {
+    val broker = new ScriptedKafkaBroker("changes", numPartitions = 3)
+    try {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port, "graft-test")
+      try {
+        val n = producer.partitionCount("changes")
+        assert(n == 3)
+        val records = Seq(
+          ("db.public.users".getBytes, """{"op":"c"}""".getBytes, 1700000000000L),
+          ("db.public.users".getBytes, """{"op":"u"}""".getBytes, 1700000000001L),
+          ("db.public.orders".getBytes, """{"op":"d"}""".getBytes, 1700000000002L))
+        val offsets = producer.send("changes", n, records)
+
+        // every batch the broker captured decodes with a valid CRC and
+        // carries the keys to the murmur2-assigned partition
+        val captured = broker.produced.toArray(Array.empty[broker.Captured])
+        assert(captured.nonEmpty)
+        assert(captured.forall(_.acks == 1), "reference target uses acks=1")
+        val decoded = captured.flatMap(c =>
+          decodeRecordBatch(c.recordSet).map(r => (c.partition, r)))
+        assert(decoded.length == 3)
+        decoded.foreach { case (p, r) =>
+          assert(p == partitionFor(r.key.get, 3),
+            s"record on partition $p but key hashes to ${partitionFor(r.key.get, 3)}")
+        }
+        val users = decoded.filter(r => new String(r._2.key.get) == "db.public.users")
+        assert(users.length == 2 && users.map(_._1).distinct.length == 1,
+          "same key must land on one partition")
+        assert(offsets.values.forall(_ >= 100L), s"base offsets: $offsets")
+      } finally producer.close()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("per-partition broker errors surface through onError and raise") {
+    // error 7 = REQUEST_TIMED_OUT; planted on whatever partition the key maps to
+    val key = "db.public.users".getBytes
+    val errPartition = partitionFor(key, 3)
+    val broker = new ScriptedKafkaBroker("changes", 3,
+      produceErrors = Map(errPartition -> (7: Short)))
+    try {
+      val seen = new ConcurrentLinkedQueue[(Int, Short)]()
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port,
+        onError = (p, e) => seen.add((p, e)))
+      try {
+        val e = intercept[IllegalStateException] {
+          producer.send("changes", 3, Seq((key, "v".getBytes, 1L)))
+        }
+        assert(e.getMessage.contains(s"$errPartition(err 7)"))
+        assert(seen.toArray(Array.empty[(Int, Short)]).toSeq == Seq((errPartition, 7: Short)),
+          "delivery-report hook must see the failed partition")
+      } finally producer.close()
+    } finally broker.stop()
+  }
+
+  test("handshake fails fast when the broker cannot speak Produce v3") {
+    val broker = new ScriptedKafkaBroker("changes", 1, maxProduceVersion = 2)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new KafkaWireProducer("127.0.0.1", broker.port)
+      }
+      assert(e.getMessage.contains("Produce v3"))
+    } finally broker.stop()
+  }
+
+  test("streaming envelope frame lands on the scripted broker end-to-end") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val broker = new ScriptedKafkaBroker("changes", numPartitions = 3)
+    val inDir = java.nio.file.Files.createTempDirectory("kwire-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kwire-ckpt").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "b0.json"),
+        """{"db":"appdb","schema":"public","table":"users","op":"c","ts_ms":1700000000000,"before":null,"after":{"id":"7","name":"ada"},"lsn":8448,"txId":9}""" + "\n" +
+          """{"db":"appdb","schema":"public","table":"orders","op":"d","ts_ms":1700000000001,"before":{"id":"3"},"after":null,"lsn":8449,"txId":9}""")
+      val frame = ReplicatePipeline.envelopeFrame(
+        FileChangeSource(inDir), spark, "postgresql", "graft")
+      val q = ReplicatePipeline.startToKafkaWire(frame, "127.0.0.1",
+        broker.port, "changes", ckpt)
+      try q.processAllAvailable()
+      finally q.stop()
+
+      val captured = broker.produced.toArray(Array.empty[broker.Captured])
+      val decoded = captured.flatMap(c =>
+        decodeRecordBatch(c.recordSet).map(r => (c.partition, r)))
+      assert(decoded.length == 2, s"expected 2 records, got ${decoded.length}")
+      val byKey = decoded.map(r => new String(r._2.key.get) ->
+        ((r._1, new String(r._2.value)))).toMap
+      assert(byKey.keySet == Set("appdb.public.users", "appdb.public.orders"))
+      assert(byKey("appdb.public.users")._2.contains(""""op":"c""""))
+      byKey.foreach { case (k, (p, _)) =>
+        assert(p == partitionFor(k.getBytes, 3), s"key $k on wrong partition $p")
+      }
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally {
+      broker.stop()
+    }
+  }
+
+  test("unknown topic surfaces the metadata error code") {
+    val broker = new ScriptedKafkaBroker("changes", 1)
+    try {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          producer.partitionCount("nope")
+        }
+        assert(e.getMessage.contains("metadata error 3"))
+      } finally producer.close()
+    } finally broker.stop()
+  }
+}
