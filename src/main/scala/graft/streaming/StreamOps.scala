@@ -52,6 +52,50 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming decontamination flags: documents arriving on the stream
+    * that share at least one word n-gram with a STATIC benchmark table —
+    * the continuous-ingest form of [[graft.ops.Decontamination]]. The
+    * stream-static left-semi join broadcasts the (deduped, tiny)
+    * benchmark gram-hash set, so each micro-batch is map-only against it;
+    * `dropDuplicatesWithinWatermark` collapses a doc's multiple matching
+    * grams to one flagged row with watermark-bounded state.
+    *
+    * `benchGrams` must carry a `g` column of 64-bit gram hashes
+    * ([[graft.functions.word_shingle_hashes]] over the benchmark text).
+    */
+  def streamingContaminated(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, benchGrams: DataFrame, n: Int = 8,
+      watermark: String = "10 minutes"): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .withColumn("g", explode(
+        graft.functions.word_shingle_hashes(col("__toks"), n)))
+      .join(broadcast(benchGrams.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .drop("__toks", "g")
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
+  /** Stream-stream interval join: each left event matched to right events
+    * on the same key with `rightTs` in [leftTs - lowerMs, leftTs +
+    * upperMs]. Both sides are watermarked, so the state store retains
+    * only the interval's worth of rows per side — the bounded-state form
+    * of the as-of/range join for live pipelines (Spark drops a side's
+    * buffered rows once the other side's watermark passes the interval
+    * bound).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lowerMs: Long, upperMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperMs MILLISECONDS"))
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

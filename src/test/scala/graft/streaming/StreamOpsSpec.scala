@@ -73,6 +73,64 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  case class DocRow(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming decontamination flags docs sharing grams with the static benchmark") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode}
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val bench = Seq(benchText).toDF("text")
+      .select(explode(graft.functions.word_shingle_hashes(
+        graft.ops.TextAnalysis.tokens(col("text")), 8)).as("g"))
+    val input = MemoryStream[DocRow]
+    val q = StreamOps.streamingContaminated(input.toDF(), "doc_id", "text",
+      "ts", bench, n = 8)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), "prefix words " + benchText + " suffix words"), // contaminated
+        DocRow(2, ts(1), "an entirely benign document about spark shuffle partitioning and exchange reuse strategies"),
+        DocRow(3, ts(2), "short doc")) // < 8 tokens, cannot be contaminated
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM contam_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L), s"only doc 1 shares an 8-gram: got $ids")
+      // one row per contaminated doc, not one per matching gram
+      assert(spark.sql("SELECT count(*) FROM contam_out").head.getLong(0) == 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches only rows inside the interval") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val views = MemoryStream[EventRow]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")),
+      views.toDF().select($"user_id".as("v_user"), $"ts".as("view_ts"), $"event_id".as("view_id"))
+        .withColumnRenamed("v_user", "user_id"),
+      key = "user_id", leftTs = "click_ts", rightTs = "view_ts",
+      lowerMs = 5 * 60 * 1000, upperMs = 0)
+    val q = joined
+      .select($"l.user_id", $"click_id", $"view_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // view 2 min before the click: inside [click-5min, click]; view 20
+      // min before: outside; view AFTER the click: outside (upper 0)
+      clicks.addData(EventRow(100, ts(30), 1, "click", 0.0))
+      views.addData(
+        EventRow(200, ts(28), 1, "view", 0.0), // in window
+        EventRow(201, ts(10), 1, "view", 0.0), // too old
+        EventRow(202, ts(31), 1, "view", 0.0), // after the click
+        EventRow(203, ts(29), 2, "view", 0.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((100L, 200L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, state stays bounded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
