@@ -507,6 +507,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled domain mixture (oracle-checked): per-language
+    // token counts -> sampling weights w_d ∝ n_d^0.7 and implied epochs
+    // for a 1M-token budget — the published multilingual sampling rule.
+    // One corpus scan + tiny-frame arithmetic, normalizer broadcast.
+    "q69_domain_mixture" -> ((s, dir) => {
+      val perLang = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+      Sampling.temperatureMixture(perLang, "lang", "n_tokens",
+        tau = 0.7, tokenBudget = 1000000L)
+        .orderBy(col("lang"))
+    }),
+
     // DSIR-style importance weights (oracle-checked): per-doc unigram
     // log-likelihood ratio of the target language model (lang='en' docs)
     // over the raw corpus model, add-one smoothed (Xie et al. 2023). The
@@ -1270,6 +1283,17 @@ object SparkEntry {
         |FROM grams t JOIN bench b ON t.g = b.g
         |WHERE t.doc_id % 10 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q69_domain_mixture" ->
+      """WITH toks AS (
+        |  SELECT lang, len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n
+        |  FROM documents),
+        |dom AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM toks GROUP BY lang),
+        |tot AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM dom)
+        |SELECT lang, n_tokens,
+        |  round(pow(n_tokens, 0.7) / z, 6) AS weight,
+        |  round(1000000 * pow(n_tokens, 0.7) / z / n_tokens, 6) AS epochs
+        |FROM dom CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q67_dsir_weights" ->
       """WITH toks AS (

@@ -63,4 +63,27 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Temperature-scaled domain mixture — the standard multilingual /
+    * multi-source sampling rule (weight_d ∝ n_d^τ; τ=1 is proportional,
+    * τ→0 is uniform; τ≈0.7 is the published multilingual convention, cf.
+    * Conneau & Lample 2019): given per-domain token counts, compute each
+    * domain's sampling weight and, for a token budget, how many epochs of
+    * the domain that draw implies (epochs > 1 = upsampled domain).
+    *
+    * Input is the per-domain aggregate (domain, n_tokens) — domains
+    * number in the dozens, so everything here is a tiny frame; the one
+    * corpus-sized pass is the caller's token-count aggregation. The
+    * normalizer rides a broadcast, keeping the whole thing in-plan.
+    */
+  def temperatureMixture(perDomain: DataFrame, domainCol: String,
+      tokenCol: String, tau: Double, tokenBudget: Long): DataFrame = {
+    val z = perDomain.agg(sum(pow(col(tokenCol), tau)).as("__z"))
+    perDomain.crossJoin(broadcast(z))
+      .withColumn("weight", round(pow(col(tokenCol), tau) / col("__z"), 6))
+      .withColumn("epochs",
+        round(lit(tokenBudget.toDouble) * pow(col(tokenCol), tau) / col("__z") /
+          col(tokenCol), 6))
+      .drop("__z")
+  }
 }

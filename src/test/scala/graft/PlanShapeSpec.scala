@@ -53,4 +53,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q55_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
+
+  test("q66 dup-ngram report joins grams per-key, never pairwise docs") {
+    val p = plan("q66_dup_ngrams")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q67 DSIR broadcasts the scalar totals; the model join is keyed") {
+    val p = plan("q67_dsir_weights")
+    // the 1-row totals frame must ride a broadcast nested-loop (cross)
+    // join, while the vocab join stays a keyed hash join — if the totals
+    // ever shuffle or the vocab join degrades to a loop, scale is gone
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "vocab join must stay a hash join")
+  }
+
+  test("q68 SemDeDup pairs via the cluster equi-join, no cartesian") {
+    val p = plan("q68_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairing must stay an equi-join on the cluster key")
+  }
+
+  test("q69 mixture normalizer rides a broadcast") {
+    val p = plan("q69_domain_mixture")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
 }

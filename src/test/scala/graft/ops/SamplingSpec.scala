@@ -36,4 +36,32 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(large), "hash sampling must nest by fraction")
   }
+
+  test("temperature mixture matches the hand-computed n^tau weights") {
+    import spark.implicits._
+    val perDomain = Seq(("en", 1000L), ("de", 100L)).toDF("domain", "n_tokens")
+    val out = Sampling.temperatureMixture(perDomain, "domain", "n_tokens",
+      tau = 0.7, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val z = math.pow(1000, 0.7) + math.pow(100, 0.7)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("en") == ((r6(math.pow(1000, 0.7) / z),
+      r6(1000.0 * math.pow(1000, 0.7) / z / 1000))), s"en: ${out("en")}")
+    assert(out("de") == ((r6(math.pow(100, 0.7) / z),
+      r6(1000.0 * math.pow(100, 0.7) / z / 100))), s"de: ${out("de")}")
+    // temperature < 1 upsamples the small domain relative to proportional
+    assert(out("de")._1 > 100.0 / 1100.0, "tau<1 must upsample the tail domain")
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-5, "weights sum to 1")
+  }
+
+  test("temperature mixture at tau=1 is proportional sampling") {
+    import spark.implicits._
+    val perDomain = Seq(("a", 300L), ("b", 700L)).toDF("domain", "n_tokens")
+    val out = Sampling.temperatureMixture(perDomain, "domain", "n_tokens",
+      tau = 1.0, tokenBudget = 500L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 == 0.3 && out("b")._1 == 0.7, s"got $out")
+    // proportional draw = every domain seen exactly budget/total epochs
+    assert(out("a")._2 == 0.5 && out("b")._2 == 0.5, s"got $out")
+  }
 }
