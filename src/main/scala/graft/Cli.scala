@@ -165,6 +165,52 @@ object Cli {
         println(s"""{"in":${docs.count()},"kept":${spark.read.parquet(out).count()},"out":"$out"}""")
       } finally spark.stop()
 
+    case "score" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"score: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        // target = a column predicate, e.g. --target "lang = 'en'"
+        val target = org.apache.spark.sql.functions.expr(
+          flags.getOrElse("target", "lang = 'en'"))
+        val scored = flags.get("buckets") match {
+          case Some(b) => graft.ops.Importance.dsirScoresHashed(docs, idCol,
+            textCol, target, ngram = flags.getOrElse("ngram", "1").toInt,
+            buckets = b.toInt)
+          case None => graft.ops.Importance.dsirScores(docs, idCol, textCol, target)
+        }
+        val out = req("out")
+        scored.write.mode("overwrite").parquet(out)
+        println(s"""{"scored":${spark.read.parquet(out).count()},"out":"$out"}""")
+      } finally spark.stop()
+
+    case "mixture" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"mixture: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.{col, sum}
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val domainCol = flags.getOrElse("domain-col", "lang")
+        val textCol = flags.getOrElse("text-col", "text")
+        val perDomain = docs.groupBy(col(domainCol))
+          .agg(sum(graft.ops.TextAnalysis.tokenCount(col(textCol))
+            .cast("long")).as("n_tokens"))
+        val mix = graft.ops.Sampling.temperatureMixture(perDomain, domainCol,
+          "n_tokens", tau = flags.getOrElse("tau", "0.7").toDouble,
+          tokenBudget = flags.getOrElse("budget", "1000000").toLong)
+        // domains number in the dozens — a JSON line per domain is the audit
+        mix.orderBy(col(domainCol)).collect().foreach { r =>
+          println(s"""{"domain":"${r.get(0)}","n_tokens":${r.getLong(1)},""" +
+            s""""weight":${r.getDouble(2)},"epochs":${r.getDouble(3)}}""")
+        }
+      } finally spark.stop()
+
     case "schema-generate" :: rest =>
       val flags = parseFlags(rest)
       val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
@@ -192,7 +238,10 @@ object Cli {
            |  fixtures --records N --out <dir>
            |  curate --in <sfdir> --table documents --out <dir>
            |         [--gopher true] [--bench <parquet>] [--ngram 8]
-           |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash|cc]""".stripMargin)
+           |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash|cc]
+           |  score --in <sfdir> --table documents --out <dir>
+           |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
+           |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]""".stripMargin)
       sys.exit(2)
   }
 }

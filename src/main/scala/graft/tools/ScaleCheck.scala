@@ -108,6 +108,28 @@ object ScaleCheck {
     println(f"DECON> train=${nDocs} bench=10000 flagged=${flagged.size} " +
       f"recall=$deconRecall%.4f time=${tDecon}%.1f s")
 
+    // ---- 1c. Duplicated-gram report on the same 210k docs -------------
+    // every planted pair (i, i+n) shares long runs of 8-grams; unrelated
+    // 80-token docs over a 5k vocabulary share none (collision odds are
+    // negligible) — so expected flagged docs = sources + partners.
+    val (dupReport, tDup) = time {
+      Dedup.duplicatedGramReport(docs, "doc_id", "text", n = 8)
+        .filter(col("n_dup_grams") > 0).collect()
+    }
+    val dupFlagged = dupReport.map(_.getLong(0)).toSet
+    val dupExpected = (0L until nDocs by 20).flatMap(i => Seq(i, i + nDocs)).toSet
+    val dupRecall = dupExpected.intersect(dupFlagged).size.toDouble / dupExpected.size
+    println(f"DUPGRAM> docs=${nDocs + nDocs / 20} flagged=${dupFlagged.size} " +
+      f"recall=$dupRecall%.4f time=${tDup}%.1f s")
+
+    // ---- 1d. DSIR importance scoring throughput on the 210k docs ------
+    val (dsirRows, tDsir) = time {
+      graft.ops.Importance.dsirScores(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0).collect()
+    }
+    val dsirOk = dsirRows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+    println(f"DSIR> docs=${dsirRows.length} finite=$dsirOk time=${tDsir}%.1f s")
+
     // ---- 2. IVF vs brute force on 50k x 64-dim vectors ----------------
     val emb = embeddings(spark, 50000L, 64).cache()
     emb.count()
@@ -126,6 +148,16 @@ object ScaleCheck {
     }
     println(f"ANN> n=50000 recall@20=${exact.intersect(approx).size / 20.0}%.2f " +
       f"brute=${tBrute}%.2f s train=${tTrain}%.2f s probe=${tProbe}%.2f s")
+
+    // ---- 2a. SemDeDup over the same 50k vectors with the trained
+    // centroids: the data is built around 40 hash centers with 10% noise,
+    // so same-center vectors are semantic near-dups; the within-cluster
+    // stage must find pairs while staying bounded by cluster size.
+    val (semPairs, tSem) = time {
+      Dedup.semanticPairs(emb, "vec_id", "embedding",
+        cents.map(_.toSeq), threshold = 0.95).count()
+    }
+    println(f"SEMDEDUP> n=50000 k=${cents.length} pairs=$semPairs time=${tSem}%.1f s")
 
     // ---- 3. Archiver throughput on 5M generated rows ------------------
     val rows = 5000000L
