@@ -72,6 +72,48 @@ class WireFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Kafka record batches round-trip arbitrary records exactly") {
+    import graft.cdc.KafkaWire
+    val recordGen: Gen[KafkaWire.Record] = for {
+      key <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray))
+      value <- Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+      ts <- Gen.chooseNum(0L, 4102444800000L)
+    } yield KafkaWire.Record(key, value, ts)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(recordGen).map(_.take(20))) { rs =>
+      val decoded = KafkaWire.decodeRecordBatch(KafkaWire.recordBatch(rs))
+      decoded.size == rs.size && decoded.zip(rs).forall { case (d, o) =>
+        d.timestampMs == o.timestampMs &&
+          d.key.map(_.toSeq) == o.key.map(_.toSeq) &&
+          d.value.sameElements(o.value)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("truncated or corrupted Kafka record batches raise, never fabricate") {
+    import graft.cdc.KafkaWire
+    val batch = KafkaWire.recordBatch(Seq(
+      KafkaWire.Record(Some("key-1".getBytes), "value-payload-1".getBytes, 1000L),
+      KafkaWire.Record(None, "value-2".getBytes, 1001L)))
+    assert(KafkaWire.decodeRecordBatch(batch).size == 2, "full batch must decode")
+    (1 until batch.length).foreach { cut =>
+      val raised =
+        try { KafkaWire.decodeRecordBatch(batch.take(cut)); false }
+        catch { case _: Exception => true }
+      assert(raised, s"truncation at $cut/${batch.length} decoded silently")
+    }
+    // any single-byte flip inside the CRC'd region must fail the checksum
+    (21 until batch.length).foreach { i =>
+      val c = batch.clone(); c(i) = (c(i) ^ 0x40).toByte
+      val raised =
+        try { KafkaWire.decodeRecordBatch(c); false }
+        catch { case _: Exception => true }
+      assert(raised, s"bit flip at $i decoded silently")
+    }
+  }
+
   test("every strict prefix of a pgoutput logical message raises, never fabricates") {
     // counts/lengths are declared up front in every message shape, so NO
     // strict prefix can be a complete message — a prefix that decodes
