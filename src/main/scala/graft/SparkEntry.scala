@@ -59,6 +59,22 @@ object SparkEntry {
     * bound — the bound keeps the quadratic stage fixed-size no matter the
     * corpus, same device as q45).
     */
+  /** The synthetic change stream q24/q70 share: events mapped onto the
+    * raw-change contract (signup=c, purchase=u, error=d, else r).
+    */
+  private def eventChanges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      lit("db").as("db"), lit("s").as("schema"), lit("customer").as("table"),
+      when(col("event_type") === "signup", "c")
+        .when(col("event_type") === "purchase", "u")
+        .when(col("event_type") === "error", "d")
+        .otherwise("r").as("op"),
+      col("event_id").as("ts_ms"),
+      lit(null).cast("map<string,string>").as("before"),
+      map(lit("id"), (col("user_id") + 1).cast(StringType),
+        lit("name"), concat(lit("user_"), col("user_id"))).as("after"),
+      col("event_id").as("lsn"), col("event_id").as("txId"))
+
   private def exactEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
     // spread the streamed side of the nested-loop pair join across cores
@@ -127,20 +143,17 @@ object SparkEntry {
     "q24_cdc_apply" -> ((s, dir) => {
       val base = t(s, dir, "customer")
         .select(col("c_custkey").cast(StringType).as("id"), col("c_name").as("name"))
-      val changes = t(s, dir, "events").select(
-        lit("db").as("db"), lit("s").as("schema"), lit("customer").as("table"),
-        when(col("event_type") === "signup", "c")
-          .when(col("event_type") === "purchase", "u")
-          .when(col("event_type") === "error", "d")
-          .otherwise("r").as("op"),
-        col("event_id").as("ts_ms"),
-        lit(null).cast("map<string,string>").as("before"),
-        map(lit("id"), (col("user_id") + 1).cast(StringType),
-          lit("name"), concat(lit("user_"), col("user_id"))).as("after"),
-        col("event_id").as("lsn"), col("event_id").as("txId"))
-      graft.cdc.Apply.applyChanges(base, changes, "id", Seq("name"))
+      graft.cdc.Apply.applyChanges(base, eventChanges(s, dir), "id", Seq("name"))
         .orderBy(col("id").cast(LongType))
     }),
+
+    // SCD type-2 history from the same change stream (oracle-checked):
+    // one versioned row per non-delete change, valid_from/valid_to from
+    // the per-key lead window, deletes closing the final interval — the
+    // lakehouse consumer shape q24's merge materializes the tip of.
+    "q70_scd2_history" -> ((s, dir) =>
+      graft.cdc.Apply.scd2History(eventChanges(s, dir), "id", Seq("name"))
+        .orderBy(col("id").cast(LongType), col("valid_from"))),
 
     // ============ categories the reference pushes to its source DB ========
 
@@ -797,6 +810,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT key AS id, name FROM latest WHERE op <> 'd')
         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+
+    "q70_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT (user_id + 1)::VARCHAR AS id,
+        |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+        |    'user_' || user_id::VARCHAR AS name,
+        |    event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id, event_id) AS valid_to
+        |  FROM events)
+        |SELECT id, name, valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM ch WHERE op <> 'd'
+        |ORDER BY CAST(id AS BIGINT), valid_from""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -52,6 +52,35 @@ object Apply {
       .withColumnRenamed("__key", keyCol)
   }
 
+  /** SCD type-2 history: expand a change batch into a
+    * slowly-changing-dimension history table — one row per non-delete
+    * change with `valid_from` (the change's event time), `valid_to` (the
+    * key's NEXT change time, null while current) and `is_current`. A
+    * delete emits no row of its own but closes the previous version's
+    * interval, so a deleted key's history ends with a bounded row.
+    *
+    * Shape: one hash shuffle on the key + a per-key `lead` window —
+    * O(changes), no join against the base table at all (history derives
+    * from the stream alone), and the same code runs per micro-batch
+    * under foreachBatch with the batch unioned onto the open tail.
+    */
+  def scd2History(changes: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val keyFromImage = coalesce(
+      col("after").getItem(keyCol), col("before").getItem(keyCol))
+    val w = Window.partitionBy(col("__key")).orderBy(col("lsn"), col("txId"))
+    changes
+      .withColumn("__key", keyFromImage)
+      .withColumn("valid_from", col("ts_ms"))
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(
+        Seq(col("__key").as(keyCol)) ++
+          cols.map(c => col("after").getItem(c).as(c)) ++
+          Seq(col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Continuous materialization: consume a raw change stream and keep a
     * parquet table at `tableDir` up to date, one merge per micro-batch
     * (overwrite-on-merge; swap in MERGE INTO on a lakehouse format for

@@ -36,6 +36,23 @@ class ApplySpec extends AnyFunSuite {
       "4" -> "dave"))   // insert; 3 deleted
   }
 
+  test("scd2History: versioned intervals, delete closes the tail, current flag") {
+    val changes = changesDf(Seq(
+      change(1, "c", "A", "a-v1"),
+      change(3, "u", "A", "a-v2"),
+      change(5, "d", "A", null), // closes a-v2, emits no row
+      change(2, "c", "B", "b-v1")))
+    val out = Apply.scd2History(changes, "id", Seq("name"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(out == Seq(
+      ("A", "a-v1", 1L, 3L, false),
+      ("A", "a-v2", 3L, 5L, false), // delete bounded the final version
+      ("B", "b-v1", 2L, -1L, true)), s"got $out")
+  }
+
   test("delete then re-insert within one batch resolves by lsn order") {
     val base = Seq(("1", "x")).toDF("id", "name")
     val changes = changesDf(Seq(
