@@ -86,6 +86,53 @@ object Apply {
     * (overwrite-on-merge; swap in MERGE INTO on a lakehouse format for
     * transactional updates).
     */
+  /** Continuous SCD2 materialization: per micro-batch, close the open
+    * tails of keys the batch touches (their `valid_to` becomes the key's
+    * first change time in the batch) and append the batch's own versioned
+    * rows from [[scd2History]]. History is append-mostly — only the
+    * current rows of touched keys change — written stage+swap like
+    * [[startMaterialize]] (a lakehouse format would make this a MERGE).
+    */
+  def startScd2Materialize(spark: SparkSession, changes: DataFrame,
+      keyCol: String, cols: Seq[String], tableDir: String,
+      checkpointDir: String, triggerMs: Long = 500L): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val newHist = scd2History(batch, keyCol, cols)
+        val existing =
+          try Some(s.read.parquet(tableDir))
+          catch { case _: Throwable => None }
+        val merged = existing match {
+          case None => newHist
+          case Some(hist) =>
+            val firstChange = batch
+              .withColumn("__key", coalesce(
+                col("after").getItem(keyCol), col("before").getItem(keyCol)))
+              .groupBy(col("__key").as(keyCol))
+              .agg(min(col("ts_ms")).as("__first"))
+            hist
+              .join(firstChange, Seq(keyCol), "left")
+              .withColumn("valid_to",
+                when(col("is_current") && col("__first").isNotNull, col("__first"))
+                  .otherwise(col("valid_to")))
+              .withColumn("is_current", col("valid_to").isNull)
+              .drop("__first")
+              .unionByName(newHist)
+        }
+        val staged = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(tableDir))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
   def startMaterialize(spark: SparkSession, changes: DataFrame, keyCol: String,
       cols: Seq[String], tableDir: String, checkpointDir: String,
       triggerMs: Long = 500L): StreamingQuery = {

@@ -53,6 +53,42 @@ class ApplySpec extends AnyFunSuite {
       ("B", "b-v1", 2L, -1L, true)), s"got $out")
   }
 
+  test("streaming SCD2 materialization closes open tails across micro-batches") {
+    val inDir = Files.createTempDirectory("scd2-in").toString
+    val tableDir = Files.createTempDirectory("scd2-t").toString + "/hist"
+    val ckpt = Files.createTempDirectory("scd2-ck").toString
+    def line(lsn: Long, op: String, id: String, name: String): String = {
+      // deletes carry the before image (where the key lives), like pgoutput
+      val after = if (op == "d") "null" else s"""{"id":"$id","name":"$name"}"""
+      val before = if (op == "d") s"""{"id":"$id"}""" else "null"
+      s"""{"db":"db","schema":"s","table":"users","op":"$op","ts_ms":$lsn,""" +
+        s""""before":$before,"after":$after,"lsn":$lsn,"txId":$lsn}"""
+    }
+    val q = Apply.startScd2Materialize(spark,
+      FileChangeSource(inDir).changes(spark), "id", Seq("name"),
+      tableDir, ckpt, triggerMs = 50)
+    try {
+      // batch 1: A created then updated; B created
+      Files.writeString(java.nio.file.Paths.get(inDir, "b0.json"),
+        Seq(line(1, "c", "A", "a-v1"), line(3, "u", "A", "a-v2"),
+          line(2, "c", "B", "b-v1")).mkString("\n"))
+      q.processAllAvailable()
+      // batch 2: A deleted (must close a-v2's OPEN tail from batch 1)
+      Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"), line(5, "d", "A", null))
+      q.processAllAvailable()
+
+      val hist = spark.read.parquet(tableDir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(hist == Seq(
+        ("A", "a-v1", 1L, 3L, false),
+        ("A", "a-v2", 3L, 5L, false), // closed by batch 2's delete
+        ("B", "b-v1", 2L, -1L, true)), s"got $hist")
+    } finally q.stop()
+  }
+
   test("delete then re-insert within one batch resolves by lsn order") {
     val base = Seq(("1", "x")).toDF("id", "name")
     val changes = changesDf(Seq(
