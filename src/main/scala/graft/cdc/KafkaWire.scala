@@ -415,17 +415,23 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
   private def nextCorrelation(): Int = { correlation += 1; correlation }
 
   /** Broker-supported version ranges (handshake; verifies the broker
-    * speaks Produce v3 / Metadata v1 before any data moves).
+    * speaks Produce v3 / Metadata v1 before any data moves). A failed
+    * handshake closes the socket before propagating.
     */
-  val apiVersions: Seq[ApiVersionRange] = {
-    val buf = roundTrip(apiVersionsRequest(nextCorrelation(), clientId))
-    val ranges = parseApiVersionsResponse(buf)
-    def supports(key: Short, v: Short): Boolean =
-      ranges.exists(r => r.apiKey == key && r.minVersion <= v && v <= r.maxVersion)
-    require(supports(ApiProduce, 3), "broker does not support Produce v3")
-    require(supports(ApiMetadata, 1), "broker does not support Metadata v1")
-    ranges
-  }
+  val apiVersions: Seq[ApiVersionRange] =
+    try {
+      val buf = roundTrip(apiVersionsRequest(nextCorrelation(), clientId))
+      val ranges = parseApiVersionsResponse(buf)
+      def supports(key: Short, v: Short): Boolean =
+        ranges.exists(r => r.apiKey == key && r.minVersion <= v && v <= r.maxVersion)
+      require(supports(ApiProduce, 3), "broker does not support Produce v3")
+      require(supports(ApiMetadata, 1), "broker does not support Metadata v1")
+      ranges
+    } catch {
+      case t: Throwable =>
+        try socket.close() catch { case _: Exception => }
+        throw t
+    }
 
   def partitionCount(topic: String): Int = {
     val buf = roundTrip(metadataRequest(nextCorrelation(), clientId, Seq(topic)))
