@@ -211,6 +211,24 @@ object Cli {
         }
       } finally spark.stop()
 
+    case "export" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"export: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.{col, struct, to_json}
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        // payload = the whole row as JSON (a loader-agnostic default)
+        val payloads = docs
+          .select(to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+        val manifest = graft.ops.TfRecords.writeShards(payloads, "payload",
+          req("out"), flags.getOrElse("records-per-shard", "8192").toInt)
+          .collect()
+        val total = manifest.map(_.getLong(1)).sum
+        println(s"""{"shards":${manifest.length},"records":$total,"out":"${req("out")}"}""")
+      } finally spark.stop()
+
     case "schema-generate" :: rest =>
       val flags = parseFlags(rest)
       val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
@@ -241,7 +259,8 @@ object Cli {
            |  dedup --in <sfdir> --table documents --out <dir> [--mode exact|minhash|cc]
            |  score --in <sfdir> --table documents --out <dir>
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
-           |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]""".stripMargin)
+           |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
+           |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]""".stripMargin)
       sys.exit(2)
   }
 }
