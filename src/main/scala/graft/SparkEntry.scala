@@ -1318,7 +1318,8 @@ object SparkEntry {
         |tot AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM dom)
         |SELECT lang, n_tokens,
         |  round(pow(n_tokens, 0.7) / z, 6) AS weight,
-        |  round(1000000 * pow(n_tokens, 0.7) / z / n_tokens, 6) AS epochs
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE round(1000000 * pow(n_tokens, 0.7) / z / n_tokens, 6) END AS epochs
         |FROM dom CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q67_dsir_weights" ->

@@ -81,9 +81,11 @@ object Sampling {
     val z = perDomain.agg(sum(pow(col(tokenCol), tau)).as("__z"))
     perDomain.crossJoin(broadcast(z))
       .withColumn("weight", round(pow(col(tokenCol), tau) / col("__z"), 6))
+      // an empty domain draws nothing: 0 weight, 0 epochs (not 0/0 = NaN)
       .withColumn("epochs",
-        round(lit(tokenBudget.toDouble) * pow(col(tokenCol), tau) / col("__z") /
-          col(tokenCol), 6))
+        when(col(tokenCol) === 0, lit(0.0)).otherwise(
+          round(lit(tokenBudget.toDouble) * pow(col(tokenCol), tau) / col("__z") /
+            col(tokenCol), 6)))
       .drop("__z")
   }
 }

@@ -101,6 +101,12 @@ object TfRecords {
     * `recordsPerShard` records each, named
     * `part-<partition>-<shard>.tfrecord`. Returns the manifest: one row
     * per shard with (path, n_records, n_bytes).
+    *
+    * Task RETRIES are safe (deterministic partition contents rewrite the
+    * same paths with overwrite=true); SPECULATIVE duplicate attempts are
+    * not — two attempts would interleave writes to one file. Run with
+    * `spark.speculation=false` (the default) or point `outDir` at an
+    * attempt-scoped staging dir and commit by rename.
     */
   def writeShards(df: DataFrame, payloadCol: String, outDir: String,
       recordsPerShard: Int = 8192): DataFrame = {

@@ -54,6 +54,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-5, "weights sum to 1")
   }
 
+  test("temperature mixture: an empty domain gets weight 0 and epochs 0, not NaN") {
+    import spark.implicits._
+    val perDomain = Seq(("en", 1000L), ("empty", 0L)).toDF("domain", "n_tokens")
+    val out = Sampling.temperatureMixture(perDomain, "domain", "n_tokens",
+      tau = 0.7, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("empty") == ((0.0, 0.0)), s"got ${out("empty")}")
+    assert(out("en")._1 == 1.0, s"got ${out("en")}")
+  }
+
   test("temperature mixture at tau=1 is proportional sampling") {
     import spark.implicits._
     val perDomain = Seq(("a", 300L), ("b", 700L)).toDF("domain", "n_tokens")
