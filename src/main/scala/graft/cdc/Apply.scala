@@ -92,6 +92,18 @@ object Apply {
     * rows from [[scd2History]]. History is append-mostly — only the
     * current rows of touched keys change — written stage+swap like
     * [[startMaterialize]] (a lakehouse format would make this a MERGE).
+    *
+    * Replay-safe under foreachBatch's at-least-once contract: a replayed
+    * batch's rows already sit in the table, so (a) the tail-close only
+    * touches current rows that PRECEDE the batch (`valid_from <
+    * __first`) — never the batch's own rows from the failed attempt —
+    * and (b) the append deduplicates on (key, valid_from), making the
+    * whole merge idempotent. Assumes per-key event times are
+    * non-decreasing across batches (CDC position order).
+    *
+    * A missing table dir means first batch; any OTHER read failure
+    * propagates and fails the batch — it must never be mistaken for
+    * "no history" or the swap would destroy the table.
     */
   def startScd2Materialize(spark: SparkSession, changes: DataFrame,
       keyCol: String, cols: Seq[String], tableDir: String,
@@ -100,12 +112,12 @@ object Apply {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val newHist = scd2History(batch, keyCol, cols)
-        val existing =
-          try Some(s.read.parquet(tableDir))
-          catch { case _: Throwable => None }
-        val merged = existing match {
-          case None => newHist
-          case Some(hist) =>
+        val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+        val tableFs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!tableFs.exists(tablePath)) newHist
+          else {
+            val hist = s.read.parquet(tableDir)
             val firstChange = batch
               .withColumn("__key", coalesce(
                 col("after").getItem(keyCol), col("before").getItem(keyCol)))
@@ -114,12 +126,14 @@ object Apply {
             hist
               .join(firstChange, Seq(keyCol), "left")
               .withColumn("valid_to",
-                when(col("is_current") && col("__first").isNotNull, col("__first"))
+                when(col("is_current") && col("__first").isNotNull &&
+                    col("valid_from") < col("__first"), col("__first"))
                   .otherwise(col("valid_to")))
               .withColumn("is_current", col("valid_to").isNull)
               .drop("__first")
               .unionByName(newHist)
-        }
+              .dropDuplicates(keyCol, "valid_from")
+          }
         val staged = tableDir + ".staging"
         merged.write.mode("overwrite").parquet(staged)
         val fs = new org.apache.hadoop.fs.Path(tableDir)

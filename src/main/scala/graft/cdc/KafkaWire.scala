@@ -193,6 +193,7 @@ object KafkaWire {
       val tsDelta = readVarlong(buf)
       readVarint(buf) // offsetDelta
       val keyLen = readVarint(buf)
+      require(keyLen <= buf.remaining(), s"bad key length $keyLen")
       val key =
         if (keyLen < 0) None
         else { val k = new Array[Byte](keyLen); buf.get(k); Some(k) }

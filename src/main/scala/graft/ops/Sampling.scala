@@ -80,7 +80,10 @@ object Sampling {
       tokenCol: String, tau: Double, tokenBudget: Long): DataFrame = {
     val z = perDomain.agg(sum(pow(col(tokenCol), tau)).as("__z"))
     perDomain.crossJoin(broadcast(z))
-      .withColumn("weight", round(pow(col(tokenCol), tau) / col("__z"), 6))
+      // all-empty corpus: every weight is 0, not 0/0 = NaN
+      .withColumn("weight",
+        when(col("__z") === 0, lit(0.0))
+          .otherwise(round(pow(col(tokenCol), tau) / col("__z"), 6)))
       // an empty domain draws nothing: 0 weight, 0 epochs (not 0/0 = NaN)
       .withColumn("epochs",
         when(col(tokenCol) === 0, lit(0.0)).otherwise(

@@ -138,17 +138,26 @@ object TfRecords {
           inShard = 0
           nBytes = 0L
         }
-        rows.foreach { r: Row =>
-          if (stream == null || inShard >= recordsPerShard) roll()
-          val payload = r.getAs[Array[Byte]](0)
-          val rec = encodeRecord(payload)
-          stream.write(rec)
-          inShard += 1
-          nBytes += rec.length
-        }
-        if (stream != null) {
-          stream.close()
-          out += ((path, inShard.toLong, nBytes))
+        // close the open stream on ANY failure — a leaked HDFS lease
+        // blocks the task retry's create() on the same path until expiry
+        try {
+          rows.foreach { r: Row =>
+            if (stream == null || inShard >= recordsPerShard) roll()
+            val payload = r.getAs[Array[Byte]](0)
+            require(payload != null, "null payload row in TFRecord export")
+            val rec = encodeRecord(payload)
+            stream.write(rec)
+            inShard += 1
+            nBytes += rec.length
+          }
+          if (stream != null) {
+            stream.close()
+            out += ((path, inShard.toLong, nBytes))
+          }
+        } catch {
+          case t: Throwable =>
+            if (stream != null) { try stream.close() catch { case _: Exception => } }
+            throw t
         }
         out.result().iterator
       }

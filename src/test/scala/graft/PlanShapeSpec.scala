@@ -68,9 +68,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(500))
     assert(!p.contains("CartesianProduct"), p.take(500))
-    assert(!p.contains("SortMergeJoin") ||
-      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
-      "vocab join must stay a hash join")
+    assert(!p.contains("SortMergeJoin"),
+      "the vocab scoring join degraded from a broadcast to a sort-merge")
   }
 
   test("q68 SemDeDup pairs via the cluster equi-join, no cartesian") {

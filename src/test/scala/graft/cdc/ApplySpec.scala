@@ -89,6 +89,37 @@ class ApplySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 replay of a committed batch leaves history unchanged") {
+    // simulate foreachBatch's at-least-once replay: process the same input
+    // with a FRESH checkpoint against the already-materialized table —
+    // the merge must be idempotent (no duplicate rows, no inverted
+    // intervals from closing the batch's own versions)
+    val inDir = Files.createTempDirectory("scd2r-in").toString
+    val tableDir = Files.createTempDirectory("scd2r-t").toString + "/hist"
+    def line(lsn: Long, op: String, id: String, name: String): String =
+      s"""{"db":"db","schema":"s","table":"users","op":"$op","ts_ms":$lsn,""" +
+        s""""before":null,"after":{"id":"$id","name":"$name"},"lsn":$lsn,"txId":$lsn}"""
+    Files.writeString(java.nio.file.Paths.get(inDir, "b0.json"),
+      Seq(line(1, "c", "A", "a-v1"), line(3, "u", "A", "a-v2"),
+        line(2, "c", "B", "b-v1")).mkString("\n"))
+
+    def runOnce(): Unit = {
+      val ckpt = Files.createTempDirectory("scd2r-ck").toString
+      val q = Apply.startScd2Materialize(spark,
+        FileChangeSource(inDir).changes(spark), "id", Seq("name"),
+        tableDir, ckpt, triggerMs = 50)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(tableDir).collect()
+      .map(_.toSeq).toSet
+    runOnce() // replay: same batch against the populated table
+    val second = spark.read.parquet(tableDir).collect()
+      .map(_.toSeq).toSet
+    assert(second == first, s"replay changed history:\n$first\nvs\n$second")
+    assert(first.size == 3, s"expected 3 versions, got $first")
+  }
+
   test("delete then re-insert within one batch resolves by lsn order") {
     val base = Seq(("1", "x")).toDF("id", "name")
     val changes = changesDf(Seq(
