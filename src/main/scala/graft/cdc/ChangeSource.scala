@@ -127,13 +127,16 @@ object ReplicatePipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
-  /** Kafka sink over the library's own wire producer ([[KafkaWireProducer]]
-    * — no client jar): each micro-batch partition opens its own broker
-    * connection and produces its rows with murmur2 key partitioning, so
-    * the work stays on the executors (no driver collect). Failures raise
+  /** Kafka sink over the library's own wire client ([[KafkaWireCluster]]
+    * — no client jar): each micro-batch partition opens its own
+    * leader-routed connections and produces its rows with murmur2 key
+    * partitioning, so the work stays on the executors (no driver
+    * collect) and record batches stay under the broker's
+    * `message.max.bytes` via size-bounded chunking. Failures raise
     * through `onError` and fail the batch — at-least-once, identical to
-    * [[startWithDeliveryReports]]. The partition count is resolved once
-    * per batch on the driver (one tiny metadata round-trip).
+    * [[startWithDeliveryReports]]. Connections are per-task by design
+    * (simple, correct under retries); a long-lived deployment would pool
+    * them per executor.
     */
   def startToKafkaWire(frame: DataFrame, host: String, port: Int,
       topic: String, checkpointDir: String,
@@ -141,15 +144,11 @@ object ReplicatePipeline {
       triggerMs: Long = 100L): StreamingQuery =
     startWithDeliveryReports(frame,
       writeBatch = (df, _) => {
-        val meta = new KafkaWireProducer(host, port)
-        val numPartitions =
-          try meta.partitionCount(topic)
-          finally meta.close()
         import org.apache.spark.sql.functions.col
         df.select(col("key").cast("string"), col("value").cast("string"))
           .foreachPartition { (rows: Iterator[Row]) =>
             if (rows.hasNext) {
-              val producer = new KafkaWireProducer(host, port)
+              val cluster = new KafkaWireCluster(host, port)
               try {
                 val now = System.currentTimeMillis()
                 val records = rows.map { r =>
@@ -157,9 +156,9 @@ object ReplicatePipeline {
                     r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
                     now)
                 }.toSeq
-                producer.send(topic, numPartitions, records)
+                cluster.send(topic, records)
                 ()
-              } finally producer.close()
+              } finally cluster.close()
             }
           }
       },

@@ -434,35 +434,140 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
         throw t
     }
 
-  def partitionCount(topic: String): Int = {
+  /** Full cluster metadata for a topic: broker table + per-partition
+    * leaders (what [[KafkaWireCluster]] routes on).
+    */
+  def topicMeta(topic: String): (ClusterMeta, TopicMeta) = {
     val buf = roundTrip(metadataRequest(nextCorrelation(), clientId, Seq(topic)))
     val meta = parseMetadataResponse(buf)
     val t = meta.topics.find(_.name == topic).getOrElse(
       throw new IllegalStateException(s"topic '$topic' missing from metadata"))
     require(t.errorCode == 0, s"metadata error ${t.errorCode} for topic '$topic'")
-    t.partitions.size
+    (meta, t)
   }
 
-  /** Send keyed records; returns per-partition base offsets. Raises on any
-    * partition error after surfacing it to `onError`.
+  def partitionCount(topic: String): Int = topicMeta(topic)._2.partitions.size
+
+  /** Produce records to ONE partition (this broker must lead it), chunked
+    * into record batches of at most ~`maxBatchBytes` framed payload — the
+    * broker-side `message.max.bytes` cap applies per batch, so unbounded
+    * micro-batch partitions must not collapse into one giant batch.
+    * Returns the acks (one per chunk), errors NOT raised — callers
+    * decide (the cluster router retries NOT_LEADER, [[send]] throws).
+    */
+  def produce(topic: String, partition: Int, records: Seq[Record],
+      maxBatchBytes: Int = 900000): Seq[PartitionAck] = {
+    require(records.nonEmpty, "produce with no records")
+    val acks = Seq.newBuilder[PartitionAck]
+    var chunk = Vector.empty[Record]
+    var bytes = 0
+    def flush(): Unit = if (chunk.nonEmpty) {
+      val buf = roundTrip(produceRequest(nextCorrelation(), clientId, topic,
+        acks = 1, timeoutMs = requestTimeoutMillis,
+        Seq(partition -> recordBatch(chunk))))
+      acks ++= parseProduceResponse(buf)
+      chunk = Vector.empty
+      bytes = 0
+    }
+    records.foreach { r =>
+      val size = r.key.map(_.length).getOrElse(0) + r.value.length + 32
+      if (chunk.nonEmpty && bytes + size > maxBatchBytes) flush()
+      chunk :+= r
+      bytes += size
+    }
+    flush()
+    acks.result()
+  }
+
+  /** Send keyed records to a single-broker cluster; returns per-partition
+    * base offsets. Raises on any partition error after surfacing it to
+    * `onError`. For multi-broker clusters use [[KafkaWireCluster]], which
+    * routes each partition to its leader.
     */
   def send(topic: String, numPartitions: Int,
-      records: Seq[(Array[Byte], Array[Byte], Long)]): Map[Int, Long] = {
+      records: Seq[(Array[Byte], Array[Byte], Long)],
+      maxBatchBytes: Int = 900000): Map[Int, Long] = {
     val byPartition = records.groupBy { case (key, _, _) =>
       partitionFor(key, numPartitions)
     }
-    val batches = byPartition.toSeq.sortBy(_._1).map { case (p, rs) =>
-      p -> recordBatch(rs.map { case (k, v, ts) => Record(Some(k), v, ts) })
+    val acks = byPartition.toSeq.sortBy(_._1).flatMap { case (p, rs) =>
+      produce(topic, p, rs.map { case (k, v, ts) => Record(Some(k), v, ts) },
+        maxBatchBytes)
     }
-    val buf = roundTrip(produceRequest(nextCorrelation(), clientId, topic,
-      acks = 1, timeoutMs = requestTimeoutMillis, batches))
-    val acks = parseProduceResponse(buf)
     val failed = acks.filter(_.errorCode != 0)
     failed.foreach(a => onError(a.partition, a.errorCode))
     if (failed.nonEmpty) throw new IllegalStateException(
       s"produce failed on partitions ${failed.map(a => s"${a.partition}(err ${a.errorCode})").mkString(", ")}")
-    acks.map(a => a.partition -> a.baseOffset).toMap
+    acks.groupBy(_.partition).map { case (p, as) => p -> as.map(_.baseOffset).min }
   }
 
   def close(): Unit = socket.close()
+}
+
+/** Leader-routing producer for multi-broker clusters: resolves the
+  * partition->leader map from bootstrap metadata, keeps one
+  * [[KafkaWireProducer]] connection per leader, routes each keyed record
+  * to its partition's leader, and refreshes metadata + retries ONCE on
+  * NOT_LEADER_OR_FOLLOWER (error 6 — leadership moved between metadata
+  * and produce). Everything else surfaces through `onError` and raises
+  * (the at-least-once batch retry owns further recovery).
+  */
+class KafkaWireCluster(bootstrapHost: String, bootstrapPort: Int,
+    clientId: String = "graft", maxBatchBytes: Int = 900000,
+    onError: (Int, Short) => Unit = (_, _) => ()) {
+
+  import KafkaWire._
+
+  private val NotLeader: Short = 6
+  private val producers =
+    scala.collection.mutable.Map.empty[(String, Int), KafkaWireProducer]
+
+  private def producerAt(host: String, port: Int): KafkaWireProducer =
+    producers.getOrElseUpdate((host, port),
+      new KafkaWireProducer(host, port, clientId, onError = onError))
+
+  private def routes(topic: String): (Int, Map[Int, (String, Int)]) = {
+    val (cluster, t) = producerAt(bootstrapHost, bootstrapPort).topicMeta(topic)
+    val brokerById = cluster.brokers.map(b => b.nodeId -> ((b.host, b.port))).toMap
+    val leaderOf = t.partitions.map { p =>
+      p.partition -> brokerById.getOrElse(p.leader,
+        throw new IllegalStateException(
+          s"partition ${p.partition} leader ${p.leader} not in broker table"))
+    }.toMap
+    (t.partitions.size, leaderOf)
+  }
+
+  /** Send keyed records, routing each partition to its leader. */
+  def send(topic: String,
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Map[Int, Long] = {
+    var (numPartitions, leaderOf) = routes(topic)
+    val byPartition = records
+      .map { case (k, v, ts) => (partitionFor(k, numPartitions), Record(Some(k), v, ts)) }
+      .groupBy(_._1)
+    val offsets = Map.newBuilder[Int, Long]
+    byPartition.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+      val recs = rs.map(_._2)
+      def attempt(): Seq[PartitionAck] = {
+        val (host, port) = leaderOf.getOrElse(p, throw new IllegalStateException(
+          s"no leader for partition $p"))
+        producerAt(host, port).produce(topic, p, recs, maxBatchBytes)
+      }
+      var acks = attempt()
+      if (acks.exists(_.errorCode == NotLeader)) {
+        leaderOf = routes(topic)._2 // leadership moved: refresh, retry once
+        acks = attempt()
+      }
+      val failed = acks.filter(_.errorCode != 0)
+      failed.foreach(a => onError(a.partition, a.errorCode))
+      if (failed.nonEmpty) throw new IllegalStateException(
+        s"produce failed on partition $p (err ${failed.head.errorCode})")
+      offsets += p -> acks.map(_.baseOffset).min
+    }
+    offsets.result()
+  }
+
+  def close(): Unit = {
+    producers.values.foreach(p => try p.close() catch { case _: Exception => })
+    producers.clear()
+  }
 }

@@ -18,7 +18,16 @@ import java.util.concurrent.ConcurrentLinkedQueue
   */
 class ScriptedKafkaBroker(topic: String, numPartitions: Int,
     produceErrors: Map[Int, Short] = Map.empty,
-    maxProduceVersion: Short = 9) {
+    maxProduceVersion: Short = 9,
+    nodeId: Int = 0,
+    // multi-broker scripting: full broker table (id, host, port), leader
+    // nodeId per (metadata-request-ordinal, partition), and the partition
+    // set THIS broker accepts produce for (others get NOT_LEADER = 6)
+    brokerTable: () => Seq[(Int, String, Int)] = null,
+    partitionLeaders: (Int, Int) => Int = (_, _) => 0,
+    owned: Int => Boolean = _ => true) {
+
+  private val metadataCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -75,14 +84,20 @@ class ScriptedKafkaBroker(topic: String, numPartitions: Int,
             }
           case ApiMetadata =>
             require(apiVersion == 1, s"expected Metadata v1, got $apiVersion")
+            val ordinal = metadataCalls.getAndIncrement()
             val nTopics = buf.getInt
             val requested = (0 until nTopics).map(_ => readString(buf))
-            writeInt(body, 1) // brokers
-            writeInt(body, 0) // node_id
-            writeStringTo(body, "127.0.0.1")
-            writeInt(body, port)
-            writeShort(body, -1) // rack = null
-            writeInt(body, 0) // controller_id
+            val brokers =
+              if (brokerTable != null) brokerTable()
+              else Seq((nodeId, "127.0.0.1", port))
+            writeInt(body, brokers.size)
+            brokers.foreach { case (id, h, p) =>
+              writeInt(body, id)
+              writeStringTo(body, h)
+              writeInt(body, p)
+              writeShort(body, -1) // rack = null
+            }
+            writeInt(body, brokers.head._1) // controller_id
             writeInt(body, requested.size)
             requested.foreach { t =>
               writeShort(body, if (t == topic) 0 else 3) // 3 = UNKNOWN_TOPIC
@@ -93,7 +108,7 @@ class ScriptedKafkaBroker(topic: String, numPartitions: Int,
               (0 until parts).foreach { p =>
                 writeShort(body, 0)
                 writeInt(body, p)
-                writeInt(body, 0) // leader
+                writeInt(body, partitionLeaders(ordinal, p)) // leader
                 writeInt(body, 1); writeInt(body, 0) // replicas [0]
                 writeInt(body, 1); writeInt(body, 0) // isr [0]
               }
@@ -118,7 +133,9 @@ class ScriptedKafkaBroker(topic: String, numPartitions: Int,
                 buf.get(set)
                 produced.add(Captured(p, set, acks))
                 writeInt(body, p)
-                writeShort(body, produceErrors.getOrElse(p, 0: Short))
+                writeShort(body,
+                  if (!owned(p)) 6 // NOT_LEADER_OR_FOLLOWER
+                  else produceErrors.getOrElse(p, 0: Short))
                 writeLong(body, 100L + p) // base_offset
                 writeLong(body, -1L) // log_append_time
               }
@@ -261,6 +278,80 @@ class KafkaWireSpec extends AnyFunSuite {
         new KafkaWireProducer("127.0.0.1", broker.port)
       }
       assert(e.getMessage.contains("Produce v3"))
+    } finally broker.stop()
+  }
+
+  test("cluster client routes each partition to its leader broker") {
+    // two brokers: A (node 0) leads partition 0, B (node 1) leads 1;
+    // produce to the wrong broker would answer NOT_LEADER — owned() guards
+    var table: Seq[(Int, String, Int)] = Nil
+    val leaders = (_: Int, p: Int) => p // partition p led by node p
+    val a = new ScriptedKafkaBroker("changes", 2, nodeId = 0,
+      brokerTable = () => table, partitionLeaders = leaders, owned = _ == 0)
+    val b = new ScriptedKafkaBroker("changes", 2, nodeId = 1,
+      brokerTable = () => table, partitionLeaders = leaders, owned = _ == 1)
+    table = Seq((0, "127.0.0.1", a.port), (1, "127.0.0.1", b.port))
+    try {
+      // keys chosen to cover both partitions
+      val keys = (0 until 20).map(i => s"key-$i".getBytes)
+      assert(keys.map(partitionFor(_, 2)).toSet == Set(0, 1))
+      val cluster = new KafkaWireCluster("127.0.0.1", a.port)
+      try {
+        val offsets = cluster.send("changes",
+          keys.map(k => (k, "v".getBytes, 1L)))
+        assert(offsets.keySet == Set(0, 1))
+        val aParts = a.produced.toArray(Array.empty[a.Captured]).map(_.partition).toSet
+        val bParts = b.produced.toArray(Array.empty[b.Captured]).map(_.partition).toSet
+        assert(aParts == Set(0), s"broker A got partitions $aParts")
+        assert(bParts == Set(1), s"broker B got partitions $bParts")
+      } finally cluster.close()
+      assert(a.failure == null, s"broker A failure: ${a.failure}")
+      assert(b.failure == null, s"broker B failure: ${b.failure}")
+    } finally { a.stop(); b.stop() }
+  }
+
+  test("cluster client refreshes metadata and retries once on NOT_LEADER") {
+    // broker A's FIRST metadata claims it leads partition 0; every later
+    // response says node 1 (broker B) does. A rejects produce with 6.
+    var table: Seq[(Int, String, Int)] = Nil
+    val a: ScriptedKafkaBroker = new ScriptedKafkaBroker("changes", 1, nodeId = 0,
+      brokerTable = () => table,
+      partitionLeaders = (ordinal, _) => if (ordinal == 0) 0 else 1,
+      owned = _ => false)
+    val b = new ScriptedKafkaBroker("changes", 1, nodeId = 1,
+      brokerTable = () => table, partitionLeaders = (_, _) => 1, owned = _ => true)
+    table = Seq((0, "127.0.0.1", a.port), (1, "127.0.0.1", b.port))
+    try {
+      val cluster = new KafkaWireCluster("127.0.0.1", a.port)
+      try {
+        val offsets = cluster.send("changes",
+          Seq(("k".getBytes, "v".getBytes, 1L)))
+        assert(offsets == Map(0 -> 100L))
+        // the stale attempt hit A, the retried one landed on B
+        assert(a.produced.size == 1 && b.produced.size == 1,
+          s"A=${a.produced.size} B=${b.produced.size}")
+      } finally cluster.close()
+    } finally { a.stop(); b.stop() }
+  }
+
+  test("produce chunks record batches under maxBatchBytes") {
+    val broker = new ScriptedKafkaBroker("changes", 1)
+    try {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try {
+        val records = (0 until 10).map(i =>
+          KafkaWire.Record(Some(s"k$i".getBytes), Array.fill(400)('x'.toByte), 1L))
+        // ~432 bytes per record against a 1000-byte cap -> 2 per batch
+        val acks = producer.produce("changes", 0, records, maxBatchBytes = 1000)
+        assert(acks.forall(_.errorCode == 0))
+        val captured = broker.produced.toArray(Array.empty[broker.Captured])
+        assert(captured.length == 5, s"expected 5 chunks, got ${captured.length}")
+        val decoded = captured.flatMap(c => decodeRecordBatch(c.recordSet))
+        assert(decoded.length == 10, "chunking must not lose records")
+        assert(decoded.map(r => new String(r.key.get)).toSet ==
+          records.map(r => new String(r.key.get)).toSet)
+      } finally producer.close()
+      assert(broker.failure == null, s"broker failure: ${broker.failure}")
     } finally broker.stop()
   }
 
