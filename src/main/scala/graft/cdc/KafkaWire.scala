@@ -21,6 +21,8 @@ import java.util.zip.CRC32C
 object KafkaWire {
 
   val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
   val ApiVersions: Short = 18
 
@@ -158,22 +160,63 @@ object KafkaWire {
     out.toByteArray
   }
 
+  /** A record as fetched from the log: its absolute offset
+    * (batch baseOffset + offsetDelta) alongside the payload.
+    */
+  case class FetchedRecord(offset: Long, record: Record)
+
   /** Decode + CRC-verify a RecordBatch v2 (consumer-side half; also the
     * spec's proof the producer's bytes are what a broker would store).
+    * Expects exactly one whole batch — the producer/spec contract; fetch
+    * record SETS (0..n batches + a possibly truncated tail) go through
+    * [[decodeRecordSet]].
     */
   def decodeRecordBatch(bytes: Array[Byte]): Seq[Record] = {
+    require(bytes.length >= 12, s"record batch too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes)
-    buf.getLong // baseOffset
+    val batchLength = buf.getInt(8)
+    require(batchLength == bytes.length - 12,
+      s"batch length $batchLength != remaining ${bytes.length - 12}")
+    decodeOneBatch(buf).map(_.record)
+  }
+
+  /** Decode a fetch record set: concatenated RecordBatch v2 frames, each
+    * CRC-verified, offsets made absolute. A truncated final batch is NOT
+    * an error — brokers cut the set at `partition_max_bytes` mid-batch
+    * (the protocol tells consumers to drop the partial tail and fetch on).
+    */
+  def decodeRecordSet(bytes: Array[Byte]): Seq[FetchedRecord] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = Seq.newBuilder[FetchedRecord]
+    var done = false
+    while (!done) {
+      if (buf.remaining() < 12) done = true // header shorter than baseOffset+length
+      else {
+        val batchLength = buf.getInt(buf.position() + 8)
+        if (batchLength < 0 || buf.remaining() - 12 < batchLength) done = true // truncated tail
+        else out ++= decodeOneBatch(buf)
+      }
+    }
+    out.result()
+  }
+
+  /** Decode one batch starting at `buf.position()`, leaving the buffer
+    * positioned at the next batch. CRC spans attributes..end OF THE BATCH
+    * (not of the buffer — fetch sets carry several batches back to back).
+    */
+  private def decodeOneBatch(buf: ByteBuffer): Seq[FetchedRecord] = {
+    val baseOffset = buf.getLong
     val batchLength = buf.getInt
-    require(batchLength == buf.remaining(),
-      s"batch length $batchLength != remaining ${buf.remaining()}")
+    require(batchLength >= 0 && batchLength <= buf.remaining(),
+      s"bad batch length $batchLength with ${buf.remaining()} remaining")
+    val end = buf.position() + batchLength
     buf.getInt // partitionLeaderEpoch
     val magic = buf.get()
     require(magic == 2, s"unsupported record batch magic $magic")
     val crcStored = buf.getInt
     val crcStart = buf.position()
     val crc = new CRC32C()
-    crc.update(bytes, crcStart, bytes.length - crcStart)
+    crc.update(buf.array(), buf.arrayOffset() + crcStart, end - crcStart)
     require(crc.getValue.toInt == crcStored,
       f"record batch CRC mismatch: stored $crcStored%08x computed ${crc.getValue.toInt}%08x")
     buf.getShort // attributes
@@ -184,14 +227,14 @@ object KafkaWire {
     buf.getShort // producerEpoch
     buf.getInt // baseSequence
     val n = buf.getInt
-    require(n >= 0 && n <= bytes.length, s"bad record count $n")
-    (0 until n).map { _ =>
+    require(n >= 0 && n <= batchLength, s"bad record count $n")
+    val records = (0 until n).map { _ =>
       val len = readVarint(buf)
-      require(len >= 0 && len <= buf.remaining(), s"bad record length $len")
-      val end = buf.position() + len
+      require(len >= 0 && len <= end - buf.position(), s"bad record length $len")
+      val recEnd = buf.position() + len
       buf.get() // record attributes
       val tsDelta = readVarlong(buf)
-      readVarint(buf) // offsetDelta
+      val offsetDelta = readVarint(buf)
       val keyLen = readVarint(buf)
       require(keyLen <= buf.remaining(), s"bad key length $keyLen")
       val key =
@@ -207,9 +250,11 @@ object KafkaWire {
         val vlen = readVarint(buf)
         if (vlen > 0) buf.position(buf.position() + vlen)
       }
-      require(buf.position() == end, "record length mismatch")
-      Record(key, value, baseTs + tsDelta)
+      require(buf.position() == recEnd, "record length mismatch")
+      FetchedRecord(baseOffset + offsetDelta, Record(key, value, baseTs + tsDelta))
     }
+    require(buf.position() == end, "batch length mismatch")
+    records
   }
 
   // --------------------------------------------------------- partitioner —
@@ -299,6 +344,46 @@ object KafkaWire {
     request(ApiProduce, 3, correlationId, clientId, body.toByteArray)
   }
 
+  /** Fetch v4 (first version serving record-batch v2 sets): one topic,
+    * offset + byte budget per partition, read_uncommitted.
+    */
+  def fetchRequest(correlationId: Int, clientId: String, topic: String,
+      partitionOffsets: Seq[(Int, Long)], maxWaitMs: Int, minBytes: Int,
+      maxBytes: Int, partitionMaxBytes: Int): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    writeInt(body, -1) // replica_id (consumer)
+    writeInt(body, maxWaitMs)
+    writeInt(body, minBytes)
+    writeInt(body, maxBytes)
+    body.write(0) // isolation_level = read_uncommitted
+    writeInt(body, 1) // topics
+    writeString(body, topic)
+    writeInt(body, partitionOffsets.size)
+    partitionOffsets.foreach { case (partition, offset) =>
+      writeInt(body, partition)
+      writeLong(body, offset)
+      writeInt(body, partitionMaxBytes)
+    }
+    request(ApiFetch, 4, correlationId, clientId, body.toByteArray)
+  }
+
+  /** ListOffsets v1: resolve a timestamp per partition to a log offset
+    * (-2 = earliest, -1 = latest — the log-end offset).
+    */
+  def listOffsetsRequest(correlationId: Int, clientId: String, topic: String,
+      partitionTimestamps: Seq[(Int, Long)]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    writeInt(body, -1) // replica_id
+    writeInt(body, 1) // topics
+    writeString(body, topic)
+    writeInt(body, partitionTimestamps.size)
+    partitionTimestamps.foreach { case (partition, ts) =>
+      writeInt(body, partition)
+      writeLong(body, ts)
+    }
+    request(ApiListOffsets, 1, correlationId, clientId, body.toByteArray)
+  }
+
   // ---------------------------------------------------------- responses —
 
   /** (correlationId, body) — response header v0. */
@@ -381,19 +466,68 @@ object KafkaWire {
     buf.getInt // throttle_time_ms
     acks
   }
+
+  /** One partition's slice of a Fetch v4 response; `recordSet` is the raw
+    * concatenated-batch bytes (decode with [[decodeRecordSet]]).
+    */
+  case class FetchData(partition: Int, errorCode: Short, highWatermark: Long,
+      recordSet: Array[Byte])
+
+  def parseFetchResponse(buf: ByteBuffer): Seq[FetchData] = {
+    buf.getInt // throttle_time_ms
+    val nTopics = buf.getInt
+    require(nTopics >= 0 && nTopics <= 65536, s"bad topic count $nTopics")
+    (0 until nTopics).flatMap { _ =>
+      readString(buf) // topic name
+      val nParts = buf.getInt
+      require(nParts >= 0 && nParts <= (1 << 20), s"bad partition count $nParts")
+      (0 until nParts).map { _ =>
+        val pid = buf.getInt
+        val err = buf.getShort
+        val hw = buf.getLong
+        buf.getLong // last_stable_offset
+        val nAborted = buf.getInt // nullable array: -1 == null
+        require(nAborted >= -1 && nAborted <= (1 << 20),
+          s"bad aborted-tx count $nAborted")
+        if (nAborted > 0) buf.position(buf.position() + 16 * nAborted)
+        val setLen = buf.getInt // nullable bytes
+        require(setLen >= -1 && setLen <= buf.remaining(),
+          s"bad record set length $setLen")
+        val set =
+          if (setLen <= 0) Array.emptyByteArray
+          else { val b = new Array[Byte](setLen); buf.get(b); b }
+        FetchData(pid, err, hw, set)
+      }
+    }
+  }
+
+  case class PartitionOffset(partition: Int, errorCode: Short, offset: Long)
+
+  def parseListOffsetsResponse(buf: ByteBuffer): Seq[PartitionOffset] = {
+    val nTopics = buf.getInt
+    require(nTopics >= 0 && nTopics <= 65536, s"bad topic count $nTopics")
+    (0 until nTopics).flatMap { _ =>
+      readString(buf) // topic name
+      val nParts = buf.getInt
+      require(nParts >= 0 && nParts <= (1 << 20), s"bad partition count $nParts")
+      (0 until nParts).map { _ =>
+        val pid = buf.getInt
+        val err = buf.getShort
+        buf.getLong // timestamp
+        PartitionOffset(pid, err, buf.getLong)
+      }
+    }
+  }
 }
 
-/** A minimal at-least-once Kafka producer over a JDK socket: ApiVersions
-  * handshake, Metadata for the partition count, murmur2 key partitioning,
-  * Produce v3 with acks=1 (the reference target's setting). Per-partition
-  * broker errors surface through `onError` — the reference's
-  * delivery-report loop (`repository.go:100-119`) — AND raise, so a
-  * streaming caller's batch retries (at-least-once, same contract as
-  * [[ReplicatePipeline.startWithDeliveryReports]]).
+/** Shared connection layer for the wire producer/consumer: framed
+  * request/response over one socket, correlation-id bookkeeping, the
+  * ApiVersions handshake (each side declares the API versions it needs —
+  * a failed handshake closes the socket before propagating), and topic
+  * metadata.
   */
-class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
-    connectTimeoutMillis: Int = 10000, requestTimeoutMillis: Int = 5000,
-    onError: (Int, Short) => Unit = (_, _) => ()) {
+abstract class KafkaWireClient(host: String, port: Int, val clientId: String,
+    connectTimeoutMillis: Int, protected val requestTimeoutMillis: Int) {
 
   import KafkaWire._
 
@@ -405,7 +539,7 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
   private val out = new DataOutputStream(socket.getOutputStream)
   private var correlation = 0
 
-  private def roundTrip(bytes: Array[Byte]): ByteBuffer = {
+  protected def roundTrip(bytes: Array[Byte]): ByteBuffer = {
     out.write(bytes)
     out.flush()
     val (cid, buf) = readResponse(in)
@@ -413,11 +547,13 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
     buf
   }
 
-  private def nextCorrelation(): Int = { correlation += 1; correlation }
+  protected def nextCorrelation(): Int = { correlation += 1; correlation }
+
+  /** (apiKey, version, label) triples this client refuses to run without. */
+  protected def requiredApis: Seq[(Short, Short, String)]
 
   /** Broker-supported version ranges (handshake; verifies the broker
-    * speaks Produce v3 / Metadata v1 before any data moves). A failed
-    * handshake closes the socket before propagating.
+    * speaks every [[requiredApis]] entry before any data moves).
     */
   val apiVersions: Seq[ApiVersionRange] =
     try {
@@ -425,8 +561,9 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
       val ranges = parseApiVersionsResponse(buf)
       def supports(key: Short, v: Short): Boolean =
         ranges.exists(r => r.apiKey == key && r.minVersion <= v && v <= r.maxVersion)
-      require(supports(ApiProduce, 3), "broker does not support Produce v3")
-      require(supports(ApiMetadata, 1), "broker does not support Metadata v1")
+      requiredApis.foreach { case (key, v, label) =>
+        require(supports(key, v), s"broker does not support $label")
+      }
       ranges
     } catch {
       case t: Throwable =>
@@ -447,6 +584,28 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
   }
 
   def partitionCount(topic: String): Int = topicMeta(topic)._2.partitions.size
+
+  def close(): Unit = socket.close()
+}
+
+/** A minimal at-least-once Kafka producer over a JDK socket: ApiVersions
+  * handshake, Metadata for the partition count, murmur2 key partitioning,
+  * Produce v3 with acks=1 (the reference target's setting). Per-partition
+  * broker errors surface through `onError` — the reference's
+  * delivery-report loop (`repository.go:100-119`) — AND raise, so a
+  * streaming caller's batch retries (at-least-once, same contract as
+  * [[ReplicatePipeline.startWithDeliveryReports]]).
+  */
+class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
+    connectTimeoutMillis: Int = 10000, requestTimeoutMillis: Int = 5000,
+    onError: (Int, Short) => Unit = (_, _) => ())
+  extends KafkaWireClient(host, port, clientId, connectTimeoutMillis,
+    requestTimeoutMillis) {
+
+  import KafkaWire._
+
+  override protected def requiredApis: Seq[(Short, Short, String)] =
+    Seq((ApiProduce, 3, "Produce v3"), (ApiMetadata, 1, "Metadata v1"))
 
   /** Produce records to ONE partition (this broker must lead it), chunked
     * into record batches of at most ~`maxBatchBytes` framed payload — the
@@ -500,8 +659,89 @@ class KafkaWireProducer(host: String, port: Int, clientId: String = "graft",
       s"produce failed on partitions ${failed.map(a => s"${a.partition}(err ${a.errorCode})").mkString(", ")}")
     acks.groupBy(_.partition).map { case (p, as) => p -> as.map(_.baseOffset).min }
   }
+}
 
-  def close(): Unit = socket.close()
+/** A minimal Kafka consumer over a JDK socket: ListOffsets v1 to resolve
+  * earliest/latest positions, Fetch v4 returning CRC-verified record-batch
+  * v2 sets. Batch-granular serving means a fetch can return records BELOW
+  * the requested offset (the broker sends whole batches); [[fetch]] trims
+  * those, so callers see exactly `offset..` like any stock consumer.
+  */
+class KafkaWireConsumer(host: String, port: Int, clientId: String = "graft",
+    connectTimeoutMillis: Int = 10000, requestTimeoutMillis: Int = 5000)
+  extends KafkaWireClient(host, port, clientId, connectTimeoutMillis,
+    requestTimeoutMillis) {
+
+  import KafkaWire._
+
+  override protected def requiredApis: Seq[(Short, Short, String)] =
+    Seq((ApiFetch, 4, "Fetch v4"), (ApiListOffsets, 1, "ListOffsets v1"),
+      (ApiMetadata, 1, "Metadata v1"))
+
+  private def offsetAt(topic: String, partition: Int, timestamp: Long): Long = {
+    val buf = roundTrip(listOffsetsRequest(nextCorrelation(), clientId, topic,
+      Seq(partition -> timestamp)))
+    val po = parseListOffsetsResponse(buf).find(_.partition == partition)
+      .getOrElse(throw new IllegalStateException(
+        s"partition $partition missing from ListOffsets response"))
+    require(po.errorCode == 0,
+      s"ListOffsets error ${po.errorCode} for $topic/$partition")
+    po.offset
+  }
+
+  /** First offset still in the log. */
+  def earliestOffset(topic: String, partition: Int): Long =
+    offsetAt(topic, partition, -2L)
+
+  /** Log-end offset (the offset the NEXT record will get). */
+  def latestOffset(topic: String, partition: Int): Long =
+    offsetAt(topic, partition, -1L)
+
+  case class FetchResult(records: Seq[FetchedRecord], highWatermark: Long)
+
+  /** One fetch round: records with `offset >= fromOffset` (broker may wait
+    * up to `maxWaitMs` for `minBytes`; a truncated tail batch is dropped
+    * and re-fetched next round). Raises on partition errors — notably 1 =
+    * OFFSET_OUT_OF_RANGE when `fromOffset` fell off the retention window.
+    */
+  def fetch(topic: String, partition: Int, fromOffset: Long,
+      maxWaitMs: Int = 500, minBytes: Int = 1,
+      maxBytes: Int = 1 << 22): FetchResult = {
+    val buf = roundTrip(fetchRequest(nextCorrelation(), clientId, topic,
+      Seq(partition -> fromOffset), maxWaitMs, minBytes, maxBytes, maxBytes))
+    val data = parseFetchResponse(buf).find(_.partition == partition)
+      .getOrElse(throw new IllegalStateException(
+        s"partition $partition missing from Fetch response"))
+    require(data.errorCode == 0,
+      s"Fetch error ${data.errorCode} for $topic/$partition at offset $fromOffset" +
+        (if (data.errorCode == 1) " (OFFSET_OUT_OF_RANGE)" else ""))
+    FetchResult(decodeRecordSet(data.recordSet).filter(_.offset >= fromOffset),
+      data.highWatermark)
+  }
+
+  /** Read `[fromOffset, untilExclusive)` completely, paging fetches. The
+    * stall guard caps consecutive empty rounds so a broker that stops
+    * serving mid-range raises instead of spinning forever.
+    */
+  def readRange(topic: String, partition: Int, fromOffset: Long,
+      untilExclusive: Long, maxStalls: Int = 100): Seq[FetchedRecord] = {
+    val out = Seq.newBuilder[FetchedRecord]
+    var pos = fromOffset
+    var stalls = 0
+    while (pos < untilExclusive) {
+      val res = fetch(topic, partition, pos)
+      val kept = res.records.filter(_.offset < untilExclusive)
+      out ++= kept
+      val advanced = res.records.nonEmpty
+      if (advanced) { pos = res.records.map(_.offset).max + 1; stalls = 0 }
+      else {
+        stalls += 1
+        require(stalls < maxStalls,
+          s"fetch stalled at $topic/$partition offset $pos (hw ${res.highWatermark})")
+      }
+    }
+    out.result()
+  }
 }
 
 /** Leader-routing producer for multi-broker clusters: resolves the

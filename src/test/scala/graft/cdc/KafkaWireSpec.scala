@@ -19,15 +19,41 @@ import java.util.concurrent.ConcurrentLinkedQueue
 class ScriptedKafkaBroker(topic: String, numPartitions: Int,
     produceErrors: Map[Int, Short] = Map.empty,
     maxProduceVersion: Short = 9,
+    maxFetchVersion: Short = 11,
     nodeId: Int = 0,
     // multi-broker scripting: full broker table (id, host, port), leader
     // nodeId per (metadata-request-ordinal, partition), and the partition
     // set THIS broker accepts produce for (others get NOT_LEADER = 6)
     brokerTable: () => Seq[(Int, String, Int)] = null,
     partitionLeaders: (Int, Int) => Int = (_, _) => 0,
-    owned: Int => Boolean = _ => true) {
+    owned: Int => Boolean = _ => true,
+    // when set, every fetch that leaves batches unserved appends a 20-byte
+    // prefix of the next batch — the mid-batch cut real brokers make at
+    // partition_max_bytes, which consumers must drop and re-fetch
+    fetchTruncatesTail: Boolean = false) {
 
   private val metadataCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // in-memory log: accepted produce batches with broker-assigned base
+  // offsets, re-served by Fetch. Starts at a NONZERO offset (100 + p) so
+  // client code can't get away with assuming 0-based logs.
+  private case class StoredBatch(baseOffset: Long, bytes: Array[Byte], count: Int)
+  private val logLock = new Object
+  private val logs = scala.collection.mutable.Map.empty[Int, Vector[StoredBatch]]
+  private def logStart(p: Int): Long = 100L + p
+  private def logEnd(p: Int): Long = logLock.synchronized {
+    logs.getOrElse(p, Vector.empty).lastOption
+      .map(b => b.baseOffset + b.count).getOrElse(logStart(p))
+  }
+  private def append(p: Int, set: Array[Byte]): Long = logLock.synchronized {
+    val base = logEnd(p)
+    val stored = set.clone()
+    // brokers rewrite baseOffset on append (the batch ships with 0)
+    java.nio.ByteBuffer.wrap(stored).putLong(0, base)
+    val count = decodeRecordBatch(set).size
+    logs(p) = logs.getOrElse(p, Vector.empty) :+ StoredBatch(base, stored, count)
+    base
+  }
 
   private val server = new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -76,6 +102,8 @@ class ScriptedKafkaBroker(topic: String, numPartitions: Int,
             require(apiVersion == 0, s"expected ApiVersions v0, got $apiVersion")
             writeShort(body, 0)
             val ranges = Seq((ApiProduce, 0: Short, maxProduceVersion),
+              (ApiFetch, 0: Short, maxFetchVersion),
+              (ApiListOffsets, 0: Short, 5: Short),
               (ApiMetadata, 0: Short, 12: Short),
               (ApiVersions, 0: Short, 3: Short))
             writeInt(body, ranges.size)
@@ -132,15 +160,91 @@ class ScriptedKafkaBroker(topic: String, numPartitions: Int,
                 val set = new Array[Byte](setLen)
                 buf.get(set)
                 produced.add(Captured(p, set, acks))
-                writeInt(body, p)
-                writeShort(body,
+                val err: Short =
                   if (!owned(p)) 6 // NOT_LEADER_OR_FOLLOWER
-                  else produceErrors.getOrElse(p, 0: Short))
-                writeLong(body, 100L + p) // base_offset
+                  else produceErrors.getOrElse(p, 0: Short)
+                val base = if (err == 0) append(p, set) else -1L
+                writeInt(body, p)
+                writeShort(body, err)
+                writeLong(body, base)
                 writeLong(body, -1L) // log_append_time
               }
             }
             writeInt(body, 0) // throttle_time_ms
+          case ApiListOffsets =>
+            require(apiVersion == 1, s"expected ListOffsets v1, got $apiVersion")
+            buf.getInt // replica_id
+            val nTopics = buf.getInt
+            writeInt(body, nTopics)
+            (0 until nTopics).foreach { _ =>
+              val t = readString(buf)
+              val nParts = buf.getInt
+              writeStringTo(body, t)
+              writeInt(body, nParts)
+              (0 until nParts).foreach { _ =>
+                val p = buf.getInt
+                val ts = buf.getLong
+                writeInt(body, p)
+                writeShort(body, if (t == topic) 0 else 3)
+                writeLong(body, -1L) // timestamp
+                writeLong(body, if (ts == -1L) logEnd(p) else logStart(p))
+              }
+            }
+          case ApiFetch =>
+            require(apiVersion == 4, s"expected Fetch v4, got $apiVersion")
+            buf.getInt // replica_id
+            buf.getInt // max_wait_ms
+            buf.getInt // min_bytes
+            buf.getInt // max_bytes
+            buf.get() // isolation_level
+            val nTopics = buf.getInt
+            writeInt(body, 0) // throttle_time_ms
+            writeInt(body, nTopics)
+            (0 until nTopics).foreach { _ =>
+              val t = readString(buf)
+              val nParts = buf.getInt
+              writeStringTo(body, t)
+              writeInt(body, nParts)
+              (0 until nParts).foreach { _ =>
+                val p = buf.getInt
+                val fetchOffset = buf.getLong
+                val partMaxBytes = buf.getInt
+                val (start, end, batches) = logLock.synchronized {
+                  (logStart(p), logEnd(p), logs.getOrElse(p, Vector.empty))
+                }
+                writeInt(body, p)
+                if (t != topic || fetchOffset < start || fetchOffset > end) {
+                  writeShort(body, 1) // OFFSET_OUT_OF_RANGE
+                  writeLong(body, end); writeLong(body, end)
+                  writeInt(body, 0) // aborted
+                  writeInt(body, 0) // empty record set
+                } else {
+                  // batch-granular serving: every batch whose LAST offset
+                  // is at or past the fetch position, within the byte cap
+                  // (always at least one so the consumer makes progress)
+                  val eligible = batches.filter(b =>
+                    b.baseOffset + b.count - 1 >= fetchOffset)
+                  var size = 0
+                  val served = eligible.takeWhile { b =>
+                    val keep = size == 0 || size + b.bytes.length <= partMaxBytes
+                    if (keep) size += b.bytes.length
+                    keep
+                  }
+                  val set = new ByteArrayOutputStream()
+                  served.foreach(b => set.write(b.bytes))
+                  if (fetchTruncatesTail && served.nonEmpty &&
+                      eligible.length > served.length)
+                    set.write(eligible(served.length).bytes, 0, 20)
+                  val setBytes = set.toByteArray
+                  writeShort(body, 0)
+                  writeLong(body, end) // high_watermark
+                  writeLong(body, end) // last_stable_offset
+                  writeInt(body, 0) // aborted_transactions
+                  writeInt(body, setBytes.length)
+                  body.write(setBytes)
+                }
+              }
+            }
           case other => throw new IllegalStateException(s"broker got api $other")
         }
         val b = body.toByteArray
@@ -388,6 +492,136 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally {
       broker.stop()
     }
+  }
+
+  test("record set decode: absolute offsets across batches, truncated tail dropped") {
+    def patched(records: Seq[Record], baseOffset: Long): Array[Byte] = {
+      val b = recordBatch(records)
+      ByteBuffer.wrap(b).putLong(0, baseOffset) // what a broker does on append
+      b
+    }
+    val b1 = patched(Seq(
+      Record(Some("a".getBytes), "v0".getBytes, 10L),
+      Record(Some("b".getBytes), "v1".getBytes, 11L)), 100L)
+    val b2 = patched(Seq(
+      Record(None, "v2".getBytes, 12L),
+      Record(None, "v3".getBytes, 13L)), 102L)
+    val set = new ByteArrayOutputStream()
+    set.write(b1); set.write(b2)
+    set.write(b2, 0, 20) // a mid-batch cut at partition_max_bytes
+    val decoded = decodeRecordSet(set.toByteArray)
+    assert(decoded.map(_.offset) == Seq(100L, 101L, 102L, 103L))
+    assert(decoded.map(r => new String(r.record.value)) ==
+      Seq("v0", "v1", "v2", "v3"))
+    // a corrupt NON-tail batch must still fail loudly, not skip
+    val corrupt = set.toByteArray
+    corrupt(30) = (corrupt(30) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      decodeRecordSet(corrupt)).getMessage.contains("CRC"))
+  }
+
+  test("consumer reads back exactly what the producer sent, with offsets") {
+    val broker = new ScriptedKafkaBroker("changes", numPartitions = 3)
+    try {
+      val records = (0 until 12).map(i =>
+        (s"key-$i".getBytes, s"value-$i".getBytes, 1700000000000L + i))
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      val sent = try producer.send("changes", 3, records) finally producer.close()
+
+      val consumer = new KafkaWireConsumer("127.0.0.1", broker.port, "graft-read")
+      try {
+        val got = (0 until 3).flatMap { p =>
+          val from = consumer.earliestOffset("changes", p)
+          val until = consumer.latestOffset("changes", p)
+          assert(from == 100L + p, s"log starts at $from for partition $p")
+          val recs = consumer.readRange("changes", p, from, until)
+          assert(recs.map(_.offset) == (from until until),
+            s"offsets must be gapless on partition $p")
+          // the produce ack's base offset is where the read finds the data
+          sent.get(p).foreach(base => assert(base == from))
+          recs.map(r => (p, new String(r.record.key.get),
+            new String(r.record.value), r.record.timestampMs))
+        }
+        assert(got.size == 12)
+        records.foreach { case (k, v, ts) =>
+          val key = new String(k)
+          val hit = got.find(_._2 == key).get
+          assert(hit._1 == partitionFor(k, 3), s"$key on wrong partition")
+          assert(hit._3 == new String(v) && hit._4 == ts, s"$key payload")
+        }
+      } finally consumer.close()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("fetch from a mid-batch offset trims the records below it") {
+    val broker = new ScriptedKafkaBroker("changes", 1)
+    try {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try {
+        // one 3-record batch at base 100: brokers serve WHOLE batches, so
+        // a fetch at 101 gets the batch from 100 — the consumer must trim
+        producer.produce("changes", 0, (0 until 3).map(i =>
+          Record(Some(s"k$i".getBytes), s"v$i".getBytes, 1L)))
+      } finally producer.close()
+      val consumer = new KafkaWireConsumer("127.0.0.1", broker.port)
+      try {
+        val res = consumer.fetch("changes", 0, 101L)
+        assert(res.records.map(_.offset) == Seq(101L, 102L))
+        assert(res.highWatermark == 103L)
+      } finally consumer.close()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("fetch outside the retention window raises OFFSET_OUT_OF_RANGE") {
+    val broker = new ScriptedKafkaBroker("changes", 1)
+    try {
+      val consumer = new KafkaWireConsumer("127.0.0.1", broker.port)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          consumer.fetch("changes", 0, 99L) // log starts at 100
+        }
+        assert(e.getMessage.contains("OFFSET_OUT_OF_RANGE"))
+      } finally consumer.close()
+    } finally broker.stop()
+  }
+
+  test("a tail batch cut at partition_max_bytes is dropped and re-fetched") {
+    val broker = new ScriptedKafkaBroker("changes", 1, fetchTruncatesTail = true)
+    try {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try {
+        // two separate one-record batches: every fetch that serves batch 1
+        // but not batch 2 gets 20 bytes of batch 2 appended by the broker
+        producer.produce("changes", 0,
+          Seq(Record(Some("k0".getBytes), "v0".getBytes, 1L)), maxBatchBytes = 1)
+        producer.produce("changes", 0,
+          Seq(Record(Some("k1".getBytes), "v1".getBytes, 2L)), maxBatchBytes = 1)
+      } finally producer.close()
+      val consumer = new KafkaWireConsumer("127.0.0.1", broker.port)
+      try {
+        val first = consumer.fetch("changes", 0, 100L,
+          maxBytes = 120) // under two batches: serves batch 1 + cut tail
+        assert(first.records.map(_.offset) == Seq(100L),
+          "the partial tail must not decode")
+        val all = consumer.readRange("changes", 0, 100L, 102L)
+        assert(all.map(_.offset) == Seq(100L, 101L),
+          "paging must recover the cut batch whole")
+        assert(all.map(r => new String(r.record.value)) == Seq("v0", "v1"))
+      } finally consumer.close()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("handshake fails fast when the broker cannot speak Fetch v4") {
+    val broker = new ScriptedKafkaBroker("changes", 1, maxFetchVersion = 3)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new KafkaWireConsumer("127.0.0.1", broker.port)
+      }
+      assert(e.getMessage.contains("Fetch v4"))
+    } finally broker.stop()
   }
 
   test("unknown topic surfaces the metadata error code") {
