@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,6 +43,17 @@ object KafkaWireSource {
     spark.read.format(classOf[KafkaWireSourceProvider].getName)
       .option("host", host).option("port", port.toString)
       .option("topic", topic).option("client.id", clientId)
+      .load()
+
+  /** Streaming read: each micro-batch is the per-partition offset range
+    * accrued since the last one; `checkpointLocation` resumes it.
+    */
+  def readStream(spark: SparkSession, host: String, port: Int, topic: String,
+      startPosition: String = "earliest", clientId: String = "graft"): DataFrame =
+    spark.readStream.format(classOf[KafkaWireSourceProvider].getName)
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic).option("client.id", clientId)
+      .option("start.position", startPosition)
       .load()
 
   /** Driver-side planning: bootstrap metadata for the leader table, then
@@ -88,7 +100,7 @@ class KafkaWireTable(options: Map[String, String]) extends Table with SupportsRe
   override def name(): String = s"graft-kafka(${options.getOrElse("topic", "?")})"
   override def schema(): StructType = KafkaWireSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    JCollections.singleton(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -99,14 +111,96 @@ class KafkaWireTable(options: Map[String, String]) extends Table with SupportsRe
               required("topic"), options.getOrElse("client.id", "graft"))
               .toArray[InputPartition]
           override def createReaderFactory(): PartitionReaderFactory =
-            new PartitionReaderFactory {
-              override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-                new KafkaWirePartitionReader(
-                  partition.asInstanceOf[KafkaWireInputPartition])
-            }
+            KafkaWireReaderFactory
         }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KafkaWireMicroBatchStream(required("host"), required("port").toInt,
+            required("topic"), options.getOrElse("client.id", "graft"),
+            options.getOrElse("start.position", "earliest"))
       }
     }
+}
+
+object KafkaWireReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KafkaWirePartitionReader(partition.asInstanceOf[KafkaWireInputPartition])
+}
+
+/** Per-partition offset positions in Spark's offset log — restart picks
+  * up exactly where the last committed micro-batch ended (the same
+  * contract as [[LsnOffset]] for the CDC source).
+  */
+case class KafkaPartitionOffsets(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object KafkaPartitionOffsets {
+  def fromJson(json: String): KafkaPartitionOffsets = {
+    val inner = json.trim.stripPrefix("{").stripSuffix("}").trim
+    val map =
+      if (inner.isEmpty) Map.empty[Int, Long]
+      else inner.split(",").map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
+      }.toMap
+    KafkaPartitionOffsets(map)
+  }
+}
+
+/** Micro-batch stream over the wire consumer: each trigger reads
+  * (lastCommitted, logEnd] per partition, one input partition per Kafka
+  * partition (same readers as the batch scan). The leader table is
+  * resolved once at stream start — a leadership move fails the task and
+  * Spark's retry replans; offsets in the checkpoint make that replay
+  * exactly the uncommitted range.
+  */
+class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
+    clientId: String, startPosition: String) extends MicroBatchStream {
+
+  private val slices = KafkaWireSource.planSlices(host, port, topic, clientId)
+  private val leaders =
+    scala.collection.mutable.Map.empty[(String, Int), KafkaWireConsumer]
+  private def leaderAt(h: String, p: Int): KafkaWireConsumer =
+    leaders.getOrElseUpdate((h, p), new KafkaWireConsumer(h, p, clientId))
+
+  override def initialOffset(): Offset = KafkaPartitionOffsets(
+    startPosition match {
+      case "earliest" => slices.map(s => s.partition -> s.fromOffset).toMap
+      case "latest" => slices.map(s => s.partition -> s.untilOffset).toMap
+      case other => throw new IllegalArgumentException(
+        s"start.position must be earliest|latest, got '$other'")
+    })
+
+  override def latestOffset(): Offset = KafkaPartitionOffsets(
+    slices.map(s =>
+      s.partition -> leaderAt(s.host, s.port).latestOffset(topic, s.partition))
+      .toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaPartitionOffsets.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[KafkaPartitionOffsets].offsets
+    val until = end.asInstanceOf[KafkaPartitionOffsets].offsets
+    slices.flatMap { s =>
+      val a = from.getOrElse(s.partition, s.fromOffset)
+      val b = until.getOrElse(s.partition, a)
+      if (b > a) Some(KafkaWireInputPartition(topic, s.partition,
+        s.host, s.port, a, b, clientId))
+      else None
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KafkaWireReaderFactory
+
+  override def stop(): Unit = {
+    leaders.values.foreach(c => try c.close() catch { case _: Exception => })
+    leaders.clear()
+  }
 }
 
 /** One Kafka partition's offset slice, pinned to its leader broker. */

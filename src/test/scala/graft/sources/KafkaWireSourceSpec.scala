@@ -58,6 +58,85 @@ class KafkaWireSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("streaming read delivers each produce round once and resumes from " +
+      "the checkpoint") {
+    val spark = graft.SparkTestSession.spark
+    val broker = new ScriptedKafkaBroker("stream", numPartitions = 2)
+    val out = java.nio.file.Files.createTempDirectory("kwsrc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kwsrc-ckpt").toString
+    def produce(ids: Range): Unit = {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try producer.send("stream", 2, ids.map(i =>
+        (s"k$i".getBytes, s"v$i".getBytes, 1000L + i)))
+      finally producer.close()
+    }
+    def start() = KafkaWireSource
+      .readStream(spark, "127.0.0.1", broker.port, "stream")
+      .selectExpr("partition", "offset", "cast(key as string) as key")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      produce(0 until 5)
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        assert(spark.read.parquet(out).count() == 5)
+        produce(5 until 8) // a second round inside the same run
+        q1.processAllAvailable()
+        assert(spark.read.parquet(out).count() == 8)
+      } finally q1.stop()
+
+      produce(8 until 12) // produced while the stream is DOWN
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(out)
+        assert(rows.count() == 12, "resume must deliver exactly the missed range")
+        assert(rows.select("key").distinct().count() == 12, "no replays")
+      } finally q2.stop()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("streaming start.position=latest skips the backlog") {
+    val spark = graft.SparkTestSession.spark
+    val broker = new ScriptedKafkaBroker("tail", numPartitions = 1)
+    val out = java.nio.file.Files.createTempDirectory("kwtail-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kwtail-ckpt").toString
+    def produce(ids: Range): Unit = {
+      val producer = new KafkaWireProducer("127.0.0.1", broker.port)
+      try producer.send("tail", 1, ids.map(i =>
+        (s"k$i".getBytes, s"v$i".getBytes, 1000L + i)))
+      finally producer.close()
+    }
+    try {
+      produce(0 until 4) // backlog that must NOT be delivered
+      val q = KafkaWireSource
+        .readStream(spark, "127.0.0.1", broker.port, "tail", startPosition = "latest")
+        .selectExpr("offset", "cast(key as string) as key")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.read.parquet(out).count() == 0)
+        produce(4 until 6)
+        q.processAllAvailable()
+        val keys = spark.read.parquet(out).collect().map(_.getString(1)).sorted
+        assert(keys.toSeq == Seq("k4", "k5"))
+      } finally q.stop()
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
+  test("offset json round-trips, including the empty map") {
+    val o = KafkaPartitionOffsets(Map(1 -> 107L, 0 -> 100L))
+    assert(o.json() == """{"0":100,"1":107}""")
+    assert(KafkaPartitionOffsets.fromJson(o.json()) == o)
+    assert(KafkaPartitionOffsets.fromJson("{}").offsets.isEmpty)
+  }
+
   test("an empty topic plans empty slices and returns zero rows") {
     val spark = graft.SparkTestSession.spark
     val broker = new ScriptedKafkaBroker("empty", numPartitions = 2)
