@@ -125,15 +125,19 @@ object Dedup {
     *
     * Scale shape: iterative min-label propagation with POINTER JUMPING
     * (comp := comp(comp) each round — CC in O(log n) rounds instead of
-    * O(diameter); cf.
-    * large-star/small-star, Kiveris et al. 2014). Per round: one join +
-    * partial-agg min for neighbor labels, one join for the jump, both on
-    * (id, comp) pairs only — payloads never enter. Each round is
-    * localCheckpoint'ed so lineage stays flat and the convergence probe
-    * (any-label-changed, a limit(1) count on a checkpointed frame) is
-    * cheap. The label table holds only nodes that APPEAR IN PAIRS — at
-    * 100 TB that is the near-dup subgraph, orders of magnitude smaller
-    * than the corpus.
+    * O(diameter); cf. large-star/small-star, Kiveris et al. 2014). The
+    * edge list is made SELF-INCLUSIVE once up front ((id, id) loops), so
+    * each round's `least(own, min over neighbors)` is a single join +
+    * partial-agg min — the self row both contributes the node's own
+    * label to the min and carries its old label out for the convergence
+    * probe. Round 1 needs no join at all: with comp0(x) = x the
+    * neighbor-min is just min(d) per s. Per round after that: one join +
+    * agg, one pointer-jump join, all on (id, comp) pairs only — payloads
+    * never enter. Each round is localCheckpoint'ed so lineage stays flat
+    * and the convergence probe rides the checkpoint job via observe().
+    * The label table holds only nodes that APPEAR IN PAIRS — at 100 TB
+    * that is the near-dup subgraph, orders of magnitude smaller than the
+    * corpus.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
@@ -141,28 +145,30 @@ object Dedup {
       .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .unionByName(pairs.select(col(bCol).cast("long").as("s"),
         col(aCol).cast("long").as("d")))
+    // self-inclusive, deduplicated, pinned: the upstream pair pipeline
+    // (LSH) must not recompute per round
+    val withSelf = edges
+      .unionByName(edges.select(col("s"), col("s").as("d")))
       .distinct()
-      // pin: the upstream pair pipeline (LSH) must not recompute per round
       .localCheckpoint(eager = true)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // round 1 closed-form: comp1 = min(N(id) ∪ {id}) since comp0(x) = x
+    var labels = withSelf.groupBy(col("s").as("id")).agg(min(col("d")).as("comp"))
       .localCheckpoint(eager = true)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
-      // neighbor min: comp := min(comp, min over neighbors of their comp)
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("d"), col("comp").as("ncomp")), Seq("d"))
-        .groupBy(col("s").as("id")).agg(min(col("ncomp")).as("ncomp"))
-      val propagated = labels.withColumnRenamed("comp", "old")
-        .join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("ncomp"), col("old"))).as("comp"))
+      // comp := min(own, neighbors' comps) in ONE join + agg over the
+      // self-inclusive edges; the self row (d == s) carries the old label
+      val minN = withSelf
+        .join(labels.select(col("id").as("d"), col("comp").as("dcomp")), Seq("d"))
+        .groupBy(col("s").as("id"))
+        .agg(min(col("dcomp")).as("ncomp"),
+          max(when(col("d") === col("s"), col("dcomp"))).as("old"))
       // pointer jump: comp := comp(comp) — collapses chains exponentially
-      val jumped = propagated.as("l")
-        .join(propagated.select(col("id").as("comp"), col("comp").as("jcomp")).as("m"),
-          Seq("comp"), "left")
-        .select(col("id"), col("old"), coalesce(col("jcomp"), col("comp")).as("comp"))
+      val jumped = minN
+        .join(minN.select(col("id").as("ncomp"), col("ncomp").as("jcomp")),
+          Seq("ncomp"), "left")
+        .select(col("id"), col("old"), coalesce(col("jcomp"), col("ncomp")).as("comp"))
       // convergence probe rides the checkpoint's materialization job via
       // observe() — no separate count job per round
       val obs = org.apache.spark.sql.Observation()
