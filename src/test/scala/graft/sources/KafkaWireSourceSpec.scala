@@ -137,6 +137,52 @@ class KafkaWireSourceSpec extends AnyFunSuite {
     assert(KafkaPartitionOffsets.fromJson("{}").offsets.isEmpty)
   }
 
+  test("CDC changes survive the full produce/fetch loop and apply cleanly") {
+    // file change-source -> Debezium envelope -> wire produce -> wire
+    // batch read -> envelope decode -> applyChanges: the whole replicate
+    // pipeline round-trips through a broker with no client jar anywhere
+    val spark = graft.SparkTestSession.spark
+    val broker = new ScriptedKafkaBroker("cdc", numPartitions = 3)
+    val inDir = java.nio.file.Files.createTempDirectory("kwcdc-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kwcdc-ckpt").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "b0.json"),
+        Seq(
+          """{"db":"appdb","schema":"public","table":"users","op":"c","ts_ms":1,"before":null,"after":{"id":"1","name":"ada"},"lsn":10,"txId":1}""",
+          """{"db":"appdb","schema":"public","table":"users","op":"c","ts_ms":2,"before":null,"after":{"id":"2","name":"bob"},"lsn":11,"txId":2}""",
+          """{"db":"appdb","schema":"public","table":"users","op":"u","ts_ms":3,"before":{"id":"1","name":"ada"},"after":{"id":"1","name":"ada2"},"lsn":12,"txId":3}""",
+          """{"db":"appdb","schema":"public","table":"users","op":"d","ts_ms":4,"before":{"id":"2","name":"bob"},"after":null,"lsn":13,"txId":4}"""
+        ).mkString("\n"))
+      val frame = graft.cdc.ReplicatePipeline.envelopeFrame(
+        graft.cdc.FileChangeSource(inDir), spark, "postgresql", "graft")
+      val q = graft.cdc.ReplicatePipeline.startToKafkaWire(
+        frame, "127.0.0.1", broker.port, "cdc", ckpt)
+      try q.processAllAvailable() finally q.stop()
+
+      val envelopeSchema = "struct<before:map<string,string>," +
+        "after:map<string,string>,source:struct<db:string,schema:string," +
+        "table:string,lsn:bigint,txId:bigint>,op:string,ts_ms:bigint>"
+      val changes = KafkaWireSource.read(spark, "127.0.0.1", broker.port, "cdc")
+        .select(from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.DataType.fromDDL(envelopeSchema)).as("e"))
+        .select(col("e.source.db").as("db"), col("e.source.schema").as("schema"),
+          col("e.source.table").as("table"), col("e.op").as("op"),
+          col("e.ts_ms").as("ts_ms"), col("e.before").as("before"),
+          col("e.after").as("after"), col("e.source.lsn").as("lsn"),
+          col("e.source.txId").as("txId"))
+      assert(changes.count() == 4)
+
+      import spark.implicits._
+      val base = Seq(("3", "eve")).toDF("id", "name")
+      val state = graft.cdc.Apply.applyChanges(base, changes, "id", Seq("name"))
+        .orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(state.toSeq == Seq(("1", "ada2"), ("3", "eve")),
+        "update applied, delete dropped, untouched base row kept")
+      assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
+    } finally broker.stop()
+  }
+
   test("an empty topic plans empty slices and returns zero rows") {
     val spark = graft.SparkTestSession.spark
     val broker = new ScriptedKafkaBroker("empty", numPartitions = 2)
