@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.cdc.{KafkaWire, KafkaWireProducer, ScriptedKafkaBroker}
+import graft.cdc.{KafkaWire, KafkaWireCluster, KafkaWireProducer, ScriptedKafkaBroker}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -181,6 +181,38 @@ class KafkaWireSourceSpec extends AnyFunSuite {
         "update applied, delete dropped, untouched base row kept")
       assert(broker.failure == null, s"broker-side failure: ${broker.failure}")
     } finally broker.stop()
+  }
+
+  test("multi-broker read routes each partition's fetches to its leader") {
+    val spark = graft.SparkTestSession.spark
+    // partition p is led by node p; each broker stores only what it leads,
+    // so a misrouted fetch would find an empty log and stall out
+    var table: Seq[(Int, String, Int)] = Nil
+    val leaders = (_: Int, p: Int) => p
+    val a = new ScriptedKafkaBroker("routed", 2, nodeId = 0,
+      brokerTable = () => table, partitionLeaders = leaders, owned = _ == 0)
+    val b = new ScriptedKafkaBroker("routed", 2, nodeId = 1,
+      brokerTable = () => table, partitionLeaders = leaders, owned = _ == 1)
+    table = Seq((0, "127.0.0.1", a.port), (1, "127.0.0.1", b.port))
+    try {
+      val keys = (0 until 16).map(i => s"key-$i".getBytes)
+      assert(keys.map(KafkaWire.partitionFor(_, 2)).toSet == Set(0, 1))
+      val cluster = new KafkaWireCluster("127.0.0.1", a.port)
+      try cluster.send("routed", keys.map(k => (k, "v".getBytes, 1L)))
+      finally cluster.close()
+
+      // bootstrap via A; partition 1's slice must still be read from B
+      val df = KafkaWireSource.read(spark, "127.0.0.1", a.port, "routed")
+      val rows = df.selectExpr("partition", "cast(key as string) as key").collect()
+      assert(rows.length == 16)
+      assert(rows.map(_.getInt(0)).toSet == Set(0, 1))
+      rows.foreach { r =>
+        assert(r.getInt(0) ==
+          KafkaWire.partitionFor(r.getString(1).getBytes, 2))
+      }
+      assert(a.failure == null, s"broker A failure: ${a.failure}")
+      assert(b.failure == null, s"broker B failure: ${b.failure}")
+    } finally { a.stop(); b.stop() }
   }
 
   test("an empty topic plans empty slices and returns zero rows") {

@@ -92,6 +92,48 @@ class WireFuzzSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: fetch record sets decode whole batches with absolute " +
+      "offsets; any cut point yields exactly the complete prefix batches") {
+    import graft.cdc.KafkaWire
+    import java.nio.ByteBuffer
+    val recordGen: Gen[KafkaWire.Record] = for {
+      key <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray))
+      value <- Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+      ts <- Gen.chooseNum(0L, 4102444800000L)
+    } yield KafkaWire.Record(key, value, ts)
+    val batchGen: Gen[(Long, Seq[KafkaWire.Record])] = for {
+      base <- Gen.chooseNum(0L, 1L << 40)
+      rs <- Gen.nonEmptyListOf(recordGen).map(_.take(8))
+    } yield (base, rs)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(batchGen).map(_.take(4))) { batches =>
+      val encoded = batches.map { case (base, rs) =>
+        val b = KafkaWire.recordBatch(rs)
+        ByteBuffer.wrap(b).putLong(0, base) // broker-assigned base offset
+        b
+      }
+      val set = encoded.flatten.toArray
+      val expected = batches.flatMap { case (base, rs) =>
+        rs.zipWithIndex.map { case (r, i) => (base + i, r) }
+      }
+      // every cut yields exactly the batches wholly inside the prefix —
+      // no fabricated records, no lost complete batch
+      val prefixSizes = encoded.scanLeft(0)(_ + _.length)
+      (0 to set.length).forall { cut =>
+        val nWhole = prefixSizes.count(_ <= cut) - 1
+        val want = batches.take(nWhole).map(_._2.size).sum
+        val got = KafkaWire.decodeRecordSet(set.take(cut))
+        got.size == want && got.zip(expected).forall { case (g, (off, r)) =>
+          g.offset == off && g.record.timestampMs == r.timestampMs &&
+            g.record.key.map(_.toSeq) == r.key.map(_.toSeq) &&
+            g.record.value.sameElements(r.value)
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("truncated or corrupted Kafka record batches raise, never fabricate") {
     import graft.cdc.KafkaWire
     val batch = KafkaWire.recordBatch(Seq(
