@@ -153,17 +153,20 @@ object Apply {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // missing dir == first batch; any OTHER read failure must fail
+        // the batch — mistaking it for "no table" would let the swap
+        // below destroy the existing state (same rule as the SCD2 merge)
+        val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+        val tableFs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val current =
-          try s.read.parquet(tableDir)
-          catch {
-            case _: Throwable =>
-              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(
-                  org.apache.spark.sql.types.StructField(keyCol,
-                    org.apache.spark.sql.types.StringType) +:
-                    cols.map(c => org.apache.spark.sql.types.StructField(c,
-                      org.apache.spark.sql.types.StringType))))
-          }
+          if (tableFs.exists(tablePath)) s.read.parquet(tableDir)
+          else
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                org.apache.spark.sql.types.StructField(keyCol,
+                  org.apache.spark.sql.types.StringType) +:
+                  cols.map(c => org.apache.spark.sql.types.StructField(c,
+                    org.apache.spark.sql.types.StringType))))
         val merged = applyChanges(current, batch, keyCol, cols)
         // stage + swap: the overwrite must not read the dir it replaces
         val staged = tableDir + ".staging"
