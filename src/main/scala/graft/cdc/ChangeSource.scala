@@ -152,6 +152,13 @@ object ReplicatePipeline {
               try {
                 val now = System.currentTimeMillis()
                 val records = rows.map { r =>
+                  // A null key/value means the frame wasn't built by
+                  // Envelope.toKafkaFrame — fail with context instead of
+                  // an anonymous executor NPE.
+                  require(!r.isNullAt(0) && !r.isNullAt(1),
+                    s"null key or value in Kafka frame for topic '$topic'; " +
+                      "frames must carry non-null key and value columns " +
+                      "(see Envelope.toKafkaFrame)")
                   (r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
                     r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
                     now)

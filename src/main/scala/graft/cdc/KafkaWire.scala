@@ -193,7 +193,11 @@ object KafkaWire {
       if (buf.remaining() < 12) done = true // header shorter than baseOffset+length
       else {
         val batchLength = buf.getInt(buf.position() + 8)
-        if (batchLength < 0 || buf.remaining() - 12 < batchLength) done = true // truncated tail
+        // A negative length is corruption, never a partition_max_bytes
+        // cut — fail loudly instead of masquerading as an empty fetch.
+        require(batchLength >= 0,
+          s"corrupt record set: negative batch length $batchLength at offset ${buf.position()}")
+        if (buf.remaining() - 12 < batchLength) done = true // truncated tail
         else out ++= decodeOneBatch(buf)
       }
     }

@@ -159,11 +159,14 @@ object Dedup {
     while (!converged && iter < maxIters) {
       // comp := min(own, neighbors' comps) in ONE join + agg over the
       // self-inclusive edges; the self row (d == s) carries the old label
+      // cached: the pointer-jump below self-joins minN, and without the
+      // cache each round would recompute the neighbor-min join+agg twice
       val minN = withSelf
         .join(labels.select(col("id").as("d"), col("comp").as("dcomp")), Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min(col("dcomp")).as("ncomp"),
           max(when(col("d") === col("s"), col("dcomp"))).as("old"))
+        .cache()
       // pointer jump: comp := comp(comp) — collapses chains exponentially
       val jumped = minN
         .join(minN.select(col("id").as("ncomp"), col("ncomp").as("jcomp")),
@@ -179,6 +182,7 @@ object Dedup {
       // null = zero rows observed (empty pair graph) -> trivially converged
       val changed = obs.get("changed")
       converged = changed == null || changed == 0
+      minN.unpersist(blocking = false) // labels is checkpointed; drop the round's cache
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

@@ -162,6 +162,11 @@ object TfRecords {
         out.result().iterator
       }
       .toDF("path", "n_records", "n_bytes")
-    manifest
+    // Eagerly pin the manifest: the writes above live inside a lazy
+    // mapPartitions, so any SECOND action on the returned frame (count
+    // then collect, an AQE re-plan) would silently rewrite the shards
+    // and re-emit manifest rows. One materialization, served from the
+    // checkpoint thereafter.
+    manifest.localCheckpoint(eager = true)
   }
 }

@@ -178,6 +178,17 @@ class PgSocketTransport(host: String, port: Int, database: String,
 
   import PgWire._
 
+  // slotName/publication/database are interpolated into replication
+  // commands and catalog SQL; restrict them to plain identifiers so a
+  // quote or whitespace in a config value can't break or inject into
+  // the walsender session.
+  private val identPattern = "[A-Za-z0-9_]+"
+  Seq("pg.slot" -> slotName, "pg.publication" -> publication,
+      "database" -> database).foreach { case (what, v) =>
+    require(v != null && v.matches(identPattern),
+      s"$what must match $identPattern, got '$v'")
+  }
+
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMillis)
   socket.setTcpNoDelay(true)
