@@ -773,6 +773,49 @@ object SparkEntry {
           round(element_at(col("features"), 8).cast(DoubleType), 6).as("f7"),
           round(element_at(col("features"), 16).cast(DoubleType), 6).as("f15"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k retrieval (oracle-checked): rank the corpus against a
+    // bag of query terms — the standard sparse-retrieval primitive for
+    // targeted corpus search/quality probes. Token stream is filtered to
+    // the query terms BEFORE any shuffle; df/avgdl ride broadcasts.
+    "q71_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("customer", "vector", "spark", "query"), k = 10)),
+
+    // BPE pair-merge statistics (oracle-checked): the counting pass of
+    // tokenizer training, factored through the word vocabulary so the
+    // per-character work is Heaps-law bounded, not corpus-sized.
+    "q72_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Tokenize.topBpePairs(t(s, dir, "documents"), "text", k = 20)),
+
+    // CCNet-style unigram-LM scoring (oracle-checked): mean token
+    // negative log-likelihood per document against the corpus model —
+    // the perplexity-bucketing signal; vocab pass + broadcast scoring.
+    "q73_unigram_nll" -> ((s, dir) =>
+      graft.ops.Retrieval.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Per-source data card (oracle-checked): doc counts, token volume,
+    // mean/median/p90 length — exact percentiles here for oracle parity;
+    // the operator's default is the mergeable approx sketch at scale.
+    "q74_data_card" -> ((s, dir) =>
+      graft.ops.Profile.dataCard(t(s, dir, "documents"), "source", "text",
+        "n_chars", exact = true)
+        .orderBy(col("source"))),
+
+    // Bloom-pre-filtered decontamination (oracle-checked): same exact
+    // report as the broadcast-join path — blooms have no false negatives
+    // and false positives die in the verify join — but the corpus-side
+    // probe is an O(1) bitset check ~6x smaller to ship than the gram
+    // set. 6-grams, >=2 shared grams to flag.
+    "q75_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.ops.Decontamination.bloomOverlapReport(train, "doc_id", "text",
+        bench, "text", n = 6, minShared = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1396,6 +1439,70 @@ object SparkEntry {
         |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 150)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q71_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('customer', 'vector', 'spark', 'query')
+        |       GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  round(sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q72_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+        |pairs AS (
+        |  SELECT freq, unnest([substring(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+        |  FROM vocab WHERE len(w) >= 2)
+        |SELECT pair, sum(freq)::BIGINT AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q73_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |docw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        |vocab AS (SELECT w, sum(c) AS n FROM docw GROUP BY w),
+        |tot AS (SELECT sum(n) AS tot, count(*) AS v FROM vocab)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |  round(-sum(c * ln((vb.n + 1)::DOUBLE / (t.tot + t.v))) / sum(c), 6) AS nll
+        |FROM docw JOIN vocab vb USING (w) CROSS JOIN tot t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q74_data_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')))::BIGINT AS n_tokens,
+        |  round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_len,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_len,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q75_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest([array_to_string(toks[i:i+5], ' ') FOR i IN range(1, len(toks) - 4)]) AS g
+        |  FROM toks WHERE doc_id % 10 = 0 AND len(toks) >= 6),
+        |train AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+5], ' ') FOR i IN range(1, len(toks) - 4)])) AS g
+        |  FROM toks WHERE doc_id % 10 <> 0 AND len(toks) >= 6)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM train JOIN bench USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin
   )
 }

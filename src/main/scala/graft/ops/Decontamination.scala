@@ -24,7 +24,7 @@ object Decontamination {
     * Documents with fewer than n tokens carry no n-gram (the whole-array
     * fallback shingle would fake one) — they cannot be contaminated.
     */
-  private def gramHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
+  private[ops] def gramHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     df.withColumn("__toks", toks)
       .filter(size(col("__toks")) >= n)
@@ -47,6 +47,37 @@ object Decontamination {
     tg.join(broadcast(bg), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[overlapReport]] with a BLOOM-FILTER pre-filter on the corpus side —
+    * the variant for benchmark sets too large to broadcast as a join set.
+    * A bloom at fpp=0.01 costs ~10 bits per gram vs 64+ bits for the
+    * broadcast hash set, and the probe is a per-row O(1) check that
+    * prunes ~99% of corpus grams BEFORE the join; blooms have no false
+    * negatives, so the exact verify join on the survivors returns
+    * byte-identical results to [[overlapReport]] (false positives die in
+    * the verify). The filter is built distributed (per-partition blooms
+    * OR-merged — `DataFrameStatFunctions.bloomFilter` is a
+    * treeAggregate) and shipped once per executor via the closure.
+    *
+    * `minShared` gates the report (GPT-3 appendix C flags on any
+    * 13-gram hit; stricter pipelines require several shared grams).
+    */
+  def bloomOverlapReport(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8,
+      minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    val bg = gramHashes(bench.select(col(benchText)), benchText, n)
+      .select(col("g")).distinct().localCheckpoint(true)
+    val nGrams = math.max(bg.count(), 1L) // benchmark-sized driver action
+    val bloom = bg.stat.bloomFilter("g", nGrams, fpp)
+    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+    val tg = gramHashes(train.select(col(trainId).as("doc_id"), col(trainText)),
+      trainText, n).select(col("doc_id"), col("g"))
+      .filter(mightContain(col("g")))
+    tg.join(broadcast(bg), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Drop training docs sharing >= minShared n-grams with the benchmark

@@ -52,6 +52,38 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("bloomOverlapReport equals the broadcast-join path on fixture data") {
+    val docs = spark.read
+      .parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val exact = Decontamination
+      .overlapReport(train, "doc_id", "text", bench, "text", n = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Decontamination
+      .bloomOverlapReport(train, "doc_id", "text", bench, "text", n = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives (bloom property) and no false positives (the
+    // verify join kills them): byte-identical reports
+    assert(bloomed == exact)
+    assert(exact.nonEmpty) // the comparison must actually exercise hits
+  }
+
+  test("bloomOverlapReport: minShared gates the report") {
+    val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"$benchDoc extra tail tokens here"), // several shared 8-grams? no — one window
+      (2L, "unrelated one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val strict = Decontamination.bloomOverlapReport(
+      train, "doc_id", "text", bench, "text", n = 8, minShared = 2)
+    assert(strict.isEmpty) // doc 1 shares exactly one distinct 8-gram
+    val loose = Decontamination.bloomOverlapReport(
+      train, "doc_id", "text", bench, "text", n = 8, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == Map(1L -> 1L))
+  }
+
   test("hashSplit: deterministic, complete, near-weight proportions") {
     val docs = spark.read
       .parquet(s"${SparkTestSession.sf0001}/documents.parquet")

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    ("a", "one two three", 10L),
+    ("a", "four five", 20L),
+    ("a", "six", 30L),
+    ("b", "seven eight nine ten", 100L)
+  ).toDF("source", "text", "n_chars")
+
+  test("dataCard exact: counts, token volume, interpolated percentiles") {
+    val card = Profile.dataCard(docs, "source", "text", "n_chars", exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // group a: lens 10,20,30 -> p50=20 (exact mid), p90 interpolates
+    // between 20 and 30 at rank (3-1)*0.9=1.8 -> 28.0
+    assert(card("a") == ((3L, 6L, 20.0, 20.0, 28.0)))
+    assert(card("b") == ((1L, 4L, 100.0, 100.0, 100.0)))
+  }
+
+  test("dataCard approx agrees with exact on small groups") {
+    val exact = Profile.dataCard(docs, "source", "text", "n_chars", exact = true)
+    val approx = Profile.dataCard(docs, "source", "text", "n_chars", exact = false)
+    // at n=3/1 per group the GK sketch holds every value: approx p50
+    // returns an actual element; allow it to differ from the
+    // interpolated exact value by at most the group's value spread
+    val e = exact.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(e.keySet == a.keySet)
+    e.keySet.foreach { k => assert(math.abs(e(k) - a(k)) <= 10.0) }
+  }
+
+  test("dataCard matches a brute-force computation on fixture data") {
+    val d = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val card = Profile.dataCard(d, "lang", "text", "n_chars", exact = true)
+    val brute = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = card.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+    // p50 <= p90 everywhere, means positive
+    card.collect().foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(5))
+      assert(r.getDouble(3) > 0)
+    }
+  }
+}
