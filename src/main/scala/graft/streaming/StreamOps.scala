@@ -96,6 +96,83 @@ object StreamOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperMs MILLISECONDS"))
   }
 
+  /** One (doc, LSH band) bucket assignment on the stream. */
+  case class BandedDoc(id: Long, ts: java.sql.Timestamp, band: Int, bkey: Int)
+
+  /** A near-dup candidate pair surfaced by the streaming bucket store. */
+  case class NearDupCandidate(id_a: Long, id_b: Long, band: Int)
+
+  case class BucketState(rep: Long)
+
+  /** Streaming MinHash-LSH dedup-on-arrival: the continuous form of
+    * [[graft.ops.Dedup.minhashPairs]]. Each arriving document is
+    * minhashed and banded with the SAME codegen'd kernels as the batch
+    * path; each (band, bucket-key) group keeps one small state record —
+    * the first document id that landed in the bucket (its
+    * representative). Every later arrival in that bucket emits a
+    * candidate pair against the representative, which links transitive
+    * chains exactly like the batch path's CC stage (newcomers all pair
+    * with the same rep).
+    *
+    * Scale shape: state is ONE long per occupied bucket regardless of
+    * how many docs hashed into it, and buckets expire once the WATERMARK
+    * passes their last arrival by `ttlMs` (event-time timeout — the same
+    * bounded-state device as [[streamingDedup]]'s watermark window; a
+    * processing-time timeout would force the engine to spin empty
+    * micro-batches just to expire state). Candidates are emitted
+    * at-least-once (a doc colliding in several bands emits per band;
+    * re-deliveries after recovery possible) — downstream exact
+    * verification (the batch jaccard check over candidate ids) is
+    * idempotent, so at-least-once is the right contract.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, shingle: Int = 3, numPerm: Int = 128,
+      bands: Int = 32, watermark: String = "10 minutes",
+      ttlMs: Long = 3600000L)(
+      implicit spark: SparkSession): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val sig = graft.functions.minhash_sig(
+      graft.functions.word_shingle_hashes(toks, shingle), numPerm)
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      // NB: no cast on the ts column — a cast strips the watermark tag
+      // the EventTimeTimeout check looks for (alias alone preserves it)
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"), sig.as("sig"))
+      .select(col("id"), col("ts"), posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
+        .as(Seq("band", "bkey")))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), arrivals, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within a batch: the smallest id seeds a
+            // fresh bucket and the rest pair against it
+            val rows = arrivals.toSeq
+            val ids = rows.map(_.id).distinct.sorted
+            val rep = state.getOption.map(_.rep).getOrElse(ids.head)
+            if (!state.exists) state.update(BucketState(rep))
+            val lastTs = rows.map(_.ts.getTime).max
+            // a timeout at or before the current watermark throws; late
+            // arrivals inside the allowed lateness clamp to watermark+1
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            ids.filterNot(_ == rep).map(o =>
+              NearDupCandidate(math.min(rep, o), math.max(rep, o), band))
+              .iterator
+          }
+      }
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

@@ -161,4 +161,38 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(users(2L) == 1 && users(9L) == 1)
     } finally q.stop()
   }
+
+  test("streaming LSH near-dup surfaces cross-batch candidates, skips unrelated docs") {
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the band plays on and the crowd cheers loudly tonight"
+    val nearDup = base + " extra"
+    val unrelated = "completely different words about spark catalyst tungsten " +
+      "codegen shuffle partitions broadcast joins and watermarks in streams"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        shingle = 3, numPerm = 128, bands = 32)
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts(1), base))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM lsh_out").isEmpty,
+        "a lone first doc seeds buckets, emits nothing")
+      input.addData((2L, ts(2), nearDup), (3L, ts(2), unrelated))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM lsh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), "near-identical doc pairs with the rep")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        "unrelated doc shares no bucket")
+      // a third near-dup arriving later pairs with the SAME representative
+      input.addData((4L, ts(3), base + " more"))
+      q.processAllAvailable()
+      val pairs2 = spark.sql("SELECT DISTINCT id_a, id_b FROM lsh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2.contains((1L, 4L)), "later arrivals link to the bucket rep")
+    } finally q.stop()
+  }
 }
