@@ -31,6 +31,11 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // Queries that persist() internally (e.g. the embedding-LSH path)
+    // create a fresh cache entry per invocation — drop them all between
+    // passes or three passes' worth of orphaned blocks pile up on the heap
+    // and the later, shuffle-heavy queries pay for it in GC.
+    spark.catalog.clearCache()
     // don't bill the timed pass for warmup garbage
     System.gc()
 
@@ -42,6 +47,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = timedPass().toMap
+    spark.catalog.clearCache()
     System.gc()
     val p2 = timedPass().toMap
     val results = sorted.map { case (name, _) =>
