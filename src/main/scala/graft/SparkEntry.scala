@@ -816,7 +816,50 @@ object SparkEntry {
       graft.ops.Decontamination.bloomOverlapReport(train, "doc_id", "text",
         bench, "text", n = 6, minShared = 2)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Perceptual-hash image dedup (oracle-checked): the q59 device driven
+    // one stage further — deterministic BMPs go through the REAL ImageIO
+    // decode, the 4x4 luminance grid is folded into a 12-bit dHash
+    // (codegen'd column arithmetic), and exact-hash grouping yields dup
+    // clusters (one shuffle on a long). Pattern pixel = (id*31+c)*7 mod
+    // 256 repeats with id mod 256, so genuine duplicate images exist and
+    // the oracle reproduces every bit by integer arithmetic.
+    "q76_phash_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val imgs = Multimodal.patternImages(ids, "doc_id", side = 4)
+      val hashed = Multimodal.extractFeatures(imgs, "id", "content", dim = 16)
+        .select(col("id").as("doc_id"),
+          Multimodal.dHash(col("features"), 4).as("phash"))
+      val w = Window.partitionBy(col("phash"))
+      hashed
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Interpolated bigram-LM scoring (oracle-checked): the next rung up
+    // the CCNet perplexity ladder from q73 — Jelinek-Mercer bigram/unigram
+    // mix, map-only bigram zip, model frames broadcast.
+    "q77_bigram_nll" -> ((s, dir) =>
+      graft.ops.Retrieval.bigramNll(t(s, dir, "documents"), "doc_id", "text",
+        lambda = 0.8)
+        .orderBy(col("doc_id"))),
+
+    // OOV rate vs the corpus top-1000 vocabulary (oracle-checked):
+    // tokenizer-fit signal; TakeOrdered vocab broadcast into the
+    // membership join.
+    "q78_oov_rate" -> ((s, dir) =>
+      graft.ops.Retrieval.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 1000)
+        .orderBy(col("doc_id"))),
+
+    // Smoothed TF-IDF top-3 keywords per doc (oracle-checked): per-doc
+    // characteristic terms; df re-agg broadcast, per-doc top-k window.
+    "q79_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+        .orderBy(col("doc_id"), col("rank")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1503,6 +1546,72 @@ object SparkEntry {
         |  FROM toks WHERE doc_id % 10 <> 0 AND len(toks) >= 6)
         |SELECT doc_id, count(*) AS n_shared
         |FROM train JOIN bench USING (g)
-        |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+    // dHash bit (y,x) compares horizontally-adjacent 4x4 grid cells; with
+    // one pattern pixel per cell the luminance ORDER is the pixel-value
+    // order, so the oracle reproduces each bit by integer arithmetic.
+    "q76_phash_dedup" -> {
+      val bitTerms = (for { y <- 0 until 4; x <- 0 until 3 } yield {
+        val c = y * 4 + x
+        s"(CASE WHEN ((doc_id*31 + ${c + 1})*7) % 256 > ((doc_id*31 + $c)*7) % 256 THEN ${1L << (y * 3 + x)} ELSE 0 END)"
+      }).mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, ($bitTerms)::BIGINT AS phash FROM documents)
+         |SELECT doc_id, phash,
+         |  min(doc_id) OVER (PARTITION BY phash) AS rep_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "q77_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |vocab AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+        |tot AS (SELECT sum(n) AS tot, count(*) AS v FROM vocab),
+        |bi AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM toks WHERE len(toks) >= 2),
+        |docbi AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY doc_id, w1, w2),
+        |bm AS (SELECT w1, w2, sum(c) AS cb FROM docbi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(cb) AS cw FROM bm GROUP BY w1)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  round(-sum(c * ln(0.8 * (cb::DOUBLE / cw) + 0.2 * ((n + 1)::DOUBLE / (t.tot + t.v)))) / sum(c), 6) AS nll
+        |FROM docbi
+        |JOIN bm USING (w1, w2) JOIN ctx USING (w1)
+        |JOIN vocab vb ON vb.w = docbi.w2 CROSS JOIN tot t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |docw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, sum(c) AS n FROM docw GROUP BY w
+        |                 ORDER BY n DESC, w LIMIT 1000))
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.w IS NULL THEN c ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN v.w IS NULL THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS oov_rate
+        |FROM docw LEFT JOIN vocab v ON v.w = docw.w
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q79_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |docw AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM docw GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tfidf FROM (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0) DESC, term) AS rank,
+        |    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS tfidf
+        |  FROM docw JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

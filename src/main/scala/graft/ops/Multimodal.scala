@@ -386,6 +386,26 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Perceptual difference-hash (dHash, Krawetz) over a g x g grid-pooled
+    * luminance feature vector (the [[extractFeatures]] output): bit
+    * (y, x) is set iff the cell right of (y, x) is strictly brighter,
+    * packed row-major into a long — g*(g-1) bits total. Identical images
+    * collide exactly; near-identical images land within a small Hamming
+    * distance, so exact-hash grouping (one shuffle on a long) catches
+    * re-encoded/duplicated images and banding the bits through the
+    * SimHash machinery ([[Dedup.simHashPairs]]'s pigeonhole device)
+    * extends it to near-dups. Pure codegen'd column arithmetic — no UDF.
+    */
+  def dHash(features: org.apache.spark.sql.Column, g: Int): org.apache.spark.sql.Column = {
+    require(g >= 2 && g * (g - 1) <= 63, s"dHash grid side must be in [2, 8], got $g")
+    val bits = for { y <- 0 until g; x <- 0 until g - 1 } yield {
+      val c = y * g + x // 0-based cell; element_at is 1-based
+      when(element_at(features, c + 2) > element_at(features, c + 1),
+        lit(1L << (y * (g - 1) + x))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Typed metadata without decoding payloads (cheap catalog pass). */
   def describe(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(col(idCol),

@@ -87,4 +87,120 @@ object Retrieval {
       .agg(sum(col("c")).as("n_tokens"),
         round(-sum(col("__lp")) / sum(col("c")), 6).as("nll"))
   }
+
+  /** Per-document interpolated bigram-LM negative log-likelihood
+    * (mean -ln p over bigram positions, nats/bigram) against a model fit
+    * on the corpus itself:
+    *
+    *   p(w2 | w1) = lambda * c(w1,w2)/c(w1,·) + (1-lambda) * (n(w2)+1)/(tot+V)
+    *
+    * — the next step up from [[unigramNll]] on the CCNet perplexity
+    * ladder (Jelinek-Mercer interpolation with an add-one-smoothed
+    * unigram backoff; every observed bigram has c >= 1 so the first term
+    * is well-defined and p is never 0). Docs need >= 2 tokens.
+    *
+    * 100 TB shape: the bigram stream is a MAP-ONLY zip of adjacent
+    * tokens (slice + arrays_zip — no positional self-join, no window
+    * shuffle); the corpus shuffles once into (doc, w1, w2) counts, which
+    * are pinned and re-aggregated into the model frames, and the
+    * vocabulary/bigram/context models ride BROADCASTS back into the
+    * scoring join. At web scale the bigram vocabulary outgrows a single
+    * broadcast — flip the model joins to plain shuffle joins (same plan
+    * minus the hints); the corpus-side shape is unchanged.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = vocab.agg(sum(col("n")).as("tot"), count(lit(1)).as("v"))
+    val docBi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // model re-aggs + scoring read this, not the corpus
+    val bigrams = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+      .localCheckpoint(true)
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    docBi
+      .join(broadcast(bigrams), Seq("w1", "w2"))
+      .join(broadcast(contexts), Seq("w1"))
+      .join(broadcast(vocab.withColumnRenamed("w", "w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__p",
+        lit(lambda) * (col("cb").cast("double") / col("cw")) +
+          lit(1.0 - lambda) * ((col("n") + 1).cast("double") / (col("tot") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-`vocabSize`
+    * token vocabulary (count desc, token asc tie-break — deterministic at
+    * the boundary). The standard "does this doc look like the corpus the
+    * tokenizer was trained on" signal; high OOV = noise/other-language/
+    * garbled encoding. Returns (doc_id, n_tokens, n_oov, oov_rate) for
+    * docs with >= 1 token.
+    *
+    * 100 TB shape: one shuffle into (doc, token) counts, pinned; the
+    * vocabulary is a TakeOrdered over the token re-agg (never a global
+    * sort) and rides a broadcast into the membership join.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val docw = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = docw.groupBy(col("w")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("w")) // TakeOrderedAndProject, not a sort
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    docw.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (tf * (ln((N+1)/(df+1)) + 1), the sklearn-style smooth idf), ties
+    * broken by term asc. The cheap per-doc keyword/topic signal used for
+    * corpus exploration and mixture reporting. Returns
+    * (doc_id, rank, term, tfidf).
+    *
+    * 100 TB shape: one shuffle into (doc, term) counts; document
+    * frequencies are a term-keyed re-agg broadcast back; the per-doc
+    * top-k is a window over the doc-keyed counts — each doc's term list
+    * is vocabulary-bounded, so no skew concern.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val docw = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = docw.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__s").desc, col("term"))
+    docw.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__s", col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("__s"), 6).as("tfidf"))
+  }
 }

@@ -176,4 +176,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(top.length == 5)
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("dHash: bit layout over a hand-built grid, strict-greater semantics") {
+    import spark.implicits._
+    // g=2 grid, cells row-major [0.1, 0.2, 0.3, 0.3]: row 0 ascends (bit 0
+    // set), row 1 is flat (strict > leaves bit 1 clear)
+    val df = Seq(Seq(0.1f, 0.2f, 0.3f, 0.3f)).toDF("features")
+    val h = df.select(Multimodal.dHash(col("features"), 2).as("h"))
+      .head.getLong(0)
+    assert(h == 1L)
+    assertThrows[IllegalArgumentException](Multimodal.dHash(col("features"), 9))
+  }
+
+  test("dHash: real decode path matches pixel arithmetic; id mod 256 collides") {
+    import spark.implicits._
+    // id=5 starts at 61 (ascends through all 16 cells -> all bits set);
+    // id=1 starts at 217, so the +7 ramp wraps past 255 inside row 1 and
+    // clears the bit at the wrap — a genuinely different hash
+    val ids = Seq(5L, 5L + 256, 1L).toDF("doc_id")
+    val hashes = Multimodal.extractFeatures(
+        Multimodal.patternImages(ids, "doc_id", side = 4), "id", "content", dim = 16)
+      .select(col("id"), Multimodal.dHash(col("features"), 4).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected bits from the pattern formula (id*31 + c)*7 mod 256 —
+    // luminance order == pixel-value order, one pixel per grid cell
+    def expected(id: Long): Long =
+      (for { y <- 0 until 4; x <- 0 until 3 } yield {
+        val c = y * 4 + x
+        if ((id * 31 + c + 1) * 7 % 256 > (id * 31 + c) * 7 % 256)
+          1L << (y * 3 + x) else 0L
+      }).sum
+    assert(hashes(5L) == expected(5L))
+    assert(hashes(1L) == expected(1L))
+    assert(hashes(5L) == hashes(5L + 256), "pattern repeats with id mod 256")
+    assert(hashes(5L) != hashes(1L), "distinct patterns hash apart")
+  }
 }

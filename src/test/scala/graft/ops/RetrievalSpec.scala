@@ -71,4 +71,57 @@ class RetrievalSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(ids == Seq(1L))
   }
+
+  test("bigramNll: hand-computed interpolated probabilities") {
+    // corpus: "a b a" + "a b" -> unigrams a:3 b:2 (tot=5, V=2);
+    // bigrams (a,b):2 (b,a):1; contexts a:2 b:1
+    val d = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Retrieval.bigramNll(d, "doc_id", "text", lambda = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    val pAB = 0.8 * (2.0 / 2) + 0.2 * ((2 + 1).toDouble / (5 + 2))
+    val pBA = 0.8 * (1.0 / 1) + 0.2 * ((3 + 1).toDouble / (5 + 2))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)) == List((1L, 2L), (2L, 1L)))
+    assert(out(0)._3 == r6(-(math.log(pAB) + math.log(pBA)) / 2))
+    assert(out(1)._3 == r6(-math.log(pAB)))
+  }
+
+  test("bigramNll: single-token and empty docs yield no row") {
+    val d = Seq((1L, "one two"), (2L, "solo"), (3L, " ")).toDF("doc_id", "text")
+    val ids = Retrieval.bigramNll(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("oovRate: top-n vocab membership with count-desc/token-asc ties") {
+    // counts: x:3, y:1, z:1 — vocabSize=2 must break the y/z tie by token
+    // asc, so vocab = {x, y} and only z is OOV
+    val d = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = Retrieval.oovRate(d, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toList
+    assert(out == List((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
+    // vocabSize=1 -> only x in-vocab
+    val strict = Retrieval.oovRate(d, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toList
+    assert(strict == List((1L, 1L), (2L, 1L)))
+  }
+
+  test("tfidfKeywords: smooth idf ranks rare terms over common ones") {
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfRare = math.log(3.0 / 2) + 1 // df=1, N=2
+    assert(out.map(t => (t._1, t._2, t._3)) == List(
+      (1L, 1L, "apple"), (1L, 2L, "banana"),
+      (2L, 1L, "cherry"), (2L, 2L, "banana")))
+    assert(out(0)._4 == r6(2 * idfRare)) // tf=2 on the rare term
+    assert(out(1)._4 == 1.0)             // df=N -> idf collapses to 1
+  }
 }
