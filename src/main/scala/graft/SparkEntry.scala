@@ -859,7 +859,16 @@ object SparkEntry {
     "q79_tfidf_keywords" -> ((s, dir) =>
       graft.ops.Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
         k = 3)
-        .orderBy(col("doc_id"), col("rank")))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Duplicated-span report (oracle-checked): q66's positional
+    // refinement — repeated 8-grams' positions merge into maximal spans
+    // per doc (the ExactSubstr numbers a span-removal pass acts on).
+    // Gram hashes stand in for gram strings (the q43/q55/q66 device);
+    // DuckDB reproduces spans from the gram strings themselves.
+    "q80_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpanReport(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1612,6 +1621,36 @@ object SparkEntry {
         |      ORDER BY tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0) DESC, term) AS rank,
         |    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS tfidf
         |  FROM docw JOIN dfreq USING (term) CROSS JOIN n)
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q80_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+        |  FROM toks WHERE len(toks) >= 8),
+        |grams AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS g FROM pos),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |cov AS (SELECT doc_id, i - 1 AS p FROM grams JOIN rep USING (g)),
+        |flagged AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 7 THEN 1 ELSE 0 END AS f
+        |  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |spans AS (
+        |  SELECT doc_id, span, min(p) AS p1, max(p) AS p2 FROM (
+        |    SELECT doc_id, p, sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS span
+        |    FROM flagged)
+        |  GROUP BY doc_id, span),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(p2 - p1 + 8) AS covered
+        |  FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(p.covered, 0)::BIGINT AS covered_tokens,
+        |  CASE WHEN len(t.toks) = 0 THEN 0.0
+        |       ELSE round(coalesce(p.covered, 0)::DOUBLE / len(t.toks), 6) END AS dup_span_frac
+        |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

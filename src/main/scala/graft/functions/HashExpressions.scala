@@ -159,6 +159,34 @@ object ShingleHash {
     }
     if (k == count) out else java.util.Arrays.copyOf(out, k)
   }
+
+  /** Positional variant: a hash at EVERY shingle start, not deduplicated —
+    * array index == 0-based token position of the gram. Fewer than n
+    * tokens -> empty array (a positional report has nothing to place).
+    * Feeds duplicated-SPAN reporting, where where a gram sits matters as
+    * much as what it is.
+    */
+  def shingleHashesAll(tokens: ArrayData, n: Int): Array[Long] = {
+    val m = tokens.numElements()
+    val count = m - n + 1
+    if (count <= 0) return Array.emptyLongArray
+    val tokHash = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      tokHash(i) = if (tokens.isNullAt(i)) 0L else Hash64.fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      while (j < i + n) { h = Hash64.mix(h * 31 + tokHash(j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
 }
 
 /** word_shingles(tokens, n) -> array<string>: the space-joined n-gram
@@ -327,6 +355,27 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.ShingleHash.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class WordShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes_all"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes_all needs array<string> and n>0, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleHash.shingleHashesAll(v.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHash.shingleHashesAll($c, $n))")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

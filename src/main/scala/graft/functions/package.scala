@@ -41,6 +41,12 @@ package object functions {
   def word_shingle_hashes(tokens: Column, n: Int): Column =
     toColumn(WordShingleHashes(exprOf(tokens), n))
 
+  /** POSITIONAL 64-bit shingle hashes: one per gram start, not deduped —
+    * index == token position. Feeds duplicated-span reporting.
+    */
+  def word_shingle_hashes_all(tokens: Column, n: Int): Column =
+    toColumn(WordShingleHashesAll(exprOf(tokens), n))
+
   /** Word n-gram shingle strings in one codegen'd pass (the fast form of
     * the transform+slice+concat_ws HOF composition).
     */

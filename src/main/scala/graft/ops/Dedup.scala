@@ -260,6 +260,63 @@ object Dedup {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Duplicated-SPAN report — the positional refinement of
+    * [[duplicatedGramReport]] and the shuffle-friendly form of exact-
+    * substring dedup (Lee et al. 2021 ExactSubstr, which builds one giant
+    * suffix array on a single machine): a token position is COVERED when
+    * the word n-gram starting there occurs more than once in the corpus
+    * (any repeat — other doc or the same one); overlapping covered
+    * intervals [pos, pos+n-1] merge into maximal spans. Per doc:
+    * span count, covered token count, covered fraction — the numbers a
+    * span-removal pass would act on.
+    *
+    * Scale shape: the corpus reduces to (doc_id, pos, 64-bit gram hash)
+    * via the codegen'd positional kernel (no gram strings materialize);
+    * one groupBy(g) marks repeated grams, one hash join back on g (both
+    * sides g-partitioned after the aggregate), then the span merge is a
+    * doc-keyed window (lag + running sum — each doc's positions, never
+    * the corpus, in one partition). The doc-length frame is a separate
+    * column-pruned projection; at petabyte scale derive n_tokens from the
+    * per-doc gram count (m = grams + n - 1) instead and skip the second
+    * text scan.
+    */
+  def duplicatedSpanReport(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.word_shingle_hashes_all(col("__toks"), n)))
+      .withColumnRenamed("col", "g")
+    val repeated = grams.groupBy(col("g"))
+      .agg((count(lit(1)) > 1).as("__rep"))
+      .filter(col("__rep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perDoc = grams.join(repeated, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("__new",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + (n - 1), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(cum))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__p2") - col("__p1") + n).as("covered_tokens"))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_span_frac",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(col("covered_tokens").cast("double") / col("n_tokens"), 6)))
+  }
+
   /** Cluster-level dedup: keep each component's minimum-id doc (plus every
     * doc with no near-dup pair at all). The transitive-closure form of
     * [[minhashDedup]].

@@ -199,4 +199,27 @@ class DedupSpec extends AnyFunSuite {
     // {1,2,3} is one near-dup cluster -> keep 1; 4 and 5 are singletons
     assert(kept == Set(1L, 4L, 5L), s"got $kept")
   }
+
+  test("duplicatedSpanReport: overlap merge, within-doc repeats, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),         // 'a b','b c' shared with doc 2 -> one merged span
+      (2L, "x a b c y"),         // covered positions 1,2 -> one span of 3 tokens
+      (3L, "z z z"),             // 'z z' repeats WITHIN the doc -> fully covered
+      (4L, "p q"),               // nothing repeated
+      (5L, "solo"),              // shorter than n -> no grams at all
+      (6L, "a b m n o a b")      // 'a b' at pos 0 and 5 -> two separate spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanReport(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((5L, 1L, 3L, 0.6)))   // span [0,1] covers 'a b c'
+    assert(out(2L) == ((5L, 1L, 3L, 0.6)))   // span [1,2] covers 'a b c'
+    assert(out(3L) == ((3L, 1L, 3L, 1.0)))   // positions 0,1 merge -> whole doc
+    assert(out(4L) == ((2L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 0L, 0L, 0.0)))
+    assert(out(6L) == ((7L, 2L, 4L, BigDecimal(4.0 / 7).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))) // pos 0 and 5 don't merge
+  }
 }
