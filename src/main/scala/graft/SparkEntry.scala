@@ -868,7 +868,15 @@ object SparkEntry {
     // DuckDB reproduces spans from the gram strings themselves.
     "q80_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpanReport(t(s, dir, "documents"), "doc_id", "text", n = 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Per-source KL divergence from the corpus token distribution
+    // (oracle-checked): the mixture-drift number next to q74's data card
+    // and q69's share report; corpus model re-aggregated from the same
+    // (source, token) counts — one text scan total.
+    "q81_source_kl" -> ((s, dir) =>
+      graft.ops.Profile.sourceKl(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1651,6 +1659,20 @@ object SparkEntry {
         |  CASE WHEN len(t.toks) = 0 THEN 0.0
         |       ELSE round(coalesce(p.covered, 0)::DOUBLE / len(t.toks), 6) END AS dup_span_frac
         |FROM toks t LEFT JOIN perdoc p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q81_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT source, unnest(toks) AS w FROM toks),
+        |gw AS (SELECT source, w, count(*) AS c FROM words GROUP BY source, w),
+        |corpus AS (SELECT w, sum(c) AS cw FROM gw GROUP BY w),
+        |totals AS (SELECT source, sum(c) AS tot_g FROM gw GROUP BY source),
+        |grand AS (SELECT sum(cw) AS tot FROM corpus)
+        |SELECT source, sum(c)::BIGINT AS n_tokens,
+        |  round(sum((c::DOUBLE / tot_g) * ln((c::DOUBLE / tot_g) / (cw::DOUBLE / tot))), 6) AS kl
+        |FROM gw JOIN corpus USING (w) JOIN totals USING (source) CROSS JOIN grand
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -40,4 +40,40 @@ object Profile {
         round(pct(0.5), 6).as("p50_len"),
         round(pct(0.9), 6).as("p90_len"))
   }
+
+  /** Per-group KL divergence of the group's unigram token distribution
+    * from the whole-corpus distribution, in nats:
+    *
+    *   KL(s) = sum_w p_s(w) * ln(p_s(w) / p(w))
+    *
+    * — the mixture-drift number next to every data card: which sources
+    * look like the corpus (KL ~ 0) and which are outliers. No smoothing
+    * is needed: the sum ranges over the group's own support, where
+    * p_s(w) > 0, and the corpus contains the group, so p(w) > 0 there
+    * too.
+    *
+    * Scale shape: one shuffle into (group, token) counts; the corpus
+    * model is a token-keyed re-agg of those counts (never a second text
+    * scan) joined back on the token; group totals ride a broadcast. The
+    * token join is broadcast here (vocabulary-sized); at web scale flip
+    * it to a plain shuffle join — both sides are already token-keyed.
+    */
+  def sourceKl(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gw = docs.select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val corpus = gw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val totals = gw.groupBy(col("grp")).agg(sum(col("c")).as("tot_g"))
+    val grand = corpus.agg(sum(col("cw")).as("tot"))
+    gw.join(broadcast(corpus), Seq("w"))
+      .join(broadcast(totals), Seq("grp"))
+      .crossJoin(broadcast(grand))
+      .withColumn("__ps", col("c").cast("double") / col("tot_g"))
+      .withColumn("__p", col("cw").cast("double") / col("tot"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("__ps") * log(col("__ps") / col("__p"))), 6).as("kl"))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

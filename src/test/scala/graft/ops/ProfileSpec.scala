@@ -51,4 +51,28 @@ class ProfileSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0)
     }
   }
+
+  test("sourceKl: corpus-identical groups score 0; drifted groups score > 0") {
+    import spark.implicits._
+    // s1 and s2 share the corpus distribution exactly (each is half of
+    // every token's mass) -> KL = 0 for both
+    val uniform = Seq(
+      ("s1", "a a b"), ("s2", "a a b")).toDF("source", "text")
+    val z = Profile.sourceKl(uniform, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(z("s1") == 0.0 && z("s2") == 0.0)
+
+    // hand value: corpus a:3 b:3; s1 = {a:2, b:1}, tot_g=3, p(a)=p(b)=0.5
+    val skewed = Seq(
+      ("s1", "a a b"), ("s2", "a b b")).toDF("source", "text")
+    val kl = Profile.sourceKl(skewed, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    val expect = BigDecimal(
+      (2.0 / 3) * math.log((2.0 / 3) / 0.5) + (1.0 / 3) * math.log((1.0 / 3) / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kl.map(_._2) == List(3L, 3L))
+    assert(kl(0)._3 == expect)
+    assert(kl(1)._3 == expect) // symmetric construction
+  }
 }
