@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed cache for every ImageInputStream it
+  // wraps around a plain InputStream — one temp-file create/write/delete
+  // per decoded image. Our payloads are already in-memory byte arrays, so
+  // the cache is pure overhead (and disk contention makes decode timings
+  // swing 4x run-to-run). Object init runs once per JVM, driver and
+  // executor alike, before any decode below.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata struct carried next to every blob. */
   val metaType: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -102,11 +102,11 @@ object Retrieval {
     * 100 TB shape: the bigram stream is a MAP-ONLY zip of adjacent
     * tokens (slice + arrays_zip — no positional self-join, no window
     * shuffle); the corpus shuffles once into (doc, w1, w2) counts, which
-    * are pinned and re-aggregated into the model frames, and the
-    * vocabulary/bigram/context models ride BROADCASTS back into the
-    * scoring join. At web scale the bigram vocabulary outgrows a single
-    * broadcast — flip the model joins to plain shuffle joins (same plan
-    * minus the hints); the corpus-side shape is unchanged.
+    * are pinned and re-aggregated into the model frames. The unigram
+    * vocabulary (Heaps-law bounded) rides a broadcast; the bigram/context
+    * model joins are left to AQE, which broadcasts while the model fits
+    * and degrades to shuffle joins beyond — the right call at every
+    * scale, since the bigram vocabulary grows with the corpus.
     */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.8): DataFrame = {
@@ -128,9 +128,14 @@ object Retrieval {
     val bigrams = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
       .localCheckpoint(true)
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    // bigram/context model joins are NOT broadcast-hinted: the bigram
+    // vocabulary grows with the corpus (millions of rows already at
+    // sf0.1) — AQE picks broadcast while the model fits and shuffle
+    // beyond, which is the right call at every scale. The unigram vocab
+    // is Heaps-law bounded and safe to pin on a broadcast.
     docBi
-      .join(broadcast(bigrams), Seq("w1", "w2"))
-      .join(broadcast(contexts), Seq("w1"))
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
       .join(broadcast(vocab.withColumnRenamed("w", "w2")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("__p",

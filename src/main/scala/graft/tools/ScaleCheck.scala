@@ -130,6 +130,33 @@ object ScaleCheck {
     val dsirOk = dsirRows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
     println(f"DSIR> docs=${dsirRows.length} finite=$dsirOk time=${tDsir}%.1f s")
 
+    // ---- 1e. Duplicated-span report on the same 210k docs -------------
+    // planted partners differ at token positions 13/40/67 (i % 27 == 13),
+    // so the 8-gram windows avoiding those positions are exactly
+    // [0,5]+[14,32]+[41,59]+[68,72] -> 4 maximal spans covering 77 of 80
+    // tokens in BOTH pair members; unrelated docs share no 8-gram
+    // (collision odds over the 5k vocab are negligible). The check is
+    // exact: every planted doc must report (4, 77), nobody else reports
+    // anything.
+    val (spanRows, tSpan) = time {
+      Dedup.duplicatedSpanReport(docs, "doc_id", "text", n = 8)
+        .filter(col("n_spans") > 0).collect()
+    }
+    val spanFlagged = spanRows.map(_.getLong(0)).toSet
+    val spanRecall = dupExpected.intersect(spanFlagged).size.toDouble / dupExpected.size
+    val spanExactOk = spanRows.count(r =>
+      r.getLong(2) == 4L && r.getLong(3) == 77L).toDouble / spanRows.length
+    println(f"DUPSPAN> docs=${nDocs + nDocs / 20} flagged=${spanFlagged.size} " +
+      f"recall=$spanRecall%.4f exact(4,77)=$spanExactOk%.4f time=${tSpan}%.1f s")
+
+    // ---- 1f. Bigram-LM scoring throughput on the 210k docs ------------
+    val (bigramRows, tBigram) = time {
+      graft.ops.Retrieval.bigramNll(docs, "doc_id", "text").collect()
+    }
+    val bigramOk = bigramRows.forall { r =>
+      val v = r.getDouble(2); !v.isNaN && !v.isInfinite && v > 0 }
+    println(f"BIGRAM> docs=${bigramRows.length} finite=$bigramOk time=${tBigram}%.1f s")
+
     // ---- 2. IVF vs brute force on 50k x 64-dim vectors ----------------
     val emb = embeddings(spark, 50000L, 64).cache()
     emb.count()
