@@ -67,6 +67,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "count_matching(tokens, regex) - tokens matching the regex"),
       (es: Seq[Expression]) =>
         CountMatching(es(0), functions.stringArg(es(1), "count_matching", "regex"))))
+    e.injectFunction((FunctionIdentifier("word_shingle_hashes_all"),
+      info("word_shingle_hashes_all",
+        "word_shingle_hashes_all(tokens, n) - positional (non-distinct) n-gram shingle hashes"),
+      (es: Seq[Expression]) =>
+        WordShingleHashesAll(es(0), functions.intArg(es(1), "word_shingle_hashes_all", "n"))))
+    e.injectFunction((FunctionIdentifier("sum_token_lengths"),
+      info("sum_token_lengths",
+        "sum_token_lengths(tokens) - total characters across a string array"),
+      (es: Seq[Expression]) => SumTokenLengths(es.head)))
+    e.injectFunction((FunctionIdentifier("sig_agreement"),
+      info("sig_agreement",
+        "sig_agreement(a, b) - fraction of agreeing minhash signature slots"),
+      (es: Seq[Expression]) => SignatureAgreement(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, k) - character k-gram strings"),
+      (es: Seq[Expression]) =>
+        CharShingles(es(0), functions.intArg(es(1), "char_shingles", "k"))))
+    e.injectFunction((FunctionIdentifier("char_shingle_hashes"),
+      info("char_shingle_hashes",
+        "char_shingle_hashes(text, k) - distinct 64-bit character k-gram hashes"),
+      (es: Seq[Expression]) =>
+        CharShingleHashes(es(0), functions.intArg(es(1), "char_shingle_hashes", "k"))))
   }
 }
 

@@ -154,6 +154,8 @@ package object functions {
       es => MinHashSignature(es(0), intArg(es(1), "minhash_sig", "numPerm")), "built-in")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       es => WordShingleHashes(es(0), intArg(es(1), "word_shingle_hashes", "n")), "built-in")
+    reg.createOrReplaceTempFunction("word_shingle_hashes_all",
+      es => WordShingleHashesAll(es(0), intArg(es(1), "word_shingle_hashes_all", "n")), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es(0), intArg(es(1), "word_shingles", "n")), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",

@@ -16,6 +16,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT simhash64(array('a','b')) AS h").head.isNullAt(0))
   }
 
+  test("the full SQL function surface resolves (registerAll/extensions parity list)") {
+    graft.functions.registerAll(spark)
+    val names = Seq("vec_dot", "vec_cosine", "simhash64", "minhash_sig",
+      "word_shingle_hashes", "word_shingle_hashes_all", "word_shingles",
+      "hyperplane_sig", "vec_sum", "count_in_set", "count_matching",
+      "sum_token_lengths", "sig_agreement", "char_shingles",
+      "char_shingle_hashes")
+    val reg = spark.sessionState.functionRegistry
+    val missing = names.filterNot(n => reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"unregistered SQL functions: $missing")
+    // the positional kernel keeps duplicates and order
+    val all = spark.sql(
+      "SELECT word_shingle_hashes_all(array('a','b','a','b'), 2) AS h")
+      .head.getSeq[Long](0)
+    assert(all.length == 3 && all(0) == all(2))
+  }
+
   test("q46 approx aggregates are close to exact") {
     val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
     val exact = li.agg(
