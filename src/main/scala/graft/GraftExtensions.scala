@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sum_token_lengths",
         "sum_token_lengths(tokens) - total characters across a string array"),
       (es: Seq[Expression]) => SumTokenLengths(es.head)))
+    e.injectFunction((FunctionIdentifier("remove_token_ranges"),
+      info("remove_token_ranges",
+        "remove_token_ranges(tokens, starts, ends) - drop inclusive index ranges, join survivors"),
+      (es: Seq[Expression]) => RemoveTokenRanges(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("sig_agreement"),
       info("sig_agreement",
         "sig_agreement(a, b) - fraction of agreeing minhash signature slots"),

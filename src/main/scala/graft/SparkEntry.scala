@@ -876,7 +876,17 @@ object SparkEntry {
     // (source, token) counts — one text scan total.
     "q81_source_kl" -> ((s, dir) =>
       graft.ops.Profile.sourceKl(t(s, dir, "documents"), "source", "text")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Duplicated-span REMOVAL (oracle-checked): the act step of q80 —
+    // each doc rewritten with its corpus-repeated 8-gram spans cut out.
+    // Spans collect into two long arrays per doc; the rewrite is the
+    // codegen'd remove_token_ranges kernel, one map pass, no token
+    // explode. DuckDB rebuilds the same text via positional anti-join +
+    // ordered string_agg.
+    "q82_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1673,6 +1683,42 @@ object SparkEntry {
         |SELECT source, sum(c)::BIGINT AS n_tokens,
         |  round(sum((c::DOUBLE / tot_g) * ln((c::DOUBLE / tot_g) / (cw::DOUBLE / tot))), 6) AS kl
         |FROM gw JOIN corpus USING (w) JOIN totals USING (source) CROSS JOIN grand
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q82_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+        |  FROM toks WHERE len(toks) >= 8),
+        |grams AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS g FROM pos),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |cov AS (SELECT doc_id, i - 1 AS p FROM grams JOIN rep USING (g)),
+        |flagged AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 7 THEN 1 ELSE 0 END AS f
+        |  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |spans AS (
+        |  SELECT doc_id, span, min(p) AS p1, max(p) AS p2 FROM (
+        |    SELECT doc_id, p, sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS span
+        |    FROM flagged)
+        |  GROUP BY doc_id, span),
+        |covered AS (SELECT doc_id, unnest(range(p1, p2 + 8)) AS cp FROM spans),
+        |toktbl AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ti, toks FROM toks),
+        |tokens AS (SELECT doc_id, ti, toks[ti] AS tok FROM toktbl),
+        |kept AS (
+        |  SELECT t.doc_id, t.ti, t.tok FROM tokens t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cp = t.ti - 1
+        |  WHERE c.cp IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |cv AS (SELECT doc_id, sum(p2 - p1 + 8) AS covered FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |  (len(t.toks) - coalesce(cv.covered, 0))::BIGINT AS kept_tokens,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -203,4 +204,104 @@ case class CountMatching(child: Expression, regex: String)
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenSets.countMatching($c, $regexRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenRanges {
+  /** Tokens outside every inclusive [starts(j), ends(j)] index range,
+    * joined by a single space. Ranges may arrive unsorted/null (null ->
+    * no removal); token positions are 0-based. One imperative pass:
+    * mark covered indexes, then join survivors — no per-token lambda,
+    * no token-row explode.
+    */
+  def removeRanges(tokens: ArrayData, starts: ArrayData, ends: ArrayData): UTF8String = {
+    val m = tokens.numElements()
+    if (starts == null || ends == null || starts.numElements() == 0) {
+      val all = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) {
+        all(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+        i += 1
+      }
+      return UTF8String.concatWs(UTF8String.fromString(" "), all: _*)
+    }
+    require(starts.numElements() == ends.numElements(),
+      s"remove_token_ranges: ${starts.numElements()} starts vs ${ends.numElements()} ends")
+    val covered = new Array[Boolean](m)
+    var j = 0
+    while (j < starts.numElements()) {
+      var p = math.max(0, starts.getLong(j).toInt)
+      val e = math.min(m - 1, ends.getLong(j).toInt)
+      while (p <= e) { covered(p) = true; p += 1 }
+      j += 1
+    }
+    var kept = 0
+    var i = 0
+    while (i < m) { if (!covered(i)) kept += 1; i += 1 }
+    val out = new Array[UTF8String](kept)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (!covered(i)) {
+        out(k) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), out: _*)
+  }
+}
+
+/** remove_token_ranges(tokens, starts, ends) -> string: the token array
+  * with every inclusive 0-based index range [starts(j), ends(j)] removed,
+  * survivors joined by ' '. The ACT step of duplicated-span dedup: span
+  * frames are tiny per doc, so they collect into two long arrays and the
+  * removal is one codegen'd map pass — the corpus never explodes to
+  * token rows.
+  */
+case class RemoveTokenRanges(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_token_ranges"
+  // null range arrays mean "remove nothing", so evaluate even when the
+  // default null-intolerant TernaryExpression would short-circuit
+  override def nullable: Boolean = first.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"remove_token_ranges needs (array<string>, array<long>, array<long>), got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = first.eval(input)
+    if (toks == null) return null
+    TokenRanges.removeRanges(toks.asInstanceOf[ArrayData],
+      second.eval(input).asInstanceOf[ArrayData],
+      third.eval(input).asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = first.genCode(ctx)
+    val s = second.genCode(ctx)
+    val e = third.genCode(ctx)
+    val code =
+      code"""
+         |${t.code}
+         |${s.code}
+         |${e.code}
+         |boolean ${ev.isNull} = ${t.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.TokenRanges.removeRanges(${t.value},
+         |    ${s.isNull} ? null : ${s.value}, ${e.isNull} ? null : ${e.value});
+         |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }

@@ -78,6 +78,12 @@ package object functions {
   /** Total characters across a token array, one codegen'd pass (the fast
     * form of the aggregate-lambda sum feeding mean token length).
     */
+  /** Token array with the inclusive 0-based index ranges removed,
+    * survivors joined by ' ' (the duplicated-span ACT step).
+    */
+  def remove_token_ranges(tokens: Column, starts: Column, ends: Column): Column =
+    toColumn(RemoveTokenRanges(exprOf(tokens), exprOf(starts), exprOf(ends)))
+
   def sum_token_lengths(tokens: Column): Column =
     toColumn(SumTokenLengths(exprOf(tokens)))
 
@@ -171,6 +177,8 @@ package object functions {
       es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex")), "built-in")
     reg.createOrReplaceTempFunction("sum_token_lengths",
       es => SumTokenLengths(es.head), "built-in")
+    reg.createOrReplaceTempFunction("remove_token_ranges",
+      es => RemoveTokenRanges(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("sig_agreement",
       es => SignatureAgreement(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_shingles",

@@ -280,8 +280,11 @@ object Dedup {
     * per-doc gram count (m = grams + n - 1) instead and skip the second
     * text scan.
     */
-  def duplicatedSpanReport(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+  /** Shared span derivation: (doc_id, __p1, __p2) — maximal merged
+    * inclusive GRAM-start ranges of corpus-repeated n-grams per doc.
+    */
+  private def spanFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val grams = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -296,7 +299,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val perDoc = grams.join(repeated, Seq("g"))
+    grams.join(repeated, Seq("g"))
       .select(col("doc_id"), col("pos"))
       .withColumn("__new",
         when(lag(col("pos"), 1).over(w).isNull ||
@@ -304,6 +307,12 @@ object Dedup {
       .withColumn("__span", sum(col("__new")).over(cum))
       .groupBy(col("doc_id"), col("__span"))
       .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+  }
+
+  def duplicatedSpanReport(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = spanFrame(docs, idCol, textCol, n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("__p2") - col("__p1") + n).as("covered_tokens"))
@@ -315,6 +324,37 @@ object Dedup {
       .withColumn("dup_span_frac",
         when(col("n_tokens") === 0, 0.0).otherwise(
           round(col("covered_tokens").cast("double") / col("n_tokens"), 6)))
+  }
+
+  /** The ACT step of [[duplicatedSpanReport]]: rewrite each document with
+    * its duplicated spans removed (ExactSubstr removal at n-gram
+    * granularity). Output: (doc_id, n_tokens, kept_tokens, clean_text) —
+    * clean_text is the surviving tokens joined by single spaces (the
+    * tokenizer's normalized form, like [[dedupLines]]).
+    *
+    * Scale shape: the span frame is tiny (a few rows per affected doc),
+    * so it collects into two long arrays per doc (collect_list over the
+    * doc-keyed aggregate — bounded by spans-per-doc, not corpus size) and
+    * rides the join back; the removal itself is the codegen'd
+    * remove_token_ranges kernel — ONE map pass over the corpus, no
+    * token-row explode, no per-token lambda.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val ranges = spanFrame(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("__p1").cast("long")).as("__starts"),
+        collect_list((col("__p2") + (n - 1)).cast("long")).as("__ends"),
+        sum(col("__p2") - col("__p1") + n).as("__covered"))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .join(ranges, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - coalesce(col("__covered"), lit(0L)))
+          .cast("long").as("kept_tokens"),
+        graft.functions.remove_token_ranges(col("__toks"),
+          col("__starts"), col("__ends")).as("clean_text"))
   }
 
   /** Cluster-level dedup: keep each component's minimum-id doc (plus every

@@ -22,7 +22,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "word_shingle_hashes", "word_shingle_hashes_all", "word_shingles",
       "hyperplane_sig", "vec_sum", "count_in_set", "count_matching",
       "sum_token_lengths", "sig_agreement", "char_shingles",
-      "char_shingle_hashes")
+      "char_shingle_hashes", "remove_token_ranges")
     val reg = spark.sessionState.functionRegistry
     val missing = names.filterNot(n => reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier(n)))

@@ -222,4 +222,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == ((7L, 2L, 4L, BigDecimal(4.0 / 7).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble))) // pos 0 and 5 don't merge
   }
+
+  test("removeDuplicatedSpans: rewrites docs with covered tokens cut out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x a b c y"), (3L, "z z z"),
+      (4L, "p q"), (5L, "solo"), (6L, "a b m n o a b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((5L, 2L, "d e")))       // 'a b c' covered
+    assert(out(2L) == ((5L, 2L, "x y")))
+    assert(out(3L) == ((3L, 0L, "")))          // fully duplicated doc vanishes
+    assert(out(4L) == ((2L, 2L, "p q")))       // untouched docs keep all tokens
+    assert(out(5L) == ((1L, 1L, "solo")))
+    assert(out(6L) == ((7L, 3L, "m n o")))     // both 'a b' spans removed
+  }
 }
