@@ -886,6 +886,15 @@ object SparkEntry {
     // ordered string_agg.
     "q82_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail perplexity split (oracle-checked): q73's
+    // scores bucketed against corpus quartiles — exact percentiles here
+    // for oracle parity (the q74 device); the operator's 100 TB default
+    // is the mergeable approx sketch.
+    "q83_ppl_buckets" -> ((s, dir) =>
+      graft.ops.Retrieval.perplexityBuckets(t(s, dir, "documents"),
+        "doc_id", "text", exact = true)
         .orderBy(col("doc_id")))
   )
 
@@ -1719,6 +1728,25 @@ object SparkEntry {
         |  (len(t.toks) - coalesce(cv.covered, 0))::BIGINT AS kept_tokens,
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN cv USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q83_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |docw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        |vocab AS (SELECT w, sum(c) AS n FROM docw GROUP BY w),
+        |tot AS (SELECT sum(n) AS tot, count(*) AS v FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    round(-sum(c * ln((vb.n + 1)::DOUBLE / (t.tot + t.v))) / sum(c), 6) AS nll
+        |  FROM docw JOIN vocab vb USING (w) CROSS JOIN tot t
+        |  GROUP BY doc_id),
+        |cuts AS (SELECT quantile_cont(nll, 0.25) AS q25, quantile_cont(nll, 0.75) AS q75 FROM scored)
+        |SELECT doc_id, n_tokens, nll,
+        |  CASE WHEN nll <= q25 THEN 'head' WHEN nll > q75 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
   )
 }

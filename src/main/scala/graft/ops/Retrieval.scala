@@ -146,6 +146,35 @@ object Retrieval {
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
   }
 
+  /** CCNet's head/middle/tail split: bucket documents by their
+    * perplexity-proxy score (the [[unigramNll]] output) against corpus
+    * quantile cutoffs — head = lowest-NLL quarter (keep), tail = highest
+    * (drop/downsample). Returns (doc_id, n_tokens, nll, bucket) with
+    * bucket in {head, middle, tail}: nll <= q25 -> head, nll > q75 ->
+    * tail. Wenzek et al. 2020 split at 1/3s against an external LM; the
+    * quantile device is the same.
+    *
+    * Scale shape: scoring is [[unigramNll]]'s one-shuffle plan; the
+    * cutoffs are a single global aggregate over the per-doc scores
+    * (`exact = false`, the 100 TB default, uses the mergeable
+    * approx_percentile sketch — constant memory; `exact = true` is for
+    * oracle parity) broadcast back into a map-side bucket assignment.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      exact: Boolean = false): DataFrame = {
+    val scored = unigramNll(docs, idCol, textCol).localCheckpoint(true)
+    val pct: Double => org.apache.spark.sql.Column =
+      if (exact) p => expr(s"percentile(nll, $p)")
+      else p => expr(s"approx_percentile(nll, $p, 10000)").cast("double")
+    val cuts = scored.agg(pct(0.25).as("__q25"), pct(0.75).as("__q75"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= col("__q25"), "head")
+          .when(col("nll") > col("__q75"), "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("n_tokens"), col("nll"), col("bucket"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`vocabSize`
     * token vocabulary (count desc, token asc tie-break — deterministic at
     * the boundary). The standard "does this doc look like the corpus the

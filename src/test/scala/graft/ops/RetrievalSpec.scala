@@ -109,6 +109,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(strict == List((1L, 1L), (2L, 1L)))
   }
 
+  test("perplexityBuckets: assignment is monotone in nll; approx path agrees") {
+    // distinct repetition levels -> distinct nll per doc
+    val d = Seq(
+      (1L, "a a a a"), (2L, "a a a b"), (3L, "a a b c"), (4L, "a b c d"),
+      (5L, "b c d e"), (6L, "c d e f"), (7L, "d e f g"), (8L, "e f g h")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.perplexityBuckets(d, "doc_id", "text", exact = true)
+      .collect().map(r => (r.getDouble(2), r.getString(3))).sortBy(_._1)
+    // head = lowest-nll quarter, tail = highest; assignment never
+    // decreases as nll rises
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(out.head._2 == "head" && out.last._2 == "tail")
+    assert(out.map(t => order(t._2)).sliding(2).forall(p => p(0) <= p(1)))
+    // the scale-default approx path buckets this small corpus identically
+    val approx = Retrieval.perplexityBuckets(d, "doc_id", "text", exact = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val exact = Retrieval.perplexityBuckets(d, "doc_id", "text", exact = true)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx == exact)
+  }
+
   test("tfidfKeywords: smooth idf ranks rare terms over common ones") {
     val d = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
       .toDF("doc_id", "text")
