@@ -895,7 +895,22 @@ object SparkEntry {
     "q83_ppl_buckets" -> ((s, dir) =>
       graft.ops.Retrieval.perplexityBuckets(t(s, dir, "documents"),
         "doc_id", "text", exact = true)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Incremental dedup (oracle-checked): a "new batch" (doc_id % 10 < 2)
+    // LSH-joined against the remaining corpus as the reference — the
+    // daily-increment shape; candidate volume is new x matching-bucket,
+    // never ref x ref. Same q43 LSH tuning, where measured recall vs
+    // exact all-pairs is 1.0, so DuckDB reproduces the output as the
+    // exact cross-subset jaccard join.
+    "q84_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 10 < 2), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
+        .orderBy(col("new_id"), col("ref_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1747,6 +1762,22 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, nll,
         |  CASE WHEN nll <= q25 THEN 'head' WHEN nll > q75 THEN 'tail'
         |       ELSE 'middle' END AS bucket
-        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "q84_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
+        |ORDER BY new_id, ref_id""".stripMargin
   )
 }

@@ -49,12 +49,15 @@ object Dedup {
     *                 (Leskovec et al., Mining of Massive Datasets ch.3).
     * @param threshold exact-Jaccard cutoff applied to candidates
     */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
+  /** Shared LSH derivation: hashed shingles, minhash signature, and the
+    * (id, band, bkey) band-explode for one input frame.
+    */
+  private case class LshFrames(shingled: DataFrame, signed: DataFrame,
+      banded: DataFrame)
 
+  private def lshFrames(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int, numPerm: Int, bands: Int): LshFrames = {
+    val rows = numPerm / bands
     val toks = TextAnalysis.tokens(col(textCol))
     // Shingles are 64-bit hashes, not strings (word_shingle_hashes is one
     // codegen'd pass; string shingles would run an interpreted HOF lambda
@@ -69,7 +72,6 @@ object Dedup {
     val withShingles = spread.select(col(idCol).as("id"), shingles.as("shingles"))
     val withSig = withShingles.select(
       col("id"), minhash_sig(col("shingles"), numPerm).as("sig"))
-
     // band key = hash of the band's signature slice; explode -> shuffle on
     // (band, key) only. CRITICAL at scale: the candidate join moves ONLY
     // (id, band, bkey) — candidate-pair volume is quadratic in bucket
@@ -82,9 +84,19 @@ object Dedup {
       col("id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("band", "bkey")))
+    LshFrames(withShingles, withSig, banded)
+  }
 
-    val l = banded.as("l")
-    val r = banded.as("r")
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val frames = lshFrames(docs, idCol, textCol, shingle, numPerm, bands)
+    val withShingles = frames.shingled
+    val withSig = frames.signed
+
+    val l = frames.banded.as("l")
+    val r = frames.banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
@@ -115,6 +127,62 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** INCREMENTAL dedup: MinHash-LSH pairs of a NEW batch against an
+    * existing REFERENCE corpus — the daily-increment shape. Instead of
+    * re-clustering everything, only the asymmetric new-side x ref-side
+    * band join runs: candidate volume is |new-batch buckets| x matching
+    * ref buckets, never ref x ref. Same estimate-then-verify pipeline as
+    * [[minhashPairs]]; id spaces are the caller's (no ordering
+    * constraint between new and ref ids). Returns
+    * (new_id, ref_id, jaccard >= threshold).
+    *
+    * At 100 TB the reference side's signatures/bands are computed once
+    * and PERSISTED (they are pure functions of the text — the
+    * [[graft.ops.Similarity]] index device); each increment then pays
+    * only its own signature pass plus the band join.
+    */
+  def minhashPairsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+      refDocs: DataFrame, refIdCol: String, refTextCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val nf = lshFrames(newDocs, idCol, textCol, shingle, numPerm, bands)
+    val rf = lshFrames(refDocs, refIdCol, refTextCol, shingle, numPerm, bands)
+    val candidates = nf.banded.as("l").join(rf.banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("new_id"), col("r.id").as("ref_id"))
+      .dropDuplicates("new_id", "ref_id")
+    val estimated = candidates
+      .join(nf.signed.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(rf.signed.select(col("id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
+      .withColumn("est_j",
+        graft.functions.sig_agreement(col("sig_a"), col("sig_b"))
+          .cast("double") / numPerm.toDouble)
+      .filter(col("est_j") >= threshold / 2)
+      .select(col("new_id"), col("ref_id"))
+    estimated
+      .join(nf.shingled.select(col("id").as("new_id"), col("shingles").as("sh_a")), "new_id")
+      .join(rf.shingled.select(col("id").as("ref_id"), col("shingles").as("sh_b")), "ref_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Keep only the new-batch docs with NO near-dup in the reference
+    * corpus (the act step of [[minhashPairsAgainst]]).
+    */
+  def dedupAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+      refDocs: DataFrame, refIdCol: String, refTextCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashPairsAgainst(newDocs, idCol, textCol,
+      refDocs, refIdCol, refTextCol, shingle, numPerm, bands, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected pair list: each node gets

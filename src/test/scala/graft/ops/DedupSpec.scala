@@ -58,6 +58,30 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("minhashPairsAgainst / dedupAgainst: new batch vs reference corpus") {
+    // reference corpus = docs 1-5; new batch: 11 repeats doc 1's text,
+    // 12 is the near-dup variant, 13 is fresh content
+    val newBatch = Seq(
+      (11L, base),
+      (12L, base.replace("warm", "cold")),
+      (13L, "fresh unseen material on watermark semantics in streaming joins")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainst(newBatch, "doc_id", "text",
+      docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byNew = pairs.groupBy(_._1)
+    assert(byNew(11L).exists(p => p._2 == 1L && p._3 == 1.0)) // exact ref hit
+    assert(byNew(12L).exists(_._2 == 3L))                     // near-dup ref hit
+    assert(!byNew.contains(13L), s"false positive for fresh doc: $pairs")
+    // asymmetric: ref-x-ref pairs (1,2) must NOT appear
+    assert(pairs.forall(p => p._1 >= 11L && p._2 <= 5L))
+
+    val kept = Dedup.dedupAgainst(newBatch, "doc_id", "text",
+      docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(13L), s"only the fresh doc survives, got $kept")
+  }
+
   test("duplicatedGramReport counts grams shared with other docs") {
     // base has 20 tokens -> 13 word 8-grams; docs 1/2 identical, doc 3
     // changes token 16 ("warm"->"cold") which sits in the last 5 grams
