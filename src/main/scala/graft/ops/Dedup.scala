@@ -172,6 +172,19 @@ object Dedup {
       .select(col("new_id"), col("ref_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** The (id, band, bkey) LSH band assignment of a corpus — the
+    * persistable reference-side index for incremental
+    * ([[minhashPairsAgainst]]) and streaming
+    * ([[graft.streaming.StreamOps.streamingDedupAgainstReference]])
+    * dedup: a pure function of the text, computed once, written as
+    * parquet, reused by every increment/micro-batch.
+    */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    lshFrames(docs, idCol, textCol, shingle, numPerm, bands).banded
+  }
+
   /** Keep only the new-batch docs with NO near-dup in the reference
     * corpus (the act step of [[minhashPairsAgainst]]).
     */

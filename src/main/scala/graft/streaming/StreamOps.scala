@@ -77,6 +77,36 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** Streaming incremental dedup against a PERSISTED reference index:
+    * each arriving doc is minhashed/banded with the batch kernels and
+    * semi-joined against the reference corpus's (band, bkey) frame
+    * ([[graft.ops.Dedup.lshBands]], computed once and stored) — emitted
+    * rows are CANDIDATE near-dups of the reference, deduplicated per doc
+    * with watermark-bounded state; downstream exact verification (the
+    * batch jaccard join over candidate ids) stays idempotent. The
+    * streaming face of [[graft.ops.Dedup.minhashPairsAgainst]]: the
+    * stream never joins itself, the reference never recomputes.
+    */
+  def streamingDedupAgainstReference(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, refBands: DataFrame,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val sig = graft.functions.minhash_sig(
+      graft.functions.word_shingle_hashes(toks, shingle), numPerm)
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__sig", sig)
+      .select(col("*"), posexplode(array((0 until bands).map(b =>
+        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
+        .as(Seq("band", "bkey")))
+      .join(broadcast(refBands.select(col("band"), col("bkey")).distinct()),
+        Seq("band", "bkey"), "left_semi")
+      .drop("__sig", "band", "bkey")
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** Stream-stream interval join: each left event matched to right events
     * on the same key with `rightTs` in [leftTs - lowerMs, leftTs +
     * upperMs]. Both sides are watermarked, so the state store retains
