@@ -910,6 +910,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
         shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
         .orderBy(col("new_id"), col("ref_id"))
+    }),
+
+    // Hard-negative mining (oracle-checked): per query vector, the top-3
+    // most-similar DIFFERENT-label vectors — the contrastive-training
+    // negatives. Bounded query set (vec_id < 50, the q51/q54 device);
+    // the scale path is the LSH knnJoin with the label filter on
+    // candidates.
+    "q85_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -1778,6 +1791,18 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
-        |ORDER BY new_id, ref_id""".stripMargin
+        |ORDER BY new_id, ref_id""".stripMargin,
+
+    "q85_hard_negatives" ->
+      """SELECT qid, rank, eid, sim, neg_label FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS eid, b.label AS neg_label,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |        b.vec_id) AS rank
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |  WHERE a.vec_id < 50)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 }

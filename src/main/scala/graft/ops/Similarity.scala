@@ -225,6 +225,38 @@ object Similarity {
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the "looks alike but isn't" examples a retrieval/embedding
+    * trainer wants next to each positive. Exact form: queries broadcast
+    * against the corpus (the [[knnJoinExact]] shape plus the label-
+    * mismatch predicate), ties broken (sim desc, eid asc) on the
+    * 6-dp-rounded similarity so ordering is engine-reproducible.
+    *
+    * Scale path: swap the exact scan for [[knnJoin]]'s LSH candidates
+    * with the same label filter applied — candidates are label-filtered
+    * AFTER bucketing, so the index stays label-agnostic and one index
+    * serves every label split.
+    */
+  def hardNegatives(queries: DataFrame, qId: String, qVec: String,
+      qLabel: String, corpus: DataFrame, cId: String, cVec: String,
+      cLabel: String, k: Int): DataFrame = {
+    val a = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      col(qLabel).as("qlabel"))
+    val b = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(cId).as("eid"), col(cVec).as("evec"),
+        col(cLabel).as("neg_label"))
+    val scored = b.join(broadcast(a),
+        col("qid") =!= col("eid") && col("qlabel") =!= col("neg_label"))
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("eid"), col("sim"), col("neg_label"))
+  }
+
   /** Query the IVF index: probe the nprobe nearest cells, exact cosine
     * inside them. Cell pruning happens in the scan filter, so a
     * cell-partitioned index only reads nprobe/k of the data.

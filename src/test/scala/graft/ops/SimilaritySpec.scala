@@ -110,4 +110,24 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(sig1 == sig2)
   }
+
+  test("hardNegatives excludes same-label vectors, ranks by similarity") {
+    import spark.implicits._
+    // id 2 is IDENTICAL to the query but same-label -> must be excluded;
+    // id 3 is the near different-label vector (the hard negative);
+    // id 4 is orthogonal
+    val data = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0.9f, 0.1f), 1),
+      (4L, Seq(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      data.filter($"vec_id" === 1L), "vec_id", "embedding", "label",
+      data, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(4)))
+      .sortBy(_._1).toList
+    assert(out.map(_._2) == List(3L, 4L), s"expected negatives 3 then 4: $out")
+    assert(out.forall(_._3 == 1), "every mined negative carries the other label")
+  }
 }
