@@ -149,6 +149,23 @@ object ScaleCheck {
     println(f"DUPSPAN> docs=${nDocs + nDocs / 20} flagged=${spanFlagged.size} " +
       f"recall=$spanRecall%.4f exact(4,77)=$spanExactOk%.4f time=${tSpan}%.1f s")
 
+    // ---- 1e2. Incremental dedup: 10k new docs vs 200k reference -------
+    // new batch = the planted partners (ids >= nDocs), reference = the
+    // 200k base corpus; every new doc near-dups exactly its source
+    // (i + nDocs, i), so expected pairs = the 10k plants and recall is
+    // exact.
+    val (incPairs, tInc) = time {
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") >= nDocs), "doc_id", "text",
+        docs.filter(col("doc_id") < nDocs), "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.6)
+        .collect()
+    }
+    val incFound = incPairs.map(r => (r.getLong(1), r.getLong(0))).toSet
+    val incRecall = planted.intersect(incFound).size.toDouble / planted.size
+    println(f"INCDEDUP> new=10000 ref=200000 found=${incFound.size} " +
+      f"recall=$incRecall%.4f time=${tInc}%.1f s")
+
     // ---- 1f. Bigram-LM scoring throughput on the 210k docs ------------
     val (bigramRows, tBigram) = time {
       graft.ops.Retrieval.bigramNll(docs, "doc_id", "text").collect()
