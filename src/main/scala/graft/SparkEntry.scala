@@ -912,6 +912,17 @@ object SparkEntry {
         .orderBy(col("new_id"), col("ref_id"))
     }),
 
+    // Span-level contamination report (oracle-checked): WHERE the
+    // benchmark leaks sit inside each training doc — q55's positional
+    // refinement via the q80 span machinery; q55/q75's bench split.
+    "q86_contamination_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontamination.contaminationSpans(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hard-negative mining (oracle-checked): per query vector, the top-3
     // most-similar DIFFERENT-label vectors — the contrastive-training
     // negatives. Bounded query set (vec_id < 50, the q51/q54 device);
@@ -1803,6 +1814,31 @@ object SparkEntry {
         |  FROM embeddings a
         |  JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label
         |  WHERE a.vec_id < 50)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q86_contamination_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+        |  FROM toks WHERE len(toks) >= 8 AND doc_id % 10 <> 0),
+        |grams AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS g FROM pos),
+        |bench AS (
+        |  SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS g
+        |  FROM toks WHERE doc_id % 10 = 0 AND len(toks) >= 8),
+        |cov AS (SELECT doc_id, i - 1 AS p FROM grams JOIN bench USING (g)),
+        |flagged AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 7 THEN 1 ELSE 0 END AS f
+        |  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |spans AS (
+        |  SELECT doc_id, span, min(p) AS p1, max(p) AS p2 FROM (
+        |    SELECT doc_id, p, sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS span
+        |    FROM flagged)
+        |  GROUP BY doc_id, span)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(p2 - p1 + 8)::BIGINT AS contaminated_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

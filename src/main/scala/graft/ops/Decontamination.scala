@@ -80,6 +80,47 @@ object Decontamination {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Span-level contamination report — [[overlapReport]]'s positional
+    * refinement (the [[Dedup.duplicatedSpanReport]] device pointed at a
+    * benchmark): for each training doc, the maximal token spans whose
+    * n-grams appear in the benchmark set, so a surgical pipeline can CUT
+    * the leaked passage instead of dropping the whole document. Returns
+    * (doc_id, n_spans, contaminated_tokens) for flagged docs only.
+    *
+    * 100 TB shape: the corpus maps to positional gram hashes (codegen'd
+    * kernel), the deduped benchmark gram set rides a broadcast semi-join
+    * (the corpus never shuffles on grams), and the span merge is a
+    * doc-keyed window over only the MATCHING positions — benchmark-hit
+    * volume, not corpus volume.
+    */
+  def contaminationSpans(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(trainText))
+    val positional = train
+      .repartition(train.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .select(col(trainId).as("doc_id"),
+        posexplode(graft.functions.word_shingle_hashes_all(col("__toks"), n)))
+      .withColumnRenamed("col", "g")
+    val bg = gramHashes(bench.select(col(benchText)), benchText, n)
+      .select(col("g")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    positional.join(broadcast(bg), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("__new",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + (n - 1), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(cum))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__p2") - col("__p1") + n).as("contaminated_tokens"))
+  }
+
   /** Drop training docs sharing >= minShared n-grams with the benchmark
     * set (anti-join on the flagged ids only — the corpus never shuffles).
     */

@@ -106,4 +106,21 @@ class DecontaminationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.2))))
   }
+
+  test("contaminationSpans: planted benchmark passage maps to one exact span") {
+    import spark.implicits._
+    // doc 1 embeds the 5-token benchmark passage at positions 3-7: with
+    // n=3 the matching gram STARTS are {3,4,5}, which merge to one span
+    // covering 5 tokens. doc 2 is clean.
+    val train = Seq(
+      (1L, "a b c x1 x2 x3 x4 x5 d e"),
+      (2L, "an entirely clean document with no leaked benchmark content inside")
+    ).toDF("doc_id", "text")
+    val bench = Seq("x1 x2 x3 x4 x5").toDF("text")
+    val out = Decontamination.contaminationSpans(train, "doc_id", "text",
+      bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 5L))),
+      s"one span of exactly the 5 leaked tokens, got $out")
+  }
 }
