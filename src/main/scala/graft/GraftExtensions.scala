@@ -82,7 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => RemoveTokenRanges(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("sig_agreement"),
       info("sig_agreement",
-        "sig_agreement(a, b) - fraction of agreeing minhash signature slots"),
+        "sig_agreement(a, b) - COUNT of agreeing minhash signature slots (divide by the signature length for the jaccard estimate)"),
       (es: Seq[Expression]) => SignatureAgreement(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("char_shingles"),
       info("char_shingles", "char_shingles(text, k) - character k-gram strings"),

@@ -229,6 +229,10 @@ object TokenRanges {
     val covered = new Array[Boolean](m)
     var j = 0
     while (j < starts.numElements()) {
+      // loud, not silent: a NULL range bound is caller corruption, and
+      // getLong would read it as position 0 and delete the doc head
+      require(!starts.isNullAt(j) && !ends.isNullAt(j),
+        s"remove_token_ranges: null range bound at index $j")
       var p = math.max(0, starts.getLong(j).toInt)
       val e = math.min(m - 1, ends.getLong(j).toInt)
       while (p <= e) { covered(p) = true; p += 1 }

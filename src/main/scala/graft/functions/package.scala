@@ -78,14 +78,14 @@ package object functions {
   /** Total characters across a token array, one codegen'd pass (the fast
     * form of the aggregate-lambda sum feeding mean token length).
     */
+  def sum_token_lengths(tokens: Column): Column =
+    toColumn(SumTokenLengths(exprOf(tokens)))
+
   /** Token array with the inclusive 0-based index ranges removed,
     * survivors joined by ' ' (the duplicated-span ACT step).
     */
   def remove_token_ranges(tokens: Column, starts: Column, ends: Column): Column =
     toColumn(RemoveTokenRanges(exprOf(tokens), exprOf(starts), exprOf(ends)))
-
-  def sum_token_lengths(tokens: Column): Column =
-    toColumn(SumTokenLengths(exprOf(tokens)))
 
   /** Count of index-aligned equal slots of two long-array signatures (the
     * MinHash similarity estimate), one codegen'd pass.

@@ -95,27 +95,12 @@ object Decontamination {
     */
   def contaminationSpans(train: DataFrame, trainId: String, trainText: String,
       bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
-    val toks = TextAnalysis.tokens(col(trainText))
-    val positional = train
-      .repartition(train.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__toks", toks)
-      .filter(size(col("__toks")) >= n)
-      .select(col(trainId).as("doc_id"),
-        posexplode(graft.functions.word_shingle_hashes_all(col("__toks"), n)))
-      .withColumnRenamed("col", "g")
+    val positional = Dedup.positionalGrams(train, trainId, trainText, n)
     val bg = gramHashes(bench.select(col(benchText)), benchText, n)
       .select(col("g")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    positional.join(broadcast(bg), Seq("g"), "left_semi")
+    val covered = positional.join(broadcast(bg), Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
-      .withColumn("__new",
-        when(lag(col("pos"), 1).over(w).isNull ||
-          col("pos") > lag(col("pos"), 1).over(w) + (n - 1), 1L).otherwise(0L))
-      .withColumn("__span", sum(col("__new")).over(cum))
-      .groupBy(col("doc_id"), col("__span"))
-      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+    Dedup.mergePositionsToSpans(covered, n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("__p2") - col("__p1") + n).as("contaminated_tokens"))

@@ -361,33 +361,55 @@ object Dedup {
     * per-doc gram count (m = grams + n - 1) instead and skip the second
     * text scan.
     */
-  /** Shared span derivation: (doc_id, __p1, __p2) — maximal merged
-    * inclusive GRAM-start ranges of corpus-repeated n-grams per doc.
+  /** Merge a (doc_id, pos) frame of covered GRAM-start positions into
+    * maximal spans: positions whose [pos, pos+n-1] token intervals
+    * overlap coalesce. Returns (doc_id, __p1, __p2) inclusive gram-start
+    * ranges. Shared by [[duplicatedSpanReport]]/[[removeDuplicatedSpans]]
+    * and [[Decontamination.contaminationSpans]] so the merge rule (gap
+    * test n-1, lag + running sum) has exactly one definition.
     */
-  private def spanFrame(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__toks", toks)
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.word_shingle_hashes_all(col("__toks"), n)))
-      .withColumnRenamed("col", "g")
-    val repeated = grams.groupBy(col("g"))
-      .agg((count(lit(1)) > 1).as("__rep"))
-      .filter(col("__rep"))
+  private[ops] def mergePositionsToSpans(positions: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    grams.join(repeated, Seq("g"))
-      .select(col("doc_id"), col("pos"))
+    positions
       .withColumn("__new",
         when(lag(col("pos"), 1).over(w).isNull ||
           col("pos") > lag(col("pos"), 1).over(w) + (n - 1), 1L).otherwise(0L))
       .withColumn("__span", sum(col("__new")).over(cum))
       .groupBy(col("doc_id"), col("__span"))
       .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+  }
+
+  /** (doc_id, pos, g): one 64-bit hash per gram START position (shared
+    * corpus-to-positional-grams pass).
+    */
+  private[ops] def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.word_shingle_hashes_all(col("__toks"), n)))
+      .withColumnRenamed("col", "g")
+  }
+
+  /** Shared span derivation: (doc_id, __p1, __p2) — maximal merged
+    * inclusive GRAM-start ranges of corpus-repeated n-grams per doc.
+    */
+  private def spanFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // pinned: both the repeated-gram aggregate and the join back read
+    // this — without the checkpoint the tokenize+posexplode+hash subtree
+    // (the dominant cost) executes twice
+    val grams = positionalGrams(docs, idCol, textCol, n).localCheckpoint(true)
+    val repeated = grams.groupBy(col("g"))
+      .agg((count(lit(1)) > 1).as("__rep"))
+      .filter(col("__rep"))
+    mergePositionsToSpans(
+      grams.join(repeated, Seq("g")).select(col("doc_id"), col("pos")), n)
   }
 
   def duplicatedSpanReport(docs: DataFrame, idCol: String, textCol: String,

@@ -96,13 +96,18 @@ object StreamOps {
     val toks = graft.ops.TextAnalysis.tokens(col(textCol))
     val sig = graft.functions.minhash_sig(
       graft.functions.word_shingle_hashes(toks, shingle), numPerm)
+    // pinned at op construction: stream-static joins re-execute the
+    // static plan per micro-batch, so an un-checkpointed refBands would
+    // re-tokenize/minhash the whole reference corpus on every batch —
+    // the checkpoint makes the "computed once" contract real
+    val ref = refBands.select(col("band"), col("bkey")).distinct()
+      .localCheckpoint(true)
     docs.withWatermark(tsCol, watermark)
       .withColumn("__sig", sig)
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "bkey")))
-      .join(broadcast(refBands.select(col("band"), col("bkey")).distinct()),
-        Seq("band", "bkey"), "left_semi")
+      .join(broadcast(ref), Seq("band", "bkey"), "left_semi")
       .drop("__sig", "band", "bkey")
       .dropDuplicatesWithinWatermark(idCol)
   }
