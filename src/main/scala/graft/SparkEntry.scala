@@ -75,6 +75,13 @@ object SparkEntry {
         lit("name"), concat(lit("user_"), col("user_id"))).as("after"),
       col("event_id").as("lsn"), col("event_id").as("txId"))
 
+  /** Fixed BPE merge list for q87 — a plan-time literal shared verbatim
+    * with the DuckDB oracle (rank order IS the algorithm).
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"))
+
   private def exactEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
     // spread the streamed side of the nested-loop pair join across cores
@@ -921,6 +928,32 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge-table APPLICATION (oracle-checked): per-doc subword
+    // token count under a fixed merge list — q72's stats turned into the
+    // number a context-budget pass needs. Encode factors through the
+    // word vocabulary (Heaps-law bounded); the merge chain is a literal
+    // fold of codegen'd replace calls, identical in DuckDB.
+    "q87_bpe_encode" -> ((s, dir) =>
+      graft.ops.Tokenize.bpeEncodedLength(t(s, dir, "documents"),
+        "doc_id", "text", SparkEntry.bpeMerges)
+        .orderBy(col("doc_id"))),
+
+    // Snapshot drift report (oracle-checked): two deterministic
+    // derivations of orders stand in for consecutive archiver snapshots;
+    // one full-outer key join classifies insert/delete/update, unchanged
+    // keys never leave the join.
+    "q88_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val before = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val after = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+      graft.snapshot.Diff.diff(before, after,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Hard-negative mining (oracle-checked): per query vector, the top-3
@@ -1839,6 +1872,43 @@ object SparkEntry {
         |  GROUP BY doc_id, span)
         |SELECT doc_id, count(*)::BIGINT AS n_spans,
         |  sum(p2 - p1 + 8)::BIGINT AS contaminated_tokens
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q87_bpe_encode" -> {
+      val enc = bpeMerges.foldLeft("""trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
+        case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+         |docw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+         |vocab AS (
+         |  SELECT w, len(string_split($enc, ' '))::BIGINT AS wtoks
+         |  FROM (SELECT DISTINCT w FROM docw))
+         |SELECT doc_id, sum(c)::BIGINT AS n_words,
+         |  sum(c * wtoks)::BIGINT AS n_bpe_tokens
+         |FROM docw JOIN vocab USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q88_snapshot_diff" ->
+      """WITH bf AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |af AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT o_orderkey, op FROM (
+        |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         WHEN a.o_orderkey IS NULL THEN 'delete'
+        |         WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |           OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus THEN 'update'
+        |         ELSE 'same' END AS op
+        |  FROM bf b FULL OUTER JOIN af a ON b.o_orderkey = a.o_orderkey)
+        |WHERE op <> 'same' ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -41,4 +41,41 @@ object Tokenize {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** APPLY a learned BPE merge table: per document, the subword token
+    * count under the given merges — the number a sequence-packing /
+    * context-budget pass actually needs. Encoding is the standard BPE
+    * apply: each word becomes its space-separated character sequence and
+    * the merges run IN ORDER, each replacing every occurrence of
+    * "a b" with "ab" (rank order is the algorithm, Sennrich et al. 2016
+    * §3); the surviving segment count is the word's token count.
+    *
+    * 100 TB shape: the encode factors through the word vocabulary
+    * (Heaps-law bounded — per-char work on millions of vocab rows, not
+    * trillions of corpus tokens); per-doc counts come from the pinned
+    * (doc, word) frame joined back to the vocabulary's encoded lengths.
+    * The merge chain is a plan-time literal fold of `replace` calls —
+    * codegen'd string ops, no per-char lambda.
+    */
+  def bpeEncodedLength(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val docw = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // "abc" -> "a b c": split to chars, rejoin — then fold the merges
+    val charSpaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(charSpaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s"$a $b"), lit(a + b))
+    }
+    val vocab = docw.groupBy(col("w"))
+      .agg(sum(col("c")).as("__f")) // just to reduce to distinct words
+      .select(col("w"),
+        size(split(encoded, " ")).cast("long").as("__wtoks"))
+    docw.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("__wtoks")).as("n_bpe_tokens"))
+  }
 }

@@ -35,4 +35,21 @@ class TokenizeSpec extends AnyFunSuite {
     val top = Tokenize.topBpePairs(d, "text", k = 1).head
     assert(top.getString(0) == "he" && top.getLong(1) == 5L)
   }
+
+  test("bpeEncodedLength applies merges in rank order, hand-computed") {
+    // merges (t,h) then (th,e): 'the' -> t h e -> th e -> the (1 token);
+    // 'then' -> th e n -> the n (2); 'in' -> i n -> in (1) via (i,n)
+    val d = Seq((1L, "the then in"), (2L, "the the")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"))
+    val out = Tokenize.bpeEncodedLength(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 4L)), s"the=1 then=2 in=1 -> 4 tokens: $out")
+    assert(out(2L) == ((2L, 2L)))
+    // ORDER matters: without the (t,h) merge first, (th,e) never fires
+    val reversed = Tokenize.bpeEncodedLength(d, "doc_id", "text",
+      Seq(("th", "e"), ("t", "h"), ("i", "n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reversed(1L) == 6L, // the -> th e (2), then -> th e n (3), in (1)
+      s"rank order must change the encoding: $reversed")
+  }
 }
