@@ -229,6 +229,29 @@ object Cli {
         println(s"""{"shards":${manifest.length},"records":$total,"out":"${req("out")}"}""")
       } finally spark.stop()
 
+    case "diff" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"diff: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val before = spark.read.parquet(req("before"))
+        val after = spark.read.parquet(req("after"))
+        val keys = req("keys").split(",").toSeq
+        val compare = flags.get("compare")
+          .map(_.split(",").toSeq)
+          .getOrElse(before.columns.toSeq.filterNot(keys.contains))
+        val delta = graft.snapshot.Diff.diff(before, after, keys, compare)
+        delta.write.mode("overwrite").parquet(req("out"))
+        // one aggregate pass over the delta-sized output for the audit
+        val counts = spark.read.parquet(req("out"))
+          .groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"""{"insert":${counts.getOrElse("insert", 0L)},""" +
+          s""""delete":${counts.getOrElse("delete", 0L)},""" +
+          s""""update":${counts.getOrElse("update", 0L)},"out":"${req("out")}"}""")
+      } finally spark.stop()
+
     case "schema-generate" :: rest =>
       val flags = parseFlags(rest)
       val ddl = flags.getOrElse("ddl", sys.error("schema-generate: missing --ddl"))
@@ -260,7 +283,8 @@ object Cli {
            |  score --in <sfdir> --table documents --out <dir>
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
-           |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]""".stripMargin)
+           |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
+           |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
       sys.exit(2)
   }
 }
