@@ -452,6 +452,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-audit histogram (oracle-checked): cluster-size distribution
+    // of the q62 components — the one-page artifact a dedup run reports
+    // (how much mass sits in how-big duplicate groups).
+    "q89_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // n-gram Jaccard similarity, exact (oracle-checked): all pairs with
     // word-trigram jaccard >= 0.02 among the first 100 docs.
     "q45_ngram_jaccard" -> ((s, dir) => {
@@ -1269,6 +1283,30 @@ object SparkEntry {
         |SELECT id AS doc_id, min(comp) AS cluster_id,
         |  (id = min(comp)) AS is_survivor
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q89_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id),
+        |members AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM members GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  sum(cluster_size)::BIGINT AS n_docs
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // exact per-group and corpus distinct counts; the HLL union estimate
     // bound is TRUE by construction (deterministic sketch).
