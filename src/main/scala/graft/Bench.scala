@@ -55,7 +55,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Output ordering is deliberate: the driver captures a bounded TAIL of
+    // stdout, so anything printed early can be truncated from the front.
+    //  1. the full contract line (all queries) — bonus if it survives;
+    //  2. one short line per query — the lines nearest the tail survive;
+    //  3. a short final total line that also repeats the EARLIEST query
+    //     timings (the ones whose per-query lines are furthest from the
+    //     tail and die first under truncation).
+    // Any tail window therefore always contains the parseable headline.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.foreach { case (name, sec) =>
+      println(s"""{"query":"$name","sec":$sec}""")
+    }
+    val head = results.take(7).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","head_queries":$head}""")
     spark.stop()
   }
 }

@@ -82,6 +82,12 @@ object SparkEntry {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"))
 
+  /** Subword vocab for q90: ids 0-25 the letters, 26+ the merge products
+    * in rank order — shared verbatim with the DuckDB oracle.
+    */
+  private[graft] val bpeVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ bpeMerges.map { case (a, b) => a + b }
+
   private def exactEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
     // spread the streamed side of the nested-loop pair join across cores
@@ -947,12 +953,27 @@ object SparkEntry {
     // BPE merge-table APPLICATION (oracle-checked): per-doc subword
     // token count under a fixed merge list — q72's stats turned into the
     // number a context-budget pass needs. Encode factors through the
-    // word vocabulary (Heaps-law bounded); the merge chain is a literal
-    // fold of codegen'd replace calls, identical in DuckDB.
+    // word vocabulary (Heaps-law bounded) and runs the array-based
+    // Sennrich apply kernel; the DuckDB oracle replays the merges with
+    // an INDEPENDENT bracket-delimited string fold, so parity actually
+    // verifies the algorithm (not a shared implementation quirk).
     "q87_bpe_encode" -> ((s, dir) =>
       graft.ops.Tokenize.bpeEncodedLength(t(s, dir, "documents"),
         "doc_id", "text", SparkEntry.bpeMerges)
         .orderBy(col("doc_id"))),
+
+    // Full BPE encode to VOCAB IDS (oracle-checked): the per-doc subword
+    // id sequence — the tensor a TFRecord export ships. Flattened to
+    // (doc_id, seq_pos, token_id) rows for the oracle hash; the DuckDB
+    // side re-derives ids via the independent bracket-fold encode.
+    "q90_bpe_token_ids" -> ((s, dir) =>
+      graft.ops.Tokenize.bpeTokenIds(t(s, dir, "documents"),
+        "doc_id", "text", SparkEntry.bpeMerges, SparkEntry.bpeVocab)
+        .select(col("doc_id"),
+          posexplode(col("ids")).as(Seq("seq_pos", "token_id")))
+        .select(col("doc_id"), col("seq_pos").cast("long").as("seq_pos"),
+          col("token_id").cast("long").as("token_id"))
+        .orderBy(col("doc_id"), col("seq_pos"))),
 
     // Snapshot drift report (oracle-checked): two deterministic
     // derivations of orders stand in for consecutive archiver snapshots;
@@ -1883,7 +1904,7 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
         |        b.vec_id) AS rank
         |  FROM embeddings a
-        |  JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |  JOIN embeddings b ON a.label <> b.label
         |  WHERE a.vec_id < 50)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
@@ -1912,9 +1933,16 @@ object SparkEntry {
         |  sum(p2 - p1 + 8)::BIGINT AS contaminated_tokens
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Independent BPE apply: segments ride <>-delimited brackets (the
+    // corpus alphabet is bracket-free), so replace('<a><b>','<ab>') can
+    // only fire on WHOLE adjacent segments — occurrences never share
+    // characters, making one leftmost replace-all per merge exactly the
+    // greedy Sennrich scan the Spark kernel runs over arrays. A shared
+    // space-separated replace fold (the old oracle) could match across
+    // segment boundaries and was circular with the old Spark impl.
     "q87_bpe_encode" -> {
-      val enc = bpeMerges.foldLeft("""trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
-        case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+      val enc = bpeMerges.foldLeft("""regexp_replace(w, '(.)', '<\1>', 'g')""") {
+        case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
       }
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
@@ -1922,12 +1950,38 @@ object SparkEntry {
          |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
          |docw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
          |vocab AS (
-         |  SELECT w, len(string_split($enc, ' '))::BIGINT AS wtoks
+         |  SELECT w, len(string_split(trim($enc, '<>'), '><'))::BIGINT AS wtoks
          |  FROM (SELECT DISTINCT w FROM docw))
          |SELECT doc_id, sum(c)::BIGINT AS n_words,
          |  sum(c * wtoks)::BIGINT AS n_bpe_tokens
          |FROM docw JOIN vocab USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q90_bpe_token_ids" -> {
+      val enc = bpeMerges.foldLeft("""regexp_replace(w, '(.)', '<\1>', 'g')""") {
+        case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      val vocabSql = bpeVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(toks) AS w FROM toks),
+         |wids AS (
+         |  SELECT w, list_transform(string_split(trim($enc, '<>'), '><'),
+         |    x -> coalesce(list_position($vocabSql, x) - 1, -1)) AS ids
+         |  FROM words),
+         |docseq AS (
+         |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+         |  FROM toks),
+         |flat AS (
+         |  SELECT doc_id, pos, generate_subscripts(ids, 1) AS sub,
+         |    unnest(ids) AS token_id
+         |  FROM docseq JOIN wids USING (w))
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY pos, sub) - 1)::BIGINT AS seq_pos,
+         |  token_id::BIGINT AS token_id
+         |FROM flat ORDER BY doc_id, seq_pos""".stripMargin
     },
 
     "q88_snapshot_diff" ->

@@ -309,3 +309,81 @@ case class RemoveTokenRanges(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
+
+/** BPE merge-table application (Sennrich et al. 2016 §3, the apply side):
+  * a word starts as its code-point sequence; each merge (a, b), in rank
+  * order, runs ONE greedy left-to-right scan over the segment array
+  * replacing adjacent (a, b) with ab (the scan resumes after the merged
+  * symbol, so a freshly-merged segment never re-merges under the same
+  * rule — subword-nmt/HF semantics). Array-based on purpose: the earlier
+  * space-separated-string `replace` fold could match a merge ACROSS
+  * segment boundaries (e.g. segments [the, r, e] matching 'e r'), which
+  * this cannot, by construction.
+  */
+object BpeKernel {
+  /** merges flattened as [a0, b0, a1, b1, ...]. */
+  def segments(w: UTF8String, merges: Array[String]): ArrayData = {
+    val s = w.toString
+    // initial segments: one per code point
+    var cur = new Array[String](s.length)
+    var len = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cc = Character.charCount(s.codePointAt(ci))
+      cur(len) = s.substring(ci, ci + cc)
+      ci += cc
+      len += 1
+    }
+    var m = 0
+    while (m < merges.length) {
+      val a = merges(m)
+      val b = merges(m + 1)
+      var i = 0
+      var k = 0
+      while (i < len) {
+        if (i + 1 < len && cur(i) == a && cur(i + 1) == b) {
+          cur(k) = a + b; i += 2
+        } else {
+          cur(k) = cur(i); i += 1
+        }
+        k += 1
+      }
+      len = k
+      m += 2
+    }
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** bpe_segments(word, merges) -> array<string>: the word's subword
+  * segments under the merge table (see [[BpeKernel]]). The merge table is
+  * a plan-time constant shipped to executors as a codegen reference
+  * object — vocab-factored callers run this over distinct words only.
+  */
+case class BpeSegments(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segments"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if merges.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segments needs a string word and non-empty merges, got ${child.dataType.simpleString}")
+  }
+
+  private lazy val flat: Array[String] =
+    merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.segments(v.asInstanceOf[UTF8String], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernel.segments($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

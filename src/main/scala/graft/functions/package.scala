@@ -93,6 +93,21 @@ package object functions {
   def sig_agreement(a: Column, b: Column): Column =
     toColumn(SignatureAgreement(exprOf(a), exprOf(b)))
 
+  /** Subword segments of a word under a BPE merge table (array-based
+    * Sennrich apply — one greedy scan per merge, never across segment
+    * boundaries).
+    */
+  def bpe_segments(word: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeSegments(exprOf(word), merges))
+
+  /** Membership probe of a 64-bit hash column against a driver-built
+    * bloom filter, inside whole-stage codegen (the decontamination
+    * prefilter's hot path — a UDF here would break the scan pipeline).
+    */
+  def bloom_might_contain(hashes: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toColumn(BloomMightContainLong(exprOf(hashes), bloom))
+
   /** Char k-gram shingle strings of a string column, one codegen'd pass. */
   def char_shingles(text: Column, k: Int): Column =
     toColumn(CharShingles(exprOf(text), k))

@@ -58,7 +58,17 @@ object Decontamination {
     * byte-identical results to [[overlapReport]] (false positives die in
     * the verify). The filter is built distributed (per-partition blooms
     * OR-merged — `DataFrameStatFunctions.bloomFilter` is a
-    * treeAggregate) and shipped once per executor via the closure.
+    * treeAggregate) and shipped once per executor via a codegen
+    * reference object, and the probe itself is a native expression
+    * ([[graft.functions.bloom_might_contain]]) so the prefilter stays
+    * inside the scan's whole-stage-codegen loop.
+    *
+    * The verify join carries NO broadcast hint — that is the point of
+    * this variant: when the benchmark gram set is too big to broadcast,
+    * the prefilter has already cut the corpus side to ~fpp of its grams,
+    * so a shuffled join is cheap; when it does fit, AQE broadcasts it on
+    * its own. (Forcing the hint here would reintroduce exactly the OOM
+    * this variant exists to avoid.)
     *
     * `minShared` gates the report (GPT-3 appendix C flags on any
     * 13-gram hit; stricter pipelines require several shared grams).
@@ -70,11 +80,10 @@ object Decontamination {
       .select(col("g")).distinct().localCheckpoint(true)
     val nGrams = math.max(bg.count(), 1L) // benchmark-sized driver action
     val bloom = bg.stat.bloomFilter("g", nGrams, fpp)
-    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
     val tg = gramHashes(train.select(col(trainId).as("doc_id"), col(trainText)),
       trainText, n).select(col("doc_id"), col("g"))
-      .filter(mightContain(col("g")))
-    tg.join(broadcast(bg), "g")
+      .filter(graft.functions.bloom_might_contain(col("g"), bloom))
+    tg.join(bg, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

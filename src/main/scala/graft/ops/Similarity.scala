@@ -246,8 +246,10 @@ object Similarity {
     val b = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(cId).as("eid"), col(cVec).as("evec"),
         col(cLabel).as("neg_label"))
-    val scored = b.join(broadcast(a),
-        col("qid") =!= col("eid") && col("qlabel") =!= col("neg_label"))
+    // the label-mismatch predicate alone excludes the true self-pair (a
+    // row's label always equals itself); no id-equality clause, so query
+    // and corpus ids may come from independent key spaces
+    val scored = b.join(broadcast(a), col("qlabel") =!= col("neg_label"))
       .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))

@@ -45,17 +45,17 @@ object Tokenize {
   /** APPLY a learned BPE merge table: per document, the subword token
     * count under the given merges — the number a sequence-packing /
     * context-budget pass actually needs. Encoding is the standard BPE
-    * apply: each word becomes its space-separated character sequence and
-    * the merges run IN ORDER, each replacing every occurrence of
-    * "a b" with "ab" (rank order is the algorithm, Sennrich et al. 2016
-    * §3); the surviving segment count is the word's token count.
+    * apply (Sennrich et al. 2016 §3): the merges run IN ORDER over the
+    * word's segment ARRAY — one codegen'd kernel pass per word
+    * ([[graft.functions.bpe_segments]]); the surviving segment count is
+    * the word's token count. Array-based on purpose: a space-separated
+    * string `replace` fold can fire a merge across segment boundaries
+    * (segments [the, r, e] match 'e r'), which the kernel cannot.
     *
     * 100 TB shape: the encode factors through the word vocabulary
     * (Heaps-law bounded — per-char work on millions of vocab rows, not
     * trillions of corpus tokens); per-doc counts come from the pinned
     * (doc, word) frame joined back to the vocabulary's encoded lengths.
-    * The merge chain is a plan-time literal fold of `replace` calls —
-    * codegen'd string ops, no per-char lambda.
     */
   def bpeEncodedLength(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
@@ -64,18 +64,45 @@ object Tokenize {
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    // "abc" -> "a b c": split to chars, rejoin — then fold the merges
-    val charSpaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
-    val encoded = merges.foldLeft(charSpaced) { case (acc, (a, b)) =>
-      replace(acc, lit(s"$a $b"), lit(a + b))
-    }
     val vocab = docw.groupBy(col("w"))
       .agg(sum(col("c")).as("__f")) // just to reduce to distinct words
-      .select(col("w"),
-        size(split(encoded, " ")).cast("long").as("__wtoks"))
+      .select(col("w"), size(graft.functions.bpe_segments(col("w"), merges))
+        .cast("long").as("__wtoks"))
     docw.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         sum(col("c") * col("__wtoks")).as("n_bpe_tokens"))
+  }
+
+  /** Full BPE ENCODE to vocab ids: per document, the subword id sequence
+    * in token order — the tensor a TFRecord/packing export actually
+    * ships. `vocab(i)` is the subword with id `i`; segments outside the
+    * vocab map to `unkId`. Returns (doc_id, ids array<int>).
+    *
+    * 100 TB shape: same vocab factoring as [[bpeEncodedLength]] — the
+    * kernel encode and the literal-map id lookup run once per DISTINCT
+    * word; documents re-attach by a word equi-join, and the per-doc
+    * sequence assembles with one ordered collect per doc (output-sized
+    * state: the id sequence IS the result row).
+    */
+  def bpeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Seq[String],
+      unkId: Int = -1): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val idOf = map(vocab.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    val docw = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+      .localCheckpoint(true)
+    val enc = docw.select(col("w")).distinct()
+      .select(col("w"), transform(
+        graft.functions.bpe_segments(col("w"), merges),
+        s => coalesce(element_at(idOf, s), lit(unkId))).as("__wids"))
+    docw.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("__wids")))),
+        x => x.getField("__wids"))).as("ids"))
   }
 }

@@ -107,7 +107,13 @@ object StreamOps {
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "bkey")))
-      .join(broadcast(ref), Seq("band", "bkey"), "left_semi")
+      // no broadcast hint: the reference band set grows with the
+      // reference corpus (~bands x docs before distinct) — at a 100 TB
+      // reference a forced broadcast would blow the driver/broadcast
+      // limit. AQE broadcasts on its own while ref fits; past that the
+      // stream-static join degrades to a shuffled semi-join instead of
+      // failing.
+      .join(ref, Seq("band", "bkey"), "left_semi")
       .drop("__sig", "band", "bkey")
       .dropDuplicatesWithinWatermark(idCol)
   }

@@ -144,8 +144,12 @@ object ScaleCheck {
     }
     val spanFlagged = spanRows.map(_.getLong(0)).toSet
     val spanRecall = dupExpected.intersect(spanFlagged).size.toDouble / dupExpected.size
-    val spanExactOk = spanRows.count(r =>
-      r.getLong(2) == 4L && r.getLong(3) == 77L).toDouble / spanRows.length
+    // empty report = the exact regression this check exists to catch —
+    // fail loudly (0.0), never print a quiet NaN
+    val spanExactOk =
+      if (spanRows.isEmpty) 0.0
+      else spanRows.count(r =>
+        r.getLong(2) == 4L && r.getLong(3) == 77L).toDouble / spanRows.length
     println(f"DUPSPAN> docs=${nDocs + nDocs / 20} flagged=${spanFlagged.size} " +
       f"recall=$spanRecall%.4f exact(4,77)=$spanExactOk%.4f time=${tSpan}%.1f s")
 

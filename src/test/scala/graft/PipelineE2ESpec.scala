@@ -87,5 +87,36 @@ class PipelineE2ESpec extends AnyFunSuite {
       try TfRecords.readRecords(in).size.toLong finally in.close()
     }.sum
     assert(readBack == nExported, "CRC-verified read-back sees every record")
+
+    // 8. the REAL export: BPE-encode the train split to vocab ids and
+    //    ship the id sequences themselves as TFRecord shards — the
+    //    tokenized-training-data endpoint. Read-back must reproduce
+    //    every doc's id sequence bit-exactly.
+    val trainDocs = docs.join(
+      split.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val ids = graft.ops.Tokenize.bpeTokenIds(trainDocs, "doc_id", "text",
+      SparkEntry.bpeMerges, SparkEntry.bpeVocab)
+    val expected = ids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).mkString(",")).toMap
+    assert(expected.nonEmpty && expected.values.forall(_.nonEmpty))
+    assert(!expected.values.exists(_.contains("-1")),
+      "the letters+merges vocab must cover the a-z corpus (no OOV)")
+    val idDir = java.nio.file.Files.createTempDirectory("e2e_id_shards").toString
+    val idPayloads = ids.select(concat_ws("|",
+      col("doc_id"), concat_ws(",", col("ids"))).cast("binary").as("payload"))
+    val idManifest = TfRecords.writeShards(idPayloads, "payload", idDir,
+      recordsPerShard = 64).collect()
+    val decoded = idManifest.flatMap { r =>
+      val in = new java.io.FileInputStream(
+        new java.io.File(new java.net.URI(r.getString(0)).getPath))
+      try TfRecords.readRecords(in).map(new String(_, "UTF-8")).toArray
+      finally in.close()
+    }.map { s =>
+      val Array(id, seq) = s.split('|')
+      id.toLong -> seq
+    }.toMap
+    assert(decoded == expected,
+      "TFRecord round-trip must reproduce every id sequence bit-exactly")
   }
 }

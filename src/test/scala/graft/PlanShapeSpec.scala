@@ -54,6 +54,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
 
+  test("bloom decontamination: codegen'd probe, no forced broadcast on the verify join") {
+    val df = ops.Decontamination.bloomOverlapReport(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      "doc_id", "text",
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "text", n = 6)
+    // the probe must be the native expression, not a UDF that breaks
+    // whole-stage codegen on the corpus scan
+    val analyzed = df.queryExecution.analyzed.toString()
+    assert(analyzed.contains("bloom_might_contain"), analyzed.take(800))
+    assert(!analyzed.toLowerCase.contains("udf"),
+      s"the bloom prefilter regressed to a UDF:\n${analyzed.take(800)}")
+    // the verify join must carry NO mandatory broadcast hint — this
+    // variant exists for benchmark sets too big to broadcast; AQE may
+    // still CHOOSE a broadcast at this size, so assert on the logical
+    // plan's hints, not the executed join's physical strategy
+    val withHints = df.queryExecution.logical.toString()
+    assert(!withHints.contains("UnresolvedHint") &&
+      !withHints.toLowerCase.contains("broadcast"),
+      s"bloom verify join must not force a broadcast:\n${withHints.take(800)}")
+    df.collect() // and the plan must actually execute
+  }
+
   test("q66 dup-ngram report joins grams per-key, never pairwise docs") {
     val p = plan("q66_dup_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(500))

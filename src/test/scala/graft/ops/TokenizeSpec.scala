@@ -52,4 +52,29 @@ class TokenizeSpec extends AnyFunSuite {
     assert(reversed(1L) == 6L, // the -> th e (2), then -> th e n (3), in (1)
       s"rank order must change the encoding: $reversed")
   }
+
+  test("merges never fire across segment boundaries (the 'there' case)") {
+    // there -> t h e r e -> (t,h) -> th e r e -> (th,e) -> the r e;
+    // (e,r) must NOT match the 'e r' spanning segments [the][r] — the
+    // segment pairs are (the,r),(r,e); then (r,e) -> [the, re] = 2.
+    // A plain substring replace on 'the r e' wrongly merged to 1.
+    val d = Seq((1L, "there")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("r", "e"))
+    val out = Tokenize.bpeEncodedLength(d, "doc_id", "text", merges)
+      .head
+    assert(out.getLong(2) == 2L, s"'there' must encode to [the, re]: $out")
+  }
+
+  test("bpeTokenIds: id sequences in token order, OOV -> unkId") {
+    val d = Seq((1L, "the there Zap"), (2L, "in")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("r", "e"), ("i", "n"))
+    // vocab: the merge products + the letters they decompose to; 'z'/'p'
+    // missing so 'zap' maps to [unk, 0, unk]
+    val vocab = Seq("a", "e", "h", "i", "n", "r", "t", "th", "the", "re", "in")
+    val out = Tokenize.bpeTokenIds(d, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // doc 1: the=[the]=8, there=[the,re]=[8,9], zap=[-1,0,-1]
+    assert(out(1L) == Seq(8, 8, 9, -1, 0, -1), s"got ${out(1L)}")
+    assert(out(2L) == Seq(10), s"got ${out(2L)}")
+  }
 }
