@@ -735,6 +735,28 @@ object SparkEntry {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // IVF-PQ (oracle-checked, the q53 device): codes-only ADC scoring
+    // over the product-quantized index — 8 bytes per vector instead of
+    // 256. Output = exact top-10 + an in-plan recall bound: >= 7 of the
+    // exact top-10 must appear in the ADC top-20 at nprobe=4, despite
+    // 32x compression.
+    "q91_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+      val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+      val adc = Similarity.pqTopK(codes, "vec_id", cents, books, q, k = 20, nprobe = 4)
+      val exact = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      exact.join(adc.select(col("vec_id")).withColumn("hit", lit(1)),
+          Seq("vec_id"), "left")
+        .withColumn("pq_recall_ok",
+          sum(coalesce(col("hit"), lit(0))).over(w) >= 7L)
+        .drop("hit")
+        .orderBy(desc("sim"), col("vec_id"))
+    }),
+
     // batch k-NN join via LSH bucketing, oracle-checked via the exact
     // side: output = exact top-3 for a bounded query set (qid < 150 —
     // fixed-size quadratic stage, same device as q45/q51) + a
@@ -799,6 +821,23 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"),
           round(element_at(col("features"), 8).cast(DoubleType), 6).as("f7"),
           round(element_at(col("features"), 16).cast(DoubleType), 6).as("f15"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL video container metadata (oracle-checked, the q59/q60
+    // device): deterministic ISO-BMFF headers written through the box
+    // grammar, parsed back by the public-spec Mp4 parser — brand, codec
+    // fourcc, track dims, stsz sample count, duration. Every field
+    // derives from doc_id by plain arithmetic, which is exactly what the
+    // DuckDB oracle recomputes. Frame decode stays stubbed (no JDK video
+    // codec); the container catalog pass is the real contract.
+    "q92_video_metadata" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val vids = Multimodal.patternVideos(ids, "doc_id")
+      Multimodal.videoMetadata(vids, "id", "content")
+        .select(col("id").as("doc_id"), col("brand"), col("codec"),
+          col("width"), col("height"), col("n_frames"),
+          col("duration_ms"), col("n_tracks"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1404,6 +1443,19 @@ object SparkEntry {
         |  round(CAST(((doc_id*31 + 15) * 7 % 256) / 256.0 AS FLOAT4)::DOUBLE, 6) AS f15
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the patternMp4 arithmetic: codec cycles by id mod 3, dims step in
+    // 16-px increments, duration steps in 500 ms at 24 fps — the parser
+    // must recover each field from the real box bytes.
+    "q92_video_metadata" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'vp09' END AS codec,
+        |  (160 + (doc_id % 8) * 16)::INT AS width,
+        |  (96 + (doc_id % 5) * 16)::INT AS height,
+        |  ((1000 + (doc_id % 10) * 500) * 24 / 1000)::INT AS n_frames,
+        |  (1000 + (doc_id % 10) * 500)::BIGINT AS duration_ms,
+        |  1 AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q48_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
@@ -1638,6 +1690,13 @@ object SparkEntry {
       """SELECT a.vec_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
         |  TRUE AS ivf_recall_ok
+        |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q91_ann_ivfpq" ->
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+        |  TRUE AS pq_recall_ok
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
 

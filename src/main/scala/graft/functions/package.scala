@@ -100,6 +100,20 @@ package object functions {
   def bpe_segments(word: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeSegments(exprOf(word), merges))
 
+  /** m-byte product-quantization code of a vector given its IVF cell
+    * (centroids/codebooks are plan-time constants shipped by reference).
+    */
+  def pq_code(vec: Column, cell: Column, cents: Array[Float], dim: Int,
+      books: Array[Float], m: Int, codes: Int): Column =
+    toColumn(PqCode(exprOf(vec), exprOf(cell), cents, dim, books, m, codes))
+
+  /** Asymmetric-distance cosine estimate of a prepared query against a
+    * PQ code row — codes-only scoring, the raw vector is never read.
+    */
+  def pq_adc(code: Column, cell: Column, lut: Array[Float], codes: Int,
+      cellDot: Array[Float]): Column =
+    toColumn(PqAdc(exprOf(code), exprOf(cell), lut, codes, cellDot))
+
   /** Membership probe of a 64-bit hash column against a driver-built
     * bloom filter, inside whole-stage codegen (the decontamination
     * prefilter's hot path — a UDF here would break the scan pipeline).

@@ -221,7 +221,15 @@ object Dedup {
     * corpus.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * it took — the observable the O(log diameter) pointer-jumping claim
+    * is tested against (ScaleCheck's planted chain/star graphs).
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = pairs
       .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .unionByName(pairs.select(col(bCol).cast("long").as("s"),
@@ -267,7 +275,7 @@ object Dedup {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels.select(col("id"), col("comp").as("cluster_id"))
+    (labels.select(col("id"), col("comp").as("cluster_id")), iter)
   }
 
   /** Corpus-level duplicate-line removal (MassiveText-style boilerplate

@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * libraries are involved; the partition loop amortizes reader setup
   * across the batch.
   *
-  * Non-image payloads (audio/video containers, or the text-bytes test
-  * fixtures) fall through to `decodeStub`, a deterministic stand-in that
-  * keeps the pipeline total — a real deployment would hook
-  * ffmpeg/JavaCV into the same `mapPartitions` seam for those modalities.
+  * VIDEO containers get a real ISO-BMFF parse ([[Mp4]]): true dims,
+  * codec fourcc, duration, sample counts — the catalog metadata a
+  * pipeline partitions and filters on. Only frame/pixel decode falls
+  * through to `decodeStub`, a deterministic stand-in that keeps the
+  * pipeline total — a real deployment would hook ffmpeg/JavaCV into the
+  * same `mapPartitions` seam for that one step.
   */
 object Multimodal {
 
@@ -151,12 +153,26 @@ object Multimodal {
     } catch { case _: Exception => None } // unsupported encoding/corrupt
   }
 
-  /** Decode dispatch: real codecs first (image, then audio),
-    * deterministic stub for everything else.
+  /** REAL video container metadata via the ISO-BMFF box parser ([[Mp4]],
+    * public-spec bytes like the PG/Kafka/Mongo wire work): true track
+    * dimensions, codec fourcc in the format string, stsz sample count as
+    * n_frames. Pixel features still come from the deterministic stub —
+    * the JDK ships no video codec, and only the frame-decode step is
+    * stubbed, not the container plumbing.
+    */
+  private[ops] def decodeVideo(bytes: Array[Byte], dim: Int): Option[(Row, Array[Float])] =
+    Mp4.parse(bytes).map { m =>
+      (Row(s"video/mp4;codec=${m.codec}", m.width, m.height, m.nFrames,
+        bytes.length.toLong), decodeStub(bytes, dim)._2)
+    }
+
+  /** Decode dispatch: real codecs first (image, then audio, then the
+    * MP4 container parse), deterministic stub for everything else.
     */
   private[ops] def decode(bytes: Array[Byte], dim: Int): (Row, Array[Float]) =
     decodeImage(bytes, dim)
       .orElse(decodeAudio(bytes, dim))
+      .orElse(decodeVideo(bytes, dim))
       .getOrElse(decodeStub(bytes, dim))
 
   // ---------------------------------------------------------------- STUB —
@@ -390,6 +406,59 @@ object Multimodal {
           case other => other.toString.toLong
         }
         Row(r.get(idIdx), patternWav(seed, windows, perWindow))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Video catalog pass: parse each MP4 payload's container metadata
+    * (brand, codec fourcc, track dims, sample count, duration) without
+    * decoding a single frame — the schema/partitioning contract for a
+    * video-column pipeline. Non-MP4 payloads yield nulls, keeping the
+    * pass total. One `mapPartitions` sweep, constant memory.
+    */
+  def videoMetadata(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("brand", StringType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Option(bytes).flatMap(Mp4.parse) match {
+          case Some(m) => Row(r.get(idIdx), m.brand, m.codec, m.width,
+            m.height, m.nFrames, m.durationMs, m.nTracks)
+          case None => Row(r.get(idIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (id, content=patternMp4(id)) frame — the synthetic video corpus for
+    * driving the real box parser under the correctness gate (sibling of
+    * [[patternImages]]/[[patternAudio]]).
+    */
+  def patternVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val idType = ids.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("content", BinaryType)))
+    val idIdx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        Row(r.get(idIdx), Mp4.patternMp4(seed))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -17,8 +17,10 @@ import scala.util.Random
   * Voronoi cells around trained centroids (index build = one map pass +
   * optional repartition by cell), then probe only `nprobe` cells per query
   * — the standard inverted-file ANN design (Jegou et al., "Product
-  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011, minus the
-  * PQ compression).
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011), including
+  * the PQ-compressed variant ([[trainPq]]/[[pqEncode]]/[[pqTopK]] — the
+  * paper's IVFADC): residuals quantize to m bytes per vector and probes
+  * score codes only, via a per-query lookup table.
   */
 object Similarity {
 
@@ -278,6 +280,199 @@ object Similarity {
 
     index.filter(col("cell").isin(probes.toSeq: _*))
       .select(col(idCol), round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // IVF-PQ: product-quantized codes over cell residuals (Jegou et al.
+  // 2011, the "IVFADC" variant). The memory/scan story for 100 TB
+  // embedding corpora: the probe-time scan reads m bytes per vector
+  // instead of dim*4 (32x smaller at dim=64/m=8), and ADC scores codes
+  // without ever touching raw vectors. Build once (train -> encode ->
+  // writeIndex partitioned by cell), probe many.
+  // -------------------------------------------------------------------
+
+  private def normalized(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    Array.tabulate(v.length)(j => (v(j) * inv).toFloat)
+  }
+
+  private def flatten2(a: Array[Array[Float]]): Array[Float] = {
+    val out = new Array[Float](a.length * a.head.length)
+    var i = 0
+    while (i < a.length) {
+      System.arraycopy(a(i), 0, out, i * a.head.length, a(i).length); i += 1
+    }
+    out
+  }
+
+  /** Train the PQ codebooks on cell residuals: unit-normalize, subtract
+    * the (normalized) nearest cell centroid, then run Lloyd's per
+    * subspace (L2, `codes` entries). One shared codebook set serves all
+    * cells (the standard IVFADC layout). Driver-side sample like
+    * [[trainCentroids]] — training cost is corpus-size independent.
+    * Returns m x codes x (dim/m).
+    */
+  def trainPq(emb: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+      m: Int, codes: Int = 256, iters: Int = 10, sampleSize: Int = 10000,
+      seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val dim = centroids.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codes <= 256, "codes must fit one byte per subspace")
+    val dsub = dim / m
+    val n = emb.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    val sample = emb.select(col(vecCol))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty table")
+    val ncents = centroids.map(normalized)
+    val residuals = sample.map { v =>
+      val u = normalized(v)
+      val cell = nearestCentroid(u, ncents)
+      Array.tabulate(dim)(i => u(i) - ncents(cell)(i))
+    }
+    val rnd = new Random(seed)
+    Array.tabulate(m) { j =>
+      val subs = residuals.map(r => java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      var book = rnd.shuffle(subs.toVector).take(codes).map(_.clone()).toArray
+      if (book.length < codes) // tiny samples: pad by repeating entries
+        book = Array.tabulate(codes)(c => book(c % book.length).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(codes)(new Array[Double](dsub))
+        val counts = new Array[Long](codes)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < codes) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = s(t) - book(c)(t); d += diff.toDouble * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += s(t); t += 1 }
+        }
+        book = book.indices.map { c =>
+          if (counts(c) == 0) book(c)
+          else Array.tabulate(dsub)(t => (sums(c)(t) / counts(c)).toFloat)
+        }.toArray
+      }
+      book
+    }
+  }
+
+  /** Encode the corpus into the IVF-PQ index: (id, cell, m-byte code).
+    * Map-only — assignment + residual quantization run in one codegen'd
+    * pass against broadcast constants. Persist with [[writeIndex]] (the
+    * frame carries the same `cell` column) so probes prune at
+    * file-listing time.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val dim = centroids.head.length
+    val m = codebooks.length
+    val codes = codebooks.head.length
+    val centsFlat = flatten2(centroids.map(normalized))
+    val booksFlat = flatten2(codebooks.map(flatten2))
+    ivfIndex(emb, idCol, vecCol, centroids)
+      .select(col(idCol), col("cell"),
+        graft.functions.pq_code(col(vecCol), col("cell"),
+          centsFlat, dim, booksFlat, m, codes).as("code"))
+  }
+
+  /** Query the IVF-PQ index with asymmetric-distance scoring: the query
+    * builds its m x codes lookup table of subspace dot products ONCE on
+    * the driver; each indexed row's cosine estimate is then
+    * cellDot[cell] + sum of m table lookups — no raw vectors read, so a
+    * cell-partitioned code index scans m bytes per candidate. Returns
+    * (id, sim_adc) top-k by the ADC estimate.
+    */
+  /** Per-query ADC preparation: probed cells, the m x codes lookup table
+    * of subspace dot products, and the per-cell centroid dots.
+    */
+  private def adcTables(centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], query: Seq[Float],
+      nprobe: Int): (Seq[Int], Array[Float], Array[Float]) = {
+    val dim = centroids.head.length
+    val m = codebooks.length
+    val codes = codebooks.head.length
+    val dsub = dim / m
+    val qn = normalized(query.toArray)
+    val ncents = centroids.map(normalized)
+    val cellDot = Array.tabulate(ncents.length) { c =>
+      var d = 0.0; var i = 0
+      while (i < dim) { d += qn(i).toDouble * ncents(c)(i); i += 1 }
+      d.toFloat
+    }
+    val probes = cellDot.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+    val lut = new Array[Float](m * codes)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < codes) {
+        var d = 0.0; var t = 0
+        while (t < dsub) { d += qn(j * dsub + t).toDouble * codebooks(j)(c)(t); t += 1 }
+        lut(j * codes + c) = d.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    (probes, lut, cellDot)
+  }
+
+  def pqTopK(index: DataFrame, idCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val codes = codebooks.head.length
+    val (probes, lut, cellDot) = adcTables(centroids, codebooks, query, nprobe)
+    index.filter(col("cell").isin(probes: _*))
+      .select(col(idCol),
+        round(graft.functions.pq_adc(col("code"), col("cell"), lut, codes, cellDot), 6)
+          .as("sim_adc"))
+      .orderBy(desc("sim_adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVFADC with reranking (Jegou et al. §VII, FAISS's IVFPQR shape):
+    * the ADC pass shortlists `shortlist` candidates from codes alone,
+    * then ONLY those rows fetch their raw vectors for an exact cosine
+    * rerank to top-k. This is the correct lifecycle when candidates are
+    * tightly clustered — quantized scores tie inside a near-dup cluster,
+    * and the exact rerank restores the true order while still scanning
+    * m-byte codes for the bulk of the corpus.
+    *
+    * `raw` is the (id, vec) table; pass the cell-partitioned
+    * [[ivfIndex]] output (it carries a `cell` column) and the rerank
+    * fetch prunes to the probed cells at file-listing time — the
+    * shortlist itself rides a broadcast, so the raw side never shuffles.
+    */
+  def pqTopKRerank(index: DataFrame, idCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      query: Seq[Float], raw: DataFrame, rawIdCol: String, vecCol: String,
+      k: Int, shortlist: Int = 200, nprobe: Int = 2): DataFrame = {
+    val (probes, _, _) = adcTables(centroids, codebooks, query, nprobe)
+    val sl = pqTopK(index, idCol, centroids, codebooks, query, shortlist, nprobe)
+      .select(col(idCol))
+    val fetch0 = raw.select(col(rawIdCol).as(idCol), col(vecCol),
+      (if (raw.columns.contains("cell")) col("cell") else lit(null)).as("__cell"))
+    val fetch =
+      if (raw.columns.contains("cell")) fetch0.filter(col("__cell").isin(probes: _*))
+      else fetch0
+    fetch.join(broadcast(sl), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.ops.{Decontamination, Dedup, Similarity}
+import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -91,6 +92,35 @@ object ScaleCheck {
     }
     val nClusters = ccRows.map(_.getLong(1)).distinct.length
     println(f"CC> nodes=${ccRows.length} clusters=$nClusters ok=$ccOk time=${tCc}%.1f s")
+
+    // ---- 1a2. CC stress on DEEP graphs: the planted pairs above are
+    // 2-node clusters, which any propagation solves in one round — the
+    // O(log diameter) pointer-jumping claim needs diameter. Planted
+    // graph: 10 disjoint 100k-node CHAINS (diameter 100k) + one
+    // 1M-leaf STAR (extreme skew on the hub key). Labels must be exact
+    // (each chain collapses to its minimum, the star to the hub) and the
+    // round count must stay logarithmic in the diameter — linear
+    // min-propagation would need 100k rounds.
+    val chainEdges = spark.range(1000000L)
+      .filter(col("id") % 100000 =!= 99999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val starEdges = spark.range(1000000L)
+      .select(lit(2000000L).as("id_a"), (col("id") + 2000001L).as("id_b"))
+    val ((deepLabels, deepRounds), tDeep) = time {
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        chainEdges.unionByName(starEdges), "id_a", "id_b", maxIters = 50)
+      (labels.localCheckpoint(true), rounds)
+    }
+    val deepBad = deepLabels.filter(
+      when(col("id") < 1000000L, // chain node -> its chain's minimum
+        col("cluster_id") =!= (col("id") - pmod(col("id"), lit(100000L))))
+      .otherwise(col("cluster_id") =!= 2000000L)).count()
+    val logBound = 25 // log2(100k) ~ 17 + constant slack
+    println(f"CCDEEP> nodes=${deepLabels.count()} rounds=$deepRounds " +
+      f"(bound $logBound) exact=${deepBad == 0} time=${tDeep}%.1f s")
+    require(deepBad == 0, s"deep-graph CC mislabeled $deepBad nodes")
+    require(deepRounds <= logBound,
+      s"CC took $deepRounds rounds on diameter 100k — not logarithmic")
 
     // ---- 1b. Decontamination on the same 210k docs --------------------
     // benchmark = the 10k planted near-dup partners (ids >= nDocs): every
@@ -207,6 +237,71 @@ object ScaleCheck {
     }
     println(f"SEMDEDUP> n=50000 k=${cents.length} pairs=$semPairs time=${tSem}%.1f s")
 
+    // ---- 2b. IVF-PQ: codes-only ADC shortlist + exact rerank ----------
+    // Evaluation target: 20 PLANTED true near-dups of the query (2%
+    // noise vs the cluster's 10%) amid its ~1250-member cluster — the
+    // separation PQ exists to preserve. Ranking WITHIN the un-planted
+    // cluster background is metrically meaningless (candidates differ by
+    // less than any 8-16-byte quantizer can resolve; measured 0.00
+    // adc-recall@20 against that target) and is exactly what the
+    // paper's rerank stage (Jegou §VII) is for: ADC shortlists from
+    // m-byte codes, the exact rerank touches only shortlist/n raw rows.
+    //
+    // The coarse quantizer is trained with k=64 >= the data's 40 true
+    // clusters: at k=32, merged-cluster cells inflate the residual
+    // spread and the codebooks spend their 256 entries on inter-cluster
+    // offsets instead of within-cluster noise (measured: ADC recall
+    // collapses to ~0). cells >= clusters is the standard IVFADC sizing
+    // (Jegou §V trains the coarse quantizer well above the cluster
+    // count; FAISS guidance is ~sqrt(n) cells).
+    val qArr = q.toArray
+    val plantedVecs = (0 until 20).map { i =>
+      val noise = Array.tabulate(64) { d =>
+        // deterministic small perturbation, hash-derived like the corpus
+        val h = graft.functions.Hash64.mix(i.toLong * 64 + d)
+        (math.floorMod(h, 2000L).toDouble / 1000.0 - 1.0).toFloat
+      }
+      (100000L + i,
+        Array.tabulate(64)(d => qArr(d) + 0.02f * noise(d)).toSeq)
+    }
+    val embPq = emb.unionByName(
+      spark.createDataFrame(plantedVecs).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+      .localCheckpoint(true)
+    val exactPq = Similarity.topK(embPq, "vec_id", "embedding", q, 21)
+      .collect().map(_.getLong(0)).toSet - 123L // drop the self row
+    val (cents64, tCents64) = time {
+      Similarity.trainCentroids(embPq, "embedding", k = 64, iters = 6)
+    }
+    val (books, tPq) = time {
+      Similarity.trainPq(embPq, "embedding", cents64, m = 16)
+    }
+    val pqIdx = Similarity.pqEncode(embPq, "vec_id", "embedding", cents64, books).cache()
+    pqIdx.count()
+    val (pqAdcOnly, tAdc) = time {
+      Similarity.pqTopK(pqIdx, "vec_id", cents64, books, q, 21, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet - 123L
+    }
+    // pinned: in production the raw index is PERSISTED cell-partitioned
+    // (writeIndex) — the rerank fetch reads probed cells, it never
+    // re-derives cell assignments; the checkpoint models that lifecycle
+    val rawIdx = Similarity.ivfIndex(embPq, "vec_id", "embedding", cents64)
+      .localCheckpoint(true)
+    val (pqReranked, tRerank) = time {
+      Similarity.pqTopKRerank(pqIdx, "vec_id", cents64, books, q,
+        rawIdx, "vec_id", "embedding", k = 21, shortlist = 200, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet - 123L
+    }
+    val rawBytes = 50020L * 64 * 4
+    val codeBytes = 50020L * 16
+    println(f"PQ> n=50020 m=16 k=64 planted=20 " +
+      f"adc_recall@20=${exactPq.intersect(pqAdcOnly).size / 20.0}%.2f " +
+      f"rerank_recall@20=${exactPq.intersect(pqReranked).size / 20.0}%.2f " +
+      f"bytes=${codeBytes / 1e6}%.1f MB vs raw=${rawBytes / 1e6}%.1f MB " +
+      f"(${rawBytes.toDouble / codeBytes}%.0fx) cells=${tCents64}%.2f s train=${tPq}%.2f s " +
+      f"adc=${tAdc}%.2f s rerank=${tRerank}%.2f s")
+    pqIdx.unpersist()
+
     // ---- 3. Archiver throughput on 5M generated rows ------------------
     val rows = 5000000L
     val out = java.nio.file.Files.createTempDirectory("scalecheck").toString
@@ -231,6 +326,54 @@ object ScaleCheck {
     println(f"SNAPSHOT> rows=${cat.numRecordsProcessed} " +
       f"ok=${cat.numSourceRecords == cat.numRecordsProcessed && cat.success} " +
       f"time=${tSnap}%.1f s throughput=${cat.numRecordsProcessed / tSnap / 1e6}%.2f M rows/s")
+
+    // ---- 4. Streaming dedup-on-arrival throughput ---------------------
+    // 100k events (5k planted near-dups of a 100k-doc reference + 95k
+    // fresh docs) through streamingDedupAgainstReference in 10k-event
+    // micro-batches. Measures events/s end-to-end and the state-store
+    // row count — state must be bounded by the (watermark-window)
+    // FLAGGED volume, not the event volume, because only reference
+    // band-collisions ever reach the dedup state.
+    {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val nRef = 100000L
+      val all = corpus(spark, nRef)
+      val refBands = Dedup.lshBands(all.filter(col("doc_id") < nRef),
+        "doc_id", "text").localCheckpoint(true)
+      val dupEvents = all.filter(col("doc_id") >= nRef)
+        .select(col("doc_id"), col("text")).collect()
+      val freshEvents = spark.range(100000L - dupEvents.length)
+        .select((col("id") + 10000000L).as("doc_id"),
+          concat_ws(" ", (0 until 80).map(i =>
+            concat(lit("f"), pmod(xxhash64(col("id"), lit(i + 777)), lit(5000)))): _*)
+            .as("text"))
+        .collect()
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val events = (dupEvents ++ freshEvents).zipWithIndex.map { case (r, i) =>
+        (r.getLong(0), new java.sql.Timestamp(t0.getTime + i), r.getString(1))
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val stream = StreamOps.streamingDedupAgainstReference(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        refBands)
+      val q = stream.writeStream.format("memory").queryName("scale_stream")
+        .outputMode("append").start()
+      val (_, tStream) = time {
+        events.grouped(10000).foreach { batch =>
+          input.addData(batch.toSeq)
+          q.processAllAvailable()
+        }
+      }
+      val flagged = spark.sql("SELECT count(*) FROM scale_stream").head.getLong(0)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      println(f"STREAM> events=${events.length} flagged=$flagged " +
+        f"state_rows=$stateRows time=${tStream}%.1f s " +
+        f"throughput=${events.length / tStream / 1e3}%.1f k events/s " +
+        f"bounded=${stateRows <= flagged + 100}")
+    }
 
     spark.stop()
   }

@@ -211,4 +211,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(5L) == hashes(5L + 256), "pattern repeats with id mod 256")
     assert(hashes(5L) != hashes(1L), "distinct patterns hash apart")
   }
+
+  test("Mp4 parse recovers every pattern field from real box bytes") {
+    for (seed <- Seq(0L, 1L, 2L, 7L, 123L)) {
+      val (codec, w, h, durMs, frames) = Mp4.patternParams(seed)
+      val bytes = Mp4.patternMp4(seed)
+      assert(Mp4.isMp4(bytes))
+      val m = Mp4.parse(bytes).get
+      assert(m.brand == "isom" && m.codec == codec && m.width == w &&
+        m.height == h && m.nFrames == frames.toInt &&
+        m.durationMs == durMs && m.nTracks == 1,
+        s"seed=$seed parsed $m, expected ($codec, $w, $h, $frames, $durMs)")
+    }
+  }
+
+  test("Mp4 parse survives truncation and rejects non-MP4 payloads") {
+    val bytes = Mp4.patternMp4(42L)
+    // truncating inside moov loses boxes but must not throw
+    Mp4.parse(java.util.Arrays.copyOf(bytes, bytes.length / 3))
+    assert(Mp4.parse("plain text payload, not a container".getBytes).isEmpty)
+    assert(Mp4.parse(Multimodal.patternBmp(1L, 4)).isEmpty)
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("Mp4 parse handles 64-bit largesize and version-1 mvhd") {
+    // handcraft: ftyp + moov(size==1 largesize) { mvhd v1 (64-bit times) }
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("ftypisom".getBytes).putInt(0x200).array()
+    val mvhdPayload = java.nio.ByteBuffer.allocate(112)
+      .put(Array[Byte](1, 0, 0, 0)) // version 1
+      .putLong(0L).putLong(0L) // creation, modification (64-bit)
+      .putInt(1000) // timescale
+      .putLong(2500L) // duration -> 2500 ms
+      .array()
+    val mvhd = java.nio.ByteBuffer.allocate(8 + 112)
+      .putInt(120).put("mvhd".getBytes).put(mvhdPayload).array()
+    val moov = java.nio.ByteBuffer.allocate(16 + mvhd.length)
+      .putInt(1).put("moov".getBytes).putLong(16L + mvhd.length)
+      .put(mvhd).array()
+    val m = Mp4.parse(ftyp ++ moov).get
+    assert(m.durationMs == 2500L, s"v1 mvhd must decode 64-bit duration: $m")
+  }
+
+  test("decode dispatch: MP4 payloads surface real container meta") {
+    import spark.implicits._
+    val vids = Multimodal.patternVideos(Seq(3L, 4L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.extractFeatures(vids, "id", "content", dim = 16)
+      .select(col("id"), col("meta.format"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val (c3, w3, h3, _, f3) = Mp4.patternParams(3L)
+    assert(out(3L) == ((s"video/mp4;codec=$c3", w3, h3, f3.toInt)))
+    assert(out(4L)._1.startsWith("video/mp4;codec="), s"got ${out(4L)}")
+  }
 }

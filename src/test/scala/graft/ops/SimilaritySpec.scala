@@ -100,6 +100,66 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("IVF-PQ: codes are m bytes, ADC recall tracks exact top-k") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
+    assert(books.length == 8 && books.head.length == 256 && books.head.head.length == 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books).cache()
+    try {
+      assert(codes.collect().forall(r => r.getAs[Array[Byte]]("code").length == 8),
+        "every vector must encode to m=8 bytes")
+      val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+        .collect().map(_.getLong(0)).toSet
+      val adc = Similarity.pqTopK(codes, "vec_id", cents, books,
+        queryVec, k = 20, nprobe = 4).collect()
+      // the query vector itself (vec_id 0) lives in a probed cell and its
+      // ADC estimate of cos=1.0 must stay close despite 32x compression
+      val self = adc.find(_.getLong(0) == 0L)
+      assert(self.nonEmpty && self.get.getDouble(1) > 0.8,
+        s"self-similarity estimate collapsed: $self")
+      val recall = exact.intersect(adc.map(_.getLong(0)).toSet).size / 10.0
+      assert(recall >= 0.7, s"ADC recall@10-in-20 $recall too low")
+    } finally codes.unpersist()
+  }
+
+  test("IVF-PQ rerank: exact order restored from the ADC shortlist") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+    val ivf = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val reranked = Similarity.pqTopKRerank(codes, "vec_id", cents, books,
+      queryVec, ivf, "vec_id", "embedding", k = 10, shortlist = 100, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe=8 probes every cell and the shortlist is generous, so the
+    // reranked result must EQUAL brute force (same exact cosine, same
+    // tie-break) — the rerank stage removes all quantization error
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reranked == exact,
+      s"full-probe rerank must reproduce brute force:\n$reranked\nvs\n$exact")
+  }
+
+  test("persisted IVF-PQ index: cell partitions prune, disk matches memory") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+    val path = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/index"
+    Similarity.writeIndex(codes, path)
+    val onDisk = Similarity.readIndex(spark, path)
+    val probed = Similarity.pqTopK(onDisk, "vec_id", cents, books,
+      queryVec, k = 10, nprobe = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell probe did not become a partition filter:\n${plan.take(600)}")
+    val fromDisk = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = Similarity.pqTopK(codes, "vec_id", cents, books,
+      queryVec, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk == inMem, "persisted PQ index must answer identically")
+  }
+
   test("hyperplane signature is deterministic for a fixed seed") {
     import org.apache.spark.sql.functions.col
     val sig1 = emb.limit(20).select(
