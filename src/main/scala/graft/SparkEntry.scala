@@ -735,6 +735,29 @@ object SparkEntry {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // IVF batch k-NN join (oracle-checked, the q54 device): the
+    // cell-join alternative to LSH banding — queries probe their
+    // nprobe nearest cells in-plan, equi-join the cell-partitioned
+    // index, exact top-3 per query. Output = the exact side for the
+    // bounded query set + an in-plan recall bound on the IVF candidates.
+    "q93_ivf_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 150)
+      val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      val ivf = Similarity.ivfKnnJoin(queries, "vec_id", "embedding",
+        idx, "vec_id", "embedding", cents, k = 3, nprobe = 4)
+      val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      exact.join(ivf.select(col("qid"), col("eid")).withColumn("hit", lit(1)),
+          Seq("qid", "eid"), "left")
+        .withColumn("ivf_recall_ok",
+          sum(coalesce(col("hit"), lit(0))).over(w) >= 200L) // measured 361/450 (0.80) on sf0.01; bound 200 leaves slack for centroid-sample drift
+        .drop("hit")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF-PQ (oracle-checked, the q53 device): codes-only ADC scoring
     // over the product-quantized index — 8 bytes per vector instead of
     // 256. Output = exact top-10 + an in-plan recall bound: >= 7 of the
@@ -1692,6 +1715,16 @@ object SparkEntry {
         |  TRUE AS ivf_recall_ok
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q93_ivf_knn_join" ->
+      """SELECT qid, rank, eid, sim, TRUE AS ivf_recall_ok FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS eid,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 150)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q91_ann_ivfpq" ->
       """SELECT a.vec_id,

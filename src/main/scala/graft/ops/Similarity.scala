@@ -193,6 +193,43 @@ object Similarity {
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }
 
+  /** Batch k-NN join via the IVF index — the cell-join alternative to
+    * [[knnJoin]]'s LSH banding: every query row probes its `nprobe`
+    * nearest cells (map-only ranking against broadcast centroid
+    * literals), equi-joins the cell-partitioned index on the cell key,
+    * exact cosine within candidates, per-query top-k via window.
+    *
+    * 100 TB shape: with the index persisted/bucketed by `cell`
+    * ([[writeIndex]]) the join co-locates on the index's layout — only
+    * the (small) query side shuffles — and candidate volume is the sum
+    * of probed cell sizes, never |queries| x |emb|. Recall is the IVF
+    * tradeoff: raise `nprobe` like any inverted-file index.
+    */
+  def ivfKnnJoin(queries: DataFrame, qId: String, qVec: String,
+      index: DataFrame, eId: String, eVec: String,
+      centroids: Array[Array[Float]], k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe cannot exceed cell count")
+    val sims = array(centroids.map(c => vec_cosine(col(qVec), lit_vec(c.toSeq))): _*)
+    // rank cells per query in-plan: sort (negated sim, cell) structs —
+    // no UDF, the whole assignment stays codegen'd
+    val ranked = array_sort(zip_with(sims,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("cell"))))
+    val probes = slice(transform(ranked, x => x.getField("cell")), 1, nprobe)
+    val qp = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      explode(probes).as("cell"))
+    val cand = qp.join(
+        index.select(col(eId).as("eid"), col(eVec).as("evec"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("eid"))
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("eid"), col("sim"))
+  }
+
   /** Persist the IVF index partitioned BY CELL: repeated queries then
     * read only the probed cells — [[ivfTopK]]'s `cell IN (probes)` filter
     * becomes a partition filter, pruned at file-listing time, so each

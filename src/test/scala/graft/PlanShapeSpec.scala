@@ -79,6 +79,23 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect() // and the plan must actually execute
   }
 
+  test("PQ probe is exchange-free: scan -> filter -> ADC project -> TakeOrdered") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val cents = ops.Similarity.trainCentroids(emb, "embedding", k = 8, iters = 2)
+    val books = ops.Similarity.trainPq(emb, "embedding", cents, m = 8)
+    val codes = ops.Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+    val probe = ops.Similarity.pqTopK(codes, "vec_id", cents, books, q, 10, nprobe = 4)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    // the whole probe must be one map-side pipeline: no shuffle anywhere
+    // (TakeOrderedAndProject merges per-partition heaps on the driver)
+    assert(!p.contains("Exchange"),
+      s"PQ probe grew a shuffle:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
   test("q66 dup-ngram report joins grams per-key, never pairwise docs") {
     val p = plan("q66_dup_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(500))

@@ -100,6 +100,35 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("ivfKnnJoin: full-probe equals exact; partial probe stays a subset") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 20)
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the join must reproduce exact kNN bit-for-bit (same rounding,
+    // same tie-break)
+    val full = Similarity.ivfKnnJoin(queries, "vec_id", "embedding",
+      idx, "vec_id", "embedding", cents, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exact, "nprobe=k cells must reproduce exact kNN")
+    // partial probe: every returned neighbor must come from a probed
+    // cell and carry the true cosine (no score drift)
+    val partial = Similarity.ivfKnnJoin(queries, "vec_id", "embedding",
+      idx, "vec_id", "embedding", cents, k = 3, nprobe = 3)
+      .collect()
+    assert(partial.nonEmpty && partial.length <= 60)
+    val exactSims = exact.map(t => (t._1, t._3) -> t._4).toMap
+    partial.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactSims.get(key).foreach(s => assert(s == r.getDouble(3),
+        s"score drift for $key"))
+    }
+  }
+
   test("IVF-PQ: codes are m bytes, ADC recall tracks exact top-k") {
     val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
     val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
