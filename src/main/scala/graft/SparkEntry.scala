@@ -735,6 +735,34 @@ object SparkEntry {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // Canonical text cleaning (oracle-checked): NFC normalization +
+    // control-char strip + whitespace collapse over corpus text
+    // decorated with a deterministic DECOMPOSED prefix (base letter +
+    // combining acute + a BEL control + double spaces). For a/e/i/o/u
+    // the combining pair must compose to one precomposed code point;
+    // for consonants NFC correctly leaves the sequence decomposed —
+    // both directions verified against DuckDB's utf8proc nfc_normalize.
+    "q95_text_clean" -> ((s, dir) => {
+      val decorated = concat(
+        expr("substr('aeiouabcde', cast(doc_id % 10 + 1 as int), 1)"),
+        lit("\u0301"), lit("\u0007"), lit("  "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.cleanText(decorated).as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-window chunking (oracle-checked): 32-token windows every 24
+    // tokens (8-token overlap) — the context-window primitive for RAG
+    // indexing / long-doc training prep. Pure map + posexplode, no
+    // shuffle; the DuckDB oracle re-derives windows with list slicing.
+    "q94_chunking" -> ((s, dir) =>
+      graft.ops.Curation.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // IVF batch k-NN join (oracle-checked, the q54 device): the
     // cell-join alternative to LSH banding — queries probe their
     // nprobe nearest cells in-plan, equi-join the cell-partitioned
@@ -1715,6 +1743,33 @@ object SparkEntry {
         |  TRUE AS ivf_recall_ok
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q95_text_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    substr('aeiouabcde', (doc_id % 10 + 1)::INT, 1) || chr(769) || chr(7) || '  ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(t), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        |  length(trim(regexp_replace(regexp_replace(nfc_normalize(t), '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')))::BIGINT AS n_chars_clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q94_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest(0, ceil((len(toks) - 32)::DOUBLE / 24))::BIGINT END AS nc
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks, n
+        |  FROM c WHERE nc > 0)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  len(toks[chunk_id*24+1 : least(chunk_id*24+32, n)])::BIGINT AS n_tokens,
+        |  array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, n)], ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q93_ivf_knn_join" ->
       """SELECT qid, rank, eid, sim, TRUE AS ivf_recall_ok FROM (

@@ -387,3 +387,32 @@ case class BpeSegments(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** nfc_normalize(s) -> string: Unicode NFC normalization (canonical
+  * decomposition + composition, java.text.Normalizer — the JDK's
+  * implementation of UAX #15). The first step of every corpus
+  * text-cleaning pass: web text arrives with combining sequences and
+  * precomposed forms mixed, which breaks exact dedup, shingling, and
+  * vocabulary counting until normalized.
+  */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(java.text.Normalizer.normalize(" +
+        s"$c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -93,6 +93,9 @@ package object functions {
   def sig_agreement(a: Column, b: Column): Column =
     toColumn(SignatureAgreement(exprOf(a), exprOf(b)))
 
+  /** Unicode NFC normalization (UAX #15 canonical compose), codegen'd. */
+  def nfc_normalize(text: Column): Column = toColumn(NormalizeNfc(exprOf(text)))
+
   /** Subword segments of a word under a BPE merge table (array-based
     * Sennrich apply — one greedy scan per merge, never across segment
     * boundaries).

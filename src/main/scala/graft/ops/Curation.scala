@@ -88,6 +88,39 @@ object Curation {
       .drop("__pid", "__offset", "__cum_excl")
   }
 
+  /** Token-window chunking with overlap — the context-window primitive
+    * (RAG indexing, long-doc training prep): each document becomes
+    * windows of `chunkTokens` tokens starting every `strideTokens`
+    * (overlap = chunk - stride); the last window may be shorter, a doc
+    * shorter than one chunk yields exactly one chunk, empty docs yield
+    * none. Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    *
+    * 100 TB shape: pure map — tokenization, window arithmetic, and the
+    * chunk materialization are all per-row column expressions + one
+    * posexplode; no shuffle, so it scales with the scan.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < stride <= chunk")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    // number of window starts 0, s, 2s, ...: one for n <= chunk, then
+    // one more per stride of tokens past the first chunk
+    val nChunks = when(n <= 0, lit(0L)).otherwise(
+      lit(1L) + greatest(lit(0L),
+        ceil((n - lit(chunkTokens)).cast("double") / strideTokens).cast("long")))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0L), col("__nc") - 1),
+        i => slice(col("__toks"), (i * strideTokens + 1).cast("int"),
+          lit(chunkTokens)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Rule-based quality gate: token count in [minTokens, maxTokens],
     * punctuation ratio <= maxPunct. (The score-based gate is
     * `TextAnalysis.qualityScore`; this variant is cross-engine exact.)

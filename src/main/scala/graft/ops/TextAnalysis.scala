@@ -22,6 +22,18 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     array_remove(split(lower(trim(text)), "\\s+"), "")
 
+  /** Canonical text cleaning — the first pass of every corpus pipeline:
+    * Unicode NFC normalization (combining sequences compose, so dedup /
+    * shingling / vocab counting see one byte form per glyph), then
+    * control/format characters (Cc/Cf) replaced by spaces, whitespace
+    * runs collapsed, ends trimmed. Pure column expressions (the NFC
+    * step is a codegen'd kernel), map-only at any scale.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.nfc_normalize(text),
+      "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+
   /** BPE-ish subword-boundary tokens: word pieces, numbers, and single
     * punctuation marks as separate tokens (a simplified GPT-2 pre-tokenizer
     * regex).

@@ -77,4 +77,26 @@ class CurationSpec extends AnyFunSuite {
         s"pack ${r.getLong(0)} total ${r.getLong(1)} out of range")
     }
   }
+
+  test("chunk: overlapping windows, short-doc and empty-doc edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "")                                        // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, "doc_id", "text", chunkTokens = 4, strideTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6 -> full coverage with no redundant tail window
+    // (start 9 would re-chunk only t10, already covered by start 6)
+    assert(d1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"), d1.mkString("|"))
+    assert(d1.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")),
+      "short doc yields exactly one whole-doc chunk")
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunks")
+    // every adjacent pair overlaps by chunk - stride tokens
+    assert(d1(0)._4.split(" ").last == d1(1)._4.split(" ").head)
+  }
 }

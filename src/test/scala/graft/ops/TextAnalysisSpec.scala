@@ -174,4 +174,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q(1L) > q(2L), s"prose ${q(1L)} should beat punct soup ${q(2L)}")
     assert(q(1L) > q(3L), s"prose ${q(1L)} should beat single char ${q(3L)}")
   }
+
+  test("cleanText: NFC composes, consonant sequences stay, controls strip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val rows = Seq(
+      (1L, "e\u0301clair"),           // e + combining acute -> precomposed
+      (2L, "b\u0301x"),               // no precomposed form: stays 2 cps
+      (3L, "a\u0007b\tc   d "),      // controls -> spaces -> collapsed
+      (4L, "caf\u00e9")               // already NFC: unchanged
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.cleanText(col("t")).as("c"),
+        length(TextAnalysis.cleanText(col("t"))).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L)._1 == "\u00e9clair" && out(1L)._2 == 6, s"got ${out(1L)}")
+    assert(out(2L)._1 == "b\u0301x" && out(2L)._2 == 3, s"got ${out(2L)}")
+    assert(out(3L)._1 == "a b c d", s"got ${out(3L)}")
+    assert(out(4L)._1 == "caf\u00e9", s"got ${out(4L)}")
+  }
 }
