@@ -458,6 +458,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-BEST survivor dedup (oracle-checked): q62's clusters, but the
+    // survivor is the cluster member with the most tokens (tie: lowest
+    // id) — the production policy (keep the longest copy), vs q62's
+    // min-id representative. Output = surviving docs + token counts.
+    "q96_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashDedupKeepBest(docs, "doc_id", "text",
+          size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long"),
+          shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"),
+          size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-audit histogram (oracle-checked): cluster-size distribution
     // of the q62 components — the one-page artifact a dedup run reports
     // (how much mass sits in how-big duplicate groups).
@@ -1394,6 +1408,38 @@ object SparkEntry {
         |SELECT id AS doc_id, min(comp) AS cluster_id,
         |  (id = min(comp)) AS is_survivor
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q96_dedup_keep_best" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
+        |  FROM src),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id),
+        |lab AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT l.id, row_number() OVER (PARTITION BY l.cluster_id
+        |    ORDER BY len(s.toks) DESC, l.id) AS rn
+        |  FROM lab l JOIN src s ON s.doc_id = l.id),
+        |losers AS (SELECT id FROM ranked WHERE rn > 1)
+        |SELECT d.doc_id, len(s.toks)::BIGINT AS n_tokens
+        |FROM documents d
+        |JOIN src s USING (doc_id)
+        |ANTI JOIN losers ON d.doc_id = losers.id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q89_cluster_sizes" ->
       """WITH RECURSIVE sh AS (

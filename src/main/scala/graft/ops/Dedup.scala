@@ -492,6 +492,34 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup removal keeping the BEST member of each duplicate cluster —
+    * the production survivor policy (keep the longest / highest-quality
+    * copy, not the smallest id): exact-verified minhash pairs →
+    * transitive clusters ([[connectedComponents]]) → per-cluster argmax
+    * by (`score` desc, id asc) → anti-join the losers. Docs in no pair
+    * never enter the cluster machinery and always survive.
+    *
+    * 100 TB shape: same as [[minhashDedup]] plus one ids+score-only
+    * window over the clustered subgraph (near-dup-sized, not
+    * corpus-sized); the corpus itself is touched only by the final
+    * anti-join on loser ids.
+    */
+  def minhashDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      score: org.apache.spark.sql.Column, shingle: Int = 3,
+      numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingle, numPerm, bands, threshold)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
+      .join(labels, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("__score").desc, col("id"))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc 64-bit SimHash frame. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)

@@ -264,4 +264,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L, "solo")))
     assert(out(6L) == ((7L, 3L, "m n o")))     // both 'a b' spans removed
   }
+
+  test("minhashDedupKeepBest keeps the longest cluster member, not min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (1L, base),                      // near-dup cluster {1, 2}: 2 is longer
+      (2L, base + " with two extra tokens appended"),
+      (3L, "completely unrelated content about columnar storage compaction")
+    ).toDF("doc_id", "text")
+    val score = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val kept = Dedup.minhashDedupKeepBest(docs, "doc_id", "text", score,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // min-id policy would keep 1; keep-best must keep the LONGER doc 2
+    assert(kept == Seq(2L, 3L), s"got $kept")
+  }
 }
