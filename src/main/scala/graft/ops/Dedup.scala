@@ -474,8 +474,29 @@ object Dedup {
     */
   def dedupByComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // min-id survivor: the label IS the policy (cheaper than the scored
+    // overload's window — a plain filter on the label table)
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupByComponents]] with a survivor POLICY: keep the cluster
+    * member maximizing `score` (ties: lowest id) instead of the minimum
+    * id. The scoring window runs over the near-dup subgraph only —
+    * ids+score rows, never the corpus.
+    */
+  def dedupByComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: org.apache.spark.sql.Column, aCol: String,
+      bCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
+      .join(labels, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("__score").desc, col("id"))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -507,18 +528,10 @@ object Dedup {
   def minhashDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
       score: org.apache.spark.sql.Column, shingle: Int = 3,
       numPerm: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, shingle, numPerm, bands, threshold)
-    val labels = connectedComponents(pairs, "id_a", "id_b")
-    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
-      .join(labels, Seq("id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col("__score").desc, col("id"))
-    val losers = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.8): DataFrame =
+    dedupByComponents(docs, idCol,
+      minhashPairs(docs, idCol, textCol, shingle, numPerm, bands, threshold),
+      score, "id_a", "id_b")
 
   /** Per-doc 64-bit SimHash frame. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =

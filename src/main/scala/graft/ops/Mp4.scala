@@ -110,9 +110,12 @@ object Mp4 {
             val ver = bytes(ms) & 0xFF
             if (ver == 1 && me - ms >= 32) {
               timescale = u32(bytes, ms + 20); duration = u64(bytes, ms + 24)
-            } else {
+            } else if (ver == 0) {
               timescale = u32(bytes, ms + 12); duration = u32(bytes, ms + 16)
             }
+            // truncated v1 box: keep zeros (the malformed-input policy
+            // everywhere else) rather than decode timestamp bytes as a
+            // timescale
           case ("trak", ts, te) =>
             nTracks += 1
             val t = parseTrak(bytes, ts, te)

@@ -45,14 +45,30 @@ object Similarity {
     * you train on <<1% and still converge); assignment stays distributed.
     */
   def trainCentroids(emb: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
+      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Float]] =
+    trainCentroidsFromSample(
+      sampleVectors(emb, vecCol, sampleSize, seed), k, iters, seed)
+
+  /** One driver-side sample pass, reusable across trainers: an index
+    * build that needs BOTH the coarse quantizer and the PQ codebooks
+    * should sample once and call [[trainCentroidsFromSample]] +
+    * [[trainPqFromSample]] — at 100 TB each avoided resample is a full
+    * table scan.
+    */
+  def sampleVectors(emb: DataFrame, vecCol: String,
+      sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
     val n = emb.count()
     val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
-    val sample: Array[Array[Float]] = emb.select(col(vecCol))
+    emb.select(col(vecCol))
       .sample(withReplacement = false, fraction, seed)
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+  }
+
+  /** [[trainCentroids]] over an already-collected sample. */
+  def trainCentroidsFromSample(sample: Array[Array[Float]], k: Int,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Float]] = {
     require(sample.nonEmpty, "cannot train centroids on an empty table")
 
     val rnd = new Random(seed)
@@ -355,18 +371,21 @@ object Similarity {
     */
   def trainPq(emb: DataFrame, vecCol: String, centroids: Array[Array[Float]],
       m: Int, codes: Int = 256, iters: Int = 10, sampleSize: Int = 10000,
-      seed: Long = 42L): Array[Array[Array[Float]]] = {
+      seed: Long = 42L): Array[Array[Array[Float]]] =
+    trainPqFromSample(sampleVectors(emb, vecCol, sampleSize, seed),
+      centroids, m, codes, iters, seed)
+
+  /** [[trainPq]] over an already-collected sample — pair with
+    * [[sampleVectors]]/[[trainCentroidsFromSample]] so one sampling scan
+    * feeds the whole index build.
+    */
+  def trainPqFromSample(sample: Array[Array[Float]],
+      centroids: Array[Array[Float]], m: Int, codes: Int = 256,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] = {
     val dim = centroids.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(codes <= 256, "codes must fit one byte per subspace")
     val dsub = dim / m
-    val n = emb.count()
-    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
-    val sample = emb.select(col(vecCol))
-      .sample(withReplacement = false, fraction, seed)
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty table")
     val ncents = centroids.map(normalized)
     val residuals = sample.map { v =>

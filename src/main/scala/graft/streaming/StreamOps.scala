@@ -102,18 +102,32 @@ object StreamOps {
     // the checkpoint makes the "computed once" contract real
     val ref = refBands.select(col("band"), col("bkey")).distinct()
       .localCheckpoint(true)
+    // SIZE-CONDITIONAL broadcast, decided once at op construction: an
+    // unconditional hint blows the driver once the reference corpus
+    // outgrows the broadcast limit (~bands x docs rows), but simply
+    // dropping the hint is worse on the common path — AQE does not
+    // apply to STATEFUL streaming queries (this one ends in
+    // dropDuplicatesWithinWatermark) and the checkpointed ref carries
+    // no size statistics, so the planner would sort-merge-join the
+    // full reference EVERY micro-batch. The ref is already pinned, so
+    // counting it is cheap; ~32 bytes/row of (int, long) + hash-map
+    // overhead against the session's broadcast threshold picks the
+    // strategy, and past the limit the join degrades to a shuffled
+    // semi-join instead of failing.
+    val refRows = ref.count()
+    val threshold = docs.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+        case s if s.isEmpty => 10485760L
+        case s => try s.toLong catch { case _: NumberFormatException => 10485760L }
+      }
+    val refJoin = if (threshold > 0 && refRows * 32L <= threshold) broadcast(ref) else ref
     docs.withWatermark(tsCol, watermark)
       .withColumn("__sig", sig)
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
         .as(Seq("band", "bkey")))
-      // no broadcast hint: the reference band set grows with the
-      // reference corpus (~bands x docs before distinct) — at a 100 TB
-      // reference a forced broadcast would blow the driver/broadcast
-      // limit. AQE broadcasts on its own while ref fits; past that the
-      // stream-static join degrades to a shuffled semi-join instead of
-      // failing.
-      .join(ref, Seq("band", "bkey"), "left_semi")
+      .join(refJoin, Seq("band", "bkey"), "left_semi")
       .drop("__sig", "band", "bkey")
       .dropDuplicatesWithinWatermark(idCol)
   }
