@@ -808,8 +808,11 @@ object SparkEntry {
     "q91_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
-      val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
-      val books = Similarity.trainPq(emb, "embedding", cents, m = 8)
+      // one sampling scan feeds the whole index build (coarse quantizer
+      // AND codebooks) — the intended at-scale lifecycle
+      val sample = Similarity.sampleVectors(emb, "embedding")
+      val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
+      val books = Similarity.trainPqFromSample(sample, cents, m = 8)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
       val adc = Similarity.pqTopK(codes, "vec_id", cents, books, q, k = 20, nprobe = 4)
       val exact = Similarity.topK(emb, "vec_id", "embedding", q, 10)

@@ -270,11 +270,14 @@ object ScaleCheck {
       .localCheckpoint(true)
     val exactPq = Similarity.topK(embPq, "vec_id", "embedding", q, 21)
       .collect().map(_.getLong(0)).toSet - 123L // drop the self row
+    // one sampling scan feeds both trainers (sampleVectors +
+    // *FromSample — at 100 TB each avoided resample is a table scan)
+    val pqSample = Similarity.sampleVectors(embPq, "embedding")
     val (cents64, tCents64) = time {
-      Similarity.trainCentroids(embPq, "embedding", k = 64, iters = 6)
+      Similarity.trainCentroidsFromSample(pqSample, k = 64, iters = 6)
     }
     val (books, tPq) = time {
-      Similarity.trainPq(embPq, "embedding", cents64, m = 16)
+      Similarity.trainPqFromSample(pqSample, cents64, m = 16)
     }
     val pqIdx = Similarity.pqEncode(embPq, "vec_id", "embedding", cents64, books).cache()
     pqIdx.count()
