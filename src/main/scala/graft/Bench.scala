@@ -55,17 +55,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Output ordering is deliberate: the driver captures a bounded TAIL of
-    // stdout, so anything printed early can be truncated from the front.
-    //  1. the full contract line (all queries) — bonus if it survives;
-    //  2. one short line per query — the lines nearest the tail survive;
-    //  3. a short final total line that also repeats the EARLIEST query
-    //     timings (the ones whose per-query lines are furthest from the
-    //     tail and die first under truncation).
-    // Any tail window therefore always contains the parseable headline.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    results.foreach { case (name, sec) =>
-      println(s"""{"query":"$name","sec":$sec}""")
+    // Output ordering is deliberate: the driver captures a bounded TAIL
+    // (last ~2000 BYTES) of stdout, so anything printed early can be
+    // truncated from the front. The whole per-query surface must fit in
+    // that byte budget alongside the headline:
+    //  1. the full contract line (full names, ns-resolution timings,
+    //     metric "total_full" so no consumer confuses it with the
+    //     headline) — bonus if it survives;
+    //  2. grouped per-query lines, ~13 queries each: short unique "qNN"
+    //     keys + 3-decimal seconds keep all 77 timings under ~1.3 KB
+    //     total, so EVERY query's number survives any plausible tail
+    //     window (one line per query never fit: 77 * ~55 B > 2 KB);
+    //  3. the short final headline (metric "total" — the key the driver
+    //     parses) with the earliest 7 full-name timings as a cross-check.
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val shortKey = "^(q[0-9]+).*$".r
+    val grouped = results.map { case (k, v) =>
+      val sk = k match { case shortKey(p) => p; case _ => k }
+      f""""$sk":$v%.3f"""
+    }.grouped(13).toSeq
+    grouped.zipWithIndex.foreach { case (g, i) =>
+      println(s"""{"metric":"qtimes","part":${i + 1},"parts":${grouped.size},"queries":${g.mkString("{", ",", "}")}}""")
     }
     val head = results.take(7).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -792,10 +792,45 @@ object SparkEntry {
       val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 3)
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // bound derived from the exact-side row count (recall >= 0.4 in
+      // integer arithmetic), not a hard-coded hit total — stays calibrated
+      // at any scale factor (measured 0.80 on sf0.01; 0.4 leaves slack,
+      // and sampleVectors' seeded-hash draw is now deterministic per
+      // dataset so centroids no longer drift between runs)
       exact.join(ivf.select(col("qid"), col("eid")).withColumn("hit", lit(1)),
           Seq("qid", "eid"), "left")
         .withColumn("ivf_recall_ok",
-          sum(coalesce(col("hit"), lit(0))).over(w) >= 200L) // measured 361/450 (0.80) on sf0.01; bound 200 leaves slack for centroid-sample drift
+          sum(coalesce(col("hit"), lit(0))).over(w) * 5L >= count(lit(1)).over(w) * 2L)
+        .drop("hit")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ADC-scored batch k-NN join (oracle-checked, the q93 device): the
+    // IVFADC form of the batch workload — every query carries its own
+    // in-plan LUT, candidates are scored from m-byte codes via the cell
+    // equi-join (no raw vectors until rerank), then the per-query
+    // shortlist reranks exactly. Output = exact top-3 for the bounded
+    // query set + an in-plan recall bound derived from the exact-side
+    // row count.
+    "q97_pq_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 150)
+      // one sampling scan feeds coarse quantizer + codebooks
+      val sample = Similarity.sampleVectors(emb, "embedding")
+      val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
+      val books = Similarity.trainPqFromSample(sample, cents, m = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+      val raw = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      val pq = Similarity.pqKnnJoin(queries, "vec_id", "embedding",
+        codes, "vec_id", raw, "vec_id", "embedding", cents, books,
+        k = 3, nprobe = 4, shortlist = 20)
+      val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      exact.join(pq.select(col("qid"), col("eid")).withColumn("hit", lit(1)),
+          Seq("qid", "eid"), "left")
+        .withColumn("pq_recall_ok",
+          sum(coalesce(col("hit"), lit(0))).over(w) * 5L >= count(lit(1)).over(w) * 2L)
         .drop("hit")
         .orderBy(col("qid"), col("rank"))
     }),
@@ -1822,6 +1857,16 @@ object SparkEntry {
 
     "q93_ivf_knn_join" ->
       """SELECT qid, rank, eid, sim, TRUE AS ivf_recall_ok FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS eid,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 150)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q97_pq_knn_join" ->
+      """SELECT qid, rank, eid, sim, TRUE AS pq_recall_ok FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS eid,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -70,6 +70,53 @@ object PqKernel {
     }
     s
   }
+
+  /** Build one query row's m*codes lookup table of subspace dot products
+    * (the batch-join form of [[adc]]'s driver-side LUT): normalize the
+    * query in place, then dot each subvector against every codebook
+    * entry. ~m*codes floats per query (8 KB at m=8/codes=256) — small
+    * enough to ride the cell join as a column.
+    */
+  def lut(vec: ArrayData, books: Array[Float], dim: Int, m: Int,
+      codes: Int): ArrayData = {
+    val dsub = dim / m
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i); norm += x.toDouble * x; i += 1 }
+    val inv = if (norm == 0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](m * codes)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < codes) {
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          d += vec.getFloat(j * dsub + t) * inv * books((j * codes + c) * dsub + t)
+          t += 1
+        }
+        out(j * codes + c) = d.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Residual part of the ADC score with the LUT riding as a COLUMN
+    * (batch k-NN join): Σ_j lut[j*codes + code_j]. The caller adds the
+    * per-probe centroid dot in-plan.
+    */
+  def adcLut(code: Array[Byte], lut: ArrayData, codes: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < code.length) {
+      s += lut.getFloat(j * codes + (code(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
 }
 
 /** pq_code(vec, cell) -> binary: the vector's m-byte PQ code under the
@@ -98,6 +145,62 @@ case class PqCode(left: Expression, right: Expression,
     defineCodeGen(ctx, ev, (v, c) =>
       s"graft.functions.PqKernel.code($v, $c, $centsRef, $dim, $booksRef, $m, $codes)")
   }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** pq_lut(vec) -> array<float>: the query vector's m*codes ADC lookup
+  * table under the (plan-time constant) codebooks — the per-query state
+  * the batch k-NN join carries as a column so every query can score
+  * codes without a driver round-trip.
+  */
+case class PqLut(child: Expression, books: Array[Float], dim: Int, m: Int,
+    codes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut needs array<float>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernel.lut(v.asInstanceOf[ArrayData], books, dim, m, codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "float[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.PqKernel.lut($v, $booksRef, $dim, $m, $codes)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc_lut(code, lut) -> double: the residual ADC sum with the lookup
+  * table as a per-row COLUMN (batch form of [[PqAdc]] — each query row
+  * carries its own table through the cell join).
+  */
+case class PqAdcLut(left: Expression, right: Expression, codes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_lut needs (binary code, array<float> lut), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(v: Any, l: Any): Any =
+    PqKernel.adcLut(v.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData], codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, l) =>
+      s"graft.functions.PqKernel.adcLut($v, $l, $codes)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -117,6 +117,17 @@ package object functions {
       cellDot: Array[Float]): Column =
     toColumn(PqAdc(exprOf(code), exprOf(cell), lut, codes, cellDot))
 
+  /** Per-query ADC lookup table (m*codes floats) computed in-plan — the
+    * batch k-NN join's per-row query state.
+    */
+  def pq_lut(vec: Column, books: Array[Float], dim: Int, m: Int,
+      codes: Int): Column =
+    toColumn(PqLut(exprOf(vec), books, dim, m, codes))
+
+  /** Residual ADC sum with the lookup table riding as a column. */
+  def pq_adc_lut(code: Column, lut: Column, codes: Int): Column =
+    toColumn(PqAdcLut(exprOf(code), exprOf(lut), codes))
+
   /** Membership probe of a 64-bit hash column against a driver-built
     * bloom filter, inside whole-stage codegen (the decontamination
     * prefilter's hot path — a UDF here would break the scan pipeline).

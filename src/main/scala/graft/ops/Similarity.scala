@@ -56,14 +56,31 @@ object Similarity {
     * table scan.
     */
   def sampleVectors(emb: DataFrame, vecCol: String,
-      sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
-    val n = emb.count()
-    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
-    emb.select(col(vecCol))
-      .sample(withReplacement = false, fraction, seed)
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+      sampleSize: Int = 10000, seed: Long = 42L,
+      knownCount: Option[Long] = None): Array[Array[Float]] = {
+    knownCount match {
+      case Some(n) =>
+        // caller knows the row count (e.g. from table stats): Bernoulli
+        // sample at the derived fraction — one scan, no sort state
+        val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+        emb.select(col(vecCol))
+          .sample(withReplacement = false, fraction, seed)
+          .limit(sampleSize)
+          .collect()
+          .map(_.getSeq[Float](0).toArray)
+      case None =>
+        // no count available: take the sampleSize smallest seeded hashes —
+        // ONE scan (TakeOrdered keeps a sampleSize-heap per partition, the
+        // driver merges partitions*sampleSize rows), a uniform pseudo-random
+        // draw, and DETERMINISTIC per dataset (stable centroids across
+        // runs). The old fraction path paid a full count() scan first —
+        // a pointless extra pass at 100 TB.
+        emb.select(col(vecCol))
+          .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed)))
+          .limit(sampleSize)
+          .collect()
+          .map(_.getSeq[Float](0).toArray)
+    }
   }
 
   /** [[trainCentroids]] over an already-collected sample. */
@@ -242,6 +259,81 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
     cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("eid"), col("sim"))
+  }
+
+  /** Batch k-NN join over the PQ-CODE index (IVFADC for the "embed the
+    * corpus, find every row's neighbors" workload): each query row
+    * computes its m*codes ADC lookup table IN-PLAN (`pq_lut`, ~8 KB at
+    * m=8) and probes its `nprobe` nearest cells; candidates come from a
+    * cell equi-join against the code index and are scored from codes
+    * alone (`pq_adc_lut` — the scan reads m bytes per candidate instead
+    * of dim*4 raw floats, 32x less at dim=64/m=8). The per-query ADC
+    * shortlist then fetches raw vectors for an exact cosine rerank to
+    * top-k — only shortlist*|queries| raw rows are ever read.
+    *
+    * 100 TB shape: with the code index persisted by `cell`
+    * ([[writeIndex]]) only the query side (ids + LUTs) shuffles into the
+    * join; the LUT column is projected away before the per-query window,
+    * so the top-k shuffle moves (qid, eid, cell, sim_adc) rows only. If
+    * `raw` carries a `cell` column (the [[ivfIndex]] output), the rerank
+    * fetch joins on (cell, eid) and co-locates with the same persisted
+    * layout.
+    */
+  def pqKnnJoin(queries: DataFrame, qId: String, qVec: String,
+      codeIndex: DataFrame, eId: String,
+      raw: DataFrame, rawIdCol: String, rawVecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe cannot exceed cell count")
+    val dim = centroids.head.length
+    val m = codebooks.length
+    val codes = codebooks.head.length
+    val booksFlat = flatten2(codebooks.map(flatten2))
+    // rank cells per query in-plan (the ivfKnnJoin device), keeping each
+    // probe's centroid dot — vec_cosine(q, c) == <q̂, ĉ>, the ADC cell term
+    val sims = array(centroids.map(c => vec_cosine(col(qVec), lit_vec(c.toSeq))): _*)
+    val ranked = array_sort(zip_with(sims,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("cell"))))
+    val probes = slice(ranked, 1, nprobe)
+    val qp = queries
+      .select(col(qId).as("qid"),
+        graft.functions.pq_lut(col(qVec), booksFlat, dim, m, codes).as("lut"),
+        explode(probes).as("p"))
+      .select(col("qid"), col("lut"), col("p.cell").as("cell"),
+        (-col("p.negs")).as("celldot"))
+    val cand = qp
+      .join(codeIndex.select(col(eId).as("eid"), col("code"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("eid"))
+      // project the LUT away here: the window shuffle below must move
+      // (qid, cell, eid, sim_adc) rows, not 8 KB tables
+      .select(col("qid"), col("cell"), col("eid"),
+        round(col("celldot") +
+          graft.functions.pq_adc_lut(col("code"), col("lut"), codes), 6)
+          .as("sim_adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim_adc").desc, col("eid"))
+    val sl = cand.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= shortlist)
+      .select(col("qid"), col("eid"), col("cell"))
+    // exact rerank: raw vectors only for the shortlist
+    val hasCell = raw.columns.contains("cell")
+    val ev =
+      if (hasCell) raw.select(col(rawIdCol).as("eid"),
+        col(rawVecCol).as("evec"), col("cell"))
+      else raw.select(col(rawIdCol).as("eid"), col(rawVecCol).as("evec"))
+    val fetched =
+      if (hasCell) sl.join(ev, Seq("cell", "eid")) else sl.join(ev, Seq("eid"))
+    val qv = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val rer = fetched.join(qv, Seq("qid"))
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("eid"), col("sim"))
   }

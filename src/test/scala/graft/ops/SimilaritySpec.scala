@@ -189,6 +189,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromDisk == inMem, "persisted PQ index must answer identically")
   }
 
+  test("pqKnnJoin: full probe + full shortlist reproduces exact kNN") {
+    import org.apache.spark.sql.functions.col
+    val sample = Similarity.sampleVectors(emb, "embedding")
+    val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
+    val books = Similarity.trainPqFromSample(sample, cents, m = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+    val raw = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 20)
+    // probing every cell with a corpus-sized shortlist makes the rerank
+    // see every candidate: the exact-cosine rerank must then reproduce
+    // brute-force kNN bit-for-bit regardless of ADC quantization error
+    val full = Similarity.pqKnnJoin(queries, "vec_id", "embedding",
+      codes, "vec_id", raw, "vec_id", "embedding", cents, books,
+      k = 3, nprobe = 8, shortlist = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exact, "full-probe full-shortlist pqKnnJoin must equal exact kNN")
+  }
+
+  test("pqKnnJoin: tight ADC shortlist keeps high recall, scores stay exact") {
+    import org.apache.spark.sql.functions.col
+    val sample = Similarity.sampleVectors(emb, "embedding")
+    val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
+    val books = Similarity.trainPqFromSample(sample, cents, m = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+    val raw = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 20)
+    // every cell probed but only 20 candidates survive ADC per query:
+    // the in-plan LUT scoring now decides the result — recall vs exact
+    // measures whether code-only scoring ranks sanely
+    val pq = Similarity.pqKnnJoin(queries, "vec_id", "embedding",
+      codes, "vec_id", raw, "vec_id", "embedding", cents, books,
+      k = 3, nprobe = 8, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.knnJoinExact(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val hits = pq.map(t => (t._1, t._2)).toSet
+      .intersect(exact.map(t => (t._1, t._2)).toSet)
+    assert(hits.size >= (exact.length * 6) / 10,
+      s"ADC-shortlist recall too low: ${hits.size}/${exact.length}")
+    // any pair both sides return must carry the identical exact cosine
+    val exactSims = exact.map(t => (t._1, t._2) -> t._3).toMap
+    pq.foreach { t =>
+      exactSims.get((t._1, t._2)).foreach(s =>
+        assert(s == t._3, s"score drift for (${t._1},${t._2})"))
+    }
+  }
+
   test("hyperplane signature is deterministic for a fixed seed") {
     import org.apache.spark.sql.functions.col
     val sig1 = emb.limit(20).select(
