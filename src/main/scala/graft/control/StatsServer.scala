@@ -21,6 +21,14 @@ class StatsServer(port: Int) {
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/api/v1/replicators", new Handler)
+    // bare liveness probe (reference internal/archiver/handlers.go:9-14):
+    // GET /health -> 200 with an empty body, no JSON — what a k8s-style
+    // probe hits without parsing anything
+    server.createContext("/health", (ex: HttpExchange) => {
+      val code = if (ex.getRequestMethod == "GET") 200 else 405
+      ex.sendResponseHeaders(code, -1)
+      ex.close()
+    })
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort

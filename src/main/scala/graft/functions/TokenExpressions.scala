@@ -356,6 +356,27 @@ object BpeKernel {
     while (i < len) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Segment + vocab-id lookup in ONE pass: the word's subword ids under
+    * the merge table, unknown segments mapping to `unkId`. The vocab is a
+    * prebuilt hash map shipped by reference — a realistic 32k-100k vocab
+    * as plan literals would put ~2N nodes in the expression tree (slow
+    * analysis, codegen size limits); here it costs one map probe per
+    * segment.
+    */
+  def tokenIds(w: UTF8String, merges: Array[String],
+      vocab: java.util.HashMap[String, Integer], unkId: Int): ArrayData = {
+    val segs = segments(w, merges)
+    val out = new Array[Int](segs.numElements())
+    var i = 0
+    while (i < out.length) {
+      val id = vocab.get(segs.getUTF8String(i).toString)
+      out(i) = if (id == null) unkId else id.intValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 /** bpe_segments(word, merges) -> array<string>: the word's subword
@@ -383,6 +404,49 @@ case class BpeSegments(child: Expression, merges: Seq[(String, String)])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernel.segments($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bpe_token_ids(word) -> array<int>: the word's subword VOCAB IDS under
+  * the merge table ([[BpeKernel.tokenIds]] — one kernel pass doing
+  * segmentation + id lookup). Merge table and vocab map both ship to
+  * executors as codegen reference objects (a 100k-entry vocab is ~MBs,
+  * fine by reference, hopeless as plan literals); vocab-factored callers
+  * run this over distinct words only.
+  */
+case class BpeTokenIds(child: Expression, merges: Seq[(String, String)],
+    vocab: Seq[String], unkId: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_token_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if merges.nonEmpty && vocab.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_ids needs a string word, non-empty merges and vocab, " +
+        s"got ${child.dataType.simpleString}")
+  }
+
+  private lazy val flat: Array[String] =
+    merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  private lazy val vocabMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (s, i) => m.put(s, i) }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.tokenIds(v.asInstanceOf[UTF8String], flat, vocabMap, unkId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mergesRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocabMap,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.tokenIds($c, $mergesRef, $vocabRef, $unkId)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -103,6 +103,13 @@ package object functions {
   def bpe_segments(word: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeSegments(exprOf(word), merges))
 
+  /** Subword vocab ids of a word in one kernel pass (segment + lookup);
+    * merge table and vocab ship by reference, never as plan literals.
+    */
+  def bpe_token_ids(word: Column, merges: Seq[(String, String)],
+      vocab: Seq[String], unkId: Int = -1): Column =
+    toColumn(BpeTokenIds(exprOf(word), merges, vocab, unkId))
+
   /** m-byte product-quantization code of a vector given its IVF cell
     * (centroids/codebooks are plan-time constants shipped by reference).
     */
@@ -135,6 +142,16 @@ package object functions {
   def bloom_might_contain(hashes: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toColumn(BloomMightContainLong(exprOf(hashes), bloom))
+
+  /** Exact membership probe of a bigint against a driver-built sorted
+    * long array (binary search in codegen) — the map-only equivalent of
+    * a left-semi key join for sets that fit the driver. The set must
+    * already ride a Spark broadcast (it is too big for per-task closure
+    * shipping — see [[InSortedLongs]]).
+    */
+  def in_sorted_longs(key: Column,
+      sorted: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    toColumn(InSortedLongs(exprOf(key), sorted))
 
   /** Char k-gram shingle strings of a string column, one codegen'd pass. */
   def char_shingles(text: Column, k: Int): Column =

@@ -80,25 +80,33 @@ object Tokenize {
     * vocab map to `unkId`. Returns (doc_id, ids array<int>).
     *
     * 100 TB shape: same vocab factoring as [[bpeEncodedLength]] — the
-    * kernel encode and the literal-map id lookup run once per DISTINCT
-    * word; documents re-attach by a word equi-join, and the per-doc
-    * sequence assembles with one ordered collect per doc (output-sized
-    * state: the id sequence IS the result row).
+    * kernel encode + id lookup ([[graft.functions.bpe_token_ids]], vocab
+    * shipped by reference, never as 2N plan literals) runs once per
+    * DISTINCT word; documents re-attach by a word equi-join, and the
+    * per-doc sequence assembles with one ordered collect per doc
+    * (output-sized state: the id sequence IS the result row).
+    *
+    * `pinTokenFrame` governs the (doc, pos, word) frame that feeds both
+    * the distinct-word pass and the re-attach join — ~one row per corpus
+    * token (~24 B + the word bytes each). Pinned (default), it
+    * materializes once in executor storage and is read twice; at 100 TB
+    * that storage is roughly the tokenized corpus over again, a real
+    * spill surface, so `pinTokenFrame = false` trades a second
+    * tokenize+explode scan for zero pinned state. Correctness is
+    * unaffected either way (deterministic tokenize; only cost moves).
     */
   def bpeTokenIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], vocab: Seq[String],
-      unkId: Int = -1): DataFrame = {
+      unkId: Int = -1, pinTokenFrame: Boolean = true): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     require(vocab.nonEmpty, "vocab must be non-empty")
-    val idOf = map(vocab.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i)) }: _*)
-    val docw = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
-      .localCheckpoint(true)
+    val docw0 = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val docw = if (pinTokenFrame) docw0.localCheckpoint(true) else docw0
     val enc = docw.select(col("w")).distinct()
-      .select(col("w"), transform(
-        graft.functions.bpe_segments(col("w"), merges),
-        s => coalesce(element_at(idOf, s), lit(unkId))).as("__wids"))
+      .select(col("w"),
+        graft.functions.bpe_token_ids(col("w"), merges, vocab, unkId)
+          .as("__wids"))
     docw.join(enc, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(flatten(transform(

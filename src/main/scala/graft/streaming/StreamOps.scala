@@ -90,7 +90,8 @@ object StreamOps {
   def streamingDedupAgainstReference(docs: DataFrame, idCol: String,
       textCol: String, tsCol: String, refBands: DataFrame,
       shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      maxDriverRefBuckets: Long = 8L << 20): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     val toks = graft.ops.TextAnalysis.tokens(col(textCol))
@@ -102,34 +103,64 @@ object StreamOps {
     // the checkpoint makes the "computed once" contract real
     val ref = refBands.select(col("band"), col("bkey")).distinct()
       .localCheckpoint(true)
-    // SIZE-CONDITIONAL broadcast, decided once at op construction: an
-    // unconditional hint blows the driver once the reference corpus
-    // outgrows the broadcast limit (~bands x docs rows), but simply
-    // dropping the hint is worse on the common path — AQE does not
-    // apply to STATEFUL streaming queries (this one ends in
-    // dropDuplicatesWithinWatermark) and the checkpointed ref carries
-    // no size statistics, so the planner would sort-merge-join the
-    // full reference EVERY micro-batch. The ref is already pinned, so
-    // counting it is cheap; ~32 bytes/row of (int, long) + hash-map
-    // overhead against the session's broadcast threshold picks the
-    // strategy, and past the limit the join degrades to a shuffled
-    // semi-join instead of failing.
     val refRows = ref.count()
-    val threshold = docs.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B") match {
-        case s if s.isEmpty => 10485760L
-        case s => try s.toLong catch { case _: NumberFormatException => 10485760L }
-      }
-    val refJoin = if (threshold > 0 && refRows * 32L <= threshold) broadcast(ref) else ref
-    docs.withWatermark(tsCol, watermark)
-      .withColumn("__sig", sig)
-      .select(col("*"), posexplode(array((0 until bands).map(b =>
-        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
-        .as(Seq("band", "bkey")))
-      .join(refJoin, Seq("band", "bkey"), "left_semi")
-      .drop("__sig", "band", "bkey")
-      .dropDuplicatesWithinWatermark(idCol)
+    if (refRows <= maxDriverRefBuckets) {
+      // Reference bucket set fits the driver (8 B/key — 64 MB at the 8M
+      // default): collect it ONCE as a sorted packed-long array, ship it
+      // via a real broadcast, and probe each exploded band key with a
+      // codegen'd binary search. The micro-batch plan is then MAP-ONLY —
+      // no static side at all, no per-batch shuffle/sort of the
+      // reference (the checkpointed ref carries no size stats and AQE
+      // does not apply to stateful streaming queries, so past the
+      // broadcast threshold the planner re-sorted the full reference
+      // EVERY batch). Exactly equivalent to the semi-join: distinct
+      // keys, no false positives; the dedup-within-watermark collapses
+      // multi-band matches identically. The probe sits ABOVE the same
+      // posexplode as the join path — see
+      // [[graft.functions.InSortedLongs]] for why the explode barrier
+      // and the broadcast are both load-bearing for throughput.
+      val packedSet = ref.select(
+          shiftleft(col("band").cast("long"), 32)
+            .bitwiseOR(col("bkey").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+            .as("p"))
+        .collect().map(_.getLong(0))
+      ref.unpersist()
+      java.util.Arrays.sort(packedSet)
+      val packedBc = docs.sparkSession.sparkContext.broadcast(packedSet)
+      docs.withWatermark(tsCol, watermark)
+        .withColumn("__sig", sig)
+        .select(col("*"), posexplode(array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
+          .as(Seq("band", "bkey")))
+        .filter(graft.functions.in_sorted_longs(
+          shiftleft(col("band").cast("long"), 32)
+            .bitwiseOR(col("bkey").cast("long").bitwiseAND(lit(0xFFFFFFFFL))),
+          packedBc))
+        .drop("__sig", "band", "bkey")
+        .dropDuplicatesWithinWatermark(idCol)
+    } else {
+      // Reference too large for the driver: stream-static left-semi join
+      // on the band keys, with a SIZE-CONDITIONAL broadcast decided once
+      // at op construction (~32 B/row of (int, long) + hash-map overhead
+      // vs the session threshold, parsed through JavaUtils so byte-string
+      // values like "100m" work; "-1" = disabled fails the parse and
+      // lands on -1, correctly suppressing the hint). Past the broadcast
+      // limit the join degrades to a shuffled semi-join instead of
+      // failing — the 100 TB-reference fallback.
+      val threshold = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      } catch { case _: NumberFormatException => -1L }
+      val refJoin = if (threshold > 0 && refRows * 32L <= threshold) broadcast(ref) else ref
+      docs.withWatermark(tsCol, watermark)
+        .withColumn("__sig", sig)
+        .select(col("*"), posexplode(array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*))
+          .as(Seq("band", "bkey")))
+        .join(refJoin, Seq("band", "bkey"), "left_semi")
+        .drop("__sig", "band", "bkey")
+        .dropDuplicatesWithinWatermark(idCol)
+    }
   }
 
   /** Stream-stream interval join: each left event matched to right events

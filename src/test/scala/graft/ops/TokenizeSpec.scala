@@ -77,4 +77,20 @@ class TokenizeSpec extends AnyFunSuite {
     assert(out(1L) == Seq(8, 8, 9, -1, 0, -1), s"got ${out(1L)}")
     assert(out(2L) == Seq(10), s"got ${out(2L)}")
   }
+
+  test("bpeTokenIds: recompute path (pinTokenFrame=false) matches the pinned default") {
+    val docs = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("r", "e"), ("i", "n"),
+      ("a", "n"), ("o", "n"), ("a", "t"))
+    val vocab = ('a' to 'z').map(_.toString) ++
+      merges.map { case (a, b) => a + b }
+    def run(pin: Boolean) =
+      Tokenize.bpeTokenIds(docs, "doc_id", "text", merges, vocab,
+        pinTokenFrame = pin)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val pinned = run(pin = true)
+    val recomputed = run(pin = false)
+    assert(pinned.nonEmpty && pinned == recomputed,
+      "pin and recompute paths must produce identical id sequences")
+  }
 }

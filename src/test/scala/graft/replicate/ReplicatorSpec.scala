@@ -87,6 +87,11 @@ class ReplicatorSpec extends AnyFunSuite {
       HttpResponse.BodyHandlers.ofString())
 
     try {
+      // bare liveness probe (reference handlers.go): 200, empty body, no JSON
+      val health = get("/health")
+      assert(health.statusCode() == 200)
+      assert(health.body().isEmpty)
+
       val list = get("/api/v1/replicators")
       assert(list.statusCode() == 200)
       assert(list.body().contains(""""id":"web1""""))

@@ -126,6 +126,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ref dedup: join-fallback path (ref too big for driver) matches probe path") {
+    implicit val ctx = spark.sqlContext
+    val refText = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden"
+    val ref = Seq((100L, refText)).toDF("doc_id", "text")
+    val refBands = graft.ops.Dedup.lshBands(ref, "doc_id", "text")
+    val input = MemoryStream[DocRow]
+    // maxDriverRefBuckets = 0 forces the stream-static semi-join fallback
+    // (the 100 TB-reference shape); output must be identical to the
+    // driver-probe path the previous test exercises
+    val q = StreamOps.streamingDedupAgainstReference(input.toDF(), "doc_id",
+      "text", "ts", refBands, maxDriverRefBuckets = 0L)
+      .writeStream.format("memory").queryName("refdedup_join_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), refText),
+        DocRow(2, ts(1), refText.replace("warm", "cold")),
+        DocRow(3, ts(2), "unrelated content on columnar storage compaction policies and file layout planning"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM refdedup_join_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L), s"expected ref candidates {1,2}: got $ids")
+      assert(spark.sql("SELECT count(*) FROM refdedup_join_out").head.getLong(0) == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the interval") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[EventRow]
