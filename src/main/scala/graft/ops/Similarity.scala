@@ -76,7 +76,7 @@ object Similarity {
         // runs). The old fraction path paid a full count() scan first —
         // a pointless extra pass at 100 TB.
         emb.select(col(vecCol))
-          .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed)))
+          .orderBy(xxhash64(col(vecCol), lit(seed)))
           .limit(sampleSize)
           .collect()
           .map(_.getSeq[Float](0).toArray)
@@ -138,7 +138,7 @@ object Similarity {
     // deterministic init: k distinct vectors chosen by seeded hash order
     var centroids: Array[Array[Float]] = emb
       .select(col(vecCol).as("vec"))
-      .orderBy(xxhash64(col("vec").cast("string"), lit(seed)))
+      .orderBy(xxhash64(col("vec"), lit(seed)))
       .limit(k)
       .collect()
       .map(_.getSeq[Float](0).toArray)
