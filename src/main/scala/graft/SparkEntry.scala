@@ -819,7 +819,12 @@ object SparkEntry {
       val sample = Similarity.sampleVectors(emb, "embedding")
       val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
       val books = Similarity.trainPqFromSample(sample, cents, m = 8)
+      // pinned: models the persisted-index lifecycle (build once, join
+      // many) AND keeps the encode kernel out of the join's match loop —
+      // see the pqKnnJoin scaladoc (measured 4.8 s -> encode once when
+      // the index is built inline without a pin)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+        .localCheckpoint(true)
       val raw = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
       val pq = Similarity.pqKnnJoin(queries, "vec_id", "embedding",
         codes, "vec_id", raw, "vec_id", "embedding", cents, books,

@@ -280,6 +280,15 @@ object Similarity {
     * `raw` carries a `cell` column (the [[ivfIndex]] output), the rerank
     * fetch joins on (cell, eid) and co-locates with the same persisted
     * layout.
+    *
+    * PASS A STORED (persisted or pinned) CODE INDEX, not the lazy
+    * [[pqEncode]] pipeline: whole-stage codegen defers a streamed-side
+    * projection into the hash join's match loop, so an inline-built
+    * `code` column re-runs the encode kernel once per CANDIDATE row
+    * (jstack-verified; ~matches x m x codes x dsub ops) instead of once
+    * per index row. The persisted lifecycle (build once -> [[writeIndex]]
+    * -> join many) never hits this; for an ad-hoc in-memory build,
+    * `localCheckpoint` the encode output first.
     */
   def pqKnnJoin(queries: DataFrame, qId: String, qVec: String,
       codeIndex: DataFrame, eId: String,

@@ -142,4 +142,16 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == rows(0).getLong(1))
     assert(rows(1).getLong(0) != rows(1).getLong(1))
   }
+
+  test("in_sorted_longs: matches Set membership through codegen; empty set never matches") {
+    val keys = (0L until 1000L).map(_ * 7L)
+    val set = keys.filter(_ % 3 == 0).toArray.sorted
+    val bc = spark.sparkContext.broadcast(set)
+    val got = keys.toDF("k")
+      .filter(in_sorted_longs(col("k"), bc))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == set.toSet, "probe must equal exact membership")
+    val emptyBc = spark.sparkContext.broadcast(Array.empty[Long])
+    assert(keys.toDF("k").filter(in_sorted_longs(col("k"), emptyBc)).count() == 0)
+  }
 }
