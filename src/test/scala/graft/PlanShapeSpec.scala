@@ -96,6 +96,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("q97 PQ join: LUT never crosses an exchange; encode kernel stays out of the match loop") {
+    val p = plan("q97_pq_knn_join")
+    assert(!p.contains("CartesianProduct"))
+    // the per-query ADC lookup table must be projected away before the
+    // top-k window's shuffle: an Exchange whose hashpartitioning input
+    // carries the lut attribute means 8-32 KB rows ride the shuffle
+    val exchanges = "Exchange hashpartitioning[^\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n${p.take(600)}")
+    assert(!exchanges.exists(_.contains("lut")),
+      s"lut column crossed an exchange:\n${exchanges.mkString("\n")}")
+    // the code index is pinned (localCheckpoint scan), so pq_code must
+    // not appear in the join stage at all — a lazy inline encode would
+    // re-run the kernel once per candidate row (see pqKnnJoin scaladoc)
+    assert(!p.contains("pq_code"),
+      "encode expression leaked into the join-time plan (index not pinned)")
+  }
+
   test("q66 dup-ngram report joins grams per-key, never pairwise docs") {
     val p = plan("q66_dup_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(500))
