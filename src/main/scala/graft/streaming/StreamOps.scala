@@ -54,25 +54,54 @@ object StreamOps {
 
   /** Streaming decontamination flags: documents arriving on the stream
     * that share at least one word n-gram with a STATIC benchmark table —
-    * the continuous-ingest form of [[graft.ops.Decontamination]]. The
-    * stream-static left-semi join broadcasts the (deduped, tiny)
-    * benchmark gram-hash set, so each micro-batch is map-only against it;
+    * the continuous-ingest form of [[graft.ops.Decontamination]];
     * `dropDuplicatesWithinWatermark` collapses a doc's multiple matching
     * grams to one flagged row with watermark-bounded state.
+    *
+    * Same two-path design as [[streamingDedupAgainstReference]] (the
+    * static side of a stream-static join re-executes EVERY micro-batch):
+    * a benchmark gram set that fits the driver is collected once,
+    * sorted, broadcast, and probed with the codegen'd binary search
+    * above the gram explode — map-only batches, no static side at all;
+    * an over-size benchmark falls back to the left-semi join against the
+    * gram set pinned ONCE at op construction (the old shape re-ran the
+    * distinct + broadcast build per batch).
     *
     * `benchGrams` must carry a `g` column of 64-bit gram hashes
     * ([[graft.functions.word_shingle_hashes]] over the benchmark text).
     */
   def streamingContaminated(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, benchGrams: DataFrame, n: Int = 8,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      maxDriverBenchGrams: Long = 8L << 20): DataFrame = {
     val toks = graft.ops.TextAnalysis.tokens(col(textCol))
-    docs.withWatermark(tsCol, watermark)
+    val bench = benchGrams.select(col("g")).distinct().localCheckpoint(true)
+    val benchRows = bench.count()
+    val banded = docs.withWatermark(tsCol, watermark)
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) >= n)
       .withColumn("g", explode(
         graft.functions.word_shingle_hashes(col("__toks"), n)))
-      .join(broadcast(benchGrams.select(col("g")).distinct()), Seq("g"), "left_semi")
+    val flagged =
+      if (benchRows <= maxDriverBenchGrams) {
+        val set = bench.collect().map(_.getLong(0))
+        bench.unpersist()
+        java.util.Arrays.sort(set)
+        val bc = docs.sparkSession.sparkContext.broadcast(set)
+        banded.filter(graft.functions.in_sorted_longs(col("g"), bc))
+      } else {
+        // size-conditional broadcast (never forced — the round-6 bloom
+        // lesson): ~16 B/row of long + hash overhead vs the session
+        // threshold; past it the join degrades to a shuffled semi-join
+        val threshold = try {
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        } catch { case _: NumberFormatException => -1L }
+        val benchJoin =
+          if (threshold > 0 && benchRows * 16L <= threshold) broadcast(bench) else bench
+        banded.join(benchJoin, Seq("g"), "left_semi")
+      }
+    flagged
       .drop("__toks", "g")
       .dropDuplicatesWithinWatermark(idCol)
   }

@@ -101,6 +101,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination: join-fallback path matches the probe default") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode}
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val bench = Seq(benchText).toDF("text")
+      .select(explode(graft.functions.word_shingle_hashes(
+        graft.ops.TextAnalysis.tokens(col("text")), 8)).as("g"))
+    val input = MemoryStream[DocRow]
+    // maxDriverBenchGrams = 0 forces the stream-static semi-join fallback
+    val q = StreamOps.streamingContaminated(input.toDF(), "doc_id", "text",
+      "ts", bench, n = 8, maxDriverBenchGrams = 0L)
+      .writeStream.format("memory").queryName("contam_join_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), "prefix words " + benchText + " suffix words"),
+        DocRow(2, ts(1), "an entirely benign document about spark shuffle partitioning and exchange reuse strategies"),
+        DocRow(3, ts(2), "short doc"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM contam_join_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L), s"only doc 1 shares an 8-gram: got $ids")
+      assert(spark.sql("SELECT count(*) FROM contam_join_out").head.getLong(0) == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup against a persisted reference index flags only ref near-dups") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
