@@ -240,6 +240,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqKnnJoin: persisted cell-partitioned code index answers identically") {
+    import org.apache.spark.sql.functions.col
+    val sample = Similarity.sampleVectors(emb, "embedding")
+    val cents = Similarity.trainCentroidsFromSample(sample, k = 8, iters = 3)
+    val books = Similarity.trainPqFromSample(sample, cents, m = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cents, books)
+      .localCheckpoint(true)
+    val raw = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("pq-join-idx").toString + "/index"
+    Similarity.writeIndex(codes, path)
+    val onDisk = Similarity.readIndex(spark, path)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.pqKnnJoin(queries, "vec_id", "embedding",
+        idx, "vec_id", raw, "vec_id", "embedding", cents, books,
+        k = 3, nprobe = 8, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(onDisk) == run(codes),
+      "the persisted code index must answer the batch join identically")
+  }
+
   test("hyperplane signature is deterministic for a fixed seed") {
     import org.apache.spark.sql.functions.col
     val sig1 = emb.limit(20).select(
