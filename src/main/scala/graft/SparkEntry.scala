@@ -1149,6 +1149,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label",
         emb, "vec_id", "embedding", "label", k = 3)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Hard-negative mining, LSH scale path (oracle-checked, the q54
+    // device): band-bucketed candidates with the label-mismatch filter
+    // applied AFTER bucketing (one label-agnostic banding serves every
+    // split). Output = q85's exact side + a count-derived recall bound
+    // on the LSH candidates (seeded planes; measured 0.373 on the
+    // near-uniform fixture vectors at both sf0.01 and sf0.1 — bound 0.2
+    // leaves slack; real near-dup structure pushes it toward 1.0, see
+    // ScaleSpec).
+    "q98_hard_negatives_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val lsh = Similarity.hardNegativesLsh(queries, "vec_id", "embedding",
+        "label", emb, "vec_id", "embedding", "label", k = 3, dim = 64)
+      val exact = Similarity.hardNegatives(queries, "vec_id", "embedding",
+        "label", emb, "vec_id", "embedding", "label", k = 3)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      exact.join(lsh.select(col("qid"), col("eid")).withColumn("hit", lit(1)),
+          Seq("qid", "eid"), "left")
+        .withColumn("lsh_recall_ok",
+          sum(coalesce(col("hit"), lit(0))).over(w) * 5L >= count(lit(1)).over(w))
+        .drop("hit")
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -2144,6 +2168,18 @@ object SparkEntry {
 
     "q85_hard_negatives" ->
       """SELECT qid, rank, eid, sim, neg_label FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS eid, b.label AS neg_label,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |        b.vec_id) AS rank
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label <> b.label
+        |  WHERE a.vec_id < 50)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q98_hard_negatives_lsh" ->
+      """SELECT qid, rank, eid, sim, neg_label, TRUE AS lsh_recall_ok FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS eid, b.label AS neg_label,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
         |    row_number() OVER (PARTITION BY a.vec_id

@@ -190,28 +190,32 @@ object Similarity {
     * Exactness: candidates are limited to hyperplane-bucket collisions;
     * raise `bits`/`bands` for recall like any LSH index.
     */
+  /** ids-only LSH banding for the k-NN join family (candidate volume is
+    * quadratic in bucket size — payloads must not ride it; vectors
+    * re-attach per UNIQUE candidate pair before scoring). The signature
+    * materializes ONCE per row before the band slice — referencing the
+    * sig expression inside each band column would recompute the dim*bits
+    * dot products `bands` times.
+    */
+  private def bandedIds(df: DataFrame, id: String, vec: String, idOut: String,
+      dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
+    val rowsPer = bits / bands
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val withSig = df.repartition(parallelism)
+      .select(col(id).as(idOut),
+        graft.functions.hyperplane_sig(col(vec), dim, bits, seed).as("sig"))
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
+    withSig.select(col(idOut), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+  }
+
   def knnJoin(queries: DataFrame, qId: String, qVec: String,
       emb: DataFrame, eId: String, eVec: String,
       k: Int, dim: Int, bits: Int = 48, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val rowsPer = bits / bands
-    val parallelism = queries.sparkSession.sparkContext.defaultParallelism
-    // ids-only through the band join (candidate volume is quadratic in
-    // bucket size — payloads must not ride it); vectors re-attached per
-    // UNIQUE candidate pair before scoring.
-    def banded(df: DataFrame, id: String, vec: String, idOut: String) = {
-      // materialize the signature ONCE per row before slicing bands —
-      // referencing the sig expression inside each band column would
-      // recompute the dim*bits dot products `bands` times
-      val withSig = df.repartition(parallelism)
-        .select(col(id).as(idOut),
-          graft.functions.hyperplane_sig(col(vec), dim, bits, seed).as("sig"))
-      val bandCols = (0 until bands).map(b =>
-        shiftright(col("sig"), b * rowsPer).bitwiseAND(lit((1L << rowsPer) - 1)))
-      withSig.select(col(idOut), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-    }
-    val candidates = banded(queries, qId, qVec, "qid")
-      .join(banded(emb, eId, eVec, "eid"), Seq("band", "bkey"))
+    val candidates = bandedIds(queries, qId, qVec, "qid", dim, bits, bands, seed)
+      .join(bandedIds(emb, eId, eVec, "eid", dim, bits, bands, seed),
+        Seq("band", "bkey"))
       .filter(col("qid") =!= col("eid"))
       .select(col("qid"), col("eid"))
       .dropDuplicates("qid", "eid")
@@ -406,6 +410,41 @@ object Similarity {
     // row's label always equals itself); no id-equality clause, so query
     // and corpus ids may come from independent key spaces
     val scored = b.join(broadcast(a), col("qlabel") =!= col("neg_label"))
+      .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("eid"), col("sim"), col("neg_label"))
+  }
+
+  /** The 100 TB form of [[hardNegatives]]: candidates come from the LSH
+    * band join ([[knnJoin]]'s device — ids only, bucket-bounded volume),
+    * labels attach per unique candidate pair, and the mismatch filter
+    * runs AFTER bucketing — the index stays label-agnostic, so one
+    * banding serves every label split. Same output contract as the exact
+    * form: per query, top-k most-similar different-label candidates
+    * (sim desc, eid asc on the 6-dp-rounded cosine). Recall is the LSH
+    * tradeoff — raise `bits`/`bands` like any signature index.
+    */
+  def hardNegativesLsh(queries: DataFrame, qId: String, qVec: String,
+      qLabel: String, corpus: DataFrame, cId: String, cVec: String,
+      cLabel: String, k: Int, dim: Int, bits: Int = 48, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val candidates = bandedIds(queries, qId, qVec, "qid", dim, bits, bands, seed)
+      .join(bandedIds(corpus, cId, cVec, "eid", dim, bits, bands, seed),
+        Seq("band", "bkey"))
+      .select(col("qid"), col("eid"))
+      .dropDuplicates("qid", "eid")
+    val a = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      col(qLabel).as("qlabel"))
+    val b = corpus.select(col(cId).as("eid"), col(cVec).as("evec"),
+      col(cLabel).as("neg_label"))
+    val scored = candidates.join(a, "qid").join(b, "eid")
+      // label mismatch alone excludes the true self-pair (a row's label
+      // equals itself) — ids may come from independent key spaces
+      .filter(col("qlabel") =!= col("neg_label"))
       .withColumn("sim", round(vec_cosine(col("qvec"), col("evec")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("eid"))

@@ -272,6 +272,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig1 == sig2)
   }
 
+  test("hardNegativesLsh: different-label only, scores exact, pairs within the LSH candidate set") {
+    import org.apache.spark.sql.functions.col
+    val labeled = emb // sf0.001 embeddings carry a label column
+    val queries = labeled.filter(col("vec_id") < 20)
+    val lsh = Similarity.hardNegativesLsh(queries, "vec_id", "embedding",
+      "label", labeled, "vec_id", "embedding", "label", k = 3, dim = 64)
+      .collect()
+    assert(lsh.nonEmpty, "near-identical fixture vectors must collide in some band")
+    val qLabels = queries.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lsh.foreach { r =>
+      assert(qLabels(r.getLong(0)) != r.getInt(4),
+        s"same-label negative leaked: $r")
+    }
+    // any pair the exact path also returns must carry the identical
+    // rounded cosine (re-attach introduces no score drift)
+    val exact = Similarity.hardNegatives(queries, "vec_id", "embedding",
+      "label", labeled, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach(s =>
+        assert(s == r.getDouble(3), s"score drift for $r"))
+    }
+  }
+
   test("hardNegatives excludes same-label vectors, ranks by similarity") {
     import spark.implicits._
     // id 2 is IDENTICAL to the query but same-label -> must be excluded;
