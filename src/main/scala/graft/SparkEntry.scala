@@ -1173,7 +1173,18 @@ object SparkEntry {
           sum(coalesce(col("hit"), lit(0))).over(w) * 5L >= count(lit(1)).over(w))
         .drop("hit")
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // Positional inverted index + exact phrase search (ops/Invert):
+    // postings = one (term, doc) aggregate; adjacency verified in-plan
+    // with higher-order array functions over the per-term sorted
+    // position arrays (no positional self-join, no UDF). The oracle
+    // recomputes the same adjacency with a DuckDB list lambda.
+    "q99_phrase_search" -> ((s, dir) =>
+      graft.ops.Invert.phraseSearchIndex(
+        graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text"),
+        Seq("table", "scan"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2189,6 +2200,16 @@ object SparkEntry {
         |  JOIN embeddings b ON a.label <> b.label
         |  WHERE a.vec_id < 50)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q99_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, list_filter(range(1, len(toks)), i -> toks[i] = 'table' AND toks[i+1] = 'scan') AS ms
+        |  FROM t)
+        |SELECT doc_id, len(ms)::BIGINT AS n_hits, (ms[1] - 1)::BIGINT AS first_pos
+        |FROM m WHERE len(ms) > 0 ORDER BY doc_id""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

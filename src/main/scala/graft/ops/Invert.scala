@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional inverted index and exact phrase search — the sparse-IR
+  * primitive that complements the dense-ANN stack (`ops/Similarity`):
+  * find documents where a sequence of tokens appears ADJACENTLY, with
+  * occurrence counts, either by a map-only direct scan (one-off query)
+  * or against a persisted term-partitioned postings index (amortized
+  * across many queries, e.g. building contamination/attribution report
+  * sets for a training corpus).
+  *
+  * 100 TB shape:
+  *  - [[postings]] is one posexplode + one (term, doc_id) hash
+  *    aggregate — a single shuffle keyed by (term, doc_id), which also
+  *    spreads hot stopword terms across partitions (no single-reducer
+  *    skew on "the"); positions aggregate into one sorted array per
+  *    (term, doc).
+  *  - [[writeIndex]] persists partitioned by a CRC32 bucket of the term
+  *    (a public checksum both Spark — `crc32()` — and the driver-side
+  *    pruning predicate compute identically), so a phrase query's scan
+  *    prunes to at most |phrase| of `nBuckets` partitions at
+  *    file-listing time — the same device as the IVF cell index
+  *    (`Similarity.writeIndex`).
+  *  - [[phraseSearchIndex]] touches only the phrase's postings rows:
+  *    the candidate aggregate carries |docs containing a phrase term|
+  *    rows, never the corpus; adjacency is verified with higher-order
+  *    array functions (codegen'd, no UDF, no self-join on positions —
+  *    the classic positional-merge is expressed as `filter` +
+  *    `array_contains` over per-term sorted position arrays).
+  *  - [[phraseSearch]] (direct) is map-only: ZERO shuffles at any
+  *    scale; use it when the query set doesn't justify an index build.
+  */
+object Invert {
+
+  /** Positional postings: one row per (term, doc) with the sorted
+    * 0-based token positions and the term frequency.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .toDF("doc_id", "pos", "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+
+  /** CRC32-of-UTF8 bucket — computable identically in-plan
+    * (`crc32(col)`) and on the driver (for partition-pruning literals).
+    */
+  private[graft] def termBucket(term: String, nBuckets: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % nBuckets).toInt
+  }
+
+  /** Persist the postings index partitioned by term bucket. A phrase
+    * query then lists at most |phrase| of `nBuckets` directories.
+    */
+  def writeIndex(postings: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    postings
+      .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Exact phrase search against a postings index (output of
+    * [[postings]] or [[readIndex]]). Returns (doc_id, n_hits,
+    * first_pos) for documents with >= 1 adjacent occurrence of
+    * `phrase` (terms are lowercased to match the tokenizer).
+    *
+    * Plan: prune to the phrase's buckets (partition-pruned if the
+    * index is bucket-partitioned) and terms, aggregate the <= |phrase|
+    * postings rows per doc into a term->positions map, keep docs
+    * containing ALL distinct terms, then verify adjacency in-plan:
+    * a position p of phrase(0) is a hit iff p+i is in phrase(i)'s
+    * positions for every i. Duplicate terms in the phrase (e.g.
+    * "buffalo buffalo") are handled — the map has one entry per
+    * DISTINCT term and the adjacency predicate indexes it per slot.
+    */
+  def phraseSearchIndex(index: DataFrame, phrase: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = phrase.map(_.toLowerCase)
+    val distinctTerms = terms.distinct
+    val pruned =
+      if (index.columns.contains("bucket"))
+        index.filter(col("bucket")
+          .isin(distinctTerms.map(termBucket(_, nBuckets)).distinct: _*))
+      else index
+    val perDoc = pruned
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("pmap"))
+      .filter(size(col("pmap")) === distinctTerms.size)
+    val headPositions = col("pmap")(lit(terms.head))
+    def adjacentAt(p: Column): Column =
+      terms.zipWithIndex.tail
+        .map { case (t, i) => array_contains(col("pmap")(lit(t)), p + lit(i)) }
+        .foldLeft(lit(true))(_ && _)
+    perDoc
+      .withColumn("matches", filter(headPositions, p => adjacentAt(p)))
+      .filter(size(col("matches")) > 0)
+      .select(col("doc_id"),
+        size(col("matches")).cast("long").as("n_hits"),
+        element_at(col("matches"), 1).cast("long").as("first_pos"))
+  }
+
+  /** Index-free direct phrase scan — map-only (zero shuffles): filter
+    * candidate start positions of the token array with a conjunction of
+    * `element_at` probes. Same output contract as
+    * [[phraseSearchIndex]]; use for one-off queries, the index form
+    * when queries amortize the build.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = phrase.map(_.toLowerCase)
+    val n = terms.size
+    // sequence(a, b) DESCENDS when a > b — guard short docs explicitly.
+    val starts = when(size(col("__toks")) >= n,
+      sequence(lit(0), size(col("__toks")) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    def matchesAt(i: Column): Column =
+      terms.zipWithIndex
+        .map { case (t, j) => element_at(col("__toks"), i + lit(j + 1)) === lit(t) }
+        .reduce(_ && _)
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("matches", filter(starts, i => matchesAt(i)))
+      .filter(size(col("matches")) > 0)
+      .select(col("doc_id"),
+        size(col("matches")).cast("long").as("n_hits"),
+        element_at(col("matches"), 1).cast("long").as("first_pos"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class InvertSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "quick brown quick brown quick"),
+    (3L, "Brown QUICK brown"), // case-folds; "quick brown" at pos 1
+    (4L, "nothing relevant here"),
+    (5L, "quick"), // shorter than the phrase
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("postings: positions are 0-based, sorted, tf = count") {
+    val p = Invert.postings(docs, "doc_id", "text")
+      .filter(col("term") === "quick").orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
+    assert(p.toSeq == Seq(
+      (1L, Seq(1), 1L), (2L, Seq(0, 2, 4), 3L), (3L, Seq(1), 1L),
+      (5L, Seq(0), 1L)))
+  }
+
+  test("phrase search (index): adjacency, counts, first position") {
+    val idx = Invert.postings(docs, "doc_id", "text")
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown"))) ==
+      Seq((1L, 1L, 1L), (2L, 2L, 0L), (3L, 1L, 1L)))
+    // trigram: only doc 2 has quick brown quick
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown", "quick"))) ==
+      Seq((2L, 2L, 0L)))
+    // both-terms-present but never adjacent in that order
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("brown", "dog"))) == Seq())
+    // single-term phrase degenerates to term lookup
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("quick"))) ==
+      Seq((1L, 1L, 1L), (2L, 3L, 0L), (3L, 1L, 1L), (5L, 1L, 0L)))
+    // phrase terms are case-folded like the tokenizer
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("QUICK", "Brown"))) ==
+      rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown"))))
+  }
+
+  test("duplicate-term phrase: overlapping occurrences all counted") {
+    val d = Seq((1L, "buffalo buffalo buffalo"), (2L, "buffalo x buffalo"))
+      .toDF("doc_id", "text")
+    val idx = Invert.postings(d, "doc_id", "text")
+    // "buffalo buffalo" occurs at 0 and 1 in doc 1, never in doc 2
+    assert(rows(Invert.phraseSearchIndex(idx, Seq("buffalo", "buffalo"))) ==
+      Seq((1L, 2L, 0L)))
+  }
+
+  test("direct scan == index path on the real corpus, several phrases") {
+    val corpus = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val idx = Invert.postings(corpus, "doc_id", "text")
+    for (ph <- Seq(Seq("table", "scan"), Seq("slow", "hash", "batch"),
+        Seq("the"), Seq("no_such_token", "ever"))) {
+      val a = rows(Invert.phraseSearch(corpus, "doc_id", "text", ph))
+      val b = rows(Invert.phraseSearchIndex(idx, ph))
+      assert(a == b, s"direct vs index mismatch for phrase $ph")
+      if (ph == Seq("table", "scan")) assert(a.nonEmpty)
+    }
+  }
+
+  test("persisted index: bucket pruning answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inv").toString
+    val idx = Invert.postings(docs, "doc_id", "text")
+    Invert.writeIndex(idx, dir, nBuckets = 8)
+    val back = Invert.readIndex(spark, dir)
+    // crc32 bucket column matches the driver-side literal computation
+    val mismatch = back.filter(
+      pmod(crc32(col("term")), lit(8L)).cast("int") =!= col("bucket")).count()
+    assert(mismatch == 0L)
+    assert(rows(Invert.phraseSearchIndex(back, Seq("quick", "brown"), nBuckets = 8)) ==
+      rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown"))))
+    // the pruned plan only reads the phrase's buckets
+    val planned = Invert.phraseSearchIndex(back, Seq("quick", "brown"), nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters") || planned.contains("bucket"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("short docs: sequence guard keeps empty matches, no descending ranges") {
+    val d = Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    assert(rows(Invert.phraseSearch(d, "doc_id", "text", Seq("a", "b", "c"))) == Seq())
+    assert(rows(Invert.phraseSearch(d, "doc_id", "text", Seq("a", "b"))) ==
+      Seq((3L, 1L, 0L)))
+  }
+}
