@@ -1184,7 +1184,18 @@ object SparkEntry {
       graft.ops.Invert.phraseSearchIndex(
         graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text"),
         Seq("table", "scan"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Exact all-pairs set-similarity join (ops/SetSimJoin): prefix
+    // filtering under an ascending-df global order — the LOSSLESS exact
+    // counterpart of the MinHash-LSH path (q43), so the oracle is the
+    // full quadratic Jaccard in DuckDB with no recall-bound device.
+    // 5-word shingle sets, threshold 0.5.
+    "q100_jaccard_join" -> ((s, dir) =>
+      graft.ops.SetSimJoin.jaccardJoin(
+        graft.ops.SetSimJoin.shingleSets(t(s, dir, "documents"), "doc_id", "text", 5),
+        "doc_id", "els", 0.5)
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2210,6 +2221,21 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, len(ms)::BIGINT AS n_hits, (ms[1] - 1)::BIGINT AS first_pos
         |FROM m WHERE len(ms) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q100_jaccard_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks)-3)]) AS sh
+        |  FROM t WHERE len(toks) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

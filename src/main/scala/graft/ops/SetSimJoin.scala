@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs set-similarity join by prefix filtering — the EXACT
+  * counterpart of the MinHash-LSH near-dup path (`Dedup.minhashPairs`):
+  * every pair of documents whose element sets (tokens, word shingles,
+  * hashed shingles — the operator is agnostic to the element type) have
+  * Jaccard >= t, with NO false negatives and NO probabilistic recall
+  * argument. Prefix filtering (Chaudhuri et al., ICDE 2006; Bayardo et
+  * al., WWW 2007; Vernica et al., SIGMOD 2010 give the MapReduce form
+  * this plan mirrors) is LOSSLESS: under any global element order, two
+  * sets with J(a,b) >= t must share an element within each set's first
+  * |x| - ceil(t*|x|) + 1 elements, so an equi-join on prefix elements
+  * finds every qualifying pair and an exact verify step removes the
+  * false positives.
+  *
+  * 100 TB shape:
+  *  - element document frequencies: one explode + hash aggregate
+  *    (shuffle keyed by element — same cost class as the postings
+  *    build);
+  *  - the global order is ASCENDING df with the element value as
+  *    tie-break: prefixes are dominated by RARE elements, so the
+  *    candidate equi-join buckets on rare keys — the hot-key
+  *    (stopword) blowup that sinks a naive any-shared-element join
+  *    never reaches the join;
+  *  - candidate volume is sum over prefix elements of C(df_prefix, 2)
+  *    restricted by the length filter (|a| >= t*|b|), orders of
+  *    magnitude below the corpus quadratic (measured in SCALECHECK);
+  *  - the verify join carries candidate pairs only; the corpus-sized
+  *    set frame is re-derived map-only per use rather than pinned —
+  *    at 100 TB a full-corpus `localCheckpoint` is a larger spill
+  *    surface than three cheap map passes (same recompute-over-pin
+  *    call as `bpeTokenIds`' flag).
+  */
+object SetSimJoin {
+
+  /** All pairs (doc_a < doc_b) with exact Jaccard(sets) >= threshold.
+    *
+    * @param sets   frame holding one row per document with its element
+    *               array (duplicates tolerated — deduped internally)
+    * @param idCol  document id column
+    * @param setCol element array column
+    * @return (doc_a, doc_b, jaccard) — jaccard rounded to 6 dp for
+    *         display, the threshold filter applied on the unrounded
+    *         double (i / (|a|+|b|-i), identical in any engine given
+    *         identical integer inputs)
+    */
+  def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val base = sets
+      .select(col(idCol).as("doc_id"), array_distinct(col(setCol)).as("els"))
+      .filter(size(col("els")) > 0)
+      .withColumn("sz", size(col("els")))
+
+    // global order: ascending document frequency, element as tie-break
+    val dfs = base.select(explode(col("els")).as("el"))
+      .groupBy(col("el")).agg(count(lit(1)).as("df"))
+
+    // per-doc prefix under that order; ceil takes an epsilon slack so FP
+    // rounding can only LENGTHEN the prefix (extra candidates are
+    // removed by verify; a short prefix would lose pairs)
+    val prefixes = base
+      .select(col("doc_id"), col("sz"), explode(col("els")).as("el"))
+      .join(dfs, Seq("el"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("el")))).as("ranked"))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ranked.el"), lit(1), col("plen"))).as("el"))
+
+    // candidates: equi-join on prefix element + length filter; a pair
+    // sharing several prefix elements collapses in the distinct
+    val cand = prefixes.toDF("da", "sa", "el")
+      .join(prefixes.toDF("db", "sb", "el"), Seq("el"))
+      .filter(col("da") < col("db") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(threshold) * greatest(col("sa"), col("sb")).cast("double") - lit(1e-9))
+      .select(col("da"), col("db")).distinct()
+
+    // exact verify on the candidate pairs only
+    cand
+      .join(base.select(col("doc_id").as("da"), col("els").as("ea"),
+        col("sz").as("sa")), Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("els").as("eb"),
+        col("sz").as("sb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("j",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Convenience: documents -> distinct word-n-gram shingle sets
+    * (string form — DuckDB-reproducible; production pipelines can pass
+    * `word_shingle_hashes` sets to [[jaccardJoin]] instead for compact
+    * 8-byte elements).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("els"))
+      .filter(size(col("els")) > 0)
+}

@@ -49,6 +49,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 prefix-filtered Jaccard join: candidate equi-join, no cartesian") {
+    val p = plan("q100_jaccard_join")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q99 phrase search: postings aggregate, no positional self-join") {
+    val p = plan("q99_phrase_search")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // one aggregate pair (partial+final) for postings, one for the per-doc
+    // map — adjacency is in-plan array work, not a join
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+  }
+
   test("q55 decontamination broadcasts the benchmark gram set (corpus never shuffles to it)") {
     val p = plan("q55_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
