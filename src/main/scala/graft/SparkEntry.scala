@@ -1195,7 +1195,18 @@ object SparkEntry {
       graft.ops.SetSimJoin.jaccardJoin(
         graft.ops.SetSimJoin.shingleSets(t(s, dir, "documents"), "doc_id", "text", 5),
         "doc_id", "els", 0.5)
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Proximity search (ops/Invert): all terms inside a 4-token window,
+    // any order — window starts probed at term occurrences only
+    // (lossless: a qualifying window shrinks to start at its minimum
+    // selected position). Oracle: the same probe as nested DuckDB list
+    // lambdas.
+    "q101_proximity_search" -> ((s, dir) =>
+      graft.ops.Invert.proximitySearch(
+        graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text"),
+        Seq("hash", "join"), window = 4)
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2236,6 +2247,20 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q101_proximity_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(toks)+1), i ->
+        |      (toks[i] = 'hash' OR toks[i] = 'join') AND
+        |      len(list_filter(range(i, i+4), j -> toks[j] = 'hash')) > 0 AND
+        |      len(list_filter(range(i, i+4), j -> toks[j] = 'join')) > 0) AS ms
+        |  FROM t)
+        |SELECT doc_id, (ms[1] - 1)::BIGINT AS span_start FROM m
+        |WHERE len(ms) > 0 ORDER BY doc_id""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -109,6 +109,47 @@ object Invert {
         element_at(col("matches"), 1).cast("long").as("first_pos"))
   }
 
+  /** Proximity search: documents where ALL of `terms` co-occur inside
+    * some window of `window` consecutive token positions (in any
+    * order) — the relevance primitive between phrase match (window =
+    * |phrase|, ordered) and bag-of-words AND. Returns (doc_id,
+    * span_start) with the first qualifying window start.
+    *
+    * Exactness: a qualifying window can always be shrunk so it STARTS
+    * at one of the terms' occurrences (the minimum selected position),
+    * so probing only observed positions as window starts is lossless.
+    * Same plan shape as [[phraseSearchIndex]] — postings rows for the
+    * query terms only, then in-plan nested higher-order array checks.
+    */
+  def proximitySearch(index: DataFrame, terms: Seq[String], window: Int,
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(window >= 1, "window must be >= 1")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val pruned =
+      if (index.columns.contains("bucket"))
+        index.filter(col("bucket")
+          .isin(distinctTerms.map(termBucket(_, nBuckets)).distinct: _*))
+      else index
+    val perDoc = pruned
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("pmap"))
+      .filter(size(col("pmap")) === distinctTerms.size)
+    val starts = array_sort(flatten(map_values(col("pmap"))))
+    def coveredFrom(p: Column): Column =
+      distinctTerms
+        .map(t => exists(col("pmap")(lit(t)),
+          q => q >= p && q < p + lit(window)))
+        .reduce(_ && _)
+    perDoc
+      .withColumn("matches", filter(starts, p => coveredFrom(p)))
+      .filter(size(col("matches")) > 0)
+      .select(col("doc_id"),
+        element_at(col("matches"), 1).cast("long").as("span_start"))
+  }
+
   /** Index-free direct phrase scan — map-only (zero shuffles): filter
     * candidate start positions of the token array with a conjunction of
     * `element_at` probes. Same output contract as

@@ -50,11 +50,37 @@ object SetSimJoin {
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val base = sets
+    val base = prepared(sets, idCol, setCol)
+    // exact verify on the candidate pairs only
+    candidates(base, threshold)
+      .join(base.select(col("doc_id").as("da"), col("els").as("ea"),
+        col("sz").as("sa")), Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("els").as("eb"),
+        col("sz").as("sb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("j",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Deduped, size-annotated set frame — the shared input of the
+    * candidate and verify stages.
+    */
+  private[graft] def prepared(sets: DataFrame, idCol: String,
+      setCol: String): DataFrame =
+    sets
       .select(col(idCol).as("doc_id"), array_distinct(col(setCol)).as("els"))
       .filter(size(col("els")) > 0)
       .withColumn("sz", size(col("els")))
 
+  /** Distinct candidate pairs (da < db) from the prefix-filter
+    * equi-join — exposed so tests and ScaleCheck can measure the exact
+    * candidate volume the verify stage pays for.
+    */
+  private[graft] def candidates(base: DataFrame,
+      threshold: Double): DataFrame = {
     // global order: ascending document frequency, element as tie-break
     val dfs = base.select(explode(col("els")).as("el"))
       .groupBy(col("el")).agg(count(lit(1)).as("df"))
@@ -72,27 +98,13 @@ object SetSimJoin {
       .select(col("doc_id"), col("sz"),
         explode(slice(col("ranked.el"), lit(1), col("plen"))).as("el"))
 
-    // candidates: equi-join on prefix element + length filter; a pair
-    // sharing several prefix elements collapses in the distinct
-    val cand = prefixes.toDF("da", "sa", "el")
+    // a pair sharing several prefix elements collapses in the distinct
+    prefixes.toDF("da", "sa", "el")
       .join(prefixes.toDF("db", "sb", "el"), Seq("el"))
       .filter(col("da") < col("db") &&
         least(col("sa"), col("sb")).cast("double") >=
           lit(threshold) * greatest(col("sa"), col("sb")).cast("double") - lit(1e-9))
       .select(col("da"), col("db")).distinct()
-
-    // exact verify on the candidate pairs only
-    cand
-      .join(base.select(col("doc_id").as("da"), col("els").as("ea"),
-        col("sz").as("sa")), Seq("da"))
-      .join(base.select(col("doc_id").as("db"), col("els").as("eb"),
-        col("sz").as("sb")), Seq("db"))
-      .withColumn("inter", size(array_intersect(col("ea"), col("eb"))))
-      .withColumn("j",
-        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("j") >= threshold)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("j"), 6).as("jaccard"))
   }
 
   /** Convenience: documents -> distinct word-n-gram shingle sets

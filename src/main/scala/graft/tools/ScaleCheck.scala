@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Decontamination, Dedup, Similarity}
+import graft.ops.{Decontamination, Dedup, Invert, SetSimJoin, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -56,7 +56,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
-    // sfbench) to run a subset; no args = everything
+    // setjoin invert sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -477,6 +477,67 @@ object ScaleCheck {
       f"shortlist=$shortlistJ code_scan=$codeScanMb%.1f MB rerank_fetch=$rerankMb%.1f MB " +
       f"raw_scan=$rawScanMb%.1f MB (${rawScanMb / (codeScanMb + rerankMb)}%.0fx) " +
       f"t_raw=${tRawJoin}%.2f s t_pq=${tPqJoin}%.2f s")
+    }
+
+    if (run("setjoin")) {
+    // ---- 5b. Exact prefix-filtered Jaccard join on 210k docs ----------
+    // Same corpus as §1 (10k planted near-dups, 3 of 80 tokens
+    // perturbed). 5-word shingles: each perturbed token kills 5
+    // shingles, so a planted pair shares 61 of a 91-element union —
+    // true Jaccard ≈ 0.67, comfortably over threshold 0.5. The operator
+    // is EXACT, so recall on planted pairs must be 1.0000 — not an LSH
+    // recall argument but a correctness assertion — and the measured
+    // candidate volume vs the 2.2e10 corpus quadratic is the scale
+    // claim the prefix filter rests on.
+    val nSj = 200000L
+    val docsSj = corpus(spark, nSj).localCheckpoint(true)
+    val plantedSj = (0L until nSj by 20).map(i => (i, i + nSj)).toSet
+    val setsSj = SetSimJoin.shingleSets(docsSj, "doc_id", "text", 5)
+    val candSj = SetSimJoin.candidates(
+      SetSimJoin.prepared(setsSj, "doc_id", "els"), 0.5).count()
+    val (pairsSj, tSj) = time {
+      SetSimJoin.jaccardJoin(setsSj, "doc_id", "els", 0.5)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recallSj = plantedSj.intersect(pairsSj).size.toDouble / plantedSj.size
+    val quadSj = nSj * 1.05 * (nSj * 1.05 - 1) / 2
+    println(f"SETJOIN> docs=${nSj * 21 / 20} planted=${plantedSj.size} " +
+      f"found=${pairsSj.size} recall=$recallSj%.4f cand=$candSj " +
+      f"(quadratic=${quadSj}%.1e, ${quadSj / candSj}%.0fx fewer) time=${tSj}%.1f s")
+    }
+
+    if (run("invert")) {
+    // ---- 5c. Inverted index + phrase search on 210k docs --------------
+    // Build throughput for the positional postings (one 16M-token
+    // explode + (term, doc) aggregate), then the same phrase answered
+    // by the map-only direct scan and by the index — counts must agree
+    // exactly (the direct scan is the trivially-correct form; the index
+    // path is the amortized form). The phrase is read from doc 0's own
+    // token stream, so its planted duplicate must also match.
+    val nIv = 200000L
+    val docsIv = corpus(spark, nIv).localCheckpoint(true)
+    val (postIdx, tBuild) = time {
+      Invert.postings(docsIv, "doc_id", "text").localCheckpoint(true)
+    }
+    val firstToks = docsIv.filter(col("doc_id") === 0)
+      .select(TextAnalysis.tokens(col("text"))).head.getSeq[String](0)
+    val phraseIv = firstToks.slice(0, 3)
+    val (idxHits, tIdx) = time {
+      Invert.phraseSearchIndex(postIdx, phraseIv)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val (dirHits, tDir) = time {
+      Invert.phraseSearch(docsIv, "doc_id", "text", phraseIv)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val agreeIv = idxHits == dirHits
+    val dupFound = idxHits.contains(0L) && idxHits.contains(nIv)
+    println(f"INVERT> docs=${nIv * 21 / 20} postings=${postIdx.count()} " +
+      f"build=${tBuild}%.1f s phrase=${phraseIv.mkString("'", " ", "'")} " +
+      f"hits=${idxHits.size} direct==index=$agreeIv dup_found=$dupFound " +
+      f"t_index=${tIdx}%.2f s t_direct=${tDir}%.2f s " +
+      f"direct_docs_per_s=${(nIv * 21 / 20 / tDir).toLong}")
     }
 
     if (run("sfbench")) {

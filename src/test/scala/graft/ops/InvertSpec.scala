@@ -86,6 +86,43 @@ class InvertSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("proximity search: window semantics, order-free, first start") {
+    val d = Seq(
+      (1L, "alpha x x beta"),        // span [0,3] needs window >= 4
+      (2L, "beta alpha"),            // order-free: window 2 suffices
+      (3L, "alpha x x x x beta"),    // gap 5: window 6
+      (4L, "alpha only here"),
+      (5L, "beta alone")
+    ).toDF("doc_id", "text")
+    val idx = Invert.postings(d, "doc_id", "text")
+    def got(w: Int) = Invert.proximitySearch(idx, Seq("alpha", "beta"), w)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got(2) == Seq((2L, 0L)))
+    assert(got(4) == Seq((1L, 0L), (2L, 0L)))
+    assert(got(6) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    // window start snaps to an occurrence, not to position 0
+    val late = Seq((9L, "x x x alpha beta")).toDF("doc_id", "text")
+    val lidx = Invert.postings(late, "doc_id", "text")
+    assert(Invert.proximitySearch(lidx, Seq("alpha", "beta"), 2)
+      .head.getLong(1) == 3L)
+    // single term: every doc containing it, first occurrence
+    assert(Invert.proximitySearch(idx, Seq("beta"), 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 0L), (3L, 5L), (5L, 0L)))
+  }
+
+  test("proximity == phrase when window equals phrase length and order matches") {
+    val corpus = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val idx = Invert.postings(corpus, "doc_id", "text")
+    // phrase hits are a subset of window-2 proximity hits
+    val phrase = Invert.phraseSearchIndex(idx, Seq("table", "scan"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prox = Invert.proximitySearch(idx, Seq("table", "scan"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phrase.subsetOf(prox))
+    assert(prox.nonEmpty)
+  }
+
   test("short docs: sequence guard keeps empty matches, no descending ranges") {
     val d = Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
     assert(rows(Invert.phraseSearch(d, "doc_id", "text", Seq("a", "b", "c"))) == Seq())

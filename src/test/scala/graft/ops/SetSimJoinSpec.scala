@@ -87,20 +87,8 @@ class SetSimJoinSpec extends AnyFunSuite {
     val corpus = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val sets = SetSimJoin.shingleSets(corpus, "doc_id", "text", 5)
     val n = sets.count()
-    // re-derive the candidate count the operator's plan produces
-    val base = sets.select(col("doc_id"), array_distinct(col("els")).as("els"))
-      .withColumn("sz", size(col("els")))
-    val dfs = base.select(explode(col("els")).as("el"))
-      .groupBy("el").agg(count(lit(1)).as("df"))
-    val pre = base.select(col("doc_id"), col("sz"), explode(col("els")).as("el"))
-      .join(dfs, Seq("el"))
-      .groupBy("doc_id", "sz")
-      .agg(sort_array(collect_list(struct(col("df"), col("el")))).as("r"))
-      .withColumn("plen", (col("sz") - ceil(lit(0.5) * col("sz") - lit(1e-9)) + 1).cast("int"))
-      .select(col("doc_id"), col("sz"), explode(slice(col("r.el"), lit(1), col("plen"))).as("el"))
-    val cand = pre.toDF("da", "sa", "el").join(pre.toDF("db", "sb", "el"), Seq("el"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct().count()
+    val cand = SetSimJoin.candidates(
+      SetSimJoin.prepared(sets, "doc_id", "els"), 0.5).count()
     val quadratic = n * (n - 1) / 2
     assert(cand < quadratic / 50,
       s"candidates $cand vs quadratic $quadratic — prefix filter not pruning")
