@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_sum"),
       info("vec_sum", "vec_sum(vec) - element-wise sum aggregate over vectors"),
       (es: Seq[Expression]) => VectorSum(es.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("mg_sketch"),
+      info("mg_sketch",
+        "mg_sketch(item, k) - Misra-Gries heavy-hitters summary, mergeable"),
+      (es: Seq[Expression]) => MisraGriesSketch(es(0),
+        functions.intArg(es(1), "mg_sketch", "k")).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("count_in_set"),
       info("count_in_set",
         "count_in_set(tokens, words[, distinct]) - tokens present in the word set"),

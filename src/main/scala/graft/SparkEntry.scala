@@ -1206,7 +1206,33 @@ object SparkEntry {
       graft.ops.Invert.proximitySearch(
         graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text"),
         Seq("hash", "join"), window = 4)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Misra-Gries heavy hitters (functions/SketchAggregates): the
+    // q46/q65 sketch device — output the DuckDB-reproducible exact
+    // top-8 token counts plus a boolean asserting the sketch's
+    // DETERMINISTIC guarantee (true - n/(k+1) <= est <= true, and
+    // eviction-survival for anything above the slack). k=12 is far
+    // below the corpus vocabulary, so eviction and the cross-partition
+    // mergeable-summaries reduction both run for real.
+    "q102_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val sk = toks.agg(graft.functions.mg_sketch(col("w"), 12).as("sk"))
+        .select(col("sk.n").as("n"), col("sk.counts").as("counts"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(8)
+      top.crossJoin(broadcast(sk))
+        .withColumn("est", element_at(col("counts"), col("w")))
+        .withColumn("mg_bound_ok",
+          (coalesce(col("est"), lit(0L)) <= col("cnt")) &&
+          (coalesce(col("est"), col("cnt")) >=
+            col("cnt") - col("n").cast("double") / 13.0) &&
+          (col("cnt").cast("double") <= col("n").cast("double") / 13.0 ||
+            col("est").isNotNull))
+        .select(col("w"), col("cnt"), col("mg_bound_ok"))
+        .orderBy(col("cnt").desc, col("w"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2261,6 +2287,15 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, (ms[1] - 1)::BIGINT AS span_start FROM m
         |WHERE len(ms) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q102_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT unnest(toks) AS w FROM t),
+        |g AS (SELECT w, count(*)::BIGINT AS cnt FROM c GROUP BY w)
+        |SELECT w, cnt, TRUE AS mg_bound_ok FROM g
+        |ORDER BY cnt DESC, w LIMIT 8""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

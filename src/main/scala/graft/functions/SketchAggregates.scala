@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** Misra-Gries heavy-hitters sketch as a mergeable aggregate — the
+  * frequent-items summary Spark has no native form of (it ships HLL for
+  * distinct counts and KLL/GK for quantiles, nothing for top items).
+  * The training-pipeline use: "which tokens / hosts / boilerplate lines
+  * dominate this 100 TB corpus" without a full (element, count)
+  * aggregate whose cardinality is corpus-sized.
+  *
+  * Guarantees (DETERMINISTIC, not probabilistic): with capacity k over
+  * n items, every retained estimate satisfies
+  * `true - n/(k+1) <= est <= true`, and any element with true count
+  * > n/(k+1) is guaranteed retained. Merging preserves the same bound
+  * (Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries",
+  * PODS 2012: sum counters, then subtract the (k+1)-th largest and drop
+  * non-positive). Spark's partial aggregation IS that merge: each
+  * partition sketches locally and the partial buffers combine, so one
+  * `agg(mg_sketch(col, k))` runs the published distributed algorithm
+  * with k buffer rows per partition on the wire — never the
+  * vocabulary-sized exact count map.
+  *
+  * Buffer is (n, counts); eval emits struct(n, counts) so callers can
+  * compute the n/(k+1) bound in-plan (`element_at(sk.counts, item)`).
+  */
+case class MisraGriesSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesSketch.Buffer] {
+
+  require(k >= 1, "mg_sketch: k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_sketch"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("counts", MapType(StringType, LongType,
+      valueContainsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mg_sketch needs a string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): MisraGriesSketch.Buffer =
+    new MisraGriesSketch.Buffer(0L, mutable.HashMap.empty)
+
+  override def update(buf: MisraGriesSketch.Buffer,
+      input: InternalRow): MisraGriesSketch.Buffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val key = v.asInstanceOf[UTF8String].toString
+    buf.n += 1
+    val cur = buf.counts.getOrElse(key, 0L)
+    if (cur > 0L) buf.counts.update(key, cur + 1)
+    else if (buf.counts.size < k) buf.counts.update(key, 1L)
+    else {
+      // decrement-all step: one "vote" against every retained counter
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.counts.foreach { case (w, c) =>
+        if (c == 1L) dead += w else buf.counts.update(w, c - 1)
+      }
+      dead.foreach(buf.counts.remove)
+    }
+    buf
+  }
+
+  override def merge(a: MisraGriesSketch.Buffer,
+      b: MisraGriesSketch.Buffer): MisraGriesSketch.Buffer = {
+    if (b.n == 0) return a
+    a.n += b.n
+    b.counts.foreach { case (w, c) =>
+      a.counts.update(w, a.counts.getOrElse(w, 0L) + c)
+    }
+    if (a.counts.size > k) {
+      // Mergeable-summaries reduction: subtract the (k+1)-th largest
+      // counter from everything, drop non-positive — size is back to
+      // <= k and the n/(k+1) error bound is preserved.
+      val m = a.counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.counts.foreach { case (w, c) =>
+        if (c - m <= 0L) dead += w else a.counts.update(w, c - m)
+      }
+      dead.foreach(a.counts.remove)
+    }
+    a
+  }
+
+  override def eval(buf: MisraGriesSketch.Buffer): Any = {
+    val keys = new Array[Any](buf.counts.size)
+    val vals = new Array[Any](buf.counts.size)
+    var i = 0
+    buf.counts.foreach { case (w, c) =>
+      keys(i) = UTF8String.fromString(w); vals(i) = c; i += 1
+    }
+    new GenericInternalRow(Array[Any](buf.n,
+      ArrayBasedMapData(keys, vals)))
+  }
+
+  override def serialize(buf: MisraGriesSketch.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MisraGriesSketch.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val size = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    new MisraGriesSketch.Buffer(n, m)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object MisraGriesSketch {
+  final class Buffer(var n: Long, val counts: mutable.HashMap[String, Long])
+}

@@ -63,6 +63,13 @@ package object functions {
   def vec_sum(vec: Column): Column =
     toColumn(VectorSum(exprOf(vec)).toAggregateExpression())
 
+  /** Misra-Gries heavy-hitters aggregate: struct(n, counts map) with
+    * the deterministic `true - n/(k+1) <= est <= true` guarantee,
+    * merge-safe across partitions (Agarwal et al., PODS 2012).
+    */
+  def mg_sketch(item: Column, k: Int): Column =
+    toColumn(MisraGriesSketch(exprOf(item), k).toAggregateExpression())
+
   /** Tokens present in a fixed word set — multiplicity-counting by
     * default, distinct token types with `distinct = true`. One codegen'd
     * pass; replaces interpreted `filter`/`array_intersect` HOF forms.
@@ -230,6 +237,9 @@ package object functions {
         longArg(es(3), "hyperplane_sig", "seed")), "built-in")
     reg.createOrReplaceTempFunction("vec_sum",
       es => VectorSum(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("mg_sketch",
+      es => MisraGriesSketch(es(0), intArg(es(1), "mg_sketch", "k"))
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("count_in_set",
       es => CountInSet(es(0), stringArrayArg(es(1), "count_in_set", "words"),
         distinct = es.length > 2 && es(2).eval(null) == true), "built-in")

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchAggregatesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sketch(items: Seq[String], k: Int, parts: Int) = {
+    val row = items.toDF("w").repartition(parts)
+      .agg(graft.functions.mg_sketch(col("w"), k).as("sk"))
+      .select(col("sk.n"), col("sk.counts")).head
+    (row.getLong(0), row.getMap[String, Long](1).toMap)
+  }
+
+  private def checkBounds(items: Seq[String], k: Int, parts: Int): Unit = {
+    val (n, est) = sketch(items, k, parts)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(n == items.size)
+    assert(est.size <= k, s"retained ${est.size} > k=$k")
+    val slack = n.toDouble / (k + 1)
+    // every estimate is an underestimate within n/(k+1)
+    est.foreach { case (w, e) =>
+      val t = truth.getOrElse(w, 0L)
+      assert(e <= t, s"overestimate for $w: $e > $t")
+      assert(e >= t - slack, s"$w: est $e < true $t - n/(k+1) $slack")
+    }
+    // every item frequent beyond the slack is guaranteed retained
+    truth.foreach { case (w, t) =>
+      if (t > slack) assert(est.contains(w), s"frequent item $w (count $t) evicted")
+    }
+  }
+
+  test("deterministic MG bounds hold on a zipf stream, single partition") {
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(20000)(s"w${(math.pow(rnd.nextDouble(), 3) * 200).toInt}")
+    checkBounds(items, k = 15, parts = 1)
+  }
+
+  test("bounds survive partial-aggregate merges across 32 partitions") {
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(50000)(s"w${(math.pow(rnd.nextDouble(), 3) * 500).toInt}")
+    checkBounds(items, k = 20, parts = 32)
+    checkBounds(items, k = 5, parts = 32)
+  }
+
+  test("small-cardinality input is exact (no eviction ever triggers)") {
+    val items = Seq.fill(999)("a") ++ Seq.fill(500)("b") ++ Seq.fill(1)("c")
+    val (n, est) = sketch(items, k = 10, parts = 8)
+    assert(n == 1500L)
+    assert(est == Map("a" -> 999L, "b" -> 500L, "c" -> 1L))
+  }
+
+  test("a majority element survives k=1") {
+    val items = Seq.fill(600)("maj") ++ (0 until 400).map(i => s"m$i")
+    val (_, est) = sketch(items, k = 1, parts = 16)
+    assert(est.keySet == Set("maj"))
+  }
+
+  test("nulls are skipped, not counted") {
+    val df = Seq(Some("x"), None, Some("x"), None).toDF("w")
+    val row = df.agg(graft.functions.mg_sketch(col("w"), 4).as("sk"))
+      .select(col("sk.n"), col("sk.counts")).head
+    assert(row.getLong(0) == 2L)
+    assert(row.getMap[String, Long](1).toMap == Map("x" -> 2L))
+  }
+
+  test("SQL registration works") {
+    graft.functions.registerAll(spark)
+    Seq("a", "a", "b").toDF("w").createOrReplaceTempView("mg_in")
+    val r = spark.sql("SELECT mg_sketch(w, 4) AS sk FROM mg_in")
+      .select(col("sk.n")).head.getLong(0)
+    assert(r == 3L)
+  }
+}
