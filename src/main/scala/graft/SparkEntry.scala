@@ -1232,6 +1232,15 @@ object SparkEntry {
             col("est").isNotNull))
         .select(col("w"), col("cnt"), col("mg_bound_ok"))
         .orderBy(col("cnt").desc, col("w"))
+    }),
+
+    // Index-backed BM25 (ops/Invert): q71's exact scoring, corpus scan
+    // replaced by the pruned postings read + build-time doc-length
+    // table (InvertSpec pins equality with Retrieval.bm25TopK).
+    "q103_bm25_index" -> ((s, dir) => {
+      val idx = graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text")
+      graft.ops.Invert.bm25FromIndex(idx, graft.ops.Invert.docLengths(idx),
+        Seq("window", "stream", "batch"), k = 10)
     })
   )
 
@@ -2296,6 +2305,24 @@ object SparkEntry {
         |g AS (SELECT w, count(*)::BIGINT AS cnt FROM c GROUP BY w)
         |SELECT w, cnt, TRUE AS mg_bound_ok FROM g
         |ORDER BY cnt DESC, w LIMIT 8""".stripMargin,
+
+    "q103_bm25_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('window', 'stream', 'batch')
+        |       GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  round(sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

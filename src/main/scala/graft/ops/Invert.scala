@@ -150,6 +150,54 @@ object Invert {
         element_at(col("matches"), 1).cast("long").as("span_start"))
   }
 
+  /** Per-document token counts derived from the postings (sum of tf) —
+    * computed ONCE at index-build time and persisted beside the index,
+    * so ranked retrieval never rescans the corpus. Docs with zero
+    * tokens have no postings rows and are absent (they can't score;
+    * they'd only shift n_docs/avgdl — corpora are cleaned of empties
+    * upstream by `TextAnalysis.cleanText` gates).
+    */
+  def docLengths(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+
+  /** BM25 top-k against the postings index — `Retrieval.bm25TopK`'s
+    * exact scoring (same Lucene/standard formulation) with the corpus
+    * scan replaced by a pruned index read: only the query terms'
+    * postings rows (|hits| rows, bucket-pruned at file-listing time on
+    * a persisted index) plus the build-time doc-length table are
+    * touched. df/avgdl/N are tiny aggregates riding broadcasts, the
+    * per-doc score sum shuffles |hits| rows — the corpus itself is
+    * never read at query time.
+    */
+  def bm25FromIndex(index: DataFrame, docLengths: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val pruned =
+      if (index.columns.contains("bucket"))
+        index.filter(col("bucket")
+          .isin(terms.map(termBucket(_, nBuckets)).distinct: _*))
+      else index
+    val tf = pruned.filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docLengths.select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    tf.join(broadcast(dfx), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** Index-free direct phrase scan — map-only (zero shuffles): filter
     * candidate start positions of the token array with a conjunction of
     * `element_at` probes. Same output contract as

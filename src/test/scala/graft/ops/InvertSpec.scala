@@ -123,6 +123,20 @@ class InvertSpec extends AnyFunSuite {
     assert(prox.nonEmpty)
   }
 
+  test("index-backed BM25 == corpus-scan BM25 exactly, including at scale-k") {
+    val corpus = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val idx = Invert.postings(corpus, "doc_id", "text")
+    val dl = Invert.docLengths(idx)
+    for (terms <- Seq(Seq("customer", "vector", "spark", "query"),
+        Seq("window", "stream"), Seq("no_such_term"))) {
+      val a = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val b = Invert.bm25FromIndex(idx, dl, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(a == b, s"index-backed BM25 diverged for $terms")
+    }
+  }
+
   test("short docs: sequence guard keeps empty matches, no descending ranges") {
     val d = Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
     assert(rows(Invert.phraseSearch(d, "doc_id", "text", Seq("a", "b", "c"))) == Seq())
