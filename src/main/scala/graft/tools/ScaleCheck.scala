@@ -56,7 +56,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
-    // setjoin invert sfbench) to run a subset; no args = everything
+    // setjoin invert sketch sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -538,6 +538,41 @@ object ScaleCheck {
       f"hits=${idxHits.size} direct==index=$agreeIv dup_found=$dupFound " +
       f"t_index=${tIdx}%.2f s t_direct=${tDir}%.2f s " +
       f"direct_docs_per_s=${(nIv * 21 / 20 / tDir).toLong}")
+    }
+
+    if (run("sketch")) {
+    // ---- 5d. Misra-Gries heavy hitters on a 20M-token zipf stream -----
+    // Deterministic skew (u^3 power-law over a 1000-word vocab: w0
+    // carries ~10% of all mass), 32 partitions so the PODS'12 merge
+    // reduction runs for real. The deterministic bound
+    // true - n/(k+1) <= est <= true must hold for every retained word,
+    // and every word above the n/(k+1) slack must be retained — both
+    // are theorem-backed, so any failure is an implementation bug.
+    val nTok = 20000000L
+    val kMg = 64
+    val zipf = spark.range(nTok).select(
+      concat(lit("w"), floor(pow(
+        pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 1000000.0,
+        3.0) * 1000).cast("long")).as("w"))
+    val (rowMg, tMg) = time {
+      zipf.repartition(32)
+        .agg(graft.functions.mg_sketch(col("w"), kMg).as("sk"))
+        .select(col("sk.n"), col("sk.counts")).head
+    }
+    val nMg = rowMg.getLong(0)
+    val estMg = rowMg.getMap[String, Long](1)
+    val exactMg = zipf.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slackMg = nMg.toDouble / (kMg + 1)
+    val boundsOk = estMg.forall { case (w, e) =>
+      val t = exactMg.getOrElse(w, 0L); e <= t && e >= t - slackMg }
+    val mustRetain = exactMg.filter(_._2 > slackMg)
+    val retainedOk = mustRetain.keys.forall(estMg.contains)
+    require(boundsOk && retainedOk, "MG deterministic guarantee violated")
+    println(f"SKETCH> tokens=$nMg k=$kMg retained=${estMg.size} " +
+      f"above_slack=${mustRetain.size} bounds_ok=$boundsOk " +
+      f"frequent_retained=$retainedOk time=$tMg%.1f s " +
+      f"(${(nMg / tMg / 1e6)}%.1f M tokens/s)")
     }
 
     if (run("sfbench")) {
