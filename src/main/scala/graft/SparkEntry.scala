@@ -1241,7 +1241,20 @@ object SparkEntry {
       val idx = graft.ops.Invert.postings(t(s, dir, "documents"), "doc_id", "text")
       graft.ops.Invert.bm25FromIndex(idx, graft.ops.Invert.docLengths(idx),
         Seq("window", "stream", "batch"), k = 10)
-    })
+    }),
+
+    // Weighted sampling without replacement (ops/Sampling): the
+    // Efraimidis-Spirakis exponential-key scheme over the stable md5
+    // uniform — a pure function of (id, weight), so DuckDB replays the
+    // exact selection. Keys rounded to 9 dp in BOTH engines before the
+    // order/limit so a last-ulp pow() difference can't flip the
+    // frontier (margins checked at both fixture SFs).
+    "q104_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents").filter(col("n_chars") > 0),
+        "doc_id", "n_chars", k = 20)
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2323,6 +2336,15 @@ object SparkEntry {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q104_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    round(pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE / 4294967296.0,
+        |      1.0 / n_chars), 9) AS sample_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, sample_key FROM s
+        |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -64,6 +64,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis-Spirakis exponential-key scheme (Inf. Proc. Letters
+    * 2006) — each row draws key = u^(1/w) with u its stable md5
+    * uniform, and the k largest keys ARE a weighted
+    * without-replacement sample (a row's inclusion probability is
+    * proportional to its weight among the remaining rows at every
+    * draw). Hash-derived u keeps the established reproducibility
+    * contract: the same rows win on any engine, cluster size, or
+    * retry, and the DuckDB oracle replays the selection with nothing
+    * but md5/pow.
+    *
+    * Rows with weight <= 0 or null are excluded (they'd never be
+    * drawn). Plan shape: map-only key computation + a global top-k
+    * (TakeOrdered — per-partition heaps then a k-row merge, no full
+    * sort, no shuffle of the corpus at any scale).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, keyCol: String = "sample_key"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = pow(hashScore(col(idCol)),
+      lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(keyCol, round(key, 9))
+      .orderBy(col(keyCol).desc, col(idCol))
+      .limit(k)
+  }
+
   /** Temperature-scaled domain mixture — the standard multilingual /
     * multi-source sampling rule (weight_d ∝ n_d^τ; τ=1 is proportional,
     * τ→0 is uniform; τ≈0.7 is the published multilingual convention, cf.

@@ -74,4 +74,44 @@ class SamplingSpec extends AnyFunSuite {
     // proportional draw = every domain seen exactly budget/total epochs
     assert(out("a")._2 == 0.5 && out("b")._2 == 0.5, s"got $out")
   }
+
+  test("weighted sample: deterministic, k rows, heavier weights win more") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two weight classes: ids 0-199 weight 1, ids 200-399 weight 20;
+    // with u^(1/w) keys the heavy class should dominate the sample
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1.0 else 20.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(df, "id", "w", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "re-run changed the sample")
+    assert(s1.size == 50)
+    val heavy = s1.count(_ >= 200)
+    assert(heavy >= 40, s"heavy class won only $heavy of 50")
+    // zero/negative/null weights never selected
+    val withBad = df.union(Seq((900L, 0.0), (901L, -3.0)).toDF("id", "w"))
+    val s3 = Sampling.weightedSample(withBad, "id", "w", k = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(!s3.contains(900L) && !s3.contains(901L))
+    assert(s3.size == 400)
+  }
+
+  test("weighted sample: 9dp-rounded frontier has real margin at both fixture SFs") {
+    // the oracle relies on Spark and DuckDB rounding pow() keys to the
+    // same 9 dp; a frontier pair closer than 2e-9 would make that
+    // fragile. The data is fixed, so a comfortable margin here is a
+    // permanent property, not a per-run roll.
+    for (sf <- Seq(SparkTestSession.sf001, "/root/testdata/sf0.1")) {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("n_chars") > 0)
+      val keys = Sampling.weightedSample(d, "doc_id", "n_chars", k = 21)
+        .collect().map(_.getAs[Double]("sample_key"))
+      val frontierGap = keys(19) - keys(20)
+      assert(frontierGap > 2e-9 || frontierGap == 0.0,
+        s"$sf: frontier gap $frontierGap too tight for 9dp rounding")
+      // gap 0 would mean a tie broken by doc_id — also engine-stable
+    }
+  }
 }
