@@ -65,19 +65,8 @@ case class MisraGriesSketch(
       input: InternalRow): MisraGriesSketch.Buffer = {
     val v = child.eval(input)
     if (v == null) return buf
-    val key = v.asInstanceOf[UTF8String].toString
     buf.n += 1
-    val cur = buf.counts.getOrElse(key, 0L)
-    if (cur > 0L) buf.counts.update(key, cur + 1)
-    else if (buf.counts.size < k) buf.counts.update(key, 1L)
-    else {
-      // decrement-all step: one "vote" against every retained counter
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.counts.foreach { case (w, c) =>
-        if (c == 1L) dead += w else buf.counts.update(w, c - 1)
-      }
-      dead.foreach(buf.counts.remove)
-    }
+    MisraGriesSketch.offer(buf.counts, k, v.asInstanceOf[UTF8String].toString)
     buf
   }
 
@@ -88,17 +77,7 @@ case class MisraGriesSketch(
     b.counts.foreach { case (w, c) =>
       a.counts.update(w, a.counts.getOrElse(w, 0L) + c)
     }
-    if (a.counts.size > k) {
-      // Mergeable-summaries reduction: subtract the (k+1)-th largest
-      // counter from everything, drop non-positive — size is back to
-      // <= k and the n/(k+1) error bound is preserved.
-      val m = a.counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.counts.foreach { case (w, c) =>
-        if (c - m <= 0L) dead += w else a.counts.update(w, c - m)
-      }
-      dead.foreach(a.counts.remove)
-    }
+    MisraGriesSketch.reduceToK(a.counts, k)
     a
   }
 
@@ -143,4 +122,37 @@ case class MisraGriesSketch(
 
 object MisraGriesSketch {
   final class Buffer(var n: Long, val counts: mutable.HashMap[String, Long])
+
+  /** One observation into an MG counter map — the classic update step
+    * (increment if tracked, insert below capacity, else decrement-all).
+    * Shared by the aggregate and the streaming heavy-hitters state op.
+    */
+  def offer(counts: mutable.HashMap[String, Long], k: Int,
+      key: String): Unit = {
+    val cur = counts.getOrElse(key, 0L)
+    if (cur > 0L) counts.update(key, cur + 1)
+    else if (counts.size < k) counts.update(key, 1L)
+    else {
+      // decrement-all step: one "vote" against every retained counter
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (w, c) =>
+        if (c == 1L) dead += w else counts.update(w, c - 1)
+      }
+      dead.foreach(counts.remove)
+    }
+  }
+
+  /** Mergeable-summaries reduction: subtract the (k+1)-th largest
+    * counter from everything, drop non-positive — size is back to <= k
+    * and the n/(k+1) error bound is preserved (Agarwal et al. 2012).
+    */
+  def reduceToK(counts: mutable.HashMap[String, Long], k: Int): Unit =
+    if (counts.size > k) {
+      val m = counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (w, c) =>
+        if (c - m <= 0L) dead += w else counts.update(w, c - m)
+      }
+      dead.foreach(counts.remove)
+    }
 }

@@ -288,6 +288,49 @@ object StreamOps {
       }
   }
 
+  /** A heavy-hitter snapshot row: MG estimate for `item` within
+    * `group` after `n` observed items.
+    */
+  case class HeavyHitterRow(group: String, item: String, est: Long, n: Long)
+  case class MgState(n: Long, counts: Map[String, Long])
+
+  /** Streaming heavy hitters per group: a Misra-Gries summary lives in
+    * the state store per group key and each micro-batch emits the
+    * group's refreshed top-`emitTop` estimates (Update mode). State is
+    * BOUNDED BY CONSTRUCTION — k counters per group regardless of item
+    * cardinality or stream length, vs an exact streaming count whose
+    * state grows with the vocabulary. Same deterministic
+    * `true - n/(k+1) <= est <= true` guarantee as the batch
+    * `mg_sketch` (the state op folds arrivals through the identical
+    * `MisraGriesSketch.offer` step), so batch and streaming answers
+    * are mutually consistent.
+    */
+  def streamingHeavyHitters(rows: DataFrame, groupCol: String,
+      itemCol: String, k: Int, emitTop: Int = 10)(
+      implicit spark: SparkSession): Dataset[HeavyHitterRow] = {
+    import spark.implicits._
+    rows
+      .select(col(groupCol).cast("string").as("_1"),
+        col(itemCol).cast("string").as("_2"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, HeavyHitterRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, arrivals: Iterator[(String, String)],
+            state: GroupState[MgState]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counts.foreach { case (w, c) =>
+            buf.update(w, c) })
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          arrivals.foreach { case (_, w) =>
+            graft.functions.MisraGriesSketch.offer(buf, k, w); n += 1
+          }
+          state.update(MgState(n, buf.toMap))
+          buf.toSeq.sortBy { case (w, c) => (-c, w) }.take(emitTop)
+            .map { case (w, c) => HeavyHitterRow(g, w, c, n) }.iterator
+      }
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

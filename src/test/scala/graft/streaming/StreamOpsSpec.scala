@@ -272,4 +272,41 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(pairs2.contains((1L, 4L)), "later arrivals link to the bucket rep")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: bounded state, exact below capacity, MG bounds above") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val q = StreamOps.streamingHeavyHitters(
+      input.toDF().toDF("g", "w"), "g", "w", k = 4, emitTop = 4)(spark)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: small cardinality (< k) -> exact counts
+      input.addData(Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")): _*)
+      q.processAllAvailable()
+      val snap1 = spark.sql(
+        "SELECT item, est, n FROM hh_out WHERE group = 'a' ORDER BY est DESC, item")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(snap1 == Seq(("x", 2L, 3L), ("y", 1L, 3L)))
+      // batch 2: same group accumulates across batches; a heavy item
+      // among > k distinct stays within the deterministic MG bound
+      val heavy = Seq.fill(30)(("a", "x"))
+      val noise = (0 until 20).map(i => ("a", s"n$i"))
+      input.addData(heavy ++ noise: _*)
+      q.processAllAvailable()
+      val rows2 = spark.sql(
+        "SELECT item, est, n FROM hh_out WHERE group = 'a' AND n = 53")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows2.nonEmpty && rows2.size <= 4, s"state/emit not bounded: $rows2")
+      val xEst = rows2.find(_._1 == "x").map(_._2)
+      // true count of x = 32; n = 53, slack = n/(k+1) = 10.6
+      assert(xEst.exists(e => e <= 32L && e >= 32L - 11L),
+        s"x estimate $xEst outside deterministic MG bound")
+      // group b untouched by batch 2
+      val bRows = spark.sql("SELECT item, est FROM hh_out WHERE group = 'b'")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(bRows == Seq(("z", 1L)))
+    } finally q.stop()
+  }
 }
