@@ -229,6 +229,50 @@ object Cli {
         println(s"""{"shards":${manifest.length},"records":$total,"out":"${req("out")}"}""")
       } finally spark.stop()
 
+    case "index" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"index: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val buckets = flags.getOrElse("buckets", "64").toInt
+        val out = req("out")
+        val postings = graft.ops.Invert.postings(docs, idCol, textCol)
+        graft.ops.Invert.writeIndex(postings, s"$out/postings", buckets)
+        graft.ops.Invert.docLengths(postings)
+          .write.mode("overwrite").parquet(s"$out/doclen")
+        val n = spark.read.parquet(s"$out/postings").count()
+        println(s"""{"postings":$n,"buckets":$buckets,"out":"$out"}""")
+      } finally spark.stop()
+
+    case "search" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"search: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val idx = graft.ops.Invert.readIndex(spark, s"${req("index")}/postings")
+        val buckets = flags.getOrElse("buckets", "64").toInt
+        val terms = req("terms").split("\\s+").toSeq
+        val hits = flags.getOrElse("mode", "phrase") match {
+          case "phrase" => graft.ops.Invert.phraseSearchIndex(idx, terms, buckets)
+          case "proximity" => graft.ops.Invert.proximitySearch(idx, terms,
+            flags.getOrElse("window", "8").toInt, buckets)
+          case "bm25" =>
+            val dl = spark.read.parquet(s"${req("index")}/doclen")
+            graft.ops.Invert.bm25FromIndex(idx, dl, terms,
+              flags.getOrElse("k", "10").toInt, nBuckets = buckets)
+          case other => sys.error(s"search: unknown --mode $other")
+        }
+        val rows = hits.limit(flags.getOrElse("limit", "100").toInt).collect()
+        rows.foreach(r => println(r.mkString("\t")))
+        println(s"""{"hits":${rows.length},"mode":${
+          "\"" + flags.getOrElse("mode", "phrase") + "\""}}""")
+      } finally spark.stop()
+
     case "diff" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"diff: missing --$k"))
@@ -284,6 +328,9 @@ object Cli {
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
+           |  index --in <sfdir> --table documents --out <dir> [--buckets 64]
+           |  search --index <dir> --terms "w1 w2" [--mode phrase|proximity|bm25]
+           |         [--window 8] [--k 10] [--limit 100]
            |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
       sys.exit(2)
   }
