@@ -63,16 +63,19 @@ object Bench {
     //     metric "total_full" so no consumer confuses it with the
     //     headline) — bonus if it survives;
     //  2. grouped per-query lines, ~13 queries each: short unique "qNN"
-    //     keys + 3-decimal seconds keep all 77 timings under ~1.3 KB
-    //     total, so EVERY query's number survives any plausible tail
-    //     window (one line per query never fit: 77 * ~55 B > 2 KB);
+    //     keys + 3-decimal seconds keep the full timing set under
+    //     ~1.5 KB total, so EVERY query's number survives any plausible
+    //     tail window (one line per query never fit: ~55 B each > 2 KB);
     //  3. the short final headline (metric "total" — the key the driver
     //     parses) with the earliest 7 full-name timings as a cross-check.
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val shortKey = "^(q[0-9]+).*$".r
     val grouped = results.map { case (k, v) =>
       val sk = k match { case shortKey(p) => p; case _ => k }
-      f""""$sk":$v%.3f"""
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+      // a comma-decimal locale (de_DE etc.) would corrupt the JSON
+      String.format(java.util.Locale.ROOT, "\"%s\":%.3f",
+        sk, Double.box(v))
     }.grouped(13).toSeq
     grouped.zipWithIndex.foreach { case (g, i) =>
       println(s"""{"metric":"qtimes","part":${i + 1},"parts":${grouped.size},"queries":${g.mkString("{", ",", "}")}}""")

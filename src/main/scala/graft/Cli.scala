@@ -242,10 +242,12 @@ object Cli {
         val out = req("out")
         val postings = graft.ops.Invert.postings(docs, idCol, textCol)
         graft.ops.Invert.writeIndex(postings, s"$out/postings", buckets)
-        graft.ops.Invert.docLengths(postings)
+        // derive doc lengths from the parquet just written — the lazy
+        // postings plan would re-run the full corpus aggregate
+        val written = spark.read.parquet(s"$out/postings")
+        graft.ops.Invert.docLengths(written)
           .write.mode("overwrite").parquet(s"$out/doclen")
-        val n = spark.read.parquet(s"$out/postings").count()
-        println(s"""{"postings":$n,"buckets":$buckets,"out":"$out"}""")
+        println(s"""{"postings":${written.count()},"buckets":$buckets,"out":"$out"}""")
       } finally spark.stop()
 
     case "search" :: rest =>

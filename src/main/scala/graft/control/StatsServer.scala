@@ -23,9 +23,15 @@ class StatsServer(port: Int) {
     server.createContext("/api/v1/replicators", new Handler)
     // bare liveness probe (reference internal/archiver/handlers.go:9-14):
     // GET /health -> 200 with an empty body, no JSON — what a k8s-style
-    // probe hits without parsing anything
+    // probe hits without parsing anything. Go's ServeMux matches the
+    // "/health" pattern EXACTLY, while JDK contexts match by prefix —
+    // 404 the prefix-matched strays (/healthz etc.) for parity, and
+    // answer HEAD like Go would (same handler, no body anyway).
     server.createContext("/health", (ex: HttpExchange) => {
-      val code = if (ex.getRequestMethod == "GET") 200 else 405
+      val code =
+        if (ex.getRequestURI.getPath != "/health") 404
+        else if (ex.getRequestMethod == "GET" || ex.getRequestMethod == "HEAD") 200
+        else 405
       ex.sendResponseHeaders(code, -1)
       ex.close()
     })

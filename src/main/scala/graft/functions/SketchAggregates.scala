@@ -92,12 +92,18 @@ case class MisraGriesSketch(
       ArrayBasedMapData(keys, vals)))
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: the sketch is registered
+  // for arbitrary string columns (boilerplate LINES among them) and
+  // writeUTF throws past 64 KB per value
   override def serialize(buf: MisraGriesSketch.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    buf.counts.foreach { case (w, c) =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -108,7 +114,13 @@ case class MisraGriesSketch(
     val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     new MisraGriesSketch.Buffer(n, m)
   }
 

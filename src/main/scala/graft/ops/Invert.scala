@@ -57,11 +57,30 @@ object Invert {
 
   /** Persist the postings index partitioned by term bucket. A phrase
     * query then lists at most |phrase| of `nBuckets` directories.
+    *
+    * The bucket count is EMBEDDED in the data (constant `nb` column —
+    * parquet RLE stores it in a few bytes), so query functions derive
+    * the modulus from the index itself instead of trusting a caller
+    * parameter: a mismatched caller value would silently prune the
+    * wrong partitions and return false negatives.
     */
   def writeIndex(postings: DataFrame, path: String, nBuckets: Int = 64): Unit =
     postings
       .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("nb", lit(nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** The bucket modulus a query must use with this index: the embedded
+    * `nb` constant when present (one-row read), else the caller's
+    * fallback (pre-`nb` indexes), else no pruning for unbucketed
+    * postings.
+    */
+  private def bucketModulus(index: DataFrame, fallback: Int): Option[Int] =
+    if (!index.columns.contains("bucket")) None
+    else if (index.columns.contains("nb"))
+      index.select(col("nb")).limit(1).collect()
+        .headOption.map(_.getInt(0)).orElse(Some(fallback))
+    else Some(fallback)
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -85,11 +104,11 @@ object Invert {
     require(phrase.nonEmpty, "phrase must be non-empty")
     val terms = phrase.map(_.toLowerCase)
     val distinctTerms = terms.distinct
-    val pruned =
-      if (index.columns.contains("bucket"))
-        index.filter(col("bucket")
-          .isin(distinctTerms.map(termBucket(_, nBuckets)).distinct: _*))
-      else index
+    val pruned = bucketModulus(index, nBuckets) match {
+      case Some(n) => index.filter(col("bucket")
+        .isin(distinctTerms.map(termBucket(_, n)).distinct: _*))
+      case None => index
+    }
     val perDoc = pruned
       .filter(col("term").isin(distinctTerms: _*))
       .groupBy(col("doc_id"))
@@ -126,11 +145,11 @@ object Invert {
     require(terms.nonEmpty, "terms must be non-empty")
     require(window >= 1, "window must be >= 1")
     val distinctTerms = terms.map(_.toLowerCase).distinct
-    val pruned =
-      if (index.columns.contains("bucket"))
-        index.filter(col("bucket")
-          .isin(distinctTerms.map(termBucket(_, nBuckets)).distinct: _*))
-      else index
+    val pruned = bucketModulus(index, nBuckets) match {
+      case Some(n) => index.filter(col("bucket")
+        .isin(distinctTerms.map(termBucket(_, n)).distinct: _*))
+      case None => index
+    }
     val perDoc = pruned
       .filter(col("term").isin(distinctTerms: _*))
       .groupBy(col("doc_id"))
@@ -152,10 +171,15 @@ object Invert {
 
   /** Per-document token counts derived from the postings (sum of tf) —
     * computed ONCE at index-build time and persisted beside the index,
-    * so ranked retrieval never rescans the corpus. Docs with zero
-    * tokens have no postings rows and are absent (they can't score;
-    * they'd only shift n_docs/avgdl — corpora are cleaned of empties
-    * upstream by `TextAnalysis.cleanText` gates).
+    * so ranked retrieval never rescans the corpus. The dl frame DEFINES
+    * the scored collection (n_docs/avgdl in [[bm25FromIndex]]): docs
+    * with zero tokens have no postings rows and are absent here, so on
+    * a corpus containing empty docs this differs from
+    * `Retrieval.bm25TopK` (which counts them with dl=0). For exact
+    * parity on such a corpus, derive dl from the corpus instead
+    * (`docs.select(id, size(tokens(text)))`); the fixture corpora have
+    * no empty docs (asserted in InvertSpec), and curated pipelines drop
+    * them at the quality gate.
     */
   def docLengths(postings: DataFrame): DataFrame =
     postings.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
@@ -173,12 +197,15 @@ object Invert {
       queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       nBuckets: Int = 64): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val terms = queryTerms.map(_.toLowerCase).distinct
-    val pruned =
-      if (index.columns.contains("bucket"))
-        index.filter(col("bucket")
-          .isin(terms.map(termBucket(_, nBuckets)).distinct: _*))
-      else index
+    // terms matched AS GIVEN — Retrieval.bm25TopK does not case-fold its
+    // query terms, and score parity (pinned in InvertSpec) requires the
+    // same no-match behavior for e.g. 'Window' vs 'window'
+    val terms = queryTerms.distinct
+    val pruned = bucketModulus(index, nBuckets) match {
+      case Some(n) => index.filter(col("bucket")
+        .isin(terms.map(termBucket(_, n)).distinct: _*))
+      case None => index
+    }
     val tf = pruned.filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -85,7 +85,10 @@ object Sampling {
     require(k >= 1, "k must be >= 1")
     val key = pow(hashScore(col(idCol)),
       lit(1.0) / col(weightCol).cast("double"))
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // NaN > 0 is TRUE under Spark's ordering and NaN keys sort above
+    // every real key under desc — filter them with the other undrawables
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .withColumn(keyCol, round(key, 9))
       .orderBy(col(keyCol).desc, col(idCol))
       .limit(k)

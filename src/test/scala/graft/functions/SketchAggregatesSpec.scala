@@ -74,4 +74,13 @@ class SketchAggregatesSpec extends AnyFunSuite {
       .select(col("sk.n")).head.getLong(0)
     assert(r == 3L)
   }
+
+  test("items beyond writeUTF's 64KB limit survive buffer serialization") {
+    val big = "x" * 100000 // > 65535 UTF-8 bytes
+    val items = Seq.fill(50)(big) ++ Seq.fill(20)("small")
+    // 8 partitions force serialize/deserialize between partial and merge
+    val (n, est) = sketch(items, k = 4, parts = 8)
+    assert(n == 70L)
+    assert(est == Map(big -> 50L, "small" -> 20L))
+  }
 }

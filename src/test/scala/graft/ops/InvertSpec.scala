@@ -79,6 +79,12 @@ class InvertSpec extends AnyFunSuite {
     assert(mismatch == 0L)
     assert(rows(Invert.phraseSearchIndex(back, Seq("quick", "brown"), nBuckets = 8)) ==
       rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown"))))
+    // the embedded nb column makes a WRONG caller bucket count harmless:
+    // the modulus comes from the index, not the parameter
+    assert(rows(Invert.phraseSearchIndex(back, Seq("quick", "brown"), nBuckets = 64)) ==
+      rows(Invert.phraseSearchIndex(idx, Seq("quick", "brown"))))
+    assert(Invert.proximitySearch(back, Seq("quick", "dog"), 9, nBuckets = 64)
+      .count() == 1L)
     // the pruned plan only reads the phrase's buckets
     val planned = Invert.phraseSearchIndex(back, Seq("quick", "brown"), nBuckets = 8)
       .queryExecution.executedPlan.toString
@@ -127,8 +133,12 @@ class InvertSpec extends AnyFunSuite {
     val corpus = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val idx = Invert.postings(corpus, "doc_id", "text")
     val dl = Invert.docLengths(idx)
+    // parity precondition: the fixture has no zero-token docs (empty
+    // docs would be counted by the corpus scan but not by docLengths)
+    assert(corpus.filter(size(TextAnalysis.tokens(col("text"))) === 0).count() == 0L)
     for (terms <- Seq(Seq("customer", "vector", "spark", "query"),
-        Seq("window", "stream"), Seq("no_such_term"))) {
+        Seq("window", "stream"), Seq("no_such_term"),
+        Seq("Window", "stream"))) { // case asymmetry must match too
       val a = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
       val b = Invert.bm25FromIndex(idx, dl, terms, k = 10)

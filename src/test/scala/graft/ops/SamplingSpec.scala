@@ -96,6 +96,12 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!s3.contains(900L) && !s3.contains(901L))
     assert(s3.size == 400)
+    // NaN weights pass a naive > 0 under Spark ordering and their NaN
+    // keys would sort ABOVE every real key — they must never be drawn
+    val withNan = df.union(Seq((902L, Double.NaN)).toDF("id", "w"))
+    val s4 = Sampling.weightedSample(withNan, "id", "w", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!s4.contains(902L) && s4.size == 5)
   }
 
   test("weighted sample: 9dp-rounded frontier has real margin at both fixture SFs") {

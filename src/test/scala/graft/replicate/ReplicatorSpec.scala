@@ -91,6 +91,14 @@ class ReplicatorSpec extends AnyFunSuite {
       val health = get("/health")
       assert(health.statusCode() == 200)
       assert(health.body().isEmpty)
+      // Go's ServeMux matches "/health" exactly — prefix strays are 404
+      assert(get("/healthz").statusCode() == 404)
+      // HEAD probes (common liveness config) answer 200 like Go
+      val headReq = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/health"))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(headReq.statusCode() == 200)
 
       val list = get("/api/v1/replicators")
       assert(list.statusCode() == 200)
