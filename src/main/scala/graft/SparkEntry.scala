@@ -1254,7 +1254,29 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("n_chars") > 0),
         "doc_id", "n_chars", k = 20)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))
-        .orderBy(col("sample_key").desc, col("doc_id")))
+        .orderBy(col("sample_key").desc, col("doc_id"))),
+
+    // Range join (ops/RangeJoin): attribution windows — every purchase
+    // opens a 15-minute window; count the other event types landing
+    // inside any window. Bin-keyed equi-join decomposition (binWidth =
+    // the window length, so each interval covers <= 2 bins); the oracle
+    // replays the same inner join as a DuckDB BETWEEN theta-join. All
+    // arithmetic in exact integer microseconds on both engines.
+    "q105_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 900000000L // 15 min in microseconds
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("iv_id"),
+          unix_micros(col("ts")).as("win_s"),
+          (unix_micros(col("ts")) + lit(win)).as("win_e"))
+      val pts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type"), unix_micros(col("ts")).as("p_ts"))
+      graft.ops.RangeJoin.pointInInterval(pts, "p_ts", iv, "win_s", "win_e", win)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("iv_id")).as("n_windows"))
+        .orderBy(col("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2345,6 +2367,18 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, sample_key FROM s
         |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q105_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, epoch_us(ts) AS win_s,
+        |    epoch_us(ts) + 900000000 AS win_e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_type AS event_type, count(*) AS n_matches,
+        |  count(DISTINCT iv.iv_id) AS n_windows
+        |FROM iv JOIN events p
+        |  ON p.event_type <> 'purchase'
+        | AND epoch_us(p.ts) BETWEEN iv.win_s AND iv.win_e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (
