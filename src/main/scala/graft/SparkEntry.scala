@@ -1276,6 +1276,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_matches"),
           countDistinct(col("iv_id")).as("n_windows"))
         .orderBy(col("event_type"))
+    }),
+
+    // Count-min sketch (functions/SketchAggregates): the point-frequency
+    // complement of q102's Misra-Gries. Same sketch-oracle device:
+    // DuckDB-reproducible exact top-8 token counts + booleans asserting
+    // the CMS guarantees — est >= true (structural: counters only
+    // increment) and est <= true + 2n/width (the eps=2/width bound; min
+    // over depth=4 rows, deterministic for this fixed corpus + seeds).
+    // The probed items span head AND tail (top-4 plus four singletons)
+    // so the overcount side is exercised where collisions actually bite.
+    "q106_cms_counts" -> ((s, dir) => {
+      val depth = 4; val width = 8192
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val sk = toks.agg(graft.functions.cms_sketch(col("w"), depth, width).as("sk"))
+        .select(col("sk.n").as("n"), col("sk.table").as("tbl"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val probes = counts.orderBy(col("cnt").desc, col("w")).limit(4)
+        .unionAll(counts.orderBy(col("cnt").asc, col("w")).limit(4))
+      probes.crossJoin(broadcast(sk))
+        .withColumn("est",
+          graft.functions.cms_estimate(col("tbl"), col("w"), depth, width))
+        .withColumn("cms_bound_ok",
+          col("est") >= col("cnt") &&
+          col("est").cast("double") <=
+            col("cnt").cast("double") + lit(2.0) * col("n") / width)
+        .select(col("w"), col("cnt"), col("cms_bound_ok"))
+        .orderBy(col("cnt").desc, col("w"))
     })
   )
 
@@ -2379,6 +2407,19 @@ object SparkEntry {
         |  ON p.event_type <> 'purchase'
         | AND epoch_us(p.ts) BETWEEN iv.win_s AND iv.win_e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q106_cms_counts" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT unnest(toks) AS w FROM t),
+        |g AS (SELECT w, count(*)::BIGINT AS cnt FROM c GROUP BY w),
+        |probes AS (
+        |  (SELECT w, cnt FROM g ORDER BY cnt DESC, w LIMIT 4)
+        |  UNION ALL
+        |  (SELECT w, cnt FROM g ORDER BY cnt ASC, w LIMIT 4))
+        |SELECT w, cnt, TRUE AS cms_bound_ok FROM probes
+        |ORDER BY cnt DESC, w""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
@@ -167,4 +168,171 @@ object MisraGriesSketch {
       }
       dead.foreach(counts.remove)
     }
+}
+
+/** Count-min sketch as a mergeable aggregate — the POINT-FREQUENCY
+  * complement of [[MisraGriesSketch]] (Cormode & Muthukrishnan, J.
+  * Algorithms 2005). MG answers "which items dominate" with k counters
+  * but forgets everything evicted; CMS answers "how often did THIS item
+  * occur" for ANY item in O(depth) probes of a fixed depth x width
+  * counter table, at the price of one-sided overcount.
+  *
+  * Guarantees: `est >= true` ALWAYS (counters only increment, min over
+  * rows can't undercount), and `est <= true + eps*n` with probability
+  * `1 - (1/2)^depth` per query for `eps = 2/width` (each row overcounts
+  * by < 2n/width with prob > 1/2 by Markov; the min beats the bound
+  * unless every row misses). Merge = elementwise table add — the sums
+  * commute with the counting, so Spark's partial aggregation ships one
+  * depth x width table per partition (width*depth*8 bytes, constant in
+  * corpus size) and the merged sketch is IDENTICAL to a single-pass
+  * build: the distributed form is exact, not approximate-on-top.
+  *
+  * Eval emits struct(n, table) so estimates stay in-plan via the
+  * codegen'd [[CmsEstimate]] (same hash kernel on both sides).
+  */
+case class CountMinSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch.Buffer] {
+
+  require(depth >= 1 && depth <= 16, "cms_sketch: depth must be in [1,16]")
+  require(width >= 2, "cms_sketch: width must be >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("table", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch needs a string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): CountMinSketch.Buffer =
+    new CountMinSketch.Buffer(0L, new Array[Long](depth * width))
+
+  override def update(buf: CountMinSketch.Buffer,
+      input: InternalRow): CountMinSketch.Buffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    buf.n += 1
+    val item = v.asInstanceOf[UTF8String]
+    var d = 0
+    while (d < depth) {
+      buf.table(d * width + CmsKernel.bucket(item, d, width)) += 1
+      d += 1
+    }
+    buf
+  }
+
+  override def merge(a: CountMinSketch.Buffer,
+      b: CountMinSketch.Buffer): CountMinSketch.Buffer = {
+    a.n += b.n
+    var i = 0
+    while (i < a.table.length) { a.table(i) += b.table(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: CountMinSketch.Buffer): Any =
+    new GenericInternalRow(Array[Any](buf.n,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.table)))
+
+  override def serialize(buf: CountMinSketch.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    var i = 0
+    while (i < buf.table.length) { out.writeLong(buf.table(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val table = new Array[Long](depth * width)
+    var i = 0
+    while (i < table.length) { table(i) = in.readLong(); i += 1 }
+    new CountMinSketch.Buffer(n, table)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object CountMinSketch {
+  final class Buffer(var n: Long, val table: Array[Long])
+}
+
+/** Shared hash kernel: the aggregate's update and the estimate
+  * expression MUST agree bucket-for-bucket, so both call these statics
+  * (Scala object = static forwarders, callable from generated Java).
+  * Row seeds are fixed constants — the sketch is deterministic for a
+  * given input multiset, merge-order independent.
+  */
+object CmsKernel {
+  def bucket(item: UTF8String, row: Int, width: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      item.getBaseObject, item.getBaseOffset, item.numBytes,
+      0x2e7e57e5 + row * 0x9e3779b9)
+    java.lang.Math.floorMod(h, width)
+  }
+
+  def estimate(table: org.apache.spark.sql.catalyst.util.ArrayData,
+      item: UTF8String, depth: Int, width: Int): Long = {
+    var min = java.lang.Long.MAX_VALUE
+    var d = 0
+    while (d < depth) {
+      val v = table.getLong(d * width + bucket(item, d, width))
+      if (v < min) min = v
+      d += 1
+    }
+    min
+  }
+}
+
+/** cms_estimate(table, item) -> bigint: min-over-rows point query against
+  * a [[CountMinSketch]] table, inside whole-stage codegen. depth/width
+  * must match the sketch that built the table (a mismatch reads wrong
+  * slots — same contract as any sketch family's (build, query) pair).
+  */
+case class CmsEstimate(left: Expression, right: Expression,
+    depth: Int, width: Int) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), StringType) =>
+        if (depth >= 1 && width >= 2) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "cms_estimate: depth must be >= 1 and width >= 2")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate needs (array<bigint>, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(t: Any, i: Any): Any =
+    CmsKernel.estimate(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      i.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, i) =>
+      s"graft.functions.CmsKernel.estimate($t, $i, $depth, $width)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }

@@ -70,6 +70,19 @@ package object functions {
   def mg_sketch(item: Column, k: Int): Column =
     toColumn(MisraGriesSketch(exprOf(item), k).toAggregateExpression())
 
+  /** Count-min sketch aggregate: struct(n, depth x width counter table)
+    * with `true <= est <= true + 2n/width` (w.h.p. per row, min over
+    * depth rows), merge-exact across partitions.
+    */
+  def cms_sketch(item: Column, depth: Int, width: Int): Column =
+    toColumn(CountMinSketch(exprOf(item), depth, width).toAggregateExpression())
+
+  /** Point-frequency query against a cms_sketch table (codegen'd);
+    * depth/width must match the building sketch.
+    */
+  def cms_estimate(table: Column, item: Column, depth: Int, width: Int): Column =
+    toColumn(CmsEstimate(exprOf(table), exprOf(item), depth, width))
+
   /** Tokens present in a fixed word set — multiplicity-counting by
     * default, distinct token types with `distinct = true`. One codegen'd
     * pass; replaces interpreted `filter`/`array_intersect` HOF forms.
@@ -240,6 +253,12 @@ package object functions {
     reg.createOrReplaceTempFunction("mg_sketch",
       es => MisraGriesSketch(es(0), intArg(es(1), "mg_sketch", "k"))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      es => CountMinSketch(es(0), intArg(es(1), "cms_sketch", "depth"),
+        intArg(es(2), "cms_sketch", "width")).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      es => CmsEstimate(es(0), es(1), intArg(es(2), "cms_estimate", "depth"),
+        intArg(es(3), "cms_estimate", "width")), "built-in")
     reg.createOrReplaceTempFunction("count_in_set",
       es => CountInSet(es(0), stringArrayArg(es(1), "count_in_set", "words"),
         distinct = es.length > 2 && es(2).eval(null) == true), "built-in")

@@ -83,4 +83,69 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(n == 70L)
     assert(est == Map(big -> 50L, "small" -> 20L))
   }
+
+  // ------------------------------------------------------- count-min —
+
+  private def cmsEstimates(items: Seq[String], probes: Seq[String],
+      depth: Int, width: Int, parts: Int): (Long, Map[String, Long]) = {
+    val sk = items.toDF("w").repartition(parts)
+      .agg(graft.functions.cms_sketch(col("w"), depth, width).as("sk"))
+      .select(col("sk.n").as("n"), col("sk.table").as("tbl"))
+    val out = probes.toDF("p").crossJoin(broadcast(sk))
+      .select(col("p"),
+        graft.functions.cms_estimate(col("tbl"), col("p"), depth, width).as("est"),
+        col("n"))
+      .collect()
+    (out.head.getLong(2), out.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("cms: est >= true always, and within eps*n on a zipf stream") {
+    val rnd = new scala.util.Random(13)
+    val items = Seq.fill(30000)(s"w${(math.pow(rnd.nextDouble(), 3) * 2000).toInt}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val depth = 4; val width = 1024
+    val probes = truth.keys.take(200).toSeq ++ Seq("never-seen-1", "never-seen-2")
+    val (n, est) = cmsEstimates(items, probes, depth, width, parts = 1)
+    assert(n == items.size)
+    probes.foreach { p =>
+      val t = truth.getOrElse(p, 0L)
+      assert(est(p) >= t, s"$p: undercount ${est(p)} < $t")
+      assert(est(p) <= t + 2.0 * n / width,
+        s"$p: ${est(p)} > $t + eps*n = ${t + 2.0 * n / width}")
+    }
+  }
+
+  test("cms: merged sketch across 32 partitions is IDENTICAL to 1-partition") {
+    val rnd = new scala.util.Random(17)
+    val items = Seq.fill(20000)(s"t${rnd.nextInt(500)}")
+    val probes = (0 until 500).map(i => s"t$i")
+    val (n1, e1) = cmsEstimates(items, probes, 4, 512, parts = 1)
+    val (n32, e32) = cmsEstimates(items, probes, 4, 512, parts = 32)
+    assert(n1 == n32)
+    assert(e1 == e32) // elementwise table add commutes with counting
+  }
+
+  test("cms: wide sketch is exact on small cardinality") {
+    val items = Seq.fill(100)("a") ++ Seq.fill(7)("b") ++ Seq("c")
+    val (_, est) = cmsEstimates(items, Seq("a", "b", "c"), 6, 65536, parts = 4)
+    // 3 items in 6x65536 slots: collision across ALL 6 rows is ~impossible
+    assert(est == Map("a" -> 100L, "b" -> 7L, "c" -> 1L))
+  }
+
+  test("cms: nulls are skipped") {
+    val sk = Seq(Some("x"), None, Some("x")).toDF("w")
+      .agg(graft.functions.cms_sketch(col("w"), 2, 64).as("sk"))
+      .select(col("sk.n")).head
+    assert(sk.getLong(0) == 2L)
+  }
+
+  test("cms: SQL registration works") {
+    graft.functions.registerAll(spark)
+    Seq("a", "a", "b").toDF("w").createOrReplaceTempView("cms_in")
+    val r = spark.sql(
+      """SELECT cms_estimate(sk.table, 'a', 3, 128) AS est FROM
+        |  (SELECT cms_sketch(w, 3, 128) AS sk FROM cms_in)""".stripMargin)
+      .head.getLong(0)
+    assert(r == 2L)
+  }
 }
