@@ -1304,6 +1304,23 @@ object SparkEntry {
             col("cnt").cast("double") + lit(2.0) * col("n") / width)
         .select(col("w"), col("cnt"), col("cms_bound_ok"))
         .orderBy(col("cnt").desc, col("w"))
+    }),
+
+    // SQ8 ANN (ops/Similarity): the 4x-compression rung between raw
+    // brute force (q50) and IVF-PQ (q91). Per-dim trained ranges off the
+    // shared sampling scan, byte-code ADC shortlist (dim bytes/row),
+    // exact rerank on the shortlist only. SQ8's half-step error bound is
+    // tight enough that a 3x-k shortlist recovers the exact top-10 — so
+    // the OUTPUT equals DuckDB's exact top-10, no recall device needed
+    // (verified at both fixture SFs; SimilaritySpec pins the bound).
+    "q107_ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val sample = Similarity.sampleVectors(emb, "embedding")
+      val (vmin, vdiff) = Similarity.trainSqFromSample(sample)
+      val codes = Similarity.sqEncode(emb, "vec_id", "embedding", vmin, vdiff)
+      Similarity.sqTopKRerank(codes, "vec_id", vmin, vdiff, q,
+        emb, "vec_id", "embedding", k = 10, shortlist = 30)
     })
   )
 
@@ -2420,6 +2437,12 @@ object SparkEntry {
         |  (SELECT w, cnt FROM g ORDER BY cnt ASC, w LIMIT 4))
         |SELECT w, cnt, TRUE AS cms_bound_ok FROM probes
         |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q107_ann_sq8" ->
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -116,6 +116,14 @@ package object functions {
   /** Unicode NFC normalization (UAX #15 canonical compose), codegen'd. */
   def nfc_normalize(text: Column): Column = toColumn(NormalizeNfc(exprOf(text)))
 
+  /** SQ8 encode: dim bytes under per-dimension trained ranges. */
+  def sq_code(vec: Column, vmin: Array[Float], vdiff: Array[Float]): Column =
+    toColumn(SqCode(exprOf(vec), vmin, vdiff))
+
+  /** SQ8 asymmetric score: c0 + sum(w_i * code_i), codes-only. */
+  def sq_adc(code: Column, weights: Array[Float], c0: Double): Column =
+    toColumn(SqAdc(exprOf(code), weights, c0))
+
   /** Subword segments of a word under a BPE merge table (array-based
     * Sennrich apply — one greedy scan per merge, never across segment
     * boundaries).

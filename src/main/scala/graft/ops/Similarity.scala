@@ -672,4 +672,89 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------------------- SQ8 —
+
+  /** Train SQ8 per-dimension ranges from a sample (pair with
+    * [[sampleVectors]] so one sampling scan feeds every trainer): the
+    * min and width of each NORMALIZED dimension. Returns (vmin, vdiff).
+    * Out-of-sample values clamp at encode time — bounded decode error,
+    * so a rerank-topped query is still exact-ordered; train on wider
+    * samples (or the full table) to shrink clamp incidence.
+    */
+  def trainSqFromSample(sample: Array[Array[Float]]): (Array[Float], Array[Float]) = {
+    require(sample.nonEmpty, "cannot train SQ on an empty sample")
+    val dim = sample.head.length
+    val vmin = Array.fill(dim)(Float.MaxValue)
+    val vmax = Array.fill(dim)(Float.MinValue)
+    sample.foreach { v =>
+      val u = normalized(v)
+      var i = 0
+      while (i < dim) {
+        if (u(i) < vmin(i)) vmin(i) = u(i)
+        if (u(i) > vmax(i)) vmax(i) = u(i)
+        i += 1
+      }
+    }
+    (vmin, Array.tabulate(dim)(i => vmax(i) - vmin(i)))
+  }
+
+  /** Encode the corpus into the SQ8 index: (id [, keep...], code) with
+    * dim BYTES per vector — 4x smaller than float32. Map-only (one
+    * codegen'd affine pass against broadcast constants); `keep` carries
+    * extra columns through (pass "cell" from [[ivfIndex]] output to get
+    * an IVF-SQ index whose probes prune at file-listing time via
+    * [[writeIndex]], exactly like the PQ path).
+    */
+  def sqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      vmin: Array[Float], vdiff: Array[Float],
+      keep: Seq[String] = Nil): DataFrame =
+    emb.select(col(idCol) +: keep.map(col) :+
+      graft.functions.sq_code(col(vecCol), vmin, vdiff).as("code"): _*)
+
+  /** Per-query SQ scoring constants: w_i = q̂_i * vdiff_i / 255 and
+    * c0 = <q̂, vmin>.
+    */
+  private def sqQuery(vmin: Array[Float], vdiff: Array[Float],
+      query: Seq[Float]): (Array[Float], Double) = {
+    val qn = normalized(query.toArray)
+    val w = Array.tabulate(qn.length)(i => qn(i) * vdiff(i) / 255.0f)
+    var c0 = 0.0
+    var i = 0
+    while (i < qn.length) { c0 += qn(i).toDouble * vmin(i); i += 1 }
+    (w, c0)
+  }
+
+  /** Top-k by the SQ8 asymmetric estimate: one codes-only scan (dim
+    * bytes per row) + TakeOrdered — the same ideal exch=0 shape as
+    * [[topK]] at a quarter of the bytes. Returns (id, sim_sq).
+    */
+  def sqTopK(index: DataFrame, idCol: String,
+      vmin: Array[Float], vdiff: Array[Float],
+      query: Seq[Float], k: Int): DataFrame = {
+    val (w, c0) = sqQuery(vmin, vdiff, query)
+    index.select(col(idCol),
+        round(graft.functions.sq_adc(col("code"), w, c0), 6).as("sim_sq"))
+      .orderBy(desc("sim_sq"), col(idCol))
+      .limit(k)
+  }
+
+  /** SQ8 shortlist + exact rerank (the [[pqTopKRerank]] lifecycle): the
+    * byte-code scan shortlists, only the shortlist fetches raw vectors
+    * (broadcast semi-join — the raw side never shuffles) for the exact
+    * cosine top-k.
+    */
+  def sqTopKRerank(index: DataFrame, idCol: String,
+      vmin: Array[Float], vdiff: Array[Float],
+      query: Seq[Float], raw: DataFrame, rawIdCol: String, vecCol: String,
+      k: Int, shortlist: Int = 200): DataFrame = {
+    val sl = sqTopK(index, idCol, vmin, vdiff, query, shortlist)
+      .select(col(idCol))
+    raw.select(col(rawIdCol).as(idCol), col(vecCol))
+      .join(broadcast(sl), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
 }

@@ -316,4 +316,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._2) == List(3L, 4L), s"expected negatives 3 then 4: $out")
     assert(out.forall(_._3 == 1), "every mined negative carries the other label")
   }
+
+  // ------------------------------------------------------------- SQ8 —
+
+  test("SQ8: codes are dim bytes; full-data ranges obey the half-step error bound") {
+    import org.apache.spark.sql.functions._
+    val all = emb.collect().map(_.getSeq[Float](1).toArray)
+    val (vmin, vdiff) = Similarity.trainSqFromSample(all) // no clamp regime
+    val dim = all.head.length
+    val codes = Similarity.sqEncode(emb, "vec_id", "embedding", vmin, vdiff)
+    assert(codes.collect().forall(r => r.getAs[Array[Byte]]("code").length == dim),
+      s"every vector must encode to dim=$dim bytes")
+    val n = emb.count().toInt
+    val approx = Similarity.sqTopK(codes, "vec_id", vmin, vdiff, queryVec, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = emb.select(col("vec_id"),
+        graft.functions.vec_cosine(col("embedding"),
+          graft.functions.lit_vec(queryVec)).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // deterministic bound: each dim off by <= half a quantization step
+    val qn = {
+      val q = queryVec.toArray
+      val inv = 1.0 / math.sqrt(q.map(x => x.toDouble * x).sum)
+      q.map(x => (x * inv).toFloat)
+    }
+    val bound = (0 until dim).map(i => math.abs(qn(i).toDouble) * vdiff(i) / 510.0).sum
+    exact.foreach { case (id, s) =>
+      val e = math.abs(approx(id) - s)
+      assert(e <= bound + 1e-6, s"vec $id: |sq - exact| = $e > bound $bound")
+    }
+  }
+
+  test("SQ8 rerank with a generous shortlist equals brute force exactly") {
+    val sample = Similarity.sampleVectors(emb, "embedding")
+    val (vmin, vdiff) = Similarity.trainSqFromSample(sample)
+    val codes = Similarity.sqEncode(emb, "vec_id", "embedding", vmin, vdiff)
+    val reranked = Similarity.sqTopKRerank(codes, "vec_id", vmin, vdiff,
+      queryVec, emb, "vec_id", "embedding", k = 10, shortlist = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reranked == exact,
+      s"generous-shortlist rerank must reproduce brute force:\n$reranked\nvs\n$exact")
+  }
+
+  test("SQ8: out-of-range values clamp (saturate) instead of wrapping") {
+    import spark.implicits._
+    // ranges trained on axis-aligned unit vectors; probe far outside
+    val train = Array(Array(1f, 0f), Array(0f, 1f))
+    val (vmin, vdiff) = Similarity.trainSqFromSample(train)
+    val df = Seq((1L, Seq(-5f, 5f))).toDF("vec_id", "embedding")
+    val code = Similarity.sqEncode(df, "vec_id", "embedding", vmin, vdiff)
+      .head.getAs[Array[Byte]]("code")
+    // normalized (-0.707, 0.707): dim 0 below vmin=0 -> clamps to 0;
+    // dim 1 inside [0,1] quantizes normally
+    assert((code(0) & 0xFF) == 0, s"expected saturation at 0, got ${code(0) & 0xFF}")
+    assert((code(1) & 0xFF) > 0 && (code(1) & 0xFF) < 255)
+  }
+
+  test("SQ8 composes with IVF: keep carries the cell column through encode") {
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 4, iters = 2)
+    val ivf = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val sample = Similarity.sampleVectors(emb, "embedding")
+    val (vmin, vdiff) = Similarity.trainSqFromSample(sample)
+    val idx = Similarity.sqEncode(ivf, "vec_id", "embedding", vmin, vdiff,
+      keep = Seq("cell"))
+    assert(idx.columns.toSeq == Seq("vec_id", "cell", "code"))
+    assert(idx.count() == emb.count())
+  }
 }
