@@ -1321,6 +1321,28 @@ object SparkEntry {
       val codes = Similarity.sqEncode(emb, "vec_id", "embedding", vmin, vdiff)
       Similarity.sqTopKRerank(codes, "vec_id", vmin, vdiff, q,
         emb, "vec_id", "embedding", k = 10, shortlist = 30)
+    }),
+
+    // Incremental index maintenance (Invert.mergePostings): every 3rd
+    // document is "updated" (text gains a marker suffix) and re-indexed
+    // as a delta batch; the merge anti-joins the stale base rows away
+    // and unions the fresh postings — row-identical to a full rebuild
+    // over the updated corpus, which is exactly what the oracle
+    // computes from scratch in DuckDB. Probes cover an added term, two
+    // steady terms, and (via tf_total) replaced-row position counts.
+    "q108_index_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = graft.ops.Invert.postings(docs, "doc_id", "text")
+      val delta = graft.ops.Invert.postings(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("text",
+            concat(col("text"), lit(" refreshed corpus entry"))),
+        "doc_id", "text")
+      graft.ops.Invert.mergePostings(base, delta)
+        .filter(col("term").isin("refreshed", "window", "stream", "batch"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+        .orderBy(col("term"))
     })
   )
 
@@ -2443,6 +2465,21 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q108_index_merge" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' refreshed corpus entry'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM corpus),
+        |c AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |g AS (SELECT w AS term, doc_id, count(*)::BIGINT AS tf FROM c GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf_total
+        |FROM g WHERE term IN ('refreshed', 'window', 'stream', 'batch')
+        |GROUP BY term ORDER BY term""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -225,6 +225,36 @@ object Invert {
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
+  /** Incremental index maintenance: fold a DELTA batch's postings into
+    * an existing index without re-tokenizing the base corpus. Documents
+    * present in the delta REPLACE their base postings wholesale (a
+    * changed document's old terms must disappear — per-term merging
+    * can't express deletion); all other base rows pass through
+    * untouched. The result is row-identical to rebuilding [[postings]]
+    * over the updated corpus (pinned in InvertSpec), so every query
+    * function ([[phraseSearchIndex]], [[bm25FromIndex]], [[docLengths]])
+    * works on merged output unchanged.
+    *
+    * 100 TB shape: the base side streams through ONE doc_id-keyed
+    * anti-join against the delta's distinct doc ids (delta docs are a
+    * tiny fraction of the corpus, so AQE broadcasts that side) — cost is
+    * a base scan + the delta's own build, NEVER a corpus re-tokenize or
+    * a per-(term, doc) merge shuffle. Chain batches by folding each new
+    * delta into the previous merge; persist checkpoints with
+    * [[writeIndex]] (bucketing is a property of the WRITE, so merged
+    * output re-buckets cleanly at the next checkpoint).
+    */
+  def mergePostings(base: DataFrame, delta: DataFrame): DataFrame = {
+    // normalize to the postings shape so a persisted base (readIndex
+    // carries bucket/nb partition columns) merges as cleanly as an
+    // in-memory one
+    val shape = Seq("term", "doc_id", "positions", "tf").map(col)
+    val replaced = delta.select(col("doc_id")).distinct()
+    base.join(replaced, Seq("doc_id"), "left_anti")
+      .select(shape: _*) // using-column joins reorder; pin postings shape
+      .unionByName(delta.select(shape: _*))
+  }
+
   /** Index-free direct phrase scan — map-only (zero shuffles): filter
     * candidate start positions of the token array with a conjunction of
     * `element_at` probes. Same output contract as

@@ -153,4 +153,72 @@ class InvertSpec extends AnyFunSuite {
     assert(rows(Invert.phraseSearch(d, "doc_id", "text", Seq("a", "b"))) ==
       Seq((3L, 1L, 0L)))
   }
+
+  // ----------------------------------------------------- merge —
+
+  private def postingsSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
+      .toSet
+
+  test("mergePostings: delta docs replace, others pass through == full rebuild") {
+    val updated = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely new words only"), // replaced: old quick/brown must vanish
+      (3L, "Brown QUICK brown"),
+      (4L, "nothing relevant here"),
+      (5L, "quick"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val base = Invert.postings(docs, "doc_id", "text")
+    val delta = Invert.postings(
+      updated.filter($"doc_id" === 2L), "doc_id", "text")
+    val merged = Invert.mergePostings(base, delta)
+    assert(postingsSet(merged) ==
+      postingsSet(Invert.postings(updated, "doc_id", "text")))
+    // deletion semantics: doc 2's stale terms are gone
+    assert(merged.filter($"term" === "quick" && $"doc_id" === 2L).count() == 0L)
+  }
+
+  test("mergePostings: disjoint delta (pure append) == rebuild over the union") {
+    val newDocs = Seq(
+      (7L, "fresh append only document"),
+      (8L, "quick append")).toDF("doc_id", "text")
+    val merged = Invert.mergePostings(
+      Invert.postings(docs, "doc_id", "text"),
+      Invert.postings(newDocs, "doc_id", "text"))
+    assert(postingsSet(merged) ==
+      postingsSet(Invert.postings(docs.unionByName(newDocs), "doc_id", "text")))
+  }
+
+  test("mergePostings: chained deltas fold; queries run on merged output") {
+    val d1 = Seq((7L, "alpha beta")).toDF("doc_id", "text")
+    val d2 = Seq((7L, "beta gamma beta")).toDF("doc_id", "text") // re-update 7
+    val m = Invert.mergePostings(
+      Invert.mergePostings(Invert.postings(docs, "doc_id", "text"),
+        Invert.postings(d1, "doc_id", "text")),
+      Invert.postings(d2, "doc_id", "text"))
+    val expect = Invert.postings(
+      docs.unionByName(Seq((7L, "beta gamma beta")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    assert(postingsSet(m) == postingsSet(expect))
+    // the second update wins: tf(beta, 7) = 2, alpha is gone
+    assert(rows(Invert.phraseSearchIndex(m, Seq("beta", "gamma"))) ==
+      Seq((7L, 1L, 0L)))
+    assert(m.filter($"term" === "alpha").count() == 0L)
+  }
+
+  test("mergePostings accepts a persisted base (bucket/nb columns dropped)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-merge").toString
+    Invert.writeIndex(Invert.postings(docs, "doc_id", "text"), dir, nBuckets = 8)
+    val base = Invert.readIndex(spark, dir)
+    val delta = Invert.postings(
+      Seq((2L, "replacement text")).toDF("doc_id", "text"), "doc_id", "text")
+    val merged = Invert.mergePostings(base, delta)
+    assert(merged.columns.toSeq == Seq("term", "doc_id", "positions", "tf"))
+    val updated = docs.filter($"doc_id" =!= 2L)
+      .unionByName(Seq((2L, "replacement text")).toDF("doc_id", "text"))
+    assert(postingsSet(merged) ==
+      postingsSet(Invert.postings(updated, "doc_id", "text")))
+  }
 }
