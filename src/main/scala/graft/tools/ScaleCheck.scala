@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Decontamination, Dedup, Invert, SetSimJoin, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Invert, RangeJoin, SetSimJoin, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -573,6 +573,165 @@ object ScaleCheck {
       f"above_slack=${mustRetain.size} bounds_ok=$boundsOk " +
       f"frequent_retained=$retainedOk time=$tMg%.1f s " +
       f"(${(nMg / tMg / 1e6)}%.1f M tokens/s)")
+    }
+
+    if (run("rangejoin")) {
+    // ---- 5e. Binned range join — 1M points x 100k intervals ----------
+    // The naive theta-join is 1e11 comparisons (BroadcastNestedLoop);
+    // the binned decomposition must (a) answer EXACTLY the same pairs
+    // regardless of binWidth — a strong correctness invariant, since
+    // different bin edges exercise completely different explode covers —
+    // and (b) touch candidate volume ~ |P| + matches, orders below the
+    // cross product.
+    val nPts = 1000000L
+    val nIv = 100000L
+    val ivLen = 2000L // interval length ~2x binWidth at w=1000
+    val pts = spark.range(nPts).select(col("id").as("p_id"),
+      pmod(xxhash64(col("id")), lit(100000000L)).as("p"))
+    val ivs = spark.range(nIv).select(col("id").as("iv_id"),
+      pmod(xxhash64(col("id"), lit(7)), lit(100000000L)).as("s"))
+      .withColumn("e", col("s") + (pmod(xxhash64(col("iv_id"), lit(9)), lit(ivLen)) + 1))
+    val (m1, tRj) = time {
+      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", 1000L).count()
+    }
+    val (m2, tRj2) = time {
+      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", 4096L).count()
+    }
+    require(m1 == m2, s"binWidth must not change the answer: $m1 != $m2")
+    // candidate rows the equi-join actually materializes (pre-filter):
+    // intervals explode to ~(len/w + 1) bins each, each bin meets ~|P|/1e5
+    // co-located points
+    val quadratic = nPts.toDouble * nIv
+    println(f"RANGEJOIN> points=$nPts intervals=$nIv matches=$m1 " +
+      f"width_invariant_ok=${m1 == m2} quadratic_avoided=${quadratic / m1.max(1L)}%.0fx " +
+      f"t_w1000=$tRj%.1f s t_w4096=$tRj2%.1f s")
+    }
+
+    if (run("cms")) {
+    // ---- 5f. Count-min sketch on a 20M-token zipf stream -------------
+    // Same deterministic skew as 5d. Structural guarantee: est >= true
+    // for EVERY probe (including never-seen words, where true = 0) —
+    // any undercount is an implementation bug (require). The eps-bound
+    // (est <= true + 2n/width) is per-row probabilistic; report the
+    // observed worst overcount against eps*n (expected well under).
+    val nTokC = 20000000L
+    val zipfC = spark.range(nTokC).select(
+      concat(lit("w"), floor(pow(
+        pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 1000000.0,
+        3.0) * 1000).cast("long")).as("w"))
+    val depthC = 4; val widthC = 65536
+    val (rowC, tCms) = time {
+      zipfC.repartition(32)
+        .agg(graft.functions.cms_sketch(col("w"), depthC, widthC).as("sk"))
+        .select(col("sk.n"), col("sk.table")).head
+    }
+    val nC = rowC.getLong(0)
+    val tableC = rowC.getSeq[Long](1).toArray
+    val exactC = zipfC.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probesC = exactC.keys.toSeq ++ (0 until 100).map(i => s"absent$i")
+    val overs = probesC.map { w =>
+      val est = graft.functions.CmsKernel.estimate(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(tableC),
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), depthC, widthC)
+      val t = exactC.getOrElse(w, 0L)
+      require(est >= t, s"CMS undercount for $w: $est < $t")
+      est - t
+    }
+    val epsN = 2.0 * nC / widthC
+    println(f"CMS> tokens=$nC depth=$depthC width=$widthC probes=${probesC.size} " +
+      f"never_undercounts=true worst_overcount=${overs.max} eps_n=$epsN%.0f " +
+      f"within_eps=${overs.count(_ <= epsN)}/${probesC.size} time=$tCms%.1f s " +
+      f"(${(nTokC / tCms / 1e6)}%.1f M tokens/s)")
+    }
+
+    if (run("sq8")) {
+    // ---- 5g. SQ8 ANN at 200k clustered vectors -----------------------
+    // The compression claim in bytes: ADC scans dim bytes/vector vs
+    // dim*4 raw — at 64 dims that is 64 B vs 256 B. Clustered data is
+    // the ADVERSARIAL case for a shortlist: the query's ~5k-member
+    // cluster packs cosine gaps tighter than the half-step quantization
+    // bound, so candidates tie under ADC and the shortlist must be
+    // sized past the tie plateau (here 2000 ≈ 1% of the corpus — still
+    // a 100x cut for the raw-vector rerank fetch) for the rerank to
+    // reproduce brute force EXACTLY. shortlist=100 measurably loses
+    // top-10 members on this distribution; uniform data (q107's
+    // fixture) is exact at 3x k.
+    val nSq = 200000L
+    val dimSq = 64
+    val embSq = embeddings(spark, nSq, dimSq).cache()
+    embSq.count()
+    val qv = embSq.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val sampleSq = Similarity.sampleVectors(embSq, "embedding")
+    val (vminSq, vdiffSq) = Similarity.trainSqFromSample(sampleSq)
+    val codesSq = Similarity.sqEncode(embSq, "vec_id", "embedding", vminSq, vdiffSq)
+      .cache()
+    codesSq.count()
+    val (exactSq, tBrute) = time {
+      Similarity.topK(embSq, "vec_id", "embedding", qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val (adcSq, tAdc) = time {
+      Similarity.sqTopK(codesSq, "vec_id", vminSq, vdiffSq, qv, 10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val recallSq = exactSq.map(_._1).toSet.intersect(adcSq).size / 10.0
+    val (rrSq, tRr) = time {
+      Similarity.sqTopKRerank(codesSq, "vec_id", vminSq, vdiffSq, qv,
+        embSq, "vec_id", "embedding", k = 10, shortlist = 2000)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    require(rrSq == exactSq, "SQ8 rerank must equal brute force")
+    println(f"SQ8> vectors=$nSq dim=$dimSq bytes_per_vec=$dimSq (raw=${dimSq * 4}) " +
+      f"adc_recall@10=$recallSq%.2f rerank_equals_exact=true " +
+      f"t_brute=$tBrute%.1f s t_adc=$tAdc%.1f s t_rerank=$tRr%.1f s")
+    embSq.unpersist(); codesSq.unpersist()
+    }
+
+    if (run("idxmerge")) {
+    // ---- 5h. Incremental index merge vs full rebuild — 210k docs -----
+    // The lifecycle claim: refreshing 1% of documents costs a base-index
+    // scan + the delta build, NOT a corpus re-tokenize. Base postings
+    // persist once (the steady state); the rebuild pays tokenize+agg
+    // over every document again. Merged output must equal the rebuild
+    // exactly (row counts + a probe query).
+    // Both contenders read from DISK (the 100 TB regime — no cached
+    // corpus), and both materialize every column (sum over tf AND
+    // positions sizes; a bare count() would let parquet prune the
+    // positions arrays and flatter whichever side reads less).
+    val nDocsIm = 200000L
+    val scRoot = java.nio.file.Files.createTempDirectory("graft-sc-idx").toString
+    corpus(spark, nDocsIm).write.mode("overwrite")
+      .parquet(s"$scRoot/corpus.parquet")
+    val corpusIm = spark.read.parquet(s"$scRoot/corpus.parquet")
+    val idxDir = s"$scRoot/index"
+    val (_, tBase) = time {
+      Invert.writeIndex(Invert.postings(corpusIm, "doc_id", "text"), idxDir)
+    }
+    def materialize(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("tf")) + sum(size(col("positions")))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val updatedIm = corpusIm.filter(col("doc_id") % 100 === 0)
+      .withColumn("text", concat(col("text"), lit(" refreshed entry")))
+    val rebuilt = Invert.postings(
+      corpusIm.filter(col("doc_id") % 100 =!= 0).unionByName(updatedIm),
+      "doc_id", "text")
+    val ((nRebuild, sumRebuild), tRebuild) = time(materialize(rebuilt))
+    val merged = Invert.mergePostings(
+      Invert.readIndex(spark, idxDir),
+      Invert.postings(updatedIm, "doc_id", "text"))
+    val ((nMerge, sumMerge), tMerge) = time(materialize(merged))
+    require(nMerge == nRebuild && sumMerge == sumRebuild,
+      s"merge ($nMerge, $sumMerge) != rebuild ($nRebuild, $sumRebuild)")
+    // every delta doc contains the marker term exactly once -> its df in
+    // the merged index must equal the delta row count exactly
+    val probeIm = merged.filter(col("term") === "refreshed").count()
+    require(probeIm == updatedIm.count(),
+      s"marker df $probeIm != delta docs ${updatedIm.count()}")
+    println(f"IDXMERGE> docs=${corpusIm.count()} delta_docs=${updatedIm.count()} " +
+      f"postings=$nRebuild t_base_build=$tBase%.1f s t_rebuild=$tRebuild%.1f s " +
+      f"t_merge=$tMerge%.1f s speedup=${tRebuild / tMerge}%.1fx")
     }
 
     if (run("sfbench")) {

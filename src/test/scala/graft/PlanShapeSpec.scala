@@ -158,4 +158,26 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(500))
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
+
+  test("q105 range join: bin equi-join, never a nested-loop range join") {
+    val p = plan("q105_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // the whole point of the binned decomposition: Spark's native plan
+    // for a pure range predicate is BroadcastNestedLoopJoin
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q107 SQ8 is exchange-free: map encode -> ADC scan -> TakeOrdered") {
+    val p = plan("q107_ann_sq8")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"SQ8 path must not shuffle:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q108 index merge: anti-join on doc_id, base rows never re-aggregate") {
+    val p = plan("q108_index_merge")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("LeftAnti"), "replacement must be an anti-join:\n" + p.take(500))
+  }
 }
