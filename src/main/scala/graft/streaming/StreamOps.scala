@@ -331,6 +331,26 @@ object StreamOps {
       }
   }
 
+  /** Stream-static range join: tag each streaming point row with the
+    * static intervals containing it — [[graft.ops.RangeJoin]]'s binned
+    * decomposition on a stream (enrichment against maintenance windows,
+    * campaign periods, rate-limit windows...). The static side explodes
+    * to its bin cover ONCE per micro-batch plan and rides a broadcast
+    * when it fits (stream-static equi-joins never shuffle the stream
+    * side's state); the stream side is map-only (one bin column), so
+    * this adds NO streaming state at all — unmatched points drop (inner)
+    * as in the batch operator, and each qualifying (interval, point)
+    * pair emits exactly once for the same reason (a point owns one bin).
+    */
+  def streamingPointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame =
+    // the batch operator IS the streaming plan: the explode touches only
+    // the static interval side, the stream side gains one map-only bin
+    // column, and an inner stream-static equi-join is stateless
+    graft.ops.RangeJoin.pointInInterval(points, pointCol,
+      intervals, startCol, endCol, binWidth)
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

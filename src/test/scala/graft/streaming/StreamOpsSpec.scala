@@ -309,4 +309,37 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(bRows == Seq(("z", 1L)))
     } finally q.stop()
   }
+
+  test("stream-static range join tags points with containing intervals, stateless") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val intervals = Seq(
+      (10L, 100L, 200L), (20L, 150L, 250L), (30L, 1000L, 1100L))
+      .toDF("iv_id", "win_s", "win_e")
+    val input = MemoryStream[(Long, Long)]
+    val pts = input.toDF().toDF("p_id", "p")
+    val q = StreamOps.streamingPointInInterval(pts, "p",
+        intervals, "win_s", "win_e", binWidth = 100L)
+      .writeStream.format("memory").queryName("rj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 175L), (2L, 100L), (3L, 999L))
+      q.processAllAvailable()
+      // 175 is inside BOTH overlapping windows; 100 hits only iv 10's
+      // inclusive start; 999 matches nothing
+      val rows1 = spark.sql("SELECT iv_id, p_id FROM rj_out ORDER BY iv_id, p_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows1 == Seq((10L, 1L), (10L, 2L), (20L, 1L)))
+      // second batch: stateless join keeps answering (no watermark, no
+      // state store growth), multi-bin interval still matches once
+      input.addData((4L, 1100L))
+      q.processAllAvailable()
+      val rows2 = spark.sql("SELECT iv_id, p_id FROM rj_out WHERE p_id = 4")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows2 == Seq((30L, 4L)))
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty),
+        "range join must not register stateful operators")
+    } finally q.stop()
+  }
 }
