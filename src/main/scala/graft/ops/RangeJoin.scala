@@ -50,9 +50,13 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(floorDiv(col(startCol), binWidth),
-        floorDiv(col(endCol), binWidth))))
+    // empty intervals (start > end) match nothing; dropped up front —
+    // Spark's sequence() would otherwise generate a DESCENDING bin
+    // cover for them and explode wasted rows
+    val iv = intervals.filter(col(startCol) <= col(endCol))
+      .withColumn("__bin",
+        explode(sequence(floorDiv(col(startCol), binWidth),
+          floorDiv(col(endCol), binWidth))))
     val pt = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     // the equi-key carries the join; the range predicate only filters
     // rows already co-located in the same bin
@@ -73,10 +77,13 @@ object RangeJoin {
       b: DataFrame, bStart: String, bEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val ae = a.withColumn("__bin",
+    // an empty interval (start > end) denotes an empty SET of points, so
+    // it overlaps nothing — without this filter the pair predicate below
+    // would accept e.g. a=[10,5] against b=[0,20]
+    val ae = a.filter(col(aStart) <= col(aEnd)).withColumn("__bin",
       explode(sequence(floorDiv(col(aStart), binWidth),
         floorDiv(col(aEnd), binWidth))))
-    val be = b.withColumn("__bin",
+    val be = b.filter(col(bStart) <= col(bEnd)).withColumn("__bin",
       explode(sequence(floorDiv(col(bStart), binWidth),
         floorDiv(col(bEnd), binWidth))))
     ae.join(be, Seq("__bin"))

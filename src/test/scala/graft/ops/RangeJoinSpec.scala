@@ -97,6 +97,15 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("empty intervals (start > end) match nothing in either variant") {
+    // point: [20, 10] is an empty set even though 15 sits "between" ends
+    assert(pointPairs(Seq((1L, 15L)), Seq((1L, 20L, 10L)), 4L) == Set())
+    // overlap: [10, 5] must not pair with [0, 20] despite the naive
+    // predicate (aS <= bE && bS <= aE) holding
+    assert(overlapPairs(Seq((1L, 10L, 5L)), Seq((1L, 0L, 20L)), 4L) == Set())
+    assert(overlapPairs(Seq((1L, 0L, 20L)), Seq((1L, 10L, 5L)), 4L) == Set())
+  }
+
   test("plan shape: bin equi-join, not a nested-loop cross product") {
     val ivs = (0 until 100).map(i => (i.toLong, i * 10L, i * 10L + 25L))
     val pts = (0 until 500).map(i => (i.toLong, i * 2L))
