@@ -250,6 +250,28 @@ object Cli {
         println(s"""{"postings":${written.count()},"buckets":$buckets,"out":"$out"}""")
       } finally spark.stop()
 
+    case "index-merge" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"index-merge: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val base = graft.ops.Invert.readIndex(spark, s"${req("index")}/postings")
+        val delta = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val buckets = flags.getOrElse("buckets", "64").toInt
+        val out = req("out")
+        val merged = graft.ops.Invert.mergePostings(base,
+          graft.ops.Invert.postings(delta, idCol, textCol))
+        graft.ops.Invert.writeIndex(merged, s"$out/postings", buckets)
+        val written = spark.read.parquet(s"$out/postings")
+        graft.ops.Invert.docLengths(written)
+          .write.mode("overwrite").parquet(s"$out/doclen")
+        println(s"""{"postings":${written.count()},"delta_docs":${
+          delta.count()},"buckets":$buckets,"out":"$out"}""")
+      } finally spark.stop()
+
     case "search" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"search: missing --$k"))
@@ -331,6 +353,8 @@ object Cli {
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
            |  index --in <sfdir> --table documents --out <dir> [--buckets 64]
+           |  index-merge --index <dir> --in <sfdir> --table documents --out <dir>
+           |         [--buckets 64]   (delta docs REPLACE same-id postings)
            |  search --index <dir> --terms "w1 w2" [--mode phrase|proximity|bm25]
            |         [--window 8] [--k 10] [--limit 100]
            |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
