@@ -361,6 +361,23 @@ object Similarity {
   def writeIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incrementally ADD an encoded batch to a persisted cell-partitioned
+    * index (raw [[ivfIndex]] rows, [[pqEncode]] codes, or [[sqEncode]]
+    * output carrying a `cell` column) — the ANN face of the
+    * index-maintenance lifecycle (`Invert.mergePostings` is the sparse
+    * one): an append-mode partitioned write lands new files inside the
+    * existing `cell=` directories, probes prune identically, and no
+    * existing data is rewritten. The coarse quantizer is FROZEN at
+    * build time — encode new batches with the ORIGINAL centroids (the
+    * standard IVF lifecycle; mixing quantizers corrupts cell geometry),
+    * retrain + [[writeIndex]] rebuild only when drift accumulates.
+    * Add-only: ids are assumed new; replacing changed vectors is a
+    * compaction rewrite — at 100 TB you compact periodically, not per
+    * batch.
+    */
+  def appendIndex(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("append").partitionBy("cell").parquet(path)
+
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -84,6 +84,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromDisk == inMem, "persisted index must answer identically")
   }
 
+  test("appendIndex: incremental batch lands in the cell layout, equals full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-append").toString + "/index"
+    // day 0: first half; day 1: the rest, encoded with the SAME centroids
+    Similarity.writeIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") < 500), "vec_id", "embedding", cents),
+      path)
+    Similarity.appendIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") >= 500), "vec_id", "embedding", cents),
+      path)
+    val disk = Similarity.readIndex(spark, path)
+    assert(disk.count() == emb.count(), "append must add, not replace")
+    // identical (id, cell) assignment as a one-shot build
+    val full = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val fullAssign = full.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = disk.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == fullAssign, "appended layout must equal the full rebuild's assignment")
+    // probes still prune partitions and answer like the one-shot index
+    val probed = Similarity.ivfTopK(disk, "vec_id", "embedding", cents,
+      queryVec, 10, nprobe = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"append broke partition pruning:\n${plan.take(600)}")
+    val inMem = Similarity.ivfTopK(full, "vec_id", "embedding", cents,
+      queryVec, 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inMem)
+  }
+
   test("distributed centroid training converges like the sampled version") {
     val cents = Similarity.trainCentroidsDistributed(emb, "embedding", k = 8, iters = 3)
     assert(cents.length == 8 && cents.head.length == 64)
