@@ -1343,6 +1343,27 @@ object SparkEntry {
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
         .orderBy(col("term"))
+    }),
+
+    // Interval-overlap range join (q105's sibling variant): purchase
+    // windows against error windows, every overlapping pair counted
+    // exactly once (pairs emit only at the max-start bin — the
+    // dedup-free device RangeJoinSpec proves against the naive theta
+    // join). Touching endpoints overlap, as in the oracle's predicate.
+    "q109_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 900000000L
+      def windows(kind: String, p: String) = ev
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_s"),
+          (unix_micros(col("ts")) + lit(win)).as(s"${p}_e"))
+      graft.ops.RangeJoin.intervalOverlap(
+          windows("purchase", "a"), "a_s", "a_e",
+          windows("error", "b"), "b_s", "b_e", win)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a_id")).as("n_purchase"),
+          countDistinct(col("b_id")).as("n_error"))
     })
   )
 
@@ -2480,6 +2501,19 @@ object SparkEntry {
         |SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf_total
         |FROM g WHERE term IN ('refreshed', 'window', 'stream', 'batch')
         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q109_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+        |    epoch_us(ts) + 900000000 AS a_e
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+        |    epoch_us(ts) + 900000000 AS b_e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT count(*) AS n_pairs, count(DISTINCT a_id) AS n_purchase,
+        |  count(DISTINCT b_id) AS n_error
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (
