@@ -113,4 +113,89 @@ object Tokenize {
         array_sort(collect_list(struct(col("pos"), col("__wids")))),
         x => x.getField("__wids"))).as("ids"))
   }
+
+  /** TRAIN a BPE merge table end-to-end (the loop [[topBpePairs]] is one
+    * round of): one distributed vocab aggregate, then the exact greedy
+    * trainer over the frequency-weighted vocabulary on the driver with
+    * incrementally-maintained pair counts — the SentencePiece/HF
+    * structure (the corpus is touched ONCE; every merge round is
+    * vocab-sized work, and only words containing the merged pair are
+    * rewritten via a pair -> words index, not a full rescan).
+    *
+    * `vocabCap` bounds driver memory by taking the top words by corpus
+    * frequency (ties broken lexicographically): Heaps' law bounds true
+    * vocabularies, and tail singletons contribute negligible pair mass —
+    * the same cutoff production trainers apply. Deterministic: merge
+    * ties break on the lexicographically smallest pair, so equal corpora
+    * yield equal tables. Training stops early when no pair reaches
+    * `minCount` (default 2 — a pair seen once generalizes nothing).
+    *
+    * The learned table feeds [[bpeEncodedLength]] / [[bpeTokenIds]]
+    * directly: rank order IS the apply order (Sennrich §3), and the
+    * greedy left-to-right non-overlapping rewrite here is the SAME
+    * discipline as the `bpe_segments` kernel, so training and encoding
+    * agree on segment boundaries.
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 1000000, minCount: Long = 2L): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val vocab = wordVocab(docs, textCol)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[mutable.ArrayBuffer[String]] =
+      vocab.map(v => mutable.ArrayBuffer(v._1.map(_.toString): _*))
+    val freqs: Array[Long] = vocab.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val segs = words(i)
+      var j = 0
+      while (j < segs.length - 1) {
+        val p = (segs(j), segs(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * freqs(i)
+        if (c <= 0L) { pairCount.remove(p); pairWords.get(p).foreach(_.remove(i)) }
+        else {
+          pairCount.update(p, c)
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges && pairCount.nonEmpty) {
+      // max count, lexicographically smallest pair on ties — deterministic
+      val (best, cnt) = pairCount.foldLeft((("", ""), Long.MinValue)) {
+        case (acc @ (bp, bc), (p, c)) =>
+          if (c > bc || (c == bc && (p._1 < bp._1 ||
+            (p._1 == bp._1 && p._2 < bp._2)))) (p, c) else acc
+      }
+      if (cnt < minCount) continue = false
+      else {
+        merges += best
+        val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+        affected.foreach { i =>
+          addWord(i, -1L) // retract old pair contributions
+          // greedy left-to-right non-overlapping rewrite (kernel parity)
+          val segs = words(i)
+          val out = mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < segs.length) {
+            if (j < segs.length - 1 && segs(j) == best._1 && segs(j + 1) == best._2) {
+              out += segs(j) + segs(j + 1); j += 2
+            } else { out += segs(j); j += 1 }
+          }
+          words(i) = out
+          addWord(i, 1L)
+        }
+        pairCount.remove(best)
+        pairWords.remove(best)
+      }
+    }
+    merges.toSeq
+  }
 }
