@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Decontamination, Dedup, Invert, RangeJoin, SetSimJoin, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Invert, RangeJoin, SetSimJoin, Similarity, TextAnalysis, Tokenize}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -732,6 +732,38 @@ object ScaleCheck {
     println(f"IDXMERGE> docs=${corpusIm.count()} delta_docs=${updatedIm.count()} " +
       f"postings=$nRebuild t_base_build=$tBase%.1f s t_rebuild=$tRebuild%.1f s " +
       f"t_merge=$tMerge%.1f s speedup=${tRebuild / tMerge}%.1fx")
+    }
+
+    if (run("bpetrain")) {
+    // ---- 5i. BPE trainer — 1000 merges over 210k docs ---------------
+    // The corpus is touched ONCE (vocab aggregate); all 1000 merge
+    // rounds are driver-side over the ~10k-word vocabulary with
+    // incremental pair counts. Compression sanity: mean subword tokens
+    // per word must fall strictly below mean characters per word (the
+    // trainer is learning real structure, not noise), and training must
+    // be deterministic across runs.
+    val corpusBt = corpus(spark, 200000L).cache()
+    corpusBt.count()
+    val (mergesBt, tTrain) = time {
+      Tokenize.trainBpeMerges(corpusBt, "text", numMerges = 1000)
+    }
+    val (mergesBt2, _) = time {
+      Tokenize.trainBpeMerges(corpusBt, "text", numMerges = 1000)
+    }
+    require(mergesBt == mergesBt2, "trainer must be deterministic")
+    val stats = Tokenize.bpeEncodedLength(corpusBt, "doc_id", "text", mergesBt)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head
+    val chars = corpusBt.select(
+      sum(length(regexp_replace(col("text"), "\\s+", ""))).cast("long")).head.getLong(0)
+    val words = stats.getLong(0)
+    val toks = stats.getLong(1)
+    require(toks < chars && toks >= words,
+      s"tokens $toks must sit between words $words and chars $chars")
+    println(f"BPETRAIN> docs=${corpusBt.count()} merges=${mergesBt.length} " +
+      f"t_train=$tTrain%.1f s chars_per_word=${chars.toDouble / words}%.2f " +
+      f"tokens_per_word=${toks.toDouble / words}%.2f " +
+      f"compression=${chars.toDouble / toks}%.2fx deterministic=true")
+    corpusBt.unpersist()
     }
 
     if (run("sfbench")) {
