@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-style) Viterbi segmentation — the OTHER
+  * major subword family next to BPE (Kudo 2018, "Subword
+  * Regularization"): given a piece vocabulary with log-probabilities,
+  * a word segments into the piece sequence maximizing the sum of piece
+  * scores. BPE replays a merge history; unigram SOLVES for the best
+  * segmentation, so the same vocab can score alternative splits — the
+  * property subword-regularized training samples from.
+  *
+  * Kernel: one left-to-right Viterbi DP over the word's code points —
+  * dp[i] = max over pieces p ending at i of dp[i - |p|] + score(p) —
+  * with piece lookup in a shared hash map (codegen reference object,
+  * never plan literals) and the longest piece length bounding the inner
+  * loop. Characters absent from the vocabulary fall back to a single
+  * UNK piece with a score penalty below every real piece, so
+  * segmentation is total and the DP never dead-ends.
+  *
+  * Deterministic tie-break: on equal total score the FEWER-pieces path
+  * wins, then the one taking the longer piece at the current boundary —
+  * fixed, engine-independent results.
+  */
+object UnigramKernel {
+
+  /** Piece table prepared once per plan: map piece -> (id, score),
+    * plus the max piece length in code points.
+    */
+  final class Table(pieces: Array[String], scores: Array[Double]) extends Serializable {
+    // Integer values so a missing piece is an unambiguous null (a
+    // HashMap[String, Int] would silently unbox null to 0 == piece id 0)
+    val map = new java.util.HashMap[String, java.lang.Integer]()
+    pieces.indices.foreach(i => map.put(pieces(i), i))
+    val score: Array[Double] = scores
+    val maxLen: Int =
+      if (pieces.isEmpty) 1
+      else pieces.map(p => p.codePointCount(0, p.length)).max
+  }
+
+  val UnkScore: Double = -1e4 // below any real log-prob; additive per UNK char
+
+  /** Best-path segment ids for one word; UNK chars emit `unkId`. */
+  def tokenIds(w: UTF8String, t: Table, unkId: Int): Array[Int] = {
+    val s = w.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return Array.emptyIntArray
+    // code-point offsets so supplementary chars segment correctly
+    val off = new Array[Int](n + 1)
+    var i = 0; var ci = 0
+    while (ci < n) { off(ci) = i; i = s.offsetByCodePoints(i, 1); ci += 1 }
+    off(n) = s.length
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val pieces = Array.fill(n + 1)(Int.MaxValue) // piece count tie-break
+    val back = new Array[Int](n + 1) // start index of the piece ending here
+    val pid = new Array[Int](n + 1) // piece id (or unkId)
+    dp(0) = 0.0; pieces(0) = 0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - t.maxLen)
+      while (start < end) {
+        if (dp(start) != Double.NegativeInfinity) {
+          val piece = s.substring(off(start), off(end))
+          val idx = t.map.get(piece)
+          val (sc, id) =
+            if (idx != null) (t.score(idx), idx.intValue())
+            else if (end - start == 1) (UnkScore, -1) // single-char UNK fallback
+            else (Double.NaN, 0)
+          if (!java.lang.Double.isNaN(sc)) {
+            val cand = dp(start) + sc
+            val candPieces = pieces(start) + 1
+            // longer piece at this boundary == smaller `start`; since we
+            // scan start ascending, strict > keeps the longest winner
+            if (cand > dp(end) ||
+              (cand == dp(end) && candPieces < pieces(end))) {
+              dp(end) = cand; pieces(end) = candPieces
+              back(end) = start; pid(end) = id
+            }
+          }
+        }
+        start += 1
+      }
+      end += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = n
+    while (p > 0) { out += (if (pid(p) < 0) unkId else pid(p)); p = back(p) }
+    out.reverse.toArray
+  }
+
+  def tokenIdsArray(w: UTF8String, t: Table, unkId: Int): GenericArrayData =
+    new GenericArrayData(tokenIds(w, t, unkId))
+}
+
+/** unigram_token_ids(word) -> array<int>: Viterbi-best piece ids under
+  * the (plan-time constant) unigram vocabulary. Vocab rides a codegen
+  * reference object; vocab-factored callers run this over DISTINCT
+  * words only, like the BPE path.
+  */
+case class UnigramTokenIds(child: Expression, vocab: Seq[(String, Double)],
+    unkId: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unigram_token_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocab.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"unigram_token_ids needs a string word and non-empty vocab, got " +
+        child.dataType.simpleString)
+  }
+
+  @transient private lazy val table =
+    new UnigramKernel.Table(vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnigramKernel.tokenIdsArray(v.asInstanceOf[UTF8String], table, unkId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramKernel.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramKernel.tokenIdsArray($c, $ref, $unkId)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -116,6 +116,13 @@ package object functions {
   /** Unicode NFC normalization (UAX #15 canonical compose), codegen'd. */
   def nfc_normalize(text: Column): Column = toColumn(NormalizeNfc(exprOf(text)))
 
+  /** Viterbi-best unigram-LM piece ids for a word (codegen'd kernel;
+    * vocab ships by reference). UNK chars emit `unkId`.
+    */
+  def unigram_token_ids(word: Column, vocab: Seq[(String, Double)],
+      unkId: Int): Column =
+    toColumn(UnigramTokenIds(exprOf(word), vocab, unkId))
+
   /** SQ8 encode: dim bytes under per-dimension trained ranges. */
   def sq_code(vec: Column, vmin: Array[Float], vdiff: Array[Float]): Column =
     toColumn(SqCode(exprOf(vec), vmin, vdiff))

@@ -114,6 +114,35 @@ object Tokenize {
         x => x.getField("__wids"))).as("ids"))
   }
 
+  /** Unigram-LM (SentencePiece-style) token ids: Viterbi-BEST piece
+    * sequence per word under a scored piece vocabulary — the other
+    * major subword family next to BPE (Kudo 2018). Where BPE replays a
+    * fixed merge history, unigram SOLVES for the max-score segmentation,
+    * so one vocab admits alternative splits (the property subword
+    * regularization samples from). Same vocab-factored shape as
+    * [[bpeTokenIds]]: the codegen'd Viterbi kernel
+    * (`unigram_token_ids`) runs over DISTINCT words only; per-doc
+    * sequences assemble by position. Characters outside the vocabulary
+    * emit `unkId` via the kernel's penalized single-char fallback, so
+    * segmentation is total.
+    */
+  def unigramTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)], unkId: Int = -1,
+      pinTokenFrame: Boolean = true): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val docw0 = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val docw = if (pinTokenFrame) docw0.localCheckpoint(true) else docw0
+    val enc = docw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.unigram_token_ids(col("w"), vocab, unkId).as("__wids"))
+    docw.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("__wids")))),
+        x => x.getField("__wids"))).as("ids"))
+  }
+
   /** TRAIN a BPE merge table end-to-end (the loop [[topBpePairs]] is one
     * round of): one distributed vocab aggregate, then the exact greedy
     * trainer over the frequency-weighted vocabulary on the driver with

@@ -136,6 +136,66 @@ class TokenizeSpec extends AnyFunSuite {
       s"doc1: 3x low(1) + lowest(3) = 6; doc2: lowest(3) + low(1) = 4; got $lens")
   }
 
+  test("unigram Viterbi picks the max-score segmentation, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // "abc": [ab(-1), c(-3)] = -4 beats [a(-2), b(-2), c(-3)] = -7 and
+    // [a(-2), bc(-2.5)] = -4.5
+    val vocab = Seq("a" -> -2.0, "b" -> -2.0, "c" -> -3.0,
+      "ab" -> -1.0, "bc" -> -2.5)
+    val ids = Seq("abc").toDF("w")
+      .select(graft.functions.unigram_token_ids(col("w"), vocab, -1).as("ids"))
+      .head.getSeq[Int](0)
+    assert(ids == Seq(3, 2), s"expected [ab, c] ids [3, 2], got $ids")
+  }
+
+  test("unigram: score ties prefer fewer pieces, then the longer head piece") {
+    import org.apache.spark.sql.functions.col
+    // "aa": [aa](-4) ties [a, a](-2 + -2); fewer pieces must win
+    val v1 = Seq("a" -> -2.0, "aa" -> -4.0)
+    val t1 = Seq("aa").toDF("w")
+      .select(graft.functions.unigram_token_ids(col("w"), v1, -1).as("ids"))
+      .head.getSeq[Int](0)
+    assert(t1 == Seq(1), s"fewer-pieces tie-break failed: $t1")
+    // "ab": [ab](-4) ties [a, b](-4) -> fewer pieces; and among equal
+    // piece counts "ab"+"c" vs "a"+"bc" at equal score the longer FIRST
+    // piece wins
+    val v2 = Seq("a" -> -1.0, "b" -> -1.0, "c" -> -1.0,
+      "ab" -> -1.5, "bc" -> -0.5)
+    val t2 = Seq("abc").toDF("w")
+      .select(graft.functions.unigram_token_ids(col("w"), v2, -1).as("ids"))
+      .head.getSeq[Int](0)
+    // [a, bc] = -1.5 equals [ab, c] = -2.5? no: -1.0 + -0.5 = -1.5 vs
+    // -1.5 + -1.0 = -2.5 -> strictly better, takes [a, bc]
+    assert(t2 == Seq(0, 4), s"expected [a, bc], got $t2")
+  }
+
+  test("unigram: UNK chars fall back per character with the penalty") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("a" -> -1.0, "ab" -> -0.5)
+    val ids = Seq("axb").toDF("w")
+      .select(graft.functions.unigram_token_ids(col("w"), vocab, 99).as("ids"))
+      .head.getSeq[Int](0)
+    // x and b are not pieces: a(-1) + UNK(x) + UNK(b); the UNK penalty
+    // never lets a multi-char unknown absorb known pieces
+    assert(ids == Seq(0, 99, 99), s"got $ids")
+  }
+
+  test("unigramTokenIds assembles per-doc sequences in token order") {
+    val vocab = Seq("lo" -> -1.0, "w" -> -1.5, "l" -> -3.0, "o" -> -3.0,
+      "e" -> -2.0, "s" -> -2.0, "t" -> -2.0, "r" -> -2.0)
+    val docs = Seq((1L, "low lower"), (2L, "low")).toDF("doc_id", "text")
+    val out = Tokenize.unigramTokenIds(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // low -> [lo, w]; lower -> [lo, w, e, r]
+    assert(out(1L) == Seq(0, 1, 0, 1, 4, 7), s"got ${out(1L)}")
+    assert(out(2L) == Seq(0, 1))
+    // pin and recompute agree, like the BPE path
+    val re = Tokenize.unigramTokenIds(docs, "doc_id", "text", vocab,
+      pinTokenFrame = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(re == out)
+  }
+
   test("trainer is deterministic and vocabCap bounds the working set") {
     val docs = Seq((1L, "zz zz yy yy xx xx ww vv uu")).toDF("doc_id", "text")
     val a = Tokenize.trainBpeMerges(docs, "text", 3)
