@@ -1364,6 +1364,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("a_id")).as("n_purchase"),
           countDistinct(col("b_id")).as("n_error"))
+    }),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) — the line-oriented
+    // complement of q57's Gopher gate. The fixture corpus has no
+    // newlines or punctuation, so the q95 device applies: decorate the
+    // text IDENTICALLY in both engines (8-token lines, '.' suffix when
+    // (doc_id + line) % 3 != 0, a brace page every 17th doc, a lorem
+    // page every 23rd), then apply the rules. Both engines compute the
+    // same integer line/sentence counts and flags.
+    "q110_c4_rules" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
+      val decorated = when(size(toks) === 0, lit("")).otherwise(
+        array_join(transform(sequence(lit(0), nLines - 1), i =>
+          concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+            when(pmod(col("doc_id") + i, lit(3)) =!= 0, lit("."))
+              .otherwise(lit("")))), "\n"))
+      val withBrace = when(col("doc_id") % 17 === 0,
+        concat(decorated, lit("\n{ code }"))).otherwise(decorated)
+      val page = when(col("doc_id") % 23 === 0,
+        concat(lit("lorem ipsum\n"), withBrace)).otherwise(withBrace)
+      TextAnalysis.c4Stats(
+        t(s, dir, "documents").withColumn("text", page),
+        "doc_id", "text")
+        .drop("kept_text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2514,6 +2540,38 @@ object SparkEntry {
         |SELECT count(*) AS n_pairs, count(DISTINCT a_id) AS n_purchase,
         |  count(DISTINCT b_id) AS n_error
         |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""".stripMargin,
+
+    "q110_c4_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dec0 AS (
+        |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE
+        |    array_to_string([array_to_string(toks[i*8+1:i*8+8], ' ') ||
+        |      CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        |      FOR i IN range(0, CAST(ceil(len(toks) / 8.0) AS INT))], chr(10))
+        |    END AS t FROM toks),
+        |dec1 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |    THEN t || chr(10) || '{ code }' ELSE t END AS t FROM dec0),
+        |dec AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+        |    THEN 'lorem ipsum' || chr(10) || t ELSE t END AS t FROM dec1),
+        |kept AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"'']$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5) AS ks
+        |  FROM dec),
+        |stats AS (
+        |  SELECT doc_id, len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept_lines,
+        |    coalesce(len(list_filter(
+        |      string_split_regex(coalesce(array_to_string(ks, chr(10)), ''), '[.!?]'),
+        |      s -> trim(s) <> '')), 0)::BIGINT AS n_sentences,
+        |    contains(t, '{') AS has_brace,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem
+        |  FROM kept)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem,
+        |  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS passes_c4
+        |FROM stats ORDER BY doc_id""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

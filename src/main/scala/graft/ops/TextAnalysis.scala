@@ -224,6 +224,54 @@ object TextAnalysis {
         .filter(col("passes_gopher")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  // ----------------------------------------------------- C4 line rules —
+
+  /** The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning", §2.2 — the published heuristics behind the C4
+    * corpus), line-oriented where Gopher is document-oriented:
+    * keep only lines that end in terminal punctuation AND have >= 5
+    * words; drop any page with fewer than 3 sentences (counted over the
+    * KEPT text), with a '{' (code), or with the "lorem ipsum"
+    * placeholder. All pure column expressions over one line split —
+    * map-only at any scale.
+    *
+    * Emits per doc: line counts before/after the line gate, the
+    * sentence count, the two content flags, the pass verdict, and
+    * `kept_text` (surviving lines re-joined — what a C4 pipeline
+    * actually feeds downstream).
+    */
+  def c4Stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"']$") && size(split(trim(l), "\\s+")) >= 5)
+    val keptText = array_join(kept, "\n")
+    val sentences = size(filter(split(keptText, "[.!?]"),
+      s => trim(s) =!= ""))
+    val hasBrace = col(textCol).contains("{")
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      sentences.cast("long").as("n_sentences"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      (sentences >= 3 && !hasBrace && !hasLorem).as("passes_c4"),
+      keptText.as("kept_text"))
+  }
+
+  /** Keep passing documents, text REWRITTEN to the surviving lines (the
+    * C4 pipeline contract: the line gate edits pages, the page gate
+    * drops them).
+    */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = c4Stats(docs, idCol, textCol)
+      .filter(col("passes_c4"))
+      .select(col(idCol), col("kept_text"))
+    docs.drop(textCol).join(stats, Seq(idCol))
+      .withColumnRenamed("kept_text", textCol)
+  }
+
   /** Full per-document stats frame (the `queries` surface). */
   def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)

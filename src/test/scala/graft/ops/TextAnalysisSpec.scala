@@ -192,4 +192,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._1 == "a b c d", s"got ${out(3L)}")
     assert(out(4L)._1 == "caf\u00e9", s"got ${out(4L)}")
   }
+
+  test("c4Stats: line gate, sentence count, content flags \u2014 hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 keepable sentences + one short line + one unpunctuated line
+      (1L, "the first full sentence has plenty here.\nshort one.\n" +
+        "another proper sentence sits right here!\nno terminal punctuation line with words\n" +
+        "a third full sentence finishes the page?"),
+      (2L, "function f() { return 1; } with a sentence here though."), // brace
+      (3L, "lorem ipsum dolor sit amet plus a real sentence here.\n" +
+        "second proper sentence with enough words.\nthird proper sentence with enough words."),
+      (4L, "only two sentences but both fully valid here.\n" +
+        "the second one is also long enough truly.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Stats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    // doc 1: 5 lines; "short one." has < 5 words, the unpunctuated line
+    // fails the ending rule -> 3 kept -> 3 sentences -> passes
+    assert(out(1L) == ((5L, 3L, 3L, false, false, true)), s"got ${out(1L)}")
+    assert(out(2L)._4 && !out(2L)._6, s"brace page must fail: ${out(2L)}")
+    assert(out(3L)._5 && !out(3L)._6, s"lorem page must fail: ${out(3L)}")
+    // doc 4: both lines kept but only 2 sentences -> fails the page gate
+    assert(out(4L) == ((2L, 2L, 2L, false, false, false)), s"got ${out(4L)}")
+  }
+
+  test("c4Filter rewrites text to the surviving lines and drops failing pages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a good long sentence number one here.\nbad line\n" +
+        "a good long sentence number two here.\na good long sentence number three here."),
+      (2L, "code { inside } this page with sentences.")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.c4Filter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L))
+    assert(kept(1L) == "a good long sentence number one here.\n" +
+      "a good long sentence number two here.\na good long sentence number three here.",
+      s"got ${kept(1L)}")
+  }
 }
