@@ -115,4 +115,65 @@ class ExactOpsPropertySpec extends AnyFunSuite {
     }
     check(prop, 60)
   }
+
+  // ---- Unigram Viterbi vs exhaustive segmentation enumeration --------
+
+  private val pieceAlpha = Seq("a", "b", "c")
+  private val pieceGen: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pieceAlpha)).map(_.mkString))
+  private val unigramVocabGen: Gen[Map[String, Double]] = for {
+    n <- Gen.chooseNum(2, 8)
+    ps <- Gen.listOfN(n, pieceGen)
+    // quarter-step scores make exact float ties common — the tie-break
+    // rules get exercised, and score comparison stays exact
+    ss <- Gen.listOfN(n, Gen.chooseNum(-16, -1).map(_ / 4.0))
+  } yield ps.zip(ss).toMap // duplicate pieces: last score wins, like the Table
+
+  test("property: unigram Viterbi is OPTIMAL vs exhaustive enumeration") {
+    import org.apache.spark.sql.functions.col
+    val unk = graft.functions.UnigramKernel.UnkScore
+    val wordGen = Gen.chooseNum(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pieceAlpha :+ "z")).map(_.mkString))
+    val prop = Prop.forAll(unigramVocabGen, wordGen) { (vocabMap, w) =>
+      val vocab = vocabMap.toSeq.sortBy(_._1)
+      val pieceIdx = vocab.map(_._1).zipWithIndex.toMap
+      // exhaustive: every way to cut w into pieces, scoring UNK singles
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq())
+        else (1 to s.length).flatMap { l =>
+          val head = s.take(l)
+          val ok = vocabMap.contains(head) || l == 1
+          if (ok) segs(s.drop(l)).map(head +: _) else Seq()
+        }
+      def score(seg: Seq[String]): Double =
+        seg.map(p => vocabMap.getOrElse(p, unk)).sum
+      val best = segs(w).map(score).max
+      val ids = Seq(w).toDF("w")
+        .select(graft.functions.unigram_token_ids(col("w"), vocab, -1).as("ids"))
+        .head.getSeq[Int](0)
+      // reconstruct the kernel's path score from its ids: UNK id (-1)
+      // scores UnkScore; the id sequence must also re-spell the word
+      val spelled = ids.map {
+        case -1 => null
+        case id => vocab(id)._1
+      }
+      val kernelScore = ids.map {
+        case -1 => unk
+        case id => vocab(id)._2
+      }.sum
+      val respells = {
+        // UNK pieces are single chars by construction
+        var pos = 0; var ok = true
+        spelled.foreach {
+          case null => pos += 1
+          case p =>
+            if (w.regionMatches(pos, p, 0, p.length)) pos += p.length else ok = false
+        }
+        ok && pos == w.length
+      }
+      respells && kernelScore == best
+    }
+    check(prop, 300)
+  }
 }
