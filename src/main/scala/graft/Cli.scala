@@ -250,6 +250,35 @@ object Cli {
         println(s"""{"postings":${written.count()},"buckets":$buckets,"out":"$out"}""")
       } finally spark.stop()
 
+    case "tokenize" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"tokenize: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val numMerges = flags.getOrElse("merges", "200").toInt
+        val out = req("out")
+        import org.apache.spark.sql.functions.{col, explode, split}
+        val merges = graft.ops.Tokenize.trainBpeMerges(docs, textCol, numMerges)
+        // vocab = the corpus's character alphabet (so no char is OOV)
+        // followed by merge products in rank order (the q90 layout)
+        val chars = graft.ops.Tokenize.wordVocab(docs, textCol)
+          .select(explode(split(col("w"), "")).as("c")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty).sorted.toSeq
+        val vocab = chars ++ merges.map { case (a, b) => a + b }
+        graft.ops.Tokenize.bpeTokenIds(docs, idCol, textCol, merges, vocab)
+          .write.mode("overwrite").parquet(s"$out/token_ids")
+        val mergesJson = merges.map { case (a, b) =>
+          s"""["${a.replace("\"", "\\\"")}","${b.replace("\"", "\\\"")}"]"""
+        }.mkString("[", ",", "]")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/merges.json"), mergesJson)
+        println(s"""{"merges":${merges.length},"vocab":${vocab.length},"out":"$out"}""")
+      } finally spark.stop()
+
     case "index-merge" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"index-merge: missing --$k"))
@@ -352,6 +381,8 @@ object Cli {
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
+           |  tokenize --in <sfdir> --table documents --out <dir> [--merges 200]
+           |         (trains a BPE merge table, writes token_ids + merges.json)
            |  index --in <sfdir> --table documents --out <dir> [--buckets 64]
            |  index-merge --index <dir> --in <sfdir> --table documents --out <dir>
            |         [--buckets 64]   (delta docs REPLACE same-id postings)
