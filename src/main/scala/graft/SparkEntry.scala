@@ -1390,6 +1390,22 @@ object SparkEntry {
         "doc_id", "text")
         .drop("kept_text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid sparse+dense retrieval (Retrieval.hybridSearch): BM25
+    // shortlists 50 candidates (q71's exact scoring), candidates join
+    // their embeddings, final order blends max-normalized BM25 with
+    // cosine at alpha=0.5. Every arithmetic step rounds to 6 dp from
+    // identically-rounded inputs, so the blended order is
+    // engine-reproducible and the oracle replays it exactly.
+    "q111_hybrid_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      graft.ops.Retrieval.hybridSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        Seq("customer", "vector", "spark", "query"), qv,
+        k = 10, alpha = 0.5, candidates = 50)
     })
   )
 
@@ -2572,6 +2588,36 @@ object SparkEntry {
         |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem,
         |  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS passes_c4
         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "q111_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('customer', 'vector', 'spark', 'query')
+        |       GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        |  FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |joined AS (
+        |  SELECT bm.doc_id, bm.bm25,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |n AS (
+        |  SELECT doc_id, bm25, cosine,
+        |    round(bm25 / max(bm25) OVER (), 6) AS bm25_norm
+        |  FROM joined)
+        |SELECT doc_id, bm25, cosine,
+        |  round(0.5 * bm25_norm + 0.5 * cosine, 6) AS score
+        |FROM n ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

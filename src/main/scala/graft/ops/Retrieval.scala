@@ -63,6 +63,47 @@ object Retrieval {
     scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
+  /** Hybrid (sparse + dense) retrieval — the standard RAG shape: BM25
+    * shortlists `candidates` documents lexically, each candidate joins
+    * its embedding, and the final order blends the two signals:
+    * `score = alpha * bm25/max(bm25) + (1-alpha) * cosine`
+    * (max-normalizing BM25 puts both terms on [0,1]-ish scale; cosine
+    * is already bounded). alpha=1 is pure lexical, alpha=0 pure dense
+    * over the lexical candidates.
+    *
+    * Scale shape: the corpus is touched only by the BM25 pass
+    * (query-term-filtered pre-shuffle); the dense side reads
+    * |candidates| embedding rows through one equi-join (broadcast-sized
+    * — candidates is the top-k frontier, not the corpus), and the
+    * normalization window runs over that same tiny frame. Deterministic:
+    * every stage carries the (score desc, id) tie-break and all blended
+    * arithmetic rounds to 6 dp from identically-rounded inputs, so the
+    * order is engine-reproducible.
+    */
+  def hybridSearch(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, eIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Seq[Float], k: Int,
+      alpha: Double = 0.5, candidates: Int = 50): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    val bm = bm25TopK(docs, idCol, textCol, queryTerms, candidates)
+    val joined = bm.join(
+        emb.select(col(eIdCol).as("doc_id"), col(vecCol).as("__v")),
+        Seq("doc_id"))
+      .withColumn("cosine",
+        round(graft.functions.vec_cosine(col("__v"),
+          graft.functions.lit_vec(queryVec)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    joined
+      .withColumn("bm25_norm", round(col("bm25") / max(col("bm25")).over(w), 6))
+      .withColumn("score",
+        round(lit(alpha) * col("bm25_norm") + lit(1.0 - alpha) * col("cosine"), 6))
+      .select(col("doc_id"), col("bm25"), col("cosine"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document unigram-LM negative log-likelihood (mean -ln p(w),
     * nats/token) against a model fit on the corpus itself, add-one
     * smoothed — CCNet's filtering signal with the corpus standing in for

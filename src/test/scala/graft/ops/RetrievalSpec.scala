@@ -145,4 +145,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(0)._4 == r6(2 * idfRare)) // tf=2 on the rare term
     assert(out(1)._4 == 1.0)             // df=N -> idf collapses to 1
   }
+
+  test("hybridSearch: alpha extremes reduce to pure lexical / pure dense order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha"), // strongest lexical match
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha unrelated words here"),
+      (3L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    // embeddings chosen so the DENSE order inverts the lexical one
+    val emb = Seq(
+      (0L, Seq(0.0f, 1.0f)),
+      (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val qv = Seq(1.0f, 0.0f)
+    def ids(alpha: Double) = Retrieval.hybridSearch(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", Seq("alpha", "beta"), qv,
+      k = 3, alpha = alpha).collect().map(_.getLong(0)).toSeq
+    // alpha=1: BM25 order among docs that HAVE embeddings (0 strongest)
+    assert(ids(1.0).head == 0L, s"pure lexical should lead with doc 0: ${ids(1.0)}")
+    // alpha=0: cosine order over the lexical candidates (2 is the
+    // dense-closest candidate; 3 matches no query term, so it is not a
+    // candidate at any alpha)
+    val dense = ids(0.0)
+    assert(dense.head == 2L, s"pure dense should lead with doc 2: $dense")
+    assert(!dense.contains(3L) && !ids(1.0).contains(3L),
+      "non-candidates must never appear")
+    // blended scores stay within the convex hull of the two signals
+    val rows = Retrieval.hybridSearch(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", Seq("alpha", "beta"), qv,
+      k = 3, alpha = 0.5).collect()
+    rows.foreach { r =>
+      val score = r.getDouble(3)
+      assert(score <= 1.0 + 1e-9 && score >= -1.0 - 1e-9, s"score bound: $r")
+    }
+  }
 }
