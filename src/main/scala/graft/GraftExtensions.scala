@@ -61,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mg_sketch(item, k) - Misra-Gries heavy-hitters summary, mergeable"),
       (es: Seq[Expression]) => MisraGriesSketch(es(0),
         functions.intArg(es(1), "mg_sketch", "k")).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("kll_sketch"),
+      info("kll_sketch",
+        "kll_sketch(value, k) - KLL quantile summary (n, items, weights), mergeable"),
+      (es: Seq[Expression]) => KllSketch(es(0),
+        functions.intArg(es(1), "kll_sketch", "k")).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(items, weights, q) - quantile estimate from a kll_sketch summary"),
+      (es: Seq[Expression]) => KllQuantile(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("count_in_set"),
       info("count_in_set",
         "count_in_set(tokens, words[, distinct]) - tokens present in the word set"),

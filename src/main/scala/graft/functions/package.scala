@@ -83,6 +83,19 @@ package object functions {
   def cms_estimate(table: Column, item: Column, depth: Int, width: Int): Column =
     toColumn(CmsEstimate(exprOf(table), exprOf(item), depth, width))
 
+  /** KLL quantile sketch aggregate: struct(n, items, weights) with
+    * O(n/k) rank error, merge-safe across partitions (Karnin, Lang,
+    * Liberty, FOCS 2016). sum(weights) == n exactly.
+    */
+  def kll_sketch(value: Column, k: Int): Column =
+    toColumn(KllSketch(exprOf(value), k).toAggregateExpression())
+
+  /** Quantile query against a kll_sketch summary (codegen'd
+    * cumulative-weight walk; items sorted ascending).
+    */
+  def kll_quantile(items: Column, weights: Column, q: Column): Column =
+    toColumn(KllQuantile(exprOf(items), exprOf(weights), exprOf(q)))
+
   /** Tokens present in a fixed word set — multiplicity-counting by
     * default, distinct token types with `distinct = true`. One codegen'd
     * pass; replaces interpreted `filter`/`array_intersect` HOF forms.
@@ -144,6 +157,14 @@ package object functions {
   def bpe_token_ids(word: Column, merges: Seq[(String, String)],
       vocab: Seq[String], unkId: Int = -1): Column =
     toColumn(BpeTokenIds(exprOf(word), merges, vocab, unkId))
+
+  /** Greedy longest-match WordPiece ids for a word (BERT subword step;
+    * codegen'd kernel, vocab ships by reference). A word with any
+    * unmatchable position emits `[unkId]` whole.
+    */
+  def wordpiece_ids(word: Column, vocab: Seq[String],
+      unkId: Int = 0): Column =
+    toColumn(WordPieceIds(exprOf(word), vocab, unkId))
 
   /** m-byte product-quantization code of a vector given its IVF cell
     * (centroids/codebooks are plan-time constants shipped by reference).
@@ -274,6 +295,11 @@ package object functions {
     reg.createOrReplaceTempFunction("cms_estimate",
       es => CmsEstimate(es(0), es(1), intArg(es(2), "cms_estimate", "depth"),
         intArg(es(3), "cms_estimate", "width")), "built-in")
+    reg.createOrReplaceTempFunction("kll_sketch",
+      es => KllSketch(es(0), intArg(es(1), "kll_sketch", "k"))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kll_quantile",
+      es => KllQuantile(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("count_in_set",
       es => CountInSet(es(0), stringArrayArg(es(1), "count_in_set", "words"),
         distinct = es.length > 2 && es(2).eval(null) == true), "built-in")
