@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  private def metrics(pairs: Seq[(Long, Long, Double, Int)], k: Int) =
+    Eval.rankingMetrics(
+      pairs.toDF("qid", "cid", "score", "rel"), "qid", "cid", "score", "rel", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  test("hand-computed recall/MRR/nDCG on a 5-candidate ranking") {
+    // q1 ranking by score desc: c1(rel) c2 c3(rel) c4 c5(rel outside k=3)
+    val pairs = Seq(
+      (1L, 1L, 0.9, 1), (1L, 2L, 0.8, 0), (1L, 3L, 0.7, 1),
+      (1L, 4L, 0.6, 0), (1L, 5L, 0.5, 1))
+    val m = metrics(pairs, k = 3)
+    val (nRel, recall, mrr, ndcg) = m(1L)
+    assert(nRel == 3L)
+    assert(math.abs(recall - 2.0 / 3.0) < 1e-12)
+    assert(mrr == 1.0)
+    val dcg = 1.0 / log2(2) + 1.0 / log2(4)
+    val idcg = 1.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-12)
+  }
+
+  test("first relevant at rank 2 halves MRR; perfect prefix gives nDCG 1") {
+    val m = metrics(Seq(
+      (7L, 1L, 0.9, 0), (7L, 2L, 0.8, 1), (7L, 3L, 0.7, 0),
+      (8L, 1L, 0.9, 1), (8L, 2L, 0.8, 1), (8L, 3L, 0.7, 0)), k = 3)
+    assert(m(7L)._3 == 0.5)
+    assert(math.abs(m(8L)._4 - 1.0) < 1e-12)
+    assert(m(8L)._2 == 1.0 && m(8L)._3 == 1.0)
+  }
+
+  test("zero relevant candidates scores 0 everywhere, never null") {
+    val m = metrics(Seq((3L, 1L, 0.9, 0), (3L, 2L, 0.8, 0)), k = 10)
+    assert(m(3L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("ties broken by candidate id: lower id ranks first") {
+    // both rel candidates share score; with k=1 only cid=1 is in the cut
+    val m = metrics(Seq((5L, 2L, 0.8, 1), (5L, 1L, 0.8, 0)), k = 1)
+    assert(m(5L)._3 == 0.0, "cid=1 (rel=0) must win the tie at rank 1")
+  }
+
+  test("macroAverage over per-query rows") {
+    val per = Seq(
+      (1L, 2L, 1.0, 1.0, 1.0), (2L, 2L, 0.5, 0.5, 0.5))
+      .toDF("qid", "n_rel", "recall_at_k", "mrr_at_k", "ndcg_at_k")
+    val r = Eval.macroAverage(per).head
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 0.75 && r.getDouble(2) == 0.75 &&
+      r.getDouble(3) == 0.75)
+  }
+
+  test("labelRankingEval: recall@k is 1 when all same-label vectors lead") {
+    // two tight clusters on orthogonal axes; label == cluster
+    val rows = (0 until 20).map { i =>
+      val c = i % 2
+      val base = Array.fill(4)(0.001f * i)
+      base(c) = 1.0f
+      (i.toLong, base.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Eval.labelRankingEval(emb, "vec_id", "embedding", "label",
+      org.apache.spark.sql.functions.col("vec_id") < 4,
+      org.apache.spark.sql.functions.col("vec_id") < 20, k = 9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // each query has 9 same-label candidates (10 per cluster minus self)
+    assert(out.size == 4)
+    out.foreach { case (q, recall) =>
+      assert(recall == 1.0, s"query $q recall $recall")
+    }
+  }
+}
