@@ -88,6 +88,23 @@ object SparkEntry {
   private[graft] val bpeVocab: Seq[String] =
     ('a' to 'z').map(_.toString) ++ bpeMerges.map { case (a, b) => a + b }
 
+  /** WordPiece piece vocabulary for q114: id 0 is [UNK]; single-char
+    * coverage for a-z / 0-9 / common punctuation as BOTH start and
+    * `##`-continuation pieces, plus a handful of multi-char pieces so
+    * the greedy longest-match actually exercises backtracking lengths.
+    * No apostrophes or backslashes (keeps the oracle's SQL literal
+    * plain); words with uncovered characters become [UNK] whole, in
+    * both engines, by the algorithm's own rule.
+    */
+  private[graft] val wordpieceVocab: Seq[String] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq(".", ",", "-", "_", "(", ")", ":", ";", "!", "?", "/")
+    Seq("[UNK]") ++ chars ++ chars.map("##" + _) ++
+      Seq("the", "cust", "ship", "pack", "supp", "ord", "data", "qu",
+        "##ing", "##er", "##ed", "##tion", "##omer", "##ment", "##age",
+        "##lier", "##ers", "##est")
+  }
+
   private def exactEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
     // spread the streamed side of the nested-loop pair join across cores
@@ -1406,7 +1423,75 @@ object SparkEntry {
         emb, "vec_id", "embedding",
         Seq("customer", "vector", "spark", "query"), qv,
         k = 10, alpha = 0.5, candidates = 50)
-    })
+    }),
+
+    // KLL quantile sketch (functions/KllSketch.scala): the quantile
+    // member of the sketch family (HLL distinct / MG heavy hitters /
+    // CMS frequency / KLL rank) — "p99 doc length over 100 TB" without
+    // a global sort. Oracle device: output the DuckDB-reproducible
+    // EXACT percentiles plus an in-plan rank-error gate on the sketch
+    // estimates (|rank(est) - q*n| <= 5% n; KLL at k=200 guarantees
+    // ~1.65%, so merge-order drift can't flip it, a regression does).
+    // The probe frame is constant-size (7 quantiles), so the broadcast
+    // NLJ rank pass multiplies the scan by #probes only — scale-safe.
+    "q112_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val sk = base.agg(graft.functions.kll_sketch(col("x"), 200).as("sk"))
+        .select(col("sk.n").as("n"), col("sk.items").as("items"),
+          col("sk.weights").as("weights"))
+      val est = qs.toDF("q").crossJoin(broadcast(sk))
+        .withColumn("est", graft.functions.kll_quantile(
+          col("items"), col("weights"), col("q")))
+        .select(col("q"), col("est"), col("n"))
+      val gates = base.crossJoin(broadcast(est))
+        .groupBy(col("q"), col("est"), col("n"))
+        .agg(sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("rk"))
+        .withColumn("kll_ok",
+          abs(col("rk").cast("double") - col("q") * col("n")) <=
+            lit(0.05) * col("n"))
+        .select(col("q"), col("kll_ok"))
+      val exact = base.agg(percentile(col("x"), typedLit(qs)).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("i", "ex")))
+      qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q")
+        .join(exact, "i").join(gates, "q")
+        .select(col("q"), round(col("ex"), 4).as("exact_q"), col("kll_ok"))
+        .orderBy(col("q"))
+    }),
+
+    // Retrieval-evaluation metrics (ops/Eval.scala): recall@10, MRR@10,
+    // nDCG@10 per query with "same label" relevance — the measurement
+    // side of the ANN/retrieval operators, windows + one grouped agg.
+    // Candidates are the bounded vec_id < 400 subset (the q51-style
+    // fixed-size quadratic anchor); scores round to 6 dp BEFORE ranking
+    // so both engines rank identically under the (score, cid) tie-break.
+    "q113_ranking_metrics" -> ((s, dir) =>
+      graft.ops.Eval.labelRankingEval(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label",
+        col("vec_id") < 20, col("vec_id") < 400, k = 10)
+        .select(col("qid"), col("n_rel"),
+          round(col("recall_at_k"), 6).as("recall_at_10"),
+          round(col("mrr_at_k"), 6).as("mrr_at_10"),
+          round(col("ndcg_at_k"), 6).as("ndcg_at_10"))
+        .orderBy(col("qid"))),
+
+    // WordPiece token ids (ops/Tokenize.wordpieceTokenIds): greedy
+    // longest-match-first — the BERT subword family, completing the
+    // tokenizer trio next to BPE merge replay (q90) and unigram-LM
+    // Viterbi (spec-covered). The DuckDB oracle replays the greedy scan
+    // INDEPENDENTLY: per-position longest match via a window over the
+    // vocab join, then a recursive-CTE walk — so parity verifies the
+    // algorithm, not a shared implementation.
+    "q114_wordpiece_ids" -> ((s, dir) =>
+      graft.ops.Tokenize.wordpieceTokenIds(t(s, dir, "documents"),
+        "doc_id", "text", SparkEntry.wordpieceVocab, unkId = 0)
+        .select(col("doc_id"),
+          posexplode(col("ids")).as(Seq("seq_pos", "token_id")))
+        .select(col("doc_id"), col("seq_pos").cast("long").as("seq_pos"),
+          col("token_id").cast("long").as("token_id"))
+        .orderBy(col("doc_id"), col("seq_pos")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2618,6 +2703,99 @@ object SparkEntry {
         |SELECT doc_id, bm25, cosine,
         |  round(0.5 * bm25_norm + 0.5 * cosine, 6) AS score
         |FROM n ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q112_kll_quantiles" ->
+      """WITH ex AS (
+        |  SELECT quantile_cont(l_extendedprice::DOUBLE,
+        |    [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS arr
+        |  FROM lineitem),
+        |flat AS (
+        |  SELECT generate_subscripts(arr, 1) AS i, unnest(arr) AS v FROM ex),
+        |qs AS (
+        |  SELECT generate_subscripts(l, 1) AS i, unnest(l) AS q
+        |  FROM (SELECT [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS l))
+        |SELECT qs.q AS q, round(flat.v, 4) AS exact_q, TRUE AS kll_ok
+        |FROM qs JOIN flat USING (i) ORDER BY q""".stripMargin,
+
+    "q113_ranking_metrics" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec, label AS clabel
+        |  FROM embeddings WHERE vec_id < 400),
+        |pairs AS (
+        |  SELECT qid, cid,
+        |    round(list_cosine_similarity(cvec::DOUBLE[], qvec::DOUBLE[]), 6) AS score,
+        |    (clabel = qlabel)::INT AS rel
+        |  FROM c, q WHERE cid <> qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        |  FROM pairs),
+        |perq AS (
+        |  SELECT qid,
+        |    sum(rel)::BIGINT AS n_rel,
+        |    sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END)::DOUBLE AS rel_at_k,
+        |    min(CASE WHEN rnk <= 10 AND rel > 0 THEN rnk END) AS first_rel,
+        |    sum(CASE WHEN rnk <= 10 THEN rel / log2(rnk + 1) ELSE 0 END) AS dcg
+        |  FROM ranked GROUP BY qid),
+        |idcg AS (
+        |  SELECT m, list_sum([1.0 / log2(i + 1) FOR i IN range(1, m + 1)]) AS idcg
+        |  FROM (SELECT unnest(range(1, 11)) AS m))
+        |SELECT p.qid AS qid, p.n_rel AS n_rel,
+        |  round(CASE WHEN n_rel > 0 THEN rel_at_k / n_rel ELSE 0 END, 6) AS recall_at_10,
+        |  round(coalesce(1.0 / first_rel, 0), 6) AS mrr_at_10,
+        |  round(CASE WHEN n_rel > 0 THEN dcg / i.idcg ELSE 0 END, 6) AS ndcg_at_10
+        |FROM perq p LEFT JOIN idcg i ON i.m = least(10, p.n_rel)
+        |ORDER BY qid""".stripMargin,
+
+    "q114_wordpiece_ids" -> {
+      // vocab rows (id, core, is-continuation); [UNK] (id 0) is the
+      // sentinel, never a matchable piece
+      val rows = wordpieceVocab.zipWithIndex.collect {
+        case (p, i) if i > 0 =>
+          val cont = p.startsWith("##")
+          val core = if (cont) p.substring(2) else p
+          s"($i, '$core', ${if (cont) "TRUE" else "FALSE"})"
+      }.mkString(", ")
+      s"""WITH RECURSIVE vocab(id, core, cont) AS (VALUES $rows),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(toks) AS w FROM toks),
+         |pos AS (SELECT w, unnest(range(0, len(w))) AS pos FROM words),
+         |cand AS (
+         |  SELECT p.w, p.pos, v.id, len(v.core) AS l,
+         |    row_number() OVER (PARTITION BY p.w, p.pos
+         |      ORDER BY len(v.core) DESC, v.id) AS rn
+         |  FROM pos p JOIN vocab v
+         |    ON v.cont = (p.pos > 0)
+         |    AND substr(p.w, p.pos + 1, len(v.core)) = v.core),
+         |best AS (SELECT w, pos, id, l FROM cand WHERE rn = 1),
+         |walk AS (
+         |  SELECT w, 0 AS pos, CAST([] AS BIGINT[]) AS ids FROM words
+         |  UNION ALL
+         |  SELECT walk.w, walk.pos + b.l AS pos,
+         |    list_append(walk.ids, b.id::BIGINT) AS ids
+         |  FROM walk JOIN best b ON b.w = walk.w AND b.pos = walk.pos
+         |  WHERE walk.pos < len(walk.w)),
+         |enc AS (
+         |  SELECT words.w,
+         |    CASE WHEN d.ids IS NULL THEN CAST([0] AS BIGINT[]) ELSE d.ids END AS ids
+         |  FROM words LEFT JOIN
+         |    (SELECT w, ids FROM walk WHERE pos = len(w)) d USING (w)),
+         |docseq AS (
+         |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS w
+         |  FROM toks),
+         |flat AS (
+         |  SELECT doc_id, p, generate_subscripts(ids, 1) AS sub,
+         |    unnest(ids) AS token_id
+         |  FROM docseq JOIN enc USING (w))
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY p, sub) - 1)::BIGINT AS seq_pos,
+         |  token_id::BIGINT AS token_id
+         |FROM flat ORDER BY doc_id, seq_pos""".stripMargin
+    },
 
     "q86_contamination_spans" ->
       """WITH toks AS (

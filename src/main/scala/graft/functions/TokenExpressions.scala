@@ -452,6 +452,114 @@ case class BpeTokenIds(child: Expression, merges: Seq[(String, String)],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** WordPiece greedy longest-match-first tokenization (Wu et al. 2016,
+  * the BERT tokenizer's subword step): at each position take the
+  * LONGEST vocabulary piece that matches — start-of-word pieces at
+  * position 0, `##`-continuation pieces after — and emit the whole
+  * word as `unkId` if any position has no match at all. The third
+  * subword family next to BPE (replay a merge history) and unigram-LM
+  * (solve a Viterbi objective): no training state beyond the vocab
+  * itself, segmentation is a deterministic scan.
+  */
+object WordPieceKernel {
+  /** Greedy encode of one word. `startMap`/`contMap` key piece CORES
+    * (continuation pieces stripped of `##`) to vocab ids; max lengths
+    * bound the backward probe so each position costs O(maxLen) map
+    * probes, not O(|vocab|).
+    */
+  def tokenIds(w: UTF8String,
+      startMap: java.util.HashMap[String, Integer],
+      contMap: java.util.HashMap[String, Integer],
+      maxStart: Int, maxCont: Int, unkId: Int): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Int](0))
+    }
+    val out = new java.util.ArrayList[Integer](8)
+    var pos = 0
+    while (pos < n) {
+      val map = if (pos == 0) startMap else contMap
+      val cap = math.min(if (pos == 0) maxStart else maxCont, n - pos)
+      var l = cap
+      var id: Integer = null
+      while (l >= 1 && id == null) {
+        id = map.get(s.substring(pos, pos + l))
+        if (id == null) l -= 1
+      }
+      if (id == null) {
+        // BERT semantics: any unmatchable position voids the whole word
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(Array(unkId))
+      }
+      out.add(id)
+      pos += l
+    }
+    val arr = new Array[Int](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(arr)
+  }
+}
+
+/** wordpiece_ids(word) -> array<int>: greedy longest-match WordPiece
+  * ids under a fixed vocabulary ([[WordPieceKernel]]). Vocab ships to
+  * executors as two codegen reference maps (start pieces /
+  * `##`-continuations, keyed by core) — by-reference like
+  * [[BpeTokenIds]], never as plan literals.
+  */
+case class WordPieceIds(child: Expression, vocab: Seq[String],
+    unkId: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "wordpiece_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocab.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_ids needs a string word and a non-empty vocab, " +
+        s"got ${child.dataType.simpleString}")
+  }
+
+  private lazy val startMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (p, i) =>
+      if (!p.startsWith("##")) m.put(p, i)
+    }
+    m
+  }
+
+  private lazy val contMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (p, i) =>
+      if (p.startsWith("##")) m.put(p.substring(2), i)
+    }
+    m
+  }
+
+  private lazy val maxStart: Int =
+    vocab.filterNot(_.startsWith("##")).map(_.length).foldLeft(1)(math.max)
+  private lazy val maxCont: Int =
+    vocab.filter(_.startsWith("##")).map(_.length - 2).foldLeft(1)(math.max)
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordPieceKernel.tokenIds(v.asInstanceOf[UTF8String], startMap, contMap,
+      maxStart, maxCont, unkId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("wpStart", startMap,
+      "java.util.HashMap<String, Integer>")
+    val cRef = ctx.addReferenceObj("wpCont", contMap,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordPieceKernel.tokenIds($c, $sRef, $cRef, " +
+        s"$maxStart, $maxCont, $unkId)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** nfc_normalize(s) -> string: Unicode NFC normalization (canonical
   * decomposition + composition, java.text.Normalizer — the JDK's
   * implementation of UAX #15). The first step of every corpus

@@ -143,6 +143,33 @@ object Tokenize {
         x => x.getField("__wids"))).as("ids"))
   }
 
+  /** WordPiece (BERT) token ids: greedy longest-match-first subword
+    * segmentation per word under a fixed piece vocabulary — start
+    * pieces at position 0, `##`-continuations after; a word with any
+    * unmatchable position becomes one `unkId` token whole (Wu et al.
+    * 2016). The third subword family next to [[bpeTokenIds]] (merge
+    * replay) and [[unigramTokenIds]] (Viterbi): pure vocab scan, no
+    * training state. Same vocab-factored 100 TB shape: the codegen'd
+    * `wordpiece_ids` kernel runs over DISTINCT words only, documents
+    * re-attach by word equi-join, sequences assemble by position.
+    */
+  def wordpieceTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], unkId: Int = 0,
+      pinTokenFrame: Boolean = true): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val docw0 = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val docw = if (pinTokenFrame) docw0.localCheckpoint(true) else docw0
+    val enc = docw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.wordpiece_ids(col("w"), vocab, unkId).as("__wids"))
+    docw.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("__wids")))),
+        x => x.getField("__wids"))).as("ids"))
+  }
+
   /** TRAIN a BPE merge table end-to-end (the loop [[topBpePairs]] is one
     * round of): one distributed vocab aggregate, then the exact greedy
     * trainer over the frequency-weighted vocabulary on the driver with

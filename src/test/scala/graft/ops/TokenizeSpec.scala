@@ -207,4 +207,61 @@ class TokenizeSpec extends AnyFunSuite {
     val capped = Tokenize.trainBpeMerges(docs, "text", 3, vocabCap = 3)
     assert(capped == a)
   }
+
+  // --- WordPiece (greedy longest-match-first, BERT semantics) ---
+
+  private val wpVocab = Seq("[UNK]", "a", "b", "u", "n", "un", "ab",
+    "able", "##a", "##b", "##c", "##l", "##e", "##le", "##able", "##bc")
+
+  private def wp(words: String*): Map[String, Seq[Int]] = {
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val ids = Tokenize.wordpieceTokenIds(docs, "doc_id", "text", wpVocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    words.zipWithIndex.map { case (w, i) => w -> ids(i.toLong) }.toMap
+  }
+
+  test("wordpiece takes the longest match at each position") {
+    val out = wp("unable", "able", "abc")
+    // 'unable': start 'un' (beats 'u'), then '##able' (beats '##a'/'##ab')
+    assert(out("unable") == Seq(wpVocab.indexOf("un"), wpVocab.indexOf("##able")))
+    // 'able' is a start piece whole
+    assert(out("able") == Seq(wpVocab.indexOf("able")))
+    // 'abc': 'ab' + '##c' (greedy start match 'ab' over 'a')
+    assert(out("abc") == Seq(wpVocab.indexOf("ab"), wpVocab.indexOf("##c")))
+  }
+
+  test("start and continuation pieces are distinct inventories") {
+    // 'aa': position 0 uses 'a' (start), position 1 must use '##a'
+    assert(wp("aa")("aa") ==
+      Seq(wpVocab.indexOf("a"), wpVocab.indexOf("##a")))
+  }
+
+  test("any unmatchable position voids the whole word to [UNK]") {
+    val out = wp("abz", "zab", "ab")
+    assert(out("abz") == Seq(0), "uncovered 'z' mid-word")
+    assert(out("zab") == Seq(0), "uncovered 'z' at start")
+    assert(out("ab") == Seq(wpVocab.indexOf("ab")))
+  }
+
+  test("greedy is not optimal: longest-first can fragment the tail") {
+    // 'ablc': greedy start 'able'? no -- 'abl' not a piece boundary;
+    // start 'ab' + '##l' + '##c'; a smarter split 'a ##b ##l ##c' ties.
+    // The point: greedy takes 'ab' first even though '##bc' would pair
+    // with 'a' -- 'abc' stays 'ab ##c', never 'a ##bc'.
+    assert(wp("abc")("abc") ==
+      Seq(wpVocab.indexOf("ab"), wpVocab.indexOf("##c")))
+  }
+
+  test("wordpiece doc sequences assemble in word-position order") {
+    val docs = Seq((7L, "ab unable ab")).toDF("doc_id", "text")
+    val ids = Tokenize.wordpieceTokenIds(docs, "doc_id", "text", wpVocab)
+      .head.getSeq[Int](1)
+    val ab = wpVocab.indexOf("ab")
+    assert(ids == Seq(ab, wpVocab.indexOf("un"), wpVocab.indexOf("##able"), ab))
+    // pinned and recomputed token frames agree
+    val re = Tokenize.wordpieceTokenIds(docs, "doc_id", "text", wpVocab,
+      pinTokenFrame = false).head.getSeq[Int](1)
+    assert(re == ids)
+  }
 }
