@@ -1492,6 +1492,28 @@ object SparkEntry {
         .select(col("doc_id"), col("seq_pos").cast("long").as("seq_pos"),
           col("token_id").cast("long").as("token_id"))
         .orderBy(col("doc_id"), col("seq_pos")))
+  ,
+
+    // PageRank (ops/Graph.scala): fixed-iteration rank over the
+    // customer -> supplier purchase graph (suppliers namespaced +1e6)
+    // — the link-graph source-quality prior, and the repo's iterative
+    // graph operator next to CC's pointer jumping. Mass-conserving
+    // dangling redistribution keeps sum(pr) == 1, so a fixed 5-round
+    // unroll is engine-comparable; the oracle unrolls the SAME rounds
+    // as chained SQL CTEs. All-double arithmetic on both sides
+    // (explicit ::DOUBLE in the oracle), final round to 6 dp.
+    "q115_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2795,6 +2817,35 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY p, sub) - 1)::BIGINT AS seq_pos,
          |  token_id::BIGINT AS token_id
          |FROM flat ORDER BY doc_id, seq_pos""".stripMargin
+    },
+
+    "q115_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"pr${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum(p.pr / d.outdeg) AS c
+           |  FROM e JOIN $p p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |dm$i AS (
+           |  SELECT coalesce(sum(p.pr), 0.0::DOUBLE) AS dm
+           |  FROM $p p LEFT JOIN deg d ON d.src = p.node
+           |  WHERE d.src IS NULL),
+           |pr$i AS (
+           |  SELECT n.node,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / m.n +
+           |      0.85::DOUBLE * (coalesce(c.c, 0.0::DOUBLE) + dm.dm / m.n) AS pr
+           |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node, meta m, dm$i dm)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |meta AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, 1.0::DOUBLE / m.n AS pr FROM nodes, meta m),
+         |$rounds
+         |SELECT node, round(pr, 6) AS pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     },
 
     "q86_contamination_spans" ->
