@@ -1513,6 +1513,30 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Z-order / Morton code (functions/ZOrderExpressions + ops/Layout):
+    // the data-LAYOUT operator behind lakehouse OPTIMIZE ZORDER BY —
+    // multi-dimensional file clustering so min/max pruning works on
+    // every dimension (SCALECHECK §5n measures the file-skip win; this
+    // query pins the CODE itself). Buckets use pure integer arithmetic
+    // (`div`) so both engines compute identical codes; the oracle
+    // re-derives the interleave with explicit bit shifts.
+    "q116_zorder" -> ((s, dir) => {
+      val st = t(s, dir, "lineitem")
+        .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(st))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.z_value(Seq(
+            expr("((l_partkey - pmin) * 255) div (pmax - pmin)"),
+            expr("((l_suppkey - smin) * 255) div (smax - smin)")), 8)
+            .as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
     })
   )
 
@@ -2847,6 +2871,22 @@ object SparkEntry {
          |SELECT node, round(pr, 6) AS pr FROM pr5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     },
+
+    "q116_zorder" ->
+      """WITH s AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ((l_partkey - pmin) * 255) // (pmax - pmin) AS pb,
+        |    ((l_suppkey - smin) * 255) // (smax - smin) AS sb
+        |  FROM lineitem, s)
+        |SELECT l_orderkey, l_linenumber,
+        |  list_sum([(((pb >> i) & 1) << (2 * i)) + (((sb >> i) & 1) << (2 * i + 1))
+        |    FOR i IN range(0, 8)])::BIGINT AS zval
+        |FROM b
+        |ORDER BY zval, l_orderkey, l_linenumber LIMIT 50""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

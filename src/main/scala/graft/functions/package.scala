@@ -158,6 +158,13 @@ package object functions {
       vocab: Seq[String], unkId: Int = -1): Column =
     toColumn(BpeTokenIds(exprOf(word), merges, vocab, unkId))
 
+  /** Morton (Z-order) code of long columns, `bits` low bits each —
+    * the multi-dimensional clustering key for layout rewrites
+    * (codegen'd; n * bits must fit a long).
+    */
+  def z_value(dims: Seq[Column], bits: Int): Column =
+    toColumn(ZValue(dims.map(exprOf), bits))
+
   /** Greedy longest-match WordPiece ids for a word (BERT subword step;
     * codegen'd kernel, vocab ships by reference). A word with any
     * unmatchable position emits `[unkId]` whole.

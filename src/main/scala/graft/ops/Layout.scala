@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Data-layout optimization: multi-dimensional clustering of a table's
+  * files so engine-side min/max pruning (parquet row-group stats /
+  * file-listing elimination) works for box predicates on EVERY
+  * clustered dimension — the `OPTIMIZE ZORDER BY` capability of
+  * lakehouse table formats, as an operator. A plain sort clusters only
+  * the leading key: a query on the second dimension reads everything.
+  * The Morton code interleaves the dimensions' bits, so files cover
+  * hyper-rectangles and a selective box query intersects ~n^((d-1)/d)
+  * of them instead of all (measured: SCALECHECK §5n).
+  *
+  * 100 TB shape: one stats aggregate (broadcast back as a 1-row
+  * frame), one map pass to code rows, one range repartition by the
+  * code (Spark samples ranges — no global sort), and a
+  * sort-within-partitions that is file-local. Nothing here is more
+  * than the one shuffle a rewrite inherently needs.
+  */
+object Layout {
+
+  /** Attach a `bits`-bit-per-dimension Morton code column computed from
+    * min/max-scaled dimension buckets (linear scaling — the same
+    * normalization Delta's Z-order uses; rank-based scaling would add a
+    * per-dimension sort for marginal skew benefit).
+    */
+  def withZValue(df: DataFrame, dims: Seq[String], bits: Int,
+      outCol: String = "zval"): DataFrame = {
+    require(dims.nonEmpty, "withZValue: need at least one dimension")
+    val aggs = dims.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val maxCode = (1L << bits) - 1
+    val buckets: Seq[Column] = dims.map { c =>
+      val lo = col(s"__min_$c")
+      val span = col(s"__max_$c") - lo
+      when(span <= 0, lit(0L)).otherwise(
+        floor((col(c).cast("double") - lo) / span * maxCode).cast("long"))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol, graft.functions.z_value(buckets, bits))
+      .drop(dims.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Z-ordered rewrite: cluster `df` into `numFiles` parquet files by
+    * the Morton code of `dims`. Range partition (sampled bounds, no
+    * global sort) + file-local sort; the code column does not persist.
+    */
+  def writeZOrdered(df: DataFrame, dims: Seq[String], bits: Int,
+      path: String, numFiles: Int): Unit =
+    withZValue(df, dims, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max of `cols` for a parquet directory — the stats a
+    * pruning engine consults, surfaced as a frame so layout quality is
+    * measurable (how many files does this box query intersect?).
+    */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -331,6 +331,66 @@ object StreamOps {
       }
   }
 
+  case class QuantileRow(group: String, q: Double, est: Double, n: Long)
+  case class KllState(n: Long, compactions: Long, levels: Seq[Seq[Double]])
+
+  /** Streaming per-group quantiles: a [[graft.functions.KllSketch]]
+    * tower lives in the state store per group and each micro-batch emits
+    * refreshed estimates at the requested quantiles — the streaming
+    * face of the q112 aggregate ("rolling p99 latency per event type"),
+    * same kernel, same O(n/k) rank bound. State per group is the
+    * summary (O(k log n) doubles), never the values — bounded for
+    * unbounded streams, exactly like the MG heavy-hitters state above.
+    */
+  def streamingQuantiles(rows: DataFrame, groupCol: String,
+      valueCol: String, k: Int, qs: Seq[Double])(
+      implicit spark: SparkSession): Dataset[QuantileRow] = {
+    import spark.implicits._
+    require(qs.nonEmpty, "streamingQuantiles: need at least one quantile")
+    rows
+      .select(col(groupCol).cast("string").as("_1"),
+        col(valueCol).cast("double").as("_2"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KllState, QuantileRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, arrivals: Iterator[(String, Double)],
+            state: GroupState[KllState]) =>
+          val buf = state.getOption match {
+            case Some(s) => new graft.functions.KllSketch.Buffer(
+              s.n, s.compactions,
+              scala.collection.mutable.ArrayBuffer(
+                s.levels.map(l =>
+                  scala.collection.mutable.ArrayBuffer(l: _*)): _*))
+            case None => graft.functions.KllSketch.Buffer.empty()
+          }
+          arrivals.foreach { case (_, v) =>
+            buf.levels(0) += v
+            buf.n += 1
+            graft.functions.KllSketch.compressIfNeeded(buf, k)
+          }
+          state.update(KllState(buf.n, buf.compactions,
+            buf.levels.map(_.toSeq).toSeq))
+          // summary -> sorted (item, weight) walk, same as the kernel
+          val pairs = buf.levels.zipWithIndex.flatMap { case (l, lev) =>
+            l.map(v => (v, 1L << lev)) }.sortBy(_._1)
+          val total = buf.n
+          qs.map { q =>
+            val target = math.max(1L, math.ceil(q * total).toLong)
+            var cum = 0L
+            var i = 0
+            var est = if (pairs.nonEmpty) pairs.last._1 else Double.NaN
+            var found = false
+            while (i < pairs.size && !found) {
+              cum += pairs(i)._2
+              if (cum >= target) { est = pairs(i)._1; found = true }
+              i += 1
+            }
+            QuantileRow(g, q, est, total)
+          }.iterator
+      }
+  }
+
   /** Stream-static range join: tag each streaming point row with the
     * static intervals containing it — [[graft.ops.RangeJoin]]'s binned
     * decomposition on a stream (enrichment against maintenance windows,

@@ -56,7 +56,9 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
-    // setjoin invert sketch sfbench) to run a subset; no args = everything
+    // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain kll
+    // wordpiece pagerank evalrank sfbench) to run a subset; no args =
+    // everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -764,6 +766,158 @@ object ScaleCheck {
       f"tokens_per_word=${toks.toDouble / words}%.2f " +
       f"compression=${chars.toDouble / toks}%.2fx deterministic=true")
     corpusBt.unpersist()
+    }
+
+    if (run("kll")) {
+    // ---- 5j. KLL quantile sketch — 50M skewed doubles ----------------
+    // Heavily skewed distribution (u^4 power law: the p99/p50 ratio is
+    // ~100x) over 32 partitions, so partial-aggregate merges run for
+    // real. The published guarantee is O(n/k) rank error; the gate is a
+    // generous 2% normalized rank error at k=200 (DataSketches reports
+    // 1.65% at 99% conf) — estimates come off the merged summary, exact
+    // ranks from ONE conditional-sum pass over the stream.
+    val nK = 50000000L
+    val kllK = 200
+    val valsK = spark.range(nK).select(
+      (pow(pmod(xxhash64(col("id")), lit(1000000)).cast("double") /
+        1000000.0, 4.0) * 1e6).as("x"))
+    val (rowK, tK) = time {
+      valsK.repartition(32)
+        .agg(graft.functions.kll_sketch(col("x"), kllK).as("sk"))
+        .select(col("sk.n"), col("sk.items"), col("sk.weights")).head
+    }
+    val nSk = rowK.getLong(0)
+    val itemsK = rowK.getSeq[Double](1)
+    val weightsK = rowK.getSeq[Long](2)
+    require(nSk == nK && weightsK.sum == nSk,
+      s"weight invariant: sum(weights)=${weightsK.sum} != n=$nSk")
+    def estK(q: Double): Double = {
+      val target = math.max(1L, math.ceil(q * nSk).toLong)
+      var cum = 0L
+      var i = 0
+      while (i < itemsK.size) {
+        cum += weightsK(i)
+        if (cum >= target) return itemsK(i)
+        i += 1
+      }
+      itemsK.last
+    }
+    val qsK = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val rankExprs = qsK.map(q =>
+      sum(when(col("x") <= estK(q), 1L).otherwise(0L)))
+    val rankRow = valsK.agg(rankExprs.head, rankExprs.tail: _*).head
+    val maxErrK = qsK.zipWithIndex.map { case (q, i) =>
+      math.abs(rankRow.getLong(i).toDouble / nSk - q) }.max
+    require(maxErrK <= 0.02, f"KLL normalized rank error $maxErrK%.4f > 2%%")
+    println(f"KLL> n=$nSk k=$kllK summary_items=${itemsK.size} " +
+      f"max_rank_err=$maxErrK%.4f time=$tK%.1f s " +
+      f"(${nSk / tK / 1e6}%.1f M vals/s)")
+    }
+
+    if (run("wordpiece")) {
+    // ---- 5k. WordPiece encode — 210k docs, length-derived invariant --
+    // Corpus words are '[wx]' + digits; the vocab has start pieces
+    // 'w'/'x', all 1-digit continuations, and all 100 2-digit
+    // continuations — so greedy longest-match MUST emit exactly
+    // 1 + ceil((len-1)/2) pieces per word. The total token count is
+    // therefore computable from word lengths alone, independent of the
+    // tokenizer — an exact corpus-sized oracle with zero tolerance.
+    val corpusWp = corpus(spark, 200000L).cache()
+    corpusWp.count()
+    val digits = (0 to 9).map(_.toString)
+    val twoDigit = for (a <- digits; b <- digits) yield a + b
+    val wpVocab = Seq("[UNK]", "w", "x") ++
+      digits.map("##" + _) ++ twoDigit.map("##" + _)
+    val (nTokWp, tWp) = time {
+      Tokenize.wordpieceTokenIds(corpusWp, "doc_id", "text", wpVocab)
+        .agg(sum(size(col("ids")))).head.getLong(0)
+    }
+    val expectedWp = corpusWp.select(
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(sum(lit(1L) + ceil((length(col("w")) - 1).cast("double") / 2.0)
+        .cast("long"))).head.getLong(0)
+    require(nTokWp == expectedWp,
+      s"length-derived token count $expectedWp != emitted $nTokWp")
+    val nWords = corpusWp.select(
+      sum(size(TextAnalysis.tokens(col("text"))))).head.getLong(0)
+    println(f"WORDPIECE> docs=${corpusWp.count()} words=$nWords " +
+      f"tokens=$nTokWp exact_length_oracle_ok=true time=$tWp%.1f s " +
+      f"(${nWords / tWp / 1e6}%.2f M words/s)")
+    corpusWp.unpersist()
+    }
+
+    if (run("pagerank")) {
+    // ---- 5l. PageRank — 5M-edge preferential graph, 10 rounds --------
+    // 1M nodes; dst ids drawn u^2-skewed so low ids are hubs (max
+    // in-degree ~thousands — the skew a host graph actually has).
+    // Invariants: total mass stays 1 to float tolerance after 10
+    // rounds (the dangling redistribution is exact), and the top-ranked
+    // node is a hub (in-degree above the mean) — rank must follow
+    // structure. Wall time is the per-round cost the 100 TB shape
+    // amortizes: edges stay put (partitioned by src once), only the
+    // node-sized rank frame moves.
+    val nEdges = 5000000L
+    val nNodes = 1000000L
+    val edgesPr = spark.range(nEdges).select(
+      pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+      floor(pow(pmod(xxhash64(col("id"), lit(7)), lit(1000000)).cast("double") /
+        1000000.0, 2.0) * nNodes).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val (prRows, tPr) = time {
+      graft.ops.Graph.pageRank(edgesPr, "src", "dst", iterations = 10)
+        .orderBy(col("pr").desc).limit(5).collect()
+    }
+    val (massPr, _) = time {
+      graft.ops.Graph.pageRank(edgesPr, "src", "dst", iterations = 3)
+        .agg(sum(col("pr"))).head.getDouble(0)
+    }
+    require(math.abs(massPr - 1.0) < 1e-6,
+      f"mass must be conserved: sum(pr)=$massPr%.9f")
+    val topNode = prRows.head.getLong(0)
+    val topInDeg = edgesPr.filter(col("dst") === topNode).count()
+    val meanInDeg = nEdges.toDouble / nNodes
+    require(topInDeg > meanInDeg,
+      s"top-ranked node in-degree $topInDeg not above mean $meanInDeg")
+    println(f"PAGERANK> edges=$nEdges nodes~$nNodes rounds=10 " +
+      f"mass_after_3=$massPr%.9f top_node=$topNode " +
+      f"top_in_degree=$topInDeg t_10_rounds=$tPr%.1f s " +
+      f"(${tPr / 10}%.1f s/round)")
+    }
+
+    if (run("evalrank")) {
+    // ---- 5m. Ranking metrics — 200k queries x 100 candidates ---------
+    // 20M scored pairs through the window + grouped-agg plan; relevance
+    // is a hash bit (~1/8 of candidates relevant). Invariants: one row
+    // per query, every metric inside [0,1], and mean recall@10 ~= the
+    // null expectation of random ranking (10 draws from a 12.5%-relevant
+    // pool over ~12.5 relevant: E[recall] ~ 10/100) — the metric
+    // machinery must not manufacture signal from noise.
+    val nQ = 200000L
+    val perQ = 100
+    val pairsEv = spark.range(nQ * perQ).select(
+      (col("id") / perQ).cast("long").as("qid"),
+      pmod(col("id"), lit(perQ.toLong)).as("cid"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(1000000)).cast("double") /
+        1000000.0).as("score"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(8)) === 0).cast("int").as("rel"))
+    val (evAgg, tEv) = time {
+      val per = graft.ops.Eval.rankingMetrics(
+        pairsEv, "qid", "cid", "score", "rel", k = 10)
+      per.agg(count(lit(1)), avg(col("recall_at_k")), avg(col("mrr_at_k")),
+        avg(col("ndcg_at_k")), max(col("recall_at_k")),
+        min(col("recall_at_k"))).head
+    }
+    val nOut = evAgg.getLong(0)
+    val meanRecall = evAgg.getDouble(1)
+    require(nOut == nQ, s"one row per query: $nOut != $nQ")
+    require(evAgg.getDouble(4) <= 1.0 && evAgg.getDouble(5) >= 0.0,
+      "metrics must stay in [0,1]")
+    require(meanRecall > 0.04 && meanRecall < 0.13,
+      f"random-ranking recall@10 should sit near 10/100: $meanRecall%.4f")
+    println(f"EVALRANK> pairs=${nQ * perQ} queries=$nQ " +
+      f"mean_recall@10=$meanRecall%.4f mean_mrr@10=${evAgg.getDouble(2)}%.4f " +
+      f"mean_ndcg@10=${evAgg.getDouble(3)}%.4f time=$tEv%.1f s " +
+      f"(${nQ * perQ / tEv / 1e6}%.1f M pairs/s)")
     }
 
     if (run("sfbench")) {

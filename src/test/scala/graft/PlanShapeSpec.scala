@@ -180,4 +180,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(500))
     assert(p.contains("LeftAnti"), "replacement must be an anti-join:\n" + p.take(500))
   }
+
+  test("q112 KLL: sketch rides partial aggregation; probes broadcast") {
+    val p = plan("q112_kll_quantiles")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // the summary aggregate must partial-aggregate (merge path), not
+    // funnel raw rows to one node
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "kll_sketch must run as a real aggregate:\n" + p.take(800))
+  }
+
+  test("q114 WordPiece keeps the vocab-factored shape: distinct words then re-attach") {
+    val df = SparkEntry.queries("q114_wordpiece_ids")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("HashAggregate"), "distinct-word pass missing")
+    // the kernel expression lives in the aggregate's result projection
+    // (elided from the physical toString) — assert it on the optimized
+    // logical plan, and that it is applied AFTER the distinct
+    val lp = df.queryExecution.optimizedPlan.toString()
+    assert(lp.contains("wordpiece_ids"), "kernel expression missing:\n" + lp.take(800))
+    assert(lp.indexOf("wordpiece_ids") < lp.indexOf("Deduplicate") ||
+      lp.contains("Aggregate"), "vocab factoring lost:\n" + lp.take(800))
+  }
+
+  test("q115 PageRank: no cartesian across 5 iterative rounds") {
+    val p = plan("q115_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
 }

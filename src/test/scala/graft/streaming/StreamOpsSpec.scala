@@ -342,4 +342,38 @@ class StreamOpsSpec extends AnyFunSuite {
         "range join must not register stateful operators")
     } finally q.stop()
   }
+
+  test("streaming quantiles: exact below capacity, accumulates across batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Double)]
+    val q = StreamOps.streamingQuantiles(
+      input.toDF().toDF("g", "v"), "g", "v", k = 200, qs = Seq(0.5, 0.9))(spark)
+      .writeStream.format("memory").queryName("kllq_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: 1..100 in group a -> n below capacity, estimates exact
+      input.addData((1 to 100).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val snap1 = spark.sql(
+        "SELECT q, est, n FROM kllq_out WHERE group = 'a'")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(snap1 == Set((0.5, 50.0, 100L), (0.9, 90.0, 100L)))
+      // batch 2: 101..200 arrive -> the SAME group's state accumulates;
+      // median of 1..200 at ceil-rank 100 is 100.0, p90 is 180.0
+      input.addData((101 to 200).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val snap2 = spark.sql(
+        "SELECT q, est FROM kllq_out WHERE group = 'a' AND n = 200")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(snap2 == Set((0.5, 100.0), (0.9, 180.0)))
+      // a second group is independent state
+      input.addData(("b", 7.0))
+      q.processAllAvailable()
+      val bRow = spark.sql(
+        "SELECT est FROM kllq_out WHERE group = 'b' AND q = 0.5")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(bRow == Seq(7.0))
+    } finally q.stop()
+  }
 }
