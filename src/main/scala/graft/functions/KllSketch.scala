@@ -183,8 +183,13 @@ object KllSketch {
     * exactly, so sum(weights) == n always.
     */
   def compressIfNeeded(buf: Buffer, k: Int): Unit = {
-    var guard = 0
-    while (totalSize(buf) > totalCapacity(buf.levels.size, k) && guard < 64) {
+    // Loop until the tower FITS, not a fixed pass count: a merge of two
+    // near-full towers can need more than any constant number of passes
+    // (low levels shed as few as ~4 items each). Termination is
+    // guaranteed — every compaction strictly shrinks totalSize by
+    // evenLen/2 >= 4 while totalCapacity never decreases, and the
+    // target<0 return covers the no-level-at-capacity edge.
+    while (totalSize(buf) > totalCapacity(buf.levels.size, k)) {
       var l = 0
       var target = -1
       while (target < 0 && l < buf.levels.size) {
@@ -193,7 +198,6 @@ object KllSketch {
       }
       if (target < 0) return
       compactLevel(buf, target)
-      guard += 1
     }
   }
 

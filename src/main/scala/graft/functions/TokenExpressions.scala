@@ -477,16 +477,27 @@ object WordPieceKernel {
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(new Array[Int](0))
     }
+    // Candidate piece ends walk CODE-POINT boundaries (BERT/HF
+    // semantics): probing per UTF-16 char would try substrings that
+    // split surrogate pairs and degrade supplementary-character words
+    // to [UNK] even when the vocab covers them per code point.
+    val bounds = new Array[Int](n + 1) // boundary offsets, ascending
+    var nb = 0
+    var off = 0
+    while (off < n) { bounds(nb) = off; nb += 1; off += Character.charCount(s.codePointAt(off)) }
+    bounds(nb) = n; nb += 1
     val out = new java.util.ArrayList[Integer](8)
-    var pos = 0
-    while (pos < n) {
+    var bi = 0 // index into bounds; current position is bounds(bi)
+    while (bi < nb - 1) {
+      val pos = bounds(bi)
       val map = if (pos == 0) startMap else contMap
       val cap = math.min(if (pos == 0) maxStart else maxCont, n - pos)
-      var l = cap
+      var ei = bi + 1
+      while (ei < nb - 1 && bounds(ei + 1) - pos <= cap) ei += 1
       var id: Integer = null
-      while (l >= 1 && id == null) {
-        id = map.get(s.substring(pos, pos + l))
-        if (id == null) l -= 1
+      while (ei > bi && id == null) {
+        if (bounds(ei) - pos <= cap) id = map.get(s.substring(pos, bounds(ei)))
+        if (id == null) ei -= 1
       }
       if (id == null) {
         // BERT semantics: any unmatchable position voids the whole word
@@ -494,7 +505,7 @@ object WordPieceKernel {
           .fromPrimitiveArray(Array(unkId))
       }
       out.add(id)
-      pos += l
+      bi = ei
     }
     val arr = new Array[Int](out.size)
     var i = 0

@@ -233,7 +233,10 @@ object Invert {
     * untouched. The result is row-identical to rebuilding [[postings]]
     * over the updated corpus (pinned in InvertSpec), so every query
     * function ([[phraseSearchIndex]], [[bm25FromIndex]], [[docLengths]])
-    * works on merged output unchanged.
+    * works on merged output unchanged. This two-arg form derives the
+    * replaced set from the delta POSTINGS — sufficient when every delta
+    * doc still has at least one term; for deletions or emptied docs use
+    * the three-arg overload with an explicit doc-id set.
     *
     * 100 TB shape: the base side streams through ONE doc_id-keyed
     * anti-join against the delta's distinct doc ids (delta docs are a
@@ -244,12 +247,25 @@ object Invert {
     * [[writeIndex]] (bucketing is a property of the WRITE, so merged
     * output re-buckets cleanly at the next checkpoint).
     */
-  def mergePostings(base: DataFrame, delta: DataFrame): DataFrame = {
+  def mergePostings(base: DataFrame, delta: DataFrame): DataFrame =
+    mergePostings(base, delta, delta.select(col("doc_id")).distinct())
+
+  /** [[mergePostings]] with the delta's doc-id set passed EXPLICITLY.
+    * Required for correctness when a delta document became EMPTY (its
+    * new text tokenizes to nothing) or was DELETED outright: such a doc
+    * produces zero delta postings rows, so a doc-id set derived from the
+    * delta postings would never anti-join its stale base rows away —
+    * false-positive search/BM25 hits after the update. Derive
+    * `deltaDocIds` from the delta DOCS frame (every updated-or-deleted
+    * id), not from the delta postings.
+    */
+  def mergePostings(base: DataFrame, delta: DataFrame,
+      deltaDocIds: DataFrame): DataFrame = {
     // normalize to the postings shape so a persisted base (readIndex
     // carries bucket/nb partition columns) merges as cleanly as an
     // in-memory one
     val shape = Seq("term", "doc_id", "positions", "tf").map(col)
-    val replaced = delta.select(col("doc_id")).distinct()
+    val replaced = deltaDocIds.select(col("doc_id")).distinct()
     base.join(replaced, Seq("doc_id"), "left_anti")
       .select(shape: _*) // using-column joins reorder; pin postings shape
       .unionByName(delta.select(shape: _*))

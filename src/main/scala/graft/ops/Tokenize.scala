@@ -199,8 +199,20 @@ object Tokenize {
       .orderBy(col("freq").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val words: Array[mutable.ArrayBuffer[String]] =
-      vocab.map(v => mutable.ArrayBuffer(v._1.map(_.toString): _*))
+    // Initial segments per CODE POINT (mirrors BpeKernel.segments'
+    // codePointAt/charCount walk) — a per-UTF-16-char split would learn
+    // merges over lone surrogate halves the apply kernel can never match.
+    val words: Array[mutable.ArrayBuffer[String]] = vocab.map { v =>
+      val s = v._1
+      val buf = mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < s.length) {
+        val cc = Character.charCount(s.codePointAt(ci))
+        buf += s.substring(ci, ci + cc)
+        ci += cc
+      }
+      buf
+    }
     val freqs: Array[Long] = vocab.map(_._2)
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]

@@ -82,6 +82,39 @@ class KllSketchSpec extends AnyFunSuite {
     assert(back.levels.map(_.toVector) == buf.levels.map(_.toVector))
   }
 
+  test("merge of near-full towers compacts all the way under capacity") {
+    // The capacity invariant must hold immediately after merge, however
+    // many compaction passes that takes (a fixed pass cap would leave
+    // the buffer over capacity until later updates).
+    val k = 8 // floor capacities -> many small levels, worst pass yield
+    val agg = KllSketch(org.apache.spark.sql.catalyst.expressions.Literal(1.0), k)
+    def fill(seed: Int, nItems: Int) = {
+      val buf = agg.createAggregationBuffer()
+      val rnd = new scala.util.Random(seed)
+      (1 to nItems).foreach { _ =>
+        buf.levels(0) += rnd.nextDouble()
+        buf.n += 1
+        KllSketch.compressIfNeeded(buf, k)
+      }
+      buf
+    }
+    def overCapacity(buf: KllSketch.Buffer): Boolean = {
+      val size = buf.levels.map(_.size).sum
+      val cap = buf.levels.indices
+        .map(l => KllSketch.capacity(l, buf.levels.size, k)).sum
+      size > cap
+    }
+    val merged = (1 to 8).map(s => fill(s, 20000)).reduce { (a, b) =>
+      val m = agg.merge(a, b)
+      assert(!overCapacity(m), "tower over capacity right after merge")
+      m
+    }
+    assert(merged.n == 8L * 20000L)
+    // weight is still exact through all those compactions
+    val w = merged.levels.indices.map(l => merged.levels(l).size.toLong << l).sum
+    assert(w == merged.n)
+  }
+
   test("SQL registration: kll_sketch + kll_quantile callable from spark.sql") {
     graft.functions.registerAll(spark)
     (1 to 1000).map(_.toDouble).toDF("x").createOrReplaceTempView("kll_in")

@@ -208,6 +208,24 @@ class InvertSpec extends AnyFunSuite {
     assert(m.filter($"term" === "alpha").count() == 0L)
   }
 
+  test("mergePostings with explicit doc-id set: deleted/emptied docs vanish") {
+    val base = Invert.postings(docs, "doc_id", "text")
+    // doc 2 deleted outright, doc 3 emptied — neither produces delta
+    // postings rows, so only the explicit id set can retire them
+    val deltaDocs = Seq((3L, "")).toDF("doc_id", "text")
+    val delta = Invert.postings(deltaDocs, "doc_id", "text")
+    assert(delta.count() == 0L)
+    val ids = Seq(2L, 3L).toDF("doc_id")
+    val merged = Invert.mergePostings(base, delta, ids)
+    val expect = Invert.postings(
+      docs.filter($"doc_id" =!= 2L && $"doc_id" =!= 3L), "doc_id", "text")
+    assert(postingsSet(merged) == postingsSet(expect))
+    assert(merged.filter($"doc_id".isin(2L, 3L)).count() == 0L)
+    // the two-arg form (ids from delta postings) would have kept them
+    assert(Invert.mergePostings(base, delta)
+      .filter($"doc_id".isin(2L, 3L)).count() > 0L)
+  }
+
   test("mergePostings accepts a persisted base (bucket/nb columns dropped)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-merge").toString
     Invert.writeIndex(Invert.postings(docs, "doc_id", "text"), dir, nBuckets = 8)

@@ -196,6 +196,20 @@ class TokenizeSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("trainer segments by code point: supplementary chars merge whole") {
+    // "😀😀" repeated: a per-UTF-16-char trainer would learn merges over
+    // lone surrogate halves that the apply kernel (code-point initial
+    // segments) can never match. Trained merges must be whole code
+    // points and must round-trip through the encoder.
+    val docs = Seq((1L, Array.fill(3)("😀😀").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Tokenize.trainBpeMerges(docs, "text", numMerges = 1)
+    assert(merges == Seq(("😀", "😀")), s"got $merges")
+    val lens = Tokenize.bpeEncodedLength(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lens == Map(1L -> 3L), s"3 words x 1 merged token each; got $lens")
+  }
+
   test("trainer is deterministic and vocabCap bounds the working set") {
     val docs = Seq((1L, "zz zz yy yy xx xx ww vv uu")).toDF("doc_id", "text")
     val a = Tokenize.trainBpeMerges(docs, "text", 3)
@@ -251,6 +265,23 @@ class TokenizeSpec extends AnyFunSuite {
     // with 'a' -- 'abc' stays 'ab ##c', never 'a ##bc'.
     assert(wp("abc")("abc") ==
       Seq(wpVocab.indexOf("ab"), wpVocab.indexOf("##c")))
+  }
+
+  test("wordpiece walks code-point boundaries: no surrogate-half matches") {
+    // A vocab polluted with lone surrogate halves must NOT match inside
+    // the emoji (BERT/HF code-point semantics): the word is [UNK], not
+    // two garbage half-tokens.
+    val half = Seq("[UNK]", "\uD83D", "##\uDE00")
+    val docs1 = Seq((0L, "😀")).toDF("doc_id", "text")
+    assert(Tokenize.wordpieceTokenIds(docs1, "doc_id", "text", half)
+      .head.getSeq[Int](1) == Seq(0))
+    // and a vocab that covers the emoji per code point tokenizes it
+    val whole = Seq("[UNK]", "a", "##😀", "😀")
+    val out = Tokenize.wordpieceTokenIds(
+      Seq((0L, "a😀"), (1L, "😀")).toDF("doc_id", "text"), "doc_id", "text", whole)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) == Seq(1, 2), s"got ${out(0L)}")
+    assert(out(1L) == Seq(3), s"got ${out(1L)}")
   }
 
   test("wordpiece doc sequences assemble in word-position order") {
