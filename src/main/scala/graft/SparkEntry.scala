@@ -1537,6 +1537,22 @@ object SparkEntry {
             .as("zval"))
         .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
         .limit(50)
+    }),
+
+    // Language-ID / learned quality classifier (ops/LangId.scala):
+    // hashed char-3-gram multinomial Naive Bayes, trained closed-form
+    // (pure aggregation + Laplace smoothing, no SGD) and scored as a
+    // broadcast join + one grouped sum — the fastText-class gate that
+    // precedes every heuristic filter in production curation stacks.
+    // The n-gram hash is a transparent poly-31 over code points, so
+    // the oracle re-derives model AND scores from unicode(substr())
+    // arithmetic; the confusion-matrix output carries no floats, so
+    // engine parity rests only on argmax stability.
+    "q117_langid_nb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.LangId.train(docs, "lang", "text",
+        n = 3, numBuckets = 4096)
+      graft.ops.LangId.confusion(docs, "doc_id", "lang", "text", model)
     })
   )
 
@@ -2887,6 +2903,43 @@ object SparkEntry {
         |    FOR i IN range(0, 8)])::BIGINT AS zval
         |FROM b
         |ORDER BY zval, l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+
+    // NB langid: the oracle re-derives the whole model — hashed gram
+    // buckets (poly-31 over code points, mod 4096), per-(label,bucket)
+    // Laplace counts, priors — and the per-(doc,label) posterior, then
+    // takes the same argmax (score DESC, label ASC). The output is
+    // pure counts: no floats cross the engine boundary.
+    "q117_langid_nb" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS tx FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest([((unicode(substr(tx,i,1))*31 + unicode(substr(tx,i+1,1)))*31
+        |             + unicode(substr(tx,i+2,1))) % 4096
+        |            FOR i IN range(1, len(tx) - 1)]) AS b
+        |  FROM t),
+        |counts AS (SELECT lang AS label, b, count(*) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT label, sum(c) AS tt FROM counts GROUP BY 1),
+        |pri AS (SELECT lang AS label, count(*) AS nd FROM documents GROUP BY 1),
+        |alldocs AS (SELECT sum(nd) AS total FROM pri),
+        |tf AS (SELECT doc_id, b, count(*) AS tf FROM g GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT tf.doc_id, p.label,
+        |    ln(p.nd::DOUBLE / a.total) +
+        |    sum(tf.tf * ln((coalesce(c.c, 0) + 1)::DOUBLE / (t2.tt + 4096))) AS score
+        |  FROM tf
+        |  CROSS JOIN pri p
+        |  CROSS JOIN alldocs a
+        |  JOIN tot t2 ON t2.label = p.label
+        |  LEFT JOIN counts c ON c.label = p.label AND c.b = tf.b
+        |  GROUP BY tf.doc_id, p.label, p.nd, a.total, t2.tt),
+        |pred AS (
+        |  SELECT doc_id, label AS pred_label,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        |  FROM sc)
+        |SELECT d.lang AS label, p.pred_label, count(*) AS n_docs
+        |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        |WHERE p.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

@@ -226,6 +226,13 @@ package object functions {
   def char_shingle_hashes(text: Column, k: Int): Column =
     toColumn(CharShingleHashes(exprOf(text), k))
 
+  /** Hashed char n-gram feature buckets (transparent poly-31 over code
+    * points, mod `buckets`) — the langid / quality-classifier feature
+    * extractor; oracle-re-derivable by plain SQL arithmetic.
+    */
+  def char_ngram_buckets(text: Column, n: Int, buckets: Int): Column =
+    toColumn(CharNgramBuckets(exprOf(text), n, buckets))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -322,5 +329,8 @@ package object functions {
       es => CharShingles(es(0), intArg(es(1), "char_shingles", "k")), "built-in")
     reg.createOrReplaceTempFunction("char_shingle_hashes",
       es => CharShingleHashes(es(0), intArg(es(1), "char_shingle_hashes", "k")), "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_buckets",
+      es => CharNgramBuckets(es(0), intArg(es(1), "char_ngram_buckets", "n"),
+        intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
   }
 }
