@@ -34,22 +34,65 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 2): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iterations, damping,
+      checkpointEvery, tolerance = 0.0)
+
+  /** Weighted PageRank: contributions split proportionally to edge
+    * weight instead of uniformly over out-edges (`outdeg` becomes the
+    * node's out-weight sum). Non-positive weights are rejected — a
+    * zero-weight edge is "no edge" and a negative one has no random-surfer
+    * reading; dropping them silently would desynchronize `nodes`.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 2): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, Some(weightCol), iterations, damping,
+      checkpointEvery, tolerance = 0.0)
+
+  /** Tolerance-stopped PageRank: iterate until the L1 rank delta
+    * `sum |pr_i - pr_{i-1}|` falls below `tolerance` (or `maxIterations`
+    * is hit). The delta rides the SAME job that materializes the new
+    * rank frame — an `observe()` metric on the checkpoint pass, exactly
+    * the CC convergence-probe pattern (ops/Dedup.scala) — so the stop
+    * check adds zero extra scans; the price is a checkpoint every
+    * iteration, which the fixed-iteration path only pays every
+    * `checkpointEvery`.
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      tolerance: Double, maxIterations: Int = 50, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
+    require(tolerance > 0, "pageRankConverged: tolerance must be positive")
+    pageRankImpl(edges, srcCol, dstCol, weightCol, maxIterations, damping,
+      checkpointEvery = 1, tolerance = tolerance)
+  }
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], iterations: Int, damping: Double,
+      checkpointEvery: Int, tolerance: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       "pageRank: iterations must be in [1,100]")
     require(damping > 0 && damping < 1, "pageRank: damping must be in (0,1)")
 
     // edge frame partitioned by src once; every iteration's rank join
     // reuses this layout
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src") +: col(dstCol).as("dst") +:
+        weightCol.map(w => col(w).cast("double").as("w")).toSeq: _*)
       .repartition(col("src"))
       .localCheckpoint(true)
+    weightCol.foreach { w =>
+      require(e.filter(col("w").isNull || col("w") <= 0).isEmpty,
+        s"pageRankWeighted: weight column '$w' must be positive and non-null")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // uniform: out-degree; weighted: out-weight mass — either way the
+    // per-edge contribution is pr * share / outdeg
     val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .agg(weightCol.map(_ => sum(col("w")))
+        .getOrElse(count(lit(1)).cast("double")).as("outdeg"))
       .localCheckpoint(true)
     // node count as a 1-row broadcast frame — in-plan, no driver count
     val meta = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -58,22 +101,39 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(meta))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     var i = 1
-    while (i <= iterations) {
+    var converged = false
+    while (i <= iterations && !converged) {
+      val share = weightCol.map(_ => col("w")).getOrElse(lit(1.0))
       val contrib = e.join(pr, e("src") === pr("node"))
         .join(deg, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("outdeg")).as("c"))
+        .agg(sum(col("pr") * share / col("outdeg")).as("c"))
       val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val stepped = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(meta))
         .select(col("node"),
           ((lit(1.0) - damping) / col("n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("dm") / col("n"))).as("pr"))
-      pr = if (i % checkpointEvery == 0 && i < iterations)
-        next.localCheckpoint(true) else next
+      if (tolerance > 0) {
+        // join the previous rank in so the L1 delta is observable on the
+        // materializing pass itself (no second scan; prev is node-sized,
+        // same probe-rides-the-checkpoint pattern as the CC loop)
+        val obs = org.apache.spark.sql.Observation()
+        val pinned = stepped.join(pr.withColumnRenamed("pr", "__prev"),
+            Seq("node"))
+          .observe(obs, sum(abs(col("pr") - col("__prev"))).as("l1"))
+          .drop("__prev")
+          .localCheckpoint(eager = true) // runs the job, fires the metric
+        pr = pinned
+        val l1 = obs.get("l1")
+        if (l1 != null && l1.asInstanceOf[Double] < tolerance) converged = true
+      } else {
+        pr = if (i % checkpointEvery == 0 && i < iterations)
+          stepped.localCheckpoint(true) else stepped
+      }
       i += 1
     }
     pr

@@ -411,6 +411,25 @@ object StreamOps {
     graft.ops.RangeJoin.pointInInterval(points, pointCol,
       intervals, startCol, endCol, binWidth)
 
+  /** Stream-static interval-OVERLAP join — the overlap face of the
+    * binned range-join decomposition (the streaming counterpart of
+    * [[graft.ops.RangeJoin.intervalOverlap]], q109): each streaming
+    * interval row (an in-flight session, an active maintenance window)
+    * joins to every static interval it overlaps. Same stateless shape
+    * as [[streamingPointInInterval]]: the stream side's bin-cover
+    * explode is a per-row generator (no state), the static side's
+    * cover is computed once per micro-batch plan, and the inner
+    * stream-static equi-join keeps NO streaming state. The
+    * emit-at-`max(starts)`-bin guard from the batch operator carries
+    * over unchanged, so each overlapping pair appears exactly once per
+    * micro-batch — the whole correctness argument is the batch one.
+    */
+  def streamingIntervalOverlap(stream: DataFrame, sStart: String, sEnd: String,
+      staticIv: DataFrame, tStart: String, tEnd: String,
+      binWidth: Long): DataFrame =
+    graft.ops.RangeJoin.intervalOverlap(stream, sStart, sEnd,
+      staticIv, tStart, tEnd, binWidth)
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

@@ -42,6 +42,67 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
   }
 
+  test("converged stop: two-node cycle stops after one iteration probe") {
+    // the cycle starts AT the fixed point, so iteration 1's L1 delta is 0
+    // and the tolerance loop must stop immediately instead of running 50
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val pr = Graph.pageRankConverged(edges, "src", "dst",
+        tolerance = 1e-9, maxIterations = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneIterRef = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr == oneIterRef) // stopped after the first (zero-delta) step
+    assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12)
+    // sanity ceiling: 50 full iterations of this shape take far longer
+    assert((System.nanoTime() - t0) < 120e9)
+  }
+
+  test("converged stop matches fixed-iteration result within tolerance") {
+    val edges = (0L until 100L).map(i => (i, (i * 13 + 5) % 40)).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(edges, "src", "dst",
+        tolerance = 1e-8, maxIterations = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixed = Graph.pageRank(edges, "src", "dst", iterations = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conv.keySet == fixed.keySet)
+    conv.foreach { case (k, v) => assert(math.abs(v - fixed(k)) < 1e-6) }
+    assert(math.abs(conv.values.sum - 1.0) < 1e-9)
+  }
+
+  test("weighted: all-equal weights reduce to the unweighted ranks") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val w = Graph.pageRankWeighted(
+        edges.map { case (s, d) => (s, d, 2.5) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val u = ranks(edges, iters = 8)
+    u.foreach { case (k, v) => assert(math.abs(w(k) - v) < 1e-12) }
+  }
+
+  test("weighted: heavier edge pulls proportionally more rank") {
+    // hub 1 links to 2 (w=9) and 3 (w=1): after one iteration from the
+    // uniform start, node 2's contribution share is 0.9 vs node 3's 0.1
+    val pr = Graph.pageRankWeighted(
+        Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+          .toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pr0 = 1/3 each. pr1(2) = .15/3 + .85*(1/3*0.9) = .305
+    // pr1(3) = .15/3 + .85*(1/3*0.1) = .078333...
+    assert(math.abs(pr(2L) - 0.305) < 1e-12)
+    assert(math.abs(pr(3L) - (0.05 + 0.85 / 30.0)) < 1e-12)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("weighted rejects non-positive and null weights") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        Seq((1L, 2L, 0.0), (2L, 1L, 1.0)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1).collect()
+    }
+  }
+
   test("checkpointed and un-checkpointed schedules agree") {
     val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 50))
     val a = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",

@@ -310,6 +310,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static interval overlap matches batch operator, stateless") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val staticIv = Seq(
+      (10L, 100L, 200L), (20L, 150L, 250L), (30L, 1000L, 1100L))
+      .toDF("t_id", "t_s", "t_e")
+    val streamed = Seq(
+      (1L, 180L, 220L),  // overlaps 10 (touch at 200? 180<=200) and 20
+      (2L, 240L, 260L),  // overlaps 20 only (touching 250 inclusive)
+      (3L, 300L, 900L),  // long interval spanning many bins, overlaps none
+      (4L, 950L, 1205L), // multi-bin cover, overlaps 30
+      (5L, 260L, 140L))  // empty interval (start > end): overlaps nothing
+    val input = MemoryStream[(Long, Long, Long)]
+    val s = input.toDF().toDF("s_id", "s_s", "s_e")
+    val q = StreamOps.streamingIntervalOverlap(s, "s_s", "s_e",
+        staticIv, "t_s", "t_e", binWidth = 100L)
+      .writeStream.format("memory").queryName("ovl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(streamed: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT s_id, t_id FROM ovl_out ORDER BY s_id, t_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // parity: the batch operator on the same frames is the oracle
+      val expected = graft.ops.RangeJoin.intervalOverlap(
+          streamed.toDF("s_id", "s_s", "s_e"), "s_s", "s_e",
+          staticIv, "t_s", "t_e", binWidth = 100L)
+        .select("s_id", "t_id").orderBy("s_id", "t_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected)
+      assert(got == Seq((1L, 10L), (1L, 20L), (2L, 20L), (4L, 30L)))
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty),
+        "overlap join must not register stateful operators")
+    } finally q.stop()
+  }
+
   test("stream-static range join tags points with containing intervals, stateless") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
