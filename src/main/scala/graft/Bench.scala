@@ -40,20 +40,40 @@ object Bench {
     System.gc()
 
     // two timed passes, min per query: single-run timings on a shared
-    // box carry multi-second scheduler/GC noise
-    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // box carry multi-second scheduler/GC noise. A query that THROWS is
+    // recorded as an error, never as a timing — a failed query's
+    // elapsed-to-exception is not a measurement and must not make the
+    // bench artifact look healthier than the correctness artifact.
+    def timedPass(): Seq[(String, Either[String, Double])] =
+      sorted.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .takeWhile(_ != '\n').take(120))
+        }
+      }
     val p1 = timedPass().toMap
     spark.catalog.clearCache()
     System.gc()
     val p2 = timedPass().toMap
-    val results = sorted.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // min of the passes that succeeded; error only if both passes failed
+    val all = sorted.map { case (name, _) =>
+      name -> ((p1(name), p2(name)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Left(_))  => Right(a)
+        case (Left(_), Right(b))  => Right(b)
+        case (Left(m), Left(_))   => Left(m)
+      })
+    }
+    val errors = all.collect { case (k, Left(m)) => (k, m) }
+    val results = all.collect { case (k, Right(v)) => (k, v) }
+    val qs = all.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Output ordering is deliberate: the driver captures a bounded TAIL
     // (last ~2000 BYTES) of stdout, so anything printed early can be
@@ -68,21 +88,27 @@ object Bench {
     //     tail window (one line per query never fit: ~55 B each > 2 KB);
     //  3. the short final headline (metric "total" — the key the driver
     //     parses) with the earliest 7 full-name timings as a cross-check.
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":${errors.size},"sf":"$sfDir"}""")
     val shortKey = "^(q[0-9]+).*$".r
-    val grouped = results.map { case (k, v) =>
+    val grouped = all.map { case (k, ev) =>
       val sk = k match { case shortKey(p) => p; case _ => k }
-      // Locale.ROOT: the f-interpolator uses the JVM default locale, and
-      // a comma-decimal locale (de_DE etc.) would corrupt the JSON
-      String.format(java.util.Locale.ROOT, "\"%s\":%.3f",
-        sk, Double.box(v))
+      ev match {
+        // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+        // a comma-decimal locale (de_DE etc.) would corrupt the JSON
+        case Right(v) => String.format(java.util.Locale.ROOT,
+          "\"%s\":%.3f", sk, Double.box(v))
+        case Left(_) => "\"" + sk + "\":\"err\""
+      }
     }.grouped(13).toSeq
     grouped.zipWithIndex.foreach { case (g, i) =>
       println(s"""{"metric":"qtimes","part":${i + 1},"parts":${grouped.size},"queries":${g.mkString("{", ",", "}")}}""")
     }
+    errors.foreach { case (k, m) =>
+      println(s"""{"metric":"qerror","query":"$k","err":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+    }
     val head = results.take(7).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","head_queries":$head}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","head_queries":$head}""")
     spark.stop()
   }
 }

@@ -18,16 +18,19 @@ object Tables {
     *   - parquet naive timestamps load as LTZ (not NTZ) so the full
     *     timestamp function surface applies; with a UTC session the wall
     *     times are identical to DuckDB's naive reading;
-    *   - `events.ts` is nanosecond-precision, which Spark's vectorized
-    *     reader rejects — it is read as raw nanos (legacy conf) and
-    *     floor-converted to a microsecond timestamp, matching DuckDB's
-    *     ns->ms truncation semantics.
+    *   - `events.ts` has shipped in two encodings across testdata
+    *     generations: int64 nanoseconds (which Spark's vectorized reader
+    *     rejects without the legacy nanos-as-long conf) and native
+    *     `timestamp[us]`. The nanos→micros floor conversion applies ONLY
+    *     when the loaded column is actually a long — a native timestamp
+    *     column passes through untouched.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer division keeps full precision (a double division would
       // lose bits above 2^53)
       df.withColumn("ts", org.apache.spark.sql.functions.expr(
