@@ -97,6 +97,145 @@ object UnigramKernel {
     new GenericArrayData(tokenIds(w, t, unkId))
 }
 
+/** Forward–backward E-step kernel for the unigram-LM TRAINER (Kudo 2018
+  * §3.2): under the current piece scores, a word's marginal likelihood is
+  * the sum over ALL segmentations (the forward pass computes it in one
+  * left-to-right sweep), and each piece's EXPECTED count is the posterior
+  * mass of the lattice edges labeled with it —
+  * `exp(alpha[start] + score + beta[end] - logZ)` summed over the
+  * piece's occurrences. Same lattice as the Viterbi kernel above (UNK
+  * single-char fallback keeps it total; UNK edges are excluded from the
+  * counts — the penalty is a fixed emission, not a trained parameter).
+  * All log-domain via logsumexp, fixed loop order, so per-word output is
+  * bit-deterministic.
+  */
+object UnigramEMKernel {
+
+  private def logAddExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** (logZ, piece ids asc, expected counts) for one word. */
+  def expectedCounts(w: UTF8String, t: UnigramKernel.Table)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = w.toString
+    val n = s.codePointCount(0, s.length)
+    val off = new Array[Int](n + 1)
+    var i = 0; var ci = 0
+    while (ci < n) { off(ci) = i; i = s.offsetByCodePoints(i, 1); ci += 1 }
+    off(n) = s.length
+
+    // edge lookup, shared by all three sweeps: score (NaN = no edge) + id
+    def edge(start: Int, end: Int): (Double, Int) = {
+      val idx = t.map.get(s.substring(off(start), off(end)))
+      if (idx != null) (t.score(idx), idx.intValue())
+      else if (end - start == 1) (UnigramKernel.UnkScore, -1)
+      else (Double.NaN, -1)
+    }
+
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - t.maxLen)
+      while (start < end) {
+        val (sc, _) = edge(start, end)
+        if (!java.lang.Double.isNaN(sc) &&
+            alpha(start) != Double.NegativeInfinity)
+          alpha(end) = logAddExp(alpha(end), alpha(start) + sc)
+        start += 1
+      }
+      end += 1
+    }
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    beta(n) = 0.0
+    var start2 = n - 1
+    while (start2 >= 0) {
+      var e2 = math.min(n, start2 + t.maxLen)
+      while (e2 > start2) {
+        val (sc, _) = edge(start2, e2)
+        if (!java.lang.Double.isNaN(sc) &&
+            beta(e2) != Double.NegativeInfinity)
+          beta(start2) = logAddExp(beta(start2), sc + beta(e2))
+        e2 -= 1
+      }
+      start2 -= 1
+    }
+    val logZ = alpha(n)
+
+    // posterior edge mass, accumulated per piece id (ascending-id output
+    // and fixed sweep order keep the kernel deterministic)
+    val acc = new java.util.TreeMap[Integer, java.lang.Double]()
+    if (logZ != Double.NegativeInfinity) {
+      var e3 = 1
+      while (e3 <= n) {
+        var st = math.max(0, e3 - t.maxLen)
+        while (st < e3) {
+          val (sc, id) = edge(st, e3)
+          if (id >= 0 && !java.lang.Double.isNaN(sc) &&
+              alpha(st) != Double.NegativeInfinity &&
+              beta(e3) != Double.NegativeInfinity) {
+            val c = math.exp(alpha(st) + sc + beta(e3) - logZ)
+            val prev = acc.get(Integer.valueOf(id))
+            acc.put(Integer.valueOf(id),
+              if (prev == null) c else prev.doubleValue() + c)
+          }
+          st += 1
+        }
+        e3 += 1
+      }
+    }
+    val ids = new Array[Int](acc.size()); val cs = new Array[Double](acc.size())
+    var k = 0
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next(); ids(k) = kv.getKey.intValue(); cs(k) = kv.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](logZ, new GenericArrayData(ids), new GenericArrayData(cs)))
+  }
+}
+
+/** unigram_expected_counts(word) -> struct<logz, ids array<int>,
+  * cs array<double>>: one word's log-marginal and per-piece expected
+  * counts under the plan-time vocabulary — the distributed E-step of the
+  * unigram trainer. Vocab rides a codegen reference object; the trainer
+  * runs this over DISTINCT words and weights by corpus frequency.
+  */
+case class UnigramExpectedCounts(child: Expression,
+    vocab: Seq[(String, Double)]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("logz", DoubleType, nullable = false),
+    StructField("ids", ArrayType(IntegerType, containsNull = false)),
+    StructField("cs", ArrayType(DoubleType, containsNull = false))))
+  override def prettyName: String = "unigram_expected_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if vocab.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"unigram_expected_counts needs a string word and non-empty vocab, " +
+        s"got ${child.dataType.simpleString}")
+  }
+
+  @transient private lazy val table =
+    new UnigramKernel.Table(vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnigramEMKernel.expectedCounts(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEmTable", table,
+      classOf[UnigramKernel.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramEMKernel.expectedCounts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** unigram_token_ids(word) -> array<int>: Viterbi-best piece ids under
   * the (plan-time constant) unigram vocabulary. Vocab rides a codegen
   * reference object; vocab-factored callers run this over DISTINCT

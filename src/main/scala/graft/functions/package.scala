@@ -136,6 +136,14 @@ package object functions {
       unkId: Int): Column =
     toColumn(UnigramTokenIds(exprOf(word), vocab, unkId))
 
+  /** Unigram-LM trainer E-step: a word's log-marginal and per-piece
+    * expected counts under the current scores (forward–backward over the
+    * same lattice as `unigram_token_ids`; codegen'd, vocab by reference).
+    */
+  def unigram_expected_counts(word: Column,
+      vocab: Seq[(String, Double)]): Column =
+    toColumn(UnigramExpectedCounts(exprOf(word), vocab))
+
   /** SQ8 encode: dim bytes under per-dimension trained ranges. */
   def sq_code(vec: Column, vmin: Array[Float], vdiff: Array[Float]): Column =
     toColumn(SqCode(exprOf(vec), vmin, vdiff))

@@ -63,6 +63,10 @@ object Graph {
       tolerance: Double, maxIterations: Int = 50, damping: Double = 0.85,
       weightCol: Option[String] = None): DataFrame = {
     require(tolerance > 0, "pageRankConverged: tolerance must be positive")
+    require(maxIterations >= 1 && maxIterations <= 100,
+      "pageRankConverged: maxIterations must be in [1,100] — the loop " +
+        "checkpoints every iteration, so a runaway tolerance is bounded " +
+        "by this cap rather than by wall-clock")
     pageRankImpl(edges, srcCol, dstCol, weightCol, maxIterations, damping,
       checkpointEvery = 1, tolerance = tolerance)
   }
@@ -81,8 +85,13 @@ object Graph {
       .repartition(col("src"))
       .localCheckpoint(true)
     weightCol.foreach { w =>
-      require(e.filter(col("w").isNull || col("w") <= 0).isEmpty,
-        s"pageRankWeighted: weight column '$w' must be positive and non-null")
+      // NaN must be rejected explicitly: `NaN <= 0` is false in SQL, so
+      // without the isnan check a NaN weight slips through and poisons
+      // every downstream outdeg sum (and hence every rank) to NaN
+      require(e.filter(col("w").isNull || col("w") <= 0 || isnan(col("w")))
+          .isEmpty,
+        s"pageRankWeighted: weight column '$w' must be positive, finite " +
+          "and non-null")
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -94,12 +103,21 @@ object Graph {
       .agg(weightCol.map(_ => sum(col("w")))
         .getOrElse(count(lit(1)).cast("double")).as("outdeg"))
       .localCheckpoint(true)
-    // node count as a 1-row broadcast frame — in-plan, no driver count
-    val meta = nodes.agg(count(lit(1)).cast("double").as("n"))
-      .localCheckpoint(true)
+    // Node count as a driver literal: a single bounded count() at setup.
+    // (This used to be a 1-row broadcast frame crossJoined into every
+    // iteration — but each extra reference to an iteration-carried frame
+    // multiplies into Catalyst's size estimate, and those products
+    // compound exponentially across iterations; see
+    // GraftSqlShim.freshStats.)
+    val n = nodes.count().toDouble
+    // rank lineage cuts must ALSO reset the carried size estimate, or the
+    // per-iteration join products compound through the checkpoint until
+    // Catalyst's BigInt stats arithmetic overflows (observed at ~25
+    // iterations on the converged path)
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
 
-    var pr = nodes.crossJoin(broadcast(meta))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
@@ -112,27 +130,29 @@ object Graph {
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       val stepped = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(meta))
         .select(col("node"),
-          ((lit(1.0) - damping) / col("n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / col("n"))).as("pr"))
+              col("dm") / lit(n))).as("pr"))
       if (tolerance > 0) {
         // join the previous rank in so the L1 delta is observable on the
         // materializing pass itself (no second scan; prev is node-sized,
         // same probe-rides-the-checkpoint pattern as the CC loop)
         val obs = org.apache.spark.sql.Observation()
-        val pinned = stepped.join(pr.withColumnRenamed("pr", "__prev"),
+        val pinned = cut(stepped.join(pr.withColumnRenamed("pr", "__prev"),
             Seq("node"))
           .observe(obs, sum(abs(col("pr") - col("__prev"))).as("l1"))
-          .drop("__prev")
-          .localCheckpoint(eager = true) // runs the job, fires the metric
+          .drop("__prev")) // eager checkpoint runs the job, fires the metric
         pr = pinned
         val l1 = obs.get("l1")
-        if (l1 != null && l1.asInstanceOf[Double] < tolerance) converged = true
+        // null l1 = zero rows = empty graph: trivially converged (the
+        // Dedup convergence-probe convention) — otherwise an empty input
+        // would spin maxIterations of empty jobs
+        if (l1 == null || l1.asInstanceOf[Double] < tolerance)
+          converged = true
       } else {
         pr = if (i % checkpointEvery == 0 && i < iterations)
-          stepped.localCheckpoint(true) else stepped
+          cut(stepped) else stepped
       }
       i += 1
     }

@@ -170,6 +170,122 @@ object Tokenize {
         x => x.getField("__wids"))).as("ids"))
   }
 
+  /** A unigram-LM training run: the final scored piece vocabulary
+    * (score-desc then piece-asc — id 0 is the most probable piece, the
+    * SentencePiece convention) plus the EM loss trace, one corpus
+    * negative log-likelihood per E-step, measured under the scores that
+    * step ran with. Within a fixed vocabulary the trace is non-increasing
+    * (EM's guarantee); a prune step may bump it back up.
+    */
+  final case class UnigramTraining(vocab: Seq[(String, Double)],
+      losses: Seq[Double])
+
+  /** TRAIN a unigram-LM piece vocabulary (Kudo 2018 §3.2 — the
+    * SentencePiece trainer; the missing half of the unigram lifecycle
+    * next to [[unigramTokenIds]]'s Viterbi encode):
+    *
+    *  1. SEED: every substring of ≤ `maxPieceLen` code points over the
+    *     frequency-weighted word vocabulary, counted distributed; the
+    *     top `seedSize` by count (ties piece-asc) plus ALL single-char
+    *     pieces (they keep segmentation total). Initial scores are the
+    *     normalized log seed counts.
+    *  2. EM: `emIters` rounds of — distributed E-step (the codegen'd
+    *     forward–backward kernel `unigram_expected_counts` runs over
+    *     DISTINCT words; per-piece posterior counts and the corpus NLL
+    *     aggregate in the same vocab-factored pass, weighted by word
+    *     frequency) then driver M-step (scores := normalized log expected
+    *     counts — a seed-bounded array op).
+    *  3. PRUNE: drop the lowest-expected-count multi-char pieces down to
+    *     `max(vocabSize, ceil(size * shrink))`, re-run EM, repeat until
+    *     `vocabSize`. Single-char pieces are never pruned.
+    *     `vocabSize = 0` skips pruning (seed + EM only — the oracle-
+    *     checkable configuration).
+    *
+    * 100 TB shape: the corpus is touched once (word-vocab aggregate,
+    * Heaps-bounded output, pinned); every E-step is one pass over
+    * DISTINCT words with map-side partial aggregation into a seed-bounded
+    * (piece, count) frame. Driver state is two seed-bounded collects per
+    * round (piece counts + the 1-row loss), never corpus-sized.
+    * Deterministic: all orderings tie-break on the piece string, the
+    * kernel's per-word sweep order is fixed, and equal corpora yield
+    * equal vocabularies.
+    */
+  def trainUnigramVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 100000, emIters: Int = 2,
+      shrink: Double = 0.75): UnigramTraining = {
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(seedSize >= 1, "seedSize must be >= 1")
+    require(emIters >= 1, "emIters must be >= 1")
+    require(shrink > 0 && shrink < 1, "shrink must be in (0,1)")
+    val words = wordVocab(docs, textCol).localCheckpoint(true)
+
+    // seed counts: piece -> sum over words of freq * occurrences-in-word;
+    // the substring explode runs over the DISTINCT-word frame (Heaps-
+    // bounded), mirroring topBpePairs' vocab factoring
+    val sub = words.select(col("freq"), explode(flatten(expr(
+        s"""transform(sequence(1, least(length(w), $maxPieceLen)),
+           |  l -> transform(sequence(1, length(w) - l + 1),
+           |    i -> substring(w, i, l)))""".stripMargin))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+      .localCheckpoint(true)
+    val chars = sub.filter(length(col("piece")) === 1)
+      .orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    // seed-bounded collect (documented): top multi-char candidates only —
+    // never corpus- or vocab-of-words-sized
+    val multis = sub.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(math.max(0, seedSize - chars.length))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    require(chars.nonEmpty, "trainUnigramVocab: corpus has no tokens")
+
+    var pieces: Array[String] = (chars ++ multis).map(_._1)
+    var scores: Array[Double] = {
+      val tot = (chars ++ multis).map(_._2).sum
+      (chars ++ multis).map(p => math.log(p._2 / tot))
+    }
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastCounts: Map[String, Double] = Map.empty
+
+    // one distributed E-step + driver M-step under the current scores
+    def emStep(): Unit = {
+      val vocab = pieces.zip(scores).toSeq
+      val ew = words.select(col("freq"),
+          graft.functions.unigram_expected_counts(col("w"), vocab).as("e"))
+        .localCheckpoint(true) // one E-pass feeds both aggregates below
+      losses += -ew.agg(sum(col("freq") * col("e.logz"))).head().getDouble(0)
+      val counts = ew
+        .select(col("freq"),
+          explode(arrays_zip(col("e.ids"), col("e.cs"))).as("z"))
+        .groupBy(col("z.ids").as("id"))
+        .agg(sum(col("z.cs") * col("freq")).as("c"))
+        .collect().map(r => pieces(r.getInt(0)) -> r.getDouble(1)).toMap
+      lastCounts = counts
+      val tot = pieces.map(p => counts.getOrElse(p, 0.0)).sum
+      scores = pieces.map(p => math.log(counts.getOrElse(p, 0.0) / tot))
+    }
+
+    (1 to emIters).foreach(_ => emStep())
+    if (vocabSize > 0) {
+      val floorSize = chars.length
+      while (pieces.length > math.max(vocabSize, floorSize)) {
+        val target = math.max(math.max(vocabSize, floorSize),
+          math.ceil(pieces.length * shrink).toInt)
+        val (single, multi) = pieces.zip(scores)
+          .partition { case (p, _) => p.codePointCount(0, p.length) == 1 }
+        val kept = multi
+          .sortBy { case (p, _) => (-lastCounts.getOrElse(p, 0.0), p) }
+          .take(math.max(0, target - single.length))
+        val next = (single ++ kept)
+        pieces = next.map(_._1); scores = next.map(_._2)
+        (1 to emIters).foreach(_ => emStep())
+      }
+    }
+    val order = pieces.zip(scores)
+      .sortBy { case (p, s) => (-s, p) }
+    UnigramTraining(order.toSeq, losses.toSeq)
+  }
+
   /** TRAIN a BPE merge table end-to-end (the loop [[topBpePairs]] is one
     * round of): one distributed vocab aggregate, then the exact greedy
     * trainer over the frequency-weighted vocabulary on the driver with
