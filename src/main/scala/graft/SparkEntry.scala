@@ -1553,6 +1553,53 @@ object SparkEntry {
       val model = graft.ops.LangId.train(docs, "lang", "text",
         n = 3, numBuckets = 4096)
       graft.ops.LangId.confusion(docs, "doc_id", "lang", "text", model)
+    }),
+
+    // Unigram-LM (SentencePiece) TRAINER (ops/Tokenize.trainUnigramVocab)
+    // — the missing half of the unigram lifecycle next to the Viterbi
+    // encoder (q114-family). The driver face restricts the corpus to
+    // ≤4-code-point words and 2-char pieces with ONE EM iteration, so the
+    // forward–backward lattice has at most 5 positions and the oracle
+    // unrolls it to closed-form alpha/beta columns (prob domain) — the
+    // same bounded-unroll trick as q115's chained pagerank CTEs. The
+    // Spark side runs the REAL trainer (generic log-domain DP kernel,
+    // distributed E-step); scores round to 6 dp, ordered by piece.
+    "q118_unigram_train" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
+          .as("text"))
+        .filter(length(col("text")) <= 4)
+      val tr = graft.ops.Tokenize.trainUnigramVocab(words, "text",
+        vocabSize = 0, maxPieceLen = 2, emIters = 1)
+      import s.implicits._
+      tr.vocab.toDF("piece", "score")
+        .select(col("piece"), round(col("score"), 6).as("score"))
+        .orderBy(col("piece"))
+    }),
+
+    // Z-order ROUND-TRIP (ops/Layout.writeZOrdered + read-back): q116
+    // pins the Morton CODE; this query exercises the layout END TO END —
+    // rewrite lineitem clustered by (l_partkey, l_suppkey), then answer a
+    // 2-dim box query from the z-ordered copy. The result is layout-
+    // independent (the oracle reads the original table), so correctness
+    // proves the rewrite is lossless; PlanShapeSpec pins the pruned scan
+    // (both range predicates pushed, files read < files written).
+    "q119_zorder_read" -> ((s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zorder_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        .getAbsolutePath
+      graft.ops.Layout.writeZOrdered(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        Seq("l_partkey", "l_suppkey"), bits = 8, path, numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(0, 60) &&
+          col("l_suppkey").between(0, 3))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))
     })
   )
 
@@ -2940,6 +2987,91 @@ object SparkEntry {
         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
         |WHERE p.rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Unigram trainer oracle: with words capped at 4 code points and
+    // pieces at 2, the forward–backward recursion unrolls to closed
+    // form. alpha: a1 = pc1; a_i = a_{i-1}*pc_i + a_{i-2}*pd_{i-1}.
+    // beta: b_n = 1; b_i = pc_{i+1}*b_{i+1} + pd_{i+1}*b_{i+2}; Z = b0.
+    // Expected count of an edge = alpha(start)*p(edge)*beta(end)/Z;
+    // one M-step renormalizes: score = ln(c / sum c). Prob domain is
+    // safe here (words ≤ 4 chars, probs ≥ ~1e-5 per piece).
+    "q118_unigram_train" ->
+      """WITH wv AS (
+        |  SELECT w, count(*)::DOUBLE AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |    FROM documents) WHERE length(w) <= 4 GROUP BY w),
+        |seed AS (
+        |  SELECT piece, sum(freq) AS c FROM (
+        |    SELECT substr(w, i, 1) AS piece, freq FROM
+        |      (SELECT w, freq, unnest(generate_series(1, length(w))) AS i FROM wv)
+        |    UNION ALL
+        |    SELECT substr(w, i, 2) AS piece, freq FROM
+        |      (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM wv))
+        |  GROUP BY piece),
+        |p0 AS (SELECT piece, c / (SELECT sum(c) FROM seed) AS p FROM seed),
+        |wp AS (
+        |  SELECT w, freq, length(w) AS n,
+        |    (SELECT p FROM p0 WHERE piece = substr(w, 1, 1)) AS pc1,
+        |    CASE WHEN length(w) >= 2 THEN (SELECT p FROM p0 WHERE piece = substr(w, 2, 1)) END AS pc2,
+        |    CASE WHEN length(w) >= 3 THEN (SELECT p FROM p0 WHERE piece = substr(w, 3, 1)) END AS pc3,
+        |    CASE WHEN length(w) >= 4 THEN (SELECT p FROM p0 WHERE piece = substr(w, 4, 1)) END AS pc4,
+        |    CASE WHEN length(w) >= 2 THEN (SELECT p FROM p0 WHERE piece = substr(w, 1, 2)) END AS pd1,
+        |    CASE WHEN length(w) >= 3 THEN (SELECT p FROM p0 WHERE piece = substr(w, 2, 2)) END AS pd2,
+        |    CASE WHEN length(w) >= 4 THEN (SELECT p FROM p0 WHERE piece = substr(w, 3, 2)) END AS pd3
+        |  FROM wv),
+        |fa AS (
+        |  SELECT *, pc1 AS a1,
+        |    CASE WHEN n >= 2 THEN pc1 * pc2 + pd1 END AS a2
+        |  FROM wp),
+        |fb AS (
+        |  SELECT *,
+        |    CASE WHEN n >= 3 THEN a2 * pc3 + a1 * pd2 END AS a3
+        |  FROM fa),
+        |fc AS (
+        |  SELECT *,
+        |    CASE WHEN n >= 4 THEN a3 * pc4 + a2 * pd3 END AS a4
+        |  FROM fb),
+        |ba AS (
+        |  SELECT *,
+        |    CASE WHEN n = 4 THEN 1.0::DOUBLE END AS b4
+        |  FROM fc),
+        |bb AS (
+        |  SELECT *,
+        |    CASE WHEN n = 3 THEN 1.0::DOUBLE WHEN n = 4 THEN pc4 * b4 END AS b3
+        |  FROM ba),
+        |bc AS (
+        |  SELECT *,
+        |    CASE WHEN n = 2 THEN 1.0::DOUBLE
+        |         WHEN n >= 3 THEN pc3 * b3 + coalesce(pd3 * b4, 0.0::DOUBLE) END AS b2
+        |  FROM bb),
+        |bd AS (
+        |  SELECT *,
+        |    CASE WHEN n = 1 THEN 1.0::DOUBLE
+        |         WHEN n >= 2 THEN pc2 * b2 + coalesce(pd2 * b3, 0.0::DOUBLE) END AS b1
+        |  FROM bc),
+        |be AS (
+        |  SELECT *, pc1 * b1 + coalesce(pd1 * b2, 0.0::DOUBLE) AS z
+        |  FROM bd),
+        |contrib AS (
+        |  SELECT substr(w, 1, 1) AS piece, freq * (pc1 * b1 / z) AS g FROM be
+        |  UNION ALL SELECT substr(w, 2, 1), freq * (a1 * pc2 * b2 / z) FROM be WHERE n >= 2
+        |  UNION ALL SELECT substr(w, 3, 1), freq * (a2 * pc3 * b3 / z) FROM be WHERE n >= 3
+        |  UNION ALL SELECT substr(w, 4, 1), freq * (a3 * pc4 * b4 / z) FROM be WHERE n >= 4
+        |  UNION ALL SELECT substr(w, 1, 2), freq * (pd1 * b2 / z) FROM be WHERE n >= 2
+        |  UNION ALL SELECT substr(w, 2, 2), freq * (a1 * pd2 * b3 / z) FROM be WHERE n >= 3
+        |  UNION ALL SELECT substr(w, 3, 2), freq * (a2 * pd3 * b4 / z) FROM be WHERE n >= 4),
+        |em AS (SELECT piece, sum(g) AS c1 FROM contrib GROUP BY piece)
+        |SELECT piece, round(ln(c1 / (SELECT sum(c1) FROM em)), 6) AS score
+        |FROM em ORDER BY piece""".stripMargin,
+
+    // Layout-independent box aggregate: the oracle reads the ORIGINAL
+    // lineitem — matching proves the z-ordered rewrite lost nothing.
+    "q119_zorder_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 0 AND 60 AND l_suppkey BETWEEN 0 AND 3""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (

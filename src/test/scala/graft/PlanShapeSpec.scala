@@ -209,4 +209,56 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q115_pagerank")
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
+
+  test("q119 z-order read-back: box predicates pushed, files pruned") {
+    val df = SparkEntry.queries("q119_zorder_read")(spark, sf)
+    df.collect()
+    // descend through AQE wrappers (collect() stops at query-stage leaves)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in plan")
+    // both range predicates reach the parquet scan (scan metadata is the
+    // untruncated source; plan toString elides long filter lists)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_partkey,0)") &&
+      pushed.contains("LessThanOrEqual(l_partkey,60)") &&
+      pushed.contains("GreaterThanOrEqual(l_suppkey,0)") &&
+      pushed.contains("LessThanOrEqual(l_suppkey,3)"),
+      s"box predicates not pushed: $pushed")
+    // Plain parquet has no file-stats catalog, so skipping happens at
+    // ROW-GROUP granularity via footer min/max (one row group per file
+    // at this size). Two pieces of evidence that the z-order layout
+    // makes the box query cheap:
+    //  1. layout quality: few of the 16 written files INTERSECT the box
+    //     (their min/max envelopes miss it) — the stats a pruning engine
+    //     consults;
+    //  2. engine behavior: the scan materializes far fewer rows than the
+    //     table holds, because non-intersecting row groups were skipped
+    //     by the pushed predicates.
+    import org.apache.spark.sql.functions.col
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + sf.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val zdf = spark.read.parquet(path)
+    val stats = graft.ops.Layout.fileStats(zdf, Seq("l_partkey", "l_suppkey"))
+      .localCheckpoint(true)
+    val nFiles = stats.count()
+    val hit = stats.filter(!(col("max_l_partkey") < 0 ||
+      col("min_l_partkey") > 60 || col("max_l_suppkey") < 0 ||
+      col("min_l_suppkey") > 3)).count()
+    assert(nFiles == 16, s"expected 16 z-ordered files, found $nFiles")
+    assert(hit > 0 && hit <= nFiles / 2,
+      s"z-order layout not clustering: box intersects $hit of $nFiles files")
+    val scanRows = scans.map(_.metrics("numOutputRows").value).sum
+    val total = zdf.count()
+    assert(scanRows < total / 2,
+      s"row-group skipping ineffective: scan materialized $scanRows of $total rows")
+  }
 }

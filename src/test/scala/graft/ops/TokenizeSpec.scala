@@ -295,4 +295,71 @@ class TokenizeSpec extends AnyFunSuite {
       pinTokenFrame = false).head.getSeq[Int](1)
     assert(re == ids)
   }
+
+  // ---- unigram-LM trainer -------------------------------------------
+
+  test("unigram trainer: one EM step matches the hand-computed lattice") {
+    // corpus = "ab" x2. Seed: a(2) b(2) ab(2) -> p0 = 1/3 each.
+    // Word 'ab': paths [a,b] p=1/9, [ab] p=1/3; Z = 4/9.
+    // E[ab] = .75, E[a] = E[b] = .25 (x freq 2 -> 1.5 / .5 / .5).
+    // M-step: p1(ab) = .6, p1(a) = p1(b) = .2. Loss = -2 ln(4/9).
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val tr = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 0,
+      maxPieceLen = 2, emIters = 1)
+    val m = tr.vocab.toMap
+    assert(m.keySet == Set("a", "b", "ab"))
+    assert(math.abs(m("ab") - math.log(0.6)) < 1e-12)
+    assert(math.abs(m("a") - math.log(0.2)) < 1e-12)
+    assert(math.abs(m("b") - math.log(0.2)) < 1e-12)
+    // score-desc then piece-asc ordering: ab, then a/b tie by piece
+    assert(tr.vocab.map(_._1) == Seq("ab", "a", "b"))
+    assert(math.abs(tr.losses.head - (-2.0 * math.log(4.0 / 9.0))) < 1e-12)
+  }
+
+  test("unigram trainer: EM loss is non-increasing over iterations") {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the bat and the rat sat"), (3L, "a cat and a bat")
+    ).toDF("doc_id", "text")
+    val tr = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 0,
+      maxPieceLen = 3, emIters = 6)
+    assert(tr.losses.length == 6)
+    tr.losses.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-9, s"EM loss increased: ${tr.losses}")
+    }
+  }
+
+  test("unigram trainer is deterministic across runs") {
+    val docs = Seq((1L, "abc abd abc bcd"), (2L, "abc bcd bcd ab")
+    ).toDF("doc_id", "text")
+    val a = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 8,
+      maxPieceLen = 3, emIters = 2)
+    val b = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 8,
+      maxPieceLen = 3, emIters = 2)
+    assert(a.vocab == b.vocab)
+  }
+
+  test("unigram trainer prunes to vocabSize but never drops single chars") {
+    val docs = Seq((1L, "abab baba abba baab"), (2L, "abab abab bb aa")
+    ).toDF("doc_id", "text")
+    val tr = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 4,
+      maxPieceLen = 4, emIters = 1)
+    val ps = tr.vocab.map(_._1)
+    assert(ps.length == 4, s"got $ps")
+    assert(ps.contains("a") && ps.contains("b"))
+    // survivors carry normalized scores: sum of probs == 1
+    assert(math.abs(tr.vocab.map(v => math.exp(v._2)).sum - 1.0) < 1e-9)
+  }
+
+  test("trained unigram vocab drives the Viterbi encoder end-to-end") {
+    val docs = Seq((1L, "hello hell low"), (2L, "hello low hell")
+    ).toDF("doc_id", "text")
+    val tr = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 12,
+      maxPieceLen = 4, emIters = 2)
+    val ids = Tokenize.unigramTokenIds(docs, "doc_id", "text",
+        tr.vocab, unkId = -1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every char is in the vocab, so no UNK ids anywhere
+    assert(ids.values.flatten.forall(_ >= 0))
+    assert(ids(1L).nonEmpty && ids(2L).nonEmpty)
+  }
 }
