@@ -1600,6 +1600,44 @@ object SparkEntry {
             .as("sum_qty"),
           min(col("l_orderkey")).as("min_orderkey"),
           max(col("l_orderkey")).as("max_orderkey"))
+    }),
+
+    // WebDataset tar export MANIFEST (ops/WebDataset.writeShards): the
+    // shard bytes are not SQL-checkable, but the manifest IS — ustar
+    // framing is deterministic arithmetic (512-byte header + data padded
+    // to 512 per member, 1024-byte trailer per shard), and shard
+    // assignment is positional. The oracle re-derives every shard's
+    // sample count and exact byte size from octet_length alone, so a
+    // manifest match certifies the export arithmetic end to end. Input
+    // sorted and coalesced to one partition so assignment is
+    // engine-independent.
+    "q120_webdataset_manifest" -> ((s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wds_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).coalesce(1)
+      graft.ops.WebDataset.writeShards(docs, "doc_id",
+          Seq("txt" -> "text"), path, samplesPerShard = 64)
+        .select(regexp_extract(col("path"), "part-[^/]*$", 0).as("shard"),
+          col("n_samples"), col("n_bytes"))
+        .orderBy(col("shard"))
+    }),
+
+    // TFRecord export MANIFEST (ops/TfRecords.writeShards): same device
+    // as q120 — the published framing is len+16 bytes per record, so the
+    // oracle recomputes each shard's byte size from octet_length.
+    "q121_tfrecord_manifest" -> ((s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tfr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .orderBy(col("doc_id")).coalesce(1)
+      graft.ops.TfRecords.writeShards(docs, "payload", path,
+          recordsPerShard = 64)
+        .select(regexp_extract(col("path"), "part-[^/]*$", 0).as("shard"),
+          col("n_records"), col("n_bytes"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -3072,6 +3110,29 @@ object SparkEntry {
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
         |FROM lineitem
         |WHERE l_partkey BETWEEN 0 AND 60 AND l_suppkey BETWEEN 0 AND 3""".stripMargin,
+
+    // ustar arithmetic: 512-byte header + data padded to a 512 multiple
+    // per member, 1024-byte trailer per shard; shards of 64 samples in
+    // doc_id order.
+    "q120_webdataset_manifest" ->
+      """WITH r AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT 'part-0-' || (rn // 64)::VARCHAR || '.tar' AS shard,
+        |  count(*) AS n_samples,
+        |  (sum(512 + 512 * ceil(octet_length(text::BLOB) / 512.0)) + 1024)::BIGINT AS n_bytes
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
+    // 4-byte payload-CRC = octet_length + 16 per record.
+    "q121_tfrecord_manifest" ->
+      """WITH r AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT 'part-0-' || (rn // 64)::VARCHAR || '.tfrecord' AS shard,
+        |  count(*) AS n_records,
+        |  sum(octet_length(text::BLOB) + 16)::BIGINT AS n_bytes
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH toks AS (
