@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -234,6 +234,135 @@ case class UnigramExpectedCounts(child: Expression,
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Subword-REGULARIZATION sampling kernel (Kudo 2018 §4): draw a
+  * segmentation from the posterior `P(seg | word)^alpha` instead of
+  * taking the Viterbi argmax — the data-augmentation device unigram-LM
+  * vocabularies exist for. Forward-filter backward-sample over the same
+  * lattice as the other two kernels: one alpha-scaled forward pass
+  * (logsumexp), then edges drawn right-to-left with probability
+  * `exp(fwd[start] + alpha*score - fwd[end])`. `alpha = 0` is uniform
+  * over segmentations; larger alpha sharpens toward Viterbi. The RNG is
+  * a splitmix64 stream seeded from (seed, word), so equal inputs yield
+  * equal samples — per-OCCURRENCE seeds give independent draws.
+  */
+object UnigramSampleKernel {
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def logAddExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  def sampleIds(w: UTF8String, t: UnigramKernel.Table, alpha: Double,
+      seed: Long, unkId: Int): GenericArrayData = {
+    val s = w.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val off = new Array[Int](n + 1)
+    var i = 0; var ci = 0
+    while (ci < n) { off(ci) = i; i = s.offsetByCodePoints(i, 1); ci += 1 }
+    off(n) = s.length
+
+    def edge(start: Int, end: Int): (Double, Int) = {
+      val idx = t.map.get(s.substring(off(start), off(end)))
+      if (idx != null) (t.score(idx), idx.intValue())
+      else if (end - start == 1) (UnigramKernel.UnkScore, -1)
+      else (Double.NaN, -1)
+    }
+
+    val fwd = Array.fill(n + 1)(Double.NegativeInfinity)
+    fwd(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - t.maxLen)
+      while (start < end) {
+        val (sc, _) = edge(start, end)
+        if (!java.lang.Double.isNaN(sc) &&
+            fwd(start) != Double.NegativeInfinity)
+          fwd(end) = logAddExp(fwd(end), fwd(start) + alpha * sc)
+        start += 1
+      }
+      end += 1
+    }
+    // word-keyed deterministic RNG stream (String.hashCode is spec-fixed)
+    var state = splitmix64(seed ^ (s.hashCode.toLong * 0x9e3779b97f4a7c15L))
+    def nextUniform(): Double = {
+      state = splitmix64(state)
+      (state >>> 11) * 1.1102230246251565e-16 // 2^-53
+    }
+    val outRev = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = n
+    while (p > 0) {
+      val u = nextUniform()
+      var cum = 0.0
+      var chosenStart = -1
+      var chosenId = 0
+      var start = math.max(0, p - t.maxLen)
+      var done = false
+      // ascending-start scan: pick the first edge whose cumulative
+      // posterior crosses u; float residue falls to the last valid edge
+      while (start < p && !done) {
+        val (sc, id) = edge(start, p)
+        if (!java.lang.Double.isNaN(sc) &&
+            fwd(start) != Double.NegativeInfinity) {
+          cum += math.exp(fwd(start) + alpha * sc - fwd(p))
+          chosenStart = start; chosenId = id
+          if (u < cum) done = true
+        }
+        start += 1
+      }
+      outRev += (if (chosenId < 0) unkId else chosenId)
+      p = chosenStart
+    }
+    new GenericArrayData(outRev.reverse.toArray)
+  }
+}
+
+/** unigram_sample_ids(word, seed) -> array<int>: one posterior-sampled
+  * segmentation under the plan-time vocabulary (subword regularization).
+  * The seed child is a COLUMN so callers derive independent draws per
+  * occurrence (e.g. `xxhash64(doc_id, pos, lit(run))`).
+  */
+case class UnigramSampleIds(left: Expression, right: Expression,
+    vocab: Seq[(String, Double)], alpha: Double, unkId: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unigram_sample_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) if vocab.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "unigram_sample_ids needs (string word, long seed) and a " +
+          s"non-empty vocab, got (${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString})")
+    }
+
+  @transient private lazy val table =
+    new UnigramKernel.Table(vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+
+  override protected def nullSafeEval(w: Any, seed: Any): Any =
+    UnigramSampleKernel.sampleIds(w.asInstanceOf[UTF8String], table, alpha,
+      seed.asInstanceOf[Long], unkId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSampleTable", table,
+      classOf[UnigramKernel.Table].getName)
+    defineCodeGen(ctx, ev, (wc, sc) =>
+      s"graft.functions.UnigramSampleKernel.sampleIds($wc, $ref, $alpha, $sc, $unkId)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** unigram_token_ids(word) -> array<int>: Viterbi-best piece ids under

@@ -144,6 +144,16 @@ package object functions {
       vocab: Seq[(String, Double)]): Column =
     toColumn(UnigramExpectedCounts(exprOf(word), vocab))
 
+  /** Subword-regularization sample: one segmentation drawn from
+    * `P(seg|word)^alpha` (forward-filter backward-sample; codegen'd,
+    * vocab by reference). `seed` is a long COLUMN — per-occurrence seeds
+    * give independent draws; equal (word, seed) always yields the same
+    * sample.
+    */
+  def unigram_sample_ids(word: Column, seed: Column,
+      vocab: Seq[(String, Double)], alpha: Double, unkId: Int): Column =
+    toColumn(UnigramSampleIds(exprOf(word), exprOf(seed), vocab, alpha, unkId))
+
   /** SQ8 encode: dim bytes under per-dimension trained ranges. */
   def sq_code(vec: Column, vmin: Array[Float], vdiff: Array[Float]): Column =
     toColumn(SqCode(exprOf(vec), vmin, vdiff))

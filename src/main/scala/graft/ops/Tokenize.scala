@@ -143,6 +143,36 @@ object Tokenize {
         x => x.getField("__wids"))).as("ids"))
   }
 
+  /** Subword-REGULARIZATION token ids (Kudo 2018 §4): per document, a
+    * segmentation SAMPLED from `P(seg | word)^alpha` under the scored
+    * vocabulary — the stochastic counterpart of [[unigramTokenIds]]'s
+    * Viterbi argmax, and the reason unigram vocabularies exist (training
+    * sees alternative splits of the same text; `alpha` interpolates from
+    * uniform-over-segmentations at 0 toward Viterbi as it grows).
+    *
+    * NOT vocab-factored, deliberately: every token OCCURRENCE draws an
+    * independent sample, so the codegen'd kernel runs once per corpus
+    * token with a per-occurrence seed (`xxhash64(doc_id, pos, run)`) —
+    * map-only work, no extra shuffle beyond the per-doc assembly, and
+    * deterministic: equal (corpus, run) yields equal samples.
+    */
+  def unigramSampleIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)], alpha: Double = 0.5, run: Long = 0L,
+      unkId: Int = -1): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(alpha >= 0, "alpha must be non-negative")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.unigram_sample_ids(col("w"),
+          xxhash64(col("doc_id"), col("pos"), lit(run)), vocab, alpha, unkId)
+          .as("__wids"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("__wids")))),
+        x => x.getField("__wids"))).as("ids"))
+  }
+
   /** WordPiece (BERT) token ids: greedy longest-match-first subword
     * segmentation per word under a fixed piece vocabulary — start
     * pieces at position 0, `##`-continuations after; a word with any

@@ -350,6 +350,72 @@ class TokenizeSpec extends AnyFunSuite {
     assert(math.abs(tr.vocab.map(v => math.exp(v._2)).sum - 1.0) < 1e-9)
   }
 
+  test("unigram trainer treats supplementary chars as single pieces") {
+    // the emoji is one code point (two UTF-16 units): seed must contain
+    // it whole, never a lone surrogate half
+    val docs = Seq((1L, "😀a 😀a")).toDF("doc_id", "text")
+    val tr = Tokenize.trainUnigramVocab(docs, "text", vocabSize = 0,
+      maxPieceLen = 2, emIters = 1)
+    assert(tr.vocab.map(_._1).toSet ==
+      Set("😀", "a", "😀a"))
+    assert(tr.vocab.forall(v => !v._2.isNaN && !v._2.isInfinite))
+  }
+
+  // ---- subword-regularization sampling ------------------------------
+
+  private val srVocab = Seq("ab" -> math.log(0.6),
+    "a" -> math.log(0.2), "b" -> math.log(0.2))
+
+  private def sampleFreq(alpha: Double, n: Int): Double = {
+    // n copies of the word 'ab' with distinct (doc_id, pos)-derived
+    // seeds; returns the fraction segmented as the single piece [ab]
+    val docs = (0 until n).map(i => (i.toLong, "ab")).toDF("doc_id", "text")
+    val out = Tokenize.unigramSampleIds(docs, "doc_id", "text", srVocab,
+      alpha = alpha, run = 7L)
+      .collect().map(_.getSeq[Int](1))
+    assert(out.forall(ids => ids == Seq(0) || ids == Seq(1, 2)),
+      "sample produced an invalid segmentation")
+    out.count(_ == Seq(0)).toDouble / n
+  }
+
+  test("unigram sampling: alpha=1 tracks the exact posterior") {
+    // P([ab]) = 0.6 / (0.6 + 0.04) = 0.9375; 4000 draws, ~3 sigma = 1.2%
+    val f = sampleFreq(alpha = 1.0, n = 4000)
+    assert(math.abs(f - 0.9375) < 0.02, s"got $f, want ~0.9375")
+  }
+
+  test("unigram sampling: alpha=0 is uniform over segmentations") {
+    val f = sampleFreq(alpha = 0.0, n = 4000)
+    assert(math.abs(f - 0.5) < 0.03, s"got $f, want ~0.5")
+  }
+
+  test("unigram sampling is deterministic per (corpus, run)") {
+    val docs = Seq((1L, "ab ab abab"), (2L, "ba ab")).toDF("doc_id", "text")
+    val a = Tokenize.unigramSampleIds(docs, "doc_id", "text", srVocab,
+      alpha = 0.3, run = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Tokenize.unigramSampleIds(docs, "doc_id", "text", srVocab,
+      alpha = 0.3, run = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // and occurrences draw independently: across runs and positions the
+    // 'ab ab' doc is not forced to segment both tokens identically
+    val many = Tokenize.unigramSampleIds(
+      (0 until 200).map(i => (i.toLong, "ab ab")).toDF("doc_id", "text"),
+      "doc_id", "text", srVocab, alpha = 0.0, run = 1L)
+      .collect().map(_.getSeq[Int](1))
+    assert(many.exists(ids => ids.take(1) != ids.drop(ids.length / 2).take(1))
+      || many.map(_.length).distinct.length > 1,
+      "per-occurrence seeds collapsed to one draw per word")
+  }
+
+  test("unigram sampling: UNK chars fall back per character") {
+    val docs = Seq((1L, "axb")).toDF("doc_id", "text")
+    val ids = Tokenize.unigramSampleIds(docs, "doc_id", "text", srVocab,
+      alpha = 1.0, run = 0L, unkId = -7).head.getSeq[Int](1)
+    assert(ids.contains(-7)) // 'x' has no piece
+  }
+
   test("trained unigram vocab drives the Viterbi encoder end-to-end") {
     val docs = Seq((1L, "hello hell low"), (2L, "hello low hell")
     ).toDF("doc_id", "text")
