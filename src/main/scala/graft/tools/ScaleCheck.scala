@@ -56,9 +56,9 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
-    // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain kll
-    // wordpiece pagerank evalrank sfbench) to run a subset; no args =
-    // everything
+    // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
+    // kll wordpiece pagerank evalrank sfbench) to run a subset; no
+    // args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -766,6 +766,51 @@ object ScaleCheck {
       f"tokens_per_word=${toks.toDouble / words}%.2f " +
       f"compression=${chars.toDouble / toks}%.2fx deterministic=true")
     corpusBt.unpersist()
+    }
+
+    if (run("unitrain")) {
+    // ---- 5o. Unigram-LM trainer — EM + prune over 210k docs ----------
+    // The corpus is touched once (word-vocab aggregate); every E-step is
+    // one kernel pass over DISTINCT words (Heaps-bounded), driver state
+    // is seed-bounded. Gates: the recorded NLL trace must be
+    // non-increasing within each fixed-vocabulary EM run, training must
+    // be deterministic, the prune loop must land exactly on vocabSize,
+    // and the trained vocab must compress (mean Viterbi pieces per word
+    // strictly below mean characters per word).
+    val corpusUt = corpus(spark, 200000L).cache()
+    corpusUt.count()
+    val (trUt, tUt) = time {
+      Tokenize.trainUnigramVocab(corpusUt, "text", vocabSize = 800,
+        maxPieceLen = 3, seedSize = 8000, emIters = 2)
+    }
+    val (trUt2, _) = time {
+      Tokenize.trainUnigramVocab(corpusUt, "text", vocabSize = 800,
+        maxPieceLen = 3, seedSize = 8000, emIters = 2)
+    }
+    require(trUt.vocab == trUt2.vocab, "trainer must be deterministic")
+    require(trUt.vocab.size == 800,
+      s"prune must land on vocabSize, got ${trUt.vocab.size}")
+    // each consecutive loss pair within one 2-step EM run is ordered
+    trUt.losses.grouped(2).foreach { g =>
+      if (g.length == 2) require(g(1) <= g(0) + 1e-6,
+        s"EM loss increased within a run: $g")
+    }
+    val encUt = Tokenize.unigramTokenIds(corpusUt, "doc_id", "text",
+      trUt.vocab, unkId = -1)
+    val toksUt = encUt.select(sum(size(col("ids"))).cast("long")).head.getLong(0)
+    val wordsUt = corpusUt.select(sum(size(
+      graft.ops.TextAnalysis.tokens(col("text")))).cast("long")).head.getLong(0)
+    val charsUt = corpusUt.select(
+      sum(length(regexp_replace(col("text"), "\\s+", ""))).cast("long"))
+      .head.getLong(0)
+    require(toksUt < charsUt && toksUt >= wordsUt,
+      s"pieces $toksUt must sit between words $wordsUt and chars $charsUt")
+    println(f"UNITRAIN> docs=${corpusUt.count()} vocab=${trUt.vocab.size} " +
+      f"em_steps=${trUt.losses.length} t_train=$tUt%.1f s " +
+      f"chars_per_word=${charsUt.toDouble / wordsUt}%.2f " +
+      f"pieces_per_word=${toksUt.toDouble / wordsUt}%.2f " +
+      f"compression=${charsUt.toDouble / toksUt}%.2fx deterministic=true")
+    corpusUt.unpersist()
     }
 
     if (run("kll")) {
