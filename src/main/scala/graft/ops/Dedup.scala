@@ -262,12 +262,18 @@ object Dedup {
           Seq("ncomp"), "left")
         .select(col("id"), col("old"), coalesce(col("jcomp"), col("ncomp")).as("comp"))
       // convergence probe rides the checkpoint's materialization job via
-      // observe() — no separate count job per round
+      // observe() — no separate count job per round. freshStats on the
+      // checkpoint: each round's plan squares the carried size estimate
+      // (minN self-join), so without resetting it the Catalyst stats
+      // BigInt doubles its bit count every round and overflows near
+      // round ~24 — past CCDEEP's 18 rounds but inside the 50-round
+      // budget a 30M-diameter graph would legitimately use (the same
+      // failure pageRankConverged hit; see GraftSqlShim.freshStats).
       val obs = org.apache.spark.sql.Observation()
-      labels = jumped
+      labels = org.apache.spark.sql.GraftSqlShim.freshStats(jumped
         .observe(obs, max((col("comp") =!= col("old")).cast("int")).as("changed"))
         .drop("old")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true))
       // null = zero rows observed (empty pair graph) -> trivially converged
       val changed = obs.get("changed")
       converged = changed == null || changed == 0
