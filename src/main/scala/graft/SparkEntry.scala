@@ -698,7 +698,7 @@ object SparkEntry {
     // brute-force cosine top-k (oracle-checked; query = vec_id 0).
     "q50_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       Similarity.topK(emb, "vec_id", "embedding", q, 10)
     }),
 
@@ -749,7 +749,7 @@ object SparkEntry {
     // on sf0.01). An IVF regression flips the boolean -> hash mismatch.
     "q53_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       val cents = Similarity.trainCentroids(emb, "embedding", k = 8, iters = 3)
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
       val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", cents, q, 10, nprobe = 4)
@@ -864,7 +864,7 @@ object SparkEntry {
     // 32x compression.
     "q91_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       // one sampling scan feeds the whole index build (coarse quantizer
       // AND codebooks) — the intended at-scale lifecycle
       val sample = Similarity.sampleVectors(emb, "embedding")
@@ -1332,7 +1332,7 @@ object SparkEntry {
     // (verified at both fixture SFs; SimilaritySpec pins the bound).
     "q107_ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       val sample = Similarity.sampleVectors(emb, "embedding")
       val (vmin, vdiff) = Similarity.trainSqFromSample(sample)
       val codes = Similarity.sqEncode(emb, "vec_id", "embedding", vmin, vdiff)
@@ -1417,7 +1417,7 @@ object SparkEntry {
     // engine-reproducible and the oracle replays it exactly.
     "q111_hybrid_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       graft.ops.Retrieval.hybridSearch(
         t(s, dir, "documents"), "doc_id", "text",
         emb, "vec_id", "embedding",
