@@ -1569,8 +1569,12 @@ object SparkEntry {
         .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
           .as("text"))
         .filter(length(col("text")) <= 4)
+      // seedSize uncapped: the oracle enumerates EVERY <=2-char piece,
+      // so the Spark side must too (the alphabet bounds the seed at a
+      // few hundred pieces regardless of scale factor)
       val tr = graft.ops.Tokenize.trainUnigramVocab(words, "text",
-        vocabSize = 0, maxPieceLen = 2, emIters = 1)
+        vocabSize = 0, maxPieceLen = 2, seedSize = Int.MaxValue,
+        emIters = 1)
       import s.implicits._
       tr.vocab.toDF("piece", "score")
         .select(col("piece"), round(col("score"), 6).as("score"))
