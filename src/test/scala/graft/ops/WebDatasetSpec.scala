@@ -123,6 +123,31 @@ class WebDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("property: arbitrary members round-trip through the tar codec") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val member = for {
+      name <- Gen.chooseNum(1, 90).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+      size <- Gen.frequency(3 -> Gen.chooseNum(0, 64),
+        2 -> Gen.chooseNum(65, 600), 1 -> Gen.oneOf(511, 512, 513, 1024))
+      data <- Gen.listOfN(size, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (name, data.toArray)
+    val prop = Prop.forAll(Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, member))) {
+      ms =>
+        val bos = new java.io.ByteArrayOutputStream()
+        ms.foreach { case (n, d) => WebDataset.writeMember(bos, n, d) }
+        WebDataset.writeTrailer(bos)
+        val back = WebDataset.readMembers(
+          new java.io.ByteArrayInputStream(bos.toByteArray)).toVector
+        back.length == ms.length && back.zip(ms).forall {
+          case ((n1, d1), (n2, d2)) => n1 == n2 && d1.sameElements(d2)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null members and oversized names are rejected up front") {
     val dir = tmpDir("reject")
     intercept[Exception] {
