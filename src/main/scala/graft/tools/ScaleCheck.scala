@@ -57,8 +57,8 @@ object ScaleCheck {
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
-    // kll wordpiece pagerank evalrank sfbench) to run a subset; no
-    // args = everything
+    // shards kll wordpiece pagerank evalrank sfbench) to run a subset;
+    // no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -811,6 +811,55 @@ object ScaleCheck {
       f"pieces_per_word=${toksUt.toDouble / wordsUt}%.2f " +
       f"compression=${charsUt.toDouble / toksUt}%.2fx deterministic=true")
     corpusUt.unpersist()
+    }
+
+    if (run("shards")) {
+    // ---- 5p. Shard exporters — 1M samples through both writers -------
+    // One mapPartitions pass each; the gate is accounting exactness at
+    // volume: manifest totals must equal the input row count EXACTLY,
+    // manifest byte sums must equal the deterministic framing arithmetic
+    // (tar: 512 + padded payload per member + 1024/shard; tfrecord:
+    // payload + 16 per record), and no shard may exceed its sample cap.
+    val nSamp = 1000000L
+    val shardRows = spark.range(nSamp).select(col("id").as("doc_id"),
+      concat(lit("payload-"), col("id"),
+        lit("-"), repeat(lit("x"), 64)).cast("binary").as("payload"))
+      .repartition(32)
+      .localCheckpoint(true)
+    val byteLen = shardRows.select(
+      sum(length(col("payload"))).cast("long")).head.getLong(0)
+    val wdsDir = java.nio.file.Files.createTempDirectory("sc_wds").toString
+    val (wdsMan, tWds) = time {
+      graft.ops.WebDataset.writeShards(shardRows, "doc_id",
+        Seq("bin" -> "payload"), wdsDir, samplesPerShard = 16384)
+        .collect()
+    }
+    val wdsSamples = wdsMan.map(_.getLong(1)).sum
+    val wdsBytes = wdsMan.map(_.getLong(2)).sum
+    // every member: 512 header + payload padded to 512; member names are
+    // `<doc_id>.bin` (variable length, header-internal); per shard: 1024
+    val expWdsBytes = shardRows.select(sum(
+      lit(512) + ceil(length(col("payload")) / lit(512.0)).cast("long") * 512))
+      .head.getLong(0) + wdsMan.length * 1024L
+    require(wdsSamples == nSamp, s"tar manifest lost samples: $wdsSamples")
+    require(wdsBytes == expWdsBytes,
+      s"tar byte accounting off: $wdsBytes vs $expWdsBytes")
+    require(wdsMan.forall(_.getLong(1) <= 16384), "tar shard cap exceeded")
+    val tfrDir = java.nio.file.Files.createTempDirectory("sc_tfr").toString
+    val (tfrMan, tTfr) = time {
+      graft.ops.TfRecords.writeShards(shardRows, "payload", tfrDir,
+        recordsPerShard = 16384).collect()
+    }
+    val tfrRecords = tfrMan.map(_.getLong(1)).sum
+    val tfrBytes = tfrMan.map(_.getLong(2)).sum
+    require(tfrRecords == nSamp, s"tfrecord manifest lost records: $tfrRecords")
+    require(tfrBytes == byteLen + 16L * nSamp,
+      s"tfrecord byte accounting off: $tfrBytes vs ${byteLen + 16L * nSamp}")
+    println(f"SHARDS> samples=$nSamp payload=${byteLen / 1e6}%.0f MB " +
+      f"tar: shards=${wdsMan.length} ${wdsBytes / 1e6}%.0f MB " +
+      f"${wdsBytes / 1e6 / tWds}%.0f MB/s t=$tWds%.1f s | " +
+      f"tfrecord: shards=${tfrMan.length} ${tfrBytes / 1e6}%.0f MB " +
+      f"${tfrBytes / 1e6 / tTfr}%.0f MB/s t=$tTfr%.1f s exact=true")
     }
 
     if (run("kll")) {
