@@ -1628,6 +1628,22 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // Length-bucketed packing (Curation.packBucketed): the whole-doc
+    // batching policy next to q61's concat-then-chunk — power-of-two
+    // buckets, budget div bucket docs per pack, pure integer arithmetic,
+    // so the oracle recomputes the exact assignment.
+    "q122_bucketed_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.ops.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+      graft.ops.Curation.packBucketed(docs, "doc_id", "n_tokens",
+          budget = 512L, minBucket = 16L)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("pack_seq"), col("truncated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TFRecord export MANIFEST (ops/TfRecords.writeShards): same device
     // as q120 — the published framing is len+16 bytes per record, so the
     // oracle recomputes each shard's byte size from octet_length.
@@ -3126,6 +3142,27 @@ object SparkEntry {
         |  count(*) AS n_samples,
         |  (sum(512 + 512 * ceil(octet_length(text::BLOB) / 512.0)) + 1024)::BIGINT AS n_bytes
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bucketed packing is integer arithmetic end to end: bucket = the
+    // smallest doubling edge >= token count (capped at 512), rank within
+    // bucket by doc_id, pack_seq = rank // (512 // bucket).
+    "q122_bucketed_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END::BIGINT AS bucket,
+        |    n_tokens > 512 AS truncated
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rnk
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket, rnk // (512 // bucket) AS pack_seq, truncated
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
     // 4-byte payload-CRC = octet_length + 16 per record.

@@ -88,6 +88,87 @@ object Curation {
       .drop("__pid", "__offset", "__cum_excl")
   }
 
+  /** Length-BUCKETED packing (bucketed batching): each document maps to
+    * the smallest power-of-two-scaled bucket ≥ its token count (edges
+    * `minBucket, 2·minBucket, …`, capped at `budget`); within a bucket,
+    * `budget div bucketLen` documents share a pack in `idCol` order.
+    * The padding-minimizing batching policy production training stacks
+    * use when documents must stay WHOLE — the complement of
+    * [[packSequential]]'s concat-then-chunk (which lets a doc straddle
+    * packs): padding is bounded by construction (a doc fills > half its
+    * bucket slot, so pack occupancy exceeds 50% wherever buckets are
+    * full), and the assignment is pure integer arithmetic — fully
+    * deterministic and cross-engine exact. Documents longer than
+    * `budget` land in the `budget` bucket one-per-pack with
+    * `truncated = true` (downstream truncation's concern).
+    *
+    * Returns (idCol, tokenCol, bucket, pack_seq, truncated):
+    * `pack_seq` numbers packs within a bucket, so (bucket, pack_seq) is
+    * the pack key.
+    *
+    * 100 TB shape: the per-bucket rank is the SAME distributed prefix
+    * sum as [[packSequential]] — range partition by (bucket, id),
+    * partition-local ranks, per-(partition, bucket) counts collected
+    * (tiny: partitions × buckets rows) and rebroadcast as offsets.
+    * No per-bucket global window: a bucket holding billions of docs
+    * never funnels through one partition. Requires unique ids.
+    */
+  def packBucketed(docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, minBucket: Long = 16L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(minBucket > 0 && minBucket <= budget,
+      "need 0 < minBucket <= budget")
+    docs.schema(tokenCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"packBucketed needs an integral token column; '$tokenCol' is ${other.simpleString}")
+    }
+    // doubling bucket edges, capped at budget (bounded: log2 of the span)
+    val edges = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(e => e < budget && e > 0).toSeq :+ budget
+    val tok = col(tokenCol).cast("long")
+    val bucketExpr = edges.reverse.foldLeft(lit(budget)) { (acc, e) =>
+      when(tok <= e, lit(e)).otherwise(acc)
+    }
+    // same pin rationale as packSequential: the offsets job and the
+    // output job must agree on partition boundaries
+    val parts = docs
+      .withColumn("bucket", bucketExpr)
+      .withColumn("truncated", tok > budget)
+      .repartitionByRange(col("bucket"), col(idCol))
+      .sortWithinPartitions(col("bucket"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // tiny: one row per (partition, bucket)
+    val counts = parts.groupBy(col("__pid"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1)) // per bucket, in partition order
+    val offsetRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var curBucket = Long.MinValue
+    var running = 0L
+    counts.foreach { case (pid, b, c) =>
+      if (b != curBucket) { curBucket = b; running = 0L }
+      offsetRows += ((pid, b, running))
+      running += c
+    }
+    val session = docs.sparkSession
+    import session.implicits._
+    val offsetsDf = broadcast(
+      offsetRows.toSeq.toDF("__pid", "bucket", "__offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("bucket")).orderBy(col(idCol))
+    parts
+      .join(offsetsDf, Seq("__pid", "bucket"))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1L + col("__offset"))
+      .withColumn("pack_seq",
+        expr(s"__rank DIV ($budget DIV bucket)"))
+      .drop("__pid", "__offset", "__rank")
+  }
+
   /** Token-window chunking with overlap — the context-window primitive
     * (RAG indexing, long-doc training prep): each document becomes
     * windows of `chunkTokens` tokens starting every `strideTokens`

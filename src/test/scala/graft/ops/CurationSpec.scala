@@ -78,6 +78,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packBucketed: hand-computed buckets, pack sizes, truncation") {
+    // budget 64, minBucket 8 -> edges 8,16,32,64; k = 8,4,2,1
+    val docs = Seq(
+      (1L, 3L),   // bucket 8
+      (2L, 8L),   // bucket 8
+      (3L, 9L),   // bucket 16
+      (4L, 17L),  // bucket 32
+      (5L, 40L),  // bucket 64
+      (6L, 100L), // > budget -> bucket 64, truncated, alone in a pack
+      (7L, 5L), (8L, 6L), (9L, 7L), (10L, 2L), (11L, 1L), (12L, 4L),
+      (13L, 8L), (14L, 3L) // ten bucket-8 docs total -> packs of 8 then 2
+    ).toDF("doc_id", "n_tokens")
+    val out = Curation.packBucketed(docs, "doc_id", "n_tokens",
+        budget = 64L, minBucket = 8L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("pack_seq"),
+          r.getAs[Boolean]("truncated")))
+      .toMap
+    assert(out(1L) == (8L, 0L, false))
+    assert(out(3L) == (16L, 0L, false))
+    assert(out(4L) == (32L, 0L, false))
+    assert(out(5L) == (64L, 0L, false))
+    assert(out(6L) == (64L, 1L, true)) // own pack, after doc 5 by id
+    // bucket-8 members in doc_id order: 1,2,7,8,9,10,11,12,13,14 —
+    // first eight share pack 0, the last two spill to pack 1
+    assert(out(13L)._2 == 1L && out(14L)._2 == 1L)
+    assert(Seq(1L, 2L, 7L, 8L, 9L, 10L, 11L, 12L).forall(out(_)._2 == 0L))
+    // invariant: no (bucket, pack) exceeds budget DIV bucket members
+    val sizes = out.toSeq.groupBy { case (_, (b, p, _)) => (b, p) }
+      .map { case ((b, _), ms) => (b, ms.size) }
+    sizes.foreach { case (b, n) => assert(n <= 64L / b, s"bucket $b pack of $n") }
+  }
+
+  test("packBucketed is independent of the input partition count") {
+    val docs = (1L to 400L).map(i => (i, (i * 37) % 90 + 1)).toDF("doc_id", "n_tokens")
+    val expected = Curation.packBucketed(docs.coalesce(1), "doc_id",
+        "n_tokens", budget = 128L, minBucket = 16L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+        r.getAs[Long]("pack_seq"))).sortBy(_._1).toSeq
+    Seq(3, 16).foreach { parts =>
+      val got = Curation.packBucketed(docs.repartition(parts), "doc_id",
+          "n_tokens", budget = 128L, minBucket = 16L)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+          r.getAs[Long]("pack_seq"))).sortBy(_._1).toSeq
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
   test("chunk: overlapping windows, short-doc and empty-doc edges") {
     import spark.implicits._
     val docs = Seq(
