@@ -105,6 +105,17 @@ class WebDatasetSpec extends AnyFunSuite {
       assert(proc.waitFor() == 0, s"tar -tf failed: $listed")
       assert(listed == sample(3).flatMap(s =>
         Seq(s"${s._1}.txt", s"${s._1}.json")).toVector, listed)
+      // and the payload bytes survive a real extraction
+      val xdir = tmpDir("sysx")
+      val xproc = new ProcessBuilder(tar, "-xf", shard.getAbsolutePath,
+        "-C", xdir).redirectErrorStream(true).start()
+      assert(xproc.waitFor() == 0, "tar -xf failed")
+      sample(3).foreach { case (k, txt, json) =>
+        assert(Files.readAllBytes(Paths.get(xdir, s"$k.txt"))
+          .sameElements(txt), s"$k.txt bytes differ after GNU tar extract")
+        assert(Files.readAllBytes(Paths.get(xdir, s"$k.json"))
+          .sameElements(json), s"$k.json bytes differ after GNU tar extract")
+      }
     }
   }
 
