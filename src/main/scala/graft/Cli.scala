@@ -219,14 +219,23 @@ object Cli {
       try {
         import org.apache.spark.sql.functions.{col, struct, to_json}
         val docs = spark.read.parquet(s"${req("in")}/${req("table")}.parquet")
+        val perShard = flags.getOrElse("records-per-shard", "8192").toInt
         // payload = the whole row as JSON (a loader-agnostic default)
-        val payloads = docs
-          .select(to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
-        val manifest = graft.ops.TfRecords.writeShards(payloads, "payload",
-          req("out"), flags.getOrElse("records-per-shard", "8192").toInt)
-          .collect()
-        val total = manifest.map(_.getLong(1)).sum
-        println(s"""{"shards":${manifest.length},"records":$total,"out":"${req("out")}"}""")
+        val json = to_json(struct(docs.columns.map(col): _*)).cast("binary")
+        val manifest = flags.getOrElse("format", "tfrecord") match {
+          case "tfrecord" =>
+            graft.ops.TfRecords.writeShards(
+              docs.select(json.as("payload")), "payload", req("out"), perShard)
+          case "tar" => // WebDataset layout: one <id>.json member per row
+            val idCol = flags.getOrElse("id", "doc_id")
+            graft.ops.WebDataset.writeShards(
+              docs.select(col(idCol), json.as("json")), idCol,
+              Seq("json" -> "json"), req("out"), perShard)
+          case other => sys.error(s"export: unknown --format $other (tfrecord|tar)")
+        }
+        val rows = manifest.collect()
+        val total = rows.map(_.getLong(1)).sum
+        println(s"""{"shards":${rows.length},"records":$total,"out":"${req("out")}"}""")
       } finally spark.stop()
 
     case "index" :: rest =>
@@ -381,6 +390,7 @@ object Cli {
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
+           |         [--format tfrecord|tar] [--id doc_id]   (tar = WebDataset layout)
            |  tokenize --in <sfdir> --table documents --out <dir> [--merges 200]
            |         (trains a BPE merge table, writes token_ids + merges.json)
            |  index --in <sfdir> --table documents --out <dir> [--buckets 64]
