@@ -128,9 +128,13 @@ object Curation {
     val edges = Iterator.iterate(minBucket)(_ * 2)
       .takeWhile(e => e < budget && e > 0).toSeq :+ budget
     val tok = col(tokenCol).cast("long")
-    val bucketExpr = edges.reverse.foldLeft(lit(budget)) { (acc, e) =>
-      when(tok <= e, lit(e)).otherwise(acc)
-    }
+    // in-plan null rejection: without it a null count would fall through
+    // every `when` and silently land in the budget bucket
+    val bucketExpr = when(tok.isNull,
+        raise_error(lit(s"packBucketed: null '$tokenCol'")).cast("long"))
+      .otherwise(edges.reverse.foldLeft(lit(budget)) { (acc, e) =>
+        when(tok <= e, lit(e)).otherwise(acc)
+      })
     // same pin rationale as packSequential: the offsets job and the
     // output job must agree on partition boundaries
     val parts = docs

@@ -112,6 +112,15 @@ class CurationSpec extends AnyFunSuite {
     sizes.foreach { case (b, n) => assert(n <= 64L / b, s"bucket $b pack of $n") }
   }
 
+  test("packBucketed rejects null token counts in-plan") {
+    val docs = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null: java.lang.Long)).toDF("doc_id", "n_tokens")
+    intercept[Exception] {
+      Curation.packBucketed(docs, "doc_id", "n_tokens",
+        budget = 64L, minBucket = 8L).collect()
+    }
+  }
+
   test("packBucketed is independent of the input partition count") {
     val docs = (1L to 400L).map(i => (i, (i * 37) % 90 + 1)).toDF("doc_id", "n_tokens")
     val expected = Curation.packBucketed(docs.coalesce(1), "doc_id",
