@@ -57,8 +57,8 @@ object ScaleCheck {
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
-    // shards kll wordpiece pagerank evalrank sfbench) to run a subset;
-    // no args = everything
+    // shards packing kll wordpiece pagerank evalrank sfbench) to run a
+    // subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -860,6 +860,58 @@ object ScaleCheck {
       f"${wdsBytes / 1e6 / tWds}%.0f MB/s t=$tWds%.1f s | " +
       f"tfrecord: shards=${tfrMan.length} ${tfrBytes / 1e6}%.0f MB " +
       f"${tfrBytes / 1e6 / tTfr}%.0f MB/s t=$tTfr%.1f s exact=true")
+    }
+
+    if (run("packing")) {
+    // ---- 5q. Sequence packing — 5M docs through both policies --------
+    // packSequential (concat-then-chunk: zero padding, docs straddle)
+    // and packBucketed (whole docs, padding bounded by the power-of-two
+    // bucket slot). Gates: sequential's pack count is exactly
+    // ceil(total/budget); bucketed's packs never exceed their member
+    // cap, its padding stays under 50% + the partial-pack tail, and the
+    // assignment is partition-count independent at 5M rows (compared by
+    // an in-plan checksum, not a collect).
+    val nPack = 5000000L
+    val budgetP = 512L
+    val packDocs = spark.range(nPack).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(500)) + 1).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val totalTok = packDocs.select(sum(col("n_tokens"))).head.getLong(0)
+    val (seqPacks, tSeq) = time {
+      graft.ops.Curation.packSequential(packDocs, "doc_id", "n_tokens", budgetP)
+        .select(countDistinct(col("pack_id"))).head.getLong(0)
+    }
+    // a pack id is the LAST doc's start offset div budget: the exact
+    // count is floor((total - lastDocTokens)/budget) + 1
+    val lastTok = packDocs.orderBy(col("doc_id").desc).select(col("n_tokens"))
+      .head.getLong(0)
+    require(seqPacks == (totalTok - lastTok) / budgetP + 1,
+      s"packSequential pack count $seqPacks != " +
+        s"${(totalTok - lastTok) / budgetP + 1}")
+    val (bkt, tBkt) = time {
+      graft.ops.Curation.packBucketed(packDocs, "doc_id", "n_tokens",
+        budgetP, minBucket = 16L).localCheckpoint(true)
+    }
+    val perPack = bkt.groupBy(col("bucket"), col("pack_seq"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+    val over = perPack.filter(expr(s"n > $budgetP DIV bucket")).count()
+    require(over == 0, s"$over bucketed packs exceed their member cap")
+    val nPacks = perPack.count()
+    val padding = 1.0 - totalTok.toDouble / (nPacks * budgetP)
+    // every full pack is >50% occupied (doc > bucket/2 by bucket choice);
+    // partial tail packs (one per (bucket) at most) add slack
+    require(padding < 0.55, f"bucketed padding $padding%.2f out of bounds")
+    def checksum(parts: Int): Long =
+      graft.ops.Curation.packBucketed(packDocs.repartition(parts), "doc_id",
+          "n_tokens", budgetP, minBucket = 16L)
+        .select(expr("bit_xor(xxhash64(doc_id, bucket, pack_seq))"))
+        .head.getLong(0)
+    require(checksum(7) == checksum(64),
+      "bucketed assignment depends on the input partition count")
+    println(f"PACKING> docs=$nPack tokens=$totalTok " +
+      f"seq: packs=$seqPacks t=$tSeq%.1f s | " +
+      f"bucketed: packs=$nPacks padding=$padding%.3f t=$tBkt%.1f s " +
+      f"partition_independent=true")
     }
 
     if (run("kll")) {
