@@ -1658,6 +1658,40 @@ object SparkEntry {
         .select(regexp_extract(col("path"), "part-[^/]*$", 0).as("shard"),
           col("n_records"), col("n_bytes"))
         .orderBy(col("shard"))
+    }),
+
+    // fastText-style LEARNED quality classifier (ops/Classify.scala):
+    // logistic regression over hashed bag-of-words features, trained by
+    // full-batch gradient descent — the SGD-family counterpart of q117's
+    // closed-form NB. The word hash is the transparent per-step poly-31
+    // (word_bucket), weights round to 6 dp each update, so the oracle
+    // replays the ENTIRE training run (3 iterations from w=0, lr=2) as
+    // chained CTEs and must land on the same model, scores, and
+    // predictions. label = (lang = 'en').
+    "q123_logreg_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.Classify.trainLogReg(docs, "doc_id",
+        col("lang") === "en", "text", numBuckets = 64, iters = 3,
+        learningRate = 2.0)
+      graft.ops.Classify.classify(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LEAKAGE-SAFE train/val/test split (Sampling.clusterSafeSplit):
+    // q56's md5 split keyed by the near-dup CLUSTER label (q62's
+    // connected components over MinHash-LSH pairs), so near-identical
+    // docs always land on the same side of the train/eval boundary. The
+    // oracle recomputes clusters via the recursive-CTE device and
+    // replays the split rule on the group key.
+    "q124_cluster_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingle = 3, numPerm = 128, bands = 32, threshold = 0.5)
+      graft.ops.Sampling.clusterSafeSplit(docs.select(col("doc_id")),
+          "doc_id", pairs, "id_a", "id_b",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("group_key"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3163,6 +3197,91 @@ object SparkEntry {
         |  FROM b)
         |SELECT doc_id, n_tokens, bucket, rnk // (512 // bucket) AS pack_seq, truncated
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Logreg oracle: the ENTIRE training run replayed as chained CTEs —
+    // feature frame (per-step poly-31 word buckets mod 64, tf/n values,
+    // bias slot -1), then 3 gradient-descent iterations from w = 0 with
+    // lr = 2 and weights rounded to 6 dp each update (the cross-engine
+    // contract that stops FP reduction-order drift from compounding),
+    // then final scoring. prob rounds to 4 dp; pred thresholds the raw
+    // probability.
+    "q123_logreg_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        |tok AS (
+        |  SELECT doc_id, y, len(toks)::DOUBLE AS n, unnest(toks) AS w
+        |  FROM base WHERE len(toks) > 0),
+        |feat AS (
+        |  SELECT doc_id, y, b, count(*)::DOUBLE / n AS x FROM (
+        |    SELECT doc_id, y, n,
+        |      list_reduce(list_prepend(0, [unicode(substr(w, i, 1)) FOR i IN range(1, len(w) + 1)]),
+        |        (a, c) -> (a * 31 + c) % 64) AS b
+        |    FROM tok)
+        |  GROUP BY doc_id, y, b, n
+        |  UNION ALL
+        |  SELECT doc_id, y, -1 AS b, 1.0 AS x FROM base),
+        |g1 AS (SELECT b, sum(x * (0.5 - y)) AS g FROM feat GROUP BY b),
+        |w1 AS (SELECT b, round(-2.0 * g / (SELECT nd FROM n), 6) AS wt FROM g1),
+        |s2 AS (
+        |  SELECT f.doc_id, f.y, 1.0/(1.0 + exp(-sum(f.x * coalesce(w1.wt, 0)))) AS p
+        |  FROM feat f LEFT JOIN w1 ON w1.b = f.b GROUP BY f.doc_id, f.y),
+        |g2 AS (
+        |  SELECT f.b, sum(f.x * (s.p - s.y)) AS g
+        |  FROM feat f JOIN s2 s ON s.doc_id = f.doc_id GROUP BY f.b),
+        |w2 AS (
+        |  SELECT g2.b, round(coalesce(w1.wt, 0) - 2.0 * g2.g / (SELECT nd FROM n), 6) AS wt
+        |  FROM g2 LEFT JOIN w1 ON w1.b = g2.b),
+        |s3 AS (
+        |  SELECT f.doc_id, f.y, 1.0/(1.0 + exp(-sum(f.x * coalesce(w2.wt, 0)))) AS p
+        |  FROM feat f LEFT JOIN w2 ON w2.b = f.b GROUP BY f.doc_id, f.y),
+        |g3 AS (
+        |  SELECT f.b, sum(f.x * (s.p - s.y)) AS g
+        |  FROM feat f JOIN s3 s ON s.doc_id = f.doc_id GROUP BY f.b),
+        |w3 AS (
+        |  SELECT g3.b, round(coalesce(w2.wt, 0) - 2.0 * g3.g / (SELECT nd FROM n), 6) AS wt
+        |  FROM g3 LEFT JOIN w2 ON w2.b = g3.b),
+        |s4 AS (
+        |  SELECT f.doc_id, 1.0/(1.0 + exp(-sum(f.x * coalesce(w3.wt, 0)))) AS p
+        |  FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY f.doc_id)
+        |SELECT doc_id, round(p, 4) AS prob,
+        |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // Cluster-safe split oracle: q62's recursive-CTE connected
+    // components over the exact-jaccard pair graph (LSH recall 1.0 at
+    // this threshold — same device as q62/q89), group key = cluster
+    // label or own id, then q56's md5 CASE on the group key.
+    "q124_cluster_safe_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([
+        |      array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)
+        |    ]) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id),
+        |lab AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  coalesce(l.cluster_id, d.doc_id) AS group_key,
+        |  CASE
+        |    WHEN substring(md5(coalesce(l.cluster_id, d.doc_id)::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+        |    WHEN substring(md5(coalesce(l.cluster_id, d.doc_id)::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
     // 4-byte payload-CRC = octet_length + 16 per record.

@@ -251,6 +251,13 @@ package object functions {
   def char_ngram_buckets(text: Column, n: Int, buckets: Int): Column =
     toColumn(CharNgramBuckets(exprOf(text), n, buckets))
 
+  /** Hashed whole-word feature slot (transparent per-step poly-31 mod
+    * `buckets`) — the hashing-trick feature map of the fastText-class
+    * supervised classifier; oracle-re-derivable by a SQL list fold.
+    */
+  def word_bucket(word: Column, buckets: Int): Column =
+    toColumn(WordBucket(exprOf(word), buckets))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -350,5 +357,7 @@ package object functions {
     reg.createOrReplaceTempFunction("char_ngram_buckets",
       es => CharNgramBuckets(es(0), intArg(es(1), "char_ngram_buckets", "n"),
         intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
+    reg.createOrReplaceTempFunction("word_bucket",
+      es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets")), "built-in")
   }
 }

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** fastText-style supervised quality classifier: binary LOGISTIC
+  * REGRESSION over hashed bag-of-words features (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification"; the hashing trick
+  * after Weinberger et al. 2009), trained by full-batch gradient
+  * descent — the learned gate production curation stacks train on
+  * "reference corpus vs crawl" labels (GPT-3's WebText classifier,
+  * LLaMA's Wikipedia-reference classifier) next to the closed-form NB
+  * of [[LangId]].
+  *
+  * Features: each token hashes to one of `numBuckets` slots
+  * ([[graft.functions.WordBucketKernel]] — transparent poly-31, so an
+  * external SQL oracle replays the whole training run); a document's
+  * feature value is its in-doc term frequency L1-normalized by token
+  * count (fastText's mean-of-embeddings normalization), plus a constant
+  * bias feature on a reserved slot. The model is `numBuckets + 1`
+  * doubles regardless of vocabulary.
+  *
+  * Training (per iteration): forward pass = one broadcast join of the
+  * persisted feature frame against the current weights + a doc-keyed
+  * aggregate for the logits; backward pass = residuals joined back to
+  * the SAME doc-partitioned frame (co-partitioned — no extra shuffle)
+  * + one bucket-keyed aggregate bounded by `numBuckets` AFTER map-side
+  * partial aggregation. The only driver state is the weight vector
+  * (`numBuckets`-bounded collect, the same bounded-model discipline as
+  * Lloyd's in [[Similarity]]) and the update rule; weights round to
+  * 6 dp HALF_UP each step so independent engines agree bit-for-bit.
+  *
+  * 100 TB shape: the feature frame is built once (map + one
+  * (doc, bucket) aggregate), persisted partitioned by doc; each
+  * iteration touches it twice with nothing larger than the model
+  * crossing to the driver. Mini-batch = pass a sampled frame.
+  */
+object Classify {
+
+  /** Reserved feature slot for the intercept: real buckets are
+    * [0, numBuckets), so -1 never collides.
+    */
+  val BiasBucket: Int = -1
+
+  /** Trained model: sparse weight map over feature slots (absent slot =
+    * 0.0; [[BiasBucket]] holds the intercept), plus the per-iteration
+    * mean log-loss trace (training health observable — must be
+    * non-increasing on a separable-enough corpus).
+    */
+  final case class LrModel(weights: Map[Int, Double], numBuckets: Int,
+      lossTrace: Seq[Double]) {
+    def bias: Double = weights.getOrElse(BiasBucket, 0.0)
+  }
+
+  /** (doc_id, y, b, x) hashed-feature frame: x = tf_b / n_tokens for
+    * real slots, plus the constant bias row (b = -1, x = 1) every doc
+    * gets — zero-token docs carry only the bias row, so every doc is
+    * scored. `y` is the 0/1 label as double (null labels rejected
+    * in-plan via the cast contract).
+    */
+  private def featureFrame(docs: DataFrame, idCol: String, label: Column,
+      textCol: String, numBuckets: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      label.cast("int").cast("double").as("y"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val feats = base
+      .select(col("doc_id"), col("y"),
+        size(col("__toks")).cast("double").as("n"),
+        explode(col("__toks")).as("w"))
+      .groupBy(col("doc_id"), col("y"), col("n"),
+        graft.functions.word_bucket(col("w"), numBuckets).as("b"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      // tf/n as ONE division (not a sum of 1/n terms) — the exact FP
+      // value any oracle computes from integer counts
+      .select(col("doc_id"), col("y"), col("b"), (col("tf") / col("n")).as("x"))
+    val biasRows = base.select(col("doc_id"), col("y"),
+      lit(BiasBucket).as("b"), lit(1.0).as("x"))
+    feats.unionByName(biasRows)
+  }
+
+  /** Round HALF_UP to 6 dp — the cross-engine weight discipline (SQL
+    * `round()` is half-away-from-zero in DuckDB and Spark alike;
+    * `math.rint` is half-even and would NOT match).
+    */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train by full-batch gradient descent: `w -= lr * X^T (p - y) / n`,
+    * `iters` fixed iterations from w = 0. Deterministic: no sampling, no
+    * shuffling sensitivity (all reductions are order-free after the 6 dp
+    * rounding), reproducible across engines and partition counts.
+    *
+    * `numBuckets` bounds BOTH the model and the per-iteration collect;
+    * it must fit comfortably on the driver (fastText defaults to 2M
+    * slots ~ 16 MB — fine; the require guards absurd values).
+    */
+  def trainLogReg(docs: DataFrame, idCol: String, label: Column,
+      textCol: String, numBuckets: Int = 1 << 18, iters: Int = 8,
+      learningRate: Double = 2.0): LrModel = {
+    require(numBuckets > 0 && numBuckets <= (1 << 24),
+      s"trainLogReg: numBuckets must be in (0, 2^24] (the model is " +
+        s"driver-held), got $numBuckets")
+    require(iters >= 1 && iters <= 1000,
+      s"trainLogReg: iters must be in [1,1000], got $iters")
+    require(learningRate > 0, "trainLogReg: learningRate must be positive")
+    val spark = docs.sparkSession
+    // one doc-partitioned persisted frame: the forward aggregate and the
+    // backward residual join both reuse this partitioning — per
+    // iteration the corpus never re-shuffles
+    val feats = featureFrame(docs, idCol, label, textCol, numBuckets)
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: ONE long (the denominator of the mean gradient)
+      val nDocs = feats.filter(col("b") === BiasBucket).count()
+      require(nDocs > 0, "trainLogReg: empty training corpus")
+      var weights = Map.empty[Int, Double]
+      val losses = Seq.newBuilder[Double]
+      for (_ <- 1 to iters) {
+        // log args clamped away from 0: a saturated sigmoid (p == 0.0 or
+        // 1.0 in doubles) would put 0 * -Inf = NaN into the trace
+        val resid = forward(feats, weights, spark)
+          .select(col("doc_id"), (col("p") - col("y")).as("r"),
+            (-(col("y") * log(greatest(col("p"), lit(1e-15))) +
+              (lit(1.0) - col("y")) *
+                log(greatest(lit(1.0) - col("p"), lit(1e-15))))).as("l"))
+        // backward: co-partitioned doc join, then a bucket-keyed
+        // aggregate whose output is numBuckets-bounded (partial agg
+        // map-side); the loss rides the bias rows (exactly one per doc)
+        // so one pass yields gradient AND trace.
+        // Bounded collect: numBuckets + 1 rows (the model update).
+        val rows = feats.join(resid, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg(sum(col("x") * col("r")).as("g"),
+            sum(when(col("b") === BiasBucket, col("l"))).as("lsum"))
+          .collect()
+        losses += rows.collectFirst {
+          case row if row.getInt(0) == BiasBucket => row.getDouble(2) / nDocs
+        }.getOrElse(Double.NaN)
+        weights = rows.map { row =>
+          val b = row.getInt(0)
+          val g = row.getDouble(1)
+          b -> round6(weights.getOrElse(b, 0.0) - learningRate * g / nDocs)
+        }.toMap
+      }
+      LrModel(weights, numBuckets, losses.result())
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Forward pass: per-doc logit + sigmoid against broadcast weights.
+    * Input frame must carry (doc_id, y, b, x); weights ship as a
+    * broadcast (b, wt) frame (absent slots read as 0 via the left
+    * join), never as plan literals.
+    */
+  private def forward(feats: DataFrame, weights: Map[Int, Double],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val wdf = spark.createDataFrame(weights.toSeq).toDF("b", "wt")
+    feats.join(broadcast(wdf), Seq("b"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
+      .select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+  }
+
+  /** Per-doc probability of the positive class under a trained model.
+    * Output: (doc_id, prob) with prob rounded to `dp` decimals (the
+    * engine-parity surface; raw doubles differ in final ulps across
+    * reduction orders). One broadcast join + one doc-keyed aggregate.
+    */
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+      model: LrModel, dp: Int = 4): DataFrame =
+    forward(featureFrame(docs, idCol, lit(0), textCol, model.numBuckets),
+      model.weights, docs.sparkSession)
+      .select(col("doc_id"), round(col("p"), dp).as("prob"))
+
+  /** Hard 0/1 prediction at the 0.5 threshold (the raw probability
+    * decides — thresholding before rounding).
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      model: LrModel, dp: Int = 4): DataFrame =
+    forward(featureFrame(docs, idCol, lit(0), textCol, model.numBuckets),
+      model.weights, docs.sparkSession)
+      .select(col("doc_id"), round(col("p"), dp).as("prob"),
+        (col("p") >= 0.5).cast("int").as("pred"))
+
+  /** 2x2 confusion counts over a labeled corpus — the quality-gate
+    * evaluation artifact (pure counts: no floats cross an engine
+    * boundary).
+    */
+  def confusion(docs: DataFrame, idCol: String, label: Column,
+      textCol: String, model: LrModel): DataFrame =
+    classify(docs, idCol, textCol, model)
+      .join(docs.select(col(idCol).as("doc_id"),
+        label.cast("int").as("y")), Seq("doc_id"))
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("y"), col("pred"))
+}

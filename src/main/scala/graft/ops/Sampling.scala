@@ -50,6 +50,36 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** LEAKAGE-SAFE split: [[hashSplit]] keyed by near-duplicate CLUSTER
+    * instead of by document, so two near-identical documents can never
+    * land on opposite sides of a train/eval boundary (the train-test
+    * contamination mode document-level splitting cannot prevent — Lee
+    * et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" measure exactly this leak). `pairs` is any near-dup pair
+    * frame (MinHash-LSH, SimHash, embedding-LSH — the [[Dedup]]
+    * surface); the group key is the connected-component label for
+    * clustered docs and the doc's own id otherwise, and the md5 split
+    * runs on that key. Costs: the component propagation is pair-sized
+    * (never corpus-sized) + one broadcast-or-shuffle join of the labels
+    * onto the corpus; the split itself stays map-only.
+    *
+    * Output: the input rows + (group_key, splitCol). Deterministic and
+    * engine-reproducible: labels are min-id per component, the split is
+    * the q56 md5 rule on the group key.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("cluster_id"))
+    val keyed = docs
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .withColumn("group_key",
+        coalesce(col("cluster_id"), docs(idCol).cast("long")))
+      .drop("id", "cluster_id")
+    hashSplit(keyed, "group_key", splits, splitCol)
+  }
+
   /** Stratified top-k: per stratum, the k rows with the smallest hash
     * score (ties broken by id). One shuffle on the stratum keys; balanced
     * output regardless of stratum skew — the standard way to cap a

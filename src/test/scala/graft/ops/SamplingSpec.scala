@@ -120,4 +120,29 @@ class SamplingSpec extends AnyFunSuite {
       // gap 0 would mean a tie broken by doc_id — also engine-stable
     }
   }
+
+  test("clusterSafeSplit: near-dup clusters never straddle a split boundary") {
+    import spark.implicits._
+    // docs 1-5; planted pair graph: {1,2,3} one component, {4,5} another
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+      "id_a", "id_b", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("group_key"), r.getAs[String]("split")))).toMap
+    // a cluster shares its min-id group key, hence its split
+    assert(Seq(1L, 2L, 3L).map(out).map(_._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out).map(_._2).distinct.size === 1)
+    assert(Seq(4L, 5L).map(out).map(_._1).distinct === Seq(4L))
+    assert(Seq(4L, 5L).map(out).map(_._2).distinct.size === 1)
+    // unclustered docs split on their own id with the q56 md5 rule
+    for (id <- Seq(6L, 7L)) {
+      assert(out(id)._1 === id)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expected = if (hex < "80000000") "train" else "test"
+      assert(out(id)._2 === expected)
+    }
+  }
 }
