@@ -1692,7 +1692,65 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("group_key"), col("split"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // WARC ROUND-TRIP (sources/Warc): documents → ISO 28500 record
+    // shards → streamed parse back → per-language payload accounting.
+    // The oracle recomputes the same aggregate straight off the parquet
+    // table, so a match proves record ids, meta headers, and every
+    // payload byte survived the crawl-format round trip. Write side is
+    // one mapPartitions pass; read side is one task per shard with a
+    // constant-memory parser — the Common Crawl ingestion shape.
+    "q125_warc_roundtrip" -> ((s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      // clean slate: a previous run with different sharding must not
+      // leave stray shards behind for the glob to pick up
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          col("lang"))
+      graft.sources.Warc.writeShards(docs, "doc_id", "payload", path,
+        recordsPerShard = 256, metaCols = Seq("lang"))
+      graft.sources.Warc.read(s, s"$path/*.warc")
+        .groupBy(col("headers")("x-graft-lang").as("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(octet_length(col("payload"))).as("payload_bytes"),
+          sum(octet_length(col("record_id"))).as("id_bytes"))
+        .orderBy(col("lang"))
+    }),
+
+    // CHAR-ENTROPY quality signal (functions.CharEntropy): Shannon bits
+    // over each doc's code-point distribution — the gibberish /
+    // repeated-char-spam filter axis of the published quality batteries.
+    // One codegen'd pass inside the scan span; the oracle re-derives the
+    // distribution by per-char group-by arithmetic.
+    "q126_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.char_entropy(col("text")), 4)
+            .as("entropy_bits"))
+        .orderBy(col("doc_id"))),
+
+    // COMPRESSION-RATIO quality signal (functions.DeflateSize):
+    // deflate_len / raw_len per doc, aggregated per source — template
+    // spam crushes toward 0, gibberish toward 1. No external engine
+    // exposes deflate, so this is a rows-only driver check; kernel
+    // correctness is proven in QualityExpressionsSpec by an independent
+    // inflate round trip.
+    "q127_compression_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          (graft.functions.deflate_size(col("text")).cast("double") /
+            octet_length(col("text"))).as("ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(col("ratio")), 4).as("avg_ratio"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L))
+            .as("n_template_like"))
+        .orderBy(col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3282,6 +3340,30 @@ object SparkEntry {
         |    ELSE 'test' END AS split
         |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // WARC round trip: payload = UTF-8 text bytes, record id =
+    // "urn:graft:<doc_id>", lang rides an X-Graft-lang named field —
+    // the oracle recomputes the post-roundtrip aggregate from the
+    // parquet source directly.
+    "q125_warc_roundtrip" ->
+      """SELECT lang, count(*) AS docs,
+        |  sum(octet_length(text::BLOB))::BIGINT AS payload_bytes,
+        |  sum(octet_length(('urn:graft:' || doc_id::VARCHAR)::BLOB))::BIGINT AS id_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Shannon entropy re-derived by per-char group-by: p = n/total per
+    // (doc, char), entropy = -sum p*log2(p). Docs are non-empty in this
+    // corpus, so no empty-split edge; round(4) absorbs log2 ULP skew.
+    "q126_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*)::DOUBLE AS n FROM c GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(n) AS total FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id,
+        |  round(-sum((n / total) * log2(n / total)), 4) AS entropy_bits
+        |FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+        |GROUP BY cnt.doc_id
+        |ORDER BY cnt.doc_id""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
     // 4-byte payload-CRC = octet_length + 16 per record.

@@ -258,6 +258,19 @@ package object functions {
   def word_bucket(word: Column, buckets: Int): Column =
     toColumn(WordBucket(exprOf(word), buckets))
 
+  /** Shannon entropy (bits) of a string's code-point distribution — the
+    * gibberish/boilerplate quality signal (pinned accumulation order, so
+    * oracle-re-derivable by per-char group-by arithmetic).
+    */
+  def char_entropy(text: Column): Column =
+    toColumn(CharEntropy(exprOf(text)))
+
+  /** Raw-DEFLATE output length of a string's UTF-8 bytes — divide by
+    * octet_length for the compression-ratio quality signal.
+    */
+  def deflate_size(text: Column, level: Int = 6): Column =
+    toColumn(DeflateSize(exprOf(text), level))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -359,5 +372,10 @@ package object functions {
         intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
     reg.createOrReplaceTempFunction("word_bucket",
       es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets")), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy",
+      es => CharEntropy(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deflate_size",
+      es => DeflateSize(es(0),
+        if (es.length > 1) intArg(es(1), "deflate_size", "level") else 6), "built-in")
   }
 }

@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import java.io.{DataInputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** WARC (Web ARChive, ISO 28500) source + sink — the interchange format
+  * of web-crawl corpora (Common Crawl ships WARC/WET), i.e. the raw-input
+  * side of a 100 TB pretraining pipeline. Librarian's archiver moves rows
+  * between operational stores and parquet; this face moves documents
+  * between parquet and the crawl-native record format.
+  *
+  * Framing (written against the published ISO 28500 grammar, not any
+  * implementation): a record is `WARC/1.0\r\n`, named fields
+  * (`Name: value\r\n` each), a blank `\r\n`, `Content-Length` payload
+  * bytes, then `\r\n\r\n`. Records concatenate back to back; a `.warc.gz`
+  * file is one gzip MEMBER PER RECORD, concatenated (the Common Crawl
+  * convention — lets a reader seek to a member and decompress one record
+  * without touching the rest of the file).
+  *
+  * Determinism: all generated metadata is pinned (`WARC-Date` epoch,
+  * fixed field order), so equal inputs produce byte-identical plain
+  * shards — framing arithmetic is oracle-checkable. Gzip shards are
+  * deterministic only per JVM deflate implementation, so correctness
+  * there is proven by round-trip, not bytes.
+  *
+  * 100 TB shape: the writer is one `mapPartitions` pass (same contract as
+  * [[graft.ops.WebDataset.writeShards]] — deterministic shard paths,
+  * retry-safe, driver only sees the manifest). The reader streams each
+  * file through a constant-memory incremental parser — a multi-GB shard
+  * is never materialized; per-record gzip members force file-granular
+  * splits (exactly how Common Crawl is processed), so parallelism comes
+  * from file count, which the writer's sharding controls.
+  */
+object Warc {
+
+  private val CRLF = "\r\n".getBytes(ISO_8859_1)
+
+  /** One WARC/1.0 record: returns bytes written. Field order and
+    * generated values are pinned so equal inputs frame identically.
+    */
+  def writeRecord(out: OutputStream, recordId: String, payload: Array[Byte],
+      contentType: String = "text/plain",
+      extraHeaders: Seq[(String, String)] = Nil): Long = {
+    require(recordId != null && recordId.nonEmpty, "empty WARC record id")
+    require(payload != null, s"null payload for WARC record $recordId")
+    (recordId +: extraHeaders.flatMap { case (k, v) => Seq(k, v) }).foreach {
+      s =>
+        require(!s.exists(c => c == '\r' || c == '\n'),
+          s"CR/LF in WARC header material: $s")
+    }
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: resource\r\n")
+    sb.append(s"WARC-Record-ID: <urn:graft:$recordId>\r\n")
+    sb.append("WARC-Date: 1970-01-01T00:00:00Z\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n")
+    extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    sb.append("\r\n")
+    val head = sb.toString.getBytes(ISO_8859_1)
+    out.write(head)
+    out.write(payload)
+    out.write(CRLF); out.write(CRLF)
+    head.length.toLong + payload.length + 4
+  }
+
+  /** One parsed record. `headers` keys are lower-cased (WARC field names
+    * are case-insensitive per spec); values keep their bytes verbatim.
+    */
+  final case class WarcRecord(recordId: String, warcType: String,
+      contentType: String, headers: Map[String, String],
+      payload: Array[Byte])
+
+  /** Stream records off a WARC byte stream — constant memory, raises on
+    * any framing violation (bad version line, missing Content-Length,
+    * truncated payload, missing record separator), never fabricates.
+    */
+  def readRecords(in: InputStream): Iterator[WarcRecord] = {
+    val din = new DataInputStream(in)
+    // CRLF-terminated line in ISO-8859-1 (header charset per spec);
+    // returns null on clean EOF at a record boundary.
+    def readLine(atBoundary: Boolean): String = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var prev = -1
+      var c = din.read()
+      if (c < 0 && atBoundary) return null
+      while (c >= 0) {
+        if (prev == '\r' && c == '\n') {
+          val b = buf.toByteArray
+          return new String(b, 0, b.length - 1, ISO_8859_1)
+        }
+        buf.write(c)
+        prev = c
+        c = din.read()
+      }
+      throw new EOFException("WARC stream truncated mid-line")
+    }
+    new Iterator[WarcRecord] {
+      private var nextR: WarcRecord = _
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextR != null) return
+        val version = readLine(atBoundary = true)
+        if (version == null) { done = true; return }
+        require(version.startsWith("WARC/"),
+          s"not a WARC version line: '$version'")
+        val hs = Map.newBuilder[String, String]
+        var line = readLine(atBoundary = false)
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          require(i > 0, s"malformed WARC header line: '$line'")
+          hs += (line.substring(0, i).trim.toLowerCase ->
+            line.substring(i + 1).trim)
+          line = readLine(atBoundary = false)
+        }
+        val headers = hs.result()
+        val len = headers.getOrElse("content-length",
+          sys.error("WARC record missing Content-Length")).toLong
+        require(len >= 0 && len <= Int.MaxValue, s"bad Content-Length $len")
+        val payload = new Array[Byte](len.toInt)
+        din.readFully(payload)
+        val sep = new Array[Byte](4)
+        din.readFully(sep)
+        require(java.util.Arrays.equals(sep, Array[Byte]('\r', '\n', '\r', '\n')),
+          "WARC record not followed by CRLF CRLF")
+        val rawId = headers.getOrElse("warc-record-id", "")
+        val id = // unwrap the <urn:...> angle form if present
+          if (rawId.startsWith("<") && rawId.endsWith(">"))
+            rawId.substring(1, rawId.length - 1)
+          else rawId
+        nextR = WarcRecord(id, headers.getOrElse("warc-type", ""),
+          headers.getOrElse("content-type", ""), headers, payload)
+      }
+      override def hasNext: Boolean = { advance(); !done && nextR != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextR == null) throw new NoSuchElementException
+        val r = nextR; nextR = null; r
+      }
+    }
+  }
+
+  /** Export `df` as WARC shards of at most `recordsPerShard` records,
+    * named `part-<partition>-<shard>.warc[.gz]`. `keyCol` becomes the
+    * record id (`<urn:graft:key>`), `payloadCol` (binary) the content
+    * block, and each of `metaCols` a `X-Graft-<col>` named field so
+    * row metadata survives the round trip. Returns the manifest
+    * (path, n_records, n_bytes). Gzip = one member per record.
+    */
+  def writeShards(df: DataFrame, keyCol: String, payloadCol: String,
+      outDir: String, recordsPerShard: Int = 4096, gzip: Boolean = false,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    val spark = df.sparkSession
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val ext = if (gzip) "warc.gz" else "warc"
+    val metaHeaderNames = metaCols.map(c => s"X-Graft-$c")
+    val manifest = df.select(col(keyCol).cast("string").as("__key") +:
+        col(payloadCol).cast("binary").as("__payload") +:
+        metaCols.map(c => col(c).cast("string")): _*)
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(hadoopConf.value)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+        val out = Seq.newBuilder[(String, Long, Long)]
+        var shard = -1
+        var inShard = 0
+        var nRecords = 0L
+        var stream: org.apache.hadoop.fs.FSDataOutputStream = null
+        var path: String = null
+        def closeShard(): Unit = if (stream != null) {
+          stream.close()
+          // gzip byte size only known post-close: ask the filesystem
+          val sz = fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
+          out += ((path, nRecords, sz))
+        }
+        def roll(): Unit = {
+          closeShard()
+          shard += 1
+          path = s"$outDir/part-$pid-$shard.$ext"
+          stream = fs.create(new org.apache.hadoop.fs.Path(path), true)
+          inShard = 0
+          nRecords = 0L
+        }
+        try {
+          rows.foreach { r: Row =>
+            if (stream == null || inShard >= recordsPerShard) roll()
+            val key = r.getString(0)
+            require(key != null, "null record key in WARC export")
+            val payload = r.getAs[Array[Byte]](1)
+            val extra = metaHeaderNames.zipWithIndex.flatMap { case (h, i) =>
+              Option(r.getString(i + 2)).map(h -> _)
+            }
+            if (gzip) {
+              val gz = new GZIPOutputStream(
+                new java.io.FilterOutputStream(stream) {
+                  override def close(): Unit = flush() // keep shard open
+                }, 8192)
+              writeRecord(gz, key, payload, extraHeaders = extra)
+              gz.close() // finishes THIS member; next record = next member
+            } else {
+              writeRecord(stream, key, payload, extraHeaders = extra)
+            }
+            inShard += 1
+            nRecords += 1
+          }
+          closeShard()
+        } catch {
+          case t: Throwable =>
+            if (stream != null) { try stream.close() catch { case _: Exception => } }
+            throw t
+        }
+        out.result().iterator
+      }
+      .toDF("path", "n_records", "n_bytes")
+    // eager pin — the writes ride a lazy mapPartitions (see WebDataset)
+    manifest.localCheckpoint(eager = true)
+  }
+
+  val readSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("headers", MapType(StringType, StringType), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Read WARC shards under `pathGlob` (plain or `.gz`) into a DataFrame
+    * of (path, record_id, warc_type, content_type, headers, payload).
+    * One task per file (gzip members block mid-file splits — the crawl
+    * format's own constraint); each task streams, never materializes.
+    */
+  def read(spark: SparkSession, pathGlob: String,
+      minPartitions: Int = 0): DataFrame = {
+    val minP = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext.binaryFiles(pathGlob, minP)
+      .flatMap { case (file, pds) =>
+        val raw = pds.open()
+        val in: InputStream =
+          if (file.endsWith(".gz"))
+            // java.util.zip handles concatenated members natively
+            new GZIPInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
+          else new java.io.BufferedInputStream(raw, 1 << 16)
+        val it = readRecords(in)
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): Row = {
+            val r = it.next()
+            Row(file, r.recordId, r.warcType, r.contentType, r.headers,
+              r.payload)
+          }
+        }
+      }
+    spark.createDataFrame(rows, readSchema)
+  }
+}

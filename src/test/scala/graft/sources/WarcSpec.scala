@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.Files
+
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"warc_$tag").toString
+
+  private def docs(n: Int): Seq[(Long, Array[Byte], String)] =
+    (0 until n).map(i =>
+      (i.toLong, s"document body $i é中".getBytes(UTF_8), s"lang${i % 3}"))
+
+  test("record framing is the published ISO 28500 layout, byte for byte") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val payload = "hello warc".getBytes(UTF_8)
+    val n = Warc.writeRecord(bos, "42", payload,
+      extraHeaders = Seq("X-Graft-lang" -> "en"))
+    val expected =
+      "WARC/1.0\r\n" +
+        "WARC-Type: resource\r\n" +
+        "WARC-Record-ID: <urn:graft:42>\r\n" +
+        "WARC-Date: 1970-01-01T00:00:00Z\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 10\r\n" +
+        "X-Graft-lang: en\r\n" +
+        "\r\n" +
+        "hello warc\r\n\r\n"
+    assert(new String(bos.toByteArray, ISO_8859_1) == expected)
+    assert(n == bos.toByteArray.length)
+  }
+
+  test("reader accepts an independently hand-built record (not just our writer)") {
+    // folded differently from the writer: different field order, extra
+    // spaces after colons, uppercase field names, response type
+    val payload = Array[Byte](0, 1, 2, '\r', '\n', 3) // binary incl CRLF bytes
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(("WARC/1.1\r\n" +
+      "CONTENT-LENGTH:   6\r\n" +
+      "WARC-TYPE: response\r\n" +
+      "Content-Type: application/octet-stream\r\n" +
+      "WARC-Record-ID: <urn:uuid:abc-def>\r\n" +
+      "\r\n").getBytes(ISO_8859_1))
+    raw.write(payload)
+    raw.write("\r\n\r\n".getBytes(ISO_8859_1))
+    val rs = Warc.readRecords(new ByteArrayInputStream(raw.toByteArray)).toVector
+    assert(rs.length == 1)
+    assert(rs.head.recordId == "urn:uuid:abc-def")
+    assert(rs.head.warcType == "response")
+    assert(rs.head.contentType == "application/octet-stream")
+    assert(rs.head.payload.toSeq == payload.toSeq)
+  }
+
+  test("reader raises on truncation and framing violations, never fabricates") {
+    def bytes(s: String) = new ByteArrayInputStream(s.getBytes(ISO_8859_1))
+    // truncated payload
+    intercept[Exception] {
+      Warc.readRecords(bytes(
+        "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")).toVector
+    }
+    // no version line
+    intercept[Exception] {
+      Warc.readRecords(bytes("HTTP/1.1 200 OK\r\n\r\n")).toVector
+    }
+    // missing record separator after payload
+    intercept[Exception] {
+      Warc.readRecords(bytes(
+        "WARC/1.0\r\nContent-Length: 2\r\n\r\nhiXXXX")).toVector
+    }
+    // missing Content-Length
+    intercept[Exception] {
+      Warc.readRecords(bytes(
+        "WARC/1.0\r\nWARC-Type: resource\r\n\r\n")).toVector
+    }
+  }
+
+  test("plain shards round-trip ids, payload bytes, and meta headers") {
+    val dir = tmpDir("plain")
+    val df = docs(11).toDF("doc_id", "payload", "lang")
+    val manifest = Warc.writeShards(df.repartition(2), "doc_id", "payload",
+      dir, recordsPerShard = 3, metaCols = Seq("lang"))
+    val m = manifest.collect()
+    assert(m.map(_.getLong(1)).sum == 11)
+    // manifest byte counts match the files on disk
+    m.foreach { r =>
+      assert(new java.io.File(new java.net.URI(r.getString(0)).getPath)
+        .length == r.getLong(2) ||
+        new java.io.File(r.getString(0)).length == r.getLong(2))
+    }
+    val back = Warc.read(spark, s"$dir/*.warc")
+      .selectExpr("record_id", "payload", "headers['x-graft-lang'] AS lang")
+      .as[(String, Array[Byte], String)].collect()
+      .map { case (id, p, l) => (id.stripPrefix("urn:graft:").toLong, p.toSeq, l) }
+      .sortBy(_._1)
+    val want = docs(11).map { case (id, p, l) => (id, p.toSeq, l) }
+    assert(back.toSeq == want)
+  }
+
+  test("gzip shards are one member per record and round-trip through Spark") {
+    val dir = tmpDir("gz")
+    val df = docs(9).toDF("doc_id", "payload", "lang")
+    Warc.writeShards(df.coalesce(1), "doc_id", "payload", dir,
+      recordsPerShard = 4, gzip = true, metaCols = Seq("lang"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    assert(files.length == 3) // 4 + 4 + 1
+    // multi-member structure: the 4-record shard contains 4 gzip member
+    // headers (magic 1f 8b appears at each member boundary)
+    val b = Files.readAllBytes(files.head.toPath)
+    val memberStarts = b.indices.count(i =>
+      (b(i) & 0xff) == 0x1f && i + 1 < b.length && (b(i + 1) & 0xff) == 0x8b)
+    assert(memberStarts == 4)
+    val back = Warc.read(spark, s"$dir/*.warc.gz")
+      .selectExpr("record_id", "payload", "headers['x-graft-lang'] AS lang")
+      .as[(String, Array[Byte], String)].collect()
+      .map { case (id, p, l) => (id.stripPrefix("urn:graft:").toLong, p.toSeq, l) }
+      .sortBy(_._1)
+    assert(back.toSeq == docs(9).map { case (id, p, l) => (id, p.toSeq, l) })
+  }
+
+  test("plain shards are byte-identical across re-exports (determinism)") {
+    val d1 = tmpDir("det1"); val d2 = tmpDir("det2")
+    val df = docs(5).toDF("doc_id", "payload", "lang").coalesce(1)
+    Warc.writeShards(df, "doc_id", "payload", d1, metaCols = Seq("lang"))
+    Warc.writeShards(df, "doc_id", "payload", d2, metaCols = Seq("lang"))
+    def bytesOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+      .map(f => Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(bytesOf(d1) == bytesOf(d2))
+  }
+
+  test("writer rejects CR/LF header injection and null payloads") {
+    intercept[Exception] {
+      Warc.writeRecord(new java.io.ByteArrayOutputStream(), "a\r\nX: y",
+        Array[Byte]())
+    }
+    intercept[Exception] {
+      Warc.writeRecord(new java.io.ByteArrayOutputStream(), "ok", null)
+    }
+  }
+}
