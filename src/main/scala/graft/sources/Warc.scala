@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-import java.io.{DataInputStream, EOFException, InputStream, OutputStream}
+import java.io.{EOFException, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
@@ -81,24 +81,70 @@ object Warc {
     * truncated payload, missing record separator), never fabricates.
     */
   def readRecords(in: InputStream): Iterator[WarcRecord] = {
-    val din = new DataInputStream(in)
+    // Buffered scanner: header lines are found by scanning the internal
+    // buffer for CRLF (no per-byte virtual calls — at crawl volume the
+    // header parse is the read path's hot loop), payloads are copied
+    // buffer-first then bulk-read.
+    val bufSize = 1 << 16
+    val buf = new Array[Byte](bufSize)
+    var pos = 0
+    var limit = 0
+    def fill(): Boolean = {
+      if (pos < limit) return true
+      pos = 0
+      limit = 0
+      val n = in.read(buf, 0, bufSize)
+      if (n <= 0) return false
+      limit = n
+      true
+    }
     // CRLF-terminated line in ISO-8859-1 (header charset per spec);
     // returns null on clean EOF at a record boundary.
     def readLine(atBoundary: Boolean): String = {
-      val buf = new java.io.ByteArrayOutputStream(64)
-      var prev = -1
-      var c = din.read()
-      if (c < 0 && atBoundary) return null
-      while (c >= 0) {
-        if (prev == '\r' && c == '\n') {
-          val b = buf.toByteArray
-          return new String(b, 0, b.length - 1, ISO_8859_1)
-        }
-        buf.write(c)
-        prev = c
-        c = din.read()
+      if (!fill()) {
+        if (atBoundary) return null
+        throw new EOFException("WARC stream truncated mid-line")
       }
-      throw new EOFException("WARC stream truncated mid-line")
+      var pending: java.io.ByteArrayOutputStream = null
+      while (true) {
+        var i = pos
+        // find LF in the buffered window; CR must directly precede it
+        while (i < limit && buf(i) != '\n') i += 1
+        if (i < limit) {
+          val lineEnd = i // points at \n
+          if (pending == null) {
+            if (lineEnd - 1 < pos || buf(lineEnd - 1) != '\r')
+              throw new EOFException("WARC header line not CRLF-terminated")
+            val s = new String(buf, pos, lineEnd - 1 - pos, ISO_8859_1)
+            pos = lineEnd + 1
+            return s
+          } else {
+            pending.write(buf, pos, lineEnd - pos)
+            pos = lineEnd + 1
+            val b = pending.toByteArray
+            if (b.length < 1 || b(b.length - 1) != '\r')
+              throw new EOFException("WARC header line not CRLF-terminated")
+            return new String(b, 0, b.length - 1, ISO_8859_1)
+          }
+        }
+        // line straddles the buffer: stash and refill
+        if (pending == null) pending = new java.io.ByteArrayOutputStream(128)
+        pending.write(buf, pos, limit - pos)
+        pos = limit
+        if (!fill()) throw new EOFException("WARC stream truncated mid-line")
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    def readFullyBuf(dst: Array[Byte]): Unit = {
+      var off = 0
+      while (off < dst.length) {
+        if (!fill()) throw new EOFException(
+          s"WARC stream truncated: needed ${dst.length} payload bytes, got $off")
+        val n = math.min(limit - pos, dst.length - off)
+        System.arraycopy(buf, pos, dst, off, n)
+        pos += n
+        off += n
+      }
     }
     new Iterator[WarcRecord] {
       private var nextR: WarcRecord = _
@@ -123,9 +169,9 @@ object Warc {
           sys.error("WARC record missing Content-Length")).toLong
         require(len >= 0 && len <= Int.MaxValue, s"bad Content-Length $len")
         val payload = new Array[Byte](len.toInt)
-        din.readFully(payload)
+        readFullyBuf(payload)
         val sep = new Array[Byte](4)
-        din.readFully(sep)
+        readFullyBuf(sep)
         require(java.util.Arrays.equals(sep, Array[Byte]('\r', '\n', '\r', '\n')),
           "WARC record not followed by CRLF CRLF")
         val rawId = headers.getOrElse("warc-record-id", "")
@@ -233,6 +279,44 @@ object Warc {
     StructField("headers", MapType(StringType, StringType), nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** Streaming ingestion face: tail `dir` for newly landed WARC shards
+    * (the crawl-drop pattern — a fetcher deposits shards, the pipeline
+    * picks each up exactly once via the file-source checkpoint) and emit
+    * parsed records with the same schema as [[read]]. Plain and `.gz`
+    * shards both work; parsing is the identical [[readRecords]] kernel,
+    * so batch and streaming agree record for record.
+    *
+    * File-source contract: each shard's bytes surface as one `content`
+    * value, so shard size (the WRITER's `recordsPerShard`) bounds
+    * per-task memory — size shards accordingly (the batch reader has no
+    * such bound; its parser streams from the open file).
+    */
+  def readStream(spark: SparkSession, dir: String,
+      globFilter: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema, which the STREAMING reader
+    // requires spelled out
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val parsed = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .schema(binaryFileSchema)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw: InputStream = new java.io.ByteArrayInputStream(bytes)
+        val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
+        readRecords(in).map(r =>
+          (file, r.recordId, r.warcType, r.contentType, r.headers, r.payload))
+      }
+    parsed.toDF("path", "record_id", "warc_type", "content_type",
+      "headers", "payload")
+  }
+
   /** Read WARC shards under `pathGlob` (plain or `.gz`) into a DataFrame
     * of (path, record_id, warc_type, content_type, headers, payload).
     * One task per file (gzip members block mid-file splits — the crawl
@@ -249,7 +333,7 @@ object Warc {
           if (file.endsWith(".gz"))
             // java.util.zip handles concatenated members natively
             new GZIPInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
-          else new java.io.BufferedInputStream(raw, 1 << 16)
+          else raw // the record parser does its own 64K buffering
         val it = readRecords(in)
         new Iterator[Row] {
           override def hasNext: Boolean = {

@@ -57,8 +57,8 @@ object ScaleCheck {
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
-    // shards packing kll wordpiece pagerank evalrank sfbench) to run a
-    // subset; no args = everything
+    // shards warc packing kll wordpiece pagerank evalrank sfbench) to
+    // run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -860,6 +860,54 @@ object ScaleCheck {
       f"${wdsBytes / 1e6 / tWds}%.0f MB/s t=$tWds%.1f s | " +
       f"tfrecord: shards=${tfrMan.length} ${tfrBytes / 1e6}%.0f MB " +
       f"${tfrBytes / 1e6 / tTfr}%.0f MB/s t=$tTfr%.1f s exact=true")
+    }
+
+    if (run("warc")) {
+    // ---- 5r. WARC source/sink — 1M docs through write + streamed read
+    // Gates: record accounting is EXACT through the full round trip
+    // (count, per-record payload byte sum, and a content checksum that
+    // any dropped/duplicated/corrupted record would break), the reader
+    // parallelizes across shards, and both directions sustain
+    // crawl-scale throughput. Plain shards only — gzip correctness is
+    // WarcSpec's round-trip job; this is the volume path.
+    val nWarc = 1000000L
+    val warcDocs = spark.range(nWarc).select(col("id").as("doc_id"),
+        concat(lit("warc-body-"), col("id"), lit(" "),
+          repeat(lit("payload "), 16)).cast("binary").as("payload"))
+      .repartition(32)
+      .localCheckpoint(true)
+    val warcBytes = warcDocs.select(sum(length(col("payload"))).cast("long"))
+      .head.getLong(0)
+    // in-plan input checksum: order-independent XOR over (id, payload)
+    val inSum = warcDocs.select(
+      expr("bit_xor(xxhash64(doc_id, payload))")).head.getLong(0)
+    val warcDir = java.nio.file.Files.createTempDirectory("sc_warc").toString
+    val (warcMan, tWrite) = time {
+      graft.sources.Warc.writeShards(warcDocs, "doc_id", "payload",
+        warcDir, recordsPerShard = 65536).collect()
+    }
+    require(warcMan.map(_.getLong(1)).sum == nWarc,
+      s"WARC manifest lost records: ${warcMan.map(_.getLong(1)).sum}")
+    val (back, tRead) = time {
+      graft.sources.Warc.read(spark, s"$warcDir/*.warc")
+        .select(
+          count(lit(1)).as("n"),
+          sum(length(col("payload"))).cast("long").as("bytes"),
+          expr("bit_xor(xxhash64(CAST(substr(record_id, 11) AS BIGINT), payload))")
+            .as("sum"))
+        .head()
+    }
+    require(back.getLong(0) == nWarc, s"read lost records: ${back.getLong(0)}")
+    require(back.getLong(1) == warcBytes,
+      s"payload bytes drifted: ${back.getLong(1)} vs $warcBytes")
+    require(back.getLong(2) == inSum,
+      "content checksum drifted through the WARC round trip")
+    val readParts = graft.sources.Warc.read(spark, s"$warcDir/*.warc")
+      .rdd.getNumPartitions
+    println(f"WARC> docs=$nWarc payload=${warcBytes / 1e6}%.0f MB " +
+      f"shards=${warcMan.length} write=${warcBytes / 1e6 / tWrite}%.0f MB/s " +
+      f"t=$tWrite%.1f s | read=${warcBytes / 1e6 / tRead}%.0f MB/s " +
+      f"t=$tRead%.1f s parts=$readParts roundtrip_exact=true")
     }
 
     if (run("packing")) {

@@ -136,6 +136,44 @@ class WarcSpec extends AnyFunSuite {
     assert(bytesOf(d1) == bytesOf(d2))
   }
 
+  test("streaming ingest picks up landed shards exactly once, across batches") {
+    val dir = tmpDir("stream")
+    // land the first batch of shards before the stream starts
+    Warc.writeShards(docs(6).toDF("doc_id", "payload", "lang").coalesce(1),
+      "doc_id", "payload", s"$dir/land", recordsPerShard = 4,
+      metaCols = Seq("lang"))
+    val q = Warc.readStream(spark, s"$dir/land")
+      .selectExpr("record_id", "octet_length(payload) AS n",
+        "headers['x-graft-lang'] AS lang")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 6)
+      // land a second drop — only the NEW records arrive (checkpointed
+      // file tracking, no reprocessing of batch one)
+      Warc.writeShards(
+        docs(9).toDF("doc_id", "payload", "lang")
+          .filter($"doc_id" >= 6).coalesce(1),
+        "doc_id", "payload", s"$dir/land2", recordsPerShard = 4,
+        metaCols = Seq("lang"))
+      // move the new shards into the watched dir under fresh names
+      // (shards only — not the local-FS .crc sidecars, which a rename
+      // would un-hide into the glob's view)
+      new java.io.File(s"$dir/land2").listFiles()
+        .filter(_.getName.endsWith(".warc")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/land/drop2-${f.getName}"))
+        }
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream")
+        .selectExpr("CAST(substr(record_id, 11) AS BIGINT)").collect()
+        .map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until 9L))
+    } finally q.stop()
+  }
+
   test("writer rejects CR/LF header injection and null payloads") {
     intercept[Exception] {
       Warc.writeRecord(new java.io.ByteArrayOutputStream(), "a\r\nX: y",
