@@ -1750,7 +1750,44 @@ object SparkEntry {
           round(avg(col("ratio")), 4).as("avg_ratio"),
           sum(when(col("ratio") < 0.35, 1L).otherwise(0L))
             .as("n_template_like"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // CROSS-CORPUS VOCABULARY OVERLAP (functions.ThetaSketch): per-lang
+    // distinct-token KMV/theta sketches, then |vocab_lang ∩ vocab_en|
+    // estimated from sketch INTERSECTION — the set operation HLL cannot
+    // do, and the reason to carry a second distinct sketch. q65's
+    // bounded-error device: exact values are the oracle columns, the
+    // sketch estimate feeds an in-plan error-bound boolean. At 100 TB
+    // the exact side is one distinct aggregate; the sketches are k longs
+    // per group however large the corpus.
+    "q128_vocab_overlap" -> ((s, dir) => {
+      // word BIGRAMS, not unigrams: the corpus langs share one word
+      // list, so unigram vocabularies are identical — bigram phrase
+      // inventories differ per lang and give the overlap real structure
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.ops.TextAnalysis.wordShingles(
+            graft.ops.TextAnalysis.tokens(col("text")), 2)).as("tok"))
+      val dt = toks.distinct()
+      val sks = dt.groupBy(col("lang"))
+        .agg(graft.functions.theta_sketch(col("tok"), 4096).as("sk"),
+          count_distinct(col("tok")).as("nd_tokens"))
+      val en = sks.filter(col("lang") === "en")
+        .select(col("sk").as("sk_en"))
+      val exact = dt.join(
+          dt.filter(col("lang") === "en").select(col("tok")).distinct(),
+          "tok")
+        .groupBy(col("lang")).agg(count(lit(1)).as("exact_inter"))
+      sks.join(exact, "lang").crossJoin(broadcast(en))
+        .withColumn("inter_est",
+          graft.functions.theta_intersect_estimate(col("sk"), col("sk_en")))
+        .withColumn("inter_ok",
+          abs(col("inter_est") - col("exact_inter")) /
+            col("exact_inter").cast("double") <= 0.15)
+        .select(col("lang"), col("nd_tokens"), col("exact_inter"),
+          col("inter_ok"))
+        .orderBy(col("lang"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3364,6 +3401,23 @@ object SparkEntry {
         |FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
         |GROUP BY cnt.doc_id
         |ORDER BY cnt.doc_id""".stripMargin,
+
+    // Vocabulary overlap: exact distinct-token counts + exact
+    // intersection vs English are the oracle columns; the theta-sketch
+    // estimate only feeds the bounded-error boolean (q65's device).
+    "q128_vocab_overlap" ->
+      """WITH w AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang, unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS tok
+        |  FROM w),
+        |d AS (SELECT DISTINCT lang, tok FROM t),
+        |nd AS (SELECT lang, count(*) AS nd_tokens FROM d GROUP BY lang),
+        |e AS (SELECT DISTINCT tok FROM d WHERE lang = 'en'),
+        |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
+        |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
+        |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
     // 4-byte payload-CRC = octet_length + 16 per record.

@@ -258,6 +258,25 @@ package object functions {
   def word_bucket(word: Column, buckets: Int): Column =
     toColumn(WordBucket(exprOf(word), buckets))
 
+  /** Mergeable KMV/theta distinct sketch of a string column — the
+    * distinct summary that supports SET OPERATIONS (intersection/union
+    * estimates across corpora), which HLL cannot.
+    */
+  def theta_sketch(item: Column, k: Int): Column =
+    toColumn(ThetaSketch(exprOf(item), k).toAggregateExpression())
+
+  /** Distinct-count estimate off a theta sketch (exact below capacity). */
+  def theta_estimate(sketch: Column): Column =
+    toColumn(ThetaEstimate(exprOf(sketch)))
+
+  /** |A ∩ B| estimate from two theta sketches. */
+  def theta_intersect_estimate(a: Column, b: Column): Column =
+    toColumn(ThetaIntersectEstimate(exprOf(a), exprOf(b)))
+
+  /** |A ∪ B| estimate from two theta sketches. */
+  def theta_union_estimate(a: Column, b: Column): Column =
+    toColumn(ThetaUnionEstimate(exprOf(a), exprOf(b)))
+
   /** Shannon entropy (bits) of a string's code-point distribution — the
     * gibberish/boilerplate quality signal (pinned accumulation order, so
     * oracle-re-derivable by per-char group-by arithmetic).
@@ -372,6 +391,15 @@ package object functions {
         intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
     reg.createOrReplaceTempFunction("word_bucket",
       es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets")), "built-in")
+    reg.createOrReplaceTempFunction("theta_sketch",
+      es => ThetaSketch(es(0), intArg(es(1), "theta_sketch", "k"))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("theta_estimate",
+      es => ThetaEstimate(es.head), "built-in")
+    reg.createOrReplaceTempFunction("theta_intersect_estimate",
+      es => ThetaIntersectEstimate(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("theta_union_estimate",
+      es => ThetaUnionEstimate(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_entropy",
       es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("deflate_size",
