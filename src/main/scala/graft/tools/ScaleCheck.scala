@@ -609,6 +609,62 @@ object ScaleCheck {
       f"t_w1000=$tRj%.1f s t_w4096=$tRj2%.1f s")
     }
 
+    if (run("theta")) {
+    // ---- 5s. Theta/KMV distinct sketch — 20M tokens, 2 sources -------
+    // Two overlapping vocabularies: source A draws ids [0, 3M), source
+    // B draws [2M, 5M) — true |A∩B| distinct = 1M, |A∪B| = 5M (every id
+    // is drawn many times, so the distinct structure is exact by
+    // construction). Gates, require'd so a merge or θ-convention bug
+    // fails loudly: per-source and union estimates within 5x the
+    // k-driven RSE (1/sqrt(k-2) ≈ 1.6% at k=4096); the INTERSECTION
+    // within 5x ITS error scale, which is set by the expected retained-
+    // common count |A∩B|·k/|A| ≈ 1365 (RSE ≈ 2.7%) — the sketch only
+    // sees the overlap through the samples below θ, so intersection
+    // error grows as overlap shrinks (the published caveat, and why the
+    // gate must not borrow the marginal k-RSE).
+    val nTokT = 10000000L
+    def src(tag: String, lo: Long, hi: Long) =
+      spark.range(nTokT).select(lit(tag).as("src"),
+        concat(lit("v"), (pmod(xxhash64(col("id"), lit(tag)),
+          lit(hi - lo)) + lo)).as("w"))
+    val kTheta = 4096
+    val (sks, tTheta) = time {
+      src("a", 0L, 3000000L).unionByName(src("b", 2000000L, 5000000L))
+        .repartition(32)
+        .groupBy(col("src"))
+        .agg(graft.functions.theta_sketch(col("w"), kTheta).as("sk"))
+        .collect()
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val skDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(sks.toSeq, 1),
+      sks.head.schema)
+    val a = skDf.filter(col("src") === "a").select(col("sk").as("ska"))
+    val b = skDf.filter(col("src") === "b").select(col("sk").as("skb"))
+    val est = a.crossJoin(b).select(
+      graft.functions.theta_estimate(col("ska")).as("ea"),
+      graft.functions.theta_estimate(col("skb")).as("eb"),
+      graft.functions.theta_intersect_estimate(col("ska"), col("skb")).as("ei"),
+      graft.functions.theta_union_estimate(col("ska"), col("skb")).as("eu"))
+      .head()
+    val rse5 = 5.0 / math.sqrt(kTheta - 2.0)
+    // intersection error scale: expected retained-common samples
+    val interRse5 = 5.0 / math.sqrt(1000000.0 * kTheta / 3000000.0)
+    def check(name: String, got: Double, want: Double, bound: Double): Unit =
+      require(math.abs(got - want) / want < bound,
+        f"theta $name ${got}%.0f vs $want (${math.abs(got - want) / want}%.4f > $bound%.4f)")
+    check("A", est.getDouble(0), 3000000.0, rse5)
+    check("B", est.getDouble(1), 3000000.0, rse5)
+    check("A∩B", est.getDouble(2), 1000000.0, interRse5)
+    check("A∪B", est.getDouble(3), 5000000.0, rse5)
+    println(f"THETA> tokens=${2 * nTokT} k=$kTheta " +
+      f"A=${est.getDouble(0)}%.0f B=${est.getDouble(1)}%.0f " +
+      f"inter=${est.getDouble(2)}%.0f union=${est.getDouble(3)}%.0f " +
+      f"(true 3M/3M/1M/5M; marginals/union within 5xRSE=$rse5%.3f, " +
+      f"inter within $interRse5%.3f) t=$tTheta%.1f s")
+    }
+
     if (run("cms")) {
     // ---- 5f. Count-min sketch on a 20M-token zipf stream -------------
     // Same deterministic skew as 5d. Structural guarantee: est >= true
