@@ -1787,6 +1787,32 @@ object SparkEntry {
         .select(col("lang"), col("nd_tokens"), col("exact_inter"),
           col("inter_ok"))
         .orderBy(col("lang"))
+    }),
+
+    // WEB PAYLOAD EXTRACTION (ops/Web): HTTP response split + HTML
+    // boilerplate strip — the crawl-archive → text-corpus step. q63's
+    // planted device: both engines build the identical HTTP+HTML
+    // wrapper around each doc in-plan; Spark parses it back with the
+    // composed built-in chain (status line, case-insensitive header,
+    // body split, script/style/comment/tag strip, entity decode), and
+    // the oracle states the analytically-known answer. Everything stays
+    // in whole-stage codegen — no UDF anywhere in the extraction.
+    "q129_http_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style>" +
+          "<script>var a = 1 < 2;</script></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), col("text"),
+        lit(" &amp; tail</p></body></html>"))
+      docs.select(col("doc_id"),
+          graft.ops.Web.httpStatus(payload).as("status"),
+          graft.ops.Web.httpHeader(payload, "content-type")
+            .as("content_type"),
+          graft.ops.Web.stripHtml(graft.ops.Web.httpBody(payload))
+            .as("extracted"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3418,6 +3444,16 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Planted HTTP+HTML wrapper: the oracle states the analytically
+    // known extraction (status/content-type literals, text with the
+    // title/h1 prefix and decoded-entity tail) — a parse or strip bug
+    // on the Spark side breaks equality.
+    "q129_http_extract" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+        |  'Doc ' || doc_id::VARCHAR || ' ' || lang || ' ' ||
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') || ' & tail' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +
     // 4-byte payload-CRC = octet_length + 16 per record.

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(payload: String) = Seq(payload).toDF("p")
+
+  test("http split: status, headers (case-insensitive, param-stripped), body") {
+    val p = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "X-Custom: hello\r\n" +
+      "\r\n" +
+      "<html>body text</html>"
+    val row = one(p).select(
+      Web.httpStatus(col("p")).as("status"),
+      Web.httpHeader(col("p"), "content-type").as("ct"),
+      Web.httpHeader(col("p"), "x-custom").as("xc"),
+      Web.httpHeader(col("p"), "missing").as("miss"),
+      Web.httpBody(col("p")).as("body")).head()
+    assert(row.getInt(0) == 200)
+    assert(row.getString(1) == "text/html")
+    assert(row.getString(2) == "hello")
+    assert(row.isNullAt(3))
+    assert(row.getString(4) == "<html>body text</html>")
+  }
+
+  test("http split survives non-HTTP and headerless payloads") {
+    val rows = Seq("just plain text, no protocol",
+        "HTTP/1.0 404 Not Found\r\nServer: x\r\n\r\n")
+      .toDF("p")
+      .select(Web.httpStatus(col("p")), Web.httpBody(col("p"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getString(1) == "") // no CRLFCRLF -> empty body
+    assert(rows(1).getInt(0) == 404)
+    assert(rows(1).getString(1) == "") // empty body after headers
+  }
+
+  test("html strip: blocks out, tags out, entities decoded, whitespace collapsed") {
+    val html = """<html><head><title>T</title>
+      |<style type="text/css">body { color: red }</style>
+      |<script>var x = "<p>not text</p>";</script>
+      |</head><body>
+      |<!-- a comment with <b>tags</b> -->
+      |<h1>Header</h1>
+      |<p>first &amp; second &lt;third&gt;, &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>
+      |</body></html>""".stripMargin
+    val got = one(html).select(Web.stripHtml(col("p"))).as[String].head()
+    assert(got == "T Header first & second <third>, \"quoted\" 'q' end")
+  }
+
+  test("script/style bodies never leak, double-encoded entities stay text") {
+    val html = "<script>if (a < b && c > d) alert('leak')</script>" +
+      "<p>&amp;lt; stays literal</p>"
+    val got = one(html).select(Web.stripHtml(col("p"))).as[String].head()
+    assert(got == "&lt; stays literal")
+  }
+
+  test("end-to-end: warc response payload -> http body -> text") {
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>the real content</p></body></html>"
+    val got = one(payload).select(
+      Web.stripHtml(Web.httpBody(col("p")))).as[String].head()
+    assert(got == "the real content")
+  }
+}
