@@ -1813,6 +1813,25 @@ object SparkEntry {
           graft.ops.Web.stripHtml(graft.ops.Web.httpBody(payload))
             .as("extracted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL CANONICALIZATION (ops/Web): host + registrable domain (eTLD+1
+    // under the multi-label-suffix set) + the normalized dedup key
+    // (lowercased, default port and fragment dropped, tracking params
+    // stripped, params sorted). Planted-URL device with the analytic
+    // oracle; all higher-order array functions, no UDF, map-only plan.
+    "q130_url_normalize" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (col("doc_id") % 40).cast("string"),
+        lit(".CO.UK:443/docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&ref="), col("lang"),
+        lit("&b=2&a=1&fbclid=zz#top"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.ops.Web.urlHost(url).as("host"),
+          graft.ops.Web.registrableDomain(graft.ops.Web.urlHost(url))
+            .as("domain"),
+          graft.ops.Web.urlNormalize(url).as("normalized"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3453,6 +3472,17 @@ object SparkEntry {
       """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
         |  'Doc ' || doc_id::VARCHAR || ' ' || lang || ' ' ||
         |    regexp_replace(trim(text), '\s+', ' ', 'g') || ' & tail' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Planted URLs, analytic oracle: the normalization is deterministic
+    // arithmetic on doc_id/lang, so the oracle states the expected key
+    // outright (sorted params a=1 < b=2 < ref=..., tracking stripped).
+    "q130_url_normalize" ->
+      """SELECT doc_id,
+        |  'www.site' || (doc_id % 40)::VARCHAR || '.co.uk' AS host,
+        |  'site' || (doc_id % 40)::VARCHAR || '.co.uk' AS domain,
+        |  'https://www.site' || (doc_id % 40)::VARCHAR || '.co.uk/docs/' ||
+        |    doc_id::VARCHAR || '?a=1&b=2&ref=' || lang AS normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TFRecord framing: 8-byte length + 4-byte len-CRC + payload +

@@ -50,6 +50,77 @@ object Web {
       .otherwise(lit(""))
   }
 
+  /** The multi-label public suffixes the default [[registrableDomain]]
+    * recognizes — a compact subset of the published Public Suffix List
+    * covering the common ccTLD second-level registries; swap in the full
+    * list for production crawls (the operator takes any set).
+    */
+  val DefaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr", "com.tw",
+    "co.za", "org.za", "co.nz", "net.nz", "org.nz",
+    "com.sg", "com.hk", "com.my", "co.th", "co.id",
+    "github.io", "gitlab.io", "blogspot.com")
+
+  /** Scheme, lowercased (empty when the value is not an absolute URL). */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  private def urlAuthority(u: Column): Column =
+    regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1)
+
+  /** Host: authority minus userinfo and port, lowercased. */
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(urlAuthority(u), "^(?:[^@]*@)?([^:]*)", 1))
+
+  /** Registrable domain (eTLD+1) of a HOST under a multi-label-suffix
+    * set: `www.example.co.uk` → `example.co.uk`, `a.b.example.com` →
+    * `example.com`. A host that IS a suffix (or a bare label) returns
+    * itself — nothing to register below it.
+    */
+  def registrableDomain(host: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val suffixes = array(multiSuffixes.map(lit): _*)
+    when(n >= 3 && array_contains(suffixes, lastTwo),
+      concat_ws(".", element_at(labels, -3), lastTwo))
+      .when(n >= 2 && !array_contains(suffixes, lastTwo), lastTwo)
+      .otherwise(host)
+  }
+
+  /** Canonical URL: scheme+host lowercased, default port dropped
+    * (443/https, 80/http), fragment dropped, tracking params removed
+    * (`utm_*`, `fbclid`, `gclid`), remaining query params SORTED so
+    * equal resources compare equal — the per-URL dedup key of a crawl
+    * pipeline. Composed from built-in higher-order array functions;
+    * stays in codegen.
+    */
+  def urlNormalize(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val auth = urlAuthority(u)
+    val host = urlHost(u)
+    val port = regexp_extract(auth, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val path = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** HTML → text: script/style/comment blocks out, tags out, common
     * entities decoded, whitespace collapsed. Order matters (blocks
     * before tags — a tag-stripped script body would leak as text) and

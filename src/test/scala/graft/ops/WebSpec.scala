@@ -60,6 +60,50 @@ class WebSpec extends AnyFunSuite {
     assert(got == "&lt; stays literal")
   }
 
+  test("url parts: scheme/host across case, userinfo, ports, non-urls") {
+    val rows = Seq(
+      "HTTPS://User:Pw@WWW.Example.COM:8443/Path?q=1#frag",
+      "http://example.org",
+      "not a url at all").toDF("u")
+      .select(Web.urlScheme(col("u")), Web.urlHost(col("u"))).collect()
+    assert(rows(0).getString(0) == "https")
+    assert(rows(0).getString(1) == "www.example.com")
+    assert(rows(1).getString(0) == "http")
+    assert(rows(1).getString(1) == "example.org")
+    assert(rows(2).getString(0) == "")
+    assert(rows(2).getString(1) == "")
+  }
+
+  test("registrable domain honors multi-label suffixes and degenerate hosts") {
+    val cases = Seq(
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "deep.sub.project.github.io" -> "project.github.io",
+      "co.uk" -> "co.uk", // a bare suffix registers nothing below it
+      "localhost" -> "localhost")
+    val got = cases.map(_._1).toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("url normalize: case, default ports, fragments, tracking params, param order") {
+    val cases = Seq(
+      // default https port dropped, host lowered, fragment dropped,
+      // utm/fbclid stripped, params sorted
+      "HTTPS://WWW.Ex.COM:443/a/b?utm_source=tw&b=2&a=1&fbclid=xyz#sec"
+        -> "https://www.ex.com/a/b?a=1&b=2",
+      // non-default port kept; empty path becomes /
+      "http://ex.com:8080?z=1" -> "http://ex.com:8080/?z=1",
+      // nothing but tracking params -> no query at all
+      "http://ex.com/p?utm_campaign=x&gclid=1" -> "http://ex.com/p",
+      // equal resources, different param order -> equal keys
+      "http://ex.com/p?b=2&a=1" -> "http://ex.com/p?a=1&b=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(Web.urlNormalize(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("end-to-end: warc response payload -> http body -> text") {
     val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
       "<html><body><p>the real content</p></body></html>"
