@@ -1832,6 +1832,23 @@ object SparkEntry {
             .as("domain"),
           graft.ops.Web.urlNormalize(url).as("normalized"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EDIT-SIMILARITY near-dup verify (Dedup.editSimilarityVerify):
+    // normalized Levenshtein over candidate pairs — the character-exact
+    // verify stage behind MinHash/SimHash banding. q51's bounded
+    // quadratic anchor: the oracle-checkable candidate set is ALL pairs
+    // of a fixed 150-doc subset (broadcast non-equi join — bounded by
+    // construction); the scale path feeds LSH candidates instead.
+    "q131_edit_similarity" -> ((s, dir) => {
+      val sub = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val pairs = sub.select(col("doc_id").as("id_a"))
+        .join(broadcast(sub.select(col("doc_id").as("id_b"))),
+          col("id_a") < col("id_b"))
+      graft.ops.Dedup.editSimilarityVerify(pairs, sub, "doc_id", "text",
+          threshold = 0.39)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3463,6 +3480,19 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Both engines run the classic unit-cost Levenshtein; lengths and
+    // the division are identical integer/IEEE arithmetic, so equality
+    // is exact (round(6) is belt and braces).
+    "q131_edit_similarity" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+        |    greatest(length(a.text), length(b.text)), 6) AS edit_sim
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 150 AND b.doc_id < 150
+        |  AND 1.0 - levenshtein(a.text, b.text)::DOUBLE /
+        |    greatest(length(a.text), length(b.text)) >= 0.39
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Planted HTTP+HTML wrapper: the oracle states the analytically
     // known extraction (status/content-type literals, text with the

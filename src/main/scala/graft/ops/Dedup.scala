@@ -656,4 +656,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** EDIT-SIMILARITY verification of candidate pairs: normalized
+    * Levenshtein similarity `1 - lev/max(len)` — the character-exact
+    * near-dup measure (catches reorder-free edits shingle Jaccard
+    * blurs, and the standard verify for short docs where shingle sets
+    * are too small to trust).
+    *
+    * 100 TB shape: this is the VERIFY stage — candidates come from
+    * MinHash/SimHash banding (bucket-bounded volume), never all-pairs;
+    * the quadratic cost is per candidate, not per corpus. Levenshtein
+    * is O(len_a * len_b) per pair, so `maxLen` guards the kernel
+    * against pathological giant docs (over-length pairs are REPORTED
+    * with sim = null, not silently dropped and not silently truncated).
+    *
+    * `pairs` needs (id_a, id_b); doc texts are attached by two id
+    * equi-joins against `docs` (co-partitioned with the candidate
+    * stream, AQE-sized).
+    */
+  def editSimilarityVerify(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxLen: Int = 20000): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, "threshold must be in [0,1]")
+    require(maxLen > 0, "maxLen must be positive")
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edit_sim",
+        when(length(col("__ta")) > maxLen || length(col("__tb")) > maxLen,
+          lit(null).cast("double"))
+          .otherwise(round(
+            lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+              greatest(length(col("__ta")), length(col("__tb"))), 6)))
+      .filter(col("edit_sim").isNull || col("edit_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("edit_sim"))
+  }
 }

@@ -281,4 +281,24 @@ class DedupSpec extends AnyFunSuite {
     // min-id policy would keep 1; keep-best must keep the LONGER doc 2
     assert(kept == Seq(2L, 3L), s"got $kept")
   }
+
+  test("editSimilarityVerify: hand-computed sims, threshold, maxLen null report") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "abcdefghij"),   // 2: one substitution -> sim 0.9
+      (2L, "abcdefghiX"),
+      (3L, "zzzzzzzzzz"),   // vs 1: all 10 differ -> sim 0.0
+      (4L, "x" * 50)        // over maxLen guard in the last case
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.editSimilarityVerify(pairs, docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.9))) // 0.0 pair filtered out
+    // over-length pair: reported with null sim, never silently dropped
+    val longPair = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val rep = Dedup.editSimilarityVerify(longPair, docs, "doc_id", "text",
+        threshold = 0.5, maxLen = 20).collect()
+    assert(rep.length == 1 && rep(0).isNullAt(2))
+  }
 }
