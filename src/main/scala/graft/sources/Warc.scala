@@ -40,6 +40,30 @@ object Warc {
 
   private val CRLF = "\r\n".getBytes(ISO_8859_1)
 
+  /** `sha1:<base32>` content label for `WARC-Block-Digest` — the
+    * labelled-digest form the spec defines and Common Crawl ships
+    * (RFC 4648 base32, no padding needed: sha1 is 160 bits = 32 chars).
+    */
+  def blockDigest(payload: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var bits = 0
+    var acc = 0L
+    var i = 0
+    while (i < sha.length) {
+      acc = (acc << 8) | (sha(i) & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((acc >> bits) & 0x1f).toInt))
+      }
+      i += 1
+    }
+    "sha1:" + sb.toString
+  }
+
   /** One WARC/1.0 record: returns bytes written. Field order and
     * generated values are pinned so equal inputs frame identically.
     */
@@ -60,6 +84,7 @@ object Warc {
     sb.append("WARC-Date: 1970-01-01T00:00:00Z\r\n")
     sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${payload.length}\r\n")
+    sb.append(s"WARC-Block-Digest: ${blockDigest(payload)}\r\n")
     extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append("\r\n")
     val head = sb.toString.getBytes(ISO_8859_1)
@@ -79,8 +104,14 @@ object Warc {
   /** Stream records off a WARC byte stream — constant memory, raises on
     * any framing violation (bad version line, missing Content-Length,
     * truncated payload, missing record separator), never fabricates.
+    * With `verifyDigests` (the default), any record carrying a
+    * `WARC-Block-Digest: sha1:...` label has its payload re-hashed and
+    * compared — a flipped payload byte anywhere between writer and
+    * reader is a loud failure, not silent corruption in the corpus.
+    * Digest-less records pass through (foreign archives stay readable).
     */
-  def readRecords(in: InputStream): Iterator[WarcRecord] = {
+  def readRecords(in: InputStream,
+      verifyDigests: Boolean = true): Iterator[WarcRecord] = {
     // Buffered scanner: header lines are found by scanning the internal
     // buffer for CRLF (no per-byte virtual calls — at crawl volume the
     // header parse is the read path's hot loop), payloads are copied
@@ -174,6 +205,12 @@ object Warc {
         readFullyBuf(sep)
         require(java.util.Arrays.equals(sep, Array[Byte]('\r', '\n', '\r', '\n')),
           "WARC record not followed by CRLF CRLF")
+        if (verifyDigests) headers.get("warc-block-digest").foreach { d =>
+          if (d.startsWith("sha1:"))
+            require(blockDigest(payload) == d,
+              s"WARC block digest mismatch for record " +
+                s"${headers.getOrElse("warc-record-id", "?")}")
+        }
         val rawId = headers.getOrElse("warc-record-id", "")
         val id = // unwrap the <urn:...> angle form if present
           if (rawId.startsWith("<") && rawId.endsWith(">"))

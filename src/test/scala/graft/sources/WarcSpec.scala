@@ -30,6 +30,8 @@ class WarcSpec extends AnyFunSuite {
         "WARC-Date: 1970-01-01T00:00:00Z\r\n" +
         "Content-Type: text/plain\r\n" +
         "Content-Length: 10\r\n" +
+        // digest pinned from an independent sha1+base32 computation
+        "WARC-Block-Digest: sha1:GAVUVWS4HFI5NI6FF3C6QBP45KCWS2ET\r\n" +
         "X-Graft-lang: en\r\n" +
         "\r\n" +
         "hello warc\r\n\r\n"
@@ -172,6 +174,39 @@ class WarcSpec extends AnyFunSuite {
         .map(_.getLong(0)).sorted
       assert(rows.toSeq == (0L until 9L))
     } finally q.stop()
+  }
+
+  test("block digests catch ANY payload corruption; digest-less records pass") {
+    // write a shard, flip every payload byte position in turn — the
+    // reader must raise on each one (headers corrupted instead would be
+    // framing/parse failures; this fuzz targets the silent-payload case
+    // that only the digest can see)
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeRecord(bos, "7", "corruptme".getBytes(UTF_8))
+    val clean = bos.toByteArray
+    // locate payload: after the blank line
+    val blank = {
+      val s = new String(clean, ISO_8859_1); s.indexOf("\r\n\r\n") + 4
+    }
+    assert(Warc.readRecords(new ByteArrayInputStream(clean)).toVector
+      .head.payload.toSeq == "corruptme".getBytes(UTF_8).toSeq)
+    for (off <- 0 until "corruptme".length) {
+      val bad = clean.clone()
+      bad(blank + off) = (bad(blank + off) ^ 0x01).toByte
+      intercept[Exception] {
+        Warc.readRecords(new ByteArrayInputStream(bad)).toVector
+      }
+    }
+    // verification off: the corrupt payload is surfaced (caller's risk)
+    val bad = clean.clone(); bad(blank) = (bad(blank) ^ 0x01).toByte
+    val rs = Warc.readRecords(new ByteArrayInputStream(bad),
+      verifyDigests = false).toVector
+    assert(rs.head.payload.toSeq != "corruptme".getBytes(UTF_8).toSeq)
+    // foreign record without a digest header: readable as always
+    val foreign = ("WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes(ISO_8859_1)
+    assert(Warc.readRecords(new ByteArrayInputStream(foreign)).toVector
+      .head.payload.toSeq == "hi".getBytes(UTF_8).toSeq)
   }
 
   test("writer rejects CR/LF header injection and null payloads") {
