@@ -391,6 +391,56 @@ object StreamOps {
       }
   }
 
+  case class DistinctRow(group: String, estimate: Double, exact: Boolean,
+      n: Long)
+  case class ThetaStreamState(n: Long, hashes: Seq[Long])
+
+  /** Streaming per-group distinct counts: a [[graft.functions.ThetaSketch]]
+    * KMV sample lives in the state store per group; each micro-batch
+    * emits the refreshed estimate ("distinct users per event type, live")
+    * with an `exact` flag while the group is still below capacity. Same
+    * hash chain as the batch aggregate, so batch and streaming agree on
+    * identical input. State per group is at most k longs — bounded for
+    * unbounded streams, like the MG and KLL faces above.
+    */
+  def streamingDistinct(rows: DataFrame, groupCol: String,
+      itemCol: String, k: Int)(
+      implicit spark: SparkSession): Dataset[DistinctRow] = {
+    import spark.implicits._
+    rows
+      .select(col(groupCol).cast("string").as("_1"),
+        col(itemCol).cast("string").as("_2"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThetaStreamState, DistinctRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, arrivals: Iterator[(String, String)],
+            state: GroupState[ThetaStreamState]) =>
+          val buf = new graft.functions.ThetaSketch.Buffer(
+            new java.util.TreeSet[java.lang.Long]())
+          state.getOption.foreach(_.hashes.foreach(h => buf.set.add(h)))
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          arrivals.foreach { case (_, w) =>
+            val h = graft.functions.ThetaKernel.toSpace(
+              graft.functions.Hash64.mix(graft.functions.Hash64.fnv64(
+                org.apache.spark.unsafe.types.UTF8String.fromString(w))))
+            buf.offer(h, k)
+            n += 1
+          }
+          val hashes = {
+            val arr = new Array[Long](buf.set.size)
+            val it = buf.set.iterator()
+            var i = 0
+            while (it.hasNext) { arr(i) = it.next(); i += 1 }
+            arr
+          }
+          state.update(ThetaStreamState(n, hashes.toSeq))
+          Iterator(DistinctRow(g,
+            graft.functions.ThetaKernel.estimate(hashes, k),
+            hashes.length < k, n))
+      }
+  }
+
   /** Stream-static range join: tag each streaming point row with the
     * static intervals containing it — [[graft.ops.RangeJoin]]'s binned
     * decomposition on a stream (enrichment against maintenance windows,

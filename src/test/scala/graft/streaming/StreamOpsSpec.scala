@@ -310,6 +310,49 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming distinct: exact below capacity, sketch above, batch-agreeing hashes") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val q = StreamOps.streamingDistinct(
+      input.toDF().toDF("g", "w"), "g", "w", k = 64)(spark)
+      .writeStream.format("memory").queryName("dist_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: duplicates collapse, below capacity -> exact
+      input.addData(Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")): _*)
+      q.processAllAvailable()
+      val snap1 = spark.sql(
+        "SELECT estimate, exact, n FROM dist_out WHERE group = 'a'")
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1), r.getLong(2)))
+      assert(snap1.toSeq == Seq((2.0, true, 3L)))
+      // batch 2: same group crosses capacity; estimate within 5x RSE of
+      // the true 2 + 200 distinct, exact flag drops
+      input.addData((0 until 200).map(i => ("a", s"v$i")): _*)
+      q.processAllAvailable()
+      val snap2 = spark.sql(
+        "SELECT estimate, exact FROM dist_out WHERE group = 'a' AND n = 203")
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+      assert(snap2.length == 1 && !snap2(0)._2)
+      assert(math.abs(snap2(0)._1 - 202) / 202.0 < 5.0 / math.sqrt(62.0),
+        s"estimate ${snap2(0)._1} vs 202")
+      // streaming state equals the batch aggregate on the same input
+      // (same hash chain): compare against theta_sketch over the union
+      val batchEst = (Seq(("a", "x"), ("a", "x"), ("a", "y")) ++
+        (0 until 200).map(i => ("a", s"v$i")))
+        .toDF("g", "w").groupBy($"g")
+        .agg(graft.functions.theta_estimate(
+          graft.functions.theta_sketch($"w", 64)).as("e"))
+        .select("e").as[Double].head()
+      assert(batchEst == snap2(0)._1,
+        s"streaming $snap2 != batch $batchEst on identical input")
+      // group b untouched
+      val b = spark.sql("SELECT estimate FROM dist_out WHERE group = 'b'")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(b == Seq(1.0))
+    } finally q.stop()
+  }
+
   test("stream-static interval overlap matches batch operator, stateless") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
