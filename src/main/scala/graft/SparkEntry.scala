@@ -1849,6 +1849,32 @@ object SparkEntry {
       graft.ops.Dedup.editSimilarityVerify(pairs, sub, "doc_id", "text",
           threshold = 0.39)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // DETERMINISTIC TRAINING ORDER (Sampling.trainingOrder): the 100 TB
+    // form of "shuffle before training" — a global sort on the seeded
+    // md5 score (one range exchange, no RNG state, reproducible across
+    // engines/retries/cluster sizes; new seed = new permutation). The
+    // oracle replays the same md5-prefix sort.
+    "q132_training_order" -> ((s, dir) =>
+      graft.ops.Sampling.trainingOrder(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7L)
+        .orderBy(col("doc_id"))),
+
+    // MIXTURE MATERIALIZATION (Sampling.applyMixture): the apply side
+    // of q69's temperature mixture — emit each doc floor(epochs) times
+    // plus a reproducible hash-chosen extra for the fractional epoch.
+    // Epoch targets here are deterministic arithmetic on the source id
+    // so the oracle can replay the whole expansion.
+    "q133_apply_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val epochs = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(col("source").as("dom"),
+          (lit(0.5) + substring(col("source"), 4, 10).cast("int") % 4
+            * lit(0.75)).as("epochs"))
+      graft.ops.Sampling.applyMixture(docs, "doc_id", "source",
+          epochs, "dom", "epochs", seed = 0L)
+        .orderBy(col("doc_id"), col("copy"))
     })
   )
 
@@ -3480,6 +3506,32 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Same md5-prefix sort, doc_id tiebreak (first-8-hex collisions
+    // would otherwise resolve differently under a full-md5 order).
+    "q132_training_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY substring(md5(doc_id::VARCHAR || ':7'), 1, 8), doc_id
+        |  ) - 1 AS train_order
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full expansion replay: epochs from source-id arithmetic, copies =
+    // floor + md5-score fractional draw, one row per (doc, copy).
+    "q133_apply_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    0.5 + (CAST(substr(source, 4) AS INT) % 4) * 0.75 AS epochs,
+        |    (('0x' || substring(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(epochs) AS INT) +
+        |      CASE WHEN score < epochs - floor(epochs) THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, source, CAST(unnest(range(copies)) AS INT) AS "copy"
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, "copy"""".stripMargin,
 
     // Both engines run the classic unit-cost Levenshtein; lengths and
     // the division are identical integer/IEEE arithmetic, so equality

@@ -124,6 +124,90 @@ object Sampling {
       .limit(k)
   }
 
+  /** A stable [0,1) score from an id AND a seed — [[hashScore]] with an
+    * epoch/run discriminator, so each (seed) draws an independent but
+    * reproducible permutation.
+    */
+  def seededScore(id: Column, seed: Long): Column =
+    hashScore(concat(id.cast("string"), lit(":"), lit(seed.toString)))
+
+  /** Deterministic training order: global rank under the seeded md5
+    * score — the 100 TB form of "shuffle the corpus before training"
+    * (no RNG state, identical across engines/retries/cluster sizes,
+    * new seed = new permutation). Returns the input with a
+    * `train_order` rank column.
+    *
+    * 100 TB shape: the rank is the distributed prefix-sum device of
+    * [[graft.ops.Curation.packSequential]] — range partition by the
+    * score, partition-local ranks, per-partition counts collected
+    * (one row per partition) and rebroadcast as offsets. NOT a global
+    * `Window.orderBy`, which funnels the corpus through one partition.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val score = seededScore(col(idCol), seed)
+    // localCheckpoint pins the sampled range boundaries: the offsets
+    // job and the output job must agree on partition membership (see
+    // packSequential for the full argument)
+    val parts = df
+      .withColumn("__score", score)
+      .repartitionByRange(col("__score"), col(idCol))
+      .sortWithinPartitions(col("__score"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = counts.map { r =>
+      val here = running
+      running += r.getLong(1)
+      (r.getInt(0), here)
+    }
+    val session = df.sparkSession
+    import session.implicits._
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__score"), col(idCol))
+    parts
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("train_order",
+        row_number().over(w).cast("long") - 1 + col("__offset"))
+      .drop("__pid", "__offset", "__score")
+  }
+
+  /** MATERIALIZE a domain mixture: emit each doc `floor(epochs_d)`
+    * times, plus one more with probability `frac(epochs_d)` decided by
+    * the doc's own seeded score — the apply side of
+    * [[temperatureMixture]] ("epochs 2.3" → every doc twice, and the
+    * reproducible 30% of docs a third time). Output carries the epoch
+    * index (`copy`), so downstream shuffling/packing can interleave.
+    * Map-only per doc (posexplode of a bounded repeat array — epochs
+    * are small by construction; require'd <= 64 as a sanity rail).
+    */
+  def applyMixture(docs: DataFrame, idCol: String, domainCol: String,
+      epochsPerDomain: DataFrame, epochsDomainCol: String,
+      epochsCol: String, seed: Long = 0L): DataFrame = {
+    val e = epochsPerDomain.select(
+      col(epochsDomainCol).as("__dom"), col(epochsCol).as("__epochs"))
+    val joined = docs.join(broadcast(e), col(domainCol) === col("__dom"))
+    val full = floor(col("__epochs")).cast("int")
+    val frac = col("__epochs") - floor(col("__epochs"))
+    val copies = full +
+      when(seededScore(col(idCol), seed) < frac, 1).otherwise(0)
+    joined
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      // sanity rail: a runaway epoch count would explode the corpus
+      .withColumn("__copies",
+        when(col("__copies") > 64,
+          raise_error(concat(lit("applyMixture: epochs > 64 for "),
+            col(domainCol))))
+          .otherwise(col("__copies")))
+      .select(docs.columns.map(col) :+
+        posexplode(array_repeat(lit(1), col("__copies")))
+          .as(Seq("copy", "__one")): _*)
+      .drop("__one")
+  }
+
   /** Temperature-scaled domain mixture — the standard multilingual /
     * multi-source sampling rule (weight_d ∝ n_d^τ; τ=1 is proportional,
     * τ→0 is uniform; τ≈0.7 is the published multilingual convention, cf.

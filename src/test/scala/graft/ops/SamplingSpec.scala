@@ -145,4 +145,54 @@ class SamplingSpec extends AnyFunSuite {
       assert(out(id)._2 === expected)
     }
   }
+
+  test("trainingOrder: full permutation, seed-dependent, engine-reproducible") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    def order(seed: Long): Seq[Long] =
+      Sampling.trainingOrder(df, "id", seed)
+        .orderBy(col("train_order")).select("id").as[Long].collect().toSeq
+    val o7 = order(7L)
+    assert(o7.sorted == (0L until 100L)) // a permutation, nothing lost
+    assert(o7 != (0L until 100L).toSeq) // actually shuffled
+    assert(order(7L) == o7)             // deterministic
+    assert(order(8L) != o7)             // seed changes the permutation
+    // reproducible outside Spark: replay the md5-prefix sort in JVM code
+    val expected = (0L until 100L).sortBy { id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), id)
+    }
+    assert(o7 == expected)
+  }
+
+  test("applyMixture: floor copies + reproducible fractional extras, rails") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "a" else "b"))
+      .toDF("doc_id", "dom")
+    val epochs = Seq(("a", 2.0), ("b", 0.5)).toDF("d", "e")
+    val out = Sampling.applyMixture(docs, "doc_id", "dom",
+      epochs, "d", "e", seed = 3L)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("a") == 200L) // exactly 2 epochs, no fractional draw
+    // b: ~50% of 100 docs; deterministic given the seed — recompute
+    val expB = (100L until 200L).count { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:3".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 32) < 0.5
+    }
+    assert(byDom("b") == expB)
+    // copy indices are 0..copies-1 per doc
+    val copies = out.filter(col("dom") === "a" && col("doc_id") === 0L)
+      .select("copy").as[Int].collect().sorted.toSeq
+    assert(copies == Seq(0, 1))
+    // runaway-epoch rail
+    val boom = Seq(("a", 100.0)).toDF("d", "e")
+    intercept[Exception] {
+      Sampling.applyMixture(docs, "doc_id", "dom", boom, "d", "e")
+        .count()
+    }
+  }
 }
