@@ -34,7 +34,7 @@ object Cli {
       .getOrCreate()
   }
 
-  private val booleanFlags = Set("once")
+  private val booleanFlags = Set("once", "gzip")
 
   /** Flag parser that keeps alignment across valueless flags (--once can
     * appear in any position).
@@ -231,7 +231,13 @@ object Cli {
             graft.ops.WebDataset.writeShards(
               docs.select(col(idCol), json.as("json")), idCol,
               Seq("json" -> "json"), req("out"), perShard)
-          case other => sys.error(s"export: unknown --format $other (tfrecord|tar)")
+          case "warc" => // crawl-format records, digest-labelled
+            val idCol = flags.getOrElse("id", "doc_id")
+            graft.sources.Warc.writeShards(
+              docs.select(col(idCol), json.as("payload")), idCol, "payload",
+              req("out"), perShard,
+              gzip = flags.get("gzip").exists(_ != "false"))
+          case other => sys.error(s"export: unknown --format $other (tfrecord|tar|warc)")
         }
         val rows = manifest.collect()
         val total = rows.map(_.getLong(1)).sum
@@ -390,7 +396,8 @@ object Cli {
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
-           |         [--format tfrecord|tar] [--id doc_id]   (tar = WebDataset layout)
+           |         [--format tfrecord|tar|warc] [--id doc_id] [--gzip]
+           |         (tar = WebDataset layout; warc = digest-labelled ISO 28500)
            |  tokenize --in <sfdir> --table documents --out <dir> [--merges 200]
            |         (trains a BPE merge table, writes token_ids + merges.json)
            |  index --in <sfdir> --table documents --out <dir> [--buckets 64]
