@@ -1875,7 +1875,19 @@ object SparkEntry {
       graft.ops.Sampling.applyMixture(docs, "doc_id", "source",
           epochs, "dom", "epochs", seed = 0L)
         .orderBy(col("doc_id"), col("copy"))
-    })
+    }),
+
+    // CONTAINMENT JOIN (SetSimJoin.containmentJoin): ordered pairs with
+    // |A∩B|/|A| >= t over trigram shingles — the asymmetric
+    // quote/extract-detection question q100's symmetric Jaccard blurs.
+    // Lossless prefix filter on the A side, postings on the B side;
+    // oracle = the full quadratic containment replayed in DuckDB.
+    "q134_containment_join" -> ((s, dir) =>
+      graft.ops.SetSimJoin.containmentJoin(
+        graft.ops.SetSimJoin.shingleSets(
+          t(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", "els", 0.35)
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3506,6 +3518,22 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Full quadratic containment in DuckDB — same trigram sets, both
+    // directions (the join is ordered/asymmetric).
+    "q134_containment_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS c
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p
+        |WHERE c >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same md5-prefix sort, doc_id tiebreak (first-8-hex collisions
     // would otherwise resolve differently under a full-md5 order).

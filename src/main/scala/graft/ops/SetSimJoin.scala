@@ -107,6 +107,58 @@ object SetSimJoin {
       .select(col("da"), col("db")).distinct()
   }
 
+  /** ASYMMETRIC containment join: all ordered pairs (a, b), a != b,
+    * with `|A ∩ B| / |A| >= threshold` — "most of A's content sits
+    * inside B": quote/extract detection, subset-document discovery,
+    * the directional question Jaccard blurs (a 50-shingle doc fully
+    * contained in a 5000-shingle doc has Jaccard ~0.01 but containment
+    * 1.0).
+    *
+    * Same lossless prefix-filter argument as [[jaccardJoin]], adapted
+    * to the asymmetric bound (PPJoin's overlap form): containment
+    * requires overlap o = ceil(t*|A|), so A must share one of its
+    * first |A| - o + 1 elements (ascending-df order) with B — but B's
+    * prefix bound depends on A's size, so the B side joins with its
+    * FULL element list (the postings shape). Candidate volume is
+    * A-prefix (rare elements) x those elements' postings, bounded by
+    * the size filter |B| >= t*|A|; exact verify on candidates only.
+    */
+  def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val base = prepared(sets, idCol, setCol)
+    val dfs = base.select(explode(col("els")).as("el"))
+      .groupBy(col("el")).agg(count(lit(1)).as("df"))
+    val prefixes = base
+      .select(col("doc_id"), col("sz"), explode(col("els")).as("el"))
+      .join(dfs, Seq("el"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("el")))).as("ranked"))
+      // overlap needed: o = ceil(t*sa); prefix = sa - o + 1 (epsilon
+      // slack lengthens, never shortens — see jaccardJoin)
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id").as("da"), col("sz").as("sa"),
+        explode(slice(col("ranked.el"), lit(1), col("plen"))).as("el"))
+    val postings = base.select(col("doc_id").as("db"), col("sz").as("sb"),
+      explode(col("els")).as("el"))
+    val cands = prefixes.join(postings, Seq("el"))
+      .filter(col("da") =!= col("db") &&
+        col("sb").cast("double") >=
+          lit(threshold) * col("sa").cast("double") - lit(1e-9))
+      .select(col("da"), col("db")).distinct()
+    cands
+      .join(base.select(col("doc_id").as("da"), col("els").as("ea"),
+        col("sz").as("sa")), Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("els").as("eb")),
+        Seq("db"))
+      .withColumn("inter", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("c", col("inter").cast("double") / col("sa"))
+      .filter(col("c") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("c"), 6).as("containment"))
+  }
+
   /** Convenience: documents -> distinct word-n-gram shingle sets
     * (string form — DuckDB-reproducible; production pipelines can pass
     * `word_shingle_hashes` sets to [[jaccardJoin]] instead for compact

@@ -93,4 +93,39 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(cand < quadratic / 50,
       s"candidates $cand vs quadratic $quadratic — prefix filter not pruning")
   }
+
+  test("containment: asymmetric by construction (quote inside a big doc)") {
+    val sets = Seq(
+      (1L, Seq("a", "b", "c")),                         // the "quote"
+      (2L, ('a' to 'z').map(_.toString)),               // contains 1 fully
+      (3L, Seq("x", "q9", "q8"))                        // overlaps 2 barely
+    ).toDF("doc_id", "els")
+    val got = pairs(SetSimJoin.containmentJoin(sets, "doc_id", "els", 0.9))
+    // 1 ⊂ 2 at containment 1.0; the reverse direction is 3/26 — absent
+    assert(got == Seq((1L, 2L, 1.0)))
+    // symmetric jaccard at the same bar finds NOTHING (3/26 ≈ 0.12)
+    assert(pairs(SetSimJoin.jaccardJoin(sets, "doc_id", "els", 0.9)).isEmpty)
+  }
+
+  test("containment losslessness: prefix+postings result == brute force") {
+    val rnd = new scala.util.Random(7)
+    val universe = (0 until 30).map(i => s"e$i")
+    val all = (0 until 100).map { i =>
+      val sz = 2 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(sz)(universe(math.min(29,
+        (math.pow(rnd.nextDouble(), 2.0) * 30).toInt))).distinct)
+    }.filter(_._2.nonEmpty)
+    for (t <- Seq(0.5, 0.7, 1.0)) {
+      val brute = (for {
+        (ia, a) <- all; (ib, b) <- all if ia != ib
+        c = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.size
+        if c >= t
+      } yield (ia, ib,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy(p => (p._1, p._2))
+      val got = pairs(SetSimJoin.containmentJoin(
+        all.toDF("doc_id", "els"), "doc_id", "els", t))
+      assert(got == brute, s"containment join lost/invented pairs at t=$t")
+    }
+  }
 }
