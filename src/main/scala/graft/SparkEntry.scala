@@ -1887,7 +1887,30 @@ object SparkEntry {
         graft.ops.SetSimJoin.shingleSets(
           t(s, dir, "documents"), "doc_id", "text", 3),
         "doc_id", "els", 0.35)
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // BLOCKLIST MATCHING (functions.KeywordMatches): per-keyword
+    // non-overlapping hit counts in ONE Aho-Corasick scan pass whatever
+    // the list size (the C4-class badwords filter). Planted device:
+    // deterministic phrase tails by doc_id; the oracle recomputes every
+    // count with replace-arithmetic — the exact semantics the kernel
+    // implements.
+    "q135_blocklist" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" buy now buy now"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(" totally free free offer"))
+          .otherwise(lit(" clean tail")))
+      val m = graft.functions.keyword_matches(planted,
+        Seq("buy now", "free", "offer"))
+      t(s, dir, "documents").select(col("doc_id"),
+          element_at(m, 1).as("n_buy_now"),
+          element_at(m, 2).as("n_free"),
+          element_at(m, 3).as("n_offer"))
+        .withColumn("flagged",
+          col("n_buy_now") + col("n_free") + col("n_offer") > 0)
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3518,6 +3541,24 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // replace-arithmetic: non-overlapping count = length drop / keyword
+    // length — the kernel's pinned semantics, keyword by keyword.
+    "q135_blocklist" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || CASE doc_id % 3
+        |    WHEN 0 THEN ' buy now buy now'
+        |    WHEN 1 THEN ' totally free free offer'
+        |    ELSE ' clean tail' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ((length(t) - length(replace(t, 'buy now', ''))) / 7)::INT AS n_buy_now,
+        |  ((length(t) - length(replace(t, 'free', ''))) / 4)::INT AS n_free,
+        |  ((length(t) - length(replace(t, 'offer', ''))) / 5)::INT AS n_offer,
+        |  (length(t) - length(replace(t, 'buy now', ''))) +
+        |    (length(t) - length(replace(t, 'free', ''))) +
+        |    (length(t) - length(replace(t, 'offer', ''))) > 0 AS flagged
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Full quadratic containment in DuckDB — same trigram sets, both
     // directions (the join is ordered/asymmetric).

@@ -258,6 +258,13 @@ package object functions {
   def word_bucket(word: Column, buckets: Int): Column =
     toColumn(WordBucket(exprOf(word), buckets))
 
+  /** Per-keyword non-overlapping substring match counts via one
+    * Aho-Corasick pass (blocklist filtering at any list size);
+    * index-aligned with `keywords`.
+    */
+  def keyword_matches(text: Column, keywords: Seq[String]): Column =
+    toColumn(KeywordMatches(exprOf(text), keywords))
+
   /** Mergeable KMV/theta distinct sketch of a string column — the
     * distinct summary that supports SET OPERATIONS (intersection/union
     * estimates across corpora), which HLL cannot.
@@ -391,6 +398,9 @@ package object functions {
         intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
     reg.createOrReplaceTempFunction("word_bucket",
       es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets")), "built-in")
+    reg.createOrReplaceTempFunction("keyword_matches",
+      es => KeywordMatches(es(0),
+        stringArrayArg(es(1), "keyword_matches", "keywords")), "built-in")
     reg.createOrReplaceTempFunction("theta_sketch",
       es => ThetaSketch(es(0), intArg(es(1), "theta_sketch", "k"))
         .toAggregateExpression(), "built-in")
