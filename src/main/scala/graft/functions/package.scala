@@ -265,6 +265,12 @@ package object functions {
   def keyword_matches(text: Column, keywords: Seq[String]): Column =
     toColumn(KeywordMatches(exprOf(text), keywords))
 
+  /** Total hits across all keywords, no per-keyword vector — the gate
+    * shape for large blocklists.
+    */
+  def keyword_hit_total(text: Column, keywords: Seq[String]): Column =
+    toColumn(KeywordHitTotal(exprOf(text), keywords))
+
   /** Mergeable KMV/theta distinct sketch of a string column — the
     * distinct summary that supports SET OPERATIONS (intersection/union
     * estimates across corpora), which HLL cannot.
@@ -401,6 +407,9 @@ package object functions {
     reg.createOrReplaceTempFunction("keyword_matches",
       es => KeywordMatches(es(0),
         stringArrayArg(es(1), "keyword_matches", "keywords")), "built-in")
+    reg.createOrReplaceTempFunction("keyword_hit_total",
+      es => KeywordHitTotal(es(0),
+        stringArrayArg(es(1), "keyword_hit_total", "keywords")), "built-in")
     reg.createOrReplaceTempFunction("theta_sketch",
       es => ThetaSketch(es(0), intArg(es(1), "theta_sketch", "k"))
         .toAggregateExpression(), "built-in")

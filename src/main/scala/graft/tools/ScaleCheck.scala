@@ -609,6 +609,54 @@ object ScaleCheck {
       f"t_w1000=$tRj%.1f s t_w4096=$tRj2%.1f s")
     }
 
+    if (run("blocklist")) {
+    // ---- 5t. Blocklist matcher — 10k keywords x 210k docs ------------
+    // The AC automaton must stay one scan pass at real list size. Two
+    // SENTINEL phrases are planted by exact id rules (every 20th doc /
+    // every 50th doc), 9,998 decoy phrases pad the automaton to 10k
+    // keywords; gates, require'd: sentinel hit totals equal the planted
+    // counts EXACTLY (a transition/fail-link bug at scale breaks them),
+    // and the decoys stay at zero (no false positives from automaton
+    // cross-talk).
+    val nBl = 210000L
+    val blDocs = corpus(spark, 200000L)
+      .withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(20)) === 0, lit(" sentinel alpha"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(50)) === 0, lit(" sentinel beta"))
+          .otherwise(lit(""))))
+      .localCheckpoint(true)
+    val blKeywords = Seq("sentinel alpha", "sentinel beta") ++
+      (0 until 9998).map(i => s"absent$i phrase")
+    val expAlpha = blDocs.filter(pmod(col("doc_id"), lit(20)) === 0).count()
+    val expBeta = blDocs.filter(pmod(col("doc_id"), lit(50)) === 0).count()
+    val blBytes = blDocs.select(sum(length(col("text"))).cast("long"))
+      .head.getLong(0)
+    val (hits, tBl) = time {
+      // gate shape: total across the FULL 10k automaton (no per-keyword
+      // vector — keyword_hit_total), plus the 2-sentinel vector for the
+      // per-keyword exactness check
+      val m2 = graft.functions.keyword_matches(col("text"),
+        Seq("sentinel alpha", "sentinel beta"))
+      blDocs.select(
+          graft.functions.keyword_hit_total(col("text"), blKeywords)
+            .as("total"),
+          element_at(m2, 1).as("a"), element_at(m2, 2).as("b"))
+        .agg(sum(col("total")), sum(col("a")).cast("long"),
+          sum(col("b")).cast("long"))
+        .head()
+    }
+    require(hits.getLong(1) == expAlpha,
+      s"sentinel alpha ${hits.getLong(1)} != $expAlpha")
+    require(hits.getLong(2) == expBeta,
+      s"sentinel beta ${hits.getLong(2)} != $expBeta")
+    require(hits.getLong(0) == expAlpha + expBeta,
+      s"decoy keywords matched: total ${hits.getLong(0)}")
+    println(f"BLOCKLIST> docs=$nBl keywords=${blKeywords.size} " +
+      f"scanned=${blBytes / 1e6}%.0f MB ${blBytes / 1e6 / tBl}%.0f MB/s " +
+      f"t=$tBl%.1f s sentinels_exact=true decoys_zero=true")
+    }
+
     if (run("theta")) {
     // ---- 5s. Theta/KMV distinct sketch — 20M tokens, 2 sources -------
     // Two overlapping vocabularies: source A draws ids [0, 3M), source

@@ -73,6 +73,22 @@ class KeywordExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword_hit_total equals the vector sum, through plan and SQL") {
+    graft.functions.registerAll(spark)
+    val kws = Seq("he", "she", "hers", "aa")
+    val texts = Seq("ushers aaaa", "nothing here... wait, 'he' twice", "")
+    val rows = texts.toDF("t").select(
+      graft.functions.keyword_hit_total(col("t"), kws).as("tot"),
+      keyword_matches(col("t"), kws).as("m")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getSeq[Int](1).map(_.toLong).sum)
+    }
+    texts.take(1).toDF("t").createOrReplaceTempView("kwt_t")
+    assert(spark.sql(
+      "SELECT keyword_hit_total(t, array('he','she','hers','aa')) FROM kwt_t")
+      .as[Long].head() == rows(0).getLong(0))
+  }
+
   test("a 10k-keyword list builds once and scans in one pass") {
     val kws = (0 until 10000).map(i => s"phrase$i word")
     val auto = new AhoCorasick.Automaton(kws.toArray)
