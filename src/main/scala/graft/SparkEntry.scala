@@ -1886,7 +1886,7 @@ object SparkEntry {
       graft.ops.SetSimJoin.containmentJoin(
         graft.ops.SetSimJoin.shingleSets(
           t(s, dir, "documents"), "doc_id", "text", 3),
-        "doc_id", "els", 0.35)
+        "doc_id", "els", 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // BLOCKLIST MATCHING (functions.KeywordMatches): per-keyword
@@ -3574,7 +3574,7 @@ object SparkEntry {
         |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS c
         |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p
-        |WHERE c >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE c >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same md5-prefix sort, doc_id tiebreak (first-8-hex collisions
     // would otherwise resolve differently under a full-md5 order).

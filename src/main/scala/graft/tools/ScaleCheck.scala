@@ -509,6 +509,31 @@ object ScaleCheck {
       f"(quadratic=${quadSj}%.1e, ${quadSj / candSj}%.0fx fewer) time=${tSj}%.1f s")
     }
 
+    if (run("contain")) {
+    // ---- 5b2. Containment join on 210k docs --------------------------
+    // Same corpus/plant as 5b, 5-word shingles. A planted pair shares
+    // 61 of each side's ~76 distinct shingles: containment ≈ 0.80 in
+    // BOTH directions, so at t=0.75 the exact expected output is the
+    // 20k ORDERED pair set (both directions of the 10k plants) and
+    // nothing else (unrelated docs share no 5-gram). Exactness
+    // require'd; the candidate count is the asymmetric-filter scale
+    // claim (A-prefix x postings, not quadratic).
+    val nCt = 200000L
+    val docsCt = corpus(spark, nCt).localCheckpoint(true)
+    val plantedCt = (0L until nCt by 20)
+      .flatMap(i => Seq((i, i + nCt), (i + nCt, i))).toSet
+    val setsCt = SetSimJoin.shingleSets(docsCt, "doc_id", "text", 5)
+    val (pairsCt, tCt) = time {
+      SetSimJoin.containmentJoin(setsCt, "doc_id", "els", 0.75)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    require(pairsCt == plantedCt,
+      s"containment output ${pairsCt.size} pairs != planted ${plantedCt.size}")
+    println(f"CONTAIN> docs=${nCt * 21 / 20} planted=${plantedCt.size} " +
+      f"found=${pairsCt.size} exact=true time=${tCt}%.1f s")
+    }
+
     if (run("invert")) {
     // ---- 5c. Inverted index + phrase search on 210k docs --------------
     // Build throughput for the positional postings (one 16M-token
