@@ -1878,14 +1878,14 @@ object SparkEntry {
     }),
 
     // CONTAINMENT JOIN (SetSimJoin.containmentJoin): ordered pairs with
-    // |A∩B|/|A| >= t over trigram shingles — the asymmetric
+    // |A∩B|/|A| >= t over 4-gram shingles — the asymmetric
     // quote/extract-detection question q100's symmetric Jaccard blurs.
     // Lossless prefix filter on the A side, postings on the B side;
     // oracle = the full quadratic containment replayed in DuckDB.
     "q134_containment_join" -> ((s, dir) =>
       graft.ops.SetSimJoin.containmentJoin(
         graft.ops.SetSimJoin.shingleSets(
-          t(s, dir, "documents"), "doc_id", "text", 3),
+          t(s, dir, "documents"), "doc_id", "text", 4),
         "doc_id", "els", 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -3560,15 +3560,15 @@ object SparkEntry {
         |    (length(t) - length(replace(t, 'offer', ''))) > 0 AS flagged
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // Full quadratic containment in DuckDB — same trigram sets, both
+    // Full quadratic containment in DuckDB — same 4-gram sets, both
     // directions (the join is ordered/asymmetric).
     "q134_containment_join" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
-        |  FROM t WHERE len(toks) >= 3),
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+3], ' ') FOR i IN range(1, len(toks)-2)]) AS sh
+        |  FROM t WHERE len(toks) >= 4),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS c
