@@ -211,6 +211,22 @@ object Cli {
         }
       } finally spark.stop()
 
+    case "import" :: rest =>
+      // crawl-archive ingestion: WARC shards -> a parquet table of
+      // (record_id, warc_type, content_type, headers, payload), block
+      // digests verified during the read
+      val flags = parseFlags(rest)
+      def reqI(k: String) = flags.getOrElse(k, sys.error(s"import: missing --$k"))
+      val sparkI = session()
+      sparkI.sparkContext.setLogLevel("WARN")
+      try {
+        val df = graft.sources.Warc.read(sparkI, reqI("in"))
+          .drop("path")
+        df.write.mode("overwrite").parquet(reqI("out"))
+        val n = sparkI.read.parquet(reqI("out")).count()
+        println(s"""{"records":$n,"out":"${reqI("out")}"}""")
+      } finally sparkI.stop()
+
     case "export" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"export: missing --$k"))
@@ -395,6 +411,8 @@ object Cli {
            |  score --in <sfdir> --table documents --out <dir>
            |        [--target "lang = 'en'"] [--buckets N [--ngram 2]]
            |  mixture --in <sfdir> --table documents [--tau 0.7] [--budget N]
+           |  import --in <glob of .warc[.gz]> --out <parquet dir>
+           |         (digest-verified WARC -> parquet ingestion)
            |  export --in <sfdir> --table documents --out <dir> [--records-per-shard 8192]
            |         [--format tfrecord|tar|warc] [--id doc_id] [--gzip]
            |         (tar = WebDataset layout; warc = digest-labelled ISO 28500)
