@@ -1910,6 +1910,23 @@ object SparkEntry {
         .withColumn("flagged",
           col("n_buy_now") + col("n_free") + col("n_offer") > 0)
         .orderBy(col("doc_id"))
+    }),
+
+    // FRAME SAMPLING off the parsed sample table (Multimodal.
+    // frameSampleTable): every 6th stsz entry of each synthetic video —
+    // the byte ranges a fetcher pulls, decided by real ISO-BMFF
+    // arithmetic, no codec. q92's device: pattern videos are seeded
+    // arithmetic, so the oracle recomputes frame counts AND every
+    // sampled size analytically.
+    "q136_frame_sample" -> ((s, dir) => {
+      val vids = Multimodal.patternVideos(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.frameSampleTable(vids, "id", "content", everyK = 6)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("frame_bytes")).as("sampled_bytes"),
+          max(col("frame_idx")).as("last_idx"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3541,6 +3558,20 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
+    // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —
+    // the oracle rebuilds the sample selection without touching bytes.
+    "q136_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, ((1000 + (doc_id % 10) * 500) * 24 // 1000)::INT AS frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, frames, 6)) AS i FROM f)
+        |SELECT doc_id, count(*) AS n_sampled,
+        |  sum(600 + (doc_id * 31 + i) * 7 % 900)::BIGINT AS sampled_bytes,
+        |  max(i)::INT AS last_idx
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replace-arithmetic: non-overlapping count = length drop / keyword
     // length — the kernel's pinned semantics, keyword by keyword.

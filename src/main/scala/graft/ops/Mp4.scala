@@ -15,9 +15,13 @@ import java.nio.ByteBuffer
   */
 object Mp4 {
 
-  /** What a video-track catalog pass needs from the container. */
+  /** What a video-track catalog pass needs from the container.
+    * `sampleSizes` is the video track's per-sample byte-size table
+    * (stsz — per-entry or constant-expanded), empty when absent.
+    */
   case class VideoMeta(brand: String, codec: String, width: Int, height: Int,
-      nFrames: Int, durationMs: Long, nTracks: Int)
+      nFrames: Int, durationMs: Long, nTracks: Int,
+      sampleSizes: Array[Long] = Array.empty)
 
   /** ISO-BMFF sniff: every MP4 starts with an ftyp box (size + 'ftyp'). */
   def isMp4(bytes: Array[Byte]): Boolean =
@@ -59,6 +63,7 @@ object Mp4 {
     var h = 0
     var codec = ""
     var frames = 0L
+    var sampleSizes: Array[Long] = null // per-entry stsz table, if present
   }
 
   private def parseTrak(b: Array[Byte], from: Int, to: Int): Track = {
@@ -80,6 +85,18 @@ object Mp4 {
               t.codec = fourcc(b, ds + 12)
             case ("stsz", zs, ze) if ze - zs >= 12 =>
               t.frames = u32(b, zs + 8) // after fullbox + sample_size
+              val constSize = u32(b, zs + 4)
+              if (constSize == 0) {
+                // per-entry table (ISO 14496-12 §8.7.3.2): bounded by
+                // both the declared count and the box payload
+                val n = math.min(t.frames, (ze - zs - 12L) / 4).toInt
+                val sizes = new Array[Long](n)
+                var i = 0
+                while (i < n) { sizes(i) = u32(b, zs + 12 + i * 4); i += 1 }
+                t.sampleSizes = sizes
+              } else if (t.frames > 0 && t.frames <= 1000000) {
+                t.sampleSizes = Array.fill(t.frames.toInt)(constSize)
+              }
             case _ =>
           }
           case _ =>
@@ -130,7 +147,9 @@ object Mp4 {
       else {
         val t = if (video == null) new Track else video
         val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
-        Some(VideoMeta(brand, t.codec, t.w, t.h, t.frames.toInt, durMs, nTracks))
+        Some(VideoMeta(brand, t.codec, t.w, t.h, t.frames.toInt, durMs,
+          nTracks,
+          if (t.sampleSizes == null) Array.empty else t.sampleSizes))
       }
     } catch { case _: Exception => None }
   }
@@ -241,9 +260,17 @@ object Mp4 {
       b.putInt(1).put(sampleEntry)
       b.array()
     })
+    // per-entry sample-size table (sample_size = 0 signals the entry
+    // list per ISO 14496-12): sizes are seeded arithmetic so an external
+    // oracle can recompute every one
     val stsz = fullBox("stsz", 0, {
-      val b = ByteBuffer.allocate(8)
-      b.putInt(1024).putInt(frames.toInt) // constant sample size, count
+      val b = ByteBuffer.allocate(8 + frames.toInt * 4)
+      b.putInt(0).putInt(frames.toInt)
+      var i = 0
+      while (i < frames.toInt) {
+        b.putInt((600 + (seed * 31 + i) * 7 % 900).toInt)
+        i += 1
+      }
       b.array()
     })
     val moov = box("moov", mvhd,

@@ -441,6 +441,36 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** CONTAINER-AWARE frame sampling: every k-th entry of the parsed
+    * stsz sample-size table, one output row per selected sample —
+    * the sample-table upgrade of [[sampleFrames]]'s fixed-chunk stub
+    * (real ISO-BMFF arithmetic decides which byte ranges a fetcher
+    * would pull; the pixel decode itself still needs a codec). Rows
+    * with no parseable sample table emit nothing.
+    */
+  def frameSampleTable(df: DataFrame, idCol: String, binCol: String,
+      everyK: Int = 10): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Option(bytes).flatMap(Mp4.parse) match {
+          case Some(m) if m.sampleSizes.nonEmpty =>
+            (0 until m.sampleSizes.length by everyK).iterator.map(i =>
+              Row(r.get(idIdx), i, m.sampleSizes(i)))
+          case _ => Iterator.empty
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** (id, content=patternMp4(id)) frame — the synthetic video corpus for
     * driving the real box parser under the correctness gate (sibling of
     * [[patternImages]]/[[patternAudio]]).

@@ -265,4 +265,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((s"video/mp4;codec=$c3", w3, h3, f3.toInt)))
     assert(out(4L)._1.startsWith("video/mp4;codec="), s"got ${out(4L)}")
   }
+
+  test("frame sampling reads the parsed stsz table, both stsz forms") {
+    import spark.implicits._
+    // per-entry form from the pattern generator: sizes are seeded
+    // arithmetic, every 6th entry selected
+    val seed = 7L
+    val meta = Mp4.parse(Mp4.patternMp4(seed)).get
+    val (_, _, _, _, frames) = Mp4.patternParams(seed)
+    assert(meta.sampleSizes.length == frames.toInt)
+    meta.sampleSizes.zipWithIndex.foreach { case (sz, i) =>
+      assert(sz == 600 + (seed * 31 + i) * 7 % 900)
+    }
+    val vids = Multimodal.patternVideos(Seq(seed).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.frameSampleTable(vids, "id", "content", everyK = 6)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0 until frames.toInt by 6))
+    rows.foreach { case (i, sz) =>
+      assert(sz == 600 + (seed * 31 + i) * 7 % 900)
+    }
+    // constant-size form (sample_size != 0): hand-built minimal
+    // container, independent of the pattern writer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1"))
+        .put(payload)
+      b.array()
+    }
+    val stszConst = box("stsz", {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0) // fullbox version+flags
+      b.putInt(2048).putInt(5) // constant size, count
+      b.array()
+    })
+    val handMp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("trak", box("mdia",
+        box("minf", box("stbl", stszConst)))))
+    val constMeta = Mp4.parse(handMp4).get
+    assert(constMeta.nFrames == 5)
+    assert(constMeta.sampleSizes.toSeq == Seq.fill(5)(2048L))
+  }
 }
