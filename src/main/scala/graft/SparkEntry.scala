@@ -1927,6 +1927,38 @@ object SparkEntry {
           sum(col("frame_bytes")).as("sampled_bytes"),
           max(col("frame_idx")).as("last_idx"))
         .orderBy(col("doc_id"))
+    }),
+
+    // COMPACTION (Layout.compact): fragment lineitem into 64 small
+    // files, rewrite size-targeted, and prove the data survived with
+    // q119's layout-independent-aggregate device (byte sizes vary with
+    // the compression environment, so only data integrity and the
+    // fewer-files invariant are oracled). The operator itself hard-
+    // requires row preservation in-plan.
+    "q137_compaction" -> ((s, dir) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_compact_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        .getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(64)
+        .write.parquet(s"$base/frag")
+      val report = graft.ops.Layout.compact(s, s"$base/frag",
+        s"$base/compacted", targetBytes = 64L << 20)
+      val back = s.read.parquet(s"$base/compacted")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))
+      back.crossJoin(broadcast(report))
+        .withColumn("compacted",
+          col("files_out") <= col("files_in") && col("rows_out") === col("rows_in"))
+        .select(col("n_rows"), col("sum_qty"), col("min_orderkey"),
+          col("max_orderkey"), col("compacted"))
     })
   )
 
@@ -3558,6 +3590,15 @@ object SparkEntry {
         |x AS (SELECT d.lang, count(*) AS exact_inter FROM d JOIN e USING (tok) GROUP BY d.lang)
         |SELECT nd.lang AS lang, nd.nd_tokens, x.exact_inter, TRUE AS inter_ok
         |FROM nd JOIN x ON nd.lang = x.lang ORDER BY nd.lang""".stripMargin,
+
+    // Layout-independent integrity after the rewrite (q119's device);
+    // the fewer-files invariant folds into the boolean.
+    "q137_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  TRUE AS compacted
+        |FROM lineitem""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

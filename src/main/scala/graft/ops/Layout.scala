@@ -57,6 +57,59 @@ object Layout {
       .drop("zval")
       .write.mode("overwrite").parquet(path)
 
+  /** COMPACTION: rewrite a small-files parquet directory into
+    * size-targeted files — the standing maintenance job of any
+    * long-running ingest (every micro-batch and every task retry leaves
+    * small files; scan cost and NameNode/listing pressure grow with
+    * file COUNT, not bytes). Returns (files, bytes, rows) before/after
+    * as a 1-row frame.
+    *
+    * File count = ceil(actual on-disk bytes / targetBytes) — sized from
+    * the SOURCE's real compressed footprint, so the rewrite needs no
+    * size estimation model. `sortCols` optionally re-clusters during
+    * the rewrite (range partition + file-local sort — the zOrdered
+    * shape); otherwise a round-robin repartition balances bytes.
+    * The rewrite goes to `outPath` (no in-place swap: at 100 TB the
+    * atomic publish step belongs to the table format / catalog layer,
+    * not the engine).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stats(p: String): (Long, Long) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var files = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          files += 1; bytes += f.getLen
+        }
+      }
+      (files, bytes)
+    }
+    val (filesIn, bytesIn) = stats(inPath)
+    val df = spark.read.parquet(inPath)
+    val rows = df.count()
+    val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
+    val rewritten =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    rewritten.write.mode("overwrite").parquet(outPath)
+    val (filesOut, bytesOut) = stats(outPath)
+    val rowsOut = spark.read.parquet(outPath).count()
+    require(rowsOut == rows,
+      s"compaction lost rows: $rowsOut != $rows") // never silently
+    import spark.implicits._
+    Seq((filesIn, bytesIn, rows, filesOut, bytesOut, rowsOut))
+      .toDF("files_in", "bytes_in", "rows_in",
+        "files_out", "bytes_out", "rows_out")
+  }
+
   /** Per-file min/max of `cols` for a parquet directory — the stats a
     * pruning engine consults, surfaced as a frame so layout quality is
     * measurable (how many files does this box query intersect?).

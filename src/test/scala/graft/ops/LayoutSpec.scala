@@ -84,4 +84,39 @@ class LayoutSpec extends AnyFunSuite {
     // correctness: both layouts hold the same rows
     assert(spark.read.parquet(s"$dir/z").count() == n)
   }
+
+  test("compact: small files merge to the byte-derived target, rows exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_compact").toString
+    // 48 fragment files of ~2k rows
+    spark.range(100000L).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(48).write.parquet(s"$dir/frag")
+    val fragFiles = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 48)
+    val report = graft.ops.Layout.compact(spark, s"$dir/frag",
+        s"$dir/out", targetBytes = 512L << 20) // everything fits one file
+      .head()
+    assert(report.getAs[Long]("files_in") == 48L)
+    assert(report.getAs[Long]("files_out") == 1L)
+    assert(report.getAs[Long]("rows_in") == 100000L)
+    assert(report.getAs[Long]("rows_out") == 100000L)
+    // content identical (order-independent checksum)
+    def sum(p: String) = spark.read.parquet(p)
+      .select(expr("bit_xor(xxhash64(id, v))")).head.getLong(0)
+    assert(sum(s"$dir/frag") == sum(s"$dir/out"))
+    // sorted variant clusters: per-file min/max ranges must not overlap
+    graft.ops.Layout.compact(spark, s"$dir/frag", s"$dir/sorted",
+      targetBytes = (new java.io.File(s"$dir/frag").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 4),
+      sortCols = Seq("id"))
+    val stats = graft.ops.Layout.fileStats(
+        spark.read.parquet(s"$dir/sorted"), Seq("id"))
+      .orderBy(col("min_id")).collect()
+    assert(stats.length >= 2)
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_id") < b.getAs[Long]("min_id"),
+        "sorted compaction produced overlapping file ranges")
+    }
+  }
 }
