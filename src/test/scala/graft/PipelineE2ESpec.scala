@@ -119,4 +119,75 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(decoded == expected,
       "TFRecord round-trip must reproduce every id sequence bit-exactly")
   }
+
+  test("crawl ingest: warc -> http -> html strip -> quality gate -> url dedup") {
+    // The crawl-side composition of the round-10 faces: fixture docs
+    // wrapped as HTTP+HTML crawl payloads, shipped through digest-
+    // labelled gzip WARC shards, parsed back, boilerplate-stripped,
+    // quality-gated, and URL-deduped — every stage an operator with its
+    // own oracle/spec; this test is about the composition surviving the
+    // full loop with the text intact.
+    import graft.ops.Web
+    import graft.sources.Warc
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. crawl payloads: HTTP response + HTML wrapper; TWO urls map to
+    //    the same canonical key per doc pair (doc_id/2) — the planted
+    //    duplicate-fetch scenario (same page fetched with and without
+    //    tracking params)
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+      lit("<html><head><title>t</title><style>p{}</style></head><body><p>"),
+      col("text"), lit("</p><script>var x=1;</script></body></html>"))
+    val url = concat(lit("https://EX"), (col("doc_id") / 2).cast("long"),
+      lit(".example.com/page?"),
+      when(col("doc_id") % 2 === 0, lit("a=1&utm_source=x"))
+        .otherwise(lit("utm_medium=y&a=1")))
+    val crawl = docs.select(col("doc_id"),
+      encode(payload, "UTF-8").as("payload"), url.as("url"))
+
+    // 2. through digest-labelled gzip WARC shards
+    val dir = java.nio.file.Files.createTempDirectory("e2e_crawl").toString
+    Warc.writeShards(crawl, "doc_id", "payload", dir,
+      recordsPerShard = 100, gzip = true, metaCols = Seq("url"))
+    val back = Warc.read(spark, s"$dir/*.warc.gz")
+      .selectExpr("CAST(substr(record_id, 11) AS BIGINT) AS doc_id",
+        "CAST(payload AS STRING) AS http", "headers['x-graft-url'] AS url")
+    assert(back.count() == n0, "records lost in the WARC loop")
+
+    // 3. http split + html strip recovers the original text exactly
+    //    (the wrapper adds only the title token)
+    val recovered = back
+      .withColumn("status", Web.httpStatus(col("http")))
+      .withColumn("text", Web.stripHtml(Web.httpBody(col("http"))))
+    assert(recovered.filter(col("status") =!= 200).count() == 0)
+    val mismatch = recovered.join(docs.select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("orig")), "doc_id")
+      .filter(col("text") =!= concat(lit("t "), col("orig")))
+      .count()
+    assert(mismatch == 0, s"$mismatch docs corrupted through the crawl loop")
+
+    // 4. quality gate: entropy band + compression ratio + blocklist
+    val gated = recovered
+      .withColumn("ent", graft.functions.char_entropy(col("text")))
+      .withColumn("ratio",
+        graft.functions.deflate_size(col("text")).cast("double") /
+          octet_length(col("text")))
+      .withColumn("hits", graft.functions.keyword_hit_total(col("text"),
+        Seq("viagra", "click here now")))
+      .filter(col("ent").between(2.0, 6.0) && col("ratio") > 0.2 &&
+        col("hits") === 0)
+    val n4 = gated.count()
+    assert(n4 == n0, s"clean fixture corpus should fully pass the gate: $n4/$n0")
+
+    // 5. URL-canonical dedup: both fetch variants collapse per page
+    val deduped = graft.ops.Dedup.exactKeepFirst(
+      gated.withColumn("canon", Web.urlNormalize(col("url"))),
+      Seq("canon"), "doc_id")
+    assert(deduped.count() == (n0 + 1) / 2,
+      "tracking-param variants of the same page must collapse")
+  }
 }
