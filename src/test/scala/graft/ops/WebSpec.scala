@@ -104,6 +104,34 @@ class WebSpec extends AnyFunSuite {
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("url ops survive pathological inputs without throwing") {
+    val nasty = Seq(
+      "", "://", "http://", "https://:8080", "http://@/",
+      "ftp://user@host.com:21/file", "http://[::1]:8080/v6",
+      "https://example.com#only-fragment",
+      "https://example.com?&&&", "https://example.com?=v&k=",
+      "a" * 2000, "http://" + "b" * 500 + ".com",
+      "https://exa mple.com/space", "https://example.com/%2e%2e/up")
+    // the contract under garbage: never throw, never return null for
+    // non-null input — parse what matches, empty-string what doesn't
+    val rows = nasty.toDF("u").select(
+      Web.urlScheme(col("u")), Web.urlHost(col("u")),
+      Web.registrableDomain(Web.urlHost(col("u"))),
+      Web.urlNormalize(col("u"))).collect()
+    rows.foreach { r => (0 until 4).foreach(i => assert(!r.isNullAt(i))) }
+    // spot checks: empty-query forms normalize without trailing '?'
+    val norm = nasty.toDF("u").select(Web.urlNormalize(col("u")))
+      .as[String].collect()
+    assert(norm(nasty.indexOf("https://example.com?&&&")) ==
+      "https://example.com/")
+    assert(norm(nasty.indexOf("https://example.com#only-fragment")) ==
+      "https://example.com/")
+    // degenerate ipv6 bracket form: host keeps the bracket text, no port
+    // confusion crash (full ipv6 support is out of contract, documented
+    // by this pin)
+    assert(!norm(nasty.indexOf("http://[::1]:8080/v6")).contains("8080/v6/v6"))
+  }
+
   test("end-to-end: warc response payload -> http body -> text") {
     val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
       "<html><body><p>the real content</p></body></html>"
