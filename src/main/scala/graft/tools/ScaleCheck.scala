@@ -1287,7 +1287,10 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
     val heavy = Seq("q62_dedup_clusters", "q77_bigram_nll",
-      "q89_cluster_sizes", "q93_ivf_knn_join", "q96_dedup_keep_best")
+      "q89_cluster_sizes", "q93_ivf_knn_join", "q96_dedup_keep_best",
+      // round-10 heavy additions that run on the generator tables
+      // (q115 needs the TPC-H purchase graph, q131 is anchored — n/a)
+      "q123_logreg_quality", "q134_containment_join")
     val root = java.nio.file.Files.createTempDirectory("graft-sfbench").toString
     writeSfDir(s"$root/sf1x", 5000L, 2000L)
     writeSfDir(s"$root/sf10x", 50000L, 20000L)
