@@ -1737,19 +1737,26 @@ object SparkEntry {
     // COMPRESSION-RATIO quality signal (functions.DeflateSize):
     // deflate_len / raw_len per doc, aggregated per source — template
     // spam crushes toward 0, gibberish toward 1. No external engine
-    // exposes deflate, so this is a rows-only driver check; kernel
-    // correctness is proven in QualityExpressionsSpec by an independent
-    // inflate round trip.
+    // exposes deflate, so the hash-sensitive columns are the ones DuckDB
+    // CAN recompute (docs, octet sums) plus two in-plan proof booleans
+    // (q65's bounded-error device): roundtrip_ok asserts
+    // inflate(deflate(text)) == text byte-exact for EVERY doc, and
+    // ratio_band_ok asserts the aggregated ratio lands in (0, 1.05] —
+    // both uniformly true, oracle side literal TRUE, so any codec bug
+    // flips a row and fails the hash compare.
     "q127_compression_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("source"),
+          octet_length(col("text")).as("octs"),
           (graft.functions.deflate_size(col("text")).cast("double") /
-            octet_length(col("text"))).as("ratio"))
+            octet_length(col("text"))).as("ratio"),
+          graft.functions.deflate_roundtrip_ok(col("text")).as("rt"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
-          round(avg(col("ratio")), 4).as("avg_ratio"),
-          sum(when(col("ratio") < 0.35, 1L).otherwise(0L))
-            .as("n_template_like"))
+          sum(col("octs").cast("long")).as("octets"),
+          bool_and(col("rt")).as("roundtrip_ok"),
+          (avg(col("ratio")) > lit(0.0) &&
+            avg(col("ratio")) <= lit(1.05)).as("ratio_band_ok"))
         .orderBy(col("source"))),
 
     // CROSS-CORPUS VOCABULARY OVERLAP (functions.ThetaSketch): per-lang
@@ -3573,6 +3580,16 @@ object SparkEntry {
         |FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
         |GROUP BY cnt.doc_id
         |ORDER BY cnt.doc_id""".stripMargin,
+
+    // DuckDB has no deflate, so the oracle pins what it CAN recompute
+    // (doc counts, octet sums) and literal TRUE for the two in-plan
+    // proof booleans: inflate(deflate(text))==text per doc, and the
+    // aggregated ratio band (q65's bounded-error device).
+    "q127_compression_quality" ->
+      """SELECT source, count(*) AS docs,
+        |  sum(octet_length(text::BLOB))::BIGINT AS octets,
+        |  TRUE AS roundtrip_ok, TRUE AS ratio_band_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Vocabulary overlap: exact distinct-token counts + exact
     // intersection vs English are the oracle columns; the theta-sketch

@@ -116,6 +116,67 @@ object DeflateKernel {
     while (!d.finished()) total += d.deflate(buf)
     total
   }
+
+  /** Raw-deflate bytes of the UTF-8 bytes of `s` at `level` — same
+    * pooled stream as [[deflateLen]], but materializing the output for
+    * the in-plan round-trip check.
+    */
+  def deflateBytes(s: UTF8String, level: Int): Array[Byte] = {
+    val pool = deflaters.get()
+    var d = pool(level)
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, true)
+      pool(level) = d
+    }
+    d.reset()
+    val in = s.getBytes
+    d.setInput(in)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    out.toByteArray
+  }
+}
+
+object InflateKernel {
+  // Pooled like DeflateKernel.deflaters: one native Inflater per task
+  // thread, reset() between rows.
+  private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater(true))
+
+  /** Inverse of [[DeflateKernel.deflateBytes]]: raw-inflate (nowrap). */
+  def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = inflaters.get()
+    inf.reset()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 3))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (!inf.finished() && inf.needsInput()) {
+        // truncated / corrupt stream — stop rather than spin
+        throw new java.util.zip.DataFormatException("truncated deflate stream")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** In-plan proof obligation for the deflate kernel:
+    * inflate(deflate(text)) == text, byte-exact on the UTF-8 bytes.
+    * Always true for a correct codec, which is exactly what makes it
+    * oracle-checkable (the oracle emits literal TRUE) — q65's
+    * bounded-error device, here with a zero-width bound.
+    */
+  def roundtripOk(s: UTF8String, level: Int): Boolean = {
+    val in = s.getBytes
+    val back = inflate(DeflateKernel.deflateBytes(s, level))
+    java.util.Arrays.equals(in, back)
+  }
 }
 
 /** deflate_size(text) -> int: raw DEFLATE output length at the given
@@ -143,6 +204,35 @@ case class DeflateSize(child: Expression, level: Int = 6)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.DeflateKernel.deflateLen($c, $level)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** deflate_roundtrip_ok(text) -> boolean: inflate(deflate(text)) == text,
+  * byte-exact ([[InflateKernel.roundtripOk]]). Uniformly true for a
+  * correct codec — carried through the plan so the driver's SQL oracle
+  * can check the deflate kernel (the oracle side is literal TRUE; any
+  * codec bug flips a row to false and fails the hash compare).
+  */
+case class DeflateRoundtripOk(child: Expression, level: Int = 6)
+  extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"deflate level must be 1..9, got $level")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "deflate_roundtrip_ok"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deflate_roundtrip_ok needs a string input, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    InflateKernel.roundtripOk(v.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.InflateKernel.roundtripOk($c, $level)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

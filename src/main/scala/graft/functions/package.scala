@@ -310,6 +310,13 @@ package object functions {
   def deflate_size(text: Column, level: Int = 6): Column =
     toColumn(DeflateSize(exprOf(text), level))
 
+  /** inflate(deflate(text)) == text, byte-exact — the in-plan proof
+    * obligation for the deflate kernel (uniformly true, so the SQL
+    * oracle side is literal TRUE).
+    */
+  def deflate_roundtrip_ok(text: Column, level: Int = 6): Column =
+    toColumn(DeflateRoundtripOk(exprOf(text), level))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -435,5 +442,9 @@ package object functions {
     reg.createOrReplaceTempFunction("deflate_size",
       es => DeflateSize(es(0),
         if (es.length > 1) intArg(es(1), "deflate_size", "level") else 6), "built-in")
+    reg.createOrReplaceTempFunction("deflate_roundtrip_ok",
+      es => DeflateRoundtripOk(es(0),
+        if (es.length > 1) intArg(es(1), "deflate_roundtrip_ok", "level") else 6),
+      "built-in")
   }
 }

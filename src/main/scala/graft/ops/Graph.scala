@@ -98,10 +98,22 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     // uniform: out-degree; weighted: out-weight mass — either way the
-    // per-edge contribution is pr * share / outdeg
+    // per-edge contribution is pr * share / outdeg. deg survives only
+    // for the dangling-mass anti-join (node-sized); the per-edge ratio
+    // is folded into the pinned edge frame below.
     val deg = e.groupBy(col("src"))
       .agg(weightCol.map(_ => sum(col("w")))
         .getOrElse(count(lit(1)).cast("double")).as("outdeg"))
+      .localCheckpoint(true)
+    // share/outdeg is iteration-invariant — fold it into the edge frame
+    // ONCE at setup instead of re-joining deg every iteration (one join
+    // × iterations saved; the loop's only per-iteration join is then
+    // edge ⋈ rank on the pinned src layout).
+    val ec = e.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (weightCol.map(_ => col("w")).getOrElse(lit(1.0)) /
+          col("outdeg")).as("cshare"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     // Node count as a driver literal: a single bounded count() at setup.
     // (This used to be a 1-row broadcast frame crossJoined into every
@@ -121,11 +133,9 @@ object Graph {
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
-      val share = weightCol.map(_ => col("w")).getOrElse(lit(1.0))
-      val contrib = e.join(pr, e("src") === pr("node"))
-        .join(deg, "src")
+      val contrib = ec.join(pr, ec("src") === pr("node"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") * share / col("outdeg")).as("c"))
+        .agg(sum(col("pr") * col("cshare")).as("c"))
       val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       val stepped = nodes.join(contrib, Seq("node"), "left")

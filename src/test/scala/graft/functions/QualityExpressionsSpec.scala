@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkTestSession
-import graft.functions.{char_entropy, deflate_size}
+import graft.functions.{char_entropy, deflate_roundtrip_ok, deflate_size}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -95,5 +95,34 @@ class QualityExpressionsSpec extends AnyFunSuite {
     val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(m("spam") < 0.05, s"template spam should crush: ${m("spam")}")
     assert(m("prose") > 0.4, s"prose should resist: ${m("prose")}")
+  }
+
+  test("deflate_roundtrip_ok is uniformly true, including multibyte/edge inputs") {
+    val texts = Seq("", "hello world", "ab" * 5000, "中文混合 ascii ✓ ÿ",
+      (0 until 4096).map(i => ((i * 7919) % 0x2FF) + 1).map(_.toChar).mkString)
+    val got = texts.toDF("s")
+      .select(deflate_roundtrip_ok(col("s")).as("ok"),
+        deflate_roundtrip_ok(col("s"), 1).as("ok1"),
+        deflate_roundtrip_ok(col("s"), 9).as("ok9"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    }
+    // null-safe + SQL registration
+    graft.functions.registerAll(spark)
+    val r = Seq(Option("x"), None).toDF("s")
+      .createOrReplaceTempView("qe_rt")
+    val rows = spark.sql(
+      "SELECT deflate_roundtrip_ok(s) FROM qe_rt ORDER BY s NULLS LAST").collect()
+    assert(rows(0).getBoolean(0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("InflateKernel rejects truncated streams instead of spinning") {
+    val full = DeflateKernel.deflateBytes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("some honest text " * 50), 6)
+    intercept[java.util.zip.DataFormatException] {
+      InflateKernel.inflate(full.take(full.length / 2))
+    }
   }
 }
