@@ -92,16 +92,40 @@ object Layout {
     }
     val (filesIn, bytesIn) = stats(inPath)
     val df = spark.read.parquet(inPath)
-    val rows = df.count()
     val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
+    // rows-in rides the rewrite pass itself — the input is scanned
+    // exactly ONCE for the rewrite; at 100 TB a separate count() pass
+    // would double the job. The observe sits ABOVE the exchange (just
+    // under the writer): below it, repartitionByRange's range-boundary
+    // sampling pass would evaluate the node a second time and
+    // double-count; above it, the metric fires once and counts exactly
+    // the rows handed to the writer (repartition is row-preserving).
+    val obs = org.apache.spark.sql.Observation()
     val rewritten =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nOut)
-    rewritten.write.mode("overwrite").parquet(outPath)
+    rewritten.observe(obs, count(lit(1)).as("rows_in"))
+      .write.mode("overwrite").parquet(outPath)
+    val rows = obs.get("rows_in").asInstanceOf[Long]
     val (filesOut, bytesOut) = stats(outPath)
-    val rowsOut = spark.read.parquet(outPath).count()
+    // rows-out from the parquet FOOTERS of what was just written —
+    // metadata-only (O(files) footer reads), no second scan of the data.
+    val rowsOut = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              f.getPath, spark.sparkContext.hadoopConfiguration))
+          try n += rd.getRecordCount finally rd.close()
+        }
+      }
+      n
+    }
     require(rowsOut == rows,
       s"compaction lost rows: $rowsOut != $rows") // never silently
     import spark.implicits._
