@@ -1439,25 +1439,28 @@ object SparkEntry {
       val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
       val base = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast("double").as("x"))
+      // exact side via ops/Quantiles (distributed prefix-sum ranks —
+      // the built-in `percentile` agg buffers every value into one
+      // merger and was 2.3 s of this query's 3 s alone); the 7 probes
+      // + exact answers collapse into a single 7-row broadcast, so the
+      // query is the sketch pass, the ranked exact pass, and one
+      // rank-gate scan — two broadcast joins total, down from four.
+      val exact = graft.ops.Quantiles.exact(base, "x", qs)
       val sk = base.agg(graft.functions.kll_sketch(col("x"), 200).as("sk"))
         .select(col("sk.n").as("n"), col("sk.items").as("items"),
           col("sk.weights").as("weights"))
-      val est = qs.toDF("q").crossJoin(broadcast(sk))
-        .withColumn("est", graft.functions.kll_quantile(
-          col("items"), col("weights"), col("q")))
-        .select(col("q"), col("est"), col("n"))
+      val est = exact.crossJoin(broadcast(sk))
+        .select(col("q"),
+          graft.functions.kll_quantile(
+            col("items"), col("weights"), col("q")).as("est"),
+          col("exact_q").as("ex"), col("n"))
       val gates = base.crossJoin(broadcast(est))
-        .groupBy(col("q"), col("est"), col("n"))
+        .groupBy(col("q"), col("est"), col("ex"), col("n"))
         .agg(sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("rk"))
-        .withColumn("kll_ok",
-          abs(col("rk").cast("double") - col("q") * col("n")) <=
-            lit(0.05) * col("n"))
-        .select(col("q"), col("kll_ok"))
-      val exact = base.agg(percentile(col("x"), typedLit(qs)).as("arr"))
-        .select(posexplode(col("arr")).as(Seq("i", "ex")))
-      qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q")
-        .join(exact, "i").join(gates, "q")
-        .select(col("q"), round(col("ex"), 4).as("exact_q"), col("kll_ok"))
+      gates
+        .select(col("q"), round(col("ex"), 4).as("exact_q"),
+          (abs(col("rk").cast("double") - col("q") * col("n")) <=
+            lit(0.05) * col("n")).as("kll_ok"))
         .orderBy(col("q"))
     }),
 

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles without a value-map aggregate.
+  *
+  * Spark's built-in `percentile` buffers every (value, count) pair per
+  * partition and ships the maps to a single merger — at 100 TB that is
+  * an executor-memory and single-reducer wall. This operator computes
+  * the same type-7 (linear-interpolation) quantiles with the engine's
+  * own machinery instead: range-partition on the value, sort within
+  * partitions, turn per-partition counts into global rank offsets (the
+  * q132 prefix-sum device — driver state is one row per PARTITION, not
+  * per value), and pick out the two bracketing ranks per requested
+  * quantile. Everything data-sized stays distributed; the only collects
+  * are partition counts and the ≤ 2·|qs| bracketing values.
+  */
+object Quantiles {
+
+  /** Exact quantiles of `xCol` (cast to double, nulls dropped) at each
+    * `q` in `qs`, with linear interpolation between bracketing ranks —
+    * bit-matching `percentile(x, qs)` / DuckDB `quantile_cont`.
+    * Returns a |qs|-row frame (q, exact_q). Empty input → empty frame.
+    */
+  def exact(df: DataFrame, xCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0,1]")
+    val session = df.sparkSession
+    import session.implicits._
+    // localCheckpoint pins range boundaries: the counts job and the
+    // rank-pick job must agree on partition membership (same argument
+    // as Sampling.trainingOrder)
+    // __tb spreads duplicate runs across range-partition boundaries (a
+    // single hot value would otherwise land one skewed partition); the
+    // global (x, tb) order still sorts by x, which is all ranks need
+    val parts = df.select(col(xCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__tb", monotonically_increasing_id())
+      .repartitionByRange(col("__x"), col("__tb"))
+      .sortWithinPartitions(col("__x"), col("__tb"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().sortBy(_.getInt(0)) // bounded: one row per partition
+    val n = counts.map(_.getLong(1)).sum
+    if (n == 0) return qs.toDF("q").filter(lit(false))
+      .withColumn("exact_q", lit(0.0).cast("double"))
+    var running = 0L
+    val offsets = counts.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    // global 0-indexed ranks that bracket each quantile position
+    val positions = qs.map(q => q * (n - 1))
+    val needed = positions.flatMap(p =>
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__x"), col("__tb"))
+    val picked = parts.join(offsetsDf, Seq("__pid"))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1 + col("__offset"))
+      .filter(col("__rank").isInCollection(needed))
+      .select(col("__rank"), col("__x"))
+      .collect() // bounded: ≤ 2·|qs| rows
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = qs.zip(positions).map { case (q, p) =>
+      val lo = math.floor(p).toLong; val hi = math.ceil(p).toLong
+      val xlo = picked(lo); val xhi = picked(hi)
+      (q, xlo + (p - lo) * (xhi - xlo))
+    }
+    rows.toDF("q", "exact_q")
+  }
+}
