@@ -29,23 +29,25 @@ object AhoCorasick {
   // ONE automaton per distinct keyword list per JVM: the expression
   // deserializes per task, and rebuilding (or even re-allocating) a
   // blocklist-sized DFA per task is the scan's dominant cost — the
-  // vocab-cache device the tokenizer kernels use.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
+  // vocab-cache device the tokenizer kernels use. BOUNDED (LRU): a
+  // long-running executor cycling through many distinct blocklists must
+  // not pin one DFA per list forever; evicted automatons rebuild on
+  // demand.
+  private val cache = new KernelCache[Seq[String], Automaton](8)
 
   def cached(keywords: Seq[String]): Automaton =
-    cache.computeIfAbsent(keywords, ks => new Automaton(ks.toArray))
+    cache.getOrCompute(keywords, ks => new Automaton(ks.toArray))
 
   // Built DFA tables per distinct keyword list per JVM. Keyed by the
   // keyword CONTENT, not the Automaton instance: every task
   // deserializes its own Automaton copy with the plan, and all copies
-  // must share one table set.
-  private val builtCache = new java.util.concurrent.ConcurrentHashMap[
-    Seq[String], (Array[Int], Array[Int], Array[Array[Int]])]()
+  // must share one table set. Bounded like `cache`.
+  private val builtCache = new KernelCache[
+    Seq[String], (Array[Int], Array[Int], Array[Array[Int]])](8)
 
   private[functions] def builtFor(
       a: Automaton): (Array[Int], Array[Int], Array[Array[Int]]) =
-    builtCache.computeIfAbsent(a.keywords.toSeq, _ => a.buildTables())
+    builtCache.getOrCompute(a.keywords.toSeq, _ => a.buildTables())
 
   /** Built automaton: flat next-state table over a COMPACT alphabet
     * (only bytes that occur in some keyword get a column — any other

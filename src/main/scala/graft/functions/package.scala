@@ -317,6 +317,12 @@ package object functions {
   def deflate_roundtrip_ok(text: Column, level: Int = 6): Column =
     toColumn(DeflateRoundtripOk(exprOf(text), level))
 
+  /** eTLD+1 under a carried Public Suffix List text (full
+    * `public_suffix_list.dat` grammar: wildcard + exception rules).
+    */
+  def registrable_domain_psl(host: Column, pslText: String): Column =
+    toColumn(RegistrableDomainPsl(exprOf(host), pslText))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */

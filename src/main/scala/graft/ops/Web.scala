@@ -95,6 +95,29 @@ object Web {
       .otherwise(host)
   }
 
+  /** Registrable domain under a REAL Public Suffix List: pass the text
+    * of a `public_suffix_list.dat`-format file (wildcard `*.ck` and
+    * exception `!www.ck` rules included — the cases the compact
+    * [[DefaultMultiSuffixes]] subset cannot express). Parsed once per
+    * JVM ([[graft.functions.PslKernel]]); each host evaluates in
+    * O(labels) hash probes inside codegen.
+    */
+  def registrableDomainPsl(host: Column, pslText: String): Column =
+    graft.functions.registrable_domain_psl(host, pslText)
+
+  /** Read a Public Suffix List file through the Hadoop filesystem (so
+    * file://, hdfs:// and s3a:// all work) for [[registrableDomainPsl]].
+    */
+  def loadPublicSuffixList(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Canonical URL: scheme+host lowercased, default port dropped
     * (443/https, 80/http), fragment dropped, tracking params removed
     * (`utm_*`, `fbclid`, `gclid`), remaining query params SORTED so

@@ -96,4 +96,13 @@ class KeywordExpressionsSpec extends AnyFunSuite {
     val c = auto.matchCounts(UTF8String.fromString(text))
     assert(c(9999) == 1 && c(0) == 1 && c.sum == 2)
   }
+
+  test("automaton cache is bounded: many distinct lists do not accumulate") {
+    val cache = new KernelCache[Int, String](4)
+    (0 until 100).foreach(i => cache.getOrCompute(i, k => s"v$k"))
+    assert(cache.sizeNow <= 4)
+    // LRU: the latest keys survive, evicted ones rebuild transparently
+    assert(cache.getOrCompute(99, _ => "rebuilt") == "v99")
+    assert(cache.getOrCompute(0, _ => "rebuilt") == "rebuilt")
+  }
 }

@@ -87,6 +87,46 @@ class WebSpec extends AnyFunSuite {
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("PSL rules: wildcard and exception rules the compact subset gets wrong") {
+    // the published grammar's canonical hard cases (*.ck / !www.ck),
+    // plus a comment line, an inline annotation, and a normal 2-label rule
+    val psl =
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |uk
+        |co.uk
+        |ck
+        |*.ck
+        |!www.ck
+        |jp
+        |""".stripMargin
+    val cases = Seq(
+      // wildcard: every <label>.ck is a public suffix...
+      "a.b.test.ck" -> "b.test.ck",
+      "test.ck" -> "test.ck",       // IS a public suffix -> itself (repo convention)
+      // ...except www.ck, carved back out by the exception rule
+      "www.ck" -> "www.ck",
+      "www.www.ck" -> "www.ck",
+      "foo.www.ck" -> "www.ck",
+      // normal rules still work alongside
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.example.com" -> "example.com",
+      // unlisted TLD falls to the implicit default rule `*`
+      "example.xyz" -> "example.xyz",
+      "sub.example.xyz" -> "example.xyz",
+      // case + trailing dot normalization
+      "WWW.Example.COM." -> "example.com",
+      "localhost" -> "localhost")
+    val got = cases.map(_._1).toDF("h")
+      .select(Web.registrableDomainPsl(col("h"), psl)).as[String].collect()
+    got.zip(cases).foreach { case (g, (h, w)) => assert(g == w, s"$h: $g != $w") }
+    // the compact subset really does get the ck cases wrong (the reason
+    // this operator exists): *.ck is not expressible there
+    val subset = cases.take(1).map(_._1).toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect()
+    assert(subset.head == "test.ck") // wrong answer without the PSL
+  }
+
   test("url normalize: case, default ports, fragments, tracking params, param order") {
     val cases = Seq(
       // default https port dropped, host lowered, fragment dropped,
