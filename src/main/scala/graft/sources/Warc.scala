@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import java.io.{EOFException, InputStream, OutputStream}
-import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 /** WARC (Web ARChive, ISO 28500) source + sink — the interchange format
@@ -38,7 +38,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   */
 object Warc {
 
-  private val CRLF = "\r\n".getBytes(ISO_8859_1)
+  private val CRLF = "\r\n".getBytes(UTF_8)
 
   /** `sha1:<base32>` content label for `WARC-Block-Digest` — the
     * labelled-digest form the spec defines and Common Crawl ships
@@ -87,7 +87,7 @@ object Warc {
     sb.append(s"WARC-Block-Digest: ${blockDigest(payload)}\r\n")
     extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append("\r\n")
-    val head = sb.toString.getBytes(ISO_8859_1)
+    val head = sb.toString.getBytes(UTF_8)
     out.write(head)
     out.write(payload)
     out.write(CRLF); out.write(CRLF)
@@ -129,7 +129,9 @@ object Warc {
       limit = n
       true
     }
-    // CRLF-terminated line in ISO-8859-1 (header charset per spec);
+    // CRLF-terminated line in UTF-8 (WARC 1.0 header charset per ISO
+    // 28500: field values are UTF-8; the CRLF scan below is byte-safe
+    // because UTF-8 continuation bytes never collide with 0x0A/0x0D);
     // returns null on clean EOF at a record boundary.
     def readLine(atBoundary: Boolean): String = {
       if (!fill()) {
@@ -146,7 +148,7 @@ object Warc {
           if (pending == null) {
             if (lineEnd - 1 < pos || buf(lineEnd - 1) != '\r')
               throw new EOFException("WARC header line not CRLF-terminated")
-            val s = new String(buf, pos, lineEnd - 1 - pos, ISO_8859_1)
+            val s = new String(buf, pos, lineEnd - 1 - pos, UTF_8)
             pos = lineEnd + 1
             return s
           } else {
@@ -155,7 +157,7 @@ object Warc {
             val b = pending.toByteArray
             if (b.length < 1 || b(b.length - 1) != '\r')
               throw new EOFException("WARC header line not CRLF-terminated")
-            return new String(b, 0, b.length - 1, ISO_8859_1)
+            return new String(b, 0, b.length - 1, UTF_8)
           }
         }
         // line straddles the buffer: stash and refill
@@ -371,11 +373,17 @@ object Warc {
             // java.util.zip handles concatenated members natively
             new GZIPInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
           else raw // the record parser does its own 64K buffering
+        // tasks that stop early (limit/take, kill) never reach the
+        // drained-iterator close below — the completion listener is the
+        // backstop that keeps per-task file handles from leaking
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
         val it = readRecords(in)
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) in.close()
+            if (!h) in.close() // fast path: free the handle at drain time
             h
           }
           override def next(): Row = {

@@ -190,4 +190,86 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(deduped.count() == (n0 + 1) / 2,
       "tracking-param variants of the same page must collapse")
   }
+
+  test("streaming crawl: landed WARC shards -> gates -> ref dedup, two batches, exactly once") {
+    // The continuously-arriving-crawl composition: a fetcher deposits
+    // WARC shards into a watched directory; Warc.readStream picks each
+    // up exactly once (file-source checkpoint), the curation gates run
+    // stateless inside the micro-batch, and the minhash reference-dedup
+    // face flags docs near-duplicating an already-ingested corpus —
+    // across TWO shard drops, with exactly-once accounting on both the
+    // gate counts and the flag set.
+    import graft.sources.Warc
+    import graft.streaming.StreamOps
+    val spark2 = spark
+    import spark2.implicits._
+
+    val refText = "the quick brown fox jumps over the lazy dog while " +
+      "the cat watches from the warm windowsill near the quiet garden"
+    def prose(i: Int): String =
+      s"document number $i discusses columnar storage layout planning " +
+        s"compaction policies and shuffle exchange reuse in distributed " +
+        s"query engines with partition pruning detail $i"
+    val refBands = graft.ops.Dedup.lshBands(
+      Seq((100L, refText)).toDF("doc_id", "text"), "doc_id", "text")
+
+    val root = java.nio.file.Files.createTempDirectory("e2e_stream_crawl")
+    val land = s"$root/land"
+    new java.io.File(land).mkdirs()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$root/$name"
+      Warc.writeShards(
+        rows.toDF("doc_id", "text")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .coalesce(1),
+        "doc_id", "payload", stage, recordsPerShard = 3)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".warc")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$land/$name-${f.getName}"))
+        }
+    }
+
+    // batch 1: one exact ref dup (1), one near ref dup (2), clean prose
+    // (3,4), and a template-spam doc (5) the compression gate must drop
+    drop("b1", Seq(
+      1L -> refText,
+      2L -> refText.replace("warm", "cold"),
+      3L -> prose(3), 4L -> prose(4),
+      5L -> ("buy now! " * 60)))
+
+    val parsed = Warc.readStream(spark, land)
+      .selectExpr("CAST(substr(record_id, 11) AS BIGINT) AS doc_id",
+        "CAST(payload AS STRING) AS text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val gated = parsed
+      .withColumn("ratio",
+        graft.functions.deflate_size(col("text")).cast("double") /
+          octet_length(col("text")))
+      .withColumn("ent", graft.functions.char_entropy(col("text")))
+      .filter(col("ratio") > 0.2 && col("ent").between(2.0, 6.0))
+      .drop("ratio", "ent")
+    val flagged = StreamOps.streamingDedupAgainstReference(
+      gated, "doc_id", "text", "ts", refBands)
+    val q = flagged.writeStream.format("memory").queryName("crawl_flags")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val f1 = spark.table("crawl_flags").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(f1 == Seq(1L, 2L),
+        s"batch 1: exactly the two ref near-dups must flag (spam doc " +
+          s"gated before dedup): got $f1")
+
+      // batch 2: one more ref dup (12) among fresh prose — only the NEW
+      // flag arrives; batch-1 rows are not re-emitted (exactly once)
+      drop("b2", Seq(10L -> prose(10), 11L -> prose(11), 12L -> refText))
+      q.processAllAvailable()
+      val f2 = spark.table("crawl_flags").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(f2 == Seq(1L, 2L, 12L),
+        s"batch 2 must add exactly doc 12: got $f2")
+    } finally q.stop()
+  }
 }
