@@ -16,12 +16,28 @@ import java.nio.ByteBuffer
 object Mp4 {
 
   /** What a video-track catalog pass needs from the container.
-    * `sampleSizes` is the video track's per-sample byte-size table
-    * (stsz — per-entry or constant-expanded), empty when absent.
+    * `sampleSizes` is the video track's per-entry stsz byte-size table;
+    * a CONSTANT-size track (stsz sample_size != 0) is carried as
+    * `constSampleSize` instead — never expanded, so a billion-frame
+    * track costs one long, not an allocation (read through
+    * [[sampleCount]]/[[sampleSizeAt]], which cover both shapes).
     */
   case class VideoMeta(brand: String, codec: String, width: Int, height: Int,
       nFrames: Int, durationMs: Long, nTracks: Int,
-      sampleSizes: Array[Long] = Array.empty)
+      sampleSizes: Array[Long] = Array.empty,
+      constSampleSize: Long = 0) {
+
+    /** Entries in the (possibly constant/RLE) sample table; 0 = no
+      * parseable table (distinct from a present-but-constant one).
+      */
+    def sampleCount: Int =
+      if (sampleSizes.nonEmpty) sampleSizes.length
+      else if (constSampleSize > 0) math.max(0, nFrames)
+      else 0
+
+    def sampleSizeAt(i: Int): Long =
+      if (sampleSizes.nonEmpty) sampleSizes(i) else constSampleSize
+  }
 
   /** ISO-BMFF sniff: every MP4 starts with an ftyp box (size + 'ftyp'). */
   def isMp4(bytes: Array[Byte]): Boolean =
@@ -64,6 +80,7 @@ object Mp4 {
     var codec = ""
     var frames = 0L
     var sampleSizes: Array[Long] = null // per-entry stsz table, if present
+    var constSize = 0L // stsz constant sample_size, if non-zero
   }
 
   private def parseTrak(b: Array[Byte], from: Int, to: Int): Track = {
@@ -94,8 +111,11 @@ object Mp4 {
                 var i = 0
                 while (i < n) { sizes(i) = u32(b, zs + 12 + i * 4); i += 1 }
                 t.sampleSizes = sizes
-              } else if (t.frames > 0 && t.frames <= 1000000) {
-                t.sampleSizes = Array.fill(t.frames.toInt)(constSize)
+              } else {
+                // constant-size track: carry the ONE size, never expand
+                // (a large frame count would otherwise either allocate
+                // count longs or be silently dropped)
+                t.constSize = constSize
               }
             case _ =>
           }
@@ -149,7 +169,8 @@ object Mp4 {
         val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
         Some(VideoMeta(brand, t.codec, t.w, t.h, t.frames.toInt, durMs,
           nTracks,
-          if (t.sampleSizes == null) Array.empty else t.sampleSizes))
+          if (t.sampleSizes == null) Array.empty else t.sampleSizes,
+          t.constSize))
       }
     } catch { case _: Exception => None }
   }

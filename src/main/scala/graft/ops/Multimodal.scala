@@ -462,9 +462,9 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         Option(bytes).flatMap(Mp4.parse) match {
-          case Some(m) if m.sampleSizes.nonEmpty =>
-            (0 until m.sampleSizes.length by everyK).iterator.map(i =>
-              Row(r.get(idIdx), i, m.sampleSizes(i)))
+          case Some(m) if m.sampleCount > 0 =>
+            (0 until m.sampleCount by everyK).iterator.map(i =>
+              Row(r.get(idIdx), i, m.sampleSizeAt(i)))
           case _ => Iterator.empty
         }
       }

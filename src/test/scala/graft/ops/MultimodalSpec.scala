@@ -304,6 +304,34 @@ class MultimodalSpec extends AnyFunSuite {
         box("minf", box("stbl", stszConst)))))
     val constMeta = Mp4.parse(handMp4).get
     assert(constMeta.nFrames == 5)
-    assert(constMeta.sampleSizes.toSeq == Seq.fill(5)(2048L))
+    // constant-size tracks are carried compactly — one long, no
+    // expansion — and read through the shape-agnostic accessors
+    assert(constMeta.sampleSizes.isEmpty)
+    assert(constMeta.constSampleSize == 2048L)
+    assert(constMeta.sampleCount == 5)
+    assert((0 until constMeta.sampleCount)
+      .forall(constMeta.sampleSizeAt(_) == 2048L))
+  }
+
+  test("huge constant-size tracks are not silently dropped (no 1M-frame cap)") {
+    val stszConst = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0)
+      b.putInt(4096).putInt(50000000) // 50M frames, constant 4 KiB
+      b.array()
+    }
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(t.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("trak", box("mdia",
+        box("minf", box("stbl", box("stsz", stszConst))))))
+    val m = Mp4.parse(mp4).get
+    assert(m.sampleCount == 50000000)
+    assert(m.sampleSizeAt(49999999) == 4096L)
+    assert(m.sampleSizes.isEmpty) // and it cost one long, not 400 MB
   }
 }
