@@ -98,9 +98,17 @@ object Classify {
   def trainLogReg(docs: DataFrame, idCol: String, label: Column,
       textCol: String, numBuckets: Int = 1 << 18, iters: Int = 8,
       learningRate: Double = 2.0): LrModel = {
-    require(numBuckets > 0 && numBuckets <= (1 << 24),
-      s"trainLogReg: numBuckets must be in (0, 2^24] (the model is " +
-        s"driver-held), got $numBuckets")
+    // Rail math: the per-iteration collect is one (int, double, double)
+    // row per LIVE bucket — ≤ numBuckets+1 rows, ~40 B each on the
+    // driver. 2^22 ≈ 170 MB worst case: comfortable; 2^24 would be
+    // ~670 MB per iteration and was too generous a rail. Users copying
+    // fastText's 2M-bucket default fit either way; past 2^22, use
+    // [[trainLogRegMiniBatch]] (smaller live-bucket sets per step) or
+    // shrink the hash space.
+    require(numBuckets > 0 && numBuckets <= (1 << 22),
+      s"trainLogReg: numBuckets must be in (0, 2^22] (the model and the " +
+        s"per-iteration gradient collect are driver-held; see " +
+        s"trainLogRegMiniBatch for larger spaces), got $numBuckets")
     require(iters >= 1 && iters <= 1000,
       s"trainLogReg: iters must be in [1,1000], got $iters")
     require(learningRate > 0, "trainLogReg: learningRate must be positive")
@@ -143,6 +151,76 @@ object Classify {
           val g = row.getDouble(1)
           b -> round6(weights.getOrElse(b, 0.0) - learningRate * g / nDocs)
         }.toMap
+      }
+      LrModel(weights, numBuckets, losses.result())
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Mini-batch variant of [[trainLogReg]]: each iteration descends on
+    * a DETERMINISTIC hash-sampled subset of the corpus — iteration i's
+    * batch is the docs whose seeded md5 score under `(seed, i)` falls
+    * below `batchFraction` (the [[Sampling.seededScore]] device: no RNG
+    * state, so the same batches reproduce across engines, retries, and
+    * partition counts, and a new seed is a new batch schedule).
+    *
+    * Scale shape: identical to the full-batch path (the persisted
+    * doc-partitioned feature frame is built once; the batch filter is a
+    * map-side predicate on it), but each step's gradient aggregate and
+    * collect only see ~`batchFraction` of the docs — the live-bucket
+    * set per step shrinks accordingly, which is what makes larger hash
+    * spaces workable. An empty batch (tiny corpus × small fraction)
+    * applies no update and records a NaN loss for that step.
+    */
+  def trainLogRegMiniBatch(docs: DataFrame, idCol: String, label: Column,
+      textCol: String, numBuckets: Int = 1 << 18, iters: Int = 8,
+      learningRate: Double = 2.0, batchFraction: Double = 0.25,
+      seed: Long = 0L): LrModel = {
+    require(numBuckets > 0 && numBuckets <= (1 << 22),
+      s"trainLogRegMiniBatch: numBuckets must be in (0, 2^22], got $numBuckets")
+    require(iters >= 1 && iters <= 1000,
+      s"trainLogRegMiniBatch: iters must be in [1,1000], got $iters")
+    require(learningRate > 0, "trainLogRegMiniBatch: learningRate must be positive")
+    require(batchFraction > 0 && batchFraction <= 1,
+      s"trainLogRegMiniBatch: batchFraction must be in (0,1], got $batchFraction")
+    val spark = docs.sparkSession
+    val feats = featureFrame(docs, idCol, label, textCol, numBuckets)
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(!feats.isEmpty, "trainLogRegMiniBatch: empty training corpus")
+      var weights = Map.empty[Int, Double]
+      val losses = Seq.newBuilder[Double]
+      for (i <- 1 to iters) {
+        val batch = feats.filter(
+          Sampling.seededScore(col("doc_id"), seed * 1000003L + i)
+            < batchFraction)
+        val resid = forward(batch, weights, spark)
+          .select(col("doc_id"), (col("p") - col("y")).as("r"),
+            (-(col("y") * log(greatest(col("p"), lit(1e-15))) +
+              (lit(1.0) - col("y")) *
+                log(greatest(lit(1.0) - col("p"), lit(1e-15))))).as("l"))
+        // same one-pass gradient+trace aggregate as the full-batch path,
+        // with the batch size riding the bias rows (one per batch doc)
+        val rows = batch.join(resid, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg(sum(col("x") * col("r")).as("g"),
+            sum(when(col("b") === BiasBucket, col("l"))).as("lsum"),
+            sum(when(col("b") === BiasBucket, 1L)).as("nb"))
+          .collect()
+        val nb = rows.collectFirst {
+          case row if row.getInt(0) == BiasBucket => row.getLong(3)
+        }.getOrElse(0L)
+        if (nb == 0) losses += Double.NaN // empty batch: skip the step
+        else {
+          losses += rows.collectFirst {
+            case row if row.getInt(0) == BiasBucket => row.getDouble(2) / nb
+          }.getOrElse(Double.NaN)
+          weights = weights ++ rows.map { row =>
+            val b = row.getInt(0)
+            val g = row.getDouble(1)
+            b -> round6(weights.getOrElse(b, 0.0) - learningRate * g / nb)
+          }
+        }
       }
       LrModel(weights, numBuckets, losses.result())
     } finally { feats.unpersist(); () }

@@ -134,5 +134,53 @@ class ClassifySpec extends AnyFunSuite {
       Classify.trainLogReg(docs, "doc_id", col("y") === 1, "text",
         learningRate = 0.0)
     }
+    // the driver-memory rail: 2^22 is the ceiling, above it points at
+    // the mini-batch face
+    intercept[IllegalArgumentException] {
+      Classify.trainLogReg(docs, "doc_id", col("y") === 1, "text",
+        numBuckets = (1 << 22) + 1)
+    }
+  }
+
+  test("trainLogRegMiniBatch: identical model across partition counts and reruns") {
+    val docs = corpus(200)
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Classify.trainLogRegMiniBatch(df, "doc_id", col("y"), "text",
+        numBuckets = 256, iters = 6, learningRate = 2.0,
+        batchFraction = 0.4, seed = 7L)
+    val m1 = train(docs.coalesce(1))
+    val m8 = train(docs.repartition(8))
+    assert(m1.weights === m8.weights) // hash batches, not RNG: bit-equal
+    // the MODEL is partition-invariant (6 dp weight rounding); the loss
+    // trace is a raw-double diagnostic whose summation order may differ
+    // in the last ulp — compare it rounded
+    assert(m1.lossTrace.map(l => math.rint(l * 1e9)) ===
+      m8.lossTrace.map(l => math.rint(l * 1e9)))
+    assert(train(docs.repartition(3)).weights === m1.weights) // rerun too
+  }
+
+  test("trainLogRegMiniBatch: learns the separable corpus; new seed = new schedule") {
+    val docs = corpus(200)
+    val m = Classify.trainLogRegMiniBatch(docs, "doc_id", col("y"), "text",
+      numBuckets = 1024, iters = 10, learningRate = 2.0,
+      batchFraction = 0.5, seed = 1L)
+    val conf = Classify.confusion(docs, "doc_id", col("y"), "text", m)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val correct = conf.getOrElse((0, 0), 0L) + conf.getOrElse((1, 1), 0L)
+    assert(correct >= 185, s"mini-batch accuracy too low: $conf")
+    val m2 = Classify.trainLogRegMiniBatch(docs, "doc_id", col("y"), "text",
+      numBuckets = 1024, iters = 10, learningRate = 2.0,
+      batchFraction = 0.5, seed = 2L)
+    assert(m.weights !== m2.weights) // different batch schedule
+  }
+
+  test("trainLogRegMiniBatch: empty batches skip the step, never NaN the model") {
+    // 2 docs at fraction 0.01: most iterations see an empty batch
+    val docs = corpus(2)
+    val m = Classify.trainLogRegMiniBatch(docs, "doc_id", col("y"), "text",
+      numBuckets = 64, iters = 5, learningRate = 1.0,
+      batchFraction = 0.01, seed = 3L)
+    assert(m.weights.values.forall(v => !v.isNaN))
+    assert(m.lossTrace.length == 5) // NaN marks skipped steps in the trace
   }
 }
