@@ -1969,6 +1969,37 @@ object SparkEntry {
           col("files_out") <= col("files_in") && col("rows_out") === col("rows_in"))
         .select(col("n_rows"), col("sum_qty"), col("min_orderkey"),
           col("max_orderkey"), col("compacted"))
+    }),
+
+    // PUBLIC-SUFFIX-LIST registrable domains (functions
+    // .RegistrableDomainPsl): eTLD+1 under the published
+    // public_suffix_list.dat grammar — wildcard (*.ck) and exception
+    // (!www.ck) rules, the cases a flat suffix set cannot express.
+    // Hosts are derived from doc_id across six shapes chosen to hit
+    // every rule class; the oracle rebuilds the same hosts and states
+    // the per-shape expected eTLD+1 (q92's device: the oracle replays
+    // the DECISION independently, not the algorithm). At 100 TB the
+    // kernel is O(labels) hash probes per host inside the scan's
+    // codegen span — the rule table parses once per executor.
+    "q138_psl_domains" -> ((s, dir) => {
+      val psl = "// test rules\ncom\nuk\nco.uk\nck\n*.ck\n!www.ck\njp\n"
+      val k = col("doc_id").cast("string")
+      val host = when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("a"), k, lit(".b"), k, lit(".test.ck")))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          concat(lit("x"), k, lit(".www.ck")))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          concat(lit("sub"), k, lit(".shop"), k, lit(".example.co.uk")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("www.site"), k, lit(".com")))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("deep.sub.page"), k, lit(".xyz")))
+        .otherwise(concat(lit("host"), k, lit(".jp")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("rdomain",
+          graft.functions.registrable_domain_psl(col("host"), psl))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3619,6 +3650,29 @@ object SparkEntry {
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         |  TRUE AS compacted
         |FROM lineitem""".stripMargin,
+
+    // PSL eTLD+1: the oracle rebuilds the same six host shapes and
+    // states each shape's registrable domain from the rule classes
+    // directly (wildcard *.ck -> 3 labels survive; exception !www.ck ->
+    // www.ck itself; co.uk -> 3; com/jp/default * -> 2) — the q92
+    // device: independent decision replay, no shared code path.
+    "q138_psl_domains" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'a' || doc_id::VARCHAR || '.b' || doc_id::VARCHAR || '.test.ck'
+        |    WHEN 1 THEN 'x' || doc_id::VARCHAR || '.www.ck'
+        |    WHEN 2 THEN 'sub' || doc_id::VARCHAR || '.shop' || doc_id::VARCHAR || '.example.co.uk'
+        |    WHEN 3 THEN 'www.site' || doc_id::VARCHAR || '.com'
+        |    WHEN 4 THEN 'deep.sub.page' || doc_id::VARCHAR || '.xyz'
+        |    ELSE 'host' || doc_id::VARCHAR || '.jp' END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'b' || doc_id::VARCHAR || '.test.ck'
+        |    WHEN 1 THEN 'www.ck'
+        |    WHEN 2 THEN 'example.co.uk'
+        |    WHEN 3 THEN 'site' || doc_id::VARCHAR || '.com'
+        |    WHEN 4 THEN 'page' || doc_id::VARCHAR || '.xyz'
+        |    ELSE 'host' || doc_id::VARCHAR || '.jp' END AS rdomain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -1249,15 +1249,11 @@ object ScaleCheck {
       f"(${nQ * perQ / tEv / 1e6}%.1f M pairs/s)")
     }
 
-    if (run("sfbench")) {
-    // ---- 6. Scaling exponent: the 5 heaviest driver queries at 1x/10x --
-    // The driver benches sf0.1 (5k documents / 2k embeddings); this
-    // section runs the SAME SparkEntry query code on generator tables of
-    // the sf0.1 shape at 1x and 10x (= sf1.0 row counts) and reports the
-    // observed wall-time factor per query. Documents: ~54 tokens from a
-    // 500-word vocab, 5 langs, 20 sources, a near-dup plant every 10th
-    // doc (cluster structure for the dedup queries); embeddings: 40-center
-    // clustered 64-dim floats + a label column — both deterministic.
+    // Generator tables of the sf0.1 shape for the scaling sections (§6,
+    // §6b). Documents: ~54 tokens from a 500-word vocab, 5 langs, 20
+    // sources, a near-dup plant every 10th doc (cluster structure for
+    // the dedup queries); embeddings: 40-center clustered 64-dim floats
+    // + a label column — both deterministic.
     def writeSfDir(dir: String, nDocs: Long, nVecs: Long): Unit = {
       val words = (0 until 500).map(i => s"w$i")
       val wordAt = (c: org.apache.spark.sql.Column) =>
@@ -1286,6 +1282,12 @@ object ScaleCheck {
           pmod(col("vec_id"), lit(10)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
+    if (run("sfbench")) {
+    // ---- 6. Scaling exponent: the heaviest driver queries at 1x/10x --
+    // The driver benches sf0.1 (5k documents / 2k embeddings); this
+    // section runs the SAME SparkEntry query code on generator tables
+    // at 1x and 10x (= sf1.0 row counts) and reports the observed
+    // wall-time factor per query.
     val heavy = Seq("q62_dedup_clusters", "q77_bigram_nll",
       "q89_cluster_sizes", "q93_ivf_knn_join", "q96_dedup_keep_best",
       // round-10 heavy additions that run on the generator tables
@@ -1306,6 +1308,27 @@ object ScaleCheck {
     }
     println(f"SFBENCH> median_factor=${factors.sorted.apply(factors.size / 2)}%.1fx " +
       "on 10x rows (linear = 10x; sub-linear = fixed overhead still dominating)")
+    }
+
+    if (run("sfbench100")) {
+    // ---- 6b. 100x point for the two steepest §6 members ---------------
+    // q134's 4.8x and q123's 2.5x at 10x left open whether the curve
+    // bends upward past the fixed-overhead regime; 100x (= sf10 row
+    // counts, 500k docs + the 10% near-dup plant) pins the next decade.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sfbench100").toString
+    writeSfDir(s"$root/sf1x", 5000L, 2000L)
+    // both queries read documents only — embeddings stay small
+    writeSfDir(s"$root/sf100x", 500000L, 2000L)
+    Seq("q123_logreg_quality", "q134_containment_join").foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, s"$root/sf1x").count() // warm both paths once
+      fn(spark, s"$root/sf100x").count()
+      val (_, t1) = time(fn(spark, s"$root/sf1x").count())
+      val (_, t100) = time(fn(spark, s"$root/sf100x").count())
+      println(f"SFBENCH100> $name t_sf01=${t1}%.2f s t_sf100=${t100}%.2f s " +
+        f"factor=${t100 / t1}%.1fx")
+    }
     }
 
     spark.stop()
