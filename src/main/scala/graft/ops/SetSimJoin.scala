@@ -66,7 +66,12 @@ object SetSimJoin {
   }
 
   /** Deduped, size-annotated set frame — the shared input of the
-    * candidate and verify stages.
+    * candidate and verify stages. PINNED (eager localCheckpoint): the
+    * frame feeds FOUR consumers (document frequencies, prefixes, and
+    * both sides of the exact verify join); unpinned, the upstream
+    * tokenize/shingle/distinct would recompute for each — at 100 TB
+    * that is three extra full passes over the corpus, far costlier
+    * than materializing the set frame once.
     */
   private[graft] def prepared(sets: DataFrame, idCol: String,
       setCol: String): DataFrame =
@@ -74,6 +79,7 @@ object SetSimJoin {
       .select(col(idCol).as("doc_id"), array_distinct(col(setCol)).as("els"))
       .filter(size(col("els")) > 0)
       .withColumn("sz", size(col("els")))
+      .localCheckpoint(true)
 
   /** Distinct candidate pairs (da < db) from the prefix-filter
     * equi-join — exposed so tests and ScaleCheck can measure the exact
