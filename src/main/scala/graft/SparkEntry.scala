@@ -1757,9 +1757,16 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
           sum(col("octs").cast("long")).as("octets"),
-          bool_and(col("rt")).as("roundtrip_ok"),
-          (avg(col("ratio")) > lit(0.0) &&
-            avg(col("ratio")) <= lit(1.05)).as("ratio_band_ok"))
+          // coalesce: an all-null-text source must read TRUE (vacuous),
+          // not NULL, to keep the oracle's literal-TRUE contract honest
+          coalesce(bool_and(col("rt")), lit(true)).as("roundtrip_ok"),
+          // per-doc band, gated to docs >= 64 octets: deflate's fixed
+          // framing overhead can push a tiny doc's ratio past 1 without
+          // any codec bug, and ratio is NULL at octets = 0 — both are
+          // excluded rather than allowed to poison the boolean
+          coalesce(bool_and(when(col("octs") >= 64,
+            col("ratio") > lit(0.0) && col("ratio") <= lit(1.2))),
+            lit(true)).as("ratio_band_ok"))
         .orderBy(col("source"))),
 
     // CROSS-CORPUS VOCABULARY OVERLAP (functions.ThetaSketch): per-lang

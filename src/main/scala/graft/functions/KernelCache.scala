@@ -16,8 +16,19 @@ private[functions] final class KernelCache[K, V](maxEntries: Int) {
         size() > maxEntries
     })
 
-  def getOrCompute(k: K, f: java.util.function.Function[K, V]): V =
-    m.computeIfAbsent(k, f)
+  def getOrCompute(k: K, f: java.util.function.Function[K, V]): V = {
+    // build OUTSIDE the map lock: computeIfAbsent under the synchronized
+    // wrapper would hold the single monitor for the whole build,
+    // serializing every other thread's cache HIT (even on other keys)
+    // behind a blocklist-sized DFA construction. The cost is a possible
+    // duplicate concurrent build of the same key — benign, both results
+    // are valid and putIfAbsent keeps the first.
+    val hit = m.get(k)
+    if (hit != null) return hit
+    val built = f(k)
+    val raced = m.putIfAbsent(k, built)
+    if (raced != null) raced else built
+  }
 
   private[functions] def sizeNow: Int = m.size()
 }

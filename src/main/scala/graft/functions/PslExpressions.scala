@@ -23,10 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PslKernel {
 
-  /** Parsed rule table. Wildcards are supported in the leftmost label
-    * position (`*.ck`) — the only position the published list uses.
+  /** The three parsed rule sets. Wildcards are supported in the
+    * leftmost label position (`*.ck`) — the only position the published
+    * list uses.
     */
-  final class Rules(text: String) extends Serializable {
+  final class RuleTables(text: String) {
     val normal = new java.util.HashSet[String]()
     val wild = new java.util.HashSet[String]()   // the part after "*."
     val exc = new java.util.HashSet[String]()    // the part after "!"
@@ -42,27 +43,43 @@ object PslKernel {
     }
   }
 
-  private val cache = new KernelCache[String, Rules](4)
+  /** Serialization-friendly handle: ships only the raw TEXT with the
+    * plan (codegen references included); the parsed hash sets rebuild
+    * lazily through the JVM-wide content-keyed cache, so every task
+    * copy on an executor shares ONE table set — the Aho-Corasick
+    * Automaton/builtFor device.
+    */
+  final class Rules(val text: String) extends Serializable {
+    @transient lazy val tables: RuleTables = PslKernel.tablesFor(text)
+  }
+
+  private val cache = new KernelCache[String, RuleTables](4)
 
   /** Key by a content digest, not the 250 KB text, so the LRU's key set
     * stays tiny however many list versions cycle through.
     */
-  def cached(text: String): Rules = {
+  private[functions] def tablesFor(text: String): RuleTables = {
     val key = java.util.Base64.getEncoder.encodeToString(
       java.security.MessageDigest.getInstance("MD5")
         .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    cache.getOrCompute(key, _ => new Rules(text))
+    cache.getOrCompute(key, _ => new RuleTables(text))
   }
 
+  def cached(text: String): Rules = new Rules(text)
+
   /** Registrable domain (eTLD+1) of `host` under `rules`. Returns the
-    * host itself when the host IS a public suffix or a bare label —
-    * nothing to register below it (the repo's registrableDomain
-    * convention; the PSL algorithm proper says "undefined" there).
+    * (normalized: lowercased, outer dots stripped) host itself when the
+    * host IS a public suffix or a bare label — nothing to register
+    * below it (the repo's registrableDomain convention; the PSL
+    * algorithm proper says "undefined" there). Every return path is
+    * normalized, so equal domains always produce equal dedup keys
+    * regardless of input casing or a trailing dot.
     */
   def registrable(host: UTF8String, rules: Rules): UTF8String = {
     val h = host.toString.toLowerCase(java.util.Locale.ROOT)
       .stripPrefix(".").stripSuffix(".")
-    if (h.isEmpty) return host
+    if (h.isEmpty) return UTF8String.fromString(h)
+    val t = rules.tables
     val labels = h.split('.')
     val n = labels.length
     // suffix of length L = labels[n-L..n-1]; build longest-first probes
@@ -76,14 +93,14 @@ object PslKernel {
     l = 1
     while (l <= n) {
       val s = sufs(l)
-      if (excLen < 0 && rules.exc.contains(s)) excLen = l - 1
-      if (rules.normal.contains(s)) psLen = math.max(psLen, l)
-      if (l >= 2 && rules.wild.contains(sufs(l - 1)))
+      if (excLen < 0 && t.exc.contains(s)) excLen = l - 1
+      if (t.normal.contains(s)) psLen = math.max(psLen, l)
+      if (l >= 2 && t.wild.contains(sufs(l - 1)))
         psLen = math.max(psLen, l)
       l += 1
     }
     if (excLen >= 0) psLen = excLen // exception rules beat everything
-    if (n <= psLen) host
+    if (n <= psLen) UTF8String.fromString(h)
     else UTF8String.fromString(sufs(psLen + 1))
   }
 }

@@ -167,7 +167,10 @@ object Mp4 {
       else {
         val t = if (video == null) new Track else video
         val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
-        Some(VideoMeta(brand, t.codec, t.w, t.h, t.frames.toInt, durMs,
+        // u32 frame counts >= 2^31 SATURATE rather than wrap negative —
+        // a wrapped count would read as "no sample table" downstream
+        Some(VideoMeta(brand, t.codec, t.w, t.h,
+          math.min(t.frames, Int.MaxValue.toLong).toInt, durMs,
           nTracks,
           if (t.sampleSizes == null) Array.empty else t.sampleSizes,
           t.constSize))

@@ -449,8 +449,9 @@ object Multimodal {
     * with no parseable sample table emit nothing.
     */
   def frameSampleTable(df: DataFrame, idCol: String, binCol: String,
-      everyK: Int = 10): DataFrame = {
+      everyK: Int = 10, maxFramesPerDoc: Int = 1 << 24): DataFrame = {
     require(everyK >= 1, "everyK must be >= 1")
+    require(maxFramesPerDoc >= 1, "maxFramesPerDoc must be >= 1")
     val idType = df.schema(idCol).dataType
     val outSchema = StructType(Seq(
       StructField("id", idType),
@@ -463,8 +464,14 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         Option(bytes).flatMap(Mp4.parse) match {
           case Some(m) if m.sampleCount > 0 =>
-            (0 until m.sampleCount by everyK).iterator.map(i =>
-              Row(r.get(idIdx), i, m.sampleSizeAt(i)))
+            // untrusted-input rail: a forged constant-size stsz box can
+            // DECLARE billions of frames in 12 bytes (a per-entry table
+            // is payload-bounded, a constant one is not) — cap the rows
+            // one document may emit; 16M frames = a week of 24 fps
+            // video, far past any honest sample
+            (0 until math.min(m.sampleCount, maxFramesPerDoc) by everyK)
+              .iterator.map(i =>
+                Row(r.get(idIdx), i, m.sampleSizeAt(i)))
           case _ => Iterator.empty
         }
       }

@@ -129,10 +129,23 @@ object Warc {
       limit = n
       true
     }
-    // CRLF-terminated line in UTF-8 (WARC 1.0 header charset per ISO
-    // 28500: field values are UTF-8; the CRLF scan below is byte-safe
-    // because UTF-8 continuation bytes never collide with 0x0A/0x0D);
-    // returns null on clean EOF at a record boundary.
+    // Header bytes decode as UTF-8 (WARC 1.0 header charset per ISO
+    // 28500) with a byte-lossless ISO-8859-1 FALLBACK when the bytes
+    // are not valid UTF-8 — pre-1.0 / sloppy third-party archives carry
+    // raw Latin-1 in URIs, and a silent U+FFFD substitution there would
+    // corrupt URI-keyed dedup keys. The CRLF scan stays byte-safe
+    // either way (UTF-8 continuation bytes never collide with
+    // 0x0A/0x0D).
+    def decodeHeader(b: Array[Byte], off: Int, len: Int): String = {
+      val dec = UTF_8.newDecoder() // REPORTs malformed input by default
+      try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+      catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          new String(b, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    }
+    // CRLF-terminated header line; returns null on clean EOF at a
+    // record boundary.
     def readLine(atBoundary: Boolean): String = {
       if (!fill()) {
         if (atBoundary) return null
@@ -148,7 +161,7 @@ object Warc {
           if (pending == null) {
             if (lineEnd - 1 < pos || buf(lineEnd - 1) != '\r')
               throw new EOFException("WARC header line not CRLF-terminated")
-            val s = new String(buf, pos, lineEnd - 1 - pos, UTF_8)
+            val s = decodeHeader(buf, pos, lineEnd - 1 - pos)
             pos = lineEnd + 1
             return s
           } else {
@@ -157,7 +170,7 @@ object Warc {
             val b = pending.toByteArray
             if (b.length < 1 || b(b.length - 1) != '\r')
               throw new EOFException("WARC header line not CRLF-terminated")
-            return new String(b, 0, b.length - 1, UTF_8)
+            return decodeHeader(b, 0, b.length - 1)
           }
         }
         // line straddles the buffer: stash and refill

@@ -114,8 +114,11 @@ class WebSpec extends AnyFunSuite {
       // unlisted TLD falls to the implicit default rule `*`
       "example.xyz" -> "example.xyz",
       "sub.example.xyz" -> "example.xyz",
-      // case + trailing dot normalization
+      // case + trailing dot normalization — INCLUDING the
+      // host-is-a-public-suffix path, which must return the normalized
+      // form, not the raw input (equal domains -> equal dedup keys)
       "WWW.Example.COM." -> "example.com",
+      "Test.CK." -> "test.ck",
       "localhost" -> "localhost")
     val got = cases.map(_._1).toDF("h")
       .select(Web.registrableDomainPsl(col("h"), psl)).as[String].collect()
