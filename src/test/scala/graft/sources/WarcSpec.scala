@@ -60,6 +60,30 @@ class WarcSpec extends AnyFunSuite {
     assert(rs.head.payload.toSeq == payload.toSeq)
   }
 
+  test("header values: UTF-8 round-trips; raw Latin-1 falls back byte-lossless") {
+    // spec-conformant UTF-8 header value round-trips through writer+reader
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.writeRecord(out, "rid-ü", "p".getBytes(UTF_8),
+      extraHeaders = Seq("X-Graft-Title" -> "café 中文 ✓"))
+    val r1 = Warc.readRecords(
+      new ByteArrayInputStream(out.toByteArray)).toVector.head
+    assert(r1.recordId == "urn:graft:rid-ü")
+    assert(r1.headers("x-graft-title") == "café 中文 ✓")
+    // a pre-1.0/sloppy archive with a RAW Latin-1 byte (0xE9 'é') in a
+    // header — invalid UTF-8 — must decode byte-lossless via the
+    // ISO-8859-1 fallback, not mangle to U+FFFD
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write("WARC/1.0\r\nContent-Length: 1\r\nWARC-Type: resource\r\n".getBytes(ISO_8859_1))
+    raw.write("WARC-Target-URI: http://x/caf".getBytes(ISO_8859_1))
+    raw.write(0xE9) // bare Latin-1 é
+    raw.write("\r\n\r\n".getBytes(ISO_8859_1))
+    raw.write('p')
+    raw.write("\r\n\r\n".getBytes(ISO_8859_1))
+    val r2 = Warc.readRecords(
+      new ByteArrayInputStream(raw.toByteArray)).toVector.head
+    assert(r2.headers("warc-target-uri") == "http://x/café")
+  }
+
   test("reader raises on truncation and framing violations, never fabricates") {
     def bytes(s: String) = new ByteArrayInputStream(s.getBytes(ISO_8859_1))
     // truncated payload
