@@ -2007,7 +2007,24 @@ object SparkEntry {
         .withColumn("rdomain",
           graft.functions.registrable_domain_psl(col("host"), psl))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // PER-GROUP EXACT QUANTILES (ops/Quantiles.exactByKey): p25/p50/p90
+    // doc-length per source — the data-card percentile sheet, computed
+    // with the distributed rank device (per-(partition,key) counts →
+    // per-key offsets; bracketing values picked and interpolated
+    // IN-PLAN via a broadcast probe join). Oracle: DuckDB's native
+    // grouped quantile_cont — an independent engine's own grouped
+    // type-7 implementation, the strongest oracle this operator can
+    // have. round(4) absorbs interpolation ULP skew.
+    "q139_group_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.exactByKey(
+          t(s, dir, "documents")
+            .select(col("source"), octet_length(col("text")).as("len")),
+          "source", "len", Seq(0.25, 0.5, 0.9))
+        .select(col("key").as("source"), col("q"),
+          round(col("exact_q"), 4).as("exact_q"))
+        .orderBy(col("source"), col("q")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3680,6 +3697,18 @@ object SparkEntry {
         |    WHEN 4 THEN 'page' || doc_id::VARCHAR || '.xyz'
         |    ELSE 'host' || doc_id::VARCHAR || '.jp' END AS rdomain
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // grouped quantile_cont IS DuckDB's own type-7 per-group
+    // implementation — a fully independent oracle; lockstep unnest
+    // pairs each quantile with its value
+    "q139_group_quantiles" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    quantile_cont(octet_length(text::BLOB), [0.25, 0.5, 0.9]) AS qa
+        |  FROM documents GROUP BY source)
+        |SELECT source, unnest([0.25, 0.5, 0.9]) AS q,
+        |  round(unnest(qa), 4) AS exact_q
+        |FROM a ORDER BY source, q""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

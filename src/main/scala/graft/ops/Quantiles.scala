@@ -71,4 +71,83 @@ object Quantiles {
     }
     rows.toDF("q", "exact_q")
   }
+
+  /** PER-GROUP exact quantiles — the data-card shape ("p50/p90 doc
+    * length per source"): same rank device as [[exact]], with
+    * per-(partition, key) counts and per-key rank offsets. Driver state
+    * is one row per (partition, key-run) plus one (key, rank) probe row
+    * per bracketing rank — both bounded by `maxGroups` (the rail: at
+    * most maxGroups distinct keys; this operator is for card-sized
+    * group counts, not per-document keys). The bracketing-value pick
+    * and the interpolation stay IN-PLAN (broadcast probe join + one
+    * grouped aggregate), so nothing data-sized ever reaches the driver.
+    * Returns (key, q, exact_q), matching DuckDB's grouped
+    * `quantile_cont`. Groups smaller than 1 row can't occur (nulls are
+    * dropped before grouping).
+    */
+  def exactByKey(df: DataFrame, keyCol: String, xCol: String,
+      qs: Seq[Double], maxGroups: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0,1]")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val parts = df.select(col(keyCol).cast("string").as("__k"),
+        col(xCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && col("__k").isNotNull)
+      .withColumn("__tb", monotonically_increasing_id())
+      .repartitionByRange(col("__k"), col("__x"), col("__tb"))
+      .sortWithinPartitions(col("__k"), col("__x"), col("__tb"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // bounded: one row per (partition, key-run) — range partitioning on
+    // (k, x) keeps each key on a contiguous partition band
+    val counts = parts.groupBy(col("__pid"), col("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val keys = counts.map(_._2).distinct
+    require(keys.length <= maxGroups,
+      s"exactByKey: ${keys.length} groups exceeds maxGroups=$maxGroups " +
+        "(driver offset state is groups-bounded; raise the rail only " +
+        "with the memory math in hand, or pre-aggregate the key)")
+    if (keys.isEmpty)
+      return Seq.empty[(String, Double, Double)].toDF("key", "q", "exact_q")
+    // per-key totals and per-(pid, key) rank offsets, partition order
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.sortBy(t => (t._2, t._1)).foreach { case (pid, k, n) =>
+      val here = totals.getOrElse(k, 0L)
+      offsets += ((pid, k, here))
+      totals(k) = here + n
+    }
+    // bracketing-rank probes: (key, rank, q, frac, side) — side
+    // distinguishes the lo/hi value when they differ
+    val probes = for {
+      k <- keys.toSeq
+      q <- qs
+    } yield {
+      val p = q * (totals(k) - 1)
+      val lo = math.floor(p).toLong
+      (k, lo, q, p - lo, math.ceil(p).toLong)
+    }
+    val probeRows = probes.flatMap { case (k, lo, q, frac, hi) =>
+      Seq((k, lo, q, frac, "lo"), (k, hi, q, frac, "hi"))
+    }
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__k", "__offset"))
+    val probesDf = broadcast(
+      probeRows.toDF("__k", "__rank", "q", "__frac", "__side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("__k"))
+      .orderBy(col("__x"), col("__tb"))
+    parts.join(offsetsDf, Seq("__pid", "__k"))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1 + col("__offset"))
+      .join(probesDf, Seq("__k", "__rank"))
+      .groupBy(col("__k"), col("q"), col("__frac"))
+      .agg(max(when(col("__side") === "lo", col("__x"))).as("__xlo"),
+        max(when(col("__side") === "hi", col("__x"))).as("__xhi"))
+      .select(col("__k").as("key"), col("q"),
+        (col("__xlo") + col("__frac") * (col("__xhi") - col("__xlo")))
+          .as("exact_q"))
+  }
 }

@@ -51,4 +51,42 @@ class QuantilesSpec extends AnyFunSuite {
     assert(b.head == 1.0 && b.last == 3.0)
     assert(Quantiles.exact(Seq.empty[Double].toDF("x"), "x", qs).count() == 0)
   }
+
+  test("exactByKey matches per-group percentile, across partition counts") {
+    val data = (0 until 30000).map(i =>
+      (s"g${i % 7}", ((i * 2654435761L) % 99991).toDouble))
+    def run(parts: Int): Map[(String, Double), Double] =
+      Quantiles.exactByKey(data.toDF("k", "x").repartition(parts),
+          "k", "x", qs)
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val got = run(32)
+    // reference: built-in percentile per group
+    val ref = data.toDF("k", "x").groupBy("k")
+      .agg(percentile(col("x"), typedLit(qs)).as("arr"))
+      .collect().flatMap(r => qs.zipWithIndex.map { case (q, i) =>
+        (r.getString(0), q) -> r.getSeq[Double](1)(i) }).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) <= 1e-9 * math.max(1.0, math.abs(ref(k))),
+        s"$k: $v vs ${ref(k)}")
+    }
+    assert(run(1) == got) // partition-count invariant
+  }
+
+  test("exactByKey: single-row groups, null keys dropped, group rail") {
+    val df = Seq(("a", Some(5.0)), ("b", Some(1.0)), ("b", Some(3.0)),
+      (null.asInstanceOf[String], Some(9.0)), ("c", None)).toDF("k", "x")
+    val got = Quantiles.exactByKey(df, "k", "x", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 0.5)) == 5.0) // single-row group: all quantiles = the row
+    assert(got(("b", 0.5)) == 2.0) // interpolated midpoint
+    assert(!got.keys.exists(_._1 == null)) // null key dropped
+    assert(!got.keys.exists(_._1 == "c"))  // all-null-x group vanishes
+    intercept[IllegalArgumentException] {
+      Quantiles.exactByKey(
+        (0 until 100).map(i => (s"k$i", 1.0)).toDF("k", "x"),
+        "k", "x", Seq(0.5), maxGroups = 10)
+    }
+  }
 }
