@@ -2024,7 +2024,18 @@ object SparkEntry {
           "source", "len", Seq(0.25, 0.5, 0.9))
         .select(col("key").as("source"), col("q"),
           round(col("exact_q"), 4).as("exact_q"))
-        .orderBy(col("source"), col("q")))
+        .orderBy(col("source"), col("q"))),
+
+    // KNESER-NEY bigram NLL (ops/Retrieval.knBigramNll): the KenLM/
+    // CCNet smoothing family next to q77's Jelinek-Mercer — absolute
+    // discounting with CONTINUATION-count backoff ("how many contexts
+    // does this word complete"), interpolated form, D = 0.75. The
+    // oracle replays the full formula (discounted ML term + continuation
+    // unigram) as chained CTEs over the same tokenization.
+    "q140_kn_bigram_nll" -> ((s, dir) =>
+      graft.ops.Retrieval.knBigramNll(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3709,6 +3720,31 @@ object SparkEntry {
         |SELECT source, unnest([0.25, 0.5, 0.9]) AS q,
         |  round(unnest(qa), 4) AS exact_q
         |FROM a ORDER BY source, q""".stripMargin,
+
+    // Interpolated Kneser-Ney, D = 0.75: discounted ML term +
+    // (D * distinct-continuations / context mass) * continuation
+    // unigram N1+(.,w2)/B — the q77 CTE scaffold with the KN model
+    // frames swapped in
+    "q140_kn_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM toks WHERE len(toks) >= 2),
+        |docbi AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY doc_id, w1, w2),
+        |bm AS (SELECT w1, w2, sum(c) AS cb FROM docbi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(cb) AS cw, count(*) AS nfollow FROM bm GROUP BY w1),
+        |prec AS (SELECT w2, count(*) AS nprec FROM bm GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bm)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  round(-sum(c * ln(
+        |    greatest(cb - 0.75, 0.0) / cw +
+        |    (0.75 * nfollow / cw) * (nprec::DOUBLE / btypes))) / sum(c), 6) AS nll
+        |FROM docbi
+        |JOIN bm USING (w1, w2) JOIN ctx USING (w1) JOIN prec USING (w2)
+        |CROSS JOIN ty
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

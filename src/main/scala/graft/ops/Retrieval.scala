@@ -187,6 +187,66 @@ object Retrieval {
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
   }
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram NLL — the smoothing
+    * family behind KenLM and therefore behind the published CCNet
+    * perplexity filter (Chen & Goodman 1999, interpolated form with a
+    * fixed absolute discount D):
+    *
+    *   p(w2 | w1) = max(c(w1,w2) - D, 0) / c(w1,·)
+    *              + (D · N1+(w1,·) / c(w1,·)) · N1+(·,w2) / B
+    *
+    * where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) =
+    * distinct contexts preceding w2 (the CONTINUATION count — KN's
+    * insight: "how many contexts does this word complete" beats raw
+    * frequency for backoff mass), and B = distinct bigram types. Unlike
+    * [[bigramNll]]'s Jelinek-Mercer mix with a frequency-based unigram,
+    * rare-but-versatile words keep probability mass and fixed-context
+    * collocations ("Francisco") lose it. Scoring the corpus against its
+    * own model: every scored bigram has c >= 1 > D, so both terms are
+    * positive and p is never 0. Docs need >= 2 tokens.
+    *
+    * 100 TB shape: identical to [[bigramNll]] — map-only bigram zip,
+    * one corpus shuffle into pinned (doc, w1, w2) counts, model frames
+    * re-aggregated from the pin; the two continuation-count frames are
+    * per-word (Heaps-bounded) and the bigram-model joins are left to
+    * AQE (broadcast while they fit, shuffle beyond).
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val docBi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // model re-aggs + scoring read this pin
+    val bigrams = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+      .localCheckpoint(true)
+    // per-context: total mass and distinct-continuation count
+    val contexts = bigrams.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+    // per-word continuation count + total bigram types
+    val precede = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val types = bigrams.agg(count(lit(1)).as("btypes"))
+    docBi
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .join(precede, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        greatest(col("cb") - lit(discount), lit(0.0)) / col("cw") +
+          (lit(discount) * col("nfollow") / col("cw")) *
+            (col("nprec").cast("double") / col("btypes")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents by their
     * perplexity-proxy score (the [[unigramNll]] output) against corpus
     * quantile cutoffs — head = lowest-NLL quarter (keep), tail = highest

@@ -95,6 +95,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
   }
 
+  test("knBigramNll: hand-computed interpolated Kneser-Ney probabilities") {
+    // corpus: "a b a" + "a b" -> bigram types (a,b) cb=2 and (b,a) cb=1
+    // (B=2); contexts: a cw=2 nfollow=1, b cw=1 nfollow=1;
+    // continuation counts: nprec(b)=1, nprec(a)=1
+    val d = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Retrieval.knBigramNll(d, "doc_id", "text", discount = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    val D = 0.75
+    val pAB = (2.0 - D) / 2 + (D * 1 / 2) * (1.0 / 2)
+    val pBA = (1.0 - D) / 1 + (D * 1 / 1) * (1.0 / 2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)) == List((1L, 2L), (2L, 1L)))
+    assert(out(0)._3 == r6(-(math.log(pAB) + math.log(pBA)) / 2))
+    assert(out(1)._3 == r6(-math.log(pAB)))
+  }
+
+  test("knBigramNll: continuation counts penalize fixed-context collocations") {
+    // 'y' and 'z' appear equally often as bigram continuations, but 'y'
+    // completes 3 distinct contexts while 'z' only ever follows 'q' (the
+    // "Francisco" shape). KN's continuation unigram must give the
+    // versatile word more backoff mass: Pcont(y)=3/B > Pcont(z)=1/B.
+    val d = Seq((1L, "a y"), (2L, "b y"), (3L, "c y"),
+      (4L, "q z"), (5L, "q z"), (6L, "q z")).toDF("doc_id", "text")
+    // compare p(y|a) (c=1, cw=1) vs p(z|q) (c=3, cw=3): the discounted
+    // ML terms are (1-D)/1 vs (3-D)/3, and the backoff term
+    // D*nfollow/cw * nprec/B carries y's 3-context continuation count
+    // against z's 1 — both asserted against the closed form below
+    val out = Retrieval.knBigramNll(d, "doc_id", "text", discount = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val B = 4.0
+    val pYgivenA = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (3 / B)
+    val pZgivenQ = (3 - 0.75) / 3 + (0.75 * 1 / 3) * (1 / B)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == r6(-math.log(pYgivenA)))
+    assert(out(4L) == r6(-math.log(pZgivenQ)))
+    // the continuation term really does favor the versatile word
+    assert(3 / B > 1 / B)
+  }
+
   test("oovRate: top-n vocab membership with count-desc/token-asc ties") {
     // counts: x:3, y:1, z:1 — vocabSize=2 must break the y/z tie by token
     // asc, so vocab = {x, y} and only z is OOV
