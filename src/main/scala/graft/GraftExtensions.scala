@@ -107,6 +107,76 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_shingle_hashes(text, k) - distinct 64-bit character k-gram hashes"),
       (es: Seq[Expression]) =>
         CharShingleHashes(es(0), functions.intArg(es(1), "char_shingle_hashes", "k"))))
+    // ---- quality / sketch / matcher kernels (rounds 10-11) — keep the
+    // pure-SQL path at parity with registerAll ----
+    e.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(text) - Shannon bits/char over code points"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
+    e.injectFunction((FunctionIdentifier("deflate_size"),
+      info("deflate_size", "deflate_size(text[, level]) - raw-DEFLATE byte length"),
+      (es: Seq[Expression]) => DeflateSize(es(0),
+        if (es.length > 1) functions.intArg(es(1), "deflate_size", "level") else 6)))
+    e.injectFunction((FunctionIdentifier("deflate_roundtrip_ok"),
+      info("deflate_roundtrip_ok",
+        "deflate_roundtrip_ok(text[, level]) - inflate(deflate(text)) == text"),
+      (es: Seq[Expression]) => DeflateRoundtripOk(es(0),
+        if (es.length > 1) functions.intArg(es(1), "deflate_roundtrip_ok", "level")
+        else 6)))
+    e.injectFunction((FunctionIdentifier("word_bucket"),
+      info("word_bucket", "word_bucket(w, buckets) - poly-31 hash bucket"),
+      (es: Seq[Expression]) =>
+        WordBucket(es(0), functions.intArg(es(1), "word_bucket", "buckets"))))
+    e.injectFunction((FunctionIdentifier("char_ngram_buckets"),
+      info("char_ngram_buckets",
+        "char_ngram_buckets(text, n, buckets) - hashed char-n-gram buckets"),
+      (es: Seq[Expression]) => CharNgramBuckets(es(0),
+        functions.intArg(es(1), "char_ngram_buckets", "n"),
+        functions.intArg(es(2), "char_ngram_buckets", "buckets"))))
+    e.injectFunction((FunctionIdentifier("edit_similarity"),
+      info("edit_similarity",
+        "edit_similarity(a, b[, maxLen]) - 1 - dist/max(len) fused DP"),
+      (es: Seq[Expression]) => EditSimilarity(es(0), es(1),
+        if (es.length > 2) functions.intArg(es(2), "edit_similarity", "maxLen")
+        else 20000)))
+    e.injectFunction((FunctionIdentifier("keyword_matches"),
+      info("keyword_matches",
+        "keyword_matches(text, keywords) - per-keyword non-overlapping counts"),
+      (es: Seq[Expression]) => KeywordMatches(es(0),
+        functions.stringArrayArg(es(1), "keyword_matches", "keywords"))))
+    e.injectFunction((FunctionIdentifier("keyword_hit_total"),
+      info("keyword_hit_total",
+        "keyword_hit_total(text, keywords) - total non-overlapping hits"),
+      (es: Seq[Expression]) => KeywordHitTotal(es(0),
+        functions.stringArrayArg(es(1), "keyword_hit_total", "keywords"))))
+    e.injectFunction((FunctionIdentifier("registrable_domain_psl"),
+      info("registrable_domain_psl",
+        "registrable_domain_psl(host, pslText) - eTLD+1 under a Public Suffix List"),
+      (es: Seq[Expression]) => RegistrableDomainPsl(es(0),
+        functions.stringArg(es(1), "registrable_domain_psl", "pslText"))))
+    e.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", "cms_sketch(x, depth, width) - count-min sketch aggregate"),
+      (es: Seq[Expression]) => CountMinSketch(es(0),
+        functions.intArg(es(1), "cms_sketch", "depth"),
+        functions.intArg(es(2), "cms_sketch", "width")).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(sk, x, depth, width) - point estimate"),
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1),
+        functions.intArg(es(2), "cms_estimate", "depth"),
+        functions.intArg(es(3), "cms_estimate", "width"))))
+    e.injectFunction((FunctionIdentifier("theta_sketch"),
+      info("theta_sketch", "theta_sketch(x, k) - KMV/theta distinct sketch aggregate"),
+      (es: Seq[Expression]) => ThetaSketch(es(0),
+        functions.intArg(es(1), "theta_sketch", "k")).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("theta_estimate"),
+      info("theta_estimate", "theta_estimate(sk) - distinct-count estimate"),
+      (es: Seq[Expression]) => ThetaEstimate(es.head)))
+    e.injectFunction((FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate",
+        "theta_intersect_estimate(a, b) - |A intersect B| estimate"),
+      (es: Seq[Expression]) => ThetaIntersectEstimate(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("theta_union_estimate"),
+      info("theta_union_estimate", "theta_union_estimate(a, b) - |A union B| estimate"),
+      (es: Seq[Expression]) => ThetaUnionEstimate(es(0), es(1))))
   }
 }
 

@@ -452,5 +452,8 @@ package object functions {
       es => DeflateRoundtripOk(es(0),
         if (es.length > 1) intArg(es(1), "deflate_roundtrip_ok", "level") else 6),
       "built-in")
+    reg.createOrReplaceTempFunction("registrable_domain_psl",
+      es => RegistrableDomainPsl(es(0),
+        stringArg(es(1), "registrable_domain_psl", "pslText")), "built-in")
   }
 }

@@ -22,7 +22,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "word_shingle_hashes", "word_shingle_hashes_all", "word_shingles",
       "hyperplane_sig", "vec_sum", "count_in_set", "count_matching",
       "sum_token_lengths", "sig_agreement", "char_shingles",
-      "char_shingle_hashes", "remove_token_ranges")
+      "char_shingle_hashes", "remove_token_ranges",
+      // rounds 10-11 kernels — extensions injects the same list
+      "char_entropy", "deflate_size", "deflate_roundtrip_ok",
+      "word_bucket", "char_ngram_buckets", "edit_similarity",
+      "keyword_matches", "keyword_hit_total", "registrable_domain_psl",
+      "cms_sketch", "cms_estimate", "theta_sketch", "theta_estimate",
+      "theta_intersect_estimate", "theta_union_estimate")
     val reg = spark.sessionState.functionRegistry
     val missing = names.filterNot(n => reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
@@ -32,6 +38,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT word_shingle_hashes_all(array('a','b','a','b'), 2) AS h")
       .head.getSeq[Long](0)
     assert(all.length == 3 && all(0) == all(2))
+    // the string-literal-arg faces work through pure SQL
+    assert(spark.sql(
+      "SELECT registrable_domain_psl('a.b.test.ck', 'ck\n*.ck\n!www.ck')")
+      .head.getString(0) == "b.test.ck")
+    assert(spark.sql("SELECT deflate_roundtrip_ok('hello world')")
+      .head.getBoolean(0))
   }
 
   test("q46 approx aggregates are close to exact") {
