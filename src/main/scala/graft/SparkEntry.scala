@@ -3716,7 +3716,9 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT source,
         |    quantile_cont(octet_length(text::BLOB), [0.25, 0.5, 0.9]) AS qa
-        |  FROM documents GROUP BY source)
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY source)
         |SELECT source, unnest([0.25, 0.5, 0.9]) AS q,
         |  round(unnest(qa), 4) AS exact_q
         |FROM a ORDER BY source, q""".stripMargin,

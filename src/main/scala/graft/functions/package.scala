@@ -371,89 +371,124 @@ package object functions {
   /** Register ALL custom expressions for SQL use (same surface the
     * GraftExtensions config-time injection provides).
     */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSignature(es(0), intArg(es(1), "minhash_sig", "numPerm")), "built-in")
-    reg.createOrReplaceTempFunction("word_shingle_hashes",
-      es => WordShingleHashes(es(0), intArg(es(1), "word_shingle_hashes", "n")), "built-in")
-    reg.createOrReplaceTempFunction("word_shingle_hashes_all",
-      es => WordShingleHashesAll(es(0), intArg(es(1), "word_shingle_hashes_all", "n")), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es(0), intArg(es(1), "word_shingles", "n")), "built-in")
-    reg.createOrReplaceTempFunction("hyperplane_sig",
+  private type FnBuilder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** THE single SQL-function table — (name, usage, builder) — consumed
+    * by BOTH registration paths: [[registerAll]] (temp functions on an
+    * existing session) and `GraftExtensions` (session-build injection
+    * for pure-SQL users). One list, so the Scala-API and pure-SQL
+    * surfaces cannot drift; a kernel added here is live on both.
+    */
+  private[graft] val sqlFunctionTable: Seq[(String, String, FnBuilder)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float arrays",
+      es => DotProduct(es(0), es(1))),
+    ("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays",
+      es => CosineSimilarity(es(0), es(1))),
+    ("simhash64", "simhash64(tokens) - 64-bit simhash of a string array",
+      es => SimHash64(es.head)),
+    ("minhash_sig", "minhash_sig(shingles, numPerm) - MinHash signature array",
+      es => MinHashSignature(es(0), intArg(es(1), "minhash_sig", "numPerm"))),
+    ("word_shingle_hashes",
+      "word_shingle_hashes(tokens, n) - distinct 64-bit n-gram shingle hashes",
+      es => WordShingleHashes(es(0), intArg(es(1), "word_shingle_hashes", "n"))),
+    ("word_shingle_hashes_all",
+      "word_shingle_hashes_all(tokens, n) - positional n-gram hashes (dups kept)",
+      es => WordShingleHashesAll(es(0),
+        intArg(es(1), "word_shingle_hashes_all", "n"))),
+    ("word_shingles", "word_shingles(tokens, n) - n-gram shingle strings",
+      es => WordShingles(es(0), intArg(es(1), "word_shingles", "n"))),
+    ("hyperplane_sig",
+      "hyperplane_sig(vec, dim, bits, seed) - packed LSH sign bits",
       es => HyperplaneSignature(es(0), intArg(es(1), "hyperplane_sig", "dim"),
         intArg(es(2), "hyperplane_sig", "bits"),
-        longArg(es(3), "hyperplane_sig", "seed")), "built-in")
-    reg.createOrReplaceTempFunction("vec_sum",
-      es => VectorSum(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("mg_sketch",
+        longArg(es(3), "hyperplane_sig", "seed"))),
+    ("vec_sum", "vec_sum(vec) - element-wise sum aggregate over vectors",
+      es => VectorSum(es.head).toAggregateExpression()),
+    ("mg_sketch", "mg_sketch(x, k) - Misra-Gries heavy-hitters aggregate",
       es => MisraGriesSketch(es(0), intArg(es(1), "mg_sketch", "k"))
-        .toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("cms_sketch",
+        .toAggregateExpression()),
+    ("cms_sketch", "cms_sketch(x, depth, width) - count-min sketch aggregate",
       es => CountMinSketch(es(0), intArg(es(1), "cms_sketch", "depth"),
-        intArg(es(2), "cms_sketch", "width")).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("cms_estimate",
+        intArg(es(2), "cms_sketch", "width")).toAggregateExpression()),
+    ("cms_estimate", "cms_estimate(sk, x, depth, width) - point-count estimate",
       es => CmsEstimate(es(0), es(1), intArg(es(2), "cms_estimate", "depth"),
-        intArg(es(3), "cms_estimate", "width")), "built-in")
-    reg.createOrReplaceTempFunction("kll_sketch",
+        intArg(es(3), "cms_estimate", "width"))),
+    ("kll_sketch", "kll_sketch(x, k) - KLL quantile sketch aggregate",
       es => KllSketch(es(0), intArg(es(1), "kll_sketch", "k"))
-        .toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("kll_quantile",
-      es => KllQuantile(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("count_in_set",
+        .toAggregateExpression()),
+    ("kll_quantile", "kll_quantile(items, weights, q) - sketch quantile estimate",
+      es => KllQuantile(es(0), es(1), es(2))),
+    ("count_in_set",
+      "count_in_set(tokens, words[, distinct]) - membership count",
       es => CountInSet(es(0), stringArrayArg(es(1), "count_in_set", "words"),
-        distinct = es.length > 2 && es(2).eval(null) == true), "built-in")
-    reg.createOrReplaceTempFunction("count_matching",
-      es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex")), "built-in")
-    reg.createOrReplaceTempFunction("sum_token_lengths",
-      es => SumTokenLengths(es.head), "built-in")
-    reg.createOrReplaceTempFunction("remove_token_ranges",
-      es => RemoveTokenRanges(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("sig_agreement",
-      es => SignatureAgreement(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("char_shingles",
-      es => CharShingles(es(0), intArg(es(1), "char_shingles", "k")), "built-in")
-    reg.createOrReplaceTempFunction("char_shingle_hashes",
-      es => CharShingleHashes(es(0), intArg(es(1), "char_shingle_hashes", "k")), "built-in")
-    reg.createOrReplaceTempFunction("char_ngram_buckets",
+        distinct = es.length > 2 && es(2).eval(null) == true)),
+    ("count_matching", "count_matching(tokens, regex) - regex-match count",
+      es => CountMatching(es(0), stringArg(es(1), "count_matching", "regex"))),
+    ("sum_token_lengths", "sum_token_lengths(tokens) - total character count",
+      es => SumTokenLengths(es.head)),
+    ("remove_token_ranges",
+      "remove_token_ranges(tokens, starts, ends) - drop token spans",
+      es => RemoveTokenRanges(es(0), es(1), es(2))),
+    ("sig_agreement",
+      "sig_agreement(a, b) - matching positions of two signature arrays",
+      es => SignatureAgreement(es(0), es(1))),
+    ("char_shingles", "char_shingles(text, k) - character k-gram strings",
+      es => CharShingles(es(0), intArg(es(1), "char_shingles", "k"))),
+    ("char_shingle_hashes",
+      "char_shingle_hashes(text, k) - distinct 64-bit character k-gram hashes",
+      es => CharShingleHashes(es(0), intArg(es(1), "char_shingle_hashes", "k"))),
+    ("char_ngram_buckets",
+      "char_ngram_buckets(text, n, buckets) - hashed char-n-gram buckets",
       es => CharNgramBuckets(es(0), intArg(es(1), "char_ngram_buckets", "n"),
-        intArg(es(2), "char_ngram_buckets", "buckets")), "built-in")
-    reg.createOrReplaceTempFunction("word_bucket",
-      es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets")), "built-in")
-    reg.createOrReplaceTempFunction("keyword_matches",
+        intArg(es(2), "char_ngram_buckets", "buckets"))),
+    ("word_bucket", "word_bucket(w, buckets) - poly-31 hash bucket",
+      es => WordBucket(es(0), intArg(es(1), "word_bucket", "buckets"))),
+    ("keyword_matches",
+      "keyword_matches(text, keywords) - per-keyword non-overlapping counts",
       es => KeywordMatches(es(0),
-        stringArrayArg(es(1), "keyword_matches", "keywords")), "built-in")
-    reg.createOrReplaceTempFunction("keyword_hit_total",
+        stringArrayArg(es(1), "keyword_matches", "keywords"))),
+    ("keyword_hit_total",
+      "keyword_hit_total(text, keywords) - total non-overlapping hits",
       es => KeywordHitTotal(es(0),
-        stringArrayArg(es(1), "keyword_hit_total", "keywords")), "built-in")
-    reg.createOrReplaceTempFunction("edit_similarity",
+        stringArrayArg(es(1), "keyword_hit_total", "keywords"))),
+    ("edit_similarity",
+      "edit_similarity(a, b[, maxLen]) - 1 - dist/max(len), fused DP",
       es => EditSimilarity(es(0), es(1),
         if (es.length > 2) intArg(es(2), "edit_similarity", "maxLen")
-        else 20000), "built-in")
-    reg.createOrReplaceTempFunction("theta_sketch",
+        else 20000)),
+    ("theta_sketch", "theta_sketch(x, k) - KMV/theta distinct sketch aggregate",
       es => ThetaSketch(es(0), intArg(es(1), "theta_sketch", "k"))
-        .toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("theta_estimate",
-      es => ThetaEstimate(es.head), "built-in")
-    reg.createOrReplaceTempFunction("theta_intersect_estimate",
-      es => ThetaIntersectEstimate(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("theta_union_estimate",
-      es => ThetaUnionEstimate(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("char_entropy",
-      es => CharEntropy(es.head), "built-in")
-    reg.createOrReplaceTempFunction("deflate_size",
+        .toAggregateExpression()),
+    ("theta_estimate", "theta_estimate(sk) - distinct-count estimate",
+      es => ThetaEstimate(es.head)),
+    ("theta_intersect_estimate",
+      "theta_intersect_estimate(a, b) - |A intersect B| estimate",
+      es => ThetaIntersectEstimate(es(0), es(1))),
+    ("theta_union_estimate",
+      "theta_union_estimate(a, b) - |A union B| estimate",
+      es => ThetaUnionEstimate(es(0), es(1))),
+    ("char_entropy",
+      "char_entropy(text) - Shannon bits/char over code points",
+      es => CharEntropy(es.head)),
+    ("deflate_size", "deflate_size(text[, level]) - raw-DEFLATE byte length",
       es => DeflateSize(es(0),
-        if (es.length > 1) intArg(es(1), "deflate_size", "level") else 6), "built-in")
-    reg.createOrReplaceTempFunction("deflate_roundtrip_ok",
+        if (es.length > 1) intArg(es(1), "deflate_size", "level") else 6)),
+    ("deflate_roundtrip_ok",
+      "deflate_roundtrip_ok(text[, level]) - inflate(deflate(text)) == text",
       es => DeflateRoundtripOk(es(0),
-        if (es.length > 1) intArg(es(1), "deflate_roundtrip_ok", "level") else 6),
-      "built-in")
-    reg.createOrReplaceTempFunction("registrable_domain_psl",
+        if (es.length > 1) intArg(es(1), "deflate_roundtrip_ok", "level")
+        else 6)),
+    ("registrable_domain_psl",
+      "registrable_domain_psl(host, pslText) - eTLD+1 under a Public Suffix List",
       es => RegistrableDomainPsl(es(0),
-        stringArg(es(1), "registrable_domain_psl", "pslText")), "built-in")
+        stringArg(es(1), "registrable_domain_psl", "pslText"))))
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctionTable.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

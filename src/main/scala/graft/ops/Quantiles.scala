@@ -100,16 +100,24 @@ object Quantiles {
       .sortWithinPartitions(col("__k"), col("__x"), col("__tb"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
+    // the rail must fire BEFORE anything group-sized reaches the
+    // driver: a per-document key (the documented misuse) would OOM the
+    // counts collect below long before a post-collect require could
+    // report it. limit(maxGroups+1) bounds this probe's result whatever
+    // the true cardinality is.
+    val nKeys = parts.select(col("__k")).distinct()
+      .limit(maxGroups + 1).count()
+    require(nKeys <= maxGroups,
+      s"exactByKey: more than maxGroups=$maxGroups distinct keys " +
+        "(driver offset state is groups-bounded; raise the rail only " +
+        "with the memory math in hand, or pre-aggregate the key)")
     // bounded: one row per (partition, key-run) — range partitioning on
-    // (k, x) keeps each key on a contiguous partition band
+    // (k, x) keeps each key on a contiguous partition band, so this is
+    // ≤ keys + partitions rows once the rail has passed
     val counts = parts.groupBy(col("__pid"), col("__k"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val keys = counts.map(_._2).distinct
-    require(keys.length <= maxGroups,
-      s"exactByKey: ${keys.length} groups exceeds maxGroups=$maxGroups " +
-        "(driver offset state is groups-bounded; raise the rail only " +
-        "with the memory math in hand, or pre-aggregate the key)")
     if (keys.isEmpty)
       return Seq.empty[(String, Double, Double)].toDF("key", "q", "exact_q")
     // per-key totals and per-(pid, key) rank offsets, partition order

@@ -46,6 +46,56 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getBoolean(0))
   }
 
+  test("the extensions INJECTION path resolves and evaluates without registerAll") {
+    // a FRESH session built with spark.sql.extensions — its function
+    // registry is populated by GraftExtensions.apply alone (shared
+    // table), never by registerAll, so a broken injection cannot hide
+    // behind the temp-function path
+    import org.apache.spark.sql.SparkSession
+    val base = spark // materialize the shared session/context first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // withExtensions, not .config: getOrCreate resolves the
+    // spark.sql.extensions CONF from the (already-running) SparkContext,
+    // so a builder-level config is ignored on a shared context — the
+    // builder-level extensions object is honored either way, and still
+    // goes through GraftExtensions.apply
+    val s2 = SparkSession.builder()
+      .withExtensions(e => new GraftExtensions().apply(e))
+      .getOrCreate()
+    try {
+      assert(s2 ne base, "expected a distinct session for the injected path")
+      val reg = s2.sessionState.functionRegistry
+      val missing = graft.functions.sqlFunctionTable.map(_._1)
+        .filterNot(n => reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+      assert(missing.isEmpty, s"extensions did not inject: $missing")
+      // smoke the arg-parsed builders end-to-end on the injected session
+      assert(s2.sql("SELECT vec_dot(array(1f,2f), array(3f,4f))")
+        .head.getDouble(0) == 11.0)
+      // smoke the depth/width arg plumbing; CMS guarantees true <= est
+      val est = s2.sql(
+        "SELECT cms_estimate(sk.table, 'a', 3, 64) FROM " +
+          "(SELECT cms_sketch(x, 3, 64) AS sk " +
+          "FROM (SELECT explode(array('a', 'a', 'b')) AS x))")
+        .head.getLong(0)
+      assert(est >= 2L && est <= 3L)
+      assert(s2.sql("SELECT deflate_roundtrip_ok('abc', 9)").head.getBoolean(0))
+      assert(s2.sql(
+        "SELECT registrable_domain_psl('a.b.test.ck', 'ck\n*.ck\n!www.ck')")
+        .head.getString(0) == "b.test.ck")
+      assert(s2.sql("SELECT edit_similarity('kitten', 'sitting')")
+        .head.getDouble(0) > 0.5)
+      // 'he' hits twice (standalone + inside "hers") and 'hers' once —
+      // byte-level substring semantics, keywords counted independently
+      assert(s2.sql(
+        "SELECT keyword_hit_total('he said hers', array('he','she','hers'))")
+        .head.getLong(0) == 3L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("q46 approx aggregates are close to exact") {
     val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
     val exact = li.agg(

@@ -114,27 +114,28 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("knBigramNll: continuation counts penalize fixed-context collocations") {
-    // 'y' and 'z' appear equally often as bigram continuations, but 'y'
-    // completes 3 distinct contexts while 'z' only ever follows 'q' (the
-    // "Francisco" shape). KN's continuation unigram must give the
-    // versatile word more backoff mass: Pcont(y)=3/B > Pcont(z)=1/B.
-    val d = Seq((1L, "a y"), (2L, "b y"), (3L, "c y"),
+    // 'y' completes 4 distinct contexts while 'z' only ever follows 'q'
+    // (the "Francisco" shape). KN's continuation unigram must give the
+    // versatile word more backoff mass: Pcont(y)=4/B > Pcont(z)=1/B.
+    val d = Seq((1L, "a y"), (2L, "b y"), (3L, "c y"), (7L, "d y"),
       (4L, "q z"), (5L, "q z"), (6L, "q z")).toDF("doc_id", "text")
     // compare p(y|a) (c=1, cw=1) vs p(z|q) (c=3, cw=3): the discounted
     // ML terms are (1-D)/1 vs (3-D)/3, and the backoff term
-    // D*nfollow/cw * nprec/B carries y's 3-context continuation count
-    // against z's 1 — both asserted against the closed form below
+    // D*nfollow/cw * nprec/B carries y's 4-context continuation count
+    // against z's 1 — both asserted against the closed form below.
+    // B = 5 bigram types: (a,y),(b,y),(c,y),(d,y),(q,z).
     val out = Retrieval.knBigramNll(d, "doc_id", "text", discount = 0.75)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val B = 4.0
-    val pYgivenA = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (3 / B)
+    val B = 5.0
+    val pYgivenA = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (4 / B)
     val pZgivenQ = (3 - 0.75) / 3 + (0.75 * 1 / 3) * (1 / B)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(1L) == r6(-math.log(pYgivenA)))
     assert(out(4L) == r6(-math.log(pZgivenQ)))
-    // the continuation term really does favor the versatile word
-    assert(3 / B > 1 / B)
+    // the COMPUTED NLLs order as KN predicts: the versatile word's
+    // bigram (p = 0.85) beats the fixed-context collocation's (p = 0.80)
+    assert(out(1L) < out(4L))
   }
 
   test("oovRate: top-n vocab membership with count-desc/token-asc ties") {
