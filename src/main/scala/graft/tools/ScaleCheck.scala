@@ -1143,6 +1143,64 @@ object ScaleCheck {
       f"(${nSk / tK / 1e6}%.1f M vals/s)")
     }
 
+    if (run("quantiles")) {
+    // ---- 5u. Exact quantiles vs the built-in percentile — 5M doubles -
+    // The built-in `percentile` aggregate buffers every (value, count)
+    // pair per partition and merges the maps on ONE reducer — with 5M
+    // near-distinct doubles that is a ~5M-entry map through a single
+    // JVM task. ops/Quantiles.exact keeps everything distributed (range
+    // partition + prefix-sum ranks); this section measures both on the
+    // same data and `require`s value parity to 1e-9 — same answers,
+    // different memory/wall shape, which is the whole point.
+    val nQ = 5000000L
+    val qsQ = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val valsQ = spark.range(nQ).select(
+      (pmod(xxhash64(col("id")), lit(10000019)).cast("double") / 7.0).as("x"))
+      .repartition(32).localCheckpoint(true)
+    val (builtinVals, tBuiltin) = time {
+      valsQ.agg(percentile(col("x"), typedLit(qsQ)).as("arr"))
+        .head.getSeq[Double](0)
+    }
+    val (exactVals, tExact) = time {
+      graft.ops.Quantiles.exact(valsQ, "x", qsQ)
+        .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    }
+    val maxDiff = builtinVals.zip(exactVals)
+      .map { case (a, b) => math.abs(a - b) / math.max(1.0, math.abs(a)) }.max
+    require(maxDiff <= 1e-9, s"quantile parity broke: $maxDiff")
+    // grouped face: 20 groups x 250k rows vs per-group percentile
+    val grouped = valsQ.withColumn("k",
+      concat(lit("g"), pmod(xxhash64(col("x")), lit(20))))
+    val (gRef, tGroupRef) = time {
+      grouped.groupBy("k").agg(percentile(col("x"), typedLit(qsQ)).as("arr"))
+        .collect().flatMap(r => qsQ.zipWithIndex.map { case (q, i) =>
+          (r.getString(0), q) -> r.getSeq[Double](1)(i) }).toMap
+    }
+    val (gGot, tGroup) = time {
+      graft.ops.Quantiles.exactByKey(grouped, "k", "x", qsQ)
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    }
+    val maxGDiff = gGot.map { case (k, v) =>
+      math.abs(v - gRef(k)) / math.max(1.0, math.abs(gRef(k))) }.max
+    require(gGot.keySet == gRef.keySet && maxGDiff <= 1e-9,
+      s"grouped quantile parity broke: $maxGDiff")
+    // the crossover case: 2 HUGE groups (2.5M values each) — here the
+    // per-group value maps are where the built-in hurts
+    val grouped2 = valsQ.withColumn("k",
+      concat(lit("g"), pmod(xxhash64(col("x")), lit(2))))
+    val (_, tGroup2Ref) = time {
+      grouped2.groupBy("k").agg(percentile(col("x"), typedLit(qsQ))).collect()
+    }
+    val (_, tGroup2) = time {
+      graft.ops.Quantiles.exactByKey(grouped2, "k", "x", qsQ).collect()
+    }
+    println(f"QUANTILES> n=$nQ exact=$tExact%.1f s builtin=$tBuiltin%.1f s " +
+      f"parity=$maxDiff%.1e grouped20=$tGroup%.1f s " +
+      f"grouped20_builtin=$tGroupRef%.1f s grouped2=$tGroup2%.1f s " +
+      f"grouped2_builtin=$tGroup2Ref%.1f s gparity=$maxGDiff%.1e")
+    }
+
     if (run("wordpiece")) {
     // ---- 5k. WordPiece encode — 210k docs, length-derived invariant --
     // Corpus words are '[wx]' + digits; the vocab has start pieces
