@@ -2035,7 +2035,21 @@ object SparkEntry {
     "q140_kn_bigram_nll" -> ((s, dir) =>
       graft.ops.Retrieval.knBigramNll(t(s, dir, "documents"),
         "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // REFERENCE-MODEL KN scoring (Retrieval.knBigramNllAgainst): the
+    // CCNet deployment shape — the model trains on the 'en' slice only
+    // and scores the WHOLE corpus, so non-English docs exercise every
+    // unseen-mass path (bigram-unseen backoff, context-unseen full
+    // backoff, unk word at 1/(2B)) for real. n_unseen pins the backoff
+    // accounting; the oracle replays model + scoring with LEFT joins.
+    "q141_kn_score_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Retrieval.knBigramNllAgainst(
+        docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3747,6 +3761,44 @@ object SparkEntry {
         |JOIN bm USING (w1, w2) JOIN ctx USING (w1) JOIN prec USING (w2)
         |CROSS JOIN ty
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Reference-model KN with LEFT joins: unseen bigram -> discounted
+    // term 0; unseen context -> pure continuation; unseen word ->
+    // 1/(2B) unk mass — the same three cases, same coalesce order
+    "q141_kn_score_ref" ->
+      """WITH rtoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |rbi AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM rtoks WHERE len(toks) >= 2),
+        |bm AS (SELECT w1, w2, count(*) AS cb FROM rbi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(cb) AS cw, count(*) AS nfollow FROM bm GROUP BY w1),
+        |prec AS (SELECT w2, count(*) AS nprec FROM bm GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bm),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM toks WHERE len(toks) >= 2),
+        |docbi AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY doc_id, w1, w2),
+        |scored AS (
+        |  SELECT doc_id, c, cb,
+        |    CASE WHEN cw IS NOT NULL THEN
+        |      greatest(coalesce(cb, 0) - 0.75, 0.0) / cw +
+        |      (0.75 * nfollow / cw) *
+        |        (CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |              ELSE 0.5 / btypes END)
+        |    ELSE CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |              ELSE 0.5 / btypes END END AS p
+        |  FROM docbi
+        |  LEFT JOIN bm USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |  LEFT JOIN prec USING (w2) CROSS JOIN ty)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -247,6 +247,77 @@ object Retrieval {
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
   }
 
+  /** [[knBigramNll]]'s DEPLOYMENT shape: score `docs` against a KN
+    * model trained on a separate REFERENCE corpus — CCNet's actual
+    * filter (LM trained on Wikipedia, perplexity computed on the
+    * crawl), which [[knBigramNll]]'s self-scoring cannot express
+    * because unseen mass never arises there. Unseen events back off
+    * explicitly and deterministically:
+    *
+    *  - bigram unseen, context seen: the discounted ML term is 0 and
+    *    p = D·N1+(w1,·)/c(w1,·) · Pcont(w2) — textbook KN backoff;
+    *  - context w1 unseen: p = Pcont(w2) (full backoff to the
+    *    continuation unigram);
+    *  - w2 itself unseen in the reference: Pcont is undefined, so an
+    *    explicit unk mass p = 1/(2B) applies (documented, engine-
+    *    replayable — the role of KenLM's <unk> probability).
+    *
+    * p is never 0, so every doc with >= 2 tokens scores finitely.
+    * Scale shape: the model frames come from one pass over the
+    * reference and are AQE-joined (broadcast while they fit); scoring
+    * is the same map-only bigram zip + one shuffle as the self-scoring
+    * path, and the reference model is reusable across scoring runs.
+    */
+  def knBigramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    // reference model: bigram counts + context/continuation frames
+    val refBi = ref
+      .select(TextAnalysis.tokens(col(refTextCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val contexts = refBi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+    val precede = refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val types = refBi.agg(count(lit(1)).as("btypes"))
+    // scored corpus bigrams, LEFT-joined so unseen events survive
+    val docBi = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val pc = when(col("nprec").isNotNull,
+        col("nprec").cast("double") / col("btypes"))
+      .otherwise(lit(0.5) / col("btypes")) // explicit unk mass: 1/(2B)
+    docBi
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .join(precede, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        when(col("cw").isNotNull,
+          greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
+            col("cw") +
+            (lit(discount) * col("nfollow") / col("cw")) * pc)
+          .otherwise(pc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("cb").isNull, col("c")).otherwise(0L))
+          .as("n_unseen"),
+        round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents by their
     * perplexity-proxy score (the [[unigramNll]] output) against corpus
     * quantile cutoffs — head = lowest-NLL quarter (keep), tail = highest

@@ -138,6 +138,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1L) < out(4L))
   }
 
+  test("knBigramNllAgainst: all three unseen-mass branches, hand-computed") {
+    // reference: "a b a" + "a b" -> bm {(a,b):2, (b,a):1}, B=2,
+    // ctx {a: cw=2 nf=1, b: cw=1 nf=1}, prec {b:1, a:1}
+    val ref = Seq((100L, "a b a"), (101L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // seen bigram: full KN probability
+      (2L, "b b"),   // UNSEEN bigram, seen context b, seen word b
+      (3L, "z a"),   // UNSEEN context z, seen word a -> pure Pcont(a)
+      (4L, "a q")    // seen context a, UNK word q -> backoff * 1/(2B)
+    ).toDF("doc_id", "text")
+    val out = Retrieval.knBigramNllAgainst(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val D = 0.75; val B = 2.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pSeen = (2 - D) / 2 + (D * 1 / 2) * (1 / B)         // p(b|a)
+    val pUnseenBigram = 0.0 / 1 + (D * 1 / 1) * (1 / B)     // p(b|b)
+    val pUnseenCtx = 1 / B                                   // Pcont(a)
+    val pUnk = (D * 1 / 2) * (0.5 / B)                       // p(q|a)
+    assert(out(1L) == (0L, r6(-math.log(pSeen))))
+    assert(out(2L) == (1L, r6(-math.log(pUnseenBigram))))
+    assert(out(3L) == (1L, r6(-math.log(pUnseenCtx))))
+    assert(out(4L) == (1L, r6(-math.log(pUnk))))
+  }
+
   test("oovRate: top-n vocab membership with count-desc/token-asc ties") {
     // counts: x:3, y:1, z:1 — vocabSize=2 must break the y/z tie by token
     // asc, so vocab = {x, y} and only z is OOV
