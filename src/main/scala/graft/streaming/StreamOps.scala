@@ -52,6 +52,70 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming Kneser-Ney quality scoring: per-arriving-doc interpolated
+    * KN bigram NLL against a STATIC reference-trained model — the
+    * continuous form of [[graft.ops.Retrieval.knBigramNllAgainst]]
+    * (CCNet's filter applied on ingest instead of in batch). The model
+    * frames are built ONCE at op construction and pinned (the
+    * stream-static rule: an unpinned static side re-derives the whole
+    * reference per micro-batch); scoring is the same LEFT-join +
+    * backoff arithmetic, aggregated per (doc, event-time) with
+    * watermark-bounded state in append mode. Docs with < 2 tokens carry
+    * no bigram and emit no row (the batch face's contract).
+    */
+  def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, ref: DataFrame, refTextCol: String,
+      discount: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val toks = graft.ops.TextAnalysis.tokens(col(refTextCol))
+    val refBi = ref
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val contexts = refBi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+      .localCheckpoint(true)
+    val precede = refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+      .localCheckpoint(true)
+    // bounded: ONE long — btypes ships as a literal, not a per-batch
+    // crossJoin of a static 1-row frame
+    val btypes = refBi.count().toDouble
+    require(btypes > 0, "streamingKnScore: reference corpus has no bigrams")
+    val pc = when(col("nprec").isNotNull,
+        col("nprec").cast("double") / lit(btypes))
+      .otherwise(lit(0.5 / btypes))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        graft.ops.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("__ts"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("__ts"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .join(precede, Seq("w2"), "left")
+      .withColumn("__p",
+        when(col("cw").isNotNull,
+          greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
+            col("cw") +
+            (lit(discount) * col("nfollow") / col("cw")) * pc)
+          .otherwise(pc))
+      .groupBy(col("doc_id"), col("__ts"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        round(-sum(log(col("__p"))) / count(lit(1)), 6).as("nll"))
+      .select(col("doc_id"), col("__ts").as(tsCol), col("n_bigrams"),
+        col("n_unseen"), col("nll"))
+  }
+
   /** Streaming decontamination flags: documents arriving on the stream
     * that share at least one word n-gram with a STATIC benchmark table —
     * the continuous-ingest form of [[graft.ops.Decontamination]];

@@ -456,4 +456,40 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(bRow == Seq(7.0))
     } finally q.stop()
   }
+
+  test("streaming KN scoring matches the batch reference-model face") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((100L, "a b a"), (101L, "a b")).toDF("doc_id", "text")
+    val input = MemoryStream[DocRow]
+    val q = StreamOps.streamingKnScore(input.toDF(), "doc_id", "text", "ts",
+      ref, "text")
+      .writeStream.format("memory").queryName("knscore_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), "a b"),     // seen bigram
+        DocRow(2, ts(1), "z a"),     // unseen context -> pure Pcont
+        DocRow(3, ts(2), "solo"))    // < 2 tokens: no row
+      q.processAllAvailable()
+      // advance the watermark far past 10:0x so the append-mode
+      // aggregate emits the closed groups
+      input.addData(DocRow(99, ts(50), "a b"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_bigrams, n_unseen, nll FROM knscore_out " +
+          "WHERE doc_id < 10 ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // batch face on the same rows is the oracle
+      val batch = graft.ops.Retrieval.knBigramNllAgainst(
+        Seq((1L, "a b"), (2L, "z a"), (3L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(got.toSeq == batch.toSeq)
+      assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 emits nothing
+    } finally q.stop()
+  }
 }
