@@ -2049,6 +2049,25 @@ object SparkEntry {
         docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // SNAPSHOT RELEASE DIFF (Curation.corpusDiff): v2 is built from v1
+    // by arithmetic (every 7th doc removed, every remaining 5th doc's
+    // text amended, ten new ids appended) so the oracle can state each
+    // id's expected status independently (q92's device) while the Spark
+    // side derives it from the actual full-outer hash join — the
+    // archive-maintenance face over the map-side content hashes.
+    "q142_corpus_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.Curation.corpusDiff(a, b, "doc_id",
+        Seq("text", "lang", "source"))
+        .orderBy(col("id"))
     })
   )
 
@@ -3799,6 +3818,20 @@ object SparkEntry {
         |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
         |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // statuses restated from the v2-construction arithmetic: removed
+    // beats changed (the 7-filter applies first), adds are the ten
+    // shifted ids
+    "q142_corpus_diff" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |       WHEN doc_id % 5 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS id, 'added' AS status
+        |FROM documents WHERE doc_id < 10
+        |ORDER BY id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -236,4 +236,34 @@ object Curation {
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.langId(col(textCol)).as("lang_pred"))
   }
+
+  /** RELEASE DIFF between two corpus snapshots — the archive-maintenance
+    * question ("what changed between v1 and v2?") a snapshot catalog
+    * cannot answer from counts alone. Per id: `added` (new side only),
+    * `removed` (old side only), `changed` (both sides, content hash
+    * differs over `hashCols`), `unchanged`. Returns (id, status).
+    *
+    * 100 TB shape: content comparison is by md5 over the concatenated
+    * hash columns computed MAP-SIDE on each snapshot — the join then
+    * carries (id, 32-char hash) rows, never document bodies; one
+    * id-keyed full-outer sort-merge join, no skew surface beyond the id
+    * itself. A field-separator char keeps ("ab","c") and ("a","bc")
+    * distinct.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "corpusDiff: need at least one hash column")
+    def hashed(df: DataFrame) = df.select(col(idCol).as("id"),
+      md5(concat_ws("\u0001",
+        hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as("h"))
+    hashed(oldSnap).withColumnRenamed("h", "h_old")
+      .join(hashed(newSnap).withColumnRenamed("h", "h_new"),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

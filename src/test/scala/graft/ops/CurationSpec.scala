@@ -157,4 +157,27 @@ class CurationSpec extends AnyFunSuite {
     // every adjacent pair overlaps by chunk - stride tokens
     assert(d1(0)._4.split(" ").last == d1(1)._4.split(" ").head)
   }
+
+  test("corpusDiff: all four statuses, null fields, and no cross-field bleed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(
+      (1L, "same", "en"),
+      (2L, "old text", "en"),
+      (3L, "gone", "de"),
+      (4L, null.asInstanceOf[String], "fr"),   // null field hashes stably
+      (5L, "ab", "c")                          // field-boundary probe
+    ).toDF("doc_id", "text", "lang")
+    val b = Seq(
+      (1L, "same", "en"),          // unchanged
+      (2L, "new text", "en"),      // changed
+      (4L, null.asInstanceOf[String], "fr"),   // unchanged (null == null)
+      (5L, "a", "bc"),             // changed: ("ab","c") != ("a","bc")
+      (6L, "brand new", "en")      // added
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.corpusDiff(a, b, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
 }
