@@ -98,9 +98,9 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     // uniform: out-degree; weighted: out-weight mass — either way the
-    // per-edge contribution is pr * share / outdeg. deg survives only
-    // for the dangling-mass anti-join (node-sized); the per-edge ratio
-    // is folded into the pinned edge frame below.
+    // per-edge contribution is pr * share / outdeg. deg is consumed
+    // only at setup (the per-edge ratio folds into the pinned edge
+    // frame below; the has-out flag folds into the node frame).
     val deg = e.groupBy(col("src"))
       .agg(weightCol.map(_ => sum(col("w")))
         .getOrElse(count(lit(1)).cast("double")).as("outdeg"))
@@ -114,6 +114,16 @@ object Graph {
         (weightCol.map(_ => col("w")).getOrElse(lit(1.0)) /
           col("outdeg")).as("cshare"))
       .repartition(col("src"))
+      .localCheckpoint(true)
+    // nodes carrying a STATIC has-out-edges flag: the dangling-mass
+    // reduction then reads the flag the rank frame already carries
+    // instead of anti-joining pr against deg every iteration (one
+    // node-sized join x iterations saved; deg itself is consumed only
+    // at setup now).
+    val nodesF = nodes.join(
+        deg.select(col("src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("__out"))
       .localCheckpoint(true)
     // Node count as a driver literal: a single bounded count() at setup.
     // (This used to be a 1-row broadcast frame crossJoined into every
@@ -129,28 +139,32 @@ object Graph {
     def cut(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
 
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var pr = nodesF.select(col("node"), lit(1.0 / n).as("pr"), col("__out"))
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
-      val contrib = ec.join(pr, ec("src") === pr("node"))
+      val contrib = ec.join(pr.select(col("node"), col("pr")),
+          ec("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("cshare")).as("c"))
-      val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
+      // dangling mass off the carried flag: a filter-aggregate over the
+      // rank frame itself, no join
+      val dangling = pr.filter(!col("__out"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val stepped = nodes.join(contrib, Seq("node"), "left")
+      val stepped = nodesF.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / lit(n))).as("pr"))
+              col("dm") / lit(n))).as("pr"),
+          col("__out"))
       if (tolerance > 0) {
         // join the previous rank in so the L1 delta is observable on the
         // materializing pass itself (no second scan; prev is node-sized,
         // same probe-rides-the-checkpoint pattern as the CC loop)
         val obs = org.apache.spark.sql.Observation()
-        val pinned = cut(stepped.join(pr.withColumnRenamed("pr", "__prev"),
-            Seq("node"))
+        val pinned = cut(stepped.join(
+            pr.select(col("node"), col("pr").as("__prev")), Seq("node"))
           .observe(obs, sum(abs(col("pr") - col("__prev"))).as("l1"))
           .drop("__prev")) // eager checkpoint runs the job, fires the metric
         pr = pinned
@@ -166,6 +180,6 @@ object Graph {
       }
       i += 1
     }
-    pr
+    pr.drop("__out")
   }
 }
