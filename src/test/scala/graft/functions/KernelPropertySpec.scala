@@ -71,4 +71,48 @@ class KernelPropertySpec extends AnyFunSuite {
       countOk && setOk && posOk
     })
   }
+
+  test("PslKernel.registrable matches a naive per-rule reference on random rule sets") {
+    // naive model: enumerate every suffix, apply the published
+    // prevailing-rule algorithm directly over the rule LISTS (no hash
+    // sets, no shared code with the kernel)
+    val label: Gen[String] = Gen.oneOf("a", "b", "co", "uk", "ck", "x9")
+    val ruleGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 3)
+      ls <- Gen.listOfN(n, label)
+      kind <- Gen.chooseNum(0, 9)
+    } yield kind match {
+      case 0 => "*." + ls.mkString(".")
+      case 1 => "!" + ls.mkString(".")
+      case _ => ls.mkString(".")
+    }
+    val hostGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 5)
+      ls <- Gen.listOfN(n, label)
+    } yield ls.mkString(".")
+    def model(host: String, rules: List[String]): String = {
+      val labels = host.split('.')
+      val n = labels.length
+      def sufx(l: Int) = labels.drop(n - l).mkString(".")
+      val normal = rules.filter(r => !r.startsWith("!") && !r.startsWith("*.") && r != "*")
+      val wild = rules.collect { case r if r.startsWith("*.") => r.substring(2) }
+      val exc = rules.collect { case r if r.startsWith("!") => r.substring(1) }
+      val excLen = (1 to n).find(l => exc.contains(sufx(l))).map(_ - 1)
+      val psLen = excLen.getOrElse {
+        val cands = (1 to n).filter(l => normal.contains(sufx(l))) ++
+          (2 to n).filter(l => wild.contains(sufx(l - 1)))
+        (1 +: cands).max
+      }
+      if (n <= psLen) host else sufx(psLen + 1)
+    }
+    val prop = Prop.forAll(Gen.listOfN(8, ruleGen), hostGen) { (rules, host) =>
+      val text = rules.mkString("\n")
+      val parsed = PslKernel.cached(if (text.isEmpty) "com" else text)
+      val effective = if (text.isEmpty) List("com") else rules
+      val got = PslKernel.registrable(
+        UTF8String.fromString(host), parsed).toString
+      got == model(host, effective)
+    }
+    check(prop)
+  }
 }
