@@ -89,4 +89,31 @@ class QuantilesSpec extends AnyFunSuite {
         "k", "x", Seq(0.5), maxGroups = 10)
     }
   }
+
+  test("exact matches an independent local type-7 model on seeded random data") {
+    // reference implemented from the definition (sort + interpolate),
+    // sharing nothing with the operator's rank machinery
+    def model(values: Seq[Double], q: Double): Double = {
+      val v = values.sorted
+      val p = q * (v.length - 1)
+      val lo = math.floor(p).toInt; val hi = math.ceil(p).toInt
+      v(lo) + (p - lo) * (v(hi) - v(lo))
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val n = 1 + rng.nextInt(4000)
+      // mix of duplicates, negatives, and magnitude spread
+      val data = Seq.fill(n)(rng.nextInt(5) match {
+        case 0 => 7.0
+        case 1 => -rng.nextDouble() * 1e6
+        case _ => rng.nextDouble() * 1e3
+      })
+      val got = ours(data.toDF("x").repartition(1 + rng.nextInt(16)))
+      qs.zip(got).foreach { case (q, g) =>
+        val m = model(data, q)
+        assert(math.abs(g - m) <= 1e-9 * math.max(1.0, math.abs(m)),
+          s"trial $trial n=$n q=$q: $g vs $m")
+      }
+    }
+  }
 }
