@@ -247,16 +247,21 @@ object Curation {
     * hash columns computed MAP-SIDE on each snapshot — the join then
     * carries (id, 32-char hash) rows, never document bodies; one
     * id-keyed full-outer sort-merge join, no skew surface beyond the id
-    * itself. A field-separator char keeps ("ab","c") and ("a","bc")
-    * distinct.
+    * itself. Columns hash individually before combining, so field
+    * boundaries hold for ANY byte content — ("ab","c") never equals
+    * ("a","bc") — and nulls are distinct from every real value.
     */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "corpusDiff: need at least one hash column")
     def hashed(df: DataFrame) = df.select(col(idCol).as("id"),
-      md5(concat_ws("\u0001",
-        hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
-        .as("h"))
+      // hash EACH column first: the per-column digests are fixed-width,
+      // so field boundaries cannot bleed whatever bytes the values
+      // contain (a raw separator would collide on values containing the
+      // separator char); a null column hashes to the 1-char sentinel
+      // "-", which no md5 hex string can equal
+      md5(concat(hashCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("-"))): _*)).as("h"))
     hashed(oldSnap).withColumnRenamed("h", "h_old")
       .join(hashed(newSnap).withColumnRenamed("h", "h_new"),
         Seq("id"), "full_outer")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse-retrieval and language-model scoring operators for
@@ -268,49 +268,94 @@ object Retrieval {
     * is the same map-only bigram zip + one shuffle as the self-scoring
     * path, and the reference model is reusable across scoring runs.
     */
+  /** (doc-cols..., w1, w2) bigram pairs off a text column — the shared
+    * map-only extraction (slice + arrays_zip, no positional self-join)
+    * of every bigram-LM face. Docs with < 2 tokens emit nothing.
+    */
+  private[graft] def bigramPairs(df: DataFrame, keep: Seq[String],
+      textCol: String): DataFrame = {
+    val ks = keep.map(col)
+    df.select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(ks :+ explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2")))
+        .as("__p"): _*)
+      .select(ks :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
+  }
+
+  /** THE pinned KN reference model — bigram counts, per-context
+    * (mass, distinct continuations), per-word continuation counts, and
+    * the distinct-bigram-type total as a bounded driver literal (one
+    * count at build; a scalar crossJoin per consumer would re-enter the
+    * iteration-stats hazard PageRank documents). Shared by the batch
+    * and streaming reference-scoring faces so the smoothing can never
+    * drift between them; fails fast on a bigram-free reference (the
+    * unk mass 1/(2B) would otherwise divide by zero).
+    */
+  private[graft] final case class KnModel(bigrams: DataFrame,
+      contexts: DataFrame, precede: DataFrame, btypes: Long)
+
+  private[graft] def knModel(ref: DataFrame, refTextCol: String): KnModel = {
+    val refBi = bigramPairs(ref, Nil, refTextCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val bt = refBi.count()
+    require(bt > 0,
+      "KN model: reference corpus has no bigrams (every doc < 2 tokens)")
+    KnModel(refBi,
+      refBi.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+        .localCheckpoint(true),
+      refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+        .localCheckpoint(true),
+      bt)
+  }
+
+  /** Interpolated-KN probability over the LEFT-joined model columns
+    * (cb/cw/nfollow/nprec) — one expression, shared verbatim by every
+    * reference-scoring face: unseen bigram -> discounted term 0, unseen
+    * context -> pure continuation, unknown word -> 1/(2B) unk mass.
+    */
+  private[graft] def knProbability(discount: Double, btypes: Double): Column = {
+    val pc = when(col("nprec").isNotNull,
+        col("nprec").cast("double") / lit(btypes))
+      .otherwise(lit(0.5 / btypes))
+    when(col("cw").isNotNull,
+      greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
+        col("cw") +
+        (lit(discount) * col("nfollow") / col("cw")) * pc)
+      .otherwise(pc)
+  }
+
+  /** [[knBigramNll]]'s DEPLOYMENT shape: score `docs` against a KN
+    * model trained on a separate REFERENCE corpus — CCNet's actual
+    * filter (LM trained on Wikipedia, perplexity computed on the
+    * crawl), which [[knBigramNll]]'s self-scoring cannot express
+    * because unseen mass never arises there. Unseen events back off
+    * explicitly and deterministically ([[knProbability]]); p is never
+    * 0, so every doc with >= 2 tokens scores finitely, and a
+    * bigram-free reference fails fast at model build. Scale shape: the
+    * model frames come from one pass over the reference ([[knModel]],
+    * reusable across scoring runs) and are AQE-joined; scoring is the
+    * same map-only bigram zip + one shuffle as the self-scoring path.
+    */
   def knBigramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
-    // reference model: bigram counts + context/continuation frames
-    val refBi = ref
-      .select(TextAnalysis.tokens(col(refTextCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true)
-    val contexts = refBi.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
-    val precede = refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
-    val types = refBi.agg(count(lit(1)).as("btypes"))
-    // scored corpus bigrams, LEFT-joined so unseen events survive
-    val docBi = docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val m = knModel(ref, refTextCol)
+    val docBi = bigramPairs(
+        docs.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol)
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-    val pc = when(col("nprec").isNotNull,
-        col("nprec").cast("double") / col("btypes"))
-      .otherwise(lit(0.5) / col("btypes")) // explicit unk mass: 1/(2B)
     docBi
-      .join(refBi, Seq("w1", "w2"), "left")
-      .join(contexts, Seq("w1"), "left")
-      .join(precede, Seq("w2"), "left")
-      .crossJoin(broadcast(types))
-      .withColumn("__p",
-        when(col("cw").isNotNull,
-          greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
-            col("cw") +
-            (lit(discount) * col("nfollow") / col("cw")) * pc)
-          .otherwise(pc))
+      .join(m.bigrams, Seq("w1", "w2"), "left")
+      .join(m.contexts, Seq("w1"), "left")
+      .join(m.precede, Seq("w2"), "left")
+      .withColumn("__p", knProbability(discount, m.btypes.toDouble))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(when(col("cb").isNull, col("c")).otherwise(0L))

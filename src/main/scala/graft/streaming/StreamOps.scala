@@ -55,11 +55,13 @@ object StreamOps {
   /** Streaming Kneser-Ney quality scoring: per-arriving-doc interpolated
     * KN bigram NLL against a STATIC reference-trained model — the
     * continuous form of [[graft.ops.Retrieval.knBigramNllAgainst]]
-    * (CCNet's filter applied on ingest instead of in batch). The model
-    * frames are built ONCE at op construction and pinned (the
-    * stream-static rule: an unpinned static side re-derives the whole
-    * reference per micro-batch); scoring is the same LEFT-join +
-    * backoff arithmetic, aggregated per (doc, event-time) with
+    * (CCNet's filter applied on ingest instead of in batch). Model
+    * construction, pair extraction, and the backoff probability are THE
+    * batch face's own [[graft.ops.Retrieval.knModel]]/`knProbability`
+    * (one shared kernel — the smoothing cannot drift between faces);
+    * the model frames pin once at op construction (the stream-static
+    * rule: an unpinned static side re-derives the whole reference per
+    * micro-batch) and scoring aggregates per (doc, event-time) with
     * watermark-bounded state in append mode. Docs with < 2 tokens carry
     * no bigram and emit no row (the batch face's contract).
     */
@@ -68,46 +70,17 @@ object StreamOps {
       discount: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
-    val toks = graft.ops.TextAnalysis.tokens(col(refTextCol))
-    val refBi = ref
-      .select(toks.as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true)
-    val contexts = refBi.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
-      .localCheckpoint(true)
-    val precede = refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
-      .localCheckpoint(true)
-    // bounded: ONE long — btypes ships as a literal, not a per-batch
-    // crossJoin of a static 1-row frame
-    val btypes = refBi.count().toDouble
-    require(btypes > 0, "streamingKnScore: reference corpus has no bigrams")
-    val pc = when(col("nprec").isNotNull,
-        col("nprec").cast("double") / lit(btypes))
-      .otherwise(lit(0.5 / btypes))
-    docs.withWatermark(tsCol, watermark)
-      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
-        graft.ops.TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("__ts"), explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
-      .select(col("doc_id"), col("__ts"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .join(refBi, Seq("w1", "w2"), "left")
-      .join(contexts, Seq("w1"), "left")
-      .join(precede, Seq("w2"), "left")
+    val m = graft.ops.Retrieval.knModel(ref, refTextCol)
+    graft.ops.Retrieval.bigramPairs(
+        docs.withWatermark(tsCol, watermark)
+          .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+            col(textCol)),
+        Seq("doc_id", "__ts"), textCol)
+      .join(m.bigrams, Seq("w1", "w2"), "left")
+      .join(m.contexts, Seq("w1"), "left")
+      .join(m.precede, Seq("w2"), "left")
       .withColumn("__p",
-        when(col("cw").isNotNull,
-          greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
-            col("cw") +
-            (lit(discount) * col("nfollow") / col("cw")) * pc)
-          .otherwise(pc))
+        graft.ops.Retrieval.knProbability(discount, m.btypes.toDouble))
       .groupBy(col("doc_id"), col("__ts"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),

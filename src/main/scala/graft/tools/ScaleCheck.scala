@@ -1181,10 +1181,11 @@ object ScaleCheck {
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     }
+    require(gGot.keySet == gRef.keySet,
+      s"grouped quantile keysets diverged: ${gGot.keySet.size} vs ${gRef.keySet.size}")
     val maxGDiff = gGot.map { case (k, v) =>
       math.abs(v - gRef(k)) / math.max(1.0, math.abs(gRef(k))) }.max
-    require(gGot.keySet == gRef.keySet && maxGDiff <= 1e-9,
-      s"grouped quantile parity broke: $maxGDiff")
+    require(maxGDiff <= 1e-9, s"grouped quantile parity broke: $maxGDiff")
     // the crossover case: 2 HUGE groups (2.5M values each) — here the
     // per-group value maps are where the built-in hurts
     val grouped2 = valsQ.withColumn("k",
