@@ -5,11 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Methodology: one untimed warmup pass over every query (JIT/codegen/
-  * parquet-footer warmup is session cost, not query cost — a long-running
-  * engine at 100 TB runs warm), then one timed pass in sorted-name order,
-  * each executed via count() (forces the full plan, discards row
-  * transfer).
+  * Methodology (TimeQuery's, applied PER QUERY): one untimed warm run
+  * (JIT/codegen/parquet-footer warmup is session cost, not query cost —
+  * a long-running engine at 100 TB runs warm), then two timed runs
+  * back-to-back, min. Keeping each query's three executions ADJACENT is
+  * the point: the previous shape (whole-suite warmup pass, then two
+  * whole-suite timed passes) put ~minutes of other queries' cache churn
+  * and garbage between a query's two timings, and heavy neighbors'
+  * spillover read as phantom 30-70% regressions on untouched queries
+  * (the r11 q76-q80 cluster — refuted by adjacent re-timing). Each run
+  * executes via count() (forces the full plan, discards row transfer).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,47 +32,41 @@ object Bench {
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // warmup pass (untimed): JIT-compiles every code path once
-    sorted.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    // Queries that persist() internally (e.g. the embedding-LSH path)
-    // create a fresh cache entry per invocation — drop them all between
-    // passes or three passes' worth of orphaned blocks pile up on the heap
-    // and the later, shuffle-heavy queries pay for it in GC.
-    spark.catalog.clearCache()
-    // don't bill the timed pass for warmup garbage
-    System.gc()
-
-    // two timed passes, min per query: single-run timings on a shared
-    // box carry multi-second scheduler/GC noise. A query that THROWS is
-    // recorded as an error, never as a timing — a failed query's
-    // elapsed-to-exception is not a measurement and must not make the
-    // bench artifact look healthier than the correctness artifact.
-    def timedPass(): Seq[(String, Either[String, Double])] =
-      sorted.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .takeWhile(_ != '\n').take(120))
+    // Per query: warm once (untimed), time twice, min. A query that
+    // THROWS is recorded as an error, never as a timing — a failed
+    // query's elapsed-to-exception is not a measurement and must not
+    // make the bench artifact look healthier than the correctness
+    // artifact. Min of the runs that succeeded; error only if both
+    // timed runs failed.
+    val all: Seq[(String, Either[String, Double])] =
+      sorted.zipWithIndex.map { case ((name, fn), i) =>
+        def run(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .takeWhile(_ != '\n').take(120))
+          }
         }
+        run() // warm: JIT/codegen/footers, discarded
+        val r = (run(), run()) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Right(a), Left(_))  => Right(a)
+          case (Left(_), Right(b))  => Right(b)
+          case (Left(m), Left(_))   => Left(m)
+        }
+        // Queries that persist() internally (e.g. the embedding-LSH
+        // path) create a fresh cache entry per invocation — drop them
+        // after each trio or orphaned blocks pile up on the heap and
+        // later shuffle-heavy queries pay for them in GC. A full
+        // System.gc() per query would itself distort timings on a
+        // 100 GiB heap, so collect on a stride instead.
+        spark.catalog.clearCache()
+        if (i % 16 == 15) System.gc()
+        name -> r
       }
-    val p1 = timedPass().toMap
-    spark.catalog.clearCache()
-    System.gc()
-    val p2 = timedPass().toMap
-    // min of the passes that succeeded; error only if both passes failed
-    val all = sorted.map { case (name, _) =>
-      name -> ((p1(name), p2(name)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Right(a), Left(_))  => Right(a)
-        case (Left(_), Right(b))  => Right(b)
-        case (Left(m), Left(_))   => Left(m)
-      })
-    }
     val errors = all.collect { case (k, Left(m)) => (k, m) }
     val results = all.collect { case (k, Right(v)) => (k, v) }
     val qs = all.map {

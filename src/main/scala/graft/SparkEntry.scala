@@ -1744,7 +1744,8 @@ object SparkEntry {
     // CAN recompute (docs, octet sums) plus two in-plan proof booleans
     // (q65's bounded-error device): roundtrip_ok asserts
     // inflate(deflate(text)) == text byte-exact for EVERY doc, and
-    // ratio_band_ok asserts the aggregated ratio lands in (0, 1.05] —
+    // ratio_band_ok asserts each gated per-doc ratio lands in
+    // (0, 1.2] (the implemented band below; >= 64-octet docs only) —
     // both uniformly true, oracle side literal TRUE, so any codec bug
     // flips a row and fails the hash compare.
     "q127_compression_quality" -> ((s, dir) =>
@@ -2016,12 +2017,17 @@ object SparkEntry {
     // IN-PLAN via a broadcast probe join). Oracle: DuckDB's native
     // grouped quantile_cont — an independent engine's own grouped
     // type-7 implementation, the strongest oracle this operator can
-    // have. round(4) absorbs interpolation ULP skew.
+    // have. round(4) absorbs interpolation ULP skew. Dispatch is
+    // pinned OFF (builtinMaxAvgGroupRows = 0) so this gate exercises
+    // the rank kernel at every SF — at test scale the §5u auto-
+    // dispatch would (correctly) answer with the built-in; both sides'
+    // parity is QuantilesSpec's job.
     "q139_group_quantiles" -> ((s, dir) =>
       graft.ops.Quantiles.exactByKey(
           t(s, dir, "documents")
             .select(col("source"), octet_length(col("text")).as("len")),
-          "source", "len", Seq(0.25, 0.5, 0.9))
+          "source", "len", Seq(0.25, 0.5, 0.9),
+          builtinMaxAvgGroupRows = 0L)
         .select(col("key").as("source"), col("q"),
           round(col("exact_q"), 4).as("exact_q"))
         .orderBy(col("source"), col("q"))),
@@ -2062,7 +2068,12 @@ object SparkEntry {
       val b = a.filter(pmod(col("doc_id"), lit(7)) =!= 0)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            // coalesce: a null-text doc must still AMEND (null -> " v2"
+            // is 'changed' under the diff's null-distinct hashing);
+            // bare concat would null out and read 'unchanged' while the
+            // oracle's arithmetic CASE hardcodes 'changed'
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")))
         .unionByName(a.filter(col("doc_id") < 10)
           .withColumn("doc_id", col("doc_id") + 1000000L))
       graft.ops.Curation.corpusDiff(a, b, "doc_id",

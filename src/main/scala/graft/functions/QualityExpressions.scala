@@ -158,9 +158,15 @@ object InflateKernel {
     while (!inf.finished()) {
       val n = inf.inflate(buf)
       if (n > 0) out.write(buf, 0, n)
-      else if (!inf.finished() && inf.needsInput()) {
-        // truncated / corrupt stream — stop rather than spin
-        throw new java.util.zip.DataFormatException("truncated deflate stream")
+      else if (!inf.finished()) {
+        // ANY zero-progress state short of finished is corrupt input —
+        // needsInput (truncated stream) but also needsDictionary on a
+        // crafted stream: gating only on needsInput would spin forever
+        // on the latter. Self-produced deflate output never hits this;
+        // the method is callable with arbitrary bytes.
+        throw new java.util.zip.DataFormatException(
+          if (inf.needsInput()) "truncated deflate stream"
+          else "corrupt deflate stream (zero-progress inflate)")
       }
     }
     out.toByteArray

@@ -54,7 +54,18 @@ object Quantiles {
     val positions = qs.map(q => q * (n - 1))
     val needed = positions.flatMap(p =>
       Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
-    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    // the offsets already locate every bracketing rank's partition, so
+    // only those ≤ 2·|qs| partitions feed the rank window — the inner
+    // broadcast join drops the rest map-side, BEFORE the window's hash
+    // exchange (which otherwise re-shuffles the full dataset: the
+    // checkpoint discards outputPartitioning). Whole partitions survive
+    // intact, so per-partition row_number ranks are unchanged.
+    val countByPid = counts.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val neededPids = offsets.collect { case (pid, off)
+      if needed.exists(r => r >= off && r < off + countByPid(pid)) => pid
+    }.toSet
+    val offsetsDf = broadcast(offsets.toSeq.filter(t => neededPids(t._1))
+      .toDF("__pid", "__offset"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("__x"), col("__tb"))
     val picked = parts.join(offsetsDf, Seq("__pid"))
@@ -84,17 +95,56 @@ object Quantiles {
     * Returns (key, q, exact_q), matching DuckDB's grouped
     * `quantile_cont`. Groups smaller than 1 row can't occur (nulls are
     * dropped before grouping).
+    *
+    * Dispatch: when the average group is at most `builtinMaxAvgGroupRows`
+    * rows, the built-in `percentile` aggregate answers instead — same
+    * type-7 values (§5u parity 1e-16), and its per-group value map is
+    * the cheaper machine in the many-small-groups regime where this
+    * operator's fixed range-shuffle machinery doesn't pay. Set 0 to
+    * force the rank path (e.g. to keep plans comparable across scales).
     */
   def exactByKey(df: DataFrame, keyCol: String, xCol: String,
-      qs: Seq[Double], maxGroups: Int = 10000): DataFrame = {
+      qs: Seq[Double], maxGroups: Int = 10000,
+      builtinMaxAvgGroupRows: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0,1]")
     require(maxGroups >= 1, "maxGroups must be >= 1")
     val session = df.sparkSession
     import session.implicits._
-    val parts = df.select(col(keyCol).cast("string").as("__k"),
+    val cleaned = df.select(col(keyCol).cast("string").as("__k"),
         col(xCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull && col("__k").isNotNull)
+    // §5u crossover dispatch: the built-in percentile's per-group
+    // value-count map is the cheaper machine while groups are small
+    // (its single-reducer merge is per GROUP, and many groups
+    // parallelize across reducers); the rank path wins when any one
+    // group's value count is executor-memory-scale. Measured crossover
+    // is between 250k rows/group (built-in 3× faster) and 2.5M
+    // rows/group (rank path ahead, gap widening) — the 1M default
+    // splits it. One scan buys the two dispatch scalars; 0 disables.
+    var railChecked = false
+    if (builtinMaxAvgGroupRows > 0) {
+      val r = cleaned.agg(count(lit(1)).as("n"),
+        countDistinct(col("__k")).as("nk")).head()
+      val total = r.getLong(0); val nk = r.getLong(1)
+      if (nk == 0)
+        return Seq.empty[(String, Double, Double)].toDF("key", "q", "exact_q")
+      require(nk <= maxGroups,
+        s"exactByKey: more than maxGroups=$maxGroups distinct keys " +
+          "(driver offset state is groups-bounded; raise the rail only " +
+          "with the memory math in hand, or pre-aggregate the key)")
+      railChecked = true
+      if (total / nk <= builtinMaxAvgGroupRows) {
+        val ps = expr(s"percentile(__x, array(${qs.mkString(", ")}))")
+        return cleaned.groupBy(col("__k")).agg(ps.as("__ps"))
+          .select(col("__k").as("key"),
+            posexplode(col("__ps")).as(Seq("__i", "exact_q")))
+          .select(col("key"),
+            element_at(typedlit(qs), col("__i") + 1).as("q"),
+            col("exact_q"))
+      }
+    }
+    val parts = cleaned
       .withColumn("__tb", monotonically_increasing_id())
       .repartitionByRange(col("__k"), col("__x"), col("__tb"))
       .sortWithinPartitions(col("__k"), col("__x"), col("__tb"))
@@ -104,13 +154,16 @@ object Quantiles {
     // driver: a per-document key (the documented misuse) would OOM the
     // counts collect below long before a post-collect require could
     // report it. limit(maxGroups+1) bounds this probe's result whatever
-    // the true cardinality is.
-    val nKeys = parts.select(col("__k")).distinct()
-      .limit(maxGroups + 1).count()
-    require(nKeys <= maxGroups,
-      s"exactByKey: more than maxGroups=$maxGroups distinct keys " +
-        "(driver offset state is groups-bounded; raise the rail only " +
-        "with the memory math in hand, or pre-aggregate the key)")
+    // the true cardinality is. (Skipped when the dispatch probe above
+    // already counted the exact key cardinality.)
+    if (!railChecked) {
+      val nKeys = parts.select(col("__k")).distinct()
+        .limit(maxGroups + 1).count()
+      require(nKeys <= maxGroups,
+        s"exactByKey: more than maxGroups=$maxGroups distinct keys " +
+          "(driver offset state is groups-bounded; raise the rail only " +
+          "with the memory math in hand, or pre-aggregate the key)")
+    }
     // bounded: one row per (partition, key-run) — range partitioning on
     // (k, x) keeps each key on a contiguous partition band, so this is
     // ≤ keys + partitions rows once the rail has passed
@@ -141,7 +194,19 @@ object Quantiles {
     val probeRows = probes.flatMap { case (k, lo, q, frac, hi) =>
       Seq((k, lo, q, frac, "lo"), (k, hi, q, frac, "hi"))
     }
-    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__k", "__offset"))
+    // same partition pruning as [[exact]], per key: only (partition,
+    // key) runs holding a bracketing rank enter the rank window. The
+    // offsets join is INNER, so restricting the broadcast frame to the
+    // needed runs drops every other run map-side before the window's
+    // (__pid, __k) exchange; surviving runs keep all their rows, so
+    // within-run ranks are unchanged.
+    val ranksByKey = probeRows.groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).toSet }
+    val countByRun = counts.map(t => (t._1, t._2) -> t._3).toMap
+    val neededRuns = offsets.filter { case (pid, k, off) =>
+      ranksByKey(k).exists(r => r >= off && r < off + countByRun((pid, k)))
+    }
+    val offsetsDf = broadcast(neededRuns.toSeq.toDF("__pid", "__k", "__offset"))
     val probesDf = broadcast(
       probeRows.toDF("__k", "__rank", "q", "__frac", "__side"))
     val w = org.apache.spark.sql.expressions.Window

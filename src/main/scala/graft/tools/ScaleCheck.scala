@@ -1176,8 +1176,13 @@ object ScaleCheck {
         .collect().flatMap(r => qsQ.zipWithIndex.map { case (q, i) =>
           (r.getString(0), q) -> r.getSeq[Double](1)(i) }).toMap
     }
+    // dispatch pinned OFF here: this section measures the rank
+    // machinery itself on both sides of the crossover; the default
+    // builtinMaxAvgGroupRows=1M dispatch would (correctly) route
+    // grouped20 to the built-in and grouped2 to the rank path
     val (gGot, tGroup) = time {
-      graft.ops.Quantiles.exactByKey(grouped, "k", "x", qsQ)
+      graft.ops.Quantiles.exactByKey(grouped, "k", "x", qsQ,
+          builtinMaxAvgGroupRows = 0L)
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     }
@@ -1194,7 +1199,8 @@ object ScaleCheck {
       grouped2.groupBy("k").agg(percentile(col("x"), typedLit(qsQ))).collect()
     }
     val (_, tGroup2) = time {
-      graft.ops.Quantiles.exactByKey(grouped2, "k", "x", qsQ).collect()
+      graft.ops.Quantiles.exactByKey(grouped2, "k", "x", qsQ,
+        builtinMaxAvgGroupRows = 0L).collect()
     }
     println(f"QUANTILES> n=$nQ exact=$tExact%.1f s builtin=$tBuiltin%.1f s " +
       f"parity=$maxDiff%.1e grouped20=$tGroup%.1f s " +

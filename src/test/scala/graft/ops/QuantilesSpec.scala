@@ -55,9 +55,11 @@ class QuantilesSpec extends AnyFunSuite {
   test("exactByKey matches per-group percentile, across partition counts") {
     val data = (0 until 30000).map(i =>
       (s"g${i % 7}", ((i * 2654435761L) % 99991).toDouble))
+    // dispatch pinned off: this test exists to exercise the rank
+    // machinery against the built-in as an independent reference
     def run(parts: Int): Map[(String, Double), Double] =
       Quantiles.exactByKey(data.toDF("k", "x").repartition(parts),
-          "k", "x", qs)
+          "k", "x", qs, builtinMaxAvgGroupRows = 0L)
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     val got = run(32)
@@ -83,11 +85,38 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got(("b", 0.5)) == 2.0) // interpolated midpoint
     assert(!got.keys.exists(_._1 == null)) // null key dropped
     assert(!got.keys.exists(_._1 == "c"))  // all-null-x group vanishes
+    // the rail fires on BOTH paths: the dispatch probe's countDistinct
+    // (default) and the rank path's limit-probe (dispatch disabled)
     intercept[IllegalArgumentException] {
       Quantiles.exactByKey(
         (0 until 100).map(i => (s"k$i", 1.0)).toDF("k", "x"),
         "k", "x", Seq(0.5), maxGroups = 10)
     }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactByKey(
+        (0 until 100).map(i => (s"k$i", 1.0)).toDF("k", "x"),
+        "k", "x", Seq(0.5), maxGroups = 10, builtinMaxAvgGroupRows = 0L)
+    }
+  }
+
+  test("exactByKey dispatch: both sides of the §5u crossover agree") {
+    val data = (0 until 20000).map(i =>
+      (s"g${i % 5}", ((i * 48271L) % 99991).toDouble))
+    val df = data.toDF("k", "x").repartition(8)
+    def run(thresh: Long): Map[(String, Double), Double] =
+      Quantiles.exactByKey(df, "k", "x", qs,
+          builtinMaxAvgGroupRows = thresh)
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val viaBuiltin = run(Long.MaxValue) // avg 4000 rows/key -> built-in
+    val viaRank = run(0L)               // disabled -> rank machinery
+    val viaRank2 = run(1L)              // enabled, avg > 1 -> rank machinery
+    assert(viaBuiltin.keySet == viaRank.keySet)
+    viaBuiltin.foreach { case (k, v) =>
+      assert(math.abs(v - viaRank(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: builtin $v vs rank ${viaRank(k)}")
+    }
+    assert(viaRank2 == viaRank) // same machinery -> identical bits
   }
 
   test("exact matches an independent local type-7 model on seeded random data") {
