@@ -2079,6 +2079,36 @@ object SparkEntry {
       graft.ops.Curation.corpusDiff(a, b, "doc_id",
         Seq("text", "lang", "source"))
         .orderBy(col("id"))
+    }),
+
+    // ORDER-3 INTERPOLATED KNESER-NEY, self-scored (Retrieval.
+    // knNgramNll): q140's smoothing family at the deployment order —
+    // recursive backoff (discounted trigram ML -> continuation-count
+    // bigram -> continuation unigram), the KenLM/CCNet ladder one rung
+    // below its 5-gram production shape. The oracle replays the FULL
+    // recursion as chained CTEs: trigram counts/contexts from the
+    // trigram stream, order-2 continuation counts from trigram TYPES,
+    // the continuation unigram from bigram types — same frames, same
+    // arithmetic order.
+    "q143_kn_trigram_nll" -> ((s, dir) =>
+      graft.ops.Retrieval.knNgramNll(t(s, dir, "documents"),
+        "doc_id", "text", order = 3)
+        .orderBy(col("doc_id"))),
+
+    // REFERENCE-MODEL trigram KN (Retrieval.knNgramNllAgainst): the
+    // model trains on the 'en' slice and scores the whole corpus, so
+    // non-English docs walk the recursive backoff for real — unseen
+    // trigram (discount 0 at order 3), unseen (w1,w2) context (drop to
+    // the continuation bigram), unseen (w2) (drop to the continuation
+    // unigram), unk word (1/(2B)). n_unseen pins the top-order
+    // accounting; the oracle replays model + scoring with LEFT joins
+    // and the same nested CASE ladder.
+    "q144_kn_trigram_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Retrieval.knNgramNllAgainst(
+        docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", order = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3843,6 +3873,96 @@ object SparkEntry {
         |SELECT doc_id + 1000000 AS id, 'added' AS status
         |FROM documents WHERE doc_id < 10
         |ORDER BY id""".stripMargin,
+
+    // Recursive interpolated KN at order 3, self-scored: trigram
+    // counts/contexts from the trigram STREAM; order-2 continuation
+    // counts a2 = N1+(.w2w3) from trigram TYPES; continuation unigram
+    // from bigram types. Self model -> every level seen -> the full
+    // nested formula applies with no null branch.
+    "q143_kn_trigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM toks WHERE len(toks) >= 3),
+        |doctri AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri GROUP BY doc_id, w1, w2, w3),
+        |tm AS (SELECT w1, w2, w3, sum(c) AS cb FROM doctri GROUP BY w1, w2, w3),
+        |tctx AS (SELECT w1, w2, sum(cb) AS cw, count(*) AS nfollow FROM tm GROUP BY w1, w2),
+        |a2 AS (SELECT w2, w3, count(*) AS a FROM tm GROUP BY w2, w3),
+        |a2ctx AS (SELECT w2, sum(a) AS ad, count(*) AS anf FROM a2 GROUP BY w2),
+        |bi AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM toks WHERE len(toks) >= 2),
+        |bt AS (SELECT DISTINCT w1, w2 FROM bi),
+        |prec AS (SELECT w2 AS w3, count(*) AS nprec FROM bt GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bt)
+        |SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+        |  round(-sum(c * ln(
+        |    greatest(cb - 0.75, 0.0) / cw +
+        |    (0.75 * nfollow / cw) * (
+        |      greatest(a - 0.75, 0.0) / ad +
+        |      (0.75 * anf / ad) * (nprec::DOUBLE / btypes)))) / sum(c), 6) AS nll
+        |FROM doctri
+        |JOIN tm USING (w1, w2, w3) JOIN tctx USING (w1, w2)
+        |JOIN a2 USING (w2, w3) JOIN a2ctx USING (w2)
+        |JOIN prec USING (w3) CROSS JOIN ty
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Reference-model trigram KN with LEFT joins: the same frames from
+    // the 'en' slice only, the probability as a nested CASE ladder
+    // (p1 continuation unigram with 1/(2B) unk mass -> p2 order-2
+    // continuation with discount -> p3 top order on raw counts), the
+    // same coalesce/greatest arithmetic order as the Spark fold.
+    "q144_kn_trigram_ref" ->
+      """WITH rtoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |rtri AS (
+        |  SELECT unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM rtoks WHERE len(toks) >= 3),
+        |tm AS (SELECT w1, w2, w3, count(*) AS cb FROM rtri GROUP BY w1, w2, w3),
+        |tctx AS (SELECT w1, w2, sum(cb) AS cw, count(*) AS nfollow FROM tm GROUP BY w1, w2),
+        |a2 AS (SELECT w2, w3, count(*) AS a FROM tm GROUP BY w2, w3),
+        |a2ctx AS (SELECT w2, sum(a) AS ad, count(*) AS anf FROM a2 GROUP BY w2),
+        |rbi AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM rtoks WHERE len(toks) >= 2),
+        |bt AS (SELECT DISTINCT w1, w2 FROM rbi),
+        |prec AS (SELECT w2 AS w3, count(*) AS nprec FROM bt GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bt),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM toks WHERE len(toks) >= 3),
+        |doctri AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri GROUP BY doc_id, w1, w2, w3),
+        |joined AS (
+        |  SELECT doc_id, c, cb, cw, nfollow, a, ad, anf, nprec, btypes,
+        |    CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |         ELSE 0.5 / btypes END AS p1
+        |  FROM doctri
+        |  LEFT JOIN tm USING (w1, w2, w3) LEFT JOIN tctx USING (w1, w2)
+        |  LEFT JOIN a2 USING (w2, w3) LEFT JOIN a2ctx USING (w2)
+        |  LEFT JOIN prec USING (w3) CROSS JOIN ty),
+        |p2s AS (
+        |  SELECT *, CASE WHEN ad IS NOT NULL THEN
+        |      greatest(coalesce(a, 0) - 0.75, 0.0) / ad + (0.75 * anf / ad) * p1
+        |    ELSE p1 END AS p2
+        |  FROM joined),
+        |p3s AS (
+        |  SELECT *, CASE WHEN cw IS NOT NULL THEN
+        |      greatest(coalesce(cb, 0) - 0.75, 0.0) / cw + (0.75 * nfollow / cw) * p2
+        |    ELSE p2 END AS p
+        |  FROM p2s)
+        |SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+        |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
+        |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -210,158 +210,314 @@ object Retrieval {
     * re-aggregated from the pin; the two continuation-count frames are
     * per-word (Heaps-bounded) and the bigram-model joins are left to
     * AQE (broadcast while they fit, shuffle beyond).
+    *
+    * Bigram face of [[knNgramNll]] (one shared kernel, round-11
+    * column names preserved); every scored bigram is seen in the
+    * self-model, so the kernel's backoff branches are inert here.
     */
   def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    require(discount > 0.0 && discount < 1.0,
-      s"discount must be in (0,1), got $discount")
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
-    val docBi = base.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // model re-aggs + scoring read this pin
-    val bigrams = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
-      .localCheckpoint(true)
-    // per-context: total mass and distinct-continuation count
-    val contexts = bigrams.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
-    // per-word continuation count + total bigram types
-    val precede = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
-    val types = bigrams.agg(count(lit(1)).as("btypes"))
-    docBi
-      .join(bigrams, Seq("w1", "w2"))
-      .join(contexts, Seq("w1"))
-      .join(precede, Seq("w2"))
-      .crossJoin(broadcast(types))
-      .withColumn("__p",
-        greatest(col("cb") - lit(discount), lit(0.0)) / col("cw") +
-          (lit(discount) * col("nfollow") / col("cw")) *
-            (col("nprec").cast("double") / col("btypes")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
-  }
+      discount: Double = 0.75): DataFrame =
+    knNgramNll(docs, idCol, textCol, 2, discount)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 
-  /** [[knBigramNll]]'s DEPLOYMENT shape: score `docs` against a KN
-    * model trained on a separate REFERENCE corpus — CCNet's actual
-    * filter (LM trained on Wikipedia, perplexity computed on the
-    * crawl), which [[knBigramNll]]'s self-scoring cannot express
-    * because unseen mass never arises there. Unseen events back off
-    * explicitly and deterministically:
-    *
-    *  - bigram unseen, context seen: the discounted ML term is 0 and
-    *    p = D·N1+(w1,·)/c(w1,·) · Pcont(w2) — textbook KN backoff;
-    *  - context w1 unseen: p = Pcont(w2) (full backoff to the
-    *    continuation unigram);
-    *  - w2 itself unseen in the reference: Pcont is undefined, so an
-    *    explicit unk mass p = 1/(2B) applies (documented, engine-
-    *    replayable — the role of KenLM's <unk> probability).
-    *
-    * p is never 0, so every doc with >= 2 tokens scores finitely.
-    * Scale shape: the model frames come from one pass over the
-    * reference and are AQE-joined (broadcast while they fit); scoring
-    * is the same map-only bigram zip + one shuffle as the self-scoring
-    * path, and the reference model is reusable across scoring runs.
+  /** (keep-cols..., w1..wn) full-history n-gram stream off a text
+    * column — the shared map-only extraction (slice + arrays_zip, no
+    * positional self-join) of every n-gram-LM face. w_n is the scored
+    * word, w_1..w_{n-1} its history; docs with < n tokens emit
+    * nothing.
     */
-  /** (doc-cols..., w1, w2) bigram pairs off a text column — the shared
-    * map-only extraction (slice + arrays_zip, no positional self-join)
-    * of every bigram-LM face. Docs with < 2 tokens emit nothing.
-    */
-  private[graft] def bigramPairs(df: DataFrame, keep: Seq[String],
-      textCol: String): DataFrame = {
+  private[graft] def ngramPairs(df: DataFrame, keep: Seq[String],
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"ngram order must be >= 2, got $n")
     val ks = keep.map(col)
     df.select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-      .filter(size(col("__toks")) >= 2)
+      .filter(size(col("__toks")) >= n)
       .select(ks :+ explode(arrays_zip(
-        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
-        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2")))
-        .as("__p"): _*)
-      .select(ks :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
+        (1 to n).map(i => slice(col("__toks"), lit(i),
+          size(col("__toks")) - (n - 1)).as(s"w$i")): _*)).as("__p"): _*)
+      .select(ks ++ (1 to n).map(i => col(s"__p.w$i").as(s"w$i")): _*)
   }
 
-  /** THE pinned KN reference model — bigram counts, per-context
-    * (mass, distinct continuations), per-word continuation counts, and
-    * the distinct-bigram-type total as a bounded driver literal (one
-    * count at build; a scalar crossJoin per consumer would re-enter the
-    * iteration-stats hazard PageRank documents). Shared by the batch
-    * and streaming reference-scoring faces so the smoothing can never
-    * drift between them; fails fast on a bigram-free reference (the
-    * unk mass 1/(2B) would otherwise divide by zero).
-    */
-  private[graft] final case class KnModel(bigrams: DataFrame,
-      contexts: DataFrame, precede: DataFrame, btypes: Long)
+  /** Back-compat alias: the bigram stream is [[ngramPairs]] at n=2. */
+  private[graft] def bigramPairs(df: DataFrame, keep: Seq[String],
+      textCol: String): DataFrame = ngramPairs(df, keep, textCol, 2)
 
-  private[graft] def knModel(ref: DataFrame, refTextCol: String): KnModel = {
-    val refBi = bigramPairs(ref, Nil, refTextCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+  /** (keep-cols..., w1..wn) PADDED n-gram stream: one row per token
+    * position, history slots before the doc start carried as NULL —
+    * so every lower-order gram stream is a column-subset of this one
+    * frame (the k+1-gram stream = rows where w_{n-k} is non-null,
+    * projected to the last k+1 columns). One explode pass feeds every
+    * order's model counts.
+    */
+  private[graft] def paddedNgrams(df: DataFrame, keep: Seq[String],
+      textCol: String, n: Int): DataFrame = {
+    val ks = keep.map(col)
+    val base = df.select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 1)
+    val pad = concat(array_repeat(lit(null).cast("string"), n - 1),
+      col("__toks"))
+    base.select(ks :+ explode(arrays_zip(
+        (1 to n).map(i => slice(pad, lit(i),
+          size(col("__toks"))).as(s"w$i")): _*)).as("__p"): _*)
+      .select(ks ++ (1 to n).map(i => col(s"__p.w$i").as(s"w$i")): _*)
+  }
+
+  /** THE pinned order-n interpolated-KN model (Chen & Goodman 1999,
+    * recursive backoff):
+    *
+    *  - `top`: raw n-gram counts c(w1..wn) — highest order scores on
+    *    real counts;
+    *  - `topCtx`: per-history mass c(w1..w_{n-1},·) and distinct-
+    *    continuation count N1+(w1..w_{n-1},·);
+    *  - `cont(k)` for k = n-1 .. 2: CONTINUATION counts — order-k
+    *    grams counted by their distinct one-word LEFT extensions in
+    *    the (k+1)-gram TYPE stream (a_k(g) = N1+(·g), the KN insight:
+    *    "how many contexts does this gram complete" replaces raw
+    *    frequency below the top order), plus the per-context sums and
+    *    distinct-continuation counts the discount needs;
+    *  - `precede`: the continuation unigram N1+(·w) from bigram types;
+    *  - `btypes`: distinct bigram types B (the continuation-unigram
+    *    denominator), a bounded driver literal (one count at build; a
+    *    scalar crossJoin per consumer would re-enter the
+    *    iteration-stats hazard PageRank documents).
+    *
+    * All frames derive from ONE padded explode pass over the corpus
+    * ([[paddedNgrams]] → type counts), pinned so every order's re-agg
+    * reads the model-sized type frame, never the corpus. Shared by the
+    * batch and streaming scoring faces so the smoothing can never
+    * drift between them; fails fast on a bigram-free reference (the
+    * unk mass 1/(2B) would otherwise divide by zero). Order 2
+    * reproduces the round-11 bigram model exactly (empty `cont`).
+    */
+  final case class KnModel(order: Int, top: DataFrame,
+      topCtx: DataFrame, cont: List[(Int, DataFrame, DataFrame)],
+      precede: DataFrame, btypes: Long)
+
+  /** Build a [[KnModel]] from a pinned padded-type frame
+    * (w1..w_order nullable, `__c` = corpus occurrences of the padded
+    * tuple). Factored out so the self-scoring face can derive the
+    * model from the SAME pinned frame it scores with (one corpus
+    * shuffle total).
+    */
+  private[graft] def knModelFromTypes(types: DataFrame, order: Int): KnModel = {
+    val top = types.filter(col("w1").isNotNull)
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(sum(col("__c")).as("cb"))
       .localCheckpoint(true)
-    val bt = refBi.count()
+    val topCtx = top.groupBy((1 to order - 1).map(i => col(s"w$i")): _*)
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+      .localCheckpoint(true)
+    val cont = ((order - 1) to 2 by -1).map { k =>
+      val from = order - k // leftmost column of the (k+1)-gram window
+      val raw = types.filter(col(s"w$from").isNotNull)
+        .select((from to order).map(i => col(s"w$i")): _*)
+      // rows of `types` are distinct full-width tuples; a projection
+      // below full width re-introduces duplicates and must re-distinct
+      val kp1Types = if (from == 1) raw else raw.distinct()
+      val grams = kp1Types
+        .groupBy((from + 1 to order).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as(s"a$k"))
+        .localCheckpoint(true)
+      val ctx = grams
+        .groupBy((from + 1 to order - 1).map(i => col(s"w$i")): _*)
+        .agg(sum(col(s"a$k")).as(s"ad$k"), count(lit(1)).as(s"anf$k"))
+        .localCheckpoint(true)
+      (k, grams, ctx)
+    }.toList
+    val biRaw = types.filter(col(s"w${order - 1}").isNotNull)
+      .select(col(s"w${order - 1}"), col(s"w$order"))
+    val biTypes = (if (order == 2) biRaw else biRaw.distinct())
+      .localCheckpoint(true)
+    val bt = biTypes.count()
     require(bt > 0,
       "KN model: reference corpus has no bigrams (every doc < 2 tokens)")
-    KnModel(refBi,
-      refBi.groupBy(col("w1"))
-        .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
-        .localCheckpoint(true),
-      refBi.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
-        .localCheckpoint(true),
-      bt)
+    val precede = biTypes.groupBy(col(s"w$order"))
+      .agg(count(lit(1)).as("nprec"))
+      .localCheckpoint(true)
+    KnModel(order, top, topCtx, cont, precede, bt)
   }
 
-  /** Interpolated-KN probability over the LEFT-joined model columns
-    * (cb/cw/nfollow/nprec) — one expression, shared verbatim by every
-    * reference-scoring face: unseen bigram -> discounted term 0, unseen
-    * context -> pure continuation, unknown word -> 1/(2B) unk mass.
+  def knModel(ref: DataFrame, refTextCol: String,
+      order: Int = 2): KnModel = {
+    require(order >= 2 && order <= 6,
+      s"KN order must be in [2,6], got $order")
+    val types = paddedNgrams(ref, Nil, refTextCol, order)
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    knModelFromTypes(types, order)
+  }
+
+  /** Persist a [[KnModel]] as parquet — the train-once / score-many
+    * economics CCNet actually runs (the LM trains on Wikipedia ONCE
+    * and scores every crawl snapshot; [[knModel]]'s localCheckpointed
+    * frames are session-lifetime only, so without this every scoring
+    * run would repay the reference pass). One subdirectory per model
+    * frame plus a 1-row `manifest` (order, btypes) — the persisted-
+    * index device the ANN side uses (`Similarity.writeIndex`). Loaded
+    * frames are parquet-backed and need no re-pin.
     */
-  private[graft] def knProbability(discount: Double, btypes: Double): Column = {
-    val pc = when(col("nprec").isNotNull,
+  def saveKnModel(m: KnModel, path: String): Unit = {
+    val spark = m.top.sparkSession
+    import spark.implicits._
+    m.top.write.mode("overwrite").parquet(s"$path/top")
+    m.topCtx.write.mode("overwrite").parquet(s"$path/topctx")
+    m.cont.foreach { case (k, g, cx) =>
+      g.write.mode("overwrite").parquet(s"$path/cont$k")
+      cx.write.mode("overwrite").parquet(s"$path/contctx$k")
+    }
+    m.precede.write.mode("overwrite").parquet(s"$path/precede")
+    Seq((m.order, m.btypes)).toDF("order", "btypes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  def loadKnModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): KnModel = {
+    val mf = spark.read.parquet(s"$path/manifest").head()
+    val order = mf.getInt(0); val btypes = mf.getLong(1)
+    val cont = ((order - 1) to 2 by -1).map(k =>
+      (k, spark.read.parquet(s"$path/cont$k"),
+        spark.read.parquet(s"$path/contctx$k"))).toList
+    KnModel(order, spark.read.parquet(s"$path/top"),
+      spark.read.parquet(s"$path/topctx"), cont,
+      spark.read.parquet(s"$path/precede"), btypes)
+  }
+
+  /** Interpolated-KN probability over the LEFT-joined model columns —
+    * the recursion p_k = max(cnt_k - D, 0)/denom_k + D·N1+_k/denom_k ·
+    * p_{k-1} unrolled bottom-up into ONE column expression, shared
+    * verbatim by every scoring face (batch self, batch reference,
+    * streaming). Unseen events back off deterministically at every
+    * level: gram unseen -> discounted term 0; context unseen at order
+    * k -> p_k = p_{k-1} (full backoff); word unseen everywhere ->
+    * 1/(2B) unk mass (the role of KenLM's <unk> probability). Order 2
+    * reproduces the round-11 expression bit-for-bit.
+    */
+  private[graft] def knProbability(order: Int, discount: Double,
+      btypes: Double): Column = {
+    val p1 = when(col("nprec").isNotNull,
         col("nprec").cast("double") / lit(btypes))
       .otherwise(lit(0.5 / btypes))
+    val mid = (2 until order).foldLeft(p1) { (prev, k) =>
+      when(col(s"ad$k").isNotNull,
+        greatest(coalesce(col(s"a$k"), lit(0L)) - lit(discount), lit(0.0)) /
+          col(s"ad$k") +
+          (lit(discount) * col(s"anf$k") / col(s"ad$k")) * prev)
+        .otherwise(prev)
+    }
     when(col("cw").isNotNull,
       greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) /
         col("cw") +
-        (lit(discount) * col("nfollow") / col("cw")) * pc)
-      .otherwise(pc)
+        (lit(discount) * col("nfollow") / col("cw")) * mid)
+      .otherwise(mid)
   }
 
-  /** [[knBigramNll]]'s DEPLOYMENT shape: score `docs` against a KN
-    * model trained on a separate REFERENCE corpus — CCNet's actual
-    * filter (LM trained on Wikipedia, perplexity computed on the
-    * crawl), which [[knBigramNll]]'s self-scoring cannot express
-    * because unseen mass never arises there. Unseen events back off
-    * explicitly and deterministically ([[knProbability]]); p is never
-    * 0, so every doc with >= 2 tokens scores finitely, and a
-    * bigram-free reference fails fast at model build. Scale shape: the
-    * model frames come from one pass over the reference ([[knModel]],
-    * reusable across scoring runs) and are AQE-joined; scoring is the
-    * same map-only bigram zip + one shuffle as the self-scoring path.
+  /** LEFT-join a full-history gram frame (w1..wn + any carry columns)
+    * against every [[KnModel]] level and attach the `__p` probability
+    * column — the single scoring kernel behind the batch and streaming
+    * faces. Model joins are AQE-sized (broadcast while they fit,
+    * shuffle beyond — the right call at every scale, since gram
+    * vocabularies grow with the reference corpus).
     */
-  def knBigramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String,
-      discount: Double = 0.75): DataFrame = {
+  private[graft] def knScoreJoin(grams: DataFrame, m: KnModel,
+      discount: Double): DataFrame = {
+    val n = m.order
+    val top = grams
+      .join(m.top, (1 to n).map(i => s"w$i"), "left")
+      .join(m.topCtx, (1 to n - 1).map(i => s"w$i"), "left")
+    val withCont = m.cont.foldLeft(top) { case (acc, (k, g, cx)) =>
+      val from = n - k
+      acc.join(g, (from + 1 to n).map(i => s"w$i"), "left")
+        .join(cx, (from + 1 to n - 1).map(i => s"w$i"), "left")
+    }
+    withCont.join(m.precede, Seq(s"w$n"), "left")
+      .withColumn("__p", knProbability(n, discount, m.btypes.toDouble))
+  }
+
+  /** Per-document order-n interpolated Kneser-Ney NLL, self-scored
+    * (model fit on `docs` itself) — [[knBigramNll]] generalized to the
+    * KenLM/CCNet deployment order (5-gram there; trigram the useful
+    * minimum). Returns (doc_id, n_ngrams, nll) for docs with >= order
+    * tokens; scoring positions are the full-history n-gram positions
+    * (no sentence-start padding — a modeling choice kept deliberately
+    * oracle-replayable).
+    *
+    * 100 TB shape: ONE corpus shuffle into the pinned per-doc padded
+    * tuple counts; the model's every order re-aggregates from that pin
+    * (never the corpus); scoring left-joins the model frames AQE-sized
+    * and re-aggregates per doc. Self-scoring means every top-order
+    * gram is seen, so p is never 0 by construction.
+    */
+  def knNgramNll(docs: DataFrame, idCol: String, textCol: String,
+      order: Int = 3, discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 6,
+      s"KN order must be in [2,6], got $order")
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
-    val m = knModel(ref, refTextCol)
-    val docBi = bigramPairs(
+    val docPad = paddedNgrams(
         docs.select(col(idCol).as("doc_id"), col(textCol)),
-        Seq("doc_id"), textCol)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
+        Seq("doc_id"), textCol, order)
+      .groupBy(col("doc_id") +: (1 to order).map(i => col(s"w$i")): _*)
       .agg(count(lit(1)).as("c"))
-    docBi
-      .join(m.bigrams, Seq("w1", "w2"), "left")
-      .join(m.contexts, Seq("w1"), "left")
-      .join(m.precede, Seq("w2"), "left")
-      .withColumn("__p", knProbability(discount, m.btypes.toDouble))
+      .localCheckpoint(true) // model re-aggs + scoring read this pin
+    val types = docPad
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(sum(col("c")).as("__c"))
+      .localCheckpoint(true)
+    val m = knModelFromTypes(types, order)
+    knScoreJoin(docPad.filter(col("w1").isNotNull), m, discount)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
+      .agg(sum(col("c")).as("n_ngrams"),
+        round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
+  }
+
+  /** Order-n KN scoring against a model trained on a separate
+    * REFERENCE corpus — CCNet's actual filter (LM trained on
+    * Wikipedia, perplexity computed on the crawl), which self-scoring
+    * cannot express because unseen mass never arises there. Unseen
+    * events back off explicitly and deterministically at every level
+    * ([[knProbability]]); p is never 0, so every doc with >= order
+    * tokens scores finitely, and a bigram-free reference fails fast at
+    * model build. Returns (doc_id, n_ngrams, n_unseen, nll) where
+    * n_unseen counts positions whose top-order gram is absent from the
+    * reference. Scale shape: the model frames come from one padded
+    * pass over the reference ([[knModel]], reusable across scoring
+    * runs — see save/load) and are AQE-joined; scoring is the same
+    * map-only gram zip + one shuffle as the self-scoring path.
+    */
+  def knNgramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      order: Int = 3, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val m = knModel(ref, refTextCol, order)
+    knNgramNllAgainstModel(docs, idCol, textCol, m, discount)
+  }
+
+  /** Score against an already-built [[KnModel]] (the train-once /
+    * score-many economics — see [[saveKnModel]]/[[loadKnModel]]). */
+  def knNgramNllAgainstModel(docs: DataFrame, idCol: String,
+      textCol: String, m: KnModel, discount: Double = 0.75): DataFrame = {
+    val docGrams = ngramPairs(
+        docs.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol, m.order)
+      .groupBy(col("doc_id") +: (1 to m.order).map(i => col(s"w$i")): _*)
+      .agg(count(lit(1)).as("c"))
+    knScoreJoin(docGrams, m, discount)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"),
         sum(when(col("cb").isNull, col("c")).otherwise(0L))
           .as("n_unseen"),
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
   }
+
+  /** Bigram face of [[knNgramNllAgainst]] (the round-11 surface,
+    * column names preserved). */
+  def knBigramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      discount: Double = 0.75): DataFrame =
+    knNgramNllAgainst(docs, idCol, textCol, ref, refTextCol, 2, discount)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 
   /** CCNet's head/middle/tail split: bucket documents by their
     * perplexity-proxy score (the [[unigramNll]] output) against corpus

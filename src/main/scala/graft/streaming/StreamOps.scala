@@ -53,39 +53,39 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming Kneser-Ney quality scoring: per-arriving-doc interpolated
-    * KN bigram NLL against a STATIC reference-trained model — the
-    * continuous form of [[graft.ops.Retrieval.knBigramNllAgainst]]
+    * order-n KN NLL against a STATIC reference-trained model — the
+    * continuous form of [[graft.ops.Retrieval.knNgramNllAgainst]]
     * (CCNet's filter applied on ingest instead of in batch). Model
-    * construction, pair extraction, and the backoff probability are THE
-    * batch face's own [[graft.ops.Retrieval.knModel]]/`knProbability`
-    * (one shared kernel — the smoothing cannot drift between faces);
-    * the model frames pin once at op construction (the stream-static
-    * rule: an unpinned static side re-derives the whole reference per
+    * construction, gram extraction, and the recursive-backoff
+    * probability are THE batch face's own
+    * [[graft.ops.Retrieval.knModel]]/`knScoreJoin` (one shared kernel —
+    * the smoothing cannot drift between faces, at any order); the
+    * model frames pin once at op construction (the stream-static rule:
+    * an unpinned static side re-derives the whole reference per
     * micro-batch) and scoring aggregates per (doc, event-time) with
-    * watermark-bounded state in append mode. Docs with < 2 tokens carry
-    * no bigram and emit no row (the batch face's contract).
+    * watermark-bounded state in append mode. Docs with < order tokens
+    * carry no gram and emit no row (the batch face's contract).
+    * Output columns: (doc_id, tsCol, n_ngrams, n_unseen, nll) —
+    * renamed from round 11's bigram-only `n_bigrams`.
     */
   def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, ref: DataFrame, refTextCol: String,
-      discount: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
+      discount: Double = 0.75, watermark: String = "10 minutes",
+      order: Int = 2): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
-    val m = graft.ops.Retrieval.knModel(ref, refTextCol)
-    graft.ops.Retrieval.bigramPairs(
-        docs.withWatermark(tsCol, watermark)
-          .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
-            col(textCol)),
-        Seq("doc_id", "__ts"), textCol)
-      .join(m.bigrams, Seq("w1", "w2"), "left")
-      .join(m.contexts, Seq("w1"), "left")
-      .join(m.precede, Seq("w2"), "left")
-      .withColumn("__p",
-        graft.ops.Retrieval.knProbability(discount, m.btypes.toDouble))
+    val m = graft.ops.Retrieval.knModel(ref, refTextCol, order)
+    val grams = graft.ops.Retrieval.ngramPairs(
+      docs.withWatermark(tsCol, watermark)
+        .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+          col(textCol)),
+      Seq("doc_id", "__ts"), textCol, order)
+    graft.ops.Retrieval.knScoreJoin(grams, m, discount)
       .groupBy(col("doc_id"), col("__ts"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),
         round(-sum(log(col("__p"))) / count(lit(1)), 6).as("nll"))
-      .select(col("doc_id"), col("__ts").as(tsCol), col("n_bigrams"),
+      .select(col("doc_id"), col("__ts").as(tsCol), col("n_ngrams"),
         col("n_unseen"), col("nll"))
   }
 

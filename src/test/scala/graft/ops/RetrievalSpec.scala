@@ -163,6 +163,133 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(4L) == (1L, r6(-math.log(pUnk))))
   }
 
+  // independent naive order-3 interpolated-KN model, implemented from
+  // the Chen-Goodman definition with plain Scala collections — shares
+  // nothing with the operator's padded-frame/join machinery
+  private def naiveKn3(refTexts: Seq[String], D: Double) = {
+    def toks(s: String) =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val corpus = refTexts.map(toks)
+    def grams(n: Int) = corpus.flatMap(t =>
+      if (t.length >= n) t.sliding(n).map(_.toList).toSeq else Nil)
+    val tri = grams(3); val biTypes = grams(2).distinct
+    val triC = tri.groupBy(identity).map { case (g, l) => g -> l.size.toDouble }
+    val cw = tri.groupBy(_.take(2)).map { case (h, l) => h -> l.size.toDouble }
+    val nf = tri.distinct.groupBy(_.take(2))
+      .map { case (h, l) => h -> l.size.toDouble }
+    val a2 = tri.distinct.groupBy(_.drop(1))
+      .map { case (g, l) => g -> l.size.toDouble }
+    val ad2 = a2.toSeq.groupBy(_._1.head)
+      .map { case (w, l) => w -> l.map(_._2).sum }
+    val anf2 = a2.toSeq.groupBy(_._1.head)
+      .map { case (w, l) => w -> l.size.toDouble }
+    val B = biTypes.size.toDouble
+    val nprec = biTypes.groupBy(_.last).map { case (w, l) => w -> l.size.toDouble }
+    (w1: String, w2: String, w3: String) => {
+      val p1 = nprec.get(w3).map(_ / B).getOrElse(0.5 / B)
+      val p2 = ad2.get(w2) match {
+        case Some(ad) =>
+          math.max(a2.getOrElse(List(w2, w3), 0.0) - D, 0.0) / ad +
+            (D * anf2(w2) / ad) * p1
+        case None => p1
+      }
+      cw.get(List(w1, w2)) match {
+        case Some(c) =>
+          math.max(triC.getOrElse(List(w1, w2, w3), 0.0) - D, 0.0) / c +
+            (D * nf(List(w1, w2)) / c) * p2
+        case None => p2
+      }
+    }
+  }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def naiveNll3(p: (String, String, String) => Double,
+      text: String): (Long, Double) = {
+    val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tris = t.sliding(3).filter(_.length == 3).toSeq
+    (tris.size.toLong,
+      r6(-tris.map(g => math.log(p(g(0), g(1), g(2)))).sum / tris.size))
+  }
+
+  test("knNgramNll(3): matches the independent naive trigram KN model") {
+    val texts = Seq("a b c a b", "b c a", "a b c c", "c a b a", "b b")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val p = naiveKn3(texts, 0.75)
+    val got = Retrieval.knNgramNll(docs, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // "b b" has < 3 tokens: no row; every other doc matches the model
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    texts.zipWithIndex.filter(_._1.trim.split("\\s+").length >= 3)
+      .foreach { case (t, i) =>
+        assert(got(i.toLong) == naiveNll3(p, t), s"doc $i ($t)")
+      }
+  }
+
+  test("knNgramNllAgainst(3): every backoff level, vs the naive model") {
+    val refTexts = Seq("a b c a b", "b c a", "a b c c")
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val docTexts = Seq(
+      "a b c",   // seen trigram: full recursion on real counts
+      "a b b",   // unseen trigram, seen context (a,b), seen (b,b)? no —
+                 //   a2 misses (b,b) but ad2(b) exists: order-2 discount 0
+      "z b c",   // unseen context (z,b): full backoff to order 2 (seen)
+      "z z c",   // both contexts unseen: pure continuation unigram
+      "a b z")   // unk word z: 1/(2B) at the bottom, backed off through
+    val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val p = naiveKn3(refTexts, 0.75)
+    val got = Retrieval.knNgramNllAgainst(docs, "doc_id", "text",
+        ref, "text", order = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    docTexts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naiveNll3(p, t), s"doc $i ($t)")
+    }
+  }
+
+  test("KN model save -> load -> score bit-equals the in-session model") {
+    val ref = Seq((100L, "a b c a b"), (101L, "b c a"), (102L, "a b c c"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "z b c"), (3L, "c a q"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("knmodel").toString
+    try {
+      val m = Retrieval.knModel(ref, "text", order = 3)
+      Retrieval.saveKnModel(m, dir)
+      val loaded = Retrieval.loadKnModel(spark, dir)
+      assert(loaded.order == 3 && loaded.btypes == m.btypes)
+      def score(mm: Retrieval.KnModel) =
+        Retrieval.knNgramNllAgainstModel(docs, "doc_id", "text", mm)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      assert(score(loaded) == score(m))
+      // and the loaded score equals the one-shot train+score face
+      val oneShot = Retrieval.knNgramNllAgainst(docs, "doc_id", "text",
+          ref, "text", order = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(score(loaded) == oneShot)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("knNgramNll(2) bit-equals knBigramNll (one kernel, two faces)") {
+    val d = Seq((1L, "a b a c a b"), (2L, "c a b")).toDF("doc_id", "text")
+    val viaN = Retrieval.knNgramNll(d, "doc_id", "text", order = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBi = Retrieval.knBigramNll(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaN == viaBi)
+  }
+
   test("oovRate: top-n vocab membership with count-desc/token-asc ties") {
     // counts: x:3, y:1, z:1 — vocabSize=2 must break the y/z tie by token
     // asc, so vocab = {x, y} and only z is OOV

@@ -477,7 +477,7 @@ class StreamOpsSpec extends AnyFunSuite {
       input.addData(DocRow(99, ts(50), "a b"))
       q.processAllAvailable()
       val got = spark.sql(
-        "SELECT doc_id, n_bigrams, n_unseen, nll FROM knscore_out " +
+        "SELECT doc_id, n_ngrams, n_unseen, nll FROM knscore_out " +
           "WHERE doc_id < 10 ORDER BY doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3)))
@@ -485,6 +485,38 @@ class StreamOpsSpec extends AnyFunSuite {
       val batch = graft.ops.Retrieval.knBigramNllAgainst(
         Seq((1L, "a b"), (2L, "z a"), (3L, "solo")).toDF("doc_id", "text"),
         "doc_id", "text", ref, "text")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(got.toSeq == batch.toSeq)
+      assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 emits nothing
+    } finally q.stop()
+  }
+
+  test("streaming KN scoring at order 3 matches the batch trigram face") {
+    implicit val ctx = spark.sqlContext
+    val ref = Seq((100L, "a b c a b"), (101L, "b c a")).toDF("doc_id", "text")
+    val input = MemoryStream[DocRow]
+    val q = StreamOps.streamingKnScore(input.toDF(), "doc_id", "text", "ts",
+      ref, "text", order = 3)
+      .writeStream.format("memory").queryName("kn3_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), "a b c"),   // seen trigram
+        DocRow(2, ts(1), "z b c"),   // unseen (z,b) context -> order-2
+        DocRow(3, ts(2), "a b"))     // < 3 tokens: no row
+      q.processAllAvailable()
+      input.addData(DocRow(99, ts(50), "a b c"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_ngrams, n_unseen, nll FROM kn3_out " +
+          "WHERE doc_id < 10 ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val batch = graft.ops.Retrieval.knNgramNllAgainst(
+        Seq((1L, "a b c"), (2L, "z b c"), (3L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text", order = 3)
         .orderBy("doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3)))
