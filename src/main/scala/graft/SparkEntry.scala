@@ -2109,6 +2109,47 @@ object SparkEntry {
         docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text", order = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL RELEASE COMPOSITION (ops/Release): q142's diff +
+    // a token-count curation gate + the persisted LSH dedup-reference
+    // index, composed end to end against a REAL on-disk index (the
+    // q137 temp-path device). v2 is the q142 arithmetic construction,
+    // so the oracle can state every id's status AND expected index
+    // membership independently: removed -> out; unchanged -> in (init
+    // indexed all of v1); added/changed -> in iff the gate passes on
+    // the v2 text (>= 40 tokens; a changed doc's " v2" amendment adds
+    // exactly one token). `indexed` = re-indexed THIS release;
+    // `in_index` = read back from the live band index itself — the
+    // actual composed artifact under the hash gate, not a restatement.
+    "q145_incremental_release" -> ((s, dir) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_relidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        .getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val a = t(s, dir, "documents")
+      val b = a.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.Release.initReferenceIndex(a, "doc_id", "text", base)
+      val disp = graft.ops.Release.incrementalRelease(a, b,
+        "doc_id", "text", Seq("text", "lang", "source"),
+        df => df.filter(
+          graft.ops.TextAnalysis.tokenCount(col("text")) >= 40),
+        base)
+      val live = graft.ops.Release.readReferenceBands(s, base)
+        .select(col("id")).distinct()
+        .withColumn("__live", lit(true))
+      disp.join(live, Seq("id"), "left")
+        .select(col("id"), col("status"), col("indexed"),
+          coalesce(col("__live"), lit(false)).as("in_index"))
+        .orderBy(col("id"))
     })
   )
 
@@ -3963,6 +4004,35 @@ object SparkEntry {
         |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
         |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
         |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Release-composition arithmetic restated per id (the q142 device
+    // extended with the gate and index-membership rules): status from
+    // the %7/%5 construction; indexed = delta AND the v2 text clears
+    // 40 tokens (changed text = original + exactly one token);
+    // in_index additionally keeps every unchanged doc (init indexed
+    // all of v1) and drops removed ones.
+    "q145_incremental_release" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')), 0) AS nt
+        |  FROM documents),
+        |disp AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |         WHEN doc_id % 5 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+        |         THEN nt + 1 ELSE nt END AS v2_nt
+        |  FROM tc
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, 'added' AS status, nt AS v2_nt
+        |  FROM tc WHERE doc_id < 10)
+        |SELECT id, status,
+        |  (status IN ('added', 'changed') AND v2_nt >= 40) AS indexed,
+        |  CASE WHEN status = 'removed' THEN FALSE
+        |       WHEN status = 'unchanged' THEN TRUE
+        |       ELSE v2_nt >= 40 END AS in_index
+        |FROM disp ORDER BY id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

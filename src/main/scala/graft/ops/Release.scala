@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental snapshot-release maintenance — the composition the
+  * monthly-release workflow hand-wires from parts this library already
+  * has: [[Curation.corpusDiff]] finds what moved between snapshot
+  * versions, a curation gate vets the delta, and the persisted LSH
+  * dedup-reference index ([[Dedup.lshBands]] — the reference side of
+  * incremental and streaming dedup) is updated in place: added/changed
+  * docs that pass the gate are (re-)indexed, removed and changed docs'
+  * old bands are tombstoned. One diff pass drives all three.
+  *
+  * Index layout under `indexPath`:
+  *  - `bands/`     — (id, band, bkey, gen) parquet, append-only;
+  *  - `tombstones/`— (id, gen) parquet, append-only;
+  *  - `manifest/`  — 1-row (gen) parquet, rewritten per release (the
+  *    [[Retrieval.saveKnModel]] manifest device — no index scan needed
+  *    to learn the current generation).
+  *
+  * A band row is live unless a STRICTLY NEWER tombstone for its id
+  * exists: a changed doc's tombstone and its re-indexed bands land at
+  * the SAME generation, so the new bands survive while every older
+  * generation dies; a later re-add of a removed id lands at a higher
+  * generation than its tombstone. Append-only writes mean a release
+  * never rewrites existing index data — at 100 TB the monthly delta is
+  * ~1% of the corpus, and that is all the release touches (compaction
+  * of dead bands is a separate periodic rewrite, same policy as the
+  * ANN index's [[Similarity.appendIndex]]).
+  */
+object Release {
+
+  /** Build the reference index from a released corpus (as-is — gate
+    * the corpus BEFORE the initial build if it isn't already curated;
+    * increments are gated by [[incrementalRelease]]). */
+  def initReferenceIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, shingle: Int = 3, numPerm: Int = 128,
+      bands: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.lshBands(docs, idCol, textCol, shingle, numPerm, bands)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+    // zero-row tombstone frame pins the schema (id type mirrors bands)
+    spark.read.parquet(s"$indexPath/bands")
+      .select(col("id")).limit(0).withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$indexPath/tombstones")
+    Seq(0L).toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/manifest")
+  }
+
+  /** The LIVE (id, band, bkey, gen) rows: bands not shadowed by a
+    * strictly newer tombstone. Feed this to
+    * [[graft.streaming.StreamOps.streamingDedupAgainstReference]] or
+    * join it as [[Dedup.minhashPairsAgainst]]'s reference side. */
+  def readReferenceBands(spark: SparkSession, indexPath: String): DataFrame = {
+    val bands = spark.read.parquet(s"$indexPath/bands")
+    val tomb = spark.read.parquet(s"$indexPath/tombstones")
+      .groupBy(col("id")).agg(max(col("gen")).as("__tgen"))
+    bands.join(tomb, Seq("id"), "left")
+      .filter(col("__tgen").isNull || col("gen") >= col("__tgen"))
+      .drop("__tgen")
+  }
+
+  /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
+    * index, and return the per-id disposition:
+    * (id, status, indexed) where `status` is [[Curation.corpusDiff]]'s
+    * added/removed/changed/unchanged and `indexed` is true iff the doc
+    * was (re-)indexed this release (added/changed AND passed `gate`).
+    * Unchanged docs keep their existing bands (bands are a pure
+    * function of the text); changed docs that FAIL the gate are
+    * tombstoned and not re-added — the new version is unfit and the
+    * old version no longer exists in the release.
+    *
+    * Scale shape: one full-outer id-hash join for the diff (carrying
+    * (id, md5) only, never bodies); everything after runs on the DELTA
+    * (added/changed docs — the ~1% a monthly snapshot moves), which is
+    * what gets gated, shingled, and appended. The diff frame pins once
+    * and drives the tombstone write, the delta join, and the returned
+    * disposition.
+    */
+  def incrementalRelease(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String, hashCols: Seq[String],
+      gate: DataFrame => DataFrame, indexPath: String,
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val spark = newSnap.sparkSession
+    import spark.implicits._
+    // read the generation BEFORE the manifest rewrite below
+    val gen = spark.read.parquet(s"$indexPath/manifest")
+      .head().getLong(0) + 1L
+    val diff = Curation.corpusDiff(oldSnap, newSnap, idCol, hashCols)
+      .localCheckpoint(true) // three consumers: tombstones, delta, return
+    diff.filter(col("status").isin("removed", "changed"))
+      .select(col("id")).withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+    val delta = newSnap.join(
+      diff.filter(col("status").isin("added", "changed"))
+        .select(col("id").as(idCol)), Seq(idCol))
+    // delta-sized pin (the release increment, not the corpus): the
+    // gated frame feeds both the band append and the disposition
+    val passed = gate(delta).localCheckpoint(true)
+    Dedup.lshBands(passed, idCol, textCol, shingle, numPerm, bands)
+      .withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    Seq(gen).toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/manifest")
+    val passedIds = passed.select(col(idCol).as("id"))
+      .withColumn("__passed", lit(true))
+    diff.join(passedIds, Seq("id"), "left")
+      .select(col("id"), col("status"),
+        (col("status").isin("added", "changed") &&
+          coalesce(col("__passed"), lit(false))).as("indexed"))
+  }
+}

@@ -57,8 +57,8 @@ object ScaleCheck {
 
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
-    // shards warc packing kll wordpiece pagerank evalrank sfbench) to
-    // run a subset; no args = everything
+    // shards warc packing kll wordpiece quantiles pagerank evalrank
+    // knref releasediff sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -1347,6 +1347,88 @@ object ScaleCheck {
           pmod(col("vec_id"), lit(10)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
+    if (run("knref")) {
+    // ---- 5v. Order-3 KN reference scoring — 210k docs ----------------
+    // The CCNet economics at scale: train the trigram model ONCE on a
+    // 30% reference slice (~63k docs, 80 tokens each -> ~5M trigram
+    // positions), persist it, score the WHOLE 210k-doc corpus from the
+    // loaded form. Invariants: every doc scores (all have >= 3
+    // tokens), every NLL is finite (the backoff ladder's p is never
+    // 0), reference-slice docs carry ZERO unseen top-order grams (they
+    // ARE the model), and the persisted-model score run needs no
+    // reference pass (its wall is the scoring cost alone).
+    val docsKn = corpus(spark, 200000L).cache()
+    val nKnDocs = docsKn.count()
+    val refSlice = docsKn.filter(col("doc_id") % 10 < 3)
+    val (mKn, tTrain) = time {
+      graft.ops.Retrieval.knModel(refSlice, "text", order = 3)
+    }
+    val knDir = java.nio.file.Files.createTempDirectory("sc_knref").toString
+    val (_, tSave) = time { graft.ops.Retrieval.saveKnModel(mKn, knDir) }
+    val (mLoaded, _) = time { graft.ops.Retrieval.loadKnModel(spark, knDir) }
+    val (knScores, tScore) = time {
+      graft.ops.Retrieval.knNgramNllAgainstModel(
+          docsKn, "doc_id", "text", mLoaded)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nll").isNull || isnan(col("nll")) ||
+            col("nll") === Double.PositiveInfinity, 1L).otherwise(0L)).as("bad"),
+          max(col("nll")).as("max_nll"), min(col("nll")).as("min_nll"))
+        .head()
+    }
+    require(knScores.getLong(0) == nKnDocs,
+      s"every doc must score: ${knScores.getLong(0)} vs $nKnDocs")
+    require(knScores.getLong(1) == 0, "no NaN/Inf NLL allowed")
+    val refUnseen = graft.ops.Retrieval.knNgramNllAgainstModel(
+        refSlice, "doc_id", "text", mLoaded)
+      .agg(sum(col("n_unseen"))).head().getLong(0)
+    require(refUnseen == 0,
+      s"reference docs must have zero unseen top grams, got $refUnseen")
+    val topRows = mKn.top.count(); val biB = mKn.btypes
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(knDir))
+    println(f"KNREF> docs=$nKnDocs ref_docs=${refSlice.count()} order=3 " +
+      f"trigram_types=$topRows btypes=$biB train=$tTrain%.1f s " +
+      f"save=$tSave%.1f s score_210k_from_loaded=$tScore%.1f s " +
+      f"nll_range=[${knScores.getDouble(3)}%.2f, ${knScores.getDouble(2)}%.2f] " +
+      f"ref_unseen=$refUnseen")
+    docsKn.unpersist()
+    }
+
+    if (run("releasediff")) {
+    // ---- 5w. Snapshot release diff — 5M-row snapshots, 1% delta ------
+    // corpusDiff at the archive-maintenance scale: two 5M-row
+    // snapshots differing by 0.5% removed, 0.5% changed, +25k added.
+    // The join carries (id, md5) only — wall time is the id-keyed
+    // full-outer exchange, independent of document width. Invariants:
+    // the four status counts are EXACT (the delta is arithmetic).
+    val nSnap = 5000000L
+    val v1 = spark.range(nSnap).select(col("id").as("doc_id"),
+      concat(lit("body"), xxhash64(col("id"))).as("text"),
+      concat(lit("s"), pmod(col("id"), lit(20))).as("source"))
+    val v2 = spark.range(nSnap).filter(col("id") % 200 =!= 0)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 200 === 1,
+          concat(lit("body"), xxhash64(col("id")), lit("x")))
+          .otherwise(concat(lit("body"), xxhash64(col("id")))).as("text"),
+        concat(lit("s"), pmod(col("id"), lit(20))).as("source"))
+      .unionByName(spark.range(nSnap, nSnap + 25000L)
+        .select(col("id").as("doc_id"),
+          concat(lit("body"), xxhash64(col("id"))).as("text"),
+          concat(lit("s"), pmod(col("id"), lit(20))).as("source")))
+    val (diffCounts, tDiff) = time {
+      graft.ops.Curation.corpusDiff(v1, v2, "doc_id", Seq("text", "source"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(diffCounts("removed") == 25000L, s"removed: $diffCounts")
+    require(diffCounts("changed") == 25000L, s"changed: $diffCounts")
+    require(diffCounts("added") == 25000L, s"added: $diffCounts")
+    require(diffCounts("unchanged") == nSnap - 50000L, s"unchanged: $diffCounts")
+    println(f"RELEASEDIFF> rows=$nSnap delta=1%% " +
+      f"removed=${diffCounts("removed")} changed=${diffCounts("changed")} " +
+      f"added=${diffCounts("added")} unchanged=${diffCounts("unchanged")} " +
+      f"t=$tDiff%.1f s (${nSnap / tDiff / 1e6}%.1f M ids/s)")
+    }
+
     if (run("sfbench")) {
     // ---- 6. Scaling exponent: the heaviest driver queries at 1x/10x --
     // The driver benches sf0.1 (5k documents / 2k embeddings); this

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end incremental-release composition: two snapshot versions
+  * through diff → gate → index update, with the live index asserted
+  * EQUAL to a from-scratch index of the docs that should be in it.
+  */
+class ReleaseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4-token docs pass a >= 4 gate; 2-token docs fail it
+  private def doc(id: Long, words: String) = (id, words)
+
+  private val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.filter(TextAnalysis.tokenCount(col("text")) >= 4)
+
+  private def bandsOf(df: org.apache.spark.sql.DataFrame) =
+    Dedup.lshBands(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  private def liveBands(path: String) =
+    Release.readReferenceBands(spark, path)
+      .select(col("id"), col("band"), col("bkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("two releases: diff drives gate + tombstones; index reflects each version exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("relidx").toString
+    try {
+      val v1 = Seq(
+        doc(1L, "alpha beta gamma delta"),
+        doc(2L, "epsilon zeta eta theta"),
+        doc(3L, "iota kappa lambda mu"),
+        doc(4L, "nu xi omicron pi"),
+        doc(5L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+      Release.initReferenceIndex(v1, "doc_id", "text", dir)
+      assert(liveBands(dir) == bandsOf(v1))
+
+      // v2: remove 1; change 2 (still passes gate); change 3 to a
+      // 2-token doc (FAILS gate -> tombstoned, not re-added); add 6
+      // (passes) and 7 (fails)
+      val v2 = Seq(
+        doc(2L, "epsilon zeta eta theta CHANGED"),
+        doc(3L, "iota kappa"),
+        doc(4L, "nu xi omicron pi"),
+        doc(5L, "rho sigma tau upsilon"),
+        doc(6L, "phi chi psi omega"),
+        doc(7L, "tiny doc")).toDF("doc_id", "text")
+      val disp = Release.incrementalRelease(v1, v2, "doc_id", "text",
+          Seq("text"), gate, dir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+        .toMap
+      assert(disp == Map(
+        1L -> ("removed", false),
+        2L -> ("changed", true),
+        3L -> ("changed", false),
+        4L -> ("unchanged", false),
+        5L -> ("unchanged", false),
+        6L -> ("added", true),
+        7L -> ("added", false)))
+      // the live index IS the index of {2'(new text), 4, 5, 6}
+      val expected2 = v2.filter(col("doc_id").isin(2L, 4L, 5L, 6L))
+      assert(liveBands(dir) == bandsOf(expected2))
+
+      // v3: re-add 1 (a fresh add after its gen-1 tombstone must
+      // survive — generation stacking), change 2 AGAIN, remove 6
+      val v3 = Seq(
+        doc(1L, "alpha beta gamma delta"),
+        doc(2L, "epsilon zeta eta theta CHANGED TWICE"),
+        doc(3L, "iota kappa"),
+        doc(4L, "nu xi omicron pi"),
+        doc(5L, "rho sigma tau upsilon"),
+        doc(7L, "tiny doc")).toDF("doc_id", "text")
+      val disp3 = Release.incrementalRelease(v2, v3, "doc_id", "text",
+          Seq("text"), gate, dir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+        .toMap
+      assert(disp3 == Map(
+        1L -> ("added", true),
+        2L -> ("changed", true),
+        3L -> ("unchanged", false),
+        4L -> ("unchanged", false),
+        5L -> ("unchanged", false),
+        6L -> ("removed", false),
+        7L -> ("unchanged", false)))
+      // live index = {1, 2''(newest text), 4, 5}; 3 stays out (its
+      // failed-gate tombstone holds), 7 was never indexed
+      val expected3 = v3.filter(col("doc_id").isin(1L, 2L, 4L, 5L))
+      assert(liveBands(dir) == bandsOf(expected3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
