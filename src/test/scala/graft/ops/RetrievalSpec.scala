@@ -163,51 +163,72 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(4L) == (1L, r6(-math.log(pUnk))))
   }
 
-  // independent naive order-3 interpolated-KN model, implemented from
-  // the Chen-Goodman definition with plain Scala collections — shares
-  // nothing with the operator's padded-frame/join machinery
-  private def naiveKn3(refTexts: Seq[String], D: Double) = {
-    def toks(s: String) =
-      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val corpus = refTexts.map(toks)
+  // independent naive order-n interpolated-KN model, implemented from
+  // the Chen-Goodman definition with plain Scala collections (explicit
+  // recursion over Map lookups) — shares nothing with the operator's
+  // padded-frame/join machinery
+  private def knToks(s: String) =
+    s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+  private def naiveKn(refTexts: Seq[String], order: Int,
+      D: Double): List[String] => Double = {
+    val corpus = refTexts.map(knToks)
     def grams(n: Int) = corpus.flatMap(t =>
       if (t.length >= n) t.sliding(n).map(_.toList).toSeq else Nil)
-    val tri = grams(3); val biTypes = grams(2).distinct
-    val triC = tri.groupBy(identity).map { case (g, l) => g -> l.size.toDouble }
-    val cw = tri.groupBy(_.take(2)).map { case (h, l) => h -> l.size.toDouble }
-    val nf = tri.distinct.groupBy(_.take(2))
-      .map { case (h, l) => h -> l.size.toDouble }
-    val a2 = tri.distinct.groupBy(_.drop(1))
+    val topC = grams(order).groupBy(identity)
       .map { case (g, l) => g -> l.size.toDouble }
-    val ad2 = a2.toSeq.groupBy(_._1.head)
-      .map { case (w, l) => w -> l.map(_._2).sum }
-    val anf2 = a2.toSeq.groupBy(_._1.head)
-      .map { case (w, l) => w -> l.size.toDouble }
+    val topCw = grams(order).groupBy(_.init)
+      .map { case (h, l) => h -> l.size.toDouble }
+    val topNf = grams(order).distinct.groupBy(_.init)
+      .map { case (h, l) => h -> l.size.toDouble }
+    // continuation tables for k = 2 .. order-1, from (k+1)-gram TYPES
+    val contA = (2 until order).map { k =>
+      k -> grams(k + 1).distinct.groupBy(_.drop(1))
+        .map { case (g, l) => g -> l.size.toDouble }
+    }.toMap
+    val contAd = contA.map { case (k, m) =>
+      k -> m.toSeq.groupBy(_._1.init)
+        .map { case (h, l) => h -> l.map(_._2).sum } }
+    val contAnf = contA.map { case (k, m) =>
+      k -> m.toSeq.groupBy(_._1.init)
+        .map { case (h, l) => h -> l.size.toDouble } }
+    val biTypes = grams(2).distinct
     val B = biTypes.size.toDouble
-    val nprec = biTypes.groupBy(_.last).map { case (w, l) => w -> l.size.toDouble }
-    (w1: String, w2: String, w3: String) => {
-      val p1 = nprec.get(w3).map(_ / B).getOrElse(0.5 / B)
-      val p2 = ad2.get(w2) match {
-        case Some(ad) =>
-          math.max(a2.getOrElse(List(w2, w3), 0.0) - D, 0.0) / ad +
-            (D * anf2(w2) / ad) * p1
-        case None => p1
+    val nprec = biTypes.groupBy(_.last)
+      .map { case (w, l) => w -> l.size.toDouble }
+    (gram: List[String]) => {
+      require(gram.length == order)
+      var p = nprec.get(gram.last).map(_ / B).getOrElse(0.5 / B)
+      (2 until order).foreach { k =>
+        val g = gram.takeRight(k); val h = g.init
+        contAd(k).get(h).foreach { ad =>
+          p = math.max(contA(k).getOrElse(g, 0.0) - D, 0.0) / ad +
+            (D * contAnf(k)(h) / ad) * p
+        }
       }
-      cw.get(List(w1, w2)) match {
-        case Some(c) =>
-          math.max(triC.getOrElse(List(w1, w2, w3), 0.0) - D, 0.0) / c +
-            (D * nf(List(w1, w2)) / c) * p2
-        case None => p2
+      topCw.get(gram.init).foreach { c =>
+        p = math.max(topC.getOrElse(gram, 0.0) - D, 0.0) / c +
+          (D * topNf(gram.init) / c) * p
       }
+      p
     }
+  }
+  private def naiveKn3(refTexts: Seq[String], D: Double) = {
+    val p = naiveKn(refTexts, 3, D)
+    (w1: String, w2: String, w3: String) => p(List(w1, w2, w3))
   }
 
   private def r6(x: Double) =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private def naiveNll(p: List[String] => Double, order: Int,
+      text: String): (Long, Double) = {
+    val t = knToks(text)
+    val gs = t.sliding(order).filter(_.length == order).map(_.toList).toSeq
+    (gs.size.toLong, r6(-gs.map(g => math.log(p(g))).sum / gs.size))
+  }
   private def naiveNll3(p: (String, String, String) => Double,
       text: String): (Long, Double) = {
-    val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val t = knToks(text)
     val tris = t.sliding(3).filter(_.length == 3).toSeq
     (tris.size.toLong,
       r6(-tris.map(g => math.log(p(g(0), g(1), g(2)))).sum / tris.size))
@@ -278,6 +299,37 @@ class RetrievalSpec extends AnyFunSuite {
       assert(score(loaded) == oneShot)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("orders 4 and 5: recursion depth vs the naive model (multi-level cont + re-distinct)") {
+    // order >= 4 is where the model build walks code order 3 cannot
+    // reach: more than one intermediate continuation level, and the
+    // below-full-width projections that must re-distinct before
+    // counting types. Corpus repeats phrases so every backoff level
+    // carries real (not degenerate) counts.
+    val refTexts = Seq(
+      "a b c d e a b c d", "b c d e f", "a b c d e", "c d e f a b",
+      "e f a b c d", "d e f a b c")
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val docTexts = Seq(
+      "a b c d e",   // seen 5-grams/4-grams throughout
+      "f a b c d",   // mixed: some grams seen, some back off
+      "z b c d e",   // unseen leading context at every order
+      "a b z c d")   // unk-ish interior: deep backoff mid-gram
+    val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(4, 5).foreach { order =>
+      val p = naiveKn(refTexts, order, 0.75)
+      val got = Retrieval.knNgramNllAgainst(docs, "doc_id", "text",
+          ref, "text", order = order)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+      docTexts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == naiveNll(p, order, t),
+          s"order $order doc $i ($t)")
+      }
     }
   }
 
