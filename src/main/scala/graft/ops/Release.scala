@@ -63,6 +63,27 @@ object Release {
       .drop("__tgen")
   }
 
+  /** Compact the index: rewrite the LIVE bands as a fresh generation-0
+    * index and drop every tombstone — the periodic rewrite that
+    * reclaims dead band rows after many releases (same policy as the
+    * ANN index: append per release, compact on a schedule, never
+    * per-release). The live set is computed first and pinned, so the
+    * rewrite is safe against its own source; reads issued between the
+    * two writes see a consistent (possibly pre-compaction) index.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    import spark.implicits._
+    val live = readReferenceBands(spark, indexPath)
+      .drop("gen").withColumn("gen", lit(0L))
+      .localCheckpoint(true) // pin BEFORE overwriting the source files
+    live.write.mode("overwrite").parquet(s"$indexPath/bands")
+    spark.read.parquet(s"$indexPath/bands")
+      .select(col("id")).limit(0).withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$indexPath/tombstones")
+    Seq(0L).toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/manifest")
+  }
+
   /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
     * index, and return the per-id disposition:
     * (id, status, indexed) where `status` is [[Curation.corpusDiff]]'s

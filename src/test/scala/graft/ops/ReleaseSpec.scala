@@ -90,6 +90,19 @@ class ReleaseSpec extends AnyFunSuite {
       // failed-gate tombstone holds), 7 was never indexed
       val expected3 = v3.filter(col("doc_id").isin(1L, 2L, 4L, 5L))
       assert(liveBands(dir) == bandsOf(expected3))
+
+      // compaction: live set unchanged, dead rows + tombstones gone,
+      // and a post-compaction release still works (gens restart at 0)
+      Release.compactIndex(spark, dir)
+      assert(liveBands(dir) == bandsOf(expected3))
+      assert(spark.read.parquet(s"$dir/tombstones").count() == 0)
+      assert(spark.read.parquet(s"$dir/bands")
+        .agg(max(col("gen"))).head.getLong(0) == 0L)
+      val v4 = v3.filter(col("doc_id") =!= 4L) // remove 4 after compaction
+      Release.incrementalRelease(v3, v4, "doc_id", "text",
+        Seq("text"), gate, dir).collect()
+      val expected4 = v3.filter(col("doc_id").isin(1L, 2L, 5L))
+      assert(liveBands(dir) == bandsOf(expected4))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
