@@ -2150,6 +2150,22 @@ object SparkEntry {
         .select(col("id"), col("status"), col("indexed"),
           coalesce(col("__live"), lit(false)).as("in_index"))
         .orderBy(col("id"))
+    }),
+
+    // 5-GRAM reference KN (Retrieval.knNgramNllAgainst, order = 5):
+    // the order CCNet/KenLM actually deploy. Four backoff levels walk
+    // in one fold — raw 5-gram counts at the top, continuation counts
+    // from 5/4/3-gram TYPES below, the continuation unigram from
+    // bigram types at the bottom — and the oracle replays every level
+    // as chained CTEs (each order's continuation table from ITS OWN
+    // (k+1)-gram stream, the padded-frame contract) with the same
+    // nested CASE ladder as q144.
+    "q146_kn_5gram_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Retrieval.knNgramNllAgainst(
+        docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", order = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4033,6 +4049,82 @@ object SparkEntry {
         |       WHEN status = 'unchanged' THEN TRUE
         |       ELSE v2_nt >= 40 END AS in_index
         |FROM disp ORDER BY id""".stripMargin,
+
+    // Order-5 KN: every continuation level from its own (k+1)-gram
+    // stream — a4 from 5-gram types, a3 from 4-gram types, a2 from
+    // trigram types, the continuation unigram from bigram types — the
+    // exact padded-frame contract, then the q144 CASE ladder two rungs
+    // deeper. LEFT joins throughout; n_unseen counts absent 5-grams.
+    "q146_kn_5gram_ref" ->
+      """WITH rtoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |r5 AS (
+        |  SELECT unnest(toks[1:len(toks)-4]) AS w1, unnest(toks[2:len(toks)-3]) AS w2,
+        |    unnest(toks[3:len(toks)-2]) AS w3, unnest(toks[4:len(toks)-1]) AS w4,
+        |    unnest(toks[5:len(toks)]) AS w5
+        |  FROM rtoks WHERE len(toks) >= 5),
+        |tm AS (SELECT w1, w2, w3, w4, w5, count(*) AS cb FROM r5 GROUP BY w1, w2, w3, w4, w5),
+        |tctx AS (SELECT w1, w2, w3, w4, sum(cb) AS cw, count(*) AS nfollow FROM tm GROUP BY w1, w2, w3, w4),
+        |a4 AS (SELECT w2, w3, w4, w5, count(*) AS a4 FROM tm GROUP BY w2, w3, w4, w5),
+        |a4ctx AS (SELECT w2, w3, w4, sum(a4) AS ad4, count(*) AS anf4 FROM a4 GROUP BY w2, w3, w4),
+        |r4 AS (
+        |  SELECT unnest(toks[1:len(toks)-3]) AS v1, unnest(toks[2:len(toks)-2]) AS v2,
+        |    unnest(toks[3:len(toks)-1]) AS v3, unnest(toks[4:len(toks)]) AS v4
+        |  FROM rtoks WHERE len(toks) >= 4),
+        |t4 AS (SELECT DISTINCT v1, v2, v3, v4 FROM r4),
+        |a3 AS (SELECT v2 AS w3, v3 AS w4, v4 AS w5, count(*) AS a3 FROM t4 GROUP BY v2, v3, v4),
+        |a3ctx AS (SELECT w3, w4, sum(a3) AS ad3, count(*) AS anf3 FROM a3 GROUP BY w3, w4),
+        |r3 AS (
+        |  SELECT unnest(toks[1:len(toks)-2]) AS u1, unnest(toks[2:len(toks)-1]) AS u2,
+        |    unnest(toks[3:len(toks)]) AS u3
+        |  FROM rtoks WHERE len(toks) >= 3),
+        |t3 AS (SELECT DISTINCT u1, u2, u3 FROM r3),
+        |a2 AS (SELECT u2 AS w4, u3 AS w5, count(*) AS a2 FROM t3 GROUP BY u2, u3),
+        |a2ctx AS (SELECT w4, sum(a2) AS ad2, count(*) AS anf2 FROM a2 GROUP BY w4),
+        |rbi AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS b1, unnest(toks[2:len(toks)]) AS b2
+        |  FROM rtoks WHERE len(toks) >= 2),
+        |bt AS (SELECT DISTINCT b1, b2 FROM rbi),
+        |prec AS (SELECT b2 AS w5, count(*) AS nprec FROM bt GROUP BY b2),
+        |ty AS (SELECT count(*) AS btypes FROM bt),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |d5 AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-4]) AS w1, unnest(toks[2:len(toks)-3]) AS w2,
+        |    unnest(toks[3:len(toks)-2]) AS w3, unnest(toks[4:len(toks)-1]) AS w4,
+        |    unnest(toks[5:len(toks)]) AS w5
+        |  FROM toks WHERE len(toks) >= 5),
+        |doc5 AS (SELECT doc_id, w1, w2, w3, w4, w5, count(*) AS c FROM d5 GROUP BY doc_id, w1, w2, w3, w4, w5),
+        |joined AS (
+        |  SELECT doc_id, c, cb, cw, nfollow, a4, ad4, anf4, a3, ad3, anf3,
+        |    a2, ad2, anf2, nprec, btypes,
+        |    CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |         ELSE 0.5 / btypes END AS p1
+        |  FROM doc5
+        |  LEFT JOIN tm USING (w1, w2, w3, w4, w5)
+        |  LEFT JOIN tctx USING (w1, w2, w3, w4)
+        |  LEFT JOIN a4 USING (w2, w3, w4, w5) LEFT JOIN a4ctx USING (w2, w3, w4)
+        |  LEFT JOIN a3 USING (w3, w4, w5) LEFT JOIN a3ctx USING (w3, w4)
+        |  LEFT JOIN a2 USING (w4, w5) LEFT JOIN a2ctx USING (w4)
+        |  LEFT JOIN prec USING (w5) CROSS JOIN ty),
+        |p2s AS (SELECT *, CASE WHEN ad2 IS NOT NULL THEN
+        |    greatest(coalesce(a2, 0) - 0.75, 0.0) / ad2 + (0.75 * anf2 / ad2) * p1
+        |  ELSE p1 END AS p2 FROM joined),
+        |p3s AS (SELECT *, CASE WHEN ad3 IS NOT NULL THEN
+        |    greatest(coalesce(a3, 0) - 0.75, 0.0) / ad3 + (0.75 * anf3 / ad3) * p2
+        |  ELSE p2 END AS p3 FROM p2s),
+        |p4s AS (SELECT *, CASE WHEN ad4 IS NOT NULL THEN
+        |    greatest(coalesce(a4, 0) - 0.75, 0.0) / ad4 + (0.75 * anf4 / ad4) * p3
+        |  ELSE p3 END AS p4 FROM p3s),
+        |p5s AS (SELECT *, CASE WHEN cw IS NOT NULL THEN
+        |    greatest(coalesce(cb, 0) - 0.75, 0.0) / cw + (0.75 * nfollow / cw) * p4
+        |  ELSE p4 END AS p FROM p4s)
+        |SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+        |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
+        |FROM p5s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —
