@@ -299,14 +299,26 @@ object Retrieval {
     * model from the SAME pinned frame it scores with (one corpus
     * shuffle total).
     */
-  private[graft] def knModelFromTypes(types: DataFrame, order: Int): KnModel = {
-    val top = types.filter(col("w1").isNotNull)
+  private[graft] def knModelFromTypes(types: DataFrame, order: Int,
+      pruneMinTopCount: Long = 1L): KnModel = {
+    require(pruneMinTopCount >= 1, "pruneMinTopCount must be >= 1")
+    val topFull = types.filter(col("w1").isNotNull)
       .groupBy((1 to order).map(i => col(s"w$i")): _*)
       .agg(sum(col("__c")).as("cb"))
       .localCheckpoint(true)
-    val topCtx = top.groupBy((1 to order - 1).map(i => col(s"w$i")): _*)
+    // context mass/continuation counts come from the UNPRUNED stream:
+    // a pruned gram then scores exactly like an unseen one (discounted
+    // term gone, full backoff weight) — the standard count-pruning
+    // trade (KenLM's --prune): p sums slightly below 1 for pruned
+    // contexts, NLL of pruned events rises, frequent events are
+    // bit-identical to the unpruned model. Top order only — that is
+    // where n-gram type counts stop being Heaps-bounded at order 4+.
+    val topCtx = topFull.groupBy((1 to order - 1).map(i => col(s"w$i")): _*)
       .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
       .localCheckpoint(true)
+    val top =
+      if (pruneMinTopCount > 1L) topFull.filter(col("cb") >= pruneMinTopCount)
+      else topFull
     val cont = ((order - 1) to 2 by -1).map { k =>
       val from = order - k // leftmost column of the (k+1)-gram window
       val raw = types.filter(col(s"w$from").isNotNull)
@@ -337,15 +349,20 @@ object Retrieval {
     KnModel(order, top, topCtx, cont, precede, bt)
   }
 
+  /** `pruneMinTopCount`: drop top-order grams occurring fewer times
+    * (KenLM's count pruning — the 100 TB rail for order >= 4, where
+    * top-order type counts grow near-linearly with the corpus while
+    * every lower-order frame stays Heaps-bounded). Pruned grams back
+    * off exactly like unseen ones; 1 (default) = exact model. */
   def knModel(ref: DataFrame, refTextCol: String,
-      order: Int = 2): KnModel = {
+      order: Int = 2, pruneMinTopCount: Long = 1L): KnModel = {
     require(order >= 2 && order <= 6,
       s"KN order must be in [2,6], got $order")
     val types = paddedNgrams(ref, Nil, refTextCol, order)
       .groupBy((1 to order).map(i => col(s"w$i")): _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    knModelFromTypes(types, order)
+    knModelFromTypes(types, order, pruneMinTopCount)
   }
 
   /** Persist a [[KnModel]] as parquet — the train-once / score-many

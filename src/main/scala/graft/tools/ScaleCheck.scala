@@ -1384,9 +1384,13 @@ object ScaleCheck {
     require(refUnseen == 0,
       s"reference docs must have zero unseen top grams, got $refUnseen")
     val topRows = mKn.top.count(); val biB = mKn.btypes
+    // what pruneMinTopCount=2 would keep (the 100 TB top-order rail):
+    // same filter the pruned model applies, measured on the built frame
+    val prunedRows = mKn.top.filter(col("cb") >= 2).count()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(knDir))
     println(f"KNREF> docs=$nKnDocs ref_docs=${refSlice.count()} order=3 " +
-      f"trigram_types=$topRows btypes=$biB train=$tTrain%.1f s " +
+      f"trigram_types=$topRows prune2_types=$prunedRows btypes=$biB " +
+      f"train=$tTrain%.1f s " +
       f"save=$tSave%.1f s score_210k_from_loaded=$tScore%.1f s " +
       f"nll_range=[${knScores.getDouble(3)}%.2f, ${knScores.getDouble(2)}%.2f] " +
       f"ref_unseen=$refUnseen")

@@ -333,6 +333,34 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("count pruning: frequent grams bit-identical, pruned grams back off as unseen") {
+    // "a b c" occurs 3x (survives pruneMinTopCount=2); "d e f" once
+    // (pruned). Docs made only of frequent grams must score EXACTLY as
+    // under the full model; docs carrying the pruned gram score it as
+    // unseen (strictly higher NLL, still finite).
+    val refTexts = Seq("a b c", "a b c", "a b c", "d e f")
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    def score(prune: Long) = {
+      val m = Retrieval.knModel(ref, "text", order = 3,
+        pruneMinTopCount = prune)
+      Retrieval.knNgramNllAgainstModel(docs, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    }
+    val full = score(1L); val pruned = score(2L)
+    assert(full(1L) == pruned(1L))          // frequent path bit-identical
+    assert(full(1L)._1 == 0L)
+    assert(pruned(2L)._1 == 1L)             // "d e f" now counts unseen
+    assert(full(2L)._1 == 0L)
+    assert(pruned(2L)._2 > full(2L)._2)     // mass lost -> NLL rises
+    assert(java.lang.Double.isFinite(pruned(2L)._2)) // backoff holds
+    // the pruned model's top frame is actually smaller
+    assert(Retrieval.knModel(ref, "text", 3, 2L).top.count() <
+      Retrieval.knModel(ref, "text", 3).top.count())
+  }
+
   test("knNgramNll(2) bit-equals knBigramNll (one kernel, two faces)") {
     val d = Seq((1L, "a b a c a b"), (2L, "c a b")).toDF("doc_id", "text")
     val viaN = Retrieval.knNgramNll(d, "doc_id", "text", order = 2)
