@@ -2112,13 +2112,20 @@ object SparkEntry {
     }),
 
     // INCREMENTAL RELEASE COMPOSITION (ops/Release): q142's diff +
-    // a token-count curation gate + the persisted LSH dedup-reference
-    // index, composed end to end against a REAL on-disk index (the
-    // q137 temp-path device). v2 is the q142 arithmetic construction,
-    // so the oracle can state every id's status AND expected index
-    // membership independently: removed -> out; unchanged -> in (init
-    // indexed all of v1); added/changed -> in iff the gate passes on
-    // the v2 text (>= 40 tokens; a changed doc's " v2" amendment adds
+    // the index-backed dedup gate + a token-count curation gate + the
+    // persisted LSH dedup-reference index, composed end to end against
+    // a REAL on-disk index (the q137 temp-path device). v2 is the q142
+    // arithmetic construction, so the oracle can state every id's
+    // status, dedup outcome, AND expected index membership
+    // independently: the ten added docs are VERBATIM copies of docs
+    // 0-9's v1 text, so a copy is a near-dup (jaccard 1.0, guaranteed
+    // band collision) exactly when its original is still live —
+    // original unchanged (X%7!=0, X%5!=0) -> deduped; original removed
+    // or changed (the changed text's jaccard (nt-2)/(nt-1) sits below
+    // the 0.999 threshold, and the old self is tombstoned BEFORE the
+    // probe) -> clean. removed -> out of index; unchanged -> in (init
+    // indexed all of v1); added/changed -> in iff not deduped and the
+    // v2 text clears 40 tokens (a changed doc's " v2" amendment adds
     // exactly one token). `indexed` = re-indexed THIS release;
     // `in_index` = read back from the live band index itself — the
     // actual composed artifact under the hash gate, not a restatement.
@@ -2142,12 +2149,12 @@ object SparkEntry {
         "doc_id", "text", Seq("text", "lang", "source"),
         df => df.filter(
           graft.ops.TextAnalysis.tokenCount(col("text")) >= 40),
-        base)
+        base, dedupThreshold = Some(0.999))
       val live = graft.ops.Release.readReferenceBands(s, base)
         .select(col("id")).distinct()
         .withColumn("__live", lit(true))
       disp.join(live, Seq("id"), "left")
-        .select(col("id"), col("status"), col("indexed"),
+        .select(col("id"), col("status"), col("indexed"), col("deduped"),
           coalesce(col("__live"), lit(false)).as("in_index"))
         .orderBy(col("id"))
     }),
@@ -4022,11 +4029,15 @@ object SparkEntry {
         |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Release-composition arithmetic restated per id (the q142 device
-    // extended with the gate and index-membership rules): status from
-    // the %7/%5 construction; indexed = delta AND the v2 text clears
-    // 40 tokens (changed text = original + exactly one token);
-    // in_index additionally keeps every unchanged doc (init indexed
-    // all of v1) and drops removed ones.
+    // extended with the dedup, gate, and index-membership rules):
+    // status from the %7/%5 construction; an added doc (verbatim v1
+    // copy) is deduped exactly when its original is still LIVE at
+    // probe time (not removed by %7, not changed by %5 — a changed
+    // original was tombstoned before the probe and its new text sits
+    // below the 0.999 threshold); indexed = delta AND NOT deduped AND
+    // the v2 text clears 40 tokens (changed text = original + exactly
+    // one token); in_index additionally keeps every unchanged doc
+    // (init indexed all of v1) and drops removed ones.
     "q145_incremental_release" ->
       """WITH tc AS (
         |  SELECT doc_id,
@@ -4038,16 +4049,19 @@ object SparkEntry {
         |         WHEN doc_id % 5 = 0 THEN 'changed'
         |         ELSE 'unchanged' END AS status,
         |    CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
-        |         THEN nt + 1 ELSE nt END AS v2_nt
+        |         THEN nt + 1 ELSE nt END AS v2_nt,
+        |    FALSE AS dup
         |  FROM tc
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id, 'added' AS status, nt AS v2_nt
+        |  SELECT doc_id + 1000000 AS id, 'added' AS status, nt AS v2_nt,
+        |    (doc_id % 7 <> 0 AND doc_id % 5 <> 0) AS dup
         |  FROM tc WHERE doc_id < 10)
         |SELECT id, status,
-        |  (status IN ('added', 'changed') AND v2_nt >= 40) AS indexed,
+        |  (status IN ('added', 'changed') AND NOT dup AND v2_nt >= 40) AS indexed,
+        |  dup AS deduped,
         |  CASE WHEN status = 'removed' THEN FALSE
         |       WHEN status = 'unchanged' THEN TRUE
-        |       ELSE v2_nt >= 40 END AS in_index
+        |       ELSE (NOT dup AND v2_nt >= 40) END AS in_index
         |FROM disp ORDER BY id""".stripMargin,
 
     // Order-5 KN: every continuation level from its own (k+1)-gram

@@ -101,10 +101,23 @@ object Release {
     * and drives the tombstone write, the delta join, and the returned
     * disposition.
     */
+  /** `dedupThreshold`: when set, delta docs whose exact jaccard against
+    * a LIVE reference doc reaches the threshold are DROPPED before the
+    * quality gate — the reason the band index exists: new arrivals are
+    * checked against everything already released without recomputing
+    * any reference signature. Candidates come from the index's band
+    * buckets (delta bands × live bands); exact verification shingles
+    * only the candidate docs on each side (every live index id is
+    * still present in `newSnap`, so the reference text is at hand).
+    * Within-delta duplicates are out of scope (run `Dedup.minhashDedup`
+    * on the delta upstream if the increment itself may self-duplicate).
+    * Output gains a `deduped` column (always false when off).
+    */
   def incrementalRelease(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String, hashCols: Seq[String],
       gate: DataFrame => DataFrame, indexPath: String,
-      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+      shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      dedupThreshold: Option[Double] = None): DataFrame = {
     val spark = newSnap.sparkSession
     import spark.implicits._
     // read the generation BEFORE the manifest rewrite below
@@ -112,15 +125,56 @@ object Release {
       .head().getLong(0) + 1L
     val diff = Curation.corpusDiff(oldSnap, newSnap, idCol, hashCols)
       .localCheckpoint(true) // three consumers: tombstones, delta, return
+    // tombstones FIRST: a changed doc's old self leaves the live set
+    // before the dedup probe below, so it cannot self-match
     diff.filter(col("status").isin("removed", "changed"))
       .select(col("id")).withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$indexPath/tombstones")
     val delta = newSnap.join(
       diff.filter(col("status").isin("added", "changed"))
         .select(col("id").as(idCol)), Seq(idCol))
+      .localCheckpoint(true) // delta-sized; bands + dedup + gate read it
+    def shinglesOf(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      graft.functions.word_shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), shingle).as("__sh"))
+    val deltaBands = Dedup.lshBands(delta, idCol, textCol,
+      shingle, numPerm, bands)
+    val dupIds: Option[DataFrame] = dedupThreshold.map { th =>
+      val live = readReferenceBands(spark, indexPath)
+        .select(col("id").as("ref_id"), col("band"), col("bkey"))
+      val cands = deltaBands.select(col("id").as("new_id"),
+          col("band"), col("bkey"))
+        .join(live, Seq("band", "bkey"))
+        .filter(col("new_id") =!= col("ref_id"))
+        .select(col("new_id"), col("ref_id")).distinct()
+        .localCheckpoint(true) // candidate-pair-sized
+      // exact verify shingles ONLY candidate docs: semi-join prunes
+      // each side to the candidate ids before the shingle map
+      val newSh = shinglesOf(delta.join(
+        cands.select(col("new_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"))
+      val refSh = shinglesOf(newSnap.join(
+        cands.select(col("ref_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"))
+      cands
+        .join(newSh.select(col("id").as("new_id"), col("__sh").as("__sa")),
+          Seq("new_id"))
+        .join(refSh.select(col("id").as("ref_id"), col("__sh").as("__sb")),
+          Seq("ref_id"))
+        .filter(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))).cast("double") >= th)
+        .select(col("new_id").as(idCol)).distinct()
+    }
+    val surviving = dupIds match {
+      case Some(d) => delta.join(d, Seq(idCol), "left_anti")
+      case None    => delta
+    }
     // delta-sized pin (the release increment, not the corpus): the
     // gated frame feeds both the band append and the disposition
-    val passed = gate(delta).localCheckpoint(true)
+    val passed = gate(surviving).localCheckpoint(true)
+    // bands recomputed only for the gated survivors (deltaBands above
+    // fed the dedup probe; survivors are a subset)
     Dedup.lshBands(passed, idCol, textCol, shingle, numPerm, bands)
       .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$indexPath/bands")
@@ -128,9 +182,17 @@ object Release {
       .write.mode("overwrite").parquet(s"$indexPath/manifest")
     val passedIds = passed.select(col(idCol).as("id"))
       .withColumn("__passed", lit(true))
+    val dedupedIds = dupIds match {
+      case Some(d) => d.select(col(idCol).as("id"))
+        .withColumn("__dup", lit(true))
+      case None => // zero-row frame with diff's own id type
+        diff.select(col("id")).limit(0).withColumn("__dup", lit(true))
+    }
     diff.join(passedIds, Seq("id"), "left")
+      .join(dedupedIds, Seq("id"), "left")
       .select(col("id"), col("status"),
         (col("status").isin("added", "changed") &&
-          coalesce(col("__passed"), lit(false))).as("indexed"))
+          coalesce(col("__passed"), lit(false))).as("indexed"),
+        coalesce(col("__dup"), lit(false)).as("deduped"))
   }
 }

@@ -103,6 +103,23 @@ class ReleaseSpec extends AnyFunSuite {
         Seq("text"), gate, dir).collect()
       val expected4 = v3.filter(col("doc_id").isin(1L, 2L, 5L))
       assert(liveBands(dir) == bandsOf(expected4))
+
+      // dedup gate: v5 adds 8 (verbatim copy of live doc 5 -> dropped
+      // as a near-dup of the accumulated reference, never indexed) and
+      // 9 (genuinely new -> indexed); the index reflects only 9
+      val v5 = v4.unionByName(Seq(
+        doc(8L, "rho sigma tau upsilon"),
+        doc(9L, "one two three four")).toDF("doc_id", "text"))
+      val disp5 = Release.incrementalRelease(v4, v5, "doc_id", "text",
+          Seq("text"), gate, dir, dedupThreshold = Some(0.9))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+        .toMap
+      assert(disp5(8L) == ("added", false, true))  // dup: not indexed
+      assert(disp5(9L) == ("added", true, false))  // new: indexed
+      assert(disp5(5L) == ("unchanged", false, false))
+      val expected5 = v5.filter(col("doc_id").isin(1L, 2L, 5L, 9L))
+      assert(liveBands(dir) == bandsOf(expected5))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
