@@ -1431,6 +1431,53 @@ object ScaleCheck {
       f"removed=${diffCounts("removed")} changed=${diffCounts("changed")} " +
       f"added=${diffCounts("added")} unchanged=${diffCounts("unchanged")} " +
       f"t=$tDiff%.1f s (${nSnap / tDiff / 1e6}%.1f M ids/s)")
+
+    // ---- 5w2. FULL index-backed release — 210k-doc corpus -----------
+    // The composed q145 face at scale: init the LSH reference index on
+    // the 210k generator corpus, then release a v2 with 2000 removed,
+    // 2000 changed (one token appended), 200 planted VERBATIM copies
+    // of live docs (must ALL dedup against the index at 0.9 — jaccard
+    // 1.0, guaranteed band collision; the generator's own 0.85-jaccard
+    // planted near-dup pairs sit below the threshold and must NOT
+    // fire), and 200 genuinely fresh docs (must all index). Every
+    // disposition count is required EXACT.
+    val relDir = java.nio.file.Files.createTempDirectory("sc_rel").toString
+    val c210 = corpus(spark, 200000L).localCheckpoint(true)
+    val (_, tInit) = time {
+      graft.ops.Release.initReferenceIndex(c210, "doc_id", "text", relDir)
+    }
+    val base200k = col("doc_id") < 200000L
+    val v2rel = c210
+      .filter(!(base200k && col("doc_id") % 100 === 0)) // 2000 removed
+      .withColumn("text",
+        when(base200k && col("doc_id") % 100 === 1,
+          concat(col("text"), lit(" zz"))).otherwise(col("text")))
+      .unionByName(c210 // verbatim copies of live originals
+        .filter(col("doc_id") % 100 === 2 && col("doc_id") < 20000L)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(spark.range(200L) // fresh docs, different hash salt
+        .select((col("id") + 2000000L).as("doc_id"),
+          concat_ws(" ", (0 until 80).map(i =>
+            concat(lit("f"), pmod(xxhash64(col("id"), lit(i + 777)),
+              lit(5000)))): _*).as("text")))
+    val (relCounts, tRel) = time {
+      graft.ops.Release.incrementalRelease(c210, v2rel, "doc_id", "text",
+          Seq("text"), df => df, relDir, dedupThreshold = Some(0.9))
+        .groupBy(col("status"), col("deduped"), col("indexed"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+        .toMap
+    }
+    require(relCounts(("removed", false, false)) == 2000L, s"rel: $relCounts")
+    require(relCounts(("changed", false, true)) == 2000L, s"rel: $relCounts")
+    require(relCounts(("added", true, false)) == 200L, s"rel: $relCounts")
+    require(relCounts(("added", false, true)) == 200L, s"rel: $relCounts")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(relDir))
+    println(f"RELEASE> corpus=210000 init=$tInit%.1f s " +
+      f"release(2000rm/2000chg/200dup/200new)=$tRel%.1f s " +
+      f"dups_caught=200/200 near_dup_0.85_not_fired=true")
+    c210.unpersist()
     }
 
     if (run("sfbench")) {
