@@ -1445,7 +1445,11 @@ object SparkEntry {
       // + exact answers collapse into a single 7-row broadcast, so the
       // query is the sketch pass, the ranked exact pass, and one
       // rank-gate scan — two broadcast joins total, down from four.
-      val exact = graft.ops.Quantiles.exact(base, "x", qs)
+      // dispatch pinned off (q139's rule): this gate exercises the rank
+      // kernel at every SF; at test scale the auto-dispatch would
+      // (correctly) answer with the built-in
+      val exact = graft.ops.Quantiles.exact(base, "x", qs,
+        builtinMaxRows = 0L)
       val sk = base.agg(graft.functions.kll_sketch(col("x"), 200).as("sk"))
         .select(col("sk.n").as("n"), col("sk.items").as("items"),
           col("sk.weights").as("weights"))

@@ -22,20 +22,41 @@ object Quantiles {
     * `q` in `qs`, with linear interpolation between bracketing ranks —
     * bit-matching `percentile(x, qs)` / DuckDB `quantile_cont`.
     * Returns a |qs|-row frame (q, exact_q). Empty input → empty frame.
+    *
+    * Dispatch (the single-key mirror of [[exactByKey]]'s): at most
+    * `builtinMaxRows` values answers via the built-in `percentile`
+    * aggregate — its one value-count map is cheap while it fits, and
+    * the rank machinery's fixed range shuffle doesn't pay. Beyond it
+    * the distributed rank path avoids the built-in's single-reducer
+    * map merge (§5u: 2.3× at 5M). Set 0 to force the rank path.
     */
-  def exact(df: DataFrame, xCol: String, qs: Seq[Double]): DataFrame = {
+  def exact(df: DataFrame, xCol: String, qs: Seq[Double],
+      builtinMaxRows: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0,1]")
     val session = df.sparkSession
     import session.implicits._
+    val cleaned = df.select(col(xCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    if (builtinMaxRows > 0) {
+      val total = cleaned.count()
+      if (total == 0) return qs.toDF("q").filter(lit(false))
+        .withColumn("exact_q", lit(0.0).cast("double"))
+      if (total <= builtinMaxRows) {
+        val ps = expr(s"percentile(__x, array(${qs.mkString(", ")}))")
+        return cleaned.agg(ps.as("__ps"))
+          .select(posexplode(col("__ps")).as(Seq("__i", "exact_q")))
+          .select(element_at(typedlit(qs), col("__i") + 1).as("q"),
+            col("exact_q"))
+      }
+    }
     // localCheckpoint pins range boundaries: the counts job and the
     // rank-pick job must agree on partition membership (same argument
     // as Sampling.trainingOrder)
     // __tb spreads duplicate runs across range-partition boundaries (a
     // single hot value would otherwise land one skewed partition); the
     // global (x, tb) order still sorts by x, which is all ranks need
-    val parts = df.select(col(xCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull)
+    val parts = cleaned
       .withColumn("__tb", monotonically_increasing_id())
       .repartitionByRange(col("__x"), col("__tb"))
       .sortWithinPartitions(col("__x"), col("__tb"))

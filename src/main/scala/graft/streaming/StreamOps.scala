@@ -71,15 +71,27 @@ object StreamOps {
   def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, ref: DataFrame, refTextCol: String,
       discount: Double = 0.75, watermark: String = "10 minutes",
-      order: Int = 2): DataFrame = {
+      order: Int = 2): DataFrame =
+    streamingKnScoreWith(docs, idCol, textCol, tsCol,
+      graft.ops.Retrieval.knModel(ref, refTextCol, order),
+      discount, watermark)
+
+  /** Score the stream against an ALREADY-BUILT [[graft.ops.Retrieval.KnModel]]
+    * — pair with `Retrieval.loadKnModel` so a stream (re)start never
+    * repays the reference pass (the persisted train-once model serving
+    * continuous ingest; parquet-backed frames need no re-pin and the
+    * stream-static joins read them as any static side).
+    */
+  def streamingKnScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, m: graft.ops.Retrieval.KnModel,
+      discount: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
-    val m = graft.ops.Retrieval.knModel(ref, refTextCol, order)
     val grams = graft.ops.Retrieval.ngramPairs(
       docs.withWatermark(tsCol, watermark)
         .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
           col(textCol)),
-      Seq("doc_id", "__ts"), textCol, order)
+      Seq("doc_id", "__ts"), textCol, m.order)
     graft.ops.Retrieval.knScoreJoin(grams, m, discount)
       .groupBy(col("doc_id"), col("__ts"))
       .agg(count(lit(1)).as("n_ngrams"),

@@ -1162,7 +1162,7 @@ object ScaleCheck {
         .head.getSeq[Double](0)
     }
     val (exactVals, tExact) = time {
-      graft.ops.Quantiles.exact(valsQ, "x", qsQ)
+      graft.ops.Quantiles.exact(valsQ, "x", qsQ, builtinMaxRows = 0L)
         .orderBy("q").collect().map(_.getDouble(1)).toSeq
     }
     val maxDiff = builtinVals.zip(exactVals)

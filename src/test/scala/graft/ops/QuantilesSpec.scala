@@ -14,7 +14,8 @@ class QuantilesSpec extends AnyFunSuite {
     df.agg(percentile(col("x"), typedLit(qs))).collect()(0).getSeq[Double](0)
 
   private def ours(df: org.apache.spark.sql.DataFrame): Seq[Double] =
-    Quantiles.exact(df, "x", qs).orderBy("q").collect().map(_.getDouble(1)).toSeq
+    Quantiles.exact(df, "x", qs, builtinMaxRows = 0L)
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
 
   test("matches the built-in percentile aggregate on pseudo-random data") {
     val df = (1 to 50000).map(i => ((i * 2654435761L) % 1000003).toDouble)
@@ -117,6 +118,23 @@ class QuantilesSpec extends AnyFunSuite {
         s"$k: builtin $v vs rank ${viaRank(k)}")
     }
     assert(viaRank2 == viaRank) // same machinery -> identical bits
+  }
+
+  test("exact dispatch: built-in and rank paths agree (single-key mirror)") {
+    val df = (1 to 30000).map(i => ((i * 48271L) % 99991).toDouble)
+      .toDF("x").repartition(8)
+    def run(thresh: Long): Seq[(Double, Double)] =
+      Quantiles.exact(df, "x", qs, builtinMaxRows = thresh)
+        .orderBy("q").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        .toSeq
+    val viaBuiltin = run(Long.MaxValue) // 30k rows -> built-in
+    val viaRank = run(0L)
+    viaBuiltin.zip(viaRank).foreach { case ((qa, a), (qb, b)) =>
+      assert(qa == qb)
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"q=$qa: builtin $a vs rank $b")
+    }
+    assert(run(1L) == viaRank) // 30k > 1 -> rank machinery, same bits
   }
 
   test("exact matches an independent local type-7 model on seeded random data") {

@@ -493,12 +493,18 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming KN scoring at order 3 matches the batch trigram face") {
+  test("streaming KN scoring at order 3 from a PERSISTED model matches the batch face") {
     implicit val ctx = spark.sqlContext
     val ref = Seq((100L, "a b c a b"), (101L, "b c a")).toDF("doc_id", "text")
+    // save -> load -> stream: a stream restart never repays the
+    // reference pass; parquet-backed frames serve the static side
+    val mdir = java.nio.file.Files.createTempDirectory("knstream").toString
+    graft.ops.Retrieval.saveKnModel(
+      graft.ops.Retrieval.knModel(ref, "text", order = 3), mdir)
+    val loaded = graft.ops.Retrieval.loadKnModel(spark, mdir)
     val input = MemoryStream[DocRow]
-    val q = StreamOps.streamingKnScore(input.toDF(), "doc_id", "text", "ts",
-      ref, "text", order = 3)
+    val q = StreamOps.streamingKnScoreWith(input.toDF(), "doc_id", "text", "ts",
+      loaded)
       .writeStream.format("memory").queryName("kn3_out")
       .outputMode(OutputMode.Append).start()
     try {
@@ -522,6 +528,9 @@ class StreamOpsSpec extends AnyFunSuite {
           r.getDouble(3)))
       assert(got.toSeq == batch.toSeq)
       assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 emits nothing
-    } finally q.stop()
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdir))
+    }
   }
 }
