@@ -2022,7 +2022,7 @@ object SparkEntry {
     // grouped quantile_cont — an independent engine's own grouped
     // type-7 implementation, the strongest oracle this operator can
     // have. round(4) absorbs interpolation ULP skew. Dispatch is
-    // pinned OFF (builtinMaxAvgGroupRows = 0) so this gate exercises
+    // pinned OFF (builtinMaxGroupRows = 0) so this gate exercises
     // the rank kernel at every SF — at test scale the §5u auto-
     // dispatch would (correctly) answer with the built-in; both sides'
     // parity is QuantilesSpec's job.
@@ -2031,7 +2031,7 @@ object SparkEntry {
           t(s, dir, "documents")
             .select(col("source"), octet_length(col("text")).as("len")),
           "source", "len", Seq(0.25, 0.5, 0.9),
-          builtinMaxAvgGroupRows = 0L)
+          builtinMaxGroupRows = 0L)
         .select(col("key").as("source"), col("q"),
           round(col("exact_q"), 4).as("exact_q"))
         .orderBy(col("source"), col("q"))),

@@ -36,15 +36,22 @@ object Quantiles {
       "quantiles must be in [0,1]")
     val session = df.sparkSession
     import session.implicits._
-    val cleaned = df.select(col(xCol).cast("double").as("__x"))
+    val cleaned0 = df.select(col(xCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull)
+    // with dispatch on, the input pins FIRST so the probe's count and
+    // the chosen path share ONE execution of the upstream plan (an
+    // unpinned probe would re-run arbitrary upstream joins/explodes
+    // just to buy two scalars); with dispatch off the rank path's own
+    // checkpoint below is the single execution, as before
+    val pinned = if (builtinMaxRows > 0) cleaned0.localCheckpoint(true)
+      else cleaned0
     if (builtinMaxRows > 0) {
-      val total = cleaned.count()
+      val total = pinned.count()
       if (total == 0) return qs.toDF("q").filter(lit(false))
         .withColumn("exact_q", lit(0.0).cast("double"))
       if (total <= builtinMaxRows) {
         val ps = expr(s"percentile(__x, array(${qs.mkString(", ")}))")
-        return cleaned.agg(ps.as("__ps"))
+        return pinned.agg(ps.as("__ps"))
           .select(posexplode(col("__ps")).as(Seq("__i", "exact_q")))
           .select(element_at(typedlit(qs), col("__i") + 1).as("q"),
             col("exact_q"))
@@ -56,12 +63,13 @@ object Quantiles {
     // __tb spreads duplicate runs across range-partition boundaries (a
     // single hot value would otherwise land one skewed partition); the
     // global (x, tb) order still sorts by x, which is all ranks need
-    val parts = cleaned
+    val parts = pinned
       .withColumn("__tb", monotonically_increasing_id())
       .repartitionByRange(col("__x"), col("__tb"))
       .sortWithinPartitions(col("__x"), col("__tb"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
+    if (builtinMaxRows > 0) pinned.unpersist() // parts carries the data now
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().sortBy(_.getInt(0)) // bounded: one row per partition
     val n = counts.map(_.getLong(1)).sum
@@ -117,47 +125,53 @@ object Quantiles {
     * `quantile_cont`. Groups smaller than 1 row can't occur (nulls are
     * dropped before grouping).
     *
-    * Dispatch: when the average group is at most `builtinMaxAvgGroupRows`
+    * Dispatch: when the LARGEST group is at most `builtinMaxGroupRows`
     * rows, the built-in `percentile` aggregate answers instead — same
     * type-7 values (§5u parity 1e-16), and its per-group value map is
     * the cheaper machine in the many-small-groups regime where this
-    * operator's fixed range-shuffle machinery doesn't pay. Set 0 to
-    * force the rank path (e.g. to keep plans comparable across scales).
+    * operator's fixed range-shuffle machinery doesn't pay. The bound
+    * is on the MAX, not the average: the built-in's value-map merge is
+    * single-reducer PER GROUP, so one executor-memory-scale group in
+    * an otherwise-small-keyed frame must still take the rank path —
+    * an average-based probe would route it into exactly the wall this
+    * operator exists to avoid. Set 0 to force the rank path (e.g. to
+    * keep plans comparable across scales).
     */
   def exactByKey(df: DataFrame, keyCol: String, xCol: String,
       qs: Seq[Double], maxGroups: Int = 10000,
-      builtinMaxAvgGroupRows: Long = 1L << 20): DataFrame = {
+      builtinMaxGroupRows: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0,1]")
     require(maxGroups >= 1, "maxGroups must be >= 1")
     val session = df.sparkSession
     import session.implicits._
-    val cleaned = df.select(col(keyCol).cast("string").as("__k"),
+    val cleaned0 = df.select(col(keyCol).cast("string").as("__k"),
         col(xCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull && col("__k").isNotNull)
-    // §5u crossover dispatch: the built-in percentile's per-group
-    // value-count map is the cheaper machine while groups are small
-    // (its single-reducer merge is per GROUP, and many groups
-    // parallelize across reducers); the rank path wins when any one
-    // group's value count is executor-memory-scale. Measured crossover
-    // is between 250k rows/group (built-in 3× faster) and 2.5M
-    // rows/group (rank path ahead, gap widening) — the 1M default
-    // splits it. One scan buys the two dispatch scalars; 0 disables.
+    // with dispatch on, pin the input FIRST: the probe's group stats
+    // and the chosen path then share ONE execution of the upstream
+    // plan (an unpinned probe would re-run arbitrary upstream work to
+    // buy two scalars). §5u crossover: built-in 3× faster at 250k-row
+    // groups, rank path ahead (gap widening) at 2.5M — the 1M default
+    // splits it.
+    val pinned = if (builtinMaxGroupRows > 0) cleaned0.localCheckpoint(true)
+      else cleaned0
     var railChecked = false
-    if (builtinMaxAvgGroupRows > 0) {
-      val r = cleaned.agg(count(lit(1)).as("n"),
-        countDistinct(col("__k")).as("nk")).head()
-      val total = r.getLong(0); val nk = r.getLong(1)
+    if (builtinMaxGroupRows > 0) {
+      val r = pinned.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("nk"), max(col("__n")).as("maxn")).head()
+      val nk = r.getLong(0)
       if (nk == 0)
         return Seq.empty[(String, Double, Double)].toDF("key", "q", "exact_q")
+      val maxn = r.getLong(1)
       require(nk <= maxGroups,
         s"exactByKey: more than maxGroups=$maxGroups distinct keys " +
           "(driver offset state is groups-bounded; raise the rail only " +
           "with the memory math in hand, or pre-aggregate the key)")
       railChecked = true
-      if (total / nk <= builtinMaxAvgGroupRows) {
+      if (maxn <= builtinMaxGroupRows) {
         val ps = expr(s"percentile(__x, array(${qs.mkString(", ")}))")
-        return cleaned.groupBy(col("__k")).agg(ps.as("__ps"))
+        return pinned.groupBy(col("__k")).agg(ps.as("__ps"))
           .select(col("__k").as("key"),
             posexplode(col("__ps")).as(Seq("__i", "exact_q")))
           .select(col("key"),
@@ -165,12 +179,13 @@ object Quantiles {
             col("exact_q"))
       }
     }
-    val parts = cleaned
+    val parts = pinned
       .withColumn("__tb", monotonically_increasing_id())
       .repartitionByRange(col("__k"), col("__x"), col("__tb"))
       .sortWithinPartitions(col("__k"), col("__x"), col("__tb"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
+    if (builtinMaxGroupRows > 0) pinned.unpersist() // parts carries it now
     // the rail must fire BEFORE anything group-sized reaches the
     // driver: a per-document key (the documented misuse) would OOM the
     // counts collect below long before a post-collect require could

@@ -63,25 +63,32 @@ object Release {
       .drop("__tgen")
   }
 
-  /** Compact the index: rewrite the LIVE bands as a fresh generation-0
-    * index and drop every tombstone — the periodic rewrite that
-    * reclaims dead band rows after many releases (same policy as the
-    * ANN index: append per release, compact on a schedule, never
-    * per-release). The live set is computed first and pinned, so the
-    * rewrite is safe against its own source; reads issued between the
-    * two writes see a consistent (possibly pre-compaction) index.
+  /** Compact the index: rewrite the LIVE bands as one generation and
+    * drop every tombstone — the periodic rewrite that reclaims dead
+    * band rows after many releases (same policy as the ANN index:
+    * append per release, compact on a schedule, never per-release).
+    * The live set is computed first and pinned, so the rewrite is safe
+    * against its own source.
+    *
+    * Crash safety: the compacted bands land at the CURRENT manifest
+    * generation, NOT at 0 — no existing tombstone is strictly newer
+    * than that, so if the process dies between the bands overwrite and
+    * the tombstone clear, every compacted band is already live under
+    * the read rule and nothing vanishes (gen-0 compaction would be
+    * shadowed by any surviving tombstone). The tombstone clear that
+    * follows is pure cleanup; the manifest is untouched, so the next
+    * release's generation still advances past everything.
     */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
     import spark.implicits._
+    val gen = spark.read.parquet(s"$indexPath/manifest").head().getLong(0)
     val live = readReferenceBands(spark, indexPath)
-      .drop("gen").withColumn("gen", lit(0L))
+      .drop("gen").withColumn("gen", lit(gen))
       .localCheckpoint(true) // pin BEFORE overwriting the source files
     live.write.mode("overwrite").parquet(s"$indexPath/bands")
     spark.read.parquet(s"$indexPath/bands")
       .select(col("id")).limit(0).withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$indexPath/tombstones")
-    Seq(0L).toDF("gen").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/manifest")
   }
 
   /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
@@ -112,14 +119,29 @@ object Release {
     * Within-delta duplicates are out of scope (run `Dedup.minhashDedup`
     * on the delta upstream if the increment itself may self-duplicate).
     * Output gains a `deduped` column (always false when off).
+    *
+    * `gatePreservesText`: minhash signatures are the dominant CPU cost
+    * of a release, and with the dedup probe on they are computed for
+    * the whole delta; if the gate only FILTERS (never rewrites
+    * `textCol` — not true of e.g. `TextAnalysis.c4Filter`, which edits
+    * pages), set this to reuse the probe's bands for the append via an
+    * id semi-join instead of recomputing them on the gated survivors.
+    * The safe default recomputes, because indexed bands must encode
+    * the text as indexed.
     */
   def incrementalRelease(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String, hashCols: Seq[String],
       gate: DataFrame => DataFrame, indexPath: String,
       shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      dedupThreshold: Option[Double] = None): DataFrame = {
+      dedupThreshold: Option[Double] = None,
+      gatePreservesText: Boolean = false): DataFrame = {
     val spark = newSnap.sparkSession
     import spark.implicits._
+    require(hashCols.contains(textCol),
+      s"incrementalRelease: hashCols must include textCol '$textCol' — " +
+        "otherwise a text-only edit diffs as 'unchanged', its stale " +
+        "bands stay live, and the index no longer encodes the corpus " +
+        "text (add it, or diff on a content-hash column derived from it)")
     // read the generation BEFORE the manifest rewrite below
     val gen = spark.read.parquet(s"$indexPath/manifest")
       .head().getLong(0) + 1L
@@ -138,8 +160,14 @@ object Release {
       col(idCol).as("id"),
       graft.functions.word_shingle_hashes(
         TextAnalysis.tokens(col(textCol)), shingle).as("__sh"))
-    val deltaBands = Dedup.lshBands(delta, idCol, textCol,
+    val deltaBands0 = Dedup.lshBands(delta, idCol, textCol,
       shingle, numPerm, bands)
+    // pinned only when the append below will reuse it (otherwise the
+    // cands checkpoint already forces exactly one execution)
+    val deltaBands =
+      if (dedupThreshold.isDefined && gatePreservesText)
+        deltaBands0.localCheckpoint(true)
+      else deltaBands0
     val dupIds: Option[DataFrame] = dedupThreshold.map { th =>
       val live = readReferenceBands(spark, indexPath)
         .select(col("id").as("ref_id"), col("band"), col("bkey"))
@@ -165,6 +193,11 @@ object Release {
         .filter(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))).cast("double") >= th)
         .select(col("new_id").as(idCol)).distinct()
+        // pin the verify's verdict (dup-id-sized): it feeds the
+        // surviving anti-join AND the returned disposition, and without
+        // the pin the candidate shingling + joins would re-execute on
+        // every action the caller takes on the result
+        .localCheckpoint(true)
     }
     val surviving = dupIds match {
       case Some(d) => delta.join(d, Seq(idCol), "left_anti")
@@ -173,9 +206,15 @@ object Release {
     // delta-sized pin (the release increment, not the corpus): the
     // gated frame feeds both the band append and the disposition
     val passed = gate(surviving).localCheckpoint(true)
-    // bands recomputed only for the gated survivors (deltaBands above
-    // fed the dedup probe; survivors are a subset)
-    Dedup.lshBands(passed, idCol, textCol, shingle, numPerm, bands)
+    // bands for the append: reuse the probe's pinned bands when the
+    // caller asserts the gate never rewrites text; otherwise recompute
+    // on the gated survivors so indexed bands encode the indexed text
+    val appendBands =
+      if (dedupThreshold.isDefined && gatePreservesText)
+        deltaBands.join(passed.select(col(idCol).as("id")),
+          Seq("id"), "left_semi")
+      else Dedup.lshBands(passed, idCol, textCol, shingle, numPerm, bands)
+    appendBands
       .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$indexPath/bands")
     Seq(gen).toDF("gen").coalesce(1)

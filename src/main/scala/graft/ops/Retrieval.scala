@@ -515,6 +515,8 @@ object Retrieval {
     * score-many economics — see [[saveKnModel]]/[[loadKnModel]]). */
   def knNgramNllAgainstModel(docs: DataFrame, idCol: String,
       textCol: String, m: KnModel, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
     val docGrams = ngramPairs(
         docs.select(col(idCol).as("doc_id"), col(textCol)),
         Seq("doc_id"), textCol, m.order)

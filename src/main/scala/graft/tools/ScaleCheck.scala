@@ -1178,11 +1178,11 @@ object ScaleCheck {
     }
     // dispatch pinned OFF here: this section measures the rank
     // machinery itself on both sides of the crossover; the default
-    // builtinMaxAvgGroupRows=1M dispatch would (correctly) route
+    // builtinMaxGroupRows=1M dispatch would (correctly) route
     // grouped20 to the built-in and grouped2 to the rank path
     val (gGot, tGroup) = time {
       graft.ops.Quantiles.exactByKey(grouped, "k", "x", qsQ,
-          builtinMaxAvgGroupRows = 0L)
+          builtinMaxGroupRows = 0L)
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     }
@@ -1200,7 +1200,7 @@ object ScaleCheck {
     }
     val (_, tGroup2) = time {
       graft.ops.Quantiles.exactByKey(grouped2, "k", "x", qsQ,
-        builtinMaxAvgGroupRows = 0L).collect()
+        builtinMaxGroupRows = 0L).collect()
     }
     println(f"QUANTILES> n=$nQ exact=$tExact%.1f s builtin=$tBuiltin%.1f s " +
       f"parity=$maxDiff%.1e grouped20=$tGroup%.1f s " +

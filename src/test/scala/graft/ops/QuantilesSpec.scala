@@ -60,7 +60,7 @@ class QuantilesSpec extends AnyFunSuite {
     // machinery against the built-in as an independent reference
     def run(parts: Int): Map[(String, Double), Double] =
       Quantiles.exactByKey(data.toDF("k", "x").repartition(parts),
-          "k", "x", qs, builtinMaxAvgGroupRows = 0L)
+          "k", "x", qs, builtinMaxGroupRows = 0L)
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     val got = run(32)
@@ -96,7 +96,7 @@ class QuantilesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Quantiles.exactByKey(
         (0 until 100).map(i => (s"k$i", 1.0)).toDF("k", "x"),
-        "k", "x", Seq(0.5), maxGroups = 10, builtinMaxAvgGroupRows = 0L)
+        "k", "x", Seq(0.5), maxGroups = 10, builtinMaxGroupRows = 0L)
     }
   }
 
@@ -106,18 +106,44 @@ class QuantilesSpec extends AnyFunSuite {
     val df = data.toDF("k", "x").repartition(8)
     def run(thresh: Long): Map[(String, Double), Double] =
       Quantiles.exactByKey(df, "k", "x", qs,
-          builtinMaxAvgGroupRows = thresh)
+          builtinMaxGroupRows = thresh)
         .collect().map(r =>
           (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    val viaBuiltin = run(Long.MaxValue) // avg 4000 rows/key -> built-in
+    val viaBuiltin = run(Long.MaxValue) // max 4000 rows/key -> built-in
     val viaRank = run(0L)               // disabled -> rank machinery
-    val viaRank2 = run(1L)              // enabled, avg > 1 -> rank machinery
+    val viaRank2 = run(1L)              // enabled, max > 1 -> rank machinery
     assert(viaBuiltin.keySet == viaRank.keySet)
     viaBuiltin.foreach { case (k, v) =>
       assert(math.abs(v - viaRank(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
         s"$k: builtin $v vs rank ${viaRank(k)}")
     }
     assert(viaRank2 == viaRank) // same machinery -> identical bits
+  }
+
+  test("exactByKey dispatch guards on the LARGEST group, not the average") {
+    // 99 one-row groups + 1 five-thousand-row group: the average (~51
+    // rows) sits far under the threshold but the max is what the
+    // built-in's per-group value-map merge pays for — the skewed frame
+    // must take the rank path (no percentile in the plan), and both
+    // routings must agree on values
+    val data = (0 until 99).map(i => (s"t$i", i.toDouble)) ++
+      (0 until 5000).map(i => ("big", ((i * 48271L) % 99991).toDouble))
+    val df = data.toDF("k", "x").repartition(8)
+    val viaDispatch = Quantiles.exactByKey(df, "k", "x", Seq(0.5),
+      builtinMaxGroupRows = 1000L)
+    assert(!viaDispatch.queryExecution.analyzed.toString.contains("percentile"))
+    val viaBuiltin = Quantiles.exactByKey(df, "k", "x", Seq(0.5),
+      builtinMaxGroupRows = Long.MaxValue)
+    assert(viaBuiltin.queryExecution.analyzed.toString.contains("percentile"))
+    val got = viaDispatch.collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val ref = viaBuiltin.collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: $v vs ${ref(k)}")
+    }
   }
 
   test("exact dispatch: built-in and rank paths agree (single-key mirror)") {

@@ -92,12 +92,17 @@ class ReleaseSpec extends AnyFunSuite {
       assert(liveBands(dir) == bandsOf(expected3))
 
       // compaction: live set unchanged, dead rows + tombstones gone,
-      // and a post-compaction release still works (gens restart at 0)
+      // and a post-compaction release still works. Compacted bands
+      // land at the CURRENT manifest generation (crash-safe against
+      // any tombstone that survives a partial compaction), never 0
       Release.compactIndex(spark, dir)
       assert(liveBands(dir) == bandsOf(expected3))
       assert(spark.read.parquet(s"$dir/tombstones").count() == 0)
+      val mgen = spark.read.parquet(s"$dir/manifest").head.getLong(0)
+      assert(mgen == 2L) // two releases so far; manifest untouched
       assert(spark.read.parquet(s"$dir/bands")
-        .agg(max(col("gen"))).head.getLong(0) == 0L)
+        .agg(min(col("gen")), max(col("gen"))).head.toSeq ==
+        Seq(mgen, mgen))
       val v4 = v3.filter(col("doc_id") =!= 4L) // remove 4 after compaction
       Release.incrementalRelease(v3, v4, "doc_id", "text",
         Seq("text"), gate, dir).collect()
@@ -110,8 +115,11 @@ class ReleaseSpec extends AnyFunSuite {
       val v5 = v4.unionByName(Seq(
         doc(8L, "rho sigma tau upsilon"),
         doc(9L, "one two three four")).toDF("doc_id", "text"))
+      // gatePreservesText: the token-count gate only filters, so the
+      // probe's bands are reused for the append (no second minhash)
       val disp5 = Release.incrementalRelease(v4, v5, "doc_id", "text",
-          Seq("text"), gate, dir, dedupThreshold = Some(0.9))
+          Seq("text"), gate, dir, dedupThreshold = Some(0.9),
+          gatePreservesText = true)
         .collect().map(r => r.getLong(0) ->
           (r.getString(1), r.getBoolean(2), r.getBoolean(3)))
         .toMap
