@@ -69,7 +69,12 @@ object Quantiles {
       .sortWithinPartitions(col("__x"), col("__tb"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
-    if (builtinMaxRows > 0) pinned.unpersist() // parts carries the data now
+    // once parts is checkpointed the probe pin is dead weight; its
+    // blocks are reclaimed by the ContextCleaner when the frame falls
+    // out of reference (Dataset.unpersist cannot free checkpoint
+    // blocks — they are not CacheManager entries), so the x-only
+    // column set is transiently resident twice on the dispatch-on
+    // rank path
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().sortBy(_.getInt(0)) // bounded: one row per partition
     val n = counts.map(_.getLong(1)).sum
@@ -185,7 +190,10 @@ object Quantiles {
       .sortWithinPartitions(col("__k"), col("__x"), col("__tb"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
-    if (builtinMaxGroupRows > 0) pinned.unpersist() // parts carries it now
+    // the probe pin is dead weight from here; ContextCleaner reclaims
+    // it once unreferenced (Dataset.unpersist cannot free checkpoint
+    // blocks) — the (k, x) column set is transiently resident twice
+    // on the dispatch-on rank path
     // the rail must fire BEFORE anything group-sized reaches the
     // driver: a per-document key (the documented misuse) would OOM the
     // counts collect below long before a post-collect require could

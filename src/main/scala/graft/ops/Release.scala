@@ -81,7 +81,16 @@ object Release {
     */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
     import spark.implicits._
-    val gen = spark.read.parquet(s"$indexPath/manifest").head().getLong(0)
+    // max(manifest, max tombstone): a release that crashed after its
+    // tombstone append but before its manifest rewrite leaves
+    // tombstones one generation PAST the manifest — compacting at the
+    // manifest gen alone would land bands those tombstones strictly
+    // shadow. Taking the ceiling over both closes that window too.
+    val mgen = spark.read.parquet(s"$indexPath/manifest").head().getLong(0)
+    val tgenRow = spark.read.parquet(s"$indexPath/tombstones")
+      .agg(max(col("gen"))).head()
+    val gen = math.max(mgen,
+      if (tgenRow.isNullAt(0)) 0L else tgenRow.getLong(0))
     val live = readReferenceBands(spark, indexPath)
       .drop("gen").withColumn("gen", lit(gen))
       .localCheckpoint(true) // pin BEFORE overwriting the source files
@@ -89,6 +98,10 @@ object Release {
     spark.read.parquet(s"$indexPath/bands")
       .select(col("id")).limit(0).withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$indexPath/tombstones")
+    // keep the next release's generation past the compacted one even
+    // when the compaction gen came from orphaned tombstones
+    if (gen > mgen) Seq(gen).toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/manifest")
   }
 
   /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
@@ -120,6 +133,15 @@ object Release {
     * on the delta upstream if the increment itself may self-duplicate).
     * Output gains a `deduped` column (always false when off).
     *
+    * Crash/retry: a release that dies mid-write can be RE-RUN with the
+    * same arguments — the diff is deterministic, duplicate tombstones
+    * collapse under the per-id max(gen), and duplicate band appends
+    * (same generation, same content) inflate rows until the next
+    * compaction but never change liveness. The manifest write lands
+    * LAST, so a completed manifest implies a completed release, and
+    * [[compactIndex]] tolerates tombstones a crashed release left one
+    * generation past the manifest.
+    *
     * `gatePreservesText`: minhash signatures are the dominant CPU cost
     * of a release, and with the dedup probe on they are computed for
     * the whole delta; if the gate only FILTERS (never rewrites
@@ -134,14 +156,20 @@ object Release {
       gate: DataFrame => DataFrame, indexPath: String,
       shingle: Int = 3, numPerm: Int = 128, bands: Int = 32,
       dedupThreshold: Option[Double] = None,
-      gatePreservesText: Boolean = false): DataFrame = {
+      gatePreservesText: Boolean = false,
+      hashColsCoverText: Boolean = false): DataFrame = {
     val spark = newSnap.sparkSession
     import spark.implicits._
-    require(hashCols.contains(textCol),
+    // contract: the diff must SEE text edits, or stale bands stay live
+    // while the index claims to encode the corpus text. A caller
+    // diffing on a precomputed content-hash column derived from the
+    // text opts out explicitly with hashColsCoverText = true.
+    require(hashColsCoverText || hashCols.contains(textCol),
       s"incrementalRelease: hashCols must include textCol '$textCol' — " +
         "otherwise a text-only edit diffs as 'unchanged', its stale " +
         "bands stay live, and the index no longer encodes the corpus " +
-        "text (add it, or diff on a content-hash column derived from it)")
+        "text. Add it, or pass hashColsCoverText = true if a hash " +
+        "column derived from the text already covers it")
     // read the generation BEFORE the manifest rewrite below
     val gen = spark.read.parquet(s"$indexPath/manifest")
       .head().getLong(0) + 1L
@@ -162,11 +190,12 @@ object Release {
         TextAnalysis.tokens(col(textCol)), shingle).as("__sh"))
     val deltaBands0 = Dedup.lshBands(delta, idCol, textCol,
       shingle, numPerm, bands)
-    // pinned only when the append below will reuse it (otherwise the
-    // cands checkpoint already forces exactly one execution)
+    // one flag drives BOTH the pin here and the reuse at the append —
+    // they must stay in lock-step (pinning without reuse wastes memory,
+    // reusing without the pin re-runs the minhash)
+    val reuseProbeBands = dedupThreshold.isDefined && gatePreservesText
     val deltaBands =
-      if (dedupThreshold.isDefined && gatePreservesText)
-        deltaBands0.localCheckpoint(true)
+      if (reuseProbeBands) deltaBands0.localCheckpoint(true)
       else deltaBands0
     val dupIds: Option[DataFrame] = dedupThreshold.map { th =>
       val live = readReferenceBands(spark, indexPath)
@@ -210,7 +239,7 @@ object Release {
     // caller asserts the gate never rewrites text; otherwise recompute
     // on the gated survivors so indexed bands encode the indexed text
     val appendBands =
-      if (dedupThreshold.isDefined && gatePreservesText)
+      if (reuseProbeBands)
         deltaBands.join(passed.select(col(idCol).as("id")),
           Seq("id"), "left_semi")
       else Dedup.lshBands(passed, idCol, textCol, shingle, numPerm, bands)

@@ -128,6 +128,21 @@ class ReleaseSpec extends AnyFunSuite {
       assert(disp5(5L) == ("unchanged", false, false))
       val expected5 = v5.filter(col("doc_id").isin(1L, 2L, 5L, 9L))
       assert(liveBands(dir) == bandsOf(expected5))
+
+      // orphaned tombstone one generation PAST the manifest (a release
+      // that died before its manifest write): it shadows its doc
+      // immediately, and compaction must land PAST it — not at the
+      // stale manifest gen, where the orphan would shadow every
+      // compacted band — and advance the manifest
+      val g5 = spark.read.parquet(s"$dir/manifest").head.getLong(0)
+      Seq((9L, g5 + 1L)).toDF("id", "gen")
+        .write.mode("append").parquet(s"$dir/tombstones")
+      val expectedOrphan = v5.filter(col("doc_id").isin(1L, 2L, 5L))
+      assert(liveBands(dir) == bandsOf(expectedOrphan))
+      Release.compactIndex(spark, dir)
+      assert(liveBands(dir) == bandsOf(expectedOrphan)) // stable
+      assert(spark.read.parquet(s"$dir/manifest").head.getLong(0) == g5 + 1L)
+      assert(spark.read.parquet(s"$dir/tombstones").count() == 0)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
