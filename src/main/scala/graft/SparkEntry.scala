@@ -2177,6 +2177,22 @@ object SparkEntry {
         docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text", order = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // CCNET END TO END (Retrieval.knPerplexityBuckets): the published
+    // pipeline's full shape — reference-trained trigram KN model ('en'
+    // slice), whole corpus scored, head/middle/tail split at the
+    // corpus nll quartiles (exact percentile for oracle parity; the
+    // 100 TB default is the mergeable sketch). The oracle replays the
+    // q144 scoring CTEs and then DuckDB's own quantile_cont cutoffs +
+    // the same CASE — q83's bucket device on the real CCNet signal.
+    "q147_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.ops.Retrieval.knModel(
+        docs.filter(col("lang") === "en"), "text", order = 3)
+      graft.ops.Retrieval.knPerplexityBuckets(
+        docs, "doc_id", "text", m, exact = true)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4031,6 +4047,67 @@ object SparkEntry {
         |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
         |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
         |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q144's scoring CTEs verbatim, then DuckDB's own quantile_cont
+    // quartile cutoffs over the rounded nll and the same CASE bands —
+    // an independent engine recomputes the whole CCNet split
+    "q147_ccnet_buckets" ->
+      """WITH rtoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |rtri AS (
+        |  SELECT unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM rtoks WHERE len(toks) >= 3),
+        |tm AS (SELECT w1, w2, w3, count(*) AS cb FROM rtri GROUP BY w1, w2, w3),
+        |tctx AS (SELECT w1, w2, sum(cb) AS cw, count(*) AS nfollow FROM tm GROUP BY w1, w2),
+        |a2 AS (SELECT w2, w3, count(*) AS a FROM tm GROUP BY w2, w3),
+        |a2ctx AS (SELECT w2, sum(a) AS ad, count(*) AS anf FROM a2 GROUP BY w2),
+        |rbi AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM rtoks WHERE len(toks) >= 2),
+        |bt AS (SELECT DISTINCT w1, w2 FROM rbi),
+        |prec AS (SELECT w2 AS w3, count(*) AS nprec FROM bt GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bt),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM toks WHERE len(toks) >= 3),
+        |doctri AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri GROUP BY doc_id, w1, w2, w3),
+        |joined AS (
+        |  SELECT doc_id, c, cb, cw, nfollow, a, ad, anf, nprec, btypes,
+        |    CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |         ELSE 0.5 / btypes END AS p1
+        |  FROM doctri
+        |  LEFT JOIN tm USING (w1, w2, w3) LEFT JOIN tctx USING (w1, w2)
+        |  LEFT JOIN a2 USING (w2, w3) LEFT JOIN a2ctx USING (w2)
+        |  LEFT JOIN prec USING (w3) CROSS JOIN ty),
+        |p2s AS (
+        |  SELECT *, CASE WHEN ad IS NOT NULL THEN
+        |      greatest(coalesce(a, 0) - 0.75, 0.0) / ad + (0.75 * anf / ad) * p1
+        |    ELSE p1 END AS p2
+        |  FROM joined),
+        |p3s AS (
+        |  SELECT *, CASE WHEN cw IS NOT NULL THEN
+        |      greatest(coalesce(cb, 0) - 0.75, 0.0) / cw + (0.75 * nfollow / cw) * p2
+        |    ELSE p2 END AS p
+        |  FROM p2s),
+        |scored AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+        |    sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |    round(-sum(c * ln(p)) / sum(c), 6) AS nll
+        |  FROM p3s GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT quantile_cont(nll, 0.25) AS q25, quantile_cont(nll, 0.75) AS q75
+        |  FROM scored)
+        |SELECT doc_id, n_ngrams, n_unseen, nll,
+        |  CASE WHEN nll <= q25 THEN 'head'
+        |       WHEN nll > q75 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     // Release-composition arithmetic restated per id (the q142 device
     // extended with the dedup, gate, and index-membership rules):

@@ -552,9 +552,13 @@ object Retrieval {
     * approx_percentile sketch — constant memory; `exact = true` is for
     * oracle parity) broadcast back into a map-side bucket assignment.
     */
-  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-      exact: Boolean = false): DataFrame = {
-    val scored = unigramNll(docs, idCol, textCol).localCheckpoint(true)
+  /** Shared head/middle/tail assignment over any per-doc scored frame
+    * carrying an `nll` column: corpus quantile cutoffs (`exact = false`,
+    * the 100 TB default, uses the mergeable approx_percentile sketch —
+    * constant memory; `exact = true` is for oracle parity) broadcast
+    * back into a map-side bucket column.
+    */
+  private def nllBuckets(scored: DataFrame, exact: Boolean): DataFrame = {
     val pct: Double => org.apache.spark.sql.Column =
       if (exact) p => expr(s"percentile(nll, $p)")
       else p => expr(s"approx_percentile(nll, $p, 10000)").cast("double")
@@ -564,8 +568,32 @@ object Retrieval {
         when(col("nll") <= col("__q25"), "head")
           .when(col("nll") > col("__q75"), "tail")
           .otherwise("middle"))
-      .select(col("doc_id"), col("n_tokens"), col("nll"), col("bucket"))
   }
+
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      exact: Boolean = false): DataFrame =
+    nllBuckets(unigramNll(docs, idCol, textCol).localCheckpoint(true), exact)
+      .select(col("doc_id"), col("n_tokens"), col("nll"), col("bucket"))
+
+  /** THE published CCNet shape end to end: head/middle/tail split of a
+    * corpus by its perplexity against a REFERENCE-trained order-n KN
+    * model (Wenzek et al. 2020 train a 5-gram KenLM on Wikipedia,
+    * score the crawl, and keep by perplexity band — [[perplexityBuckets]]
+    * approximates the signal with a self-fit unigram model; this face
+    * composes the real one from [[knModel]]/[[loadKnModel]] +
+    * [[knNgramNllAgainstModel]] + the same quantile bucketing).
+    * Returns (doc_id, n_ngrams, n_unseen, nll, bucket) for docs with
+    * >= order tokens; one corpus scoring pass, one bounded cutoff
+    * aggregate, map-side assignment.
+    */
+  def knPerplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      m: KnModel, discount: Double = 0.75,
+      exact: Boolean = false): DataFrame =
+    nllBuckets(
+      knNgramNllAgainstModel(docs, idCol, textCol, m, discount)
+        .localCheckpoint(true), exact)
+      .select(col("doc_id"), col("n_ngrams"), col("n_unseen"),
+        col("nll"), col("bucket"))
 
   /** Per-document out-of-vocabulary rate against the corpus top-`vocabSize`
     * token vocabulary (count desc, token asc tie-break — deterministic at

@@ -361,6 +361,31 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.knModel(ref, "text", 3).top.count())
   }
 
+  test("knPerplexityBuckets: assignment is monotone in nll; composes the scoring face") {
+    val ref = Seq((100L, "a b c a b c a b"), (101L, "b c a b c")).toDF("doc_id", "text")
+    // strictly increasing unseen tail -> 8 DISTINCT nll levels, so the
+    // quartile cutoffs interpolate between distinct values and all
+    // three bands are populated (an all-tied quartile collapses tail
+    // into middle by the <=/> banding — correct, but not this test)
+    val docs = (1L to 8L).map(i =>
+      (i, "a b c a b " + (1 to i.toInt).map(j => s"z$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Retrieval.knModel(ref, "text", order = 3)
+    val out = Retrieval.knPerplexityBuckets(docs, "doc_id", "text", m,
+        exact = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    // monotone: every head nll <= every middle nll <= every tail nll
+    def band(b: String) = out.filter(_._3 == b).map(_._2)
+    assert(band("head").nonEmpty && band("tail").nonEmpty)
+    assert(band("head").max <= (band("middle") ++ band("tail")).min)
+    if (band("middle").nonEmpty)
+      assert(band("middle").max <= band("tail").min)
+    // compose parity: same rows as scoring + manual quartile banding
+    val scored = Retrieval.knNgramNllAgainstModel(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.map(t => t._1 -> t._2).toMap == scored)
+  }
+
   test("knNgramNll(2) bit-equals knBigramNll (one kernel, two faces)") {
     val d = Seq((1L, "a b a c a b"), (2L, "c a b")).toDF("doc_id", "text")
     val viaN = Retrieval.knNgramNll(d, "doc_id", "text", order = 2)
