@@ -260,6 +260,74 @@ object Cli {
         println(s"""{"shards":${rows.length},"records":$total,"out":"${req("out")}"}""")
       } finally spark.stop()
 
+    // incremental snapshot release (ops/Release):
+    //   release init    --docs <parquet> --index <dir>
+    //   release run     --old <parquet> --new <parquet> --index <dir>
+    //                   --out <dir> [--min-tokens N] [--dedup-threshold T]
+    //                   [--hash-cols a,b,c]
+    //   release compact --index <dir>
+    // `run` diffs old->new, gates added/changed docs by token count,
+    // dedups them against the accumulated index when a threshold is
+    // given (the CLI gate only filters, so the probe's bands are
+    // reused), updates the index, and writes the per-id disposition.
+    case "release" :: "init" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"release init: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        graft.ops.Release.initReferenceIndex(
+          spark.read.parquet(req("docs")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"), req("index"))
+        val n = graft.ops.Release.readReferenceBands(spark, req("index"))
+          .select("id").distinct().count()
+        println(s"""{"indexed_docs":$n,"index":"${req("index")}"}""")
+      } finally spark.stop()
+
+    case "release" :: "run" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"release run: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.col
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val hashCols = flags.get("hash-cols")
+          .map(_.split(",").toSeq).getOrElse(Seq(textCol))
+        val minTokens = flags.getOrElse("min-tokens", "1").toInt
+        val disp = graft.ops.Release.incrementalRelease(
+          spark.read.parquet(req("old")), spark.read.parquet(req("new")),
+          idCol, textCol, hashCols,
+          df => df.filter(
+            graft.ops.TextAnalysis.tokenCount(col(textCol)) >= minTokens),
+          req("index"),
+          dedupThreshold = flags.get("dedup-threshold").map(_.toDouble),
+          gatePreservesText = true) // the token-count gate only filters
+        val out = req("out")
+        disp.write.mode("overwrite").parquet(out)
+        // audit: one JSON line per (status, deduped, indexed) cell
+        spark.read.parquet(out)
+          .groupBy(col("status"), col("deduped"), col("indexed"))
+          .count().orderBy(col("status"), col("deduped")).collect()
+          .foreach { r =>
+            println(s"""{"status":"${r.getString(0)}","deduped":${r.getBoolean(1)},""" +
+              s""""indexed":${r.getBoolean(2)},"n":${r.getLong(3)}}""")
+          }
+      } finally spark.stop()
+
+    case "release" :: "compact" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"release compact: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        graft.ops.Release.compactIndex(spark, req("index"))
+        val n = spark.read.parquet(s"${req("index")}/bands").count()
+        println(s"""{"band_rows":$n,"index":"${req("index")}"}""")
+      } finally spark.stop()
+
     case "index" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"index: missing --$k"))
