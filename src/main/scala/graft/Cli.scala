@@ -265,11 +265,16 @@ object Cli {
     //   release run     --old <parquet> --new <parquet> --index <dir>
     //                   --out <dir> [--min-tokens N] [--dedup-threshold T]
     //                   [--hash-cols a,b,c]
+    //                   [--kn-model <dir> [--max-nll X]]
     //   release compact --index <dir>
-    // `run` diffs old->new, gates added/changed docs by token count,
-    // dedups them against the accumulated index when a threshold is
-    // given (the CLI gate only filters, so the probe's bands are
-    // reused), updates the index, and writes the per-id disposition.
+    // `run` diffs old->new, gates added/changed docs by token count —
+    // and, when --kn-model names a persisted Retrieval.saveKnModel
+    // directory, by reference-model perplexity too (nll <= --max-nll;
+    // the CCNet quality gate riding the train-once model, no reference
+    // pass per release) — dedups them against the accumulated index
+    // when a threshold is given (every CLI gate only filters, so the
+    // probe's bands are reused), updates the index, and writes the
+    // per-id disposition.
     case "release" :: "init" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"release init: missing --$k"))
@@ -297,14 +302,22 @@ object Cli {
         val hashCols = flags.get("hash-cols")
           .map(_.split(",").toSeq).getOrElse(Seq(textCol))
         val minTokens = flags.getOrElse("min-tokens", "1").toInt
+        val tokenGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.filter(
+            graft.ops.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+        val gate = flags.get("kn-model") match {
+          case Some(mp) =>
+            graft.ops.Release.knPerplexityGate(
+              graft.ops.Retrieval.loadKnModel(spark, mp),
+              flags.getOrElse("max-nll", "1e300").toDouble,
+              idCol, textCol, base = tokenGate)
+          case None => tokenGate
+        }
         val disp = graft.ops.Release.incrementalRelease(
           spark.read.parquet(req("old")), spark.read.parquet(req("new")),
-          idCol, textCol, hashCols,
-          df => df.filter(
-            graft.ops.TextAnalysis.tokenCount(col(textCol)) >= minTokens),
-          req("index"),
+          idCol, textCol, hashCols, gate, req("index"),
           dedupThreshold = flags.get("dedup-threshold").map(_.toDouble),
-          gatePreservesText = true) // the token-count gate only filters
+          gatePreservesText = true) // every CLI gate only filters
         val out = req("out")
         disp.write.mode("overwrite").parquet(out)
         // audit: one JSON line per (status, deduped, indexed) cell
@@ -315,6 +328,30 @@ object Cli {
             println(s"""{"status":"${r.getString(0)}","deduped":${r.getBoolean(1)},""" +
               s""""indexed":${r.getBoolean(2)},"n":${r.getLong(3)}}""")
           }
+      } finally spark.stop()
+
+    // train + persist a reference KN model (Retrieval.knModel ->
+    // saveKnModel): the train-once side of the score-many economics —
+    //   lm-train --docs <parquet> --out <dir> [--where "lang = 'en'"]
+    //            [--order N] [--prune C]
+    case "lm-train" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"lm-train: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs0 = spark.read.parquet(req("docs"))
+        val docs = flags.get("where") match {
+          case Some(p) => docs0.filter(org.apache.spark.sql.functions.expr(p))
+          case None => docs0
+        }
+        val m = graft.ops.Retrieval.knModel(docs,
+          flags.getOrElse("text-col", "text"),
+          order = flags.getOrElse("order", "3").toInt,
+          pruneMinTopCount = flags.getOrElse("prune", "1").toLong)
+        graft.ops.Retrieval.saveKnModel(m, req("out"))
+        println(s"""{"order":${m.order},"top_types":${m.top.count()},""" +
+          s""""btypes":${m.btypes},"out":"${req("out")}"}""")
       } finally spark.stop()
 
     case "release" :: "compact" :: rest =>

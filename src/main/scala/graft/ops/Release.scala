@@ -104,6 +104,30 @@ object Release {
       .write.mode("overwrite").parquet(s"$indexPath/manifest")
   }
 
+  /** A curation gate keeping docs whose interpolated-KN NLL against a
+    * reference model stays at or under `maxNll` — the CCNet quality
+    * gate (Wenzek et al. 2020) as a release-gate face: train the model
+    * once ([[Retrieval.knModel]] → [[Retrieval.saveKnModel]]), then
+    * every release scores its ~1% delta against the loaded frames and
+    * no release ever repays the reference pass. Composes with any base
+    * gate (`base` runs first; both only filter, so the result is safe
+    * for `gatePreservesText = true`).
+    *
+    * Scale shape: [[Retrieval.knNgramNllAgainstModel]]'s plan — one
+    * delta-sized n-gram shuffle, model frames AQE-joined — feeding a
+    * doc-id left-semi join back into the gated frame; the delta text
+    * is never carried through the scoring join.
+    */
+  def knPerplexityGate(m: Retrieval.KnModel, maxNll: Double,
+      idCol: String, textCol: String,
+      base: DataFrame => DataFrame = identity[DataFrame] _)
+      : DataFrame => DataFrame = { df =>
+    val keep = Retrieval.knNgramNllAgainstModel(df, idCol, textCol, m)
+      .filter(col("nll") <= maxNll)
+      .select(col("doc_id").as(idCol))
+    base(df).join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
     * index, and return the per-id disposition:
     * (id, status, indexed) where `status` is [[Curation.corpusDiff]]'s

@@ -147,4 +147,53 @@ class ReleaseSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("knPerplexityGate: release indexes only docs fluent under the reference model") {
+    val dir = java.nio.file.Files.createTempDirectory("relknidx").toString
+    try {
+      // reference corpus: the model sees these trigram patterns
+      val ref = Seq(
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ran to the dog",
+        "a dog ran on the mat").toDF("text")
+      val m = Retrieval.knModel(ref, "text", order = 3)
+      val inlier = "the cat sat on the rug"   // in-distribution
+      val outlier = "zyx qwv jkl pqr mno abc" // all-unseen gibberish
+      // threshold BETWEEN the two docs' measured scores — the gate's
+      // verdict is then exactly the model's fluency ordering, not a
+      // hand-tuned constant
+      val scored = Retrieval.knNgramNllAgainstModel(
+          Seq((1L, inlier), (2L, outlier)).toDF("doc_id", "text"),
+          "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(scored(1L) < scored(2L))
+      val maxNll = (scored(1L) + scored(2L)) / 2.0
+
+      val v1 = Seq(doc(10L, "the dog ran to the mat")).toDF("doc_id", "text")
+      Release.initReferenceIndex(v1, "doc_id", "text", dir)
+      // v2 adds: 11 fluent+long (passes both gates), 12 gibberish
+      // (fails the KN gate), 13 fluent but 3 tokens (fails the
+      // composed token gate) — both gates only filter
+      val v2 = v1.unionByName(Seq(
+        doc(11L, inlier),
+        doc(12L, outlier),
+        doc(13L, "the cat sat")).toDF("doc_id", "text"))
+      val knGate = Release.knPerplexityGate(m, maxNll, "doc_id", "text",
+        base = gate)
+      val disp = Release.incrementalRelease(v1, v2, "doc_id", "text",
+          Seq("text"), knGate, dir, gatePreservesText = true)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+        .toMap
+      assert(disp == Map(
+        10L -> ("unchanged", false),
+        11L -> ("added", true),
+        12L -> ("added", false),
+        13L -> ("added", false)))
+      val expected = v2.filter(col("doc_id").isin(10L, 11L))
+      assert(liveBands(dir) == bandsOf(expected))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
