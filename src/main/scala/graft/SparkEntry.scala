@@ -2193,6 +2193,25 @@ object SparkEntry {
       graft.ops.Retrieval.knPerplexityBuckets(
         docs, "doc_id", "text", m, exact = true)
         .orderBy(col("doc_id"))
+    }),
+
+    // MODIFIED Kneser-Ney reference scoring (Retrieval
+    // .knNgramNllModAgainst, order = 3): Chen & Goodman's three
+    // count-class discounts per order — the estimator KenLM ships, so
+    // with q146's order-5 face this completes the published
+    // CCNet/KenLM smoothing surface. Each level's D1/D2/D3+ triple
+    // estimates from ITS OWN count-of-counts (continuation counts
+    // estimate their own — C&G's prescription for the lower orders);
+    // the oracle recomputes the count-of-counts, the Y/D1/D2/D3+
+    // algebra (same clamp/fallback CASE as estimateDiscounts), the
+    // per-context class totals N1/N2/N3+, and the full recursion as
+    // chained CTEs — q144's device with the discount scheme swapped.
+    "q148_kn_mod_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Retrieval.knNgramNllModAgainst(
+        docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", order = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4220,6 +4239,121 @@ object SparkEntry {
         |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
         |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
         |FROM p5s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q144's CTEs with the single 0.75 replaced by the Chen-Goodman
+    // three-discount estimator, replayed end to end: count-of-counts
+    // n1..n4 per level (top-order raw counts AND the level-2
+    // continuation counts each estimate their own triple), the
+    // Y/D1/D2/D3+ algebra with the operator's exact clamp/fallback
+    // CASEs, per-context class totals N1/N2/N3+, the count-class
+    // discount selection, and the gamma backoff weight
+    // (D1·N1+D2·N2+D3+·N3+)/denom — every formula written in the same
+    // association order as estimateDiscounts/knProbabilityMod so the
+    // doubles agree bit-for-bit before the round(6).
+    "q148_kn_mod_ref" ->
+      """WITH rtoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |rtri AS (
+        |  SELECT unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM rtoks WHERE len(toks) >= 3),
+        |tm AS (SELECT w1, w2, w3, count(*) AS cb FROM rtri GROUP BY w1, w2, w3),
+        |tctx AS (
+        |  SELECT w1, w2, sum(cb) AS cw, count(*) AS nfollow,
+        |    count(*) FILTER (WHERE cb = 1) AS nf1,
+        |    count(*) FILTER (WHERE cb = 2) AS nf2,
+        |    count(*) FILTER (WHERE cb >= 3) AS nf3
+        |  FROM tm GROUP BY w1, w2),
+        |tnc AS (
+        |  SELECT count(*) FILTER (WHERE cb = 1) AS n1,
+        |    count(*) FILTER (WHERE cb = 2) AS n2,
+        |    count(*) FILTER (WHERE cb = 3) AS n3,
+        |    count(*) FILTER (WHERE cb = 4) AS n4 FROM tm),
+        |td AS (
+        |  SELECT CASE WHEN n1 > 0 AND 1.0 - 2.0 * y * n2::DOUBLE / n1::DOUBLE > 0.0
+        |      THEN least(1.0 - 2.0 * y * n2::DOUBLE / n1::DOUBLE, 1.0)
+        |      ELSE 0.75 END AS td1,
+        |    CASE WHEN n2 > 0 AND 2.0 - 3.0 * y * n3::DOUBLE / n2::DOUBLE > 0.0
+        |      THEN least(2.0 - 3.0 * y * n3::DOUBLE / n2::DOUBLE, 2.0)
+        |      ELSE 0.75 END AS td2,
+        |    CASE WHEN n3 > 0 AND 3.0 - 4.0 * y * n4::DOUBLE / n3::DOUBLE > 0.0
+        |      THEN least(3.0 - 4.0 * y * n4::DOUBLE / n3::DOUBLE, 3.0)
+        |      ELSE 0.75 END AS td3
+        |  FROM (SELECT *, CASE WHEN n1 + 2 * n2 > 0
+        |    THEN n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE)
+        |    ELSE 0.0 END AS y FROM tnc)),
+        |a2 AS (SELECT w2, w3, count(*) AS a FROM tm GROUP BY w2, w3),
+        |a2ctx AS (
+        |  SELECT w2, sum(a) AS ad, count(*) AS anf,
+        |    count(*) FILTER (WHERE a = 1) AS an1,
+        |    count(*) FILTER (WHERE a = 2) AS an2,
+        |    count(*) FILTER (WHERE a >= 3) AS an3
+        |  FROM a2 GROUP BY w2),
+        |anc AS (
+        |  SELECT count(*) FILTER (WHERE a = 1) AS n1,
+        |    count(*) FILTER (WHERE a = 2) AS n2,
+        |    count(*) FILTER (WHERE a = 3) AS n3,
+        |    count(*) FILTER (WHERE a = 4) AS n4 FROM a2),
+        |cd AS (
+        |  SELECT CASE WHEN n1 > 0 AND 1.0 - 2.0 * y * n2::DOUBLE / n1::DOUBLE > 0.0
+        |      THEN least(1.0 - 2.0 * y * n2::DOUBLE / n1::DOUBLE, 1.0)
+        |      ELSE 0.75 END AS cd1,
+        |    CASE WHEN n2 > 0 AND 2.0 - 3.0 * y * n3::DOUBLE / n2::DOUBLE > 0.0
+        |      THEN least(2.0 - 3.0 * y * n3::DOUBLE / n2::DOUBLE, 2.0)
+        |      ELSE 0.75 END AS cd2,
+        |    CASE WHEN n3 > 0 AND 3.0 - 4.0 * y * n4::DOUBLE / n3::DOUBLE > 0.0
+        |      THEN least(3.0 - 4.0 * y * n4::DOUBLE / n3::DOUBLE, 3.0)
+        |      ELSE 0.75 END AS cd3
+        |  FROM (SELECT *, CASE WHEN n1 + 2 * n2 > 0
+        |    THEN n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE)
+        |    ELSE 0.0 END AS y FROM anc)),
+        |rbi AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM rtoks WHERE len(toks) >= 2),
+        |bt AS (SELECT DISTINCT w1, w2 FROM rbi),
+        |prec AS (SELECT w2 AS w3, count(*) AS nprec FROM bt GROUP BY w2),
+        |ty AS (SELECT count(*) AS btypes FROM bt),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |    unnest(toks[2:len(toks)-1]) AS w2, unnest(toks[3:len(toks)]) AS w3
+        |  FROM toks WHERE len(toks) >= 3),
+        |doctri AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tri GROUP BY doc_id, w1, w2, w3),
+        |joined AS (
+        |  SELECT doc_id, c, cb, cw, nfollow, nf1, nf2, nf3,
+        |    a, ad, anf, an1, an2, an3, nprec, btypes,
+        |    td1, td2, td3, cd1, cd2, cd3,
+        |    CASE WHEN nprec IS NOT NULL THEN nprec::DOUBLE / btypes
+        |         ELSE 0.5 / btypes END AS p1
+        |  FROM doctri
+        |  LEFT JOIN tm USING (w1, w2, w3) LEFT JOIN tctx USING (w1, w2)
+        |  LEFT JOIN a2 USING (w2, w3) LEFT JOIN a2ctx USING (w2)
+        |  LEFT JOIN prec USING (w3) CROSS JOIN ty CROSS JOIN td CROSS JOIN cd),
+        |p2s AS (
+        |  SELECT *, CASE WHEN ad IS NOT NULL THEN
+        |      greatest(coalesce(a, 0) - CASE
+        |        WHEN coalesce(a, 0) >= 3 THEN cd3
+        |        WHEN coalesce(a, 0) = 2 THEN cd2
+        |        WHEN coalesce(a, 0) = 1 THEN cd1 ELSE 0.0 END, 0.0) / ad +
+        |      ((cd1 * an1 + cd2 * an2 + cd3 * an3) / ad) * p1
+        |    ELSE p1 END AS p2
+        |  FROM joined),
+        |p3s AS (
+        |  SELECT *, CASE WHEN cw IS NOT NULL THEN
+        |      greatest(coalesce(cb, 0) - CASE
+        |        WHEN coalesce(cb, 0) >= 3 THEN td3
+        |        WHEN coalesce(cb, 0) = 2 THEN td2
+        |        WHEN coalesce(cb, 0) = 1 THEN td1 ELSE 0.0 END, 0.0) / cw +
+        |      ((td1 * nf1 + td2 * nf2 + td3 * nf3) / cw) * p2
+        |    ELSE p2 END AS p
+        |  FROM p2s)
+        |SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+        |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
+        |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

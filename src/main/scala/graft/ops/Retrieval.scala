@@ -289,9 +289,15 @@ object Retrieval {
     * unk mass 1/(2B) would otherwise divide by zero). Order 2
     * reproduces the round-11 bigram model exactly (empty `cont`).
     */
+  /** Per-order modified-KN discount triple (Chen & Goodman 1999 §3,
+    * the KenLM estimator): D1/D2/D3+ applied to events of count 1 / 2 /
+    * >= 3, estimated from that order's count-of-counts. */
+  final case class KnDiscount(d1: Double, d2: Double, d3: Double)
+
   final case class KnModel(order: Int, top: DataFrame,
       topCtx: DataFrame, cont: List[(Int, DataFrame, DataFrame)],
-      precede: DataFrame, btypes: Long)
+      precede: DataFrame, btypes: Long,
+      mods: Map[Int, KnDiscount] = Map.empty)
 
   /** Build a [[KnModel]] from a pinned padded-type frame
     * (w1..w_order nullable, `__c` = corpus occurrences of the padded
@@ -299,8 +305,53 @@ object Retrieval {
     * model from the SAME pinned frame it scores with (one corpus
     * shuffle total).
     */
+  /** Count class markers shared by the context aggregations: how many
+    * continuations of a context occur exactly once / twice / three-plus
+    * times — the N1/N2/N3+ the modified-KN backoff weight needs
+    * (single-discount scoring ignores them; they ride the same shuffle
+    * for free). */
+  private def classCounts(cnt: Column, p: String): Seq[Column] = Seq(
+    sum(when(cnt === 1L, 1L).otherwise(0L)).as(s"${p}1"),
+    sum(when(cnt === 2L, 1L).otherwise(0L)).as(s"${p}2"),
+    sum(when(cnt >= 3L, 1L).otherwise(0L)).as(s"${p}3"))
+
+  /** Chen-Goodman modified-KN discount triple from one order's
+    * count-of-counts (n_k = types occurring exactly k times): Y =
+    * n1/(n1+2n2), D1 = 1-2Y n2/n1, D2 = 2-3Y n3/n2, D3+ = 3-4Y n4/n3 —
+    * the KenLM estimator. A degenerate estimate falls back to the
+    * caller's fixed discount: an nk of 0 makes a formula undefined,
+    * and a NON-POSITIVE estimate (skewed count-of-counts) would zero a
+    * class's discount — fatal, because a context whose continuations
+    * all sit in that class then carries zero backoff weight and an
+    * unseen event there gets p = 0 (the SRILM out-of-range warning,
+    * made a hard fallback). Estimates cap at the class value so the
+    * discounted numerator max(c-D,0) never goes negative; with every
+    * discount > 0 the backoff weight is > 0 for every seen context and
+    * p > 0 everywhere. One 4-cell aggregate over a model-sized type
+    * frame — a bounded driver scalar, the btypes device. */
+  private def estimateDiscounts(counts: DataFrame, cntCol: String,
+      fallback: Double): KnDiscount = {
+    val r = counts.agg(
+      sum(when(col(cntCol) === 1L, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 2L, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 3L, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 4L, 1L).otherwise(0L))).head()
+    def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (n1, n2, n3, n4) = (g(0), g(1), g(2), g(3))
+    def pick(nk: Long, raw: => Double, hi: Double) =
+      if (nk > 0L && raw > 0.0) math.min(raw, hi) else fallback
+    val y =
+      if (n1 + 2L * n2 > 0L) n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      else 0.0
+    KnDiscount(
+      pick(n1, 1.0 - 2.0 * y * n2.toDouble / n1.toDouble, 1.0),
+      pick(n2, 2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 2.0),
+      pick(n3, 3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 3.0))
+  }
+
   private[graft] def knModelFromTypes(types: DataFrame, order: Int,
-      pruneMinTopCount: Long = 1L): KnModel = {
+      pruneMinTopCount: Long = 1L,
+      fallbackDiscount: Double = 0.75): KnModel = {
     require(pruneMinTopCount >= 1, "pruneMinTopCount must be >= 1")
     val topFull = types.filter(col("w1").isNotNull)
       .groupBy((1 to order).map(i => col(s"w$i")): _*)
@@ -313,9 +364,14 @@ object Retrieval {
     // contexts, NLL of pruned events rises, frequent events are
     // bit-identical to the unpruned model. Top order only — that is
     // where n-gram type counts stop being Heaps-bounded at order 4+.
+    // Modified-KN discounts estimate from the unpruned counts too
+    // (KenLM's order: discounts before pruning).
+    val topCtxAggs = sum(col("cb")).as("cw") +:
+      count(lit(1)).as("nfollow") +: classCounts(col("cb"), "nf")
     val topCtx = topFull.groupBy((1 to order - 1).map(i => col(s"w$i")): _*)
-      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfollow"))
+      .agg(topCtxAggs.head, topCtxAggs.tail: _*)
       .localCheckpoint(true)
+    var mods = Map(order -> estimateDiscounts(topFull, "cb", fallbackDiscount))
     val top =
       if (pruneMinTopCount > 1L) topFull.filter(col("cb") >= pruneMinTopCount)
       else topFull
@@ -330,10 +386,13 @@ object Retrieval {
         .groupBy((from + 1 to order).map(i => col(s"w$i")): _*)
         .agg(count(lit(1)).as(s"a$k"))
         .localCheckpoint(true)
+      val ctxAggs = sum(col(s"a$k")).as(s"ad$k") +:
+        count(lit(1)).as(s"anf$k") +: classCounts(col(s"a$k"), s"an${k}_")
       val ctx = grams
         .groupBy((from + 1 to order - 1).map(i => col(s"w$i")): _*)
-        .agg(sum(col(s"a$k")).as(s"ad$k"), count(lit(1)).as(s"anf$k"))
+        .agg(ctxAggs.head, ctxAggs.tail: _*)
         .localCheckpoint(true)
+      mods += k -> estimateDiscounts(grams, s"a$k", fallbackDiscount)
       (k, grams, ctx)
     }.toList
     val biRaw = types.filter(col(s"w${order - 1}").isNotNull)
@@ -346,7 +405,7 @@ object Retrieval {
     val precede = biTypes.groupBy(col(s"w$order"))
       .agg(count(lit(1)).as("nprec"))
       .localCheckpoint(true)
-    KnModel(order, top, topCtx, cont, precede, bt)
+    KnModel(order, top, topCtx, cont, precede, bt, mods)
   }
 
   /** `pruneMinTopCount`: drop top-order grams occurring fewer times
@@ -384,6 +443,12 @@ object Retrieval {
       cx.write.mode("overwrite").parquet(s"$path/contctx$k")
     }
     m.precede.write.mode("overwrite").parquet(s"$path/precede")
+    // per-order modified-KN discount triples (estimated at build from
+    // the UNPRUNED counts — they cannot be recomputed from a pruned
+    // persisted model, so they persist alongside the frames)
+    m.mods.toSeq.map { case (k, d) => (k, d.d1, d.d2, d.d3) }
+      .toDF("k", "d1", "d2", "d3")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/discounts")
     Seq((m.order, m.btypes)).toDF("order", "btypes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
@@ -395,9 +460,21 @@ object Retrieval {
     val cont = ((order - 1) to 2 by -1).map(k =>
       (k, spark.read.parquet(s"$path/cont$k"),
         spark.read.parquet(s"$path/contctx$k"))).toList
+    // models persisted before the modified-KN face have no discounts
+    // dir; they load fine and the single-discount faces work unchanged
+    // (the modified faces reject them with a clear message)
+    val mods =
+      if (new org.apache.hadoop.fs.Path(s"$path/discounts").getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/discounts")))
+        spark.read.parquet(s"$path/discounts").collect()
+          .map(r => r.getInt(0) ->
+            KnDiscount(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .toMap
+      else Map.empty[Int, KnDiscount]
     KnModel(order, spark.read.parquet(s"$path/top"),
       spark.read.parquet(s"$path/topctx"), cont,
-      spark.read.parquet(s"$path/precede"), btypes)
+      spark.read.parquet(s"$path/precede"), btypes, mods)
   }
 
   /** Interpolated-KN probability over the LEFT-joined model columns —
@@ -429,6 +506,51 @@ object Retrieval {
       .otherwise(mid)
   }
 
+  /** MODIFIED interpolated-KN probability (Chen & Goodman 1999 §3 —
+    * the estimator KenLM actually ships): the same recursion as
+    * [[knProbability]] with the single D replaced per level by the
+    * count-class discount D(c) ∈ {0, D1, D2, D3+} and the backoff
+    * weight by γ(h) = (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·)) / c(h·),
+    * each level's triple estimated from ITS OWN count-of-counts
+    * ([[estimateDiscounts]] — continuation counts estimate their own
+    * discounts, exactly as C&G prescribe for the lower orders). The
+    * continuation-unigram bottom and the 1/(2B) unk mass are shared
+    * with the single-discount face unchanged (C&G also discount the
+    * unigram level; keeping the bottom shared means the two estimators
+    * differ ONLY in the discount scheme — one knob, cleanly
+    * oracle-replayable).
+    */
+  private[graft] def knProbabilityMod(order: Int,
+      mods: Map[Int, KnDiscount], btypes: Double): Column = {
+    require((2 to order).forall(mods.contains),
+      "model carries no modified-KN discounts for every order " +
+        "(persisted before the modified face? re-train or re-save)")
+    def disc(cnt: Column, d: KnDiscount): Column =
+      when(cnt >= 3L, lit(d.d3)).when(cnt === 2L, lit(d.d2))
+        .when(cnt === 1L, lit(d.d1)).otherwise(lit(0.0))
+    def gamma(d: KnDiscount, n1: Column, n2: Column, n3: Column,
+        denom: Column): Column =
+      (lit(d.d1) * n1 + lit(d.d2) * n2 + lit(d.d3) * n3) / denom
+    val p1 = when(col("nprec").isNotNull,
+        col("nprec").cast("double") / lit(btypes))
+      .otherwise(lit(0.5 / btypes))
+    val mid = (2 until order).foldLeft(p1) { (prev, k) =>
+      val d = mods(k)
+      val a = coalesce(col(s"a$k"), lit(0L))
+      when(col(s"ad$k").isNotNull,
+        greatest(a - disc(a, d), lit(0.0)) / col(s"ad$k") +
+          gamma(d, col(s"an${k}_1"), col(s"an${k}_2"), col(s"an${k}_3"),
+            col(s"ad$k")) * prev)
+        .otherwise(prev)
+    }
+    val dTop = mods(order)
+    val cb = coalesce(col("cb"), lit(0L))
+    when(col("cw").isNotNull,
+      greatest(cb - disc(cb, dTop), lit(0.0)) / col("cw") +
+        gamma(dTop, col("nf1"), col("nf2"), col("nf3"), col("cw")) * mid)
+      .otherwise(mid)
+  }
+
   /** LEFT-join a full-history gram frame (w1..wn + any carry columns)
     * against every [[KnModel]] level and attach the `__p` probability
     * column — the single scoring kernel behind the batch and streaming
@@ -437,7 +559,7 @@ object Retrieval {
     * vocabularies grow with the reference corpus).
     */
   private[graft] def knScoreJoin(grams: DataFrame, m: KnModel,
-      discount: Double): DataFrame = {
+      discount: Double, modified: Boolean = false): DataFrame = {
     val n = m.order
     val top = grams
       .join(m.top, (1 to n).map(i => s"w$i"), "left")
@@ -448,7 +570,9 @@ object Retrieval {
         .join(cx, (from + 1 to n - 1).map(i => s"w$i"), "left")
     }
     withCont.join(m.precede, Seq(s"w$n"), "left")
-      .withColumn("__p", knProbability(n, discount, m.btypes.toDouble))
+      .withColumn("__p",
+        if (modified) knProbabilityMod(n, m.mods, m.btypes.toDouble)
+        else knProbability(n, discount, m.btypes.toDouble))
   }
 
   /** Per-document order-n interpolated Kneser-Ney NLL, self-scored
@@ -466,7 +590,21 @@ object Retrieval {
     * gram is seen, so p is never 0 by construction.
     */
   def knNgramNll(docs: DataFrame, idCol: String, textCol: String,
-      order: Int = 3, discount: Double = 0.75): DataFrame = {
+      order: Int = 3, discount: Double = 0.75): DataFrame =
+    knNgramNllSelf(docs, idCol, textCol, order, discount, modified = false)
+
+  /** [[knNgramNll]] under MODIFIED Kneser-Ney discounting (Chen &
+    * Goodman's three count-class discounts per order, estimated from
+    * each order's own count-of-counts — see [[knProbabilityMod]]).
+    * Same plan shape; the class-count columns already ride the model's
+    * context aggregations. */
+  def knNgramNllMod(docs: DataFrame, idCol: String, textCol: String,
+      order: Int = 3): DataFrame =
+    knNgramNllSelf(docs, idCol, textCol, order, 0.75, modified = true)
+
+  private def knNgramNllSelf(docs: DataFrame, idCol: String,
+      textCol: String, order: Int, discount: Double,
+      modified: Boolean): DataFrame = {
     require(order >= 2 && order <= 6,
       s"KN order must be in [2,6], got $order")
     require(discount > 0.0 && discount < 1.0,
@@ -482,7 +620,7 @@ object Retrieval {
       .agg(sum(col("c")).as("__c"))
       .localCheckpoint(true)
     val m = knModelFromTypes(types, order)
-    knScoreJoin(docPad.filter(col("w1").isNotNull), m, discount)
+    knScoreJoin(docPad.filter(col("w1").isNotNull), m, discount, modified)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_ngrams"),
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
@@ -514,7 +652,31 @@ object Retrieval {
   /** Score against an already-built [[KnModel]] (the train-once /
     * score-many economics — see [[saveKnModel]]/[[loadKnModel]]). */
   def knNgramNllAgainstModel(docs: DataFrame, idCol: String,
-      textCol: String, m: KnModel, discount: Double = 0.75): DataFrame = {
+      textCol: String, m: KnModel, discount: Double = 0.75): DataFrame =
+    knNgramNllAgainstModelImpl(docs, idCol, textCol, m, discount,
+      modified = false)
+
+  /** [[knNgramNllAgainstModel]] under MODIFIED Kneser-Ney discounting —
+    * the estimator KenLM ships, so this is the closest face to the
+    * published CCNet deployment. The model must carry its build-time
+    * discount triples ([[KnModel.mods]] — any model built or persisted
+    * by this version does). */
+  def knNgramNllModAgainstModel(docs: DataFrame, idCol: String,
+      textCol: String, m: KnModel): DataFrame =
+    knNgramNllAgainstModelImpl(docs, idCol, textCol, m, 0.75,
+      modified = true)
+
+  /** [[knNgramNllAgainst]]'s modified-discount sibling: train on `ref`,
+    * score `docs`, three count-class discounts per order. */
+  def knNgramNllModAgainst(docs: DataFrame, idCol: String,
+      textCol: String, ref: DataFrame, refTextCol: String,
+      order: Int = 3): DataFrame =
+    knNgramNllModAgainstModel(docs, idCol, textCol,
+      knModel(ref, refTextCol, order))
+
+  private def knNgramNllAgainstModelImpl(docs: DataFrame, idCol: String,
+      textCol: String, m: KnModel, discount: Double,
+      modified: Boolean): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     val docGrams = ngramPairs(
@@ -522,7 +684,7 @@ object Retrieval {
         Seq("doc_id"), textCol, m.order)
       .groupBy(col("doc_id") +: (1 to m.order).map(i => col(s"w$i")): _*)
       .agg(count(lit(1)).as("c"))
-    knScoreJoin(docGrams, m, discount)
+    knScoreJoin(docGrams, m, discount, modified)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_ngrams"),
         sum(when(col("cb").isNull, col("c")).otherwise(0L))

@@ -82,9 +82,14 @@ object StreamOps {
     * continuous ingest; parquet-backed frames need no re-pin and the
     * stream-static joins read them as any static side).
     */
+  /** `modified = true` scores with the Chen-Goodman count-class
+    * discounts ([[graft.ops.Retrieval.knNgramNllModAgainstModel]]'s
+    * streaming twin — same shared kernel, so batch and streaming
+    * modified scoring cannot drift either). */
   def streamingKnScoreWith(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, m: graft.ops.Retrieval.KnModel,
-      discount: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
+      discount: Double = 0.75, watermark: String = "10 minutes",
+      modified: Boolean = false): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     val grams = graft.ops.Retrieval.ngramPairs(
@@ -92,7 +97,7 @@ object StreamOps {
         .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
           col(textCol)),
       Seq("doc_id", "__ts"), textCol, m.order)
-    graft.ops.Retrieval.knScoreJoin(grams, m, discount)
+    graft.ops.Retrieval.knScoreJoin(grams, m, discount, modified)
       .groupBy(col("doc_id"), col("__ts"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),

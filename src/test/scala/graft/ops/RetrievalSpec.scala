@@ -333,6 +333,168 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // independent naive MODIFIED-KN model (Chen-Goodman three-discount
+  // estimator): same tables as naiveKn plus per-level count-of-count
+  // discounts and per-context count-class totals — plain collections,
+  // nothing shared with the operator's frames
+  private def naiveModDiscounts(counts: Iterable[Double],
+      fallback: Double = 0.75): (Double, Double, Double) = {
+    val n1 = counts.count(_ == 1.0).toDouble
+    val n2 = counts.count(_ == 2.0).toDouble
+    val n3 = counts.count(_ == 3.0).toDouble
+    val n4 = counts.count(_ == 4.0).toDouble
+    // non-positive estimates fall back too (a zero class discount
+    // would zero some contexts' backoff weight -> p = 0)
+    def pick(nk: Double, raw: => Double, hi: Double) =
+      if (nk > 0.0 && raw > 0.0) math.min(raw, hi) else fallback
+    val y = if (n1 + 2.0 * n2 > 0.0) n1 / (n1 + 2.0 * n2) else 0.0
+    (pick(n1, 1.0 - 2.0 * y * n2 / n1, 1.0),
+      pick(n2, 2.0 - 3.0 * y * n3 / n2, 2.0),
+      pick(n3, 3.0 - 4.0 * y * n4 / n3, 3.0))
+  }
+  private def naiveKnMod(refTexts: Seq[String],
+      order: Int): List[String] => Double = {
+    val corpus = refTexts.map(knToks)
+    def grams(n: Int) = corpus.flatMap(t =>
+      if (t.length >= n) t.sliding(n).map(_.toList).toSeq else Nil)
+    val topC = grams(order).groupBy(identity)
+      .map { case (g, l) => g -> l.size.toDouble }
+    val topCw = grams(order).groupBy(_.init)
+      .map { case (h, l) => h -> l.size.toDouble }
+    def classes(m: Map[List[String], Double]) =
+      m.toSeq.groupBy(_._1.init).map { case (h, l) =>
+        h -> (l.count(_._2 == 1.0).toDouble, l.count(_._2 == 2.0).toDouble,
+          l.count(_._2 >= 3.0).toDouble) }
+    val topCls = classes(topC)
+    val topD = naiveModDiscounts(topC.values)
+    val contA = (2 until order).map { k =>
+      k -> grams(k + 1).distinct.groupBy(_.drop(1))
+        .map { case (g, l) => g -> l.size.toDouble }
+    }.toMap
+    val contAd = contA.map { case (k, m) =>
+      k -> m.toSeq.groupBy(_._1.init)
+        .map { case (h, l) => h -> l.map(_._2).sum } }
+    val contCls = contA.map { case (k, m) => k -> classes(m) }
+    val contD = contA.map { case (k, m) => k -> naiveModDiscounts(m.values) }
+    val biTypes = grams(2).distinct
+    val B = biTypes.size.toDouble
+    val nprec = biTypes.groupBy(_.last)
+      .map { case (w, l) => w -> l.size.toDouble }
+    def disc(c: Double, d: (Double, Double, Double)) =
+      if (c >= 3.0) d._3 else if (c == 2.0) d._2
+      else if (c == 1.0) d._1 else 0.0
+    (gram: List[String]) => {
+      require(gram.length == order)
+      var p = nprec.get(gram.last).map(_ / B).getOrElse(0.5 / B)
+      (2 until order).foreach { k =>
+        val g = gram.takeRight(k); val h = g.init
+        contAd(k).get(h).foreach { ad =>
+          val a = contA(k).getOrElse(g, 0.0)
+          val d = contD(k); val (c1, c2, c3) = contCls(k)(h)
+          p = math.max(a - disc(a, d), 0.0) / ad +
+            ((d._1 * c1 + d._2 * c2 + d._3 * c3) / ad) * p
+        }
+      }
+      topCw.get(gram.init).foreach { cw =>
+        val c = topC.getOrElse(gram, 0.0)
+        val (c1, c2, c3) = topCls(gram.init)
+        p = math.max(c - disc(c, topD), 0.0) / cw +
+          ((topD._1 * c1 + topD._2 * c2 + topD._3 * c3) / cw) * p
+      }
+      p
+    }
+  }
+
+  test("modified KN (3): every backoff level, vs the naive three-discount model") {
+    // corpus with counts spread across classes 1/2/3+ at both levels
+    // so all three discounts actually differ and apply
+    val refTexts = Seq(
+      "a b c a b c a b c", // (a,b,c) count 3 -> D3+ class
+      "b c a b c a",       // (b,c,a) count 2+
+      "a b c d e",         // singletons -> D1 class
+      "c a b d a b", "d e a b c d")
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val docTexts = Seq(
+      "a b c",   // count-3+ trigram
+      "b c a",   // count-2 trigram
+      "a b d",   // count-1 trigram
+      "a b b",   // unseen trigram, seen context -> pure backoff weight
+      "z b c",   // unseen context -> order-2 continuation level
+      "z z c",   // both contexts unseen -> continuation unigram
+      "a b z")   // unk word -> 1/(2B) through every level
+    val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val p = naiveKnMod(refTexts, 3)
+    val got = Retrieval.knNgramNllModAgainst(docs, "doc_id", "text",
+        ref, "text", order = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    docTexts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naiveNll(p, 3, t), s"doc $i ($t)")
+    }
+    // and the discounts genuinely differ from the fixed 0.75 — the
+    // modified face is not silently scoring single-discount
+    val single = Retrieval.knNgramNllAgainst(docs, "doc_id", "text",
+        ref, "text", order = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(docTexts.indices.exists(i => got(i.toLong)._2 != single(i.toLong)))
+  }
+
+  test("modified KN: self-scored face and orders 2/4 vs the naive model") {
+    val texts = Seq("a b c a b c a b", "b c a b c a", "a b c d",
+      "c a b a c a b", "d a b c d a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(2, 4).foreach { order =>
+      val p = naiveKnMod(texts, order)
+      val got = Retrieval.knNgramNllMod(docs, "doc_id", "text", order)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      texts.zipWithIndex
+        .filter(_._1.trim.split("\\s+").length >= order)
+        .foreach { case (t, i) =>
+          assert(got(i.toLong) == naiveNll(p, order, t),
+            s"order $order doc $i ($t)")
+        }
+    }
+  }
+
+  test("modified KN: save -> load preserves discounts; scores bit-equal; degenerate counts fall back") {
+    val ref = Seq((0L, "a b c a b c a b"), (1L, "b c a b"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "z b c"), (3L, "a b q"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("knmod").toString
+    try {
+      val m = Retrieval.knModel(ref, "text", order = 3)
+      assert(m.mods.keySet == Set(2, 3))
+      Retrieval.saveKnModel(m, dir)
+      val loaded = Retrieval.loadKnModel(spark, dir)
+      assert(loaded.mods == m.mods)
+      def score(mm: Retrieval.KnModel) =
+        Retrieval.knNgramNllModAgainstModel(docs, "doc_id", "text", mm)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      assert(score(loaded) == score(m))
+      // degenerate corpus: every trigram count is 1 -> n2=n3=0, so D2/D3
+      // fall back to 0.75 while D1 estimates (clamped into [0,1]); the
+      // model still scores finitely everywhere
+      val degRef = Seq((0L, "p q r s t u")).toDF("doc_id", "text")
+      val dm = Retrieval.knModel(degRef, "text", order = 3)
+      assert(dm.mods(3).d2 == 0.75 && dm.mods(3).d3 == 0.75)
+      assert(dm.mods(3).d1 >= 0.0 && dm.mods(3).d1 <= 1.0)
+      val deg = Retrieval.knNgramNllModAgainstModel(
+          Seq((1L, "p q r"), (2L, "x y z")).toDF("doc_id", "text"),
+          "doc_id", "text", dm)
+        .collect().map(r => r.getDouble(3))
+      assert(deg.forall(java.lang.Double.isFinite))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("count pruning: frequent grams bit-identical, pruned grams back off as unseen") {
     // "a b c" occurs 3x (survives pruneMinTopCount=2); "d e f" once
     // (pruned). Docs made only of frequent grams must score EXACTLY as

@@ -533,4 +533,50 @@ class StreamOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdir))
     }
   }
+
+  test("streaming MODIFIED-KN scoring matches the batch modified face (persisted model)") {
+    implicit val ctx = spark.sqlContext
+    // class-spread counts so the three discounts differ and apply
+    val ref = Seq((100L, "a b c a b c a b c"), (101L, "b c a b c a"),
+      (102L, "a b d e f")).toDF("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("knmodstream").toString
+    graft.ops.Retrieval.saveKnModel(
+      graft.ops.Retrieval.knModel(ref, "text", order = 3), mdir)
+    val loaded = graft.ops.Retrieval.loadKnModel(spark, mdir)
+    val input = MemoryStream[DocRow]
+    val q = StreamOps.streamingKnScoreWith(input.toDF(), "doc_id", "text", "ts",
+      loaded, modified = true)
+      .writeStream.format("memory").queryName("knmod_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DocRow(1, ts(0), "a b c"),   // count-3+ class
+        DocRow(2, ts(1), "a b d"),   // count-1 class
+        DocRow(3, ts(2), "z b c"))   // unseen context backoff
+      q.processAllAvailable()
+      input.addData(DocRow(99, ts(50), "a b c")) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_ngrams, n_unseen, nll FROM knmod_out " +
+          "WHERE doc_id < 10 ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "z b c"))
+        .toDF("doc_id", "text")
+      val batch = graft.ops.Retrieval.knNgramNllModAgainstModel(
+        docs, "doc_id", "text", loaded)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(got.toSeq == batch.toSeq)
+      // and the single-discount face disagrees somewhere (the flag bites)
+      val single = graft.ops.Retrieval.knNgramNllAgainstModel(
+        docs, "doc_id", "text", loaded)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got.exists(t => single(t._1) != t._4))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdir))
+    }
+  }
 }
