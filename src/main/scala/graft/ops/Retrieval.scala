@@ -294,10 +294,18 @@ object Retrieval {
     * >= 3, estimated from that order's count-of-counts. */
   final case class KnDiscount(d1: Double, d2: Double, d3: Double)
 
+  /** `mods` is LAZY (forced by the modified-discount faces and by
+    * [[saveKnModel]], never by single-discount scoring): each triple
+    * costs one count-of-counts aggregate per order over the pinned
+    * model frames — measurable at order 5 — and the classic faces
+    * don't read it. */
   final case class KnModel(order: Int, top: DataFrame,
       topCtx: DataFrame, cont: List[(Int, DataFrame, DataFrame)],
       precede: DataFrame, btypes: Long,
-      mods: Map[Int, KnDiscount] = Map.empty)
+      private val modsThunk: () => Map[Int, KnDiscount] =
+        () => Map.empty) {
+    lazy val mods: Map[Int, KnDiscount] = modsThunk()
+  }
 
   /** Build a [[KnModel]] from a pinned padded-type frame
     * (w1..w_order nullable, `__c` = corpus occurrences of the padded
@@ -371,7 +379,6 @@ object Retrieval {
     val topCtx = topFull.groupBy((1 to order - 1).map(i => col(s"w$i")): _*)
       .agg(topCtxAggs.head, topCtxAggs.tail: _*)
       .localCheckpoint(true)
-    var mods = Map(order -> estimateDiscounts(topFull, "cb", fallbackDiscount))
     val top =
       if (pruneMinTopCount > 1L) topFull.filter(col("cb") >= pruneMinTopCount)
       else topFull
@@ -392,9 +399,14 @@ object Retrieval {
         .groupBy((from + 1 to order - 1).map(i => col(s"w$i")): _*)
         .agg(ctxAggs.head, ctxAggs.tail: _*)
         .localCheckpoint(true)
-      mods += k -> estimateDiscounts(grams, s"a$k", fallbackDiscount)
       (k, grams, ctx)
     }.toList
+    // lazy: forced only by the modified faces / saveKnModel — the
+    // count-of-counts aggregates read the pinned frames captured here
+    val modsThunk = () =>
+      Map(order -> estimateDiscounts(topFull, "cb", fallbackDiscount)) ++
+        cont.map { case (k, grams, _) =>
+          k -> estimateDiscounts(grams, s"a$k", fallbackDiscount) }
     val biRaw = types.filter(col(s"w${order - 1}").isNotNull)
       .select(col(s"w${order - 1}"), col(s"w$order"))
     val biTypes = (if (order == 2) biRaw else biRaw.distinct())
@@ -405,7 +417,7 @@ object Retrieval {
     val precede = biTypes.groupBy(col(s"w$order"))
       .agg(count(lit(1)).as("nprec"))
       .localCheckpoint(true)
-    KnModel(order, top, topCtx, cont, precede, bt, mods)
+    KnModel(order, top, topCtx, cont, precede, bt, modsThunk)
   }
 
   /** `pruneMinTopCount`: drop top-order grams occurring fewer times
@@ -474,7 +486,7 @@ object Retrieval {
       else Map.empty[Int, KnDiscount]
     KnModel(order, spark.read.parquet(s"$path/top"),
       spark.read.parquet(s"$path/topctx"), cont,
-      spark.read.parquet(s"$path/precede"), btypes, mods)
+      spark.read.parquet(s"$path/precede"), btypes, () => mods)
   }
 
   /** Interpolated-KN probability over the LEFT-joined model columns —
@@ -561,13 +573,22 @@ object Retrieval {
   private[graft] def knScoreJoin(grams: DataFrame, m: KnModel,
       discount: Double, modified: Boolean = false): DataFrame = {
     val n = m.order
+    // single-discount scoring never reads the class-count columns —
+    // project them off BEFORE the joins so the context exchanges carry
+    // the round-11 width (the modified face pays for what it uses)
+    def ctxCols(keys: Seq[String], used: Seq[String], all: DataFrame) =
+      if (modified) all else all.select((keys ++ used).map(col): _*)
+    val topCtxF = ctxCols((1 to n - 1).map(i => s"w$i"),
+      Seq("cw", "nfollow"), m.topCtx)
     val top = grams
       .join(m.top, (1 to n).map(i => s"w$i"), "left")
-      .join(m.topCtx, (1 to n - 1).map(i => s"w$i"), "left")
+      .join(topCtxF, (1 to n - 1).map(i => s"w$i"), "left")
     val withCont = m.cont.foldLeft(top) { case (acc, (k, g, cx)) =>
       val from = n - k
+      val cxF = ctxCols((from + 1 to n - 1).map(i => s"w$i"),
+        Seq(s"ad$k", s"anf$k"), cx)
       acc.join(g, (from + 1 to n).map(i => s"w$i"), "left")
-        .join(cx, (from + 1 to n - 1).map(i => s"w$i"), "left")
+        .join(cxF, (from + 1 to n - 1).map(i => s"w$i"), "left")
     }
     withCont.join(m.precede, Seq(s"w$n"), "left")
       .withColumn("__p",
