@@ -2212,6 +2212,26 @@ object SparkEntry {
         docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text", order = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // EM-TUNED Jelinek-Mercer weight (Retrieval.tuneJmLambda):
+    // deleted interpolation — the train/held-out split is doc_id
+    // parity, 3 EM iterations from 0.5, and the returned trace is the
+    // verifiable artifact. Determinism rides 12-dp DECIMAL
+    // responsibility sums (order-independent — no float-accumulation
+    // drift between engines or partitionings) + 6-dp lambda rounding
+    // per iteration (q123's device made exact); the oracle replays
+    // train counts, held-out counts, pml/pbo, and all three
+    // responsibility aggregates as chained scalar CTEs.
+    "q149_jm_em_lambda" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val trace = graft.ops.Retrieval.tuneJmLambda(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text",
+        iterations = 3)
+      trace.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("iter", "lambda").orderBy(col("iter"))
     })
   )
 
@@ -4354,6 +4374,55 @@ object SparkEntry {
         |  sum(CASE WHEN cb IS NULL THEN c ELSE 0 END)::BIGINT AS n_unseen,
         |  round(-sum(c * ln(p)) / sum(c), 6) AS nll
         |FROM p3s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The full deleted-interpolation replay: train counts from even
+    // docs, held-out bigrams from odd docs, pml/pbo per held-out type,
+    // then each EM iteration as a chained scalar CTE — the same
+    // DECIMAL(18,0)x DECIMAL(14,12) responsibility sum and 6-dp lambda
+    // round the operator commits to, so the trace matches exactly.
+    "q149_jm_em_lambda" ->
+      """WITH ttoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tw AS (SELECT unnest(toks) AS w FROM ttoks),
+        |tvoc AS (SELECT w, count(*) AS n FROM tw GROUP BY w),
+        |tt AS (SELECT sum(n) AS tot, count(*) AS v FROM tvoc),
+        |tbi0 AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM ttoks WHERE len(toks) >= 2),
+        |tbi AS (SELECT w1, w2, count(*) AS cb FROM tbi0 GROUP BY w1, w2),
+        |tctx AS (SELECT w1, sum(cb) AS cw FROM tbi GROUP BY w1),
+        |htoks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hbi0 AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM htoks WHERE len(toks) >= 2),
+        |hbi AS (SELECT w1, w2, count(*) AS c FROM hbi0 GROUP BY w1, w2),
+        |j AS (
+        |  SELECT c,
+        |    CASE WHEN cb IS NOT NULL THEN cb::DOUBLE / cw ELSE 0.0 END AS pml,
+        |    (coalesce(n, 0) + 1)::DOUBLE / (tot + v) AS pbo
+        |  FROM hbi
+        |  LEFT JOIN tbi USING (w1, w2) LEFT JOIN tctx USING (w1)
+        |  LEFT JOIN tvoc ON tvoc.w = hbi.w2 CROSS JOIN tt),
+        |i1 AS (
+        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |      round((0.5 * pml) / (0.5 * pml + (1.0 - 0.5) * pbo), 12)::DECIMAL(14,12)
+        |    )::DOUBLE / sum(c), 6) AS lam FROM j),
+        |i2 AS (
+        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |      round((lam * pml) / (lam * pml + (1.0 - lam) * pbo), 12)::DECIMAL(14,12)
+        |    )::DOUBLE / sum(c), 6) AS lam FROM j CROSS JOIN i1),
+        |i3 AS (
+        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |      round((lam * pml) / (lam * pml + (1.0 - lam) * pbo), 12)::DECIMAL(14,12)
+        |    )::DOUBLE / sum(c), 6) AS lam FROM j CROSS JOIN i2)
+        |SELECT 0::BIGINT AS iter, 0.5 AS lambda
+        |UNION ALL SELECT 1::BIGINT, lam FROM i1
+        |UNION ALL SELECT 2::BIGINT, lam FROM i2
+        |UNION ALL SELECT 3::BIGINT, lam FROM i3
+        |ORDER BY iter""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -187,6 +187,92 @@ object Retrieval {
         round(-sum(col("c") * log(col("__p"))) / sum(col("c")), 6).as("nll"))
   }
 
+  /** round-half-up to 6 dp — identical in Spark and DuckDB for the
+    * non-negative values tuned here (the Classify weight device). */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** EM-tuned Jelinek-Mercer interpolation weight (deleted
+    * interpolation — Jelinek & Mercer 1980; Chen & Goodman 1999 §2.4):
+    * fit [[bigramNll]]'s model frames on `train`, then iterate on
+    * HELD-OUT bigrams the responsibility update
+    *
+    *   r_i = λ·pml_i / (λ·pml_i + (1-λ)·pbo_i)
+    *   λ'  = Σ c_i·r_i / Σ c_i
+    *
+    * where pml = c(w1,w2)/c(w1,·) from the train counts (0 when the
+    * bigram or its context is unseen) and pbo is the add-one unigram
+    * backoff (n(w2)+1)/(tot+V) — exactly the two mixture components
+    * [[bigramNll]] scores with, so the tuned λ maximizes held-out
+    * likelihood for THAT scorer. Returns the λ trace
+    * (λ0, λ1, …, λ_iterations); feed the last into `bigramNll`.
+    *
+    * Determinism across engines/partitionings (the q123 device, made
+    * exact): per-row responsibilities round to 12 dp and sum as
+    * DECIMAL (order-independent, no float accumulation drift), and λ
+    * rounds to 6 dp per iteration — an oracle replaying the same
+    * algebra reproduces every trace element bit-for-bit. λ can reach
+    * 0 only if NO held-out bigram is seen in train (the bigram term
+    * carries no held-out evidence); callers then have no business
+    * interpolating.
+    *
+    * 100 TB shape: one shuffle each for the train model frames and
+    * the held-out counts; the scored frame (held-out bigram types ×
+    * two doubles) pins once and each EM iteration is ONE aggregate
+    * over it returning two cells — iterations cost no extra shuffle
+    * and driver state is a single double.
+    */
+  def tuneJmLambda(train: DataFrame, trainTextCol: String,
+      heldout: DataFrame, heldoutTextCol: String,
+      iterations: Int = 5, lambda0: Double = 0.5): Seq[Double] = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(lambda0 > 0.0 && lambda0 < 1.0,
+      s"lambda0 must be in (0,1), got $lambda0")
+    val tbase = train.select(TextAnalysis.tokens(col(trainTextCol)).as("toks"))
+    val vocab = tbase.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = vocab.agg(sum(col("n")).as("tot"), count(lit(1)).as("v"))
+    val tbi = tbase.filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val tctx = tbi.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val hbi = ngramPairs(heldout.select(col(heldoutTextCol)), Nil,
+        heldoutTextCol, 2)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val scored = hbi
+      .join(tbi, Seq("w1", "w2"), "left")
+      .join(tctx, Seq("w1"), "left")
+      .join(broadcast(vocab.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("c"),
+        when(col("cb").isNotNull, col("cb").cast("double") / col("cw"))
+          .otherwise(lit(0.0)).as("pml"),
+        ((coalesce(col("n"), lit(0L)) + 1).cast("double") /
+          (col("tot") + col("v"))).as("pbo"))
+      .localCheckpoint(true) // every EM iteration re-aggregates this pin
+    var lam = lambda0
+    val trace = Seq.newBuilder[Double]
+    trace += lam
+    for (_ <- 1 to iterations) {
+      val r = (lit(lam) * col("pml")) /
+        (lit(lam) * col("pml") + lit(1.0 - lam) * col("pbo"))
+      val row = scored.agg(
+        sum(col("c").cast("decimal(18,0)") *
+          round(r, 12).cast("decimal(14,12)")).as("rsum"),
+        sum(col("c")).as("csum")).head()
+      require(!row.isNullAt(1) && row.getLong(1) > 0L,
+        "tuneJmLambda: held-out corpus has no bigrams")
+      lam = round6(row.getDecimal(0).doubleValue / row.getLong(1))
+      trace += lam
+    }
+    trace.result()
+  }
+
   /** Per-document INTERPOLATED KNESER-NEY bigram NLL — the smoothing
     * family behind KenLM and therefore behind the published CCNet
     * perplexity filter (Chen & Goodman 1999, interpolated form with a

@@ -495,6 +495,60 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("tuneJmLambda: trace matches a naive deleted-interpolation EM; direction follows the evidence") {
+    val trainTexts = Seq("a b c a b", "b c a d", "a b c")
+    val heldSeen = Seq("a b c", "b c a")       // train-like: bigram term earns weight
+    val heldUnseen = Seq("x y z", "y z x")     // foreign: unigram backoff wins
+    def naive(held: Seq[String], iters: Int, l0: Double): Seq[Double] = {
+      val corpus = trainTexts.map(knToks)
+      val toks = corpus.flatten
+      val n = toks.groupBy(identity).map { case (w, l) => w -> l.size }
+      val (tot, v) = (toks.size.toDouble, n.size.toDouble)
+      val bi = corpus.flatMap(t => t.sliding(2).filter(_.length == 2).map(_.toList))
+      val cb = bi.groupBy(identity).map { case (g, l) => g -> l.size.toDouble }
+      val cw = bi.groupBy(_.head).map { case (w, l) => w -> l.size.toDouble }
+      val hb = held.map(knToks).flatMap(t =>
+        t.sliding(2).filter(_.length == 2).map(_.toList))
+        .groupBy(identity).map { case (g, l) => g -> l.size }
+      def r12(x: Double) =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      var lam = l0
+      val out = Seq.newBuilder[Double]; out += lam
+      (1 to iters).foreach { _ =>
+        var rsum = BigDecimal(0); var csum = 0L
+        hb.foreach { case (g, c) =>
+          val pml = if (cb.contains(g)) cb(g) / cw(g.head) else 0.0
+          val pbo = (n.getOrElse(g.last, 0) + 1).toDouble / (tot + v)
+          val r = (lam * pml) / (lam * pml + (1.0 - lam) * pbo)
+          rsum += BigDecimal(c) * r12(r); csum += c
+        }
+        lam = r6(rsum.toDouble / csum)
+        out += lam
+      }
+      out.result()
+    }
+    val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def tune(held: Seq[String]) = Retrieval.tuneJmLambda(
+      train, "text",
+      held.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "text", iterations = 4)
+    val up = tune(heldSeen)
+    assert(up == naive(heldSeen, 4, 0.5))
+    assert(up.last > 0.5, s"seen held-out must push lambda up: $up")
+    val down = tune(heldUnseen)
+    assert(down == naive(heldUnseen, 4, 0.5))
+    // every held-out bigram unseen -> r = 0 everywhere -> lambda -> 0
+    assert(down.last == 0.0, s"foreign held-out zeroes the bigram term: $down")
+    // held-out without a single bigram fails fast
+    val e = intercept[Exception] {
+      Retrieval.tuneJmLambda(train, "text",
+        Seq((1L, "solo")).toDF("doc_id", "text"), "text")
+    }
+    assert(e.getMessage.contains("no bigrams"))
+  }
+
   test("count pruning: frequent grams bit-identical, pruned grams back off as unseen") {
     // "a b c" occurs 3x (survives pruneMinTopCount=2); "d e f" once
     // (pruned). Docs made only of frequent grams must score EXACTLY as
