@@ -310,7 +310,8 @@ object Cli {
             graft.ops.Release.knPerplexityGate(
               graft.ops.Retrieval.loadKnModel(spark, mp),
               flags.getOrElse("max-nll", "1e300").toDouble,
-              idCol, textCol, base = tokenGate)
+              idCol, textCol, base = tokenGate,
+              modified = flags.get("kn-modified").exists(_.toBoolean))
           case None => tokenGate
         }
         val disp = graft.ops.Release.incrementalRelease(
@@ -352,6 +353,34 @@ object Cli {
         graft.ops.Retrieval.saveKnModel(m, req("out"))
         println(s"""{"order":${m.order},"top_types":${m.top.count()},""" +
           s""""btypes":${m.btypes},"out":"${req("out")}"}""")
+      } finally spark.stop()
+
+    // batch-score a corpus against a persisted KN model — the
+    // score-many side (one parquet row per doc: n_ngrams, n_unseen,
+    // nll); --modified scores with the Chen-Goodman count-class
+    // discounts (the KenLM estimator):
+    //   lm-score --docs <parquet> --model <dir> --out <dir>
+    //            [--id-col doc_id] [--text-col text] [--modified true]
+    case "lm-score" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"lm-score: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val m = graft.ops.Retrieval.loadKnModel(spark, req("model"))
+        val docs = spark.read.parquet(req("docs"))
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val scored =
+          if (flags.get("modified").exists(_.toBoolean))
+            graft.ops.Retrieval.knNgramNllModAgainstModel(
+              docs, idCol, textCol, m)
+          else graft.ops.Retrieval.knNgramNllAgainstModel(
+            docs, idCol, textCol, m)
+        val out = req("out")
+        scored.write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        println(s"""{"order":${m.order},"scored_docs":$n,"out":"$out"}""")
       } finally spark.stop()
 
     case "release" :: "compact" :: rest =>

@@ -118,11 +118,19 @@ object Release {
     * doc-id left-semi join back into the gated frame; the delta text
     * is never carried through the scoring join.
     */
+  /** `modified = true` scores with the Chen-Goodman count-class
+    * discounts ([[Retrieval.knNgramNllModAgainstModel]]) — the KenLM
+    * estimator; the model must carry its discount triples (any model
+    * built or persisted since they ship does). */
   def knPerplexityGate(m: Retrieval.KnModel, maxNll: Double,
       idCol: String, textCol: String,
-      base: DataFrame => DataFrame = identity[DataFrame] _)
+      base: DataFrame => DataFrame = identity[DataFrame] _,
+      modified: Boolean = false)
       : DataFrame => DataFrame = { df =>
-    val keep = Retrieval.knNgramNllAgainstModel(df, idCol, textCol, m)
+    val scoredAll =
+      if (modified) Retrieval.knNgramNllModAgainstModel(df, idCol, textCol, m)
+      else Retrieval.knNgramNllAgainstModel(df, idCol, textCol, m)
+    val keep = scoredAll
       .filter(col("nll") <= maxNll)
       .select(col("doc_id").as(idCol))
     base(df).join(keep, Seq(idCol), "left_semi")

@@ -192,6 +192,19 @@ class ReleaseSpec extends AnyFunSuite {
         13L -> ("added", false)))
       val expected = v2.filter(col("doc_id").isin(10L, 11L))
       assert(liveBands(dir) == bandsOf(expected))
+
+      // the modified-discount gate draws the same fluency line (its
+      // scores differ, the ordering of inlier vs gibberish does not)
+      val scoredMod = Retrieval.knNgramNllModAgainstModel(
+          Seq((1L, inlier), (2L, outlier)).toDF("doc_id", "text"),
+          "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(scoredMod(1L) < scoredMod(2L))
+      val modGate = Release.knPerplexityGate(m,
+        (scoredMod(1L) + scoredMod(2L)) / 2.0, "doc_id", "text",
+        base = gate, modified = true)
+      val gated = modGate(v2).collect().map(_.getLong(0)).toSet
+      assert(gated == Set(10L, 11L))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
