@@ -1397,6 +1397,81 @@ object ScaleCheck {
     docsKn.unpersist()
     }
 
+    if (run("knmod")) {
+    // ---- 5v2. MODIFIED-KN scoring — 210k docs, same model economics --
+    // The Chen-Goodman estimator on the 5v corpus: discount triples
+    // force lazily at save (count-of-counts aggregates over the pinned
+    // model frames — measured separately), the persisted model carries
+    // them, and modified scoring from the loaded form costs the same
+    // plan as single-discount (one expression swap, wider context
+    // columns only where used). Invariants: all finite, scores differ
+    // from single-discount somewhere, discounts within class bounds.
+    val docsKm = corpus(spark, 200000L).cache()
+    val nKmDocs = docsKm.count()
+    val refKm = docsKm.filter(col("doc_id") % 10 < 3)
+    val mKm = graft.ops.Retrieval.knModel(refKm, "text", order = 3)
+    val (_, tDisc) = time { mKm.mods } // lazy force: the extra cost
+    mKm.mods.foreach { case (k, d) =>
+      require(d.d1 > 0 && d.d1 <= 1 && d.d2 > 0 && d.d2 <= 2 &&
+        d.d3 > 0 && d.d3 <= 3, s"order-$k discounts out of range: $d")
+    }
+    val kmDir = java.nio.file.Files.createTempDirectory("sc_knmod").toString
+    graft.ops.Retrieval.saveKnModel(mKm, kmDir)
+    val mKmL = graft.ops.Retrieval.loadKnModel(spark, kmDir)
+    val (modAgg, tModScore) = time {
+      graft.ops.Retrieval.knNgramNllModAgainstModel(
+          docsKm, "doc_id", "text", mKmL)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nll").isNull || isnan(col("nll")) ||
+            col("nll") === Double.PositiveInfinity, 1L).otherwise(0L)).as("bad"),
+          avg(col("nll")).as("avg_nll")).head()
+    }
+    val (singleAgg, tSingleScore) = time {
+      graft.ops.Retrieval.knNgramNllAgainstModel(
+          docsKm, "doc_id", "text", mKmL)
+        .agg(avg(col("nll"))).head()
+    }
+    require(modAgg.getLong(0) == nKmDocs && modAgg.getLong(1) == 0,
+      s"modified scoring must cover all docs finitely: $modAgg")
+    require(modAgg.getDouble(2) != singleAgg.getDouble(0),
+      "modified and single-discount scoring must differ on this corpus")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(kmDir))
+    println(f"KNMOD> docs=$nKmDocs order=3 " +
+      mKm.mods.toSeq.sortBy(_._1).map { case (k, d) =>
+        f"D$k=[${d.d1}%.3f,${d.d2}%.3f,${d.d3}%.3f]" }.mkString(" ") +
+      f" discount_est=$tDisc%.1f s score_modified=$tModScore%.1f s " +
+      f"score_single=$tSingleScore%.1f s " +
+      f"avg_nll mod=${modAgg.getDouble(2)}%.3f single=${singleAgg.getDouble(0)}%.3f")
+    docsKm.unpersist()
+    }
+
+    if (run("jmlambda")) {
+    // ---- 5x. EM-tuned JM lambda — 210k docs, 5 iterations ------------
+    // Deleted interpolation at scale: the held-out scored frame (one
+    // row per held-out bigram TYPE, two doubles) pins once; each EM
+    // iteration is a single two-cell aggregate over it. Invariants:
+    // lambda stays in [0,1], the trace moves monotonically from 0.5
+    // (the evidence direction is consistent), and per-iteration wall
+    // is flat (no re-derivation of the pin).
+    val docsJm = corpus(spark, 200000L).cache()
+    docsJm.count()
+    val trainJm = docsJm.filter(col("doc_id") % 2 === 0)
+    val heldJm = docsJm.filter(col("doc_id") % 2 === 1)
+    val (trace, tTune) = time {
+      graft.ops.Retrieval.tuneJmLambda(trainJm, "text", heldJm, "text",
+        iterations = 5)
+    }
+    require(trace.length == 6 && trace.forall(l => l >= 0.0 && l <= 1.0),
+      s"lambda out of range: $trace")
+    val deltas = trace.sliding(2).map(p => p(1) - p(0)).toSeq
+    // one-way within rounding noise (6-dp lambda can tick at a plateau)
+    require(deltas.forall(_ >= -1e-5) || deltas.forall(_ <= 1e-5),
+      s"trace must move one way from lambda0: $trace")
+    println(f"JMLAMBDA> docs=210k iters=5 wall=$tTune%.1f s " +
+      s"trace=${trace.map(l => f"$l%.4f").mkString(" -> ")}")
+    docsJm.unpersist()
+    }
+
     if (run("releasediff")) {
     // ---- 5w. Snapshot release diff — 5M-row snapshots, 1% delta ------
     // corpusDiff at the archive-maintenance scale: two 5M-row
