@@ -4407,17 +4407,17 @@ object SparkEntry {
         |  LEFT JOIN tbi USING (w1, w2) LEFT JOIN tctx USING (w1)
         |  LEFT JOIN tvoc ON tvoc.w = hbi.w2 CROSS JOIN tt),
         |i1 AS (
-        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |  SELECT least(round(sum(c::DECIMAL(18,0) *
         |      round((0.5 * pml) / (0.5 * pml + (1.0 - 0.5) * pbo), 12)::DECIMAL(14,12)
-        |    )::DOUBLE / sum(c), 6) AS lam FROM j),
+        |    )::DOUBLE / sum(c), 6), 0.999999) AS lam FROM j),
         |i2 AS (
-        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |  SELECT least(round(sum(c::DECIMAL(18,0) *
         |      round((lam * pml) / (lam * pml + (1.0 - lam) * pbo), 12)::DECIMAL(14,12)
-        |    )::DOUBLE / sum(c), 6) AS lam FROM j CROSS JOIN i1),
+        |    )::DOUBLE / sum(c), 6), 0.999999) AS lam FROM j CROSS JOIN i1),
         |i3 AS (
-        |  SELECT round(sum(c::DECIMAL(18,0) *
+        |  SELECT least(round(sum(c::DECIMAL(18,0) *
         |      round((lam * pml) / (lam * pml + (1.0 - lam) * pbo), 12)::DECIMAL(14,12)
-        |    )::DOUBLE / sum(c), 6) AS lam FROM j CROSS JOIN i2)
+        |    )::DOUBLE / sum(c), 6), 0.999999) AS lam FROM j CROSS JOIN i2)
         |SELECT 0::BIGINT AS iter, 0.5 AS lambda
         |UNION ALL SELECT 1::BIGINT, lam FROM i1
         |UNION ALL SELECT 2::BIGINT, lam FROM i2

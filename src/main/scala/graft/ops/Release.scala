@@ -121,19 +121,36 @@ object Release {
   /** `modified = true` scores with the Chen-Goodman count-class
     * discounts ([[Retrieval.knNgramNllModAgainstModel]]) — the KenLM
     * estimator; the model must carry its discount triples (any model
-    * built or persisted since they ship does). */
+    * built or persisted since they ship does).
+    *
+    * Short-doc contract: a doc with fewer than `m.order` tokens has no
+    * top-order n-gram, so the scorer emits NO row for it — the model
+    * simply has no opinion. Such docs PASS this gate (the filter is
+    * an anti-join on the docs the model scored as unfit, so unscored
+    * docs survive even at tight `maxNll`). Gate them by an explicit
+    * length rule instead: `minTokens` drops docs under that token
+    * count BEFORE scoring — a visible, documented policy rather than
+    * a silent artifact of the model order.
+    */
   def knPerplexityGate(m: Retrieval.KnModel, maxNll: Double,
       idCol: String, textCol: String,
       base: DataFrame => DataFrame = identity[DataFrame] _,
-      modified: Boolean = false)
+      modified: Boolean = false, minTokens: Int = 0)
       : DataFrame => DataFrame = { df =>
+    val lengthGated =
+      if (minTokens > 0)
+        df.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+      else df
     val scoredAll =
-      if (modified) Retrieval.knNgramNllModAgainstModel(df, idCol, textCol, m)
-      else Retrieval.knNgramNllAgainstModel(df, idCol, textCol, m)
-    val keep = scoredAll
-      .filter(col("nll") <= maxNll)
+      if (modified)
+        Retrieval.knNgramNllModAgainstModel(lengthGated, idCol, textCol, m)
+      else Retrieval.knNgramNllAgainstModel(lengthGated, idCol, textCol, m)
+    // anti-join the FAILURES so docs the model never scored (fewer
+    // than m.order tokens) pass — see the short-doc contract above
+    val fail = scoredAll
+      .filter(col("nll") > maxNll)
       .select(col("doc_id").as(idCol))
-    base(df).join(keep, Seq(idCol), "left_semi")
+    base(lengthGated).join(fail, Seq(idCol), "left_anti")
   }
 
   /** Diff `oldSnap` → `newSnap`, gate the delta, update the reference
@@ -167,12 +184,16 @@ object Release {
     *
     * Crash/retry: a release that dies mid-write can be RE-RUN with the
     * same arguments — the diff is deterministic, duplicate tombstones
-    * collapse under the per-id max(gen), and duplicate band appends
-    * (same generation, same content) inflate rows until the next
-    * compaction but never change liveness. The manifest write lands
-    * LAST, so a completed manifest implies a completed release, and
-    * [[compactIndex]] tolerates tombstones a crashed release left one
-    * generation past the manifest.
+    * collapse under the per-id max(gen), duplicate band appends (same
+    * generation, same content) inflate rows until the next compaction
+    * but never change liveness, and the dedup probe reads only bands
+    * at `gen < this release's gen`, so bands a crashed attempt already
+    * appended are invisible to the re-run and its dispositions
+    * reproduce run 1's exactly (including for within-delta near-dup
+    * pairs). The manifest write lands LAST, so a completed manifest
+    * implies a completed release, and [[compactIndex]] tolerates
+    * tombstones a crashed release left one generation past the
+    * manifest.
     *
     * `gatePreservesText`: minhash signatures are the dominant CPU cost
     * of a release, and with the dedup probe on they are computed for
@@ -230,7 +251,15 @@ object Release {
       if (reuseProbeBands) deltaBands0.localCheckpoint(true)
       else deltaBands0
     val dupIds: Option[DataFrame] = dedupThreshold.map { th =>
+      // gen < this release's gen: bands a CRASHED attempt of THIS
+      // release appended are excluded from the probe's live set, so a
+      // re-run sees exactly the pre-release index and its dispositions
+      // reproduce run 1's (without the filter, within-delta near-dup
+      // pairs would dedup against run 1's appended bands — disposition
+      // and index disagreeing). Tombstones at this gen still apply:
+      // a changed doc's old self must stay out of the probe.
       val live = readReferenceBands(spark, indexPath)
+        .filter(col("gen") < gen)
         .select(col("id").as("ref_id"), col("band"), col("bkey"))
       val cands = deltaBands.select(col("id").as("new_id"),
           col("band"), col("bkey"))
@@ -238,6 +267,28 @@ object Release {
         .filter(col("new_id") =!= col("ref_id"))
         .select(col("new_id"), col("ref_id")).distinct()
         .localCheckpoint(true) // candidate-pair-sized
+      // fail fast on index/snapshot drift: the exact verify reads
+      // reference TEXT from newSnap, which is sound only when every
+      // live index id is still a row of the corpus (this release's
+      // tombstones have already retired removed/changed ids). A
+      // candidate ref_id missing from newSnap means the index was
+      // built from some other corpus lineage — the inner join below
+      // would silently drop the pair and true duplicates would pass
+      // unverified. The audit is candidate-sized (the precise set
+      // whose absence corrupts the verify), not a corpus-sized sweep
+      // of all live ids.
+      val missingRef = cands.select(col("ref_id")).distinct()
+        .join(newSnap.select(col(idCol).as("ref_id")),
+          Seq("ref_id"), "left_anti")
+        .limit(3).collect()
+      require(missingRef.isEmpty,
+        "incrementalRelease: candidate reference id(s) " +
+          missingRef.map(_.get(0)).mkString("[", ", ", "]") +
+          " are live in the index but absent from newSnap — the index " +
+          "was not built from this snapshot lineage, so near-duplicate " +
+          "candidates cannot be exact-verified. Rebuild the index from " +
+          "the released corpus (initReferenceIndex) or release against " +
+          "the corpus the index encodes")
       // exact verify shingles ONLY candidate docs: semi-join prunes
       // each side to the candidate ids before the shingle map
       val newSh = shinglesOf(delta.join(

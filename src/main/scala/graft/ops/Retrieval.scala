@@ -267,7 +267,15 @@ object Retrieval {
         sum(col("c")).as("csum")).head()
       require(!row.isNullAt(1) && row.getLong(1) > 0L,
         "tuneJmLambda: held-out corpus has no bigrams")
-      lam = round6(row.getDecimal(0).doubleValue / row.getLong(1))
+      // clamp below 1.0: when held-out bigrams are near-fully covered
+      // with tiny pbo, the responsibility sum can round UP to csum and
+      // the 6-dp update to exactly 1.0 — at which point the next
+      // iteration's pml=0 rows compute r = 0/0 = NULL, which the
+      // decimal sum drops while csum still counts them (a silently
+      // wrong update, not an error). 0.999999 is the largest value
+      // round6 preserves, mirroring the documented λ=0 degenerate.
+      lam = math.min(
+        round6(row.getDecimal(0).doubleValue / row.getLong(1)), 0.999999)
       trace += lam
     }
     trace.result()

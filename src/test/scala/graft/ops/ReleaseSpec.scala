@@ -209,4 +209,84 @@ class ReleaseSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("knPerplexityGate: docs shorter than the model order pass; minTokens gates them explicitly") {
+    val ref = Seq("the cat sat on the mat",
+      "the dog sat on the rug").toDF("text")
+    val m = Retrieval.knModel(ref, "text", order = 3)
+    val docs = Seq(
+      doc(1L, "the cat sat on the mat"), // 6 tokens, scored
+      doc(2L, "hi"),                     // 1 token — no trigram, unscored
+      doc(3L, "the cat")                 // 2 tokens — unscored
+    ).toDF("doc_id", "text")
+    // pass-everything threshold: unscored docs must survive too (the
+    // CLI default maxNll=1e300 means "no perplexity gating")
+    val passAll = Release.knPerplexityGate(m, 1e300, "doc_id", "text")
+    assert(passAll(docs).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // fail-everything threshold: scored docs drop, unscored still pass
+    // (the model has no opinion on them — length is a separate rule)
+    val tight = Release.knPerplexityGate(m, -1.0, "doc_id", "text")
+    assert(tight(docs).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the explicit length rule drops short docs BEFORE scoring
+    val minTok = Release.knPerplexityGate(m, 1e300, "doc_id", "text",
+      minTokens = 3)
+    assert(minTok(docs).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("incrementalRelease retry: crashed-attempt bands are invisible to the re-run's dedup probe") {
+    val dir = java.nio.file.Files.createTempDirectory("relretry").toString
+    try {
+      val v1 = Seq(doc(1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      Release.initReferenceIndex(v1, "doc_id", "text", dir)
+      // the delta carries a within-delta duplicate PAIR (2, 3) — out of
+      // the probe's scope by contract, so both index on a clean run
+      val v2 = v1.unionByName(Seq(
+        doc(2L, "one two three four five"),
+        doc(3L, "one two three four five")).toDF("doc_id", "text"))
+      def run() = Release.incrementalRelease(v1, v2, "doc_id", "text",
+          Seq("text"), gate, dir, dedupThreshold = Some(0.9),
+          gatePreservesText = true)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+        .toMap
+      val first = run()
+      assert(first(2L) == ("added", true, false))
+      assert(first(3L) == ("added", true, false))
+      // simulate a crash AFTER the band append but BEFORE the manifest
+      // write: rewind the manifest so the retry recomputes the same gen
+      Seq(0L).toDF("gen").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+      // without the gen < releaseGen probe filter, run 1's appended
+      // bands would be live here and 2/3 would dedup against each other
+      val retry = run()
+      assert(retry == first,
+        s"retry dispositions must reproduce run 1: $retry vs $first")
+      assert(liveBands(dir) ==
+        bandsOf(v2.filter(col("doc_id").isin(1L, 2L, 3L))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("incrementalRelease: fails fast when a candidate reference id is absent from the snapshot lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("reldrift").toString
+    try {
+      // index initialized from a FOREIGN corpus: id 99 never appears in
+      // the snapshots being released
+      Release.initReferenceIndex(
+        Seq(doc(99L, "one two three four five")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      val v1 = Seq(doc(1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val v2 = v1.unionByName(
+        Seq(doc(2L, "one two three four five")).toDF("doc_id", "text"))
+      val e = intercept[IllegalArgumentException] {
+        Release.incrementalRelease(v1, v2, "doc_id", "text",
+          Seq("text"), gate, dir, dedupThreshold = Some(0.9))
+      }
+      assert(e.getMessage.contains("absent from newSnap"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

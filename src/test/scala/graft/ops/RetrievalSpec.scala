@@ -549,6 +549,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("tuneJmLambda: lambda clamps strictly below 1.0 when held-out coverage saturates") {
+    // train: one bigram type with pml = 1; held-out fully covered. At
+    // lambda0 = 0.999999 the responsibility rounds to 0.9999995 at
+    // 12 dp and the 6-dp update would land exactly 1.0 — where pml=0
+    // rows in any later mix would compute 0/0 = NULL and silently
+    // corrupt the sum. The clamp pins every update at 0.999999.
+    val train = (0 until 50).map(i => (i.toLong, "aa bb"))
+      .toDF("doc_id", "text")
+    val held = Seq((0L, "aa bb"), (1L, "aa bb")).toDF("doc_id", "text")
+    val trace = Retrieval.tuneJmLambda(train, "text", held, "text",
+      iterations = 3, lambda0 = 0.999999)
+    assert(trace.tail.forall(l => l > 0.99 && l < 1.0), trace.toString)
+  }
+
   test("count pruning: frequent grams bit-identical, pruned grams back off as unseen") {
     // "a b c" occurs 3x (survives pruneMinTopCount=2); "d e f" once
     // (pruned). Docs made only of frequent grams must score EXACTLY as
