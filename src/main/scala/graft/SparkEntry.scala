@@ -2232,6 +2232,86 @@ object SparkEntry {
         iterations = 3)
       trace.zipWithIndex.map { case (l, i) => (i.toLong, l) }
         .toDF("iter", "lambda").orderBy(col("iter"))
+    }),
+
+    // RECIPROCAL-RANK FUSION (Retrieval.hybridRrf/rrfFusion): the
+    // rank-based hybrid — BM25 top-50 and exact-cosine top-50 fused by
+    // rrf = sum 1/(60+rank), no score normalization (the reason RRF is
+    // the default lexical+dense combiner: the two scores live on
+    // incomparable scales, ranks don't). Complements q111's
+    // score-blend hybrid. The oracle replays both rankings (q71's BM25
+    // CTE + q50's cosine device), the fusion sum, and the rank
+    // join-back. Both frontiers are candidate-sized; fusion is one
+    // union + tiny groupBy — corpus touched only by the two rankers.
+    "q150_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      graft.ops.Retrieval.hybridRrf(
+        t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        Seq("customer", "vector", "spark", "query"), qv,
+        k = 15, rrfK = 60, candidates = 50)
+    }),
+
+    // DIRICHLET QUERY LIKELIHOOD (Retrieval.queryLikelihoodTopK):
+    // LMIR.DIR (Zhai & Lafferty 2001) — the LM-based ranker next to
+    // BM25's tf-idf one; rank-equivalent decomposition so only matched
+    // terms shuffle and every doc pays the length prior through the
+    // pinned per-doc-length frame (docs with zero hits still rank).
+    // Oracle replays the decomposition exactly.
+    "q151_query_likelihood" -> ((s, dir) => {
+      graft.ops.Retrieval.queryLikelihoodTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("customer", "vector", "spark", "query"), k = 15, mu = 2000.0)
+    }),
+
+    // HOST-LEVEL LINK GRAPH (Web.extractLinks + Web.linkGraph): href
+    // extraction -> absolute-http(s) filter -> host parse -> PSL
+    // eTLD+1 -> one (src,dst) aggregation shuffle; the q129/q138
+    // composition a crawl pipeline feeds into PageRank. Pages are
+    // synthesized from doc_id (q138's device): every page links its
+    // .com site and a co.uk page twice-on-thirds, odd pages add a
+    // *.ck wildcard-rule link, and a RELATIVE link that must NOT
+    // produce an edge. The oracle replays the expected edges per
+    // doc_id shape — the decision, independently of the regex.
+    "q152_link_graph" -> ((s, dir) => {
+      val psl = "// test rules\ncom\nuk\nco.uk\nck\n*.ck\n!www.ck\njp\n"
+      val k = col("doc_id").cast("string")
+      val dup = pmod(col("doc_id"), lit(3)) === 0
+      val html = concat(
+        lit("<html><body><a href=\"https://www.site"), k,
+        lit(".com/page\">x</a><p>text</p><a HREF='http://sub.shop"), k,
+        lit(".example.co.uk/y?z=1'>y</a><a href=\"/relative/skip\">r</a>"),
+        when(dup, concat(lit("<a href=\"https://site"), k,
+          lit(".com/other\">x2</a>"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          concat(lit("<a href=\"https://a"), k, lit(".b"), k,
+            lit(".test.ck/\">w</a>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(concat(lit("https://host"), k, lit(".jp/index.html"))
+          .as("url"), html.as("html"))
+      graft.ops.Web.linkGraph(pages, "url", "html", psl)
+        .orderBy(col("src_domain"), col("dst_domain"))
+    }),
+
+    // PER-DOMAIN CAP (Curation.capPerKey): "at most N pages per
+    // registered domain" — the anti-template-site token-budget policy.
+    // Key = PSL eTLD+1 of a doc_id-derived host folded onto 8 domains
+    // so every group overflows the cap; order = (n_chars desc, doc_id)
+    // for a deterministic survivor set the oracle replays with the
+    // same window.
+    "q153_domain_cap" -> ((s, dir) => {
+      val psl = "// test rules\ncom\nuk\nco.uk\n"
+      val host = concat(lit("www.site"),
+        pmod(col("doc_id"), lit(8)).cast("string"), lit(".com"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.ops.Web.registrableDomainPsl(host, psl).as("domain"))
+      graft.ops.Curation.capPerKey(docs, col("domain"), 25,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("domain"), col("doc_id"), col("n_chars"))
+        .orderBy(col("domain"), col("n_chars").desc, col("doc_id"))
     })
   )
 
@@ -4423,6 +4503,101 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, lam FROM i2
         |UNION ALL SELECT 3::BIGINT, lam FROM i3
         |ORDER BY iter""".stripMargin,
+
+    // both rankings replayed (q71's BM25 CTE, q50's cosine device),
+    // then the RRF sum and the rank join-back
+    "q150_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('customer', 'vector', 'spark', 'query')
+        |       GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        |  FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm),
+        |dn AS (
+        |  SELECT a.vec_id AS doc_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY sim DESC, a.vec_id LIMIT 50),
+        |dnr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank FROM dn),
+        |fused AS (
+        |  SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+        |    count(*) AS n_lists
+        |  FROM (SELECT * FROM bmr UNION ALL SELECT * FROM dnr)
+        |  GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15)
+        |SELECT f.doc_id, b.rank AS bm25_rank, d.rank AS cosine_rank,
+        |  f.n_lists, f.rrf
+        |FROM fused f LEFT JOIN bmr b USING (doc_id) LEFT JOIN dnr d USING (doc_id)
+        |ORDER BY f.rrf DESC, f.doc_id""".stripMargin,
+
+    // Dirichlet QL, rank-equivalent form: matched-term sum + per-doc
+    // length prior; query terms absent from the collection drop from
+    // n_seen. mu = 2000.
+    "q151_query_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('customer', 'vector', 'spark', 'query')
+        |       GROUP BY doc_id, w),
+        |cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY w),
+        |stats AS (
+        |  SELECT (SELECT sum(dl) FROM dl) AS tot,
+        |    (SELECT count(*) FROM cf) AS n_seen),
+        |matched AS (
+        |  SELECT doc_id, sum(ln(1 + tf / (2000.0 * cf / s.tot))) AS m,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN cf USING (w) CROSS JOIN stats s
+        |  GROUP BY doc_id)
+        |SELECT dl.doc_id, coalesce(m.n_terms_hit, 0)::BIGINT AS n_terms_hit,
+        |  round(coalesce(m.m, 0.0) + s.n_seen * ln(2000.0 / (dl.dl + 2000.0)), 6) AS ql
+        |FROM dl LEFT JOIN matched m USING (doc_id) CROSS JOIN stats s
+        |ORDER BY ql DESC, dl.doc_id LIMIT 15""".stripMargin,
+
+    // decision replay (q138's device): expected edges stated per
+    // doc_id shape — src host{K}.jp links site{K}.com (n = 2 on
+    // doc_id%3=0, else 1), example.co.uk (always 1), and b{K}.test.ck
+    // under the *.ck wildcard on odd doc_ids; the relative link
+    // contributes nothing
+    "q152_link_graph" ->
+      """WITH e AS (
+        |  SELECT 'host' || doc_id::VARCHAR || '.jp' AS src_domain,
+        |    'site' || doc_id::VARCHAR || '.com' AS dst_domain,
+        |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END::BIGINT AS n_links
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'host' || doc_id::VARCHAR || '.jp', 'example.co.uk', 1::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'host' || doc_id::VARCHAR || '.jp',
+        |    'b' || doc_id::VARCHAR || '.test.ck', 1::BIGINT
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT src_domain, dst_domain, n_links FROM e
+        |ORDER BY src_domain, dst_domain""".stripMargin,
+
+    "q153_domain_cap" ->
+      """WITH d AS (
+        |  SELECT 'site' || (doc_id % 8)::VARCHAR || '.com' AS domain,
+        |    doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT domain, doc_id, n_chars FROM d WHERE rn <= 25
+        |ORDER BY domain, n_chars DESC, doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

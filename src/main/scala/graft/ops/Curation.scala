@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 
 /** End-to-end corpus curation: the composed training-data pipeline
   * (filter -> dedup -> annotate) with per-stage audit counts — the
@@ -217,6 +217,29 @@ object Curation {
     docs.filter(
       TextAnalysis.tokenCount(text).between(minTokens, maxTokens) &&
         TextAnalysis.punctRatio(text) <= maxPunct)
+  }
+
+  /** Per-key output cap — the "at most N pages per registered domain"
+    * policy of web-corpus curation (a handful of template-heavy sites
+    * otherwise dominate the token budget): keep the top `cap` rows of
+    * each key by `order` (pass a deterministic tie-break as the last
+    * column — an id — or retried runs may keep different rows).
+    *
+    * Scale shape: one hash shuffle on the key + a per-key rank window —
+    * the standard distributed top-N-per-group. The window never
+    * materializes a group in memory (rank streams over the sorted run),
+    * so a pathological mega-domain costs sort spill, not OOM; cap
+    * output is bounded at |keys|·cap rows by construction.
+    */
+  def capPerKey(df: DataFrame, keyCol: Column, cap: Int,
+      order: Seq[Column]): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(order.nonEmpty, "capPerKey: need at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number()
+        .over(Window.partitionBy(keyCol).orderBy(order: _*)))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
   }
 
   /** Filter -> exact-dedup -> annotate (lang pred + token count). Returns

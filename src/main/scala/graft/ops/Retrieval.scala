@@ -104,6 +104,121 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * over any number of ranked lists:
+    *
+    *   rrf(d) = Σ_lists 1 / (rrfK + rank_list(d))
+    *
+    * summed over the lists that rank d at all — rank-based fusion
+    * needs no score normalization, which is why it is the default way
+    * to combine lexical and dense retrieval (scores live on different
+    * scales; ranks don't). Each input frame must carry `idCol` and a
+    * 1-based `rank` column. rrfK = 60 is the paper's constant.
+    *
+    * Scale shape: the inputs are top-N frontiers (candidate-sized by
+    * construction, not corpora); fusion is one union + one tiny
+    * groupBy. 6-dp rounding keeps the fused order engine-reproducible
+    * (adjacent ranks differ by ≥ 1/(rrfK+r)² ≈ 2.6e-4 at r=60 — far
+    * above the rounding grain).
+    */
+  def rrfFusion(rankings: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion needs at least one ranking")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    rankings
+      .map(r => r.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[rrfFusion]] of the two standard hybrid-retrieval lists: BM25
+    * top-`candidates` (lexical) and exact cosine top-`candidates`
+    * (dense). Returns (doc_id, bm25_rank, cosine_rank, n_lists, rrf) —
+    * a null rank means the doc reached the fused top-k from one list
+    * alone. The unpartitioned rank windows run over candidate-sized
+    * frames (bounded by `candidates`, never the corpus); the dense
+    * side is the exact brute-force scan ([[Similarity.topK]]) — swap
+    * in `Similarity.ivfTopK` ranks via [[rrfFusion]] directly for the
+    * ANN scale path.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, eIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Seq[Float], k: Int,
+      rrfK: Int = 60, candidates: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(docs, idCol, textCol, queryTerms, candidates)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
+      .localCheckpoint(true) // candidate-sized; fusion + rank join
+    val dn = Similarity.topK(emb, eIdCol, vecCol, queryVec, candidates)
+      .select(col(eIdCol).as("doc_id"), row_number()
+        .over(Window.orderBy(col("sim").desc, col(eIdCol))).as("rank"))
+      .localCheckpoint(true)
+    rrfFusion(Seq(bm, dn), "doc_id", k, rrfK)
+      .join(bm.withColumnRenamed("rank", "bm25_rank"), Seq("doc_id"), "left")
+      .join(dn.withColumnRenamed("rank", "cosine_rank"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_rank"), col("cosine_rank"),
+        col("n_lists"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    * SIGIR 2001 — the LMIR.DIR baseline):
+    *
+    *   score(q,d) = Σ_{t∈q, cf(t)>0} ln(1 + tf(t,d) / (μ·cf(t)/|C|))
+    *              + |q_seen| · ln(μ / (dl + μ))
+    *
+    * the rank-equivalent decomposition of Σ ln p(t|d) under
+    * p(t|d) = (tf + μ·p(t|C)) / (dl + μ): only matched terms pay the
+    * first sum, every doc pays the length prior, and query terms with
+    * zero collection frequency drop (their p is 0 under any μ —
+    * standard LMIR practice). Complements [[bm25TopK]]: QL favors
+    * short focused docs via the explicit length prior rather than
+    * BM25's b-knob.
+    *
+    * Scale shape: [[bm25TopK]]'s exactly — one map-only length pass
+    * (pinned), the token explode filtered to query terms BEFORE the
+    * (doc, term) shuffle, collection frequencies a ≤|q|-row broadcast.
+    * Scoring left-joins term hits onto the length frame, so docs with
+    * no hits still rank by the length prior (the correct QL order).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("dl"))
+      .localCheckpoint(true)
+    val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("w"))
+      .filter(col("w").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // collection frequency of the query terms (≤ |q| rows) + |C|;
+    // n_seen = query terms the collection contains at all
+    val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+    val stats = dl.agg(sum(col("dl")).as("tot"))
+      .crossJoin(cf.agg(count(lit(1)).as("n_seen")))
+    val matched = tf.join(broadcast(cf), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(log(lit(1.0) +
+        col("tf") / (lit(mu) * col("cf") / col("tot")))).as("__m"),
+        count(lit(1)).as("n_terms_hit"))
+    dl.join(matched, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        round(coalesce(col("__m"), lit(0.0)) +
+          col("n_seen") * log(lit(mu) / (col("dl") + lit(mu))), 6).as("ql"))
+      .orderBy(col("ql").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document unigram-LM negative log-likelihood (mean -ln p(w),
     * nats/token) against a model fit on the corpus itself, add-one
     * smoothed — CCNet's filtering signal with the corpus standing in for

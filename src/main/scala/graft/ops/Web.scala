@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-payload processing — the step between a crawl archive and a text
@@ -142,6 +142,46 @@ object Web {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       when(path === "", lit("/")).otherwise(path),
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** All `href` values of a page, in document order: the outlink side
+    * of a crawl's link graph. The single-pass regex accepts any tag,
+    * either quote style, case-insensitive attribute name — and leaves
+    * relative/mailto/javascript links to the caller (a link-graph
+    * builder wants absolute http(s) only; a frontier expander may want
+    * relative links resolved instead). Stays in codegen
+    * (`regexp_extract_all`).
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("""(?i)(?<![\w-])href\s*=\s*["']([^"'>]+)["']"""), lit(1))
+
+  /** Host-level web link graph at eTLD+1 granularity — the input to
+    * PageRank-style quality signals ([[Graph.pageRank]]) and to
+    * per-domain curation policy: each page contributes one edge per
+    * absolute http(s) outlink, aggregated to
+    * (src_domain, dst_domain, n_links). Self-edges (intra-domain
+    * navigation) are kept — callers that want the inter-domain graph
+    * filter `src_domain =!= dst_domain`.
+    *
+    * Scale shape: one map-only pass (link extraction, host parse, PSL
+    * eTLD+1 — all codegen'd scalar work) followed by ONE aggregation
+    * shuffle keyed by the domain pair; nothing page-sized survives the
+    * explode. The PSL kernel parses once per JVM and probes O(labels)
+    * per host ([[registrableDomainPsl]]).
+    */
+  def linkGraph(pages: DataFrame, urlCol: String, htmlCol: String,
+      pslText: String): DataFrame = {
+    val src = registrableDomainPsl(urlHost(col(urlCol)), pslText)
+    val u = explode(extractLinks(col(htmlCol)))
+    pages
+      .select(src.as("src_domain"), u.as("__u"))
+      .filter(urlScheme(col("__u")).isin("http", "https"))
+      .select(col("src_domain"),
+        registrableDomainPsl(urlHost(col("__u")), pslText).as("dst_domain"))
+      .filter(col("dst_domain") =!= "")
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
   }
 
   /** HTML → text: script/style/comment blocks out, tags out, common

@@ -180,4 +180,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", 5L -> "changed", 6L -> "added"))
   }
+
+  test("capPerKey: keeps top-N per key by order with deterministic ties; small keys untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // domain a: 4 docs, scores 9,7,7,5 -> cap 2 keeps id 1 and the
+      // LOWER id of the score-7 tie (id 2, not 3)
+      (1L, "a", 9L), (2L, "a", 7L), (3L, "a", 7L), (4L, "a", 5L),
+      // domain b: under the cap, all kept
+      (5L, "b", 1L), (6L, "b", 2L)
+    ).toDF("id", "domain", "score")
+    val kept = Curation.capPerKey(docs, col("domain"), 2,
+        Seq(col("score").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L, 6L))
+    // result carries the original columns only (__rn dropped)
+    assert(Curation.capPerKey(docs, col("domain"), 2,
+      Seq(col("score").desc, col("id"))).columns.toSeq ==
+      Seq("id", "domain", "score"))
+    // partition-count invariance: same survivors at any parallelism
+    val kept1 = Curation.capPerKey(docs.repartition(7), col("domain"), 2,
+        Seq(col("score").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept)
+  }
 }

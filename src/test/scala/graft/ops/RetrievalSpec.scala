@@ -714,4 +714,78 @@ class RetrievalSpec extends AnyFunSuite {
       assert(score <= 1.0 + 1e-9 && score >= -1.0 - 1e-9, s"score bound: $r")
     }
   }
+
+  test("rrfFusion: hand-computed fusion; single-list docs still fuse; k truncates") {
+    import spark.implicits._
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val got = Retrieval.rrfFusion(Seq(l1, l2), "id", k = 4, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10: 1/61 + 1/62; 20: 1/62 + 1/61 (tie, id order); 30: 1/63; 40: 1/63
+    val both = r6(1.0 / 61 + 1.0 / 62)
+    assert(got.toSeq == Seq(
+      (10L, both, 2L), (20L, both, 2L),
+      (30L, r6(1.0 / 63), 1L), (40L, r6(1.0 / 63), 1L)))
+    // k truncates after the (rrf desc, id) order
+    assert(Retrieval.rrfFusion(Seq(l1, l2), "id", k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+  }
+
+  test("hybridRrf: fuses lexical and dense frontiers; one-list docs carry a null rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha unrelated words here"),
+      (3L, "nothing relevant at all") // lexical non-candidate
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(0.0f, 1.0f)),
+      (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val rows = Retrieval.hybridRrf(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", Seq("alpha", "beta"), Seq(1.0f, 0.0f),
+      k = 4, rrfK = 60, candidates = 3).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // doc 0: bm25 rank 1; dense ranks: cos(2)=1 > cos(3)≈.995 > cos(1)≈.707
+    // so dense top-3 = (2,3,1) and doc 0 is dense-unranked
+    assert(byId(0L).getInt(1) == 1 && byId(0L).isNullAt(2))
+    assert(byId(0L).getLong(3) == 1L)
+    // doc 3: lexical non-candidate, dense rank 2
+    assert(byId(3L).isNullAt(1) && byId(3L).getInt(2) == 2)
+    // doc 2 sits in both lists and must out-fuse every one-list doc
+    assert(byId(2L).getLong(3) == 2L)
+    assert(rows.head.getLong(0) == 2L, rows.mkString(","))
+  }
+
+  test("queryLikelihoodTopK: hand-computed Dirichlet scores; zero-cf terms drop; no-hit docs rank by length prior") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), // tf(a)=2, dl=3
+      (2L, "a c"),   // tf(a)=1, dl=2
+      (3L, "c c c c")// no hits, dl=4
+    ).toDF("doc_id", "text")
+    // query = (a, zz): cf(a)=3, cf(zz)=0 -> zz drops, n_seen=1; |C|=9
+    val mu = 2.0
+    val got = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("a", "zz"), k = 3, mu = mu)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pC = 3.0 / 9.0
+    def score(tf: Double, dl: Double) =
+      r6((if (tf > 0) math.log(1 + tf / (mu * pC)) else 0.0) +
+        1.0 * math.log(mu / (dl + mu)))
+    val exp = Seq(
+      (1L, 1L, score(2, 3)), (2L, 1L, score(1, 2)), (3L, 0L, score(0, 4)))
+      .sortBy(t => (-t._3, t._1))
+    assert(got == exp, s"got $got, expected $exp")
+    // doc with hits outranks the no-hit doc; the no-hit doc still scores
+    assert(got.last._1 == 3L && got.last._2 == 0L)
+  }
 }

@@ -182,4 +182,41 @@ class WebSpec extends AnyFunSuite {
       Web.stripHtml(Web.httpBody(col("p")))).as[String].head()
     assert(got == "the real content")
   }
+
+  test("extractLinks: quote styles, attribute case, document order; non-href attrs ignored") {
+    val html = """<a href="https://a.com/x">1</a>""" +
+      """<img src="https://ignored.com/i.png">""" +
+      """<link HREF='http://b.org/style.css'>""" +
+      """<a href = "/relative">2</a>""" +
+      """<a data-href="https://not-an-href.com">3</a>""" +
+      """<area Href='mailto:x@y.z'>"""
+    val links = Seq(html).toDF("h")
+      .select(Web.extractLinks(col("h"))).as[Seq[String]].head()
+    // data-href is NOT an href (the lookbehind rejects attribute names
+    // that merely end in "href"); mailto/relative ARE extracted — the
+    // scheme policy belongs to the caller (linkGraph filters them)
+    assert(links == Seq("https://a.com/x", "http://b.org/style.css",
+      "/relative", "mailto:x@y.z"))
+  }
+
+  test("linkGraph: absolute http(s) only, eTLD+1 aggregation, self-edges kept, counts correct") {
+    val psl = "com\nuk\nco.uk\n"
+    val pages = Seq(
+      ("https://www.me.com/p1",
+        """<a href="https://a.site.com/x">.</a>""" +
+          """<a href="http://b.site.com/y">.</a>""" +        // same eTLD+1 -> n=2
+          """<a href="https://www.example.co.uk/z">.</a>""" +
+          """<a href="/rel">.</a>""" +                        // relative: no edge
+          """<a href="mailto:a@b.c">.</a>""" +                // non-http: no edge
+          """<a href="ftp://files.site.com/f">.</a>"""),      // non-http: no edge
+      ("https://sub.me.com/p2",
+        """<a href="https://me.com/self">.</a>""")            // self-edge at eTLD+1
+    ).toDF("url", "html")
+    val edges = Web.linkGraph(pages, "url", "html", psl)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("me.com", "site.com", 2L),
+      ("me.com", "example.co.uk", 1L),
+      ("me.com", "me.com", 1L)))
+  }
 }
