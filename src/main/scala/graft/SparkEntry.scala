@@ -2312,6 +2312,42 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id")))
         .select(col("domain"), col("doc_id"), col("n_chars"))
         .orderBy(col("domain"), col("n_chars").desc, col("doc_id"))
+    }),
+
+    // ROC AUC (Eval.binaryAuc): Mann-Whitney rank-sum with mid-rank
+    // tie credit — the acceptance metric for the learned quality
+    // gates (q123's classifier emits scores; this says whether they
+    // separate). score = n_chars (integer-valued -> heavy ties, the
+    // mid-rank path is load-bearing), label = token count >= 40
+    // (correlated -> AUC well above 0.5). The corpus collapses to
+    // distinct-score groups; the rank prefix is the q132 distributed
+    // prefix sum (range partition + offsets), never a global window;
+    // all sums integer/half-integer so the oracle is bit-exact.
+    "q154_binary_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Eval.binaryAuc(
+        docs.select(col("n_chars").cast("double").as("score"),
+          (graft.ops.TextAnalysis.tokenCount(col("text")) >= 40)
+            .cast("int").as("label")),
+        "score", "label")
+    }),
+
+    // CALIBRATION / ECE (Eval.calibration): reliability report of a
+    // probabilistic scorer — 10 equal-width bins, per-bin mean score
+    // vs empirical positive rate, expected calibration error folded
+    // over the bins. The synthetic scorer is calibrated BY
+    // CONSTRUCTION (label drawn by comparing two independent integer
+    // hashes, P(y=1|p) ≈ p), all from exact integer arithmetic; score
+    // sums ride 12-dp DECIMAL (the q149 device) so both engines bin
+    // and average bit-identically.
+    "q155_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val p = pmod(col("doc_id") * 131, lit(997)).cast("double") / 996.0
+      val y = (pmod(col("doc_id") * 613, lit(997)) <
+        pmod(col("doc_id") * 131, lit(997))).cast("int")
+      graft.ops.Eval.calibration(
+          docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
+        .orderBy(col("bin"))
     })
   )
 
@@ -4598,6 +4634,43 @@ object SparkEntry {
         |  FROM documents)
         |SELECT domain, doc_id, n_chars FROM d WHERE rn <= 25
         |ORDER BY domain, n_chars DESC, doc_id""".stripMargin,
+
+    // Mann-Whitney with average ranks over distinct-score groups:
+    // cum = count strictly below the group, avg rank = cum + (n+1)/2
+    "q154_binary_auc" ->
+      """WITH t AS (
+        |  SELECT n_chars::DOUBLE AS s,
+        |    (len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 40)::INT AS y
+        |  FROM documents),
+        |g AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+        |o AS (
+        |  SELECT *, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT sum(np)::BIGINT AS n_pos, sum(n - np)::BIGINT AS n_neg,
+        |    sum(np * (cum + (n + 1) / 2.0)) AS ranksum
+        |  FROM o)
+        |SELECT n_pos, n_neg,
+        |  round((ranksum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+        |FROM a""".stripMargin,
+
+    "q155_calibration" ->
+      """WITH t AS (
+        |  SELECT (doc_id * 131 % 997)::DOUBLE / 996.0 AS p,
+        |    (doc_id * 613 % 997 < doc_id * 131 % 997)::INT AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(floor(p * 10)::INT, 9) AS bin, count(*) AS n,
+        |    round(sum(p::DECIMAL(26,12))::DOUBLE / count(*), 6) AS mean_score,
+        |    round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+        |  FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT round(sum(n * abs(frac_pos::DECIMAL(12,6) -
+        |      mean_score::DECIMAL(12,6)))::DOUBLE / sum(n), 6) AS ece
+        |  FROM b)
+        |SELECT bin, n, mean_score, frac_pos, ece FROM b CROSS JOIN e
+        |ORDER BY bin""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -77,6 +77,109 @@ object Eval {
       avg(col("mrr_at_k")).as("mrr_at_k"),
       avg(col("ndcg_at_k")).as("ndcg_at_k"))
 
+  /** ROC AUC of a binary scorer over a scored corpus — the acceptance
+    * metric for the learned quality/langid classifiers (is the filter's
+    * score actually separating the classes it gates on?). Computed by
+    * the rank-sum (Mann-Whitney) identity with AVERAGE ranks for tied
+    * scores:
+    *
+    *   AUC = (Σ_{positives} avgrank − P(P+1)/2) / (P·N)
+    *
+    * Returns one row (n_pos, n_neg, auc). Ties get the textbook
+    * mid-rank, so the result equals the probability a random positive
+    * outranks a random negative with ties counted half — exactly
+    * sklearn's roc_auc_score.
+    *
+    * 100 TB shape: one groupBy collapses the corpus to DISTINCT SCORE
+    * rows (the classifier's quantization grain, not the corpus); the
+    * rank prefix over score groups is the distributed range-partition
+    * prefix sum (the q132/packSequential device — per-partition
+    * subtotals collected, offsets rebroadcast; never a global
+    * single-partition window). Every sum is integer or half-integer
+    * (dyadic — FP-exact in any engine); the single division happens
+    * once at the end.
+    */
+  def binaryAuc(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // distinct-score groups: n rows, np positives at this score
+    val groups = scored
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("np"))
+      .repartitionByRange(col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin the range boundaries (offsets job
+                             // and scoring job must agree)
+    val offsets = groups.groupBy(col("__pid"))
+      .agg(sum(col("n")).as("__c")).collect()
+      .sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("__cum",
+        coalesce(sum(col("n")).over(w), lit(0L)) + col("__off"))
+      // avg rank of a tied group = ranks (cum+1 .. cum+n) averaged
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (col("__cum") + (col("n") + 1) / lit(2.0)))
+          .as("__ranksum"))
+      .select(col("n_pos"), col("n_neg"),
+        // single-class input has no ranking to measure: auc = null
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__ranksum") -
+            col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+            (col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Calibration report of a probabilistic scorer: equal-width bins
+    * over [0,1], per bin (n, mean_score, frac_pos), plus the expected
+    * calibration error ECE = Σ n_b/N · |frac_pos − mean_score| carried
+    * on every row (constant column — the report is bins+summary in one
+    * frame). A well-calibrated quality classifier has frac_pos ≈
+    * mean_score per bin; a miscalibrated one gates on thresholds that
+    * don't mean what they say. Scores exactly 1.0 land in the top bin.
+    *
+    * One aggregation shuffle over (corpus → bins rows); the ECE fold is
+    * a broadcast of the bins-sized frame back onto itself. Determinism:
+    * scores quantize to 12 dp and sum as DECIMAL (order-independent —
+    * no float-accumulation drift between engines or partitionings, the
+    * tuneJmLambda device), labels sum as integers; the 6-dp outputs are
+    * therefore bit-reproducible anywhere.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = col(scoreCol).cast("double")
+    val perBin = scored
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        s.cast("decimal(26,12)").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 6)
+          .as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+    // rounded 6-dp doubles recover their decimal digits exactly under
+    // the cast, so the weighted fold is integer/decimal arithmetic
+    val ece = perBin.agg(
+      round(sum(col("n") * abs(col("frac_pos").cast("decimal(12,6)") -
+          col("mean_score").cast("decimal(12,6)"))).cast("double") /
+        sum(col("n")), 6).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
   /** Label-relevance evaluation harness: rank a bounded candidate set
     * for each query vector by exact cosine and score the ranking with
     * "same label" as the relevance oracle — the standard

@@ -79,4 +79,53 @@ class EvalSpec extends AnyFunSuite {
       assert(recall == 1.0, s"query $q recall $recall")
     }
   }
+
+  test("binaryAuc: matches the naive pairwise definition with tie half-credit") {
+    import spark.implicits._
+    def naiveAuc(rows: Seq[(Double, Int)]): Double = {
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      BigDecimal(wins / (pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // ties across and within classes, perfect + inverted regions
+    val rows = Seq(
+      (0.9, 1), (0.9, 0), (0.8, 1), (0.8, 1), (0.7, 0),
+      (0.5, 1), (0.5, 0), (0.5, 0), (0.3, 0), (0.3, 1), (0.1, 0))
+    val got = Eval.binaryAuc(rows.toDF("score", "label"), "score", "label")
+      .head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 6L)
+    assert(got.getDouble(2) == naiveAuc(rows), s"got $got")
+    // partition invariance (the prefix-sum offsets must not depend on
+    // the layout)
+    val got8 = Eval.binaryAuc(rows.toDF("score", "label").repartition(8),
+      "score", "label").head()
+    assert(got8.getDouble(2) == naiveAuc(rows))
+    // perfect separation = 1.0; single-class input -> null
+    assert(Eval.binaryAuc(Seq((0.9, 1), (0.1, 0)).toDF("score", "label"),
+      "score", "label").head().getDouble(2) == 1.0)
+    assert(Eval.binaryAuc(Seq((0.9, 1), (0.1, 1)).toDF("score", "label"),
+      "score", "label").head().isNullAt(2))
+  }
+
+  test("calibration: hand-computed bins, top-bin inclusion of 1.0, ECE fold") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.05, 0), (0.15, 0), (0.18, 1), // bins 0 and 1
+      (0.95, 1), (1.0, 1))             // bin 9 (1.0 clamps in)
+    val got = Eval.calibration(rows.toDF("p", "y"), "p", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set(0, 1, 9))
+    assert(got(0) == (1L, 0.05, 0.0, got(0)._4))
+    assert(got(1)._1 == 2L && got(1)._2 == 0.165 && got(1)._3 == 0.5)
+    assert(got(9)._1 == 2L && got(9)._2 == 0.975 && got(9)._3 == 1.0)
+    // ece = (1*|0-0.05| + 2*|0.5-0.165| + 2*|1-0.975|) / 5
+    val ece = BigDecimal((1 * 0.05 + 2 * 0.335 + 2 * 0.025) / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._4 == ece, s"ece ${got(0)._4} != $ece")
+  }
 }
