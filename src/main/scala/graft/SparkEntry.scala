@@ -2348,6 +2348,38 @@ object SparkEntry {
       graft.ops.Eval.calibration(
           docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // ROBOTS.TXT CRAWL GATE (functions.RobotsKernel via
+    // Web.robotsAllowed): RFC 9309 group resolution (exact agent
+    // beats *), wildcard `*` + `$`-anchored patterns, longest-match
+    // precedence — the politeness verdict a WARC pipeline applies
+    // before a page enters the corpus. Five doc_id shapes cover
+    // disallow-prefix, plain allow, allow-beats-shorter-disallow,
+    // exact-agent-group, and wildcard-anchored rules; the oracle
+    // replays the DECISION per shape (q138's device). The parsed rule
+    // table caches per (robots digest, agent) per JVM, so per-row cost
+    // is one digest + O(rules) probes inside codegen.
+    "q156_robots_gate" -> ((s, dir) => {
+      val k = col("doc_id").cast("string")
+      val shape = pmod(col("doc_id"), lit(5))
+      val robots = when(shape === 3,
+          lit("User-agent: graftbot\nDisallow: /g/\n\n" +
+            "User-agent: *\nAllow: /\n"))
+        .when(shape === 2,
+          lit("User-agent: *\nDisallow: /a/\nAllow: /a/b/\n"))
+        .when(shape === 4, lit("User-agent: *\nDisallow: /*.pdf$\n"))
+        .otherwise(lit("User-agent: *\nDisallow: /private/\n"))
+      val path = when(shape === 0, concat(lit("/private/page"), k))
+        .when(shape === 1, concat(lit("/public/page"), k))
+        .when(shape === 2, concat(lit("/a/b/c"), k))
+        .when(shape === 3, concat(lit("/g/x"), k))
+        .otherwise(concat(lit("/files/doc"), k, lit(".pdf")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), path.as("path"),
+          graft.ops.Web.robotsAllowed(robots, path, "graftbot")
+            .as("allowed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4671,6 +4703,17 @@ object SparkEntry {
         |  FROM b)
         |SELECT bin, n, mean_score, frac_pos, ece FROM b CROSS JOIN e
         |ORDER BY bin""".stripMargin,
+
+    "q156_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/private/page' || doc_id::VARCHAR
+        |    WHEN 1 THEN '/public/page' || doc_id::VARCHAR
+        |    WHEN 2 THEN '/a/b/c' || doc_id::VARCHAR
+        |    WHEN 3 THEN '/g/x' || doc_id::VARCHAR
+        |    ELSE '/files/doc' || doc_id::VARCHAR || '.pdf' END AS path,
+        |  doc_id % 5 IN (1, 2) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -323,6 +323,14 @@ package object functions {
   def registrable_domain_psl(host: Column, pslText: String): Column =
     toColumn(RegistrableDomainPsl(exprOf(host), pslText))
 
+  /** robots.txt verdict for `path` under a fixed crawler user-agent
+    * (RFC 9309 subset: group resolution, `*`/`$` patterns,
+    * longest-match precedence, allow wins ties).
+    */
+  def robots_allowed(robotsText: Column, path: Column,
+      userAgent: String): Column =
+    toColumn(RobotsAllowed(exprOf(robotsText), exprOf(path), userAgent))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -483,7 +491,11 @@ package object functions {
     ("registrable_domain_psl",
       "registrable_domain_psl(host, pslText) - eTLD+1 under a Public Suffix List",
       es => RegistrableDomainPsl(es(0),
-        stringArg(es(1), "registrable_domain_psl", "pslText"))))
+        stringArg(es(1), "registrable_domain_psl", "pslText"))),
+    ("robots_allowed",
+      "robots_allowed(robotsText, path, userAgent) - RFC 9309 crawl verdict",
+      es => RobotsAllowed(es(0), es(1),
+        stringArg(es(2), "robots_allowed", "userAgent"))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -275,10 +275,13 @@ object Release {
       // built from some other corpus lineage — the inner join below
       // would silently drop the pair and true duplicates would pass
       // unverified. The audit is candidate-sized (the precise set
-      // whose absence corrupts the verify), not a corpus-sized sweep
-      // of all live ids.
+      // whose absence corrupts the verify), and newSnap membership
+      // reads off the PINNED diff (status != removed ⇔ id ∈ newSnap;
+      // an id absent from the diff is in neither snapshot) — no second
+      // corpus scan.
       val missingRef = cands.select(col("ref_id")).distinct()
-        .join(newSnap.select(col(idCol).as("ref_id")),
+        .join(diff.filter(col("status") =!= "removed")
+            .select(col("id").as("ref_id")),
           Seq("ref_id"), "left_anti")
         .limit(3).collect()
       require(missingRef.isEmpty,

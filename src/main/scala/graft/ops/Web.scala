@@ -156,6 +156,18 @@ object Web {
     regexp_extract_all(html,
       lit("""(?i)(?<![\w-])href\s*=\s*["']([^"'>]+)["']"""), lit(1))
 
+  /** robots.txt crawl verdict ([[graft.functions.RobotsKernel]] — RFC
+    * 9309 subset: group resolution with exact-agent-over-`*`
+    * precedence, `*`/`$` path patterns, longest-pattern-wins, allow on
+    * ties, allow by default). `robotsText` is the host's robots.txt
+    * body (per-row — a crawl frame usually joins it in by host);
+    * parsing caches per JVM keyed by content digest, so every page of
+    * a host pays one digest + O(rules) probes inside codegen.
+    */
+  def robotsAllowed(robotsText: Column, path: Column,
+      userAgent: String): Column =
+    graft.functions.robots_allowed(robotsText, path, userAgent)
+
   /** Host-level web link graph at eTLD+1 granularity — the input to
     * PageRank-style quality signals ([[Graph.pageRank]]) and to
     * per-domain curation policy: each page contributes one edge per

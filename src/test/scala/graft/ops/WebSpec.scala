@@ -199,6 +199,51 @@ class WebSpec extends AnyFunSuite {
       "/relative", "mailto:x@y.z"))
   }
 
+  test("robotsAllowed: groups, agent precedence, wildcard/$ patterns, longest-match, tie->allow") {
+    val robots =
+      """# corpus crawler policy
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/press/
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /tmp/
+        |Allow: /tmp/keep$
+        |Disallow: /*.pdf$
+        |Disallow:
+        |Sitemap: https://x.com/sitemap.xml
+        |""".stripMargin
+    def verdict(path: String, agent: String): Boolean =
+      Seq((robots, path)).toDF("r", "p")
+        .select(Web.robotsAllowed(col("r"), col("p"), agent))
+        .as[Boolean].head()
+    // exact-agent group wins: the * group's /private/ rule is IGNORED
+    // for graftbot (RFC 9309 §2.2.1)
+    assert(verdict("/private/x", "graftbot"))
+    assert(!verdict("/private/x", "strangerbot"))
+    // * group: longest match flips back to allow under /private/press/
+    assert(verdict("/private/press/a", "strangerbot"))
+    // graftbot rules (stacked UA lines bind both agents)
+    assert(!verdict("/tmp/x", "graftbot"))
+    assert(!verdict("/tmp/x", "OTHERBOT")) // case-insensitive token
+    assert(verdict("/tmp/keep", "graftbot"))   // $-anchored allow, longer
+    assert(!verdict("/tmp/keepX", "graftbot")) // anchor must hold
+    assert(!verdict("/docs/a.pdf", "graftbot")) // * wildcard + $ anchor
+    assert(verdict("/docs/a.pdf.html", "graftbot"))
+    assert(verdict("/anything", "graftbot")) // empty Disallow: no rule
+    // equal-length allow/disallow tie resolves to allow
+    val tie = "User-agent: *\nDisallow: /a/\nAllow: /a*\n"
+    val tied = Seq((tie, "/a/")).toDF("r", "p")
+      .select(Web.robotsAllowed(col("r"), col("p"), "graftbot"))
+      .as[Boolean].head()
+    assert(tied) // "/a/" (3) vs "/a*" (3): tie -> allow
+    // no robots rules at all -> allowed
+    assert(Seq(("", "/x")).toDF("r", "p")
+      .select(Web.robotsAllowed(col("r"), col("p"), "graftbot"))
+      .as[Boolean].head())
+  }
+
   test("linkGraph: absolute http(s) only, eTLD+1 aggregation, self-edges kept, counts correct") {
     val psl = "com\nuk\nco.uk\n"
     val pages = Seq(
