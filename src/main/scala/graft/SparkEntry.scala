@@ -2380,6 +2380,22 @@ object SparkEntry {
           graft.ops.Web.robotsAllowed(robots, path, "graftbot")
             .as("allowed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MMR DIVERSIFICATION (Retrieval.mmrDiversify): Carbonell &
+    // Goldstein's greedy relevance-vs-redundancy re-rank over the
+    // cosine top-50 frontier — the dedup-aware top-k. The greedy is
+    // sequential in k, so it folds on the driver over PARAMETER-sized
+    // state (50 rel rows + 1225 pairwise sims, all rounded 6 dp
+    // in-plan); the oracle replays the full selection as a recursive
+    // CTE carrying the selected-id list, with its own independently
+    // computed pairwise sims.
+    "q157_mmr_diversify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      graft.ops.Retrieval.mmrDiversify(emb, "vec_id", "embedding",
+          qv, k = 10, lambda = 0.7, candidates = 50)
+        .orderBy(col("rank"))
     })
   )
 
@@ -4714,6 +4730,43 @@ object SparkEntry {
         |    ELSE '/files/doc' || doc_id::VARCHAR || '.pdf' END AS path,
         |  doc_id % 5 IN (1, 2) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the greedy replayed as a recursive CTE: state = (ids, mmrs)
+    // lists; each step picks argmax of round6(0.7*rel - 0.3*max sim
+    // to selected) with the id tie-break, from independently computed
+    // 6-dp rel/sims
+    "q157_mmr_diversify" ->
+      """WITH RECURSIVE
+        |cand AS (
+        |  SELECT a.vec_id AS id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS rel,
+        |    a.embedding::DOUBLE[] AS v
+        |  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY rel DESC, a.vec_id LIMIT 50),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.id < b.id),
+        |sel AS (
+        |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS ids, CAST([] AS DOUBLE[]) AS ms
+        |  UNION ALL
+        |  SELECT step + 1, list_append(ids, pick.i), list_append(ms, pick.m)
+        |  FROM sel s, LATERAL (
+        |    SELECT {'i': id, 'm': mmr} AS pick FROM (
+        |      SELECT c.id AS id,
+        |        round(0.7 * c.rel - 0.3 * coalesce((
+        |          SELECT max(p.sim) FROM pairs p
+        |          WHERE (p.ia = c.id AND list_contains(s.ids, p.ib))
+        |             OR (p.ib = c.id AND list_contains(s.ids, p.ia))), 0.0), 6) AS mmr
+        |      FROM cand c WHERE NOT list_contains(s.ids, c.id))
+        |    ORDER BY mmr DESC, id LIMIT 1) pick(pick)
+        |  WHERE s.step < 10)
+        |SELECT t.rank, t.doc_id, c.rel, t.mmr FROM (
+        |  SELECT generate_subscripts(ids, 1) AS rank, unnest(ids) AS doc_id,
+        |    unnest(ms) AS mmr
+        |  FROM sel WHERE step = 10) t
+        |JOIN cand c ON c.id = t.doc_id
+        |ORDER BY t.rank""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

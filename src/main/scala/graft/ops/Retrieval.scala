@@ -166,6 +166,79 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998): greedily re-rank a top-`candidates` cosine frontier so
+    * each pick trades relevance against redundancy with what is already
+    * selected:
+    *
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    *
+    * (max over the empty set = 0, so the first pick is the most
+    * relevant candidate). Returns (rank, doc_id, rel, mmr) for k picks.
+    * The dedup-aware cousin of [[Similarity.topK]]: a near-duplicate of
+    * a selected doc scores its redundancy away instead of filling the
+    * result with copies.
+    *
+    * Scale shape: the GREEDY IS INHERENTLY SEQUENTIAL in k, so it runs
+    * on the driver over the candidate frontier — a BOUNDED collect
+    * (`candidates` rows + `candidates²/2` pairwise sims, both sized by
+    * the parameter, never the corpus; 50 candidates = 1,225 pairs).
+    * The corpus is touched only by the distributed top-k scan and the
+    * candidate-pruned pairwise cross (both rounded to 6 dp in-plan, so
+    * the driver folds pure arithmetic and an external engine replays
+    * the selection bit-for-bit).
+    */
+  def mmrDiversify(emb: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int, lambda: Double = 0.7,
+      candidates: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    require(candidates >= k, s"need candidates >= k")
+    require(candidates <= 4096,
+      s"candidates bounds the driver collect; $candidates > 4096")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = Similarity.topK(emb, idCol, vecCol, queryVec, candidates)
+      .withColumnRenamed("sim", "rel")
+      .localCheckpoint(true) // candidate-sized; rel collect + vec join
+    val rel = cand.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = emb
+      .join(cand.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val sims = vecs.as("a")
+      .crossJoin(vecs.as("b"))
+      .filter(col("a.__id") < col("b.__id"))
+      .select(col("a.__id"), col("b.__id"),
+        round(graft.functions.vec_cosine(col("a.__v"), col("b.__v")), 6)
+          .as("__sim"))
+      .collect() // bounded: candidates^2 / 2 rows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sim(a: Long, b: Long): Double =
+      if (a < b) sims((a, b)) else sims((b, a))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+    val picked = Seq.newBuilder[(Int, Long, Double, Double)]
+    var rank = 1
+    while (rank <= math.min(k, rel.size)) {
+      val selected = picked.result().map(_._2)
+      // argmax by (mmr desc, id asc) — TreeSet iteration is id-asc, so
+      // strict > keeps the lowest id among ties
+      var bestId = -1L; var bestMmr = Double.NegativeInfinity
+      remaining.foreach { c =>
+        val red = if (selected.isEmpty) 0.0
+          else selected.map(s => sim(c, s)).max
+        val m = round6(lambda * rel(c) - (1.0 - lambda) * red)
+        if (m > bestMmr) { bestMmr = m; bestId = c }
+      }
+      remaining -= bestId
+      picked += ((rank, bestId, rel(bestId), bestMmr))
+      rank += 1
+    }
+    picked.result().toDF("rank", "doc_id", "rel", "mmr")
+  }
+
   /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
     * SIGIR 2001 — the LMIR.DIR baseline):
     *

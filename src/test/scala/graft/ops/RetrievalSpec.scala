@@ -763,6 +763,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 2L, rows.mkString(","))
   }
 
+  test("mmrDiversify: defers redundant picks; lambda=1 reduces to pure top-k; first pick is top-rel") {
+    import spark.implicits._
+    // query along x; doc 1 IS doc 2 (duplicates, rel ~.995); doc 3
+    // slightly less relevant but orthogonal to them
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),   // query anchor
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // exact duplicate of 1
+      (3L, Seq(0.85f, 0.0f, 0.3f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f))    // irrelevant
+    ).toDF("vec_id", "embedding")
+    val qv = Seq(1.0f, 0.0f, 0.0f)
+    val picks = Retrieval.mmrDiversify(emb, "vec_id", "embedding",
+        qv, k = 3, lambda = 0.5, candidates = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // rank 1: doc 0 (the anchor itself, rel 1.0); rank 2 must NOT be
+    // the duplicate pair's second member right after its first —
+    // diversity sends doc 3 ahead of the copy
+    assert(picks(0) == (1, 0L))
+    val order = picks.map(_._2).toSeq
+    val i1 = order.indexOf(1L); val i2 = order.indexOf(2L)
+    val i3 = order.indexOf(3L)
+    assert((i1 >= 0 && i3 >= 0 && i3 < math.max(i1, if (i2 < 0) 99 else i2))
+      || i2 < 0,
+      s"diversification must interleave the orthogonal doc: $order")
+    // lambda = 1: redundancy ignored -> exactly the cosine top-k order
+    val pure = Retrieval.mmrDiversify(emb, "vec_id", "embedding",
+        qv, k = 4, lambda = 1.0, candidates = 5)
+      .collect().map(_.getLong(1)).toSeq
+    val topk = Similarity.topK(emb, "vec_id", "embedding", qv, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == topk, s"$pure vs $topk")
+  }
+
   test("queryLikelihoodTopK: hand-computed Dirichlet scores; zero-cf terms drop; no-hit docs rank by length prior") {
     import spark.implicits._
     val docs = Seq(
