@@ -2396,6 +2396,53 @@ object SparkEntry {
       graft.ops.Retrieval.mmrDiversify(emb, "vec_id", "embedding",
           qv, k = 10, lambda = 0.7, candidates = 50)
         .orderBy(col("rank"))
+    }),
+
+    // PCA / WHITENING (ops/Projection + functions.VectorMoments /
+    // PcaProject): train-by-one-aggregation-pass (mergeable
+    // [n, Σx, upper-tri Σxxᵀ] buffer — nothing vector-shaped
+    // shuffles), driver-side Jacobi on the d×d system, codegen'd
+    // map-only projection. Oracle device: the EXACT side is the 4×4
+    // covariance of 6-dp-quantized leading dims (DECIMAL sums — both
+    // engines replay bit-for-bit); the eigen side rides in-plan proof
+    // booleans (orthonormality residual, descending eigenvalues, and
+    // projected-coordinate variance == eigenvalue to 1e-6 relative —
+    // true iff the components are genuine eigenvectors of THIS data's
+    // covariance), the q65 bounded-error device.
+    "q158_pca_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.ops.Projection.trainPca(emb, "embedding", 8)
+      val st = emb
+        .select(graft.ops.Projection.pcaProject(col("embedding"), m).as("y"))
+        .agg(graft.functions.vec_moments(col("y"))).head().getSeq[Double](0)
+      val n = st(0)
+      val projVarOk = (0 until m.k).forall { j =>
+        val mean = st(1 + j) / n
+        val diag = st(1 + m.k + j * m.k - j * (j - 1) / 2)
+        val v = diag / n - mean * mean
+        m.eigenvalues(j) <= 1e-12 ||
+          math.abs(v / m.eigenvalues(j) - 1.0) < 1e-6
+      }
+      val orthOk = m.orthonormalityResidual < 1e-9
+      val eigDescOk = m.eigenvalues.zip(m.eigenvalues.drop(1))
+        .forall { case (a, b) => a >= b }
+      val x = emb
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("col").cast("double"), 6).cast("decimal(12,6)").as("x"))
+      val xb = x.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+      x.join(xb, Seq("vec_id")).filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("i"), col("j"),
+          round((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("np")) /
+            col("np"), 6).as("cov_q"),
+          lit(orthOk).as("orthonormal_ok"),
+          lit(eigDescOk).as("eig_desc_ok"),
+          lit(projVarOk).as("proj_var_ok"))
+        .orderBy(col("i"), col("j"))
     })
   )
 
@@ -4767,6 +4814,24 @@ object SparkEntry {
         |  FROM sel WHERE step = 10) t
         |JOIN cand c ON c.id = t.doc_id
         |ORDER BY t.rank""".stripMargin,
+
+    // exact side: covariance of the 6-dp-quantized leading 4 dims via
+    // DECIMAL sums; the eigen certification booleans are in-plan
+    // proofs (literal TRUE here — the q65 device)
+    "q158_pca_audit" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding[1:4], 1) AS i,
+        |    round(unnest(embedding[1:4])::DOUBLE, 6)::DECIMAL(12,6) AS x
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS np,
+        |    sum(a.x) AS sx, sum(b.x) AS sy, sum(a.x * b.x) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT i, j,
+        |  round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / np) / np, 6) AS cov_q,
+        |  TRUE AS orthonormal_ok, TRUE AS eig_desc_ok, TRUE AS proj_var_ok
+        |FROM p ORDER BY i, j""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -63,6 +63,18 @@ package object functions {
   def vec_sum(vec: Column): Column =
     toColumn(VectorSum(exprOf(vec)).toAggregateExpression())
 
+  /** Single-pass covariance sufficient statistics over vectors:
+    * flat [n, sums(d), upper-triangle Σx·xᵀ] per group.
+    */
+  def vec_moments(vec: Column): Column =
+    toColumn(VectorMoments(exprOf(vec)).toAggregateExpression())
+
+  /** y = C·(x − μ), optionally whitened — PCA projection under a
+    * carried model ([[PcaKernel.Proj]]).
+    */
+  def pca_project(vec: Column, proj: PcaKernel.Proj): Column =
+    toColumn(PcaProject(exprOf(vec), proj))
+
   /** Misra-Gries heavy-hitters aggregate: struct(n, counts map) with
     * the deterministic `true - n/(k+1) <= est <= true` guarantee,
     * merge-safe across partitions (Agarwal et al., PODS 2012).
