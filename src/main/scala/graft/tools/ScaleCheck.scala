@@ -58,7 +58,7 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff sfbench) to run a subset; no args = everything
+    // knref releasediff webeval sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -1553,6 +1553,102 @@ object ScaleCheck {
       f"release(2000rm/2000chg/200dup/200new)=$tRel%.1f s " +
       f"dups_caught=200/200 near_dup_0.85_not_fired=true")
     c210.unpersist()
+    }
+
+    if (run("webeval")) {
+    // ---- 5x. Round-13 faces at volume ---------------------------------
+    // robots gate: 2M paths across 1,000 DISTINCT robots.txt bodies
+    // (hosts) — the kernel must amortize parsing through the digest-
+    // keyed cache (2M rows, 1k parses) and verdicts are exact by
+    // construction (planted decision shapes).
+    val nPaths = 2000000L
+    val hostId = pmod(col("id"), lit(1000))
+    val robotsTxt = concat(lit("User-agent: *\nDisallow: /private"),
+      hostId, lit("/\nAllow: /private"), hostId, lit("/press/\n"))
+    val pathCol = when(col("id") % 3 === 0,
+        concat(lit("/private"), hostId, lit("/x"), col("id")))     // deny
+      .when(col("id") % 3 === 1,
+        concat(lit("/private"), hostId, lit("/press/"), col("id"))) // allow
+      .otherwise(concat(lit("/pub/"), col("id")))                   // allow
+    val (robotsCounts, tRob) = time {
+      spark.range(nPaths)
+        .select(graft.ops.Web.robotsAllowed(robotsTxt, pathCol,
+          "graftbot").as("ok"))
+        .groupBy(col("ok")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    }
+    require(robotsCounts(false) == nPaths / 3 + (if (nPaths % 3 > 0) 1 else 0),
+      s"robots deny count: $robotsCounts")
+    println(f"ROBOTS> paths=$nPaths hosts=1000 deny=${robotsCounts(false)} " +
+      f"t=$tRob%.1f s (${nPaths / tRob / 1e6}%.2f M paths/s)")
+
+    // link graph: 1M pages x 3 outlinks -> eTLD+1 edges; one
+    // aggregation shuffle; edge-count arithmetic is exact.
+    val nPages = 1000000L
+    val pk = pmod(col("id"), lit(5000)).cast("string") // 5k src domains
+    val htmlCol = concat(
+      lit("<a href=\"https://hub.example.com/x\">.</a>"),
+      lit("<a href='http://peer"), pmod(col("id"), lit(100)).cast("string"),
+      lit(".org/y'>.</a><a href=\"/rel\">.</a>"),
+      lit("<a href=\"https://self"), pk, lit(".net/z\">.</a>"))
+    val pages = spark.range(nPages).select(
+      concat(lit("https://self"), pk, lit(".net/p"), col("id")).as("url"),
+      htmlCol.as("html"))
+    val psl13 = "com\norg\nnet\n"
+    val (edges, tLg) = time {
+      val e = graft.ops.Web.linkGraph(pages, "url", "html", psl13)
+        .localCheckpoint(true)
+      (e.count(), e.agg(sum(col("n_links"))).head.getLong(0))
+    }
+    // per src domain: 1 hub edge + up to 100 peer edges + 1 self edge;
+    // total links = 3 per page (relative link contributes nothing)
+    require(edges._2 == 3L * nPages, s"total links: ${edges._2}")
+    println(f"LINKGRAPH> pages=$nPages edges=${edges._1} " +
+      f"links=${edges._2} t=$tLg%.1f s (${nPages / tLg / 1e6}%.2f M pages/s)")
+
+    // binary AUC: 5M rows, 1,000 distinct scores, label = score-rank
+    // threshold -> closed-form AUC = 1.0 for perfectly separated,
+    // and a planted mixed band makes it exactly computable: here labels
+    // are 1 iff score >= 500, so every positive outranks every negative
+    // except ties at the boundary... keep it clean: strict separation.
+    val nAuc = 5000000L
+    val scored = spark.range(nAuc).select(
+      pmod(xxhash64(col("id")), lit(1000)).cast("double").as("score"))
+      .withColumn("label", (col("score") >= 500).cast("int"))
+    val (aucRow, tAuc) = time {
+      graft.ops.Eval.binaryAuc(scored, "score", "label").head()
+    }
+    require(aucRow.getDouble(2) == 1.0,
+      s"separated classes must score AUC 1.0: $aucRow")
+    println(f"AUC> rows=$nAuc distinct=1000 auc=${aucRow.getDouble(2)} " +
+      f"t=$tAuc%.1f s (${nAuc / tAuc / 1e6}%.1f M rows/s)")
+
+    // PCA: single-pass moments over 2M x 64-dim vectors, then the
+    // projected-variance == eigenvalue identity as the correctness
+    // probe (components must be genuine eigenvectors of THIS data).
+    val nVecs = 2000000L
+    val dims = 64
+    val vecsDf = spark.range(nVecs).select(array((0 until dims).map(i =>
+      (pmod(xxhash64(col("id"), lit(i)), lit(1000)).cast("float") / 1000.0f +
+        when(lit(i) < 8, col("id").cast("float") / nVecs).otherwise(lit(0.0f)))
+    ): _*).as("embedding")).localCheckpoint(true)
+    val (pcaM, tPca) = time {
+      graft.ops.Projection.trainPca(vecsDf, "embedding", 8)
+    }
+    val stP = vecsDf.select(graft.ops.Projection.pcaProject(
+        col("embedding"), pcaM).as("y"))
+      .agg(graft.functions.vec_moments(col("y"))).head().getSeq[Double](0)
+    val okVar = (0 until pcaM.k).forall { j =>
+      val mn = stP(1 + j) / stP(0)
+      val v = stP(1 + pcaM.k + j * pcaM.k - j * (j - 1) / 2) / stP(0) - mn * mn
+      math.abs(v / pcaM.eigenvalues(j) - 1.0) < 1e-5
+    }
+    require(okVar && pcaM.orthonormalityResidual < 1e-9,
+      s"PCA identity failed (resid=${pcaM.orthonormalityResidual})")
+    println(f"PCA> vecs=$nVecs dim=$dims k=8 train=$tPca%.1f s " +
+      f"(${nVecs / tPca / 1e6}%.2f M vecs/s) " +
+      f"resid=${pcaM.orthonormalityResidual}%.2e var_eig_ok=$okVar")
+    vecsDf.unpersist()
     }
 
     if (run("sfbench")) {
