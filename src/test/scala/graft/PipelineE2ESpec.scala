@@ -231,18 +231,28 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
 
     // batch 1: one exact ref dup (1), one near ref dup (2), clean prose
-    // (3,4), and a template-spam doc (5) the compression gate must drop
+    // (3,4), a template-spam doc (5) the compression gate must drop,
+    // and a robots-disallowed doc (6) the politeness gate must drop
+    // BEFORE dedup (it duplicates the reference verbatim — if the
+    // robots gate leaked it, it would flag)
     drop("b1", Seq(
       1L -> refText,
       2L -> refText.replace("warm", "cold"),
       3L -> prose(3), 4L -> prose(4),
-      5L -> ("buy now! " * 60)))
+      5L -> ("buy now! " * 60),
+      6L -> refText))
 
+    // crawl politeness: docs land on /doc/<id>; ids ending in 6 sit
+    // under a disallowed prefix (robots gate is a stateless codegen
+    // expression, so it composes into the stream like any filter)
+    val robotsPolicy = "User-agent: *\nDisallow: /doc/6\n"
     val parsed = Warc.readStream(spark, land)
       .selectExpr("CAST(substr(record_id, 11) AS BIGINT) AS doc_id",
         "CAST(payload AS STRING) AS text")
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
     val gated = parsed
+      .filter(graft.ops.Web.robotsAllowed(lit(robotsPolicy),
+        concat(lit("/doc/"), col("doc_id")), "graftbot"))
       .withColumn("ratio",
         graft.functions.deflate_size(col("text")).cast("double") /
           octet_length(col("text")))
@@ -260,7 +270,7 @@ class PipelineE2ESpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(f1 == Seq(1L, 2L),
         s"batch 1: exactly the two ref near-dups must flag (spam doc " +
-          s"gated before dedup): got $f1")
+          s"and robots-disallowed verbatim dup gated before dedup): got $f1")
 
       // batch 2: one more ref dup (12) among fresh prose — only the NEW
       // flag arrives; batch-1 rows are not re-emitted (exactly once)
