@@ -271,6 +271,9 @@ object Retrieval {
       .filter(col("w").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // hit-sized; cf + the scoring join both
+                             // read it — unpinned, the corpus token
+                             // explode would execute twice
     // collection frequency of the query terms (≤ |q| rows) + |C|;
     // n_seen = query terms the collection contains at all
     val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
