@@ -2443,6 +2443,23 @@ object SparkEntry {
           lit(eigDescOk).as("eig_desc_ok"),
           lit(projVarOk).as("proj_var_ok"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // SENTENCE-BOUNDARY CHUNKING (Curation.chunkBySentences): the RAG
+    // chunker that never cuts mid-sentence — sentinel-insert split (no
+    // lookbehind, so the oracle replays the same regex), per-doc
+    // prefix-sum greedy fill at 40 tokens, oversized sentences keep a
+    // chunk to themselves. Sentences are synthesized by attaching a
+    // period to every 5th word of the corpus text (deterministic,
+    // replayable); the oracle re-runs split + window prefix sum +
+    // ordered string_agg end to end.
+    "q159_sentence_chunks" -> ((s, dir) => {
+      val punct = regexp_replace(trim(col("text")),
+        "((?:\\S+ ){4}\\S+) ", "$1. ")
+      graft.ops.Curation.chunkBySentences(
+          t(s, dir, "documents").select(col("doc_id"), punct.as("text")),
+          "doc_id", "text", 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
 
@@ -4832,6 +4849,34 @@ object SparkEntry {
         |  round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / np) / np, 6) AS cov_q,
         |  TRUE AS orthonormal_ok, TRUE AS eig_desc_ok, TRUE AS proj_var_ok
         |FROM p ORDER BY i, j""".stripMargin,
+
+    "q159_sentence_chunks" ->
+      """WITH punct AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(text), '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t
+        |  FROM documents),
+        |marked AS (
+        |  SELECT doc_id, regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g') AS t
+        |  FROM punct),
+        |sents AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(1))) AS sentence,
+        |    generate_subscripts(string_split(t, chr(1)), 1) AS sent_idx
+        |  FROM marked),
+        |toks AS (
+        |  SELECT doc_id, sent_idx, sentence,
+        |    len(list_filter(string_split_regex(lower(trim(sentence)), '\s+'),
+        |      x -> x <> ''))::BIGINT AS t
+        |  FROM sents WHERE trim(sentence) <> ''),
+        |cums AS (
+        |  SELECT *, coalesce(sum(t) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM toks)
+        |SELECT doc_id, (cum // 40)::BIGINT AS chunk_id,
+        |  count(*) AS n_sentences, sum(t)::BIGINT AS n_tokens,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+        |FROM cums GROUP BY doc_id, cum // 40
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -219,6 +219,50 @@ object Curation {
         TextAnalysis.punctRatio(text) <= maxPunct)
   }
 
+  /** Sentence-boundary-respecting chunking — the RAG/embedding chunker
+    * that never cuts mid-sentence: split on terminal punctuation
+    * ([.!?]+ followed by whitespace), then greedily pack consecutive
+    * sentences into chunks of ~`budgetTokens` (chunk = floor(exclusive
+    * running token total / budget), the [[packSequential]] policy at
+    * sentence granularity — a sentence LONGER than the budget keeps a
+    * chunk to itself rather than splitting; token-exact packing that
+    * may cut sentences is [[chunk]]).
+    *
+    * Returns (doc_id, chunk_id, n_sentences, n_tokens, chunk_text).
+    *
+    * Scale shape: the split is a map-only sentinel-insert + split (one
+    * regex pass, no lookbehind so any engine replays it); the running
+    * total is a window PARTITIONED BY DOC (doc-sized groups — no
+    * global window), and the chunk rebuild is one grouped aggregate.
+    * One shuffle on (doc, chunk).
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // sentinel device: mark each boundary, then split — replayable
+    // without lookbehind ( cannot occur in the tokenized text)
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    val sents = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(marked, "\u0001")).as(Seq("sent_idx", "sentence")))
+      .filter(trim(col("sentence")) =!= "")
+      .withColumn("__t",
+        TextAnalysis.tokenCount(col("sentence")).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("__t")).over(w), lit(0L)) /
+          budgetTokens).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__t")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          s => s.getField("sentence"))).as("chunk_text"))
+  }
+
   /** Per-key output cap — the "at most N pages per registered domain"
     * policy of web-corpus curation (a handful of template-heavy sites
     * otherwise dominate the token budget): keep the top `cap` rows of

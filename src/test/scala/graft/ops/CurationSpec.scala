@@ -181,6 +181,25 @@ class CurationSpec extends AnyFunSuite {
       4L -> "unchanged", 5L -> "changed", 6L -> "added"))
   }
 
+  test("chunkBySentences: boundaries respected, greedy fill, oversized sentence keeps its chunk") {
+    val docs = Seq(
+      (1L, "one two three. four five? six seven eight! nine."),
+      (2L, "a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkBySentences(docs, "doc_id", "text", 5)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // doc 1 sentence tokens: 3, 2, 3, 1; exclusive cums 0,3,5,8 ->
+    // chunks 0,0,1,1
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, 5L, "one two three. four five?"),
+      (1L, 1L, 2L, 4L, "six seven eight! nine."),
+      // doc 2: a single 16-token "sentence" (no terminal punctuation)
+      // exceeds the budget but must stay whole in one chunk
+      (2L, 0L, 1L, 16L, "a b c d e f g h i j k l m n o p")))
+  }
+
   test("capPerKey: keeps top-N per key by order with deterministic ties; small keys untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
