@@ -491,6 +491,81 @@ object Cli {
           "\"" + flags.getOrElse("mode", "phrase") + "\""}}""")
       } finally spark.stop()
 
+    case "rank" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"rank: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(
+          s"${req("in")}/${flags.getOrElse("table", "documents")}.parquet")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val terms = req("terms").split("\\s+").toSeq
+        val k = flags.getOrElse("k", "10").toInt
+        val ranked = flags.getOrElse("mode", "bm25") match {
+          case "bm25" =>
+            graft.ops.Retrieval.bm25TopK(docs, idCol, textCol, terms, k)
+          case "ql" =>
+            graft.ops.Retrieval.queryLikelihoodTopK(docs, idCol, textCol,
+              terms, k, flags.getOrElse("mu", "2000").toDouble)
+          case "rrf" => // lexical + dense fusion: needs the embeddings side
+            val emb = spark.read.parquet(
+              s"${req("in")}/${flags.getOrElse("emb-table", "embeddings")}.parquet")
+            val eId = flags.getOrElse("emb-id-col", "vec_id")
+            val qv = emb.filter(col(eId) === req("query-id").toLong)
+              .head().getSeq[Float](1)
+            graft.ops.Retrieval.hybridRrf(docs, idCol, textCol,
+              emb, eId, flags.getOrElse("vec-col", "embedding"),
+              terms, qv, k, flags.getOrElse("rrf-k", "60").toInt,
+              flags.getOrElse("candidates", "50").toInt)
+          case other => sys.error(s"rank: unknown --mode $other")
+        }
+        val rows = ranked.collect()
+        rows.foreach(r => println(r.mkString("\t")))
+        println(s"""{"hits":${rows.length},"mode":"${
+          flags.getOrElse("mode", "bm25")}"}""")
+      } finally spark.stop()
+
+    case "pca" :: "train" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"pca train: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val emb = spark.read.parquet(
+          s"${req("in")}/${flags.getOrElse("table", "embeddings")}.parquet")
+        val m = graft.ops.Projection.trainPca(emb,
+          flags.getOrElse("vec-col", "embedding"),
+          flags.getOrElse("k", "8").toInt)
+        graft.ops.Projection.savePcaModel(spark, m, req("model"))
+        println(s"""{"dim":${m.dim},"k":${m.k},"n":${m.n},""" +
+          s""""top_eigenvalue":${m.eigenvalues.head},""" +
+          s""""orthonormality_residual":${m.orthonormalityResidual},""" +
+          s""""model":"${req("model")}"}""")
+      } finally spark.stop()
+
+    case "pca" :: "project" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"pca project: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.col
+        val m = graft.ops.Projection.loadPcaModel(spark, req("model"))
+        val vecCol = flags.getOrElse("vec-col", "embedding")
+        val emb = spark.read.parquet(
+          s"${req("in")}/${flags.getOrElse("table", "embeddings")}.parquet")
+        val out = req("out")
+        emb.withColumn(vecCol,
+            graft.ops.Projection.pcaProject(col(vecCol), m,
+              whiten = flags.get("whiten").exists(_.toBoolean)))
+          .write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        println(s"""{"projected":$n,"k":${m.k},"out":"$out"}""")
+      } finally spark.stop()
+
     case "diff" :: rest =>
       val flags = parseFlags(rest)
       def req(k: String) = flags.getOrElse(k, sys.error(s"diff: missing --$k"))
@@ -557,6 +632,10 @@ object Cli {
            |         [--buckets 64]   (delta docs REPLACE same-id postings)
            |  search --index <dir> --terms "w1 w2" [--mode phrase|proximity|bm25]
            |         [--window 8] [--k 10] [--limit 100]
+           |  rank --in <sfdir> --terms "w1 w2" [--mode bm25|ql|rrf] [--k 10]
+           |         [--mu 2000] (rrf: --query-id N [--candidates 50])
+           |  pca train --in <sfdir> --model <dir> [--k 8] [--vec-col embedding]
+           |  pca project --model <dir> --in <sfdir> --out <dir> [--whiten true]
            |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
       sys.exit(2)
   }
