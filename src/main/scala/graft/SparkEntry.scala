@@ -2460,6 +2460,23 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), punct.as("text")),
           "doc_id", "text", 40)
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // PER-KEY TOKEN BUDGET (Curation.tokenBudgetPerKey): mixture
+    // construction's other cap — keep each source's docs best-first
+    // while the exclusive running token total stays under 600 (the
+    // straddling doc is kept, so no domain goes empty). One key
+    // shuffle + a streaming prefix-sum window; the oracle replays the
+    // same window arithmetic.
+    "q160_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      graft.ops.Curation.tokenBudgetPerKey(docs, col("source"),
+          col("n_tokens"), 600L,
+          Seq(col("n_tokens").desc, col("doc_id")))
+        .orderBy(col("source"), col("n_tokens").desc, col("doc_id"))
     })
   )
 
@@ -4877,6 +4894,20 @@ object SparkEntry {
         |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
         |FROM cums GROUP BY doc_id, cum // 40
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q160_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY n_tokens DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens FROM c WHERE cum < 600
+        |ORDER BY source, n_tokens DESC, doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

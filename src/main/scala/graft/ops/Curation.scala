@@ -286,6 +286,31 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Per-key TOKEN budget — the other half of mixture construction
+    * next to [[capPerKey]]'s count cap: keep each key's docs in
+    * priority order while the EXCLUSIVE running token total is under
+    * `budgetTokens` ("30B tokens per domain, best docs first"). The
+    * straddling doc is KEPT, so a key's kept mass is < budget + one
+    * doc and a doc larger than the whole budget still represents its
+    * key (never an empty domain). Pass a deterministic tie-break as
+    * the last order column.
+    *
+    * Scale shape: one key shuffle + a streaming per-key prefix-sum
+    * window (rank/sum stream over the sorted run — a mega-domain costs
+    * sort spill, not memory).
+    */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: Column, tokenCol: Column,
+      budgetTokens: Long, order: Seq[Column]): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive")
+    require(order.nonEmpty, "tokenBudgetPerKey: need an order")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .filter(col("__cum") < budgetTokens)
+      .drop("__cum")
+  }
+
   /** Filter -> exact-dedup -> annotate (lang pred + token count). Returns
     * the curated frame; pass Observations to collect audits without extra
     * scans.

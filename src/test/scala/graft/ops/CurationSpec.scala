@@ -200,6 +200,24 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, 1L, 16L, "a b c d e f g h i j k l m n o p")))
   }
 
+  test("tokenBudgetPerKey: straddling doc kept, oversized first doc kept, under-budget keys whole") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // key a, best-first order: 40 + 50 crosses 80 at the 50-doc
+      // (cum_excl 40 < 80 -> kept); the 30-doc (cum_excl 90) drops
+      (1L, "a", 40L), (2L, "a", 50L), (3L, "a", 30L),
+      // key b: first doc alone exceeds the budget -> still kept
+      (4L, "b", 500L), (5L, "b", 10L),
+      // key c: everything fits
+      (6L, "c", 20L), (7L, "c", 20L)
+    ).toDF("id", "key", "tok")
+    val kept = Curation.tokenBudgetPerKey(docs, col("key"), col("tok"),
+        80L, Seq(col("tok").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    // key a order is tok desc: 50 (cum 0), 40 (cum 50), 30 (cum 90)
+    assert(kept == Set(1L, 2L, 4L, 6L, 7L), kept.toString)
+  }
+
   test("capPerKey: keeps top-N per key by order with deterministic ties; small keys untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
