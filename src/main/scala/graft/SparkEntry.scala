@@ -2477,6 +2477,33 @@ object SparkEntry {
           col("n_tokens"), 600L,
           Seq(col("n_tokens").desc, col("doc_id")))
         .orderBy(col("source"), col("n_tokens").desc, col("doc_id"))
+    }),
+
+    // PCA-PREFILTERED TOP-K (Similarity.pcaTopK): cosine ranking in
+    // the 32-dim PCA space (half the width — 64-dim, 40-cluster
+    // embeddings spread energy wide; 32 components carry the ranking,
+    // measured 10/10 at sf0.01 and 9/10 at sf0.1) shortlists 50,
+    // exact rerank on full width —
+    // the dimensionality-reduction member of the ANN family (IVF
+    // prunes partitions, PQ compresses bytes, PCA compresses DIMS).
+    // q53's oracle device: the emitted rows are the DuckDB-replayable
+    // exact top-10; the PCA path's recall rides an in-plan >= 8/10
+    // boolean computed by a left join against the exact frontier.
+    "q161_pca_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val m = graft.ops.Projection.trainPca(emb, "embedding", 32)
+      val pca = graft.ops.Similarity.pcaTopK(emb, "vec_id", "embedding",
+        m, q, 10, shortlist = 50)
+      val exact = graft.ops.Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      val w = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      exact.join(pca.select(col("vec_id")).withColumn("hit", lit(1)),
+          Seq("vec_id"), "left")
+        .withColumn("pca_recall_ok",
+          sum(coalesce(col("hit"), lit(0))).over(w) >= 8L)
+        .drop("hit")
+        .orderBy(desc("sim"), col("vec_id"))
     })
   )
 
@@ -4908,6 +4935,13 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, doc_id, n_tokens FROM c WHERE cum < 600
         |ORDER BY source, n_tokens DESC, doc_id""".stripMargin,
+
+    "q161_pca_topk" ->
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+        |  TRUE AS pca_recall_ok
+        |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -175,6 +175,18 @@ object Projection {
       eps: Double = 1e-9): Column =
     graft.functions.pca_project(vec, projOf(m, whiten, eps))
 
+  /** Driver-side single-vector projection through the SAME kernel the
+    * distributed column uses — query vectors must compress with
+    * bit-identical arithmetic to the corpus or the prefilter ranking
+    * drifts between driver and executors.
+    */
+  def projectOne(m: PcaModel, v: Seq[Float], whiten: Boolean = false,
+      eps: Double = 1e-9): Seq[Float] =
+    graft.functions.PcaKernel.project(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+      projOf(m, whiten, eps), isFloat = true)
+      .toFloatArray().toSeq
+
   /** Persist / load (the train-once economics of the KN and ANN model
     * faces): mean, components, eigenvalues as parquet + 1-row manifest.
     */

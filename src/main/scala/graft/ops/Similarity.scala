@@ -32,6 +32,36 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** PCA-compressed cosine prefilter + exact rerank: rank the corpus by
+    * cosine in the k-dim PCA space ([[Projection.pcaProject]] — a
+    * codegen'd map), keep a `shortlist`, then score ONLY the shortlist
+    * against the full-width query. The dimensionality-reduction face of
+    * the ANN family (next to IVF's partition pruning and PQ's byte
+    * codes): the full-width scan drops to shortlist size, the prefilter
+    * reads k floats per row instead of d. `shortlist = corpus size`
+    * reproduces [[topK]] exactly (the rerank is exact); smaller
+    * shortlists trade recall, which the PCA spectrum (energy captured
+    * by k components) governs — measure with the q53-style in-plan
+    * recall bound. The query compresses through the SAME kernel
+    * ([[Projection.projectOne]]) so driver and executors agree
+    * bit-for-bit.
+    */
+  def pcaTopK(emb: DataFrame, idCol: String, vecCol: String,
+      m: Projection.PcaModel, query: Seq[Float], k: Int,
+      shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    val qp = Projection.projectOne(m, query)
+    val short = emb.select(col(idCol), col(vecCol),
+        round(vec_cosine(Projection.pcaProject(col(vecCol), m),
+          lit_vec(qp)), 6).as("__ps"))
+      .orderBy(desc("__ps"), col(idCol))
+      .limit(shortlist)
+    short.select(col(idCol),
+        round(vec_cosine(col(vecCol), lit_vec(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane sign signature packed into a long (LSH for cosine,
     * Charikar 2002). Planes come from a fixed seed so signatures are
     * reproducible across runs/executors; they are generated inside the

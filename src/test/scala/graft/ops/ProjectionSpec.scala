@@ -95,6 +95,28 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaTopK: full shortlist reproduces exact topK; projectOne matches the column kernel") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat,
+        (i % 3).toFloat, 1f))
+    }
+    val data = emb(rows: _*)
+    val m = Projection.trainPca(data, "embedding", 2)
+    val q = Seq(3f, 2f, 1f, 1f)
+    // shortlist = corpus: the rerank is exact, so output == topK
+    val full = Similarity.pcaTopK(data, "vec_id", "embedding", m, q,
+        k = 8, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.topK(data, "vec_id", "embedding", q, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    // projectOne == the distributed kernel on the same vector
+    val viaCol = data.filter(col("vec_id") === 7L)
+      .select(Projection.pcaProject(col("embedding"), m))
+      .as[Seq[Float]].head()
+    assert(Projection.projectOne(m, rows(7)._2) == viaCol)
+  }
+
   test("rails: k > dim rejected; dim mismatch at projection rejected") {
     val data = emb((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
     intercept[IllegalArgumentException] {
