@@ -58,7 +58,7 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff webeval sfbench) to run a subset; no args = everything
+    // knref releasediff webeval opq sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -1649,6 +1649,64 @@ object ScaleCheck {
       f"(${nVecs / tPca / 1e6}%.2f M vecs/s) " +
       f"resid=${pcaM.orthonormalityResidual}%.2e var_eig_ok=$okVar")
     vecsDf.unpersist()
+    }
+
+    if (run("opq")) {
+    // ---- 5y. OPQ-lite: PQ codes in PCA space vs raw space ------------
+    // Same byte budget (m = 8 codes/vector), same coarse quantizer
+    // size: does rotating into the energy-compacted PCA basis before
+    // product quantization buy ADC recall? 32 PCA dims -> dsub = 4
+    // (finer subspaces on the dims that carry the variance) vs raw
+    // 64 -> dsub = 8. Ground truth = exact raw-cosine top-10; mean
+    // recall over 5 query vectors, both paths probed identically.
+    val nOpq = 50000L
+    val embO = embeddings(spark, nOpq, 64).localCheckpoint(true)
+    val mPca = graft.ops.Projection.trainPca(embO, "embedding", 32)
+    val embP = embO.select(col("vec_id"),
+        graft.ops.Projection.pcaProject(col("embedding"), mPca)
+          .as("embedding"))
+      .localCheckpoint(true)
+    // one index per path (train once, query many); the metric is the
+    // END-TO-END ADC SCORE ERROR |adc_estimate − true raw cosine| over
+    // every probed row — direct code quality, immune to the rank ties
+    // tight synthetic clusters produce (direct ADC top-k ties to ~0
+    // there — the documented §VII rerank rationale — and shortlist
+    // containment saturates the same way). For the PCA path the error
+    // includes the projection bias: it is the total error of the score
+    // that path actually ranks by.
+    def indexOf(base: org.apache.spark.sql.DataFrame) = {
+      val cents = Similarity.trainCentroids(base, "embedding", k = 32,
+        iters = 4)
+      val books = Similarity.trainPq(base, "embedding", cents, m = 8)
+      val idx = Similarity.pqEncode(base, "vec_id", "embedding",
+        cents, books).localCheckpoint(true)
+      (cents, books, idx)
+    }
+    val qids = Seq(1L, 101L, 1001L, 10001L, 25001L)
+    val ((maeRaw, maePca), tOpq) = time {
+      val (cR, bR, iR) = indexOf(embO)
+      val (cP, bP, iP) = indexOf(embP)
+      val rs = qids.map { qid =>
+        val qRaw = embO.filter(col("vec_id") === qid).head().getSeq[Float](1)
+        val exact = embO.select(col("vec_id"),
+          round(graft.functions.vec_cosine(col("embedding"),
+            graft.functions.lit_vec(qRaw)), 6).as("cos"))
+        def mae(cents: Array[Array[Float]],
+            books: Array[Array[Array[Float]]],
+            idx: org.apache.spark.sql.DataFrame, qv: Seq[Float]): Double =
+          Similarity.pqTopK(idx, "vec_id", cents, books, qv,
+              k = Int.MaxValue, nprobe = 8)
+            .join(exact, Seq("vec_id"))
+            .agg(avg(abs(col("sim_adc") - col("cos")))).head().getDouble(0)
+        (mae(cR, bR, iR, qRaw),
+          mae(cP, bP, iP, graft.ops.Projection.projectOne(mPca, qRaw)))
+      }
+      (rs.map(_._1).sum / qids.size, rs.map(_._2).sum / qids.size)
+    }
+    println(f"OPQ> vecs=$nOpq m=8 bytes/vec=8 nprobe=8/32 " +
+      f"adc_mae_raw64=$maeRaw%.4f adc_mae_pca32=$maePca%.4f " +
+      f"t=$tOpq%.1f s (5 queries, both paths)")
+    embO.unpersist(); embP.unpersist()
     }
 
     if (run("sfbench")) {
