@@ -2504,6 +2504,29 @@ object SparkEntry {
           sum(coalesce(col("hit"), lit(0))).over(w) >= 8L)
         .drop("hit")
         .orderBy(desc("sim"), col("vec_id"))
+    }),
+
+    // BATCH BM25 (Invert.bm25Batch): 12 queries against the postings
+    // index in ONE plan — the retrieval-evaluation / negative-mining
+    // shape (a per-query loop would plan one job per query; the batch
+    // face joins the exploded (qid, term) frame to the postings once
+    // and ranks per qid). Scoring algebra identical to q103's
+    // single-query face; the oracle replays queries, per-term df over
+    // the query vocabulary, the score sum, and the per-qid rank
+    // window.
+    "q162_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val posts = graft.ops.Invert.postings(docs, "doc_id", "text")
+      val w1 = Seq("customer", "vector", "spark", "query")
+      val w2 = Seq("table", "join", "batch")
+      val queries = (0 until 12)
+        .map(q => (q.toLong, Seq(w1(q % 4), w2(q % 3))))
+        .toDF("qid", "terms")
+      graft.ops.Invert.bm25Batch(posts,
+          graft.ops.Invert.docLengths(posts), queries, "qid", "terms",
+          k = 5)
+        .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
     })
   )
 
@@ -4942,6 +4965,40 @@ object SparkEntry {
         |  TRUE AS pca_recall_ok
         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q162_bm25_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks WHERE len(toks) >= 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |queries AS (
+        |  SELECT qid,
+        |    CASE qid % 4 WHEN 0 THEN 'customer' WHEN 1 THEN 'vector'
+        |      WHEN 2 THEN 'spark' ELSE 'query' END AS w1,
+        |    CASE qid % 3 WHEN 0 THEN 'table' WHEN 1 THEN 'join'
+        |      ELSE 'batch' END AS w2
+        |  FROM range(12) t(qid)),
+        |qt AS (SELECT qid, unnest([w1, w2]) AS w FROM queries),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN (SELECT DISTINCT w FROM qt)
+        |       GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT qid, doc_id,
+        |    round(sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25,
+        |    count(*) AS n_terms_hit
+        |  FROM qt JOIN tf USING (w) JOIN dfx USING (w) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY qid, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT qid, doc_id, bm25, n_terms_hit FROM ranked WHERE rn <= 5
+        |ORDER BY qid, bm25 DESC, doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

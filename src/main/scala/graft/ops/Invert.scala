@@ -225,6 +225,59 @@ object Invert {
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
+  /** BATCH BM25 — thousands of queries against the index in ONE plan:
+    * the retrieval-evaluation / negative-mining shape ([[bm25FromIndex]]
+    * runs one term bag; eval sets and mining runs carry 10⁵⁺ queries,
+    * and a per-query driver loop would plan 10⁵ jobs). `queries` is
+    * (qid, array<string> terms); returns per query the top-k
+    * (qid, doc_id, bm25, n_terms_hit) under exactly
+    * [[bm25FromIndex]]'s scoring algebra and rounding (parity pinned
+    * in `InvertSpec`), ties broken by doc_id.
+    *
+    * Scale shape: query terms explode to a (qid, term) frame that
+    * equi-joins the postings on the TERM (AQE broadcasts it while the
+    * query set fits; shuffles both sides beyond); document frequencies
+    * come from the index semi-joined to the DISTINCT query terms —
+    * corpus df, query-volume independent; the per-(qid, doc) score sum
+    * and the per-qid rank window shuffle |hits| rows on qid. No bucket
+    * pruning: a large query set touches most buckets by construction,
+    * and the term join prunes harder than an isin ever could.
+    */
+  def bm25Batch(index: DataFrame, docLengths: DataFrame,
+      queries: DataFrame, qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(col(termsCol))).as("term"))
+    val tf = index.select(col("doc_id"), col("term"), col("tf"))
+    // df over the DISTINCT query-term vocabulary (corpus statistics,
+    // independent of how many queries share a term)
+    val dfx = tf
+      .join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true) // query-vocab sized; hit join + nothing else
+    val dl = docLengths.select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    qt.join(tf, Seq("term"))
+      .join(broadcast(dfx), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Incremental index maintenance: fold a DELTA batch's postings into
     * an existing index without re-tokenizing the base corpus. Documents
     * present in the delta REPLACE their base postings wholesale (a

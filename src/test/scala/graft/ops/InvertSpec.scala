@@ -239,4 +239,35 @@ class InvertSpec extends AnyFunSuite {
     assert(postingsSet(merged) ==
       postingsSet(Invert.postings(updated, "doc_id", "text")))
   }
+
+  test("bm25Batch: per-qid results bit-equal the single-query face; duplicate terms collapse") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark table scan fast table"),
+      (2L, "customer join table order"),
+      (3L, "spark spark query window"),
+      (4L, "batch stream window stream"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val idx = Invert.postings(docs, "doc_id", "text")
+    val dl = Invert.docLengths(idx)
+    val bags = Seq(
+      0L -> Seq("spark", "table"),
+      1L -> Seq("customer", "nosuchterm"),
+      2L -> Seq("window", "window", "stream")) // dup term must not double-score
+    val queries = bags.toDF("qid", "terms")
+    val batch = Invert.bm25Batch(idx, dl, queries, "qid", "terms", k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    bags.foreach { case (qid, terms) =>
+      val single = Invert.bm25FromIndex(idx, dl, terms, k = 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"qid $qid: ${batch.get(qid)} vs $single")
+    }
+  }
 }
