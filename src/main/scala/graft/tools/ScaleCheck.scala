@@ -58,7 +58,7 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff webeval opq sfbench) to run a subset; no args = everything
+    // knref releasediff webeval opq batchbm25 sfbench) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -1649,6 +1649,45 @@ object ScaleCheck {
       f"(${nVecs / tPca / 1e6}%.2f M vecs/s) " +
       f"resid=${pcaM.orthonormalityResidual}%.2e var_eig_ok=$okVar")
     vecsDf.unpersist()
+    }
+
+    if (run("batchbm25")) {
+    // ---- 5z. Batch BM25 — 20,000 queries x 210k docs, ONE plan ------
+    // The claim bm25Batch exists for: query volume rides the plan, not
+    // a driver loop. 20k two-term queries over the 210k generator
+    // corpus (5k-word vocab -> every term hits ~2k docs, so the score
+    // aggregate chews ~90M (qid, doc) candidate rows). Invariants:
+    // every emitted qid has <= 10 rows, ranks are dense from 1, and a
+    // spot-checked qid bit-equals the single-query face.
+    val docsB = corpus(spark, 200000L).localCheckpoint(true)
+    val idxB = Invert.postings(docsB, "doc_id", "text").localCheckpoint(true)
+    val dlB = Invert.docLengths(idxB).localCheckpoint(true)
+    val nQb = 20000L
+    val queriesB = spark.range(nQb).select(col("id").as("qid"),
+      array(
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(1)), lit(500))),
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(2)), lit(500))))
+        .as("terms"))
+    val (batchStats, tBb) = time {
+      val out = Invert.bm25Batch(idxB, dlB, queriesB, "qid", "terms", k = 10)
+      out.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("qids"), max(col("n")).as("maxn"),
+          min(col("n")).as("minn")).head()
+    }
+    require(batchStats.getLong(1) <= 10L, s"k overflow: $batchStats")
+    // spot parity with the single-query face
+    val spotTerms = queriesB.filter(col("qid") === 7L)
+      .head().getSeq[String](1)
+    val spotBatch = Invert.bm25Batch(idxB, dlB,
+        queriesB.filter(col("qid") === 7L), "qid", "terms", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val spotSingle = Invert.bm25FromIndex(idxB, dlB, spotTerms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    require(spotBatch == spotSingle, "batch != single-query face")
+    println(f"BATCHBM25> queries=$nQb docs=210000 answered=${batchStats.getLong(0)} " +
+      f"max_k=${batchStats.getLong(1)} t=$tBb%.1f s " +
+      f"(${nQb / tBb}%.0f queries/s, one plan)")
+    docsB.unpersist(); idxB.unpersist(); dlB.unpersist()
     }
 
     if (run("opq")) {
