@@ -2527,6 +2527,20 @@ object SparkEntry {
           graft.ops.Invert.docLengths(posts), queries, "qid", "terms",
           k = 5)
         .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
+    }),
+
+    // PSEUDO-RELEVANCE FEEDBACK (Retrieval.bm25Prf): RM3-lite — BM25
+    // top-10 as the feedback set, its 4 most frequent non-query terms
+    // expand the bag, one re-rank. The vocabulary-mismatch fix; the
+    // oracle replays BOTH passes and the expansion pick (count desc,
+    // term asc, originals excluded) as chained CTEs, and the
+    // `expanded` audit column pins exactly which terms were added.
+    "q163_bm25_prf" -> ((s, dir) => {
+      graft.ops.Retrieval.bm25Prf(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("customer", "spark"), k = 10, fbDocs = 10, fbTerms = 4)
+        .withColumn("expanded", array_join(col("expanded"), ","))
+        .orderBy(col("bm25").desc, col("doc_id"))
     })
   )
 
@@ -4999,6 +5013,45 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, doc_id, bm25, n_terms_hit FROM ranked WHERE rn <= 5
         |ORDER BY qid, bm25 DESC, doc_id""".stripMargin,
+
+    // both BM25 passes + the expansion pick replayed: feedback docs
+    // from pass 1, expansion = top-4 non-query terms by (count desc,
+    // term), pass 2 over the union bag
+    "q163_bm25_prf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |tf1 AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |        WHERE w IN ('customer', 'spark') GROUP BY doc_id, w),
+        |dfx1 AS (SELECT w, count(*) AS df FROM tf1 GROUP BY w),
+        |fb AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (s.n_docs - dfx1.df + 0.5) / (dfx1.df + 0.5)) * tf1.tf /
+        |      (tf1.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        |  FROM tf1 JOIN dfx1 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |exp0 AS (
+        |  SELECT w, count(*) AS n FROM words
+        |  WHERE doc_id IN (SELECT doc_id FROM fb)
+        |    AND w NOT IN ('customer', 'spark')
+        |  GROUP BY w ORDER BY n DESC, w LIMIT 4),
+        |expl AS (SELECT string_agg(w, ',' ORDER BY w) AS expanded FROM exp0),
+        |bag AS (
+        |  SELECT 'customer' AS w UNION SELECT 'spark'
+        |  UNION SELECT w FROM exp0),
+        |tf2 AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |        WHERE w IN (SELECT w FROM bag) GROUP BY doc_id, w),
+        |dfx2 AS (SELECT w, count(*) AS df FROM tf2 GROUP BY w)
+        |SELECT doc_id,
+        |  round(sum(ln(1 + (s.n_docs - dfx2.df + 0.5) / (dfx2.df + 0.5)) * tf2.tf /
+        |    (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25,
+        |  count(*) AS n_terms_hit,
+        |  (SELECT expanded FROM expl) AS expanded
+        |FROM tf2 JOIN dfx2 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -104,6 +104,45 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Pseudo-relevance feedback (RM3-lite, Lavrenko & Croft 2001 /
+    * Abdul-Jaleel et al. 2004 simplified to an unweighted union):
+    * run BM25, treat the top `fbDocs` results as relevant, pick the
+    * `fbTerms` most frequent terms across them (original query terms
+    * excluded; ties break on the term), and re-rank with the expanded
+    * bag. The classic vocabulary-mismatch fix — docs phrased
+    * differently than the query still surface through the expansion
+    * terms the feedback set shares. Returns the final top-k plus an
+    * `expanded` column carrying the expansion terms used (same list on
+    * every row — the audit trail of what the query became).
+    *
+    * Scale shape: two [[bm25TopK]] passes (each one query-term-filtered
+    * corpus explode + candidate-sized top-k) with a feedback-doc term
+    * count in between — the explode there touches `fbDocs` documents,
+    * not the corpus, and the expansion pick is a tiny top-N. The
+    * expansion terms are collected to the driver (bounded by
+    * `fbTerms`) because the second pass's pre-shuffle term filter
+    * needs them as literals.
+    */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, fbDocs: Int = 10, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "need fbDocs >= 1 and fbTerms >= 1")
+    require(fbTerms <= 64, s"fbTerms bounds the driver collect; $fbTerms > 64")
+    val fb = bm25TopK(docs, idCol, textCol, queryTerms, fbDocs, k1, b)
+      .select(col("doc_id").as(idCol))
+    val expansion = docs.join(fb, Seq(idCol), "left_semi")
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(!col("w").isin(queryTerms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq // bounded: fbTerms rows
+    val expandedBag = (queryTerms ++ expansion).distinct
+    bm25TopK(docs, idCol, textCol, expandedBag, k, k1, b)
+      .withColumn("expanded",
+        typedLit(expansion.sorted)) // deterministic column order
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     * over any number of ranked lists:
     *

@@ -715,6 +715,30 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Prf: expansion terms from the feedback set rescue vocabulary-mismatched docs") {
+    import spark.implicits._
+    // query 'alpha'; feedback docs all pair alpha with 'omega'; doc 5
+    // never says alpha but is rich in omega — PRF must surface it
+    val docs = Seq(
+      (1L, "alpha omega one"), (2L, "alpha omega two"),
+      (3L, "alpha omega three"), (4L, "noise words here entirely"),
+      (5L, "omega omega omega pure")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25Prf(docs, "doc_id", "text", Seq("alpha"),
+      k = 5, fbDocs = 3, fbTerms = 1)
+    val rows = out.collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.contains(5L), s"PRF must rescue doc 5: $ids")
+    assert(!ids.contains(4L), "noise doc matches nothing")
+    // the audit column carries exactly the picked expansion term
+    assert(rows.head.getSeq[String](3) == Seq("omega"),
+      rows.head.toString)
+    // expansion never includes an original query term
+    val out2 = Retrieval.bm25Prf(docs, "doc_id", "text",
+      Seq("alpha", "omega"), k = 5, fbDocs = 3, fbTerms = 2)
+    assert(!out2.head().getSeq[String](3).contains("alpha"))
+  }
+
   test("rrfFusion: hand-computed fusion; single-list docs still fuse; k truncates") {
     import spark.implicits._
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
