@@ -2541,6 +2541,20 @@ object SparkEntry {
           Seq("customer", "spark"), k = 10, fbDocs = 10, fbTerms = 4)
         .withColumn("expanded", array_join(col("expanded"), ","))
         .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // COLUMN PROFILE (Profile.columnProfile): the schema-level intake
+    // audit — per column: rows, nulls, exact distinct, min/max
+    // rendered as strings. One aggregation pass (Spark expands the
+    // multi-distinct internally); a null is planted via NULLIF on
+    // lang='de' so the null accounting is exercised, and the oracle
+    // restates every cell per column.
+    "q164_column_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("lang", nullif(col("lang"), lit("de")))
+      graft.ops.Profile.columnProfile(docs,
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
     })
   )
 
@@ -5052,6 +5066,27 @@ object SparkEntry {
         |  (SELECT expanded FROM expl) AS expanded
         |FROM tf2 JOIN dfx2 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q164_column_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, nullif(lang, 'de') AS lang, source, n_chars
+        |  FROM documents)
+        |SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str
+        |FROM d
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM d
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), min(n_chars)::VARCHAR,
+        |  max(n_chars)::VARCHAR FROM d
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), min(source), max(source) FROM d
+        |ORDER BY "column"""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

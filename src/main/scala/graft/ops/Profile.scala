@@ -19,6 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Generic per-column PROFILE — the schema-level audit next to the
+    * corpus-level [[dataCard]]: one row per requested column with
+    * (column, n_rows, n_nulls, n_distinct, min_str, max_str). The
+    * classic archive-intake report ("is this column populated, how
+    * wide is its domain, what are its bounds") a snapshot catalog
+    * stores beside the row count.
+    *
+    * n_distinct is EXACT (`count(distinct)`) — cross-engine
+    * replayable; at 100 TB swap the q65 HLL face in if an estimate
+    * suffices. min/max compare in the column's own type and render as
+    * strings (profiles of differently-typed columns stack into one
+    * frame). One aggregation pass: Spark expands the multi-distinct
+    * aggregate into grouping sets internally, still a single shuffle.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__dis_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val n = count(lit(1)).as("__n")
+    val one = df.agg(n, aggs: _*)
+    val stacked = explode(array(cols.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+      col(s"__dis_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"),
+      col(s"__max_$c").as("max_str"))): _*))
+    one.select(stacked.as("p")).select(col("p.*"))
+  }
+
   /** Per-`groupCol` data card over `lenCol` (a numeric length/size
     * column) and `textCol` (tokenized for volume): n_docs, n_tokens,
     * mean/p50/p90 of the length. Percentiles interpolate (the

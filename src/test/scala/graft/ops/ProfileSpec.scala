@@ -75,4 +75,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(kl(0)._3 == expect)
     assert(kl(1)._3 == expect) // symmetric construction
   }
+
+  test("columnProfile: nulls, exact distinct, typed min/max as strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some("b"), 10),
+      (2L, None, 30),
+      (3L, Some("a"), 10),
+      (4L, Some("a"), 20)
+    ).toDF("id", "tag", "v")
+    val prof = Profile.columnProfile(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(prof("id") == (4L, 0L, 4L, "1", "4"))
+    assert(prof("tag") == (4L, 1L, 2L, "a", "b"))
+    assert(prof("v") == (4L, 0L, 3L, "10", "30"))
+    // one row per requested column, only requested columns
+    assert(prof.keySet == Set("id", "tag", "v"))
+  }
 }
