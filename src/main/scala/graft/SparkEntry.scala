@@ -2364,10 +2364,10 @@ object SparkEntry {
       val k = col("doc_id").cast("string")
       val shape = pmod(col("doc_id"), lit(5))
       val robots = when(shape === 3,
-          lit("User-agent: graftbot\nDisallow: /g/\n\n" +
-            "User-agent: *\nAllow: /\n"))
+          lit("User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /g/\n\n" +
+            "User-agent: *\nCrawl-delay: 9\nAllow: /\n"))
         .when(shape === 2,
-          lit("User-agent: *\nDisallow: /a/\nAllow: /a/b/\n"))
+          lit("User-agent: *\nDisallow: /a/\nCrawl-delay: 1\nAllow: /a/b/\n"))
         .when(shape === 4, lit("User-agent: *\nDisallow: /*.pdf$\n"))
         .otherwise(lit("User-agent: *\nDisallow: /private/\n"))
       val path = when(shape === 0, concat(lit("/private/page"), k))
@@ -2378,7 +2378,9 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), path.as("path"),
           graft.ops.Web.robotsAllowed(robots, path, "graftbot")
-            .as("allowed"))
+            .as("allowed"),
+          graft.ops.Web.robotsCrawlDelay(robots, "graftbot")
+            .as("crawl_delay"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4887,7 +4889,9 @@ object SparkEntry {
         |    WHEN 2 THEN '/a/b/c' || doc_id::VARCHAR
         |    WHEN 3 THEN '/g/x' || doc_id::VARCHAR
         |    ELSE '/files/doc' || doc_id::VARCHAR || '.pdf' END AS path,
-        |  doc_id % 5 IN (1, 2) AS allowed
+        |  doc_id % 5 IN (1, 2) AS allowed,
+        |  CASE doc_id % 5 WHEN 3 THEN 2.5 WHEN 2 THEN 1.0
+        |    ELSE NULL END AS crawl_delay
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the greedy replayed as a recursive CTE: state = (ids, mmrs)

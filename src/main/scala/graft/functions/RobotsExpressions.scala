@@ -40,6 +40,8 @@ object RobotsKernel {
     private val exact = Vector.newBuilder[(Boolean, String)]
     private val star = Vector.newBuilder[(Boolean, String)]
     private var sawExact = false
+    private var exactDelay: Option[Double] = None
+    private var starDelay: Option[Double] = None
     // parse state: which tier the current group binds to (0 none,
     // 1 star, 2 exact) and whether we are still stacking UA lines
     private var tier = 0
@@ -72,7 +74,14 @@ object RobotsKernel {
               val rule = (key == "allow", value)
               if (tier == 2) exact += rule else star += rule
             }
-          case _ => inUa = false // sitemap, crawl-delay, unknown keys
+          case "crawl-delay" =>
+            // non-standard but ubiquitous; first value per tier wins
+            inUa = false
+            value.toDoubleOption.filter(_ >= 0).foreach { d =>
+              if (tier == 2 && exactDelay.isEmpty) exactDelay = Some(d)
+              else if (tier == 1 && starDelay.isEmpty) starDelay = Some(d)
+            }
+          case _ => inUa = false // sitemap, unknown keys
         }
       }
     }
@@ -80,6 +89,11 @@ object RobotsKernel {
       * else the `*` groups. */
     val rules: Array[(Boolean, String)] =
       (if (sawExact) exact else star).result().toArray
+
+    /** Crawl-delay that binds this agent (seconds), group-resolved the
+      * same way; None when no group states one. */
+    val crawlDelay: Option[Double] =
+      if (sawExact) exactDelay else starDelay
   }
 
   /** `pattern` match against `path`: segments between `*` must appear
@@ -126,6 +140,15 @@ object RobotsKernel {
       java.security.MessageDigest.getInstance("MD5")
         .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     cache.getOrCompute((digest, agent), _ => new RuleTable(text, agent))
+  }
+
+  /** Group-resolved crawl-delay in seconds; null when absent. */
+  def crawlDelay(robots: UTF8String, a: Agent): Any = {
+    val t = tableFor(robots.toString, a.agent)
+    t.crawlDelay match {
+      case Some(d) => java.lang.Double.valueOf(d)
+      case None    => null
+    }
   }
 
   /** Longest-pattern-wins verdict; allow wins ties; default allow. */
@@ -180,4 +203,55 @@ case class RobotsAllowed(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** robots_crawl_delay(robotsText) -> double seconds for a fixed crawler
+  * user-agent (group-resolved like [[RobotsAllowed]]; null when no
+  * binding group states one). The politeness scheduler's input.
+  */
+case class RobotsCrawlDelay(child: Expression, userAgent: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(userAgent != null && userAgent.nonEmpty && userAgent != "*",
+    "robots_crawl_delay: userAgent must be a concrete product token")
+  @transient private lazy val agent = new RobotsKernel.Agent(userAgent)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"robots_crawl_delay needs a string input, got ${t.simpleString}")
+  }
+
+  // nullSafeEval may itself return null (no delay stated) — the
+  // UnaryExpression scaffolding handles a null child; a null RESULT is
+  // legal for a nullable expression in interpreted mode
+  override protected def nullSafeEval(robots: Any): Any =
+    RobotsKernel.crawlDelay(robots.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("robotsAgent", agent,
+      classOf[RobotsKernel.Agent].getName)
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("delayObj")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = -1.0;
+        if (!${childGen.isNull}) {
+          Object $boxed = graft.functions.RobotsKernel.crawlDelay(
+            ${childGen.value}, $ref);
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

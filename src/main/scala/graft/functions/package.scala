@@ -343,6 +343,12 @@ package object functions {
       userAgent: String): Column =
     toColumn(RobotsAllowed(exprOf(robotsText), exprOf(path), userAgent))
 
+  /** Group-resolved Crawl-delay seconds for a fixed user-agent (null
+    * when no binding group states one).
+    */
+  def robots_crawl_delay(robotsText: Column, userAgent: String): Column =
+    toColumn(RobotsCrawlDelay(exprOf(robotsText), userAgent))
+
   /** Constant-folded integer argument (n/bits/seed parameters come into
     * SQL as literals).
     */
@@ -507,7 +513,11 @@ package object functions {
     ("robots_allowed",
       "robots_allowed(robotsText, path, userAgent) - RFC 9309 crawl verdict",
       es => RobotsAllowed(es(0), es(1),
-        stringArg(es(2), "robots_allowed", "userAgent"))))
+        stringArg(es(2), "robots_allowed", "userAgent"))),
+    ("robots_crawl_delay",
+      "robots_crawl_delay(robotsText, userAgent) - group-resolved Crawl-delay seconds",
+      es => RobotsCrawlDelay(es(0),
+        stringArg(es(1), "robots_crawl_delay", "userAgent"))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

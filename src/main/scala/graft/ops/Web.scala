@@ -168,6 +168,15 @@ object Web {
       userAgent: String): Column =
     graft.functions.robots_allowed(robotsText, path, userAgent)
 
+  /** Group-resolved `Crawl-delay` (seconds) for the agent — the
+    * politeness scheduler's per-host rate input; null when no binding
+    * group states one (non-standard directive, ubiquitous in practice;
+    * first value per group tier wins, same exact-over-`*` resolution
+    * as [[robotsAllowed]]).
+    */
+  def robotsCrawlDelay(robotsText: Column, userAgent: String): Column =
+    graft.functions.robots_crawl_delay(robotsText, userAgent)
+
   /** Host-level web link graph at eTLD+1 granularity — the input to
     * PageRank-style quality signals ([[Graph.pageRank]]) and to
     * per-domain curation policy: each page contributes one edge per

@@ -244,6 +244,34 @@ class WebSpec extends AnyFunSuite {
       .as[Boolean].head())
   }
 
+  test("robotsCrawlDelay: group-resolved, exact shadows star, first value wins, absent -> null") {
+    def delay(robots: String, agent: String): Option[Double] = {
+      val r = Seq(robots).toDF("r")
+        .select(Web.robotsCrawlDelay(col("r"), agent)).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val robots =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Crawl-delay: 7
+        |Disallow: /x/
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    // exact group's FIRST delay binds graftbot; * delay binds others
+    assert(delay(robots, "graftbot").contains(2.5))
+    assert(delay(robots, "otherbot").contains(10.0))
+    // exact group without a delay SHADOWS the * group's (group
+    // resolution, not fallback)
+    val noExactDelay = "User-agent: graftbot\nDisallow: /x/\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(delay(noExactDelay, "graftbot").isEmpty)
+    // absent everywhere, malformed values ignored
+    assert(delay("User-agent: *\nDisallow: /x/\n", "graftbot").isEmpty)
+    assert(delay("User-agent: *\nCrawl-delay: soon\n", "graftbot").isEmpty)
+  }
+
   test("linkGraph: absolute http(s) only, eTLD+1 aggregation, self-edges kept, counts correct") {
     val psl = "com\nuk\nco.uk\n"
     val pages = Seq(
