@@ -4955,7 +4955,8 @@ object SparkEntry {
         |    regexp_replace(trim(text), '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t
         |  FROM documents),
         |marked AS (
-        |  SELECT doc_id, regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g') AS t
+        |  SELECT doc_id, regexp_replace(regexp_replace(t, chr(1), ' ', 'g'),
+        |    '([.!?])\s+', '\1' || chr(1), 'g') AS t
         |  FROM punct),
         |sents AS (
         |  SELECT doc_id,

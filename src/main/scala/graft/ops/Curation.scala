@@ -241,8 +241,13 @@ object Curation {
     require(budgetTokens > 0, s"budgetTokens must be positive")
     import org.apache.spark.sql.expressions.Window
     // sentinel device: mark each boundary, then split — replayable
-    // without lookbehind ( cannot occur in the tokenized text)
-    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    // without lookbehind. Any U+0001 already IN the text flattens to
+    // a space first, so hostile bytes cannot forge a sentence
+    // boundary (that control char never survives into chunk_text —
+    // a char every text pipeline strips anyway).
+    val marked = regexp_replace(
+      regexp_replace(col(textCol), "\u0001", " "),
+      "([.!?])\\s+", "$1\u0001")
     val sents = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(marked, "\u0001")).as(Seq("sent_idx", "sentence")))
