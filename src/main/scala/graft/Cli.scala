@@ -636,6 +636,13 @@ object Cli {
            |         [--mu 2000] (rrf: --query-id N [--candidates 50])
            |  pca train --in <sfdir> --model <dir> [--k 8] [--vec-col embedding]
            |  pca project --model <dir> --in <sfdir> --out <dir> [--whiten true]
+           |  lm-train --docs <parquet> --out <dir> [--order 3] [--where "lang = 'en'"]
+           |  lm-score --docs <parquet> --model <dir> --out <dir> [--modified true]
+           |  release init --docs <parquet> --index <dir>
+           |  release run --old <parquet> --new <parquet> --index <dir> --out <dir>
+           |         [--dedup-threshold 0.9] [--kn-model <dir> --max-nll N]
+           |         [--min-tokens N]
+           |  release compact --index <dir>
            |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
       sys.exit(2)
   }
