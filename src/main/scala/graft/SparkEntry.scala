@@ -2557,6 +2557,23 @@ object SparkEntry {
       graft.ops.Profile.columnProfile(docs,
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("column"))
+    }),
+
+    // PRECISION-RECALL CURVE + AP (Eval.prCurve): q154's companion for
+    // the imbalanced regimes quality gates live in — one row per
+    // distinct descending threshold (ties collapsed, the sklearn
+    // convention), AP folded from integer positives x 6-dp DECIMAL
+    // precisions (order-independent). Same signals as q154 (score =
+    // n_chars, label = token count >= 40) so the two artifacts
+    // describe one classifier.
+    "q165_pr_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Eval.prCurve(
+          docs.select(col("n_chars").cast("double").as("score"),
+            (graft.ops.TextAnalysis.tokenCount(col("text")) >= 40)
+              .cast("int").as("label")),
+          "score", "label")
+        .orderBy(col("threshold").desc)
     })
   )
 
@@ -5092,6 +5109,31 @@ object SparkEntry {
         |SELECT 'source', count(*), count(*) - count(source),
         |  count(DISTINCT source), min(source), max(source) FROM d
         |ORDER BY "column"""".stripMargin,
+
+    "q165_pr_curve" ->
+      """WITH t AS (
+        |  SELECT n_chars::DOUBLE AS s,
+        |    (len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 40)::INT AS y
+        |  FROM documents),
+        |g AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+        |tot AS (SELECT sum(np) AS p FROM g),
+        |o AS (
+        |  SELECT s, np,
+        |    sum(np) OVER (ORDER BY s DESC) AS tp,
+        |    sum(n) OVER (ORDER BY s DESC) AS cum
+        |  FROM g),
+        |c AS (
+        |  SELECT s AS threshold, np, tp::BIGINT AS tp,
+        |    (cum - tp)::BIGINT AS fp,
+        |    round(tp::DOUBLE / cum, 6) AS prec,
+        |    round(tp::DOUBLE / t.p, 6) AS recall
+        |  FROM o CROSS JOIN tot t),
+        |ap AS (
+        |  SELECT round(sum(np * prec::DECIMAL(8,6))::DOUBLE /
+        |    (SELECT p FROM tot), 6) AS ap
+        |  FROM c)
+        |SELECT threshold, tp, fp, prec, recall, (SELECT ap FROM ap) AS ap
+        |FROM c ORDER BY threshold DESC""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -142,6 +142,68 @@ object Eval {
             (col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
+  /** Precision–recall curve + average precision — [[binaryAuc]]'s
+    * companion for the imbalanced regimes quality gates live in (ROC
+    * flatters a classifier when negatives dominate; PR does not). One
+    * row per DISTINCT SCORE treated as a descending threshold:
+    * (threshold, tp, fp, prec, recall), ties collapsed at their
+    * threshold (the sklearn convention), plus AP = Σ ΔR·P over the
+    * descending sweep carried on every row (the calibration-report
+    * device).
+    *
+    * 100 TB shape: the same distinct-score collapse + range-partition
+    * prefix sum as [[binaryAuc]], range-ordered DESCENDING so the
+    * cumulative tp/fp read straight off the prefix; AP folds integer
+    * positives against 6-dp-DECIMAL precisions (order-independent) and
+    * divides once.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val groups = scored
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("np"))
+      .repartitionByRange(col("__s").desc)
+      .sortWithinPartitions(col("__s").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin the range boundaries
+    val offsets = groups.groupBy(col("__pid"))
+      .agg(sum(col("n")).as("__cn"), sum(col("np")).as("__cp")).collect()
+      .sortBy(_.getInt(0))
+    var runN = 0L; var runP = 0L
+    val offsetRows = offsets.map { r =>
+      val here = (r.getInt(0), runN, runP)
+      runN += r.getLong(1); runP += r.getLong(2); here
+    }
+    val totalP = runP
+    require(totalP > 0, "prCurve: no positive labels")
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__offn", "__offp"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive
+    val curve = groups
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("tp", sum(col("np")).over(w) + col("__offp"))
+      .withColumn("__cum", sum(col("n")).over(w) + col("__offn"))
+      .withColumn("fp", col("__cum") - col("tp"))
+      .withColumn("prec",
+        round(col("tp").cast("double") / col("__cum"), 6))
+      .withColumn("recall",
+        round(col("tp").cast("double") / totalP, 6))
+      .localCheckpoint(true) // distinct-score-sized; rows + AP fold
+    // AP = Σ (np_i / P) · P_i over descending thresholds: integer
+    // positives × 6-dp DECIMAL precision, one division at the end
+    val ap = curve.agg(
+      round(sum(col("np") * col("prec").cast("decimal(8,6)"))
+        .cast("double") / totalP, 6).as("ap"))
+    curve
+      .select(col("__s").as("threshold"), col("tp"), col("fp"),
+        col("prec"), col("recall"))
+      .crossJoin(broadcast(ap))
+  }
+
   /** Calibration report of a probabilistic scorer: equal-width bins
     * over [0,1], per bin (n, mean_score, frac_pos), plus the expected
     * calibration error ECE = Σ n_b/N · |frac_pos − mean_score| carried

@@ -110,6 +110,38 @@ class EvalSpec extends AnyFunSuite {
       "score", "label").head().isNullAt(2))
   }
 
+  test("prCurve: hand-computed thresholds, tie collapse, AP; partition invariance") {
+    import spark.implicits._
+    // scores desc: 0.9 (y=1), 0.8 (y=1, y=0 tied), 0.5 (y=0), 0.3 (y=1)
+    val rows = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.3, 1))
+    def runOn(df: org.apache.spark.sql.DataFrame) =
+      Eval.prCurve(df, "score", "label").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(-_._1).toSeq
+    val got = runOn(rows.toDF("score", "label"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // thresholds: 0.9 -> tp1 fp0; 0.8 -> tp2 fp1 (tie collapsed);
+    // 0.5 -> tp2 fp2; 0.3 -> tp3 fp2
+    val exp = Seq(
+      (0.9, 1L, 0L, 1.0, r6(1.0 / 3)),
+      (0.8, 2L, 1L, r6(2.0 / 3), r6(2.0 / 3)),
+      (0.5, 2L, 2L, 0.5, r6(2.0 / 3)),
+      (0.3, 3L, 2L, 0.6, 1.0))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == exp, got.toString)
+    // AP = (1/3)*1.0 + (1/3)*2/3 + 0*0.5 + (1/3)*0.6 (np per threshold:
+    // 1,1,0,1), via the decimal fold on 6-dp precisions
+    val ap = r6((1 * 1.0 + 1 * r6(2.0 / 3) + 0 * 0.5 + 1 * 0.6) / 3)
+    assert(got.head._6 == ap, s"${got.head._6} vs $ap")
+    // partition invariance of the prefix offsets
+    assert(runOn(rows.toDF("score", "label").repartition(7)) == got)
+    // no positives -> fail fast
+    intercept[IllegalArgumentException] {
+      Eval.prCurve(Seq((0.5, 0)).toDF("score", "label"), "score", "label")
+    }
+  }
+
   test("calibration: hand-computed bins, top-bin inclusion of 1.0, ECE fold") {
     import spark.implicits._
     val rows = Seq(
