@@ -2574,6 +2574,43 @@ object SparkEntry {
               .cast("int").as("label")),
           "score", "label")
         .orderBy(col("threshold").desc)
+    }),
+
+    // Ordered-funnel analysis over the event log (ops/Events.scala):
+    // view → click → purchase with earliest-completion semantics (step k
+    // must occur strictly after the user's first completion of step
+    // k-1). One hash exchange on user_id; the chained window MINs and
+    // the per-user collapse all reuse it. Oracle replays the identical
+    // window chain in DuckDB.
+    "q166_funnel" -> ((s, dir) =>
+      graft.ops.Events.funnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // Weekly cohort retention (ops/Events.scala): cohort = ISO week of
+    // first event; retention(o) = fraction active in cohort_week + o.
+    // The event log collapses to (user, week) grain in the first
+    // exchange; everything downstream is user-week- or weeks²-sized.
+    "q167_cohort_retention" -> ((s, dir) =>
+      graft.ops.Events.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // Salted skew-join (ops/Scale.scala): orders (big, salted by row
+    // hash) × customer (small, replicated 8×) on custkey, revenue per
+    // market segment. Semantically a plain inner join — the oracle IS
+    // the plain join — but the shuffle spreads any Zipf-hot customer
+    // across 8 reducers; the explicit-salt path for when AQE's
+    // sort-merge-only skew split can't reach the plan.
+    "q168_salted_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Scale.saltedJoin(ord, cust, "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("__rev"))
+        .select(col("c_mktsegment"), col("n_orders"),
+          col("__rev").cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -5134,6 +5171,64 @@ object SparkEntry {
         |  FROM c)
         |SELECT threshold, tp, fp, prec, recall, (SELECT ap FROM ap) AS ap
         |FROM c ORDER BY threshold DESC""".stripMargin,
+
+    // the identical chained-window funnel algebra, replayed
+    "q166_funnel" ->
+      """WITH e1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM e2),
+        |u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |      FROM e3 GROUP BY 1),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+        |SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+        |  CASE WHEN n0 > 0 THEN round(n0::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END AS pct_of_first,
+        |  CASE WHEN n0 > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS pct_of_prev
+        |FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n1,
+        |  CASE WHEN n0 > 0 THEN round(n1::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END,
+        |  CASE WHEN n0 > 0 THEN round(n1::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END
+        |FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n2,
+        |  CASE WHEN n0 > 0 THEN round(n2::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END,
+        |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) ELSE 0.0::DOUBLE END
+        |FROM c
+        |ORDER BY step""".stripMargin,
+
+    "q167_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events),
+        |fw AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY 1),
+        |m AS (
+        |  SELECT cohort_week,
+        |    (date_diff('day', cohort_week, wk) / 7)::INT AS week_offset,
+        |    count(*) AS n_users
+        |  FROM uw JOIN fw USING (u) GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS cohort_size
+        |  FROM m)
+        |SELECT cohort_week, week_offset, n_users, cohort_size,
+        |  round(n_users::DOUBLE / cohort_size, 6) AS retention
+        |FROM s ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // the salted join IS a plain inner join — the oracle says so
+    "q168_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

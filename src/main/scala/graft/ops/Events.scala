@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an append-only (user, type, ts) log — the
+  * product-analytics faces (ordered funnels, cohort retention) every
+  * warehouse bolts onto its event table. Both are single-key-shuffle
+  * plans: the event log is hashed by user once and everything else is
+  * window/aggregate algebra on top of that one exchange.
+  */
+object Events {
+
+  /** Ordered-funnel analysis: for each user, step k counts as completed
+    * only if an event of the step's type occurred STRICTLY AFTER the
+    * user's earliest completion time of step k-1 (earliest-completion
+    * semantics — the standard product-analytics funnel, not mere set
+    * membership). Returns one row per step:
+    * (step, event_type, n_users, pct_of_first, pct_of_prev).
+    *
+    * Shape for the 100 TB event log: one hash exchange on the user key;
+    * the per-step earliest-completion times are a chain of
+    * unbounded-frame window MINs over that same partitioning (length =
+    * |steps|, a plan-time constant — no re-shuffle between them), the
+    * per-user collapse reuses the partitioning again, and the final
+    * count is a single all-up aggregate of user-rows. Nothing wider
+    * than (user, |steps| timestamps) ever shuffles.
+    *
+    * pct_of_first / pct_of_prev are rounded to 6 dp; a zero denominator
+    * (empty funnel head / broken chain) yields 0.0, never null, so
+    * downstream dashboards and the DuckDB oracle agree on every row.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnel: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val w = Window.partitionBy(col(userCol))
+    // chain of earliest-completion times: t1 = min ts of step 1,
+    // t_k = min ts of step k with ts > t_{k-1}
+    val withTimes = steps.zipWithIndex.foldLeft(
+        events.select(col(userCol), col(typeCol), col(tsCol))) {
+      case (df, (step, 0)) =>
+        df.withColumn("__t0",
+          min(when(col(typeCol) === step, col(tsCol))).over(w))
+      case (df, (step, i)) =>
+        df.withColumn(s"__t$i",
+          min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}"),
+            col(tsCol))).over(w))
+    }
+    // per-user collapse (constant per partition key → min is exact),
+    // then one global count per step
+    val perUser = withTimes
+      .groupBy(col(userCol))
+      .agg(min(col("__t0")).as("__t0"),
+        steps.indices.tail.map(i => min(col(s"__t$i")).as(s"__t$i")): _*)
+    val counts = perUser.agg(
+      count(col("__t0")).as("__n0"),
+      steps.indices.tail.map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
+
+    // unpivot the single counts row into one row per step
+    val stepNames = steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("step", "event_type")
+    val unpivoted = counts.select(posexplode(
+      array(steps.indices.map(i => col(s"__n$i")): _*)).as(Seq("__i", "n_users")))
+    val wAll = Window.orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    unpivoted
+      .withColumn("__n_first", max(when(col("__i") === 0, col("n_users"))).over(wAll))
+      .withColumn("__n_prev", lag(col("n_users"), 1).over(Window.orderBy(col("__i"))))
+      .withColumn("step", col("__i") + 1)
+      .join(broadcast(stepNames), Seq("step"))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__n_first") > 0,
+          round(col("n_users") / col("__n_first").cast("double"), 6))
+          .otherwise(0.0).as("pct_of_first"),
+        when(col("__i") === 0, when(col("n_users") > 0, 1.0).otherwise(0.0))
+          .when(col("__n_prev") > 0,
+            round(col("n_users") / col("__n_prev").cast("double"), 6))
+          .otherwise(0.0).as("pct_of_prev"))
+      .orderBy(col("step"))
+  }
+
+  /** First-order Markov transition matrix of the event stream: for each
+    * user the events are ordered by (ts, tie-break column) and every
+    * consecutive pair contributes one (from_type, to_type) transition;
+    * the terminal event of each user contributes (from_type, null) — kept
+    * as an explicit "__end" state so rows of the matrix sum to 1 and the
+    * terminal mass is visible (dropping it would silently renormalize).
+    * Returns (from_type, to_type, n, p) with p = n / sum(n) over
+    * from_type, rounded to 6 dp.
+    *
+    * Shape: one user-key exchange for the lead window; the transition
+    * aggregation is |types|²-sized (tiny), and the row-sum for p rides a
+    * window over the matrix, not a re-scan of the log.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val wSeq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__to", lead(col(typeCol), 1).over(wSeq))
+      .select(col(typeCol).as("from_type"),
+        coalesce(col("__to"), lit("__end")).as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trans
+      .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Exponentially time-decayed engagement score per user:
+    * `score(u) = sum over u's events of value · 0.5^(age/half-life)`,
+    * with age measured in seconds from the stream's max timestamp (the
+    * deterministic "now" — wall clock would make the result
+    * unreproducible). The standard recency-weighted activity ranking.
+    *
+    * Order-independence: the per-event decayed terms are doubles, so a
+    * naive double sum would vary with partition merge order; each term is
+    * quantized to DECIMAL(38,12) before summing (the q149 device), making
+    * the aggregate exact and partition-invariant, then the final score is
+    * rounded to 6 dp. Shape: one scalar max(ts) broadcast (crossJoin of a
+    * 1-row frame), one user-key aggregation — nothing else.
+    */
+  def decayedScore(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val ref = events.agg(max(unix_timestamp(col(tsCol))).as("__now"))
+    events
+      .select(col(userCol), col(tsCol), col(valueCol))
+      .crossJoin(broadcast(ref))
+      .withColumn("__term",
+        (col(valueCol) * pow(lit(0.5),
+          (col("__now") - unix_timestamp(col(tsCol))) /
+            lit(halfLifeDays * 86400.0)))
+          .cast("decimal(38,12)"))
+      .groupBy(col(userCol))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("decayed_score"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col(userCol))
+  }
+
+  /** Two-variant A/B conversion readout with a two-proportion z
+    * statistic: users are deterministically assigned by md5(user) (first
+    * hex digit < '8' → variant A — engine-replayable, stable across
+    * retries and engines, the q56 split device), a user converts if they
+    * have ≥1 event of `convType`, and the single output row carries
+    * per-variant user/converter counts, conversion rates, and the pooled
+    * two-proportion z-score
+    * `(pA-pB) / sqrt(p̂(1-p̂)(1/nA+1/nB))`, all rounded to 6 dp. The
+    * z-score is the experiment dashboard's significance readout (compare
+    * |z| to 1.96 for 95%); the p-value itself needs an erf the SQL
+    * surface doesn't have, so the contract stops at z.
+    *
+    * Shape: one user-key aggregation collapses the log to (user, variant,
+    * converted), then a 2-row variant rollup and a 1-row pivot — nothing
+    * event-sized past the first exchange.
+    */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol), col(typeCol))
+      .groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1).otherwise(0)).as("__conv"))
+      .withColumn("__variant",
+        when(substring(md5(col(userCol).cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val byVariant = perUser.groupBy(col("__variant"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    byVariant.agg(
+        max(when(col("__variant") === "A", col("__n"))).as("n_a"),
+        max(when(col("__variant") === "A", col("__c"))).as("conv_a"),
+        max(when(col("__variant") === "B", col("__n"))).as("n_b"),
+        max(when(col("__variant") === "B", col("__c"))).as("conv_b"))
+      .withColumn("rate_a", round(col("conv_a") / col("n_a").cast("double"), 6))
+      .withColumn("rate_b", round(col("conv_b") / col("n_b").cast("double"), 6))
+      .withColumn("__p",
+        (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", round(
+        (col("conv_a") / col("n_a").cast("double") -
+          col("conv_b") / col("n_b").cast("double")) /
+          sqrt(col("__p") * (lit(1.0) - col("__p")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+      .select(col("n_a"), col("conv_a"), col("rate_a"),
+        col("n_b"), col("conv_b"), col("rate_b"), col("z"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; retention at offset o = users of that cohort
+    * active (≥1 event) in cohort_week + o weeks, as a fraction of the
+    * cohort. Returns (cohort_week, week_offset, n_users, cohort_size,
+    * retention) — the offset-0 row is the cohort itself (retention 1.0
+    * by construction, a useful self-check row).
+    *
+    * Shape: distinct (user, active-week) collapses the event log first
+    * (the big win — everything after is user-week-sized, not
+    * event-sized); the per-user first week is a min over the SAME
+    * grouped frame (no second scan of the log); one equi-join user-weeks
+    * × first-weeks on the user key; the cohort matrix is weeks² rows.
+    * cohort_size rides a window over the matrix, not a re-scan.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val userWeeks = events
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).as("__wk"))
+      .distinct() // one exchange; log collapses to user-week grain
+    val firstWeek = userWeeks.groupBy(col("__u"))
+      .agg(min(col("__wk")).as("cohort_week"))
+    val matrix = userWeeks
+      .join(firstWeek, Seq("__u")) // same key as the distinct — co-partitioned
+      .select(col("cohort_week"),
+        (datediff(col("__wk"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wCohort = Window.partitionBy(col("cohort_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wCohort))
+      .withColumn("retention",
+        round(col("n_users") / col("cohort_size").cast("double"), 6))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

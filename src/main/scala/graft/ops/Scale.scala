@@ -42,6 +42,40 @@ object Scale {
       .agg(merges.head, merges.tail: _*)
   }
 
+  /** Salted equi-join for a skewed BIG side: the big side's rows are
+    * spread across `salts` sub-keys by a deterministic row hash, the
+    * small side is replicated `salts`× (explode of a literal range), and
+    * the join runs on (key, salt) — so one Zipf-hot key's rows land on
+    * `salts` reducers instead of one straggler. Inner-join semantics,
+    * identical output to `big.join(small, bigKey === smallKey)`.
+    *
+    * AQE's skew-join split handles this adaptively for SORT-MERGE joins;
+    * explicit salting is for the cases AQE can't reach — skewed shuffled
+    * HASH joins, aggregate-after-join pipelines where the split point
+    * sits wrong, or engines/configs with AQE off. The small side must
+    * actually be small: it is replicated, costing `salts × |small|`
+    * shuffle rows.
+    *
+    * Same retry-stability rule as [[saltedAgg]]: the salt is a hash of
+    * the full row, never partition-id/monotonic-id (SPARK-23207 class —
+    * a retried task must re-derive identical salts or rows are lost or
+    * doubled).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val overlap = big.columns.toSet.intersect(small.columns.toSet)
+    require(overlap.isEmpty,
+      s"saltedJoin: overlapping column names $overlap — rename before joining")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS,
+        bigS(bigKey) === smallS(smallKey) && bigS("__salt") === smallS("__salt"))
+      .drop("__salt")
+  }
+
   /** Write a frame as a bucketed+sorted table so later equi-joins and
     * aggregations on the bucket key need NO shuffle (both sides arrive
     * co-partitioned). This is the persisted analogue of co-located joins:

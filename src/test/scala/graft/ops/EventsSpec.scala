@@ -1,0 +1,162 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def day(d: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$d%02d $hour%02d:00:00")
+
+  private def runFunnel(rows: Seq[(Long, String, Timestamp)]) =
+    Events.funnel(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+
+  test("ordering is enforced: a purchase BEFORE the click does not convert") {
+    val rows = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // u2 purchases before clicking: steps 1-2 only
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(5)),
+      // u3 views only
+      (3L, "view", ts(3)),
+      // u4 clicks and purchases but never views: counts nowhere
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+    val out = runFunnel(rows)
+    assert(out.toSeq == Seq(
+      (1, "view", 3L, 1.0, 1.0),
+      (2, "click", 2L, round6(2.0 / 3), round6(2.0 / 3)),
+      (3, "purchase", 1L, round6(1.0 / 3), 0.5)))
+  }
+
+  test("strictly-after: same-timestamp step does not complete the next stage") {
+    val rows = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(0)), // tie: click NOT after view
+      (2L, "view", ts(0)), (2L, "click", ts(1)))
+    val out = runFunnel(rows)
+    assert(out(0)._3 == 2L, "both users viewed")
+    assert(out(1)._3 == 1L, "only u2's click is strictly after its view")
+  }
+
+  test("earliest-completion: a later re-view cannot resurrect an early click") {
+    // u1: click at t1 sits after the FIRST view (t0) — converts, even
+    // though another view happens later at t9
+    val rows = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "view", ts(9)),
+      (1L, "purchase", ts(2)))
+    val out = runFunnel(rows)
+    assert(out.map(_._3).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("empty funnel head yields all-zero counts and 0.0 percentages") {
+    val rows = Seq((1L, "click", ts(1)), (2L, "purchase", ts(2)))
+    val out = runFunnel(rows)
+    assert(out.toSeq == Seq(
+      (1, "view", 0L, 0.0, 0.0),
+      (2, "click", 0L, 0.0, 0.0),
+      (3, "purchase", 0L, 0.0, 0.0)))
+  }
+
+  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("cohort retention: hand-computed two-cohort matrix") {
+    // week of 2024-01-01 (Mon) and week of 2024-01-08
+    val rows = Seq(
+      // cohort A: u1, u2 first seen in week 1
+      (1L, day(1)), (1L, day(9)),            // u1 active weeks 0 and 1
+      (2L, day(3)), (2L, day(16)),           // u2 active weeks 0 and 2
+      // cohort B: u3 first seen in week 2
+      (3L, day(10)), (3L, day(17)))          // active weeks 0 and 1
+    val out = Events.cohortRetention(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.substring(0, 10), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 2, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 1, 1L, 1L, 1.0)))
+  }
+
+  test("markov transitions: hand-computed matrix with terminal state") {
+    val rows = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(1)), (1L, 3L, "view", ts(2)),
+      (2L, 4L, "view", ts(0)), (2L, 5L, "view", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.markovTransitions(rows, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // u1: view->click, click->view, view->__end; u2: view->view, view->__end
+    assert(out.toSeq == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "__end", 2L, 0.5),
+      ("view", "click", 1L, 0.25),
+      ("view", "view", 1L, 0.25)))
+  }
+
+  test("markov transitions: same-timestamp ties break on the tie column") {
+    val rows = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(0)), (1L, 12L, "c", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.markovTransitions(rows, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c"), ("c", "__end")))
+  }
+
+  test("decayed score: half-life arithmetic and partition invariance") {
+    // events 0 and 7 days before the max: weights 1.0 and 0.5
+    val rows = Seq(
+      (1L, day(1), 10.0), (1L, day(8), 10.0), // 0.5*10 + 1*10 = 15
+      (2L, day(8), 4.0))                      // 1*4 = 4
+      .toDF("user_id", "ts", "value")
+    def run(parts: Int) =
+      Events.decayedScore(rows.repartition(parts), "user_id", "ts", "value", 7.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run(1) == Seq((1L, 15.0, 2L), (2L, 4.0, 1L)))
+    assert(run(7) == run(1))
+  }
+
+  test("ab test: counts, rates, and z against a hand computation") {
+    // pick users on both sides of the md5 split deterministically
+    def variant(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes).map("%02x".format(_)).mkString
+      if (h.charAt(0) < '8') "A" else "B"
+    }
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      // every user views; users divisible by 3 purchase
+      Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val out = Events.abTest(rows, "user_id", "event_type", "purchase").collect()(0)
+    val nA = users.count(variant(_) == "A")
+    val cA = users.count(u => variant(u) == "A" && u % 3 == 0)
+    val nB = users.size - nA
+    val cB = users.count(_ % 3 == 0) - cA
+    assert((out.getLong(0), out.getLong(1), out.getLong(3), out.getLong(4)) ==
+      ((nA.toLong, cA.toLong, nB.toLong, cB.toLong)))
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (cA.toDouble / nA - cB.toDouble / nB) /
+      math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(out.getDouble(6) - z) < 1e-6)
+  }
+
+  test("cohort retention: multiple events in one week count once") {
+    val rows = Seq(
+      (1L, day(1, 1)), (1L, day(2, 2)), (1L, day(4)), // all week 0
+      (1L, day(8)))
+    val out = Events.cohortRetention(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, 1L), (1, 1L)))
+  }
+}

@@ -21,6 +21,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.toSeq == expected.toSeq)
   }
 
+  test("saltedJoin equals the plain inner join, including skewed + unmatched keys") {
+    // Zipf-ish skew: key 0 holds half the big side; key 99 matches nothing
+    val big = spark.range(0, 20000)
+      .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50).as("bk"),
+        col("id").as("payload"))
+    val small = spark.range(0, 49) // key 49 unmatched on the small side too
+      .select(col("id").as("sk"), (col("id") * 10).as("dim"))
+    val expected = big.join(small, col("bk") === col("sk"))
+      .groupBy("bk").agg(count(lit(1)).as("n"), sum(col("dim")).as("s"))
+      .orderBy("bk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val salted = Scale.saltedJoin(big, small, "bk", "sk", salts = 8)
+      .groupBy("bk").agg(count(lit(1)).as("n"), sum(col("dim")).as("s"))
+      .orderBy("bk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == expected.toSeq)
+  }
+
+  test("saltedJoin refuses overlapping column names") {
+    val a = spark.range(3).select(col("id").as("k"), col("id").as("v"))
+    val b = spark.range(3).select(col("id").as("k2"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException](Scale.saltedJoin(a, b, "k", "k2", 4))
+    assert(e.getMessage.contains("overlapping"))
+  }
+
   test("bucketed join elides both shuffles") {
     val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
