@@ -2611,7 +2611,46 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("n_orders"),
           col("__rev").cast("double").as("revenue"))
         .orderBy(col("c_mktsegment"))
-    })
+    }),
+
+    // Blocked fuzzy record linkage (ops/Linkage.scala): the part-name
+    // dictionary (64 distinct names, min-partkey representative) self-
+    // linked with Jaro-Winkler >= 0.86, blocked on the first name token
+    // — pairs only form within a block (sum(block²), never n²). The
+    // oracle is DuckDB's OWN jaro_winkler_similarity — an independent
+    // implementation of the same published definition, so the kernel's
+    // window/transposition/boost-threshold semantics are cross-checked
+    // end to end, not restated.
+    "q169_fuzzy_links" -> ((s, dir) => {
+      val dict = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      graft.ops.Linkage.fuzzyPairs(dict, "id", "name",
+          split(col("name"), " ").getItem(0), 0.86)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // First-order Markov transition matrix of the event stream
+    // (ops/Events.scala): per-user (ts, event_id)-ordered sequences,
+    // explicit "__end" terminal state so each from-row sums to 1.
+    "q170_markov" -> ((s, dir) =>
+      graft.ops.Events.markovTransitions(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    // Exponential time-decay engagement score (ops/Events.scala):
+    // half-life 7 days against the stream's max ts; DECIMAL(38,12)-
+    // quantized terms make the double sum partition-invariant.
+    "q171_decayed_score" -> ((s, dir) =>
+      graft.ops.Events.decayedScore(t(s, dir, "events"),
+        "user_id", "ts", "value", halfLifeDays = 7.0)),
+
+    // A/B conversion readout (ops/Events.scala): md5-split variants
+    // (the q56 device), conversion = >=1 high-value purchase (a plain
+    // ">=1 purchase" saturates at ~66 events/user — every user converts,
+    // p=1, z undefined), pooled two-proportion z-score.
+    "q172_ab_test" -> ((s, dir) =>
+      graft.ops.Events.abTest(t(s, dir, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") >= 95))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5229,6 +5268,67 @@ object SparkEntry {
         |  (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is an INDEPENDENT implementation
+    // of the same published definition — the kernel is cross-checked,
+    // not restated (the length prefilter is lossless, so the oracle
+    // needn't replay it)
+    "q169_fuzzy_links" ->
+      """WITH d AS (
+        |  SELECT p_name AS name, min(p_partkey) AS id,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+        |    b.name AS name_b,
+        |    round(jaro_winkler_similarity(a.name, b.name), 6) AS sim
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT * FROM p WHERE sim >= 0.86 ORDER BY id_a, id_b""".stripMargin,
+
+    "q170_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), '__end') AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM seq GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // floor(epoch()) matches Spark's unix_timestamp second truncation;
+    // terms quantized to DECIMAL(38,12) before summing (order-independent)
+    "q171_decayed_score" ->
+      """WITH ref AS (SELECT max(floor(epoch(ts))::BIGINT) AS now FROM events)
+        |SELECT user_id,
+        |  round((sum((value * pow(0.5,
+        |      (now - floor(epoch(ts))::BIGINT) / (7.0 * 86400)))
+        |    ::DECIMAL(38,12)))::DOUBLE, 6) AS decayed_score,
+        |  count(*) AS n_events
+        |FROM events, ref GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q172_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 95
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS v
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    count(*) FILTER (v = 'A') AS n_a,
+        |    (sum(conv) FILTER (v = 'A'))::BIGINT AS conv_a,
+        |    count(*) FILTER (v = 'B') AS n_b,
+        |    (sum(conv) FILTER (v = 'B'))::BIGINT AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+        |  n_b, conv_b, round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+        |  round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |    sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |      (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |      (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM s""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -290,6 +290,12 @@ package object functions {
   def edit_similarity(a: Column, b: Column, maxLen: Int = 20000): Column =
     toColumn(EditSimilarity(exprOf(a), exprOf(b), maxLen))
 
+  /** Jaro-Winkler similarity (textbook/DuckDB semantics: 0.7 boost
+    * threshold, prefix cap 4, empty → 0) — the record-linkage matcher.
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    toColumn(JaroWinkler(exprOf(a), exprOf(b)))
+
   /** Mergeable KMV/theta distinct sketch of a string column — the
     * distinct summary that supports SET OPERATIONS (intersection/union
     * estimates across corpora), which HLL cannot.
@@ -484,6 +490,9 @@ package object functions {
       es => EditSimilarity(es(0), es(1),
         if (es.length > 2) intArg(es(2), "edit_similarity", "maxLen")
         else 20000)),
+    ("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 boost threshold)",
+      es => JaroWinkler(es(0), es(1))),
     ("theta_sketch", "theta_sketch(x, k) - KMV/theta distinct sketch aggregate",
       es => ThetaSketch(es(0), intArg(es(1), "theta_sketch", "k"))
         .toAggregateExpression()),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,24 +150,27 @@ object Events {
     * statistic: users are deterministically assigned by md5(user) (first
     * hex digit < '8' → variant A — engine-replayable, stable across
     * retries and engines, the q56 split device), a user converts if they
-    * have ≥1 event of `convType`, and the single output row carries
-    * per-variant user/converter counts, conversion rates, and the pooled
-    * two-proportion z-score
+    * have ≥1 event satisfying the `converted` predicate, and the single
+    * output row carries per-variant user/converter counts, conversion
+    * rates, and the pooled two-proportion z-score
     * `(pA-pB) / sqrt(p̂(1-p̂)(1/nA+1/nB))`, all rounded to 6 dp. The
     * z-score is the experiment dashboard's significance readout (compare
     * |z| to 1.96 for 95%); the p-value itself needs an erf the SQL
-    * surface doesn't have, so the contract stops at z.
+    * surface doesn't have, so the contract stops at z. A degenerate
+    * experiment (pooled p̂ of 0 or 1, or an empty variant) yields a NULL
+    * z, not an error — the caller's conversion predicate is wrong, and
+    * the counts say so.
     *
     * Shape: one user-key aggregation collapses the log to (user, variant,
     * converted), then a 2-row variant rollup and a 1-row pivot — nothing
     * event-sized past the first exchange.
     */
-  def abTest(events: DataFrame, userCol: String, typeCol: String,
-      convType: String): DataFrame = {
+  def abTest(events: DataFrame, userCol: String,
+      converted: Column): DataFrame = {
     val perUser = events
-      .select(col(userCol), col(typeCol))
+      .select(col(userCol), converted.cast("boolean").as("__evConv"))
       .groupBy(col(userCol))
-      .agg(max(when(col(typeCol) === convType, 1).otherwise(0)).as("__conv"))
+      .agg(max(when(col("__evConv"), 1).otherwise(0)).as("__conv"))
       .withColumn("__variant",
         when(substring(md5(col(userCol).cast("string")), 1, 1) < "8", "A")
           .otherwise("B"))
@@ -182,11 +185,14 @@ object Events {
       .withColumn("rate_b", round(col("conv_b") / col("n_b").cast("double"), 6))
       .withColumn("__p",
         (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")).cast("double"))
-      .withColumn("z", round(
+      .withColumn("__den",
+        sqrt(col("__p") * (lit(1.0) - col("__p")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      // ANSI-safe: p̂ ∈ {0,1} → denominator 0 → NULL z (degenerate
+      // experiment reported, not thrown)
+      .withColumn("z", when(col("__den") > 0, round(
         (col("conv_a") / col("n_a").cast("double") -
-          col("conv_b") / col("n_b").cast("double")) /
-          sqrt(col("__p") * (lit(1.0) - col("__p")) *
-            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          col("conv_b") / col("n_b").cast("double")) / col("__den"), 6)))
       .select(col("n_a"), col("conv_a"), col("rate_a"),
         col("n_b"), col("conv_b"), col("rate_b"), col("z"))
   }

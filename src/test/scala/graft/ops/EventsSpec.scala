@@ -3,6 +3,7 @@ package graft.ops
 import java.sql.Timestamp
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class EventsSpec extends AnyFunSuite {
@@ -138,7 +139,8 @@ class EventsSpec extends AnyFunSuite {
       // every user views; users divisible by 3 purchase
       Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
     }.toDF("user_id", "event_type")
-    val out = Events.abTest(rows, "user_id", "event_type", "purchase").collect()(0)
+    val out = Events.abTest(rows, "user_id",
+      col("event_type") === "purchase").collect()(0)
     val nA = users.count(variant(_) == "A")
     val cA = users.count(u => variant(u) == "A" && u % 3 == 0)
     val nB = users.size - nA
@@ -149,6 +151,14 @@ class EventsSpec extends AnyFunSuite {
     val z = (cA.toDouble / nA - cB.toDouble / nB) /
       math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
     assert(math.abs(out.getDouble(6) - z) < 1e-6)
+  }
+
+  test("ab test: degenerate experiment (everyone converts) yields NULL z") {
+    val rows = (1L to 20L).map(u => (u, "purchase")).toDF("user_id", "event_type")
+    val out = Events.abTest(rows, "user_id",
+      col("event_type") === "purchase").collect()(0)
+    assert(out.isNullAt(6))
+    assert(out.getDouble(2) == 1.0 && out.getDouble(5) == 1.0)
   }
 
   test("cohort retention: multiple events in one week count once") {
