@@ -2650,7 +2650,28 @@ object SparkEntry {
     // p=1, z undefined), pooled two-proportion z-score.
     "q172_ab_test" -> ((s, dir) =>
       graft.ops.Events.abTest(t(s, dir, "events"), "user_id",
-        col("event_type") === "purchase" && col("value") >= 95))
+        col("event_type") === "purchase" && col("value") >= 95)),
+
+    // Rolling active users (ops/Events.scala): exact DAU + trailing-7-day
+    // actives for every calendar day (silent days included) — user-day
+    // grain collapse, then a windowDays× explode + re-distinct; no range
+    // join, no per-day re-scan.
+    "q173_rolling_active" -> ((s, dir) =>
+      graft.ops.Events.rollingActiveUsers(t(s, dir, "events"),
+        "user_id", "ts", windowDays = 7)),
+
+    // Key-skew profile (ops/Profile.scala): top-20 concentration-curve
+    // head of orders.o_custkey — the measurement behind the q168 salting
+    // decision.
+    "q174_key_skew" -> ((s, dir) =>
+      graft.ops.Profile.keySkewProfile(t(s, dir, "orders"), "o_custkey", 20)),
+
+    // Churn labels (ops/Events.scala): cutoff = max(ts) - 14d; features
+    // from the observation window, label = silent in the fully-observed
+    // horizon — one user-key aggregation with conditional aggs.
+    "q175_churn_labels" -> ((s, dir) =>
+      graft.ops.Events.churnLabels(t(s, dir, "events"),
+        "user_id", "ts", horizonDays = 14))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5329,6 +5350,48 @@ object SparkEntry {
         |      (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
         |      (1.0 / n_a + 1.0 / n_b)), 6) AS z
         |FROM s""".stripMargin,
+
+    "q173_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS day
+        |  FROM ud),
+        |dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud GROUP BY 1),
+        |roll AS (
+        |  SELECT day, count(DISTINCT u) AS rolling_active
+        |  FROM ud, LATERAL (SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |  GROUP BY 1)
+        |SELECT s.day, coalesce(dau.dau, 0) AS dau,
+        |  coalesce(roll.rolling_active, 0) AS rolling_active
+        |FROM spine s LEFT JOIN dau USING (day) LEFT JOIN roll USING (day)
+        |ORDER BY s.day""".stripMargin,
+
+    "q174_key_skew" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t FROM c),
+        |top AS (
+        |  SELECT o_custkey, n,
+        |    row_number() OVER (ORDER BY n DESC, o_custkey::VARCHAR ASC) AS rank
+        |  FROM c ORDER BY n DESC, o_custkey::VARCHAR ASC LIMIT 20)
+        |SELECT rank, o_custkey, n,
+        |  round(n::DOUBLE / t, 6) AS share,
+        |  round((sum(n) OVER (ORDER BY rank))::DOUBLE / t, 6) AS cum_share
+        |FROM top, tot ORDER BY rank""".stripMargin,
+
+    "q175_churn_labels" ->
+      """WITH ref AS (SELECT max(ts) AS mx FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts <= mx - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS n_events_obs,
+        |    max(CASE WHEN ts <= mx - INTERVAL 14 DAY THEN ts END) AS last_obs,
+        |    max(mx - INTERVAL 14 DAY) AS cut,
+        |    max(CASE WHEN ts > mx - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS post
+        |  FROM events, ref GROUP BY user_id)
+        |SELECT user_id, n_events_obs::BIGINT AS n_events_obs,
+        |  date_diff('day', last_obs::DATE, cut::DATE)::INT AS days_since_last,
+        |  (post = 0) AS churned
+        |FROM u WHERE n_events_obs > 0 ORDER BY user_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -197,6 +197,82 @@ object Events {
         col("n_b"), col("conv_b"), col("rate_b"), col("z"))
   }
 
+  /** Rolling active users: for every calendar day in the stream's
+    * [min, max] day range, the exact count of distinct users active that
+    * day (DAU) and in the trailing `windowDays`-day window ending that
+    * day (WAU for 7, MAU for 30) — the engagement dashboard's headline
+    * pair. Days with no events still appear (dau 0), because a silent
+    * day is the signal, not a gap in the chart.
+    *
+    * Shape: the log collapses to distinct (user, day) grain in the first
+    * exchange (everything after is user-day-sized); the trailing-window
+    * count EXPLODES each user-day into the `windowDays` target days it
+    * contributes to and re-distincts — windowDays × user-days rows, one
+    * more exchange, no range join and no per-day re-scan. The day spine
+    * is a sequence() between two broadcast scalars. Exact counts, not
+    * sketches — the HLL face (q65) is the approximate alternative when
+    * user-day grain itself is too big.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val userDays = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val bounds = userDays.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val dau = userDays.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val rolling = userDays
+      .select(col("__u"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("rolling_active"))
+    spine
+      .join(dau, Seq("day"), "left")
+      .join(rolling, Seq("day"), "left") // rolling never null on spine days, but keep the shape uniform
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("rolling_active"), lit(0L)).as("rolling_active"))
+      .orderBy(col("day"))
+  }
+
+  /** Churn training labels: at cutoff = max(ts) − horizon, each user
+    * active in the observation window (ts ≤ cutoff) gets
+    * (n_events_obs, days_since_last, churned) where churned = the user
+    * has NO event in (cutoff, cutoff+horizon] — the label window is
+    * fully observed by construction, so the labels are honest (a cutoff
+    * at max(ts) would label everyone churned). Users first seen after
+    * the cutoff are excluded: they have no observation features.
+    *
+    * Shape: one scalar max(ts) broadcast, then ONE user-key aggregation
+    * computing both windows with conditional aggregates — the log never
+    * shuffles twice.
+    */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, "horizonDays must be >= 1")
+    val ref = events.agg(max(col(tsCol)).as("__maxTs"))
+    events
+      .select(col(userCol), col(tsCol))
+      .crossJoin(broadcast(ref))
+      .withColumn("__cutoff", col("__maxTs") - expr(s"INTERVAL $horizonDays DAYS"))
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(col(tsCol) <= col("__cutoff"), 1).otherwise(0)).as("n_events_obs"),
+        max(when(col(tsCol) <= col("__cutoff"), col(tsCol))).as("__lastObs"),
+        max(col("__cutoff")).as("__cut"),
+        max(when(col(tsCol) > col("__cutoff"), 1).otherwise(0)).as("__post"))
+      .where(col("n_events_obs") > 0)
+      .select(col(userCol),
+        col("n_events_obs"),
+        datediff(to_date(col("__cut")), to_date(col("__lastObs")))
+          .as("days_since_last"),
+        (col("__post") === 0).as("churned"))
+      .orderBy(col(userCol))
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; retention at offset o = users of that cohort
     * active (≥1 event) in cohort_week + o weeks, as a fraction of the

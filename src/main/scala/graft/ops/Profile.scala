@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus profiling ("data card" statistics): per-group document counts,
@@ -109,5 +110,36 @@ object Profile {
       .agg(sum(col("c")).as("n_tokens"),
         round(sum(col("__ps") * log(col("__ps") / col("__p"))), 6).as("kl"))
       .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Key-skew profile — the shuffle-planning diagnostic: the top-N keys
+    * of a prospective join/aggregation key with their row counts, share
+    * of the table, and cumulative share (the concentration-curve head).
+    * This is the measurement behind the salting decision
+    * ([[graft.ops.Scale.saltedJoin]]/`saltedAgg`): a top key holding
+    * >1/parallelism of the rows IS the straggler; read its share off
+    * this profile and size `salts` accordingly.
+    *
+    * Shape: one key aggregation (map-side combined) + a broadcast scalar
+    * total; ordering and the cumulative window touch only the top-N rows
+    * (N is a parameter, not data-sized). Ties break on the key's string
+    * form so the profile is deterministic across engines and retries.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val top = counts
+      .orderBy(col("n").desc, col(keyCol).cast("string").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("n").desc, col(keyCol).cast("string").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share", round(col("n") / col("__total").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)) /
+          col("__total").cast("double"), 6))
+      .select(col("rank"), col(keyCol), col("n"), col("share"), col("cum_share"))
+      .orderBy(col("rank"))
   }
 }

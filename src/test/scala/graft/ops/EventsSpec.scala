@@ -161,6 +161,36 @@ class EventsSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 1.0 && out.getDouble(5) == 1.0)
   }
 
+  test("rolling active users: silent days appear, window counts distinct") {
+    val rows = Seq(
+      (1L, day(1)), (2L, day(1)),   // day 1: u1, u2
+      (1L, day(2)),                 // day 2: u1
+      // day 3 silent
+      (3L, day(4)), (1L, day(4)))   // day 4: u3, u1
+      .toDF("user_id", "ts")
+    val out = Events.rollingActiveUsers(rows, "user_id", "ts", 3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L),           // window {1}: u1,u2
+      ("2024-01-02", 1L, 2L),           // window {1,2}: u1,u2
+      ("2024-01-03", 0L, 2L),           // window {1,2,3}: u1,u2
+      ("2024-01-04", 2L, 2L)))          // window {2,3,4}: u1,u3
+  }
+
+  test("churn labels: post-window silence flags churned, late users excluded") {
+    // max ts = day 20; horizon 7 -> cutoff = day 13
+    val rows = Seq(
+      (1L, day(1)), (1L, day(10)), (1L, day(18)), // active after cutoff: not churned
+      (2L, day(2)), (2L, day(11)),                // silent after cutoff: churned
+      (3L, day(15)), (3L, day(20)))               // first seen post-cutoff: excluded
+      .toDF("user_id", "ts")
+    val out = Events.churnLabels(rows, "user_id", "ts", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3, false),  // last obs day 10, cutoff day 13
+      (2L, 2L, 2, true)))
+  }
+
   test("cohort retention: multiple events in one week count once") {
     val rows = Seq(
       (1L, day(1, 1)), (1L, day(2, 2)), (1L, day(4)), // all week 0

@@ -95,4 +95,24 @@ class ProfileSpec extends AnyFunSuite {
     // one row per requested column, only requested columns
     assert(prof.keySet == Set("id", "tag", "v"))
   }
+
+  test("keySkewProfile: ranks, shares, cumulative shares, tie determinism") {
+    import org.apache.spark.sql.functions.col
+    // key 'a' x5, 'b' x3, 'c' x3, 'd' x1 -> total 12; b/c tie breaks b first
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .toDF("k")
+    val out = Profile.keySkewProfile(df, "k", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", 5L, round6(5.0 / 12), round6(5.0 / 12)),
+      (2, "b", 3L, 0.25, round6(8.0 / 12)),
+      (3, "c", 3L, 0.25, round6(11.0 / 12))))
+    // partition invariance
+    val out16 = Profile.keySkewProfile(df.repartition(16), "k", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out16 == out.map(t => (t._1, t._2)).toSeq)
+  }
+
+  private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
