@@ -2671,7 +2671,29 @@ object SparkEntry {
     // horizon — one user-key aggregation with conditional aggs.
     "q175_churn_labels" -> ((s, dir) =>
       graft.ops.Events.churnLabels(t(s, dir, "events"),
-        "user_id", "ts", horizonDays = 14))
+        "user_id", "ts", horizonDays = 14)),
+
+    // Funnel step-latency quantiles (ops/Events.scala): funnelTimes →
+    // latency unpivot → Quantiles.exactByKey (the q139 distributed
+    // exact-quantile machine) — "where is the funnel SLOW" next to
+    // q166's "where does it leak".
+    "q176_funnel_latency" -> ((s, dir) =>
+      graft.ops.Events.funnelLatencies(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        Seq(0.5, 0.9))),
+
+    // Triangle count (ops/Graph.scala) of the co-purchase graph (parts
+    // sharing an order): degree-oriented — out-degree bounded O(√m), so
+    // no hub mints d² wedges on one reducer.
+    "q177_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.ops.Graph.triangleCount(edges, "p1", "p2")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5392,6 +5414,54 @@ object SparkEntry {
         |  date_diff('day', last_obs::DATE, cut::DATE)::INT AS days_since_last,
         |  (post = 0) AS churned
         |FROM u WHERE n_events_obs > 0 ORDER BY user_id""".stripMargin,
+
+    // q166's chained-window funnel replayed, then the latency unpivot +
+    // grouped quantile_cont — DuckDB's independent type-7 implementation
+    // (the q139 device)
+    "q176_funnel_latency" ->
+      """WITH e1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM e2),
+        |u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |      FROM e3 GROUP BY 1),
+        |l AS (
+        |  SELECT 1 AS step, 'view' AS from_type, 'click' AS to_type,
+        |    epoch(t1) - epoch(t0) AS lat FROM u WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, 'click', 'purchase', epoch(t2) - epoch(t1)
+        |  FROM u WHERE t2 IS NOT NULL),
+        |a AS (
+        |  SELECT step, from_type, to_type, quantile_cont(lat, [0.5, 0.9]) AS qa
+        |  FROM l GROUP BY 1, 2, 3)
+        |SELECT step, from_type, to_type, unnest([0.5, 0.9]) AS q,
+        |  round(unnest(qa), 4) AS latency_sec
+        |FROM a ORDER BY step, q""".stripMargin,
+
+    // canonical a<b edges; triangles = wedge (x,y),(x,z) closed by (y,z)
+    "q177_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |nn AS (
+        |  SELECT count(DISTINCT x) AS n_nodes FROM (
+        |    SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |ne AS (SELECT count(*) AS n_edges FROM e),
+        |tr AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tr""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

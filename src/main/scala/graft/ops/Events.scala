@@ -31,13 +31,16 @@ object Events {
     * (empty funnel head / broken chain) yields 0.0, never null, so
     * downstream dashboards and the DuckDB oracle agree on every row.
     */
-  def funnel(events: DataFrame, userCol: String, typeCol: String,
+  /** Per-user earliest-completion times for each funnel step: one row
+    * per user with columns `__t0 .. __t(k-1)` (null from the first
+    * uncompleted step on). The shared first half of [[funnel]] and
+    * [[funnelLatencies]] — one user-key exchange, a chain of
+    * unbounded-frame window MINs over it, one per-user collapse.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, "funnel: need at least 2 steps")
     require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
-    val spark = events.sparkSession
-    import spark.implicits._
-
     val w = Window.partitionBy(col(userCol))
     // chain of earliest-completion times: t1 = min ts of step 1,
     // t_k = min ts of step k with ts > t_{k-1}
@@ -51,12 +54,18 @@ object Events {
           min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}"),
             col(tsCol))).over(w))
     }
-    // per-user collapse (constant per partition key → min is exact),
-    // then one global count per step
-    val perUser = withTimes
+    // per-user collapse (constant per partition key → min is exact)
+    withTimes
       .groupBy(col(userCol))
       .agg(min(col("__t0")).as("__t0"),
         steps.indices.tail.map(i => min(col(s"__t$i")).as(s"__t$i")): _*)
+  }
+
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = funnelTimes(events, userCol, typeCol, tsCol, steps)
     val counts = perUser.agg(
       count(col("__t0")).as("__n0"),
       steps.indices.tail.map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
@@ -82,6 +91,41 @@ object Events {
             round(col("n_users") / col("__n_prev").cast("double"), 6))
           .otherwise(0.0).as("pct_of_prev"))
       .orderBy(col("step"))
+  }
+
+  /** Funnel step-latency quantiles: for each transition step k→k+1, the
+    * exact quantiles of (earliest completion of step k+1 − earliest
+    * completion of step k) in seconds, over the users who completed step
+    * k+1. The "WHERE is the funnel slow" companion to [[funnel]]'s
+    * "where does it leak". Returns (step, from_type, to_type, q,
+    * latency_sec) with latency_sec rounded to 4 dp.
+    *
+    * Composition: [[funnelTimes]] (one user-key exchange) → per-user
+    * latency unpivot (|steps|−1 rows per user) →
+    * [[Quantiles.exactByKey]] (range-partition + prefix-sum ranks — the
+    * distributed exact-quantile machine, q139's), keyed by step index.
+    */
+  def funnelLatencies(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], qs: Seq[Double]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = funnelTimes(events, userCol, typeCol, tsCol, steps)
+    val lat = perUser.select(posexplode(array(
+      steps.indices.tail.map(i =>
+        (col(s"__t$i").cast("double") - col(s"__t${i - 1}").cast("double"))
+          .as(s"__l$i")): _*)).as(Seq("__i", "__lat")))
+      .where(col("__lat").isNotNull)
+      .select((col("__i") + 1).as("__step"), col("__lat"))
+    val stepNames = steps.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i + 1, a, b) }.toSeq
+      .toDF("step", "from_type", "to_type")
+    Quantiles.exactByKey(lat, "__step", "__lat", qs, builtinMaxGroupRows = 0L)
+      .select(col("key").cast("int").as("step"), col("q"),
+        round(col("exact_q"), 4).as("latency_sec"))
+      .join(broadcast(stepNames), Seq("step"))
+      .select(col("step"), col("from_type"), col("to_type"), col("q"),
+        col("latency_sec"))
+      .orderBy(col("step"), col("q"))
   }
 
   /** First-order Markov transition matrix of the event stream: for each

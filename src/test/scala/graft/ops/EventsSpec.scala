@@ -161,6 +161,25 @@ class EventsSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 1.0 && out.getDouble(5) == 1.0)
   }
 
+  test("funnel latencies: hand-computed quantiles over completing users") {
+    val rows = Seq(
+      // u1: view->click 60s, click->purchase 240s
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(5)),
+      // u2: view->click 180s, no purchase
+      (2L, "view", ts(0)), (2L, "click", ts(3)),
+      // u3: view only — contributes to no latency
+      (3L, "view", ts(0)))
+    val out = Events.funnelLatencies(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        Seq(0.5))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, "view", "click", 0.5, 120.0), // median of {60, 180}
+      (2, "click", "purchase", 0.5, 240.0)))
+  }
+
   test("rolling active users: silent days appear, window counts distinct") {
     val rows = Seq(
       (1L, day(1)), (2L, day(1)),   // day 1: u1, u2

@@ -128,4 +128,37 @@ class GraphSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
+
+  test("triangle count: K4 has 4, plus a pendant and noise edges") {
+    // K4 on {1,2,3,4} (4 triangles), pendant 4-5, disconnected 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L))
+    val out = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((7L, 8L, 4L)))
+  }
+
+  test("triangle count: direction, duplicates and self-loops are cleaned") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), // one canonical edge
+      (2L, 3L), (3L, 1L),                          // closes one triangle
+      (3L, 3L))                                    // self-loop dropped
+    val out = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 3L, 1L)))
+  }
+
+  test("triangle count: matches brute force on a hashed random graph") {
+    val edges = (for {
+      i <- 0 until 25; j <- 0 until 25
+      if i != j && (i * 31 + j * 17) % 5 < 2
+    } yield (i.toLong, j.toLong)).toSeq
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val set = canon.toSet
+    val ns = canon.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    var want = 0L
+    for (i <- ns.indices; j <- i + 1 until ns.size; k <- j + 1 until ns.size)
+      if (set((ns(i), ns(j))) && set((ns(i), ns(k))) && set((ns(j), ns(k))))
+        want += 1
+    val out = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect()(0)
+    assert(out.getLong(2) == want && want > 0)
+  }
 }
