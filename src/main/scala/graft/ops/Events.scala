@@ -260,9 +260,12 @@ object Events {
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
+    // pinned: three consumers (bounds, daily, rolling) — unpinned, each
+    // would re-scan the event log and re-pay the distinct exchange
     val userDays = events
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()
+      .localCheckpoint(true)
     val bounds = userDays.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
     val spine = bounds
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
@@ -326,10 +329,10 @@ object Events {
     *
     * Shape: distinct (user, active-week) collapses the event log first
     * (the big win — everything after is user-week-sized, not
-    * event-sized); the per-user first week is a min over the SAME
-    * grouped frame (no second scan of the log); one equi-join user-weeks
-    * × first-weeks on the user key; the cohort matrix is weeks² rows.
-    * cohort_size rides a window over the matrix, not a re-scan.
+    * event-sized); the per-user first week is an unbounded window MIN
+    * over the user key — no join, no second scan of the log; the cohort
+    * matrix is weeks² rows. cohort_size rides a window over the matrix,
+    * not a re-scan.
     */
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
@@ -337,10 +340,10 @@ object Events {
       .select(col(userCol).as("__u"),
         date_trunc("week", col(tsCol)).as("__wk"))
       .distinct() // one exchange; log collapses to user-week grain
-    val firstWeek = userWeeks.groupBy(col("__u"))
-      .agg(min(col("__wk")).as("cohort_week"))
+    val wUser = Window.partitionBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val matrix = userWeeks
-      .join(firstWeek, Seq("__u")) // same key as the distinct — co-partitioned
+      .withColumn("cohort_week", min(col("__wk")).over(wUser))
       .select(col("cohort_week"),
         (datediff(col("__wk"), col("cohort_week")) / 7)
           .cast("int").as("week_offset"))

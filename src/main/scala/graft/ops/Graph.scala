@@ -202,11 +202,15 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // canon feeds four consumers (degrees, orientation, the closure
+    // probe, edge count) and oriented feeds three — both pin, or the
+    // whole upstream edge derivation re-executes per consumer
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = canon.select(col("a").as("n"))
       .unionAll(canon.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -221,6 +225,7 @@ object Graph {
         when(col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
     // wedges from a shared oriented PIVOT (the triangle's minimum under
     // (degree, id) order — both its edges point out, so each triangle is
     // generated from exactly one pivot), closed against the CANONICAL
