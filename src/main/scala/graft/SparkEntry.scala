@@ -2693,7 +2693,39 @@ object SparkEntry {
         .where(col("p1") < col("p2"))
         .select(col("p1"), col("p2"))
       graft.ops.Graph.triangleCount(edges, "p1", "p2")
-    })
+    }),
+
+    // Adamic-Adar link prediction (ops/Graph.scala) over the high-value
+    // co-purchase graph (parts sharing an order, both lines qty >= 40):
+    // score non-adjacent pairs by sum 1/ln(deg) over common neighbors,
+    // maxDegree=60 hub-exclusion rail. The "related parts you haven't
+    // bundled yet" candidate generator.
+    "q178_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.ops.Graph.adamicAdar(edges, "p1", "p2",
+        maxDegree = 60, topK = 50)
+    }),
+
+    // Market-basket association scores (ops/Recommend.scala): orders as
+    // baskets, parts as items — support/confidence/lift for pairs
+    // co-purchased in >= 2 orders, topK by lift. The classic
+    // "users who bought X also bought Y" readout.
+    "q179_market_basket" -> ((s, dir) =>
+      graft.ops.Recommend.marketBasket(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2, topK = 100)),
+
+    // Bigram PMI collocations (ops/TextAnalysis.scala): the corpus's
+    // fixed phrases by pointwise mutual information over the bigram
+    // event space — positional marginals, minCount=5 rare-pair rail.
+    "q180_pmi_collocations" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pmiCollocations(t(s, dir, "documents"),
+        "text", minCount = 5, topK = 50))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5462,6 +5494,69 @@ object SparkEntry {
         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
         |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tr""".stripMargin,
+
+    "q178_adamic_adar" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |adj AS (SELECT a AS z, b AS n FROM e0
+        |        UNION ALL SELECT b AS z, a AS n FROM e0),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+        |ctr AS (SELECT z, CAST(1.0/ln(d::DOUBLE) AS DECIMAL(38,12)) AS w
+        |        FROM deg WHERE d BETWEEN 2 AND 60),
+        |wedge AS (
+        |  SELECT a1.n AS u, a2.n AS v, c.w
+        |  FROM adj a1 JOIN ctr c ON a1.z = c.z
+        |    JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n),
+        |sc AS (SELECT u, v, count(*) AS cn, sum(w) AS s
+        |       FROM wedge GROUP BY u, v),
+        |nv AS (SELECT u, v, cn, s FROM sc WHERE NOT EXISTS
+        |        (SELECT 1 FROM e0 WHERE e0.a = sc.u AND e0.b = sc.v))
+        |SELECT u AS node_a, v AS node_b, cn AS common_neighbors,
+        |  round(s::DOUBLE, 6) AS aa_score
+        |FROM nv ORDER BY aa_score DESC, node_a, node_b LIMIT 50""".stripMargin,
+
+    "q179_market_basket" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
+        |kept AS (SELECT bi.b, bi.i FROM bi SEMI JOIN ok ON bi.b = ok.b),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM kept),
+        |ic AS (SELECT i, count(*) AS c FROM kept GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |      FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY a.i, b.i HAVING count(*) >= 2)
+        |SELECT item_a, item_b, ca.c AS n_a, cb.c AS n_b, n_ab,
+        |  round(n_ab::DOUBLE / nb, 6) AS support,
+        |  round(n_ab::DOUBLE / ca.c, 6) AS conf_a_b,
+        |  round(n_ab::DOUBLE / cb.c, 6) AS conf_b_a,
+        |  round(n_ab::DOUBLE * nb / (ca.c * cb.c), 6) AS lift
+        |FROM p JOIN ic ca ON p.item_a = ca.i JOIN ic cb ON p.item_b = cb.i
+        |  CROSS JOIN n
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q180_pmi_collocations" ->
+      """WITH g AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    END) AS bigram
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |        FROM documents)),
+        |c AS (SELECT bigram, count(*) AS n_ab FROM g GROUP BY bigram),
+        |lc AS (SELECT string_split(bigram, ' ')[1] AS l,
+        |         sum(n_ab)::BIGINT AS n_left FROM c GROUP BY 1),
+        |rc AS (SELECT string_split(bigram, ' ')[-1] AS r,
+        |         sum(n_ab)::BIGINT AS n_right FROM c GROUP BY 1),
+        |tot AS (SELECT sum(n_ab) AS bb FROM c)
+        |SELECT bigram, n_ab, n_left, n_right,
+        |  round(ln(n_ab::DOUBLE * bb / (n_left * n_right)), 6) AS pmi
+        |FROM c JOIN lc ON string_split(bigram, ' ')[1] = lc.l
+        |  JOIN rc ON string_split(bigram, ' ')[-1] = rc.r
+        |  CROSS JOIN tot
+        |WHERE n_ab >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

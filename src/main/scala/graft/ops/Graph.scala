@@ -243,4 +243,67 @@ object Graph {
     stats.crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+    * neighbors on the Web"): score every NON-adjacent node pair (u, v)
+    * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare
+    * neighbors predict a future link far more strongly than shared
+    * hubs. The classic candidate generator for "users also bought" /
+    * related-document suggestions over a co-occurrence graph.
+    *
+    * `maxDegree` is the hub-exclusion rail, and it is a semantic knob,
+    * not just a performance one: a center z mints deg(z)² wedges (the
+    * quadratic term that kills naive implementations on power-law
+    * graphs) while contributing the MINIMUM per-wedge score 1/ln(deg)
+    * — so the cap trims exactly the wedges that cost the most and say
+    * the least. Standard practice in production link prediction;
+    * callers wanting the textbook-exact score pass Long.MaxValue.
+    *
+    * Returns (node_a, node_b, common_neighbors, aa_score) for the topK
+    * highest-scoring non-edges, node_a < node_b, ties broken by the
+    * pair. Scores quantize to DECIMAL(38,12) per wedge before summing
+    * (partition-invariant) and round to 6 dp.
+    *
+    * 100 TB shape: wedges come from ONE self-join of the adjacency
+    * list on the center key — sum over kept centers of deg² rows,
+    * bounded by maxDegree²·|centers|; the score fold is a map-side-
+    * partial aggregation on the pair key; existing edges leave via a
+    * canonical-frame anti-join (edge-sized, same key); the topK is a
+    * TakeOrdered, never a full sort. The canonical edge frame pins
+    * once and feeds degrees, wedges, and the anti-join.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = Long.MaxValue, topK: Int = 100): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    require(maxDegree >= 2, "maxDegree must be >= 2 (a center needs two neighbors)")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+    // deg(z) >= 2 is not a heuristic: a degree-1 center spans no wedge
+    // (and 1/ln(1) is undefined anyway)
+    val centers = adj.groupBy(col("z")).agg(count(lit(1)).as("__d"))
+      .where(col("__d").between(2L, maxDegree))
+      .select(col("z"),
+        (lit(1.0) / log(col("__d").cast("double")))
+          .cast("decimal(38,12)").as("__w"))
+    val half = adj.join(centers, Seq("z"))
+    val wedges = half.select(col("z"), col("n").as("u"), col("__w"))
+      .join(half.select(col("z"), col("n").as("v")), Seq("z"))
+      .where(col("u") < col("v"))
+    wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("__w")).as("__s"))
+      .join(canon.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u").as("node_a"), col("v").as("node_b"),
+        col("common_neighbors"),
+        round(col("__s").cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Co-occurrence recommendation primitives: market-basket association
+  * scores (support / confidence / lift) over a (basket, item) log —
+  * the "users who bought X also bought Y" candidate generator, and the
+  * association-rule readout behind every retail dashboard (Agrawal &
+  * Srikant 1994's support/confidence frame plus lift).
+  *
+  * 100 TB shape: the log collapses to DISTINCT (basket, item) first —
+  * everything after is item-pair-sized, not event-sized. Pairs come
+  * from ONE self-join on the basket key (sum over baskets of
+  * |basket|², bounded by the basket-size cap — a retail basket is tens
+  * of items, so the quadratic term is a small constant; the rail
+  * rejects degenerate "baskets" like a crawler session with 10⁵
+  * items). Item marginals are an item-sized re-agg of the SAME
+  * distinct frame (pinned — no second pass over the log), the basket
+  * total is a 1-row broadcast, and minPairCount prunes the long tail
+  * before the marginal joins. Ratios divide longs (exact IEEE, engine-
+  * portable) and round to 6 dp.
+  */
+object Recommend {
+
+  /** Market-basket association scores for item pairs co-occurring in
+    * at least `minPairCount` baskets.
+    *
+    * Returns (item_a, item_b, n_a, n_b, n_ab, support, conf_a_b,
+    * conf_b_a, lift) with item_a < item_b, the topK rows by
+    * (lift desc, pair): support = n_ab/N, conf_a_b = n_ab/n_a,
+    * lift = n_ab·N/(n_a·n_b) — lift > 1 means the pair co-occurs more
+    * than independence predicts.
+    *
+    * `maxBasketSize` drops baskets with more distinct items than the
+    * cap BEFORE pair generation (both the quadratic-cost rail and a
+    * semantic one: a basket holding half the catalog carries no
+    * association signal, it just links everything to everything).
+    */
+  def marketBasket(txns: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, topK: Int = 100,
+      maxBasketSize: Int = 1000): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(topK > 0, "topK must be positive")
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    // one distinct exchange collapses the log; pinned — consumers are
+    // the basket-size rail, the pair self-join, the item marginals,
+    // and the basket total
+    val bi = txns
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .localCheckpoint(true)
+    val okBaskets = bi.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") <= maxBasketSize)
+      .select(col("__b"))
+    val kept = bi.join(okBaskets, Seq("__b"), "left_semi")
+      .localCheckpoint(true)
+    val nBaskets = kept.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val itemCnt = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCnt.select(col("__i").as("item_a"), col("__c").as("n_a")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("__i").as("item_b"), col("__c").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("__n"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("__n") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+}

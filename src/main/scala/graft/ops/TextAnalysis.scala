@@ -272,6 +272,60 @@ object TextAnalysis {
       .withColumnRenamed("kept_text", textCol)
   }
 
+  /** Bigram PMI collocations (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): rank adjacent word
+    * pairs by pointwise mutual information over the BIGRAM event space
+    * — `pmi(a,b) = ln( n_ab · B / (n_a• · n_•b) )` where B is the total
+    * bigram count, n_a• the count of bigrams with left word a and n_•b
+    * with right word b. Marginals are positional (left/right), so the
+    * whole statistic is a pure function of one integer count table —
+    * no second tokenization pass and no cross-engine probability
+    * conventions to disagree on. High-PMI pairs are the corpus's fixed
+    * phrases ("los angeles", "et al"); the standard collocation signal
+    * for tokenizer-vocabulary audits and boilerplate discovery.
+    *
+    * `minCount` is Church & Hanks' own rail: PMI explodes for rare
+    * pairs (a 1-count pair of two 1-count words maxes the statistic),
+    * so pairs under the floor are dropped before ranking.
+    *
+    * Returns (bigram, n_ab, n_left, n_right, pmi) for the topK pairs
+    * by (pmi desc, bigram), pmi rounded to 6 dp.
+    *
+    * 100 TB shape: ONE corpus-sized shuffle builds the bigram count
+    * table (codegen'd shingle kernel, map-side partial agg); both
+    * marginals are bigram-TYPE-sized re-aggs of that table (pinned —
+    * the corpus is never re-scanned) and join back on the type key;
+    * B is a 1-row broadcast; the topK is a TakeOrdered, not a sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val counts = docs
+      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // consumers: both marginals, B, the ranked join
+    val leftC = counts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("__l"))
+      .agg(sum(col("n_ab")).as("n_left"))
+    val rightC = counts
+      .groupBy(substring_index(col("bigram"), " ", -1).as("__r"))
+      .agg(sum(col("n_ab")).as("n_right"))
+    val total = counts.agg(sum(col("n_ab")).as("__B"))
+    counts
+      .where(col("n_ab") >= minCount)
+      .withColumn("__l", substring_index(col("bigram"), " ", 1))
+      .withColumn("__r", substring_index(col("bigram"), " ", -1))
+      .join(leftC, Seq("__l"))
+      .join(rightC, Seq("__r"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_ab"), col("n_left"), col("n_right"),
+        round(log(col("n_ab").cast("double") * col("__B") /
+          (col("n_left") * col("n_right"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Full per-document stats frame (the `queries` surface). */
   def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)

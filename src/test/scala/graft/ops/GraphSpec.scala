@@ -161,4 +161,63 @@ class GraphSpec extends AnyFunSuite {
     val out = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect()(0)
     assert(out.getLong(2) == want && want > 0)
   }
+
+  test("adamic-adar: path graph scores the endpoints via the center") {
+    // 1-2-3: only non-edge is (1,3), one common neighbor 2 of degree 2
+    val out = Graph.adamicAdar(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 3L, 1L)))
+    assert(math.abs(r.getDouble(3) - 1.0 / math.log(2.0)) < 1e-6)
+  }
+
+  test("adamic-adar: existing edges are excluded, rare centers out-score hubs") {
+    // square 1-2-3-4-1 plus hub 5 attached to 1 and 3: pair (1,3) has
+    // common neighbors {2, 4, 5}; (2,4) has {1, 3}. Edge (1,2) never
+    // appears even though it shares neighbors.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 1L), (5L, 3L)).toDF("s", "d")
+    val out = Graph.adamicAdar(edges, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(!out.contains((1L, 2L)))
+    assert(out((1L, 3L))._1 == 3L) // centers 2, 4, 5
+    assert(out((2L, 4L))._1 == 2L) // centers 1, 3
+    // (2,4)'s centers both have degree 3; (2,5)'s center 1 and 3 too —
+    // but (1,3) with three degree-2/2/3 centers scores highest overall
+    val best = out.maxBy(_._2._2)
+    assert(best._1 == ((1L, 3L)))
+  }
+
+  test("adamic-adar: maxDegree excludes hub centers from scoring") {
+    // star center 1 with leaves 2..6 (deg 5) + chain 2-7-3: with
+    // maxDegree=4 the hub is excluded, so leaf pairs like (4,5) lose
+    // their only center; surviving wedges are center 7 -> (2,3) and
+    // centers 2,3 (deg 2 each) -> (1,7)
+    val edges = (2L to 6L).map(l => (1L, l)) ++ Seq((2L, 7L), (7L, 3L))
+    val out = Graph.adamicAdar(edges.toDF("s", "d"), "s", "d",
+        maxDegree = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((2L, 3L), (1L, 7L)))
+    assert(out((2L, 3L)) == 1L)
+    assert(out((1L, 7L)) == 2L)
+    // without the cap, the hub center mints every leaf pair
+    val full = Graph.adamicAdar(edges.toDF("s", "d"), "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((4L, 5L)))
+  }
+
+  test("adamic-adar: partition-count invariance of the quantized sum") {
+    val edges = (for {
+      i <- 0 until 30; j <- 0 until 30
+      if i != j && (i * 13 + j * 7) % 6 < 2
+    } yield (i.toLong, j.toLong)).toSeq
+    def run(parts: Int) =
+      Graph.adamicAdar(edges.toDF("s", "d").repartition(parts), "s", "d",
+          topK = 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(run(1).toSeq == run(17).toSeq)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecommendSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def basket(rows: Seq[(Long, String)], minPair: Long = 1,
+      topK: Int = 100, maxBasket: Int = 1000) =
+    Recommend.marketBasket(rows.toDF("basket", "item"), "basket", "item",
+        minPairCount = minPair, topK = topK, maxBasketSize = maxBasket)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+
+  test("hand-computed support/confidence/lift on three baskets") {
+    // b1: {a,b}  b2: {a,b,c}  b3: {a,c}   N=3
+    // n_a=3 n_b=2 n_c=2; n_ab=2 n_ac=2 n_bc=1
+    val out = basket(Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "c")))
+    val (na, nb, nab, sup, cab, cba, lift) = out(("a", "b"))
+    assert((na, nb, nab) == ((3L, 2L, 2L)))
+    assert(math.abs(sup - 2.0 / 3) < 1e-6)
+    assert(math.abs(cab - 2.0 / 3) < 1e-6)
+    assert(math.abs(cba - 1.0) < 1e-6)
+    assert(math.abs(lift - 2.0 * 3 / (3 * 2)) < 1e-6)
+    // bc co-occurs once: lift 1*3/(2*2) = 0.75 < 1 (anti-correlated)
+    assert(math.abs(out(("b", "c"))._7 - 0.75) < 1e-6)
+  }
+
+  test("duplicate item rows in one basket count once") {
+    val out = basket(Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")))
+    assert(out(("a", "b"))._3 == 2L) // n_ab
+    assert(out(("a", "b"))._1 == 2L) // n_a, not 3
+  }
+
+  test("minPairCount prunes and maxBasketSize drops degenerate baskets") {
+    // basket 9 has 4 items > cap 3 — contributes nothing, even to N
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "c")) ++
+      Seq("a", "b", "c", "d").map(i => (9L, i))
+    val out = basket(rows, minPair = 2, maxBasket = 3)
+    assert(out.keySet == Set(("a", "b")))
+    // N = 3 (baskets 1,2,3), not 4
+    assert(math.abs(out(("a", "b"))._4 - 2.0 / 3) < 1e-6)
+  }
+
+  test("topK keeps the highest-lift pairs with deterministic ties") {
+    // (c,d) exclusive pair in 1 of 4 baskets: lift 4; (a,b) in all 4: lift 1
+    val rows = (1L to 3L).flatMap(b => Seq((b, "a"), (b, "b"))) ++
+      Seq((4L, "a"), (4L, "b"), (4L, "c"), (4L, "d"))
+    val all = basket(rows)
+    assert(all(("c", "d"))._7 > all(("a", "b"))._7)
+    val top = Recommend.marketBasket(rows.toDF("basket", "item"),
+        "basket", "item", minPairCount = 1, topK = 1).collect()
+    assert(top.length == 1 &&
+      (top(0).getString(0), top(0).getString(1)) == (("c", "d")))
+  }
+}

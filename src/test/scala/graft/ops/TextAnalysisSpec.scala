@@ -233,4 +233,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       "a good long sentence number two here.\na good long sentence number three here.",
       s"got ${kept(1L)}")
   }
+
+  test("pmiCollocations: hand-computed PMI over a tiny corpus") {
+    import spark.implicits._
+    // bigrams: "a b" x2, "b a" (doc1), "c d" (doc2) -> B=4
+    // left: a=2 b=1 c=1; right: b=2 a=1 d=1
+    // pmi(a b) = ln(2*4/(2*2)) = ln 2
+    // pmi(b a) = pmi(c d) = ln(1*4/(1*1)) = ln 4 — tie, bigram asc
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text",
+        minCount = 1, topK = 10).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a b") == ((2L, 2L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    assert(out("c d")._4 == math.rint(math.log(4) * 1e6) / 1e6)
+    assert(out("b a")._4 == out("c d")._4)
+    // ranking: the exclusive pairs out-score the frequent one; the
+    // tie breaks on the bigram string
+    val top = TextAnalysis.pmiCollocations(docs, "text",
+      minCount = 1, topK = 1).collect()
+    assert(top(0).getString(0) == "b a")
+  }
+
+  test("pmiCollocations: minCount floors rare pairs; marginals stay global") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text",
+        minCount = 2, topK = 10).collect().map(_.getString(0))
+    // "x z" (count 1) and "y x" (count 2)? bigrams: x y, y x, x y, y x, x y / x z
+    // counts: "x y"=3, "y x"=2, "x z"=1 -> minCount=2 keeps two
+    assert(out.toSet == Set("x y", "y x"))
+  }
 }
