@@ -2725,7 +2725,33 @@ object SparkEntry {
     // event space — positional marginals, minCount=5 rare-pair rail.
     "q180_pmi_collocations" -> ((s, dir) =>
       graft.ops.TextAnalysis.pmiCollocations(t(s, dir, "documents"),
-        "text", minCount = 5, topK = 50))
+        "text", minCount = 5, topK = 50)),
+
+    // Kaplan-Meier time-to-conversion (ops/Events.scala): hours from
+    // first signup to first purchase at-or-after it, right-censored at
+    // the log's max ts; survival via ordered window sum of quantized
+    // log factors over the duration-grain curve.
+    "q181_survival" -> ((s, dir) =>
+      graft.ops.Events.timeToEventSurvival(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "signup", "purchase")),
+
+    // Robust daily-volume anomalies (ops/Events.scala): per-event-type
+    // modified z-score vs its own median/MAD history (both via the
+    // q139 distributed exact-quantile machine); threshold 2.5 tuned
+    // below the 3.5 default so the synthetic log exercises both
+    // branches of the flag.
+    "q182_anomaly_days" -> ((s, dir) =>
+      graft.ops.Events.anomalousDays(t(s, dir, "events"),
+        "event_type", "ts", threshold = 2.5)),
+
+    // First/last-touch attribution (ops/Events.scala): purchases credit
+    // the earliest and latest non-purchase event of the same user in a
+    // 3-day lookback; no touch -> "(direct)". Deterministic (ts,
+    // event_id) tiebreak; both models from one range join.
+    "q183_attribution" -> ((s, dir) =>
+      graft.ops.Events.attribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        col("event_type") === "purchase", lookbackMillis = 3L * 86400000L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5557,6 +5583,69 @@ object SparkEntry {
         |  CROSS JOIN tot
         |WHERE n_ab >= 5
         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    "q181_survival" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS t FROM events),
+        |a AS (SELECT u, min(ms) AS anchor FROM ev WHERE t = 'signup' GROUP BY u),
+        |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+        |       WHERE ev.t = 'purchase' AND ev.ms >= a.anchor GROUP BY ev.u),
+        |mx AS (SELECT max(ms) AS fin FROM ev),
+        |pu AS (SELECT CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e,
+        |         floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT AS t
+        |       FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+        |km AS (SELECT t, sum(e)::BIGINT AS n_events,
+        |         sum(1 - e)::BIGINT AS n_censored FROM pu GROUP BY t),
+        |w AS (SELECT t, n_events, n_censored,
+        |        (sum(n_events + n_censored) OVER ()
+        |          - coalesce(sum(n_events + n_censored) OVER
+        |              (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING), 0))::BIGINT AS n_at_risk FROM km),
+        |s AS (SELECT *, CASE WHEN n_events < n_at_risk THEN
+        |        CAST(ln(1 - n_events::DOUBLE / n_at_risk) AS DECIMAL(38,12))
+        |        END AS lnq FROM w)
+        |SELECT t, n_at_risk, n_events, n_censored,
+        |  CASE WHEN n_events = n_at_risk THEN 0.0
+        |    ELSE round(exp((sum(lnq) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE), 6)
+        |  END AS survival
+        |FROM s ORDER BY t""".stripMargin,
+
+    "q182_anomaly_days" ->
+      """WITH d AS (SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m AS (SELECT key, median(n) AS med FROM d GROUP BY key),
+        |dev AS (SELECT d.key, dy, n, med, abs(n - med) AS ad
+        |        FROM d JOIN m USING (key)),
+        |md AS (SELECT key, median(ad) AS mad FROM dev GROUP BY key)
+        |SELECT dev.key, dy AS day, n, med, mad,
+        |  CASE WHEN mad > 0 THEN round(0.6745 * (n - med) / mad, 6) END AS robust_z,
+        |  coalesce(abs(CASE WHEN mad > 0
+        |    THEN round(0.6745 * (n - med) / mad, 6) END) > 2.5, false) AS is_anomaly
+        |FROM dev JOIN md USING (key)
+        |ORDER BY dev.key, dy""".stripMargin,
+
+    "q183_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id AS u,
+        |             epoch_ms(ts)::BIGINT AS cms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS tid, user_id AS u,
+        |        epoch_ms(ts)::BIGINT AS tms, event_type AS ch
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT cid, ch, tms, tid FROM c LEFT JOIN t
+        |      ON c.u = t.u AND t.tms <= c.cms
+        |        AND t.tms > c.cms - 259200000),
+        |r AS (SELECT cid, coalesce(ch, '(direct)') AS ch,
+        |        row_number() OVER (PARTITION BY cid ORDER BY tms, tid) AS rf,
+        |        row_number() OVER (PARTITION BY cid ORDER BY tms DESC, tid DESC) AS rl
+        |      FROM j),
+        |ft AS (SELECT ch AS channel, count(*) AS nf FROM r WHERE rf = 1 GROUP BY 1),
+        |lt AS (SELECT ch AS channel, count(*) AS nl FROM r WHERE rl = 1 GROUP BY 1)
+        |SELECT coalesce(ft.channel, lt.channel) AS channel,
+        |  coalesce(nf, 0) AS n_first_touch, coalesce(nl, 0) AS n_last_touch
+        |FROM ft FULL JOIN lt ON ft.channel = lt.channel
+        |ORDER BY channel""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -358,4 +358,181 @@ object Events {
         round(col("n_users") / col("cohort_size").cast("double"), 6))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Kaplan-Meier time-to-event survival curve (Kaplan & Meier 1958):
+    * for each user with an ANCHOR event (first `anchorType`), the
+    * "event" is their first `targetType` at-or-after the anchor;
+    * users with none are right-CENSORED at the observation end
+    * (the log's max timestamp) — the estimator's whole point is that
+    * censored users still contribute to the at-risk denominator until
+    * they drop out, so "hasn't converted YET" is not "never converts".
+    * The product-analytics time-to-conversion curve; with churn as the
+    * target it's the retention survival curve.
+    *
+    * Time is `floor((t_event - t_anchor) / unitMillis)` (default 1 h
+    * buckets). Returns one row per distinct time
+    * (t, n_at_risk, n_events, n_censored, survival) where
+    * `survival = prod over u <= t of (1 - d_u / n_u)` — the KM
+    * estimator, computed as exp of an ordered window sum of
+    * DECIMAL(38,12)-quantized log factors (deterministic order, no FP
+    * association drift), rounded to 6 dp. A time where every at-risk
+    * user dies (d = n, necessarily the last row) pins survival to 0
+    * exactly instead of feeding ln(0) into the sum.
+    *
+    * 100 TB shape: anchors and targets are two pushed-down scans of
+    * the log collapsing to user grain (one user-key exchange each, the
+    * target min rides the anchor join's partitioning); the observation
+    * end is a 1-row broadcast. The CURVE frame is duration-grain —
+    * bounded by the observation span over the bucket unit, thousands
+    * of rows at any corpus size — so its unpartitioned ordered windows
+    * are a deliberate single-reducer pass over a calendar-sized frame,
+    * not a data-sized one.
+    */
+  def timeToEventSurvival(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, anchorType: String,
+      targetType: String, unitMillis: Long = 3600000L): DataFrame = {
+    require(unitMillis > 0, "unitMillis must be positive")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+      col(typeCol).as("__t"))
+    val anchors = ev.filter(col("__t") === anchorType)
+      .groupBy(col("__u")).agg(min(col("__ms")).as("__anchor"))
+    val firstEvt = ev.filter(col("__t") === targetType)
+      .join(anchors, Seq("__u"))
+      .where(col("__ms") >= col("__anchor"))
+      .groupBy(col("__u")).agg(min(col("__ms")).as("__evt"))
+    val end = ev.agg(max(col("__ms")).as("__end"))
+    val perUser = anchors
+      .join(firstEvt, Seq("__u"), "left")
+      .crossJoin(broadcast(end))
+      .select(
+        when(col("__evt").isNotNull, 1L).otherwise(0L).as("__e"),
+        floor((coalesce(col("__evt"), col("__end")) - col("__anchor")) /
+          lit(unitMillis.toDouble)).cast("long").as("t"))
+    val km = perUser.groupBy(col("t"))
+      .agg(sum(col("__e")).as("n_events"),
+        sum(lit(1L) - col("__e")).as("n_censored"))
+    // curve-sized frame: unpartitioned ordered windows are intentional
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leaving = col("n_events") + col("n_censored")
+    km.withColumn("n_at_risk",
+        sum(leaving).over(wAll) - coalesce(sum(leaving).over(wPrev), lit(0L)))
+      .withColumn("__lnq",
+        when(col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events").cast("double") / col("n_at_risk")))
+          .cast("decimal(38,12)"))
+      .withColumn("survival",
+        when(col("n_events") === col("n_at_risk"), 0.0)
+          .otherwise(round(exp(sum(col("__lnq")).over(wCum).cast("double")), 6)))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+      .orderBy(col("t"))
+  }
+
+  /** Robust per-key daily-volume anomaly detection: for every
+    * (key, day) count, the modified z-score
+    * `0.6745 · (n - median) / MAD` (Iglewicz & Hoaglin 1993 — the
+    * robust outlier test that a single bad day cannot recruit into its
+    * own baseline, unlike mean/stddev). Returns every (key, day) row
+    * with (n, med, mad, robust_z, is_anomaly) — the data-quality
+    * dashboard over an ingest log: a pipeline source that doubles or
+    * goes dark flags immediately against its own history.
+    *
+    * A key whose counts barely vary (MAD = 0) has no robust scale:
+    * robust_z is null and is_anomaly false — the caller reads the
+    * constant series directly. robust_z rounds to 6 dp.
+    *
+    * 100 TB shape: ONE event-sized exchange collapses the log to
+    * (key, day) grain; both the median and the MAD-of-deviations ride
+    * [[Quantiles.exactByKey]] on that key-day frame (exact type-7,
+    * distributed rank path above the built-in's single-reducer
+    * crossover, key-sized result broadcast back). Nothing event-sized
+    * moves after the first collapse.
+    */
+  def anomalousDays(events: DataFrame, keyCol: String, tsCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumers: median, deviations, the readout
+    val med = Quantiles.exactByKey(daily, "key", "n", Seq(0.5))
+      .select(col("key"), col("exact_q").as("med"))
+    val dev = daily.join(broadcast(med), Seq("key"))
+      .withColumn("__ad", abs(col("n") - col("med")))
+      .localCheckpoint(true) // consumers: MAD quantile, the readout
+    val mad = Quantiles.exactByKey(dev, "key", "__ad", Seq(0.5))
+      .select(col("key"), col("exact_q").as("mad"))
+    dev.join(broadcast(mad), Seq("key"))
+      .withColumn("robust_z",
+        when(col("mad") > 0.0,
+          round(lit(0.6745) * (col("n") - col("med")) / col("mad"), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .select(col("key"), col("day"), col("n"), col("med"), col("mad"),
+        col("robust_z"), col("is_anomaly"))
+      .orderBy(col("key"), col("day"))
+  }
+
+  /** First- and last-touch conversion attribution: for every event
+    * satisfying `isConversion`, the earliest and latest NON-conversion
+    * event ("touch") of the same user in the lookback window
+    * `(t_conv - lookbackMillis, t_conv]` gets the credit; a conversion
+    * with no touch in the window attributes to `(direct)`. Returns one
+    * row per channel (the touch's `typeCol` value):
+    * (channel, n_first_touch, n_last_touch), the two classic marketing
+    * attribution models side by side.
+    *
+    * Ties in touch time break on `idCol` — attribution is deterministic
+    * and engine-replayable, never "whichever row the scan saw first".
+    *
+    * 100 TB shape: one user-keyed range join pairs conversions with
+    * their windowed touches (output bounded by touches-per-lookback,
+    * not |touches|·|conversions|); the argmin/argmax per conversion is
+    * a single `min_by`/`max_by` aggregate on the conversion key (no
+    * window sort), and the final frame is channel-sized.
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, isConversion: Column,
+      lookbackMillis: Long): DataFrame = {
+    require(lookbackMillis > 0, "lookbackMillis must be positive")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+      col(idCol).as("__id"), col(typeCol).as("__ch"),
+      isConversion.as("__conv"))
+    val conv = ev.filter(col("__conv"))
+      .select(col("__u"), col("__ms").as("__cms"), col("__id").as("__cid"))
+    val tch = ev.filter(!col("__conv"))
+      .select(col("__u"), col("__ms").as("__tms"), col("__id").as("__tid"),
+        col("__ch"))
+    val paired = conv.join(tch,
+      conv("__u") === tch("__u") &&
+        col("__tms") <= col("__cms") &&
+        col("__tms") > col("__cms") - lit(lookbackMillis), "left")
+    val perConv = paired.groupBy(col("__cid"))
+      .agg(
+        min_by(col("__ch"), struct(col("__tms"), col("__tid")))
+          .as("__first"),
+        max_by(col("__ch"), struct(col("__tms"), col("__tid")))
+          .as("__last"))
+      .select(coalesce(col("__first"), lit("(direct)")).as("__first"),
+        coalesce(col("__last"), lit("(direct)")).as("__last"))
+      .localCheckpoint(true) // conversion-sized; both model counts read it
+    val firstC = perConv.groupBy(col("__first").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val lastC = perConv.groupBy(col("__last").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    firstC.join(lastC, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+      .orderBy(col("channel"))
+  }
 }

@@ -218,4 +218,108 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(out.toSeq == Seq((0, 1L), (1, 1L)))
   }
+
+  test("KM survival: hand-computed curve with censoring") {
+    // all anchor at day 1 00:00; unit = 1 day
+    // u1 converts day 2 (t=1), u2 converts day 2 (t=1), u3 converts
+    // day 4 (t=3), u4 never converts -> censored at max ts = day 5 (t=4)
+    // KM: t=1: n=4 d=2 -> S=0.5; t=3: n=2 d=1 -> S=0.25; t=4: censored
+    val rows = Seq(
+      (1L, "signup", day(1)), (1L, "purchase", day(2)),
+      (2L, "signup", day(1)), (2L, "purchase", day(2)),
+      (3L, "signup", day(1)), (3L, "purchase", day(4)),
+      (4L, "signup", day(1)), (4L, "view", day(5)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.timeToEventSurvival(rows, "user_id", "ts",
+        "event_type", "signup", "purchase", unitMillis = 86400000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 0L, 0.5),
+      (3L, 2L, 1L, 0L, 0.25),
+      (4L, 1L, 0L, 1L, 0.25)))
+  }
+
+  test("KM survival: pre-anchor conversions don't count; d=n pins 0") {
+    // u1's purchase BEFORE signup is ignored; the one after counts.
+    // u2 converts too -> last time point has d = n -> survival exactly 0
+    val rows = Seq(
+      (1L, "purchase", day(1)), (1L, "signup", day(2)),
+      (1L, "purchase", day(4)),                          // t=2
+      (2L, "signup", day(2)), (2L, "purchase", day(3)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.timeToEventSurvival(rows, "user_id", "ts",
+        "event_type", "signup", "purchase", unitMillis = 86400000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 1L, 0.0)))
+  }
+
+  test("anomalous days: a spike day flags against its own key only") {
+    // key A: 9 quiet days of 10 + one day of 100; key B constant
+    val rows =
+      (1 to 9).map(d => ("A", day(d), 10)) ++ Seq(("A", day(10), 100)) ++
+        (1 to 10).map(d => ("B", day(d), 7))
+    val expanded = rows.flatMap { case (k, dy, n) =>
+      Seq.fill(n)((k, dy)) }
+    val out = Events.anomalousDays(expanded.toDF("k", "ts"), "k", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), Option(r.get(5)).map(_ => r.getDouble(5)),
+        r.getBoolean(6)))
+    val aSpike = out.filter(t => t._1 == "A" && t._2 == 100L)
+    // A: median 10, MAD 0 over {10x9,100}? deviations {0x9, 90} -> MAD 0
+    // -> robust_z null, not flagged (documented degenerate)
+    assert(aSpike.length == 1 && aSpike(0)._5.isEmpty && !aSpike(0)._6)
+    assert(out.filter(_._1 == "B").forall(t => t._5.isEmpty && !t._6))
+  }
+
+  test("anomalous days: varying baseline yields a real MAD and a flag") {
+    // counts 8..12 alternating (median 10, MAD 1) + one 30-count day
+    val counts = Seq(8, 12, 9, 11, 10, 8, 12, 9, 11, 30)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(("A", day(i + 1))) }
+    val out = Events.anomalousDays(rows.toDF("k", "ts"), "k", "ts")
+      .collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))
+    val spike = out.filter(_._1 == 30L).head
+    // median of {8,8,9,9,10,11,11,12,12,30} = 10.5; deviations
+    // {2.5,2.5,1.5,1.5,0.5,0.5,0.5,1.5,1.5,19.5} -> MAD 1.5
+    // z = .6745*19.5/1.5 = 8.7685
+    assert(spike._2 == 10.5 && spike._3 == 1.5)
+    assert(math.abs(spike._4 - 0.6745 * 19.5 / 1.5) < 1e-6 && spike._5)
+    assert(out.count(_._5) == 1)
+  }
+
+  test("attribution: first/last touch with lookback and direct bucket") {
+    // u1: view@10:01, click@10:05, purchase@10:10 -> first=view last=click
+    // u2: purchase@10:10 with no touch -> (direct)
+    // u3: view@10:01, purchase far outside lookback -> (direct)
+    val rows = Seq(
+      (1L, 101L, "view", ts(1)), (1L, 102L, "click", ts(5)),
+      (1L, 103L, "purchase", ts(10)),
+      (2L, 201L, "purchase", ts(10)),
+      (3L, 301L, "view", ts(1)), (3L, 302L, "purchase", ts(59)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.attribution(rows, "user_id", "event_type", "ts",
+        "event_id", col("event_type") === "purchase",
+        lookbackMillis = 30L * 60000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("(direct)", 2L, 2L), ("click", 0L, 1L), ("view", 1L, 0L)))
+  }
+
+  test("attribution: simultaneous touches break ties on the id column") {
+    val rows = Seq(
+      (1L, 11L, "view", ts(5)), (1L, 12L, "click", ts(5)),
+      (1L, 13L, "purchase", ts(6)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.attribution(rows, "user_id", "event_type", "ts",
+        "event_id", col("event_type") === "purchase", 60000L * 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // same ts: min id 11 (view) is first, max id 12 (click) is last
+    assert(out == Seq(("click", 0L, 1L), ("view", 1L, 0L)))
+  }
 }
