@@ -2751,7 +2751,36 @@ object SparkEntry {
     "q183_attribution" -> ((s, dir) =>
       graft.ops.Events.attribution(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id",
-        col("event_type") === "purchase", lookbackMillis = 3L * 86400000L))
+        col("event_type") === "purchase", lookbackMillis = 3L * 86400000L)),
+
+    // Entity resolution E2E (ops/Linkage.scala): q169's fuzzy pair graph
+    // (part-name dictionary, Jaro-Winkler >= 0.86, first-token blocks)
+    // collapsed by connected components — transitive chains become one
+    // entity; the oracle replays CC with a recursive reachability CTE.
+    "q184_entity_clusters" -> ((s, dir) => {
+      val dict = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      graft.ops.Linkage.resolveEntities(dict, "id", "name",
+        split(col("name"), " ").getItem(0), 0.86)
+    }),
+
+    // Gini + Lorenz deciles (ops/Profile.scala) of per-customer revenue:
+    // global ranks via the Quantiles range-partition device (no
+    // single-reducer sort), decimal-quantized rank-weighted sums.
+    "q185_gini_revenue" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec("o_totalprice")).as("spend"))
+        .select(col("spend").cast("double").as("spend"))
+      graft.ops.Profile.giniLorenz(spend, "spend", buckets = 10)
+    }),
+
+    // Benford first-digit audit (ops/Profile.scala) of order totals:
+    // observed vs log10(1+1/d) expectation + chi-square, digit from the
+    // DECIMAL string form (log10-boundary-proof, engine-portable).
+    "q186_benford" -> ((s, dir) =>
+      graft.ops.Profile.benford(t(s, dir, "orders"), "o_totalprice"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5646,6 +5675,69 @@ object SparkEntry {
         |  coalesce(nf, 0) AS n_first_touch, coalesce(nl, 0) AS n_last_touch
         |FROM ft FULL JOIN lt ON ft.channel = lt.channel
         |ORDER BY channel""".stripMargin,
+
+    "q184_entity_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT p_name AS name, min(p_partkey) AS id,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name),
+        |p AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.86),
+        |e AS (SELECT ia AS s, ib AS t FROM p UNION SELECT ib, ia FROM p),
+        |reach(node, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.node),
+        |lab AS (SELECT node, min(r) AS entity_id FROM reach GROUP BY node),
+        |all_rows AS (
+        |  SELECT d.id, d.name, coalesce(lab.entity_id, d.id) AS entity_id
+        |  FROM d LEFT JOIN lab ON d.id = lab.node),
+        |sz AS (SELECT entity_id, count(*) AS n_members
+        |       FROM all_rows GROUP BY entity_id)
+        |SELECT a.id, a.name, a.entity_id, sz.n_members
+        |FROM all_rows a JOIN sz USING (entity_id)
+        |ORDER BY a.id""".stripMargin,
+
+    "q185_gini_revenue" ->
+      """WITH spend AS (
+        |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS x
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS r,
+        |         count(*) OVER () AS n FROM spend),
+        |b AS (SELECT floor(r * 10.0 / n)::INT AS bucket,
+        |        count(*)::BIGINT AS n_rows,
+        |        sum(CAST(x AS DECIMAL(38,12))) AS vsum,
+        |        sum(CAST((r + 1) * x AS DECIMAL(38,12))) AS rxsum,
+        |        max(n) AS n
+        |      FROM rk GROUP BY 1)
+        |SELECT bucket, n_rows AS n, round(vsum::DOUBLE, 6) AS value_sum,
+        |  round((sum(vsum) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) / sum(vsum) OVER ())::DOUBLE, 6)
+        |    AS cum_value_share,
+        |  round(2.0 * (sum(rxsum) OVER ())::DOUBLE
+        |      / (n * (sum(vsum) OVER ())::DOUBLE)
+        |    - (n + 1.0) / n, 6) AS gini
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q186_benford" ->
+      """WITH v AS (
+        |  SELECT regexp_extract(CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR,
+        |    '[1-9]', 0)::INT AS digit
+        |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0),
+        |o AS (SELECT digit, count(*) AS n FROM v GROUP BY digit),
+        |s AS (SELECT unnest(range(1, 10))::INT AS digit),
+        |j AS (SELECT s.digit, coalesce(o.n, 0)::BIGINT AS n,
+        |        ln(1 + 1.0 / s.digit) / ln(10) AS p
+        |      FROM s LEFT JOIN o ON s.digit = o.digit),
+        |w AS (SELECT *, sum(n) OVER () AS nn FROM j),
+        |x AS (SELECT *, CAST((n - nn * p) * (n - nn * p) / (nn * p)
+        |        AS DECIMAL(38,12)) AS chi FROM w)
+        |SELECT digit, n, round(n / nn::DOUBLE, 6) AS observed_p,
+        |  round(p, 6) AS expected_p,
+        |  round((sum(chi) OVER ())::DOUBLE, 6) AS chi2
+        |FROM x ORDER BY digit""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -55,4 +55,37 @@ object Linkage {
         round(jaro_winkler(col("name_a"), col("name_b")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Entity resolution end to end: [[fuzzyPairs]] finds the match
+    * edges, connected components collapses transitive chains (a≈b,
+    * b≈c ⇒ one entity even when a and c never paired — the step
+    * pairwise linkage alone cannot take), and every input row gets its
+    * cluster's canonical id (the minimum member id). Rows matching
+    * nothing are their own entity. Returns
+    * (id, name, entity_id, n_members) ordered by id.
+    *
+    * 100 TB shape: the pair graph is block-bounded (fuzzyPairs), the
+    * CC label table holds only ids that appear in pairs (the matched
+    * subgraph, not the input), pointer-jumping converges in
+    * O(log n) rounds (ops/Dedup.scala), and the final label join is
+    * one id-keyed exchange; n_members is an entity-keyed re-agg of the
+    * same pinned frame joined back on its own key (AQE broadcasts it
+    * when small enough to qualify).
+    */
+  def resolveEntities(entities: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, threshold: Double): DataFrame = {
+    val pairs = fuzzyPairs(entities, idCol, nameCol, blockKey, threshold)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = entities
+      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"))
+      .localCheckpoint(true) // consumers: sizes and the readout
+    val sizes = labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, Seq("entity_id"))
+      .select(col("id"), col("name"), col("entity_id"), col("n_members"))
+      .orderBy(col("id"))
+  }
 }

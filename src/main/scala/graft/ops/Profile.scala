@@ -142,4 +142,126 @@ object Profile {
       .select(col("rank"), col(keyCol), col("n"), col("share"), col("cum_share"))
       .orderBy(col("rank"))
   }
+
+  /** Gini coefficient + Lorenz curve of a nonnegative value column —
+    * the concentration readout behind "1% of customers are 40% of
+    * revenue" (and, in the corpus world, "a handful of domains are
+    * most of the tokens"). Returns one row per Lorenz bucket:
+    * (bucket, n, value_sum, cum_value_share, gini) — bucket b holds
+    * ranks in [b·n/buckets, (b+1)·n/buckets), cum_value_share is the
+    * share of total value held by buckets ≤ b (the Lorenz curve's
+    * y-axis), and gini repeats the scalar
+    * `(2·Σ rank·x) / (n·Σx) - (n+1)/n` (1-indexed ranks, ascending x).
+    *
+    * Caller contract: values must be nonnegative (the Lorenz ordering
+    * is meaningless otherwise); nulls are dropped.
+    *
+    * 100 TB shape: the global rank comes from the Quantiles rank
+    * device — ONE range repartition by value sorts the data once;
+    * per-partition offsets are a 32-row driver collect; ranks are a
+    * row_number window WITHIN each range partition (no global
+    * single-reducer sort). Both Σ rank·x terms and bucket sums
+    * quantize to DECIMAL(38,12), so every aggregate is
+    * partition-invariant, and rank permutations within tied values
+    * cannot change Σ rank·x (equal x). The bucket frame is
+    * buckets-sized; its ordered window is deliberate.
+    */
+  def giniLorenz(df: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    // the Quantiles.exact rank device: range-partition + in-partition
+    // sort once, drive global ranks off a 32-row offset table
+    val parts = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__tb", monotonically_increasing_id())
+      .repartitionByRange(col("__x"), col("__tb"))
+      .sortWithinPartitions(col("__x"), col("__tb"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().sortBy(_.getInt(0))
+    val n = counts.map(_.getLong(1)).sum
+    if (n == 0)
+      return Seq.empty[(Int, Long, Double, Double, Double)]
+        .toDF("bucket", "n", "value_sum", "cum_value_share", "gini")
+    var running = 0L
+    val offsets = counts.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__x"), col("__tb"))
+    val ranked = parts.join(offsetsDf, Seq("__pid"))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1 + col("__offset"))
+    val perBucket = ranked
+      .groupBy((col("__rank") * buckets / n).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,12)")).as("__vsum"),
+        sum(((col("__rank") + 1) * col("__x")).cast("decimal(38,12)"))
+          .as("__rxsum"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // buckets-sized frame: the unpartitioned windows are intentional
+    perBucket
+      .withColumn("__total", sum(col("__vsum")).over(wAll))
+      .withColumn("__rxtotal", sum(col("__rxsum")).over(wAll))
+      .select(col("bucket"), col("n"),
+        round(col("__vsum").cast("double"), 6).as("value_sum"),
+        round((sum(col("__vsum")).over(wCum) / col("__total"))
+          .cast("double"), 6).as("cum_value_share"),
+        round((lit(2.0) * col("__rxtotal").cast("double") /
+          (lit(n.toDouble) * col("__total").cast("double"))) -
+          (lit(n + 1.0) / lit(n.toDouble)), 6).as("gini"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Benford first-digit audit (Benford 1938; the fraud/data-quality
+    * screen): observed first-significant-digit distribution of a
+    * positive numeric column vs the Benford expectation
+    * `p(d) = log10(1 + 1/d)`, with the chi-square statistic
+    * `Σ (n_d - N·p_d)² / (N·p_d)` repeated on every row. Fabricated or
+    * mis-joined numeric data rarely survives this test; conforming
+    * data (spanning several orders of magnitude) hugs it.
+    *
+    * The first digit comes from the DECIMAL(18,2) string form, not
+    * from floor(log10): the log path misclassifies exact powers of 10
+    * when log10 lands at 2.9999…, and decimal-string extraction is
+    * engine-portable by construction. Non-positive and null values are
+    * dropped (Benford is defined on positive magnitudes).
+    *
+    * Returns (digit 1..9, n, observed_p, expected_p, chi2) — digits
+    * the data never produced still appear with n = 0 (they carry
+    * chi-square mass). One count aggregate over the data; everything
+    * after is 9-row algebra.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    val digits = df
+      .select(col(valueCol).cast("decimal(18,2)").as("__v"))
+      .filter(col("__v") > 0)
+      .select(regexp_extract(col("__v").cast("string"), "[1-9]", 0)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = session.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val expP = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    spine.join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__N", sum(col("n")).over(wAll))
+      .withColumn("__exp", col("__N") * expP)
+      .withColumn("__chi",
+        ((col("n") - col("__exp")) * (col("n") - col("__exp")) /
+          col("__exp")).cast("decimal(38,12)"))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__N").cast("double"), 6).as("observed_p"),
+        round(expP, 6).as("expected_p"),
+        round(sum(col("__chi")).over(wAll).cast("double"), 6).as("chi2"))
+      .orderBy(col("digit"))
+  }
 }

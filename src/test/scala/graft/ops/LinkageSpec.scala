@@ -64,4 +64,31 @@ class LinkageSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(out == want)
   }
+
+  test("resolveEntities: transitive chain collapses to one entity") {
+    import spark.implicits._
+    // marthe~martha pair, martha~marta pair; marthe~marta alone may not
+    // clear 0.93 — CC must still put all three in one entity. "zebra"
+    // matches nothing and keeps its own id.
+    val df = Seq((10L, "martha"), (11L, "marthe"), (12L, "martah"),
+      (20L, "zebra"))
+      .toDF("id", "name")
+    val out = Linkage.resolveEntities(df, "id", "name", lit("k"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (20L, 20L, 1L)))
+  }
+
+  test("resolveEntities: blocks gate matching, singletons keep own id") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha one"), (2L, "alpha one"), (3L, "beta one"))
+      .toDF("id", "name")
+    // block on first token: ids 1,2 share a block and are identical;
+    // id 3 is in another block, so even an identical suffix can't pair
+    val out = Linkage.resolveEntities(df, "id", "name",
+        org.apache.spark.sql.functions.split(col("name"), " ").getItem(0),
+        0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
 }

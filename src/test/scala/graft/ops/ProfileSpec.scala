@@ -114,5 +114,71 @@ class ProfileSpec extends AnyFunSuite {
     assert(out16 == out.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("giniLorenz: perfect equality gives gini 0, hand case checks out") {
+    import spark.implicits._
+    val eq = Profile.giniLorenz(Seq.fill(40)(5.0).toDF("x"), "x", 4)
+      .collect()
+    assert(eq.forall(_.getDouble(4) == 0.0))
+    assert(eq.map(r => r.getDouble(3)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+    // x = 1..4: gini = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val g = Profile.giniLorenz(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x", 2)
+      .collect()
+    assert(g.forall(_.getDouble(4) == 0.25))
+    // buckets: {1,2} and {3,4} -> cum shares 0.3, 1.0
+    assert(g.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).toSeq ==
+      Seq((0, 2L, 3.0, 0.3), (1, 2L, 7.0, 1.0)))
+  }
+
+  test("giniLorenz: total concentration approaches 1 - 1/n; partition-invariant") {
+    import spark.implicits._
+    // one holder of everything: gini = (n-1)/n
+    val xs = Seq.fill(9)(0.0) :+ 100.0
+    val out = Profile.giniLorenz(xs.toDF("x"), "x", 5).collect()
+    assert(math.abs(out.head.getDouble(4) - 0.9) < 1e-9)
+    val a = Profile.giniLorenz(xs.toDF("x").repartition(1), "x", 5)
+      .collect().map(_.toSeq).toSeq
+    val b = Profile.giniLorenz(xs.toDF("x").repartition(13), "x", 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("giniLorenz: tied values straddling a bucket boundary stay deterministic") {
+    import spark.implicits._
+    // 6 copies of 2.0 over 4 buckets: ties cross every boundary
+    val out = Profile.giniLorenz(Seq.fill(6)(2.0).toDF("x"), "x", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+    assert(out.map(_._2).sum == 6L)
+    assert(out.forall(_._3 == 0.0))
+  }
+
+  test("benford: digits come from the decimal string, spine fills gaps") {
+    import spark.implicits._
+    // powers of 10 must classify as digit 1 (the log10-floor trap)
+    val vals = Seq(10.0, 100.0, 1000.0, 0.25, -5.0, 0.0, 923.11)
+    val out = Profile.benford(vals.toDF("v"), "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 9)
+    val byDigit = out.map(t => t._1 -> t._2).toMap
+    // -5 and 0 dropped; 10,100,1000 -> 1; 0.25 -> 2; 923.11 -> 9
+    assert(byDigit(1) == 3L && byDigit(2) == 1L && byDigit(9) == 1L)
+    assert(byDigit(5) == 0L)
+    assert(out.map(_._2).sum == 5L)
+  }
+
+  test("benford: conforming data yields a small chi2, uniform data a big one") {
+    import spark.implicits._
+    // geometric series spanning decades follows Benford closely
+    val benfordish = (0 until 2000).map(i => math.pow(1.007, i))
+    val chiGood = Profile.benford(benfordish.toDF("v"), "v")
+      .collect().head.getDouble(4)
+    // constant-first-digit data violates it maximally
+    val flat = (0 until 2000).map(i => 900.0 + (i % 100))
+    val chiBad = Profile.benford(flat.toDF("v"), "v")
+      .collect().head.getDouble(4)
+    assert(chiGood < 30.0, s"chiGood=$chiGood")
+    assert(chiBad > 1000.0, s"chiBad=$chiBad")
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
