@@ -2780,7 +2780,29 @@ object SparkEntry {
     // observed vs log10(1+1/d) expectation + chi-square, digit from the
     // DECIMAL string form (log10-boundary-proof, engine-portable).
     "q186_benford" -> ((s, dir) =>
-      graft.ops.Profile.benford(t(s, dir, "orders"), "o_totalprice"))
+      graft.ops.Profile.benford(t(s, dir, "orders"), "o_totalprice")),
+
+    // SES one-step forecast (ops/Events.scala): per-event-type daily
+    // counts smoothed at alpha=0.3 via the closed-form unrolling — the
+    // recursion is a dot product, so ONE weighted aggregate per key.
+    "q187_ses_forecast" -> ((s, dir) =>
+      graft.ops.Events.sesForecast(t(s, dir, "events"),
+        "event_type", "ts", alpha = 0.3)),
+
+    // Linear multi-touch attribution (ops/Events.scala): every touch in
+    // the 3-day window gets 1/k of the conversion — credit sums to the
+    // conversion count exactly (decimal-quantized shares).
+    "q188_linear_attribution" -> ((s, dir) =>
+      graft.ops.Events.attributionLinear(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        col("event_type") === "purchase", lookbackMillis = 3L * 86400000L)),
+
+    // Zipf rank-frequency fit (ops/TextAnalysis.scala): OLS of ln(freq)
+    // on ln(rank) over the top-200 terms — slope/intercept/r2 from
+    // decimal-quantized moments.
+    "q189_zipf_fit" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfFit(t(s, dir, "documents"),
+        "text", topK = 200))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5738,6 +5760,61 @@ object SparkEntry {
         |  round(p, 6) AS expected_p,
         |  round((sum(chi) OVER ())::DOUBLE, 6) AS chi2
         |FROM x ORDER BY digit""".stripMargin,
+
+    "q187_ses_forecast" ->
+      """WITH d AS (SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |r AS (SELECT key, dy, n,
+        |        row_number() OVER (PARTITION BY key ORDER BY dy)::DOUBLE AS j,
+        |        count(*) OVER (PARTITION BY key)::DOUBLE AS tt FROM d),
+        |w AS (SELECT key, dy, n,
+        |        CASE WHEN j = 1 THEN pow(0.7, tt - 1)
+        |          ELSE 0.3 * pow(0.7, tt - j) END AS wt FROM r)
+        |SELECT key, count(*)::BIGINT AS n_days,
+        |  arg_max(n, dy) AS last_n,
+        |  round(sum(CAST(wt * n AS DECIMAL(38,12)))::DOUBLE, 6) AS level
+        |FROM w GROUP BY key ORDER BY key""".stripMargin,
+
+    "q188_linear_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id AS u,
+        |             epoch_ms(ts)::BIGINT AS cms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, epoch_ms(ts)::BIGINT AS tms,
+        |        event_type AS ch
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT cid, coalesce(ch, '(direct)') AS channel FROM c
+        |      LEFT JOIN t ON c.u = t.u AND t.tms <= c.cms
+        |        AND t.tms > c.cms - 259200000),
+        |k AS (SELECT cid, channel,
+        |        CAST(1.0::DOUBLE / count(*) OVER (PARTITION BY cid)
+        |          AS DECIMAL(38,12)) AS share FROM j)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        |  round(sum(share)::DOUBLE, 6) AS credit
+        |FROM k GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q189_zipf_fit" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM tk GROUP BY term
+        |      ORDER BY freq DESC, term LIMIT 200),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, term)::DOUBLE)
+        |        AS x, ln(freq::DOUBLE) AS y FROM c),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |        sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+        |        sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+        |        sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx,
+        |        sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy,
+        |        sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy
+        |      FROM r)
+        |SELECT n::BIGINT AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

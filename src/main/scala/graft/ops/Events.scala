@@ -535,4 +535,94 @@ object Events {
         coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
       .orderBy(col("channel"))
   }
+
+  /** Linear multi-touch attribution: every touch in a conversion's
+    * lookback window gets an equal 1/k share of that conversion's
+    * credit (k = touches in the window) — the fairness-spread
+    * complement to [[attribution]]'s winner-take-all models, from the
+    * SAME user-keyed range join. A conversion with no windowed touch
+    * credits `(direct)` in full. Returns
+    * (channel, n_touches, credit) — credit sums to the conversion
+    * count across channels exactly (shares quantize to
+    * DECIMAL(38,12); 1/k is computed once per conversion, so k·(1/k)
+    * rounding never loses a conversion), credit rounded to 6 dp.
+    *
+    * Shape: the range join + one conversion-key aggregation for k +
+    * one channel-key fold — nothing conversion-unbounded.
+    */
+  def attributionLinear(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      isConversion: Column, lookbackMillis: Long): DataFrame = {
+    require(lookbackMillis > 0, "lookbackMillis must be positive")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+      col(idCol).as("__id"), col(typeCol).as("__ch"),
+      isConversion.as("__conv"))
+    val conv = ev.filter(col("__conv"))
+      .select(col("__u"), col("__ms").as("__cms"), col("__id").as("__cid"))
+    val tch = ev.filter(!col("__conv"))
+      .select(col("__u"), col("__ms").as("__tms"), col("__ch"))
+    val paired = conv.join(tch,
+      conv("__u") === tch("__u") &&
+        col("__tms") <= col("__cms") &&
+        col("__tms") > col("__cms") - lit(lookbackMillis), "left")
+      .select(col("__cid"),
+        coalesce(col("__ch"), lit("(direct)")).as("channel"))
+    val wConv = Window.partitionBy(col("__cid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    paired
+      .withColumn("__share",
+        (lit(1.0) / count(lit(1)).over(wConv)).cast("decimal(38,12)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__share")).cast("double"), 6).as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  /** Simple exponential smoothing (SES) one-step forecast per key over
+    * its OBSERVED daily-count series: the closed form of
+    * `s_t = α·x_t + (1-α)·s_{t-1}`, `s_1 = x_1` —
+    * `s_T = Σ_{j≥2} α(1-α)^(T-j)·x_j + (1-α)^(T-1)·x_1` — so the whole
+    * recursion collapses to ONE weighted aggregate per key instead of
+    * a sequential scan (the recurrence is linear; its unrolling is a
+    * dot product, and dot products distribute). The forecast for the
+    * next observation is s_T. Missing calendar days simply don't
+    * appear in the series (SES over observations, not over a zero-
+    * filled spine — document-count feeds usually want exactly that;
+    * zero-fill upstream if not).
+    *
+    * Returns (key, n_days, last_n, level) with level rounded to 6 dp;
+    * weighted terms quantize to DECIMAL(38,12) so the per-key sum is
+    * partition-invariant.
+    *
+    * Shape: one (key, day) count collapse, one key-window pass for
+    * (rank, length), one key aggregate. Weights are computed per row
+    * from pow — no iteration, no driver loop, any number of keys.
+    */
+  def sesForecast(events: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("n"))
+    val wk = Window.partitionBy(col("key")).orderBy(col("__day"))
+    val wkAll = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("__j", row_number().over(wk).cast("double"))
+      .withColumn("__T", count(lit(1)).over(wkAll).cast("double"))
+      .withColumn("__w",
+        when(col("__j") === 1.0, pow(lit(1.0 - alpha), col("__T") - 1))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha),
+            col("__T") - col("__j"))))
+      .withColumn("__term",
+        (col("__w") * col("n")).cast("decimal(38,12)"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        max_by(col("n"), col("__day")).as("last_n"),
+        round(sum(col("__term")).cast("double"), 6).as("level"))
+      .orderBy(col("key"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -324,6 +325,56 @@ object TextAnalysis {
           (col("n_left") * col("n_right"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
+  }
+
+  /** Zipf rank-frequency fit (Zipf 1949): OLS of ln(freq) on ln(rank)
+    * over the topK most frequent terms — natural corpora slope ≈ -1;
+    * a flat slope flags synthetic/templated text, a cliff flags
+    * boilerplate domination. The corpus-intake twin of [[pmiCollocations]]:
+    * one statistic that says whether the token distribution even looks
+    * like language. Returns a single row
+    * (n_terms, slope, intercept, r2), each rounded to 6 dp.
+    *
+    * Ranks are (freq desc, term asc) — fully deterministic under ties.
+    * The five OLS moments quantize to DECIMAL(38,12) per term before
+    * summing, so the fit is partition-invariant; the slope/intercept/r2
+    * algebra then runs on exact decimal sums.
+    *
+    * 100 TB shape: ONE corpus-sized shuffle builds term counts
+    * (map-side partial agg), the topK is a TakeOrdered (never a full
+    * sort), and the regression runs on the K-row frame — its
+    * unpartitioned rank window is K-sized by construction.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, "topK must be >= 2 (a line needs two points)")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = counts
+      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__y", log(col("freq").cast("double")))
+    val moments = ranked.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__x").cast("decimal(38,12)")).cast("double").as("__sx"),
+      sum(col("__y").cast("decimal(38,12)")).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,12)"))
+        .cast("double").as("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,12)"))
+        .cast("double").as("__syy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,12)"))
+        .cast("double").as("__sxy"))
+    val covN = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    moments.select(
+      col("__n").cast("long").as("n_terms"),
+      round(covN / varXN, 6).as("slope"),
+      round((col("__sy") - (covN / varXN) * col("__sx")) / col("__n"), 6)
+        .as("intercept"),
+      round(covN * covN / (varXN * varYN), 6).as("r2"))
   }
 
   /** Full per-document stats frame (the `queries` surface). */

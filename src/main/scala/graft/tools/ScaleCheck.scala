@@ -58,7 +58,8 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff webeval opq batchbm25 sfbench) to run a subset; no args = everything
+    // knref releasediff webeval opq batchbm25 events recgraph sfbench
+    // sfbench100) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -1869,6 +1870,126 @@ object ScaleCheck {
     println(f"LINKAGE> names=${nNames + nNames / 10} blocks=200 " +
       f"planted=${nNames / 10} found_total=${linkStats._1} " +
       f"recall=1.0000 t=$tLink%.1f s")
+    }
+
+    if (run("recgraph")) {
+    // ---- 5ac. Link prediction, market basket, Gini, survival at volume
+    // Adamic-Adar: EXACT parity vs a driver-side brute force (same
+    // quantization, independent enumeration) at 300k edges, then timed
+    // at 5M edges with the maxDegree hub rail.
+    def edgeGraph2(m: Long, nodes: Long) = spark.range(m).select(
+      pmod(xxhash64(col("id"), lit(21)), lit(nodes)).as("s"),
+      pmod(xxhash64(col("id"), lit(23)), lit(nodes)).as("d"))
+    val smallE = edgeGraph2(300000L, 30000L).localCheckpoint(true)
+    val aaTop = graft.ops.Graph.adamicAdar(smallE, "s", "d", topK = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val bruteTop = {
+      val canon = smallE.collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))))
+        .filter(p => p._1 != p._2).distinct
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      canon.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+      }
+      val edgeSet = canon.toSet
+      val acc = scala.collection.mutable.Map
+        .empty[(Long, Long), (Long, java.math.BigDecimal)]
+      adj.foreach { case (_, ns) =>
+        if (ns.length >= 2) {
+          val w = new java.math.BigDecimal(1.0 / math.log(ns.length.toDouble))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          val sorted = ns.sorted
+          for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+            val k = (sorted(i), sorted(j))
+            val (c, s) = acc.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+            acc(k) = (c + 1, s.add(w))
+          }
+        }
+      }
+      acc.toSeq.collect { case ((u, v), (cn, s)) if !edgeSet((u, v)) =>
+        (u, v, cn,
+          s.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      }.sortBy(t => (-t._4, t._1, t._2)).take(50)
+    }
+    require(aaTop == bruteTop,
+      s"adamic-adar parity: op=${aaTop.take(3)} brute=${bruteTop.take(3)}")
+    val bigE = edgeGraph2(5000000L, 100000L).localCheckpoint(true)
+    val (aaBig, tAa) = time {
+      graft.ops.Graph.adamicAdar(bigE, "s", "d", maxDegree = 128,
+        topK = 100).collect()
+    }
+    require(aaBig.length == 100 && aaBig.map(_.getDouble(3)).sliding(2)
+      .forall(p => p(0) >= p(1)), "AA topK must be score-descending")
+    println(f"ADAMICADAR> parity@300k=exact edges=5000000 cap=128 " +
+      f"topscore=${aaBig.head.getDouble(3)}%.4f t=$tAa%.1f s")
+
+    // market basket: 5M (basket, item) rows, 1M baskets x 10k items
+    val txns = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(31)), lit(1000000L)).as("basket"),
+      pmod(xxhash64(col("id"), lit(37)), lit(10000L)).as("item"))
+      .localCheckpoint(true)
+    val (mb, tMb) = time {
+      graft.ops.Recommend.marketBasket(txns, "basket", "item",
+        minPairCount = 3, topK = 100).collect()
+    }
+    require(mb.forall(r => r.getLong(4) <= math.min(r.getLong(2),
+      r.getLong(3))), "n_ab must not exceed either marginal")
+    require(mb.forall(r => r.getDouble(6) <= 1.0 && r.getDouble(7) <= 1.0),
+      "confidences must be probabilities")
+    println(f"BASKET> rows=5000000 baskets=1000000 pairs_ge3=${mb.length} " +
+      f"toplift=${mb.headOption.map(_.getDouble(8)).getOrElse(0.0)}%.2f " +
+      f"t=$tMb%.1f s")
+
+    // Gini: 20M-value permutation of 1..n has the closed form
+    // (n-1)/(3n) — the distributed rank device must hit it EXACTLY
+    val nG = 20000000L
+    val giniVals = spark.range(nG)
+      .select((col("id") + 1).cast("double").as("x")).repartition(64)
+    val (gRows, tG) = time {
+      graft.ops.Profile.giniLorenz(giniVals, "x", 10).collect()
+    }
+    val wantG = math.floor((nG - 1).toDouble / (3.0 * nG) * 1e6 + 0.5) / 1e6
+    require(gRows.forall(_.getDouble(4) == wantG),
+      s"gini of 1..n must be (n-1)/3n=$wantG, got ${gRows.head.getDouble(4)}")
+    require(gRows.map(_.getDouble(3)).sliding(2).forall(p => p(0) < p(1)),
+      "Lorenz cum shares must increase")
+    println(f"GINI> n=$nG closed_form=$wantG%.6f measured=exact t=$tG%.1f s")
+
+    // survival + attribution over the 5M-event log
+    val evd2 = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(41)), lit(200000L)).as("user_id"),
+      (lit(1704067200L) + pmod(xxhash64(col("id"), lit(43)), lit(90L * 86400)))
+        .cast("timestamp").as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error")),
+        (pmod(xxhash64(col("id"), lit(47)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      col("id").as("event_id")).localCheckpoint(true)
+    val anchored = evd2.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    val (surv, tSurv) = time {
+      graft.ops.Events.timeToEventSurvival(evd2, "user_id", "ts",
+        "event_type", "signup", "purchase").collect()
+    }
+    require(surv.head.getLong(1) == anchored,
+      s"first at-risk ${surv.head.getLong(1)} != anchored users $anchored")
+    require(surv.map(_.getDouble(4)).sliding(2).forall(p => p(0) >= p(1)),
+      "survival must be non-increasing")
+    val (attr, tAttr) = time {
+      graft.ops.Events.attribution(evd2, "user_id", "event_type", "ts",
+        "event_id", col("event_type") === "purchase", 86400000L).collect()
+    }
+    val nConv = evd2.filter(col("event_type") === "purchase").count()
+    require(attr.map(_.getLong(1)).sum == nConv &&
+      attr.map(_.getLong(2)).sum == nConv,
+      "attribution models must each credit every conversion exactly once")
+    println(f"SURVIVAL> users=$anchored curve_points=${surv.length} " +
+      f"t=$tSurv%.1f s  ATTRIBUTION> conversions=$nConv " +
+      f"channels=${attr.length} t=$tAttr%.1f s")
     }
 
     if (run("sfbench100")) {

@@ -311,6 +311,44 @@ class EventsSpec extends AnyFunSuite {
       ("(direct)", 2L, 2L), ("click", 0L, 1L), ("view", 1L, 0L)))
   }
 
+  test("linear attribution: equal shares sum to the conversion count") {
+    // conv A: touches view, click (1/2 each); conv B: view only (1);
+    // conv C: no touch -> (direct) 1
+    val rows = Seq(
+      (1L, 11L, "view", ts(1)), (1L, 12L, "click", ts(2)),
+      (1L, 13L, "purchase", ts(3)),
+      (2L, 21L, "view", ts(1)), (2L, 22L, "purchase", ts(2)),
+      (3L, 31L, "purchase", ts(5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.attributionLinear(rows, "user_id", "event_type",
+        "ts", "event_id", col("event_type") === "purchase", 3600000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("(direct)", 1L, 1.0), ("click", 1L, 0.5), ("view", 2L, 1.5)))
+    assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
+  }
+
+  test("ses forecast: closed form equals the recursive definition") {
+    // key A days 1..4 with counts 4, 2, 8, 6; alpha = 0.5
+    // s1=4; s2=3; s3=5.5; s4=5.75
+    val rows = Seq.fill(4)(("A", day(1))) ++ Seq.fill(2)(("A", day(2))) ++
+      Seq.fill(8)(("A", day(3))) ++ Seq.fill(6)(("A", day(4))) ++
+      Seq.fill(7)(("B", day(2)))
+    val out = Events.sesForecast(rows.toDF("k", "ts"), "k", "ts", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 4L, 6L, 5.75), ("B", 1L, 7L, 7.0)))
+  }
+
+  test("ses forecast: partition invariance of the quantized dot product") {
+    val rows = (1 to 200).flatMap(i =>
+      Seq.fill(i % 7 + 1)(("K", day(i % 28 + 1, i % 24))))
+    def run(parts: Int) =
+      Events.sesForecast(rows.toDF("k", "ts").repartition(parts),
+        "k", "ts", 0.3).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(19))
+  }
+
   test("attribution: simultaneous touches break ties on the id column") {
     val rows = Seq(
       (1L, 11L, "view", ts(5)), (1L, 12L, "click", ts(5)),

@@ -264,4 +264,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // counts: "x y"=3, "y x"=2, "x z"=1 -> minCount=2 keeps two
     assert(out.toSet == Set("x y", "y x"))
   }
+
+  test("zipfFit: exact power law recovers its slope with r2 = 1") {
+    import spark.implicits._
+    // term t_r appears floor(1024 / 2^(r-1)) times: ln f = ln 1024 -
+    // (r-1) ln 2 over ranks 1,2,4,8,... not linear in ln r — instead
+    // build f_r = 1024 / r for r = 1..8 (slope exactly -1 in log-log)
+    val doc = (1 to 8).flatMap(r =>
+      Seq.fill(1024 / r)(f"t$r%02d")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, doc)).toDF("id", "text"),
+      "text", topK = 8).collect()(0)
+    assert(out.getLong(0) == 8L)
+    // 1024/r truncates at r=3 (341), so slope is ~-1, not exactly
+    assert(math.abs(out.getDouble(1) + 1.0) < 0.01, s"slope ${out.getDouble(1)}")
+    assert(out.getDouble(3) > 0.9999, s"r2 ${out.getDouble(3)}")
+  }
+
+  test("zipfFit: deterministic under ties and partition counts") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(i % 5 + 2)(s"w${i % 11}").mkString(" ")))
+    def run(parts: Int) =
+      TextAnalysis.zipfFit(docs.toDF("id", "text").repartition(parts),
+        "text", topK = 10).collect()(0).toSeq
+    assert(run(1) == run(13))
+  }
 }
