@@ -2802,7 +2802,42 @@ object SparkEntry {
     // decimal-quantized moments.
     "q189_zipf_fit" -> ((s, dir) =>
       graft.ops.TextAnalysis.zipfFit(t(s, dir, "documents"),
-        "text", topK = 200))
+        "text", topK = 200)),
+
+    // Bloom-pruned join (ops/Scale.scala): BUILDING-segment customers'
+    // key set as bloom bits probed map-side on orders BEFORE the
+    // shuffle — the semi-join-pushdown device; the oracle is the PLAIN
+    // join (identical semantics, the q168 contract).
+    "q190_bloom_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_nationkey"))
+      graft.ops.Scale.bloomPrunedJoin(ord, cust, "o_custkey", "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("__rev"))
+        .select(col("c_nationkey"), col("n_orders"),
+          col("__rev").cast("double").as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Local clustering coefficient (ops/Graph.scala) of the high-value
+    // co-purchase graph: per-node 2T/d(d-1) from the degree-oriented
+    // triangle enumeration; top-50 by (degree, node).
+    "q191_clustering_coef" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      graft.ops.Graph.localClustering(edges, "p1", "p2")
+        .orderBy(col("degree").desc, col("node"))
+        .limit(50)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5815,6 +5850,37 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin,
+
+    "q190_bloom_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q191_clustering_coef" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |deg AS (SELECT n, count(*) AS degree FROM (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |nt AS (SELECT n, count(*) AS triangles FROM (
+        |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, degree,
+        |  coalesce(triangles, 0)::BIGINT AS triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(2.0 * coalesce(triangles, 0) / (degree * (degree - 1)), 6)
+        |    ELSE 0.0 END AS local_cc
+        |FROM deg LEFT JOIN nt ON deg.n = nt.n
+        |ORDER BY degree DESC, node LIMIT 50""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

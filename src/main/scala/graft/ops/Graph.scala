@@ -244,6 +244,60 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * `cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))` — how close v's
+    * neighborhood is to a clique. Community-structure signal for link
+    * graphs (a high-cc host cluster is a link farm candidate; a low-cc
+    * hub is an aggregator). Nodes of degree < 2 get cc = 0 by
+    * convention (no wedge to close). Returns
+    * (node, degree, triangles, local_cc) for every node, local_cc
+    * rounded to 6 dp.
+    *
+    * 100 TB shape: triangle ENUMERATION reuses [[triangleCount]]'s
+    * degree-oriented pivot device (out-degree O(√m), no hub mints d²
+    * wedges on one reducer); per-node counts fold from the three
+    * corner roles map-side; degrees re-agg the pinned canonical frame.
+    * Everything is edge- or node-keyed — no window, no sort.
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("a").as("n"))
+      .unionAll(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val oriented = canon
+      .join(deg.select(col("n").as("a"), col("degree").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("degree").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val triangles = w1.join(w2, Seq("u")).where(col("x") < col("y"))
+      .join(canon.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val nodeTri = triangles.select(col("u").as("n"))
+      .unionAll(triangles.select(col("x").as("n")))
+      .unionAll(triangles.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(nodeTri, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(0.0).as("local_cc"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
     * neighbors on the Web"): score every NON-adjacent node pair (u, v)
     * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare

@@ -96,4 +96,41 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Bloom-pruned equi-join: build a Bloom filter over the SMALL side's
+    * join keys, probe it map-side on the big side BEFORE the shuffle,
+    * then run the normal equi-join. The semi-join-pushdown pattern for
+    * the 100 TB case where the small side is too big to broadcast the
+    * join itself but its key SET compresses into a few MB of bloom bits:
+    * rows that cannot match never enter the exchange, which is where a
+    * selective dimension (think "1% of customers") cuts the shuffled
+    * fact volume by ~99% at the cost of one map-side codegen probe per
+    * row. Bloom false positives (and 64-bit key-hash collisions) only
+    * let extra rows THROUGH to the join, which drops them — result
+    * semantics are exactly the plain inner join's.
+    *
+    * The filter is built distributed (mergeable sketches; one pass over
+    * the small side) and sized from the small side's own count — the
+    * small side is by definition driver-boundable state (`fpp` trades
+    * bits for pruning power).
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
+    val overlap = big.columns.toSet.intersect(small.columns.toSet)
+    require(overlap.isEmpty,
+      s"bloomPrunedJoin: overlapping column names $overlap — rename first")
+    val keyed = small.select(xxhash64(col(smallKey)).as("__h"))
+    val n = keyed.count()
+    // Spark's stat.bloomFilter NPEs on an empty frame; an empty small
+    // side has an empty join anyway — prune everything explicitly
+    if (n == 0L)
+      return big.filter(lit(false))
+        .join(small, big(bigKey) === small(smallKey))
+    val bloom = keyed.stat.bloomFilter("__h", n, fpp)
+    big
+      .filter(graft.functions.bloom_might_contain(
+        xxhash64(col(bigKey)), bloom))
+      .join(small, big(bigKey) === small(smallKey))
+  }
 }

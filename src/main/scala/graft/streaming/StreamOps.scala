@@ -41,6 +41,33 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming volume-anomaly scoring: per (window, key) arrival counts
+    * from the live stream scored against a BATCH-trained robust
+    * baseline (key, med, mad — `Events.anomalousDays`'s median/MAD
+    * per key) via the same Iglewicz-Hoaglin modified z. The
+    * train-batch/score-stream split is the production shape: the
+    * baseline is a tiny static frame broadcast into every micro-batch,
+    * state is the windowed count aggregation only (watermark-bounded),
+    * and a key with no baseline (new source) or MAD = 0 emits a null z
+    * and no flag — unknown is not anomalous.
+    */
+  def streamingAnomalyScore(events: DataFrame, baseline: DataFrame,
+      keyCol: String, tsCol: String, watermark: String = "10 minutes",
+      windowLen: String = "1 day", threshold: Double = 3.5): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline.select(col("key").cast("string").as("key"),
+        col("med"), col("mad"))), Seq("key"), "left")
+      .select(col("window.start").as("window_start"), col("key"), col("n"),
+        when(col("mad") > 0.0,
+          round(lit(0.6745) * (col("n") - col("med")) / col("mad"), 6))
+          .as("robust_z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

@@ -208,6 +208,36 @@ class GraphSpec extends AnyFunSuite {
     assert(full.contains((4L, 5L)))
   }
 
+  test("local clustering: K4 is all 1.0, a path is all 0, pendant mixes") {
+    // K4 on {1,2,3,4} plus pendant 5-1: nodes 2,3,4 keep cc=1 (their
+    // neighborhoods stay cliques); node 1 has deg 4, T=3 -> 0.5;
+    // node 5 deg 1 -> 0 by convention
+    val k4 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val out = Graph.localClustering((k4 :+ (5L, 1L)).toDF("s", "d"),
+        "s", "d").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 3L, 0.5)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(5L) == ((1L, 0L, 0.0)))
+    val path = Graph.localClustering(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d"), "s", "d")
+      .collect().map(_.getDouble(3))
+    assert(path.forall(_ == 0.0))
+  }
+
+  test("local clustering: triangle totals agree with triangleCount") {
+    val edges = (for {
+      i <- 0 until 25; j <- 0 until 25
+      if i != j && (i * 31 + j * 17) % 5 < 2
+    } yield (i.toLong, j.toLong)).toSeq
+    val perNode = Graph.localClustering(edges.toDF("s", "d"), "s", "d")
+      .collect().map(_.getLong(2)).sum
+    val total = Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+      .head().getLong(2)
+    assert(perNode == 3 * total) // each triangle counted at 3 corners
+  }
+
   test("adamic-adar: partition-count invariance of the quantized sum") {
     val edges = (for {
       i <- 0 until 30; j <- 0 until 30

@@ -87,4 +87,33 @@ class ScaleSpec extends AnyFunSuite {
       assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
     }
   }
+
+  test("bloomPrunedJoin: result equals the plain join, pruning happens") {
+    import spark.implicits._
+    val big = (0L until 2000L).map(i => (i, i % 100)).toDF("row_id", "bk")
+    val small = Seq((7L, "a"), (13L, "b"), (42L, "c")).toDF("sk", "tag")
+    val pruned = graft.ops.Scale.bloomPrunedJoin(big, small, "bk", "sk")
+      .select(col("row_id"), col("bk"), col("sk"), col("tag"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = big.join(small, big("bk") === small("sk"))
+      .select(col("row_id"), col("bk"), col("sk"), col("tag"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.toSeq == plain.toSeq && pruned.length == 60)
+    // the prefilter really drops non-matching rows before the join:
+    // at fpp=0.01 over 3 keys, ~all of the other 97 key groups vanish
+    val keyed = small.select(xxhash64(col("sk")).as("__h"))
+    val bloom = keyed.stat.bloomFilter("__h", 3, 0.01)
+    val passed = big.filter(graft.functions.bloom_might_contain(
+      xxhash64(col("bk")), bloom)).count()
+    assert(passed >= 60 && passed < 200,
+      s"prefilter should pass ~60 of 2000 rows, passed $passed")
+  }
+
+  test("bloomPrunedJoin: empty small side yields an empty join") {
+    import spark.implicits._
+    val big = (0L until 50L).map(i => (i, i)).toDF("row_id", "bk")
+    val small = Seq.empty[(Long, String)].toDF("sk", "tag")
+    assert(graft.ops.Scale.bloomPrunedJoin(big, small, "bk", "sk")
+      .count() == 0L)
+  }
 }

@@ -43,6 +43,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly score flags against the batch baseline") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // baseline: clicks run med=3/mad=1 per hour; views have MAD 0
+    val baseline = Seq(("click", 3.0, 1.0), ("view", 5.0, 0.0))
+      .toDF("key", "med", "mad")
+    val q = StreamOps.streamingAnomalyScore(input.toDF(), baseline,
+        "event_type", "ts", watermark = "10 minutes",
+        windowLen = "1 hour", threshold = 3.5)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 10:00 window: 10 clicks (z = .6745*7 = 4.7 -> anomaly),
+      // 3 views (MAD 0 -> null z, no flag)
+      input.addData((1 to 10).map(i =>
+        EventRow(i.toLong, ts(i), 1, "click", 1.0)) ++
+        (11 to 13).map(i => EventRow(i.toLong, ts(i), 1, "view", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(EventRow(99, Timestamp.valueOf("2024-01-01 12:30:00"),
+        1, "error", 1.0)) // close the 10:00 window
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, n, robust_z, is_anomaly FROM anom_out ORDER BY key")
+        .collect()
+      val click = rows.filter(_.getString(0) == "click").head
+      assert(click.getLong(1) == 10L)
+      assert(math.abs(click.getDouble(2) - 4.7215) < 1e-6)
+      assert(click.getBoolean(3))
+      val view = rows.filter(_.getString(0) == "view").head
+      assert(view.isNullAt(2) && !view.getBoolean(3))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
