@@ -2837,7 +2837,31 @@ object SparkEntry {
       graft.ops.Graph.localClustering(edges, "p1", "p2")
         .orderBy(col("degree").desc, col("node"))
         .limit(50)
-    })
+    }),
+
+    // Window-constrained funnel (ops/Events.scala): q166's funnel with
+    // each step required within 24 h of the previous step's earliest
+    // completion — the greedy earliest-completion-with-window
+    // convention product analytics uses.
+    "q192_funnel_within" -> ((s, dir) =>
+      graft.ops.Events.funnelWithin(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        withinMillis = 86400000L)),
+
+    // Top user journeys (ops/Events.scala): each user's first 5 events
+    // as a path string, counted across users — deterministic (ts,
+    // event_id) order inside the path.
+    "q193_top_paths" -> ((s, dir) =>
+      graft.ops.Events.topPaths(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", pathLen = 5,
+        topK = 40)),
+
+    // RFM segmentation (ops/Recommend.scala): recency/frequency/monetary
+    // per customer scored 1..5 against exact quantile thresholds (the
+    // distributed quantile machine, not a single-reducer ntile).
+    "q194_rfm" -> ((s, dir) =>
+      graft.ops.Recommend.rfmSegments(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice", buckets = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5881,6 +5905,78 @@ object SparkEntry {
         |    ELSE 0.0 END AS local_cc
         |FROM deg LEFT JOIN nt ON deg.n = nt.n
         |ORDER BY degree DESC, node LIMIT 50""".stripMargin,
+
+    "q192_funnel_within" ->
+      """WITH e1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+        |      AND epoch_ms(ts) <= epoch_ms(t0) + 86400000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+        |      AND epoch_ms(ts) <= epoch_ms(t1) + 86400000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM e2),
+        |u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |      FROM e3 GROUP BY 1),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+        |SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+        |  CASE WHEN n0 > 0 THEN round(n0::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END AS pct_of_first,
+        |  CASE WHEN n0 > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS pct_of_prev
+        |FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n1,
+        |  CASE WHEN n0 > 0 THEN round(n1::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END,
+        |  CASE WHEN n0 > 0 THEN round(n1::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END
+        |FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n2,
+        |  CASE WHEN n0 > 0 THEN round(n2::DOUBLE / n0, 6) ELSE 0.0::DOUBLE END,
+        |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) ELSE 0.0::DOUBLE END
+        |FROM c
+        |ORDER BY step""".stripMargin,
+
+    "q193_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn, ts, event_id
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 40""".stripMargin,
+
+    "q194_rfm" ->
+      """WITH now_d AS (SELECT max(o_orderdate::DATE) AS nd FROM orders),
+        |m AS (SELECT o_custkey AS customer,
+        |        min(datediff('day', o_orderdate::DATE, nd))::INT
+        |          AS recency_days,
+        |        count(*) AS frequency,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS monetary
+        |      FROM orders CROSS JOIN now_d GROUP BY 1),
+        |q AS (SELECT
+        |        quantile_cont(recency_days, [0.2,0.4,0.6,0.8]) AS qr,
+        |        quantile_cont(frequency,    [0.2,0.4,0.6,0.8]) AS qf,
+        |        quantile_cont(monetary,     [0.2,0.4,0.6,0.8]) AS qm
+        |      FROM m)
+        |SELECT customer, recency_days, frequency, monetary,
+        |  (1 + (recency_days < qr[1])::INT + (recency_days < qr[2])::INT
+        |     + (recency_days < qr[3])::INT + (recency_days < qr[4])::INT)
+        |    AS r_score,
+        |  (1 + (frequency > qf[1])::INT + (frequency > qf[2])::INT
+        |     + (frequency > qf[3])::INT + (frequency > qf[4])::INT)
+        |    AS f_score,
+        |  (1 + (monetary > qm[1])::INT + (monetary > qm[2])::INT
+        |     + (monetary > qm[3])::INT + (monetary > qm[4])::INT)
+        |    AS m_score
+        |FROM m CROSS JOIN q ORDER BY customer""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -38,12 +38,25 @@ object Events {
     * unbounded-frame window MINs over it, one per-user collapse.
     */
   def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      withinMillis: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "funnel: need at least 2 steps")
     require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    withinMillis.foreach(ms =>
+      require(ms > 0, "funnel: withinMillis must be positive"))
     val w = Window.partitionBy(col(userCol))
     // chain of earliest-completion times: t1 = min ts of step 1,
-    // t_k = min ts of step k with ts > t_{k-1}
+    // t_k = min ts of step k with ts > t_{k-1} (and, with a window
+    // constraint, ts <= t_{k-1} + within — the standard greedy
+    // earliest-completion-with-window funnel, not an NFA-complete
+    // match: a user whose only in-window step-k event follows a LATER
+    // step-(k-1) completion does not count, by the same convention
+    // product-analytics funnels use)
+    def gate(i: Int): Column = withinMillis match {
+      case None => lit(true)
+      case Some(ms) => unix_millis(col(tsCol).cast("timestamp")) <=
+        unix_millis(col(s"__t${i - 1}").cast("timestamp")) + ms
+    }
     val withTimes = steps.zipWithIndex.foldLeft(
         events.select(col(userCol), col(typeCol), col(tsCol))) {
       case (df, (step, 0)) =>
@@ -51,7 +64,8 @@ object Events {
           min(when(col(typeCol) === step, col(tsCol))).over(w))
       case (df, (step, i)) =>
         df.withColumn(s"__t$i",
-          min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}"),
+          min(when(col(typeCol) === step &&
+            col(tsCol) > col(s"__t${i - 1}") && gate(i),
             col(tsCol))).over(w))
     }
     // per-user collapse (constant per partition key → min is exact)
@@ -62,10 +76,25 @@ object Events {
   }
 
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
-    val spark = events.sparkSession
+      tsCol: String, steps: Seq[String]): DataFrame =
+    funnelReadout(funnelTimes(events, userCol, typeCol, tsCol, steps), steps)
+
+  /** [[funnel]] with a per-transition completion window: step k counts
+    * only if it happens within `withinMillis` of the user's earliest
+    * step-(k−1) completion ("purchased within 24 h of clicking") —
+    * the greedy earliest-completion-with-window convention (see
+    * [[funnelTimes]]). Same readout columns as [[funnel]].
+    */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], withinMillis: Long): DataFrame =
+    funnelReadout(
+      funnelTimes(events, userCol, typeCol, tsCol, steps, Some(withinMillis)),
+      steps)
+
+  private def funnelReadout(perUser: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    val spark = perUser.sparkSession
     import spark.implicits._
-    val perUser = funnelTimes(events, userCol, typeCol, tsCol, steps)
     val counts = perUser.agg(
       count(col("__t0")).as("__n0"),
       steps.indices.tail.map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
@@ -357,6 +386,39 @@ object Events {
       .withColumn("retention",
         round(col("n_users") / col("cohort_size").cast("double"), 6))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Top user journeys: each user's first `pathLen` events (by
+    * (ts, id) — deterministic under simultaneous events) joined into a
+    * path string, counted across users, topK by (count desc, path).
+    * The "how do users actually start" readout next to [[markovTransitions]]'
+    * one-step view. Returns (path, n_users).
+    *
+    * Shape: one user-key exchange carries the row_number window AND the
+    * per-user collapse (same partitioning); the path table is
+    * |distinct paths|-sized; topK is a TakeOrdered. The in-group sort
+    * is array_sort over ≤ pathLen elements — collect_list's
+    * arrival-order nondeterminism never reaches the output.
+    */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, pathLen: Int,
+      topK: Int = 50): DataFrame = {
+    require(pathLen >= 1, "pathLen must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val wk = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__rn", row_number().over(wk))
+      .where(col("__rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col("__rn"), col(typeCol)
+        .as("__t")))).as("__steps"))
+      .select(concat_ws(">", transform(col("__steps"),
+        s => s.getField("__t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
   }
 
   /** Kaplan-Meier time-to-event survival curve (Kaplan & Meier 1958):

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Co-occurrence recommendation primitives: market-basket association
   * scores (support / confidence / lift) over a (basket, item) log —
@@ -81,5 +81,52 @@ object Recommend {
           (col("n_a") * col("n_b")), 6).as("lift"))
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)
+  }
+
+  /** RFM segmentation (Hughes 1994's recency/frequency/monetary): per
+    * customer, days since last order, order count, and total spend,
+    * each scored 1..buckets against EXACT QUANTILE THRESHOLDS of the
+    * customer population (score = 1 + thresholds beaten; recency
+    * inverts — most recent scores highest). Quantile-threshold RFM,
+    * not ntile-RFM, deliberately: a global ntile is a single-reducer
+    * sort over every customer and gives tied customers different
+    * scores by row order; thresholds are computed by the distributed
+    * exact-quantile machine (`Quantiles.exact` — range partition +
+    * prefix-sum ranks), give ties the same score, and bucket a 100M-row
+    * customer frame with a handful of broadcast literals.
+    *
+    * Returns (customer, recency_days, frequency, monetary, r_score,
+    * f_score, m_score).
+    */
+  def rfmSegments(txns: DataFrame, custCol: String, tsCol: String,
+      amountCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val ref = txns.agg(max(to_date(col(tsCol))).as("__now"))
+    val perCust = txns
+      .crossJoin(broadcast(ref))
+      .groupBy(col(custCol).as("customer"))
+      .agg(
+        min(datediff(col("__now"), to_date(col(tsCol)))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .localCheckpoint(true) // consumers: three quantile probes + scoring
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    def thresholds(c: String): Seq[Double] =
+      Quantiles.exact(perCust.select(col(c)), c, qs)
+        .collect().sortBy(_.getDouble(0)).map(_.getDouble(1)).toSeq
+    val (tR, tF, tM) = (thresholds("recency_days"),
+      thresholds("frequency"), thresholds("monetary"))
+    def above(c: String, ts: Seq[Double]): Column =
+      ts.map(b => when(col(c) > b, 1).otherwise(0))
+        .reduce(_ + _) + 1
+    def below(c: String, ts: Seq[Double]): Column =
+      ts.map(b => when(col(c) < b, 1).otherwise(0))
+        .reduce(_ + _) + 1
+    perCust
+      .withColumn("r_score", below("recency_days", tR)) // recent = high
+      .withColumn("f_score", above("frequency", tF))
+      .withColumn("m_score", above("monetary", tM))
+      .orderBy(col("customer"))
   }
 }

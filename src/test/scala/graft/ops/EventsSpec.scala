@@ -311,6 +311,41 @@ class EventsSpec extends AnyFunSuite {
       ("(direct)", 2L, 2L), ("click", 0L, 1L), ("view", 1L, 0L)))
   }
 
+  test("funnelWithin: a step outside the window doesn't count") {
+    // u1 clicks 10 min after view (in window), u2 clicks 40 min after
+    // (outside a 30-min window), u3 completes all three in time
+    val rows = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)),
+      (2L, "view", ts(0)), (2L, "click", ts(40)),
+      (3L, "view", ts(0)), (3L, "click", ts(5)), (3L, "purchase", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnelWithin(rows, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinMillis = 30L * 60000L)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 1L)))
+    // sanity: the unconstrained funnel counts u2's click
+    val free = Events.funnel(rows, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(free.toSeq == Seq((1, 3L), (2, 3L), (3, 1L)))
+  }
+
+  test("topPaths: deterministic order inside paths, topK by count") {
+    // two users share view>click>purchase; one diverges; path cut at 3
+    val rows = Seq(
+      (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "purchase", ts(3)), (1L, 4L, "error", ts(4)),
+      (2L, 5L, "view", ts(1)), (2L, 6L, "click", ts(2)),
+      (2L, 7L, "purchase", ts(3)),
+      (3L, 8L, "signup", ts(1)), (3L, 9L, "view", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.topPaths(rows, "user_id", "event_type", "ts",
+        "event_id", pathLen = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // u3's simultaneous events order by event_id: signup(8) then view(9)
+    assert(out.toSeq == Seq(("view>click>purchase", 2L), ("signup>view", 1L)))
+  }
+
   test("linear attribution: equal shares sum to the conversion count") {
     // conv A: touches view, click (1/2 each); conv B: view only (1);
     // conv C: no touch -> (direct) 1

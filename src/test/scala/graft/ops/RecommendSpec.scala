@@ -50,6 +50,29 @@ class RecommendSpec extends AnyFunSuite {
     assert(math.abs(out(("a", "b"))._4 - 2.0 / 3) < 1e-6)
   }
 
+  test("rfm: quantile-threshold scores on a hand-checked population") {
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // 5 customers, one order each except cust 5 (heavy): recency spread
+    // 0..8 days back, spend spread 10..1000
+    val rows = Seq(
+      (1L, d(1), 10.0), (2L, d(3), 50.0), (3L, d(5), 100.0),
+      (4L, d(7), 500.0),
+      (5L, d(9), 400.0), (5L, d(9), 600.0))
+      .toDF("cust", "ts", "amount")
+    val out = Recommend.rfmSegments(rows, "cust", "ts", "amount", 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    // recencies: c1=8, c2=6, c3=4, c4=2, c5=0; median 4
+    // frequencies: 1,1,1,1,2; median 1. monetary: 10,50,100,500,1000; median 100
+    assert(out(1L) == ((8, 1L, 10.0, 1, 1, 1)))   // old, light
+    assert(out(5L) == ((0, 2L, 1000.0, 2, 2, 2))) // recent, heavy
+    assert(out(3L) == ((4, 1L, 100.0, 1, 1, 1)))  // ties score LOW bucket
+    assert(out(4L) == ((2, 1L, 500.0, 2, 1, 2)))
+  }
+
   test("topK keeps the highest-lift pairs with deterministic ties") {
     // (c,d) exclusive pair in 1 of 4 baskets: lift 4; (a,b) in all 4: lift 1
     val rows = (1L to 3L).flatMap(b => Seq((b, "a"), (b, "b"))) ++
