@@ -2861,7 +2861,20 @@ object SparkEntry {
     // distributed quantile machine, not a single-reducer ntile).
     "q194_rfm" -> ((s, dir) =>
       graft.ops.Recommend.rfmSegments(t(s, dir, "orders"),
-        "o_custkey", "o_orderdate", "o_totalprice", buckets = 5))
+        "o_custkey", "o_orderdate", "o_totalprice", buckets = 5)),
+
+    // Grid-bucketed geo kNN join (ops/Geo.scala): suppliers to their 3
+    // nearest customers by haversine over key-derived coordinates — the
+    // spatial "never cross join" (cell equi-join, 9 probes per query).
+    "q195_geo_knn" -> ((s, dir) => {
+      def pt(df: DataFrame, key: String) = df.select(col(key),
+        (pmod(col(key) * 7919, lit(18000)) / 100.0 - 90.0).as("lat"),
+        (pmod(col(key) * 104729, lit(36000)) / 100.0 - 180.0).as("lon"))
+      val cust = pt(t(s, dir, "customer"), "c_custkey")
+      val supp = pt(t(s, dir, "supplier"), "s_suppkey")
+      graft.ops.Geo.gridKnnJoin(supp, "s_suppkey", cust, "c_custkey",
+        "lat", "lon", k = 3, cellDeg = 10.0)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5977,6 +5990,36 @@ object SparkEntry {
         |     + (monetary > qm[3])::INT + (monetary > qm[4])::INT)
         |    AS m_score
         |FROM m CROSS JOIN q ORDER BY customer""".stripMargin,
+
+    "q195_geo_knn" ->
+      """WITH tgt AS (SELECT c_custkey AS t_id,
+        |    (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |qry AS (SELECT s_suppkey AS q_id,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM supplier),
+        |off AS (SELECT unnest([-1, 0, 1]) AS d),
+        |qx AS (SELECT q_id, qry.lat AS qlat, qry.lon AS qlon,
+        |         floor(qry.lat / 10.0)::BIGINT + da.d AS cla,
+        |         floor(qry.lon / 10.0)::BIGINT + db.d AS clo
+        |       FROM qry, off da, off db),
+        |tx AS (SELECT t_id, lat AS tlat, lon AS tlon,
+        |         floor(lat / 10.0)::BIGINT AS cla,
+        |         floor(lon / 10.0)::BIGINT AS clo FROM tgt),
+        |j AS (SELECT q_id, t_id,
+        |        round(2 * 6371.0088 * asin(sqrt(
+        |          sin(radians(tlat - qlat) / 2) * sin(radians(tlat - qlat) / 2)
+        |          + cos(radians(qlat)) * cos(radians(tlat))
+        |            * sin(radians(tlon - qlon) / 2)
+        |            * sin(radians(tlon - qlon) / 2))), 6) AS distance_km
+        |      FROM qx JOIN tx USING (cla, clo)),
+        |r AS (SELECT q_id, t_id, distance_km, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY distance_km, t_id) AS rk
+        |      FROM j)
+        |SELECT q_id, rk::INT AS rank, t_id, distance_km
+        |FROM r WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —
