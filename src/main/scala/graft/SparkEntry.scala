@@ -2874,7 +2874,21 @@ object SparkEntry {
       val supp = pt(t(s, dir, "supplier"), "s_suppkey")
       graft.ops.Geo.gridKnnJoin(supp, "s_suppkey", cust, "c_custkey",
         "lat", "lon", k = 3, cellDeg = 10.0)
-    })
+    }),
+
+    // Day-of-week seasonality (ops/Events.scala): per event type, mean
+    // daily count per weekday vs the overall daily mean — the
+    // multiplicative index forecasting/baselining starts from.
+    "q196_seasonality" -> ((s, dir) =>
+      graft.ops.Events.seasonalityProfile(t(s, dir, "events"),
+        "event_type", "ts")),
+
+    // CUSUM changepoint scan (ops/Events.scala): per event type, the
+    // argmax-|CUSUM| day with before/after means — "when did this
+    // source's volume change".
+    "q197_cusum" -> ((s, dir) =>
+      graft.ops.Events.cusumChangepoint(t(s, dir, "events"),
+        "event_type", "ts"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6020,6 +6034,43 @@ object SparkEntry {
         |      FROM j)
         |SELECT q_id, rk::INT AS rank, t_id, distance_km
         |FROM r WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q196_seasonality" ->
+      """WITH d AS (SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |o AS (SELECT key, sum(n) AS tot, count(*) AS days FROM d GROUP BY key),
+        |w AS (SELECT d.key, dayofweek(dy) + 1 AS dow,
+        |        count(*)::BIGINT AS n_days, sum(n) AS dsum
+        |      FROM d GROUP BY 1, 2)
+        |SELECT w.key, dow, n_days,
+        |  round(dsum / n_days::DOUBLE, 6) AS mean_n,
+        |  round((dsum / n_days::DOUBLE) / (tot / days::DOUBLE), 6)
+        |    AS seasonal_index
+        |FROM w JOIN o ON w.key = o.key
+        |ORDER BY w.key, dow""".stripMargin,
+
+    "q197_cusum" ->
+      """WITH d AS (SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m AS (SELECT key, sum(n) / count(*)::DOUBLE AS mean FROM d GROUP BY key),
+        |c AS (SELECT d.key, dy, n,
+        |        (sum(CAST(n - mean AS DECIMAL(38,12))) OVER
+        |          (PARTITION BY d.key ORDER BY dy ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW))::DOUBLE AS cusum
+        |      FROM d JOIN m ON d.key = m.key),
+        |p AS (SELECT key, dy AS change_day, round(abs(cusum), 6)
+        |        AS max_abs_cusum,
+        |        row_number() OVER (PARTITION BY key
+        |          ORDER BY abs(cusum) DESC, dy) AS rn
+        |      FROM c)
+        |SELECT c.key, change_day, max_abs_cusum,
+        |  round(avg(CASE WHEN dy <= change_day THEN n END), 6) AS mean_before,
+        |  round(avg(CASE WHEN dy > change_day THEN n END), 6) AS mean_after
+        |FROM c JOIN (SELECT * FROM p WHERE rn = 1) p ON c.key = p.key
+        |GROUP BY c.key, change_day, max_abs_cusum
+        |ORDER BY c.key""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

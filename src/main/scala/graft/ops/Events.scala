@@ -543,6 +543,98 @@ object Events {
       .orderBy(col("key"), col("day"))
   }
 
+  /** Day-of-week seasonality profile: for each key, the mean daily
+    * count per weekday and its ratio to the key's overall daily mean —
+    * the multiplicative seasonal index ("Mondays run 1.4× baseline")
+    * that demand forecasting and anomaly baselining both start from
+    * (a Monday spike is only a spike relative to Mondays). Returns
+    * (key, dow 1=Sun..7=Sat, n_days, mean_n, seasonal_index), ratios
+    * rounded to 6 dp.
+    *
+    * Shape: one event-sized collapse to (key, day) grain; weekday and
+    * overall means are two key-grain re-aggs (the overall mean joins
+    * back key-sized). Integer-count ratios — exact IEEE, engine-
+    * portable.
+    */
+  def seasonalityProfile(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumers: weekday means + overall mean
+    val overall = daily.groupBy(col("key"))
+      .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__days"))
+    daily
+      .groupBy(col("key"), dayofweek(col("__day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("__dsum"))
+      .join(overall, Seq("key"))
+      .select(col("key"), col("dow"), col("n_days"),
+        round(col("__dsum") / col("n_days").cast("double"), 6).as("mean_n"),
+        round((col("__dsum") / col("n_days").cast("double")) /
+          (col("__tot") / col("__days").cast("double")), 6)
+          .as("seasonal_index"))
+      .orderBy(col("key"), col("dow"))
+  }
+
+  /** CUSUM changepoint scan (Page 1954): per key, the cumulative sum of
+    * deviations from the key's own mean over its ordered daily counts;
+    * the day where |CUSUM| peaks is the single most likely level-shift
+    * point, and the before/after means quantify the shift. The classic
+    * "when did this source's volume actually change" scan — argmax
+    * |CUSUM| is the exact MLE changepoint for a one-shift Gaussian
+    * model. Returns one row per key:
+    * (key, change_day, max_abs_cusum, mean_before, mean_after),
+    * rounded to 6 dp; ties on |CUSUM| break to the earliest day.
+    * mean_after is null only for a single-day series (the CUSUM ends
+    * at exactly 0 by construction, so an interior peak always leaves
+    * days after it; a constant series peaks at day 1 by the tie rule).
+    *
+    * Shape: one event-sized collapse; the CUSUM window is partitioned
+    * BY KEY over the key's calendar-sized series (never a global
+    * sort); the argmax is a row_number pick; before/after means are
+    * conditional aggs on the same frame. Deviations quantize to
+    * DECIMAL(38,12) so the ordered cumulative sum is exact.
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val wAllK = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(col("key")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("key"))
+      .orderBy(abs(col("__cusum")).desc, col("__day"))
+    val cusum = daily
+      .withColumn("__mean", sum(col("__n")).over(wAllK) /
+        count(lit(1)).over(wAllK).cast("double"))
+      .withColumn("__dev",
+        (col("__n") - col("__mean")).cast("decimal(38,12)"))
+      .withColumn("__cusum", sum(col("__dev")).over(wCum).cast("double"))
+      .localCheckpoint(true) // consumers: the pick and both side means
+    val pick = cusum
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col("key"), col("__day").as("change_day"),
+        round(abs(col("__cusum")), 6).as("max_abs_cusum"))
+    cusum.join(pick.withColumnRenamed("change_day", "__cd"), Seq("key"))
+      .groupBy(col("key"), col("__cd"), col("max_abs_cusum"))
+      .agg(
+        round(avg(when(col("__day") <= col("__cd"), col("__n"))), 6)
+          .as("mean_before"),
+        round(avg(when(col("__day") > col("__cd"), col("__n"))), 6)
+          .as("mean_after"))
+      .select(col("key"), col("__cd").as("change_day"),
+        col("max_abs_cusum"), col("mean_before"), col("mean_after"))
+      .orderBy(col("key"))
+  }
+
   /** First- and last-touch conversion attribution: for every event
     * satisfying `isConversion`, the earliest and latest NON-conversion
     * event ("touch") of the same user in the lookback window

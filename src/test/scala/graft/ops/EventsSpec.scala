@@ -293,6 +293,53 @@ class EventsSpec extends AnyFunSuite {
     assert(out.count(_._5) == 1)
   }
 
+  test("seasonality: weekday index against a hand-built fortnight") {
+    // key A: Mondays get 9 events, other days 3, across 2 weeks
+    // Jan 2024: the 1st is a Monday
+    val rows = (1 to 14).flatMap { d =>
+      val n = if ((d - 1) % 7 == 0) 9 else 3
+      Seq.fill(n)(("A", day(d)))
+    }
+    val out = Events.seasonalityProfile(rows.toDF("k", "ts"), "k", "ts")
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // overall mean = (2*9 + 12*3)/14 = 54/14; Monday dow = 2 (1=Sun)
+    val overall = 54.0 / 14
+    assert(out(2)._1 == 2L && out(2)._2 == 9.0)
+    assert(math.abs(out(2)._3 - math.rint(9.0 / overall * 1e6) / 1e6) < 1e-9)
+    assert(out(3)._2 == 3.0) // Tuesdays at baseline 3
+    assert(out.size == 7)
+  }
+
+  test("cusum: a planted level shift is found at the shift day") {
+    // key A: 10 days at 5, then 10 days at 15 -> mean 10; CUSUM dips
+    // to -50 at day 10 (the true changepoint), recovers to 0
+    val rows = (1 to 20).flatMap { d =>
+      Seq.fill(if (d <= 10) 5 else 15)(("A", day(d)))
+    }
+    val out = Events.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts")
+      .collect()(0)
+    assert(out.getDate(1).toString == "2024-01-10")
+    assert(out.getDouble(2) == 50.0)
+    assert(out.getDouble(3) == 5.0 && out.getDouble(4) == 15.0)
+  }
+
+  test("cusum: tie-break to earliest day; single-day series nulls mean_after") {
+    val rows = (1 to 5).flatMap(d => Seq.fill(d)(("A", day(d))))
+    val out = Events.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts")
+      .collect()(0)
+    // counts 1..5, mean 3, cusum: -2,-3,-3,-2,0 -> peak |-3| ties at
+    // days 2 and 3; earliest wins
+    assert(out.getDate(1).toString == "2024-01-02")
+    assert(out.getDouble(2) == 3.0)
+    val single = Seq.fill(4)(("B", day(1)))
+    val out2 = Events.cusumChangepoint(single.toDF("k", "ts"), "k", "ts")
+      .collect()(0)
+    assert(out2.getDate(1).toString == "2024-01-01")
+    assert(out2.getDouble(2) == 0.0 && out2.isNullAt(4))
+  }
+
   test("attribution: first/last touch with lookback and direct bucket") {
     // u1: view@10:01, click@10:05, purchase@10:10 -> first=view last=click
     // u2: purchase@10:10 with no touch -> (direct)
