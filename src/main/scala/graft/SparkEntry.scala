@@ -2888,7 +2888,25 @@ object SparkEntry {
     // source's volume change".
     "q197_cusum" -> ((s, dir) =>
       graft.ops.Events.cusumChangepoint(t(s, dir, "events"),
-        "event_type", "ts"))
+        "event_type", "ts")),
+
+    // Exact join-size probe (ops/Profile.scala): what orders JOIN
+    // lineitem would produce, at key grain, plus the hottest key's
+    // share — the pre-flight behind the q168 salting decision.
+    "q198_join_size_probe" -> ((s, dir) =>
+      graft.ops.Profile.joinSizeProbe(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")),
+
+    // Per-source percentile normalization (ops/Curation.scala): doc
+    // length percent-ranked WITHIN its source — the per-dump score
+    // calibration (FineWeb device) before any global threshold.
+    "q199_percentile_norm" -> ((s, dir) =>
+      graft.ops.Curation.percentileNormalize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6071,6 +6089,30 @@ object SparkEntry {
         |FROM c JOIN (SELECT * FROM p WHERE rn = 1) p ON c.key = p.key
         |GROUP BY c.key, change_day, max_abs_cusum
         |ORDER BY c.key""".stripMargin,
+
+    "q198_join_size_probe" ->
+      """WITH la AS (SELECT o_orderkey::VARCHAR AS k, count(*) AS ca
+        |            FROM orders GROUP BY 1),
+        |rb AS (SELECT l_orderkey::VARCHAR AS k, count(*) AS cb
+        |       FROM lineitem GROUP BY 1),
+        |p AS (SELECT la.k, ca * cb AS rows_ FROM la JOIN rb ON la.k = rb.k),
+        |top AS (SELECT k AS top_key, rows_ AS top_key_rows FROM p
+        |        ORDER BY rows_ DESC, k LIMIT 1)
+        |SELECT (SELECT count(*) FROM la) AS n_keys_left,
+        |  (SELECT count(*) FROM rb) AS n_keys_right,
+        |  count(*) AS n_keys_shared,
+        |  coalesce(sum(rows_), 0)::BIGINT AS join_rows,
+        |  top_key, top_key_rows,
+        |  round(top_key_rows / coalesce(sum(rows_), 0)::DOUBLE, 6)
+        |    AS top_key_share
+        |FROM p CROSS JOIN top
+        |GROUP BY top_key, top_key_rows""".stripMargin,
+
+    "q199_percentile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+        |    AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -368,4 +368,27 @@ object Curation {
           .when(col("h_old") =!= col("h_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Per-group percentile normalization: `percent_rank` of `valueCol`
+    * WITHIN each key — the per-source score calibration every corpus
+    * mixer needs before a global threshold means anything (FineWeb's
+    * per-dump normalization: a 0.6 quality score from a clean dump and
+    * a 0.6 from a spam-heavy dump are different animals; their
+    * within-source percentiles are comparable). Ties share a rank
+    * (percent_rank semantics), so the output is deterministic with no
+    * tiebreak column. Rank rounds to 6 dp.
+    *
+    * Scale note: the window partitions by key, so each key's rows sort
+    * within their partition — right for the per-SOURCE shape (sources
+    * are thousands, each holding its own slice). For a single
+    * unbounded group, rank via the Quantiles range-partition device
+    * instead (a one-key window is a single-reducer sort).
+    */
+  def percentileNormalize(df: DataFrame, keyCol: String,
+      valueCol: String, outCol: String = "pct_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol,
+      round(percent_rank().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(valueCol))), 6))
+  }
 }

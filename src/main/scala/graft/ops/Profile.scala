@@ -219,6 +219,47 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
+  /** Exact equi-join size probe: what `a JOIN b ON key` would produce,
+    * WITHOUT running the join — Σ over shared keys of cnt_a·cnt_b,
+    * computed at KEY grain (two count aggregates + one key-sized join),
+    * plus the skew decomposition the number alone hides: the single
+    * hottest key's contribution and share. The pre-flight measurement
+    * behind the q168/q174 salting decision — "this join is 10⁹ rows
+    * and one key is 40% of it" costs seconds at key grain; discovering
+    * it mid-shuffle costs the cluster. Returns one row:
+    * (n_keys_left, n_keys_right, n_keys_shared, join_rows,
+    * top_key, top_key_rows, top_key_share).
+    */
+  def joinSizeProbe(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+      .localCheckpoint(true) // consumers: key count + the product join
+    val rb = right.groupBy(col(rightKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    val prod = la.join(rb, Seq("__k"))
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__rows"))
+      .localCheckpoint(true) // consumers: totals + the argmax pick
+    val nl = la.agg(count(lit(1))).head().getLong(0)
+    val nr = rb.agg(count(lit(1))).head().getLong(0)
+    val top = prod.orderBy(col("__rows").desc, col("__k")).limit(1)
+    prod
+      .agg(count(lit(1)).as("n_keys_shared"),
+        coalesce(sum(col("__rows")), lit(0L)).as("join_rows"))
+      .withColumn("n_keys_left", lit(nl))
+      .withColumn("n_keys_right", lit(nr))
+      // left join on true: disjoint key sets leave a null top_key on
+      // the (always present) summary row instead of vanishing it
+      .join(broadcast(top.select(col("__k").as("top_key"),
+        col("__rows").as("top_key_rows"))), lit(true), "left")
+      .select(col("n_keys_left"), col("n_keys_right"),
+        col("n_keys_shared"), col("join_rows"), col("top_key"),
+        col("top_key_rows"),
+        round(col("top_key_rows") / col("join_rows").cast("double"), 6)
+          .as("top_key_share"))
+  }
+
   /** Benford first-digit audit (Benford 1938; the fraud/data-quality
     * screen): observed first-significant-digit distribution of a
     * positive numeric column vs the Benford expectation

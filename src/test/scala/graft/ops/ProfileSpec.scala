@@ -180,5 +180,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(chiBad > 1000.0, s"chiBad=$chiBad")
   }
 
+  test("joinSizeProbe: exact product counts and skew readout") {
+    import spark.implicits._
+    val l = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "x")
+    val r = (1 to 10).map(i => ("a", i)) ++ Seq(("b", 1), ("z", 1))
+    val out = Profile.joinSizeProbe(l, "k", r.toDF("k2", "y"), "k2")
+      .collect()(0)
+    // shared keys: a (2*10=20), b (1*1=1) -> 21 rows; top = a at 20/21
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((3L, 3L, 2L, 21L)))
+    assert(out.getString(4) == "a" && out.getLong(5) == 20L)
+    assert(math.abs(out.getDouble(6) - round6(20.0 / 21)) < 1e-9)
+    // probe prediction equals the actual join size
+    assert(l.join(r.toDF("k2", "y"), l("k") === col("k2")).count() == 21L)
+  }
+
+  test("joinSizeProbe: disjoint keys keep the summary row, null top") {
+    import spark.implicits._
+    val out = Profile.joinSizeProbe(
+      Seq(("a", 1)).toDF("k", "x"), "k",
+      Seq(("z", 1)).toDF("k2", "y"), "k2").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 0L && out(0).isNullAt(4))
+  }
+
+  test("percentileNormalize: within-group ranks, ties share a rank") {
+    import spark.implicits._
+    val df = Seq(("s1", 1L, 10), ("s1", 2L, 20), ("s1", 3L, 20),
+      ("s1", 4L, 30), ("s2", 5L, 99)).toDF("src", "id", "v")
+    val out = Curation.percentileNormalize(df, "src", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // s1 ranks over 4 rows: 10 -> 0, 20/20 -> 1/3 both, 30 -> 1
+    assert(out(1L) == 0.0)
+    assert(out(2L) == out(3L) && math.abs(out(2L) - round6(1.0 / 3)) < 1e-9)
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0) // single-row group: percent_rank 0
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
