@@ -2906,7 +2906,69 @@ object SparkEntry {
           t(s, dir, "documents")
             .select(col("doc_id"), col("source"), col("n_chars")),
           "source", "n_chars")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // TPC-H Q5 shape: local-supplier revenue by nation for one region
+    // and one order year — the classic 6-table star join. The three
+    // dimension tables ride EXPLICIT broadcasts (region/nation/supplier
+    // are catalog-sized at any SF); only the two fact-fact joins
+    // (orders-customer, lineitem-orders) shuffle, both on their keys,
+    // with the date filter pushed into the orders scan.
+    "q200_tpch_q5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          dec("l_extendedprice"), dec("l_discount", 18, 6))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("__rev"))
+        .select(col("n_name"),
+          round(col("__rev").cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q3 shape: unshipped-order revenue for one market segment —
+    // top-10 orders by discounted revenue; the segment dim broadcast,
+    // both fact joins keyed, both date filters pushed.
+    "q201_tpch_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1997-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1997-06-01"))
+        .select(col("l_orderkey"), dec("l_extendedprice"),
+          dec("l_discount", 18, 6))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("__rev"))
+        .select(col("l_orderkey"),
+          round(col("__rev").cast("double"), 4).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6113,6 +6175,34 @@ object SparkEntry {
         |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
         |    AS pct_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q200_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6))))::DOUBLE, 4)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q201_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6))))::DOUBLE, 4)
+        |    AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —
