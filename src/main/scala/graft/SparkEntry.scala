@@ -2968,7 +2968,26 @@ object SparkEntry {
           col("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    })
+    }),
+
+    // Theil-Sen robust trend (ops/Events.scala): median pairwise slope
+    // per event type over its daily counts — the outlier-proof "is
+    // this source growing" next to q197's "did it jump".
+    "q202_theil_sen" -> ((s, dir) =>
+      graft.ops.Events.theilSenTrend(t(s, dir, "events"),
+        "event_type", "ts")),
+
+    // Pearson correlation matrix (ops/Profile.scala) over lineitem's
+    // numeric columns — one aggregate pass, decimal-quantized moments.
+    "q203_corr_matrix" -> ((s, dir) =>
+      graft.ops.Profile.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Chi-square independence (ops/Profile.scala): market segment vs
+    // nation over customers — dense expected grid, quantized fold.
+    "q204_chi2_indep" -> ((s, dir) =>
+      graft.ops.Profile.chiSquareIndependence(t(s, dir, "customer"),
+        "c_mktsegment", "c_nationkey"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6203,6 +6222,79 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q202_theil_sen" ->
+      """WITH d AS (SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |x0 AS (SELECT key, min(dy) AS d0, count(*)::BIGINT AS n_days
+        |       FROM d GROUP BY key),
+        |pts AS (SELECT d.key,
+        |          datediff('day', d0, dy)::DOUBLE AS x, n::DOUBLE AS y
+        |        FROM d JOIN x0 USING (key)),
+        |pr AS (SELECT a.key, (b.y - a.y) / (b.x - a.x) AS s
+        |       FROM pts a JOIN pts b ON a.key = b.key AND a.x < b.x),
+        |sl AS (SELECT key, median(s) AS m FROM pr GROUP BY key),
+        |rs AS (SELECT pts.key, y - m * x AS r FROM pts JOIN sl USING (key)),
+        |ic AS (SELECT key, median(r) AS b FROM rs GROUP BY key)
+        |SELECT x0.key, n_days, round(m, 6) AS slope,
+        |  round(b, 6) AS intercept
+        |FROM x0 JOIN sl USING (key) JOIN ic USING (key)
+        |ORDER BY x0.key""".stripMargin,
+
+    "q203_corr_matrix" ->
+      """WITH m AS (SELECT
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(l_quantity::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s1,
+        |  sum(CAST(l_extendedprice::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s2,
+        |  sum(CAST(l_discount::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s3,
+        |  sum(CAST(l_tax::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s4,
+        |  sum(CAST(l_quantity::DOUBLE * l_quantity::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s11,
+        |  sum(CAST(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s22,
+        |  sum(CAST(l_discount::DOUBLE * l_discount::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s33,
+        |  sum(CAST(l_tax::DOUBLE * l_tax::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s44,
+        |  sum(CAST(l_quantity::DOUBLE * l_extendedprice::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s12,
+        |  sum(CAST(l_quantity::DOUBLE * l_discount::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s13,
+        |  sum(CAST(l_quantity::DOUBLE * l_tax::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s14,
+        |  sum(CAST(l_extendedprice::DOUBLE * l_discount::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s23,
+        |  sum(CAST(l_extendedprice::DOUBLE * l_tax::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s24,
+        |  sum(CAST(l_discount::DOUBLE * l_tax::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS s34
+        |  FROM lineitem)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+        |      / sqrt(n * syy - sy * sy), 6) END AS r
+        |FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |    s1 AS sx, s2 AS sy, s11 AS sxx, s22 AS syy, s12 AS sxy FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n, s1, s3, s11, s33, s13 FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n, s1, s4, s11, s44, s14 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, s2, s3, s22, s33, s23 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, s2, s4, s22, s44, s24 FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n, s3, s4, s33, s44, s34 FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q204_chi2_indep" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment::VARCHAR AS a, c_nationkey::VARCHAR AS b,
+        |    count(*) AS o
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY a),
+        |mb AS (SELECT b, sum(o)::BIGINT AS rb FROM cells GROUP BY b),
+        |grid AS (SELECT ma.a, mb.b, ra, rb, coalesce(o, 0)::BIGINT AS o
+        |         FROM ma CROSS JOIN mb
+        |         LEFT JOIN cells ON cells.a = ma.a AND cells.b = mb.b),
+        |g2 AS (SELECT *, sum(o) OVER ()::BIGINT AS nn FROM grid),
+        |g3 AS (SELECT *, ra * rb / nn::DOUBLE AS e FROM g2),
+        |g4 AS (SELECT *, CAST((o - e) * (o - e) / e AS DECIMAL(38,12)) AS chi
+        |       FROM g3)
+        |SELECT max(nn) AS n, count(DISTINCT a) AS n_a,
+        |  count(DISTINCT b) AS n_b,
+        |  (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+        |  round(sum(chi)::DOUBLE, 6) AS chi2
+        |FROM g4""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

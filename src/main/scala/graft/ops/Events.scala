@@ -635,6 +635,59 @@ object Events {
       .orderBy(col("key"))
   }
 
+  /** Theil-Sen robust trend (Theil 1950, Sen 1968): per key, the MEDIAN
+    * of all pairwise slopes over the ordered daily-count series, plus
+    * the median-residual intercept — the trend estimate a few wild days
+    * cannot drag (OLS breaks down at one outlier; Theil-Sen tolerates
+    * ~29%). The "is this source actually growing" readout next to
+    * [[cusumChangepoint]]'s "did it jump". Returns
+    * (key, n_days, slope, intercept), slope per day, rounded to 6 dp.
+    * A key observed on a single day has no pairwise slope and is
+    * omitted — one point determines no trend.
+    *
+    * Shape: one event-sized collapse to (key, day); the pairwise-slope
+    * self-join is KEY-partitioned and day²-bounded (a year of days is
+    * ~66k pairs per key — calendar-sized, never event-sized); both
+    * medians ride [[Quantiles.exactByKey]] (exact type-7, distributed).
+    */
+  def theilSenTrend(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumers: pair join (x2), x0, residuals
+    val x0 = daily.groupBy(col("key")).agg(min(col("__day")).as("__d0"),
+      count(lit(1)).as("n_days"))
+    val pts = daily.join(x0, Seq("key"))
+      .select(col("key"),
+        datediff(col("__day"), col("__d0")).cast("double").as("__x"),
+        col("__n").cast("double").as("__y"))
+      .localCheckpoint(true)
+    val pairs = pts.select(col("key"), col("__x").as("__x1"),
+        col("__y").as("__y1"))
+      .join(pts.select(col("key"), col("__x").as("__x2"),
+        col("__y").as("__y2")), Seq("key"))
+      .where(col("__x1") < col("__x2"))
+      .select(col("key"),
+        ((col("__y2") - col("__y1")) / (col("__x2") - col("__x1")))
+          .as("__slope"))
+    val slope = Quantiles.exactByKey(pairs, "key", "__slope", Seq(0.5))
+      .select(col("key"), col("exact_q").as("__m"))
+    val resid = pts.join(broadcast(slope), Seq("key"))
+      .select(col("key"), col("__m"),
+        (col("__y") - col("__m") * col("__x")).as("__r"))
+    val icept = Quantiles.exactByKey(resid, "key", "__r", Seq(0.5))
+      .select(col("key"), col("exact_q").as("__b"))
+    x0.join(broadcast(slope), Seq("key"))
+      .join(broadcast(icept), Seq("key"))
+      .select(col("key"), col("n_days"),
+        round(col("__m"), 6).as("slope"),
+        round(col("__b"), 6).as("intercept"))
+      .orderBy(col("key"))
+  }
+
   /** First- and last-touch conversion attribution: for every event
     * satisfying `isConversion`, the earliest and latest NON-conversion
     * event ("touch") of the same user in the lookback window

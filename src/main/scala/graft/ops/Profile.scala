@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,97 @@ object Profile {
         col("top_key_rows"),
         round(col("top_key_rows") / col("join_rows").cast("double"), 6)
           .as("top_key_share"))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * intake-profiling face next to [[columnProfile]]: which fields move
+    * together (and which "independent" features aren't). ONE aggregate
+    * pass computes all moments (n, Σx, Σxy, Σx² for every pair), each
+    * quantized to DECIMAL(38,12) so r is partition-invariant and
+    * engine-replayable; the r algebra runs on the one moments row.
+    * Rows with a null in EITHER column of a pair are dropped from that
+    * pair (pairwise deletion, per-pair n). Returns one row per pair
+    * (col_a, col_b, n, r), col_a < col_b by position, r rounded to
+    * 6 dp (null when either column is constant).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val session = df.sparkSession
+    import session.implicits._
+    val pairsIdx = for {
+      i <- cols.indices; j <- i + 1 until cols.size
+    } yield (cols(i), cols(j))
+    def d(c: Column) = c.cast("decimal(38,12)")
+    val aggs = pairsIdx.zipWithIndex.flatMap { case ((a, b), p) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      val xg = when(both, x); val yg = when(both, y)
+      Seq(
+        count(when(both, lit(1))).as(s"__n$p"),
+        sum(d(xg)).as(s"__sx$p"), sum(d(yg)).as(s"__sy$p"),
+        sum(d(xg * xg)).as(s"__sxx$p"), sum(d(yg * yg)).as(s"__syy$p"),
+        sum(d(xg * yg)).as(s"__sxy$p"))
+    }
+    val m = df.groupBy().agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val perPair = pairsIdx.zipWithIndex.map { case ((a, b), p) =>
+      val n = col(s"__n$p").cast("double")
+      val sx = col(s"__sx$p").cast("double")
+      val sy = col(s"__sy$p").cast("double")
+      val cov = n * col(s"__sxy$p").cast("double") - sx * sy
+      val vx = n * col(s"__sxx$p").cast("double") - sx * sx
+      val vy = n * col(s"__syy$p").cast("double") - sy * sy
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n$p").as("n"),
+        when(vx > 0 && vy > 0,
+          round(cov / sqrt(vx) / sqrt(vy), 6)).as("r"))
+    }
+    perPair.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** Chi-square test of independence between two categorical columns
+    * (Pearson 1900): contingency counts, expected cell = row·col/N,
+    * `chi2 = Σ (obs − exp)²/exp` with dof = (r−1)(c−1) — "does order
+    * priority actually vary by market segment". Returns one row
+    * (n, n_a, n_b, dof, chi2), chi2 rounded to 6 dp; cell terms
+    * quantize to DECIMAL(38,12) (partition-invariant fold). Null
+    * categories are dropped. The expected-count grid is dense: a
+    * (segment, priority) pair the data never produced still carries
+    * its expected mass — omitting it understates the statistic.
+    *
+    * Shape: one contingency aggregate (cells-sized), marginals re-agg
+    * the pinned cell frame, the dense grid is marginal×marginal
+    * (cells-bounded), observed counts left-join onto it.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // consumers: both marginals + the grid join
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__rb"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val grid = ma.crossJoin(mb) // (n_a × n_b)-sized: category grids
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .withColumn("__N", sum(col("__o")).over(wAll))
+      .withColumn("__e",
+        col("__ra") * col("__rb") / col("__N").cast("double"))
+      .withColumn("__chi",
+        ((col("__o") - col("__e")) * (col("__o") - col("__e")) /
+          col("__e")).cast("decimal(38,12)"))
+    grid.agg(
+        max(col("__N")).as("n"),
+        countDistinct(col("__a")).as("n_a"),
+        countDistinct(col("__b")).as("n_b"),
+        sum(col("__chi")).as("__c"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        round(col("__c").cast("double"), 6).as("chi2"))
   }
 
   /** Benford first-digit audit (Benford 1938; the fraud/data-quality

@@ -340,6 +340,27 @@ class EventsSpec extends AnyFunSuite {
     assert(out2.getDouble(2) == 0.0 && out2.isNullAt(4))
   }
 
+  test("theil-sen: robust to the outlier that wrecks OLS") {
+    // key A: perfect slope 2 line over 9 days plus one wild day
+    // (y = 500 at day 10): median pairwise slope stays 2
+    val clean = (1 to 9).flatMap(d => Seq.fill(2 * d)(("A", day(d))))
+    val wild = Seq.fill(500)(("A", day(10)))
+    val out = Events.theilSenTrend((clean ++ wild).toDF("k", "ts"),
+      "k", "ts").collect()(0)
+    assert(out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 2.0, s"slope ${out.getDouble(2)}")
+    // x counts from the first day (x = d - 1), so clean points are
+    // y = 2x + 2: residual 2 everywhere clean, 482 wild -> median 2
+    assert(out.getDouble(3) == 2.0)
+  }
+
+  test("theil-sen: single-day keys are omitted") {
+    val rows = Seq(("A", day(1)), ("A", day(2)), ("B", day(1)))
+    val out = Events.theilSenTrend(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("A"))
+  }
+
   test("attribution: first/last touch with lookback and direct bucket") {
     // u1: view@10:01, click@10:05, purchase@10:10 -> first=view last=click
     // u2: purchase@10:10 with no touch -> (direct)

@@ -217,5 +217,56 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(5L) == 0.0) // single-row group: percent_rank 0
   }
 
+  test("correlationMatrix: perfect, inverse, and null-pair handling") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 5.0, Some(1.0)),
+      (2.0, 4.0, 4.0, None),
+      (3.0, 6.0, 3.0, Some(3.0)),
+      (4.0, 8.0, 2.0, Some(7.0)))
+      .toDF("a", "b", "c", "d")
+    val out = Profile.correlationMatrix(df, Seq("a", "b", "c", "d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))
+      .toMap
+    assert(out(("a", "b")) == ((4L, Some(1.0))))   // y = 2x
+    assert(out(("a", "c")) == ((4L, Some(-1.0))))  // inverse
+    assert(out(("a", "d"))._1 == 3L)               // pairwise deletion
+    assert(out(("a", "d"))._2.exists(r => r > 0.9))
+    assert(out.size == 6)
+  }
+
+  test("correlationMatrix: constant column yields null r, invariance") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val out = Profile.correlationMatrix(df, Seq("a", "b")).collect()(0)
+    assert(out.isNullAt(3))
+    val big = (1 to 5000).map(i =>
+      ((i % 97).toDouble, (i % 89).toDouble)).toDF("a", "b")
+    val r1 = Profile.correlationMatrix(big.repartition(1), Seq("a", "b"))
+      .collect()(0).getDouble(3)
+    val r2 = Profile.correlationMatrix(big.repartition(37), Seq("a", "b"))
+      .collect()(0).getDouble(3)
+    assert(r1 == r2)
+  }
+
+  test("chiSquareIndependence: independent grid scores ~0, dense zeros count") {
+    import spark.implicits._
+    // perfectly independent 2x2: chi2 exactly 0
+    val ind = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(60)(("y", "v"))
+    val o1 = Profile.chiSquareIndependence(ind.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert((o1.getLong(0), o1.getLong(1), o1.getLong(2), o1.getLong(3)) ==
+      ((120L, 2L, 2L, 1L)))
+    assert(o1.getDouble(4) == 0.0)
+    // fully dependent 2x2 (diagonal): chi2 = N
+    val dep = Seq.fill(25)(("x", "u")) ++ Seq.fill(25)(("y", "v"))
+    val o2 = Profile.chiSquareIndependence(dep.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(o2.getDouble(4) == 50.0) // chi2 = N for a perfect 2x2 diagonal
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
