@@ -58,7 +58,7 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff webeval opq batchbm25 events recgraph sfbench
+    // knref releasediff webeval opq batchbm25 events recgraph tailfaces sfbench
     // sfbench100) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
@@ -1990,6 +1990,100 @@ object ScaleCheck {
     println(f"SURVIVAL> users=$anchored curve_points=${surv.length} " +
       f"t=$tSurv%.1f s  ATTRIBUTION> conversions=$nConv " +
       f"channels=${attr.length} t=$tAttr%.1f s")
+    }
+
+    if (run("tailfaces")) {
+    // ---- 5ad. Round-13 tail faces at volume ----------------------------
+    // 5M events / 200k users / 365 days: paths, window funnel,
+    // Theil-Sen, seasonality/CUSUM, join probe, percentile norm.
+    val evd3 = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(51)), lit(200000L)).as("user_id"),
+      (lit(1704067200L) + pmod(xxhash64(col("id"), lit(53)),
+        lit(365L * 86400))).cast("timestamp").as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error")),
+        (pmod(xxhash64(col("id"), lit(59)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      col("id").as("event_id")).localCheckpoint(true)
+
+    val (paths, tPaths) = time {
+      graft.ops.Events.topPaths(evd3, "user_id", "event_type", "ts",
+        "event_id", pathLen = 4, topK = 20).collect()
+    }
+    val totPathUsers = paths.map(_.getLong(1)).sum
+    require(paths.length == 20 && totPathUsers <= 200000L,
+      s"paths=${paths.length} users=$totPathUsers")
+    println(f"PATHS> events=5000000 top20_users=$totPathUsers t=$tPaths%.1f s")
+
+    val (fw, tFw) = time {
+      graft.ops.Events.funnelWithin(evd3, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinMillis = 86400000L)
+        .collect()
+    }
+    val free = graft.ops.Events.funnel(evd3, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase")).collect()
+    require(fw.zip(free).forall { case (w, f) =>
+      w.getLong(2) <= f.getLong(2) },
+      "window funnel must be dominated by the unconstrained funnel")
+    println(f"FUNNELWIN> steps=${fw.map(_.getLong(2)).mkString("/")} " +
+      f"free=${free.map(_.getLong(2)).mkString("/")} t=$tFw%.1f s")
+
+    val (tsn, tTsn) = time {
+      graft.ops.Events.theilSenTrend(evd3, "event_type", "ts").collect()
+    }
+    // uniform generator: ~27.4 events/key/day, slope ~0 (|.| < 0.05)
+    require(tsn.length == 5 && tsn.forall(r =>
+      math.abs(r.getDouble(2)) < 0.05),
+      s"uniform log must trend flat: ${tsn.map(_.getDouble(2)).toSeq}")
+    println(f"THEILSEN> keys=5 days=365 pairs_per_key=${365 * 364 / 2} " +
+      f"t=$tTsn%.1f s")
+
+    val (cp, tCp) = time {
+      graft.ops.Events.cusumChangepoint(evd3, "event_type", "ts").collect()
+    }
+    val (sea, tSea) = time {
+      graft.ops.Events.seasonalityProfile(evd3, "event_type", "ts").collect()
+    }
+    require(cp.length == 5 && sea.length == 35)
+    require(sea.forall(r => math.abs(r.getDouble(4) - 1.0) < 0.05),
+      "uniform log must show a flat weekday index")
+    println(f"CUSUM+SEASON> cusum_t=$tCp%.1f s season_t=$tSea%.1f s " +
+      f"max_season_dev=${sea.map(r => math.abs(r.getDouble(4) - 1.0)).max}%.4f")
+
+    // join probe over two 5M frames: prediction must equal the join
+    val lhs = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(61)), lit(100000L)).as("k1"))
+      .localCheckpoint(true)
+    val rhs = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(67)), lit(100000L)).as("k2"))
+      .localCheckpoint(true)
+    val (probe, tProbe) = time {
+      graft.ops.Profile.joinSizeProbe(lhs, "k1", rhs, "k2").collect()(0)
+    }
+    val actual = lhs.join(rhs, col("k1") === col("k2")).count()
+    require(probe.getLong(3) == actual,
+      s"probe ${probe.getLong(3)} != actual $actual")
+    println(f"JOINPROBE> predicted=${probe.getLong(3)} actual=$actual " +
+      f"(exact) probe_t=$tProbe%.1f s")
+
+    // per-source percentile normalization over 5M rows / 100 sources
+    val docs5 = spark.range(5000000L).select(col("id"),
+      pmod(xxhash64(col("id"), lit(71)), lit(100L)).as("source"),
+      pmod(xxhash64(col("id"), lit(73)), lit(100000L)).as("score"))
+    val (pn, tPn) = time {
+      val normed = graft.ops.Curation.percentileNormalize(
+        docs5, "source", "score")
+      // distributed gate: global threshold on the NORMALIZED score
+      // keeps ~the same share of every source
+      normed.filter(col("pct_rank") >= 0.9)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")), max(col("n"))).collect()(0)
+    }
+    val (mn, mx) = (pn.getLong(0), pn.getLong(1))
+    require(mx <= mn * 1.1 + 100,
+      s"per-source keep-share must be near-uniform: min=$mn max=$mx")
+    println(f"PCTNORM> rows=5000000 sources=100 kept_min=$mn kept_max=$mx " +
+      f"t=$tPn%.1f s")
     }
 
     if (run("sfbench100")) {
