@@ -606,6 +606,77 @@ object Cli {
         println(s"  - {${attrs.mkString(", ")}}")
       }
 
+    // event-log / customer analytics over any parquet table: the q166+
+    // operator family behind one dispatcher. Reads --in (a parquet file
+    // or directory), writes the readout to --out, prints a 1-line JSON
+    // summary. Column names override via --user/--type/--ts/--id-col.
+    case "analyze" :: rest =>
+      val flags = parseFlags(rest)
+      def req(k: String) = flags.getOrElse(k, sys.error(s"analyze: missing --$k"))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions.col
+        val df = spark.read.parquet(req("in"))
+        val user = flags.getOrElse("user", "user_id")
+        val typ = flags.getOrElse("type", "event_type")
+        val ts = flags.getOrElse("ts", "ts")
+        val id = flags.getOrElse("id-col", "event_id")
+        val out = flags.getOrElse("mode", "funnel") match {
+          case "funnel" =>
+            val steps = req("steps").split(",").toSeq
+            flags.get("within-ms") match {
+              case Some(ms) => graft.ops.Events.funnelWithin(df, user, typ,
+                ts, steps, ms.toLong)
+              case None => graft.ops.Events.funnel(df, user, typ, ts, steps)
+            }
+          case "retention" =>
+            graft.ops.Events.cohortRetention(df, user, ts)
+          case "active" =>
+            graft.ops.Events.rollingActiveUsers(df, user, ts,
+              flags.getOrElse("window-days", "7").toInt)
+          case "anomaly" =>
+            graft.ops.Events.anomalousDays(df, typ, ts,
+              flags.getOrElse("threshold", "3.5").toDouble)
+          case "survival" =>
+            graft.ops.Events.timeToEventSurvival(df, user, ts, typ,
+              req("anchor"), req("target"))
+          case "attribution" =>
+            val conv = col(typ) === req("conversion")
+            val look = flags.getOrElse("lookback-ms", "259200000").toLong
+            if (flags.getOrElse("model", "touch") == "linear")
+              graft.ops.Events.attributionLinear(df, user, typ, ts, id,
+                conv, look)
+            else graft.ops.Events.attribution(df, user, typ, ts, id,
+              conv, look)
+          case "paths" =>
+            graft.ops.Events.topPaths(df, user, typ, ts, id,
+              flags.getOrElse("len", "5").toInt,
+              flags.getOrElse("k", "50").toInt)
+          case "seasonality" =>
+            graft.ops.Events.seasonalityProfile(df, typ, ts)
+          case "trend" =>
+            graft.ops.Events.theilSenTrend(df, typ, ts)
+          case "changepoint" =>
+            graft.ops.Events.cusumChangepoint(df, typ, ts)
+          case "forecast" =>
+            graft.ops.Events.sesForecast(df, typ, ts,
+              flags.getOrElse("alpha", "0.3").toDouble)
+          case "gini" =>
+            graft.ops.Profile.giniLorenz(df, req("value-col"),
+              flags.getOrElse("buckets", "10").toInt)
+          case "rfm" =>
+            graft.ops.Recommend.rfmSegments(df, req("cust-col"), ts,
+              req("value-col"), flags.getOrElse("buckets", "5").toInt)
+          case "benford" =>
+            graft.ops.Profile.benford(df, req("value-col"))
+          case other => sys.error(s"analyze: unknown --mode $other")
+        }
+        val dest = req("out")
+        out.write.mode("overwrite").parquet(dest)
+        println(s"""{"mode":"${flags.getOrElse("mode", "funnel")}","rows":${spark.read.parquet(dest).count()},"out":"$dest"}""")
+      } finally spark.stop()
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.headOption.getOrElse("")}
@@ -643,7 +714,15 @@ object Cli {
            |         [--dedup-threshold 0.9] [--kn-model <dir> --max-nll N]
            |         [--min-tokens N]
            |  release compact --index <dir>
-           |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>""".stripMargin)
+           |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>
+           |  analyze --in <parquet> --out <dir> --mode funnel|retention|active|
+           |         anomaly|survival|attribution|paths|seasonality|trend|
+           |         changepoint|forecast|gini|rfm|benford
+           |         [--user u] [--type t] [--ts ts] [--id-col id]
+           |         (funnel: --steps a,b,c [--within-ms N];
+           |          survival: --anchor T --target T;
+           |          attribution: --conversion T [--model linear];
+           |          gini/benford: --value-col v; rfm: --cust-col c --value-col v)""".stripMargin)
       sys.exit(2)
   }
 }
