@@ -2987,7 +2987,35 @@ object SparkEntry {
     // nation over customers — dense expected grid, quantized fold.
     "q204_chi2_indep" -> ((s, dir) =>
       graft.ops.Profile.chiSquareIndependence(t(s, dir, "customer"),
-        "c_mktsegment", "c_nationkey"))
+        "c_mktsegment", "c_nationkey")),
+
+    // Multi-source BFS (ops/Graph.scala): hop distance from the %200
+    // seed parts over the high-value co-purchase graph, 3 hops — the
+    // trusted-seed frontier question; oracle is a recursive CTE.
+    "q205_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"))
+      val seeds = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(200)) === 0)
+        .select(col("p_partkey"))
+      graft.ops.Graph.hopDistance(edges, "p1", "p2",
+        seeds, "p_partkey", maxHops = 3)
+    }),
+
+    // ABC / Pareto classes (ops/Profile.scala): customers by cumulative
+    // revenue share via the range-partition prefix-sum device — no
+    // single-reducer sort, no ntile.
+    "q206_abc_pareto" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec("o_totalprice")).cast("double").as("spend"))
+      graft.ops.Profile.abcClassify(spend, "o_custkey", "spend")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6295,6 +6323,41 @@ object SparkEntry {
         |  (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
         |  round(sum(chi)::DOUBLE, 6) AS chi2
         |FROM g4""".stripMargin,
+
+    "q205_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |adj AS (SELECT a AS z, b AS n FROM e0
+        |        UNION ALL SELECT b AS z, a AS n FROM e0),
+        |seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 200 = 0),
+        |r(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT adj.n, r.d + 1 FROM r JOIN adj ON adj.z = r.node
+        |  WHERE r.d < 3)
+        |SELECT node, min(d)::INT AS dist FROM r GROUP BY node
+        |ORDER BY dist, node""".stripMargin,
+
+    "q206_abc_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS entity,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS v
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT entity, v,
+        |        round((sum(CAST(v AS DECIMAL(38,12))) OVER (ORDER BY v DESC,
+        |          entity ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          )::DOUBLE
+        |          / (sum(CAST(v AS DECIMAL(38,12))) OVER ())::DOUBLE, 6)
+        |          AS cum_share
+        |      FROM spend)
+        |SELECT entity, v AS value, cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM r ORDER BY value DESC, entity""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -298,6 +298,52 @@ object Graph {
           .otherwise(0.0).as("local_cc"))
   }
 
+  /** Multi-source BFS hop distance: the minimum number of edges from
+    * any seed to each reachable node, out to `maxHops` — "how far is
+    * every page from the trusted seed set" (the TrustRank-style
+    * frontier question) or blast-radius analysis from an incident
+    * node set. Undirected. Returns (node, dist) with dist in
+    * [0, maxHops], seeds at 0; unreachable-within-maxHops nodes are
+    * absent.
+    *
+    * 100 TB shape: classic frontier BFS — each hop is ONE join of the
+    * (shrinking) frontier against the adjacency list plus an anti-join
+    * against the visited set; frames are node-sized, the edge list is
+    * touched once per hop, and each hop localCheckpoints so lineage
+    * stays flat. maxHops is a plan-time constant (hop counts in
+    * practice are single digits — this is NOT the transitive-closure
+    * machine; connected components (ops/Dedup.scala) answers the
+    * unbounded question in O(log n) rounds).
+    */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops) {
+      frontier = frontier
+        .join(adj, frontier("node") === adj("z"))
+        .select(col("n").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(frontier).localCheckpoint(true)
+      h += 1
+    }
+    dist.orderBy(col("dist"), col("node"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
     * neighbors on the Web"): score every NON-adjacent node pair (u, v)
     * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare

@@ -260,6 +260,60 @@ object Profile {
           .as("top_key_share"))
   }
 
+  /** ABC / Pareto classification: rank entities by value descending and
+    * class them by CUMULATIVE value share — A up to `aShare` (default
+    * 0.8: "the 20% that is 80% of revenue"), B up to `bShare`, C the
+    * tail. The inventory-management classic, and the corpus version of
+    * "which domains do we actually depend on". Returns
+    * (entity, value, cum_share, abc_class) in rank order; ties break
+    * on the entity id (deterministic, oracle-replayable). Values must
+    * be nonnegative (Pareto share of a mixed-sign column is undefined).
+    *
+    * 100 TB shape: the q132/q185 range-partition prefix-sum device —
+    * ONE range repartition by (value desc, entity), per-partition
+    * DECIMAL(38,12) sums collected as a 32-row offset table, cumulative
+    * share = broadcast offset + in-partition ordered window sum. No
+    * single-reducer global sort, no ntile.
+    */
+  def abcClassify(df: DataFrame, entityCol: String, valueCol: String,
+      aShare: Double = 0.8, bShare: Double = 0.95): DataFrame = {
+    require(aShare > 0 && aShare < bShare && bShare < 1,
+      "need 0 < aShare < bShare < 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val parts = df.select(col(entityCol).as("entity"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(col("__v").desc, col("entity"))
+      .sortWithinPartitions(col("__v").desc, col("entity"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__vd", col("__v").cast("decimal(38,12)"))
+      .localCheckpoint(eager = true)
+    val sums = parts.groupBy(col("__pid"))
+      .agg(sum(col("__vd")).as("__s"))
+      .collect().sortBy(_.getInt(0))
+    var running = BigDecimal(0)
+    val offsetRows = sums.map { r =>
+      val here = running
+      running += BigDecimal(r.getDecimal(1))
+      (r.getInt(0), here.bigDecimal)
+    }
+    val total = running.toDouble
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__offset"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__v").desc, col("entity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(offsetsDf, Seq("__pid"))
+      .withColumn("cum_share",
+        round((col("__offset") + sum(col("__vd")).over(w)).cast("double") /
+          lit(total), 6))
+      .select(col("entity"), col("__v").as("value"), col("cum_share"),
+        when(col("cum_share") <= aShare, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("value").desc, col("entity"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns — the
     * intake-profiling face next to [[columnProfile]]: which fields move
     * together (and which "independent" features aren't). ONE aggregate

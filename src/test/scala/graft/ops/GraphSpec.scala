@@ -208,6 +208,25 @@ class GraphSpec extends AnyFunSuite {
     assert(full.contains((4L, 5L)))
   }
 
+  test("hopDistance: chain distances, cap, multi-seed min, isolation") {
+    // chain 1-2-3-4-5-6 plus isolated edge 8-9; seeds {1, 9}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("s", "d")
+    val seeds = Seq(1L, 9L).toDF("n")
+    val out = Graph.hopDistance(edges, "s", "d", seeds, "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 9L -> 0, 2L -> 1, 8L -> 1,
+      3L -> 2, 4L -> 3))
+    // node 5 is 4 hops away: absent under the cap
+    assert(!out.contains(5L) && !out.contains(6L))
+    // a seed on a cycle keeps distance 0 (no self-overwrite)
+    val cyc = Graph.hopDistance(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"), "s", "d",
+      Seq(1L).toDF("n"), "n", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cyc == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("local clustering: K4 is all 1.0, a path is all 0, pendant mixes") {
     // K4 on {1,2,3,4} plus pendant 5-1: nodes 2,3,4 keep cc=1 (their
     // neighborhoods stay cliques); node 1 has deg 4, T=3 -> 0.5;

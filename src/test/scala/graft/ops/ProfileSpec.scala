@@ -268,5 +268,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(o2.getDouble(4) == 50.0) // chi2 = N for a perfect 2x2 diagonal
   }
 
+  test("abcClassify: hand-checked classes, boundary inclusive, ties stable") {
+    import spark.implicits._
+    // values 50,30,15,4,1 (total 100): cum .5 A, .8 A (<=), .95 B (<=),
+    // .99 C, 1.0 C
+    val df = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 4.0), (5L, 1.0))
+      .toDF("e", "v")
+    val out = Profile.abcClassify(df, "e", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 0.5, "A"), (2L, 0.8, "A"),
+      (3L, 0.95, "B"), (4L, 0.99, "C"), (5L, 1.0, "C")))
+  }
+
+  test("abcClassify: partition invariance of the prefix-sum device") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, ((i * 7919) % 500 + 1).toDouble))
+    def run(parts: Int) =
+      Profile.abcClassify(df.toDF("e", "v").repartition(parts), "e", "v")
+        .collect().map(_.toSeq).toSeq
+    val a = run(1); val b = run(29)
+    assert(a == b)
+    // classes are contiguous in rank order: A block, then B, then C
+    val classes = a.map(_.last.asInstanceOf[String])
+    assert(classes.mkString.matches("A+B+C+"))
+    // cum_share is non-decreasing down the ranking
+    val shares = a.map(_(2).asInstanceOf[Double])
+    assert(shares.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
