@@ -3015,6 +3015,18 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(sum(dec("o_totalprice")).cast("double").as("spend"))
       graft.ops.Profile.abcClassify(spend, "o_custkey", "spend")
+    }),
+
+    // Classification report (ops/Eval.scala): q154's length-based
+    // scorer thresholded at 220 chars — confusion counts + precision/
+    // recall/F1/accuracy/MCC in one aggregate pass.
+    "q207_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Eval.confusionReport(
+        docs.select(col("n_chars").cast("double").as("score"),
+          (graft.ops.TextAnalysis.tokenCount(col("text")) >= 40)
+            .cast("int").as("label")),
+        "score", "label", threshold = 220.0)
     })
   )
 
@@ -6358,6 +6370,36 @@ object SparkEntry {
         |  CASE WHEN cum_share <= 0.8 THEN 'A'
         |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
         |FROM r ORDER BY value DESC, entity""".stripMargin,
+
+    "q207_confusion" ->
+      """WITH s AS (
+        |  SELECT n_chars::DOUBLE AS score,
+        |    (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) >= 40)::INT AS label
+        |  FROM documents),
+        |c AS (SELECT count(*)::BIGINT AS n,
+        |        count(CASE WHEN score >= 220 AND label = 1 THEN 1 END)::BIGINT AS tp,
+        |        count(CASE WHEN score >= 220 AND label <> 1 THEN 1 END)::BIGINT AS fp,
+        |        count(CASE WHEN score < 220 AND label <> 1 THEN 1 END)::BIGINT AS tn,
+        |        count(CASE WHEN score < 220 AND label = 1 THEN 1 END)::BIGINT AS fn
+        |      FROM s)
+        |SELECT n, tp, fp, tn, fn,
+        |  round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6)
+        |    AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END, 6)
+        |    AS recall,
+        |  round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END)
+        |      + (CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END) > 0
+        |    THEN 2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+        |      / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn))) END, 6)
+        |    AS f1,
+        |  round((tp + tn)::DOUBLE / n, 6) AS accuracy,
+        |  round(CASE WHEN sqrt((tp::DOUBLE + fp) * (tp::DOUBLE + fn)
+        |      * (tn::DOUBLE + fp) * (tn::DOUBLE + fn)) > 0
+        |    THEN (tp::DOUBLE * tn - fp::DOUBLE * fn)
+        |      / sqrt((tp::DOUBLE + fp) * (tp::DOUBLE + fn)
+        |        * (tn::DOUBLE + fp) * (tn::DOUBLE + fn)) END, 6) AS mcc
+        |FROM c""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -219,6 +219,44 @@ object Eval {
     * tuneJmLambda device), labels sum as integers; the 6-dp outputs are
     * therefore bit-reproducible anywhere.
     */
+  /** Classification report at a decision threshold: the confusion
+    * counts and every statistic the threshold-picker reads off them —
+    * precision, recall, F1, accuracy, and Matthews correlation (the
+    * one that stays honest under imbalance). `score >= threshold`
+    * predicts positive. Returns one row
+    * (n, tp, fp, tn, fn, precision, recall, f1, accuracy, mcc),
+    * ratios rounded to 6 dp, null where the denominator is 0 (no
+    * predicted positives → precision null, not a fake 0). ONE
+    * aggregate pass; MCC's product folds in double from exact long
+    * counts (counts to 2^26 stay exact through the product).
+    */
+  def confusionReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val pos = col(labelCol) === 1
+    val counts = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(pred && pos, 1)).as("tp"),
+        count(when(pred && !pos, 1)).as("fp"),
+        count(when(!pred && !pos, 1)).as("tn"),
+        count(when(!pred && pos, 1)).as("fn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val tn = col("tn").cast("double"); val fn = col("fn").cast("double")
+    val precision = when(col("tp") + col("fp") > 0, tp / (tp + fp))
+    val recall = when(col("tp") + col("fn") > 0, tp / (tp + fn))
+    val denom = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    counts.select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+      round(precision, 6).as("precision"),
+      round(recall, 6).as("recall"),
+      round(when(precision + recall > 0,
+        lit(2.0) * precision * recall / (precision + recall)), 6)
+        .as("f1"),
+      round((tp + tn) / col("n"), 6).as("accuracy"),
+      round(when(denom > 0, (tp * tn - fp * fn) / denom), 6).as("mcc"))
+  }
+
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

@@ -160,4 +160,40 @@ class EvalSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got(0)._4 == ece, s"ece ${got(0)._4} != $ece")
   }
+
+  test("confusionReport: hand-checked counts and statistics") {
+    import spark.implicits._
+    // threshold .5: tp=3 fp=1 tn=4 fn=2
+    val rows = Seq(
+      (0.9, 1), (0.8, 1), (0.6, 1), (0.7, 0),        // predicted positive
+      (0.4, 0), (0.3, 0), (0.2, 0), (0.1, 0),        // true negatives
+      (0.4, 1), (0.2, 1))                            // false negatives
+      .toDF("score", "label")
+    val r = Eval.confusionReport(rows, "score", "label", 0.5).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 1L, 4L, 2L)))
+    assert(r.getDouble(5) == 0.75)            // precision 3/4
+    assert(r.getDouble(6) == 0.6)             // recall 3/5
+    val f1 = BigDecimal(2.0 * 0.75 * 0.6 / 1.35)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(7) == f1)
+    assert(r.getDouble(8) == 0.7)             // accuracy 7/10
+    val mcc = BigDecimal((3.0 * 4 - 1.0 * 2) /
+        math.sqrt(4.0 * 5 * 5 * 6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(9) == mcc)
+  }
+
+  test("confusionReport: degenerate thresholds yield nulls, not fake zeros") {
+    import spark.implicits._
+    val rows = Seq((0.2, 1), (0.3, 0)).toDF("score", "label")
+    // threshold above everything: no predicted positives
+    val hi = Eval.confusionReport(rows, "score", "label", 0.9).collect()(0)
+    assert(hi.isNullAt(5) && hi.getDouble(6) == 0.0 && hi.isNullAt(7))
+    // single-class data: MCC denominator 0 -> null
+    val one = Eval.confusionReport(
+      Seq((0.9, 1), (0.1, 1)).toDF("score", "label"),
+      "score", "label", 0.5).collect()(0)
+    assert(one.isNullAt(9))
+  }
 }
