@@ -3027,7 +3027,44 @@ object SparkEntry {
           (graft.ops.TextAnalysis.tokenCount(col("text")) >= 40)
             .cast("int").as("label")),
         "score", "label", threshold = 220.0)
-    })
+    }),
+
+    // WEIGHTED PageRank (ops/Graph.scala): the high-value co-purchase
+    // graph with co-order counts as edge weights — contributions split
+    // by weight share, the multi-edge-aware variant of q115.
+    "q208_weighted_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"),
+          col("w"))
+        .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst"),
+          col("w")))
+      graft.ops.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iterations = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Salted aggregation (ops/Scale.scala): per-customer revenue through
+    // the two-phase (key, salt) -> key fold — the skew-proof aggregate;
+    // the oracle IS the plain GROUP BY (q168's contract).
+    "q209_salted_agg" -> ((s, dir) =>
+      graft.ops.Scale.saltedAgg(
+          t(s, dir, "orders")
+            .select(col("o_custkey"), dec("o_totalprice")),
+          Seq("o_custkey"), salts = 8,
+          partials = Seq(count(lit(1)).as("__n"),
+            sum(col("o_totalprice")).as("__s")),
+          merges = Seq(sum(col("__n")).as("n_orders"),
+            sum(col("__s")).as("__rev")))
+        .select(col("o_custkey"), col("n_orders"),
+          col("__rev").cast("double").as("revenue"))
+        .orderBy(col("o_custkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6400,6 +6437,46 @@ object SparkEntry {
         |      / sqrt((tp::DOUBLE + fp) * (tp::DOUBLE + fn)
         |        * (tn::DOUBLE + fp) * (tn::DOUBLE + fn)) END, 6) AS mcc
         |FROM c""".stripMargin,
+
+    "q208_weighted_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"pr${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum(p.pr * e.w / d.outw) AS c
+           |  FROM e JOIN $p p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |dm$i AS (
+           |  SELECT coalesce(sum(p.pr), 0.0::DOUBLE) AS dm
+           |  FROM $p p LEFT JOIN deg d ON d.src = p.node
+           |  WHERE d.src IS NULL),
+           |pr$i AS (
+           |  SELECT n.node,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / m.n +
+           |      0.85::DOUBLE * (coalesce(c.c, 0.0::DOUBLE) + dm.dm / m.n) AS pr
+           |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node, meta m, dm$i dm)"""
+      }.mkString(",\n")
+      s"""WITH p0 AS (
+         |  SELECT least(a.l_partkey, b.l_partkey) AS p1,
+         |    greatest(a.l_partkey, b.l_partkey) AS p2, count(*) AS w
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+         |  GROUP BY 1, 2),
+         |e AS (SELECT p1 AS src, p2 AS dst, w::DOUBLE AS w FROM p0
+         |      UNION ALL SELECT p2, p1, w::DOUBLE FROM p0),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |meta AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, sum(w)::DOUBLE AS outw FROM e GROUP BY src),
+         |pr0 AS (SELECT node, 1.0::DOUBLE / m.n AS pr FROM nodes, meta m),
+         |$rounds
+         |SELECT node, round(pr, 6) AS pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    },
+
+    "q209_salted_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —
