@@ -617,6 +617,7 @@ object Cli {
       spark.sparkContext.setLogLevel("WARN")
       try {
         import org.apache.spark.sql.functions.col
+        val dest = req("out") // fail fast, BEFORE any eager analysis job
         val df = spark.read.parquet(req("in"))
         val user = flags.getOrElse("user", "user_id")
         val typ = flags.getOrElse("type", "event_type")
@@ -672,7 +673,6 @@ object Cli {
             graft.ops.Profile.benford(df, req("value-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
-        val dest = req("out")
         out.write.mode("overwrite").parquet(dest)
         println(s"""{"mode":"${flags.getOrElse("mode", "funnel")}","rows":${spark.read.parquet(dest).count()},"out":"$dest"}""")
       } finally spark.stop()

@@ -54,6 +54,21 @@ object SparkEntry {
   private def dec(c: String, p: Int = 18, s: Int = 2) =
     col(c).cast(DecimalType(p, s))
 
+  /** Co-purchase part graph shared by the graph faces (q177/q178/q191/
+    * q205/q208): parts sharing an order, optional quantity floor —
+    * one derivation, so the faces and their oracles can't drift apart.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+      minQty: Option[Int]): DataFrame = {
+    val li0 = t(s, dir, "lineitem")
+    val li = minQty.fold(li0)(q => li0.where(col("l_quantity") >= q))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .where(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+  }
+
   /** Exact embedding near-dup pairs over the deterministic vec_id < 500
     * subset (the O(n^2) oracle anchor shared by q51 and q52's recall
     * bound — the bound keeps the quadratic stage fixed-size no matter the
@@ -2685,32 +2700,18 @@ object SparkEntry {
     // Triangle count (ops/Graph.scala) of the co-purchase graph (parts
     // sharing an order): degree-oriented — out-degree bounded O(√m), so
     // no hub mints d² wedges on one reducer.
-    "q177_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.ops.Graph.triangleCount(edges, "p1", "p2")
-    }),
+    "q177_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(
+        coPurchaseEdges(s, dir, minQty = None), "p1", "p2")),
 
     // Adamic-Adar link prediction (ops/Graph.scala) over the high-value
     // co-purchase graph (parts sharing an order, both lines qty >= 40):
     // score non-adjacent pairs by sum 1/ln(deg) over common neighbors,
     // maxDegree=60 hub-exclusion rail. The "related parts you haven't
     // bundled yet" candidate generator.
-    "q178_adamic_adar" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .where(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.ops.Graph.adamicAdar(edges, "p1", "p2",
-        maxDegree = 60, topK = 50)
-    }),
+    "q178_adamic_adar" -> ((s, dir) =>
+      graft.ops.Graph.adamicAdar(coPurchaseEdges(s, dir, Some(40)),
+        "p1", "p2", maxDegree = 60, topK = 50)),
 
     // Market-basket association scores (ops/Recommend.scala): orders as
     // baskets, parts as items — support/confidence/lift for pairs
@@ -2826,18 +2827,11 @@ object SparkEntry {
     // Local clustering coefficient (ops/Graph.scala) of the high-value
     // co-purchase graph: per-node 2T/d(d-1) from the degree-oriented
     // triangle enumeration; top-50 by (degree, node).
-    "q191_clustering_coef" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .where(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
-      graft.ops.Graph.localClustering(edges, "p1", "p2")
+    "q191_clustering_coef" -> ((s, dir) =>
+      graft.ops.Graph.localClustering(coPurchaseEdges(s, dir, Some(40)),
+          "p1", "p2")
         .orderBy(col("degree").desc, col("node"))
-        .limit(50)
-    }),
+        .limit(50)),
 
     // Window-constrained funnel (ops/Events.scala): q166's funnel with
     // each step required within 24 h of the previous step's earliest
@@ -2993,13 +2987,7 @@ object SparkEntry {
     // seed parts over the high-value co-purchase graph, 3 hops — the
     // trusted-seed frontier question; oracle is a recursive CTE.
     "q205_bfs_hops" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .where(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
-        .select(col("p1"), col("p2"))
+      val edges = coPurchaseEdges(s, dir, Some(40))
       val seeds = t(s, dir, "part")
         .where(pmod(col("p_partkey"), lit(200)) === 0)
         .select(col("p_partkey"))
@@ -3033,12 +3021,7 @@ object SparkEntry {
     // graph with co-order counts as edge weights — contributions split
     // by weight share, the multi-edge-aware variant of q115.
     "q208_weighted_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .where(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
+      val pairs = coPurchaseEdges(s, dir, Some(40))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
       val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"),
           col("w"))
@@ -6007,9 +5990,9 @@ object SparkEntry {
 
     "q186_benford" ->
       """WITH v AS (
-        |  SELECT regexp_extract(CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR,
+        |  SELECT regexp_extract(CAST(o_totalprice AS DECIMAL(38,12))::VARCHAR,
         |    '[1-9]', 0)::INT AS digit
-        |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0),
+        |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(38,12)) > 0),
         |o AS (SELECT digit, count(*) AS n FROM v GROUP BY digit),
         |s AS (SELECT unnest(range(1, 10))::INT AS digit),
         |j AS (SELECT s.digit, coalesce(o.n, 0)::BIGINT AS n,
@@ -6193,11 +6176,13 @@ object SparkEntry {
         |off AS (SELECT unnest([-1, 0, 1]) AS d),
         |qx AS (SELECT q_id, qry.lat AS qlat, qry.lon AS qlon,
         |         floor(qry.lat / 10.0)::BIGINT + da.d AS cla,
-        |         floor(qry.lon / 10.0)::BIGINT + db.d AS clo
+        |         ((floor((qry.lon + 180.0) / 10.0)::BIGINT + db.d) % 36
+        |           + 36) % 36 AS clo
         |       FROM qry, off da, off db),
         |tx AS (SELECT t_id, lat AS tlat, lon AS tlon,
         |         floor(lat / 10.0)::BIGINT AS cla,
-        |         floor(lon / 10.0)::BIGINT AS clo FROM tgt),
+        |         (floor((lon + 180.0) / 10.0)::BIGINT % 36 + 36) % 36
+        |           AS clo FROM tgt),
         |j AS (SELECT q_id, t_id,
         |        round(2 * 6371.0088 * asin(sqrt(
         |          sin(radians(tlat - qlat) / 2) * sin(radians(tlat - qlat) / 2)

@@ -496,6 +496,22 @@ object Events {
       .orderBy(col("t"))
   }
 
+  /** Shared (key, day) count collapse for the per-key daily-series
+    * operators (anomaly/seasonality/CUSUM/Theil-Sen/SES): nulls
+    * dropped, key canonicalized to its string form, ONE event-sized
+    * exchange. `pin` when the caller fans out into multiple consumers.
+    */
+  private def dailyCounts(events: DataFrame, keyCol: String,
+      tsCol: String, dayName: String, nName: String,
+      pin: Boolean): DataFrame = {
+    val d = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as(dayName))
+      .agg(count(lit(1)).as(nName))
+    if (pin) d.localCheckpoint(true) else d
+  }
+
   /** Robust per-key daily-volume anomaly detection: for every
     * (key, day) count, the modified z-score
     * `0.6745 · (n - median) / MAD` (Iglewicz & Hoaglin 1993 — the
@@ -514,23 +530,23 @@ object Events {
     * [[Quantiles.exactByKey]] on that key-day frame (exact type-7,
     * distributed rank path above the built-in's single-reducer
     * crossover, key-sized result broadcast back). Nothing event-sized
-    * moves after the first collapse.
+    * moves after the first collapse. `maxGroups` is exactByKey's
+    * distinct-key rail (its driver offset state is groups-bounded) —
+    * raise it for many-source ingest logs with the memory math in hand.
     */
   def anomalousDays(events: DataFrame, keyCol: String, tsCol: String,
-      threshold: Double = 3.5): DataFrame = {
+      threshold: Double = 3.5, maxGroups: Int = 10000): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val daily = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("key"),
-        to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // consumers: median, deviations, the readout
-    val med = Quantiles.exactByKey(daily, "key", "n", Seq(0.5))
+    // consumers: median, deviations, the readout
+    val daily = dailyCounts(events, keyCol, tsCol, "day", "n", pin = true)
+    val med = Quantiles.exactByKey(daily, "key", "n", Seq(0.5),
+        maxGroups = maxGroups)
       .select(col("key"), col("exact_q").as("med"))
     val dev = daily.join(broadcast(med), Seq("key"))
       .withColumn("__ad", abs(col("n") - col("med")))
       .localCheckpoint(true) // consumers: MAD quantile, the readout
-    val mad = Quantiles.exactByKey(dev, "key", "__ad", Seq(0.5))
+    val mad = Quantiles.exactByKey(dev, "key", "__ad", Seq(0.5),
+        maxGroups = maxGroups)
       .select(col("key"), col("exact_q").as("mad"))
     dev.join(broadcast(mad), Seq("key"))
       .withColumn("robust_z",
@@ -558,12 +574,9 @@ object Events {
     */
   def seasonalityProfile(events: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
-    val daily = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("key"),
-        to_date(col(tsCol)).as("__day"))
-      .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true) // consumers: weekday means + overall mean
+    // consumers: weekday means + overall mean
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true)
     val overall = daily.groupBy(col("key"))
       .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__days"))
     daily
@@ -599,12 +612,8 @@ object Events {
     */
   def cusumChangepoint(events: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
-    val daily = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("key"),
-        to_date(col(tsCol)).as("__day"))
-      .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true)
     val wAllK = Window.partitionBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wCum = Window.partitionBy(col("key")).orderBy(col("__day"))
@@ -648,16 +657,14 @@ object Events {
     * Shape: one event-sized collapse to (key, day); the pairwise-slope
     * self-join is KEY-partitioned and day²-bounded (a year of days is
     * ~66k pairs per key — calendar-sized, never event-sized); both
-    * medians ride [[Quantiles.exactByKey]] (exact type-7, distributed).
+    * medians ride [[Quantiles.exactByKey]] (exact type-7, distributed);
+    * `maxGroups` is its distinct-key rail, raisable for many-key logs.
     */
   def theilSenTrend(events: DataFrame, keyCol: String,
-      tsCol: String): DataFrame = {
-    val daily = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("key"),
-        to_date(col(tsCol)).as("__day"))
-      .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true) // consumers: pair join (x2), x0, residuals
+      tsCol: String, maxGroups: Int = 10000): DataFrame = {
+    // consumers: pair join (x2), x0, residuals
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true)
     val x0 = daily.groupBy(col("key")).agg(min(col("__day")).as("__d0"),
       count(lit(1)).as("n_days"))
     val pts = daily.join(x0, Seq("key"))
@@ -673,12 +680,14 @@ object Events {
       .select(col("key"),
         ((col("__y2") - col("__y1")) / (col("__x2") - col("__x1")))
           .as("__slope"))
-    val slope = Quantiles.exactByKey(pairs, "key", "__slope", Seq(0.5))
+    val slope = Quantiles.exactByKey(pairs, "key", "__slope", Seq(0.5),
+        maxGroups = maxGroups)
       .select(col("key"), col("exact_q").as("__m"))
     val resid = pts.join(broadcast(slope), Seq("key"))
       .select(col("key"), col("__m"),
         (col("__y") - col("__m") * col("__x")).as("__r"))
-    val icept = Quantiles.exactByKey(resid, "key", "__r", Seq(0.5))
+    val icept = Quantiles.exactByKey(resid, "key", "__r", Seq(0.5),
+        maxGroups = maxGroups)
       .select(col("key"), col("exact_q").as("__b"))
     x0.join(broadcast(slope), Seq("key"))
       .join(broadcast(icept), Seq("key"))
@@ -749,10 +758,12 @@ object Events {
     * complement to [[attribution]]'s winner-take-all models, from the
     * SAME user-keyed range join. A conversion with no windowed touch
     * credits `(direct)` in full. Returns
-    * (channel, n_touches, credit) — credit sums to the conversion
-    * count across channels exactly (shares quantize to
-    * DECIMAL(38,12); 1/k is computed once per conversion, so k·(1/k)
-    * rounding never loses a conversion), credit rounded to 6 dp.
+    * (channel, n_touches, credit) — shares quantize to DECIMAL(38,12)
+    * (partition-invariant, engine-replayable), so each conversion's
+    * k·round(1/k) contributes 1 minus at most 5e-13; the summed credit
+    * equals the conversion count to that quantization (exact at the
+    * 6-dp readout until a channel holds ~10⁶ non-dyadic-k conversions).
+    * Credit rounds to 6 dp.
     *
     * Shape: the range join + one conversion-key aggregation for k +
     * one channel-key fold — nothing conversion-unbounded.
@@ -809,11 +820,8 @@ object Events {
   def sesForecast(events: DataFrame, keyCol: String, tsCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
-    val daily = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("key"),
-        to_date(col(tsCol)).as("__day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "n",
+      pin = false) // single consumer: no pin
     val wk = Window.partitionBy(col("key")).orderBy(col("__day"))
     val wkAll = Window.partitionBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

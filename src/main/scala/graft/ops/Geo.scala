@@ -37,7 +37,10 @@ object Geo {
     *
     * Contract: a neighbor is FOUND iff it lies in the 3×3 neighborhood
     * — anything within `cellDeg` degrees in both coordinates is
-    * guaranteed in; farther points may be missed. Pick `cellDeg` at or
+    * guaranteed in; farther points may be missed. Longitude wraps —
+    * the antimeridian is a seam, not an edge, so lon 179.9 and −179.9
+    * are adjacent cells. Latitude does not wrap (the polar-cap caveat
+    * in the implementation note). Pick `cellDeg` at or
     * above the expected k-th-neighbor distance (the same
     * recall-vs-cost dial as IVF's nprobe). Queries with fewer than k
     * in-neighborhood candidates return what they found.
@@ -54,20 +57,33 @@ object Geo {
       latCol: String, lonCol: String,
       k: Int, cellDeg: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(cellDeg > 0, "cellDeg must be positive")
+    require(cellDeg > 0 && cellDeg <= 120.0,
+      "cellDeg must be in (0, 120] — above 120 the 3-cell longitude " +
+        "probe wraps onto itself and double-counts candidates")
+    // longitude cells wrap at the antimeridian: ids live in
+    // [0, ceil(360/cellDeg)) via a +180 shift, and neighbor probes go
+    // through pmod — a query at lon 179.9 really does see targets at
+    // -179.9 (they are km apart, not a world apart). Latitude does NOT
+    // wrap: the poles are grid boundaries, not seams (two points "across"
+    // a pole are in the same top cells only if longitudes agree — the
+    // polar-cap caveat of every lat/lon grid; shrink cellDeg near poles
+    // or pre-rotate if polar data matters).
+    val nLon = math.ceil(360.0 / cellDeg).toLong
     val cellLat = (c: Column) => floor(c / cellDeg).cast("long")
+    val cellLon = (c: Column) =>
+      pmod(floor((c + 180.0) / cellDeg).cast("long"), lit(nLon))
     val t = targets.select(col(tIdCol).as("t_id"),
       col(latCol).as("t_lat"), col(lonCol).as("t_lon"),
-      cellLat(col(latCol)).as("__cla"), cellLat(col(lonCol)).as("__clo"))
+      cellLat(col(latCol)).as("__cla"), cellLon(col(lonCol)).as("__clo"))
     val offsets = Seq(-1, 0, 1)
     val q = queries.select(col(qIdCol).as("q_id"),
         col(latCol).as("q_lat"), col(lonCol).as("q_lon"),
-        cellLat(col(latCol)).as("__qla"), cellLat(col(lonCol)).as("__qlo"))
+        cellLat(col(latCol)).as("__qla"), cellLon(col(lonCol)).as("__qlo"))
       .withColumn("__da", explode(typedLit(offsets)))
       .withColumn("__do", explode(typedLit(offsets)))
       .select(col("q_id"), col("q_lat"), col("q_lon"),
         (col("__qla") + col("__da")).as("__cla"),
-        (col("__qlo") + col("__do")).as("__clo"))
+        pmod(col("__qlo") + col("__do"), lit(nLon)).as("__clo"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("distance_km"), col("t_id"))
     q.join(t, Seq("__cla", "__clo"))

@@ -24,6 +24,41 @@ import org.apache.spark.sql.DataFrame
   */
 object Graph {
 
+  /** Canonical undirected edge list: (a, b) with a < b, self-loops and
+    * duplicates dropped, PINNED — every consumer (degrees, orientation,
+    * closure probes, anti-joins) reuses one materialization instead of
+    * re-running the caller's edge derivation.
+    */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = edges
+    .select(least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+    .where(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** Node degrees of a canonical edge frame: (n, d). */
+  private def degrees(canon: DataFrame): DataFrame = canon
+    .select(col("a").as("n"))
+    .unionAll(canon.select(col("b").as("n")))
+    .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Orient each canonical edge by (degree, id): u -> v iff
+    * (d_u, u) < (d_v, v) — out-degree O(sqrt m) on any graph, so no hub
+    * mints d^2 wedges on one reducer. PINNED (wedge generators read it
+    * twice). `deg` must carry columns (n, d).
+    */
+  private def orientEdges(canon: DataFrame, deg: DataFrame): DataFrame = {
+    val lower = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    canon
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+  }
+
   /** Fixed-iteration PageRank over a directed edge list.
     *
     * @param edges  one row per directed edge; multi-edges count once if
@@ -202,30 +237,9 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    // canon feeds four consumers (degrees, orientation, the closure
-    // probe, edge count) and oriented feeds three — both pin, or the
-    // whole upstream edge derivation re-executes per consumer
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = canon.select(col("a").as("n"))
-      .unionAll(canon.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient each edge by (degree, id): u -> v iff (d_u, u) < (d_v, v)
-    val oriented = canon
-      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
-      .select(
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("a")).otherwise(col("b")).as("u"),
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(canon)
+    val oriented = orientEdges(canon, deg)
     // wedges from a shared oriented PIVOT (the triangle's minimum under
     // (degree, id) order — both its edges point out, so each triangle is
     // generated from exactly one pivot), closed against the CANONICAL
@@ -261,26 +275,10 @@ object Graph {
     */
   def localClustering(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = canon.select(col("a").as("n"))
-      .unionAll(canon.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
-    val oriented = canon
-      .join(deg.select(col("n").as("a"), col("degree").as("__da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("degree").as("__db")), Seq("b"))
-      .select(
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("a")).otherwise(col("b")).as("u"),
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(canon).withColumnRenamed("d", "degree")
+    val oriented = orientEdges(canon,
+      deg.withColumnRenamed("degree", "d"))
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
     val triangles = w1.join(w2, Seq("u")).where(col("x") < col("y"))
@@ -318,12 +316,7 @@ object Graph {
   def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val canon = canonEdges(edges, srcCol, dstCol)
     val adj = canon.select(col("a").as("z"), col("b").as("n"))
       .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
     var dist = seeds.select(col(seedCol).as("node")).distinct()
@@ -376,12 +369,7 @@ object Graph {
       maxDegree: Long = Long.MaxValue, topK: Int = 100): DataFrame = {
     require(topK > 0, "topK must be positive")
     require(maxDegree >= 2, "maxDegree must be >= 2 (a center needs two neighbors)")
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val canon = canonEdges(edges, srcCol, dstCol)
     val adj = canon.select(col("a").as("z"), col("b").as("n"))
       .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
     // deg(z) >= 2 is not a heuristic: a degree-1 center spans no wedge

@@ -229,6 +229,11 @@ object Profile {
     * it mid-shuffle costs the cluster. Returns one row:
     * (n_keys_left, n_keys_right, n_keys_shared, join_rows,
     * top_key, top_key_rows, top_key_share).
+    *
+    * Keys compare by their STRING form: a join that would match only
+    * through numeric coercion (INT 1 vs DOUBLE 1.0) is out of contract
+    * — cast both keys to the join's common type before probing, the
+    * same way you would before the join itself.
     */
   def joinSizeProbe(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String): DataFrame = {
@@ -413,11 +418,15 @@ object Profile {
     * mis-joined numeric data rarely survives this test; conforming
     * data (spanning several orders of magnitude) hugs it.
     *
-    * The first digit comes from the DECIMAL(18,2) string form, not
+    * The first digit comes from the DECIMAL(38,12) string form, not
     * from floor(log10): the log path misclassifies exact powers of 10
     * when log10 lands at 2.9999…, and decimal-string extraction is
-    * engine-portable by construction. Non-positive and null values are
-    * dropped (Benford is defined on positive magnitudes).
+    * engine-portable by construction. Contract: values are read at
+    * 12-dp / 26-integer-digit precision — a value within 5e-13 of a
+    * power of ten classifies with the rounded form, magnitudes below
+    * 5e-13 round to zero and drop, and magnitudes ≥ 1e26 are out of
+    * range. Non-positive and null values are dropped (Benford is
+    * defined on positive magnitudes).
     *
     * Returns (digit 1..9, n, observed_p, expected_p, chi2) — digits
     * the data never produced still appear with n = 0 (they carry
@@ -427,7 +436,7 @@ object Profile {
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val session = df.sparkSession
     val digits = df
-      .select(col(valueCol).cast("decimal(18,2)").as("__v"))
+      .select(col(valueCol).cast("decimal(38,12)").as("__v"))
       .filter(col("__v") > 0)
       .select(regexp_extract(col("__v").cast("string"), "[1-9]", 0)
         .cast("int").as("digit"))

@@ -120,6 +120,16 @@ object Scale {
     val overlap = big.columns.toSet.intersect(small.columns.toSet)
     require(overlap.isEmpty,
       s"bloomPrunedJoin: overlapping column names $overlap — rename first")
+    // xxhash64 is TYPE-sensitive (xxhash64(1) != xxhash64(1L)): mixed
+    // key types would hash-miss every real match and the prefilter
+    // would silently drop them — a false NEGATIVE, which the contract
+    // forbids. The plain join would have coerced; we refuse instead.
+    val bt = big.schema(bigKey).dataType
+    val st = small.schema(smallKey).dataType
+    require(bt == st,
+      s"bloomPrunedJoin: key types differ ($bt vs $st) — the bloom probe " +
+        "hashes raw values and cannot see the join's implicit coercion; " +
+        "cast both keys to one type first")
     val keyed = small.select(xxhash64(col(smallKey)).as("__h"))
     val n = keyed.count()
     // Spark's stat.bloomFilter NPEs on an empty frame; an empty small

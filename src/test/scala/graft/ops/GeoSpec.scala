@@ -36,6 +36,21 @@ class GeoSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 10L), (2, 11L), (3, 12L)))
   }
 
+  test("gridKnnJoin: the antimeridian is a seam, not an edge") {
+    // query just west of the dateline, target just east: ~11 km apart
+    // in space but 359.9 degrees apart in raw longitude; a decoy target
+    // sits 555 km away on the query's side
+    val q = Seq((1L, 0.0, 179.95)).toDF("id", "lat", "lon")
+    val t = Seq((10L, 0.0, -179.95), (11L, 0.0, 174.95))
+      .toDF("id", "lat", "lon")
+    val out = Geo.gridKnnJoin(q, "id", t, "id", "lat", "lon",
+        k = 2, cellDeg = 10.0)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2)
+    assert(out(0)._2 == 10L, s"nearest across the seam: ${out.toSeq}")
+    assert(out(0)._3 < 12.0 && out(1)._2 == 11L)
+  }
+
   test("gridKnnJoin: matches brute force when everything is in range") {
     val qs = (1L to 5L).map(i => (i, i * 0.3 - 1.0, i * 0.2))
     val ts = (10L to 30L).map(i => (i, (i % 7) * 0.25 - 0.8, (i % 5) * 0.3))
