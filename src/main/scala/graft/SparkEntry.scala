@@ -3047,7 +3047,38 @@ object SparkEntry {
             sum(col("__s")).as("__rev")))
         .select(col("o_custkey"), col("n_orders"),
           col("__rev").cast("double").as("revenue"))
-        .orderBy(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    // Deterministic label propagation (ops/Graph.scala): synchronous
+    // min-tie LPA over the high-value co-purchase graph, 3 rounds —
+    // the community detector between CC (too coarse) and modularity
+    // (too heavy); the oracle replays every round.
+    "q210_label_prop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(coPurchaseEdges(s, dir, Some(40)),
+        "p1", "p2", iterations = 3)),
+
+    // HITS hubs/authorities (ops/Graph.scala) over the directed
+    // customer->supplier purchase graph (q115's edge set), 3
+    // iterations, L1 norm — top-20 authorities.
+    "q211_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 3)
+        .orderBy(col("authority").desc, col("node")).limit(20)
+    }),
+
+    // Winsorization (ops/Curation.scala): document lengths clamped at
+    // the exact p5/p95 — outlier treatment that keeps the row; the
+    // thresholds land as literals so the clamp is map-only.
+    "q212_winsorize" -> ((s, dir) =>
+      graft.ops.Curation.winsorize(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", loQ = 0.05, hiQ = 0.95)
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6462,6 +6493,69 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q210_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = s"l${i - 1}"
+        s"""c$i AS (
+           |  SELECT adj.z AS node, lab.community AS nl, count(*) AS c
+           |  FROM adj JOIN $p lab ON lab.node = adj.n GROUP BY 1, 2),
+           |p$i AS (
+           |  SELECT node, nl, row_number() OVER
+           |    (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM c$i),
+           |l$i AS (SELECT node, nl AS community FROM p$i WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |adj AS (SELECT a AS z, b AS n FROM e0
+         |        UNION ALL SELECT b AS z, a AS n FROM e0),
+         |l0 AS (SELECT DISTINCT z AS node, z AS community FROM adj),
+         |$rounds,
+         |sz AS (SELECT community, count(*) AS size FROM l3 GROUP BY 1)
+         |SELECT node, l3.community, size FROM l3 JOIN sz USING (community)
+         |ORDER BY node""".stripMargin
+    },
+
+    "q211_hits" -> {
+      val rounds = (1 to 3).map { i =>
+        val h = s"h${i - 1}"
+        s"""ar$i AS (SELECT e.dst AS node, sum(h.hub) AS ra
+           |  FROM e JOIN $h h ON h.node = e.src GROUP BY e.dst),
+           |at$i AS (SELECT sum(ra) AS t FROM ar$i),
+           |a$i AS (SELECT n.node,
+           |    coalesce(ra, 0.0::DOUBLE) / t.t AS auth
+           |  FROM nodes n LEFT JOIN ar$i USING (node), at$i t),
+           |hr$i AS (SELECT e.src AS node, sum(a.auth) AS rh
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |ht$i AS (SELECT sum(rh) AS t FROM hr$i),
+           |h$i AS (SELECT n.node,
+           |    coalesce(rh, 0.0::DOUBLE) / t.t AS hub
+           |  FROM nodes n LEFT JOIN hr$i USING (node), ht$i t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |meta AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |h0 AS (SELECT node, 1.0::DOUBLE / m.n AS hub FROM nodes, meta m),
+         |$rounds
+         |SELECT h3.node, round(h3.hub, 6) AS hub,
+         |  round(a3.auth, 6) AS authority
+         |FROM h3 JOIN a3 ON h3.node = a3.node
+         |ORDER BY authority DESC, h3.node LIMIT 20""".stripMargin
+    },
+
+    "q212_winsorize" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, [0.05, 0.95]) AS qq
+        |           FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL THEN
+        |    least(greatest(n_chars::DOUBLE, qq[1]), qq[2]) END AS n_chars_w
+        |FROM documents, q ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -391,4 +391,29 @@ object Curation {
       round(percent_rank().over(
         Window.partitionBy(col(keyCol)).orderBy(col(valueCol))), 6))
   }
+
+  /** Winsorize a numeric column at exact quantile thresholds: values
+    * below the loQ quantile clamp up to it, above hiQ clamp down — the
+    * outlier treatment that KEEPS the row (a wild measurement becomes a
+    * boundary measurement) where a filter would lose it; standard
+    * before means/regressions on heavy-tailed metrics. Thresholds come
+    * from the distributed exact-quantile machine (`Quantiles.exact` —
+    * type-7, engine-replayable) and land as two literals, so the clamp
+    * itself is a map-only projection at any scale. Adds
+    * `<valueCol>_w` (original column untouched); nulls pass through
+    * null.
+    */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double = 0.01,
+      hiQ: Double = 0.99): DataFrame = {
+    require(loQ >= 0 && loQ < hiQ && hiQ <= 1, "need 0 <= loQ < hiQ <= 1")
+    val qs = Quantiles.exact(df.select(col(valueCol)), valueCol,
+        Seq(loQ, hiQ))
+      .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
+    val (lo, hi) = (qs(0), qs(1))
+    // least/greatest SKIP nulls in both Spark and DuckDB (a null value
+    // would silently clamp to the boundary) — guard explicitly
+    df.withColumn(s"${valueCol}_w",
+      when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))))
+  }
 }

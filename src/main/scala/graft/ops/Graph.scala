@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 
 /** Link-graph analytics for corpus curation. PageRank is the classic
   * source-quality signal (rank hosts by who links to them — the
@@ -294,6 +295,119 @@ object Graph {
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("degree") * (col("degree") - 1)), 6))
           .otherwise(0.0).as("local_cc"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), made fully
+    * DETERMINISTIC: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label; all updates read the previous round
+    * (synchronous — no arrival-order dependence, so the result is an
+    * exact function of the graph and `iterations`, replayable by the
+    * oracle round for round). The cheap community detector for
+    * link-farm / topic-cluster discovery where connected components
+    * are too coarse (everything touching is one component) and
+    * modularity methods too heavy. Returns (node, community, size).
+    *
+    * Textbook LPA randomizes tie-breaks and update order; this variant
+    * trades that (slower convergence on some graphs) for replayability
+    * — the same trade every oracle-checked operator here makes.
+    *
+    * 100 TB shape: per round ONE adjacency join + one (node, label)
+    * count + one argmax window partitioned BY NODE (frames are
+    * edge-sized then node-sized), checkpointed so lineage stays flat;
+    * `iterations` is a plan-time constant.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1,20] (each round is a full edge join)")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("z").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("node"))
+      .orderBy(col("__c").desc, col("__nl"))
+    var i = 0
+    while (i < iterations) {
+      labels = adj
+        .join(labels.select(col("node").as("n"),
+          col("community").as("__nl")), Seq("n"))
+        .groupBy(col("z").as("node"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(wPick))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("__nl").as("community"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val sizes = labels.groupBy(col("community")).agg(count(lit(1)).as("size"))
+    labels.join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("size"))
+      .orderBy(col("node"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, fixed iterations, L1 normalization (scores sum to 1 —
+    * rational arithmetic, engine-replayable; the textbook L2 norm
+    * changes only the scale, not the ranking). auth(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ auth(v) over out-edges, renormalized each
+    * half-step. The directed complement to PageRank: PageRank finds
+    * endorsed pages, HITS separates the endorsers (hubs — link
+    * directories, curators) from the endorsed (authorities). Returns
+    * (node, hub, authority) rounded to 6 dp.
+    *
+    * 100 TB shape: q115's iteration scaffold — the edge list pins once
+    * partitioned by src, each half-step is one edge-join + node-sized
+    * aggregate, scores checkpoint per round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      "iterations must be in [1,50]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n0 = nodes.count().toDouble
+    var scores = nodes.select(col("node"),
+        lit(1.0 / n0).as("hub"), lit(1.0 / n0).as("auth"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      // auth step: sum incoming hub mass, L1-renormalize
+      val rawAuth = e.join(scores.select(col("node").as("src"),
+          col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub")).as("__ra"))
+      val authTot = rawAuth.agg(sum(col("__ra"))).head().getDouble(0)
+      val withAuth = scores.select(col("node"), col("hub"))
+        .join(rawAuth, Seq("node"), "left")
+        .select(col("node"), col("hub"),
+          (coalesce(col("__ra"), lit(0.0)) / authTot).as("auth"))
+      // hub step: sum outgoing (new) auth mass, L1-renormalize
+      val rawHub = e.join(withAuth.select(col("node").as("dst"),
+          col("auth").as("__a")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("__a")).as("__rh"))
+      val hubTot = rawHub.agg(sum(col("__rh"))).head().getDouble(0)
+      scores = withAuth.select(col("node"), col("auth"))
+        .join(rawHub, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("__rh"), lit(0.0)) / hubTot).as("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    scores.select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("authority"))
+      .orderBy(col("node"))
   }
 
   /** Multi-source BFS hop distance: the minimum number of edges from

@@ -241,4 +241,19 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept1 == kept)
   }
+
+  test("winsorize: clamps at exact quantiles, keeps rows and nulls") {
+    import spark.implicits._
+    // 1..100 (doubles): p10 = 10.9, p90 = 90.1 (type-7)
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (999L, Option.empty[Double])).toDF("id", "v")
+    val out = Curation.winsorize(df, "v", 0.10, 0.90)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size == 101)              // no rows lost
+    assert(math.abs(out(1L).get - 10.9) < 1e-9)   // clamped up
+    assert(math.abs(out(100L).get - 90.1) < 1e-9) // clamped down
+    assert(out(50L).contains(50.0))      // interior untouched
+    assert(out(999L).isEmpty)            // null passes through
+  }
 }

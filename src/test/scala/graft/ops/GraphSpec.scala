@@ -208,6 +208,44 @@ class GraphSpec extends AnyFunSuite {
     assert(full.contains((4L, 5L)))
   }
 
+  test("label propagation: two cliques with a bridge settle into two communities") {
+    // K4 on 1-4, K4 on 11-14, bridge 4-11
+    val k = (s: Long) => for (i <- s to s + 3; j <- i + 1 to s + 3) yield (i, j)
+    val edges = (k(1L) ++ k(11L) :+ (4L, 11L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // min-tie synchronous LPA: both cliques adopt their minimum id
+    assert((1L to 4L).forall(n => out(n)._1 == 1L))
+    assert((11L to 14L).forall(n => out(n)._1 == 11L), s"got $out")
+    assert(out(1L)._2 == 4L && out(12L)._2 == 4L)
+  }
+
+  test("label propagation: deterministic across partitionings") {
+    val edges = (for {
+      i <- 0 until 40; j <- 0 until 40
+      if i != j && (i * 17 + j * 13) % 7 < 2
+    } yield (i.toLong, j.toLong)).toSeq
+    def run(parts: Int) =
+      Graph.labelPropagation(edges.toDF("s", "d").repartition(parts),
+        "s", "d", 3).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(23))
+  }
+
+  test("hits: a pure hub and a pure authority separate") {
+    // 1 and 2 both point at 3 and 4; nobody points at 1/2, 3/4 point
+    // nowhere: 1,2 are pure hubs, 3,4 pure authorities
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    val out = Graph.hits(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 0.5 && out(1L)._2 == 0.0) // hub only
+    assert(out(3L)._1 == 0.0 && out(3L)._2 == 0.5) // authority only
+    // L1 norms: each column sums to 1
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("hopDistance: chain distances, cap, multi-seed min, isolation") {
     // chain 1-2-3-4-5-6 plus isolated edge 8-9; seeds {1, 9}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
