@@ -3078,7 +3078,33 @@ object SparkEntry {
       graft.ops.Curation.winsorize(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "n_chars", loQ = 0.05, hiQ = 0.95)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // 3-core (ops/Graph.scala): synchronized peeling of the high-value
+    // co-purchase graph until fixpoint (asserted) — the dense backbone;
+    // the oracle replays 8 peel rounds (idempotent past convergence).
+    "q213_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(coPurchaseEdges(s, dir, Some(40)),
+        "p1", "p2", k = 3, maxRounds = 8)),
+
+    // Degree assortativity (ops/Graph.scala): do hubs link to hubs?
+    // Pearson over endpoint degrees (both orientations), exact decimal
+    // moments via the correlation machine.
+    "q214_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.assortativity(coPurchaseEdges(s, dir, Some(40)),
+        "p1", "p2")),
+
+    // Cohen's kappa (ops/Eval.scala): chance-corrected agreement between
+    // the lang label and a stopword-ratio English heuristic — the
+    // labeling-QA number raw agreement flatters.
+    "q215_cohen_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Eval.cohenKappa(
+        docs.select((col("lang") === "en").cast("int").as("a"),
+          (graft.ops.TextAnalysis.stopwordRatio(col("text")) >= 0.05)
+            .cast("int").as("b")),
+        "a", "b")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6556,6 +6582,88 @@ object SparkEntry {
         |  CASE WHEN n_chars IS NOT NULL THEN
         |    least(greatest(n_chars::DOUBLE, qq[1]), qq[2]) END AS n_chars_w
         |FROM documents, q ORDER BY doc_id""".stripMargin,
+
+    "q213_kcore" -> {
+      // MATERIALIZED is load-bearing: each round references the
+      // previous ~5x, so inlined CTEs would replicate the base
+      // self-join 5^8 times (exhausts file handles before time)
+      val rounds = (1 to 8).map { i =>
+        val p = s"r${i - 1}"
+        s"""k$i AS MATERIALIZED (
+           |  SELECT n FROM (
+           |    SELECT a AS n FROM $p UNION ALL SELECT b FROM $p)
+           |  GROUP BY n HAVING count(*) >= 3),
+           |r$i AS MATERIALIZED (
+           |  SELECT $p.a, $p.b FROM $p
+           |  SEMI JOIN k$i ka ON $p.a = ka.n
+           |  SEMI JOIN k$i kb ON $p.b = kb.n)"""
+      }.mkString(",\n")
+      s"""WITH r0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |$rounds
+         |SELECT n AS node, count(*)::BIGINT AS core_degree FROM (
+         |  SELECT a AS n FROM r8 UNION ALL SELECT b FROM r8)
+         |GROUP BY n HAVING count(*) >= 3 ORDER BY node""".stripMargin
+    },
+
+    "q214_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        |pr AS (
+        |  SELECT da.d::DOUBLE AS x, db.d::DOUBLE AS y
+        |  FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) ed
+        |    JOIN deg da ON da.n = ed.a JOIN deg db ON db.n = ed.b),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |  sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+        |  sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+        |  sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx,
+        |  sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy,
+        |  sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy FROM pr)
+        |SELECT (n / 2)::BIGINT AS n_edges,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+        |      / sqrt(n * syy - sy * sy), 6) END AS assortativity
+        |FROM m""".stripMargin,
+
+    "q215_cohen_kappa" ->
+      """WITH s AS (
+        |  SELECT (lang = 'en')::INT AS a,
+        |    (CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),
+        |        '\s+'), t -> t <> '')) = 0 THEN 0.0
+        |      ELSE len(list_filter(list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), t -> t <> ''),
+        |        t -> list_contains(['the','a','an','and','or','of','to',
+        |          'in','is','it','that','for','on','with','as','was',
+        |          'at','by','be','this'], t)))::DOUBLE
+        |        / len(list_filter(string_split_regex(lower(trim(text)),
+        |          '\s+'), t -> t <> ''))::DOUBLE END >= 0.05)::INT AS b
+        |  FROM documents),
+        |cells AS (SELECT a::VARCHAR AS ka, b::VARCHAR AS kb, count(*) AS o
+        |          FROM s GROUP BY 1, 2),
+        |nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |ag AS (SELECT coalesce(sum(o), 0)::BIGINT AS agree FROM cells
+        |       WHERE ka = kb),
+        |ma AS (SELECT ka AS k, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+        |mb AS (SELECT kb AS k, sum(o)::BIGINT AS rb FROM cells GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(CAST(ra * rb AS DECIMAL(38,0))),
+        |         0::DECIMAL(38,0)) AS pn
+        |       FROM ma JOIN mb USING (k))
+        |SELECT n, round(agree / n::DOUBLE, 6) AS po,
+        |  round(pn::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+        |  round(CASE WHEN pn::DOUBLE / (n::DOUBLE * n::DOUBLE) < 1.0 THEN
+        |    (agree / n::DOUBLE - pn::DOUBLE / (n::DOUBLE * n::DOUBLE))
+        |    / (1.0 - pn::DOUBLE / (n::DOUBLE * n::DOUBLE)) END, 6) AS kappa
+        |FROM nn, ag, pe""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

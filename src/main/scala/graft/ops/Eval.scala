@@ -257,6 +257,48 @@ object Eval {
       round(when(denom > 0, (tp * tn - fp * fn) / denom), 6).as("mcc"))
   }
 
+  /** Cohen's kappa (Cohen 1960): agreement between two categorical
+    * raters CORRECTED for chance — `(p_o − p_e)/(1 − p_e)` where p_o
+    * is observed agreement and p_e the agreement two independent
+    * raters with these marginals would reach anyway. The
+    * labeling-pipeline QA number: raw agreement flatters raters who
+    * both say "en" 90% of the time; kappa doesn't. Works for any
+    * number of categories. Returns one row (n, po, pe, kappa), 6 dp;
+    * perfectly-degenerate marginals (p_e = 1) yield null kappa.
+    *
+    * Shape: one contingency aggregate; marginal products fold as
+    * DECIMAL(38,0) (counts to 1e12 would overflow a long product).
+    */
+  def cohenKappa(df: DataFrame, raterA: String,
+      raterB: String): DataFrame = {
+    val cells = df
+      .filter(col(raterA).isNotNull && col(raterB).isNotNull)
+      .groupBy(col(raterA).cast("string").as("__a"),
+        col(raterB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // consumers: N, diag, both marginals
+    val ma = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__o")).as("__ra"))
+    val mb = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__o")).as("__rb"))
+    val n = cells.agg(sum(col("__o"))).head().getLong(0)
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__o")), lit(0L)).as("__ag"))
+    val peNum = ma.join(mb, Seq("__k"))
+      .agg(coalesce(sum((col("__ra") * col("__rb"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__pn"))
+    agree.crossJoin(broadcast(peNum))
+      .select(lit(n).as("n"),
+        (col("__ag") / lit(n.toDouble)).as("__po"),
+        (col("__pn").cast("double") /
+          (lit(n.toDouble) * lit(n.toDouble))).as("__pe"))
+      .select(col("n"), round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        round(when(col("__pe") < 1.0,
+          (col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))), 6)
+          .as("kappa"))
+  }
+
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

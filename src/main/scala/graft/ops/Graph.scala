@@ -410,6 +410,78 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** k-core extraction by SYNCHRONIZED peeling: each round removes
+    * every node whose degree within the surviving subgraph is below k,
+    * all at once, until a fixpoint — the standard "dense enough to
+    * matter" subgraph (spam-ring candidates in link graphs, core
+    * communities in co-occurrence graphs). Returns (node, core_degree)
+    * for the k-core members, core_degree = degree within the core.
+    *
+    * `maxRounds` bounds the peel and the operator REQUIRES the
+    * fixpoint was reached within it (checked on the final round — a
+    * loud failure, never a silently-approximate core). Synchronized
+    * rounds make the result a pure function of (graph, k) — the same
+    * replayability trade as [[labelPropagation]] — and the round count
+    * is typically tiny (each round must delete ≥1 node to continue,
+    * and cascades usually flatten in a handful of rounds).
+    *
+    * 100 TB shape: per round one degree re-aggregation + one semi-join
+    * on the surviving node set (edge-sized, node-keyed), checkpointed.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 50, "maxRounds in [1,50]")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    var live = canon
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val deg = degrees(live)
+      val keep = deg.where(col("d") >= k).select(col("n"))
+        .localCheckpoint(true)
+      val next = live
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      // fixpoint when no edge was peeled this round (cheap: both
+      // frames are pinned, the counts are metadata-speed)
+      converged = next.count() == live.count()
+      live = next
+      r += 1
+    }
+    require(converged,
+      s"kCore: not converged after $maxRounds rounds — raise maxRounds")
+    degrees(live)
+      .where(col("d") >= k) // isolated survivors of the last peel drop
+      .select(col("n").as("node"), col("d").as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list — positive means hubs link to
+    * hubs (social-network shape), negative means hubs link to leaves
+    * (web/biology shape). One number that tells you which skew story
+    * your graph is. Computed over BOTH orientations of every edge (the
+    * standard undirected convention), via [[Profile.correlationMatrix]]'s
+    * exact decimal moments. Returns one row (n_edges, assortativity).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(canon)
+    val both = canon.unionAll(canon.select(col("b").as("a"),
+      col("a").as("b")))
+    val pairs = both
+      .join(deg.select(col("n").as("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("deg_b")), Seq("b"))
+      .select(col("deg_a"), col("deg_b"))
+    Profile.correlationMatrix(pairs, Seq("deg_a", "deg_b"))
+      .select((col("n") / 2).cast("long").as("n_edges"),
+        col("r").as("assortativity"))
+  }
+
   /** Multi-source BFS hop distance: the minimum number of edges from
     * any seed to each reachable node, out to `maxHops` — "how far is
     * every page from the trusted seed set" (the TrustRank-style

@@ -184,6 +184,28 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getDouble(9) == mcc)
   }
 
+  test("cohenKappa: hand-computed multiclass agreement") {
+    import spark.implicits._
+    // 2x2: a=b on 7 of 10; marginals A: {x:6, y:4}, B: {x:5, y:5}
+    // po = 0.7; pe = (6*5 + 4*5)/100 = 0.5; kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("x", "y")) ++
+      Seq.fill(1)(("y", "x")) ++ Seq.fill(3)(("y", "y"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("cohenKappa: perfect agreement is 1, degenerate marginals null") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, "a", "b").collect()(0)
+      .getDouble(3) == 1.0)
+    // both raters always say the same single class: pe = 1 -> null
+    val degen = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    assert(Eval.cohenKappa(degen, "a", "b").collect()(0).isNullAt(3))
+  }
+
   test("confusionReport: degenerate thresholds yield nulls, not fake zeros") {
     import spark.implicits._
     val rows = Seq((0.2, 1), (0.3, 0)).toDF("score", "label")

@@ -232,6 +232,39 @@ class GraphSpec extends AnyFunSuite {
     assert(run(1) == run(23))
   }
 
+  test("kCore: cascade peeling finds exactly the clique") {
+    // K4 on 1-4 plus a tail 4-5-6 plus pendant 1-7: the 3-core is K4
+    // alone, and peeling cascades (7 goes first, then 6, then 5)
+    val k4 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (1L, 7L))).toDF("s", "d")
+    val out = Graph.kCore(edges, "s", "d", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a k that empties the graph returns an empty frame, converged
+    assert(Graph.kCore(edges, "s", "d", k = 5).count() == 0L)
+  }
+
+  test("kCore: unconverged within maxRounds fails loudly") {
+    // a 12-node path needs ~6 cascading rounds at k=2 to empty;
+    // maxRounds=2 must refuse rather than return a partial peel
+    val path = (1L until 12L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path.toDF("s", "d"), "s", "d", k = 2, maxRounds = 2)
+        .collect()
+    }
+  }
+
+  test("assortativity: star is perfectly disassortative at -1") {
+    // star: every edge joins deg-5 hub to deg-1 leaf -> r = -1
+    val star = (2L to 6L).map(l => (1L, l)).toDF("s", "d")
+    val out = Graph.assortativity(star, "s", "d").collect()(0)
+    assert(out.getLong(0) == 5L)
+    assert(out.getDouble(1) == -1.0)
+    // regular graph (cycle): all degrees equal -> zero variance -> null
+    val cycle = ((1L to 5L).map(i => (i, i % 5 + 1))).toDF("s", "d")
+    assert(Graph.assortativity(cycle, "s", "d").collect()(0).isNullAt(1))
+  }
+
   test("hits: a pure hub and a pure authority separate") {
     // 1 and 2 both point at 3 and 4; nobody points at 1/2, 3/4 point
     // nowhere: 1,2 are pure hubs, 3,4 pure authorities
