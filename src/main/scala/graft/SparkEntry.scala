@@ -6549,16 +6549,22 @@ object SparkEntry {
     "q211_hits" -> {
       val rounds = (1 to 3).map { i =>
         val h = s"h${i - 1}"
-        s"""ar$i AS (SELECT e.dst AS node, sum(h.hub) AS ra
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    sum(CAST(h.hub AS DECIMAL(38,12)))::DOUBLE AS ra
            |  FROM e JOIN $h h ON h.node = e.src GROUP BY e.dst),
-           |at$i AS (SELECT sum(ra) AS t FROM ar$i),
-           |a$i AS (SELECT n.node,
+           |at$i AS (SELECT sum(CAST(ra AS DECIMAL(38,12)))::DOUBLE AS t
+           |  FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT n.node,
            |    coalesce(ra, 0.0::DOUBLE) / t.t AS auth
            |  FROM nodes n LEFT JOIN ar$i USING (node), at$i t),
-           |hr$i AS (SELECT e.src AS node, sum(a.auth) AS rh
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS node,
+           |    sum(CAST(a.auth AS DECIMAL(38,12)))::DOUBLE AS rh
            |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
-           |ht$i AS (SELECT sum(rh) AS t FROM hr$i),
-           |h$i AS (SELECT n.node,
+           |ht$i AS (SELECT sum(CAST(rh AS DECIMAL(38,12)))::DOUBLE AS t
+           |  FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT n.node,
            |    coalesce(rh, 0.0::DOUBLE) / t.t AS hub
            |  FROM nodes n LEFT JOIN hr$i USING (node), ht$i t)"""
       }.mkString(",\n")
@@ -6647,7 +6653,7 @@ object SparkEntry {
         |          'at','by','be','this'], t)))::DOUBLE
         |        / len(list_filter(string_split_regex(lower(trim(text)),
         |          '\s+'), t -> t <> ''))::DOUBLE END >= 0.05)::INT AS b
-        |  FROM documents),
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
         |cells AS (SELECT a::VARCHAR AS ka, b::VARCHAR AS kb, count(*) AS o
         |          FROM s GROUP BY 1, 2),
         |nn AS (SELECT sum(o)::BIGINT AS n FROM cells),

@@ -409,6 +409,8 @@ object Curation {
     val qs = Quantiles.exact(df.select(col(valueCol)), valueCol,
         Seq(loQ, hiQ))
       .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
+    require(qs.length == 2,
+      s"winsorize: no non-null '$valueCol' values to set thresholds from")
     val (lo, hi) = (qs(0), qs(1))
     // least/greatest SKIP nulls in both Spark and DuckDB (a null value
     // would silently clamp to the boundary) — guard explicitly

@@ -281,7 +281,10 @@ object Eval {
       .agg(sum(col("__o")).as("__ra"))
     val mb = cells.groupBy(col("__b").as("__k"))
       .agg(sum(col("__o")).as("__rb"))
-    val n = cells.agg(sum(col("__o"))).head().getLong(0)
+    val nRow = cells.agg(sum(col("__o"))).head()
+    require(!nRow.isNullAt(0),
+      "cohenKappa: no rows where both raters are non-null")
+    val n = nRow.getLong(0)
     val agree = cells.filter(col("__a") === col("__b"))
       .agg(coalesce(sum(col("__o")), lit(0L)).as("__ag"))
     val peNum = ma.join(mb, Seq("__k"))

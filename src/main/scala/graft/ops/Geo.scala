@@ -60,6 +60,14 @@ object Geo {
     require(cellDeg > 0 && cellDeg <= 120.0,
       "cellDeg must be in (0, 120] — above 120 the 3-cell longitude " +
         "probe wraps onto itself and double-counts candidates")
+    // cellDeg must divide 360: otherwise the seam cell is NARROWER than
+    // cellDeg and the within-cellDeg recall guarantee silently breaks
+    // for points straddling it (a 7-degree grid leaves a 3-degree sliver
+    // at the antimeridian)
+    require(math.abs(360.0 / cellDeg -
+        math.round(360.0 / cellDeg).toDouble) < 1e-9,
+      s"cellDeg must divide 360 evenly (got $cellDeg) — a fractional " +
+        "last cell breaks the neighborhood guarantee at the seam")
     // longitude cells wrap at the antimeridian: ids live in
     // [0, ceil(360/cellDeg)) via a +180 shift, and neighbor probes go
     // through pmod — a query at lon 179.9 really does see targets at

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 
 /** Link-graph analytics for corpus curation. PageRank is the classic
@@ -277,9 +277,9 @@ object Graph {
   def localClustering(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val canon = canonEdges(edges, srcCol, dstCol)
-    val deg = degrees(canon).withColumnRenamed("d", "degree")
-    val oriented = orientEdges(canon,
-      deg.withColumnRenamed("degree", "d"))
+    val deg0 = degrees(canon)
+    val deg = deg0.withColumnRenamed("d", "degree")
+    val oriented = orientEdges(canon, deg0)
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
     val triangles = w1.join(w2, Seq("u")).where(col("x") < col("y"))
@@ -376,27 +376,39 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val n0 = nodes.count().toDouble
+    require(n0 > 0, "hits: empty edge list")
+    // mass sums quantize to DECIMAL(38,12) (partition-invariant,
+    // oracle-replayable); normalization divides the two decimal sums
+    // AFTER each casts to double (the q206 parity device)
+    def d12(c: Column) = c.cast("decimal(38,12)")
     var scores = nodes.select(col("node"),
         lit(1.0 / n0).as("hub"), lit(1.0 / n0).as("auth"))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
-      // auth step: sum incoming hub mass, L1-renormalize
+      // auth step: sum incoming hub mass, L1-renormalize; pinned —
+      // consumed by the total AND the join (the triangleCount rule:
+      // both pin, or the edge join re-executes per consumer)
       val rawAuth = e.join(scores.select(col("node").as("src"),
           col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("hub")).as("__ra"))
-      val authTot = rawAuth.agg(sum(col("__ra"))).head().getDouble(0)
+        .agg(sum(d12(col("hub"))).cast("double").as("__ra"))
+        .localCheckpoint(true)
+      val authTot = rawAuth.agg(sum(d12(col("__ra"))).cast("double"))
+        .head().getDouble(0)
       val withAuth = scores.select(col("node"), col("hub"))
         .join(rawAuth, Seq("node"), "left")
         .select(col("node"), col("hub"),
           (coalesce(col("__ra"), lit(0.0)) / authTot).as("auth"))
+        .localCheckpoint(true) // consumers: rawHub join + final select
       // hub step: sum outgoing (new) auth mass, L1-renormalize
       val rawHub = e.join(withAuth.select(col("node").as("dst"),
           col("auth").as("__a")), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(col("__a")).as("__rh"))
-      val hubTot = rawHub.agg(sum(col("__rh"))).head().getDouble(0)
+        .agg(sum(d12(col("__a"))).cast("double").as("__rh"))
+        .localCheckpoint(true)
+      val hubTot = rawHub.agg(sum(d12(col("__rh"))).cast("double"))
+        .head().getDouble(0)
       scores = withAuth.select(col("node"), col("auth"))
         .join(rawHub, Seq("node"), "left")
         .select(col("node"),
@@ -436,7 +448,11 @@ object Graph {
     var live = canon
     var r = 0
     var converged = false
-    while (r < maxRounds && !converged) {
+    // maxRounds bounds REAL peel rounds; convergence is only observable
+    // as a no-op round, so the loop allows one extra iteration for the
+    // observation — a fixpoint reached exactly at round maxRounds still
+    // certifies instead of failing the require
+    while (r < maxRounds + 1 && !converged) {
       val deg = degrees(live)
       val keep = deg.where(col("d") >= k).select(col("n"))
         .localCheckpoint(true)

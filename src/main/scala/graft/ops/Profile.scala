@@ -339,13 +339,19 @@ object Profile {
       i <- cols.indices; j <- i + 1 until cols.size
     } yield (cols(i), cols(j))
     def d(c: Column) = c.cast("decimal(38,12)")
+    // pin the PROJECTED columns first (the Quantiles.exact rule: an
+    // unpinned probe would re-run arbitrary upstream joins/explodes
+    // just to buy k null counts — assortativity feeds this a
+    // two-join pipeline); k doubles per row, so the pin is narrow
+    val dfp = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .localCheckpoint(true)
     // dispatch (the exactByKey device): the per-row decimal sums are
     // the whole cost (~37 BigDecimal folds/row for 4 columns under
     // pairwise deletion), but pairwise deletion only DIFFERS from
     // listwise when a column actually holds nulls — probe once, and
     // the null-free common case shares per-COLUMN moments (k·2 + C(k,2)
     // sums instead of C(k,2)·5: 15 vs 36 at k=4, same exact answer)
-    val nullFree = df.select(
+    val nullFree = dfp.select(
       cols.map(c => count(when(col(c).isNull, 1)).as(c)): _*)
       .head().toSeq.forall(_ == 0L)
     val aggs =
@@ -369,7 +375,7 @@ object Profile {
           sum(d(xg * xg)).as(s"__sxx$p"), sum(d(yg * yg)).as(s"__syy$p"),
           sum(d(xg * yg)).as(s"__sxy$p"))
       }
-    val m0 = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val m0 = dfp.groupBy().agg(aggs.head, aggs.tail: _*)
     // null-free path: alias the shared moments into the per-pair names
     // the readout below expects — the algebra is one code path
     val m = (if (nullFree) {
