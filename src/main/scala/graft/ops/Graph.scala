@@ -384,35 +384,37 @@ object Graph {
     var scores = nodes.select(col("node"),
         lit(1.0 / n0).as("hub"), lit(1.0 / n0).as("auth"))
       .localCheckpoint(true)
+    // the L1 totals ride unpartitioned windows over the NODE-sized
+    // score frames (decimal sums — exact, order-free) instead of
+    // driver collects: zero blocking actions inside the loop beyond
+    // the per-round checkpoint
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     var i = 0
     while (i < iterations) {
-      // auth step: sum incoming hub mass, L1-renormalize; pinned —
-      // consumed by the total AND the join (the triangleCount rule:
-      // both pin, or the edge join re-executes per consumer)
+      // auth step: sum incoming hub mass, L1-renormalize
       val rawAuth = e.join(scores.select(col("node").as("src"),
           col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(d12(col("hub"))).cast("double").as("__ra"))
-        .localCheckpoint(true)
-      val authTot = rawAuth.agg(sum(d12(col("__ra"))).cast("double"))
-        .head().getDouble(0)
       val withAuth = scores.select(col("node"), col("hub"))
         .join(rawAuth, Seq("node"), "left")
+        .withColumn("__ra", coalesce(col("__ra"), lit(0.0)))
         .select(col("node"), col("hub"),
-          (coalesce(col("__ra"), lit(0.0)) / authTot).as("auth"))
+          (col("__ra") /
+            sum(d12(col("__ra"))).over(wAll).cast("double")).as("auth"))
         .localCheckpoint(true) // consumers: rawHub join + final select
       // hub step: sum outgoing (new) auth mass, L1-renormalize
       val rawHub = e.join(withAuth.select(col("node").as("dst"),
           col("auth").as("__a")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(d12(col("__a"))).cast("double").as("__rh"))
-        .localCheckpoint(true)
-      val hubTot = rawHub.agg(sum(d12(col("__rh"))).cast("double"))
-        .head().getDouble(0)
       scores = withAuth.select(col("node"), col("auth"))
         .join(rawHub, Seq("node"), "left")
+        .withColumn("__rh", coalesce(col("__rh"), lit(0.0)))
         .select(col("node"),
-          (coalesce(col("__rh"), lit(0.0)) / hubTot).as("hub"),
+          (col("__rh") /
+            sum(d12(col("__rh"))).over(wAll).cast("double")).as("hub"),
           col("auth"))
         .localCheckpoint(true)
       i += 1

@@ -58,7 +58,7 @@ object ScaleCheck {
     // section selection: pass tags (dedup ann snapshot stream pqjoin
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
-    // knref releasediff webeval opq batchbm25 events recgraph tailfaces sfbench
+    // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
     // sfbench100) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
@@ -2084,6 +2084,44 @@ object ScaleCheck {
       s"per-source keep-share must be near-uniform: min=$mn max=$mx")
     println(f"PCTNORM> rows=5000000 sources=100 kept_min=$mn kept_max=$mx " +
       f"t=$tPn%.1f s")
+    }
+
+    if (run("graphx")) {
+    // ---- 5ae. Iterative graph faces at volume: LPA, k-core, HITS ------
+    val gEdges = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(81)), lit(100000L)).as("s"),
+      pmod(xxhash64(col("id"), lit(83)), lit(100000L)).as("d"))
+      .localCheckpoint(true)
+    val (lpa, tLpa) = time {
+      graft.ops.Graph.labelPropagation(gEdges, "s", "d", iterations = 3)
+        .collect()
+    }
+    val nNodes = lpa.length
+    val nComms = lpa.map(_.getLong(1)).distinct.length
+    require(lpa.groupBy(_.getLong(1)).forall { case (_, g) =>
+      g.head.getLong(2) == g.size }, "community sizes must match members")
+    println(f"LPA> edges=5000000 nodes=$nNodes rounds=3 " +
+      f"communities=$nComms t=$tLpa%.1f s")
+
+    // k-core at k=60: mean degree ~95, so peeling bites but leaves a core
+    val (core, tCore) = time {
+      graft.ops.Graph.kCore(gEdges, "s", "d", k = 60, maxRounds = 12)
+        .collect()
+    }
+    require(core.forall(_.getLong(1) >= 60L),
+      "every core member must keep degree >= k inside the core")
+    println(f"KCORE> edges=5000000 k=60 core_nodes=${core.length} " +
+      f"min_core_deg=${core.map(_.getLong(1)).min} t=$tCore%.1f s")
+
+    val (hit, tHits) = time {
+      graft.ops.Graph.hits(gEdges, "s", "d", iterations = 3).collect()
+    }
+    val hubMass = hit.map(_.getDouble(1)).sum
+    val authMass = hit.map(_.getDouble(2)).sum
+    require(math.abs(hubMass - 1.0) < 1e-3 && math.abs(authMass - 1.0) < 1e-3,
+      s"L1 masses must stay 1: hub=$hubMass auth=$authMass")
+    println(f"HITS> edges=5000000 nodes=${hit.length} iters=3 " +
+      f"hub_mass=$hubMass%.6f auth_mass=$authMass%.6f t=$tHits%.1f s")
     }
 
     if (run("sfbench100")) {
