@@ -3104,7 +3104,14 @@ object SparkEntry {
           (graft.ops.TextAnalysis.stopwordRatio(col("text")) >= 0.05)
             .cast("int").as("b")),
         "a", "b")
-    })
+    }),
+
+    // Poisson-bootstrap CI (ops/Profile.scala): 95% interval on the
+    // mean order value from 100 deterministic hash-weighted replicas —
+    // the at-scale bootstrap (one pass, no per-replica shuffle).
+    "q216_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Profile.bootstrapCiMean(t(s, dir, "orders"),
+        "o_orderkey", "o_totalprice", replicas = 100, alpha = 0.05))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6670,6 +6677,36 @@ object SparkEntry {
         |    (agree / n::DOUBLE - pn::DOUBLE / (n::DOUBLE * n::DOUBLE))
         |    / (1.0 - pn::DOUBLE / (n::DOUBLE * n::DOUBLE)) END, 6) AS kappa
         |FROM nn, ag, pe""".stripMargin,
+
+    "q216_bootstrap_ci" ->
+      """WITH v AS (SELECT o_orderkey AS id, o_totalprice::DOUBLE AS x
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |pt AS (SELECT count(*)::BIGINT AS n,
+        |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE / count(*) AS pm
+        |       FROM v),
+        |reps AS (SELECT unnest(range(0, 100))::BIGINT AS b),
+        |wts AS (SELECT b, x, CASE
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < '5e2d58d8b3bce' THEN 0
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < 'bc5ab1b16779c' THEN 1
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < 'eb715e1dc1583' THEN 2
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < 'fb23979734a25' THEN 3
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < 'ff1025f59174e' THEN 4
+        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
+        |      < 'ffd90f3ba4056' THEN 5
+        |    ELSE 6 END AS w
+        |  FROM v CROSS JOIN reps),
+        |means AS (SELECT b,
+        |    sum(CAST(x * w AS DECIMAL(38,12)))::DOUBLE / sum(w) AS m
+        |  FROM wts GROUP BY b),
+        |ci AS (SELECT quantile_cont(m, [0.025, 0.975]) AS q FROM means)
+        |SELECT n, round(pm, 6) AS point_mean, round(q[1], 6) AS ci_lo,
+        |  round(q[2], 6) AS ci_hi, 100 AS replicas
+        |FROM pt, ci""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

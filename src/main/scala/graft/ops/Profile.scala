@@ -265,6 +265,73 @@ object Profile {
           .as("top_key_share"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (the at-scale
+    * bootstrap: resampling n rows with replacement is a shuffle of the
+    * whole dataset per replica, but each row's multiplicity in a
+    * replica is ~Poisson(1), so B replicas are ONE pass with B small
+    * integer weights per row — the standard trick for CIs on massive
+    * data). Deterministic AND engine-replayable: the Poisson draw
+    * compares the 13-hex-char prefix of md5(id:replica) against
+    * precomputed hex thresholds floor(P(X≤x)·2⁵²) (the q56 split
+    * device — pure string comparison, no float conversion anywhere;
+    * P(X≤x) for X~Poisson(1): 0.3679, 0.7358, 0.9197, 0.9810, 0.9963,
+    * 0.9994; weights cap at 6, P(X>6) ≈ 8e-5).
+    * Returns one row (n, point_mean, ci_lo, ci_hi, replicas) where
+    * [ci_lo, ci_hi] is the (alpha/2, 1−alpha/2) percentile interval
+    * of the replica means, all rounded to 6 dp.
+    *
+    * 100 TB shape: the data explodes ×B but carries only (replica,
+    * value) — one narrow pass into B partial-aggregated sums; replica
+    * means are a B-row frame and the percentile pick is exact
+    * (Quantiles.exact literals). Terms quantize to DECIMAL(38,12).
+    */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valueCol: String,
+      replicas: Int = 100, alpha: Double = 0.05): DataFrame = {
+    require(replicas >= 10 && replicas <= 10000,
+      "replicas in [10,10000] (the replica-mean frame must be " +
+        "quantile-meaningful and the explode factor sane)")
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    // P(Poisson(1) <= x) literals, x = 0..5; weight capped at 6
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val vals = df.select(col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .localCheckpoint(true) // consumers: point estimate + the explode
+    val point = vals.agg(count(lit(1)).as("__n"),
+      (sum(col("__x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("__mean")).head()
+    val n = point.getLong(0)
+    require(n > 0, "bootstrapCiMean: no non-null values")
+    val pointMean = point.getDouble(1)
+    // 13-hex-char md5 prefix vs hex thresholds floor(p * 2^52): pure
+    // string comparison, identical in any engine with md5
+    val hexThresholds = cdf.map(p => f"${(p * (1L << 52)).toLong}%013x")
+    val hex = substring(md5(concat(col("__id").cast("string"), lit(":"),
+      col("__b").cast("string")).cast("binary")), 1, 13)
+    val w = hexThresholds.zipWithIndex.reverse
+      .foldLeft(lit(6): Column) { case (acc, (h, x)) =>
+        when(hex < h, lit(x)).otherwise(acc)
+      }
+    val means = vals
+      .withColumn("__b", explode(typedLit((0 until replicas).toList)))
+      .select(col("__b"), (col("__x") * w).cast("decimal(38,12)")
+        .as("__wx"), w.cast("long").as("__w"))
+      .groupBy(col("__b"))
+      .agg((sum(col("__wx")).cast("double") /
+        sum(col("__w"))).as("__m"))
+    val qs = Quantiles.exact(means, "__m",
+        Seq(alpha / 2, 1 - alpha / 2), builtinMaxRows = 0L)
+      .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
+    val session = df.sparkSession
+    import session.implicits._
+    Seq((n, math.floor(pointMean * 1e6 + 0.5) / 1e6,
+      math.floor(qs(0) * 1e6 + 0.5) / 1e6,
+      math.floor(qs(1) * 1e6 + 0.5) / 1e6, replicas))
+      .toDF("n", "point_mean", "ci_lo", "ci_hi", "replicas")
+  }
+
   /** ABC / Pareto classification: rank entities by value descending and
     * class them by CUMULATIVE value share — A up to `aShare` (default
     * 0.8: "the 20% that is 80% of revenue"), B up to `bShare`, C the

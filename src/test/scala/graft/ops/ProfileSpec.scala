@@ -296,5 +296,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(shares.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("bootstrapCiMean: brackets the mean, exact on constants, deterministic") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val r = Profile.bootstrapCiMean(df, "id", "v", replicas = 50)
+      .collect()(0)
+    assert(r.getLong(0) == 2000L)
+    assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3),
+      s"CI [${r.getDouble(2)}, ${r.getDouble(3)}] must bracket ${r.getDouble(1)}")
+    // a constant column has a zero-width interval at the constant
+    val const = (1 to 500).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val c = Profile.bootstrapCiMean(const, "id", "v", replicas = 20)
+      .collect()(0)
+    assert(c.getDouble(1) == 7.5 && c.getDouble(2) == 7.5 &&
+      c.getDouble(3) == 7.5)
+    // hash-deterministic: same interval at any partitioning
+    val a = Profile.bootstrapCiMean(df.repartition(3), "id", "v", 50)
+      .collect()(0).toSeq
+    val b = Profile.bootstrapCiMean(df.repartition(17), "id", "v", 50)
+      .collect()(0).toSeq
+    assert(a == b)
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
