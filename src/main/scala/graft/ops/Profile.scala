@@ -306,16 +306,21 @@ object Profile {
     require(n > 0, "bootstrapCiMean: no non-null values")
     val pointMean = point.getDouble(1)
     // 13-hex-char md5 prefix vs hex thresholds floor(p * 2^52): pure
-    // string comparison, identical in any engine with md5
+    // string comparison, identical in any engine with md5. The hex
+    // lands in its OWN projection first so the hash runs once per
+    // (row, replica) — folded into the weight chain it would be
+    // re-evaluated per branch wherever subexpression elimination
+    // doesn't reach
     val hexThresholds = cdf.map(p => f"${(p * (1L << 52)).toLong}%013x")
-    val hex = substring(md5(concat(col("__id").cast("string"), lit(":"),
-      col("__b").cast("string")).cast("binary")), 1, 13)
     val w = hexThresholds.zipWithIndex.reverse
       .foldLeft(lit(6): Column) { case (acc, (h, x)) =>
-        when(hex < h, lit(x)).otherwise(acc)
+        when(col("__hex") < h, lit(x)).otherwise(acc)
       }
     val means = vals
       .withColumn("__b", explode(typedLit((0 until replicas).toList)))
+      .withColumn("__hex", substring(md5(concat(
+        col("__id").cast("string"), lit(":"),
+        col("__b").cast("string")).cast("binary")), 1, 13))
       .select(col("__b"), (col("__x") * w).cast("decimal(38,12)")
         .as("__wx"), w.cast("long").as("__w"))
       .groupBy(col("__b"))
