@@ -3111,7 +3111,31 @@ object SparkEntry {
     // the at-scale bootstrap (one pass, no per-replica shuffle).
     "q216_bootstrap_ci" -> ((s, dir) =>
       graft.ops.Profile.bootstrapCiMean(t(s, dir, "orders"),
-        "o_orderkey", "o_totalprice", replicas = 100, alpha = 0.05))
+        "o_orderkey", "o_totalprice", replicas = 100, alpha = 0.05)),
+
+    // Personalized (seeded) PageRank (ops/Graph.scala): q115's purchase
+    // graph with teleport mass restricted to a trusted seed set
+    // (customers of one nation — the TrustRank whitelist shape); both
+    // teleport AND dangling mass return to the seeds, so sum(pr) == 1
+    // and rank measures endorsement-from-seeds. Same fixed-5-round
+    // unroll as q115; the oracle replays the seed-gated teleport term
+    // round for round as chained CTEs.
+    "q217_personalized_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 7)
+        .select(col("c_custkey").as("seed"))
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "seed", iterations = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6684,22 +6708,22 @@ object SparkEntry {
         |pt AS (SELECT count(*)::BIGINT AS n,
         |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE / count(*) AS pm
         |       FROM v),
-        |reps AS (SELECT unnest(range(0, 100))::BIGINT AS b),
+        |grp AS (SELECT unnest(range(0, 50))::BIGINT AS g),
+        |hx AS (SELECT g, x, md5(id::VARCHAR || ':' || g::VARCHAR) AS h
+        |       FROM v CROSS JOIN grp),
+        |seg AS (SELECT 2 * g AS b, x, substring(h, 1, 13) AS hex FROM hx
+        |        UNION ALL
+        |        SELECT 2 * g + 1 AS b, x, substring(h, 14, 13) AS hex
+        |        FROM hx),
         |wts AS (SELECT b, x, CASE
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < '5e2d58d8b3bce' THEN 0
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < 'bc5ab1b16779c' THEN 1
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < 'eb715e1dc1583' THEN 2
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < 'fb23979734a25' THEN 3
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < 'ff1025f59174e' THEN 4
-        |    WHEN substring(md5(id::VARCHAR || ':' || b::VARCHAR), 1, 13)
-        |      < 'ffd90f3ba4056' THEN 5
+        |    WHEN hex < '5e2d58d8b3bce' THEN 0
+        |    WHEN hex < 'bc5ab1b16779c' THEN 1
+        |    WHEN hex < 'eb715e1dc1583' THEN 2
+        |    WHEN hex < 'fb23979734a25' THEN 3
+        |    WHEN hex < 'ff1025f59174e' THEN 4
+        |    WHEN hex < 'ffd90f3ba4056' THEN 5
         |    ELSE 6 END AS w
-        |  FROM v CROSS JOIN reps),
+        |  FROM seg WHERE b < 100),
         |means AS (SELECT b,
         |    sum(CAST(x * w AS DECIMAL(38,12)))::DOUBLE / sum(w) AS m
         |  FROM wts GROUP BY b),
@@ -6707,6 +6731,47 @@ object SparkEntry {
         |SELECT n, round(pm, 6) AS point_mean, round(q[1], 6) AS ci_lo,
         |  round(q[2], 6) AS ci_hi, 100 AS replicas
         |FROM pt, ci""".stripMargin,
+
+    // q115's chained-CTE unroll with the teleport term gated on the
+    // seed flag: init = 1/ns on seeds else 0; each round's teleport and
+    // dangling return land only on seeds. ns = |seed ∩ graph|.
+    "q217_personalized_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"pr${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum(p.pr / d.outdeg) AS c
+           |  FROM e JOIN $p p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |dm$i AS (
+           |  SELECT coalesce(sum(p.pr), 0.0::DOUBLE) AS dm
+           |  FROM $p p LEFT JOIN deg d ON d.src = p.node
+           |  WHERE d.src IS NULL),
+           |pr$i AS (
+           |  SELECT n.node,
+           |    CASE WHEN n.is_seed
+           |      THEN (1.0::DOUBLE - 0.85::DOUBLE) / m.ns ELSE 0.0::DOUBLE END +
+           |      0.85::DOUBLE * (coalesce(c.c, 0.0::DOUBLE) +
+           |        CASE WHEN n.is_seed THEN dm.dm / m.ns ELSE 0.0::DOUBLE END) AS pr
+           |  FROM nodesf n LEFT JOIN c$i c ON c.node = n.node, meta m, dm$i dm)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |seeds AS (SELECT DISTINCT c_custkey AS node FROM customer
+         |          WHERE c_nationkey = 7),
+         |nodesf AS (
+         |  SELECT n.node, s.node IS NOT NULL AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |meta AS (SELECT count(*)::DOUBLE AS ns FROM nodesf WHERE is_seed),
+         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, CASE WHEN is_seed THEN 1.0::DOUBLE / m.ns
+         |                     ELSE 0.0::DOUBLE END AS pr
+         |        FROM nodesf, meta m),
+         |$rounds
+         |SELECT node, round(pr, 6) AS pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

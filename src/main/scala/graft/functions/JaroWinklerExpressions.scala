@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are pinned to the textbook definition (Winkler 1990), which
   * is also what DuckDB's `jaro_winkler_similarity` computes — the
   * oracle's function, probed empirically before this was written:
-  *  - match window `floor(max(|a|,|b|)/2) - 1`, NOT clamped to 1 (so two
-  *    2-char swapped strings score 0);
+  *  - match window `max(0, floor(max(|a|,|b|)/2) - 1)` — NOT clamped to 1
+  *    (so two 2-char swapped strings score 0), but clamped at 0 so equal
+  *    single-char strings match themselves (jw("a","a") = 1, as DuckDB);
   *  - transpositions = FLOOR of half the out-of-order matched pairs
   *    (integer halving — what DuckDB computes; probed via a 3-mismatch
   *    pair);
@@ -62,7 +63,10 @@ object JaroWinklerKernel {
     val la = ca.length
     val lb = cb.length
     if (la == 0 || lb == 0) return 0.0
-    val window = math.max(la, lb) / 2 - 1
+    // clamped at 0: DuckDB scores jw("a","a") = 1.0 (probed), which the
+    // unclamped -1 window would miss entirely; max(|a|,|b|)=2 still yields
+    // window 0, preserving the documented jw("ab","ba") = 0 behavior
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
     var m = 0

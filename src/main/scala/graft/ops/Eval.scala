@@ -103,8 +103,11 @@ object Eval {
       labelCol: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    // distinct-score groups: n rows, np positives at this score
+    // distinct-score groups: n rows, np positives at this score.
+    // Null scores/labels are unrankable — dropped up front (matching
+    // confusionReport), never silently counted as negatives
     val groups = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
       .groupBy(col("__s"))
@@ -162,6 +165,7 @@ object Eval {
     val spark = scored.sparkSession
     import spark.implicits._
     val groups = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("int").as("__y"))
       .groupBy(col("__s"))
@@ -204,21 +208,6 @@ object Eval {
       .crossJoin(broadcast(ap))
   }
 
-  /** Calibration report of a probabilistic scorer: equal-width bins
-    * over [0,1], per bin (n, mean_score, frac_pos), plus the expected
-    * calibration error ECE = Σ n_b/N · |frac_pos − mean_score| carried
-    * on every row (constant column — the report is bins+summary in one
-    * frame). A well-calibrated quality classifier has frac_pos ≈
-    * mean_score per bin; a miscalibrated one gates on thresholds that
-    * don't mean what they say. Scores exactly 1.0 land in the top bin.
-    *
-    * One aggregation shuffle over (corpus → bins rows); the ECE fold is
-    * a broadcast of the bins-sized frame back onto itself. Determinism:
-    * scores quantize to 12 dp and sum as DECIMAL (order-independent —
-    * no float-accumulation drift between engines or partitionings, the
-    * tuneJmLambda device), labels sum as integers; the 6-dp outputs are
-    * therefore bit-reproducible anywhere.
-    */
   /** Classification report at a decision threshold: the confusion
     * counts and every statistic the threshold-picker reads off them —
     * precision, recall, F1, accuracy, and Matthews correlation (the
@@ -302,6 +291,21 @@ object Eval {
           .as("kappa"))
   }
 
+  /** Calibration report of a probabilistic scorer: equal-width bins
+    * over [0,1], per bin (n, mean_score, frac_pos), plus the expected
+    * calibration error ECE = Σ n_b/N · |frac_pos − mean_score| carried
+    * on every row (constant column — the report is bins+summary in one
+    * frame). A well-calibrated quality classifier has frac_pos ≈
+    * mean_score per bin; a miscalibrated one gates on thresholds that
+    * don't mean what they say. Scores exactly 1.0 land in the top bin.
+    *
+    * One aggregation shuffle over (corpus → bins rows); the ECE fold is
+    * a broadcast of the bins-sized frame back onto itself. Determinism:
+    * scores quantize to 12 dp and sum as DECIMAL (order-independent —
+    * no float-accumulation drift between engines or partitionings, the
+    * tuneJmLambda device), labels sum as integers; the 6-dp outputs are
+    * therefore bit-reproducible anywhere.
+    */
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

@@ -74,6 +74,28 @@ object Graph {
     pageRankImpl(edges, srcCol, dstCol, None, iterations, damping,
       checkpointEvery, tolerance = 0.0)
 
+  /** Personalized (seeded) PageRank — TrustRank's machinery (Gyöngyi,
+    * Garcia-Molina & Pedersen 2004): teleport mass lands ONLY on the
+    * seed set (uniformly over the seeds that appear in the graph), and
+    * dangling mass returns to the seeds too, so total rank stays
+    * exactly 1. Rank then measures proximity-weighted endorsement FROM
+    * the seeds — the link-quality prior a curation pipeline computes
+    * from a hand-vetted domain whitelist (the q152 link graph's
+    * consumer). Uniform PageRank is the special case seeds = all
+    * nodes, which is literally how it is implemented here: one `__seed`
+    * flag folded into the node frame at setup, zero per-iteration cost
+    * over the uniform path.
+    *
+    * Initial rank is the teleport vector itself (1/|S| on seeds, 0
+    * elsewhere) — the standard personalization convention, documented
+    * because fixed-iteration results depend on it.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iterations: Int,
+      damping: Double = 0.85, checkpointEvery: Int = 2): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iterations, damping,
+      checkpointEvery, tolerance = 0.0, seeds = Some((seeds, seedCol)))
+
   /** Weighted PageRank: contributions split proportionally to edge
     * weight instead of uniformly over out-edges (`outdeg` becomes the
     * node's out-weight sum). Non-positive weights are rejected — a
@@ -109,7 +131,8 @@ object Graph {
 
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iterations: Int, damping: Double,
-      checkpointEvery: Int, tolerance: Double): DataFrame = {
+      checkpointEvery: Int, tolerance: Double,
+      seeds: Option[(DataFrame, String)] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       "pageRank: iterations must be in [1,100]")
     require(damping > 0 && damping < 1, "pageRank: damping must be in (0,1)")
@@ -156,11 +179,30 @@ object Graph {
     // instead of anti-joining pr against deg every iteration (one
     // node-sized join x iterations saved; deg itself is consumed only
     // at setup now).
-    val nodesF = nodes.join(
-        deg.select(col("src").as("node"), lit(true).as("__out")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("__out"), lit(false)).as("__out"))
-      .localCheckpoint(true)
+    // teleport membership rides the node frame like __out does: uniform
+    // PageRank is "every node is a seed", personalized restricts the
+    // flag to the seed ∩ graph intersection — zero per-iteration cost
+    // either way
+    val nodesF = seeds match {
+      case Some((sdf, scol)) =>
+        nodes
+          .join(deg.select(col("src").as("node"), lit(true).as("__out")),
+            Seq("node"), "left")
+          .join(sdf.select(col(scol).as("node"), lit(true).as("__seed"))
+            .distinct(), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__out"), lit(false)).as("__out"),
+            coalesce(col("__seed"), lit(false)).as("__seed"))
+          .localCheckpoint(true)
+      case None =>
+        nodes
+          .join(deg.select(col("src").as("node"), lit(true).as("__out")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__out"), lit(false)).as("__out"),
+            lit(true).as("__seed"))
+          .localCheckpoint(true)
+    }
     // Node count as a driver literal: a single bounded count() at setup.
     // (This used to be a 1-row broadcast frame crossJoined into every
     // iteration — but each extra reference to an iteration-carried frame
@@ -168,6 +210,14 @@ object Graph {
     // compound exponentially across iterations; see
     // GraftSqlShim.freshStats.)
     val n = nodes.count().toDouble
+    // teleport denominator: |seed ∩ graph| (== n over the uniform path —
+    // one bounded count either way)
+    val nTel = if (seeds.isEmpty) n
+      else nodesF.filter(col("__seed")).count().toDouble
+    // only the seeded path requires intersection: the uniform path keeps
+    // its historical empty-graph convention (empty in -> empty out)
+    require(seeds.isEmpty || nTel > 0,
+      "personalizedPageRank: no seed node appears in the graph")
     // rank lineage cuts must ALSO reset the carried size estimate, or the
     // per-iteration join products compound through the checkpoint until
     // Catalyst's BigInt stats arithmetic overflows (observed at ~25
@@ -175,7 +225,11 @@ object Graph {
     def cut(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
 
-    var pr = nodesF.select(col("node"), lit(1.0 / n).as("pr"), col("__out"))
+    // initial rank = the teleport vector (1/|S| on seeds, 0 elsewhere);
+    // over the uniform path this is exactly the historical 1/n
+    var pr = nodesF.select(col("node"),
+      when(col("__seed"), lit(1.0 / nTel)).otherwise(lit(0.0)).as("pr"),
+      col("__out"))
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
@@ -187,12 +241,16 @@ object Graph {
       // rank frame itself, no join
       val dangling = pr.filter(!col("__out"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      // teleport AND dangling mass both land on the seed set only
+      // (uniform path: every node — the same doubles as before)
       val stepped = nodesF.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
+          (when(col("__seed"), lit((1.0 - damping) / nTel))
+            .otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / lit(n))).as("pr"),
+              when(col("__seed"), col("dm") / lit(nTel))
+                .otherwise(lit(0.0)))).as("pr"),
           col("__out"))
       if (tolerance > 0) {
         // join the previous rank in so the L1 delta is observable on the
@@ -318,7 +376,24 @@ object Graph {
     * `iterations` is a plan-time constant.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    lpaImpl(edges, srcCol, dstCol, iterations, converge = false)
+
+  /** [[labelPropagation]] that stops at the FIXPOINT: the round's
+    * label-change count rides the materializing pass as an `observe()`
+    * metric (the pageRankConverged device — zero extra scans), and the
+    * loop exits as soon as a synchronous round changes no label.
+    * `maxIterations` bounds the loop because synchronous LPA can
+    * 2-cycle on bipartite structures (Raghavan et al. §3) — callers
+    * get whatever round `maxIterations` lands on in that case, exactly
+    * as the fixed-iteration face would.
+    */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIterations: Int = 20): DataFrame =
+    lpaImpl(edges, srcCol, dstCol, maxIterations, converge = true)
+
+  private def lpaImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, converge: Boolean): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       "iterations must be in [1,20] (each round is a full edge join)")
     val canon = canonEdges(edges, srcCol, dstCol)
@@ -331,8 +406,9 @@ object Graph {
     val wPick = Window.partitionBy(col("node"))
       .orderBy(col("__c").desc, col("__nl"))
     var i = 0
-    while (i < iterations) {
-      labels = adj
+    var done = false
+    while (i < iterations && !done) {
+      val next = adj
         .join(labels.select(col("node").as("n"),
           col("community").as("__nl")), Seq("n"))
         .groupBy(col("z").as("node"), col("__nl"))
@@ -340,7 +416,24 @@ object Graph {
         .withColumn("__rn", row_number().over(wPick))
         .where(col("__rn") === 1)
         .select(col("node"), col("__nl").as("community"))
-        .localCheckpoint(true)
+      if (converge) {
+        // the change count rides the round's own checkpoint job via a
+        // node-sized join against the previous labels (same node set
+        // every round — adj's nodes — so the inner join is total)
+        val obs = org.apache.spark.sql.Observation()
+        labels = next
+          .join(labels.select(col("node"), col("community").as("__pc")),
+            Seq("node"))
+          .observe(obs, sum(when(col("community") =!= col("__pc"), 1L)
+            .otherwise(0L)).as("chg"))
+          .drop("__pc")
+          .localCheckpoint(true)
+        val chg = obs.get("chg")
+        // null = zero rows = empty graph: trivially converged
+        if (chg == null || chg.asInstanceOf[Long] == 0L) done = true
+      } else {
+        labels = next.localCheckpoint(true)
+      }
       i += 1
     }
     val sizes = labels.groupBy(col("community")).agg(count(lit(1)).as("size"))
@@ -364,7 +457,25 @@ object Graph {
     * aggregate, scores checkpoint per round.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    hitsImpl(edges, srcCol, dstCol, iterations, tolerance = 0.0)
+
+  /** [[hits]] that stops when the round's L1 score delta
+    * `Σ |hub−hub'| + |auth−auth'|` falls below `tolerance` (or
+    * `maxIterations` is hit) — the pageRankConverged device: the delta
+    * rides the round's own materializing checkpoint as an `observe()`
+    * metric over a node-sized self-join, zero extra scans. Fixed-count
+    * HITS makes users guess the iteration budget blind; this face lets
+    * the scores themselves say when they've stabilized.
+    */
+  def hitsConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      tolerance: Double, maxIterations: Int = 50): DataFrame = {
+    require(tolerance > 0, "hitsConverged: tolerance must be positive")
+    hitsImpl(edges, srcCol, dstCol, maxIterations, tolerance)
+  }
+
+  private def hitsImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, tolerance: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       "iterations must be in [1,50]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -384,39 +495,67 @@ object Graph {
     var scores = nodes.select(col("node"),
         lit(1.0 / n0).as("hub"), lit(1.0 / n0).as("auth"))
       .localCheckpoint(true)
-    // the L1 totals ride unpartitioned windows over the NODE-sized
-    // score frames (decimal sums — exact, order-free) instead of
-    // driver collects: zero blocking actions inside the loop beyond
-    // the per-round checkpoint
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
+    // each L1 total is a 1-row aggregate over the RAW (pre-join) mass
+    // frame, crossJoined back as a broadcast — PageRank's dangling-mass
+    // device. Summing the raw frame instead of the coalesced node frame
+    // is exact: absent nodes contribute d12(0.0) = 0. The earlier form
+    // (an unpartitioned window over the node frame) funneled the entire
+    // score frame through ONE task twice per iteration. Lineage cuts
+    // also reset the carried size estimate (freshStats) or the per-round
+    // 1-row crossJoins compound through Catalyst's stats arithmetic —
+    // the pageRankImpl lesson.
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
     var i = 0
-    while (i < iterations) {
-      // auth step: sum incoming hub mass, L1-renormalize
+    var converged = false
+    while (i < iterations && !converged) {
+      // auth step: sum incoming hub mass, L1-renormalize. The raw mass
+      // frame pins (node-sized) because it has TWO consumers — the L1
+      // total and the score join; unpinned, the broadcast build would
+      // re-run the edge join per half-step
       val rawAuth = e.join(scores.select(col("node").as("src"),
           col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(d12(col("hub"))).cast("double").as("__ra"))
-      val withAuth = scores.select(col("node"), col("hub"))
+        .localCheckpoint(true)
+      val totAuth = rawAuth.agg(
+        sum(d12(col("__ra"))).cast("double").as("__ta"))
+      val withAuth = cut(scores.select(col("node"), col("hub"))
         .join(rawAuth, Seq("node"), "left")
-        .withColumn("__ra", coalesce(col("__ra"), lit(0.0)))
+        .crossJoin(broadcast(totAuth))
         .select(col("node"), col("hub"),
-          (col("__ra") /
-            sum(d12(col("__ra"))).over(wAll).cast("double")).as("auth"))
-        .localCheckpoint(true) // consumers: rawHub join + final select
+          (coalesce(col("__ra"), lit(0.0)) / col("__ta")).as("auth"))
+        ) // consumers: rawHub join + final select
       // hub step: sum outgoing (new) auth mass, L1-renormalize
       val rawHub = e.join(withAuth.select(col("node").as("dst"),
           col("auth").as("__a")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(d12(col("__a"))).cast("double").as("__rh"))
-      scores = withAuth.select(col("node"), col("auth"))
-        .join(rawHub, Seq("node"), "left")
-        .withColumn("__rh", coalesce(col("__rh"), lit(0.0)))
-        .select(col("node"),
-          (col("__rh") /
-            sum(d12(col("__rh"))).over(wAll).cast("double")).as("hub"),
-          col("auth"))
         .localCheckpoint(true)
+      val totHub = rawHub.agg(
+        sum(d12(col("__rh"))).cast("double").as("__th"))
+      val next = withAuth.select(col("node"), col("auth"))
+        .join(rawHub, Seq("node"), "left")
+        .crossJoin(broadcast(totHub))
+        .select(col("node"),
+          (coalesce(col("__rh"), lit(0.0)) / col("__th")).as("hub"),
+          col("auth"))
+      if (tolerance > 0) {
+        // round delta vs start-of-round scores, observed on the
+        // checkpoint pass itself (both frames node-sized, same node set)
+        val obs = org.apache.spark.sql.Observation()
+        scores = cut(next
+          .join(scores.select(col("node"), col("hub").as("__ph"),
+            col("auth").as("__pa")), Seq("node"))
+          .observe(obs, sum(abs(col("hub") - col("__ph")) +
+            abs(col("auth") - col("__pa"))).as("l1"))
+          .drop("__ph", "__pa"))
+        val l1 = obs.get("l1")
+        if (l1 == null || l1.asInstanceOf[Double] < tolerance)
+          converged = true
+      } else {
+        scores = cut(next)
+      }
       i += 1
     }
     scores.select(col("node"), round(col("hub"), 6).as("hub"),

@@ -271,11 +271,15 @@ object Profile {
     * replica is ~Poisson(1), so B replicas are ONE pass with B small
     * integer weights per row — the standard trick for CIs on massive
     * data). Deterministic AND engine-replayable: the Poisson draw
-    * compares the 13-hex-char prefix of md5(id:replica) against
+    * compares a 13-hex-char SEGMENT of md5(id:⌊replica/2⌋) against
     * precomputed hex thresholds floor(P(X≤x)·2⁵²) (the q56 split
     * device — pure string comparison, no float conversion anywhere;
     * P(X≤x) for X~Poisson(1): 0.3679, 0.7358, 0.9197, 0.9810, 0.9963,
-    * 0.9994; weights cap at 6, P(X>6) ≈ 8e-5).
+    * 0.9994; weights cap at 6, P(X>6) ≈ 8e-5). One md5 digest is 32
+    * hex chars and a draw consumes 13, so each digest feeds TWO
+    * replicas — even replica 2g reads chars 1–13 of md5(id:g), odd
+    * replica 2g+1 reads chars 14–26 (independent bits) — halving the
+    * hash work, the operator's dominant cost.
     * Returns one row (n, point_mean, ci_lo, ci_hi, replicas) where
     * [ci_lo, ci_hi] is the (alpha/2, 1−alpha/2) percentile interval
     * of the replica means, all rounded to 6 dp.
@@ -305,27 +309,51 @@ object Profile {
     val n = point.getLong(0)
     require(n > 0, "bootstrapCiMean: no non-null values")
     val pointMean = point.getDouble(1)
-    // 13-hex-char md5 prefix vs hex thresholds floor(p * 2^52): pure
-    // string comparison, identical in any engine with md5. The hex
+    // 13-hex-char md5 segment vs hex thresholds floor(p * 2^52): pure
+    // string comparison, identical in any engine with md5. The digest
     // lands in its OWN projection first so the hash runs once per
-    // (row, replica) — folded into the weight chain it would be
+    // (row, digest) — folded into the weight chain it would be
     // re-evaluated per branch wherever subexpression elimination
-    // doesn't reach
+    // doesn't reach. Each digest feeds TWO replicas (chars 1-13 and
+    // 14-26): the explode factor is ceil(B/2) hashes, then a cheap
+    // 2-way struct explode fans out to B (replica, segment) rows, with
+    // the phantom replica dropped when B is odd.
     val hexThresholds = cdf.map(p => f"${(p * (1L << 52)).toLong}%013x")
-    val w = hexThresholds.zipWithIndex.reverse
+    def wFor(hex: Column): Column = hexThresholds.zipWithIndex.reverse
       .foldLeft(lit(6): Column) { case (acc, (h, x)) =>
-        when(col("__hex") < h, lit(x)).otherwise(acc)
+        when(hex < h, lit(x)).otherwise(acc)
       }
-    val means = vals
-      .withColumn("__b", explode(typedLit((0 until replicas).toList)))
-      .withColumn("__hex", substring(md5(concat(
+    val halves = (replicas + 1) / 2
+    // one exploded row per (value row, digest) — NOT per (row, replica):
+    // both replicas' weighted sums fold side by side in the same
+    // aggregation, so the ×B fan-out never materializes as rows and the
+    // md5 count is ⌈B/2⌉ per value. The per-digest frame collapses to
+    // `halves` rows; the replica fan-out happens on THAT frame (tiny).
+    val w1 = wFor(col("__hex1"))
+    val w2 = wFor(col("__hex2"))
+    val perDigest = vals
+      .withColumn("__g", explode(typedLit((0 until halves).toList)))
+      .withColumn("__h", md5(concat(
         col("__id").cast("string"), lit(":"),
-        col("__b").cast("string")).cast("binary")), 1, 13))
-      .select(col("__b"), (col("__x") * w).cast("decimal(38,12)")
-        .as("__wx"), w.cast("long").as("__w"))
-      .groupBy(col("__b"))
-      .agg((sum(col("__wx")).cast("double") /
-        sum(col("__w"))).as("__m"))
+        col("__g").cast("string")).cast("binary")))
+      .withColumn("__hex1", substring(col("__h"), 1, 13))
+      .withColumn("__hex2", substring(col("__h"), 14, 13))
+      .select(col("__g"),
+        (col("__x") * w1).cast("decimal(38,12)").as("__wx1"),
+        w1.cast("long").as("__w1"),
+        (col("__x") * w2).cast("decimal(38,12)").as("__wx2"),
+        w2.cast("long").as("__w2"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__wx1")).as("__swx1"), sum(col("__w1")).as("__sw1"),
+        sum(col("__wx2")).as("__swx2"), sum(col("__w2")).as("__sw2"))
+      .localCheckpoint(true) // halves-sized; TWO consumers (the union)
+    val means = perDigest
+      .select((col("__g") * 2).as("__b"),
+        (col("__swx1").cast("double") / col("__sw1")).as("__m"))
+      .unionAll(perDigest
+        .select((col("__g") * 2 + 1).as("__b"),
+          (col("__swx2").cast("double") / col("__sw2")).as("__m")))
+      .filter(col("__b") < replicas)
     val qs = Quantiles.exact(means, "__m",
         Seq(alpha / 2, 1 - alpha / 2), builtinMaxRows = 0L)
       .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))

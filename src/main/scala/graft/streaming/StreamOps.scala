@@ -561,6 +561,146 @@ object StreamOps {
     graft.ops.RangeJoin.intervalOverlap(stream, sStart, sEnd,
       staticIv, tStart, tEnd, binWidth)
 
+  /** Streaming daily active users — the continuous form of
+    * [[graft.ops.Events.rollingActiveUsers]]'s `dau` column. EXACT
+    * distinct without a distinct aggregate (unsupported on streams):
+    * the first aggregation collapses the log to one row per
+    * (day-window, user) — the same per-user collapse the batch face's
+    * `distinct()` does — and the second counts rows per window. Chained
+    * windowed aggregations are the canonical multiple-stateful-operator
+    * shape (append mode, both watermark-evicted); the inner re-window
+    * over `window_time` (window end − 1µs) maps each day window to
+    * itself, which is how the second agg inherits event time. A day
+    * emits once its watermark passes — late events beyond the watermark
+    * drop, the bounded-state trade every face here makes. Returns
+    * (day, dau).
+    */
+  def streamingDau(events: DataFrame, userCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day"), col(userCol).as("__u"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(to_date(col("window.start")).as("day"), col("dau"))
+
+  /** Streaming rolling active users (DAU's windowed sibling — WAU/MAU at
+    * `windowDays` = 7/30): exact distinct users over the trailing
+    * `windowDays` window, one row per day. Same chained-aggregation
+    * device as [[streamingDau]] with a SLIDING first window: each
+    * (user, activity) lands in the `windowDays` sliding windows that
+    * cover it (the streaming form of the batch face's
+    * `explode(sequence(day, day+w−1))`), the first agg collapses to one
+    * row per (window, user), the second counts users per window. The
+    * reported `day` is the window's last covered day (window.end − 1),
+    * matching [[graft.ops.Events.rollingActiveUsers]]'s trailing
+    * convention row for row; the stream also emits the windows that
+    * extend past the batch spine's last day (they close later, as their
+    * watermark passes — the batch face truncates its spine instead).
+    * Returns (day, rolling_active).
+    */
+  def streamingRollingActive(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$windowDays days", "1 day"),
+        col(userCol).as("__u"))
+      .agg(count(lit(1)).as("__n"))
+      // window_time = end − 1µs; the 1-day re-window containing it is
+      // [end−1day, end), distinct per sliding window (1-day slide), so
+      // this is a bijective re-key that carries the event-time tag
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(count(lit(1)).as("rolling_active"))
+      .select(to_date(col("window.start")).as("day"), col("rolling_active"))
+  }
+
+  /** A user's finalized funnel progress ([[streamingFunnel]]):
+    * `reached` = number of consecutive steps completed under the greedy
+    * earliest-completion rule, `step_ts` = their epoch-millis times. */
+  case class FunnelUser(user_id: Long, reached: Int, step_ts: Seq[Long])
+
+  case class FunnelProgressState(times: Seq[Seq[Long]])
+
+  /** Streaming funnel — the continuous form of
+    * [[graft.ops.Events.funnelTimes]] (q166's per-user stage), the
+    * sessionization pattern: per-user state accumulates each funnel
+    * step's event times; when the user goes quiet for `ttlMs` of EVENT
+    * time (event-time timeout — the watermark must pass last event +
+    * ttl), the greedy earliest-completion chain is computed from state
+    * (t₀ = min step-0 time, t_k = min step-k time STRICTLY after
+    * t_{k−1} — the batch kernel's exact rule) and the user's funnel row
+    * emits once. Aggregate step counts are then one batch groupBy over
+    * the emitted frame — counting `reached >= k` reproduces the batch
+    * readout's n_users per step.
+    *
+    * Chain recomputation needs each step's full time list (a
+    * late-arriving earlier step-(k−1) event moves step k's threshold,
+    * so no single-value summary is sufficient); state is therefore all
+    * in-TTL funnel-step events of ACTIVE users — events off the step
+    * list are filtered before the state op and same-(step, ts)
+    * duplicates collapse, so per-user state is bounded by the user's
+    * distinct funnel activity inside one TTL window, and expiry removes
+    * it. Emission is exactly-once per (user, quiet period); a user
+    * returning after expiry starts a fresh funnel (the sessionize
+    * convention).
+    */
+  def streamingFunnel(events: Dataset[EventRow], steps: Seq[String],
+      ttlMs: Long, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[FunnelUser] = {
+    import spark.implicits._
+    require(steps.size >= 2, "funnel: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    require(ttlMs > 0, "funnel: ttlMs must be positive")
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    events
+      .toDF()
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgressState, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[FunnelProgressState]) =>
+          if (state.hasTimedOut) {
+            val times = state.get.times
+            state.remove()
+            // greedy earliest-completion chain, the batch rule: t_k =
+            // min time of step k strictly after t_{k-1}
+            val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var prev = Long.MinValue
+            var k = 0
+            var stop = false
+            while (k < nSteps && !stop) {
+              val nxt = times(k).filter(t =>
+                if (k == 0) true else t > prev)
+              if (nxt.isEmpty) stop = true
+              else { prev = nxt.min; chain += prev; k += 1 }
+            }
+            Iterator(FunnelUser(userId, chain.size, chain.toSeq))
+          } else {
+            val arrivals = rows.toSeq
+            val old = state.getOption
+              .map(_.times).getOrElse(Seq.fill(nSteps)(Seq.empty[Long]))
+            val merged = old.zipWithIndex.map { case (ts0, k) =>
+              (ts0 ++ arrivals.collect {
+                case (_, t, e) if stepIdx(e) == k => t.getTime
+              }).distinct
+            }
+            state.update(FunnelProgressState(merged))
+            val lastTs = arrivals.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time timeout). State per user is one
     * small struct; the timeout bounds its lifetime — the pattern scales to

@@ -59,7 +59,7 @@ object ScaleCheck {
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
-    // sfbench100) to run a subset; no args = everything
+    // sfbench100 evalscale) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -2122,6 +2122,87 @@ object ScaleCheck {
       s"L1 masses must stay 1: hub=$hubMass auth=$authMass")
     println(f"HITS> edges=5000000 nodes=${hit.length} iters=3 " +
       f"hub_mass=$hubMass%.6f auth_mass=$authMass%.6f t=$tHits%.1f s")
+    }
+
+    if (run("evalscale")) {
+    // ---- 5af. Eval family at volume: AUC, PR/AP, bootstrap CI ---------
+    // The two shapes without a large-N point: the range-partition
+    // prefix-sum rank device (binaryAuc/prCurve) and the ×B hash-weight
+    // explode (bootstrapCiMean). 20M scored rows collapse to 1,000
+    // distinct scores (the classifier-quantization grain — the prefix
+    // sum runs over score GROUPS, so its cost is grain-sized, not
+    // corpus-sized); every rank sum is a half-integer below 2^53, so
+    // the driver-exact replay must match EXACTLY, no float tolerance.
+    val scored = spark.range(20000000L).select(
+      pmod(xxhash64(col("id"), lit(11)), lit(1000L)).cast("double")
+        .as("score"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(1000L)) +
+        pmod(xxhash64(col("id"), lit(11)), lit(1000L)) > 1000L)
+        .cast("int").as("label"))
+      .localCheckpoint(true)
+    val (aucRow, tAuc) = time {
+      graft.ops.Eval.binaryAuc(scored, "score", "label").collect()(0)
+    }
+    // driver-exact Mann-Whitney replay off the 1,000-row group frame
+    val aGroups = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).cast("long").as("np"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var aCum = 0L; var aRank = 0.0; var aPos = 0L; var aNeg = 0L
+    aGroups.foreach { case (_, n, p) =>
+      aRank += p * (aCum + (n + 1) / 2.0); aCum += n
+      aPos += p; aNeg += n - p
+    }
+    val aucExact = math.floor((aRank - aPos * (aPos + 1) / 2.0) /
+      (aPos.toDouble * aNeg) * 1e6 + 0.5) / 1e6
+    require(aucRow.getDouble(2) == aucExact,
+      s"AUC must equal the driver-exact replay: ${aucRow.getDouble(2)} vs $aucExact")
+    println(f"EVALSCALE> auc rows=20000000 distinct_scores=${aGroups.length} " +
+      f"n_pos=$aPos auc=${aucRow.getDouble(2)}%.6f t=$tAuc%.1f s")
+
+    val (curve, tPr) = time {
+      graft.ops.Eval.prCurve(scored, "score", "label")
+        .orderBy(col("threshold").desc).collect()
+    }
+    require(curve.length == aGroups.length,
+      "one PR row per distinct score")
+    // AP replay: np_i = tp delta down the descending sweep, folded
+    // against the 6-dp precisions exactly as the frame does
+    var prevTp = 0L
+    var apAcc = BigDecimal(0)
+    curve.foreach { r =>
+      val np = r.getLong(1) - prevTp; prevTp = r.getLong(1)
+      apAcc += BigDecimal(np) * BigDecimal(r.getDouble(3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)
+    }
+    // same op order as the frame: decimal sum -> double -> one division
+    val apExact = math.floor(apAcc.toDouble / aPos * 1e6 + 0.5) / 1e6
+    val apCol = curve.head.fieldIndex("ap")
+    require(curve.head.getDouble(apCol) == apExact,
+      s"AP must equal the driver replay: ${curve.head.getDouble(apCol)} vs $apExact")
+    require(curve.last.getDouble(curve.head.fieldIndex("recall")) == 1.0,
+      "the lowest threshold must reach full recall")
+    println(f"EVALSCALE> pr rows=20000000 curve=${curve.length} " +
+      f"ap=${curve.head.getDouble(apCol)}%.6f t=$tPr%.1f s")
+
+    // bootstrap: 5M values x 40 replicas = 100M Poisson draws off 50M
+    // md5 digests (2 draws per digest). Uniform values in [0,1000):
+    // sigma ~ 288.7, se ~ 0.129, so the 95% interval must bracket the
+    // mean inside a ~0.5-wide band
+    val bvals = spark.range(5000000L).select(col("id"),
+      pmod(xxhash64(col("id"), lit(17)), lit(1000L)).cast("double").as("v"))
+      .localCheckpoint(true)
+    val (ci, tCi) = time {
+      graft.ops.Profile.bootstrapCiMean(bvals, "id", "v", replicas = 40)
+        .collect()(0)
+    }
+    val (pm, lo, hi) = (ci.getDouble(1), ci.getDouble(2), ci.getDouble(3))
+    require(ci.getLong(0) == 5000000L && lo < pm && pm < hi,
+      s"CI [$lo, $hi] must bracket $pm")
+    require(hi - lo > 0.2 && hi - lo < 1.2,
+      s"CI width ${hi - lo} out of the se-derived band")
+    println(f"EVALSCALE> bootstrap rows=5000000 replicas=40 mean=$pm%.4f " +
+      f"ci=[$lo%.4f, $hi%.4f] t=$tCi%.1f s")
     }
 
     if (run("sfbench100")) {

