@@ -3135,6 +3135,37 @@ object SparkEntry {
           seeds, "seed", iterations = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // CUPED variance-reduced A/B readout (ops/Events.scala): q172's
+    // hash-split experiment adjusted by a pre-experiment engagement
+    // covariate (click+view count) — theta = cov(x,y)/var(x) from ONE
+    // decimal-quantized moments aggregation; the oracle replays the
+    // moments and the double algebra term for term.
+    "q218_cuped_abtest" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double").as("y"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("x"))
+        .withColumn("variant",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Events.cupedAdjust(perUser, "variant", "y", "x")
+    }),
+
+    // Landmark harmonic centrality (ops/Graph.scala): q205's seed set
+    // and co-purchase graph, sum of 1/d over seeds within 3 hops — the
+    // Boldi-Vigna coverage centrality; oracle = per-seed recursive-CTE
+    // min distances (q205's device with a composite key).
+    "q219_harmonic_centrality" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, Some(40))
+      val seeds = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(200)) === 0)
+        .select(col("p_partkey"))
+      graft.ops.Graph.harmonicCentrality(edges, "p1", "p2",
+        seeds, "p_partkey", maxHops = 3)
     })
   )
 
@@ -6772,6 +6803,85 @@ object SparkEntry {
          |SELECT node, round(pr, 6) AS pr FROM pr5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     },
+
+    // moments per variant (decimal-quantized), pooled theta algebra in
+    // double, exactly the operator's op order
+    "q218_cuped_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))::DOUBLE AS y,
+        |    (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE AS x
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT *, CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |              THEN 'A' ELSE 'B' END AS variant FROM u),
+        |m AS (SELECT variant, count(*)::BIGINT AS n,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM v GROUP BY variant),
+        |p AS (SELECT
+        |    max(CASE WHEN variant = 'A' THEN n END) AS na,
+        |    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+        |    (max(CASE WHEN variant = 'A' THEN sx END) +
+        |      max(CASE WHEN variant = 'B' THEN sx END))::DOUBLE AS sx,
+        |    (max(CASE WHEN variant = 'A' THEN sy END) +
+        |      max(CASE WHEN variant = 'B' THEN sy END))::DOUBLE AS sy,
+        |    (max(CASE WHEN variant = 'A' THEN sxy END) +
+        |      max(CASE WHEN variant = 'B' THEN sxy END))::DOUBLE AS sxy,
+        |    (max(CASE WHEN variant = 'A' THEN sxx END) +
+        |      max(CASE WHEN variant = 'B' THEN sxx END))::DOUBLE AS sxx,
+        |    (max(CASE WHEN variant = 'A' THEN syy END) +
+        |      max(CASE WHEN variant = 'B' THEN syy END))::DOUBLE AS syy,
+        |    max(CASE WHEN variant = 'A' THEN sx END)::DOUBLE AS sxa,
+        |    max(CASE WHEN variant = 'B' THEN sx END)::DOUBLE AS sxb,
+        |    max(CASE WHEN variant = 'A' THEN sy END)::DOUBLE AS sya,
+        |    max(CASE WHEN variant = 'B' THEN sy END)::DOUBLE AS syb
+        |  FROM m),
+        |alg AS (SELECT *,
+        |    (na + nb)::DOUBLE * sxy - sx * sy AS tnum,
+        |    (na + nb)::DOUBLE * sxx - sx * sx AS tden,
+        |    (na + nb)::DOUBLE * syy - sy * sy AS yden,
+        |    sx / (na + nb)::DOUBLE AS xbar,
+        |    sya / na::DOUBLE AS mean_a, syb / nb::DOUBLE AS mean_b,
+        |    sxa / na::DOUBLE AS mxa, sxb / nb::DOUBLE AS mxb
+        |  FROM p)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round(CASE WHEN tden > 0
+        |    THEN mean_a - (tnum / tden) * (mxa - xbar)
+        |    ELSE mean_a END, 6) AS adj_mean_a,
+        |  round(CASE WHEN tden > 0
+        |    THEN mean_b - (tnum / tden) * (mxb - xbar)
+        |    ELSE mean_b END, 6) AS adj_mean_b,
+        |  round(CASE WHEN tden > 0 THEN tnum / tden END, 6) AS theta,
+        |  round(CASE WHEN tden > 0 AND yden > 0
+        |    THEN tnum * tnum / (tden * yden) END, 6) AS var_reduction
+        |FROM alg""".stripMargin,
+
+    // q205's recursive-CTE device with a composite (seed, node) key:
+    // per-seed min distances, then the decimal-quantized 1/d fold
+    "q219_harmonic_centrality" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |adj AS (SELECT a AS z, b AS n FROM e0
+        |        UNION ALL SELECT b AS z, a AS n FROM e0),
+        |seeds AS (SELECT p_partkey AS s FROM part WHERE p_partkey % 200 = 0),
+        |r(s, node, d) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT r.s, adj.n, r.d + 1 FROM r JOIN adj ON adj.z = r.node
+        |  WHERE r.d < 3),
+        |md AS (SELECT s, node, min(d) AS dist FROM r GROUP BY s, node)
+        |SELECT node, count(*)::BIGINT AS n_reached,
+        |  round(sum(CAST(1.0::DOUBLE / dist AS DECIMAL(38,12)))::DOUBLE, 6)
+        |    AS harmonic
+        |FROM md WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -680,6 +680,55 @@ object Graph {
     dist.orderBy(col("dist"), col("node"))
   }
 
+  /** Landmark harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * centrality" — the centrality they recommend): for each node v,
+    * `Σ over seeds s ≠ v of 1/d(s, v)`, distances capped at `maxHops`
+    * (beyond-cap contributions are 0). With seeds = all nodes this is
+    * the exact definition; with a landmark sample it is the standard
+    * at-scale estimator (exact all-pairs is O(n·m) — the honest rail:
+    * |seeds| bounds both the cost and the state, and the caller picks
+    * it). "Which pages are close to everything" — the coverage
+    * companion to PageRank's endorsement view. Undirected. Returns
+    * (node, n_reached, harmonic) for every non-seed-only node reached
+    * by ≥1 seed, harmonic rounded to 6 dp.
+    *
+    * 100 TB shape: one frontier BFS over (seed, node) pairs — each hop
+    * is one adjacency join + one anti-join against the visited set,
+    * frames bounded by |seeds| × nodes (the landmark rail), each hop
+    * checkpointed; the readout is a node-keyed aggregation whose 1/d
+    * terms quantize to DECIMAL(38,12) (order-free, engine-replayable).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10,
+      "maxHops in [1,10] — each hop is a full adjacency join")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops) {
+      frontier = frontier
+        .join(adj, frontier("node") === adj("z"))
+        .select(col("seed"), col("n").as("node")).distinct()
+        .join(dist, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(frontier).localCheckpoint(true)
+      h += 1
+    }
+    dist.filter(col("dist") > 0) // self-distance carries no mass
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(sum((lit(1.0) / col("dist"))
+          .cast("decimal(38,12)")).cast("double"), 6).as("harmonic"))
+      .orderBy(col("node"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
     * neighbors on the Web"): score every NON-adjacent node pair (u, v)
     * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare

@@ -617,6 +617,69 @@ object StreamOps {
       .select(to_date(col("window.start")).as("day"), col("rolling_active"))
   }
 
+  /** One user's finalized contribution to the retention matrix
+    * ([[streamingRetention]]): the user belongs to `cohort_week` (their
+    * first active week) and was active `week_offset` weeks later. */
+  case class RetentionMark(user_id: Long, cohort_week: java.sql.Timestamp,
+      week_offset: Int)
+
+  case class RetentionState(weeks: Seq[Long])
+
+  /** Streaming cohort retention — the continuous form of
+    * [[graft.ops.Events.cohortRetention]]: per-user state accumulates
+    * the DISTINCT active weeks (the week column is computed in-plan
+    * with the batch face's own `date_trunc("week", ts)`, so the two
+    * faces cannot disagree on week boundaries); when the user goes
+    * quiet for `ttlMs` of event time, one [[RetentionMark]] emits per
+    * active week against the user's earliest week as cohort — emitted
+    * AT EXPIRY because retention is anchored on the cohort week and a
+    * late-but-in-watermark earlier event may still move it (the same
+    * out-of-order argument as [[streamingFunnel]]). The retention
+    * matrix (n_users, cohort_size, retention) is then one batch
+    * groupBy over the emitted marks — cohort-relative percentages need
+    * every user's mark, so the matrix is the sink-side readout, the
+    * marks are the stream's exactly-once-per-user increments.
+    *
+    * State per user is its distinct-week set (weeks inside one TTL
+    * window — dozens, not event-sized) and expiry removes it.
+    */
+  def streamingRetention(events: DataFrame, userCol: String, tsCol: String,
+      ttlMs: Long, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[RetentionMark] = {
+    import spark.implicits._
+    require(ttlMs > 0, "streamingRetention: ttlMs must be positive")
+    val weekMs = 7L * 24 * 3600 * 1000
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("user"), col(tsCol).as("ts"),
+        date_trunc("week", col(tsCol)).cast("timestamp").as("wk"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+            state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) {
+            val weeks = state.get.weeks.sorted
+            state.remove()
+            val cohort = weeks.head
+            weeks.iterator.map(w => RetentionMark(uid,
+              new java.sql.Timestamp(cohort),
+              ((w - cohort) / weekMs).toInt))
+          } else {
+            val arr = rows.toSeq
+            val merged = (state.getOption.map(_.weeks).getOrElse(Seq.empty)
+              ++ arr.map(_._3.getTime)).distinct
+            state.update(RetentionState(merged))
+            val lastTs = arr.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** A user's finalized funnel progress ([[streamingFunnel]]):
     * `reached` = number of consecutive steps completed under the greedy
     * earliest-completion rule, `step_ts` = their epoch-millis times. */

@@ -463,4 +463,53 @@ class EventsSpec extends AnyFunSuite {
     // same ts: min id 11 (view) is first, max id 12 (click) is last
     assert(out == Seq(("click", 0L, 1L), ("view", 1L, 0L)))
   }
+
+  test("cupedAdjust: theta and adjusted means match the hand formula") {
+    // y perfectly predicted by x within variants, with a constant lift:
+    // variant A users (x, y): (1,1),(2,2),(3,3); B: (1,2),(2,3),(3,4).
+    // Pooled: n=6, theta = cov/var; hand-replay below.
+    val users = Seq(
+      ("A", 1.0, 1.0), ("A", 2.0, 2.0), ("A", 3.0, 3.0),
+      ("B", 1.0, 2.0), ("B", 2.0, 3.0), ("B", 3.0, 4.0))
+      .toDF("variant", "y", "x")
+    val r = Events.cupedAdjust(users, "variant", "y", "x").collect()(0)
+    val xs = Seq(1.0, 2.0, 3.0, 2.0, 3.0, 4.0)
+    val ys = Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0)
+    val n = 6.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0) // raw means tie
+    val adjA = r6(2.0 - theta * (2.0 - xbar))
+    val adjB = r6(2.0 - theta * (3.0 - xbar))
+    assert(r.getDouble(4) == adjA, s"adj_a ${r.getDouble(4)} vs $adjA")
+    assert(r.getDouble(5) == adjB)
+    assert(r.getDouble(6) == r6(theta))
+    // the covariate explains variance: reduction strictly in (0, 1]
+    assert(r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+    // and the adjustment UNCOVERS the true lift the raw means hid:
+    // B does better per engagement (same y at x+1), raw means tie,
+    // adjusted B < adjusted A by exactly theta
+    assert(math.abs((r.getDouble(4) - r.getDouble(5)) - theta) < 2e-6) // 6-dp rounded outputs
+  }
+
+  test("cupedAdjust: zero-variance covariate degrades to the raw readout") {
+    val users = Seq(("A", 1.0, 5.0), ("A", 0.0, 5.0),
+      ("B", 1.0, 5.0), ("B", 1.0, 5.0)).toDF("variant", "y", "x")
+    val r = Events.cupedAdjust(users, "variant", "y", "x").collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(7)) // theta, var_reduction null
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0) // adj = raw
+  }
+
+  test("cupedAdjust: rejects experiments without exactly two variants") {
+    val users = Seq(("A", 1.0, 1.0), ("B", 0.0, 2.0), ("C", 1.0, 3.0))
+      .toDF("variant", "y", "x")
+    intercept[IllegalArgumentException] {
+      Events.cupedAdjust(users, "variant", "y", "x").collect()
+    }
+  }
 }

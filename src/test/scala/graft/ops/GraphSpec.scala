@@ -400,6 +400,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("harmonicCentrality: chain distances, multi-seed sums, hop cap") {
+    // chain 1-2-3-4; seed {1}: d(2)=1, d(3)=2, d(4)=3
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val one = Graph.harmonicCentrality(chain, "s", "d",
+        Seq(1L).toDF("n"), "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(one == Map(2L -> (1L, 1.0), 3L -> (1L, 0.5),
+      4L -> (1L, 0.333333)))
+    // seeds {1,4}: node 2 gets 1/1 + 1/2, node 1 gets 1/3 from seed 4
+    // (its own dist-0 mark carries no mass)
+    val two = Graph.harmonicCentrality(chain, "s", "d",
+        Seq(1L, 4L).toDF("n"), "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(two(2L) == ((2L, 1.5)) && two(3L) == ((2L, 1.5)))
+    assert(two(1L) == ((1L, 0.333333)) && two(4L) == ((1L, 0.333333)))
+    // cap: maxHops 2 drops node 4 entirely (no seed reaches it)
+    val capped = Graph.harmonicCentrality(chain, "s", "d",
+        Seq(1L).toDF("n"), "n", maxHops = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(2L, 3L))
+    // a seed absent from the graph contributes nothing and emits nothing
+    val ghost = Graph.harmonicCentrality(chain, "s", "d",
+        Seq(1L, 99L).toDF("n"), "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ghost == Map(2L -> 1.0, 3L -> 0.5, 4L -> 0.333333))
+  }
+
   test("labelPropagationConverged: equals fixed-count once labels settle") {
     // two K4s + bridge settle in <= 5 rounds; converged at cap 20 must
     // equal the fixed 5-round result (and NOT have run 20 edge joins —
