@@ -671,6 +671,24 @@ object Cli {
               req("value-col"), flags.getOrElse("buckets", "5").toInt)
           case "benford" =>
             graft.ops.Profile.benford(df, req("value-col"))
+          case "cuped" =>
+            graft.ops.Events.cupedAdjust(df, req("variant-col"),
+              req("y-col"), req("x-col"))
+          case "harmonic" =>
+            val seeds = spark.read.parquet(req("seeds"))
+            graft.ops.Graph.harmonicCentrality(df, req("src-col"),
+              req("dst-col"), seeds, req("seed-col"),
+              flags.getOrElse("max-hops", "3").toInt)
+          case "pagerank" =>
+            val iters = flags.getOrElse("iterations", "5").toInt
+            flags.get("seeds") match {
+              case Some(p) =>
+                graft.ops.Graph.personalizedPageRank(df, req("src-col"),
+                  req("dst-col"), spark.read.parquet(p), req("seed-col"),
+                  iters)
+              case None => graft.ops.Graph.pageRank(df, req("src-col"),
+                req("dst-col"), iters)
+            }
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)

@@ -2122,6 +2122,24 @@ object ScaleCheck {
       s"L1 masses must stay 1: hub=$hubMass auth=$authMass")
     println(f"HITS> edges=5000000 nodes=${hit.length} iters=3 " +
       f"hub_mass=$hubMass%.6f auth_mass=$authMass%.6f t=$tHits%.1f s")
+
+    // harmonic centrality: 16 landmarks over the same 5M-edge graph —
+    // per-seed BFS state is |seeds| x nodes (the landmark rail); on this
+    // dense graph 2 hops reach nearly everything, so the (seed, node)
+    // frame is ~1.6M rows
+    val landmarks = spark.range(16L).select((col("id") * 6250L).as("n"))
+    val (hc, tHc) = time {
+      graft.ops.Graph.harmonicCentrality(gEdges, "s", "d",
+        landmarks, "n", maxHops = 3).collect()
+    }
+    require(hc.length == 100000,
+      s"every node is within 3 hops of a landmark here, got ${hc.length}")
+    // mean degree ~95: nearly all nodes sit at distance 2 from every
+    // landmark, so centrality concentrates near 16 * 0.5
+    val hcMax = hc.map(_.getDouble(2)).max
+    require(hcMax <= 16.0, "harmonic <= |seeds| * 1/1 by construction")
+    println(f"HARMONIC> edges=5000000 nodes=${hc.length} seeds=16 hops=3 " +
+      f"max=$hcMax%.4f t=$tHc%.1f s")
     }
 
     if (run("evalscale")) {
