@@ -3166,6 +3166,19 @@ object SparkEntry {
         .select(col("p_partkey"))
       graft.ops.Graph.harmonicCentrality(edges, "p1", "p2",
         seeds, "p_partkey", maxHops = 3)
+    }),
+
+    // Deterministic random walks (ops/Graph.scala): DeepWalk corpus
+    // generation over the co-purchase graph — transitions argmin an
+    // md5("w:t:u:v") hash over neighbors (uniform, replayable), so the
+    // oracle re-walks every step as chained CTEs with the same hash.
+    "q220_random_walks" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, Some(40))
+      val starts = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(100)) === 0)
+        .select(col("p_partkey").as("wid"), col("p_partkey").as("node"))
+      graft.ops.Graph.randomWalks(edges, "p1", "p2",
+        starts, "wid", "node", len = 4)
     })
   )
 
@@ -6882,6 +6895,38 @@ object SparkEntry {
         |  round(sum(CAST(1.0::DOUBLE / dist AS DECIMAL(38,12)))::DOUBLE, 6)
         |    AS harmonic
         |FROM md WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+
+    // every step re-walked: argmin md5("w:t:u:v") over the neighbors of
+    // the walk's current node, tie-broken on the neighbor id
+    "q220_random_walks" -> {
+      val steps = (0 until 4).map { tStep =>
+        val prev = s"w$tStep"
+        s"""s${tStep + 1} AS (
+           |  SELECT w.walk_id, a.n,
+           |    row_number() OVER (PARTITION BY w.walk_id
+           |      ORDER BY md5(w.walk_id::VARCHAR || ':$tStep:' ||
+           |        w.node::VARCHAR || ':' || a.n::VARCHAR), a.n) AS rn
+           |  FROM $prev w JOIN adj a ON a.z = w.node),
+           |w${tStep + 1} AS (
+           |  SELECT walk_id, n AS node FROM s${tStep + 1} WHERE rn = 1)"""
+      }.mkString(",\n")
+      val readout = (0 to 4).map(tStep =>
+        s"SELECT walk_id, $tStep AS step, node FROM w$tStep")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |adj AS (SELECT a AS z, b AS n FROM e0
+         |        UNION ALL SELECT b AS z, a AS n FROM e0),
+         |w0 AS (SELECT p_partkey AS walk_id, p_partkey AS node FROM part
+         |       WHERE p_partkey % 100 = 0),
+         |$steps
+         |$readout
+         |ORDER BY walk_id, step""".stripMargin
+    },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

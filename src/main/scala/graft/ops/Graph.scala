@@ -680,6 +680,63 @@ object Graph {
     dist.orderBy(col("dist"), col("node"))
   }
 
+  /** Deterministic random walks over the UNDIRECTED graph — the
+    * DeepWalk/node2vec corpus generator (Perozzi et al. 2014): walk
+    * sequences feed skip-gram embedding training exactly like text
+    * windows do. "Random" is a hash: at step t, walk w at node u moves
+    * to the neighbor v minimizing md5("w:t:u:v") — uniform over
+    * neighbors, yet a pure function of (graph, starts, len), so walks
+    * are partition-invariant, resumable, and ORACLE-REPLAYABLE (the
+    * q56 split device applied to graph transitions; textbook RNG walks
+    * are unverifiable across engines). Walks stop early at dead ends
+    * (isolated starts emit only step 0). Returns (walk_id, step, node)
+    * rows, step in [0, len].
+    *
+    * 100 TB shape: per step ONE adjacency equi-join + a map-side
+    * min(struct(hash, neighbor)) argmin per walk (partial-aggregated —
+    * a hub's candidate rows combine map-side, no degree-sized reducer
+    * group), checkpointed per step; frames are |walks|-sized, the
+    * adjacency is touched once per step. `len` is a plan-time constant.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, walkIdCol: String, nodeCol: String,
+      len: Int): DataFrame = {
+    require(len >= 1 && len <= 20,
+      "len in [1,20] — each step is a full adjacency join")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint(true)
+    // distinct walk ids: duplicated ids would silently interleave two
+    // walks into one argmin chain
+    var cur = starts.select(col(walkIdCol).as("walk_id"),
+        col(nodeCol).as("node")).distinct()
+      .select(col("walk_id"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
+    require(cur.count() ==
+        cur.select(col("walk_id")).distinct().count(),
+      "randomWalks: walk ids must be unique — a duplicated id would " +
+        "interleave two walks into one argmin chain")
+    var out = cur
+    var t = 0
+    while (t < len) {
+      val h = md5(concat(col("walk_id").cast("string"), lit(":"),
+        lit(t).cast("string"), lit(":"), col("node").cast("string"),
+        lit(":"), col("n").cast("string")))
+      cur = cur
+        .join(adj, cur("node") === adj("z"))
+        .select(col("walk_id"), struct(h.as("h"), col("n")).as("__c"))
+        .groupBy(col("walk_id"))
+        .agg(min(col("__c")).as("__c"))
+        .select(col("walk_id"), lit(t + 1).as("step"),
+          col("__c.n").as("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(cur).localCheckpoint(true)
+      t += 1
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
   /** Landmark harmonic centrality (Boldi & Vigna 2014, "Axioms for
     * centrality" — the centrality they recommend): for each node v,
     * `Σ over seeds s ≠ v of 1/d(s, v)`, distances capped at `maxHops`

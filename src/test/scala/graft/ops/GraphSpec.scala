@@ -427,6 +427,48 @@ class GraphSpec extends AnyFunSuite {
     assert(ghost == Map(2L -> 1.0, 3L -> 0.5, 4L -> 0.333333))
   }
 
+  test("randomWalks: on-graph steps, hash argmin pinned, dead ends, determinism") {
+    // star 1-{2,3,4} plus isolated start 9
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val starts = Seq((10L, 1L), (90L, 9L)).toDF("wid", "node")
+    val out = Graph.randomWalks(edges, "s", "d", starts, "wid", "node", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalk = out.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.sortBy(_._2).map(_._3).toSeq }
+    // isolated start: step 0 only
+    assert(byWalk(90L) == Seq(9L))
+    // connected walk runs the full length and alternates leaf <-> hub
+    val w10 = byWalk(10L)
+    assert(w10.length == 4 && w10.head == 1L)
+    assert(w10(1) != 1L && w10(2) == 1L && w10(3) != 1L)
+    // step-1 choice pinned to the md5 argmin convention (java MD5 —
+    // independent of both engines)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected1 = Seq(2L, 3L, 4L).minBy(v => (h(s"10:0:1:$v"), v))
+    assert(w10(1) == expected1)
+    // every consecutive pair is a real edge
+    val es = Set((1L, 2L), (1L, 3L), (1L, 4L)).flatMap(e => Set(e, e.swap))
+    w10.sliding(2).foreach(p => assert(es((p(0), p(1)))))
+    // partition-count invariance
+    val rerun = Graph.randomWalks(edges.repartition(7), "s", "d",
+        starts.repartition(3), "wid", "node", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq == rerun.sorted.toSeq)
+    // two walks from the same node with different ids diverge by hash
+    // (not asserted equal/unequal — just both valid and full-length)
+    val multi = Graph.randomWalks(edges, "s", "d",
+        Seq((1L, 1L), (2L, 1L)).toDF("wid", "node"), "wid", "node", 3)
+      .collect().groupBy(_.getLong(0))
+    assert(multi.values.forall(_.length == 4))
+    // duplicated walk id fails loudly
+    intercept[IllegalArgumentException] {
+      Graph.randomWalks(edges, "s", "d",
+        Seq((7L, 1L), (7L, 2L)).toDF("wid", "node"), "wid", "node", 2)
+    }
+  }
+
   test("labelPropagationConverged: equals fixed-count once labels settle") {
     // two K4s + bridge settle in <= 5 rounds; converged at cap 20 must
     // equal the fixed 5-round result (and NOT have run 20 edge joins —
