@@ -59,7 +59,7 @@ object ScaleCheck {
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
-    // sfbench100 evalscale) to run a subset; no args = everything
+    // sfbench100 evalscale streamtwins) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -402,6 +402,93 @@ object ScaleCheck {
       }
       runVariant("probe", 8L << 20)
       runVariant("join", 0L)
+    }
+
+    if (run("streamtwins")) {
+    // ---- 4b. Event-analytics streaming twins at volume -----------------
+    // 2M events / 100k users / 30 days through streamingDau (chained
+    // windowed aggregations) and 1M funnel events / 100k users through
+    // streamingFunnel (per-user state) in 250k-event micro-batches —
+    // events/s end-to-end plus the state-bound checks: DAU state is
+    // (day-window x user)-sized, funnel state is user-sized.
+    {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      implicit val sp: SparkSession = spark
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val dayMs = 24L * 3600 * 1000
+      val evts = spark.range(2000000L).select(
+          pmod(xxhash64(col("id"), lit(5)), lit(100000L)).as("user_id"),
+          (lit(base) + pmod(xxhash64(col("id"), lit(7)), lit(30L)) * dayMs +
+            pmod(xxhash64(col("id"), lit(11)), lit(86400000L)))
+            .as("ms"))
+        .select(col("user_id"), (col("ms") / 1000).cast("timestamp").as("ts"))
+        .collect()
+      val dauIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val dauQ = StreamOps.streamingDau(
+          dauIn.toDF().toDF("user_id", "ts"), "user_id", "ts",
+          watermark = "1 hour")
+        .writeStream.format("memory").queryName("scale_dau")
+        .outputMode("append").start()
+      val (_, tDau) = time {
+        evts.map(r => (r.getLong(0), r.getTimestamp(1))).grouped(250000)
+          .foreach { b => dauIn.addData(b.toSeq); dauQ.processAllAvailable() }
+        // closing tick: push the watermark past day 30 so all days emit
+        dauIn.addData(Seq((0L,
+          new java.sql.Timestamp(base + 40 * dayMs))))
+        dauQ.processAllAvailable()
+      }
+      val dauRows = spark.sql("SELECT count(*) FROM scale_dau").head.getLong(0)
+      val dauState = dauQ.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      dauQ.stop()
+      require(dauRows >= 30, s"all 30 days must have emitted, got $dauRows")
+      println(f"STREAMTWINS> dau events=2000000 days_emitted=$dauRows " +
+        f"state_rows=$dauState t=$tDau%.1f s " +
+        f"throughput=${2000000 / tDau / 1e3}%.0fk events/s")
+
+      // funnel: 1M events, 100k users, ~10 step events each
+      val steps = Seq("view", "cart", "buy")
+      val fEvts = spark.range(1000000L).select(
+          col("id").as("event_id"),
+          (lit(base) + pmod(xxhash64(col("id"), lit(13)), lit(3600000L)))
+            .as("ms"),
+          pmod(xxhash64(col("id"), lit(17)), lit(100000L)).as("user_id"),
+          element_at(typedLit(steps),
+            (pmod(xxhash64(col("id"), lit(19)), lit(3L)) + 1).cast("int"))
+            .as("event_type"))
+        .select(col("event_id"), (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"))
+        .as[StreamOps.EventRow].collect()
+      val fIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamOps.EventRow]
+      val fQ = StreamOps.streamingFunnel(fIn.toDS(), steps,
+          ttlMs = 3600000L, watermark = "30 minutes")
+        .writeStream.format("memory").queryName("scale_funnel")
+        .outputMode("append").start()
+      val (_, tFun) = time {
+        fEvts.grouped(250000).foreach { b =>
+          fIn.addData(b.toSeq); fQ.processAllAvailable()
+        }
+        // two ticks: advance the watermark past last+ttl, then fire the
+        // expiry pass
+        fIn.addData(Seq(StreamOps.EventRow(0,
+          new java.sql.Timestamp(base + 2 * dayMs), 0, "view", 0.0)))
+        fQ.processAllAvailable()
+        fIn.addData(Seq(StreamOps.EventRow(1,
+          new java.sql.Timestamp(base + 3 * dayMs), 0, "view", 0.0)))
+        fQ.processAllAvailable()
+      }
+      val users = spark.sql(
+        "SELECT count(*), sum(CASE WHEN reached = 3 THEN 1 ELSE 0 END) " +
+          "FROM scale_funnel WHERE user_id > 0").head
+      fQ.stop()
+      require(users.getLong(0) >= 99000L,
+        s"~all 100k users must finalize, got ${users.getLong(0)}")
+      println(f"STREAMTWINS> funnel events=1000000 users=${users.getLong(0)} " +
+        f"completed=${users.getLong(1)} t=$tFun%.1f s " +
+        f"throughput=${1000000 / tFun / 1e3}%.0fk events/s")
+    }
     }
 
     if (run("pqjoin")) {
@@ -2140,6 +2227,20 @@ object ScaleCheck {
     require(hcMax <= 16.0, "harmonic <= |seeds| * 1/1 by construction")
     println(f"HARMONIC> edges=5000000 nodes=${hc.length} seeds=16 hops=3 " +
       f"max=$hcMax%.4f t=$tHc%.1f s")
+
+    // random walks: 100k walks x 10 steps over the 5M-edge graph — the
+    // DeepWalk corpus rate; each step joins ~9.5M candidate rows and
+    // argmins map-side
+    val wStarts = spark.range(100000L).select(col("id").as("w"),
+      pmod(xxhash64(col("id"), lit(97)), lit(100000L)).as("n0"))
+    val (walks, tWalk) = time {
+      graft.ops.Graph.randomWalks(gEdges, "s", "d", wStarts, "w", "n0",
+        len = 10).count()
+    }
+    require(walks == 100000L * 11,
+      s"dense graph: every walk runs the full length, got $walks rows")
+    println(f"WALKS> edges=5000000 walks=100000 len=10 rows=$walks " +
+      f"t=$tWalk%.1f s (${walks / tWalk / 1000}%.0fk walk-steps/s)")
     }
 
     if (run("evalscale")) {
