@@ -3179,6 +3179,18 @@ object SparkEntry {
         .select(col("p_partkey").as("wid"), col("p_partkey").as("node"))
       graft.ops.Graph.randomWalks(edges, "p1", "p2",
         starts, "wid", "node", len = 4)
+    }),
+
+    // Two-sample KS drift test (ops/Profile.scala): did the English
+    // slice's length distribution drift from the rest of the corpus?
+    // D = sup CDF gap over the distinct-value grain via the
+    // range-partition prefix-sum device; p from the asymptotic
+    // Kolmogorov series, folded in a fixed order the oracle replays.
+    "q221_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(when(col("lang") === "en", "en").otherwise("other")
+          .as("grp"), col("n_chars"))
+      graft.ops.Profile.ksTest(docs, "grp", "n_chars")
     })
   )
 
@@ -6926,6 +6938,48 @@ object SparkEntry {
          |$steps
          |$readout
          |ORDER BY walk_id, step""".stripMargin
+    },
+
+    // distinct-value CDF gap + the Kolmogorov series replayed term for
+    // term in the operator's exact fold order (left-associated sum,
+    // driver-constant sqrt factor, the small-lambda CASE)
+    "q221_ks_drift" -> {
+      val terms = (1 to 100).map { k =>
+        val sign = if (k % 2 == 1) "2.0" else "-2.0"
+        s"${sign}::DOUBLE * exp(${-2.0 * k * k}::DOUBLE * lam * lam)"
+      }.mkString(" +\n        |    ")
+      s"""WITH v AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS g,
+         |    n_chars::DOUBLE AS x
+         |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         |grain AS (
+         |  SELECT x, count(CASE WHEN g = 'en' THEN 1 END) AS ca,
+         |    count(CASE WHEN g = 'other' THEN 1 END) AS cb
+         |  FROM v GROUP BY x),
+         |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+         |        FROM grain),
+         |cdf AS (
+         |  SELECT
+         |    sum(ca) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         |    sum(cb) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+         |  FROM grain),
+         |dd AS (
+         |  SELECT max(abs(cuma::DOUBLE / t.na - cumb::DOUBLE / t.nb)) AS d
+         |  FROM cdf, tot t),
+         |lamt AS (
+         |  SELECT d, d * sqrt(t.na::DOUBLE * t.nb::DOUBLE /
+         |    (t.na::DOUBLE + t.nb::DOUBLE)) AS lam
+         |  FROM dd, tot t),
+         |ser AS (SELECT d, lam,
+         |    $terms AS s
+         |  FROM lamt)
+         |SELECT t.na AS n_a, t.nb AS n_b, round(ser.d, 6) AS d_stat,
+         |  round(CASE WHEN ser.lam < 0.05 THEN 1.0::DOUBLE
+         |    ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE, ser.s)) END, 6)
+         |    AS p_value
+         |FROM ser, tot t""".stripMargin
     },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,

@@ -265,6 +265,83 @@ object Profile {
           .as("top_key_share"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov test: the supremum gap between the
+    * two groups' empirical CDFs, `D = max |F_a(x) − F_b(x)|` — the
+    * standard distribution-drift detector (did this corpus version's
+    * length/score/latency distribution move?), sensitive to shape
+    * changes a mean/variance probe misses. Exactly two group labels
+    * (lexicographically smaller reports as a). Returns one row
+    * (n_a, n_b, d_stat, p_value) — p from the asymptotic Kolmogorov
+    * series `2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`, λ = D·√(n_a·n_b/(n_a+n_b)),
+    * 100 terms, clamped to [0,1]; valid for large samples (the regime
+    * this operator exists for), rounded to 6 dp.
+    *
+    * 100 TB shape: the corpus collapses to DISTINCT VALUES with
+    * per-group counts in one aggregation (the binaryAuc grain
+    * argument); the CDF prefix sums ride the range-partition
+    * prefix-sum device (per-partition subtotals collected, offsets
+    * rebroadcast — never a global single-partition window); D is one
+    * max aggregate over the distinct-value frame. The p series folds
+    * in a FIXED left-to-right order on the 1-row frame, so the oracle
+    * replays it term for term.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__x"))
+    val labels = vals.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"ksTest: need exactly 2 groups, got ${labels.mkString(",")}")
+    val (la, lb) = (labels(0), labels(1))
+    // distinct-value grain with per-group counts, range-ordered
+    val grain = vals.groupBy(col("__x"))
+      .agg(count(when(col("__g") === la, 1)).as("__ca"),
+        count(when(col("__g") === lb, 1)).as("__cb"))
+      .repartitionByRange(col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries (offsets + scoring)
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb"))
+      .collect().sortBy(_.getInt(0))
+    var runA = 0L; var runB = 0L
+    val offsetRows = offsets.map { r =>
+      val here = (r.getInt(0), runA, runB)
+      runA += r.getLong(1); runB += r.getLong(2); here
+    }
+    val (na, nb) = (runA, runB)
+    require(na > 0 && nb > 0, "ksTest: both groups must be non-empty")
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__offa", "__offb"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = grain
+      .join(offsetsDf, Seq("__pid"))
+      .select(abs(
+        (sum(col("__ca")).over(w) + col("__offa")).cast("double") / na -
+          (sum(col("__cb")).over(w) + col("__offb")).cast("double") / nb)
+        .as("__gap"))
+      .agg(max(col("__gap")).as("__d"))
+    // asymptotic Kolmogorov series on the 1-row frame, fixed fold
+    // order. The alternating series needs k ~ 1/λ terms: below λ=0.05
+    // the 100-term partial sum is garbage (at D=0 it reads 0 where the
+    // truth is 1), and Q(0.05) = 1 to far beyond 6 dp — so tiny λ
+    // short-circuits to p = 1, replayed by the oracle's CASE
+    val lam = col("__d") * math.sqrt(na.toDouble * nb / (na.toDouble + nb))
+    val series = (1 to 100).map { k =>
+      lit(2.0 * (if (k % 2 == 1) 1.0 else -1.0)) *
+        exp(lit(-2.0 * k * k) * lam * lam)
+    }.reduceLeft(_ + _)
+    d.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      round(col("__d"), 6).as("d_stat"),
+      round(when(lam < 0.05, lit(1.0))
+        .otherwise(greatest(lit(0.0), least(lit(1.0), series))), 6)
+        .as("p_value"))
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (the at-scale
     * bootstrap: resampling n rows with replacement is a shuffle of the
     * whole dataset per replica, but each row's multiplicity in a

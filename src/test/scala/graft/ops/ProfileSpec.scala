@@ -326,5 +326,43 @@ class ProfileSpec extends AnyFunSuite {
       odd.getDouble(1) <= odd.getDouble(3))
   }
 
+  test("ksTest: identical, disjoint, and hand-computed gap cases") {
+    import spark.implicits._
+    // identical samples: D = 0, lambda = 0 -> the small-lambda guard
+    // must report p = 1 (the raw 100-term series would read 0)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val rs = Profile.ksTest(same, "g", "v").collect()(0)
+    assert(rs.getDouble(2) == 0.0 && rs.getDouble(3) == 1.0)
+    // disjoint supports: D = 1
+    val far = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0))
+      .toDF("g", "v")
+    val rf = Profile.ksTest(far, "g", "v").collect()(0)
+    assert(rf.getDouble(2) == 1.0)
+    assert(rf.getDouble(3) < 0.4) // tiny n: asymptotic p is loose, not 0
+    // hand case with ties across groups: a = {1,2,2,4}, b = {2,3}
+    // CDF gaps at x=1: |1/4 - 0|   = 0.25
+    //             x=2: |3/4 - 1/2| = 0.25
+    //             x=3: |3/4 - 1|   = 0.25
+    //             x=4: |1 - 1|     = 0
+    val hand = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0),
+      ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val rh = Profile.ksTest(hand, "g", "v").collect()(0)
+    assert(rh.getLong(0) == 4L && rh.getLong(1) == 2L)
+    assert(rh.getDouble(2) == 0.25)
+    // partition invariance of the prefix-sum device
+    val big = (1 to 4000).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i * 37 % 97).toDouble))
+    def run(parts: Int) =
+      Profile.ksTest(big.toDF("g", "v").repartition(parts), "g", "v")
+        .collect()(0).toSeq
+    assert(run(1) == run(23))
+    // not exactly two groups: loud failure
+    intercept[IllegalArgumentException] {
+      Profile.ksTest(Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("g", "v"),
+        "g", "v").collect()
+    }
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
