@@ -3191,6 +3191,17 @@ object SparkEntry {
         .select(when(col("lang") === "en", "en").otherwise("other")
           .as("grp"), col("n_chars"))
       graft.ops.Profile.ksTest(docs, "grp", "n_chars")
+    }),
+
+    // Mann-Whitney U (ops/Profile.scala): does order priority shift the
+    // order-value distribution? Rank-sum with mid-rank ties via the
+    // prefix-sum device; tie-corrected normal z, p through the A&S
+    // 7.1.26 polynomial (replayable — no libm erf dependency).
+    "q222_mann_whitney" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.ops.Profile.mannWhitney(orders, "o_orderpriority",
+        "o_totalprice")
     })
   )
 
@@ -6981,6 +6992,54 @@ object SparkEntry {
          |    AS p_value
          |FROM ser, tot t""".stripMargin
     },
+
+    // rank-sum with mid-rank ties replayed on the distinct-value grain;
+    // the z/p algebra and the A&S normal-tail polynomial mirror the
+    // operator's exact double op order
+    "q222_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL),
+        |grain AS (
+        |  SELECT x, count(CASE WHEN g = '1-URGENT' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = '5-LOW' THEN 1 END) AS cb
+        |  FROM v GROUP BY x),
+        |rk AS (
+        |  SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM grain),
+        |agg AS (
+        |  SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |    sum(ca * (cum + (ca + cb + 1) / 2.0::DOUBLE)) AS ra,
+        |    sum((ca + cb)::DECIMAL(38,0) * (ca + cb)::DECIMAL(38,0) *
+        |      (ca + cb)::DECIMAL(38,0) - (ca + cb)::DECIMAL(38,0))::DOUBLE
+        |      AS ties
+        |  FROM rk),
+        |alg AS (
+        |  SELECT na, nb,
+        |    ra - na::DOUBLE * (na + 1) / 2.0::DOUBLE AS ua,
+        |    (na + nb)::DOUBLE AS bn, ties
+        |  FROM agg),
+        |alg2 AS (
+        |  SELECT na, nb, ua, na::DOUBLE * nb::DOUBLE - ua AS ub,
+        |    (ua - na::DOUBLE * nb::DOUBLE / 2.0::DOUBLE) /
+        |      sqrt(na::DOUBLE * nb::DOUBLE / 12.0::DOUBLE *
+        |        (bn + 1.0::DOUBLE - ties / (bn * (bn - 1.0::DOUBLE)))) AS z
+        |  FROM alg),
+        |phi AS (
+        |  SELECT *, abs(z) AS ax,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)) AS tt
+        |  FROM alg2)
+        |SELECT na AS n_a, nb AS n_b, round(ua, 6) AS u_a,
+        |  round(ub, 6) AS u_b, round(z, 6) AS z,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |    (exp(-ax * ax / 2.0::DOUBLE) / sqrt(2.0::DOUBLE * pi()) *
+        |      (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value
+        |FROM phi""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -342,6 +342,105 @@ object Profile {
         .as("p_value"))
   }
 
+  /** Mann-Whitney U test (Wilcoxon rank-sum): the nonparametric
+    * location-shift test — [[ksTest]] asks "did the distribution
+    * change shape", this asks "did one group's values stochastically
+    * dominate" without assuming normality (the A/B readout for skewed
+    * metrics like revenue or latency where the t-test's mean is a lie).
+    * Exactly two group labels; smaller label reports as a. Mid-ranks
+    * for ties, tie-corrected normal approximation WITHOUT continuity
+    * correction (documented convention; exact-small-sample tables are a
+    * driver-side concern, not a 100 TB one):
+    *
+    *   U_a = R_a − n_a(n_a+1)/2,  z = (U_a − n_a·n_b/2) / σ,
+    *   σ² = n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))),
+    *   p = 2(1 − Φ(|z|))   (Φ via the Abramowitz-Stegun 7.1.26
+    *   polynomial — max abs error 7.5e-8, and REPLAYABLE: an erf
+    *   built-in would pin the oracle to one libm's rounding).
+    *
+    * Returns one row (n_a, n_b, u_a, u_b, z, p_value), z/p 6 dp; an
+    * all-tied input (σ = 0) yields null z/p. Every rank sum is a
+    * half-integer below 2^53 (exact, order-free); the only floats are
+    * the final z/p algebra on the 1-row frame.
+    *
+    * 100 TB shape: identical to [[binaryAuc]] — the corpus collapses to
+    * the distinct-value grain, ranks ride the range-partition prefix
+    * sum, one final aggregate.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__x"))
+    val labels = vals.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"mannWhitney: need exactly 2 groups, got ${labels.mkString(",")}")
+    val (la, lb) = (labels(0), labels(1))
+    val grain = vals.groupBy(col("__x"))
+      .agg(count(when(col("__g") === la, 1)).as("__ca"),
+        count(when(col("__g") === lb, 1)).as("__cb"))
+      .repartitionByRange(col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__ca") + col("__cb")).as("__c"))
+      .collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__ca") + col("__cb")
+    val agg = grain
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("__cum",
+        coalesce(sum(col("__ca") + col("__cb")).over(w), lit(0L)) +
+          col("__off"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        // mid-rank of a tied run (cum+1 .. cum+t) = cum + (t+1)/2
+        sum(col("__ca") * (col("__cum") + (t + 1) / lit(2.0))).as("__ra"),
+        // t³ overflows long once a tie run passes ~2M rows (a constant
+        // column at scale) — the cube folds in DECIMAL(38,0)
+        sum({ val td = t.cast("decimal(38,0)"); td * td * td - td })
+          .as("__ties"))
+      .head()
+    val (na, nb) = (agg.getLong(0), agg.getLong(1))
+    require(na > 0 && nb > 0, "mannWhitney: both groups must be non-empty")
+    val ra = agg.getDouble(2)
+    val ties = agg.getDecimal(3).doubleValue()
+    val bign = (na + nb).toDouble
+    val ua = ra - na.toDouble * (na + 1) / 2.0
+    val ub = na.toDouble * nb - ua
+    val mu = na.toDouble * nb / 2.0
+    // bign >= 2 always (both groups non-empty), so the tie ratio is safe
+    val sigma2 = na.toDouble * nb / 12.0 *
+      (bign + 1.0 - ties / (bign * (bign - 1.0)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6n(x: Double) = // round-half-up toward +inf matches Spark round
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (z, p) =
+      if (sigma2 > 0) {
+        val zv = (ua - mu) / math.sqrt(sigma2)
+        // Abramowitz-Stegun 7.1.26 for the upper normal tail
+        val ax = math.abs(zv)
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+        (Some(r6n(zv)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    Seq((na, nb, r6(ua), r6(ub), z, p))
+      .toDF("n_a", "n_b", "u_a", "u_b", "z", "p_value")
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (the at-scale
     * bootstrap: resampling n rows with replacement is a shuffle of the
     * whole dataset per replica, but each row's multiplicity in a

@@ -364,5 +364,52 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("mannWhitney: matches a naive rank-sum, ties, degenerate input") {
+    import spark.implicits._
+    val a = Seq(3.0, 5.0, 5.0, 8.0, 12.0)
+    val b = Seq(1.0, 5.0, 9.0, 10.0, 11.0, 15.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val r = Profile.mannWhitney(df, "g", "v").collect()(0)
+    // naive: mid-ranks over the pooled sorted sample
+    val pooled = (a.map((_, "a")) ++ b.map((_, "b"))).sortBy(_._1)
+    val ranks = pooled.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+      case (_, grp) =>
+        val mid = grp.map(_._2 + 1).sum.toDouble / grp.size
+        grp.map(g => (g._1._2, mid))
+    }
+    val raNaive = ranks.filter(_._1 == "a").map(_._2).sum
+    val (na, nb) = (a.size.toDouble, b.size.toDouble)
+    val uaNaive = raNaive - na * (na + 1) / 2.0
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == uaNaive)
+    assert(r.getDouble(3) == na * nb - uaNaive) // u_a + u_b = n_a*n_b
+    // z sign: group a's values sit lower -> u_a below the mean -> z < 0
+    assert(r.getDouble(4) < 0)
+    assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+    // tie-corrected sigma: recompute naive z and compare at 6 dp
+    val bign = na + nb
+    val tieRuns = (a ++ b).groupBy(identity).values.map(_.size)
+    val ties = tieRuns.map(t => t.toLong * t * t - t).sum.toDouble
+    val sigma2 = na * nb / 12.0 * (bign + 1.0 - ties / (bign * (bign - 1.0)))
+    val zNaive = (uaNaive - na * nb / 2.0) / math.sqrt(sigma2)
+    assert(math.abs(r.getDouble(4) - zNaive) < 1e-6)
+    // all-tied input: zero variance -> null z and p, U still defined
+    val flat = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    val rf = Profile.mannWhitney(flat, "g", "v").collect()(0)
+    assert(rf.isNullAt(4) && rf.isNullAt(5))
+    assert(rf.getDouble(2) == 1.0) // all mid-ranks 2: ra=4, ua=4-3=1
+    // partition invariance
+    val big = (1 to 3000).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 13 % 211).toDouble))
+    def run(parts: Int) =
+      Profile.mannWhitney(big.toDF("g", "v").repartition(parts), "g", "v")
+        .collect()(0).toSeq
+    assert(run(1) == run(17))
+    intercept[IllegalArgumentException] {
+      Profile.mannWhitney(Seq(("a", 1.0)).toDF("g", "v"), "g", "v")
+        .collect()
+    }
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
