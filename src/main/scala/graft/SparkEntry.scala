@@ -3202,6 +3202,20 @@ object SparkEntry {
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.ops.Profile.mannWhitney(orders, "o_orderpriority",
         "o_totalprice")
+    }),
+
+    // Benjamini-Hochberg FDR (ops/Profile.scala): per-doc pseudo
+    // p-values (Knuth-hash uniform — deterministic) adjusted to
+    // q-values; the suffix-min rides the prefix-sum device run
+    // descending. The multiple-testing control for the q182/q221/q222
+    // families at fleet scale.
+    "q223_bh_fdr" -> ((s, dir) => {
+      val tests = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (((col("doc_id") * lit(2654435761L)) % lit(1000000L))
+            .cast("double") / lit(999999.0)).as("p_value"))
+      graft.ops.Profile.bhAdjust(tests, "p_value")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -7040,6 +7054,29 @@ object SparkEntry {
         |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
         |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value
         |FROM phi""".stripMargin,
+
+    // BH replay: distinct-p grain, raw = p*n/last-tie-rank, suffix min
+    // descending, clamp at 1 — the exact double op order of the operator
+    "q223_bh_fdr" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 2654435761) % 1000000)::DOUBLE / 999999.0::DOUBLE
+        |      AS p
+        |  FROM documents),
+        |grain AS (SELECT p, count(*)::BIGINT AS c FROM v GROUP BY p),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM grain),
+        |rk AS (
+        |  SELECT p, p * t.n / (sum(c) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS raw
+        |  FROM grain, tot t),
+        |q AS (
+        |  SELECT p, least(1.0::DOUBLE, min(raw) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+        |  FROM rk)
+        |SELECT v.doc_id, v.p AS p_value, q.q_value
+        |FROM v JOIN q ON v.p = q.p
+        |ORDER BY v.doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -441,6 +441,76 @@ object Profile {
       .toDF("n_a", "n_b", "u_a", "u_b", "z", "p_value")
   }
 
+  /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995):
+    * convert a column of per-test p-values into q-values
+    * `q_i = min_{j ≥ i} min(1, p_(j)·n/j)` — the multiple-testing
+    * control for "we ran [[mannWhitney]]/[[ksTest]]/anomaly scoring on
+    * ten thousand keys and 500 look significant" (at α=0.05, 5% of
+    * true nulls ALWAYS look significant; BH caps the false-discovery
+    * RATE instead of the per-test error). Returns the input columns
+    * plus `q_value`; null p-values get null q.
+    *
+    * 100 TB shape: p-values collapse to their DISTINCT-VALUE grain
+    * (tied p share a q by construction — p·n/j minimizes at the tie
+    * run's LAST rank, which the grain computes directly); the
+    * ascending rank is the range-partition prefix-sum device and the
+    * suffix min is the SAME device run descending with per-partition
+    * min offsets (min is as broadcastable as sum); the result maps
+    * back by an equi-join on p (grain-sized, usually broadcast). No
+    * global sort, no single-partition window.
+    */
+  def bhAdjust(df: DataFrame, pCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grain = df
+      .filter(col(pCol).isNotNull)
+      .select(col(pCol).cast("double").as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col("__p"))
+      .sortWithinPartitions(col("__p"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__s")).collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val n = running
+    if (n == 0L) return df.withColumn("q_value", lit(null).cast("double"))
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val wAsc = Window.partitionBy(col("__pid")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // raw BH value at each distinct p: p·n/rank-of-last-tie
+    val raw = grain
+      .join(offsetsDf, Seq("__pid"))
+      .select(col("__p"),
+        (col("__p") * n / (sum(col("__c")).over(wAsc) + col("__off")))
+          .as("__raw"))
+      .repartitionByRange(col("__p").desc)
+      .sortWithinPartitions(col("__p").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // second pass pins its own boundaries
+    val minOffsets = raw.groupBy(col("__pid"))
+      .agg(min(col("__raw")).as("__m")).collect().sortBy(_.getInt(0))
+    var runMin = Double.MaxValue
+    val minRows = minOffsets.map { r =>
+      val here = runMin; runMin = math.min(runMin, r.getDouble(1))
+      (r.getInt(0), here)
+    }
+    val minDf = broadcast(minRows.toSeq.toDF("__pid", "__moff"))
+    val wDesc = Window.partitionBy(col("__pid")).orderBy(col("__p").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mapping = raw
+      .join(minDf, Seq("__pid"))
+      .select(col("__p"),
+        least(lit(1.0),
+          least(min(col("__raw")).over(wDesc), col("__moff")))
+          .as("q_value"))
+    df.join(mapping, df(pCol).cast("double") === mapping("__p"), "left")
+      .drop("__p")
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (the at-scale
     * bootstrap: resampling n rows with replacement is a shuffle of the
     * whole dataset per replica, but each row's multiplicity in a

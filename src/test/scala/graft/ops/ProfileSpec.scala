@@ -411,5 +411,39 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("bhAdjust: hand q-values, ties share q, monotone, nulls pass through") {
+    import spark.implicits._
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.04),
+      ("e", 0.5)).toDF("id", "p")
+    val out = Profile.bhAdjust(df, "p")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // n=5; ranks (last-tie): .01->1, .02->3, .04->4, .5->5
+    // raw: .05, .0333.., .05, .5; suffix-min: .0333.., .0333.., .05, .5
+    val q02 = 0.02 * 5 / 3
+    assert(out("a") == q02 && out("b") == q02 && out("c") == q02)
+    assert(out("d") == 0.04 * 5 / 4)
+    assert(out("e") == 0.5)
+    // q monotone non-decreasing in p, always >= p, clamped at 1
+    val many = (1 to 500).map(i => (i.toLong, (i * i % 997) / 996.0))
+      .toDF("id", "p")
+    val qs = Profile.bhAdjust(many, "p")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    qs.sliding(2).foreach(w => assert(w(0)._2 <= w(1)._2))
+    qs.foreach { case (p, q) => assert(q >= p - 1e-15 && q <= 1.0) }
+    // null p -> null q, other rows unaffected
+    val withNull = Seq(("a", Some(0.3)), ("b", None))
+      .toDF("id", "p")
+    val rn = Profile.bhAdjust(withNull, "p").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(rn("b").isEmpty && rn("a").contains(0.3))
+    // partition invariance of the two-pass device
+    def run(parts: Int) =
+      Profile.bhAdjust(many.repartition(parts), "p")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(19))
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
