@@ -3216,6 +3216,25 @@ object SparkEntry {
             .cast("double") / lit(999999.0)).as("p_value"))
       graft.ops.Profile.bhAdjust(tests, "p_value")
         .orderBy(col("doc_id"))
+    }),
+
+    // Difference-in-differences (ops/Events.scala): did the B variant's
+    // per-user purchase value move more across the mid-month boundary
+    // than A's common trend? Unit grain = (user, half-month), one
+    // moments aggregation + 4-cell algebra; the oracle replays the
+    // decimal moments and every double op.
+    "q224_diff_in_diff" -> ((s, dir) => {
+      val perUnit = t(s, dir, "events")
+        .select(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B").as("grp"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"),
+            "p0_pre").otherwise("p1_post").as("period"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).as("v"))
+        .groupBy(col("user_id"), col("grp"), col("period"))
+        .agg(sum(col("v").cast("decimal(38,12)")).cast("double").as("y"))
+      graft.ops.Events.diffInDiff(perUnit, "grp", "period", "y")
     })
   )
 
@@ -7077,6 +7096,57 @@ object SparkEntry {
         |SELECT v.doc_id, v.p AS p_value, q.q_value
         |FROM v JOIN q ON v.p = q.p
         |ORDER BY v.doc_id""".stripMargin,
+
+    // decimal moments per (group, period) cell, then the DiD algebra in
+    // the operator's exact double op order
+    "q224_diff_in_diff" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p0_pre'
+        |      ELSE 'p1_post' END AS p,
+        |    CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0::DOUBLE END AS v
+        |  FROM events),
+        |unit AS (
+        |  SELECT user_id, g, p, sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS y
+        |  FROM u GROUP BY user_id, g, p),
+        |cells AS (
+        |  SELECT g, p, count(*)::BIGINT AS n,
+        |    sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+        |    sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy
+        |  FROM unit WHERE y IS NOT NULL GROUP BY g, p),
+        |m AS (
+        |  SELECT g, p, n, sy / n::DOUBLE AS mean,
+        |    (n::DOUBLE * syy - sy * sy) / (n::DOUBLE * (n::DOUBLE - 1.0))
+        |      AS vr
+        |  FROM cells),
+        |pv AS (SELECT
+        |    max(CASE WHEN g='A' AND p='p0_pre' THEN n END) AS nap,
+        |    max(CASE WHEN g='A' AND p='p1_post' THEN n END) AS napo,
+        |    max(CASE WHEN g='B' AND p='p0_pre' THEN n END) AS nbp,
+        |    max(CASE WHEN g='B' AND p='p1_post' THEN n END) AS nbpo,
+        |    max(CASE WHEN g='A' AND p='p0_pre' THEN mean END) AS map,
+        |    max(CASE WHEN g='A' AND p='p1_post' THEN mean END) AS mapo,
+        |    max(CASE WHEN g='B' AND p='p0_pre' THEN mean END) AS mbp,
+        |    max(CASE WHEN g='B' AND p='p1_post' THEN mean END) AS mbpo,
+        |    max(CASE WHEN g='A' AND p='p0_pre' THEN vr END) AS vap,
+        |    max(CASE WHEN g='A' AND p='p1_post' THEN vr END) AS vapo,
+        |    max(CASE WHEN g='B' AND p='p0_pre' THEN vr END) AS vbp,
+        |    max(CASE WHEN g='B' AND p='p1_post' THEN vr END) AS vbpo
+        |  FROM m),
+        |alg AS (
+        |  SELECT *, mapo - map AS bd, mbpo - mbp AS td,
+        |    (mbpo - mbp) - (mapo - map) AS eff,
+        |    sqrt(vap / nap + vapo / napo + vbp / nbp + vbpo / nbpo) AS se
+        |  FROM pv)
+        |SELECT nap AS n_a_pre, napo AS n_a_post, nbp AS n_b_pre,
+        |  nbpo AS n_b_post, round(bd, 6) AS baseline_diff,
+        |  round(td, 6) AS treated_diff, round(eff, 6) AS effect,
+        |  round(se, 6) AS se,
+        |  CASE WHEN se > 0 THEN round(eff / se, 6) END AS t
+        |FROM alg""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -346,6 +346,71 @@ object Events {
         thetaNum * thetaNum / (thetaDen * yDen)), 6).as("var_reduction"))
   }
 
+  /** Difference-in-differences estimator: the quasi-experiment readout
+    * when assignment wasn't randomized (a rollout hit group B while A
+    * stayed on the old path) — effect = (ȳ_B,post − ȳ_B,pre) −
+    * (ȳ_A,post − ȳ_A,pre), which differences away both the group gap
+    * and the common time trend (valid under parallel trends — the
+    * caller's assumption to defend, not the operator's). Input is a
+    * UNIT-GRAIN frame (one row per unit × period); exactly two group
+    * labels (smaller = control A) and two period labels (smaller =
+    * pre). Returns one row (n per cell, baseline_diff, treated_diff,
+    * effect, se, t), 6 dp — SE from the four cells' sample variances
+    * (independent-means algebra), null t when se = 0. Every cell needs
+    * n ≥ 2 (a variance exists), enforced loudly.
+    *
+    * 100 TB shape: ONE (group, period)-keyed aggregation computes
+    * every moment (n, Σy, Σy² — DECIMAL(38,12)-quantized); the
+    * estimator algebra runs on the 4-row frame driver-side (bounded),
+    * exactly replayable.
+    */
+  def diffInDiff(units: DataFrame, groupCol: String, periodCol: String,
+      yCol: String): DataFrame = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val cells = units
+      .select(col(groupCol).cast("string").as("__g"),
+        col(periodCol).cast("string").as("__p"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("__g"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(d12(col("__y"))).as("__sy"),
+        sum(d12(col("__y") * col("__y"))).as("__syy"))
+      .collect()
+    val gs = cells.map(_.getString(0)).distinct.sorted
+    val ps = cells.map(_.getString(1)).distinct.sorted
+    require(gs.length == 2 && ps.length == 2,
+      s"diffInDiff: need exactly 2 groups x 2 periods, got " +
+        s"groups=${gs.mkString(",")} periods=${ps.mkString(",")}")
+    case class Cell(n: Long, mean: Double, varS: Double)
+    def cell(g: String, p: String): Cell = {
+      val r = cells.find(r => r.getString(0) == g && r.getString(1) == p)
+        .getOrElse(sys.error(s"diffInDiff: empty cell ($g, $p)"))
+      val n = r.getLong(2)
+      require(n >= 2, s"diffInDiff: cell ($g, $p) needs n >= 2, got $n")
+      val sy = r.getDecimal(3).doubleValue()
+      val syy = r.getDecimal(4).doubleValue()
+      val nd = n.toDouble
+      Cell(n, sy / nd, (nd * syy - sy * sy) / (nd * (nd - 1.0)))
+    }
+    val (aPre, aPost) = (cell(gs(0), ps(0)), cell(gs(0), ps(1)))
+    val (bPre, bPost) = (cell(gs(1), ps(0)), cell(gs(1), ps(1)))
+    val baseDiff = aPost.mean - aPre.mean
+    val treatDiff = bPost.mean - bPre.mean
+    val effect = treatDiff - baseDiff
+    val se = math.sqrt(aPre.varS / aPre.n + aPost.varS / aPost.n +
+      bPre.varS / bPre.n + bPost.varS / bPost.n)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val t = if (se > 0) Some(r6(effect / se)) else None
+    Seq((aPre.n, aPost.n, bPre.n, bPost.n, r6(baseDiff), r6(treatDiff),
+      r6(effect), r6(se), t))
+      .toDF("n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        "baseline_diff", "treated_diff", "effect", "se", "t")
+  }
+
   /** Rolling active users: for every calendar day in the stream's
     * [min, max] day range, the exact count of distinct users active that
     * day (DAU) and in the trailing `windowDays`-day window ending that

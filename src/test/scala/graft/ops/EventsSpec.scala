@@ -505,6 +505,50 @@ class EventsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0) // adj = raw
   }
 
+  test("diffInDiff: hand-computed effect, SE, degenerate guards") {
+    import spark.implicits._
+    // A: pre {1,2} -> post {2,3} (diff +1); B: pre {1,3} -> post {4,6}
+    // (diff +3) -> effect = 2; cell vars 0.5/0.5/2/2 -> se = sqrt(2.5)
+    val units = Seq(
+      ("A", "pre", 1.0), ("A", "pre", 2.0),
+      ("A", "post", 2.0), ("A", "post", 3.0),
+      ("B", "pre", 1.0), ("B", "pre", 3.0),
+      ("B", "post", 4.0), ("B", "post", 6.0))
+      .toDF("g", "per", "y")
+    // NB: "post" < "pre" lexicographically — rename so pre sorts first
+    val relabeled = units.withColumn("per",
+      org.apache.spark.sql.functions.when(col("per") === "pre", "0pre")
+        .otherwise("1post"))
+    val r = Events.diffInDiff(relabeled, "g", "per", "y").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 &&
+      r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 3.0)
+    assert(r.getDouble(6) == 2.0)
+    val se = math.sqrt(2.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(7) == r6(se))
+    assert(r.getDouble(8) == r6(2.0 / se))
+    // all-constant outcomes: se = 0 -> null t, effect still defined
+    val flat = Seq(("A", "0", 5.0), ("A", "0", 5.0), ("A", "1", 5.0),
+      ("A", "1", 5.0), ("B", "0", 5.0), ("B", "0", 5.0),
+      ("B", "1", 5.0), ("B", "1", 5.0)).toDF("g", "per", "y")
+    val rf = Events.diffInDiff(flat, "g", "per", "y").collect()(0)
+    assert(rf.getDouble(6) == 0.0 && rf.isNullAt(8))
+    // a 1-row cell has no variance: loud failure
+    intercept[IllegalArgumentException] {
+      Events.diffInDiff(Seq(("A", "0", 1.0), ("A", "1", 1.0),
+        ("A", "1", 2.0), ("B", "0", 1.0), ("B", "0", 2.0),
+        ("B", "1", 1.0), ("B", "1", 2.0)).toDF("g", "per", "y"),
+        "g", "per", "y")
+    }
+    // wrong shape: loud failure
+    intercept[IllegalArgumentException] {
+      Events.diffInDiff(
+        Seq(("A", "0", 1.0), ("B", "1", 2.0), ("C", "0", 3.0))
+          .toDF("g", "per", "y"), "g", "per", "y")
+    }
+  }
+
   test("cupedAdjust: rejects experiments without exactly two variants") {
     val users = Seq(("A", 1.0, 1.0), ("B", 0.0, 2.0), ("C", 1.0, 3.0))
       .toDF("variant", "y", "x")
