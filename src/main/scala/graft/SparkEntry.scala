@@ -3235,7 +3235,16 @@ object SparkEntry {
         .groupBy(col("user_id"), col("grp"), col("period"))
         .agg(sum(col("v").cast("decimal(38,12)")).cast("double").as("y"))
       graft.ops.Events.diffInDiff(perUnit, "grp", "period", "y")
-    })
+    }),
+
+    // Lexical diversity (ops/TextAnalysis.scala): TTR, hapax share and
+    // Yule's K per document — the length-invariant repetitiveness gate
+    // next to q58's surface-repeat ratio. One (doc, word) count shuffle
+    // + one doc-keyed moments re-agg; all integer until the readout.
+    "q225_lexical_diversity" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lexicalDiversity(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7147,6 +7156,29 @@ object SparkEntry {
         |  round(se, 6) AS se,
         |  CASE WHEN se > 0 THEN round(eff / se, 6) END AS t
         |FROM alg""".stripMargin,
+
+    // the word-frequency spectrum per doc, all-integer moments, the
+    // q154 token convention
+    "q225_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*)::BIGINT AS m
+        |       FROM toks GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, sum(m)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |    sum(m * m)::BIGINT AS sm2
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+        |  round(v1::DOUBLE / n_types, 6) AS hapax_share,
+        |  round(10000.0::DOUBLE * (sm2 - n_tokens)::DOUBLE /
+        |    (n_tokens * n_tokens), 6) AS yules_k
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

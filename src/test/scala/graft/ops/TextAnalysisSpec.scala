@@ -289,4 +289,22 @@ class TextAnalysisSpec extends AnyFunSuite {
         "text", topK = 10).collect()(0).toSeq
     assert(run(1) == run(13))
   }
+
+  test("lexicalDiversity: hand spectrum, case folding, empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b c"), // N=4 V=3 V1=2 sm2=6: ttr .75, hapax 2/3, K 1250
+      (2L, "A a"), // case-folds to one type: N=2 V=1 V1=0 sm2=4, K 5000
+      (3L, "   "), // zero tokens: dropped
+      (4L, "x y z")) // all hapax: ttr 1, hapax 1, K 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L) == ((4L, 3L, 0.75, 0.666667, 1250.0)))
+    assert(out(2L) == ((2L, 1L, 0.5, 0.0, 5000.0)))
+    assert(out(4L) == ((3L, 3L, 1.0, 1.0, 0.0)))
+  }
 }
