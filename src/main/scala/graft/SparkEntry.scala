@@ -3244,7 +3244,24 @@ object SparkEntry {
     "q225_lexical_diversity" -> ((s, dir) =>
       graft.ops.TextAnalysis.lexicalDiversity(
         t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Cochran-Mantel-Haenszel (ops/Profile.scala): variant vs
+    // urgent-order conversion, stratified by market segment — the
+    // Simpson's-paradox-safe A/B. One stratum aggregation, decimal
+    // E/V/OR terms, chi-square p via the A&S polynomial.
+    "q226_cmh_test" -> ((s, dir) => {
+      val conv = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val units = t(s, dir, "customer")
+        .join(conv, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"),
+          when(substring(md5(col("c_custkey").cast("string")), 1, 1) < "8",
+            "A").otherwise("B").as("grp"),
+          when(col("o_custkey").isNotNull, 1).otherwise(0).as("conv"))
+      graft.ops.Profile.cmhTest(units, "seg", "grp", "conv")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7179,6 +7196,54 @@ object SparkEntry {
         |  round(10000.0::DOUBLE * (sm2 - n_tokens)::DOUBLE /
         |    (n_tokens * n_tokens), 6) AS yules_k
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // per-stratum 2x2 tables, decimal E/V/OR sums, the operator's exact
+    // double algebra and A&S normal-tail polynomial
+    "q226_cmh_test" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |u AS (
+        |  SELECT c_mktsegment AS s,
+        |    CASE WHEN substring(md5(c_custkey::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+        |st AS (
+        |  SELECT s,
+        |    sum(CASE WHEN g='A' AND y=1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN g='A' AND y=0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN g='B' AND y=1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN g='B' AND y=0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM u GROUP BY s),
+        |st2 AS (SELECT *, (a + b + c + d)::BIGINT AS n FROM st
+        |        WHERE a + b + c + d >= 2),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nu,
+        |    sum(a)::BIGINT AS sa,
+        |    sum(CAST((a + b)::DOUBLE * (a + c) / n::DOUBLE
+        |      AS DECIMAL(38,12)))::DOUBLE AS se,
+        |    sum(CAST((a + b)::DOUBLE * (c + d) * (a + c) * (b + d) /
+        |      (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))
+        |      AS DECIMAL(38,12)))::DOUBLE AS sv,
+        |    sum(CAST(a::DOUBLE * d / n::DOUBLE
+        |      AS DECIMAL(38,12)))::DOUBLE AS son,
+        |    sum(CAST(b::DOUBLE * c / n::DOUBLE
+        |      AS DECIMAL(38,12)))::DOUBLE AS sod
+        |  FROM st2),
+        |alg AS (SELECT *, (sa - se) * (sa - se) / sv AS x FROM agg),
+        |phi AS (SELECT *, sqrt(x) AS ax,
+        |  1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * sqrt(x)) AS tt
+        |  FROM alg)
+        |SELECT k AS n_strata, nu AS n_units, sa AS sum_a,
+        |  round(x, 6) AS chi2,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |    (exp(-ax * ax / 2.0::DOUBLE) / sqrt(2.0::DOUBLE * pi()) *
+        |      (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value,
+        |  round(son / sod, 6) AS or_mh
+        |FROM phi""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

@@ -511,6 +511,97 @@ object Profile {
       .drop("__p")
   }
 
+  /** Cochran-Mantel-Haenszel test + Mantel-Haenszel pooled odds ratio:
+    * the STRATIFIED 2×2 association test — "did the variant move
+    * conversion, controlling for segment" — the Simpson's-paradox-safe
+    * A/B readout (a confounder that correlates with both assignment
+    * and outcome flips naive pooled rates; CMH conditions on it).
+    * Input is unit grain with a stratum label, exactly two group
+    * labels (smaller = A) and a 0/1 outcome. Per stratum k with table
+    * (a=conv_A, b=non_A, c=conv_B, d=non_B), N=a+b+c+d:
+    *
+    *   χ² = (Σa − Σ E_k)² / Σ V_k,  E = (a+b)(a+c)/N,
+    *   V = (a+b)(c+d)(a+c)(b+d) / (N²(N−1)),
+    *   OR_MH = Σ(ad/N) / Σ(bc/N),
+    *
+    * NO continuity correction (documented convention); p from the
+    * 1-df chi-square via the normal tail (χ²₁ = Z², A&S 7.1.26 — the
+    * [[mannWhitney]] polynomial, replayable). Strata with N < 2 are
+    * dropped (V undefined there). Returns one row (n_strata, n_units,
+    * sum_a, chi2, p_value, or_mh), 6 dp; all-degenerate margins
+    * (ΣV = 0) yield null chi2/p, OR null when its denominator is 0.
+    *
+    * 100 TB shape: ONE stratum-keyed aggregation builds every 2×2;
+    * per-stratum E/V/OR terms quantize to DECIMAL(38,12) before the
+    * final 1-row sum (order-invariant — the house device), so the
+    * whole statistic is engine-replayable.
+    */
+  def cmhTest(units: DataFrame, stratumCol: String, groupCol: String,
+      convertedCol: String): DataFrame = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val vals = units
+      .filter(col(stratumCol).isNotNull && col(groupCol).isNotNull &&
+        col(convertedCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(groupCol).cast("string").as("__g"),
+        col(convertedCol).cast("int").as("__y"))
+    val labels = vals.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"cmhTest: need exactly 2 groups, got ${labels.mkString(",")}")
+    val (la, lb) = (labels(0), labels(1))
+    val strata = vals.groupBy(col("__s"))
+      .agg(
+        sum(when(col("__g") === la && col("__y") === 1, 1L)
+          .otherwise(0L)).as("__a"),
+        sum(when(col("__g") === la && col("__y") === 0, 1L)
+          .otherwise(0L)).as("__b"),
+        sum(when(col("__g") === lb && col("__y") === 1, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col("__g") === lb && col("__y") === 0, 1L)
+          .otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+      .filter(col("__n") >= 2)
+    val nd = col("__n").cast("double")
+    val agg = strata.agg(
+        count(lit(1)).as("k"), sum(col("__n")).as("nu"),
+        sum(col("__a")).as("sa"),
+        sum(d12((col("__a") + col("__b")).cast("double") *
+          (col("__a") + col("__c")) / nd)).as("se_"),
+        sum(d12((col("__a") + col("__b")).cast("double") * (col("__c") + col("__d")) *
+          (col("__a") + col("__c")) * (col("__b") + col("__d")) /
+          (nd * nd * (nd - 1.0)))).as("sv"),
+        sum(d12(col("__a").cast("double") * col("__d") / nd)).as("son"),
+        sum(d12(col("__b").cast("double") * col("__c") / nd)).as("sod"))
+      .head()
+    val k = agg.getLong(0)
+    require(k >= 1, "cmhTest: no stratum with N >= 2")
+    val nUnits = agg.getLong(1)
+    val sa = agg.getLong(2)
+    val se = agg.getDecimal(3).doubleValue()
+    val sv = agg.getDecimal(4).doubleValue()
+    val orNum = agg.getDecimal(5).doubleValue()
+    val orDen = agg.getDecimal(6).doubleValue()
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (chi2, p) =
+      if (sv > 0) {
+        val x = (sa - se) * (sa - se) / sv
+        val ax = math.sqrt(x)
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+        (Some(r6(x)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    val orMh = if (orDen > 0) Some(r6(orNum / orDen)) else None
+    Seq((k, nUnits, sa, chi2, p, orMh))
+      .toDF("n_strata", "n_units", "sum_a", "chi2", "p_value", "or_mh")
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (the at-scale
     * bootstrap: resampling n rows with replacement is a shuffle of the
     * whole dataset per replica, but each row's multiplicity in a

@@ -445,5 +445,46 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(1) == run(19))
   }
 
+  test("cmhTest: naive replication, degenerate margins, tiny strata drop") {
+    import spark.implicits._
+    // two strata with opposite base rates (the Simpson setup)
+    val rows =
+      Seq.fill(8)(("s1", "A", 1)) ++ Seq.fill(2)(("s1", "A", 0)) ++
+      Seq.fill(6)(("s1", "B", 1)) ++ Seq.fill(4)(("s1", "B", 0)) ++
+      Seq.fill(2)(("s2", "A", 1)) ++ Seq.fill(8)(("s2", "A", 0)) ++
+      Seq.fill(1)(("s2", "B", 1)) ++ Seq.fill(9)(("s2", "B", 0))
+    val r = Profile.cmhTest(rows.toDF("s", "g", "y"), "s", "g", "y")
+      .collect()(0)
+    // naive replication of the statistic
+    val tables = Seq((8.0, 2.0, 6.0, 4.0), (2.0, 8.0, 1.0, 9.0))
+    val sa = tables.map(_._1).sum
+    val se = tables.map { case (a, b, c, d) =>
+      val n = a + b + c + d; (a + b) * (a + c) / n }.sum
+    val sv = tables.map { case (a, b, c, d) =>
+      val n = a + b + c + d
+      (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)) }.sum
+    val x = (sa - se) * (sa - se) / sv
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L && r.getLong(2) == 10L)
+    assert(math.abs(r.getDouble(3) - x) < 1e-6)
+    val orMh = tables.map { case (a, b, c, d) => a * d / (a + b + c + d) }.sum /
+      tables.map { case (a, b, c, d) => b * c / (a + b + c + d) }.sum
+    assert(r.getDouble(5) == r6(orMh))
+    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    // all-converted: degenerate margins -> null chi2/p/or
+    val flat = Seq(("s1", "A", 1), ("s1", "A", 1), ("s1", "B", 1),
+      ("s1", "B", 1)).toDF("s", "g", "y")
+    val rf = Profile.cmhTest(flat, "s", "g", "y").collect()(0)
+    assert(rf.isNullAt(3) && rf.isNullAt(4) && rf.isNullAt(5))
+    // a 1-unit stratum is dropped, the rest still counts
+    val tiny = (Seq(("lone", "A", 1)) ++ rows).toDF("s", "g", "y")
+    val rt = Profile.cmhTest(tiny, "s", "g", "y").collect()(0)
+    assert(rt.getLong(0) == 2L && rt.getLong(1) == 40L)
+    intercept[IllegalArgumentException] {
+      Profile.cmhTest(Seq(("s", "A", 1), ("s", "B", 0), ("s", "C", 1))
+        .toDF("s", "g", "y"), "s", "g", "y").collect()
+    }
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
