@@ -2322,6 +2322,43 @@ object ScaleCheck {
       s"CI width ${hi - lo} out of the se-derived band")
     println(f"EVALSCALE> bootstrap rows=5000000 replicas=40 mean=$pm%.4f " +
       f"ci=[$lo%.4f, $hi%.4f] t=$tCi%.1f s")
+
+    // KS + Mann-Whitney at 20M rows, 2 groups with a planted location
+    // shift of ~3% of a 1,000-value grain: both detect it (p ~ 0)
+    // while staying distinct-value-grain-sized
+    val shifted = spark.range(20000000L).select(
+        when(pmod(col("id"), lit(2L)) === 0, "a").otherwise("b").as("g"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(1000L)) +
+          when(pmod(col("id"), lit(2L)) === 0, lit(0L)).otherwise(lit(30L)))
+          .cast("double").as("v"))
+      .localCheckpoint(true)
+    val (ks, tKs) = time {
+      graft.ops.Profile.ksTest(shifted, "g", "v").collect()(0)
+    }
+    require(ks.getDouble(2) > 0.02 && ks.getDouble(3) < 0.01,
+      s"planted shift must be detected: D=${ks.getDouble(2)} p=${ks.getDouble(3)}")
+    println(f"EVALSCALE> ks rows=20000000 d=${ks.getDouble(2)}%.4f " +
+      f"p=${ks.getDouble(3)}%.6f t=$tKs%.1f s")
+    val (mw, tMw) = time {
+      graft.ops.Profile.mannWhitney(shifted, "g", "v").collect()(0)
+    }
+    require(mw.getDouble(4) < -10 && mw.getDouble(5) < 1e-6,
+      s"shift must dominate: z=${mw.getDouble(4)} p=${mw.getDouble(5)}")
+    println(f"EVALSCALE> mw rows=20000000 z=${mw.getDouble(4)}%.2f " +
+      f"p=${mw.getDouble(5)}%.6f t=$tMw%.1f s")
+    // BH over 20M synthetic p-values (the fleet-scale correction pass)
+    val pvals = spark.range(20000000L).select(col("id"),
+      (pmod(xxhash64(col("id"), lit(29)), lit(1000000L)).cast("double") /
+        999999.0).as("p"))
+    val (bh, tBh) = time {
+      graft.ops.Profile.bhAdjust(pvals, "p")
+        .agg(count(lit(1)), max(col("q_value")), min(col("q_value")))
+        .collect()(0)
+    }
+    require(bh.getLong(0) == 20000000L && bh.getDouble(1) <= 1.0,
+      "every row adjusted, q clamped at 1")
+    println(f"EVALSCALE> bh rows=20000000 q_max=${bh.getDouble(1)}%.6f " +
+      f"q_min=${bh.getDouble(2)}%.6f t=$tBh%.1f s")
     }
 
     if (run("sfbench100")) {
