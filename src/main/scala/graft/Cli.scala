@@ -674,6 +674,22 @@ object Cli {
           case "cuped" =>
             graft.ops.Events.cupedAdjust(df, req("variant-col"),
               req("y-col"), req("x-col"))
+          case "ks" =>
+            graft.ops.Profile.ksTest(df, req("group-col"), req("value-col"))
+          case "mannwhitney" =>
+            graft.ops.Profile.mannWhitney(df, req("group-col"),
+              req("value-col"))
+          case "cmh" =>
+            graft.ops.Profile.cmhTest(df, req("stratum-col"),
+              req("group-col"), req("conv-col"))
+          case "did" =>
+            graft.ops.Events.diffInDiff(df, req("group-col"),
+              req("period-col"), req("y-col"))
+          case "balance" =>
+            graft.ops.Events.covariateBalance(df, req("group-col"),
+              req("covariates").split(",").toSeq)
+          case "fdr" =>
+            graft.ops.Profile.bhAdjust(df, req("p-col"))
           case "harmonic" =>
             val seeds = spark.read.parquet(req("seeds"))
             graft.ops.Graph.harmonicCentrality(df, req("src-col"),

@@ -3261,6 +3261,26 @@ object SparkEntry {
             "A").otherwise("B").as("grp"),
           when(col("o_custkey").isNotNull, 1).otherwise(0).as("conv"))
       graft.ops.Profile.cmhTest(units, "seg", "grp", "conv")
+    }),
+
+    // Covariate balance / SMD (ops/Events.scala): is the hash-split
+    // experiment actually balanced on pre-metrics? One group-keyed
+    // moments aggregation across all covariates, SMD per covariate
+    // with the |SMD|>0.1 imbalance flag.
+    "q227_covariate_balance" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"),
+          sum(col("value").cast("decimal(38,12)")).cast("double")
+            .as("total_value"),
+          count(lit(1)).cast("double").as("n_events"))
+        .withColumn("grp",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Events.covariateBalance(perUser, "grp",
+          Seq("engagement", "total_value", "n_events"))
+        .orderBy(col("covariate"))
     })
   )
 
@@ -7244,6 +7264,46 @@ object SparkEntry {
         |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value,
         |  round(son / sod, 6) AS or_mh
         |FROM phi""".stripMargin,
+
+    // per-covariate moments + SMD algebra in the operator's op order,
+    // one UNION ALL block per covariate
+    "q227_covariate_balance" -> {
+      val blocks = Seq("engagement", "total_value", "n_events").map { cv =>
+        s"""SELECT '$cv' AS covariate, na AS n_a, nb AS n_b,
+           |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           |  round((ma - mb) / sqrt((va + vb) / 2.0::DOUBLE), 6) AS smd,
+           |  abs(round((ma - mb) / sqrt((va + vb) / 2.0::DOUBLE), 6))
+           |    > 0.1::DOUBLE AS imbalanced
+           |FROM (
+           |  SELECT
+           |    max(CASE WHEN g = 'A' THEN n END)::BIGINT AS na,
+           |    max(CASE WHEN g = 'B' THEN n END)::BIGINT AS nb,
+           |    max(CASE WHEN g = 'A' THEN sx / n::DOUBLE END) AS ma,
+           |    max(CASE WHEN g = 'B' THEN sx / n::DOUBLE END) AS mb,
+           |    max(CASE WHEN g = 'A' THEN
+           |      (n::DOUBLE * sxx - sx * sx) / (n::DOUBLE * (n::DOUBLE - 1.0))
+           |      END) AS va,
+           |    max(CASE WHEN g = 'B' THEN
+           |      (n::DOUBLE * sxx - sx * sx) / (n::DOUBLE * (n::DOUBLE - 1.0))
+           |      END) AS vb
+           |  FROM (
+           |    SELECT g, count($cv)::BIGINT AS n,
+           |      sum(CAST($cv AS DECIMAL(38,12)))::DOUBLE AS sx,
+           |      sum(CAST($cv * $cv AS DECIMAL(38,12)))::DOUBLE AS sxx
+           |    FROM v GROUP BY g))"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+         |      AS engagement,
+         |    sum(CAST(value AS DECIMAL(38,12)))::DOUBLE AS total_value,
+         |    count(*)::DOUBLE AS n_events
+         |  FROM events GROUP BY user_id),
+         |v AS (SELECT *, CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+         |        < '8' THEN 'A' ELSE 'B' END AS g FROM u)
+         |$blocks
+         |ORDER BY covariate""".stripMargin
+    },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

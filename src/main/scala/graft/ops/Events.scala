@@ -411,6 +411,69 @@ object Events {
         "baseline_diff", "treated_diff", "effect", "se", "t")
   }
 
+  /** Covariate balance table: per covariate, group means and the
+    * standardized mean difference `SMD = (x̄_A − x̄_B)/√((s²_A+s²_B)/2)`
+    * — the assignment-quality diagnostic that decides whether a
+    * [[cupedAdjust]]/[[diffInDiff]] readout can be believed (|SMD| >
+    * 0.1 is the conventional imbalance flag: the "treatment effect"
+    * may be the covariate). Exactly two group labels (smaller = A).
+    * Returns one row per covariate (covariate, n_a, n_b, mean_a,
+    * mean_b, smd, imbalanced), 6 dp; zero pooled variance yields null
+    * SMD (and no flag — constant covariates are trivially balanced).
+    * Null covariate values are dropped per covariate (pairwise
+    * deletion, the correlation-matrix convention).
+    *
+    * 100 TB shape: ONE group-keyed aggregation computes every
+    * covariate's moments side by side (n, Σx, Σx² per covariate —
+    * DECIMAL-quantized); the SMD algebra runs on the 2-row pivot.
+    */
+  def covariateBalance(units: DataFrame, groupCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "covariateBalance: need >= 1 covariate")
+    val spark = units.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val aggs = covariates.flatMap { cv =>
+      val x = col(cv).cast("double")
+      Seq(count(x).as(s"__n_$cv"),
+        sum(d12(x)).as(s"__sx_$cv"),
+        sum(d12(x * x)).as(s"__sxx_$cv"))
+    }
+    val m = units
+      .select(col(groupCol).cast("string").as("__g") +:
+        covariates.map(c => col(c)): _*)
+      .groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val labels = m.map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"covariateBalance: need exactly 2 groups, got ${labels.mkString(",")}")
+    val rowA = m.find(_.getString(0) == labels(0)).get
+    val rowB = m.find(_.getString(0) == labels(1)).get
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = covariates.map { cv =>
+      def stats(r: org.apache.spark.sql.Row) = {
+        val n = r.getLong(r.fieldIndex(s"__n_$cv"))
+        require(n >= 2,
+          s"covariateBalance: covariate '$cv' needs n >= 2 per group")
+        val sx = r.getDecimal(r.fieldIndex(s"__sx_$cv")).doubleValue()
+        val sxx = r.getDecimal(r.fieldIndex(s"__sxx_$cv")).doubleValue()
+        val nd = n.toDouble
+        (n, sx / nd, (nd * sxx - sx * sx) / (nd * (nd - 1.0)))
+      }
+      val (na, meanA, varA) = stats(rowA)
+      val (nb, meanB, varB) = stats(rowB)
+      val pooled = math.sqrt((varA + varB) / 2.0)
+      val smd = if (pooled > 0) Some(r6((meanA - meanB) / pooled)) else None
+      (cv, na, nb, r6(meanA), r6(meanB), smd,
+        smd.map(s => math.abs(s) > 0.1))
+    }
+    out.toDF("covariate", "n_a", "n_b", "mean_a", "mean_b", "smd",
+      "imbalanced")
+  }
+
   /** Rolling active users: for every calendar day in the stream's
     * [min, max] day range, the exact count of distinct users active that
     * day (DAU) and in the trailing `windowDays`-day window ending that

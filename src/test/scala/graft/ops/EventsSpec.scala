@@ -549,6 +549,40 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("covariateBalance: hand SMD, balanced and constant covariates") {
+    import spark.implicits._
+    val units = Seq(
+      ("A", 1.0, 10.0, 5.0), ("A", 3.0, 20.0, 5.0),
+      ("B", 5.0, 10.0, 5.0), ("B", 9.0, 20.0, 5.0))
+      .toDF("g", "shifted", "balanced", "const")
+    val out = Events.covariateBalance(units, "g",
+        Seq("shifted", "balanced", "const"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // shifted: means 2 vs 7, vars 2 and 8 -> smd = -5/sqrt(5)
+    val s = out("shifted")
+    assert(s.getDouble(3) == 2.0 && s.getDouble(4) == 7.0)
+    def r6(x: Double) = -math.floor(-x * 1e6 + 0.5) / 1e6
+    assert(s.getDouble(5) == r6(-5.0 / math.sqrt(5.0)))
+    assert(s.getBoolean(6))
+    // balanced: identical distributions -> smd 0, no flag
+    val b = out("balanced")
+    assert(b.getDouble(5) == 0.0 && !b.getBoolean(6))
+    // constant: zero pooled variance -> null smd, null flag
+    val c = out("const")
+    assert(c.isNullAt(5) && c.isNullAt(6))
+    // contracts: 2 groups, n >= 2 per group
+    intercept[IllegalArgumentException] {
+      Events.covariateBalance(
+        Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)).toDF("g", "x"),
+        "g", Seq("x")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Events.covariateBalance(
+        Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("g", "x"),
+        "g", Seq("x")).collect()
+    }
+  }
+
   test("cupedAdjust: rejects experiments without exactly two variants") {
     val users = Seq(("A", 1.0, 1.0), ("B", 0.0, 2.0), ("C", 1.0, 3.0))
       .toDF("variant", "y", "x")
