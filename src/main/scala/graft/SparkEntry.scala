@@ -3188,6 +3188,10 @@ object SparkEntry {
     // Kolmogorov series, folded in a fixed order the oracle replays.
     "q221_ks_drift" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+        // lang IS NOT NULL mirrors the oracle's predicate exactly — a
+        // null lang must not silently join the "other" group on one
+        // face only (operator/oracle parity)
+        .filter(col("lang").isNotNull)
         .select(when(col("lang") === "en", "en").otherwise("other")
           .as("grp"), col("n_chars"))
       graft.ops.Profile.ksTest(docs, "grp", "n_chars")

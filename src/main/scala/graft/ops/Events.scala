@@ -299,7 +299,8 @@ object Events {
       .select(col(variantCol).cast("string").as("__v"),
         col(yCol).cast("double").as("__y"),
         col(xCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .filter(col("__v").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
       .groupBy(col("__v"))
       .agg(count(lit(1)).as("__n"),
         sum(d12(col("__x"))).as("__sx"),
@@ -442,6 +443,7 @@ object Events {
     val m = units
       .select(col(groupCol).cast("string").as("__g") +:
         covariates.map(c => col(c)): _*)
+      .filter(col("__g").isNotNull)
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

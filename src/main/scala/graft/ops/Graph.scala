@@ -717,7 +717,11 @@ object Graph {
         cur.select(col("walk_id")).distinct().count(),
       "randomWalks: walk ids must be unique — a duplicated id would " +
         "interleave two walks into one argmin chain")
-    var out = cur
+    // each step frame is already checkpointed — accumulate them in a
+    // buffer and union ONCE after the loop; re-materializing the
+    // running union per step would write ~len²/2 × |walks| rows total
+    // (5× amplification at len=10) for zero benefit
+    val steps = scala.collection.mutable.ArrayBuffer(cur)
     var t = 0
     while (t < len) {
       val h = md5(concat(col("walk_id").cast("string"), lit(":"),
@@ -731,10 +735,10 @@ object Graph {
         .select(col("walk_id"), lit(t + 1).as("step"),
           col("__c.n").as("node"))
         .localCheckpoint(true)
-      out = out.unionAll(cur).localCheckpoint(true)
+      steps += cur
       t += 1
     }
-    out.orderBy(col("walk_id"), col("step"))
+    steps.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
   }
 
   /** Landmark harmonic centrality (Boldi & Vigna 2014, "Axioms for

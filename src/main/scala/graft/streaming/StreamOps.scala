@@ -623,7 +623,7 @@ object StreamOps {
   case class RetentionMark(user_id: Long, cohort_week: java.sql.Timestamp,
       week_offset: Int)
 
-  case class RetentionState(weeks: Seq[Long])
+  case class RetentionState(weeks: Seq[Long], lastTs: Long)
 
   /** Streaming cohort retention — the continuous form of
     * [[graft.ops.Events.cohortRetention]]: per-user state accumulates
@@ -671,8 +671,12 @@ object StreamOps {
             val arr = rows.toSeq
             val merged = (state.getOption.map(_.weeks).getOrElse(Seq.empty)
               ++ arr.map(_._3.getTime)).distinct
-            state.update(RetentionState(merged))
-            val lastTs = arr.map(_._2.getTime).max
+            // the quiet-period clock runs from the LATEST event seen so
+            // far, not this batch's max — a late-but-in-watermark event
+            // must never shorten an already-set timeout (double-emit)
+            val lastTs = math.max(arr.map(_._2.getTime).max,
+              state.getOption.map(_.lastTs).getOrElse(Long.MinValue))
+            state.update(RetentionState(merged, lastTs))
             state.setTimeoutTimestamp(
               math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
@@ -685,7 +689,7 @@ object StreamOps {
     * earliest-completion rule, `step_ts` = their epoch-millis times. */
   case class FunnelUser(user_id: Long, reached: Int, step_ts: Seq[Long])
 
-  case class FunnelProgressState(times: Seq[Seq[Long]])
+  case class FunnelProgressState(times: Seq[Seq[Long]], lastTs: Long)
 
   /** Streaming funnel — the continuous form of
     * [[graft.ops.Events.funnelTimes]] (q166's per-user stage), the
@@ -755,8 +759,11 @@ object StreamOps {
                 case (_, t, e) if stepIdx(e) == k => t.getTime
               }).distinct
             }
-            state.update(FunnelProgressState(merged))
-            val lastTs = arrivals.map(_._2.getTime).max
+            // quiet-period clock from the LATEST event overall (state ∨
+            // batch), never this batch alone — see streamingRetention
+            val lastTs = math.max(arrivals.map(_._2.getTime).max,
+              state.getOption.map(_.lastTs).getOrElse(Long.MinValue))
+            state.update(FunnelProgressState(merged, lastTs))
             state.setTimeoutTimestamp(
               math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
