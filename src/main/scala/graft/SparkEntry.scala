@@ -133,6 +133,115 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Emits the DuckDB replay of [[graft.ops.Events.olsAdjust]]: per-
+    * variant Gram moments (decimal-exact sums — the q218 device) over a
+    * `perUser` subquery producing columns (v, y, x0..x{k-1}) with
+    * variant labels 'A' < 'B', then the operator's pivotless
+    * Gauss-Jordan unrolled — one CTE per elimination step, every entry
+    * rebuilt from the previous step with the operator's exact
+    * expression shape, so each intermediate double is bit-identical to
+    * the driver-side solve. */
+  private def olsOracleSql(perUser: String, k: Int,
+      terms: Seq[String]): String = {
+    require(terms.size == k)
+    val p = k + 2
+    val w = 2 * p + 1
+    val d = "DECIMAL(38,12)"
+    val notNull = (Seq("y") ++ (0 until k).map(i => s"x$i"))
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val momAggs = (Seq("count(*)::BIGINT AS n",
+      s"sum(CAST(y AS $d)) AS sy",
+      s"sum(CAST(y * y AS $d)) AS syy") ++
+      (0 until k).map(i => s"sum(CAST(x$i AS $d)) AS sx$i") ++
+      (0 until k).map(i => s"sum(CAST(x$i * y AS $d)) AS sx${i}y") ++
+      (for { i <- 0 until k; j <- i until k }
+        yield s"sum(CAST(x$i * x$j AS $d)) AS sx${i}x$j"))
+      .mkString(",\n    ")
+    def pa(f: String) = s"max(CASE WHEN v = 'A' THEN $f END)"
+    def pb(f: String) = s"max(CASE WHEN v = 'B' THEN $f END)"
+    def bothD(f: String) = s"(${pa(f)} + ${pb(f)})::DOUBLE AS $f"
+    val momentNames = Seq("sy", "syy") ++
+      (0 until k).map(i => s"sx$i") ++
+      (0 until k).map(i => s"sx${i}y") ++
+      (for { i <- 0 until k; j <- i until k } yield s"sx${i}x$j")
+    val pvCols = (Seq(
+      s"(${pa("n")} + ${pb("n")})::BIGINT AS n",
+      s"${pb("n")}::BIGINT AS nb",
+      s"${pb("sy")}::DOUBLE AS syb") ++
+      (0 until k).map(i => s"${pb(s"sx$i")}::DOUBLE AS sxb$i") ++
+      momentNames.map(bothD)).mkString(",\n    ")
+    // initial augmented [XᵀX | Xᵀy | I], design order (1, T, x₀..)
+    def gram(r: Int, c: Int): String = (r, c) match {
+      case (0, 0)           => "n::DOUBLE"
+      case (0, 1) | (1, 1)  => "nb::DOUBLE"
+      case (0, c2)          => s"sx${c2 - 2}"
+      case (1, c2)          => s"sxb${c2 - 2}"
+      case (r2, c2) =>
+        s"sx${math.min(r2 - 2, c2 - 2)}x${math.max(r2 - 2, c2 - 2)}"
+    }
+    def init(r: Int, j: Int): String =
+      if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+      else if (j == p) r match {
+        case 0 => "sy"
+        case 1 => "syb"
+        case i => s"sx${i - 2}y"
+      }
+      else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+    val g0 = (for { r <- 0 until p; j <- 0 until w }
+      yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+    val steps = (0 until p).map { c =>
+      val entries = (for { r <- 0 until p; j <- 0 until w } yield {
+        val e =
+          if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+          else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+        s"$e AS g_${r}_$j"
+      }).mkString(",\n    ")
+      val from = if (c == 0) "g0" else s"s$c"
+      s"s${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
+    }.mkString(",\n")
+    val rhs = (0 until p).map {
+      case 0 => "pv.sy"
+      case 1 => "pv.syb"
+      case i => s"pv.sx${i - 2}y"
+    }
+    val rss = (0 until p).foldLeft("pv.syy") { (acc, i) =>
+      s"($acc - (s.g_${i}_$p * ${rhs(i)}))"
+    }
+    val algCols = (Seq("pv.n AS n", s"(pv.n - $p)::DOUBLE AS dof",
+      s"$rss AS rss",
+      "(pv.syy - ((pv.sy * pv.sy) / (pv.n)::DOUBLE)) AS sst") ++
+      (0 until p).map(i => s"s.g_${i}_$p AS beta$i") ++
+      (0 until p).map(i => s"s.g_${i}_${p + 1 + i} AS inv$i"))
+      .mkString(",\n    ")
+    val termRows = ("intercept" +: "treatment" +: terms).zipWithIndex
+      .map { case (term, i) =>
+        val se = s"sqrt(greatest((rss / dof), 0.0::DOUBLE) * inv$i)"
+        s"""SELECT $i AS term_idx, '$term' AS term, n,
+           |  round(beta$i, 6) AS coef, round($se, 6) AS se,
+           |  CASE WHEN round($se, 6) > 0.0::DOUBLE
+           |    THEN round(beta$i / $se, 6) END AS t_stat,
+           |  CASE WHEN sst > 0.0::DOUBLE
+           |    THEN round((1.0::DOUBLE - (rss / sst)), 6) END AS r2
+           |FROM alg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH u AS MATERIALIZED ($perUser),
+       |mom AS MATERIALIZED (
+       |  SELECT v, $momAggs
+       |  FROM u WHERE v IS NOT NULL AND $notNull GROUP BY v),
+       |pv AS MATERIALIZED (SELECT
+       |    $pvCols
+       |  FROM mom),
+       |g0 AS (SELECT
+       |    $g0
+       |  FROM pv),
+       |$steps,
+       |alg AS MATERIALIZED (SELECT
+       |    $algCols
+       |  FROM s$p AS s, pv)
+       |$termRows
+       |ORDER BY term_idx""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= reference surface (librarian §2.1-2.8) =============
@@ -3285,6 +3394,28 @@ object SparkEntry {
       graft.ops.Events.covariateBalance(perUser, "grp",
           Seq("engagement", "total_value", "n_events"))
         .orderBy(col("covariate"))
+    }),
+
+    // OLS regression-adjusted treatment effect / ANCOVA
+    // (ops/Events.scala): q218's experiment re-read with TWO covariates
+    // (engagement count, distinct active days) — one variant-keyed
+    // Gram-moment aggregation, pivotless Gauss-Jordan on the 4×4
+    // normal equations driver-side; the oracle unrolls the identical
+    // elimination order over the same decimal-exact moments.
+    "q228_ols_adjust" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).cast("double").as("y"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"),
+          countDistinct(to_date(col("ts"))).cast("double")
+            .as("active_days"))
+        .withColumn("variant",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Events.olsAdjust(perUser, "variant", "y",
+        Seq("engagement", "active_days"))
     })
   )
 
@@ -7307,6 +7438,25 @@ object SparkEntry {
          |        < '8' THEN 'A' ELSE 'B' END AS g FROM u)
          |$blocks
          |ORDER BY covariate""".stripMargin
+    },
+
+    // OLS normal-equation replay: the per-variant Gram moments
+    // (decimal-exact, the q218 device), then olsAdjust's pivotless
+    // Gauss-Jordan UNROLLED step by step — each CTE rebuilds the full
+    // augmented matrix from the previous one with the operator's exact
+    // expression shape (r_j − r_c·(c_j/pivot)), so every intermediate
+    // double lands bit-identically and round(...,6) trivially agrees.
+    "q228_ols_adjust" -> {
+      val perUser =
+        """SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+          |    THEN 'A' ELSE 'B' END AS v,
+          |  (sum(CASE WHEN event_type = 'purchase' THEN value
+          |       ELSE 0.0::DOUBLE END))::DOUBLE AS y,
+          |  (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+          |    AS x0,
+          |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS x1
+          |FROM events GROUP BY user_id""".stripMargin
+      olsOracleSql(perUser, 2, Seq("engagement", "active_days"))
     },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,

@@ -476,6 +476,139 @@ object Events {
       "imbalanced")
   }
 
+  /** OLS multiple regression of the outcome on a treatment indicator
+    * plus `k` covariates — the regression-adjusted treatment effect
+    * (ANCOVA) that [[cupedAdjust]] is the k = 1 special case of (they
+    * coincide exactly when the covariate is balanced across arms, and
+    * asymptotically under randomization). Model: `y = β₀ + τ·T + Σ βⱼ
+    * xⱼ`; exactly two variant labels (larger = treated, T = 1). Rows
+    * with a null label, outcome, or any null covariate drop (listwise
+    * deletion, the regression convention). Returns one row per term —
+    * (term_idx, term, n, coef, se, t_stat, r2) with term ∈ intercept,
+    * treatment, covariates in caller order — 6 dp; the `treatment` row
+    * IS the adjusted effect with its standard error. A zero-residual
+    * (exact) fit yields se = 0 and null t_stat; r2 is null when the
+    * outcome is constant (no variance to explain).
+    *
+    * 100 TB shape: ONE variant-keyed aggregation computes every normal-
+    * equation moment (n, Σy, Σy², Σxᵢ, Σxᵢy, Σxᵢxⱼ — DECIMAL(38,12)-
+    * quantized, partition-invariant); the (k+2)×(k+2) solve runs on the
+    * 2-row collect. The Gauss-Jordan runs WITHOUT pivoting in a fixed
+    * functional-update order (each step rebuilt from the previous
+    * state), so an engine replaying the same op sequence on the same
+    * decimal-exact moments — the DuckDB oracle does — reproduces every
+    * double bit for bit. XᵀX with an intercept leads with n > 0 and
+    * stays positive-definite for any full-rank design, so pivotless
+    * elimination is safe; a rank-deficient (collinear) design fails
+    * loudly. k is capped at 20 — the Gram is a plan-time constant.
+    */
+  def olsAdjust(users: DataFrame, variantCol: String, yCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 20,
+      "olsAdjust: need 1..20 covariates")
+    require(covariates.distinct.size == covariates.size,
+      "olsAdjust: covariates must be distinct")
+    val spark = users.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = covariates.size
+    val p = k + 2 // intercept, treatment, covariates
+    val base = users
+      .select(col(variantCol).cast("string").as("__v") +:
+        col(yCol).cast("double").as("__y") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__v").isNotNull && col("__y").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__y"))).as("sy"),
+      sum(d12(col("__y") * col("__y"))).as("syy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val m = base.groupBy(col("__v")).agg(aggs.head, aggs.tail: _*)
+      .collect() // 2 rows × O(k²) moments — bounded, k ≤ 20
+    val labels = m.map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"olsAdjust: need exactly 2 variants, got ${labels.mkString(",")}")
+    val ra = m.find(_.getString(0) == labels(0)).get
+    val rb = m.find(_.getString(0) == labels(1)).get
+    def dec(r: org.apache.spark.sql.Row, f: String) =
+      r.getDecimal(r.fieldIndex(f))
+    // combined sums add in DECIMAL (exact) and cast ONCE — the q218
+    // device; the oracle's (sA + sB)::DOUBLE lands on the same double
+    def both(f: String) = dec(ra, f).add(dec(rb, f)).doubleValue()
+    def bOnly(f: String) = dec(rb, f).doubleValue()
+    val na = ra.getLong(ra.fieldIndex("n"))
+    val nb = rb.getLong(rb.fieldIndex("n"))
+    val nL = na + nb
+    require(nL > p, s"olsAdjust: need n > ${p} rows, got $nL")
+    val nD = nL.toDouble
+    val nbD = nb.toDouble
+    def gx(i: Int, j: Int) = both(s"sx${math.min(i, j)}x${math.max(i, j)}")
+    // augmented [XᵀX | Xᵀy | I], design order (1, T, x₀..x_{k-1})
+    val w = 2 * p + 1
+    val init = Array.tabulate(p, w) { (r, j) =>
+      def gram(rr: Int, cc: Int): Double = (rr, cc) match {
+        case (0, 0) => nD
+        case (0, c) if c == 1 => nbD
+        case (1, 1) => nbD
+        case (0, c) => both(s"sx${c - 2}")
+        case (1, c) => bOnly(s"sx${c - 2}")
+        case (r2, c2) => gx(r2 - 2, c2 - 2)
+      }
+      if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+      else if (j == p) r match {
+        case 0 => both("sy")
+        case 1 => bOnly("sy")
+        case i => both(s"sx${i - 2}y")
+      }
+      else if (j == p + 1 + r) 1.0 else 0.0
+    }
+    // pivotless Gauss-Jordan, functional update per step: every new
+    // entry computed from the PREVIOUS state only (row c's division by
+    // the pivot re-evaluated inside each row r) — the exact expression
+    // shape the oracle's unrolled CTEs replay
+    var a = init
+    for (c <- 0 until p) {
+      val prev = a
+      val piv = prev(c)(c)
+      require(math.abs(piv) > 1e-12,
+        s"olsAdjust: singular normal equations at pivot $c " +
+          "(collinear covariates?)")
+      a = Array.tabulate(p, w) { (r, j) =>
+        if (r == c) prev(c)(j) / piv
+        else prev(r)(j) - prev(r)(c) * (prev(c)(j) / piv)
+      }
+    }
+    val beta = Array.tabulate(p)(i => a(i)(p))
+    val invDiag = Array.tabulate(p)(i => a(i)(p + 1 + i))
+    val rhs = Array.tabulate(p)(r => init(r)(p))
+    val syy = both("syy")
+    var rss = syy
+    for (i <- 0 until p) rss -= beta(i) * rhs(i)
+    val dof = (nL - p).toDouble
+    val sigma2 = rss / dof
+    val sst = syy - (rhs(0) * rhs(0)) / nD
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: "treatment" +: covariates
+    val out = (0 until p).map { i =>
+      val se = math.sqrt(math.max(sigma2, 0.0) * invDiag(i))
+      // t gated on the ROUNDED se: an exact fit leaves rss a few ulps
+      // from zero, and a reported se of 0.000000 with a (gigantic) t
+      // beside it would contradict itself
+      (i, terms(i), nL, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None,
+        if (sst > 0) Some(r6(1.0 - rss / sst)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "t_stat", "r2")
+      .orderBy(col("term_idx"))
+  }
+
   /** Rolling active users: for every calendar day in the stream's
     * [min, max] day range, the exact count of distinct users active that
     * day (DAU) and in the trailing `windowDays`-day window ending that

@@ -590,4 +590,113 @@ class EventsSpec extends AnyFunSuite {
       Events.cupedAdjust(users, "variant", "y", "x").collect()
     }
   }
+
+  test("olsAdjust: exact linear data recovers coefficients, se 0, r2 1") {
+    // y = 2 + 3*T + 0.5*x0 - 1.25*x1 with zero noise: the solve must
+    // return the generating coefficients, zero residual -> se = 0,
+    // t null, r2 = 1
+    val pts = Seq( // (variant, x0, x1)
+      ("A", 1.0, 2.0), ("A", 2.0, 7.0), ("A", 4.0, 1.0), ("A", 8.0, 3.0),
+      ("B", 1.5, 5.0), ("B", 3.0, 2.0), ("B", 6.0, 6.0), ("B", 9.0, 4.0))
+    val users = pts.map { case (v, x0, x1) =>
+      val t = if (v == "B") 1.0 else 0.0
+      (v, 2.0 + 3.0 * t + 0.5 * x0 - 1.25 * x1, x0, x1)
+    }.toDF("variant", "y", "x0", "x1")
+    val out = Events.olsAdjust(users, "variant", "y", Seq("x0", "x1"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out.keySet == Set("intercept", "treatment", "x0", "x1"))
+    assert(out("intercept").getDouble(3) == 2.0)
+    assert(out("treatment").getDouble(3) == 3.0)
+    assert(out("x0").getDouble(3) == 0.5)
+    assert(out("x1").getDouble(3) == -1.25)
+    out.values.foreach { r =>
+      assert(r.getLong(2) == 8L)
+      assert(r.getDouble(4) == 0.0) // se
+      assert(r.isNullAt(5))         // t_stat null at zero se
+      assert(r.getDouble(6) == 1.0) // r2
+    }
+  }
+
+  test("olsAdjust: agrees with an independent pivoted solve and with " +
+    "cupedAdjust when the covariate is balanced") {
+    // deterministic "noisy" data: y = 1 + 2T + 0.8x0 - 0.3x1 + wiggle
+    val rows = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) "A" else "B"
+      val t = if (v == "B") 1.0 else 0.0
+      val x0 = (i * 7 % 13).toDouble
+      val x1 = (i * 11 % 17).toDouble
+      val wiggle = ((i * 37 % 19) - 9) * 0.21
+      (v, 1.0 + 2.0 * t + 0.8 * x0 - 0.3 * x1 + wiggle, x0, x1)
+    }
+    val out = Events.olsAdjust(rows.toDF("variant", "y", "x0", "x1"),
+        "variant", "y", Seq("x0", "x1"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    // independent reference: normal equations solved by Gaussian
+    // elimination WITH partial pivoting (different algorithmic path)
+    val xs = rows.map { case (v, _, x0, x1) =>
+      Array(1.0, if (v == "B") 1.0 else 0.0, x0, x1) }
+    val ys = rows.map(_._2)
+    val p = 4
+    val m = Array.tabulate(p, p + 1) { (a, b) =>
+      if (b < p) xs.map(x => x(a) * x(b)).sum
+      else xs.zip(ys).map { case (x, y) => x(a) * y }.sum
+    }
+    for (c <- 0 until p) {
+      val pivRow = (c until p).maxBy(r => math.abs(m(r)(c)))
+      val tmp = m(c); m(c) = m(pivRow); m(pivRow) = tmp
+      for (r <- 0 until p if r != c) {
+        val f = m(r)(c) / m(c)(c)
+        for (j <- c to p) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    val ref = Array.tabulate(p)(i => m(i)(p) / m(i)(i))
+    val got = Seq("intercept", "treatment", "x0", "x1")
+      .map(t => out(t).getDouble(3))
+    got.zip(ref).foreach { case (g, r) =>
+      assert(math.abs(g - r) < 1e-6, s"coef $g vs reference $r") }
+    assert(out("treatment").getDouble(6) > 0.85) // strong fit, r2 high
+    assert(!out("treatment").isNullAt(5))       // se > 0 -> t present
+
+    // cupedAdjust equivalence at k = 1 under a BALANCED covariate
+    // (x-group-means equal -> pooled theta = within slope -> CUPED
+    // adjusted diff = ANCOVA treatment coefficient)
+    val bal = Seq(
+      ("A", 3.0, 1.0), ("A", 5.2, 2.0), ("A", 7.1, 3.0), ("A", 8.8, 4.0),
+      ("B", 4.9, 1.0), ("B", 7.2, 2.0), ("B", 9.0, 3.0), ("B", 11.1, 4.0))
+      .toDF("variant", "y", "x")
+    val cuped = Events.cupedAdjust(bal, "variant", "y", "x").collect()(0)
+    val cupedDiff = cuped.getDouble(5) - cuped.getDouble(4) // adjB - adjA
+    val ols = Events.olsAdjust(bal, "variant", "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(math.abs(ols("treatment").getDouble(3) - cupedDiff) < 2e-6)
+  }
+
+  test("olsAdjust: listwise null deletion and loud degenerate failures") {
+    val users = Seq(
+      (Some("A"), Some(1.0), Some(1.0)), (Some("A"), Some(2.0), Some(2.0)),
+      (Some("A"), Some(4.0), Some(3.0)), (Some("B"), Some(3.0), Some(1.0)),
+      (Some("B"), Some(5.0), Some(2.0)), (Some("B"), Some(6.0), Some(3.0)),
+      (None, Some(9.0), Some(9.0)), (Some("A"), None, Some(9.0)),
+      (Some("B"), Some(9.0), None))
+      .toDF("variant", "y", "x")
+    val out = Events.olsAdjust(users, "variant", "y", Seq("x"))
+      .collect()
+    assert(out.head.getLong(2) == 6L) // the three null rows dropped
+    // collinear design (x duplicated) -> singular Gram, loud require
+    val dup = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("A", 4.0, 3.0),
+      ("B", 3.0, 1.0), ("B", 5.0, 2.0), ("B", 6.0, 3.0))
+      .toDF("variant", "y", "x")
+      .withColumn("x2", col("x"))
+    val e = intercept[IllegalArgumentException] {
+      Events.olsAdjust(dup, "variant", "y", Seq("x", "x2")).collect()
+    }
+    assert(e.getMessage.contains("singular"))
+    // three variants -> loud require
+    intercept[IllegalArgumentException] {
+      Events.olsAdjust(
+        Seq(("A", 1.0, 1.0), ("B", 2.0, 2.0), ("C", 3.0, 3.0),
+          ("A", 2.0, 4.0), ("B", 1.0, 5.0), ("C", 2.0, 6.0))
+          .toDF("variant", "y", "x"), "variant", "y", Seq("x")).collect()
+    }
+  }
 }
