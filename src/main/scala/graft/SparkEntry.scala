@@ -3416,6 +3416,18 @@ object SparkEntry {
             "A").otherwise("B"))
       graft.ops.Events.olsAdjust(perUser, "variant", "y",
         Seq("engagement", "active_days"))
+    }),
+
+    // Newman modularity of q210's LPA partition (ops/Graph.scala): do
+    // the 3-round communities mean anything? Per community, intra-edge
+    // fraction minus the degree-null expectation — two edge-sized label
+    // joins + one community aggregate; sum(q_contrib) is Q.
+    "q229_modularity" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, Some(40))
+      val labels = graft.ops.Graph.labelPropagation(edges, "p1", "p2",
+        iterations = 3)
+      graft.ops.Graph.modularity(edges, "p1", "p2",
+        labels, "node", "community")
     })
   )
 
@@ -7457,6 +7469,52 @@ object SparkEntry {
           |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS x1
           |FROM events GROUP BY user_id""".stripMargin
       olsOracleSql(perUser, 2, Seq("engagement", "active_days"))
+    },
+
+    // q210's unrolled LPA rounds, then the Newman algebra: e_c/m minus
+    // the squared degree fraction, every division double-typed in the
+    // operator's exact order.
+    "q229_modularity" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = s"l${i - 1}"
+        s"""c$i AS (
+           |  SELECT adj.z AS node, lab.community AS nl, count(*) AS c
+           |  FROM adj JOIN $p lab ON lab.node = adj.n GROUP BY 1, 2),
+           |p$i AS (
+           |  SELECT node, nl, row_number() OVER
+           |    (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM c$i),
+           |l$i AS (SELECT node, nl AS community FROM p$i WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |adj AS MATERIALIZED (SELECT a AS z, b AS n FROM e0
+         |        UNION ALL SELECT b AS z, a AS n FROM e0),
+         |l0 AS (SELECT DISTINCT z AS node, z AS community FROM adj),
+         |$rounds,
+         |lab AS MATERIALIZED (SELECT node, community FROM l3),
+         |deg AS (SELECT z AS n, count(*)::BIGINT AS d FROM adj GROUP BY z),
+         |m AS (SELECT count(*)::BIGINT AS m FROM e0),
+         |intra AS (
+         |  SELECT la.community AS community, count(*)::BIGINT AS e
+         |  FROM e0 JOIN lab la ON la.node = e0.a
+         |           JOIN lab lb ON lb.node = e0.b
+         |  WHERE la.community = lb.community GROUP BY 1),
+         |degc AS (
+         |  SELECT lab.community, count(*)::BIGINT AS n_nodes,
+         |    sum(d)::BIGINT AS degree_sum
+         |  FROM deg JOIN lab ON lab.node = deg.n GROUP BY 1)
+         |SELECT degc.community, n_nodes,
+         |  coalesce(e, 0)::BIGINT AS intra_edges, degree_sum,
+         |  (round((coalesce(e, 0)::DOUBLE / m::DOUBLE) -
+         |    ((degree_sum::DOUBLE / (2.0::DOUBLE * m::DOUBLE)) *
+         |     (degree_sum::DOUBLE / (2.0::DOUBLE * m::DOUBLE))), 6)
+         |    + 0.0::DOUBLE) AS q_contrib
+         |FROM degc LEFT JOIN intra USING (community), m
+         |ORDER BY community""".stripMargin
     },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,

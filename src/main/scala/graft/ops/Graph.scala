@@ -442,6 +442,141 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Newman modularity of a labeled partition (Newman & Girvan 2004):
+    * per community c, `Q_c = e_c/m − (d_c/2m)²` — intra-community edge
+    * fraction minus the fraction expected under the degree-preserving
+    * null model; `Q = Σ Q_c ∈ [−0.5, 1]` and values ≳ 0.3 mean real
+    * community structure. The missing half of [[labelPropagation]]:
+    * LPA emits communities, this scores whether they mean anything.
+    * Undirected, multi-edges and self-loops dropped (the canonical-
+    * edge convention every operator here shares). Nodes in `labels`
+    * that carry no edge contribute nothing (d = 0); graph nodes
+    * missing from `labels` fail loudly — a partial labeling would
+    * silently understate every d_c. Returns one row per community
+    * (community, n_nodes, intra_edges, degree_sum, q_contrib),
+    * q_contrib 6 dp, ordered by community; `sum(q_contrib)` is Q.
+    *
+    * 100 TB shape: the pinned canonical edge frame joins the node-
+    * keyed label frame twice (edge-sized hash joins) and aggregates by
+    * community; degrees ride one more node-sized join. m arrives as a
+    * broadcast 1-row aggregate off the PINNED frame (no recompute).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, communityCol: String): DataFrame = {
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val lab = labels
+      .select(col(nodeCol).as("node"), col(communityCol).as("__cm"))
+      .localCheckpoint(true) // read three times below
+    perCommunity(canon, lab)
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        // + 0.0 folds IEEE −0.0 (a tiny negative contribution rounded
+        // away) into +0.0 so engines can't disagree on the sign of zero
+        (round(col("__qc"), 6) + lit(0.0)).as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
+  /** Per-community modularity frame off a pinned canonical edge frame
+    * and a pinned (node, __cm) label frame: (community, n_nodes,
+    * intra_edges, degree_sum, __qc) — the shared kernel of
+    * [[modularity]] and the ΔQ-stopped LPA. */
+  private def perCommunity(canon: DataFrame, lab: DataFrame,
+      checkCoverage: Boolean = true): DataFrame = {
+    val la = lab.select(col("node").as("a"), col("__cm").as("__ca"))
+    val lb = lab.select(col("node").as("b"), col("__cm").as("__cb"))
+    // LPA-internal callers pass checkCoverage = false (their labels
+    // cover every adjacency node by construction — no probe pass)
+    val joined =
+      if (!checkCoverage) canon.join(la, Seq("a")).join(lb, Seq("b"))
+      else {
+        val j = canon.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+          .localCheckpoint(true) // consumers: coverage probe + intra counts
+        val unlabeled = j
+          .filter(col("__ca").isNull || col("__cb").isNull).count()
+        require(unlabeled == 0L,
+          s"modularity: $unlabeled edges touch nodes missing from the " +
+            "label frame — a partial labeling would understate degree sums")
+        j
+      }
+    val intra = joined.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degC = degrees(canon)
+      .join(lab.select(col("node").as("n"), col("__cm")), Seq("n"))
+      .groupBy(col("__cm").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val m = canon.agg(count(lit(1)).as("__m")) // 1 row off the pinned frame
+    degC.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          col("__m").cast("double") -
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))) *
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("__m").cast("double")))).as("__qc"))
+  }
+
+  /** [[labelPropagation]] stopped by MODULARITY GAIN instead of a label
+    * fixpoint: after each synchronous round the partition's Q is
+    * measured (one edge-sized join + a 1-row aggregate off the pinned
+    * frames — an honest extra pass per round, priced in), and the loop
+    * keeps the best partition seen, stopping as soon as a round
+    * improves Q by less than `minGain` (LPA's Q is not monotone — a
+    * round can overshoot into a worse merge, so stop-on-small-gain with
+    * best-so-far is the standard guard). Returns the best round's
+    * (node, community, size). Q folds in DECIMAL(38,12) so the
+    * stopping decision is partition-invariant (same rounds every run).
+    */
+  def labelPropagationModularityStopped(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIterations: Int = 20,
+      minGain: Double = 1e-4): DataFrame = {
+    require(maxIterations >= 1 && maxIterations <= 20,
+      "maxIterations must be in [1,20] (each round is a full edge join)")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("z").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    def qOf(l: DataFrame): Double = {
+      val r = perCommunity(canon, l.select(col("node"),
+          col("community").as("__cm")), checkCoverage = false)
+        .agg(sum(col("__qc").cast("decimal(38,12)")).as("q"))
+        .collect()(0) // 1 row — bounded
+      if (r.isNullAt(0)) 0.0 else r.getDecimal(0).doubleValue()
+    }
+    var bestLabels = labels
+    var bestQ = qOf(labels) // singleton partition: Q = -Σ(d/2m)² ≤ 0
+    val wPick = Window.partitionBy(col("node"))
+      .orderBy(col("__c").desc, col("__nl"))
+    var i = 0
+    var done = false
+    while (i < maxIterations && !done) {
+      labels = adj
+        .join(labels.select(col("node").as("n"),
+          col("community").as("__nl")), Seq("n"))
+        .groupBy(col("z").as("node"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(wPick))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("__nl").as("community"))
+        .localCheckpoint(true)
+      val q = qOf(labels)
+      if (q - bestQ < minGain) done = true
+      if (q > bestQ) { bestQ = q; bestLabels = labels }
+      i += 1
+    }
+    val sizes = bestLabels.groupBy(col("community"))
+      .agg(count(lit(1)).as("size"))
+    bestLabels.join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("size"))
+      .orderBy(col("node"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     * list, fixed iterations, L1 normalization (scores sum to 1 —
     * rational arithmetic, engine-replayable; the textbook L2 norm

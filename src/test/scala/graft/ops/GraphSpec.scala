@@ -481,4 +481,63 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(conv == fixed)
   }
+
+  test("modularity: hand-computed two-clique value, degenerate partitions") {
+    // two K4s + bridge: m = 13; each clique has 6 intra edges and
+    // degree sum 13 -> Q_c = 6/13 - (13/26)^2 per clique
+    val k = (s: Long) => for (i <- s to s + 3; j <- i + 1 to s + 3) yield (i, j)
+    val edges = (k(1L) ++ k(11L) :+ (4L, 11L)).toDF("s", "d")
+    val labels = ((1L to 4L).map(n => (n, 1L)) ++
+      (11L to 14L).map(n => (n, 11L))).toDF("node", "community")
+    val out = Graph.modularity(edges, "s", "d", labels, "node", "community")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val qc = r6(6.0 / 13.0 - (13.0 / 26.0) * (13.0 / 26.0))
+    assert(out(1L) == ((4L, 6L, 13L, qc)), s"got ${out(1L)}")
+    assert(out(11L) == ((4L, 6L, 13L, qc)))
+    val q = out.values.map(_._4).sum
+    assert(q > 0.3 && q <= 1.0) // real community structure
+    // everything-in-one-community: e_c = m, d_c = 2m -> Q = 0 exactly
+    val one = labels.withColumn("community",
+      org.apache.spark.sql.functions.lit(99L))
+    val qOne = Graph.modularity(edges, "s", "d", one, "node", "community")
+      .collect()
+    assert(qOne.length == 1 && qOne(0).getDouble(4) == 0.0)
+    // singletons: no intra edges -> every contribution strictly negative
+    val singles = labels.withColumn("community",
+      org.apache.spark.sql.functions.col("node"))
+    val qS = Graph.modularity(edges, "s", "d", singles, "node", "community")
+      .collect()
+    assert(qS.forall(r => r.getLong(2) == 0L && r.getDouble(4) < 0.0))
+    assert(qS.map(_.getDouble(4)).sum >= -0.5) // Newman lower bound
+    // a partial labeling (node 14 missing) fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.modularity(edges, "s", "d",
+        labels.filter(org.apache.spark.sql.functions.col("node") =!= 14L),
+        "node", "community")
+    }
+    assert(e.getMessage.contains("missing from the label frame"))
+  }
+
+  test("labelPropagationModularityStopped: finds the planted partition") {
+    // two K5s + bridge — strong planted structure; the Q-stopped run
+    // must land on the two cliques and beat the singleton baseline
+    val k = (s: Long) => for (i <- s to s + 4; j <- i + 1 to s + 4) yield (i, j)
+    val edges = (k(1L) ++ k(11L) :+ (5L, 11L)).toDF("s", "d")
+    val out = Graph.labelPropagationModularityStopped(edges, "s", "d",
+        maxIterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).map(out).toSet.size == 1)
+    assert((11L to 15L).map(out).toSet.size == 1)
+    assert(out(1L) != out(11L), s"cliques merged: $out")
+    // and the returned labeling scores the hand-computable Q
+    val labels = out.toSeq.toDF("node", "community")
+    val q = Graph.modularity(edges, "s", "d", labels, "node", "community")
+      .collect().map(_.getDouble(4)).sum
+    // m = 21, per clique: intra 10, degree sum 21 -> 10/21 - 0.25 each
+    assert(math.abs(q - 2.0 * (10.0 / 21.0 - 0.25)) < 1e-5, s"Q $q")
+  }
 }
