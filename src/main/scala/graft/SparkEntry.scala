@@ -3428,6 +3428,20 @@ object SparkEntry {
         iterations = 3)
       graft.ops.Graph.modularity(edges, "p1", "p2",
         labels, "node", "community")
+    }),
+
+    // Weighted landmark shortest paths (ops/Graph.scala): q219's seed
+    // set over the co-purchase graph with a deterministic arithmetic
+    // weight — min-plus frontier relaxation, 4 hops; the oracle
+    // replays each relaxation round as an unrolled min-plus CTE.
+    "q230_weighted_sssp" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, Some(40))
+        .withColumn("w", ((col("p1") + col("p2")) % 9 + 1).cast("double"))
+      val seeds = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(200)) === 0)
+        .select(col("p_partkey"))
+      graft.ops.Graph.weightedDistances(edges, "p1", "p2", "w",
+        seeds, "p_partkey", maxHops = 4)
     })
   )
 
@@ -7515,6 +7529,38 @@ object SparkEntry {
          |    + 0.0::DOUBLE) AS q_contrib
          |FROM degc LEFT JOIN intra USING (community), m
          |ORDER BY community""".stripMargin
+    },
+
+    // Unrolled min-plus rounds: each d_h = min(d_{h-1}, one-edge
+    // relaxations of d_{h-1}) — full relaxation computes the same
+    // distance set as the operator's frontier pruning, and path sums
+    // accumulate left-to-right in both engines, so every double agrees.
+    "q230_weighted_sssp" -> {
+      val rounds = (1 to 4).map { h =>
+        s"""d$h AS MATERIALIZED (
+           |  SELECT seed, node, min(dist) AS dist FROM (
+           |    SELECT seed, node, dist FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT d.seed, adj.n AS node, (d.dist + adj.w) AS dist
+           |    FROM d${h - 1} d JOIN adj ON adj.z = d.node)
+           |  GROUP BY 1, 2)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |w0 AS (SELECT a, b, ((a + b) % 9 + 1)::DOUBLE AS w FROM e0),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS z, b AS n, w FROM w0
+         |  UNION ALL SELECT b AS z, a AS n, w FROM w0),
+         |d0 AS (SELECT p_partkey AS seed, p_partkey AS node,
+         |    0.0::DOUBLE AS dist
+         |  FROM part WHERE p_partkey % 200 = 0),
+         |$rounds
+         |SELECT seed, node, round(dist, 6) AS dist FROM d4
+         |ORDER BY seed, node""".stripMargin
     },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,

@@ -925,6 +925,81 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Weighted single-source shortest paths from a landmark seed set —
+    * [[hopDistance]]'s min-plus companion: d(s, v) = min over ≤`maxHops`-
+    * edge paths of the weight sum (Bellman-Ford frontier relaxation;
+    * positive finite weights required, so every relaxation chain is
+    * monotone and the hop cap is the honest rail exactly as in
+    * [[harmonicCentrality]]). Undirected; multi-edges collapse to
+    * their MINIMUM weight (the only one a shortest path can use);
+    * self-loops drop. Each hop relaxes only from the nodes improved
+    * last hop, which computes the same distance set as full relaxation
+    * (a non-improved node's out-candidates were already offered the
+    * hop it last improved) while touching a shrinking frontier; the
+    * loop exits early once no (seed, node) improves. Path sums
+    * accumulate left-to-right along hops, so every distance is an
+    * exact function of (graph, seeds, maxHops) — engine-replayable by
+    * unrolled min-plus rounds. Returns (seed, node, dist) for every
+    * reached pair (seeds at dist 0.0), 6 dp.
+    *
+    * 100 TB shape: per hop ONE adjacency equi-join off the pinned
+    * weighted edge frame + one (seed, node)-keyed min + one merge
+    * aggregate, each checkpointed; frames bounded by |seeds| × nodes
+    * (the landmark rail — |seeds| prices the run, the caller picks it).
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 15,
+      "maxHops in [1,15] — each hop is a full adjacency join")
+    val raw = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("a") =!= col("b"))
+      .localCheckpoint(true) // consumers: weight guard + canonical agg
+    // NaN must be rejected explicitly (NaN <= 0 is false in SQL), and
+    // BEFORE the min-weight collapse — min() skips nulls, so a null
+    // weight on a multi-edge would otherwise vanish silently
+    require(raw.filter(col("w").isNull || col("w") <= 0 || isnan(col("w")))
+        .isEmpty,
+      s"weightedDistances: weight column '$weightCol' must be positive, " +
+        "finite and non-null")
+    val canon = raw.groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val adj = canon.select(col("a").as("z"), col("b").as("n"), col("w"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val improved = frontier
+        .join(adj, frontier("node") === adj("z"))
+        .select(col("seed"), col("n").as("node"),
+          (col("dist") + col("w")).as("dist"))
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .join(dist.select(col("seed"), col("node"),
+          col("dist").as("__old")), Seq("seed", "node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("seed"), col("node"), col("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.unionAll(improved)
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      h += 1
+    }
+    dist.select(col("seed"), col("node"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("seed"), col("node"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
     * neighbors on the Web"): score every NON-adjacent node pair (u, v)
     * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare

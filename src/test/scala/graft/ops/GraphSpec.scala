@@ -540,4 +540,67 @@ class GraphSpec extends AnyFunSuite {
     // m = 21, per clique: intra 10, degree sum 21 -> 10/21 - 0.25 each
     assert(math.abs(q - 2.0 * (10.0 / 21.0 - 0.25)) < 1e-5, s"Q $q")
   }
+
+  test("weightedDistances: min-plus detour, hop cap, multi-edge, guards") {
+    // triangle 1-2 (w=1), 2-3 (w=1), 1-3 (w=5): the 2-hop detour beats
+    // the direct heavy edge
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("k")
+    def distsOf(e: org.apache.spark.sql.DataFrame, hops: Int) =
+      Graph.weightedDistances(e, "s", "d", "w", seeds, "k", hops)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val full = distsOf(tri, 4)
+    assert(full == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    // hop cap 1: only direct edges reachable
+    assert(distsOf(tri, 1) == Map(1L -> 0.0, 2L -> 1.0, 3L -> 5.0))
+    // multi-edge collapses to its minimum weight
+    val multi = tri.unionAll(Seq((2L, 1L, 0.25)).toDF("s", "d", "w"))
+    assert(distsOf(multi, 4)(2L) == 0.25)
+    // weight guards: non-positive, null, NaN all fail loudly
+    for (bad <- Seq(0.0, -1.0, Double.NaN)) {
+      intercept[IllegalArgumentException] {
+        Graph.weightedDistances(
+          Seq((1L, 2L, bad)).toDF("s", "d", "w"), "s", "d", "w",
+          seeds, "k", 2)
+      }
+    }
+  }
+
+  test("weightedDistances: triangle inequality and hop parity on a " +
+    "hashed graph") {
+    val edges = (for {
+      i <- 0L until 15L; j <- i + 1 until 15L
+      if (i * 17 + j * 13) % 5 < 2
+    } yield (i, j, ((i + j) % 4 + 1).toDouble)).toDF("s", "d", "w")
+    val seeds = Seq(0L, 7L).toDF("k")
+    val out = Graph.weightedDistances(edges, "s", "d", "w", seeds, "k", 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // converged distances satisfy d(s,v) <= d(s,u) + w(u,v) on every
+    // edge, both directions
+    val es = edges.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (s <- Seq(0L, 7L); (u, v, w) <- es) {
+      (out.get((s, u)), out.get((s, v))) match {
+        case (Some(du), Some(dv)) =>
+          assert(dv <= du + w + 1e-9, s"d($s,$v)=$dv > d($s,$u)+$w")
+          assert(du <= dv + w + 1e-9)
+        case _ => // unreached under the cap — no constraint
+      }
+    }
+    // unit weights reduce to hop distances
+    val unit = edges.withColumn("w",
+      org.apache.spark.sql.functions.lit(1.0))
+    val wd = Graph.weightedDistances(unit, "s", "d", "w", seeds, "k", 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val hd = Graph.hopDistance(edges, "s", "d", seeds, "k", 14)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // hopDistance is multi-seed-min; compare against min over seeds
+    for ((n, d) <- hd) {
+      val best = Seq(0L, 7L).flatMap(s => wd.get((s, n))).min
+      assert(best == d.toDouble, s"node $n: weighted $best vs hops $d")
+    }
+  }
 }
