@@ -3442,6 +3442,22 @@ object SparkEntry {
         .select(col("p_partkey"))
       graft.ops.Graph.weightedDistances(edges, "p1", "p2", "w",
         seeds, "p_partkey", maxHops = 4)
+    }),
+
+    // Two-sample bootstrap CI (ops/Profile.scala): the interval on the
+    // A/B difference of per-user purchase value — q216's paired
+    // hash-weight Poisson device with the group label riding the
+    // aggregation key, 100 replicas in one ⌈B/2⌉-hash pass.
+    "q231_bootstrap_diff" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).cast("double").as("y"))
+        .withColumn("variant",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Profile.bootstrapCiMeanDiff(perUser, "user_id",
+        "variant", "y", replicas = 100)
     })
   )
 
@@ -7562,6 +7578,56 @@ object SparkEntry {
          |SELECT seed, node, round(dist, 6) AS dist FROM d4
          |ORDER BY seed, node""".stripMargin
     },
+
+    // q216's hash-weight replay with the group key threaded through:
+    // per (replica, group) weighted means, paired diff per replica,
+    // exact percentile pick; zero-weight replicas drop on both sides.
+    "q231_bootstrap_diff" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (sum(CASE WHEN event_type = 'purchase' THEN value
+        |         ELSE 0.0::DOUBLE END))::DOUBLE AS y
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id AS id,
+        |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS grp, y AS x
+        |  FROM u WHERE y IS NOT NULL),
+        |pt AS (SELECT grp, count(*)::BIGINT AS n,
+        |    sum(CAST(x AS DECIMAL(38,12)))::DOUBLE / count(*) AS pm
+        |  FROM v GROUP BY grp),
+        |gr AS (SELECT unnest(range(0, 50))::BIGINT AS g),
+        |hx AS (SELECT g, grp, x, md5(id::VARCHAR || ':' || g::VARCHAR) AS h
+        |       FROM v CROSS JOIN gr),
+        |seg AS (SELECT 2 * g AS b, grp, x, substring(h, 1, 13) AS hex
+        |        FROM hx
+        |        UNION ALL
+        |        SELECT 2 * g + 1 AS b, grp, x, substring(h, 14, 13) AS hex
+        |        FROM hx),
+        |wts AS (SELECT b, grp, x, CASE
+        |    WHEN hex < '5e2d58d8b3bce' THEN 0
+        |    WHEN hex < 'bc5ab1b16779c' THEN 1
+        |    WHEN hex < 'eb715e1dc1583' THEN 2
+        |    WHEN hex < 'fb23979734a25' THEN 3
+        |    WHEN hex < 'ff1025f59174e' THEN 4
+        |    WHEN hex < 'ffd90f3ba4056' THEN 5
+        |    ELSE 6 END AS w
+        |  FROM seg WHERE b < 100),
+        |means AS (SELECT b, grp,
+        |    sum(CAST(x * w AS DECIMAL(38,12)))::DOUBLE / sum(w) AS m
+        |  FROM wts GROUP BY b, grp),
+        |diffs AS (SELECT b,
+        |    max(CASE WHEN grp = 'B' THEN m END) -
+        |    max(CASE WHEN grp = 'A' THEN m END) AS d
+        |  FROM means GROUP BY b),
+        |ci AS (SELECT quantile_cont(d, [0.025, 0.975]) AS q
+        |       FROM diffs WHERE d IS NOT NULL)
+        |SELECT pa.n AS n_a, pb.n AS n_b,
+        |  round(pa.pm, 6) AS mean_a, round(pb.pm, 6) AS mean_b,
+        |  round(pb.pm - pa.pm, 6) AS point_diff,
+        |  round(q[1], 6) AS ci_lo, round(q[2], 6) AS ci_hi,
+        |  100 AS replicas
+        |FROM (SELECT * FROM pt WHERE grp = 'A') pa,
+        |     (SELECT * FROM pt WHERE grp = 'B') pb, ci""".stripMargin,
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

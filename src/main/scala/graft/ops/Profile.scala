@@ -702,6 +702,101 @@ object Profile {
       .toDF("n", "point_mean", "ci_lo", "ci_hi", "replicas")
   }
 
+  /** Poisson-bootstrap confidence interval for the DIFFERENCE of two
+    * group means — the actual A/B effect interval ([[bootstrapCiMean]]
+    * gives one arm's uncertainty; experiments read the gap). Same
+    * one-pass hash-weight device: the group label rides the
+    * aggregation key, so BOTH groups resample inside the same ⌈B/2⌉-
+    * hash scan and each replica's diff pairs the same draw b across
+    * arms (the paired-replica bootstrap — variance of the diff, not
+    * the sum of marginal variances). Exactly two group labels (smaller
+    * = A; diff = mean_B − mean_A); `idCol` must identify rows uniquely
+    * or draws correlate. A replica that resamples a group to zero
+    * total weight (vanishing for any real group size) contributes no
+    * diff and is dropped on both engines. Returns one row (n_a, n_b,
+    * mean_a, mean_b, point_diff, ci_lo, ci_hi, replicas), 6 dp.
+    *
+    * 100 TB shape: identical to [[bootstrapCiMean]] — one narrow
+    * exploded pass partial-aggregated into B×2 weighted sums; the
+    * replica-diff frame is B rows and the percentile pick is exact.
+    */
+  def bootstrapCiMeanDiff(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, replicas: Int = 100,
+      alpha: Double = 0.05): DataFrame = {
+    require(replicas >= 10 && replicas <= 10000,
+      "replicas in [10,10000] (the replica-diff frame must be " +
+        "quantile-meaningful and the explode factor sane)")
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val vals = df.select(col(idCol).as("__id"),
+        col(groupCol).cast("string").as("__grp"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && col("__grp").isNotNull)
+      .localCheckpoint(true) // consumers: point estimates + the explode
+    val pt = vals.groupBy(col("__grp"))
+      .agg(count(lit(1)).as("__n"),
+        (sum(col("__x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("__mean"))
+      .collect()
+    val labels = pt.map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"bootstrapCiMeanDiff: need exactly 2 groups, got " +
+        labels.mkString(","))
+    val ra = pt.find(_.getString(0) == labels(0)).get
+    val rb = pt.find(_.getString(0) == labels(1)).get
+    val (na, ma) = (ra.getLong(1), ra.getDouble(2))
+    val (nb, mb) = (rb.getLong(1), rb.getDouble(2))
+    val hexThresholds = cdf.map(p => f"${(p * (1L << 52)).toLong}%013x")
+    def wFor(hex: Column): Column = hexThresholds.zipWithIndex.reverse
+      .foldLeft(lit(6): Column) { case (acc, (h, x)) =>
+        when(hex < h, lit(x)).otherwise(acc)
+      }
+    val halves = (replicas + 1) / 2
+    val w1 = wFor(col("__hex1"))
+    val w2 = wFor(col("__hex2"))
+    val perDigest = vals
+      .withColumn("__g", explode(typedLit((0 until halves).toList)))
+      .withColumn("__h", md5(concat(
+        col("__id").cast("string"), lit(":"),
+        col("__g").cast("string")).cast("binary")))
+      .withColumn("__hex1", substring(col("__h"), 1, 13))
+      .withColumn("__hex2", substring(col("__h"), 14, 13))
+      .select(col("__g"), col("__grp"),
+        (col("__x") * w1).cast("decimal(38,12)").as("__wx1"),
+        w1.cast("long").as("__w1"),
+        (col("__x") * w2).cast("decimal(38,12)").as("__wx2"),
+        w2.cast("long").as("__w2"))
+      .groupBy(col("__g"), col("__grp"))
+      .agg(sum(col("__wx1")).as("__swx1"), sum(col("__w1")).as("__sw1"),
+        sum(col("__wx2")).as("__swx2"), sum(col("__w2")).as("__sw2"))
+      .localCheckpoint(true) // (halves × 2)-sized; TWO consumers
+    val gm = perDigest
+      .select((col("__g") * 2).as("__b"), col("__grp"),
+        (col("__swx1").cast("double") / col("__sw1")).as("__m"))
+      .unionAll(perDigest
+        .select((col("__g") * 2 + 1).as("__b"), col("__grp"),
+          (col("__swx2").cast("double") / col("__sw2")).as("__m")))
+      .filter(col("__b") < replicas)
+    val diffs = gm.groupBy(col("__b"))
+      .agg((max(when(col("__grp") === labels(1), col("__m"))) -
+        max(when(col("__grp") === labels(0), col("__m")))).as("__d"))
+      .filter(col("__d").isNotNull)
+    val qs = Quantiles.exact(diffs, "__d",
+        Seq(alpha / 2, 1 - alpha / 2), builtinMaxRows = 0L)
+      .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val session = df.sparkSession
+    import session.implicits._
+    Seq((na, nb, r6(ma), r6(mb), r6(mb - ma), r6(qs(0)), r6(qs(1)),
+      replicas))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "point_diff",
+        "ci_lo", "ci_hi", "replicas")
+  }
+
   /** ABC / Pareto classification: rank entities by value descending and
     * class them by CUMULATIVE value share — A up to `aShare` (default
     * 0.8: "the 20% that is 80% of revenue"), B up to `bShare`, C the

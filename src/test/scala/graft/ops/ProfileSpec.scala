@@ -326,6 +326,45 @@ class ProfileSpec extends AnyFunSuite {
       odd.getDouble(1) <= odd.getDouble(3))
   }
 
+  test("bootstrapCiMeanDiff: brackets the true lift, paired zero on " +
+    "identical arms, deterministic") {
+    import spark.implicits._
+    // A: 0..99 repeated (mean 49.5); B: A + exactly 10 -> diff 10
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, "A", (i % 100).toDouble) } ++
+      (0 until 1000).map { i =>
+        ((i + 1000).toLong, "B", (i % 100).toDouble + 10.0) }
+    val df = rows.toDF("id", "g", "v")
+    val r = Profile.bootstrapCiMeanDiff(df, "id", "g", "v", replicas = 50)
+      .collect()(0)
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1000L)
+    assert(r.getDouble(2) == 49.5 && r.getDouble(3) == 59.5)
+    assert(r.getDouble(4) == 10.0)
+    assert(r.getDouble(5) < 10.0 && 10.0 < r.getDouble(6),
+      s"CI [${r.getDouble(5)}, ${r.getDouble(6)}] must bracket 10")
+    assert(r.getInt(7) == 50)
+    // both arms CONSTANT at the same value: every replica's diff is
+    // exactly 0 -> zero-width interval at 0
+    val same = ((1 to 300).map(i => (i.toLong, "A", 3.25)) ++
+      (301 to 600).map(i => (i.toLong, "B", 3.25))).toDF("id", "g", "v")
+    val s = Profile.bootstrapCiMeanDiff(same, "id", "g", "v", 20)
+      .collect()(0)
+    assert(s.getDouble(4) == 0.0 && s.getDouble(5) == 0.0 &&
+      s.getDouble(6) == 0.0)
+    // hash-deterministic across partitionings
+    val a = Profile.bootstrapCiMeanDiff(df.repartition(3), "id", "g", "v",
+      50).collect()(0).toSeq
+    val b = Profile.bootstrapCiMeanDiff(df.repartition(17), "id", "g", "v",
+      50).collect()(0).toSeq
+    assert(a == b)
+    // contract: exactly two groups
+    intercept[IllegalArgumentException] {
+      Profile.bootstrapCiMeanDiff(
+        Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "C", 3.0))
+          .toDF("id", "g", "v"), "id", "g", "v", 10)
+    }
+  }
+
   test("ksTest: identical, disjoint, and hand-computed gap cases") {
     import spark.implicits._
     // identical samples: D = 0, lambda = 0 -> the small-lambda guard
