@@ -68,6 +68,131 @@ object StreamOps {
       .withColumn("is_anomaly",
         coalesce(abs(col("robust_z")) > threshold, lit(false)))
 
+  /** One closed window's drift readout ([[streamingKsDrift]]). */
+  case class KsDrift(window_start: java.sql.Timestamp, n: Long,
+      d_stat: Double, p_value: Double, drift: Boolean)
+
+  /** Per-window distinct-value grain + the window's end (timeout
+    * anchor) for [[streamingKsDrift]]. */
+  case class KsDriftState(counts: Map[Double, Long], windowEnd: Long)
+
+  /** Streaming KS drift monitor — the continuous form of
+    * [[graft.ops.Profile.ksTest]]: each event-time window's value
+    * distribution is tested against a STATIC reference sample (the
+    * train-batch/score-stream split of [[streamingAnomalyScore]], but
+    * for the full distribution SHAPE — the single most common
+    * production drift check). State per window is the DISTINCT-VALUE
+    * grain (value → count), not the events — the batch face's own
+    * grain argument, so a bounded value domain (scores, bucketed
+    * latencies, lengths) keeps state small no matter the volume;
+    * continuous unbounded domains should be quantized upstream, and
+    * that is the honest trade, stated rather than hidden. The
+    * reference collapses to its grain ONCE at op construction (a
+    * bounded grain-sized collect) and rides the state function as a
+    * sorted array. When the watermark passes a window's end the state
+    * times out and ONE [[KsDrift]] row emits: the exact two-sample D
+    * over the merged grain and the asymptotic Kolmogorov p, both
+    * computed with [[graft.ops.Profile.ksTest]]'s exact operation
+    * order (same series, same fold, same short-circuit), so the two
+    * faces cannot disagree on identical input — the batch-parity spec
+    * asserts equality. `drift` flags p < `pThreshold`.
+    */
+  def streamingKsDrift(events: DataFrame, valueCol: String, tsCol: String,
+      reference: DataFrame, refValueCol: String,
+      windowLen: String = "1 day", watermark: String = "10 minutes",
+      pThreshold: Double = 0.05)(
+      implicit spark: SparkSession): Dataset[KsDrift] = {
+    import spark.implicits._
+    require(pThreshold > 0 && pThreshold < 1, "pThreshold in (0,1)")
+    // reference grain: sorted values with cumulative counts (bounded —
+    // the distinct-value domain, same argument as the live state)
+    val refGrain = reference
+      .select(col(refValueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__x"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    require(refGrain.nonEmpty, "streamingKsDrift: empty reference")
+    val refVals = refGrain.map(_._1)
+    val refCum = refGrain.scanLeft(0L)(_ + _._2).tail
+    val nRef = refCum.last
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    events
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("__w"),
+        col(valueCol).cast("double").as("__x"), col(tsCol).as("__ts"))
+      .filter(col("__x").isNotNull)
+      // __ts rides along untouched: extracting __w.start strips the
+      // watermark tag, and EventTimeTimeout needs a tagged column in
+      // the state op's child (the streamingRetention pattern)
+      .select(col("__w.start").as("ws"), col("__w.end").as("we"),
+        col("__x"), col("__ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Double,
+        java.sql.Timestamp)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[KsDriftState, KsDrift](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long,
+            rows: Iterator[(java.sql.Timestamp, java.sql.Timestamp, Double,
+              java.sql.Timestamp)],
+            state: GroupState[KsDriftState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nLive = counts.valuesIterator.sum
+            // exact two-sample D: sweep the merged sorted grain, both
+            // CDFs inclusive at each step point — the batch kernel's
+            // definition on its distinct-value frame
+            val liveSorted = counts.toArray.sortBy(_._1)
+            var i = 0; var j = 0
+            var cumL = 0L; var cumR = 0L
+            var d = 0.0
+            while (i < liveSorted.length || j < refVals.length) {
+              val v =
+                if (j >= refVals.length) liveSorted(i)._1
+                else if (i >= liveSorted.length) refVals(j)
+                else math.min(liveSorted(i)._1, refVals(j))
+              if (i < liveSorted.length && liveSorted(i)._1 == v) {
+                cumL += liveSorted(i)._2; i += 1
+              }
+              if (j < refVals.length && refVals(j) == v) {
+                cumR = refCum(j); j += 1
+              }
+              val gap = math.abs(
+                cumL.toDouble / nLive - cumR.toDouble / nRef)
+              if (gap > d) d = gap
+            }
+            // the batch face's exact p algebra: 100-term Kolmogorov
+            // series, left-to-right fold, λ < 0.05 short-circuit, clamp
+            val lam = d * math.sqrt(
+              nLive.toDouble * nRef / (nLive.toDouble + nRef))
+            val series = (1 to 100).map { k =>
+              2.0 * (if (k % 2 == 1) 1.0 else -1.0) *
+                math.exp(-2.0 * k * k * lam * lam)
+            }.reduceLeft(_ + _)
+            val p =
+              if (lam < 0.05) 1.0
+              else math.max(0.0, math.min(1.0, series))
+            Iterator(KsDrift(new java.sql.Timestamp(wsMs), nLive,
+              r6(d), r6(p), p < pThreshold))
+          } else {
+            val arr = rows.toSeq
+            val old = state.getOption
+              .map(_.counts).getOrElse(Map.empty[Double, Long])
+            val merged = arr.foldLeft(old) { case (m, (_, _, x, _)) =>
+              m.updated(x, m.getOrElse(x, 0L) + 1L)
+            }
+            val windowEnd = arr.head._2.getTime
+            state.update(KsDriftState(merged, windowEnd))
+            state.setTimeoutTimestamp(
+              math.max(windowEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

@@ -76,6 +76,73 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KS drift matches batch ksTest across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val refVals = (1 to 50).map(i => (i % 10).toDouble)
+    val ref = refVals.toDF("v")
+    val q = StreamOps.streamingKsDrift(input.toDF(), "value", "ts", ref,
+        "v", windowLen = "1 hour", watermark = "10 minutes",
+        pThreshold = 0.5)
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode(OutputMode.Append).start()
+    val batch1 = (1 to 12).map(i => (i % 5 + 5).toDouble)
+    val batch2 = (13 to 20).map(i => (i % 3 + 7).toDouble)
+    try {
+      // the same 10:00 window fills across TWO micro-batches — the
+      // grain state must merge, not reset
+      input.addData(batch1.zipWithIndex.map { case (v, i) =>
+        EventRow(i.toLong, ts(i % 50), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      input.addData(batch2.zipWithIndex.map { case (v, i) =>
+        EventRow(100 + i.toLong, ts((i + 20) % 50), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past 11:00 -> the window times out
+      input.addData(EventRow(999,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ks_out").collect()
+      assert(rows.length == 1, s"got ${rows.length} drift rows")
+      val r = rows(0)
+      assert(r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(r.getLong(1) == 20L)
+      // batch parity: the SAME live values vs the SAME reference
+      // through Profile.ksTest must give the identical D and p
+      val both = ((batch1 ++ batch2).map(("live", _)) ++
+        refVals.map(("ref", _))).toDF("g", "v")
+      val b = graft.ops.Profile.ksTest(both, "g", "v").collect()(0)
+      assert(r.getDouble(2) == b.getDouble(2),
+        s"d_stat ${r.getDouble(2)} vs batch ${b.getDouble(2)}")
+      assert(r.getDouble(3) == b.getDouble(3),
+        s"p ${r.getDouble(3)} vs batch ${b.getDouble(3)}")
+      assert(r.getBoolean(4) == (b.getDouble(3) < 0.5))
+    } finally q.stop()
+  }
+
+  test("streaming KS drift: matching distribution reads no drift") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val ref = (1 to 40).map(i => (i % 4).toDouble).toDF("v")
+    val q = StreamOps.streamingKsDrift(input.toDF(), "value", "ts", ref,
+        "v", windowLen = "1 hour", watermark = "10 minutes",
+        pThreshold = 0.05)
+      .writeStream.format("memory").queryName("ks_same")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // live window drawn from the SAME uniform {0,1,2,3} grain
+      input.addData((1 to 40).map(i =>
+        EventRow(i.toLong, ts(i % 50), 1, "e", (i % 4).toDouble)): _*)
+      q.processAllAvailable()
+      input.addData(EventRow(99,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 0.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM ks_same").collect()(0)
+      assert(r.getDouble(2) == 0.0) // identical CDFs -> D = 0
+      assert(r.getDouble(3) == 1.0) // λ < 0.05 short-circuit
+      assert(!r.getBoolean(4))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
