@@ -3458,7 +3458,16 @@ object SparkEntry {
             "A").otherwise("B"))
       graft.ops.Profile.bootstrapCiMeanDiff(perUser, "user_id",
         "variant", "y", replicas = 100)
-    })
+    }),
+
+    // Additive Holt-Winters (ops/Events.scala): per-event-type daily
+    // volume over a 28-day zero-filled spine, weekly season — the
+    // whole recursion is ONE aggregate() fold per key; the oracle
+    // replays it as a recursive CTE with identical expression shapes.
+    "q232_holt_winters" -> ((s, dir) =>
+      graft.ops.Events.holtWinters(t(s, dir, "events"), "event_type",
+        "ts", "2024-01-01", numDays = 28, seasonLen = 7,
+        alpha = 0.4, beta = 0.1, gamma = 0.2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7628,6 +7637,62 @@ object SparkEntry {
         |  100 AS replicas
         |FROM (SELECT * FROM pt WHERE grp = 'A') pa,
         |     (SELECT * FROM pt WHERE grp = 'B') pb, ci""".stripMargin,
+
+    // holtWinters' fold replayed as a recursive CTE: state row
+    // (t, l, b, s1..s7), each step the operator's exact expression
+    // shapes; smoothing constants emitted via Scala's round-trip
+    // toString so 1-α etc. land on the identical double.
+    "q232_holt_winters" -> {
+      val (m, t0) = (7, 28)
+      val (a, bb, g) = (0.4, 0.1, 0.2)
+      def d(v: Double) = s"$v::DOUBLE"
+      val xCols = (0 until 2 * m).map(i =>
+        s"max(CASE WHEN idx = $i THEN x END) AS x$i").mkString(",\n    ")
+      def lsum(lo: Int, hi: Int) =
+        (lo until hi).map(i => s"x$i").reduceLeft((acc, v) => s"($acc + $v)")
+      val sInit = (0 until m).map(i => s"x$i - l AS s${i + 1}")
+        .mkString(", ")
+      val lNew = s"${d(a)} * (x.x - hw.s1) + ${d(1 - a)} * (hw.l + hw.b)"
+      val shift = (2 to m).map(i => s"hw.s$i").mkString(", ")
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT event_type AS key,
+         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT
+         |      AS idx,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |ptf AS (SELECT * FROM pts WHERE idx >= 0 AND idx < $t0),
+         |keys AS (SELECT DISTINCT key FROM ptf),
+         |spine AS (SELECT key, unnest(range(0, $t0))::INT AS idx FROM keys),
+         |xs AS (SELECT s.key, s.idx, coalesce(p.n, 0)::DOUBLE AS x
+         |       FROM spine s LEFT JOIN ptf p
+         |         ON p.key = s.key AND p.idx = s.idx),
+         |piv AS (SELECT key,
+         |    $xCols
+         |  FROM xs GROUP BY key),
+         |init0 AS (SELECT key, x0, x1, x2, x3, x4, x5, x6,
+         |    ${lsum(0, m)} / ${d(m.toDouble)} AS l,
+         |    ${lsum(m, 2 * m)} / ${d(m.toDouble)} AS a2
+         |  FROM piv),
+         |init AS (SELECT key, l, (a2 - l) / ${d(m.toDouble)} AS b,
+         |    $sInit
+         |  FROM init0),
+         |hw AS (
+         |  SELECT key, ${m - 1} AS t, l, b,
+         |    s1, s2, s3, s4, s5, s6, s7 FROM init
+         |  UNION ALL
+         |  SELECT hw.key, hw.t + 1,
+         |    $lNew,
+         |    ${d(bb)} * (($lNew) - hw.l) + ${d(1 - bb)} * hw.b,
+         |    $shift,
+         |    ${d(g)} * (x.x - hw.l - hw.b) + ${d(1 - g)} * hw.s1
+         |  FROM hw JOIN xs x ON x.key = hw.key AND x.idx = hw.t + 1
+         |  WHERE hw.t < ${t0 - 1})
+         |SELECT key, $t0 AS n_days, round(l, 6) AS level,
+         |  round(b, 6) AS trend, round(s1, 6) AS season_next,
+         |  round(l + b + s1, 6) AS forecast
+         |FROM hw WHERE t = ${t0 - 1} ORDER BY key""".stripMargin
+    },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,
     // sampled indices = every 6th, size_i = 600 + (seed*31+i)*7 % 900 —

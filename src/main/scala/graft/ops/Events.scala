@@ -1179,4 +1179,90 @@ object Events {
         round(sum(col("__term")).cast("double"), 6).as("level"))
       .orderBy(col("key"))
   }
+
+  /** Additive Holt-Winters (triple exponential smoothing) one-step
+    * forecast per key over a FIXED zero-filled daily spine —
+    * [[sesForecast]]'s seasonal sibling, the forecasting face users
+    * reach for once a series has a weekly shape:
+    *
+    *   ℓ_t = α(x_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+    *   b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − ℓ_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+    *
+    * with the standard first-two-seasons init (ℓ = first-season mean,
+    * b = season-over-season mean shift / m, s_i = x_i − ℓ), so
+    * `numDays ≥ 2·seasonLen` is required. The spine is [startDay,
+    * startDay + numDays) with missing (key, day) cells as 0 — the
+    * seasonal index is a POSITION, so the series must be regular
+    * (zero-fill is the contract, stated; keys with no event in the
+    * span don't appear). Returns (key, n_days, level, trend,
+    * season_next, forecast) where forecast = ℓ + b + s (the next
+    * day's season), 6 dp.
+    *
+    * 100 TB shape: one (key, day) count collapse, one per-key collapse
+    * to a numDays-array (map lookup against the plan-time spine), then
+    * the WHOLE recursion runs as a single `aggregate()` fold over that
+    * array — sequential in t (the recurrence is inherently so; numDays
+    * is a plan-time constant ≤ 120) but embarrassingly parallel across
+    * keys, which is where the 100 TB lives. Every step is fixed double
+    * algebra in a fixed order, so the DuckDB oracle replays it as a
+    * recursive CTE with the identical expression shapes.
+    */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      startDay: String, numDays: Int, seasonLen: Int,
+      alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(beta > 0 && beta < 1, "beta must be in (0,1)")
+    require(gamma > 0 && gamma < 1, "gamma must be in (0,1)")
+    require(seasonLen >= 2 && seasonLen <= 31,
+      "seasonLen in [2,31] (a plan-time constant)")
+    require(numDays >= 2 * seasonLen && numDays <= 120,
+      "numDays in [2*seasonLen, 120] — the init needs two full seasons " +
+        "and the spine is a plan-time constant")
+    val m = seasonLen
+    val t0 = numDays
+    val counts = events
+      .select(col(keyCol).cast("string").as("key"),
+        datediff(to_date(col(tsCol)), to_date(lit(startDay))).as("__i"))
+      .filter(col("key").isNotNull &&
+        col("__i") >= 0 && col("__i") < t0)
+      .groupBy(col("key"), col("__i"))
+      .agg(count(lit(1)).as("__n"))
+    val xs = counts
+      .groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__n"))))
+        .as("__m"))
+      .select(col("key"),
+        transform(sequence(lit(0), lit(t0 - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("__xs"))
+    def x(i: Int) = element_at(col("__xs"), i + 1)
+    // first-two-seasons init, every sum folded left-to-right (the
+    // oracle emits the same association)
+    val l0 = (0 until m).map(x).reduceLeft(_ + _) / lit(m.toDouble)
+    val avg2 = (m until 2 * m).map(x).reduceLeft(_ + _) / lit(m.toDouble)
+    val b0 = (avg2 - l0) / lit(m.toDouble)
+    val s0 = transform(slice(col("__xs"), 1, m), v => v - l0)
+    val init = struct(l0.as("l"), b0.as("b"), s0.as("s"))
+    val step = (acc: Column, xv: Column) => {
+      val l = acc.getField("l"); val b = acc.getField("b")
+      val s = acc.getField("s")
+      val sUsed = element_at(s, 1)
+      val lNew = lit(alpha) * (xv - sUsed) + lit(1 - alpha) * (l + b)
+      val bNew = lit(beta) * (lNew - l) + lit(1 - beta) * b
+      val sNew = lit(gamma) * (xv - l - b) + lit(1 - gamma) * sUsed
+      struct(lNew.as("l"), bNew.as("b"),
+        concat(slice(s, 2, m - 1), array(sNew)).as("s"))
+    }
+    val fin = aggregate(slice(col("__xs"), m + 1, t0 - m), init, step)
+    xs.select(col("key"), lit(t0).as("n_days"),
+        fin.getField("l").as("__l"), fin.getField("b").as("__b"),
+        element_at(fin.getField("s"), 1).as("__s"))
+      .select(col("key"), col("n_days"),
+        round(col("__l"), 6).as("level"),
+        round(col("__b"), 6).as("trend"),
+        round(col("__s"), 6).as("season_next"),
+        round(col("__l") + col("__b") + col("__s"), 6).as("forecast"))
+      .orderBy(col("key"))
+  }
 }

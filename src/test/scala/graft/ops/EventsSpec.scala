@@ -671,6 +671,62 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(ols("treatment").getDouble(3) - cupedDiff) < 2e-6)
   }
 
+  test("holtWinters: constant series is a fixed point; naive-reference " +
+    "parity with zero-filled gaps") {
+    // constant 3 events/day for 14 days: level 3, trend 0, seasons 0
+    val const = (0 until 14).flatMap(d => (1 to 3).map(i =>
+      ("k", Timestamp.valueOf(f"2024-01-${d + 1}%02d 0$i:00:00"))))
+      .toDF("key", "ts")
+    val c = Events.holtWinters(const, "key", "ts", "2024-01-01",
+      numDays = 14, seasonLen = 7, alpha = 0.3, beta = 0.2, gamma = 0.1)
+      .collect()(0)
+    assert(c.getInt(1) == 14)
+    assert(c.getDouble(2) == 3.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 0.0 && c.getDouble(5) == 3.0)
+
+    // deterministic bumpy series over 21 days with day 5 EMPTY (the
+    // zero-fill contract) — compare against an independent sequential
+    // reference implementation of the same recursion
+    val perDay = (0 until 21).map(d =>
+      if (d == 5) 0 else 1 + (d * 5 + d % 7 * 3) % 6)
+    val rows = perDay.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i =>
+        ("k", Timestamp.valueOf(f"2024-01-${d + 1}%02d ${8 + i}%02d:30:00")))
+    }
+    val out = Events.holtWinters(rows.toDF("key", "ts"), "key", "ts",
+      "2024-01-01", numDays = 21, seasonLen = 7,
+      alpha = 0.4, beta = 0.15, gamma = 0.25).collect()(0)
+    // naive reference: straight loop, same init convention
+    val xsv = perDay.map(_.toDouble)
+    val mm = 7
+    var l = xsv.take(mm).sum / mm
+    var b = (xsv.slice(mm, 2 * mm).sum / mm - l) / mm
+    var s = xsv.take(mm).map(_ - l).toVector
+    for (t <- mm until 21) {
+      val sUsed = s.head
+      val lN = 0.4 * (xsv(t) - sUsed) + 0.6 * (l + b)
+      val bN = 0.15 * (lN - l) + 0.85 * b
+      val sN = 0.25 * (xsv(t) - l - b) + 0.75 * sUsed
+      l = lN; b = bN; s = s.tail :+ sN
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    assert(math.abs(out.getDouble(2) - l) < 1e-6, s"level ${out.getDouble(2)} vs $l")
+    assert(math.abs(out.getDouble(3) - b) < 1e-6)
+    assert(math.abs(out.getDouble(4) - s.head) < 1e-6)
+    assert(math.abs(out.getDouble(5) - (l + b + s.head)) < 2e-6)
+    // contracts
+    intercept[IllegalArgumentException] {
+      Events.holtWinters(const, "key", "ts", "2024-01-01",
+        numDays = 13, seasonLen = 7, alpha = 0.3, beta = 0.2, gamma = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Events.holtWinters(const, "key", "ts", "2024-01-01",
+        numDays = 14, seasonLen = 7, alpha = 1.0, beta = 0.2, gamma = 0.1)
+    }
+  }
+
   test("olsAdjust: listwise null deletion and loud degenerate failures") {
     val users = Seq(
       (Some("A"), Some(1.0), Some(1.0)), (Some("A"), Some(2.0), Some(2.0)),
