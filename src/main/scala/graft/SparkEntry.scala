@@ -187,6 +187,31 @@ object SparkEntry {
         case i => s"sx${i - 2}y"
       }
       else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+    val rhs = (0 until p).map {
+      case 0 => "pv.sy"
+      case 1 => "pv.syb"
+      case i => s"pv.sx${i - 2}y"
+    }
+    s"""WITH u AS MATERIALIZED ($perUser),
+       |mom AS MATERIALIZED (
+       |  SELECT v, $momAggs
+       |  FROM u WHERE v IS NOT NULL AND $notNull GROUP BY v),
+       |pv AS MATERIALIZED (SELECT
+       |    $pvCols
+       |  FROM mom),
+       |${gjUnrollSql(p, init, rhs, "intercept" +: "treatment" +: terms)}"""
+      .stripMargin
+  }
+
+  /** The shared tail of the OLS oracles: from a 1-row CTE `pv`
+    * carrying `n` (BIGINT), `syy` and every moment the `init`/`rhs`
+    * expressions reference, emits the unrolled pivotless Gauss-Jordan
+    * (one CTE per elimination step, the operator's exact expression
+    * shapes) plus the per-term readout. Returns the SQL fragment from
+    * `g0` onward (caller supplies the WITH prefix ending at `pv`). */
+  private def gjUnrollSql(p: Int, init: (Int, Int) => String,
+      rhs: Seq[String], terms: Seq[String]): String = {
+    val w = 2 * p + 1
     val g0 = (for { r <- 0 until p; j <- 0 until w }
       yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
     val steps = (0 until p).map { c =>
@@ -199,11 +224,6 @@ object SparkEntry {
       val from = if (c == 0) "g0" else s"s$c"
       s"s${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
     }.mkString(",\n")
-    val rhs = (0 until p).map {
-      case 0 => "pv.sy"
-      case 1 => "pv.syb"
-      case i => s"pv.sx${i - 2}y"
-    }
     val rss = (0 until p).foldLeft("pv.syy") { (acc, i) =>
       s"($acc - (s.g_${i}_$p * ${rhs(i)}))"
     }
@@ -213,7 +233,7 @@ object SparkEntry {
       (0 until p).map(i => s"s.g_${i}_$p AS beta$i") ++
       (0 until p).map(i => s"s.g_${i}_${p + 1 + i} AS inv$i"))
       .mkString(",\n    ")
-    val termRows = ("intercept" +: "treatment" +: terms).zipWithIndex
+    val termRows = terms.zipWithIndex
       .map { case (term, i) =>
         val se = s"sqrt(greatest((rss / dof), 0.0::DOUBLE) * inv$i)"
         s"""SELECT $i AS term_idx, '$term' AS term, n,
@@ -224,14 +244,7 @@ object SparkEntry {
            |    THEN round((1.0::DOUBLE - (rss / sst)), 6) END AS r2
            |FROM alg""".stripMargin
       }.mkString("\nUNION ALL\n")
-    s"""WITH u AS MATERIALIZED ($perUser),
-       |mom AS MATERIALIZED (
-       |  SELECT v, $momAggs
-       |  FROM u WHERE v IS NOT NULL AND $notNull GROUP BY v),
-       |pv AS MATERIALIZED (SELECT
-       |    $pvCols
-       |  FROM mom),
-       |g0 AS (SELECT
+    s"""g0 AS (SELECT
        |    $g0
        |  FROM pv),
        |$steps,
@@ -240,6 +253,46 @@ object SparkEntry {
        |  FROM s$p AS s, pv)
        |$termRows
        |ORDER BY term_idx""".stripMargin
+  }
+
+  /** [[graft.ops.Events.olsFit]]'s DuckDB replay: single ungrouped
+    * Gram moments over a `perRow` subquery producing (y, x0..x{k-1}),
+    * then the shared unrolled elimination. */
+  private def olsFitOracleSql(perRow: String, k: Int,
+      terms: Seq[String]): String = {
+    require(terms.size == k)
+    val p = k + 1
+    val d = "DECIMAL(38,12)"
+    val notNull = (Seq("y") ++ (0 until k).map(i => s"x$i"))
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val momAggs = (Seq("count(*)::BIGINT AS n",
+      s"sum(CAST(y AS $d))::DOUBLE AS sy",
+      s"sum(CAST(y * y AS $d))::DOUBLE AS syy") ++
+      (0 until k).map(i => s"sum(CAST(x$i AS $d))::DOUBLE AS sx$i") ++
+      (0 until k).map(i =>
+        s"sum(CAST(x$i * y AS $d))::DOUBLE AS sx${i}y") ++
+      (for { i <- 0 until k; j <- i until k }
+        yield s"sum(CAST(x$i * x$j AS $d))::DOUBLE AS sx${i}x$j"))
+      .mkString(",\n    ")
+    def init(r: Int, j: Int): String = {
+      def gram(a: Int, b: Int): String =
+        if (a == 0 && b == 0) "n::DOUBLE"
+        else if (a == 0) s"sx${b - 1}"
+        else s"sx${math.min(a - 1, b - 1)}x${math.max(a - 1, b - 1)}"
+      if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+      else if (j == p) { if (r == 0) "sy" else s"sx${r - 1}y" }
+      else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+    }
+    val rhs = (0 until p).map {
+      case 0 => "pv.sy"
+      case i => s"pv.sx${i - 1}y"
+    }
+    s"""WITH u AS MATERIALIZED ($perRow),
+       |pv AS MATERIALIZED (
+       |  SELECT $momAggs
+       |  FROM u WHERE $notNull),
+       |${gjUnrollSql(p, init, rhs, "intercept" +: terms)}"""
+      .stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3467,7 +3520,28 @@ object SparkEntry {
     "q232_holt_winters" -> ((s, dir) =>
       graft.ops.Events.holtWinters(t(s, dir, "events"), "event_type",
         "ts", "2024-01-01", numDays = 28, seasonLen = 7,
-        alpha = 0.4, beta = 0.1, gamma = 0.2))
+        alpha = 0.4, beta = 0.1, gamma = 0.2)),
+
+    // DiD with covariates (ops/Events.scala): q224's quasi-experiment
+    // re-estimated as a regression — treated/post/interaction dummies
+    // plus per-period engagement, one Gram aggregation + the shared
+    // Gauss-Jordan; the did_effect row is the adjusted estimate.
+    "q233_did_adjusted" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .withColumn("period",
+          when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            "p0_pre").otherwise("p1_post"))
+        .groupBy(col("user_id"), col("period"))
+        .agg(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).cast("double").as("y"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"))
+        .withColumn("grp",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Events.didAdjusted(units, "grp", "period", "y",
+        Seq("engagement"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7692,6 +7766,33 @@ object SparkEntry {
          |  round(b, 6) AS trend, round(s1, 6) AS season_next,
          |  round(l + b + s1, 6) AS forecast
          |FROM hw WHERE t = ${t0 - 1} ORDER BY key""".stripMargin
+    },
+
+    // the olsFit replay over the explicit DiD design (exact 0/1 dummy
+    // doubles + the covariate), shared elimination unroll
+    "q233_did_adjusted" -> {
+      val perRow =
+        """SELECT y,
+          |  CASE WHEN grp = 'B' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+          |    AS x0,
+          |  CASE WHEN period = 'p1_post' THEN 1.0::DOUBLE
+          |    ELSE 0.0::DOUBLE END AS x1,
+          |  CASE WHEN grp = 'B' AND period = 'p1_post' THEN 1.0::DOUBLE
+          |    ELSE 0.0::DOUBLE END AS x2,
+          |  engagement AS x3
+          |FROM (
+          |  SELECT user_id,
+          |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+          |      THEN 'p0_pre' ELSE 'p1_post' END AS period,
+          |    (sum(CASE WHEN event_type = 'purchase' THEN value
+          |         ELSE 0.0::DOUBLE END))::DOUBLE AS y,
+          |    (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+          |      AS engagement,
+          |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+          |      THEN 'A' ELSE 'B' END AS grp
+          |  FROM events GROUP BY user_id, period, grp)""".stripMargin
+      olsFitOracleSql(perRow, 4,
+        Seq("treated", "post", "did_effect", "engagement"))
     },
 
     // Pattern-video arithmetic (q92's device): frames = durMs*24/1000,

@@ -502,6 +502,31 @@ object Events {
     * elimination is safe; a rank-deficient (collinear) design fails
     * loudly. k is capped at 20 — the Gram is a plan-time constant.
     */
+  /** Pivotless Gauss-Jordan on an augmented p×(2p+1) matrix in the
+    * fixed functional-update order (every new entry from the PREVIOUS
+    * state only, row c's pivot division re-evaluated inside each row r
+    * — the exact expression shape the oracles' unrolled CTEs replay).
+    * Returns (β, diag of the inverse). Shared by [[olsAdjust]],
+    * [[olsFit]] and [[didAdjusted]]. */
+  private def gaussJordan(init: Array[Array[Double]],
+      p: Int): (Array[Double], Array[Double]) = {
+    val w = 2 * p + 1
+    var a = init
+    for (c <- 0 until p) {
+      val prev = a
+      val piv = prev(c)(c)
+      require(math.abs(piv) > 1e-12,
+        s"ols: singular normal equations at pivot $c " +
+          "(collinear covariates?)")
+      a = Array.tabulate(p, w) { (r, j) =>
+        if (r == c) prev(c)(j) / piv
+        else prev(r)(j) - prev(r)(c) * (prev(c)(j) / piv)
+      }
+    }
+    (Array.tabulate(p)(i => a(i)(p)),
+      Array.tabulate(p)(i => a(i)(p + 1 + i)))
+  }
+
   def olsAdjust(users: DataFrame, variantCol: String, yCol: String,
       covariates: Seq[String]): DataFrame = {
     require(covariates.nonEmpty && covariates.size <= 20,
@@ -567,24 +592,7 @@ object Events {
       }
       else if (j == p + 1 + r) 1.0 else 0.0
     }
-    // pivotless Gauss-Jordan, functional update per step: every new
-    // entry computed from the PREVIOUS state only (row c's division by
-    // the pivot re-evaluated inside each row r) — the exact expression
-    // shape the oracle's unrolled CTEs replay
-    var a = init
-    for (c <- 0 until p) {
-      val prev = a
-      val piv = prev(c)(c)
-      require(math.abs(piv) > 1e-12,
-        s"olsAdjust: singular normal equations at pivot $c " +
-          "(collinear covariates?)")
-      a = Array.tabulate(p, w) { (r, j) =>
-        if (r == c) prev(c)(j) / piv
-        else prev(r)(j) - prev(r)(c) * (prev(c)(j) / piv)
-      }
-    }
-    val beta = Array.tabulate(p)(i => a(i)(p))
-    val invDiag = Array.tabulate(p)(i => a(i)(p + 1 + i))
+    val (beta, invDiag) = gaussJordan(init, p)
     val rhs = Array.tabulate(p)(r => init(r)(p))
     val syy = both("syy")
     var rss = syy
@@ -607,6 +615,118 @@ object Events {
     }
     out.toDF("term_idx", "term", "n", "coef", "se", "t_stat", "r2")
       .orderBy(col("term_idx"))
+  }
+
+  /** General OLS multiple regression `y = β₀ + Σ βⱼ xⱼ` — the design-
+    * agnostic face of [[olsAdjust]] (no treatment convention; the
+    * caller provides every regressor as a column, indicators included).
+    * Listwise null deletion; same pivotless-Gauss-Jordan solve, same
+    * per-term output (term_idx, term, n, coef, se, t_stat, r2), 6 dp.
+    *
+    * 100 TB shape: ONE ungrouped aggregation computes every normal-
+    * equation moment (DECIMAL(38,12)-quantized); the (k+1)×(k+1) solve
+    * runs on the 1-row collect. k ≤ 20.
+    */
+  def olsFit(df: DataFrame, yCol: String,
+      xCols: Seq[String]): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 20,
+      "olsFit: need 1..20 regressors")
+    require(xCols.distinct.size == xCols.size,
+      "olsFit: regressors must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val p = k + 1
+    val base = df
+      .select(col(yCol).cast("double").as("__y") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__y"))).as("sy"),
+      sum(d12(col("__y") * col("__y"))).as("syy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    def dv(f: String) = {
+      val d = r.getDecimal(r.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val nL = r.getLong(r.fieldIndex("n"))
+    require(nL > p, s"olsFit: need n > $p rows, got $nL")
+    val nD = nL.toDouble
+    def gx(i: Int, j: Int) = dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+    val w = 2 * p + 1
+    val init = Array.tabulate(p, w) { (rr, j) =>
+      def gram(a: Int, b: Int): Double =
+        if (a == 0 && b == 0) nD
+        else if (a == 0) dv(s"sx${b - 1}")
+        else gx(a - 1, b - 1)
+      if (j < p) { if (j >= rr) gram(rr, j) else gram(j, rr) }
+      else if (j == p) { if (rr == 0) dv("sy") else dv(s"sx${rr - 1}y") }
+      else if (j == p + 1 + rr) 1.0 else 0.0
+    }
+    val (beta, invDiag) = gaussJordan(init, p)
+    val rhs = Array.tabulate(p)(i => init(i)(p))
+    val syy = dv("syy")
+    var rss = syy
+    for (i <- 0 until p) rss -= beta(i) * rhs(i)
+    val dof = (nL - p).toDouble
+    val sigma2 = rss / dof
+    val sst = syy - (rhs(0) * rhs(0)) / nD
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    val out = (0 until p).map { i =>
+      val se = math.sqrt(math.max(sigma2, 0.0) * invDiag(i))
+      (i, terms(i), nL, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None,
+        if (sst > 0) Some(r6(1.0 - rss / sst)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "t_stat", "r2")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Difference-in-differences WITH covariates — the regression form
+    * of [[diffInDiff]]: `y = β₀ + τ_g·T + τ_p·P + δ·T·P + Σ βⱼ xⱼ`
+    * where T = treated group (larger label), P = post period (larger
+    * label); the `did_effect` row's coefficient δ IS the DiD estimate,
+    * now adjusted for unit-level covariates (what the plain 4-cell
+    * estimator cannot do), with a regression SE. All indicator columns
+    * are exact 0/1 doubles; estimation is [[olsFit]] on the augmented
+    * design. Returns its per-term frame with terms (intercept,
+    * treated, post, did_effect, covariates...).
+    */
+  def didAdjusted(units: DataFrame, groupCol: String, periodCol: String,
+      yCol: String, covariates: Seq[String]): DataFrame = {
+    val pre = units
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g") +:
+        col(periodCol).cast("string").as("__p") +:
+        col(yCol).as(yCol) +: covariates.map(c => col(c)): _*)
+      .localCheckpoint(true) // consumers: label probes + the fit
+    val gs = pre.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val ps = pre.select(col("__p")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(gs.length == 2 && ps.length == 2,
+      s"didAdjusted: need exactly 2 groups x 2 periods, got " +
+        s"groups=${gs.mkString(",")} periods=${ps.mkString(",")}")
+    val design = pre.select(
+      col(yCol).as(yCol) +:
+      when(col("__g") === gs(1), 1.0).otherwise(0.0).as("treated") +:
+      when(col("__p") === ps(1), 1.0).otherwise(0.0).as("post") +:
+      when(col("__g") === gs(1) && col("__p") === ps(1), 1.0)
+        .otherwise(0.0).as("did_effect") +:
+      covariates.map(c => col(c)): _*)
+    olsFit(design, yCol, Seq("treated", "post", "did_effect") ++
+      covariates)
   }
 
   /** Rolling active users: for every calendar day in the stream's

@@ -671,6 +671,55 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(ols("treatment").getDouble(3) - cupedDiff) < 2e-6)
   }
 
+  test("olsFit/didAdjusted: saturated DiD equals the 4-cell estimator, " +
+    "covariate recovers the exact effect") {
+    import spark.implicits._
+    // 2x2 cells with >=2 units each, noisy y
+    val units = Seq(
+      ("A", "pre", 1.0), ("A", "pre", 2.0), ("A", "post", 2.5),
+      ("A", "post", 3.5), ("B", "pre", 2.0), ("B", "pre", 4.0),
+      ("B", "post", 7.0), ("B", "post", 9.0))
+      .toDF("g", "per", "y")
+      .withColumn("per2", org.apache.spark.sql.functions
+        .when(col("per") === "pre", "p0").otherwise("p1"))
+    // saturated regression (no covariates) reproduces the 4-cell DiD
+    // point estimate exactly
+    val cell = Events.diffInDiff(units, "g", "per2", "y").collect()(0)
+    val reg = Events.didAdjusted(units, "g", "per2", "y", Seq.empty)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(reg("did_effect").getDouble(3) == cell.getDouble(6),
+      s"regression ${reg("did_effect").getDouble(3)} vs cell ${cell.getDouble(6)}")
+    // exact generating process: y = 1 + 2T + 0.5P + 3TP + 0.25x ->
+    // with x in the design, did_effect = 3 exactly and the fit is exact
+    val exact = (0 until 24).map { i =>
+      val t = if (i % 2 == 0) 0.0 else 1.0
+      val p = if ((i / 2) % 2 == 0) 0.0 else 1.0
+      val x = (i * 7 % 11).toDouble
+      (if (t == 1.0) "B" else "A", if (p == 1.0) "p1" else "p0",
+        1.0 + 2.0 * t + 0.5 * p + 3.0 * t * p + 0.25 * x, x)
+    }.toDF("g", "per", "y", "x")
+    val adj = Events.didAdjusted(exact, "g", "per", "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(adj("did_effect").getDouble(3) == 3.0)
+    assert(adj("treated").getDouble(3) == 2.0)
+    assert(adj("post").getDouble(3) == 0.5)
+    assert(adj("x").getDouble(3) == 0.25)
+    assert(adj("did_effect").getDouble(4) == 0.0) // exact fit, se 0
+    // constant covariate is collinear with the intercept: loud failure
+    val e = intercept[IllegalArgumentException] {
+      Events.didAdjusted(exact.withColumn("c",
+        org.apache.spark.sql.functions.lit(1.0)),
+        "g", "per", "y", Seq("c")).collect()
+    }
+    assert(e.getMessage.contains("singular"))
+    // olsFit standalone: straight line y = 4 - 2x recovered exactly
+    val line = (1 to 12).map(i => (4.0 - 2.0 * i, i.toDouble))
+      .toDF("y", "x")
+    val fit = Events.olsFit(line, "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(fit("intercept") == 4.0 && fit("x") == -2.0)
+  }
+
   test("holtWinters: constant series is a fixed point; naive-reference " +
     "parity with zero-filled gaps") {
     // constant 3 events/day for 14 days: level 3, trend 0, seasons 0
