@@ -2241,6 +2241,37 @@ object ScaleCheck {
       s"dense graph: every walk runs the full length, got $walks rows")
     println(f"WALKS> edges=5000000 walks=100000 len=10 rows=$walks " +
       f"t=$tWalk%.1f s (${walks / tWalk / 1000}%.0fk walk-steps/s)")
+
+    // modularity of the 3-round LPA partition: two edge-sized label
+    // joins + one community aggregate — the "do the communities mean
+    // anything" readout priced at 5M edges
+    {
+      import spark.implicits._
+      val labelsDf = lpa.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("node", "community").repartition(32).localCheckpoint(true)
+      val (mod, tMod) = time {
+        graft.ops.Graph.modularity(gEdges, "s", "d",
+          labelsDf, "node", "community").collect()
+      }
+      val q5 = mod.map(_.getDouble(4)).sum
+      require(q5 >= -0.5 && q5 <= 1.0, s"Q out of Newman bounds: $q5")
+      println(f"MODULARITY> edges=5000000 communities=${mod.length} " +
+        f"q=$q5%.6f t=$tMod%.1f s")
+    }
+
+    // weighted SSSP from the same 16 landmarks: min-plus frontier
+    // relaxation, 3 hops — each hop one adjacency join + (seed, node)
+    // min over a ~1.6M-pair frame
+    val wEdges = gEdges.select(col("s"), col("d"),
+      ((col("s") + col("d")) % 9 + 1).cast("double").as("w"))
+    val (wd, tWd) = time {
+      graft.ops.Graph.weightedDistances(wEdges, "s", "d", "w",
+        landmarks, "n", maxHops = 3).count()
+    }
+    require(wd > 1500000L,
+      s"16 landmarks reach ~everything within 3 hops here, got $wd")
+    println(f"WSSSP> edges=5000000 seeds=16 hops=3 pairs=$wd " +
+      f"t=$tWd%.1f s")
     }
 
     if (run("evalscale")) {
