@@ -295,6 +295,68 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** The Holt-Winters recursion as a DuckDB recursive CTE over the
+    * per-event-type daily spine — state row (t, ℓ, b, s1..sm, error
+    * accumulators), each step [[graft.ops.Events.holtWinters]]'s exact
+    * expression shapes (the q232/q234 shared prefix; callers append
+    * their final SELECT over `hw`). */
+  private def hwOracleCte(m: Int, t0: Int, a: Double, bb: Double,
+      g: Double): String = {
+    def d(v: Double) = s"$v::DOUBLE"
+    val xCols = (0 until 2 * m).map(i =>
+      s"max(CASE WHEN idx = $i THEN x END) AS x$i").mkString(",\n    ")
+    def lsum(lo: Int, hi: Int) =
+      (lo until hi).map(i => s"x$i").reduceLeft((acc, v) => s"($acc + $v)")
+    val sInit = (0 until m).map(i => s"x$i - l AS s${i + 1}")
+      .mkString(", ")
+    val sNames = (1 to m).map(i => s"s$i").mkString(", ")
+    val lNew = s"${d(a)} * (x.x - hw.s1) + ${d(1 - a)} * (hw.l + hw.b)"
+    val shift = (2 to m).map(i => s"hw.s$i").mkString(", ")
+    val e = "(x.x - (hw.l + hw.b + hw.s1))"
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT event_type AS key,
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT
+       |      AS idx,
+       |    count(*)::BIGINT AS n
+       |  FROM events WHERE event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ptf AS (SELECT * FROM pts WHERE idx >= 0 AND idx < $t0),
+       |keys AS (SELECT DISTINCT key FROM ptf),
+       |spine AS (SELECT key, unnest(range(0, $t0))::INT AS idx FROM keys),
+       |xs AS (SELECT s.key, s.idx, coalesce(p.n, 0)::DOUBLE AS x
+       |       FROM spine s LEFT JOIN ptf p
+       |         ON p.key = s.key AND p.idx = s.idx),
+       |piv AS (SELECT key,
+       |    $xCols
+       |  FROM xs GROUP BY key),
+       |init0 AS (SELECT key, ${(0 until m).map(i => s"x$i").mkString(", ")},
+       |    ${lsum(0, m)} / ${d(m.toDouble)} AS l,
+       |    ${lsum(m, 2 * m)} / ${d(m.toDouble)} AS a2
+       |  FROM piv),
+       |init AS (SELECT key, l, (a2 - l) / ${d(m.toDouble)} AS b,
+       |    $sInit
+       |  FROM init0),
+       |hw AS (
+       |  SELECT key, ${m - 1} AS t, l, b,
+       |    $sNames,
+       |    0.0::DOUBLE AS sae, 0.0::DOUBLE AS sse,
+       |    0.0::DOUBLE AS sape, 0.0::DOUBLE AS nz FROM init
+       |  UNION ALL
+       |  SELECT hw.key, hw.t + 1,
+       |    $lNew,
+       |    ${d(bb)} * (($lNew) - hw.l) + ${d(1 - bb)} * hw.b,
+       |    $shift,
+       |    ${d(g)} * (x.x - hw.l - hw.b) + ${d(1 - g)} * hw.s1,
+       |    hw.sae + abs($e),
+       |    hw.sse + ($e * $e),
+       |    hw.sape + CASE WHEN x.x <> 0.0::DOUBLE
+       |      THEN abs($e) / abs(x.x) ELSE 0.0::DOUBLE END,
+       |    hw.nz + CASE WHEN x.x <> 0.0::DOUBLE
+       |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+       |  FROM hw JOIN xs x ON x.key = hw.key AND x.idx = hw.t + 1
+       |  WHERE hw.t < ${t0 - 1})""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= reference surface (librarian §2.1-2.8) =============
@@ -3541,7 +3603,15 @@ object SparkEntry {
             "A").otherwise("B"))
       graft.ops.Events.didAdjusted(units, "grp", "period", "y",
         Seq("engagement"))
-    })
+    }),
+
+    // Holt-Winters one-step backtest (ops/Events.scala): q232's fit
+    // with the error accumulators riding the SAME fold — MAE/RMSE/MAPE
+    // of the pre-update forecasts, zero extra passes.
+    "q234_hw_backtest" -> ((s, dir) =>
+      graft.ops.Events.holtWintersBacktest(t(s, dir, "events"),
+        "event_type", "ts", "2024-01-01", numDays = 28, seasonLen = 7,
+        alpha = 0.4, beta = 0.1, gamma = 0.2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7713,60 +7783,26 @@ object SparkEntry {
         |     (SELECT * FROM pt WHERE grp = 'B') pb, ci""".stripMargin,
 
     // holtWinters' fold replayed as a recursive CTE: state row
-    // (t, l, b, s1..s7), each step the operator's exact expression
-    // shapes; smoothing constants emitted via Scala's round-trip
-    // toString so 1-α etc. land on the identical double.
-    "q232_holt_winters" -> {
-      val (m, t0) = (7, 28)
-      val (a, bb, g) = (0.4, 0.1, 0.2)
-      def d(v: Double) = s"$v::DOUBLE"
-      val xCols = (0 until 2 * m).map(i =>
-        s"max(CASE WHEN idx = $i THEN x END) AS x$i").mkString(",\n    ")
-      def lsum(lo: Int, hi: Int) =
-        (lo until hi).map(i => s"x$i").reduceLeft((acc, v) => s"($acc + $v)")
-      val sInit = (0 until m).map(i => s"x$i - l AS s${i + 1}")
-        .mkString(", ")
-      val lNew = s"${d(a)} * (x.x - hw.s1) + ${d(1 - a)} * (hw.l + hw.b)"
-      val shift = (2 to m).map(i => s"hw.s$i").mkString(", ")
-      s"""WITH RECURSIVE pts AS (
-         |  SELECT event_type AS key,
-         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT
-         |      AS idx,
-         |    count(*)::BIGINT AS n
-         |  FROM events WHERE event_type IS NOT NULL
-         |  GROUP BY 1, 2),
-         |ptf AS (SELECT * FROM pts WHERE idx >= 0 AND idx < $t0),
-         |keys AS (SELECT DISTINCT key FROM ptf),
-         |spine AS (SELECT key, unnest(range(0, $t0))::INT AS idx FROM keys),
-         |xs AS (SELECT s.key, s.idx, coalesce(p.n, 0)::DOUBLE AS x
-         |       FROM spine s LEFT JOIN ptf p
-         |         ON p.key = s.key AND p.idx = s.idx),
-         |piv AS (SELECT key,
-         |    $xCols
-         |  FROM xs GROUP BY key),
-         |init0 AS (SELECT key, x0, x1, x2, x3, x4, x5, x6,
-         |    ${lsum(0, m)} / ${d(m.toDouble)} AS l,
-         |    ${lsum(m, 2 * m)} / ${d(m.toDouble)} AS a2
-         |  FROM piv),
-         |init AS (SELECT key, l, (a2 - l) / ${d(m.toDouble)} AS b,
-         |    $sInit
-         |  FROM init0),
-         |hw AS (
-         |  SELECT key, ${m - 1} AS t, l, b,
-         |    s1, s2, s3, s4, s5, s6, s7 FROM init
-         |  UNION ALL
-         |  SELECT hw.key, hw.t + 1,
-         |    $lNew,
-         |    ${d(bb)} * (($lNew) - hw.l) + ${d(1 - bb)} * hw.b,
-         |    $shift,
-         |    ${d(g)} * (x.x - hw.l - hw.b) + ${d(1 - g)} * hw.s1
-         |  FROM hw JOIN xs x ON x.key = hw.key AND x.idx = hw.t + 1
-         |  WHERE hw.t < ${t0 - 1})
-         |SELECT key, $t0 AS n_days, round(l, 6) AS level,
+    // (t, l, b, s1..s7, error accumulators), each step the operator's
+    // exact expression shapes; smoothing constants emitted via Scala's
+    // round-trip toString so 1-α etc. land on the identical double.
+    "q232_holt_winters" -> (hwOracleCte(7, 28, 0.4, 0.1, 0.2) +
+      s"""
+         |SELECT key, 28 AS n_days, round(l, 6) AS level,
          |  round(b, 6) AS trend, round(s1, 6) AS season_next,
          |  round(l + b + s1, 6) AS forecast
-         |FROM hw WHERE t = ${t0 - 1} ORDER BY key""".stripMargin
-    },
+         |FROM hw WHERE t = 27 ORDER BY key""".stripMargin),
+
+    // the same recursion's error accumulators read out: one-step-ahead
+    // MAE/RMSE/MAPE per key, n_eval = numDays - seasonLen steps
+    "q234_hw_backtest" -> (hwOracleCte(7, 28, 0.4, 0.1, 0.2) +
+      s"""
+         |SELECT key, 21 AS n_eval,
+         |  round(sae / 21.0::DOUBLE, 6) AS mae,
+         |  round(sqrt(sse / 21.0::DOUBLE), 6) AS rmse,
+         |  CASE WHEN nz > 0.0::DOUBLE THEN round(sape / nz, 6) END
+         |    AS mape
+         |FROM hw WHERE t = 27 ORDER BY key""".stripMargin),
 
     // the olsFit replay over the explicit DiD design (exact 0/1 dummy
     // doubles + the covariate), shared elimination unroll

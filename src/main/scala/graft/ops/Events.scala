@@ -1331,6 +1331,53 @@ object Events {
   def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
       startDay: String, numDays: Int, seasonLen: Int,
       alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    val (xs, fin) = hwFold(events, keyCol, tsCol, startDay, numDays,
+      seasonLen, alpha, beta, gamma)
+    xs.select(col("key"), lit(numDays).as("n_days"),
+        fin.getField("l").as("__l"), fin.getField("b").as("__b"),
+        element_at(fin.getField("s"), 1).as("__s"))
+      .select(col("key"), col("n_days"),
+        round(col("__l"), 6).as("level"),
+        round(col("__b"), 6).as("trend"),
+        round(col("__s"), 6).as("season_next"),
+        round(col("__l") + col("__b") + col("__s"), 6).as("forecast"))
+      .orderBy(col("key"))
+  }
+
+  /** One-step-ahead backtest of [[holtWinters]] — the accuracy readout
+    * that decides whether the forecast is usable: at every step t ≥
+    * 2·seasonLen the model's pre-update forecast `ℓ + b + s_head` is
+    * scored against the arriving x_t, and MAE / RMSE / MAPE accumulate
+    * INSIDE the same fold (error terms ride the recursion state, so
+    * the backtest costs nothing beyond the fit). MAPE averages
+    * |e|/|x| over nonzero actuals only (n_nonzero reported; all-zero
+    * series yield null MAPE). Returns (key, n_eval, mae, rmse, mape),
+    * 6 dp.
+    */
+  def holtWintersBacktest(events: DataFrame, keyCol: String,
+      tsCol: String, startDay: String, numDays: Int, seasonLen: Int,
+      alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    val (xs, fin) = hwFold(events, keyCol, tsCol, startDay, numDays,
+      seasonLen, alpha, beta, gamma)
+    val nEval = lit((numDays - seasonLen).toDouble)
+    xs.select(col("key"),
+        fin.getField("sae").as("__sae"), fin.getField("sse").as("__sse"),
+        fin.getField("sape").as("__sape"), fin.getField("nz").as("__nz"))
+      .select(col("key"), lit(numDays - seasonLen).as("n_eval"),
+        round(col("__sae") / nEval, 6).as("mae"),
+        round(sqrt(col("__sse") / nEval), 6).as("rmse"),
+        round(when(col("__nz") > 0.0, col("__sape") / col("__nz")), 6)
+          .as("mape"))
+      .orderBy(col("key"))
+  }
+
+  /** The shared Holt-Winters kernel: per-key zero-filled spine →
+    * numDays-array → ONE `aggregate()` fold whose state carries
+    * (ℓ, b, seasonal queue, backtest error accumulators). Returns the
+    * keyed array frame and the final fold struct column. */
+  private def hwFold(events: DataFrame, keyCol: String, tsCol: String,
+      startDay: String, numDays: Int, seasonLen: Int, alpha: Double,
+      beta: Double, gamma: Double): (DataFrame, Column) = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
     require(beta > 0 && beta < 1, "beta must be in (0,1)")
     require(gamma > 0 && gamma < 1, "gamma must be in (0,1)")
@@ -1363,26 +1410,28 @@ object Events {
     val avg2 = (m until 2 * m).map(x).reduceLeft(_ + _) / lit(m.toDouble)
     val b0 = (avg2 - l0) / lit(m.toDouble)
     val s0 = transform(slice(col("__xs"), 1, m), v => v - l0)
-    val init = struct(l0.as("l"), b0.as("b"), s0.as("s"))
+    val init = struct(l0.as("l"), b0.as("b"), s0.as("s"),
+      lit(0.0).as("sae"), lit(0.0).as("sse"), lit(0.0).as("sape"),
+      lit(0.0).as("nz"))
     val step = (acc: Column, xv: Column) => {
       val l = acc.getField("l"); val b = acc.getField("b")
       val s = acc.getField("s")
       val sUsed = element_at(s, 1)
+      // the PRE-update one-step forecast and its error — scored before
+      // the state absorbs x_t, which is what "one step ahead" means
+      val e = xv - (l + b + sUsed)
       val lNew = lit(alpha) * (xv - sUsed) + lit(1 - alpha) * (l + b)
       val bNew = lit(beta) * (lNew - l) + lit(1 - beta) * b
       val sNew = lit(gamma) * (xv - l - b) + lit(1 - gamma) * sUsed
       struct(lNew.as("l"), bNew.as("b"),
-        concat(slice(s, 2, m - 1), array(sNew)).as("s"))
+        concat(slice(s, 2, m - 1), array(sNew)).as("s"),
+        (acc.getField("sae") + abs(e)).as("sae"),
+        (acc.getField("sse") + e * e).as("sse"),
+        (acc.getField("sape") +
+          when(xv =!= 0.0, abs(e) / abs(xv)).otherwise(0.0)).as("sape"),
+        (acc.getField("nz") +
+          when(xv =!= 0.0, 1.0).otherwise(0.0)).as("nz"))
     }
-    val fin = aggregate(slice(col("__xs"), m + 1, t0 - m), init, step)
-    xs.select(col("key"), lit(t0).as("n_days"),
-        fin.getField("l").as("__l"), fin.getField("b").as("__b"),
-        element_at(fin.getField("s"), 1).as("__s"))
-      .select(col("key"), col("n_days"),
-        round(col("__l"), 6).as("level"),
-        round(col("__b"), 6).as("trend"),
-        round(col("__s"), 6).as("season_next"),
-        round(col("__l") + col("__b") + col("__s"), 6).as("forecast"))
-      .orderBy(col("key"))
+    (xs, aggregate(slice(col("__xs"), m + 1, t0 - m), init, step))
   }
 }

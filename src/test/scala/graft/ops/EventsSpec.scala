@@ -774,6 +774,37 @@ class EventsSpec extends AnyFunSuite {
       Events.holtWinters(const, "key", "ts", "2024-01-01",
         numDays = 14, seasonLen = 7, alpha = 1.0, beta = 0.2, gamma = 0.1)
     }
+
+    // backtest: a constant series forecasts itself exactly -> all
+    // errors 0, and MAPE's nonzero-count is every step
+    val bt = Events.holtWintersBacktest(const, "key", "ts", "2024-01-01",
+      numDays = 14, seasonLen = 7, alpha = 0.3, beta = 0.2, gamma = 0.1)
+      .collect()(0)
+    assert(bt.getInt(1) == 7)
+    assert(bt.getDouble(2) == 0.0 && bt.getDouble(3) == 0.0 &&
+      bt.getDouble(4) == 0.0)
+    // backtest parity with the same naive reference loop (errors
+    // scored pre-update, the one-step-ahead definition)
+    var l2 = xsv.take(mm).sum / mm
+    var b2 = (xsv.slice(mm, 2 * mm).sum / mm - l2) / mm
+    var s2 = xsv.take(mm).map(_ - l2).toVector
+    var sae = 0.0; var sse = 0.0; var sape = 0.0; var nzc = 0
+    for (t <- mm until 21) {
+      val err = xsv(t) - (l2 + b2 + s2.head)
+      sae += math.abs(err); sse += err * err
+      if (xsv(t) != 0.0) { sape += math.abs(err) / math.abs(xsv(t)); nzc += 1 }
+      val lN = 0.4 * (xsv(t) - s2.head) + 0.6 * (l2 + b2)
+      val bN = 0.15 * (lN - l2) + 0.85 * b2
+      val sN = 0.25 * (xsv(t) - l2 - b2) + 0.75 * s2.head
+      l2 = lN; b2 = bN; s2 = s2.tail :+ sN
+    }
+    val btn = Events.holtWintersBacktest(rows.toDF("key", "ts"), "key",
+      "ts", "2024-01-01", numDays = 21, seasonLen = 7,
+      alpha = 0.4, beta = 0.15, gamma = 0.25).collect()(0)
+    assert(btn.getInt(1) == 14)
+    assert(math.abs(btn.getDouble(2) - sae / 14.0) < 1e-6)
+    assert(math.abs(btn.getDouble(3) - math.sqrt(sse / 14.0)) < 1e-6)
+    assert(math.abs(btn.getDouble(4) - sape / nzc) < 1e-6)
   }
 
   test("olsAdjust: listwise null deletion and loud degenerate failures") {
