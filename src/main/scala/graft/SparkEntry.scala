@@ -3611,7 +3611,20 @@ object SparkEntry {
     "q234_hw_backtest" -> ((s, dir) =>
       graft.ops.Events.holtWintersBacktest(t(s, dir, "events"),
         "event_type", "ts", "2024-01-01", numDays = 28, seasonLen = 7,
-        alpha = 0.4, beta = 0.1, gamma = 0.2))
+        alpha = 0.4, beta = 0.1, gamma = 0.2)),
+
+    // Brier decomposition (ops/Eval.scala): q155's synthetic scorer
+    // read as reliability / resolution / uncertainty + the
+    // within-bucket remainder — one corpus aggregation to the bins
+    // frame, decimal-quantized bin terms, order-free fold.
+    "q235_brier_decomposition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val p = pmod(col("doc_id") * 131, lit(997)).cast("double") / 996.0
+      val y = (pmod(col("doc_id") * 613, lit(997)) <
+        pmod(col("doc_id") * 131, lit(997))).cast("int")
+      graft.ops.Eval.brierDecomposition(
+        docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7792,6 +7805,49 @@ object SparkEntry {
          |  round(b, 6) AS trend, round(s1, 6) AS season_next,
          |  round(l + b + s1, 6) AS forecast
          |FROM hw WHERE t = 27 ORDER BY key""".stripMargin),
+
+    // q155's bins with the Murphy-decomposition algebra: per-bin
+    // rel/res terms DECIMAL-quantized before the order-free fold,
+    // every division double-typed in the operator's exact order
+    "q235_brier_decomposition" ->
+      """WITH t AS (
+        |  SELECT (doc_id * 131 % 997)::DOUBLE / 996.0 AS p,
+        |    (doc_id * 613 % 997 < doc_id * 131 % 997)::INT AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(floor(p * 10)::INT, 9) AS bin,
+        |    CAST(p AS DECIMAL(26,12)) AS s, y::BIGINT AS yy,
+        |    CAST((p - y::DOUBLE) * (p - y::DOUBLE) AS DECIMAL(38,12))
+        |      AS se
+        |  FROM t WHERE p IS NOT NULL AND y IS NOT NULL),
+        |pb AS (SELECT bin, count(*)::BIGINT AS n, sum(s) AS ss,
+        |    sum(yy)::BIGINT AS sy, sum(se) AS sse
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT sum(n)::BIGINT AS nn, sum(sy)::BIGINT AS tsy,
+        |    sum(sse) AS tsse FROM pb),
+        |terms AS (SELECT t.nn, t.tsy, t.tsse,
+        |    CAST(pb.n::DOUBLE *
+        |      (((pb.ss::DOUBLE / pb.n) - (pb.sy::DOUBLE / pb.n)) *
+        |       ((pb.ss::DOUBLE / pb.n) - (pb.sy::DOUBLE / pb.n)))
+        |      AS DECIMAL(38,12)) AS relterm,
+        |    CAST(pb.n::DOUBLE *
+        |      (((pb.sy::DOUBLE / pb.n) - (t.tsy::DOUBLE / t.nn)) *
+        |       ((pb.sy::DOUBLE / pb.n) - (t.tsy::DOUBLE / t.nn)))
+        |      AS DECIMAL(38,12)) AS resterm
+        |  FROM pb, tot t),
+        |f AS (SELECT nn, tsy, tsse, sum(relterm) AS srel,
+        |    sum(resterm) AS sres
+        |  FROM terms GROUP BY nn, tsy, tsse)
+        |SELECT nn AS n, 10 AS n_bins,
+        |  round(tsse::DOUBLE / nn, 6) AS brier,
+        |  round(srel::DOUBLE / nn, 6) AS reliability,
+        |  round(sres::DOUBLE / nn, 6) AS resolution,
+        |  round((tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
+        |    AS uncertainty,
+        |  round(tsse::DOUBLE / nn - srel::DOUBLE / nn + sres::DOUBLE / nn
+        |    - (tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
+        |    AS within_resid
+        |FROM f""".stripMargin,
 
     // the same recursion's error accumulators read out: one-step-ahead
     // MAE/RMSE/MAPE per key, n_eval = numDays - seasonLen steps

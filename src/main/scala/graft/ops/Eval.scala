@@ -329,6 +329,65 @@ object Eval {
     perBin.crossJoin(broadcast(ece))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over forecast
+    * bins — [[calibration]]'s summary face: `REL = Σ n_k(s̄_k−ȳ_k)²/N`
+    * (how far the forecasts sit from their buckets' outcome rates —
+    * smaller is better), `RES = Σ n_k(ȳ_k−ȳ)²/N` (how much the
+    * buckets separate outcomes — larger is better), `UNC = ȳ(1−ȳ)`
+    * (the base rate's irreducible noise). For bucket-constant
+    * forecasts `brier = REL − RES + UNC` exactly; with raw scores the
+    * identity picks up a within-bucket remainder (forecast variance
+    * minus twice the within-bucket score-outcome covariance — either
+    * sign), reported as `within_resid` rather than silently absorbed.
+    * Returns one row (n, n_bins, brier, reliability, resolution,
+    * uncertainty, within_resid), 6 dp.
+    *
+    * 100 TB shape: ONE corpus aggregation to the bins frame (score,
+    * label, squared-error sums DECIMAL-quantized), then bins-sized
+    * algebra with every per-bin term re-quantized before the final
+    * fold (order-free — engine- and partitioning-invariant).
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins in [1,1000], got $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val base = scored
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        s.cast("decimal(26,12)").as("__s"), y.as("__y"),
+        ((s - y.cast("double")) * (s - y.cast("double")))
+          .cast("decimal(38,12)").as("__se"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val perBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("ss"),
+        sum(col("__y")).as("sy"), sum(col("__se")).as("sse"))
+      .localCheckpoint(true) // consumers: totals broadcast + the terms
+    val tot = perBin.agg(sum(col("n")).as("__nn"),
+      sum(col("sy")).as("__tsy"), sum(col("sse")).as("__tsse"))
+    val nD = col("n").cast("double")
+    val sbar = col("ss").cast("double") / col("n")
+    val ybin = col("sy").cast("double") / col("n")
+    val ybar = col("__tsy").cast("double") / col("__nn")
+    val folded = perBin.crossJoin(broadcast(tot))
+      .select(col("__nn"), col("__tsy"), col("__tsse"),
+        (nD * ((sbar - ybin) * (sbar - ybin)))
+          .cast("decimal(38,12)").as("__rel"),
+        (nD * ((ybin - ybar) * (ybin - ybar)))
+          .cast("decimal(38,12)").as("__res"))
+      .groupBy(col("__nn"), col("__tsy"), col("__tsse"))
+      .agg(sum(col("__rel")).as("__srel"), sum(col("__res")).as("__sres"))
+    val brier = col("__tsse").cast("double") / col("__nn")
+    val rel = col("__srel").cast("double") / col("__nn")
+    val res = col("__sres").cast("double") / col("__nn")
+    val unc = ybar * (lit(1.0) - ybar)
+    folded.select(col("__nn").as("n"), lit(bins).as("n_bins"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - rel + res - unc, 6).as("within_resid"))
+  }
+
   /** Label-relevance evaluation harness: rank a bounded candidate set
     * for each query vector by exact cosine and score the ranking with
     * "same label" as the relevance oracle — the standard

@@ -218,4 +218,40 @@ class EvalSpec extends AnyFunSuite {
       "score", "label", 0.5).collect()(0)
     assert(one.isNullAt(9))
   }
+
+  test("brierDecomposition: hand-computed Murphy terms, identity for " +
+    "bucket-constant forecasts, degenerate base rate") {
+    import spark.implicits._
+    // bucket-constant forecasts: p in {0.25, 0.75} only -> within_var 0
+    // bucket 2 (0.25): 4 rows, 1 positive; bucket 7 (0.75): 4 rows, 3 pos
+    val rows = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+      (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0))
+    val r = Eval.brierDecomposition(rows.toDF("p", "y"), "p", "y", 10)
+      .collect()(0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ybar = 4.0 / 8.0
+    val rel = (4.0 * math.pow(0.25 - 0.25, 2) +
+      4.0 * math.pow(0.75 - 0.75, 2)) / 8.0 // forecasts hit the rates
+    val res = (4.0 * math.pow(0.25 - ybar, 2) +
+      4.0 * math.pow(0.75 - ybar, 2)) / 8.0
+    val brier = rows.map { case (p, y) => (p - y) * (p - y) }.sum / 8.0
+    assert(r.getLong(0) == 8L && r.getInt(1) == 10)
+    assert(r.getDouble(2) == r6(brier))
+    assert(r.getDouble(3) == r6(rel) && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == r6(res))
+    // bucket-constant + calibrated: brier = rel - res + unc exactly
+    assert(r.getDouble(6) == 0.0, s"within_resid ${r.getDouble(6)}")
+    assert(r.getDouble(5) == 0.25) // ybar = 0.5 -> unc 0.25
+    // within-bucket forecast spread surfaces in the remainder (hand
+    // value: brier 0.1691, rel 0.0625, res 0.0625, unc 0.1875 ->
+    // -0.0184 — variance minus twice covariance, sign unrestricted)
+    val spread = Seq((0.21, 0), (0.29, 1), (0.71, 1), (0.79, 1))
+    val s = Eval.brierDecomposition(spread.toDF("p", "y"), "p", "y", 10)
+      .collect()(0)
+    assert(s.getDouble(6) == -0.0184, s"got ${s.getDouble(6)}")
+    // all-negative labels: unc = 0, resolution 0
+    val neg = Seq((0.2, 0), (0.4, 0), (0.6, 0)).toDF("p", "y")
+    val n = Eval.brierDecomposition(neg, "p", "y", 10).collect()(0)
+    assert(n.getDouble(5) == 0.0 && n.getDouble(4) == 0.0)
+  }
 }
