@@ -193,6 +193,132 @@ object StreamOps {
       }
   }
 
+  /** One closed window's Mann-Whitney drift readout
+    * ([[streamingMwDrift]]); z/p null when every value ties. */
+  case class MwDrift(window_start: java.sql.Timestamp, n: Long,
+      u_live: Double, u_ref: Double, z: Option[Double],
+      p_value: Option[Double], drift: Boolean)
+
+  /** Streaming Mann-Whitney drift monitor — [[streamingKsDrift]]'s
+    * location-shift sibling (KS asks "did the SHAPE move", this asks
+    * "did the live window stochastically dominate the reference" —
+    * the right alarm for skewed metrics like latency or revenue where
+    * a mean monitor lies). Same machinery: per-window distinct-value
+    * grain state merged across micro-batches, the reference grain
+    * collected once; on watermark timeout one [[MwDrift]] row emits
+    * with the batch kernel's EXACT algebra (mid-ranks over the merged
+    * grain — half-integer-exact, so the sweep order cannot matter —
+    * tie-corrected σ with the t³ fold in exact integers, the A&S
+    * 7.1.26 normal tail), so [[graft.ops.Profile.mannWhitney]] on
+    * identical input returns bit-identical u/z/p — asserted by the
+    * parity spec. The live window plays group a (u_live = its
+    * rank-sum U). `drift` flags p < `pThreshold`.
+    */
+  def streamingMwDrift(events: DataFrame, valueCol: String, tsCol: String,
+      reference: DataFrame, refValueCol: String,
+      windowLen: String = "1 day", watermark: String = "10 minutes",
+      pThreshold: Double = 0.05)(
+      implicit spark: SparkSession): Dataset[MwDrift] = {
+    import spark.implicits._
+    require(pThreshold > 0 && pThreshold < 1, "pThreshold in (0,1)")
+    val refGrain = reference
+      .select(col(refValueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__x"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    require(refGrain.nonEmpty, "streamingMwDrift: empty reference")
+    val nRef = refGrain.map(_._2).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6n(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    events
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("__w"),
+        col(valueCol).cast("double").as("__x"), col(tsCol).as("__ts"))
+      .filter(col("__x").isNotNull)
+      .select(col("__w.start").as("ws"), col("__w.end").as("we"),
+        col("__x"), col("__ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Double,
+        java.sql.Timestamp)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[KsDriftState, MwDrift](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long,
+            rows: Iterator[(java.sql.Timestamp, java.sql.Timestamp, Double,
+              java.sql.Timestamp)],
+            state: GroupState[KsDriftState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nLive = counts.valuesIterator.sum
+            val liveSorted = counts.toArray.sortBy(_._1)
+            // merged-grain sweep: mid-rank of a tied run of t values
+            // starting after cum ranks is cum + (t+1)/2 — exactly the
+            // batch kernel's grain expression; rank sums are
+            // half-integers (exact doubles), the t³ fold is BigInt
+            var i = 0; var j = 0
+            var cum = 0L
+            var ra = 0.0
+            var ties = BigInt(0)
+            while (i < liveSorted.length || j < refGrain.length) {
+              val v =
+                if (j >= refGrain.length) liveSorted(i)._1
+                else if (i >= liveSorted.length) refGrain(j)._1
+                else math.min(liveSorted(i)._1, refGrain(j)._1)
+              var ca = 0L; var cb = 0L
+              if (i < liveSorted.length && liveSorted(i)._1 == v) {
+                ca = liveSorted(i)._2; i += 1
+              }
+              if (j < refGrain.length && refGrain(j)._1 == v) {
+                cb = refGrain(j)._2; j += 1
+              }
+              val t = ca + cb
+              ra += ca * (cum + (t + 1) / 2.0)
+              val tb = BigInt(t)
+              ties += tb * tb * tb - tb
+              cum += t
+            }
+            val (na, nb) = (nLive, nRef)
+            val bign = (na + nb).toDouble
+            val ua = ra - na.toDouble * (na + 1) / 2.0
+            val ub = na.toDouble * nb - ua
+            val mu = na.toDouble * nb / 2.0
+            val tiesD = BigDecimal(ties).doubleValue
+            val sigma2 = na.toDouble * nb / 12.0 *
+              (bign + 1.0 - tiesD / (bign * (bign - 1.0)))
+            val (z, p) =
+              if (sigma2 > 0) {
+                val zv = (ua - mu) / math.sqrt(sigma2)
+                val ax = math.abs(zv)
+                val tt = 1.0 / (1.0 + 0.2316419 * ax)
+                val poly = tt * (0.319381530 + tt * (-0.356563782 +
+                  tt * (1.781477937 + tt * (-1.821255978 +
+                    tt * 1.330274429))))
+                val tail = math.exp(-ax * ax / 2.0) /
+                  math.sqrt(2.0 * math.Pi) * poly
+                (Some(r6n(zv)), Some(r6(math.min(1.0, 2.0 * tail))))
+              } else (None, None)
+            Iterator(MwDrift(new java.sql.Timestamp(wsMs), nLive,
+              r6(ua), r6(ub), z, p,
+              p.exists(_ < pThreshold)))
+          } else {
+            val arr = rows.toSeq
+            val old = state.getOption
+              .map(_.counts).getOrElse(Map.empty[Double, Long])
+            val merged = arr.foldLeft(old) { case (m, (_, _, x, _)) =>
+              m.updated(x, m.getOrElse(x, 0L) + 1L)
+            }
+            val windowEnd = arr.head._2.getTime
+            state.update(KsDriftState(merged, windowEnd))
+            state.setTimeoutTimestamp(
+              math.max(windowEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

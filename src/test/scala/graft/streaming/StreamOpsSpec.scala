@@ -143,6 +143,69 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MW drift matches batch mannWhitney across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val refVals = (1 to 60).map(i => (i % 12).toDouble)
+    val ref = refVals.toDF("v")
+    val q = StreamOps.streamingMwDrift(input.toDF(), "value", "ts", ref,
+        "v", windowLen = "1 hour", watermark = "10 minutes",
+        pThreshold = 0.5)
+      .writeStream.format("memory").queryName("mw_out")
+      .outputMode(OutputMode.Append).start()
+    // shifted-up live sample split across two micro-batches (with ties
+    // against the reference grain, so the correction path runs)
+    val batch1 = (1 to 15).map(i => (i % 8 + 4).toDouble)
+    val batch2 = (16 to 25).map(i => (i % 6 + 6).toDouble)
+    try {
+      input.addData(batch1.zipWithIndex.map { case (v, i) =>
+        EventRow(i.toLong, ts(i % 50), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      input.addData(batch2.zipWithIndex.map { case (v, i) =>
+        EventRow(100 + i.toLong, ts((i + 20) % 50), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      input.addData(EventRow(999,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM mw_out").collect()
+      assert(rows.length == 1, s"got ${rows.length} drift rows")
+      val r = rows(0)
+      assert(r.getLong(1) == 25L)
+      // batch parity: 'live' < 'ref' lexicographically, so the batch
+      // kernel's group a IS the live sample — u/z/p must be identical
+      val both = ((batch1 ++ batch2).map(("live", _)) ++
+        refVals.map(("ref", _))).toDF("g", "v")
+      val b = graft.ops.Profile.mannWhitney(both, "g", "v").collect()(0)
+      assert(r.getDouble(2) == b.getDouble(2),
+        s"u_live ${r.getDouble(2)} vs batch u_a ${b.getDouble(2)}")
+      assert(r.getDouble(3) == b.getDouble(3))
+      assert(r.getDouble(4) == b.getDouble(4),
+        s"z ${r.getDouble(4)} vs batch ${b.getDouble(4)}")
+      assert(r.getDouble(5) == b.getDouble(5))
+      assert(r.getBoolean(6) == (b.getDouble(5) < 0.5))
+    } finally q.stop()
+  }
+
+  test("streaming MW drift: all-tied window yields null z/p, no flag") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val ref = Seq.fill(20)(5.0).toDF("v")
+    val q = StreamOps.streamingMwDrift(input.toDF(), "value", "ts", ref,
+        "v", windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mw_tied")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 10).map(i =>
+        EventRow(i.toLong, ts(i), 1, "e", 5.0)): _*)
+      q.processAllAvailable()
+      input.addData(EventRow(99,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 5.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM mw_tied").collect()(0)
+      assert(r.isNullAt(4) && r.isNullAt(5) && !r.getBoolean(6))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
