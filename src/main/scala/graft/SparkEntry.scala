@@ -3624,6 +3624,19 @@ object SparkEntry {
         pmod(col("doc_id") * 131, lit(997))).cast("int")
       graft.ops.Eval.brierDecomposition(
         docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
+    }),
+
+    // Landmark betweenness dependency (ops/Graph.scala): Brandes
+    // forward sigma counts + backward delta accumulation from q219's
+    // seed set, hop-capped at 3 — which parts broker the co-purchase
+    // paths; the oracle replays both passes hop for hop.
+    "q236_betweenness" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, Some(40))
+      val seeds = t(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(200)) === 0)
+        .select(col("p_partkey"))
+      graft.ops.Graph.betweennessDependency(edges, "p1", "p2",
+        seeds, "p_partkey", maxHops = 3)
     })
   )
 
@@ -7848,6 +7861,65 @@ object SparkEntry {
         |    - (tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
         |    AS within_resid
         |FROM f""".stripMargin,
+
+    // Brandes replayed hop for hop: forward levels l0..l3 carry exact
+    // DECIMAL(38,0) path counts (anti-joined against the visited set),
+    // backward d3..d0 fold each (sigma_v/sigma_w)(1+delta_w) term into
+    // DECIMAL(38,12) before the per-(seed, v) sum — order-free both
+    // engines, so the 6-dp readout is exact.
+    "q236_betweenness" -> {
+      val H = 3
+      val fwd = (1 to H).map { h =>
+        s"""c$h AS (
+           |  SELECT l.seed, a.n AS node, sum(l.sigma) AS sigma
+           |  FROM l${h - 1} l JOIN adj a ON a.z = l.node GROUP BY 1, 2),
+           |l$h AS MATERIALIZED (
+           |  SELECT c.seed, c.node, c.sigma FROM c$h c
+           |  LEFT JOIN v${h - 1} v ON v.seed = c.seed AND v.node = c.node
+           |  WHERE v.node IS NULL),
+           |v$h AS MATERIALIZED (
+           |  SELECT seed, node FROM v${h - 1}
+           |  UNION ALL SELECT seed, node FROM l$h)"""
+      }.mkString(",\n")
+      val bwd = (H to 1 by -1).map { h =>
+        s"""t$h AS (
+           |  SELECT w.seed, a.n AS v,
+           |    CAST((lv.sigma::DOUBLE / w.sigma::DOUBLE) *
+           |      (1.0::DOUBLE + w.delta::DOUBLE) AS DECIMAL(38,12))
+           |      AS term
+           |  FROM d$h w JOIN adj a ON a.z = w.node
+           |  JOIN l${h - 1} lv ON lv.seed = w.seed AND lv.node = a.n),
+           |d${h - 1} AS MATERIALIZED (
+           |  SELECT l.seed, l.node, l.sigma,
+           |    coalesce(t.sd, CAST(0 AS DECIMAL(38,12))) AS delta
+           |  FROM l${h - 1} l LEFT JOIN (
+           |    SELECT seed, v, sum(term) AS sd FROM t$h GROUP BY 1, 2) t
+           |    ON t.seed = l.seed AND t.v = l.node)"""
+      }.mkString(",\n")
+      val union = (1 to H).map(h =>
+        s"SELECT seed, node, delta FROM d$h").mkString("\n  UNION ALL ")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS z, b AS n FROM e0
+         |  UNION ALL SELECT b AS z, a AS n FROM e0),
+         |l0 AS (SELECT p_partkey AS seed, p_partkey AS node,
+         |    CAST(1 AS DECIMAL(38,0)) AS sigma
+         |  FROM part WHERE p_partkey % 200 = 0),
+         |v0 AS (SELECT seed, node FROM l0),
+         |$fwd,
+         |d$H AS MATERIALIZED (SELECT seed, node, sigma,
+         |    CAST(0 AS DECIMAL(38,12)) AS delta FROM l$H),
+         |$bwd
+         |SELECT node, count(*)::BIGINT AS n_seeds,
+         |  round(sum(delta)::DOUBLE, 6) AS dependency
+         |FROM ($union)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
 
     // the same recursion's error accumulators read out: one-step-ahead
     // MAE/RMSE/MAPE per key, n_eval = numDays - seasonLen steps

@@ -1000,6 +1000,101 @@ object Graph {
       .orderBy(col("seed"), col("node"))
   }
 
+  /** Landmark-sampled betweenness dependency (Brandes 2001): for each
+    * seed s, the forward BFS counts shortest paths σ_s(v) and the
+    * backward pass accumulates `δ_s(v) = Σ over DAG successors w of
+    * (σ_s(v)/σ_s(w))·(1 + δ_s(w))`; the reported `dependency(v) =
+    * Σ_s δ_s(v)` is the sampled betweenness estimator — with seeds =
+    * all nodes it is EXACTLY 2× the betweenness of an undirected
+    * graph (each unordered pair counted from both endpoints), with a
+    * landmark sample it is the standard at-scale estimate, |seeds|
+    * pricing the run (the [[harmonicCentrality]] rail). Paths longer
+    * than `maxHops` don't contribute (the hop-capped DAG — the honest
+    * truncation, stated). Undirected. Returns (node, n_seeds,
+    * dependency) for every node reached by ≥1 seed, seeds' own source
+    * rows excluded, dependency 6 dp.
+    *
+    * Determinism at any scale: σ counts fold in DECIMAL(38,0) (path
+    * counts explode combinatorially — a long would overflow quietly),
+    * each backward term quantizes to DECIMAL(38,12) BEFORE its sum
+    * (order-free), and δ stays decimal end to end, so every value is
+    * an exact function of (graph, seeds, maxHops) and the oracle
+    * replays both passes hop for hop.
+    *
+    * 100 TB shape: the shortest-path DAG's edges only cross adjacent
+    * hop levels, so δ for level h−1 is complete after ONE step — the
+    * backward pass is `maxHops` joins over (seed, node) frames, same
+    * as the forward pass; every level frame checkpoints.
+    */
+  def betweennessDependency(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      "maxHops in [1,8] — each hop is a full adjacency join each way")
+    val canon = canonEdges(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint(true)
+    val level0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"),
+        lit(1).cast("decimal(38,0)").as("sigma"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var visited = level0.select(col("seed"), col("node"))
+      .localCheckpoint(true)
+    var h = 1
+    while (h <= maxHops) {
+      val prev = levels.last
+      val next = prev
+        .join(adj, prev("node") === adj("z"))
+        .select(col("seed"), col("n").as("node"), col("sigma"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      levels += next
+      visited = visited.unionAll(next.select(col("seed"), col("node")))
+        .localCheckpoint(true)
+      h += 1
+    }
+    // backward: deepest level has no in-cap successors -> δ = 0; each
+    // shallower level's δ completes in one join against the level
+    // below (DAG edges cross adjacent levels only)
+    val zero = lit(0).cast("decimal(38,12)")
+    var deltas = List(levels(maxHops).select(col("seed"), col("node"),
+      col("sigma"), zero.as("delta")).localCheckpoint(true))
+    for (hh <- maxHops to 1 by -1) {
+      val below = deltas.head // level hh with (seed, node, sigma, delta)
+      val lv = levels(hh - 1)
+      val terms = below
+        .join(adj, below("node") === adj("z"))
+        .select(col("seed"), col("n").as("__v"),
+          col("sigma").as("__sw"), col("delta").as("__dw"))
+        .join(lv.select(col("seed"), col("node").as("__v"),
+          col("sigma").as("__sv")), Seq("seed", "__v"))
+        .select(col("seed"), col("__v"),
+          ((col("__sv").cast("double") / col("__sw").cast("double")) *
+            (lit(1.0) + col("__dw").cast("double")))
+            .cast("decimal(38,12)").as("__t"))
+        .groupBy(col("seed"), col("__v"))
+        .agg(sum(col("__t")).as("__d"))
+      val dNew = lv
+        .join(terms.select(col("seed"), col("__v").as("node"),
+          col("__d")), Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("__d"), zero).as("delta"))
+        .localCheckpoint(true)
+      deltas = dNew :: deltas
+    }
+    // drop the sources themselves (δ_s(s) is not a dependency — the
+    // list's head is level 0), sum the per-seed deltas per node
+    deltas.tail.reduce(_ unionAll _)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds"),
+        round(sum(col("delta")).cast("double"), 6).as("dependency"))
+      .orderBy(col("node"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
     * neighbors on the Web"): score every NON-adjacent node pair (u, v)
     * by `sum over common neighbors z of 1/ln(deg(z))` — shared rare

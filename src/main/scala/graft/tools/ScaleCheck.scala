@@ -2272,6 +2272,18 @@ object ScaleCheck {
       s"16 landmarks reach ~everything within 3 hops here, got $wd")
     println(f"WSSSP> edges=5000000 seeds=16 hops=3 pairs=$wd " +
       f"t=$tWd%.1f s")
+
+    // betweenness dependency from the same 16 landmarks: Brandes
+    // forward sigma + backward delta, 3 hops each way
+    val (bw, tBw) = time {
+      graft.ops.Graph.betweennessDependency(gEdges, "s", "d",
+        landmarks, "n", maxHops = 3).collect()
+    }
+    require(bw.forall(_.getDouble(2) >= 0.0),
+      "dependencies are sums of nonnegative terms")
+    val bwTop = bw.map(_.getDouble(2)).max
+    println(f"BETWEENNESS> edges=5000000 seeds=16 hops=3 " +
+      f"nodes=${bw.length} max_dep=$bwTop%.1f t=$tBw%.1f s")
     }
 
     if (run("evalscale")) {

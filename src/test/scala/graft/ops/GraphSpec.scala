@@ -603,4 +603,78 @@ class GraphSpec extends AnyFunSuite {
       assert(best == d.toDouble, s"node $n: weighted $best vs hops $d")
     }
   }
+
+  test("betweennessDependency: path, diamond, star hand values") {
+    // path 1-2-3, seed 1: node 2 carries the 1->3 path (δ=1), 3 none
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.betweennessDependency(path, "s", "d",
+        Seq(1L).toDF("k"), "k", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p == Map(2L -> 1.0, 3L -> 0.0))
+    // diamond 1-2, 1-3, 2-4, 3-4, seed 1: two shortest paths to 4
+    // split the credit — δ(2) = δ(3) = 0.5
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val dm = Graph.betweennessDependency(diamond, "s", "d",
+        Seq(1L).toDF("k"), "k", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(dm == Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+    // star, seeds = all nodes: center dependency = k(k-1) (2x the
+    // C(k,2) pair betweenness — both endpoints source each pair)
+    val star = (1L to 5L).map(l => (0L, l)).toDF("s", "d")
+    val st = Graph.betweennessDependency(star, "s", "d",
+        (0L to 5L).toDF("k"), "k", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(st(0L)._2 == 20.0, s"center ${st(0L)}") // 5*4
+    (1L to 5L).foreach(l => assert(st(l)._2 == 0.0))
+    // every node is reached by all 6 seeds but scored from 5 (its own
+    // source row is excluded)
+    assert(st.values.forall(_._1 == 5L))
+  }
+
+  test("betweennessDependency: matches naive Brandes with all sources") {
+    val edgeSeq = (for {
+      i <- 0L until 12L; j <- i + 1 until 12L
+      if (i * 19 + j * 7) % 5 < 2
+    } yield (i, j)).toSeq
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val adj = nodes.map(n => n -> edgeSeq.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }.distinct.sorted).toMap
+    // naive Brandes: BFS + backward dependency per source
+    val naive = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    for (s <- nodes) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0)
+        .withDefaultValue(0.0)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for (v <- adj(u)) {
+          if (!dist.contains(v)) {
+            dist(v) = dist(u) + 1; queue.enqueue(v); order += v
+          }
+          if (dist(v) == dist(u) + 1) sigma(v) += sigma(u)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (w <- order.reverse; v <- adj(w)
+           if dist.get(v).contains(dist(w) - 1)) {
+        delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+      }
+      for (v <- order if v != s) naive(v) += delta(v)
+    }
+    val got = Graph.betweennessDependency(edgeSeq.toDF("s", "d"), "s",
+        "d", nodes.toDF("k"), "k", maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (n <- nodes) {
+      assert(math.abs(got.getOrElse(n, 0.0) - naive(n)) < 1e-6,
+        s"node $n: ${got.getOrElse(n, 0.0)} vs naive ${naive(n)}")
+    }
+  }
 }
