@@ -705,6 +705,54 @@ object Cli {
               case None => graft.ops.Graph.pageRank(df, req("src-col"),
                 req("dst-col"), iters)
             }
+          case "ols" =>
+            graft.ops.Events.olsAdjust(df, req("variant-col"),
+              req("y-col"), req("covariates").split(",").toSeq)
+          case "did-adjusted" =>
+            graft.ops.Events.didAdjusted(df, req("group-col"),
+              req("period-col"), req("y-col"),
+              flags.get("covariates").map(_.split(",").toSeq)
+                .getOrElse(Seq.empty))
+          case "bootstrap-diff" =>
+            graft.ops.Profile.bootstrapCiMeanDiff(df, id,
+              req("group-col"), req("value-col"),
+              flags.getOrElse("replicas", "100").toInt)
+          case "holtwinters" =>
+            graft.ops.Events.holtWinters(df, typ, ts, req("start-day"),
+              flags.getOrElse("num-days", "28").toInt,
+              flags.getOrElse("season", "7").toInt,
+              flags.getOrElse("alpha", "0.4").toDouble,
+              flags.getOrElse("beta", "0.1").toDouble,
+              flags.getOrElse("gamma", "0.2").toDouble)
+          case "backtest" =>
+            graft.ops.Events.holtWintersBacktest(df, typ, ts,
+              req("start-day"),
+              flags.getOrElse("num-days", "28").toInt,
+              flags.getOrElse("season", "7").toInt,
+              flags.getOrElse("alpha", "0.4").toDouble,
+              flags.getOrElse("beta", "0.1").toDouble,
+              flags.getOrElse("gamma", "0.2").toDouble)
+          case "brier" =>
+            graft.ops.Eval.brierDecomposition(df, req("score-col"),
+              req("label-col"), flags.getOrElse("bins", "10").toInt)
+          case "modularity" =>
+            val labels = spark.read.parquet(req("labels"))
+            graft.ops.Graph.modularity(df, req("src-col"),
+              req("dst-col"), labels, flags.getOrElse("node-col", "node"),
+              flags.getOrElse("community-col", "community"))
+          case "communities" =>
+            graft.ops.Graph.labelPropagationModularityStopped(df,
+              req("src-col"), req("dst-col"),
+              flags.getOrElse("max-iterations", "10").toInt)
+          case "wsssp" =>
+            graft.ops.Graph.weightedDistances(df, req("src-col"),
+              req("dst-col"), req("weight-col"),
+              spark.read.parquet(req("seeds")), req("seed-col"),
+              flags.getOrElse("max-hops", "4").toInt)
+          case "betweenness" =>
+            graft.ops.Graph.betweennessDependency(df, req("src-col"),
+              req("dst-col"), spark.read.parquet(req("seeds")),
+              req("seed-col"), flags.getOrElse("max-hops", "3").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -751,12 +799,26 @@ object Cli {
            |  diff --before <parquet> --after <parquet> --keys k1,k2 [--compare c1,c2] --out <dir>
            |  analyze --in <parquet> --out <dir> --mode funnel|retention|active|
            |         anomaly|survival|attribution|paths|seasonality|trend|
-           |         changepoint|forecast|gini|rfm|benford
+           |         changepoint|forecast|holtwinters|backtest|gini|rfm|
+           |         benford|cuped|ols|did|did-adjusted|balance|ks|
+           |         mannwhitney|cmh|fdr|bootstrap-diff|brier|harmonic|
+           |         pagerank|modularity|communities|wsssp|betweenness
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;
            |          attribution: --conversion T [--model linear];
-           |          gini/benford: --value-col v; rfm: --cust-col c --value-col v)""".stripMargin)
+           |          gini/benford: --value-col v; rfm: --cust-col c --value-col v;
+           |          ols: --variant-col v --y-col y --covariates a,b;
+           |          did-adjusted: --group-col g --period-col p --y-col y
+           |            [--covariates a,b];
+           |          bootstrap-diff: --group-col g --value-col v [--replicas N];
+           |          holtwinters/backtest: --start-day YYYY-MM-DD
+           |            [--num-days 28 --season 7 --alpha --beta --gamma];
+           |          brier: --score-col s --label-col y [--bins 10];
+           |          modularity: --src-col --dst-col --labels <parquet>;
+           |          wsssp: adds --weight-col w --seeds <parquet> --seed-col k;
+           |          betweenness: --src-col --dst-col --seeds <parquet>
+           |            --seed-col k [--max-hops 3])""".stripMargin)
       sys.exit(2)
   }
 }
