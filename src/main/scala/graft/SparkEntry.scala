@@ -3637,6 +3637,21 @@ object SparkEntry {
         .select(col("p_partkey"))
       graft.ops.Graph.betweennessDependency(edges, "p1", "p2",
         seeds, "p_partkey", maxHops = 3)
+    }),
+
+    // Always-valid sequential test (ops/Profile.scala): q231's A/B
+    // frame through the mSPRT mixture likelihood — the peeking-safe p
+    // a daily-polled dashboard needs; one variant-keyed moments
+    // aggregation, the Λ algebra replayed exactly.
+    "q237_msprt" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).cast("double").as("y"))
+        .withColumn("variant",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Profile.msprtTest(perUser, "variant", "y", tau = 50.0)
     })
   )
 
@@ -7861,6 +7876,54 @@ object SparkEntry {
         |    - (tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
         |    AS within_resid
         |FROM f""".stripMargin,
+
+    // q218's per-variant moments, then the mSPRT Λ algebra inline with
+    // the kernel's exact op order; τ² emitted via round-trip toString
+    "q237_msprt" -> {
+      val t2 = (50.0 * 50.0).toString + "::DOUBLE"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    (sum(CASE WHEN event_type = 'purchase' THEN value
+         |         ELSE 0.0::DOUBLE END))::DOUBLE AS y
+         |  FROM events GROUP BY user_id),
+         |v AS (SELECT y, CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+         |        < '8' THEN 'A' ELSE 'B' END AS g FROM u
+         |      WHERE y IS NOT NULL),
+         |m AS (SELECT g, count(*)::BIGINT AS n,
+         |    sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+         |    sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy
+         |  FROM v GROUP BY g),
+         |p AS (SELECT
+         |    max(CASE WHEN g = 'A' THEN n END)::BIGINT AS na,
+         |    max(CASE WHEN g = 'B' THEN n END)::BIGINT AS nb,
+         |    max(CASE WHEN g = 'A' THEN sy END) AS sya,
+         |    max(CASE WHEN g = 'B' THEN sy END) AS syb,
+         |    max(CASE WHEN g = 'A' THEN syy END) AS syya,
+         |    max(CASE WHEN g = 'B' THEN syy END) AS syyb
+         |  FROM m),
+         |alg AS (SELECT na, nb,
+         |    sya / na::DOUBLE AS mean_a, syb / nb::DOUBLE AS mean_b,
+         |    (syb / nb::DOUBLE) - (sya / na::DOUBLE) AS d,
+         |    ((na::DOUBLE * syya - sya * sya) /
+         |      (na::DOUBLE * (na::DOUBLE - 1.0::DOUBLE))) / na::DOUBLE +
+         |    ((nb::DOUBLE * syyb - syb * syb) /
+         |      (nb::DOUBLE * (nb::DOUBLE - 1.0::DOUBLE))) / nb::DOUBLE
+         |      AS vv
+         |  FROM p),
+         |lamb AS (SELECT *,
+         |    sqrt(vv / (vv + $t2)) *
+         |      exp(((d * d) * $t2) / ((2.0::DOUBLE * vv) * (vv + $t2)))
+         |      AS lam
+         |  FROM alg)
+         |SELECT na AS n_a, nb AS n_b,
+         |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+         |  round(d, 6) AS diff,
+         |  CASE WHEN vv > 0.0::DOUBLE THEN round(vv, 6) END AS v,
+         |  CASE WHEN vv > 0.0::DOUBLE THEN round(lam, 6) END AS lambda,
+         |  CASE WHEN vv > 0.0::DOUBLE THEN round(
+         |    least(1.0::DOUBLE, 1.0::DOUBLE / lam), 6) END AS p_always
+         |FROM lamb""".stripMargin
+    },
 
     // Brandes replayed hop for hop: forward levels l0..l3 carry exact
     // DECIMAL(38,0) path counts (anti-joined against the visited set),

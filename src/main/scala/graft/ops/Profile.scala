@@ -797,6 +797,81 @@ object Profile {
         "ci_lo", "ci_hi", "replicas")
   }
 
+  /** The mSPRT mixture-likelihood algebra shared by [[msprtTest]] and
+    * [[graft.streaming.StreamOps.streamingMsprt]] (one code path — the
+    * two faces cannot drift): given exact per-arm moments, the
+    * two-sample mean difference δ, its variance V (independent-means,
+    * sample variances), the mixture likelihood ratio
+    * `Λ = √(V/(V+τ²)) · exp(δ²τ²/(2V(V+τ²)))` and the always-valid
+    * p = min(1, 1/Λ) (Johari-Koomen-Pekelis-Walsh 2017). Degenerate
+    * variance (V = 0 — constant arms) yields None. */
+  private[graft] def msprtAlgebra(na: Long, sya: Double, syya: Double,
+      nb: Long, syb: Double, syyb: Double,
+      tau: Double): (Double, Option[Double], Option[Double], Option[Double]) = {
+    val naD = na.toDouble; val nbD = nb.toDouble
+    val meanA = sya / naD; val meanB = syb / nbD
+    val diff = meanB - meanA
+    val va = (naD * syya - sya * sya) / (naD * (naD - 1.0))
+    val vb = (nbD * syyb - syb * syb) / (nbD * (nbD - 1.0))
+    val v = va / naD + vb / nbD
+    if (v > 0) {
+      val t2 = tau * tau
+      val vt = v + t2
+      val lam = math.sqrt(v / vt) *
+        math.exp(((diff * diff) * t2) / ((2.0 * v) * vt))
+      (diff, Some(v), Some(lam), Some(math.min(1.0, 1.0 / lam)))
+    } else (diff, None, None, None)
+  }
+
+  /** Always-valid sequential A/B test (mSPRT, Johari et al. 2017) on
+    * the difference of two group means — the fixed-horizon t-test's
+    * peeking-safe replacement: the reported p is valid at EVERY look,
+    * so a dashboard polled daily cannot inflate its false-positive
+    * rate the way repeated z-tests do. `tau` is the mixture scale (the
+    * prior spread of plausible effects — a caller-owned tuning knob,
+    * stated). Exactly two group labels (smaller = A; diff = mean_B −
+    * mean_A). Returns one row (n_a, n_b, mean_a, mean_b, diff, v,
+    * lambda, p_always), 6 dp; constant arms (V = 0) yield nulls.
+    *
+    * 100 TB shape: ONE group-keyed DECIMAL-quantized moments
+    * aggregation (the cupedAdjust machine); the Λ algebra runs on the
+    * 2-row collect and is exactly engine-replayable.
+    */
+  def msprtTest(df: DataFrame, groupCol: String, valueCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0, "msprtTest: tau must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val m = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__y"))
+      .filter(col("__g").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(d12(col("__y"))).as("sy"),
+        sum(d12(col("__y") * col("__y"))).as("syy"))
+      .collect()
+    val labels = m.map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"msprtTest: need exactly 2 groups, got ${labels.mkString(",")}")
+    val ra = m.find(_.getString(0) == labels(0)).get
+    val rb = m.find(_.getString(0) == labels(1)).get
+    def mom(r: org.apache.spark.sql.Row) = (r.getLong(1),
+      r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue())
+    val (na, sya, syya) = mom(ra)
+    val (nb, syb, syyb) = mom(rb)
+    require(na >= 2 && nb >= 2,
+      s"msprtTest: need n >= 2 per arm, got $na/$nb")
+    val (diff, v, lam, p) = msprtAlgebra(na, sya, syya, nb, syb, syyb, tau)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((na, nb, r6(sya / na), r6(syb / nb), r6(diff), v.map(r6),
+      lam.map(r6), p.map(r6)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "diff", "v",
+        "lambda", "p_always")
+  }
+
   /** ABC / Pareto classification: rank entities by value descending and
     * class them by CUMULATIVE value share — A up to `aShare` (default
     * 0.8: "the 20% that is 80% of revenue"), B up to `bShare`, C the

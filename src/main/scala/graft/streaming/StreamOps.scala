@@ -319,6 +319,96 @@ object StreamOps {
       }
   }
 
+  /** One experiment's running always-valid readout
+    * ([[streamingMsprt]]); emitted once per micro-batch that touches
+    * the key. */
+  case class MsprtReading(key: String, n_a: Long, n_b: Long,
+      diff: Option[Double], v: Option[Double], lambda: Option[Double],
+      p_always: Option[Double], p_min: Double, significant: Boolean)
+
+  /** Cumulative per-arm moments + the running min of the always-valid
+    * p ([[streamingMsprt]]). Sums are exact decimals quantized to
+    * 12 dp — order-free, so arrival order cannot move the readout. */
+  case class MsprtState(na: Long, sya: java.math.BigDecimal,
+      syya: java.math.BigDecimal, nb: Long, syb: java.math.BigDecimal,
+      syyb: java.math.BigDecimal, pmin: Double)
+
+  /** Streaming always-valid A/B monitor (mSPRT) — the peeking-safe
+    * experiment dashboard: per experiment key the state holds ONLY the
+    * cumulative per-arm moments (n, Σy, Σy² as exact 12-dp decimals),
+    * and each micro-batch that touches the key emits one
+    * [[MsprtReading]] with the mixture likelihood ratio and always-
+    * valid p from [[graft.ops.Profile.msprtTest]]'s OWN algebra kernel
+    * (one shared code path — the faces cannot drift; the parity spec
+    * asserts equality against the batch test on the cumulative data).
+    * `p_min` tracks the running minimum — the always-valid guarantee
+    * is that flagging when p_min < α at ANY look holds the
+    * false-positive rate at α, which repeated fixed-horizon tests do
+    * not. Arms are the EXPLICIT `controlLabel`/`treatmentLabel`
+    * (stable across batches — inferring labels per batch could swap
+    * arms mid-experiment); other labels drop. State never expires (an
+    * experiment's moments are its whole history — 7 small numbers per
+    * key, stated).
+    */
+  def streamingMsprt(events: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, controlLabel: String, treatmentLabel: String,
+      tau: Double, pThreshold: Double = 0.05)(
+      implicit spark: SparkSession): Dataset[MsprtReading] = {
+    import spark.implicits._
+    require(tau > 0, "streamingMsprt: tau must be positive")
+    require(pThreshold > 0 && pThreshold < 1, "pThreshold in (0,1)")
+    require(controlLabel != treatmentLabel,
+      "control and treatment labels must differ")
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val zero = java.math.BigDecimal.ZERO
+    def q12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("y"))
+      .filter(col("k").isNotNull && col("y").isNotNull &&
+        col("g").isin(controlLabel, treatmentLabel))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MsprtState, MsprtReading](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Double)],
+            state: GroupState[MsprtState]) =>
+          val s0 = state.getOption
+            .getOrElse(MsprtState(0L, zero, zero, 0L, zero, zero, 1.0))
+          // exact decimal accumulation: each y quantizes to 12 dp (the
+          // batch face's DECIMAL(38,12) cast) and adds exactly, so the
+          // fold is commutative — partitioning cannot move the moments
+          val s1 = rows.foldLeft(s0) { case (s, (_, g, y)) =>
+            val yq = q12(y)
+            val yyq = q12(y * y)
+            if (g == controlLabel)
+              s.copy(na = s.na + 1, sya = s.sya.add(yq),
+                syya = s.syya.add(yyq))
+            else
+              s.copy(nb = s.nb + 1, syb = s.syb.add(yq),
+                syyb = s.syyb.add(yyq))
+          }
+          if (s1.na >= 2 && s1.nb >= 2) {
+            val (diff, v, lam, p) = graft.ops.Profile.msprtAlgebra(
+              s1.na, s1.sya.doubleValue, s1.syya.doubleValue,
+              s1.nb, s1.syb.doubleValue, s1.syyb.doubleValue, tau)
+            val pR = p.map(r6)
+            val pmin = pR.fold(s1.pmin)(x => math.min(s1.pmin, x))
+            state.update(s1.copy(pmin = pmin))
+            Iterator(MsprtReading(key, s1.na, s1.nb, Some(r6(diff)),
+              v.map(r6), lam.map(r6), pR, pmin, pmin < pThreshold))
+          } else {
+            state.update(s1)
+            Iterator(MsprtReading(key, s1.na, s1.nb, None, None, None,
+              None, s1.pmin, false))
+          }
+      }
+  }
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

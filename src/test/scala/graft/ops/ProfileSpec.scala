@@ -365,6 +365,40 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("msprtTest: hand algebra, null-effect calm, strong-effect alarm, " +
+    "degenerate arms") {
+    import spark.implicits._
+    // hand-checkable: A = {1,2,3}, B = {4,5,6}, tau = 1
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "y")
+    val r = Profile.msprtTest(df, "g", "y", tau = 1.0).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 3.0)
+    val v = 1.0 / 3.0 + 1.0 / 3.0 // sample var 1 per arm, n 3
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(5) == r6(v))
+    val lam = math.sqrt(v / (v + 1.0)) *
+      math.exp((9.0 * 1.0) / ((2.0 * v) * (v + 1.0)))
+    assert(r.getDouble(6) == r6(lam))
+    assert(r.getDouble(7) == r6(math.min(1.0, 1.0 / lam)))
+    assert(r.getDouble(7) < 0.05) // a 3-sigma-ish effect alarms
+    // identical arms: lambda < 1 -> p clamps to 1 (no evidence)
+    val same = ((1 to 50).map(i => ("A", (i % 7).toDouble)) ++
+      (1 to 50).map(i => ("B", (i % 7).toDouble))).toDF("g", "y")
+    val s = Profile.msprtTest(same, "g", "y", tau = 1.0).collect()(0)
+    assert(s.getDouble(4) == 0.0 && s.getDouble(7) == 1.0)
+    // constant arms: V = 0 -> null v/lambda/p
+    val const = Seq(("A", 2.0), ("A", 2.0), ("B", 3.0), ("B", 3.0))
+      .toDF("g", "y")
+    val c = Profile.msprtTest(const, "g", "y", tau = 1.0).collect()(0)
+    assert(c.isNullAt(5) && c.isNullAt(6) && c.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Profile.msprtTest(Seq(("A", 1.0), ("B", 2.0), ("B", 3.0))
+        .toDF("g", "y"), "g", "y", 1.0) // n_a = 1
+    }
+  }
+
   test("ksTest: identical, disjoint, and hand-computed gap cases") {
     import spark.implicits._
     // identical samples: D = 0, lambda = 0 -> the small-lambda guard

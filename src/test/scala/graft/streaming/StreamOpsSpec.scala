@@ -206,6 +206,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mSPRT matches the batch test cumulatively and tracks " +
+    "the running-min p") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String, Double)]
+    val q = StreamOps.streamingMsprt(
+        input.toDF().toDF("exp", "arm", "y"), "exp", "arm", "y",
+        controlLabel = "ctl", treatmentLabel = "trt", tau = 1.0,
+        pThreshold = 0.05)
+      .writeStream.format("memory").queryName("msprt_out")
+      .outputMode(OutputMode.Append).start()
+    val b1 = Seq(("e1", "ctl", 1.0), ("e1", "ctl", 2.0),
+      ("e1", "trt", 4.0), ("e1", "trt", 5.0), ("e1", "junk", 99.0))
+    val b2 = Seq(("e1", "ctl", 3.0), ("e1", "trt", 6.0))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM msprt_out ORDER BY n_a, n_b").collect()
+      assert(rows.length == 2) // one reading per micro-batch
+      val last = rows.last
+      assert(last.getLong(1) == 3L && last.getLong(2) == 3L)
+      // cumulative parity with the batch face ('junk' arm dropped)
+      val batchDf = (b1 ++ b2).filter(r => r._2 != "junk")
+        .map(r => (if (r._2 == "ctl") "a_ctl" else "b_trt", r._3))
+        .toDF("g", "y")
+      val b = graft.ops.Profile.msprtTest(batchDf, "g", "y", 1.0)
+        .collect()(0)
+      assert(last.getDouble(3) == b.getDouble(4), "diff")   // diff
+      assert(last.getDouble(4) == b.getDouble(5), "v")      // v
+      assert(last.getDouble(5) == b.getDouble(6), "lambda")
+      assert(last.getDouble(6) == b.getDouble(7), "p")
+      // running min over both looks, and the alarm at the threshold
+      val p1 = rows.head.getDouble(6)
+      assert(last.getDouble(7) == math.min(p1, last.getDouble(6)))
+      assert(last.getBoolean(8) == (last.getDouble(7) < 0.05))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
