@@ -717,6 +717,9 @@ object Cli {
             graft.ops.Profile.bootstrapCiMeanDiff(df, id,
               req("group-col"), req("value-col"),
               flags.getOrElse("replicas", "100").toInt)
+          case "msprt" =>
+            graft.ops.Profile.msprtTest(df, req("group-col"),
+              req("value-col"), flags.getOrElse("tau", "1.0").toDouble)
           case "holtwinters" =>
             graft.ops.Events.holtWinters(df, typ, ts, req("start-day"),
               flags.getOrElse("num-days", "28").toInt,
@@ -801,7 +804,7 @@ object Cli {
            |         anomaly|survival|attribution|paths|seasonality|trend|
            |         changepoint|forecast|holtwinters|backtest|gini|rfm|
            |         benford|cuped|ols|did|did-adjusted|balance|ks|
-           |         mannwhitney|cmh|fdr|bootstrap-diff|brier|harmonic|
+           |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|harmonic|
            |         pagerank|modularity|communities|wsssp|betweenness
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
