@@ -756,6 +756,10 @@ object Cli {
             graft.ops.Graph.betweennessDependency(df, req("src-col"),
               req("dst-col"), spark.read.parquet(req("seeds")),
               req("seed-col"), flags.getOrElse("max-hops", "3").toInt)
+          case "ktruss" =>
+            graft.ops.Graph.kTruss(df, req("src-col"), req("dst-col"),
+              flags.getOrElse("k", "4").toInt,
+              flags.getOrElse("max-rounds", "12").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -805,7 +809,7 @@ object Cli {
            |         changepoint|forecast|holtwinters|backtest|gini|rfm|
            |         benford|cuped|ols|did|did-adjusted|balance|ks|
            |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|harmonic|
-           |         pagerank|modularity|communities|wsssp|betweenness
+           |         pagerank|modularity|communities|wsssp|betweenness|ktruss
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

@@ -3652,7 +3652,16 @@ object SparkEntry {
           when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
             "A").otherwise("B"))
       graft.ops.Profile.msprtTest(perUser, "variant", "y", tau = 50.0)
-    })
+    }),
+
+    // k-truss (ops/Graph.scala): the 5-truss of the co-purchase graph
+    // — every kept edge closes >= 3 triangles INSIDE the kept set
+    // (kCore's edge-cohesion sibling; 5691 -> 301 edges in 3 peels at
+    // sf0.01); the oracle unrolls the peel rounds, idempotent past the
+    // fixpoint, then recomputes support over the final truss.
+    "q238_ktruss" -> ((s, dir) =>
+      graft.ops.Graph.kTruss(coPurchaseEdges(s, dir, Some(40)),
+        "p1", "p2", k = 5, maxRounds = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7876,6 +7885,48 @@ object SparkEntry {
         |    - (tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
         |    AS within_resid
         |FROM f""".stripMargin,
+
+    // unrolled peel rounds (MATERIALIZED — each round references the
+    // previous several times), neighbor-intersection support per edge
+    // (= its triangle count), idempotent past the fixpoint; final
+    // support recomputed over the surviving truss
+    "q238_ktruss" -> {
+      val (k, rounds) = (5, 5)
+      val peels = (1 to rounds).map { r =>
+        s"""adj${r - 1} AS MATERIALIZED (
+           |  SELECT a AS z, b AS n FROM e${r - 1}
+           |  UNION ALL SELECT b AS z, a AS n FROM e${r - 1}),
+           |sup${r - 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b, count(*) AS s
+           |  FROM e${r - 1} e
+           |  JOIN adj${r - 1} x ON x.z = e.a
+           |  JOIN adj${r - 1} y ON y.z = e.b AND y.n = x.n
+           |  GROUP BY e.a, e.b),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  LEFT JOIN sup${r - 1} s ON s.a = e.a AND s.b = e.b
+           |  WHERE coalesce(s.s, 0) >= ${k - 2})"""
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+         |$peels,
+         |adjF AS MATERIALIZED (
+         |  SELECT a AS z, b AS n FROM e$rounds
+         |  UNION ALL SELECT b AS z, a AS n FROM e$rounds),
+         |supF AS (
+         |  SELECT e.a, e.b, count(*) AS s
+         |  FROM e$rounds e
+         |  JOIN adjF x ON x.z = e.a
+         |  JOIN adjF y ON y.z = e.b AND y.n = x.n
+         |  GROUP BY e.a, e.b)
+         |SELECT e.a, e.b, coalesce(s.s, 0)::BIGINT AS support
+         |FROM e$rounds e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
 
     // q218's per-variant moments, then the mSPRT Λ algebra inline with
     // the kernel's exact op order; τ² emitted via round-trip toString

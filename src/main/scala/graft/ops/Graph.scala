@@ -317,6 +317,71 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-edge triangle support over a pinned canonical edge frame:
+    * (a, b, support) for every edge in ≥1 triangle — the shared kernel
+    * of [[kTruss]]; enumeration reuses [[triangleCount]]'s
+    * degree-oriented pivot device (no hub mints d² wedges on one
+    * reducer), each triangle crediting its three canonical edges. */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    val deg = degrees(canon)
+    val oriented = orientEdges(canon, deg)
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val tri = w1.join(w2, Seq("u")).where(col("x") < col("y"))
+      .join(canon.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"))
+      .localCheckpoint(true) // three consumers below
+    tri.select(least(col("u"), col("x")).as("a"),
+        greatest(col("u"), col("x")).as("b"))
+      .unionAll(tri.select(least(col("u"), col("y")).as("a"),
+        greatest(col("u"), col("y")).as("b")))
+      .unionAll(tri.select(col("x").as("a"), col("y").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss extraction (Cohen 2008) — [[kCore]]'s edge-cohesion
+    * sibling and the standard cleaner cut of "dense community": keep
+    * only edges supported by ≥ k−2 triangles WITHIN the kept set,
+    * peeling to an ASSERTED fixpoint (an unconverged run fails loudly
+    * rather than returning a silently-approximate truss — the kCore
+    * contract). Every k-truss is inside the (k−1)-core but strictly
+    * tighter: an edge needs k−2 common neighbors, not just degree.
+    * Returns the surviving canonical edges (a, b, support), support
+    * measured inside the final truss, ordered.
+    *
+    * 100 TB shape: each peel round is one triangle enumeration over
+    * the SURVIVING edges (degree-oriented pivots — O(√m) out-degree)
+    * + one edge-keyed count + one filter, checkpointed; rounds are
+    * data-bounded and capped by `maxRounds` with a loud failure.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 2 && k <= 64, "kTruss: k in [2,64]")
+    require(maxRounds >= 1 && maxRounds <= 20,
+      "kTruss: maxRounds in [1,20] — each round enumerates triangles")
+    var e = canonEdges(edges, srcCol, dstCol)
+    var n = e.count()
+    var round = 0
+    var done = n == 0L
+    while (round < maxRounds && !done) {
+      val keep = e
+        .join(edgeSupport(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val kept = keep.count()
+      if (kept == n) done = true
+      else { e = keep; n = kept }
+      round += 1
+    }
+    require(done, s"kTruss: not converged after $maxRounds rounds " +
+      s"($n edges still peeling) — raise maxRounds")
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Per-node local clustering coefficient (Watts & Strogatz 1998):
     * `cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))` — how close v's
     * neighborhood is to a clique. Community-structure signal for link

@@ -319,6 +319,33 @@ object StreamOps {
       }
   }
 
+  /** WINDOWED streaming heavy hitters — the Misra-Gries sketch
+    * aggregate ([[graft.functions.mg_sketch]], the SAME mergeable
+    * aggregate the batch face q102 runs) inside a watermarked tumbling
+    * window: the event-time, emit-once-per-closed-window complement of
+    * the cumulative Update-mode [[streamingHeavyHitters]] below. State
+    * per window is the k-entry sketch buffer, NOT the item counts, so
+    * a window over any volume holds ≤ k map entries in the state
+    * store. When the watermark closes a window one row per surviving
+    * item emits with the published guarantee `est ≤ true ≤ est +
+    * n/(k+1)` (max_err reported beside the estimate — the caller sees
+    * the bound, not just a number). Returns (window_start, n, item,
+    * est, max_err).
+    */
+  def streamingWindowedHeavyHitters(events: DataFrame, itemCol: String,
+      tsCol: String, k: Int, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.mg_sketch(col(itemCol).cast("string"), k)
+        .as("__sk"))
+      .select(col("window.start").as("window_start"),
+        col("__sk.n").as("n"), explode(col("__sk.counts")))
+      .select(col("window_start"), col("n"), col("key").as("item"),
+        col("value").as("est"),
+        round(col("n").cast("double") / (k + 1), 6).as("max_err"))
+
   /** One experiment's running always-valid readout
     * ([[streamingMsprt]]); emitted once per micro-batch that touches
     * the key. */

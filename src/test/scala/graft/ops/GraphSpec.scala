@@ -604,6 +604,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kTruss: clique survives, tails and bridges peel, cascades run") {
+    // K5 on 1-5 + tail 5-6-7 + pendant 1-8: the 5-truss is exactly K5
+    // (every K5 edge closes 3 triangles); tail/pendant edges close none
+    val k5 = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L), (1L, 8L))).toDF("s", "d")
+    val out = Graph.kTruss(edges, "s", "d", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet == k5.toSet, s"got ${out.keySet}")
+    assert(out.values.forall(_ == 3L)) // support inside the truss
+    // k = 2: every edge is trivially a 2-truss (support >= 0)
+    val all = Graph.kTruss(edges, "s", "d", k = 2).collect()
+    assert(all.length == k5.size + 3)
+    // cascade: two triangles sharing an edge — a 4-truss needs every
+    // edge in 2 triangles; only the shared edge has 2, so removing the
+    // outer edges cascades the rest away (empty 4-truss)
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    assert(Graph.kTruss(twoTri, "s", "d", k = 4).collect().isEmpty)
+    // and the 3-truss of the same graph keeps all five edges (each in
+    // >= 1 triangle)
+    assert(Graph.kTruss(twoTri, "s", "d", k = 3).collect().length == 5)
+    // unconverged cap fails loudly (the cascade needs > 1 round)
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(twoTri, "s", "d", k = 4, maxRounds = 1)
+    }
+    // truss-inside-core law on a hashed graph: every 4-truss edge
+    // endpoint sits in the 3-core
+    val hashed = (for {
+      i <- 0L until 20L; j <- i + 1 until 20L
+      if (i * 13 + j * 17) % 4 == 0
+    } yield (i, j)).toDF("s", "d")
+    val truss = Graph.kTruss(hashed, "s", "d", k = 4).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val core = Graph.kCore(hashed, "s", "d", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(truss.subsetOf(core), s"truss $truss not inside core $core")
+  }
+
   test("betweennessDependency: path, diamond, star hand values") {
     // path 1-2-3, seed 1: node 2 carries the 1->3 path (δ=1), 3 none
     val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")

@@ -206,6 +206,67 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: exact at large k across micro-batches, " +
+    "MG bound at small k") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // k = 16 > distinct items: nothing evicts -> estimates are EXACT
+    val q = StreamOps.streamingWindowedHeavyHitters(input.toDF(),
+        "event_type", "ts", k = 16, windowLen = "1 hour",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 9).map(i => EventRow(i.toLong, ts(i), 1,
+        if (i % 3 == 0) "view" else "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((10 to 15).map(i => EventRow(i.toLong, ts(i), 1,
+        if (i % 2 == 0) "click" else "error", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(EventRow(99,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT item, est, n FROM hh_out ORDER BY item").collect()
+      // batch truth: clicks 6+3=9, views 3, errors 3 (ids 10..15: even
+      // -> click x3, odd -> error x3)
+      val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("click" -> 9L, "error" -> 3L, "view" -> 3L),
+        s"got $got")
+      assert(rows.forall(_.getLong(2) == 15L))
+    } finally q.stop()
+
+    // small k: the sketch evicts, but the published bound holds per item
+    val input2 = MemoryStream[EventRow]
+    val q2 = StreamOps.streamingWindowedHeavyHitters(input2.toDF(),
+        "event_type", "ts", k = 2, windowLen = "1 hour",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh_small")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val tys = (1 to 30).map(i =>
+        if (i % 5 == 0) s"t${i % 3}" else "dominant")
+      input2.addData(tys.zipWithIndex.map { case (t, i) =>
+        EventRow(i.toLong, ts(i + 1), 1, t, 1.0) }: _*)
+      q2.processAllAvailable()
+      input2.addData(EventRow(99,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 1.0))
+      q2.processAllAvailable()
+      val truth = tys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rows = spark.sql("SELECT item, est, n, max_err FROM hh_small")
+        .collect()
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val t = truth(r.getString(0))
+        assert(r.getLong(1) <= t, s"${r.getString(0)} overcounted")
+        assert(r.getLong(1) + r.getDouble(3) >= t,
+          s"${r.getString(0)} est ${r.getLong(1)} + err ${r.getDouble(3)} < $t")
+      }
+      // the dominant item must survive a k=2 sketch of this stream
+      assert(rows.exists(_.getString(0) == "dominant"))
+    } finally q2.stop()
+  }
+
   test("streaming mSPRT matches the batch test cumulatively and tracks " +
     "the running-min p") {
     implicit val ctx = spark.sqlContext
