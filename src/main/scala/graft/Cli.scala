@@ -738,6 +738,9 @@ object Cli {
           case "brier" =>
             graft.ops.Eval.brierDecomposition(df, req("score-col"),
               req("label-col"), flags.getOrElse("bins", "10").toInt)
+          case "isotonic" =>
+            graft.ops.Eval.isotonicCalibration(df, req("score-col"),
+              req("label-col"), flags.getOrElse("bins", "10").toInt)
           case "modularity" =>
             val labels = spark.read.parquet(req("labels"))
             graft.ops.Graph.modularity(df, req("src-col"),
@@ -808,8 +811,9 @@ object Cli {
            |         anomaly|survival|attribution|paths|seasonality|trend|
            |         changepoint|forecast|holtwinters|backtest|gini|rfm|
            |         benford|cuped|ols|did|did-adjusted|balance|ks|
-           |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|harmonic|
-           |         pagerank|modularity|communities|wsssp|betweenness|ktruss
+           |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|isotonic|
+           |         harmonic|pagerank|modularity|communities|wsssp|
+           |         betweenness|ktruss
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

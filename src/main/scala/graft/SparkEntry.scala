@@ -3661,7 +3661,20 @@ object SparkEntry {
     // fixpoint, then recomputes support over the final truss.
     "q238_ktruss" -> ((s, dir) =>
       graft.ops.Graph.kTruss(coPurchaseEdges(s, dir, Some(40)),
-        "p1", "p2", k = 5, maxRounds = 8))
+        "p1", "p2", k = 5, maxRounds = 8)),
+
+    // Isotonic calibration (ops/Eval.scala): the monotone fix for
+    // q155's miscalibration readout, via the minimax closed form
+    // (= PAV's result, but an exact prefix-sum algebra the oracle
+    // replays interval for interval).
+    "q239_isotonic_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val p = pmod(col("doc_id") * 131, lit(997)).cast("double") / 996.0
+      val y = (pmod(col("doc_id") * 613, lit(997)) <
+        pmod(col("doc_id") * 131, lit(997))).cast("int")
+      graft.ops.Eval.isotonicCalibration(
+        docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7885,6 +7898,39 @@ object SparkEntry {
         |    - (tsy::DOUBLE / nn) * (1.0::DOUBLE - (tsy::DOUBLE / nn)), 6)
         |    AS within_resid
         |FROM f""".stripMargin,
+
+    // the minimax isotonic form replayed interval for interval: exact
+    // integer prefix sums over the bin spine, Δ-ratio interval means,
+    // max-of-min per bin — order-free min/max, identical doubles
+    "q239_isotonic_calibration" ->
+      """WITH t AS (
+        |  SELECT (doc_id * 131 % 997)::DOUBLE / 996.0 AS p,
+        |    (doc_id * 613 % 997 < doc_id * 131 % 997)::INT AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(floor(p * 10)::INT, 9) AS bin,
+        |    count(*)::BIGINT AS n,
+        |    sum(CAST(p AS DECIMAL(26,12))) AS ss, sum(y)::BIGINT AS sy
+        |  FROM t WHERE p IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |pr AS (
+        |  SELECT bin, n, ss, sy,
+        |    sum(n) OVER w AS cn, sum(sy) OVER w AS cy
+        |  FROM b WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |iv AS (
+        |  SELECT lo.bin AS j, hi.bin AS k,
+        |    (hi.cy - (lo.cy - lo.sy))::DOUBLE /
+        |    (hi.cn - (lo.cn - lo.n))::DOUBLE AS m
+        |  FROM pr lo JOIN pr hi ON lo.bin <= hi.bin),
+        |mm AS (
+        |  SELECT i.bin AS bin, iv.j, min(iv.m) AS mn
+        |  FROM pr i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+        |  GROUP BY 1, 2),
+        |cal AS (SELECT bin, max(mn) AS calibrated FROM mm GROUP BY 1)
+        |SELECT b.bin, b.n, round(b.ss::DOUBLE / b.n, 6) AS mean_score,
+        |  round(b.sy::DOUBLE / b.n, 6) AS frac_pos,
+        |  round(c.calibrated, 6) AS calibrated
+        |FROM b JOIN cal c USING (bin) ORDER BY b.bin""".stripMargin,
 
     // unrolled peel rounds (MATERIALIZED — each round references the
     // previous several times), neighbor-intersection support per edge

@@ -388,6 +388,63 @@ object Eval {
       round(brier - rel + res - unc, 6).as("within_resid"))
   }
 
+  /** Isotonic calibration over score bins — the FIX for what
+    * [[calibration]] diagnoses and [[brierDecomposition]] prices: the
+    * monotone mapping score-bin → calibrated probability that
+    * minimizes squared error (Zadrozny & Elkan 2002's binned isotonic
+    * recipe). Computed via the MINIMAX closed form
+    * `cal_i = max_{j≤i} min_{k≥i} mean(y over bins j..k)` — the same
+    * function pool-adjacent-violators produces (the spec asserts
+    * equality against a naive PAV), chosen because it is an exact
+    * algebra over integer prefix sums, REPLAYABLE cross-engine, where
+    * PAV's data-dependent merge sequence is not. Only bins that
+    * received rows appear (apply downstream with a range lookup).
+    * Returns (bin, n, mean_score, frac_pos, calibrated), 6 dp,
+    * calibrated monotone non-decreasing by construction.
+    *
+    * 100 TB shape: ONE corpus aggregation to the ≤`bins` frame; the
+    * O(bins³) minimax runs on the bounded collect (bins ≤ 1000).
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins in [1,1000], got $bins")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val perBin = scored
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        s.cast("decimal(26,12)").as("__s"), y.as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("ss"),
+        sum(col("__y")).as("sy"))
+      .collect().sortBy(_.getInt(0)) // ≤ bins rows — bounded
+    require(perBin.nonEmpty, "isotonicCalibration: no rows")
+    val binIds = perBin.map(_.getInt(0))
+    val ns = perBin.map(_.getLong(1))
+    val sys = perBin.map(_.getLong(3))
+    val m = perBin.length
+    // exact integer prefix sums; interval means are Δ-long ratios, so
+    // both engines divide the identical integers
+    val cn = ns.scanLeft(0L)(_ + _).tail
+    val cy = sys.scanLeft(0L)(_ + _).tail
+    def mean(j: Int, k: Int): Double =
+      (cy(k) - (if (j == 0) 0L else cy(j - 1))).toDouble /
+        (cn(k) - (if (j == 0) 0L else cn(j - 1))).toDouble
+    val cal = Array.tabulate(m) { i =>
+      (0 to i).map(j => (i until m).map(k => mean(j, k)).min).max
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = (0 until m).map { i =>
+      (binIds(i), ns(i),
+        r6(perBin(i).getDecimal(2).doubleValue() / ns(i)),
+        r6(sys(i).toDouble / ns(i)), r6(cal(i)))
+    }
+    out.toDF("bin", "n", "mean_score", "frac_pos", "calibrated")
+      .orderBy(col("bin"))
+  }
+
   /** Label-relevance evaluation harness: rank a bounded candidate set
     * for each query vector by exact cosine and score the ranking with
     * "same label" as the relevance oracle — the standard

@@ -2284,6 +2284,17 @@ object ScaleCheck {
     val bwTop = bw.map(_.getDouble(2)).max
     println(f"BETWEENNESS> edges=5000000 seeds=16 hops=3 " +
       f"nodes=${bw.length} max_dep=$bwTop%.1f t=$tBw%.1f s")
+
+    // k-truss round price at 5M edges: k=2 converges in one round
+    // (support >= 0 always), so this times exactly two edge-support
+    // enumerations (the peel check + the final readout) — the
+    // per-round cost a real k pays
+    val (kt, tKt) = time {
+      graft.ops.Graph.kTruss(gEdges, "s", "d", k = 2, maxRounds = 2)
+        .count()
+    }
+    println(f"KTRUSS> edges=5000000 k=2 rounds=1 kept=$kt " +
+      f"t=$tKt%.1f s (two support enumerations)")
     }
 
     if (run("evalscale")) {

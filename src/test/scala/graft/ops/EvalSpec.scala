@@ -219,6 +219,52 @@ class EvalSpec extends AnyFunSuite {
     assert(one.isNullAt(9))
   }
 
+  test("isotonicCalibration: equals naive PAV, monotone, identity on " +
+    "already-monotone bins") {
+    import spark.implicits._
+    // bins 1,4,7 with frac_pos 0.8, 0.2, 0.6 (violations both ways)
+    val rows =
+      (1 to 10).map(i => (0.15, if (i <= 8) 1 else 0)) ++   // bin 1: 0.8
+      (1 to 20).map(i => (0.45, if (i <= 4) 1 else 0)) ++   // bin 4: 0.2
+      (1 to 10).map(i => (0.75, if (i <= 6) 1 else 0))      // bin 7: 0.6
+    val out = Eval.isotonicCalibration(rows.toDF("p", "y"), "p", "y", 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1, 4, 7))
+    // naive PAV reference: pool adjacent violators with weights,
+    // re-expand each block's value to its member positions
+    def pavPos(w: Seq[Long], v: Seq[Double]): Seq[Double] = {
+      case class B(var w: Long, var v: Double, var cnt: Int)
+      val bs = scala.collection.mutable.ArrayBuffer.empty[B]
+      for ((wi, vi) <- w.zip(v)) {
+        bs += B(wi, vi, 1)
+        while (bs.length >= 2 && bs(bs.length - 2).v >= bs.last.v) {
+          val b2 = bs.remove(bs.length - 1)
+          val b1 = bs.remove(bs.length - 1)
+          bs += B(b1.w + b2.w,
+            (b1.w * b1.v + b2.w * b2.v) / (b1.w + b2.w),
+            b1.cnt + b2.cnt)
+        }
+      }
+      bs.toSeq.flatMap(b => Seq.fill(b.cnt)(b.v))
+    }
+    val expect = pavPos(Seq(10L, 20L, 10L), Seq(0.8, 0.2, 0.6))
+    // bins 1 & 4 pool to (10*0.8+20*0.2)/30 = 0.4; bin 7 stays 0.6
+    assert(math.abs(expect(0) - 0.4) < 1e-12)
+    val got = Seq(out(1)._3, out(4)._3, out(7)._3)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"$got vs $expect") }
+    // monotone by construction
+    assert(got == got.sorted)
+    // already-monotone bins calibrate to themselves
+    val mono = (1 to 10).map(i => (0.15, if (i <= 2) 1 else 0)) ++
+      (1 to 10).map(i => (0.55, if (i <= 5) 1 else 0)) ++
+      (1 to 10).map(i => (0.95, if (i <= 9) 1 else 0))
+    val m = Eval.isotonicCalibration(mono.toDF("p", "y"), "p", "y", 10)
+      .collect().map(r => r.getDouble(3) -> r.getDouble(4))
+    m.foreach { case (fp, cal) => assert(fp == cal, s"$m") }
+  }
+
   test("brierDecomposition: hand-computed Murphy terms, identity for " +
     "bucket-constant forecasts, degenerate base rate") {
     import spark.implicits._
