@@ -3674,6 +3674,35 @@ object SparkEntry {
         pmod(col("doc_id") * 131, lit(997))).cast("int")
       graft.ops.Eval.isotonicCalibration(
         docs.select(p.as("p"), y.as("y")), "p", "y", bins = 10)
+    }),
+
+    // Log-rank test (ops/Profile.scala): q181's survival curve split
+    // into two md5 arms — did arm B's time-to-purchase distribution
+    // differ, honoring right-censoring? O/E/V over the distinct-time
+    // grain via the prefix-sum device, chi-square(1) p through the A&S
+    // normal tail.
+    "q240_logrank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("u"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("event_type").as("et"))
+      val anchors = ev.filter(col("et") === "signup")
+        .groupBy(col("u")).agg(min(col("ms")).as("anchor"))
+      val firstEvt = ev.filter(col("et") === "purchase")
+        .join(anchors, Seq("u"))
+        .where(col("ms") >= col("anchor"))
+        .groupBy(col("u")).agg(min(col("ms")).as("evt"))
+      val end = ev.agg(max(col("ms")).as("fin"))
+      val perUser = anchors
+        .join(firstEvt, Seq("u"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(substring(md5(col("u").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("grp"),
+          floor((coalesce(col("evt"), col("fin")) - col("anchor")) /
+            lit(3600000.0)).cast("long").as("t"),
+          when(col("evt").isNotNull, 1).otherwise(0).as("e"))
+      graft.ops.Profile.logRankTest(perUser, "grp", "t", "e")
     })
   )
 
@@ -8331,6 +8360,73 @@ object SparkEntry {
         |           OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus THEN 'update'
         |         ELSE 'same' END AS op
         |  FROM bf b FULL OUTER JOIN af a ON b.o_orderkey = a.o_orderkey)
-        |WHERE op <> 'same' ORDER BY o_orderkey""".stripMargin
+        |WHERE op <> 'same' ORDER BY o_orderkey""".stripMargin,
+
+    // q181's per-user frame split into md5 arms, then the log-rank
+    // O/E/V replay on the distinct-time grain: at-risk via windowed
+    // prefix sums, every E/V term DECIMAL(38,12)-quantized before the
+    // (order-free) sum, chi2/p in the operator's exact double order.
+    "q240_logrank" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+        |a AS (SELECT u, min(ms) AS anchor FROM ev
+        |      WHERE et = 'signup' GROUP BY u),
+        |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+        |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+        |       GROUP BY ev.u),
+        |mx AS (SELECT max(ms) AS fin FROM ev),
+        |pu AS (SELECT
+        |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT AS t,
+        |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+        |grain AS (
+        |  SELECT t, count(CASE WHEN g = 'A' THEN 1 END) AS la,
+        |    count(CASE WHEN g = 'B' THEN 1 END) AS lb,
+        |    sum(CASE WHEN g = 'A' THEN e ELSE 0 END) AS da,
+        |    sum(CASE WHEN g = 'B' THEN e ELSE 0 END) AS db
+        |  FROM pu GROUP BY t),
+        |tot AS (SELECT sum(la + lb)::BIGINT AS n, sum(la)::BIGINT AS na
+        |        FROM grain),
+        |rk AS (
+        |  SELECT g.*, t2.n, t2.na,
+        |    t2.n - coalesce(sum(la + lb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt,
+        |    t2.na - coalesce(sum(la) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nat
+        |  FROM grain g, tot t2),
+        |rt AS (SELECT *, (da + db) AS dt,
+        |         nat::DOUBLE / nt::DOUBLE AS fa FROM rk),
+        |agg AS (
+        |  SELECT max(n) AS n, max(na) AS na,
+        |    sum(da)::BIGINT AS oa, sum(db)::BIGINT AS ob,
+        |    sum(CAST(dt::DOUBLE * fa AS DECIMAL(38,12)))::DOUBLE AS ea,
+        |    sum(CASE WHEN nt > 1 THEN
+        |        CAST(dt::DOUBLE * fa * (1.0::DOUBLE - fa) *
+        |          ((nt - dt)::DOUBLE / (nt - 1)::DOUBLE)
+        |          AS DECIMAL(38,12))
+        |      ELSE CAST(0.0 AS DECIMAL(38,12)) END)::DOUBLE AS v
+        |  FROM rt),
+        |chi AS (
+        |  SELECT na AS n_a, (n - na) AS n_b, oa, ob, ea,
+        |    CASE WHEN v > 0.0::DOUBLE THEN
+        |      (oa::DOUBLE - ea) * (oa::DOUBLE - ea) / v END AS chi2
+        |  FROM agg),
+        |phi AS (
+        |  SELECT *, sqrt(chi2) AS ax,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * sqrt(chi2))
+        |      AS tt
+        |  FROM chi)
+        |SELECT n_a, n_b, oa AS o_a, round(ea, 6) AS e_a, ob AS o_b,
+        |  round((oa + ob)::DOUBLE - ea, 6) AS e_b,
+        |  round(chi2, 6) AS chi2,
+        |  CASE WHEN chi2 IS NOT NULL THEN
+        |    round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |      (exp(-ax * ax / 2.0::DOUBLE) / sqrt(2.0::DOUBLE * pi()) *
+        |        (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |          tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |            tt * 1.330274429::DOUBLE))))))), 6) END AS p_value
+        |FROM phi""".stripMargin
   )
 }

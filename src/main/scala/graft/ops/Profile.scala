@@ -441,6 +441,124 @@ object Profile {
       .toDF("n_a", "n_b", "u_a", "u_b", "z", "p_value")
   }
 
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972): did two arms'
+    * SURVIVAL CURVES differ? The censoring-aware companion to
+    * [[mannWhitney]] — comparing raw durations rank-sums a
+    * right-censored subject as if "still alive at cutoff" were its
+    * true time, which biases toward whichever arm censors more; the
+    * log-rank conditions on each event time's risk set instead, so a
+    * censored subject counts in every denominator it survived through
+    * and in none after. THE two-arm readout over
+    * [[graft.ops.Events.timeToEventSurvival]]-shaped frames (one row
+    * per subject: group, duration, event flag 1 = observed /
+    * 0 = censored).
+    *
+    * At each distinct time t with d_t total events, n_t at risk and
+    * n_at at risk in arm a (smaller label):
+    *
+    *   O_a = Σ d_at,   E_a = Σ d_t·(n_at/n_t),
+    *   V   = Σ d_t·(n_at/n_t)·(1 − n_at/n_t)·(n_t − d_t)/(n_t − 1)
+    *   (hypergeometric variance; an n_t = 1 time contributes 0),
+    *   χ² = (O_a − E_a)²/V,  p = P(χ²₁ > χ²) = 2·(1 − Φ(√χ²))
+    *   (Φ via the Abramowitz-Stegun 7.1.26 polynomial — replayable).
+    *
+    * Returns one row (n_a, n_b, o_a, e_a, o_b, e_b, chi2, p_value),
+    * 6 dp; V = 0 (no event time has both arms at risk) yields null
+    * chi2/p. E/V terms quantize to DECIMAL(38,12) before summing —
+    * order-free exact decimal addition, every double op replayable.
+    *
+    * 100 TB shape: [[mannWhitney]]'s exactly — the corpus collapses to
+    * the distinct-TIME grain (per-arm leaving + event counts), at-risk
+    * counts ride the range-partition prefix-sum device (n(t) = N −
+    * leavings before t), one final aggregate. No global sort, no
+    * data-sized collect.
+    */
+  def logRankTest(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(timeCol).cast("double").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+    val labels = vals.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"logRankTest: need exactly 2 groups, got ${labels.mkString(",")}")
+    val (la, lb) = (labels(0), labels(1))
+    val grain = vals.groupBy(col("__t"))
+      .agg(count(when(col("__g") === la, 1)).as("__la"),
+        count(when(col("__g") === lb, 1)).as("__lb"),
+        sum(when(col("__g") === la, col("__e")).otherwise(0L)).as("__da"),
+        sum(when(col("__g") === lb, col("__e")).otherwise(0L)).as("__db"))
+      .repartitionByRange(col("__t"))
+      .sortWithinPartitions(col("__t"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__la") + col("__lb")).as("__call"),
+        sum(col("__la")).as("__ca"))
+      .collect().sortBy(_.getInt(0))
+    var runAll = 0L
+    var runA = 0L
+    val offsetRows = offsets.map { r =>
+      val here = (r.getInt(0), runAll, runA)
+      runAll += r.getLong(1); runA += r.getLong(2); here
+    }
+    val nTotal = runAll
+    val naTotal = runA
+    val nbTotal = nTotal - naTotal
+    require(naTotal > 0 && nbTotal > 0,
+      "logRankTest: both groups must be non-empty")
+    val offsetsDf =
+      broadcast(offsetRows.toSeq.toDF("__pid", "__offall", "__offa"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d12 = (c: Column) => c.cast("decimal(38,12)")
+    val agg = grain
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("__nt", lit(nTotal) -
+        (coalesce(sum(col("__la") + col("__lb")).over(w), lit(0L)) +
+          col("__offall")))
+      .withColumn("__nat", lit(naTotal) -
+        (coalesce(sum(col("__la")).over(w), lit(0L)) + col("__offa")))
+      .withColumn("__dt", col("__da") + col("__db"))
+      .withColumn("__fa",
+        col("__nat").cast("double") / col("__nt").cast("double"))
+      .agg(sum(col("__da")).as("__oa"), sum(col("__db")).as("__ob"),
+        sum(d12(col("__dt").cast("double") * col("__fa"))).as("__ea"),
+        sum(when(col("__nt") > 1,
+          d12(col("__dt").cast("double") * col("__fa") *
+            (lit(1.0) - col("__fa")) *
+            ((col("__nt") - col("__dt")).cast("double") /
+              (col("__nt") - 1).cast("double"))))
+          .otherwise(d12(lit(0.0)))).as("__v"))
+      .head()
+    val oa = agg.getLong(0)
+    val ob = agg.getLong(1)
+    val ea = agg.getDecimal(2).doubleValue()
+    val v = agg.getDecimal(3).doubleValue()
+    val eb = (oa + ob).toDouble - ea
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (chi2, p) =
+      if (v > 0) {
+        val x2 = (oa.toDouble - ea) * (oa.toDouble - ea) / v
+        // Abramowitz-Stegun 7.1.26: P(chi2_1 > x) = 2·(upper tail at √x)
+        val ax = math.sqrt(x2)
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+        (Some(r6(x2)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    Seq((naTotal, nbTotal, oa, r6(ea), ob, r6(eb), chi2, p))
+      .toDF("n_a", "n_b", "o_a", "e_a", "o_b", "e_b", "chi2", "p_value")
+  }
+
   /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995):
     * convert a column of per-test p-values into q-values
     * `q_i = min_{j ≥ i} min(1, p_(j)·n/j)` — the multiple-testing

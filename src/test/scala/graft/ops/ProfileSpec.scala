@@ -484,6 +484,38 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("logRankTest: hand-computed O/E/V with censoring and ties") {
+    import spark.implicits._
+    // A: events at 1,2, censored at 3; B: events at 1,4, censored at 5
+    val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0),
+      ("B", 1L, 1), ("B", 4L, 1), ("B", 5L, 0)).toDF("g", "t", "e")
+    val r = Profile.logRankTest(df, "g", "t", "e").collect()(0)
+    // t=1: n=6, na=3, d=2 -> E += 1,   V += 2*.25*(4/5) = .4
+    // t=2: n=4, na=2, d=1 -> E += .5,  V += .25*(3/3)   = .25
+    // t=3: censor only; t=4: n=2, na=0 -> fa=0, terms 0; t=5: censor
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(4) == 2L) // o_a, o_b
+    assert(r.getDouble(3) == 1.5 && r.getDouble(5) == 2.5) // e_a, e_b
+    assert(math.abs(r.getDouble(6) - 0.25 / 0.65) < 1e-6) // chi2
+    assert(r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+    // identical arms at one time, everyone dies: V = 0 -> null chi2/p
+    val flat = Seq(("A", 1L, 1), ("B", 1L, 1)).toDF("g", "t", "e")
+    val rf = Profile.logRankTest(flat, "g", "t", "e").collect()(0)
+    assert(rf.isNullAt(6) && rf.isNullAt(7))
+    assert(rf.getDouble(3) == 1.0) // e_a = d*(na/n) = 2*(1/2)
+    // partition invariance
+    val big = (1 to 4000).map(i => (if (i % 2 == 0) "A" else "B",
+      (i * 7 % 97).toLong, i % 3 min 1))
+    def run(parts: Int) =
+      Profile.logRankTest(big.toDF("g", "t", "e").repartition(parts),
+        "g", "t", "e").collect()(0).toSeq
+    assert(run(1) == run(23))
+    intercept[IllegalArgumentException] {
+      Profile.logRankTest(Seq(("A", 1L, 1)).toDF("g", "t", "e"),
+        "g", "t", "e").collect()
+    }
+  }
+
   test("bhAdjust: hand q-values, ties share q, monotone, nulls pass through") {
     import spark.implicits._
     val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.04),
