@@ -3703,7 +3703,15 @@ object SparkEntry {
             lit(3600000.0)).cast("long").as("t"),
           when(col("evt").isNotNull, 1).otherwise(0).as("e"))
       graft.ops.Profile.logRankTest(perUser, "grp", "t", "e")
-    })
+    }),
+
+    // Spearman rank correlation (ops/Profile.scala): quantity vs
+    // extended price on lineitem — Pearson on mid-ranks (both axes via
+    // the prefix-sum rank device), outlier-immune where q203's Pearson
+    // is tail-dominated; large-sample normal z/p through the A&S tail.
+    "q241_spearman" -> ((s, dir) =>
+      graft.ops.Profile.spearmanCorr(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8427,6 +8435,53 @@ object SparkEntry {
         |        (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
         |          tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
         |            tt * 1.330274429::DOUBLE))))))), 6) END AS p_value
+        |FROM phi""".stripMargin,
+
+    // Mid-rank maps replayed per axis (windowed prefix sums over each
+    // distinct-value grain), Pearson moments on the joined ranks with
+    // exact DECIMAL(38,12) quantization (ranks are half-integers), the
+    // rho/z/p algebra in the operator's double order.
+    "q241_spearman" ->
+      """WITH v AS (
+        |  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |gx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+        |rx AS (SELECT x, coalesce(sum(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+        |    (c + 1) / 2.0::DOUBLE AS ra FROM gx),
+        |gy AS (SELECT y, count(*) AS c FROM v GROUP BY y),
+        |ry AS (SELECT y, coalesce(sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+        |    (c + 1) / 2.0::DOUBLE AS rb FROM gy),
+        |j AS (SELECT ra, rb FROM v JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(ra AS DECIMAL(38,12)))::DOUBLE AS sx,
+        |    sum(CAST(rb AS DECIMAL(38,12)))::DOUBLE AS sy,
+        |    sum(CAST(ra * ra AS DECIMAL(38,12)))::DOUBLE AS sxx,
+        |    sum(CAST(rb * rb AS DECIMAL(38,12)))::DOUBLE AS syy,
+        |    sum(CAST(ra * rb AS DECIMAL(38,12)))::DOUBLE AS sxy
+        |  FROM j),
+        |alg AS (
+        |  SELECT n,
+        |    (n::DOUBLE * sxy - sx * sy) /
+        |      (sqrt(n::DOUBLE * sxx - sx * sx) *
+        |       sqrt(n::DOUBLE * syy - sy * sy)) AS rho
+        |  FROM m
+        |  WHERE (n::DOUBLE * sxx - sx * sx) > 0.0::DOUBLE
+        |    AND (n::DOUBLE * syy - sy * sy) > 0.0::DOUBLE),
+        |zz AS (SELECT n, rho, rho * sqrt(n::DOUBLE - 1.0::DOUBLE) AS z
+        |       FROM alg),
+        |phi AS (
+        |  SELECT *, abs(z) AS ax,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)) AS tt
+        |  FROM zz)
+        |SELECT n, round(rho, 6) AS rho, round(z, 6) AS z,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |    (exp(-ax * ax / 2.0::DOUBLE) / sqrt(2.0::DOUBLE * pi()) *
+        |      (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value
         |FROM phi""".stripMargin
   )
 }

@@ -559,6 +559,106 @@ object Profile {
       .toDF("n_a", "n_b", "o_a", "e_a", "o_b", "e_b", "chi2", "p_value")
   }
 
+  /** Mid-rank map over one column's distinct-value grain: (value,
+    * rank) where rank is the average 1-based pooled rank of the
+    * value's tie run — the [[mannWhitney]] prefix-sum device factored
+    * out (range-partitioned grain, per-partition count offsets
+    * collected [32 rows], ranks as cumBefore + (c+1)/2). Exact
+    * half-integers below 2^53. */
+  private def midRankMap(vals: DataFrame, vCol: String,
+      rName: String): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val grain = vals.groupBy(col(vCol)).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col(vCol))
+      .sortWithinPartitions(col(vCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__s"))
+      .collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(vCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grain.join(offsetsDf, Seq("__pid"))
+      .select(col(vCol),
+        (coalesce(sum(col("__c")).over(w), lit(0L)) + col("__off") +
+          (col("__c") + 1) / lit(2.0)).as(rName))
+  }
+
+  /** Spearman rank correlation: Pearson's r computed on MID-RANKS —
+    * the monotone-association readout that is immune to outliers and
+    * to any monotone rescaling of either axis (heavy-tailed metrics
+    * like revenue, latency, token counts — where [[correlationMatrix]]'s
+    * Pearson is dominated by the tail). Tied values share their
+    * average rank (the standard tie convention, = Pearson-on-ranks
+    * exactly).
+    *
+    * Returns one row (n, rho, z, p_value), 6 dp: z = ρ·√(n−1) with
+    * p = 2(1 − Φ(|z|)) — the large-sample normal approximation
+    * (Fieller et al. 1957; the t-refinement changes nothing at corpus
+    * n), Φ via the Abramowitz-Stegun 7.1.26 polynomial (replayable).
+    * A rank-degenerate axis (all values tied) has no rank variance:
+    * null rho/z/p.
+    *
+    * 100 TB shape: each axis collapses to its distinct-value grain and
+    * ranks ride the range-partition prefix-sum device ([[mannWhitney]]'s);
+    * rows re-acquire their two ranks by value equi-joins (grain-sized
+    * maps — broadcast when small), then ONE moments aggregation
+    * (DECIMAL(38,12)-quantized — ranks are half-integers, products
+    * quarter-integers, so the quantization is EXACT and order-free).
+    * No global sort, no data-sized collect.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint(true) // three consumers: two grains + the join
+    val rx = midRankMap(rows.select(col("__x")), "__x", "__rx")
+    val ry = midRankMap(rows.select(col("__y")), "__y", "__ry")
+    val d12 = (c: Column) => c.cast("decimal(38,12)")
+    val m = rows.join(rx, Seq("__x")).join(ry, Seq("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(d12(col("__rx"))).as("sx"), sum(d12(col("__ry"))).as("sy"),
+        sum(d12(col("__rx") * col("__rx"))).as("sxx"),
+        sum(d12(col("__ry") * col("__ry"))).as("syy"),
+        sum(d12(col("__rx") * col("__ry"))).as("sxy"))
+      .head()
+    val n = m.getLong(0)
+    require(n > 1, s"spearmanCorr: need at least 2 rows, got $n")
+    def dv(i: Int) = m.getDecimal(i).doubleValue()
+    val (sx, sy, sxx, syy, sxy) = (dv(1), dv(2), dv(3), dv(4), dv(5))
+    val nD = n.toDouble
+    val num = nD * sxy - sx * sy
+    val dx = nD * sxx - sx * sx
+    val dy = nD * syy - sy * sy
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out =
+      if (dx > 0 && dy > 0) {
+        val rho = num / (math.sqrt(dx) * math.sqrt(dy))
+        val z = rho * math.sqrt(nD - 1.0)
+        val ax = math.abs(z)
+        // Abramowitz-Stegun 7.1.26 upper normal tail
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+        (n, Some(r6(rho)), Some(r6(z)),
+          Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (n, None, None, None)
+    Seq(out).toDF("n", "rho", "z", "p_value")
+  }
+
   /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995):
     * convert a column of per-test p-values into q-values
     * `q_i = min_{j ≥ i} min(1, p_(j)·n/j)` — the multiple-testing

@@ -516,6 +516,37 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("spearmanCorr: perfect monotone, hand ties case, degenerate axis") {
+    import spark.implicits._
+    // any monotone transform of x gives rho = 1 exactly
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 7.0)))
+    val r1 = Profile.spearmanCorr(mono.toDF("x", "y"), "x", "y")
+      .collect()(0)
+    assert(r1.getLong(0) == 50L && r1.getDouble(1) == 1.0)
+    // reversed: rho = -1
+    val rev = (1 to 50).map(i => (i.toDouble, -i * 3.0))
+    assert(Profile.spearmanCorr(rev.toDF("x", "y"), "x", "y")
+      .collect()(0).getDouble(1) == -1.0)
+    // hand case with ties: x = (1,2,2,3), y = (10,20,20,15)
+    // rx = (1, 2.5, 2.5, 4), ry = (1, 3.5, 3.5, 2); sum rxry = 26.5,
+    // num = 4*26.5 - 100 = 6, dx = dy = 4*29.5 - 100 = 18 -> rho = 1/3
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 15.0))
+    val rt = Profile.spearmanCorr(tied.toDF("x", "y"), "x", "y")
+      .collect()(0)
+    assert(math.abs(rt.getDouble(1) - 1.0 / 3.0) < 1e-6)
+    // constant axis: no rank variance -> nulls
+    val flat = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val rf = Profile.spearmanCorr(flat, "x", "y").collect()(0)
+    assert(rf.isNullAt(1) && rf.isNullAt(2) && rf.isNullAt(3))
+    // partition invariance
+    val big = (1 to 5000).map(i => ((i * 13 % 211).toDouble,
+      (i * 7 % 97).toDouble))
+    def run(parts: Int) =
+      Profile.spearmanCorr(big.toDF("x", "y").repartition(parts), "x", "y")
+        .collect()(0).toSeq
+    assert(run(1) == run(29))
+  }
+
   test("bhAdjust: hand q-values, ties share q, monotone, nulls pass through") {
     import spark.implicits._
     val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.04),
