@@ -3711,7 +3711,19 @@ object SparkEntry {
     // is tail-dominated; large-sample normal z/p through the A&S tail.
     "q241_spearman" -> ((s, dir) =>
       graft.ops.Profile.spearmanCorr(t(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice"))
+        "l_quantity", "l_extendedprice")),
+
+    // PSI + Jensen-Shannon drift (ops/Profile.scala): did the
+    // event-type mix shift across the mid-month boundary? Category-
+    // grain shares, clamped PSI terms + clamp-free JSD terms, scalar
+    // totals as decimal-quantized sums riding every row.
+    "q242_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      graft.ops.Profile.distributionDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "event_type")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8482,6 +8494,49 @@ object SparkEntry {
         |      (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
         |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
         |          tt * 1.330274429::DOUBLE))))))), 6) AS p_value
-        |FROM phi""".stripMargin
+        |FROM phi""".stripMargin,
+
+    // Category-grain shares on each side of the cut, the operator's
+    // exact psi/jsd term shapes (1e-6 clamp, 0·ln0 = 0), scalar totals
+    // as DECIMAL(38,12)-quantized sums repeated per row.
+    "q242_psi_drift" ->
+      """WITH r AS (
+        |  SELECT event_type::VARCHAR AS k, count(*) AS n_ref
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |l AS (
+        |  SELECT event_type::VARCHAR AS k, count(*) AS n_live
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(r.k, l.k) AS k,
+        |    coalesce(n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(n_live, 0)::BIGINT AS n_live
+        |  FROM r FULL OUTER JOIN l ON r.k = l.k),
+        |tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_live)::BIGINT AS tl
+        |        FROM j),
+        |b AS (SELECT k, n_ref, n_live,
+        |        n_ref::DOUBLE / tr::DOUBLE AS p,
+        |        n_live::DOUBLE / tl::DOUBLE AS q
+        |      FROM j, tot),
+        |t2 AS (SELECT *,
+        |    (greatest(p, 1e-6) - greatest(q, 1e-6)) *
+        |      ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psi_t,
+        |    (CASE WHEN p > 0.0::DOUBLE
+        |        THEN p * ln(p / ((p + q) / 2.0::DOUBLE))
+        |        ELSE 0.0::DOUBLE END +
+        |     CASE WHEN q > 0.0::DOUBLE
+        |        THEN q * ln(q / ((p + q) / 2.0::DOUBLE))
+        |        ELSE 0.0::DOUBLE END) / 2.0::DOUBLE AS jsd_t
+        |  FROM b),
+        |s AS (SELECT
+        |    sum(CAST(psi_t AS DECIMAL(38,12)))::DOUBLE AS psi,
+        |    sum(CAST(jsd_t AS DECIMAL(38,12)))::DOUBLE AS jsd
+        |  FROM t2)
+        |SELECT k AS event_type, n_ref, n_live, round(p, 6) AS p_ref,
+        |  round(q, 6) AS p_live, round(psi_t, 6) AS psi_term,
+        |  round(jsd_t, 6) AS jsd_term, round(psi, 6) AS psi,
+        |  round(jsd, 6) AS jsd
+        |FROM t2, s ORDER BY event_type""".stripMargin
   )
 }

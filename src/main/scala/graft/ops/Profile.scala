@@ -112,6 +112,72 @@ object Profile {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Distribution drift between a REFERENCE and a LIVE table over a
+    * shared categorical column: PSI (population stability index — the
+    * industry-standard model-monitoring drift score, with its
+    * conventional <0.1 stable / 0.1–0.25 moderate / >0.25 major
+    * reading) and Jensen-Shannon divergence (the symmetric, bounded
+    * [0, ln 2] cousin that needs no zero-clamp) — the categorical
+    * companion to [[ksTest]]'s continuous drift readout. Rows with a
+    * null key drop on both sides.
+    *
+    * Per category with ref share p and live share q:
+    *   psi_term = (p̂ − q̂)·ln(p̂/q̂), p̂ = max(p, 1e-6) (the standard
+    *     zero-clamp — PSI diverges on empty cells; clamp documented),
+    *   jsd_term = ½·[p·ln(p/m) + q·ln(q/m)], m = (p+q)/2 (0·ln 0 = 0).
+    *
+    * Returns one row per category (key, n_ref, n_live, p_ref, p_live,
+    * psi_term, jsd_term, psi, jsd) ordered by key — the psi/jsd
+    * scalars (DECIMAL(38,12)-quantized term sums, order-free) repeat
+    * per row, [[giniLorenz]]-style. 6 dp.
+    *
+    * 100 TB shape: each side is ONE map-side-combined category
+    * aggregation; the full-outer join and everything after runs on the
+    * category grain (bounded by the domain, not the data); totals are
+    * a 1-row collect. No data-sized anything past the two scans.
+    */
+  def distributionDrift(ref: DataFrame, live: DataFrame,
+      keyCol: String): DataFrame = {
+    def grain(df: DataFrame, n: String) = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as(n))
+    val j = grain(ref, "n_ref")
+      .join(grain(live, "n_live"), Seq("__k"), "full_outer")
+      .select(col("__k"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+      .localCheckpoint(true) // grain-sized; consumed by totals + output
+    val t = j.agg(sum(col("n_ref")), sum(col("n_live"))).head()
+    val (tr, tl) = (t.getLong(0), t.getLong(1))
+    require(tr > 0 && tl > 0,
+      "distributionDrift: both sides must be non-empty")
+    val p = col("n_ref").cast("double") / lit(tr.toDouble)
+    val q = col("n_live").cast("double") / lit(tl.toDouble)
+    val pc = greatest(col("__p"), lit(1e-6))
+    val qc = greatest(col("__q"), lit(1e-6))
+    val m = (col("__p") + col("__q")) / lit(2.0)
+    val terms = j
+      .withColumn("__p", p).withColumn("__q", q)
+      .withColumn("__psi_t", (pc - qc) * log(pc / qc))
+      .withColumn("__jsd_t",
+        (when(col("__p") > 0, col("__p") * log(col("__p") / m))
+          .otherwise(lit(0.0)) +
+          when(col("__q") > 0, col("__q") * log(col("__q") / m))
+            .otherwise(lit(0.0))) / lit(2.0))
+      .localCheckpoint(true) // pin before the 1-row broadcast crossJoin
+    val d12 = (c: Column) => c.cast("decimal(38,12)")
+    val scal = terms.agg(sum(d12(col("__psi_t"))).as("__psi"),
+      sum(d12(col("__jsd_t"))).as("__jsd"))
+    terms.crossJoin(broadcast(scal))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_live"),
+        round(col("__p"), 6).as("p_ref"), round(col("__q"), 6).as("p_live"),
+        round(col("__psi_t"), 6).as("psi_term"),
+        round(col("__jsd_t"), 6).as("jsd_term"),
+        round(col("__psi").cast("double"), 6).as("psi"),
+        round(col("__jsd").cast("double"), 6).as("jsd"))
+      .orderBy(col(keyCol))
+  }
+
   /** Key-skew profile — the shuffle-planning diagnostic: the top-N keys
     * of a prospective join/aggregation key with their row counts, share
     * of the table, and cumulative share (the concentration-curve head).

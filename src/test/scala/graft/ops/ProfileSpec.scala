@@ -484,6 +484,41 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("distributionDrift: hand PSI/JSD, missing category, identity") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "b", "b").toDF("k")
+    val live = Seq("a", "b", "b", "c").toDF("k")
+    val out = Profile.distributionDrift(ref, live, "k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    def psiT(p: Double, q: Double) = {
+      val (pc, qc) = (math.max(p, 1e-6), math.max(q, 1e-6))
+      (pc - qc) * math.log(pc / qc)
+    }
+    def jsdT(p: Double, q: Double) = {
+      val m = (p + q) / 2.0
+      ((if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (q > 0) q * math.log(q / m) else 0.0)) / 2.0
+    }
+    val expPsi = psiT(0.5, 0.25) + psiT(0.5, 0.5) + psiT(0.0, 0.25)
+    val expJsd = jsdT(0.5, 0.25) + jsdT(0.5, 0.5) + jsdT(0.0, 0.25)
+    val row = out.head
+    assert(math.abs(row.getDouble(7) - expPsi) < 1e-5)
+    assert(math.abs(row.getDouble(8) - expJsd) < 1e-5)
+    // category absent from ref: n_ref = 0, p_ref = 0
+    val cRow = out.find(_.getString(0) == "c").get
+    assert(cRow.getLong(1) == 0L && cRow.getDouble(3) == 0.0)
+    // identical inputs: psi and jsd both 0
+    val same = Profile.distributionDrift(ref, ref, "k").collect().head
+    assert(same.getDouble(7) == 0.0 && same.getDouble(8) == 0.0)
+    // partition invariance
+    val bigR = (1 to 3000).map(i => s"k${i % 7}").toDF("k")
+    val bigL = (1 to 3000).map(i => s"k${i % 5}").toDF("k")
+    def run(parts: Int) = Profile.distributionDrift(
+      bigR.repartition(parts), bigL.repartition(parts), "k")
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(19))
+  }
+
   test("logRankTest: hand-computed O/E/V with censoring and ties") {
     import spark.implicits._
     // A: events at 1,2, censored at 3; B: events at 1,4, censored at 5
