@@ -3723,7 +3723,15 @@ object SparkEntry {
       graft.ops.Profile.distributionDrift(
         ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
         "event_type")
-    })
+    }),
+
+    // ACF + Ljung-Box (ops/Events.scala): per-event-type daily-count
+    // autocorrelations at lags 1..7 with the cumulative white-noise Q
+    // — the "is there structure worth forecasting" gate in front of
+    // q187/q232; all windows keyed over calendar-bounded partitions.
+    "q243_acf" -> ((s, dir) =>
+      graft.ops.Events.acf(t(s, dir, "events"), "event_type", "ts",
+        maxLag = 7))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8537,6 +8545,51 @@ object SparkEntry {
         |  round(q, 6) AS p_live, round(psi_t, 6) AS psi_term,
         |  round(jsd_t, 6) AS jsd_term, round(psi, 6) AS psi,
         |  round(jsd, 6) AS jsd
-        |FROM t2, s ORDER BY event_type""".stripMargin
+        |FROM t2, s ORDER BY event_type""".stripMargin,
+
+    // ACF replay: lag terms via an index self-join (lag-k pairs), the
+    // same decimal-quantized num/den, Ljung-Box cumulative terms over
+    // the lag-ordered window in the operator's exact double order.
+    "q243_acf" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, day, n,
+        |    count(*) OVER (PARTITION BY key) AS cnt,
+        |    (sum(CAST(n AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |      AS mean
+        |  FROM d),
+        |b2 AS (SELECT *, (n::DOUBLE - mean) AS dev FROM b),
+        |b3 AS (SELECT *,
+        |    sum(CAST(dev * dev AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY key) AS den
+        |  FROM b2),
+        |i AS (SELECT *, row_number()
+        |        OVER (PARTITION BY key ORDER BY day) AS idx FROM b3),
+        |ks AS (SELECT unnest(range(1, 8)) AS lag),
+        |lt AS (
+        |  SELECT a.key, a.cnt, a.den, ks.lag, a.dev * p.dev AS term
+        |  FROM i a JOIN ks ON TRUE
+        |    JOIN i p ON p.key = a.key AND p.idx = a.idx - ks.lag),
+        |rk AS (
+        |  SELECT key, lag, max(cnt)::BIGINT AS n, max(den) AS den,
+        |    sum(CAST(term AS DECIMAL(38,12))) AS num
+        |  FROM lt GROUP BY key, lag),
+        |r2 AS (SELECT key, lag, n,
+        |    CASE WHEN den::DOUBLE > 0.0::DOUBLE
+        |      THEN num::DOUBLE / den::DOUBLE END AS acf_raw
+        |  FROM rk)
+        |SELECT key, lag::INT AS lag, n, round(acf_raw, 6) AS acf,
+        |  CASE WHEN acf_raw IS NOT NULL THEN
+        |    round(n::DOUBLE * (n + 2)::DOUBLE *
+        |      (sum(CAST(acf_raw * acf_raw / (n - lag)::DOUBLE
+        |            AS DECIMAL(38,12)))
+        |        OVER (PARTITION BY key ORDER BY lag
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        ::DOUBLE, 6) END AS lb_q
+        |FROM r2 ORDER BY key, lag""".stripMargin
   )
 }

@@ -1434,4 +1434,77 @@ object Events {
     }
     (xs, aggregate(slice(col("__xs"), m + 1, t0 - m), init, step))
   }
+
+  /** Autocorrelation function + Ljung-Box white-noise statistic per
+    * key's daily-count series (Box & Jenkins; Ljung & Box 1978) — the
+    * diagnostic BEFORE the [[sesForecast]]/[[holtWinters]] family:
+    * does this series carry structure worth modeling at all, and at
+    * which lags (a weekly cycle shows as a spike at lag 7)?
+    *
+    *   r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+    *   Q_K = n(n+2)·Σ_{k≤K} r_k²/(n−k)   (compare to χ²_K)
+    *
+    * (the biased-denominator estimator — the standard one; it keeps
+    * |r_k| ≤ 1 and is what Ljung-Box assumes). Returns one row per
+    * (key, lag ≤ maxLag) with (key, lag, n, acf, lb_q), 6 dp — lb_q
+    * is CUMULATIVE over lags ≤ lag, so each row reads directly
+    * against the χ²_lag table. A constant series (zero variance) has
+    * no autocorrelation: null acf/lb_q. Lags ≥ the series length
+    * produce no row (no overlapping pairs).
+    *
+    * 100 TB shape: ONE event-sized exchange collapses the log to
+    * (key, day) grain; every window after that is keyed by the series
+    * key over calendar-bounded partitions (a year is 365 rows however
+    * big the log); numerator/denominator terms quantize to
+    * DECIMAL(38,12) (order-free), and the Ljung-Box cumulative sum
+    * rides a deterministic lag-ordered K-row window.
+    */
+  def acf(events: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, "acf: maxLag must be in 1..60")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val d = dailyCounts(events, keyCol, tsCol, "day", "n", pin = false)
+    val wk = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wo = Window.partitionBy(col("key")).orderBy(col("day"))
+    val base = d
+      .withColumn("__cnt", count(lit(1)).over(wk))
+      .withColumn("__mean",
+        sum(d12(col("n"))).over(wk).cast("double") /
+          col("__cnt").cast("double"))
+      .withColumn("__dev", col("n").cast("double") - col("__mean"))
+      .withColumn("__den", sum(d12(col("__dev") * col("__dev"))).over(wk))
+    // materialize each lag first — window expressions can't live
+    // inside a generator (explode) expression
+    val lagged = (1 to maxLag).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__dev"), k).over(wo))
+    }
+    val lagTerms = (1 to maxLag).map { k =>
+      struct(lit(k).as("lag"), (col("__dev") * col(s"__l$k")).as("term"))
+    }
+    val rk = lagged
+      .select(col("key"), col("__cnt"), col("__den"),
+        explode(array(lagTerms: _*)).as("__lt"))
+      .select(col("key"), col("__cnt"), col("__den"),
+        col("__lt.lag").as("lag"), col("__lt.term").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("key"), col("lag"))
+      .agg(max(col("__cnt")).as("n"), max(col("__den")).as("den"),
+        sum(d12(col("term"))).as("num"))
+      .withColumn("acf_raw",
+        when(col("den").cast("double") > 0,
+          col("num").cast("double") / col("den").cast("double")))
+    // K-row per-key window: cumulative Ljung-Box terms in lag order
+    val wlb = Window.partitionBy(col("key")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk.withColumn("lb_q",
+        when(col("acf_raw").isNotNull,
+          round(col("n").cast("double") * (col("n") + 2).cast("double") *
+            sum(d12(col("acf_raw") * col("acf_raw") /
+              (col("n") - col("lag")).cast("double"))).over(wlb)
+              .cast("double"), 6)))
+      .select(col("key"), col("lag"), col("n"),
+        round(col("acf_raw"), 6).as("acf"), col("lb_q"))
+      .orderBy(col("key"), col("lag"))
+  }
 }

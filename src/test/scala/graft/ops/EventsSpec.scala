@@ -835,4 +835,34 @@ class EventsSpec extends AnyFunSuite {
           .toDF("variant", "y", "x"), "variant", "y", Seq("x")).collect()
     }
   }
+
+  test("acf: hand linear-ramp autocorrelations, Ljung-Box, constant key") {
+    import spark.implicits._
+    // daily counts 1..8 on key "a" (t copies of an event on day t),
+    // a constant series on key "c"
+    val rows = (1 to 8).flatMap(t => Seq.fill(t)(("a", day(t)))) ++
+      (1 to 5).map(t => ("c", day(t)))
+    val out = Events.acf(rows.toDF("k", "at"), "k", "at", maxLag = 3)
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => r.getInt(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // devs of 1..8: den = 42; r1 = 26.25/42, r2 = 11.5/42, r3 = -1/42
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(a(1)._1 == r6(26.25 / 42.0))
+    assert(a(2)._1 == r6(11.5 / 42.0))
+    // Ljung-Box cumulative: n=8, Q_k = 80 * sum r_j^2/(8-j)
+    val rs = Seq(26.25 / 42.0, 11.5 / 42.0)
+    val q2 = 80.0 * (rs(0) * rs(0) / 7.0 + rs(1) * rs(1) / 6.0)
+    assert(math.abs(a(2)._2 - q2) < 1e-5)
+    assert(a(1)._2 < a(2)._2 && a(2)._2 < a(3)._2) // cumulative grows
+    // constant series: zero variance -> null acf and lb_q
+    val c = out.filter(_.getString(0) == "c")
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    // lags beyond the series length emit no row
+    val short = (1 to 3).map(t => ("s", day(t), t))
+      .flatMap { case (k, d, n) => Seq.fill(n)((k, d)) }
+    val so = Events.acf(short.toDF("k", "at"), "k", "at", maxLag = 5)
+      .collect().filter(_.getString(0) == "s")
+    assert(so.map(_.getInt(1)).max == 2)
+  }
 }
