@@ -295,6 +295,75 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Events]]' IRLS core (`irlsBeta`):
+    * `iters` unrolled Newton steps over a `perRow` subquery whose
+    * response column is `yName` and covariates `xNames` — per step a
+    * mu/w projection against the previous betas, decimal-quantized
+    * Hessian + gradient moments, the pivotless elimination in
+    * `gjUnrollSql`'s exact expression shapes, and the beta update.
+    * Emits the WITH body through `b{iters}` (betas c0..ck),
+    * `e{iters}_{k+1}` (final elimination state — inverse-Hessian diag
+    * at g_r_{p+1+r}) and `q{iters}` (n); callers append readouts. */
+  private def logitIrlsSql(perRow: String, yName: String,
+      xNames: Seq[String], iters: Int): String = {
+    val k = xNames.size
+    val p = k + 1
+    val w2 = 2 * p + 1
+    val d = "DECIMAL(38,12)"
+    val b0 = (0 to k).map(i => s"0.0::DOUBLE AS c$i").mkString(", ")
+    def etaExpr(alias: String) =
+      (0 until k).foldLeft(s"$alias.c0")((acc, i) =>
+        s"($acc + $alias.c${i + 1} * ${xNames(i)})")
+    def hTerm(r: Int, c: Int) =
+      if (r == 0 && c == 0) "w"
+      else if (r == 0) s"w * ${xNames(c - 1)}"
+      else s"w * ${xNames(r - 1)} * ${xNames(c - 1)}"
+    def gTerm(r: Int) =
+      if (r == 0) s"($yName - mu)" else s"($yName - mu) * ${xNames(r - 1)}"
+    val iterCtes = (1 to iters).map { it =>
+      val mom = (Seq("count(*)::BIGINT AS n") ++
+        (for { r <- 0 until p; c <- r until p }
+          yield s"sum(CAST(${hTerm(r, c)} AS $d))::DOUBLE AS h_${r}_$c") ++
+        (0 until p).map(r =>
+          s"sum(CAST(${gTerm(r)} AS $d))::DOUBLE AS g_$r"))
+        .mkString(",\n    ")
+      def init(r: Int, j: Int): String =
+        if (j < p) s"h_${math.min(r, j)}_${math.max(r, j)}"
+        else if (j == p) s"g_$r"
+        else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+      val g0 = (for { r <- 0 until p; j <- 0 until w2 }
+        yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+      val steps = (0 until p).map { c =>
+        val entries = (for { r <- 0 until p; j <- 0 until w2 } yield {
+          val e2 =
+            if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+            else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+          s"$e2 AS g_${r}_$j"
+        }).mkString(",\n    ")
+        val from = if (c == 0) s"e${it}_0" else s"e${it}_$c"
+        s"e${it}_${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
+      }.mkString(",\n")
+      val bNew = (0 to k)
+        .map(i => s"(b.c$i + s.g_${i}_$p) AS c$i").mkString(", ")
+      s"""m$it AS (SELECT *, (mu * (1.0::DOUBLE - mu)) AS w FROM (
+         |  SELECT u.*, 1.0::DOUBLE / (1.0::DOUBLE +
+         |    exp(-(${etaExpr("b")}))) AS mu
+         |  FROM u, b${it - 1} b)),
+         |q$it AS MATERIALIZED (SELECT
+         |    $mom
+         |  FROM m$it),
+         |e${it}_0 AS (SELECT
+         |    $g0
+         |  FROM q$it),
+         |$steps,
+         |b$it AS MATERIALIZED (SELECT $bNew FROM b${it - 1} b, e${it}_$p s)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS MATERIALIZED ($perRow),
+       |b0 AS (SELECT $b0),
+       |$iterCtes""".stripMargin
+  }
+
   /** The Holt-Winters recursion as a DuckDB recursive CTE over the
     * per-event-type daily spine — state row (t, ℓ, b, s1..sm, error
     * accumulators), each step [[graft.ops.Events.holtWinters]]'s exact
@@ -3731,8 +3800,42 @@ object SparkEntry {
     // q187/q232; all windows keyed over calendar-bounded partitions.
     "q243_acf" -> ((s, dir) =>
       graft.ops.Events.acf(t(s, dir, "events"), "event_type", "ts",
-        maxLag = 7))
+        maxLag = 7)),
+
+    // IPW average treatment effect (ops/Events.scala): effect of being
+    // a high-error user (>= 14 error events) on purchase value, with
+    // the propensity e(engagement, active_days) fit by 6 Newton steps
+    // and Hajek-normalized clipped weights — the observational-causal
+    // readout beside q228's outcome regression.
+    "q244_ipw_ate" -> ((s, dir) =>
+      graft.ops.Events.ipwAte(errTreatUsers(s, dir), "t", "y",
+        Seq("engagement", "active_days"), iters = 6)),
+
+    // Logistic regression by IRLS (ops/Events.scala): q244's
+    // propensity model exposed — P(high-error | engagement, active
+    // days), coef/se/z per term from the final Newton step's inverse
+    // Hessian; iters x one decimal-quantized moments aggregation.
+    "q245_logistic_fit" -> ((s, dir) =>
+      graft.ops.Events.logisticFit(errTreatUsers(s, dir), "t",
+        Seq("engagement", "active_days"), iters = 6))
   )
+
+  /** Shared q244/q245 per-user frame: treatment = ">= 14 error
+    * events", outcome = decimal-exact purchase-value sum, covariates =
+    * engagement (click+view count) and active days. */
+  private def errTreatUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast("decimal(38,12)"))
+          .cast("double").as("y"),
+        count(when(col("event_type").isin("click", "view"), 1))
+          .cast("double").as("engagement"),
+        countDistinct(to_date(col("ts"))).cast("double")
+          .as("active_days"))
+      .select(when(col("n_err") >= 14, 1.0).otherwise(0.0).as("t"),
+        col("y"), col("engagement"), col("active_days"))
 
   def oracleSql: Map[String, String] = Map(
     "q20_snapshot_projection" ->
@@ -8590,6 +8693,62 @@ object SparkEntry {
         |        OVER (PARTITION BY key ORDER BY lag
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |        ::DOUBLE, 6) END AS lb_q
-        |FROM r2 ORDER BY key, lag""".stripMargin
+        |FROM r2 ORDER BY key, lag""".stripMargin,
+
+    // The unrolled-IRLS propensity fit (logitIrlsSql), then the Hajek
+    // readout: clipped e, decimal-quantized weighted sums, the
+    // mu1/mu0/ate divisions in the operator's exact double order.
+    "q244_ipw_ate" -> {
+      val eta = "((b.c0 + b.c1 * engagement) + b.c2 * active_days)"
+      s"""${logitIrlsSql(errTreatPerRowSql, "t",
+          Seq("engagement", "active_days"), 6)},
+         |ef AS (SELECT *, least(greatest(mu, 0.01), 0.99) AS e FROM (
+         |  SELECT u.*, 1.0::DOUBLE / (1.0::DOUBLE + exp(-$eta)) AS mu
+         |  FROM u, b6 b)),
+         |agg AS (SELECT count(*)::BIGINT AS n,
+         |    sum(t::BIGINT)::BIGINT AS nt,
+         |    sum(CAST(t / e AS DECIMAL(38,12)))::DOUBLE AS s1,
+         |    sum(CAST(t * y / e AS DECIMAL(38,12)))::DOUBLE AS sy1,
+         |    sum(CAST((1.0::DOUBLE - t) / (1.0::DOUBLE - e)
+         |        AS DECIMAL(38,12)))::DOUBLE AS s0,
+         |    sum(CAST((1.0::DOUBLE - t) * y / (1.0::DOUBLE - e)
+         |        AS DECIMAL(38,12)))::DOUBLE AS sy0
+         |  FROM ef)
+         |SELECT n, nt AS n_treated, round(sy1 / s1, 6) AS mu_treated,
+         |  round(sy0 / s0, 6) AS mu_control,
+         |  round(sy1 / s1 - sy0 / s0, 6) AS ate
+         |FROM agg""".stripMargin
+    },
+
+    // Same unrolled IRLS; per-term readout off the final betas +
+    // elimination state (inverse-Hessian diag), z gated on rounded se
+    // exactly like the operator.
+    "q245_logistic_fit" -> {
+      val rows = Seq("intercept", "engagement", "active_days")
+        .zipWithIndex.map { case (tm, i) =>
+          val se = s"sqrt(s.g_${i}_${4 + i})"
+          s"""SELECT $i AS term_idx, '$tm' AS term, q.n AS n,
+             |  round(b.c$i, 6) AS coef, round($se, 6) AS se,
+             |  CASE WHEN round($se, 6) > 0.0::DOUBLE
+             |    THEN round(b.c$i / $se, 6) END AS z_stat
+             |FROM b6 b, e6_3 s, q6 q""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""${logitIrlsSql(errTreatPerRowSql, "t",
+          Seq("engagement", "active_days"), 6)}
+         |$rows
+         |ORDER BY term_idx""".stripMargin
+    }
   )
+
+  /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */
+  private val errTreatPerRowSql =
+    """SELECT
+      |  CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) >= 14
+      |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS t,
+      |  (sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+      |       ELSE 0.0::DOUBLE END AS DECIMAL(38,12))))::DOUBLE AS y,
+      |  (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+      |    AS engagement,
+      |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS active_days
+      |FROM events GROUP BY user_id""".stripMargin
 }

@@ -729,6 +729,177 @@ object Events {
       covariates)
   }
 
+  /** Shared IRLS core for [[logisticFit]]/[[ipwAte]]: `iters` Newton
+    * steps from β = 0 on a pinned frame with columns (__y, __x0..),
+    * each step ONE ungrouped aggregation of the Hessian XᵀWX and
+    * gradient Xᵀ(y−μ) moments (w = μ(1−μ); every term
+    * DECIMAL(38,12)-quantized — order-free) + the shared pivotless
+    * [[gaussJordan]] solve on the (k+1)×(k+1) system. Term expression
+    * SHAPES are pinned (no ×1.0 for the intercept slot) so the
+    * oracle's unrolled replay lands every double bit-identically.
+    * Returns (β, diag of the final iteration's inverse Hessian, n).
+    * Fixed iteration count, not a convergence test: replayable, and
+    * Newton on a logistic likelihood is quadratically convergent —
+    * six steps reach machine precision for any non-separated design.
+    */
+  private def irlsBeta(base: DataFrame, k: Int,
+      iters: Int): (Array[Double], Array[Double], Long) = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val p = k + 1
+    var beta = Array.fill(p)(0.0)
+    var invDiag = Array.fill(p)(0.0)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val eta = (0 until k).foldLeft(lit(beta(0)): Column)((acc, i) =>
+        acc + lit(beta(i + 1)) * col(s"__x$i"))
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = mu * (lit(1.0) - mu)
+      def hTerm(r: Int, c: Int): Column =
+        if (r == 0 && c == 0) w
+        else if (r == 0) w * col(s"__x${c - 1}")
+        else w * col(s"__x${r - 1}") * col(s"__x${c - 1}")
+      def gTerm(r: Int): Column =
+        if (r == 0) col("__y") - mu
+        else (col("__y") - mu) * col(s"__x${r - 1}")
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (for { r <- 0 until p; c <- r until p }
+          yield sum(d12(hTerm(r, c))).as(s"h_${r}_$c")) ++
+        (0 until p).map(r => sum(d12(gTerm(r))).as(s"g_$r"))
+      val m = base.agg(aggs.head, aggs.tail: _*).head()
+      n = m.getLong(0)
+      require(n > p, s"logistic: need n > $p rows, got $n")
+      def dv(f: String) = m.getDecimal(m.fieldIndex(f)).doubleValue()
+      val w2 = 2 * p + 1
+      val init = Array.tabulate(p, w2) { (r, j) =>
+        if (j < p) dv(s"h_${math.min(r, j)}_${math.max(r, j)}")
+        else if (j == p) dv(s"g_$r")
+        else if (j == p + 1 + r) 1.0 else 0.0
+      }
+      val (delta, inv) = gaussJordan(init, p)
+      beta = Array.tabulate(p)(i => beta(i) + delta(i))
+      invDiag = inv
+    }
+    (beta, invDiag, n)
+  }
+
+  private def logitBase(df: DataFrame, yCol: String,
+      xCols: Seq[String]): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 20,
+      "logistic: need 1..20 regressors")
+    require(xCols.distinct.size == xCols.size,
+      "logistic: regressors must be distinct")
+    val k = xCols.size
+    df.select(col(yCol).cast("double").as("__y") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(true) // consumed once per Newton step
+  }
+
+  /** Logistic regression `P(y=1|x) = σ(β₀ + Σ βⱼ xⱼ)` by
+    * Newton-Raphson / IRLS — the binary-outcome face of [[olsFit]]
+    * (conversion, churn, any 0/1 label) and the propensity model
+    * under [[ipwAte]]. Caller contract: y ∈ {0, 1} (listwise null
+    * deletion; a non-binary y silently fits a "fractional logit").
+    * Returns one row per term (term_idx, term, n, coef, se, z_stat),
+    * 6 dp — se from the final Newton step's inverse Hessian (the
+    * asymptotic covariance at convergence), z gated on the rounded se.
+    *
+    * 100 TB shape: `iters` × ONE ungrouped moments aggregation
+    * (map-side combined, decimal-quantized) + a driver-side
+    * (k+1)-dimensional solve per step — the classic distributed IRLS;
+    * nothing data-sized ever leaves the executors. k ≤ 20, fixed
+    * iteration count (replayable; see [[irlsBeta]]).
+    */
+  def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 12, "logisticFit: iters must be 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = logitBase(df, yCol, xCols)
+    val (beta, invDiag, n) = irlsBeta(base, xCols.size, iters)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    val out = terms.indices.map { i =>
+      val se = math.sqrt(invDiag(i))
+      (i, terms(i), n, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "z_stat")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Inverse-propensity-weighted average treatment effect (Horvitz &
+    * Thompson 1952; Hájek ratio form; Rosenbaum & Rubin 1983): the
+    * OBSERVATIONAL causal readout when assignment was not randomized —
+    * [[olsAdjust]] models the OUTCOME given x; this models the
+    * ASSIGNMENT given x (a [[logisticFit]] propensity e(x) = P(T=1|x))
+    * and reweights each arm to the covariate mix of the whole
+    * population:
+    *
+    *   μ₁ = Σ(T·y/ê)/Σ(T/ê),  μ₀ = Σ((1−T)·y/(1−ê))/Σ((1−T)/(1−ê)),
+    *   ATE = μ₁ − μ₀,  ê clipped to [clip, 1−clip]
+    *
+    * (the Hájek estimator — self-normalizing, so weights need no
+    * 1/n scaling; clipping is the standard overlap trim that keeps a
+    * near-deterministic assignment from handing one subject a huge
+    * weight). Treatment column must be 0/1. Returns one row
+    * (n, n_treated, mu_treated, mu_control, ate), 6 dp.
+    *
+    * 100 TB shape: [[irlsBeta]]'s iters × one aggregation, then ONE
+    * more weighted-moments aggregation with β riding the plan as
+    * literals (no join, no second scan beyond the pass) — every sum
+    * DECIMAL(38,12)-quantized.
+    */
+  def ipwAte(df: DataFrame, treatCol: String, yCol: String,
+      xCols: Seq[String], iters: Int = 6,
+      clip: Double = 0.01): DataFrame = {
+    require(iters >= 1 && iters <= 12, "ipwAte: iters must be 1..12")
+    require(clip > 0 && clip < 0.5, "ipwAte: clip must be in (0, 0.5)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val base0 = df.select(col(treatCol).cast("double").as("__t") +:
+        col(yCol).cast("double").as("__yy") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__t").isNotNull && col("__yy").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(true) // consumed per Newton step + final pass
+    val base = base0.withColumn("__y", col("__t"))
+    val (beta, _, _) = irlsBeta(base, k, iters)
+    val eta = (0 until k).foldLeft(lit(beta(0)): Column)((acc, i) =>
+      acc + lit(beta(i + 1)) * col(s"__x$i"))
+    val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+    val e = least(greatest(mu, lit(clip)), lit(1.0 - clip))
+    val m = base0
+      .withColumn("__e", e)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t").cast("long")).as("nt"),
+        sum(d12(col("__t") / col("__e"))).as("s1"),
+        sum(d12(col("__t") * col("__yy") / col("__e"))).as("sy1"),
+        sum(d12((lit(1.0) - col("__t")) / (lit(1.0) - col("__e"))))
+          .as("s0"),
+        sum(d12((lit(1.0) - col("__t")) * col("__yy") /
+          (lit(1.0) - col("__e")))).as("sy0"))
+      .head()
+    val n = m.getLong(0)
+    val nt = m.getLong(1)
+    require(nt > 0 && nt < n, "ipwAte: need both treated and control rows")
+    def dv(i: Int) = m.getDecimal(i).doubleValue()
+    val mu1 = dv(3) / dv(2)
+    val mu0 = dv(5) / dv(4)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n, nt, r6(mu1), r6(mu0), r6(mu1 - mu0)))
+      .toDF("n", "n_treated", "mu_treated", "mu_control", "ate")
+  }
+
   /** Rolling active users: for every calendar day in the stream's
     * [min, max] day range, the exact count of distinct users active that
     * day (DAU) and in the trailing `windowDays`-day window ending that

@@ -836,6 +836,55 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("logisticFit: balanced design recovers logit(p) with zero slope") {
+    import spark.implicits._
+    // x distribution identical inside both classes -> MLE slope is
+    // exactly 0 and intercept is exactly logit(p-hat) = ln(30/70)
+    val rows = (0 until 30).map(i => (1.0, (i % 5 + 1).toDouble)) ++
+      (0 until 70).map(i => (0.0, (i % 5 + 1).toDouble))
+    val out = Events.logisticFit(rows.toDF("y", "x"), "y", Seq("x"))
+      .collect()
+    val byTerm = out.map(r => r.getString(1) ->
+      (r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(byTerm("intercept")._1 - math.log(30.0 / 70.0)) < 1e-6)
+    assert(math.abs(byTerm("x")._1) < 1e-6)
+    assert(out.forall(_.getLong(2) == 100L))
+    // a monotone signal fits a positive slope with a confident z
+    val sig = (1 to 200).map { i =>
+      val x = (i % 20).toDouble
+      (if (x + (i % 7) > 14) 1.0 else 0.0, x)
+    }
+    val s2 = Events.logisticFit(sig.toDF("y", "x"), "y", Seq("x"))
+      .collect().find(_.getString(1) == "x").get
+    assert(s2.getDouble(3) > 0 && s2.getDouble(5) > 2)
+    // partition invariance
+    def run(parts: Int) = Events.logisticFit(
+      sig.toDF("y", "x").repartition(parts), "y", Seq("x"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("ipwAte: constant propensity reduces to the naive difference") {
+    import spark.implicits._
+    // x balanced inside both arms -> e(x) is flat -> Hajek weights
+    // cancel and ATE = naive mean difference = the true effect 5
+    val rows = (0 until 40).map(i =>
+      (1.0, (i % 4 + 1).toDouble + 5.0, (i % 4 + 1).toDouble)) ++
+      (0 until 60).map(i =>
+        (0.0, (i % 4 + 1).toDouble, (i % 4 + 1).toDouble))
+    val r = Events.ipwAte(rows.toDF("t", "y", "x"), "t", "y", Seq("x"))
+      .collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 40L)
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 7.5) < 1e-6) // mean(y|t=1)
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-6)
+    // one-arm input fails loudly
+    intercept[IllegalArgumentException] {
+      Events.ipwAte(rows.filter(_._1 == 1.0).toDF("t", "y", "x"),
+        "t", "y", Seq("x")).collect()
+    }
+  }
+
   test("acf: hand linear-ramp autocorrelations, Ljung-Box, constant key") {
     import spark.implicits._
     // daily counts 1..8 on key "a" (t copies of an event on day t),
