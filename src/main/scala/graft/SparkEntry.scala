@@ -7142,7 +7142,11 @@ object SparkEntry {
         |SELECT max(nn) AS n, count(DISTINCT a) AS n_a,
         |  count(DISTINCT b) AS n_b,
         |  (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
-        |  round(sum(chi)::DOUBLE, 6) AS chi2
+        |  round(sum(chi)::DOUBLE, 6) AS chi2,
+        |  CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1 THEN
+        |    round(sqrt((sum(chi)::DOUBLE / max(nn)::DOUBLE) /
+        |      (least(count(DISTINCT a), count(DISTINCT b)) - 1)::DOUBLE),
+        |      6) END AS cramers_v
         |FROM g4""".stripMargin,
 
     "q205_bfs_hops" ->

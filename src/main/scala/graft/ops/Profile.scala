@@ -1336,7 +1336,14 @@ object Profile {
         sum(col("__chi")).as("__c"))
       .select(col("n"), col("n_a"), col("n_b"),
         ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
-        round(col("__c").cast("double"), 6).as("chi2"))
+        round(col("__c").cast("double"), 6).as("chi2"),
+        // Cramér's V = sqrt((chi2/N) / min(r-1, c-1)) — the [0,1]
+        // effect size that makes chi2 comparable across table sizes;
+        // null for a degenerate (single-category) axis
+        when(least(col("n_a"), col("n_b")) > 1,
+          round(sqrt((col("__c").cast("double") / col("n").cast("double")) /
+            (least(col("n_a"), col("n_b")) - 1).cast("double")), 6))
+          .as("cramers_v"))
   }
 
   /** Benford first-digit audit (Benford 1938; the fraud/data-quality
