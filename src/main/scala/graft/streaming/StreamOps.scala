@@ -319,6 +319,106 @@ object StreamOps {
       }
   }
 
+  /** One closed window's PSI/JSD drift readout
+    * ([[streamingPsiDrift]]). */
+  case class PsiDrift(window_start: java.sql.Timestamp, n: Long,
+      psi: Double, jsd: Double, drift: Boolean)
+
+  /** Per-window category counts + window end for
+    * [[streamingPsiDrift]]. */
+  case class PsiDriftState(counts: Map[String, Long], windowEnd: Long)
+
+  /** Streaming PSI drift monitor — the continuous form of
+    * [[graft.ops.Profile.distributionDrift]]: each event-time window's
+    * CATEGORY mix (language, event type, model-score bucket) scored
+    * against a static reference with PSI and Jensen-Shannon divergence
+    * — [[streamingKsDrift]] watches a numeric distribution's shape,
+    * this watches a categorical mix, the other half of the standard
+    * model-monitoring pair. State per window is the category→count map
+    * (domain-bounded, tiny); the reference mix collects once at op
+    * construction. On watermark timeout one [[PsiDrift]] row emits
+    * with the batch face's EXACT term algebra (1e-6-clamped PSI terms,
+    * clamp-free JSD terms, each quantized to 12 dp HALF_UP before an
+    * order-free exact-decimal sum — the same quantization
+    * `cast(decimal(38,12))` performs), so
+    * [[graft.ops.Profile.distributionDrift]] on identical input
+    * returns the identical psi/jsd — asserted by the parity spec.
+    * `drift` flags psi ≥ `psiThreshold` (0.25 = the conventional
+    * "major shift" line).
+    */
+  def streamingPsiDrift(events: DataFrame, keyCol: String, tsCol: String,
+      reference: DataFrame, refKeyCol: String,
+      windowLen: String = "1 day", watermark: String = "10 minutes",
+      psiThreshold: Double = 0.25)(
+      implicit spark: SparkSession): Dataset[PsiDrift] = {
+    import spark.implicits._
+    require(psiThreshold > 0, "psiThreshold must be > 0")
+    val refCounts = reference
+      .select(col(refKeyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    require(refCounts.nonEmpty, "streamingPsiDrift: empty reference")
+    val totRef = refCounts.valuesIterator.sum
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    // the batch face's decimal(38,12) quantization, replayed exactly
+    def q12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    events
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("__w"),
+        col(keyCol).cast("string").as("__k"), col(tsCol).as("__ts"))
+      .filter(col("__k").isNotNull)
+      .select(col("__w.start").as("ws"), col("__w.end").as("we"),
+        col("__k"), col("__ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String,
+        java.sql.Timestamp)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[PsiDriftState, PsiDrift](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long,
+            rows: Iterator[(java.sql.Timestamp, java.sql.Timestamp,
+              String, java.sql.Timestamp)],
+            state: GroupState[PsiDriftState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nLive = counts.valuesIterator.sum
+            val keys = (refCounts.keySet ++ counts.keySet).toArray.sorted
+            var psiAcc = java.math.BigDecimal.ZERO
+            var jsdAcc = java.math.BigDecimal.ZERO
+            keys.foreach { k =>
+              val p = refCounts.getOrElse(k, 0L).toDouble / totRef.toDouble
+              val q = counts.getOrElse(k, 0L).toDouble / nLive.toDouble
+              val pc = math.max(p, 1e-6)
+              val qc = math.max(q, 1e-6)
+              val m = (p + q) / 2.0
+              psiAcc = psiAcc.add(q12((pc - qc) * math.log(pc / qc)))
+              jsdAcc = jsdAcc.add(q12(
+                ((if (p > 0) p * math.log(p / m) else 0.0) +
+                  (if (q > 0) q * math.log(q / m) else 0.0)) / 2.0))
+            }
+            val psi = psiAcc.doubleValue
+            Iterator(PsiDrift(new java.sql.Timestamp(wsMs), nLive,
+              r6(psi), r6(jsdAcc.doubleValue), psi >= psiThreshold))
+          } else {
+            val arr = rows.toSeq
+            val old = state.getOption
+              .map(_.counts).getOrElse(Map.empty[String, Long])
+            val merged = arr.foldLeft(old) { case (m2, (_, _, k, _)) =>
+              m2.updated(k, m2.getOrElse(k, 0L) + 1L)
+            }
+            val windowEnd = arr.head._2.getTime
+            state.update(PsiDriftState(merged, windowEnd))
+            state.setTimeoutTimestamp(
+              math.max(windowEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** WINDOWED streaming heavy hitters — the Misra-Gries sketch
     * aggregate ([[graft.functions.mg_sketch]], the SAME mergeable
     * aggregate the batch face q102 runs) inside a watermarked tumbling

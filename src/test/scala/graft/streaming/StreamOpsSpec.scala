@@ -119,6 +119,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PSI drift matches batch distributionDrift") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // reference mix: click-heavy with a category the live window lacks
+    val refKeys = Seq.fill(20)("click") ++ Seq.fill(10)("view") ++
+      Seq.fill(5)("error")
+    val ref = refKeys.toDF("k")
+    val q = StreamOps.streamingPsiDrift(input.toDF(), "event_type", "ts",
+        ref, "k", windowLen = "1 hour", watermark = "10 minutes",
+        psiThreshold = 0.25)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append).start()
+    // live mix shifts toward purchase (absent from ref) across TWO
+    // micro-batches of the same window
+    val live1 = Seq.fill(6)("click") ++ Seq.fill(8)("purchase")
+    val live2 = Seq.fill(4)("view") ++ Seq.fill(2)("purchase")
+    try {
+      input.addData(live1.zipWithIndex.map { case (k, i) =>
+        EventRow(i.toLong, ts(i % 50), 1, k, 1.0) }: _*)
+      q.processAllAvailable()
+      input.addData(live2.zipWithIndex.map { case (k, i) =>
+        EventRow(100 + i.toLong, ts((i + 20) % 50), 1, k, 1.0) }: _*)
+      q.processAllAvailable()
+      input.addData(EventRow(999,
+        Timestamp.valueOf("2024-01-01 12:30:00"), 1, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM psi_out").collect()
+      assert(rows.length == 1, s"got ${rows.length} drift rows")
+      val r = rows(0)
+      assert(r.getLong(1) == 20L)
+      // batch parity: identical ref/live through distributionDrift
+      val b = graft.ops.Profile.distributionDrift(ref,
+        (live1 ++ live2).toDF("k"), "k").collect().head
+      assert(r.getDouble(2) == b.getDouble(7),
+        s"psi ${r.getDouble(2)} vs batch ${b.getDouble(7)}")
+      assert(r.getDouble(3) == b.getDouble(8),
+        s"jsd ${r.getDouble(3)} vs batch ${b.getDouble(8)}")
+      assert(r.getBoolean(4) == (b.getDouble(7) >= 0.25))
+    } finally q.stop()
+  }
+
   test("streaming KS drift: matching distribution reads no drift") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
