@@ -3817,6 +3817,15 @@ object SparkEntry {
     // Hessian; iters x one decimal-quantized moments aggregation.
     "q245_logistic_fit" -> ((s, dir) =>
       graft.ops.Events.logisticFit(errTreatUsers(s, dir), "t",
+        Seq("engagement", "active_days"), iters = 6)),
+
+    // Doubly-robust AIPW effect (ops/Events.scala): q244's IPW plus
+    // per-arm OLS outcome models, combined so either model being right
+    // keeps the estimate consistent — propensity via 6 Newton steps,
+    // both arms' normal equations in ONE grouped Gram aggregation,
+    // one final decimal-quantized score pass.
+    "q246_aipw_ate" -> ((s, dir) =>
+      graft.ops.Events.aipwAte(errTreatUsers(s, dir), "t", "y",
         Seq("engagement", "active_days"), iters = 6))
   )
 
@@ -8741,6 +8750,79 @@ object SparkEntry {
           Seq("engagement", "active_days"), 6)}
          |$rows
          |ORDER BY term_idx""".stripMargin
+    },
+
+    // The unrolled-IRLS propensity plus BOTH arms' OLS normal
+    // equations unrolled (same elimination shapes), then the AIPW
+    // score aggregation in the operator's exact double order.
+    "q246_aipw_ate" -> {
+      val xs = Seq("engagement", "active_days")
+      val k = xs.size
+      val p = k + 1
+      val w = p + 1
+      def armOls(tag: String, pred: String): String = {
+        val d = "DECIMAL(38,12)"
+        val mom = (Seq("count(*)::BIGINT AS n",
+          s"sum(CAST(y AS $d))::DOUBLE AS sy") ++
+          xs.indices.map(i =>
+            s"sum(CAST(${xs(i)} AS $d))::DOUBLE AS sx$i") ++
+          xs.indices.map(i =>
+            s"sum(CAST(${xs(i)} * y AS $d))::DOUBLE AS sx${i}y") ++
+          (for { i <- xs.indices; j <- i until k } yield
+            s"sum(CAST(${xs(i)} * ${xs(j)} AS $d))::DOUBLE AS sx${i}x$j"))
+          .mkString(",\n    ")
+        def init(r: Int, j: Int): String = {
+          def gram(a: Int, b: Int): String =
+            if (a == 0 && b == 0) "n::DOUBLE"
+            else if (a == 0) s"sx${b - 1}"
+            else s"sx${math.min(a - 1, b - 1)}x${math.max(a - 1, b - 1)}"
+          if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+          else { if (r == 0) "sy" else s"sx${r - 1}y" }
+        }
+        val g0 = (for { r <- 0 until p; j <- 0 until w }
+          yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+        val steps = (0 until p).map { c =>
+          val entries = (for { r <- 0 until p; j <- 0 until w } yield {
+            val e2 =
+              if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+              else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+            s"$e2 AS g_${r}_$j"
+          }).mkString(",\n    ")
+          val from = if (c == 0) s"${tag}0" else s"$tag$c"
+          s"$tag${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
+        }.mkString(",\n")
+        s"""q$tag AS MATERIALIZED (SELECT
+           |    $mom
+           |  FROM u WHERE $pred),
+           |${tag}0 AS (SELECT
+           |    $g0
+           |  FROM q$tag),
+           |$steps""".stripMargin
+      }
+      val eta = "((b.c0 + b.c1 * engagement) + b.c2 * active_days)"
+      def linB(alias: String) =
+        s"(($alias.g_0_$p + $alias.g_1_$p * engagement) + " +
+          s"$alias.g_2_$p * active_days)"
+      s"""${logitIrlsSql(errTreatPerRowSql, "t", xs, 6)},
+         |${armOls("ea", "t = 1.0")},
+         |${armOls("ec", "t = 0.0")},
+         |ef AS (SELECT *, least(greatest(mu, 0.01), 0.99) AS e FROM (
+         |  SELECT u.*, 1.0::DOUBLE / (1.0::DOUBLE + exp(-$eta)) AS mu
+         |  FROM u, b6 b)),
+         |sc AS (SELECT ef.*, ${linB("ta")} AS m1, ${linB("tc")} AS m0
+         |       FROM ef, ea$p ta, ec$p tc),
+         |agg AS (SELECT count(*)::BIGINT AS n,
+         |    sum(t::BIGINT)::BIGINT AS nt,
+         |    sum(CAST(m1 + t * (y - m1) / e AS DECIMAL(38,12)))::DOUBLE
+         |      AS s1,
+         |    sum(CAST(m0 + (1.0::DOUBLE - t) * (y - m0) /
+         |        (1.0::DOUBLE - e) AS DECIMAL(38,12)))::DOUBLE AS s0
+         |  FROM sc)
+         |SELECT n, nt AS n_treated,
+         |  round(s1 / n::DOUBLE, 6) AS mu_treated,
+         |  round(s0 / n::DOUBLE, 6) AS mu_control,
+         |  round(s1 / n::DOUBLE - s0 / n::DOUBLE, 6) AS ate
+         |FROM agg""".stripMargin
     }
   )
 

@@ -900,6 +900,110 @@ object Events {
       .toDF("n", "n_treated", "mu_treated", "mu_control", "ate")
   }
 
+  /** Augmented inverse-propensity-weighted (doubly-robust) ATE
+    * (Robins, Rotnitzky & Zhao 1994): [[ipwAte]]'s weighting PLUS
+    * per-arm OLS outcome models m₁(x)/m₀(x), combined so the estimate
+    * stays consistent if EITHER the propensity model OR the outcome
+    * model is right — the production-grade observational readout:
+    *
+    *   μ₁ = (1/n)·Σ[ m₁(x) + T·(y − m₁(x))/ê ]
+    *   μ₀ = (1/n)·Σ[ m₀(x) + (1−T)·(y − m₀(x))/(1−ê) ]
+    *   ATE = μ₁ − μ₀,  ê clipped to [clip, 1−clip]
+    *
+    * Returns one row (n, n_treated, mu_treated, mu_control, ate), 6 dp.
+    *
+    * 100 TB shape: [[irlsBeta]]'s iters × one aggregation for ê, ONE
+    * t-grouped Gram aggregation for both arms' normal equations (two
+    * driver-side [[gaussJordan]] solves), ONE final decimal-quantized
+    * score aggregation with every β riding as plan literals. Nothing
+    * data-sized leaves the executors.
+    */
+  def aipwAte(df: DataFrame, treatCol: String, yCol: String,
+      xCols: Seq[String], iters: Int = 6,
+      clip: Double = 0.01): DataFrame = {
+    require(iters >= 1 && iters <= 12, "aipwAte: iters must be 1..12")
+    require(clip > 0 && clip < 0.5, "aipwAte: clip must be in (0, 0.5)")
+    require(xCols.nonEmpty && xCols.size <= 20,
+      "aipwAte: need 1..20 covariates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val p = k + 1
+    val base0 = df.select(col(treatCol).cast("double").as("__t") +:
+        col(yCol).cast("double").as("__yy") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__t").isNotNull && col("__yy").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(true) // Newton steps + Gram pass + score pass
+    val (pb, _, _) = irlsBeta(base0.withColumn("__y", col("__t")), k,
+      iters)
+    // both arms' normal-equation moments in ONE t-grouped aggregation
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__yy"))).as("sy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__yy"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val arms = base0.groupBy(col("__t")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    require(arms.length == 2,
+      "aipwAte: need both treated and control rows")
+    def solve(r: org.apache.spark.sql.Row): Array[Double] = {
+      def dv(f: String) = r.getDecimal(r.fieldIndex(f)).doubleValue()
+      val nA = r.getLong(r.fieldIndex("n"))
+      require(nA > p, s"aipwAte: arm needs n > $p rows, got $nA")
+      def gx(i: Int, j: Int) =
+        dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+      val w2 = 2 * p + 1
+      val init = Array.tabulate(p, w2) { (rr, j) =>
+        def gram(a: Int, b: Int): Double =
+          if (a == 0 && b == 0) nA.toDouble
+          else if (a == 0) dv(s"sx${b - 1}")
+          else gx(a - 1, b - 1)
+        if (j < p) { if (j >= rr) gram(rr, j) else gram(j, rr) }
+        else if (j == p) { if (rr == 0) dv("sy") else dv(s"sx${rr - 1}y") }
+        else if (j == p + 1 + rr) 1.0 else 0.0
+      }
+      gaussJordan(init, p)._1
+    }
+    val bT = solve(arms.find(_.getDouble(0) == 1.0).getOrElse(
+      throw new IllegalArgumentException("aipwAte: treatment must be 0/1")))
+    val bC = solve(arms.find(_.getDouble(0) == 0.0).getOrElse(
+      throw new IllegalArgumentException("aipwAte: treatment must be 0/1")))
+    def lin(b: Array[Double]) =
+      (0 until k).foldLeft(lit(b(0)): Column)((acc, i) =>
+        acc + lit(b(i + 1)) * col(s"__x$i"))
+    val eta = (0 until k).foldLeft(lit(pb(0)): Column)((acc, i) =>
+      acc + lit(pb(i + 1)) * col(s"__x$i"))
+    val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+    val e = least(greatest(mu, lit(clip)), lit(1.0 - clip))
+    val m1 = lin(bT)
+    val m0 = lin(bC)
+    val m = base0
+      .withColumn("__e", e).withColumn("__m1", m1).withColumn("__m0", m0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t").cast("long")).as("nt"),
+        sum(d12(col("__m1") +
+          col("__t") * (col("__yy") - col("__m1")) / col("__e")))
+          .as("s1"),
+        sum(d12(col("__m0") +
+          (lit(1.0) - col("__t")) * (col("__yy") - col("__m0")) /
+            (lit(1.0) - col("__e")))).as("s0"))
+      .head()
+    val n = m.getLong(0)
+    val nt = m.getLong(1)
+    val mu1 = m.getDecimal(2).doubleValue() / n.toDouble
+    val mu0 = m.getDecimal(3).doubleValue() / n.toDouble
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n, nt, r6(mu1), r6(mu0), r6(mu1 - mu0)))
+      .toDF("n", "n_treated", "mu_treated", "mu_control", "ate")
+  }
+
   /** Rolling active users: for every calendar day in the stream's
     * [min, max] day range, the exact count of distinct users active that
     * day (DAU) and in the trailing `windowDays`-day window ending that

@@ -885,6 +885,30 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("aipwAte: exact linear outcome recovers the effect exactly") {
+    import spark.implicits._
+    // y = x + 5*t exactly linear in x -> each arm's OLS fit is exact,
+    // every residual is 0, and the AIPW score is m1 - m0 = 5 for every
+    // row whatever the propensity says: the doubly-robust property
+    val rows = (0 until 40).map(i =>
+      (1.0, (i % 4 + 1).toDouble + 5.0, (i % 4 + 1).toDouble)) ++
+      (0 until 60).map(i =>
+        (0.0, (i % 4 + 1).toDouble, (i % 4 + 1).toDouble))
+    val r = Events.aipwAte(rows.toDF("t", "y", "x"), "t", "y", Seq("x"))
+      .collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 40L)
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-6)
+    // partition invariance
+    def run(parts: Int) = Events.aipwAte(
+      rows.toDF("t", "y", "x").repartition(parts), "t", "y", Seq("x"))
+      .collect()(0).toSeq
+    assert(run(1) == run(11))
+    intercept[IllegalArgumentException] {
+      Events.aipwAte(rows.filter(_._1 == 1.0).toDF("t", "y", "x"),
+        "t", "y", Seq("x")).collect()
+    }
+  }
+
   test("acf: hand linear-ramp autocorrelations, Ljung-Box, constant key") {
     import spark.implicits._
     // daily counts 1..8 on key "a" (t copies of an event on day t),
