@@ -3826,7 +3826,21 @@ object SparkEntry {
     // one final decimal-quantized score pass.
     "q246_aipw_ate" -> ((s, dir) =>
       graft.ops.Events.aipwAte(errTreatUsers(s, dir), "t", "y",
-        Seq("engagement", "active_days"), iters = 6))
+        Seq("engagement", "active_days"), iters = 6)),
+
+    // Gains/lift chart (ops/Eval.scala): q239's pseudo-scored corpus
+    // cut into score deciles — per-decile response rate, lift over the
+    // base rate, cumulative capture + lift; doc_id breaks score ties
+    // so bucket composition is engine-deterministic.
+    "q247_lift_chart" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val p = pmod(col("doc_id") * 131, lit(997)).cast("double") / 996.0
+      val y = (pmod(col("doc_id") * 613, lit(997)) <
+        pmod(col("doc_id") * 131, lit(997))).cast("int")
+      graft.ops.Eval.liftChart(
+        docs.select(col("doc_id"), p.as("p"), y.as("y")),
+        "p", "y", "doc_id", buckets = 10)
+    })
   )
 
   /** Shared q244/q245 per-user frame: treatment = ">= 14 error
@@ -8823,7 +8837,42 @@ object SparkEntry {
          |  round(s0 / n::DOUBLE, 6) AS mu_control,
          |  round(s1 / n::DOUBLE - s0 / n::DOUBLE, 6) AS ate
          |FROM agg""".stripMargin
-    }
+    },
+
+    // Descending score rank with doc_id tiebreak, long-arithmetic
+    // bucket cut (double division truncated toward zero = floor on
+    // nonnegatives), bucket-frame cumulative windows.
+    "q247_lift_chart" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, (doc_id * 131 % 997)::DOUBLE / 996.0 AS s,
+        |    (doc_id * 613 % 997 < doc_id * 131 % 997)::BIGINT AS y
+        |  FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, id) - 1
+        |        AS rk FROM v),
+        |pb AS (
+        |  SELECT floor((rk * 10)::DOUBLE / t.n::DOUBLE)::INT AS bucket,
+        |    count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |  FROM r, tot t GROUP BY 1),
+        |c AS (SELECT *,
+        |    sum(n_pos) OVER ()::BIGINT AS tpos,
+        |    sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS cpos,
+        |    sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS cn
+        |  FROM pb),
+        |tot2 AS (SELECT sum(n)::BIGINT AS n FROM pb)
+        |SELECT bucket, c.n, n_pos,
+        |  round(n_pos::DOUBLE / c.n::DOUBLE, 6) AS response_rate,
+        |  CASE WHEN tpos > 0 THEN
+        |    round((n_pos::DOUBLE / c.n::DOUBLE) /
+        |      (tpos::DOUBLE / t2.n::DOUBLE), 6) END AS lift,
+        |  CASE WHEN tpos > 0 THEN
+        |    round(cpos::DOUBLE / tpos::DOUBLE, 6) END AS cum_capture,
+        |  CASE WHEN tpos > 0 THEN
+        |    round((cpos::DOUBLE / cn::DOUBLE) /
+        |      (tpos::DOUBLE / t2.n::DOUBLE), 6) END AS cum_lift
+        |FROM c, tot2 t2 ORDER BY bucket""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

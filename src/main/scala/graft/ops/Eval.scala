@@ -470,4 +470,81 @@ object Eval {
         (col("clabel") === col("qlabel")).cast("int").as("rel"))
     rankingMetrics(pairs, "qid", "cid", "score", "rel", k)
   }
+
+  /** Cumulative gains / lift chart: rank rows by model score
+    * descending into `buckets` equal-population buckets (deciles by
+    * default) and report, per bucket, the positive-response rate, its
+    * LIFT over the base rate, the cumulative share of all positives
+    * captured down to that bucket, and the cumulative lift — the
+    * campaign-targeting readout ("mailing the top 2 deciles captures
+    * 45% of responders at 2.3× random") that [[binaryAuc]] compresses
+    * into one number. Ties in score break on `idCol` ascending
+    * (deterministic bucket composition — a score-only order would be
+    * engine-dependent). Returns one row per bucket (bucket, n, n_pos,
+    * response_rate, lift, cum_capture, cum_lift), 6 dp; lift columns
+    * null when the corpus has no positives.
+    *
+    * 100 TB shape: [[graft.ops.Profile.giniLorenz]]'s rank device —
+    * ONE range repartition by (score desc, id) sorts the data once,
+    * global ranks ride a 32-row offset collect + in-partition
+    * row_number; the bucket frame (and its ordered windows) is
+    * buckets-sized.
+    */
+  def liftChart(scored: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000,
+      s"liftChart: buckets in [1,1000], got $buckets")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val parts = scored
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"), col(idCol).as("__id"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull &&
+        col("__id").isNotNull)
+      .repartitionByRange(col("__s").desc, col("__id"))
+      .sortWithinPartitions(col("__s").desc, col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().sortBy(_.getInt(0))
+    val n = counts.map(_.getLong(1)).sum
+    require(n > 0, "liftChart: no rows")
+    var running = 0L
+    val offsets = counts.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__s").desc, col("__id"))
+    val perBucket = parts.join(offsetsDf, Seq("__pid"))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1 + col("__off"))
+      .groupBy((col("__rank") * buckets / n).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    // buckets-sized frame: unpartitioned ordered windows intentional
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("__tpos", sum(col("n_pos")).over(wAll))
+      .withColumn("__base",
+        col("__tpos").cast("double") / lit(n.toDouble))
+      .withColumn("__rr",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("__cpos", sum(col("n_pos")).over(wCum))
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("__rr"), 6).as("response_rate"),
+        when(col("__tpos") > 0, round(col("__rr") / col("__base"), 6))
+          .as("lift"),
+        when(col("__tpos") > 0,
+          round(col("__cpos").cast("double") /
+            col("__tpos").cast("double"), 6)).as("cum_capture"),
+        when(col("__tpos") > 0,
+          round((col("__cpos").cast("double") /
+            col("__cn").cast("double")) / col("__base"), 6))
+          .as("cum_lift"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -300,4 +300,38 @@ class EvalSpec extends AnyFunSuite {
     val n = Eval.brierDecomposition(neg, "p", "y", 10).collect()(0)
     assert(n.getDouble(5) == 0.0 && n.getDouble(4) == 0.0)
   }
+
+  test("liftChart: hand deciles, tie order by id, zero-positive nulls") {
+    import spark.implicits._
+    // 10 rows, descending score by id; positives at ids 1,2,3,7
+    val rows = (1 to 10).map(i =>
+      (i.toLong, (11 - i).toDouble, if (Set(1, 2, 3, 7)(i)) 1 else 0))
+    val out = Eval.liftChart(rows.toDF("id", "s", "y"), "s", "y", "id",
+      buckets = 5).collect()
+    assert(out.map(_.getInt(0)).toSeq == (0 until 5))
+    val b0 = out(0) // ids 1,2: both positive; base rate 0.4
+    assert(b0.getLong(1) == 2L && b0.getLong(2) == 2L)
+    assert(b0.getDouble(3) == 1.0 && b0.getDouble(4) == 2.5)
+    assert(b0.getDouble(5) == 0.5 && b0.getDouble(6) == 2.5)
+    val b3 = out(3) // ids 7,8: one positive
+    assert(b3.getLong(2) == 1L && b3.getDouble(3) == 0.5)
+    assert(out(4).getDouble(5) == 1.0) // full capture at the last bucket
+    // tied scores: bucket composition falls back to id order
+    val tied = (1 to 10).map(i => (i.toLong, 1.0, if (i <= 5) 1 else 0))
+    val t0 = Eval.liftChart(tied.toDF("id", "s", "y"), "s", "y", "id",
+      buckets = 2).collect()
+    assert(t0(0).getLong(2) == 5L && t0(1).getLong(2) == 0L)
+    // no positives anywhere: lift columns null
+    val none = (1 to 6).map(i => (i.toLong, i.toDouble, 0))
+    val nn = Eval.liftChart(none.toDF("id", "s", "y"), "s", "y", "id",
+      buckets = 3).collect()
+    assert(nn.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)))
+    // partition invariance
+    val big = (1 to 5000).map(i =>
+      (i.toLong, (i * 13 % 211).toDouble, i % 3 min 1))
+    def run(parts: Int) = Eval.liftChart(
+      big.toDF("id", "s", "y").repartition(parts), "s", "y", "id", 10)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(17))
+  }
 }
