@@ -3840,6 +3840,25 @@ object SparkEntry {
       graft.ops.Eval.liftChart(
         docs.select(col("doc_id"), p.as("p"), y.as("y")),
         "p", "y", "doc_id", buckets = 10)
+    }),
+
+    // Corpus BLEU-4 (ops/TextAnalysis.scala): a synthetic "generation"
+    // — each document's first 3/4 of tokens with every 7th corrupted —
+    // scored against the full text: clipped n-gram precisions (exact
+    // integer corpus sums), geometric mean, corpus brevity penalty;
+    // the generation-eval staple.
+    "q248_bleu" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("tk"))
+      val pairs = d0.select(col("doc_id"),
+        concat_ws(" ", transform(
+          slice(col("tk"), lit(1),
+            greatest((size(col("tk")) * 3 / 4).cast("int"), lit(1))),
+          (x, i) => when(pmod(i, lit(7)) === 3, lit("xx")).otherwise(x)))
+          .as("cand"),
+        col("text").as("ref"))
+      graft.ops.TextAnalysis.bleuCorpus(pairs, "cand", "ref", "doc_id")
     })
   )
 
@@ -8872,7 +8891,61 @@ object SparkEntry {
         |  CASE WHEN tpos > 0 THEN
         |    round((cpos::DOUBLE / cn::DOUBLE) /
         |      (tpos::DOUBLE / t2.n::DOUBLE), 6) END AS cum_lift
-        |FROM c, tot2 t2 ORDER BY bucket""".stripMargin
+        |FROM c, tot2 t2 ORDER BY bucket""".stripMargin,
+
+    // The q134 list-comprehension n-gram device per order 1..4,
+    // per-pair clipped matches via an inner (id, gram) join, exact
+    // integer corpus sums, then the operator's BP/geomean double order.
+    "q248_bleu" -> {
+      val orders = (1 to 4).map { n =>
+        val grams = s"[array_to_string(ct[i:i+${n - 1}], ' ') " +
+          s"FOR i IN range(1, len(ct) - ${n - 2})]"
+        val rgrams = s"[array_to_string(rt[i:i+${n - 1}], ' ') " +
+          s"FOR i IN range(1, len(rt) - ${n - 2})]"
+        s"""c$n AS (SELECT id, g, count(*) AS cc FROM (
+           |  SELECT id, unnest($grams) AS g FROM t) GROUP BY 1, 2),
+           |r$n AS (SELECT id, g, count(*) AS rc FROM (
+           |  SELECT id, unnest($rgrams) AS g FROM t) GROUP BY 1, 2),
+           |m$n AS (SELECT coalesce(sum(least(cc, rc)), 0)::BIGINT AS m
+           |        FROM c$n JOIN r$n USING (id, g)),
+           |t$n AS (SELECT coalesce(sum(greatest(len(ct) - ${n - 1}, 0)),
+           |          0)::BIGINT AS t FROM t)"""
+      }.mkString(",\n")
+      val bpExpr = "CASE WHEN cl > rl THEN 1.0::DOUBLE ELSE " +
+        "exp(1.0::DOUBLE - rl::DOUBLE / cl::DOUBLE) END"
+      val lnSum = (1 to 4).map(n => s"ln(m$n.m::DOUBLE / t$n.t::DOUBLE)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val pCols = (1 to 4).map(n =>
+        s"""CASE WHEN t$n.t > 0 THEN
+           |    round(m$n.m::DOUBLE / t$n.t::DOUBLE, 6) END AS p$n""")
+        .mkString(",\n  ")
+      s"""WITH d0 AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS rt
+         |  FROM documents),
+         |t0 AS (SELECT id, rt,
+         |  rt[1:greatest(floor((len(rt) * 3)::DOUBLE / 4.0::DOUBLE)::INT,
+         |    1)] AS pt
+         |  FROM d0),
+         |t AS MATERIALIZED (SELECT id, rt,
+         |  [CASE WHEN (i - 1) % 7 = 3 THEN 'xx' ELSE pt[i] END
+         |    FOR i IN range(1, len(pt) + 1)] AS ct
+         |  FROM t0),
+         |lens AS (SELECT count(*)::BIGINT AS np, sum(len(ct))::BIGINT
+         |  AS cl, sum(len(rt))::BIGINT AS rl FROM t),
+         |$orders
+         |SELECT np AS n_pairs, cl AS cand_len, rl AS ref_len,
+         |  $pCols,
+         |  CASE WHEN cl = 0 THEN NULL
+         |    ELSE round($bpExpr, 6) END AS brevity_penalty,
+         |  CASE WHEN cl = 0 THEN NULL
+         |    WHEN m1.m = 0 OR m2.m = 0 OR m3.m = 0 OR m4.m = 0
+         |      THEN 0.0::DOUBLE
+         |    ELSE round(($bpExpr) * exp($lnSum / 4.0::DOUBLE), 6)
+         |  END AS bleu
+         |FROM lens, m1, t1, m2, t2, m3, t3, m4, t4""".stripMargin
+    }
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

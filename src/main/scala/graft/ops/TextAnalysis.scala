@@ -430,4 +430,80 @@ object TextAnalysis {
       langId(text).as("lang_pred"),
       fingerprint(text).as("fingerprint"))
   }
+
+  /** Corpus-level BLEU-4 (Papineni et al. 2002) over (candidate,
+    * reference) text pairs — the generation-eval staple: modified
+    * n-gram precision with per-pair clipping (a candidate n-gram
+    * counts at most as often as the reference contains it), geometric
+    * mean over orders 1..4, brevity penalty
+    * `BP = min(1, e^(1 − r/c))` on CORPUS lengths. Single-reference
+    * form. Returns one row (n_pairs, cand_len, ref_len, p1..p4,
+    * brevity_penalty, bleu), 6 dp: p_n is null when no candidate is
+    * n tokens long; bleu is 0 when any order has zero matches (the
+    * standard unsmoothed convention — eval sets are big enough that
+    * smoothing is a sentence-level concern) and null on an empty
+    * candidate corpus.
+    *
+    * 100 TB shape: per order, ONE (pair, gram) count aggregation per
+    * side and one grain-sized inner join (clipping needs only grams
+    * present in BOTH) — every corpus sum is an exact integer, so the
+    * whole statistic is order-free; the final algebra runs on eight
+    * collected longs. Eval-set-sized by intent, but nothing here
+    * breaks at corpus scale.
+    */
+  def bleuCorpus(pairs: DataFrame, candCol: String, refCol: String,
+      idCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val maxN = 4
+    def ngrams(a: Column, n: Int): Column =
+      if (n == 1) a
+      else when(size(a) >= n,
+        transform(sequence(lit(0), size(a) - n),
+          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs
+      .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(candCol)).as("__c"),
+        tokens(col(refCol)).as("__r"))
+      .localCheckpoint(true) // consumers: lengths + 2·maxN gram passes
+    val lens = base.agg(count(lit(1)).as("np"),
+      sum(size(col("__c"))).as("cl"), sum(size(col("__r"))).as("rl"))
+      .head()
+    val np = lens.getLong(0)
+    val (cLen, rLen) =
+      if (np == 0) (0L, 0L) else (lens.getLong(1), lens.getLong(2))
+    def gramCounts(c: String, n: Int) = base
+      .select(col("__id"), explode(ngrams(col(c), n)).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__n"))
+    val perOrder = (1 to maxN).map { n =>
+      val matched = gramCounts("__c", n)
+        .join(gramCounts("__r", n).withColumnRenamed("__n", "__rn"),
+          Seq("__id", "__g"))
+        .agg(coalesce(sum(least(col("__n"), col("__rn"))), lit(0L)))
+        .head().getLong(0)
+      val total = base
+        .agg(coalesce(sum(greatest(size(col("__c")) - lit(n - 1),
+          lit(0))), lit(0L)))
+        .head().getLong(0)
+      (matched, total)
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ps = perOrder.map { case (m, t) =>
+      if (t > 0) Some(m.toDouble / t.toDouble) else None
+    }
+    val bp =
+      if (cLen > rLen) 1.0
+      else math.exp(1.0 - rLen.toDouble / cLen.toDouble)
+    val bleu =
+      if (cLen == 0) None
+      else if (perOrder.exists(_._1 == 0)) Some(0.0)
+      else Some(r6(bp * math.exp(
+        ps.map(p => math.log(p.get)).reduceLeft(_ + _) / maxN.toDouble)))
+    Seq((np, cLen, rLen, ps(0).map(r6), ps(1).map(r6), ps(2).map(r6),
+        ps(3).map(r6), if (cLen == 0) None else Some(r6(bp)), bleu))
+      .toDF("n_pairs", "cand_len", "ref_len", "p1", "p2", "p3", "p4",
+        "brevity_penalty", "bleu")
+  }
 }

@@ -307,4 +307,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 0.5, 0.0, 5000.0)))
     assert(out(4L) == ((3L, 3L, 1.0, 1.0, 0.0)))
   }
+
+  test("bleuCorpus: hand precisions, clipping, BP, degenerate cases") {
+    import spark.implicits._
+    def one(cand: String, ref: String) =
+      TextAnalysis.bleuCorpus(Seq((1L, cand, ref)).toDF("id", "c", "r"),
+        "c", "r", "id").collect()(0)
+    // hand case: p = (1, 3/4, 2/3, 1/2), BP = e^(1-6/5)
+    val h = one("a b c d e", "a b c d f e")
+    assert(h.getDouble(3) == 1.0)
+    assert(h.getDouble(4) == 0.75)
+    assert(math.abs(h.getDouble(5) - 2.0 / 3.0) < 1e-6)
+    assert(h.getDouble(6) == 0.5)
+    val expBleu = math.exp(1.0 - 6.0 / 5.0) *
+      math.pow(1.0 * 0.75 * (2.0 / 3.0) * 0.5, 0.25)
+    assert(math.abs(h.getDouble(8) - expBleu) < 1e-5)
+    // clipping: "the" appears once in the ref, three times in the cand
+    val c = one("the the the", "the cat")
+    assert(math.abs(c.getDouble(3) - 1.0 / 3.0) < 1e-6)
+    // identical pair: every precision 1, BP 1, BLEU 1
+    val i = one("x y z w v", "x y z w v")
+    assert(i.getDouble(7) == 1.0 && i.getDouble(8) == 1.0)
+    // candidates too short for 4-grams: p4 null, bleu 0
+    val s = one("the cat sat", "the cat sat on the mat")
+    assert(s.isNullAt(6) && s.getDouble(8) == 0.0)
+    // corpus sums pool across pairs (not an average of pair scores)
+    val corp = TextAnalysis.bleuCorpus(
+      Seq((1L, "a b c d e", "a b c d f e"),
+        (2L, "x y z w v", "x y z w v")).toDF("id", "c", "r"),
+      "c", "r", "id").collect()(0)
+    assert(corp.getLong(0) == 2L && corp.getLong(1) == 10L)
+    assert(corp.getDouble(3) == 1.0) // 1-grams all match in both pairs
+    assert(math.abs(corp.getDouble(4) - 7.0 / 8.0) < 1e-6)
+  }
 }
