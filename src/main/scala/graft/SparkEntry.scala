@@ -3859,6 +3859,25 @@ object SparkEntry {
           .as("cand"),
         col("text").as("ref"))
       graft.ops.TextAnalysis.bleuCorpus(pairs, "cand", "ref", "doc_id")
+    }),
+
+    // ROUGE-1/2/L per pair (ops/TextAnalysis.scala): q248's corrupted
+    // prefixes scored as summaries — clipped n-gram P/R/F1 plus
+    // LCS-based ROUGE-L via the codegen'd token_lcs kernel. The 'xx'
+    // corruption token is vocabulary-absent, so the oracle's LCS
+    // closed form (clean prefix tokens) is exact.
+    "q249_rouge" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("tk"))
+      val pairs = d0.select(col("doc_id"),
+        concat_ws(" ", transform(
+          slice(col("tk"), lit(1),
+            greatest((size(col("tk")) * 3 / 4).cast("int"), lit(1))),
+          (x, i) => when(pmod(i, lit(7)) === 3, lit("xx")).otherwise(x)))
+          .as("cand"),
+        col("text").as("ref"))
+      graft.ops.TextAnalysis.rougeScores(pairs, "cand", "ref", "doc_id")
     })
   )
 
@@ -8945,6 +8964,66 @@ object SparkEntry {
          |    ELSE round(($bpExpr) * exp($lnSum / 4.0::DOUBLE), 6)
          |  END AS bleu
          |FROM lens, m1, t1, m2, t2, m3, t3, m4, t4""".stripMargin
+    },
+
+    // Per-pair clipped-overlap replay for ROUGE-1/2; ROUGE-L via the
+    // closed form lcs = clean prefix tokens (the 'xx' corruption token
+    // never occurs in the generator vocabulary, checked, so corrupted
+    // positions can never re-match); P/R/F algebra in the operator's
+    // double order.
+    "q249_rouge" -> {
+      def prf(m: String, tc: String, tr: String, name: String) =
+        s"""CASE WHEN $tc > 0 THEN round(($m)::DOUBLE / ($tc)::DOUBLE, 6)
+           |  END AS ${name}_p,
+           |CASE WHEN $tr > 0 THEN round(($m)::DOUBLE / ($tr)::DOUBLE, 6)
+           |  END AS ${name}_r,
+           |CASE WHEN $tc > 0 AND $tr > 0 AND
+           |    (($m)::DOUBLE / ($tc)::DOUBLE +
+           |     ($m)::DOUBLE / ($tr)::DOUBLE) > 0.0::DOUBLE THEN
+           |  round(2.0::DOUBLE * (($m)::DOUBLE / ($tc)::DOUBLE) *
+           |    (($m)::DOUBLE / ($tr)::DOUBLE) /
+           |    (($m)::DOUBLE / ($tc)::DOUBLE +
+           |     ($m)::DOUBLE / ($tr)::DOUBLE), 6) END AS ${name}_f"""
+          .stripMargin
+      s"""WITH d0 AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS rt
+         |  FROM documents),
+         |t0 AS (SELECT id, rt,
+         |  rt[1:greatest(floor((len(rt) * 3)::DOUBLE / 4.0::DOUBLE)::INT,
+         |    1)] AS pt
+         |  FROM d0),
+         |t AS MATERIALIZED (SELECT id, rt,
+         |  [CASE WHEN (i - 1) % 7 = 3 THEN 'xx' ELSE pt[i] END
+         |    FOR i IN range(1, len(pt) + 1)] AS ct
+         |  FROM t0),
+         |c1 AS (SELECT id, g, count(*) AS cc FROM (
+         |  SELECT id, unnest(ct) AS g FROM t) GROUP BY 1, 2),
+         |r1 AS (SELECT id, g, count(*) AS rc FROM (
+         |  SELECT id, unnest(rt) AS g FROM t) GROUP BY 1, 2),
+         |m1 AS (SELECT id, sum(least(cc, rc))::BIGINT AS m
+         |       FROM c1 JOIN r1 USING (id, g) GROUP BY id),
+         |c2 AS (SELECT id, g, count(*) AS cc FROM (
+         |  SELECT id, unnest([array_to_string(ct[i:i+1], ' ')
+         |    FOR i IN range(1, len(ct))]) AS g FROM t) GROUP BY 1, 2),
+         |r2 AS (SELECT id, g, count(*) AS rc FROM (
+         |  SELECT id, unnest([array_to_string(rt[i:i+1], ' ')
+         |    FOR i IN range(1, len(rt))]) AS g FROM t) GROUP BY 1, 2),
+         |m2 AS (SELECT id, sum(least(cc, rc))::BIGINT AS m
+         |       FROM c2 JOIN r2 USING (id, g) GROUP BY id),
+         |f AS (SELECT t.id, len(ct) AS lc, len(rt) AS lr,
+         |    coalesce(m1.m, 0) AS mm1, coalesce(m2.m, 0) AS mm2,
+         |    len(ct) - (CASE WHEN len(ct) >= 4
+         |      THEN (len(ct) - 4) // 7 + 1 ELSE 0 END) AS lcs
+         |  FROM t LEFT JOIN m1 ON m1.id = t.id
+         |         LEFT JOIN m2 ON m2.id = t.id)
+         |SELECT id AS doc_id,
+         |  ${prf("mm1", "lc", "lr", "rouge1")},
+         |  ${prf("mm2", "greatest(lc - 1, 0)", "greatest(lr - 1, 0)",
+            "rouge2")},
+         |  ${prf("lcs", "lc", "lr", "rougeL")}
+         |FROM f ORDER BY doc_id""".stripMargin
     }
   )
 

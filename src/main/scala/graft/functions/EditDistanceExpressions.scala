@@ -133,3 +133,90 @@ case class EditSimilarity(left: Expression, right: Expression, maxLen: Int)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
+
+/** Longest-common-subsequence length over two TOKEN arrays — the
+  * ROUGE-L kernel ([[graft.ops.TextAnalysis.rougeScores]]). Same
+  * two-row primitive DP as [[EditDistanceKernel.editSim]] (token
+  * equality instead of unit edit cost); null above `maxLen` tokens a
+  * side (the O(n·m) honesty cap, reported not dropped). */
+object TokenLcsKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def lcsLen(a: ArrayData, b: ArrayData,
+      maxLen: Int): java.lang.Integer = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na > maxLen || nb > maxLen) return null
+    if (na == 0 || nb == 0) return 0
+    val ta = new Array[UTF8String](na)
+    var i = 0
+    while (i < na) { ta(i) = a.getUTF8String(i); i += 1 }
+    val tb = new Array[UTF8String](nb)
+    var j = 0
+    while (j < nb) { tb(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](nb + 1)
+    var cur = new Array[Int](nb + 1)
+    i = 1
+    while (i <= na) {
+      val tai = ta(i - 1)
+      j = 1
+      while (j <= nb) {
+        cur(j) =
+          if (tai == null || tb(j - 1) == null) // null tokens never match
+            math.max(prev(j), cur(j - 1))
+          else if (tai.equals(tb(j - 1))) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(nb)
+  }
+}
+
+/** token_lcs(a, b) -> int: LCS length over two string arrays
+  * ([[TokenLcsKernel]]); null when either side exceeds `maxLen`. */
+case class TokenLcs(left: Expression, right: Expression, maxLen: Int)
+  extends BinaryExpression {
+  require(maxLen > 0, "maxLen must be positive")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_lcs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"token_lcs needs two string arrays, got ${a.simpleString}, ${b.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TokenLcsKernel.lcsLen(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("boxedLcs")
+    ev.copy(code =
+      code"""
+         |${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = true;
+         |int ${ev.value} = 0;
+         |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+         |  java.lang.Integer $boxed = graft.functions.TokenLcsKernel.lcsLen(
+         |    ${leftGen.value}, ${rightGen.value}, $maxLen);
+         |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.intValue(); }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

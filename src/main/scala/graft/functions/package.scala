@@ -290,6 +290,11 @@ package object functions {
   def edit_similarity(a: Column, b: Column, maxLen: Int = 20000): Column =
     toColumn(EditSimilarity(exprOf(a), exprOf(b), maxLen))
 
+  /** LCS length over two string arrays (the ROUGE-L kernel); null
+    * when either side exceeds `maxLen` tokens. */
+  def token_lcs(a: Column, b: Column, maxLen: Int = 10000): Column =
+    toColumn(TokenLcs(exprOf(a), exprOf(b), maxLen))
+
   /** Jaro-Winkler similarity (textbook/DuckDB semantics: 0.7 boost
     * threshold, prefix cap 4, empty → 0) — the record-linkage matcher.
     */

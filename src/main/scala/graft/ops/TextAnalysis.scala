@@ -451,17 +451,22 @@ object TextAnalysis {
     * collected longs. Eval-set-sized by intent, but nothing here
     * breaks at corpus scale.
     */
+  /** Space-joined token n-grams of a string array (1-grams are the
+    * tokens themselves); empty below n tokens. Shared by
+    * [[bleuCorpus]]/[[rougeScores]]. */
+  private def tokenNgrams(a: Column, n: Int): Column =
+    if (n == 1) a
+    else when(size(a) >= n,
+      transform(sequence(lit(0), size(a) - n),
+        i => concat_ws(" ", slice(a, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   def bleuCorpus(pairs: DataFrame, candCol: String, refCol: String,
       idCol: String): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val maxN = 4
-    def ngrams(a: Column, n: Int): Column =
-      if (n == 1) a
-      else when(size(a) >= n,
-        transform(sequence(lit(0), size(a) - n),
-          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    def ngrams(a: Column, n: Int): Column = tokenNgrams(a, n)
     val base = pairs
       .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
         col(idCol).isNotNull)
@@ -505,5 +510,59 @@ object TextAnalysis {
         ps(3).map(r6), if (cLen == 0) None else Some(r6(bp)), bleu))
       .toDF("n_pairs", "cand_len", "ref_len", "p1", "p2", "p3", "p4",
         "brevity_penalty", "bleu")
+  }
+
+  /** Per-pair ROUGE-1 / ROUGE-2 / ROUGE-L precision, recall, F1 (Lin
+    * 2004) — [[bleuCorpus]]'s recall-oriented summarization sibling,
+    * at PAIR grain (ROUGE is reported per example and macro-averaged;
+    * the caller averages). ROUGE-n uses clipped n-gram overlap (same
+    * kernel as BLEU's numerator); ROUGE-L uses the longest common
+    * subsequence via the codegen'd [[graft.functions.token_lcs]]
+    * expression (null above `maxTokens` a side — the O(n·m) honesty
+    * cap, surfacing as null ROUGE-L, never a silent truncation).
+    * Zero-token sides yield null precision/recall; F1 is
+    * `2PR/(P+R)`, null when either side is null or P+R = 0.
+    *
+    * 100 TB shape: two (pair, gram) count aggregations + grain-sized
+    * inner joins per order, one map-only LCS expression — pair-keyed
+    * throughout, no corpus-global state at all.
+    */
+  def rougeScores(pairs: DataFrame, candCol: String, refCol: String,
+      idCol: String, maxTokens: Int = 10000): DataFrame = {
+    val base = pairs
+      .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(candCol)).as("__c"),
+        tokens(col(refCol)).as("__r"))
+      .localCheckpoint(true) // consumers: 4 gram passes + the readout
+    def gramCounts(c: String, n: Int) = base
+      .select(col("__id"), explode(tokenNgrams(col(c), n)).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__n"))
+    def matchesFor(n: Int) = gramCounts("__c", n)
+      .join(gramCounts("__r", n).withColumnRenamed("__n", "__rn"),
+        Seq("__id", "__g"))
+      .groupBy(col("__id"))
+      .agg(sum(least(col("__n"), col("__rn"))).as(s"__m$n"))
+    def prf(m: Column, tc: Column, tr: Column, name: String) = {
+      val p = when(tc > 0, m.cast("double") / tc.cast("double"))
+      val r = when(tr > 0, m.cast("double") / tr.cast("double"))
+      val f = when(p.isNotNull && r.isNotNull && (p + r) > 0,
+        lit(2.0) * p * r / (p + r))
+      Seq(round(p, 6).as(s"${name}_p"), round(r, 6).as(s"${name}_r"),
+        round(f, 6).as(s"${name}_f"))
+    }
+    val lc = size(col("__c"))
+    val lr = size(col("__r"))
+    base
+      .join(matchesFor(1), Seq("__id"), "left")
+      .join(matchesFor(2), Seq("__id"), "left")
+      .withColumn("__lcs",
+        graft.functions.token_lcs(col("__c"), col("__r"), maxTokens))
+      .select(col("__id").as(idCol) +: (
+        prf(coalesce(col("__m1"), lit(0L)), lc, lr, "rouge1") ++
+        prf(coalesce(col("__m2"), lit(0L)),
+          greatest(lc - 1, lit(0)), greatest(lr - 1, lit(0)), "rouge2") ++
+        prf(col("__lcs"), lc, lr, "rougeL")): _*)
+      .orderBy(col(idCol))
   }
 }

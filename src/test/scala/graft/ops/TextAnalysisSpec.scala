@@ -340,4 +340,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corp.getDouble(3) == 1.0) // 1-grams all match in both pairs
     assert(math.abs(corp.getDouble(4) - 7.0 / 8.0) < 1e-6)
   }
+
+  test("rougeScores: order sensitivity of ROUGE-L, clipping, nulls") {
+    import spark.implicits._
+    def one(cand: String, ref: String) =
+      TextAnalysis.rougeScores(
+        Seq((1L, cand, ref)).toDF("id", "c", "r"), "c", "r", "id")
+        .collect()(0)
+    // columns: 0 id, 1..3 rouge1 p/r/f, 4..6 rouge2, 7..9 rougeL
+    // reversal: every unigram matches but the LCS is a single token
+    val rev = one("c b a", "a b c")
+    assert(rev.getDouble(1) == 1.0) // rouge1_p
+    assert(math.abs(rev.getDouble(7) - 1.0 / 3.0) < 1e-6) // rougeL_p
+    // bigram overlap: cand (a b, b x); ref (a b, b c) -> m2 = 1
+    val bg = one("a b x", "a b c")
+    assert(bg.getDouble(4) == 0.5) // rouge2_p = 1/2
+    // clipping: repeated cand token counts once against a single ref
+    val cl = one("w w w", "w z")
+    assert(math.abs(cl.getDouble(1) - 1.0 / 3.0) < 1e-6) // rouge1_p
+    assert(cl.getDouble(2) == 0.5) // rouge1_r = 1/2
+    // LCS respects multiplicity: "a a" vs "a b a" -> lcs 2
+    val mult = one("a a", "a b a")
+    assert(mult.getDouble(7) == 1.0) // rougeL_p = 2/2
+    assert(math.abs(mult.getDouble(8) - 2.0 / 3.0) < 1e-6)
+    // single-token sides: rouge2 denominators are 0 -> nulls
+    val tiny = one("a", "a")
+    assert(tiny.isNullAt(4) && tiny.isNullAt(5) && tiny.isNullAt(6))
+    assert(tiny.getDouble(9) == 1.0) // rougeL_f on identical singletons
+    // the maxTokens cap surfaces as null ROUGE-L, not truncation
+    val capped = TextAnalysis.rougeScores(
+      Seq((1L, "a b c d e f", "a b c")).toDF("id", "c", "r"),
+      "c", "r", "id", maxTokens = 4).collect()(0)
+    assert(capped.isNullAt(7) && capped.isNullAt(8) && capped.isNullAt(9))
+    assert(!capped.isNullAt(1)) // rouge-n unaffected by the LCS cap
+  }
 }
