@@ -763,6 +763,39 @@ object Cli {
             graft.ops.Graph.kTruss(df, req("src-col"), req("dst-col"),
               flags.getOrElse("k", "4").toInt,
               flags.getOrElse("max-rounds", "12").toInt)
+          case "logrank" =>
+            graft.ops.Profile.logRankTest(df, req("group-col"),
+              req("time-col"), req("event-col"))
+          case "spearman" =>
+            graft.ops.Profile.spearmanCorr(df, req("x-col"), req("y-col"))
+          case "psi-drift" =>
+            graft.ops.Profile.distributionDrift(
+              spark.read.parquet(req("ref")), df, req("key-col"))
+          case "acf" =>
+            graft.ops.Events.acf(df, typ, ts,
+              flags.getOrElse("max-lag", "7").toInt)
+          case "logistic" =>
+            graft.ops.Events.logisticFit(df, req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt)
+          case "ipw" =>
+            graft.ops.Events.ipwAte(df, req("treat-col"), req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt)
+          case "aipw" =>
+            graft.ops.Events.aipwAte(df, req("treat-col"), req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt)
+          case "lift" =>
+            graft.ops.Eval.liftChart(df, req("score-col"),
+              req("label-col"), req("id-col"),
+              flags.getOrElse("buckets", "10").toInt)
+          case "bleu" =>
+            graft.ops.TextAnalysis.bleuCorpus(df, req("cand-col"),
+              req("ref-col"), req("id-col"))
+          case "rouge" =>
+            graft.ops.TextAnalysis.rougeScores(df, req("cand-col"),
+              req("ref-col"), req("id-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -813,7 +846,8 @@ object Cli {
            |         benford|cuped|ols|did|did-adjusted|balance|ks|
            |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|isotonic|
            |         harmonic|pagerank|modularity|communities|wsssp|
-           |         betweenness|ktruss
+           |         betweenness|ktruss|logrank|spearman|psi-drift|acf|
+           |         logistic|ipw|aipw|lift|bleu|rouge
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;
@@ -829,7 +863,15 @@ object Cli {
            |          modularity: --src-col --dst-col --labels <parquet>;
            |          wsssp: adds --weight-col w --seeds <parquet> --seed-col k;
            |          betweenness: --src-col --dst-col --seeds <parquet>
-           |            --seed-col k [--max-hops 3])""".stripMargin)
+           |            --seed-col k [--max-hops 3];
+           |          logrank: --group-col g --time-col t --event-col e;
+           |          spearman: --x-col x --y-col y;
+           |          psi-drift: --ref <parquet> --key-col k;
+           |          logistic/ipw/aipw: --y-col y --x-cols a,b
+           |            [--treat-col t] [--iters 6];
+           |          lift: --score-col s --label-col y --id-col id;
+           |          bleu/rouge: --cand-col c --ref-col r --id-col id)"""
+          .stripMargin)
       sys.exit(2)
   }
 }

@@ -472,27 +472,36 @@ object TextAnalysis {
         col(idCol).isNotNull)
       .select(col(idCol).as("__id"), tokens(col(candCol)).as("__c"),
         tokens(col(refCol)).as("__r"))
-      .localCheckpoint(true) // consumers: lengths + 2·maxN gram passes
-    val lens = base.agg(count(lit(1)).as("np"),
-      sum(size(col("__c"))).as("cl"), sum(size(col("__r"))).as("rl"))
-      .head()
+      .localCheckpoint(true) // consumers: lengths + one gram pass a side
+    // ONE aggregation carries the pair count, both corpus lengths and
+    // every order's candidate-gram total
+    val lenAggs = Seq(count(lit(1)).as("np"),
+      sum(size(col("__c"))).as("cl"), sum(size(col("__r"))).as("rl")) ++
+      (1 to maxN).map(n =>
+        sum(greatest(size(col("__c")) - lit(n - 1), lit(0))).as(s"t$n"))
+    val lens = base.agg(lenAggs.head, lenAggs.tail: _*).head()
     val np = lens.getLong(0)
     val (cLen, rLen) =
       if (np == 0) (0L, 0L) else (lens.getLong(1), lens.getLong(2))
-    def gramCounts(c: String, n: Int) = base
-      .select(col("__id"), explode(ngrams(col(c), n)).as("__g"))
-      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__n"))
+    // ONE order-tagged gram pass per side (not one per order): all four
+    // orders share a single shuffle, and clipping needs only grams
+    // present in both sides, so the join stays inner
+    def taggedCounts(c: String) = base
+      .select(col("__id"), explode(flatten(array((1 to maxN).map(n =>
+        transform(ngrams(col(c), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("__x"))
+      .select(col("__id"), col("__x.n").as("__n"), col("__x.g").as("__g"))
+      .groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    val matched = taggedCounts("__c")
+      .join(taggedCounts("__r").withColumnRenamed("__cnt", "__rcnt"),
+        Seq("__id", "__n", "__g"))
+      .groupBy(col("__n"))
+      .agg(sum(least(col("__cnt"), col("__rcnt"))).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val perOrder = (1 to maxN).map { n =>
-      val matched = gramCounts("__c", n)
-        .join(gramCounts("__r", n).withColumnRenamed("__n", "__rn"),
-          Seq("__id", "__g"))
-        .agg(coalesce(sum(least(col("__n"), col("__rn"))), lit(0L)))
-        .head().getLong(0)
-      val total = base
-        .agg(coalesce(sum(greatest(size(col("__c")) - lit(n - 1),
-          lit(0))), lit(0L)))
-        .head().getLong(0)
-      (matched, total)
+      (matched.getOrElse(n, 0L),
+        if (np == 0) 0L else lens.getLong(lens.fieldIndex(s"t$n")))
     }
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val ps = perOrder.map { case (m, t) =>
