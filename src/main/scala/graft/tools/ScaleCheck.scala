@@ -59,7 +59,8 @@ object ScaleCheck {
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
-    // sfbench100 evalscale streamtwins) to run a subset; no args = everything
+    // sfbench100 evalscale streamtwins statfaces) to run a subset; no
+    // args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -2413,6 +2414,130 @@ object ScaleCheck {
       "every row adjusted, q clamped at 1")
     println(f"EVALSCALE> bh rows=20000000 q_max=${bh.getDouble(1)}%.6f " +
       f"q_min=${bh.getDouble(2)}%.6f t=$tBh%.1f s")
+    }
+
+    if (run("statfaces")) {
+    // ---- 5ag. Causal/stat faces at volume -------------------------------
+    // The round-15b shapes: iters x one Gram aggregation (IRLS), the
+    // double rank-map join (Spearman), the at-risk prefix sum
+    // (log-rank), the category-grain drift pass (PSI) and the
+    // rank-bucket cut (lift) — each gated on a PLANTED TRUTH, not just
+    // a timing. The confounding plant: P(t|x0) = 0.2 + 0.006·x0 and
+    // y = 5 + 0.1·x0 + 3·t + u, so the naive arm difference reads ~5.0
+    // (x0 leaks 0.1·Δx0 ≈ 2.0 into it) while IPW/AIPW must recover ~3.
+    val users5 = spark.range(5000000L).select(col("id"),
+        pmod(xxhash64(col("id"), lit(31)), lit(100L)).cast("double")
+          .as("x0"),
+        pmod(xxhash64(col("id"), lit(37)), lit(50L)).cast("double")
+          .as("x1"))
+      .withColumn("t",
+        (pmod(xxhash64(col("id"), lit(41)), lit(1000L)) <
+          lit(200L) + (col("x0") * 6).cast("long")).cast("double"))
+      .withColumn("y", lit(5.0) + col("x0") * 0.1 + col("t") * 3.0 +
+        pmod(xxhash64(col("id"), lit(43)), lit(100L)).cast("double") /
+          100.0)
+      .localCheckpoint(true)
+    val naive = users5.groupBy(col("t"))
+      .agg(avg(col("y")).as("m")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val naiveDiff = naive(1.0) - naive(0.0)
+    require(naiveDiff > 4.5, s"the plant must confound: naive=$naiveDiff")
+    val (lfit, tLfit) = time {
+      graft.ops.Events.logisticFit(users5, "t", Seq("x0", "x1"))
+        .collect()
+    }
+    val cx0 = lfit.find(_.getString(1) == "x0").get
+    require(cx0.getDouble(3) > 0 && cx0.getDouble(5) > 10,
+      s"propensity slope must be found: coef=${cx0.getDouble(3)} " +
+        s"z=${cx0.getDouble(5)}")
+    println(f"STATFACES> logistic rows=5000000 iters=6 " +
+      f"coef_x0=${cx0.getDouble(3)}%.4f z=${cx0.getDouble(5)}%.1f " +
+      f"t=$tLfit%.1f s")
+    val (ipw, tIpw) = time {
+      graft.ops.Events.ipwAte(users5, "t", "y", Seq("x0", "x1"))
+        .collect()(0)
+    }
+    require(math.abs(ipw.getDouble(4) - 3.0) < 0.2,
+      s"IPW must de-bias the naive $naiveDiff: ate=${ipw.getDouble(4)}")
+    println(f"STATFACES> ipw rows=5000000 naive=$naiveDiff%.3f " +
+      f"ate=${ipw.getDouble(4)}%.4f t=$tIpw%.1f s")
+    val (aipw, tAipw) = time {
+      graft.ops.Events.aipwAte(users5, "t", "y", Seq("x0", "x1"))
+        .collect()(0)
+    }
+    require(math.abs(aipw.getDouble(4) - 3.0) < 0.05,
+      s"AIPW with the exact outcome model must land on 3: " +
+        s"ate=${aipw.getDouble(4)}")
+    println(f"STATFACES> aipw rows=5000000 ate=${aipw.getDouble(4)}%.4f " +
+      f"t=$tAipw%.1f s")
+
+    // Spearman at 20M rows: monotone plant through a noisy channel;
+    // both rank maps stay grain-sized (<= 2,500 distinct values)
+    val sp20 = spark.range(20000000L).select(col("id"),
+        pmod(xxhash64(col("id"), lit(47)), lit(1000L)).cast("double")
+          .as("x"))
+      .withColumn("y", col("x") * 2 +
+        pmod(xxhash64(col("id"), lit(53)), lit(500L)).cast("double"))
+      .localCheckpoint(true)
+    val (sr, tSp) = time {
+      graft.ops.Profile.spearmanCorr(sp20, "x", "y").collect()(0)
+    }
+    require(sr.getDouble(1) > 0.7 && sr.getDouble(3) < 1e-6,
+      s"monotone plant must surface: rho=${sr.getDouble(1)}")
+    println(f"STATFACES> spearman rows=20000000 rho=${sr.getDouble(1)}%.4f " +
+      f"t=$tSp%.1f s")
+
+    // log-rank at 20M subjects, ~10% censoring, planted +25 shift on
+    // arm b's 500-value duration grain
+    val surv = spark.range(20000000L).select(
+        when(pmod(col("id"), lit(2L)) === 0, "a").otherwise("b").as("g"),
+        (pmod(xxhash64(col("id"), lit(59)), lit(500L)) +
+          when(pmod(col("id"), lit(2L)) === 0, lit(0L))
+            .otherwise(lit(25L))).cast("double").as("tt"),
+        (pmod(xxhash64(col("id"), lit(61)), lit(10L)) > 0).cast("int")
+          .as("e"))
+      .localCheckpoint(true)
+    val (lr, tLr) = time {
+      graft.ops.Profile.logRankTest(surv, "g", "tt", "e").collect()(0)
+    }
+    require(lr.getDouble(6) > 100 && lr.getDouble(7) < 0.01,
+      s"planted shift must be detected: chi2=${lr.getDouble(6)}")
+    println(f"STATFACES> logrank rows=20000000 chi2=${lr.getDouble(6)}%.1f " +
+      f"p=${lr.getDouble(7)}%.6f t=$tLr%.1f s")
+
+    // PSI at 2x10M rows: live adds two categories the reference lacks
+    // -> the clamp terms dominate and PSI reads far past the 0.25 line
+    val refM = spark.range(10000000L).select(
+      pmod(xxhash64(col("id"), lit(67)), lit(10L)).cast("string").as("k"))
+    val liveM = spark.range(10000000L).select(
+      pmod(xxhash64(col("id"), lit(71)), lit(12L)).cast("string").as("k"))
+    val (dd, tPsi) = time {
+      graft.ops.Profile.distributionDrift(refM, liveM, "k").collect()
+    }
+    require(dd.length == 12 && dd.head.getDouble(7) > 0.25,
+      s"novel categories must alarm: psi=${dd.head.getDouble(7)}")
+    println(f"STATFACES> psi rows=2x10000000 categories=${dd.length} " +
+      f"psi=${dd.head.getDouble(7)}%.4f jsd=${dd.head.getDouble(8)}%.4f " +
+      f"t=$tPsi%.1f s")
+
+    // lift chart at 20M scored rows: P(label|score) = score/1000, so
+    // the top decile must read ~1.9x the 0.5 base rate
+    val sc20 = spark.range(20000000L).select(col("id"),
+        pmod(xxhash64(col("id"), lit(73)), lit(1000L)).cast("double")
+          .as("s"))
+      .withColumn("yy",
+        (pmod(xxhash64(col("id"), lit(79)), lit(1000L)) < col("s"))
+          .cast("int"))
+      .localCheckpoint(true)
+    val (lc, tLift) = time {
+      graft.ops.Eval.liftChart(sc20, "s", "yy", "id", 10).collect()
+    }
+    require(lc.length == 10 && lc.head.getDouble(4) > 1.5 &&
+      lc.last.getDouble(5) == 1.0,
+      s"top-decile lift ${lc.head.getDouble(4)} must beat 1.5x")
+    println(f"STATFACES> lift rows=20000000 top_lift=" +
+      f"${lc.head.getDouble(4)}%.3f top_capture=" +
+      f"${lc.head.getDouble(5)}%.3f t=$tLift%.1f s")
     }
 
     if (run("sfbench100")) {
