@@ -3878,7 +3878,15 @@ object SparkEntry {
           .as("cand"),
         col("text").as("ref"))
       graft.ops.TextAnalysis.rougeScores(pairs, "cand", "ref", "doc_id")
-    })
+    }),
+
+    // Kendall's tau-b (ops/Profile.scala): quantity vs discount on
+    // lineitem — concordant/discordant pair counts off the dense
+    // 50x11 value grid via 2-D suffix-sum windows, every quantity an
+    // exact integer (DECIMAL products); tie-corrected denominators.
+    "q250_kendall_tau" -> ((s, dir) =>
+      graft.ops.Profile.kendallTauB(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount"))
   )
 
   /** Shared q244/q245 per-user frame: treatment = ">= 14 error
@@ -9024,7 +9032,61 @@ object SparkEntry {
             "rouge2")},
          |  ${prf("lcs", "lc", "lr", "rougeL")}
          |FROM f ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Dense-grid replay: marginal cross join, the same 2-D suffix-sum
+    // windows, DECIMAL(19,0) pair products, the doubled-unit tau-b
+    // algebra in the operator's double order.
+    "q250_kendall_tau" ->
+      """WITH v AS (
+        |  SELECT l_quantity::DOUBLE AS x, l_discount::DOUBLE AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, count(*) AS n FROM v GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(n)::BIGINT AS rx FROM cells GROUP BY x),
+        |my AS (SELECT y, sum(n)::BIGINT AS ry FROM cells GROUP BY y),
+        |grid AS (
+        |  SELECT mx.x, my.y, coalesce(n, 0)::BIGINT AS n
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+        |g2 AS (SELECT *,
+        |    coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS suf,
+        |    coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pre
+        |  FROM grid),
+        |g3 AS (SELECT *,
+        |    coalesce(sum(suf) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS sgt,
+        |    coalesce(sum(pre) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS slt
+        |  FROM g2),
+        |cd AS (SELECT
+        |    sum(n::DECIMAL(19,0) * sgt::DECIMAL(19,0)) AS c,
+        |    sum(n::DECIMAL(19,0) * slt::DECIMAL(19,0)) AS d
+        |  FROM g3),
+        |tx AS (SELECT sum(rx)::BIGINT AS n, count(*)::BIGINT AS nx,
+        |    sum(rx::DECIMAL(19,0) * (rx - 1)::DECIMAL(19,0)) AS t2
+        |  FROM mx),
+        |ty AS (SELECT count(*)::BIGINT AS ny,
+        |    sum(ry::DECIMAL(19,0) * (ry - 1)::DECIMAL(19,0)) AS t2
+        |  FROM my),
+        |alg AS (SELECT tx.n, nx, ny, cd.c, cd.d,
+        |    (tx.n::DECIMAL(38,0) * (tx.n - 1)::DECIMAL(38,0) - tx.t2)
+        |      ::DOUBLE AS dx,
+        |    (tx.n::DECIMAL(38,0) * (tx.n - 1)::DECIMAL(38,0) - ty.t2)
+        |      ::DOUBLE AS dy
+        |  FROM cd, tx, ty)
+        |SELECT n, nx AS n_x, ny AS n_y, c::DOUBLE AS concordant,
+        |  d::DOUBLE AS discordant,
+        |  CASE WHEN dx > 0.0::DOUBLE AND dy > 0.0::DOUBLE THEN
+        |    round(2.0::DOUBLE * (c - d)::DOUBLE /
+        |      (sqrt(dx) * sqrt(dy)), 6) END AS tau_b
+        |FROM alg""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

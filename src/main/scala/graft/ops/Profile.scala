@@ -725,6 +725,88 @@ object Profile {
     Seq(out).toDF("n", "rho", "z", "p_value")
   }
 
+  /** Kendall's τ-b (Kendall 1945, the tie-corrected form):
+    * concordant-minus-discordant pair share — [[spearmanCorr]]'s
+    * sibling with a direct probabilistic reading (P(concordant) −
+    * P(discordant)) and better behavior under heavy ties. Computed
+    * ENTIRELY on the dense value-pair GRID (the
+    * [[chiSquareIndependence]] device): with cell counts n_ij,
+    *
+    *   C = Σ n_ij·|{pairs in cells strictly greater in BOTH axes}|,
+    *   D = Σ n_ij·|{strictly greater in x, strictly less in y}|,
+    *   τ-b = 2(C − D) / (√(n(n−1) − Σr(r−1)) · √(n(n−1) − Σc(c−1)))
+    *
+    * (doubled-unit form — no /2 anywhere, so every quantity stays an
+    * exact integer; DECIMAL(19,0)×DECIMAL(19,0) products — pair counts
+    * overflow long past ~3e9 rows). Returns one row (n, n_x, n_y,
+    * concordant, discordant, tau_b), τ 6 dp; a constant axis yields
+    * null τ. Exact under ties by construction.
+    *
+    * 100 TB shape: the corpus collapses to (x, y) cell counts in one
+    * aggregation; everything after lives on the n_x × n_y DENSE grid —
+    * the 2-D suffix sums are two windows each PARTITIONED by one axis
+    * and bounded by the other's grain. The caller contract is the same
+    * as every grain operator's: bounded distinct values per axis
+    * (quantize continuous columns first), stated rather than hidden.
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumers: both marginals + the grid
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__n")).as("__rx"))
+      .localCheckpoint(true) // grid build + tie aggregate
+    val my = cells.groupBy(col("__y")).agg(sum(col("__n")).as("__ry"))
+      .localCheckpoint(true)
+    val grid = mx.select(col("__x")).crossJoin(my.select(col("__y")))
+      .join(cells, Seq("__x", "__y"), "left")
+      .select(col("__x"), col("__y"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val wSuf = Window.partitionBy(col("__x")).orderBy(col("__y"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wPre = Window.partitionBy(col("__x")).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wXSuf = Window.partitionBy(col("__y")).orderBy(col("__x"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val agg = grid
+      .withColumn("__suf", coalesce(sum(col("__n")).over(wSuf), lit(0L)))
+      .withColumn("__pre", coalesce(sum(col("__n")).over(wPre), lit(0L)))
+      .withColumn("__sgt", coalesce(sum(col("__suf")).over(wXSuf), lit(0L)))
+      .withColumn("__slt", coalesce(sum(col("__pre")).over(wXSuf), lit(0L)))
+      .agg(sum(d19(col("__n")) * d19(col("__sgt"))).as("__c"),
+        sum(d19(col("__n")) * d19(col("__slt"))).as("__d"))
+      .head()
+    val tx = mx.agg(sum(col("__rx")), count(lit(1)),
+      sum(d19(col("__rx")) * d19(col("__rx") - 1))).head()
+    val ty = my.agg(count(lit(1)),
+      sum(d19(col("__ry")) * d19(col("__ry") - 1))).head()
+    val n = tx.getLong(0)
+    require(n > 1, s"kendallTauB: need at least 2 rows, got $n")
+    val nx = tx.getLong(1)
+    val ny = ty.getLong(0)
+    val c = agg.getDecimal(0)
+    val d = agg.getDecimal(1)
+    val t2 = new java.math.BigDecimal(n)
+      .multiply(new java.math.BigDecimal(n - 1))
+    val dx = t2.subtract(tx.getDecimal(2)).doubleValue()
+    val dy = t2.subtract(ty.getDecimal(1)).doubleValue()
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val tau =
+      if (dx > 0 && dy > 0)
+        Some(r6(2.0 * c.subtract(d).doubleValue() /
+          (math.sqrt(dx) * math.sqrt(dy))))
+      else None
+    Seq((n, nx, ny, c.doubleValue(), d.doubleValue(), tau))
+      .toDF("n", "n_x", "n_y", "concordant", "discordant", "tau_b")
+  }
+
   /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995):
     * convert a column of per-test p-values into q-values
     * `q_i = min_{j ≥ i} min(1, p_(j)·n/j)` — the multiple-testing

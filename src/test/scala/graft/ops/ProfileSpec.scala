@@ -519,6 +519,59 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(1) == run(19))
   }
 
+  test("kendallTauB: brute-force parity with and without ties") {
+    import spark.implicits._
+    def brute(pairs: Seq[(Double, Double)]): (Long, Long, Double) = {
+      var c = 0L; var d = 0L
+      var tx = 0L; var ty = 0L
+      for (i <- pairs.indices; j <- (i + 1) until pairs.size) {
+        val s = (pairs(i)._1 - pairs(j)._1) * (pairs(i)._2 - pairs(j)._2)
+        if (s > 0) c += 1 else if (s < 0) d += 1
+        if (pairs(i)._1 == pairs(j)._1) tx += 1
+        if (pairs(i)._2 == pairs(j)._2) ty += 1
+      }
+      val n = pairs.size.toLong
+      val t = n * (n - 1) / 2
+      (c, d, (c - d).toDouble /
+        (math.sqrt((t - tx).toDouble) * math.sqrt((t - ty).toDouble)))
+    }
+    def run(pairs: Seq[(Double, Double)]) =
+      Profile.kendallTauB(pairs.toDF("x", "y"), "x", "y").collect()(0)
+    // no ties
+    val p1 = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0),
+      (5.0, 5.0))
+    val (c1, d1, t1) = brute(p1)
+    val r1 = run(p1)
+    assert(r1.getDouble(3) == c1.toDouble && r1.getDouble(4) == d1.toDouble)
+    assert(math.abs(r1.getDouble(5) - t1) < 1e-6)
+    // heavy ties on both axes
+    val p2 = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0),
+      (2.0, 2.0), (3.0, 1.0), (3.0, 3.0))
+    val (c2, d2, t2) = brute(p2)
+    val r2 = run(p2)
+    assert(r2.getDouble(3) == c2.toDouble && r2.getDouble(4) == d2.toDouble)
+    assert(math.abs(r2.getDouble(5) - t2) < 1e-6)
+    // perfect agreement / reversal
+    val mono = (1 to 30).map(i => (i.toDouble, i * 2.0))
+    assert(run(mono).getDouble(5) == 1.0)
+    assert(run(mono.map { case (a, b) => (a, -b) }).getDouble(5) == -1.0)
+    // constant axis: null tau
+    val flat = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))
+    assert(run(flat).isNullAt(5))
+    // partition invariance
+    val big = (1 to 4000).map(i =>
+      ((i * 13 % 37).toDouble, (i * 7 % 23).toDouble))
+    def runp(parts: Int) =
+      Profile.kendallTauB(big.toDF("x", "y").repartition(parts), "x", "y")
+        .collect()(0).toSeq
+    assert(runp(1) == runp(19))
+    // grid parity on the big case too
+    val (cb, db, tb) = brute(big)
+    val rb = run(big)
+    assert(rb.getDouble(3) == cb.toDouble && rb.getDouble(4) == db.toDouble)
+    assert(math.abs(rb.getDouble(5) - tb) < 1e-6)
+  }
+
   test("logRankTest: hand-computed O/E/V with censoring and ties") {
     import spark.implicits._
     // A: events at 1,2, censored at 3; B: events at 1,4, censored at 5
