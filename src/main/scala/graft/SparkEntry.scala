@@ -3750,29 +3750,9 @@ object SparkEntry {
     // differ, honoring right-censoring? O/E/V over the distinct-time
     // grain via the prefix-sum device, chi-square(1) p through the A&S
     // normal tail.
-    "q240_logrank" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id").as("u"),
-          unix_millis(col("ts").cast("timestamp")).as("ms"),
-          col("event_type").as("et"))
-      val anchors = ev.filter(col("et") === "signup")
-        .groupBy(col("u")).agg(min(col("ms")).as("anchor"))
-      val firstEvt = ev.filter(col("et") === "purchase")
-        .join(anchors, Seq("u"))
-        .where(col("ms") >= col("anchor"))
-        .groupBy(col("u")).agg(min(col("ms")).as("evt"))
-      val end = ev.agg(max(col("ms")).as("fin"))
-      val perUser = anchors
-        .join(firstEvt, Seq("u"), "left")
-        .crossJoin(broadcast(end))
-        .select(
-          when(substring(md5(col("u").cast("string")), 1, 1) < "8", "A")
-            .otherwise("B").as("grp"),
-          floor((coalesce(col("evt"), col("fin")) - col("anchor")) /
-            lit(3600000.0)).cast("long").as("t"),
-          when(col("evt").isNotNull, 1).otherwise(0).as("e"))
-      graft.ops.Profile.logRankTest(perUser, "grp", "t", "e")
-    }),
+    "q240_logrank" -> ((s, dir) =>
+      graft.ops.Profile.logRankTest(survivalArms(s, dir), "grp", "t",
+        "e")),
 
     // Spearman rank correlation (ops/Profile.scala): quantity vs
     // extended price on lineitem — Pearson on mid-ranks (both axes via
@@ -3886,8 +3866,41 @@ object SparkEntry {
     // exact integer (DECIMAL products); tie-corrected denominators.
     "q250_kendall_tau" -> ((s, dir) =>
       graft.ops.Profile.kendallTauB(t(s, dir, "lineitem"),
-        "l_quantity", "l_discount"))
+        "l_quantity", "l_discount")),
+
+    // Per-arm KM curves + Nelson-Aalen hazard (ops/Events.scala):
+    // q240 said WHETHER the arms differ; this shows WHERE the curves
+    // separate — per (arm, hour) at-risk/events/censored, KM survival,
+    // cumulative hazard; all windows partitioned by arm.
+    "q251_km_curves" -> ((s, dir) =>
+      graft.ops.Events.kmCurves(survivalArms(s, dir), "grp", "t", "e"))
   )
+
+  /** Shared q240/q251 per-subject frame: md5 arms, hours from first
+    * signup to first at-or-after purchase, right-censored at the log's
+    * max timestamp. */
+  private def survivalArms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").as("u"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_type").as("et"))
+    val anchors = ev.filter(col("et") === "signup")
+      .groupBy(col("u")).agg(min(col("ms")).as("anchor"))
+    val firstEvt = ev.filter(col("et") === "purchase")
+      .join(anchors, Seq("u"))
+      .where(col("ms") >= col("anchor"))
+      .groupBy(col("u")).agg(min(col("ms")).as("evt"))
+    val end = ev.agg(max(col("ms")).as("fin"))
+    anchors
+      .join(firstEvt, Seq("u"), "left")
+      .crossJoin(broadcast(end))
+      .select(
+        when(substring(md5(col("u").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("grp"),
+        floor((coalesce(col("evt"), col("fin")) - col("anchor")) /
+          lit(3600000.0)).cast("long").as("t"),
+        when(col("evt").isNotNull, 1).otherwise(0).as("e"))
+  }
 
   /** Shared q244/q245 per-user frame: treatment = ">= 14 error
     * events", outcome = decimal-exact purchase-value sum, covariates =
@@ -9086,7 +9099,51 @@ object SparkEntry {
         |  CASE WHEN dx > 0.0::DOUBLE AND dy > 0.0::DOUBLE THEN
         |    round(2.0::DOUBLE * (c - d)::DOUBLE /
         |      (sqrt(dx) * sqrt(dy)), 6) END AS tau_b
-        |FROM alg""".stripMargin
+        |FROM alg""".stripMargin,
+
+    // q240's per-subject frame, then q181's KM replay PARTITIONED by
+    // arm, plus the Nelson-Aalen quantized-hazard cumulative sum.
+    "q251_km_curves" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+        |a AS (SELECT u, min(ms) AS anchor FROM ev
+        |      WHERE et = 'signup' GROUP BY u),
+        |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+        |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+        |       GROUP BY ev.u),
+        |mx AS (SELECT max(ms) AS fin FROM ev),
+        |pu AS (SELECT
+        |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT AS t,
+        |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+        |km AS (SELECT g, t, sum(e)::BIGINT AS n_events,
+        |         sum(1 - e)::BIGINT AS n_censored FROM pu GROUP BY g, t),
+        |w AS (SELECT g, t, n_events, n_censored,
+        |    (sum(n_events + n_censored) OVER (PARTITION BY g)
+        |     - coalesce(sum(n_events + n_censored) OVER
+        |         (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        |  FROM km),
+        |s AS (SELECT *,
+        |    CASE WHEN n_events < n_at_risk THEN
+        |      CAST(ln(1 - n_events::DOUBLE / n_at_risk)
+        |        AS DECIMAL(38,12)) END AS lnq,
+        |    CAST(n_events::DOUBLE / n_at_risk::DOUBLE
+        |      AS DECIMAL(38,12)) AS h
+        |  FROM w)
+        |SELECT g AS grp, t::DOUBLE AS t, n_at_risk, n_events,
+        |  n_censored,
+        |  CASE WHEN n_events = n_at_risk THEN 0.0
+        |    ELSE round(exp((sum(lnq) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::DOUBLE), 6)
+        |  END AS survival,
+        |  round((sum(h) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    ::DOUBLE, 6) AS cum_hazard
+        |FROM s ORDER BY grp, t""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

@@ -1230,6 +1230,64 @@ object Events {
       .orderBy(col("t"))
   }
 
+  /** Per-group Kaplan-Meier curves + Nelson-Aalen cumulative hazard
+    * over a per-subject (group, duration, event-flag) frame — the
+    * CURVE face of [[graft.ops.Profile.logRankTest]] (same input
+    * contract; the test says WHETHER two arms differ, this shows
+    * WHERE the curves separate) and the by-arm generalization of
+    * [[timeToEventSurvival]]'s single curve. Per (group, t):
+    * n_at_risk, n_events, n_censored, `survival` (the KM product via
+    * the exp-of-quantized-log-sum device) and `cum_hazard` (the
+    * Nelson-Aalen Σ d/n — DECIMAL-quantized terms, the estimator
+    * whose slope reads the hazard RATE directly). 6 dp. A time where
+    * every at-risk subject dies pins survival to 0 exactly
+    * (necessarily the group's last row).
+    *
+    * 100 TB shape: one (group, duration) grain aggregation; every
+    * window after it is PARTITIONED by group over the duration grain
+    * (calendar-bounded for bucketed durations — the same documented
+    * contract as [[timeToEventSurvival]]).
+    */
+  def kmCurves(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(timeCol).cast("double").as("t"),
+        col(eventCol).cast("long").as("__e"))
+    val km = vals.groupBy(col(groupCol), col("t"))
+      .agg(sum(col("__e")).as("n_events"),
+        sum(lit(1L) - col("__e")).as("n_censored"))
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leaving = col("n_events") + col("n_censored")
+    km.withColumn("n_at_risk",
+        sum(leaving).over(wAll) -
+          coalesce(sum(leaving).over(wPrev), lit(0L)))
+      .withColumn("__lnq",
+        when(col("n_events") < col("n_at_risk"),
+          log(lit(1.0) -
+            col("n_events").cast("double") / col("n_at_risk")))
+          .cast("decimal(38,12)"))
+      .withColumn("survival",
+        when(col("n_events") === col("n_at_risk"), 0.0)
+          .otherwise(round(
+            exp(sum(col("__lnq")).over(wCum).cast("double")), 6)))
+      .withColumn("cum_hazard",
+        round(sum((col("n_events").cast("double") /
+            col("n_at_risk").cast("double")).cast("decimal(38,12)"))
+          .over(wCum).cast("double"), 6))
+      .select(col(groupCol), col("t"), col("n_at_risk"),
+        col("n_events"), col("n_censored"), col("survival"),
+        col("cum_hazard"))
+      .orderBy(col(groupCol), col("t"))
+  }
+
   /** Shared (key, day) count collapse for the per-key daily-series
     * operators (anomaly/seasonality/CUSUM/Theil-Sen/SES): nulls
     * dropped, key canonicalized to its string form, ONE event-sized

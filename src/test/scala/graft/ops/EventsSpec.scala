@@ -909,6 +909,35 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmCurves: per-arm KM + Nelson-Aalen hand values") {
+    import spark.implicits._
+    val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0),
+      ("B", 1L, 1), ("B", 4L, 1), ("B", 5L, 0)).toDF("g", "t", "e")
+    val out = Events.kmCurves(df, "g", "t", "e").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // arm A: risk 3 -> S 2/3 H 1/3; risk 2 -> S 1/3 H 5/6; censor row
+    assert(out(("A", 1.0)) == ((3L, r6(2.0 / 3.0), r6(1.0 / 3.0))))
+    assert(out(("A", 2.0))._2 == r6(1.0 / 3.0))
+    assert(out(("A", 2.0))._3 == r6(1.0 / 3.0 + 0.5))
+    assert(out(("A", 3.0)) == ((1L, r6(1.0 / 3.0), r6(1.0 / 3.0 + 0.5))))
+    // arm B censors at 5: survival flat after t=4
+    assert(out(("B", 4.0))._2 == r6(1.0 / 3.0))
+    assert(out(("B", 5.0))._2 == r6(1.0 / 3.0))
+    // everyone dies at the last time: survival pinned to exactly 0
+    val all = Seq(("C", 1L, 1), ("C", 2L, 1)).toDF("g", "t", "e")
+    val c = Events.kmCurves(all, "g", "t", "e").collect()
+    assert(c.last.getDouble(5) == 0.0)
+    // partition invariance
+    val big = (1 to 4000).map(i => (if (i % 2 == 0) "A" else "B",
+      (i * 7 % 97).toLong, i % 3 min 1))
+    def run(parts: Int) =
+      Events.kmCurves(big.toDF("g", "t", "e").repartition(parts),
+        "g", "t", "e").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(23))
+  }
+
   test("acf: hand linear-ramp autocorrelations, Ljung-Box, constant key") {
     import spark.implicits._
     // daily counts 1..8 on key "a" (t copies of an event on day t),
