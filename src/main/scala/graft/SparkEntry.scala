@@ -305,7 +305,17 @@ object SparkEntry {
     * `e{iters}_{k+1}` (final elimination state — inverse-Hessian diag
     * at g_r_{p+1+r}) and `q{iters}` (n); callers append readouts. */
   private def logitIrlsSql(perRow: String, yName: String,
-      xNames: Seq[String], iters: Int): String = {
+      xNames: Seq[String], iters: Int): String =
+    glmIrlsSql(perRow, yName, xNames, iters,
+      eta => s"1.0::DOUBLE / (1.0::DOUBLE +\n    exp(-($eta)))",
+      "(mu * (1.0::DOUBLE - mu))")
+
+  /** Family-generic IRLS unroll (`glmBeta`'s replay): `muSql` renders
+    * the inverse link from the eta expression, `wSql` the Newton
+    * weight in terms of `mu`. */
+  private def glmIrlsSql(perRow: String, yName: String,
+      xNames: Seq[String], iters: Int,
+      muSql: String => String, wSql: String): String = {
     val k = xNames.size
     val p = k + 1
     val w2 = 2 * p + 1
@@ -345,9 +355,8 @@ object SparkEntry {
       }.mkString(",\n")
       val bNew = (0 to k)
         .map(i => s"(b.c$i + s.g_${i}_$p) AS c$i").mkString(", ")
-      s"""m$it AS (SELECT *, (mu * (1.0::DOUBLE - mu)) AS w FROM (
-         |  SELECT u.*, 1.0::DOUBLE / (1.0::DOUBLE +
-         |    exp(-(${etaExpr("b")}))) AS mu
+      s"""m$it AS (SELECT *, $wSql AS w FROM (
+         |  SELECT u.*, ${muSql(etaExpr("b"))} AS mu
          |  FROM u, b${it - 1} b)),
          |q$it AS MATERIALIZED (SELECT
          |    $mom
@@ -3873,7 +3882,24 @@ object SparkEntry {
     // separate — per (arm, hour) at-risk/events/censored, KM survival,
     // cumulative hazard; all windows partitioned by arm.
     "q251_km_curves" -> ((s, dir) =>
-      graft.ops.Events.kmCurves(survivalArms(s, dir), "grp", "t", "e"))
+      graft.ops.Events.kmCurves(survivalArms(s, dir), "grp", "t", "e")),
+
+    // Poisson regression (ops/Events.scala): purchases-per-user count
+    // ~ engagement + active days through the shared canonical-link
+    // IRLS core (mu = e^eta, weight = mu) — the count GLM beside
+    // q245's binary one; coefficients read as log-rate-ratios.
+    "q252_poisson" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", 1))
+            .cast("double").as("n_purch"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"),
+          countDistinct(to_date(col("ts"))).cast("double")
+            .as("active_days"))
+      graft.ops.Events.poissonFit(perUser, "n_purch",
+        Seq("engagement", "active_days"), iters = 8)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9143,7 +9169,33 @@ object SparkEntry {
         |  round((sum(h) OVER (PARTITION BY g ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |    ::DOUBLE, 6) AS cum_hazard
-        |FROM s ORDER BY grp, t""".stripMargin
+        |FROM s ORDER BY grp, t""".stripMargin,
+
+    // The family-generic IRLS unroll with the Poisson link (mu = e^eta,
+    // weight = mu), eight Newton steps, q245's per-term readout.
+    "q252_poisson" -> {
+      val perRow =
+        """SELECT
+          |  (count(CASE WHEN event_type = 'purchase' THEN 1 END))::DOUBLE
+          |    AS y,
+          |  (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+          |    AS engagement,
+          |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS active_days
+          |FROM events GROUP BY user_id""".stripMargin
+      val rows = Seq("intercept", "engagement", "active_days")
+        .zipWithIndex.map { case (tm, i) =>
+          val se = s"sqrt(s.g_${i}_${4 + i})"
+          s"""SELECT $i AS term_idx, '$tm' AS term, q.n AS n,
+             |  round(b.c$i, 6) AS coef, round($se, 6) AS se,
+             |  CASE WHEN round($se, 6) > 0.0::DOUBLE
+             |    THEN round(b.c$i / $se, 6) END AS z_stat
+             |FROM b8 b, e8_3 s, q8 q""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""${glmIrlsSql(perRow, "y", Seq("engagement", "active_days"), 8,
+          eta => s"exp($eta)", "mu")}
+         |$rows
+         |ORDER BY term_idx""".stripMargin
+    }
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

@@ -743,7 +743,19 @@ object Events {
     * six steps reach machine precision for any non-separated design.
     */
   private def irlsBeta(base: DataFrame, k: Int,
-      iters: Int): (Array[Double], Array[Double], Long) = {
+      iters: Int): (Array[Double], Array[Double], Long) =
+    glmBeta(base, k, iters,
+      eta => lit(1.0) / (lit(1.0) + exp(-eta)),
+      mu => mu * (lit(1.0) - mu))
+
+  /** The family-generic IRLS core: `muOf` maps the linear predictor to
+    * the mean (inverse link), `wOf` maps the mean to the Newton weight
+    * (the variance function for canonical links — μ(1−μ) for
+    * logistic, μ for Poisson); gradient is Xᵀ(y−μ) for ANY canonical
+    * link, so the loop is shared verbatim. */
+  private def glmBeta(base: DataFrame, k: Int, iters: Int,
+      muOf: Column => Column,
+      wOf: Column => Column): (Array[Double], Array[Double], Long) = {
     def d12(c: Column) = c.cast("decimal(38,12)")
     val p = k + 1
     var beta = Array.fill(p)(0.0)
@@ -752,8 +764,8 @@ object Events {
     for (_ <- 1 to iters) {
       val eta = (0 until k).foldLeft(lit(beta(0)): Column)((acc, i) =>
         acc + lit(beta(i + 1)) * col(s"__x$i"))
-      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
-      val w = mu * (lit(1.0) - mu)
+      val mu = muOf(eta)
+      val w = wOf(mu)
       def hTerm(r: Int, c: Int): Column =
         if (r == 0 && c == 0) w
         else if (r == 0) w * col(s"__x${c - 1}")
@@ -819,6 +831,43 @@ object Events {
     import spark.implicits._
     val base = logitBase(df, yCol, xCols)
     val (beta, invDiag, n) = irlsBeta(base, xCols.size, iters)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    val out = terms.indices.map { i =>
+      val se = math.sqrt(invDiag(i))
+      (i, terms(i), n, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "z_stat")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Poisson regression `E[y|x] = e^(β₀ + Σ βⱼ xⱼ)` by Newton-Raphson
+    * — the COUNT-outcome GLM ([[logisticFit]]'s sibling through the
+    * shared canonical-link IRLS core: μ = e^η, Newton weight = μ):
+    * events per user, purchases per session, defects per batch —
+    * anywhere "how MANY" is the outcome and OLS would predict
+    * negative counts. Same per-term readout (term_idx, term, n, coef,
+    * se, z_stat), se from the final inverse Hessian; coefficients
+    * read as log-rate-ratios (e^β = multiplicative effect per unit).
+    * Caller contract: y ≥ 0 (counts or non-negative rates).
+    *
+    * 100 TB shape: identical to [[logisticFit]] — iters × ONE
+    * decimal-quantized Gram aggregation + a driver-side solve. The
+    * exp link can overflow on unscaled covariates mid-iteration
+    * (e^η = Inf poisons the Hessian); scale covariates to O(1-100)
+    * like any GLM user would.
+    */
+  def poissonFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, "poissonFit: iters must be 1..16")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = logitBase(df, yCol, xCols)
+    val (beta, invDiag, n) =
+      glmBeta(base, xCols.size, iters, eta => exp(eta), mu => mu)
     def r6(x: Double) =
       if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
       else -math.floor(-x * 1e6 + 0.5) / 1e6

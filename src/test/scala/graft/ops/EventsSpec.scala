@@ -864,6 +864,23 @@ class EventsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("poissonFit: binary covariate recovers exact log group means") {
+    import spark.implicits._
+    // saturated binary design: MLE fitted means = group means, so
+    // intercept = ln(2) and slope = ln(6/2) = ln(3) exactly
+    val rows = (0 until 50).map(i => (if (i % 2 == 0) 1.0 else 3.0, 0.0)) ++
+      (0 until 50).map(i => (if (i % 2 == 0) 5.0 else 7.0, 1.0))
+    val out = Events.poissonFit(rows.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(math.abs(out("intercept") - math.log(2.0)) < 1e-6)
+    assert(math.abs(out("x") - math.log(3.0)) < 1e-6)
+    // partition invariance
+    def run(parts: Int) = Events.poissonFit(
+      rows.toDF("y", "x").repartition(parts), "y", Seq("x"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("ipwAte: constant propensity reduces to the naive difference") {
     import spark.implicits._
     // x balanced inside both arms -> e(x) is flat -> Hajek weights
