@@ -3899,6 +3899,17 @@ object SparkEntry {
             .as("active_days"))
       graft.ops.Events.poissonFit(perUser, "n_purch",
         Seq("engagement", "active_days"), iters = 8)
+    }),
+
+    // Dunning keyness (ops/TextAnalysis.scala): which words mark the
+    // English slice against the rest — per-word G2 log-likelihood over
+    // the vocab-grain join, top 50 with over/under direction.
+    "q253_keyness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.keyness(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang").isNotNull && col("lang") =!= "en"),
+        "text", topK = 50)
     })
   )
 
@@ -9195,7 +9206,46 @@ object SparkEntry {
           eta => s"exp($eta)", "mu")}
          |$rows
          |ORDER BY term_idx""".stripMargin
-    }
+    },
+
+    // Vocab-grain replay: per-side word counts, full-outer join, the
+    // operator's exact E/G2/direction double shapes, top-50 with the
+    // word tiebreak.
+    "q253_keyness" ->
+      """WITH a AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |b AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS word
+        |  FROM documents WHERE lang IS NOT NULL AND lang <> 'en'),
+        |ca AS (SELECT word, count(*) AS n_a FROM a GROUP BY word),
+        |cb AS (SELECT word, count(*) AS n_b FROM b GROUP BY word),
+        |j AS (SELECT coalesce(ca.word, cb.word) AS word,
+        |    coalesce(n_a, 0)::BIGINT AS n_a,
+        |    coalesce(n_b, 0)::BIGINT AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+        |tot AS (SELECT sum(n_a)::BIGINT AS na, sum(n_b)::BIGINT AS nb
+        |        FROM j),
+        |alg AS (SELECT word, n_a, n_b,
+        |    (n_a + n_b)::DOUBLE * t.na::DOUBLE /
+        |      (t.na + t.nb)::DOUBLE AS ea,
+        |    (n_a + n_b)::DOUBLE * t.nb::DOUBLE /
+        |      (t.na + t.nb)::DOUBLE AS eb,
+        |    t.na AS na, t.nb AS nb
+        |  FROM j, tot t)
+        |SELECT word, n_a, n_b, round(ea, 6) AS expected_a,
+        |  round(2.0::DOUBLE *
+        |    (CASE WHEN n_a > 0
+        |       THEN n_a::DOUBLE * ln(n_a::DOUBLE / ea)
+        |       ELSE 0.0::DOUBLE END +
+        |     CASE WHEN n_b > 0
+        |       THEN n_b::DOUBLE * ln(n_b::DOUBLE / eb)
+        |       ELSE 0.0::DOUBLE END), 6) AS g2,
+        |  CASE WHEN n_a::DOUBLE * nb::DOUBLE > n_b::DOUBLE * na::DOUBLE
+        |    THEN 'over' ELSE 'under' END AS direction
+        |FROM alg ORDER BY g2 DESC, word LIMIT 50""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

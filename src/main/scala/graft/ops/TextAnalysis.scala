@@ -536,6 +536,62 @@ object TextAnalysis {
     * inner joins per order, one map-only LCS expression — pair-keyed
     * throughout, no corpus-global state at all.
     */
+  /** Keyness by Dunning's log-likelihood ratio (Dunning 1993): which
+    * words are OVER/UNDER-represented in corpus A relative to corpus B
+    * — the corpus-comparison readout behind "what makes this slice
+    * different" (data-mix debugging, domain drift, register analysis).
+    * [[graft.ops.Profile.sourceKl]] scores whole GROUPS; this scores
+    * WORDS. Per word with counts a, b and corpus totals N_a, N_b:
+    *
+    *   E_a = (a+b)·N_a/(N_a+N_b),  E_b = (a+b)·N_b/(N_a+N_b),
+    *   G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)]   (0·ln 0 = 0)
+    *
+    * (compare to χ²₁; G² behaves where chi-square's E≥5 rule fails —
+    * exactly the rare-word tail this exists for). Returns the top-K
+    * rows by G² (word tiebreak): (word, n_a, n_b, expected_a, g2,
+    * direction), direction = over/under-represented in A. 6 dp.
+    *
+    * 100 TB shape: one word-count aggregation per side, a vocab-grain
+    * full-outer join, per-word map algebra, bounded top-K sort.
+    */
+  def keyness(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 100000, "keyness: topK in [1,100000]")
+    def counts(df: DataFrame, n: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as(n))
+    val j = counts(corpusA, "n_a")
+      .join(counts(corpusB, "n_b"), Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(true) // vocab-grain; totals + readout
+    val t = j.agg(sum(col("n_a")), sum(col("n_b"))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    require(na > 0 && nb > 0, "keyness: both corpora must be non-empty")
+    val totD = (na + nb).toDouble
+    val ea = (col("n_a") + col("n_b")).cast("double") *
+      lit(na.toDouble) / lit(totD)
+    val eb = (col("n_a") + col("n_b")).cast("double") *
+      lit(nb.toDouble) / lit(totD)
+    val termA = when(col("n_a") > 0,
+      col("n_a").cast("double") * log(col("n_a").cast("double") / ea))
+      .otherwise(lit(0.0))
+    val termB = when(col("n_b") > 0,
+      col("n_b").cast("double") * log(col("n_b").cast("double") / eb))
+      .otherwise(lit(0.0))
+    j.withColumn("expected_a", round(ea, 6))
+      .withColumn("g2", round(lit(2.0) * (termA + termB), 6))
+      .withColumn("direction",
+        when(col("n_a").cast("double") * lit(nb.toDouble) >
+          col("n_b").cast("double") * lit(na.toDouble), "over")
+          .otherwise("under"))
+      .select(col("word"), col("n_a"), col("n_b"), col("expected_a"),
+        col("g2"), col("direction"))
+      .orderBy(col("g2").desc, col("word"))
+      .limit(topK)
+  }
+
   def rougeScores(pairs: DataFrame, candCol: String, refCol: String,
       idCol: String, maxTokens: Int = 10000): DataFrame = {
     val base = pairs

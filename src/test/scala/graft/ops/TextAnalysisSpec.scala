@@ -341,6 +341,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(corp.getDouble(4) - 7.0 / 8.0) < 1e-6)
   }
 
+  test("keyness: hand G2 values, directions, ordering") {
+    import spark.implicits._
+    val a = Seq("cat cat dog").toDF("text")
+    val b = Seq("dog bird bird bird").toDF("text")
+    val out = TextAnalysis.keyness(a, b, "text", topK = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("cat", "bird", "dog"))
+    def g2(na: Long, nb: Long, ta: Long, tb: Long): Double = {
+      val ea = (na + nb).toDouble * ta / (ta + tb)
+      val eb = (na + nb).toDouble * tb / (ta + tb)
+      val s = (if (na > 0) na * math.log(na / ea) else 0.0) +
+        (if (nb > 0) nb * math.log(nb / eb) else 0.0)
+      math.floor(2.0 * s * 1e6 + 0.5) / 1e6
+    }
+    val byWord = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(4), r.getString(5))).toMap
+    assert(byWord("cat") == ((2L, 0L, g2(2, 0, 3, 4), "over")))
+    assert(byWord("bird") == ((0L, 3L, g2(0, 3, 3, 4), "under")))
+    // dog: rate 1/3 in A vs 1/4 in B -> over-represented in A
+    assert(byWord("dog") == ((1L, 1L, g2(1, 1, 3, 4), "over")))
+    // identical corpora: every G2 is exactly 0
+    val same = TextAnalysis.keyness(a, a, "text", topK = 10).collect()
+    assert(same.forall(_.getDouble(4) == 0.0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.keyness(a, Seq("").toDF("text"), "text").collect()
+    }
+  }
+
   test("rougeScores: order sensitivity of ROUGE-L, clipping, nulls") {
     import spark.implicits._
     def one(cand: String, ref: String) =
