@@ -3910,7 +3910,15 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang").isNotNull && col("lang") =!= "en"),
         "text", topK = 50)
-    })
+    }),
+
+    // Classical seasonal decomposition (ops/Events.scala): per
+    // event-type daily counts split into centered-7-day-MA trend +
+    // centered day-of-week seasonal + remainder — the decomposition
+    // face beside q186's profile and q232's forecaster.
+    "q254_seasonal_decompose" -> ((s, dir) =>
+      graft.ops.Events.seasonalDecompose(t(s, dir, "events"),
+        "event_type", "ts"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9245,7 +9253,40 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END), 6) AS g2,
         |  CASE WHEN n_a::DOUBLE * nb::DOUBLE > n_b::DOUBLE * na::DOUBLE
         |    THEN 'over' ELSE 'under' END AS direction
-        |FROM alg ORDER BY g2 DESC, word LIMIT 50""".stripMargin
+        |FROM alg ORDER BY g2 DESC, word LIMIT 50""".stripMargin,
+
+    // The same windowed algebra: centered 7-row MA trend (count-gated
+    // edges), dow means of decimal-quantized detrended terms, the
+    // centering subtraction and the remainder in the operator's double
+    // order; dayofweek + 1 aligns DuckDB's 0-based Sunday with Spark's.
+    "q254_seasonal_decompose" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT *,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      (sum(n) OVER w7)::DOUBLE / 7.0::DOUBLE END AS trend,
+        |    dayofweek(day) + 1 AS dow
+        |  FROM d
+        |  WINDOW w7 AS (PARTITION BY key ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |b2 AS (SELECT *, n::DOUBLE - trend AS detr FROM b),
+        |s AS (SELECT key, dow,
+        |    (sum(CAST(detr AS DECIMAL(38,12))))::DOUBLE /
+        |      (count(*))::DOUBLE AS raw
+        |  FROM b2 WHERE detr IS NOT NULL GROUP BY key, dow),
+        |s2 AS (SELECT key, dow, raw -
+        |    (sum(CAST(raw AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |    AS adj
+        |  FROM s)
+        |SELECT b2.key, b2.day, b2.n, round(trend, 6) AS trend,
+        |  round(adj, 6) AS seasonal,
+        |  round(b2.n::DOUBLE - trend - adj, 6) AS remainder
+        |FROM b2 LEFT JOIN s2 ON s2.key = b2.key AND s2.dow = b2.dow
+        |ORDER BY b2.key, b2.day""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

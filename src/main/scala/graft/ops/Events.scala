@@ -1432,6 +1432,62 @@ object Events {
       .orderBy(col("key"), col("dow"))
   }
 
+  /** Classical additive seasonal decomposition per key's daily-count
+    * series: `n = trend + seasonal + remainder` — the
+    * moving-average decomposition (the pre-STL textbook method, chosen
+    * over loess-based STL because every step is an exact windowed
+    * algebra both engines replay): trend = centered 7-day moving
+    * average (null at each series' 3-row edges), seasonal = the
+    * CENTERED day-of-week mean of the detrended series (indices sum
+    * to ~0, so the trend keeps the level), remainder = what neither
+    * explains — the anomaly-hunting residual [[anomalousDays]] scores
+    * with a robust z instead. [[seasonalityProfile]] reports the
+    * weekly SHAPE; this splits every observed day into its three
+    * parts. Returns (key, day, n, trend, seasonal, remainder), 6 dp;
+    * trend/remainder null at edges, seasonal null for a dow with no
+    * interior days.
+    *
+    * 100 TB shape: ONE event-sized exchange to (key, day) grain; the
+    * MA rides a key-partitioned calendar-bounded window; the seasonal
+    * means quantize detrended terms to DECIMAL(38,12) (order-free)
+    * over the ≤7-row-per-key dow frame. Rows-not-days MA: the
+    * documented contract is a gap-free daily series (dailyCounts of a
+    * live event log — silent days simply don't occur at volume).
+    */
+  def seasonalDecompose(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val daily = dailyCounts(events, keyCol, tsCol, "day", "n",
+      pin = false)
+    val wMa = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val based = daily
+      .withColumn("__trend", when(count(lit(1)).over(wMa) === 7,
+        sum(col("n")).over(wMa).cast("double") / lit(7.0)))
+      .withColumn("__detr", col("n").cast("double") - col("__trend"))
+      .withColumn("__dow", dayofweek(col("day")))
+      .localCheckpoint(true) // consumers: seasonal agg + readout join
+    val seas = based.filter(col("__detr").isNotNull)
+      .groupBy(col("key"), col("__dow"))
+      .agg((sum(d12(col("__detr"))).cast("double") /
+        count(lit(1)).cast("double")).as("__raw"))
+    // <= 7 rows per key: the unordered key window is dow-frame-sized
+    val wKey = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seasAdj = seas
+      .withColumn("__adj", col("__raw") -
+        sum(d12(col("__raw"))).over(wKey).cast("double") /
+          count(lit(1)).over(wKey).cast("double"))
+      .select(col("key"), col("__dow"), col("__adj"))
+    based.join(seasAdj, Seq("key", "__dow"), "left")
+      .select(col("key"), col("day"), col("n"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__adj"), 6).as("seasonal"),
+        round(col("n").cast("double") - col("__trend") - col("__adj"), 6)
+          .as("remainder"))
+      .orderBy(col("key"), col("day"))
+  }
+
   /** CUSUM changepoint scan (Page 1954): per key, the cumulative sum of
     * deviations from the key's own mean over its ordered daily counts;
     * the day where |CUSUM| peaks is the single most likely level-shift

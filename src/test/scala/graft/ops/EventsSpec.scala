@@ -926,6 +926,39 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalDecompose: MA trend, centered seasonal, identity") {
+    import spark.implicits._
+    // 21 days on key "a": counts t (1..21) so the centered 7-MA is
+    // exactly t for interior days and the detrended series is 0
+    val ramp = (1 to 21).flatMap(t => Seq.fill(t)(("a", day(t))))
+    val out = Events.seasonalDecompose(ramp.toDF("k", "at"), "k", "at")
+      .collect()
+    val byDay = out.map(r => r.getDate(1).toString ->
+      (r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)))).toMap
+    // edges: first/last 3 days have no trend/remainder
+    assert(byDay("2024-01-01")._2.isEmpty)
+    assert(byDay("2024-01-21")._2.isEmpty)
+    // interior: trend = the count itself, detrended 0 -> seasonal 0
+    assert(byDay("2024-01-10") ==
+      ((10L, Some(10.0), Some(0.0), Some(0.0))))
+    // seasonal indices sum to ~0 across the week
+    val seas = out.flatMap(r => Option(r.get(4)).map(_ => r.getDouble(4)))
+    assert(math.abs(out.filter(!_.isNullAt(4)).map(_.getDouble(4))
+      .distinct.sum) < 1e-4)
+    // identity where all three parts exist
+    out.filter(r => !r.isNullAt(3) && !r.isNullAt(5)).foreach { r =>
+      val lhs = r.getLong(2).toDouble
+      val rhs = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(lhs - rhs) < 1e-5, s"identity broke at $r")
+    }
+    // partition invariance
+    def run(parts: Int) = Events.seasonalDecompose(
+      ramp.toDF("k", "at").repartition(parts), "k", "at")
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(17))
+  }
+
   test("kmCurves: per-arm KM + Nelson-Aalen hand values") {
     import spark.implicits._
     val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0),
