@@ -3918,7 +3918,18 @@ object SparkEntry {
     // face beside q186's profile and q232's forecaster.
     "q254_seasonal_decompose" -> ((s, dir) =>
       graft.ops.Events.seasonalDecompose(t(s, dir, "events"),
-        "event_type", "ts"))
+        "event_type", "ts")),
+
+    // Embedding centroid drift (ops/Similarity.scala): even vs odd
+    // vec_ids as reference/live — centroid cosine + per-side mean
+    // norms; one per-side fold pass + one dimension-keyed aggregation,
+    // all cross-row sums decimal-quantized.
+    "q255_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.centroidDrift(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9286,7 +9297,52 @@ object SparkEntry {
         |  round(adj, 6) AS seasonal,
         |  round(b2.n::DOUBLE - trend - adj, 6) AS remainder
         |FROM b2 LEFT JOIN s2 ON s2.key = b2.key AND s2.dow = b2.dow
-        |ORDER BY b2.key, b2.day""".stripMargin
+        |ORDER BY b2.key, b2.day""".stripMargin,
+
+    // Per-side left-fold norms (list_reduce mirrors the operator's
+    // aggregate() order), dimension-keyed decimal centroid sums, the
+    // cosine algebra in the operator's double order.
+    "q255_embedding_drift" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS s,
+        |    embedding AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |cnt AS (
+        |  SELECT s, count(*)::BIGINT AS n,
+        |    (sum(CAST(sqrt(list_reduce(
+        |      list_prepend(0.0::DOUBLE,
+        |        [v[i]::DOUBLE * v[i]::DOUBLE
+        |         FOR i IN range(1, len(v) + 1)]),
+        |      (acc, x) -> acc + x)) AS DECIMAL(38,12))))::DOUBLE AS sn,
+        |    max(len(v))::INT AS dim
+        |  FROM u GROUP BY s),
+        |p AS (SELECT s, u2.pp AS p, u2.vv AS x FROM (
+        |  SELECT s, unnest([{'pp': i, 'vv': v[i]::DOUBLE}
+        |    FOR i IN range(1, len(v) + 1)]) AS u2 FROM u)),
+        |ps AS (SELECT p,
+        |    (sum(CASE WHEN s = 'a' THEN CAST(x AS DECIMAL(38,12)) END))
+        |      ::DOUBLE AS sa,
+        |    (sum(CASE WHEN s = 'b' THEN CAST(x AS DECIMAL(38,12)) END))
+        |      ::DOUBLE AS sb
+        |  FROM p GROUP BY p),
+        |m AS (SELECT
+        |    sa / (SELECT n FROM cnt WHERE s = 'a')::DOUBLE AS ma,
+        |    sb / (SELECT n FROM cnt WHERE s = 'b')::DOUBLE AS mb
+        |  FROM ps),
+        |dots AS (SELECT
+        |    sum(CAST(ma * mb AS DECIMAL(38,12)))::DOUBLE AS sab,
+        |    sum(CAST(ma * ma AS DECIMAL(38,12)))::DOUBLE AS saa,
+        |    sum(CAST(mb * mb AS DECIMAL(38,12)))::DOUBLE AS sbb
+        |  FROM m)
+        |SELECT ca.n AS n_ref, cb.n AS n_live, ca.dim AS dim,
+        |  CASE WHEN saa > 0.0::DOUBLE AND sbb > 0.0::DOUBLE THEN
+        |    round(sab / (sqrt(saa) * sqrt(sbb)), 6) END
+        |    AS centroid_cosine,
+        |  round(ca.sn / ca.n::DOUBLE, 6) AS mean_norm_ref,
+        |  round(cb.sn / cb.n::DOUBLE, 6) AS mean_norm_live
+        |FROM dots, (SELECT * FROM cnt WHERE s = 'a') ca,
+        |  (SELECT * FROM cnt WHERE s = 'b') cb""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

@@ -791,6 +791,77 @@ object Similarity {
     * (broadcast semi-join — the raw side never shuffles) for the exact
     * cosine top-k.
     */
+  /** Embedding-space drift between a REFERENCE and a LIVE corpus: the
+    * cosine between the two CENTROIDS plus each side's mean vector
+    * norm — the [[graft.ops.Profile.distributionDrift]] of the
+    * embedding world (an upstream encoder change, a domain shift, or
+    * a silent normalization bug all move one of these before any
+    * downstream metric notices). Returns one row (n_ref, n_live, dim,
+    * centroid_cosine, mean_norm_ref, mean_norm_live), 6 dp; a
+    * zero centroid on either side yields null cosine.
+    *
+    * 100 TB shape: ONE per-side pass for counts + norm means (the
+    * norm is a per-row left-fold over the vector — map-only), ONE
+    * posexploded dimension-keyed aggregation for both centroids
+    * (dim-sized frame after it), one dim-frame product aggregate.
+    * Every cross-row sum quantizes to DECIMAL(38,12) (float inputs
+    * widen to double exactly; order-free).
+    */
+  def centroidDrift(ref: DataFrame, live: DataFrame,
+      vecCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    def side(df: DataFrame, tag: String) = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(lit(tag).as("__s"), col(vecCol).as("__v"))
+    val both = side(ref, "a").unionAll(side(live, "b"))
+      .localCheckpoint(true) // consumers: per-side stats + the centroid pass
+    val normCol = sqrt(aggregate(col("__v"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val stats = both
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n"), sum(d12(normCol)).as("snorm"),
+        min(size(col("__v"))).as("dmin"), max(size(col("__v"))).as("dmax"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    require(stats.contains("a") && stats.contains("b"),
+      "centroidDrift: both sides must be non-empty")
+    val (ra, rb) = (stats("a"), stats("b"))
+    val na = ra.getLong(1)
+    val nb = rb.getLong(1)
+    val dim = ra.getInt(4) // dmax
+    require(ra.getInt(3) == dim && rb.getInt(3) == dim &&
+      rb.getInt(4) == dim, "centroidDrift: ragged vector dimensions")
+    val meanNormA = ra.getDecimal(2).doubleValue() / na.toDouble
+    val meanNormB = rb.getDecimal(2).doubleValue() / nb.toDouble
+    val dims = both
+      .select(col("__s"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg(sum(when(col("__s") === "a", d12(col("__x").cast("double"))))
+          .as("__sa"),
+        sum(when(col("__s") === "b", d12(col("__x").cast("double"))))
+          .as("__sb"))
+      .withColumn("__ma", col("__sa").cast("double") / lit(na.toDouble))
+      .withColumn("__mb", col("__sb").cast("double") / lit(nb.toDouble))
+      .agg(sum(d12(col("__ma") * col("__mb"))).as("sab"),
+        sum(d12(col("__ma") * col("__ma"))).as("saa"),
+        sum(d12(col("__mb") * col("__mb"))).as("sbb"))
+      .head()
+    val sab = dims.getDecimal(0).doubleValue()
+    val saa = dims.getDecimal(1).doubleValue()
+    val sbb = dims.getDecimal(2).doubleValue()
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val cos =
+      if (saa > 0 && sbb > 0)
+        Some(r6(sab / (math.sqrt(saa) * math.sqrt(sbb))))
+      else None
+    Seq((na, nb, dim, cos, r6(meanNormA), r6(meanNormB)))
+      .toDF("n_ref", "n_live", "dim", "centroid_cosine",
+        "mean_norm_ref", "mean_norm_live")
+  }
+
   def sqTopKRerank(index: DataFrame, idCol: String,
       vmin: Array[Float], vdiff: Array[Float],
       query: Seq[Float], raw: DataFrame, rawIdCol: String, vecCol: String,

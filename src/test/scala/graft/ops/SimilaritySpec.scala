@@ -415,4 +415,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(idx.columns.toSeq == Seq("vec_id", "cell", "code"))
     assert(idx.count() == emb.count())
   }
+
+  test("centroidDrift: identity, opposition, norms, zero centroid") {
+    import spark.implicits._
+    def df(vs: Seq[Array[Float]]) = vs.map(Tuple1(_)).toDF("v")
+    val a = df(Seq(Array(1f, 0f), Array(0f, 1f)))
+    val same = Similarity.centroidDrift(a, a, "v").collect()(0)
+    assert(same.getLong(0) == 2L && same.getInt(2) == 2)
+    assert(same.getDouble(3) == 1.0) // identical centroids
+    // opposite centroids -> cosine -1
+    val opp = Similarity.centroidDrift(
+      df(Seq(Array(1f, 0f))), df(Seq(Array(-1f, 0f))), "v").collect()(0)
+    assert(opp.getDouble(3) == -1.0)
+    // mean norm: a single (3,4) vector has norm 5
+    val nrm = Similarity.centroidDrift(
+      df(Seq(Array(3f, 4f))), df(Seq(Array(0f, 2f))), "v").collect()(0)
+    assert(nrm.getDouble(4) == 5.0 && nrm.getDouble(5) == 2.0)
+    // live side cancels to the zero centroid -> null cosine
+    val z = Similarity.centroidDrift(df(Seq(Array(1f, 0f))),
+      df(Seq(Array(1f, 0f), Array(-1f, 0f))), "v").collect()(0)
+    assert(z.isNullAt(3))
+    // ragged dimensions fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.centroidDrift(df(Seq(Array(1f, 0f))),
+        df(Seq(Array(1f, 0f, 0f))), "v").collect()
+    }
+  }
 }
