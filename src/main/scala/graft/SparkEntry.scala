@@ -3929,6 +3929,19 @@ object SparkEntry {
       graft.ops.Similarity.centroidDrift(
         emb.filter(pmod(col("vec_id"), lit(2)) === 0),
         emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+    }),
+
+    // Split conformal calibration (ops/Eval.scala): distribution-free
+    // interval half-width at alpha=0.1 over a pseudo-regressor of
+    // n_chars — the ceil((n+1)(1-alpha))-th residual order statistic
+    // via the prefix-sum device, with the in-sample coverage proof.
+    "q256_conformal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").cast("double").as("actual"),
+          (col("n_chars").cast("double") +
+            (pmod(col("doc_id") * 131, lit(997)) - 498).cast("double"))
+            .as("pred"))
+      graft.ops.Eval.splitConformal(docs, "pred", "actual", alpha = 0.1)
     })
   )
 
@@ -9342,7 +9355,28 @@ object SparkEntry {
         |  round(ca.sn / ca.n::DOUBLE, 6) AS mean_norm_ref,
         |  round(cb.sn / cb.n::DOUBLE, 6) AS mean_norm_live
         |FROM dots, (SELECT * FROM cnt WHERE s = 'a') ca,
-        |  (SELECT * FROM cnt WHERE s = 'b') cb""".stripMargin
+        |  (SELECT * FROM cnt WHERE s = 'b') cb""".stripMargin,
+
+    // Residual-grain cumulative replay of the order statistic, then
+    // the coverage count against the unrounded q-hat.
+    "q256_conformal" ->
+      """WITH sc AS (
+        |  SELECT abs(n_chars::DOUBLE -
+        |    (n_chars::DOUBLE + (doc_id * 131 % 997 - 498)::DOUBLE)) AS r
+        |  FROM documents),
+        |t AS (SELECT count(*)::BIGINT AS n FROM sc),
+        |kk AS (SELECT n,
+        |    ceil((n + 1)::DOUBLE * 0.9::DOUBLE)::BIGINT AS k FROM t),
+        |g AS (SELECT r, count(*) AS c FROM sc GROUP BY r),
+        |cum AS (SELECT r, sum(c) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM g),
+        |q AS (SELECT min(r) AS qh FROM cum, kk WHERE cm >= kk.k),
+        |cov AS (SELECT count(CASE WHEN r <= qh THEN 1 END)::BIGINT AS m
+        |        FROM sc, q)
+        |SELECT t.n, 0.1::DOUBLE AS alpha, round(qh, 6) AS q_hat,
+        |  round(m::DOUBLE / t.n::DOUBLE, 6) AS coverage
+        |FROM t, q, cov""".stripMargin
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

@@ -471,6 +471,65 @@ object Eval {
     rankingMetrics(pairs, "qid", "cid", "score", "rel", k)
   }
 
+  /** Split conformal prediction calibration (Vovk et al.; Lei et al.
+    * 2018): from a calibration set of (prediction, actual) pairs, the
+    * half-width q̂ = the ⌈(n+1)(1−α)⌉-th smallest absolute residual —
+    * the DISTRIBUTION-FREE interval radius with the finite-sample
+    * guarantee P(|y − ŷ| ≤ q̂) ≥ 1−α on exchangeable data, no model
+    * assumptions at all (the honest way to put error bars on any
+    * regressor). Returns one row (n, alpha, q_hat, coverage) — 6 dp;
+    * coverage is the in-sample share within ±q̂ (≥ 1−α by
+    * construction — an in-plan proof the rank selection is right);
+    * both null when n < ⌈(n+1)(1−α)⌉ (not enough calibration data
+    * to certify the level).
+    *
+    * 100 TB shape: residuals collapse to their distinct-value grain;
+    * the order statistic rides the range-partition prefix-sum device
+    * (no global sort); coverage is one more counting pass with q̂ as
+    * a plan literal.
+    */
+  def splitConformal(scored: DataFrame, predCol: String,
+      actualCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "splitConformal: alpha in (0,1)")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val res = scored
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(abs(col(actualCol).cast("double") -
+        col(predCol).cast("double")).as("__r"))
+      .localCheckpoint(true) // consumers: count + grain + coverage
+    val n = res.count()
+    require(n > 0, "splitConformal: no rows")
+    val k = math.ceil((n + 1).toDouble * (1.0 - alpha)).toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    if (k > n)
+      return Seq((n, alpha, None: Option[Double], None: Option[Double]))
+        .toDF("n", "alpha", "q_hat", "coverage")
+    val grain = res.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col("__r"))
+      .sortWithinPartitions(col("__r"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__s"))
+      .collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = grain.join(offsetsDf, Seq("__pid"))
+      .withColumn("__cum", sum(col("__c")).over(w) + col("__off"))
+      .filter(col("__cum") >= k)
+      .agg(min(col("__r"))).head().getDouble(0)
+    val cov = res.agg(count(when(col("__r") <= qhat, 1)))
+      .head().getLong(0)
+    Seq((n, alpha, Some(r6(qhat)), Some(r6(cov.toDouble / n.toDouble))))
+      .toDF("n", "alpha", "q_hat", "coverage")
+  }
+
   /** Cumulative gains / lift chart: rank rows by model score
     * descending into `buckets` equal-population buckets (deciles by
     * default) and report, per bucket, the positive-response rate, its

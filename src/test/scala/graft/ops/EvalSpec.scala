@@ -301,6 +301,31 @@ class EvalSpec extends AnyFunSuite {
     assert(n.getDouble(5) == 0.0 && n.getDouble(4) == 0.0)
   }
 
+  test("splitConformal: exact order statistic, guarantee, degenerate") {
+    import spark.implicits._
+    // residuals 1..10 at alpha=0.2: k = ceil(11*0.8) = 9 -> q_hat = 9
+    val rows = (1 to 10).map(i => (0.0, i.toDouble))
+    val r = Eval.splitConformal(rows.toDF("pred", "actual"), "pred",
+      "actual", alpha = 0.2).collect()(0)
+    assert(r.getLong(0) == 10L && r.getDouble(2) == 9.0)
+    assert(r.getDouble(3) == 0.9) // coverage = 9/10 >= 0.8
+    // not enough data to certify the level -> nulls, not a fake width
+    val tiny = Eval.splitConformal(rows.take(5).toDF("pred", "actual"),
+      "pred", "actual", alpha = 0.01).collect()(0)
+    assert(tiny.isNullAt(2) && tiny.isNullAt(3))
+    // the finite-sample guarantee holds on an arbitrary residual set
+    val big = (1 to 3000).map(i => ((i * 37 % 211).toDouble,
+      (i * 13 % 499).toDouble))
+    val g = Eval.splitConformal(big.toDF("pred", "actual"), "pred",
+      "actual", alpha = 0.1).collect()(0)
+    assert(g.getDouble(3) >= 0.9)
+    // partition invariance
+    def run(parts: Int) = Eval.splitConformal(
+      big.toDF("pred", "actual").repartition(parts), "pred", "actual",
+      0.1).collect()(0).toSeq
+    assert(run(1) == run(17))
+  }
+
   test("liftChart: hand deciles, tie order by id, zero-positive nulls") {
     import spark.implicits._
     // 10 rows, descending score by id; positives at ids 1,2,3,7
