@@ -796,6 +796,27 @@ object Cli {
           case "rouge" =>
             graft.ops.TextAnalysis.rougeScores(df, req("cand-col"),
               req("ref-col"), req("id-col"))
+          case "kendall" =>
+            graft.ops.Profile.kendallTauB(df, req("x-col"), req("y-col"))
+          case "kmcurves" =>
+            graft.ops.Events.kmCurves(df, req("group-col"),
+              req("time-col"), req("event-col"))
+          case "poisson" =>
+            graft.ops.Events.poissonFit(df, req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "8").toInt)
+          case "keyness" =>
+            graft.ops.TextAnalysis.keyness(df,
+              spark.read.parquet(req("other")), req("text-col"),
+              flags.getOrElse("k", "50").toInt)
+          case "decompose" =>
+            graft.ops.Events.seasonalDecompose(df, typ, ts)
+          case "conformal" =>
+            graft.ops.Eval.splitConformal(df, req("pred-col"),
+              req("actual-col"), flags.getOrElse("alpha", "0.1").toDouble)
+          case "embedding-drift" =>
+            graft.ops.Similarity.centroidDrift(
+              spark.read.parquet(req("ref")), df, req("vec-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -847,7 +868,8 @@ object Cli {
            |         mannwhitney|cmh|fdr|bootstrap-diff|msprt|brier|isotonic|
            |         harmonic|pagerank|modularity|communities|wsssp|
            |         betweenness|ktruss|logrank|spearman|psi-drift|acf|
-           |         logistic|ipw|aipw|lift|bleu|rouge
+           |         logistic|ipw|aipw|lift|bleu|rouge|kendall|kmcurves|
+           |         poisson|keyness|decompose|conformal|embedding-drift
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

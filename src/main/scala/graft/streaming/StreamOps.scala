@@ -419,6 +419,39 @@ object StreamOps {
       }
   }
 
+  /** Streaming conformal coverage monitor — the production follow-up
+    * to [[graft.ops.Eval.splitConformal]]: the calibration set fixed
+    * q̂ offline; this watches each event-time window's EMPIRICAL
+    * coverage (share of |y − ŷ| ≤ q̂) and flags a breach when it
+    * falls below 1−α — the distribution-free "your model's error
+    * distribution moved" alarm (conformal validity rests on
+    * exchangeability, so a coverage breach IS a drift detection).
+    * A plain watermarked windowed aggregation — one row per closed
+    * window (window_start, n, covered, coverage, breach), coverage
+    * 6 dp, breach decided on the unrounded ratio.
+    */
+  def streamingConformalCoverage(events: DataFrame, predCol: String,
+      actualCol: String, tsCol: String, qHat: Double, alpha: Double,
+      windowLen: String = "1 day",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(qHat >= 0, "qHat must be nonnegative")
+    val resid = abs(col(actualCol).cast("double") -
+      col(predCol).cast("double"))
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"),
+        count(when(resid <= qHat, 1)).as("covered"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("covered"),
+        round(col("covered").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"),
+        (col("covered").cast("double") / col("n").cast("double") <
+          lit(1.0 - alpha)).as("breach"))
+  }
+
   /** WINDOWED streaming heavy hitters — the Misra-Gries sketch
     * aggregate ([[graft.functions.mg_sketch]], the SAME mergeable
     * aggregate the batch face q102 runs) inside a watermarked tumbling

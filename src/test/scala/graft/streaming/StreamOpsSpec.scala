@@ -160,6 +160,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming conformal coverage flags the breached window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // q-hat calibrated offline at 3.0, alpha 0.2 -> breach below 0.8.
+    // value plays the residual-bearing actual; pred rides as 0 via a
+    // projected constant column
+    val q = StreamOps.streamingConformalCoverage(
+        input.toDF().withColumn("pred",
+          org.apache.spark.sql.functions.lit(0.0)),
+        "pred", "value", "ts", qHat = 3.0, alpha = 0.2,
+        windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("conf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 10:00 window: residuals 1,2,3,9,9 -> coverage 0.6 < 0.8 breach
+      input.addData(Seq(1.0, 2.0, 3.0, 9.0, 9.0).zipWithIndex.map {
+        case (v, i) => EventRow(i.toLong, ts(i), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      // 11:00 window: residuals 1,1,2,3 -> coverage 1.0, no breach
+      input.addData(Seq(1.0, 1.0, 2.0, 3.0).zipWithIndex.map {
+        case (v, i) => EventRow(10 + i.toLong,
+          Timestamp.valueOf("2024-01-01 11:05:00"), 1, "e", v) }: _*)
+      q.processAllAvailable()
+      input.addData(EventRow(99,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 1, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM conf_out ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 3L)
+      assert(rows(0).getDouble(3) == 0.6 && rows(0).getBoolean(4))
+      assert(rows(1).getDouble(3) == 1.0 && !rows(1).getBoolean(4))
+    } finally q.stop()
+  }
+
   test("streaming KS drift: matching distribution reads no drift") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
