@@ -3942,7 +3942,15 @@ object SparkEntry {
             (pmod(col("doc_id") * 131, lit(997)) - 498).cast("double"))
             .as("pred"))
       graft.ops.Eval.splitConformal(docs, "pred", "actual", alpha = 0.1)
-    })
+    }),
+
+    // Huber robust regression (ops/Events.scala): purchase value ~
+    // engagement + active days with bounded per-row influence — OLS
+    // start, 6-dp preliminary MAD scale via the exact quantile
+    // machine, four reweighted solves.
+    "q257_huber" -> ((s, dir) =>
+      graft.ops.Events.huberFit(errTreatUsers(s, dir), "y",
+        Seq("engagement", "active_days"), iters = 4))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9376,7 +9384,99 @@ object SparkEntry {
         |        FROM sc, q)
         |SELECT t.n, 0.1::DOUBLE AS alpha, round(qh, 6) AS q_hat,
         |  round(m::DOUBLE / t.n::DOUBLE, 6) AS coverage
-        |FROM t, q, cov""".stripMargin
+        |FROM t, q, cov""".stripMargin,
+
+    // OLS start unrolled, the 6-dp MAD scale via quantile_cont (the
+    // type-7 pairing with the exact quantile machine), four unrolled
+    // weighted solves with the operator's exact weight/term shapes.
+    "q257_huber" -> {
+      val xs = Seq("engagement", "active_days")
+      val k = xs.size
+      val p = k + 1
+      val w = p + 1
+      val d = "DECIMAL(38,12)"
+      def linB(alias: String) =
+        s"(($alias.g_0_$p + $alias.g_1_$p * engagement) + " +
+          s"$alias.g_2_$p * active_days)"
+      def elim(tag: String, from: String): String = {
+        val steps = (0 until p).map { c =>
+          val entries = (for { r <- 0 until p; j <- 0 until w } yield {
+            val e2 =
+              if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+              else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+            s"$e2 AS g_${r}_$j"
+          }).mkString(",\n    ")
+          val src = if (c == 0) s"${tag}0" else s"$tag$c"
+          s"$tag${c + 1} AS (SELECT\n    $entries\n  FROM $src)"
+        }.mkString(",\n")
+        def init(r: Int, j: Int): String = {
+          def gram(a: Int, b: Int): String =
+            if (a == 0 && b == 0) "h_0_0"
+            else s"h_${math.min(a, b)}_${math.max(a, b)}"
+          if (j < p) gram(r, j) else s"g_$r"
+        }
+        val g0 = (for { r <- 0 until p; j <- 0 until w }
+          yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+        s"""${tag}0 AS (SELECT
+           |    $g0
+           |  FROM $from),
+           |$steps""".stripMargin
+      }
+      def wMoments(tag: String, src: String): String = {
+        def x(i: Int) = xs(i - 1)
+        def hT(r: Int, c: Int) =
+          if (r == 0 && c == 0) "w"
+          else if (r == 0) s"w * ${x(c)}"
+          else s"w * ${x(r)} * ${x(c)}"
+        def gT(r: Int) = if (r == 0) "w * y" else s"w * ${x(r)} * y"
+        val mom = (Seq("count(*)::BIGINT AS n") ++
+          (for { r <- 0 until p; c <- r until p }
+            yield s"sum(CAST(${hT(r, c)} AS $d))::DOUBLE AS h_${r}_$c") ++
+          (0 until p).map(r =>
+            s"sum(CAST(${gT(r)} AS $d))::DOUBLE AS g_$r"))
+          .mkString(",\n    ")
+        s"""$tag AS MATERIALIZED (SELECT
+           |    $mom
+           |  FROM ($src))""".stripMargin
+      }
+      // OLS start: unweighted = weight 1 (1.0·x is an exact double
+      // no-op, so the quantized moments equal the operator's plain ones)
+      val olsMom = wMoments("q0", "SELECT u.*, 1.0::DOUBLE AS w FROM u")
+      val iters = (1 to 4).map { i =>
+        val bSrc = if (i == 1) s"o$p" else s"e${i - 1}_$p"
+        val rows =
+          s"""SELECT u.*, CASE
+             |    WHEN abs(y - ${linB("b")}) <= 1.345::DOUBLE * sc.s
+             |      THEN 1.0::DOUBLE
+             |    ELSE (1.345::DOUBLE * sc.s) / abs(y - ${linB("b")}) END
+             |    AS w
+             |  FROM u, $bSrc b, sc""".stripMargin
+        s"""${wMoments(s"q$i", rows)},
+           |${elim(s"e${i}_", s"q$i")}"""
+      }.mkString(",\n")
+      s"""WITH u AS MATERIALIZED ($errTreatPerRowSql),
+         |$olsMom,
+         |${elim("o", "q0")},
+         |r0 AS (SELECT u.*, (y - ${linB("ob")}) AS r FROM u, o$p ob),
+         |sc AS (SELECT round(1.4826::DOUBLE *
+         |    (SELECT quantile_cont(abs(r -
+         |       (SELECT quantile_cont(r, 0.5) FROM r0)), 0.5) FROM r0),
+         |    6) AS s),
+         |$iters,
+         |nd AS (SELECT count(CASE WHEN abs(y - ${linB("b")}) >
+         |    1.345::DOUBLE * sc.s THEN 1 END)::BIGINT AS m
+         |  FROM u, e4_$p b, sc)
+         |SELECT t.term_idx, t.term, q4.n, t.coef, sc.s AS scale,
+         |  nd.m AS n_downweighted
+         |FROM (
+         |  SELECT 0 AS term_idx, 'intercept' AS term,
+         |    round(b.g_0_$p, 6) AS coef FROM e4_$p b
+         |  UNION ALL SELECT 1, 'engagement', round(b.g_1_$p, 6)
+         |    FROM e4_$p b
+         |  UNION ALL SELECT 2, 'active_days', round(b.g_2_$p, 6)
+         |    FROM e4_$p b) t, q4, sc, nd
+         |ORDER BY t.term_idx""".stripMargin
+    }
   )
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */

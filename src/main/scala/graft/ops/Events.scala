@@ -844,6 +844,125 @@ object Events {
       .orderBy(col("term_idx"))
   }
 
+  /** One ungrouped OLS solve over an already-projected (__y, __x*)
+    * frame — [[olsFit]]'s moments + elimination returning the RAW
+    * betas (shared by [[huberFit]]'s starting point). */
+  private def olsBetaFromBase(base: DataFrame, k: Int): Array[Double] = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val p = k + 1
+    val aggs = Seq(count(lit(1)).as("n"), sum(d12(col("__y"))).as("sy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    require(n > p, s"huberFit: need n > $p rows, got $n")
+    def dv(f: String) = r.getDecimal(r.fieldIndex(f)).doubleValue()
+    def gx(i: Int, j: Int) = dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+    val w2 = 2 * p + 1
+    val init = Array.tabulate(p, w2) { (rr, j) =>
+      def gram(a: Int, b: Int): Double =
+        if (a == 0 && b == 0) n.toDouble
+        else if (a == 0) dv(s"sx${b - 1}")
+        else gx(a - 1, b - 1)
+      if (j < p) { if (j >= rr) gram(rr, j) else gram(j, rr) }
+      else if (j == p) { if (rr == 0) dv("sy") else dv(s"sx${rr - 1}y") }
+      else if (j == p + 1 + rr) 1.0 else 0.0
+    }
+    gaussJordan(init, p)._1
+  }
+
+  /** Huber robust regression (Huber 1964) by IRLS with a preliminary
+    * MAD scale: the outlier-resistant [[olsFit]] — one wild row can
+    * drag least squares arbitrarily far, while the Huber loss caps
+    * each row's influence at δ·s. Procedure (each step engine-
+    * replayable): (1) OLS start; (2) scale s = 1.4826·MAD of the OLS
+    * residuals (median via the exact type-7 quantile machine), rounded
+    * to 6 dp and then FIXED (the preliminary-scale variant — a
+    * re-estimated scale would be marginally more efficient but adds
+    * two quantile passes per step); (3) `iters` reweighted
+    * least-squares solves with w = min(1, δ·s/|r|). Returns one row
+    * per term (term_idx, term, n, coef, scale, n_downweighted) — the
+    * last two repeat; coef 6 dp. A zero MAD (≥ half the residuals
+    * identical) fixes every weight at 1 and the fit IS the OLS fit,
+    * reported with scale 0.
+    *
+    * 100 TB shape: one Gram aggregation for the start, two exact-
+    * quantile passes (range-partition rank device — no global sort),
+    * then iters × one weighted Gram aggregation; every sum
+    * DECIMAL(38,12)-quantized, every solve driver-side (k ≤ 20).
+    */
+  def huberFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int = 4, delta: Double = 1.345): DataFrame = {
+    require(iters >= 1 && iters <= 12, "huberFit: iters must be 1..12")
+    require(delta > 0, "huberFit: delta must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val p = k + 1
+    val base = logitBase(df, yCol, xCols)
+    def lin(b: Array[Double]) =
+      (0 until k).foldLeft(lit(b(0)): Column)((acc, i) =>
+        acc + lit(b(i + 1)) * col(s"__x$i"))
+    var beta = olsBetaFromBase(base, k)
+    val resDf = base.select((col("__y") - lin(beta)).as("__r"))
+      .localCheckpoint(true) // two quantile consumers
+    val med = Quantiles.exact(resDf, "__r", Seq(0.5))
+      .head().getDouble(1)
+    val madDf = resDf.select(abs(col("__r") - lit(med)).as("__a"))
+    val mad = Quantiles.exact(madDf, "__a", Seq(0.5))
+      .head().getDouble(1)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val s = r6(1.4826 * mad)
+    var n = 0L
+    if (s > 0) {
+      val ds = delta * s
+      for (_ <- 1 to iters) {
+        val rCol = col("__y") - lin(beta)
+        val w = when(abs(rCol) <= lit(ds), lit(1.0))
+          .otherwise(lit(ds) / abs(rCol))
+        def hTerm(r: Int, c: Int): Column =
+          if (r == 0 && c == 0) w
+          else if (r == 0) w * col(s"__x${c - 1}")
+          else w * col(s"__x${r - 1}") * col(s"__x${c - 1}")
+        def gTerm(r: Int): Column =
+          if (r == 0) w * col("__y")
+          else w * col(s"__x${r - 1}") * col("__y")
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          (for { r <- 0 until p; c <- r until p }
+            yield sum(d12(hTerm(r, c))).as(s"h_${r}_$c")) ++
+          (0 until p).map(r => sum(d12(gTerm(r))).as(s"g_$r"))
+        val m = base.agg(aggs.head, aggs.tail: _*).head()
+        n = m.getLong(0)
+        def dv(f: String) = m.getDecimal(m.fieldIndex(f)).doubleValue()
+        val w2 = 2 * p + 1
+        val init = Array.tabulate(p, w2) { (r, j) =>
+          if (j < p) dv(s"h_${math.min(r, j)}_${math.max(r, j)}")
+          else if (j == p) dv(s"g_$r")
+          else if (j == p + 1 + r) 1.0 else 0.0
+        }
+        beta = gaussJordan(init, p)._1
+      }
+    } else {
+      n = base.count()
+    }
+    val nDown =
+      if (s > 0)
+        base.agg(count(when(
+          abs(col("__y") - lin(beta)) > lit(delta * s), 1)))
+          .head().getLong(0)
+      else 0L
+    val terms = "intercept" +: xCols
+    terms.indices.map(i => (i, terms(i), n, r6(beta(i)), s, nDown))
+      .toDF("term_idx", "term", "n", "coef", "scale", "n_downweighted")
+      .orderBy(col("term_idx"))
+  }
+
   /** Poisson regression `E[y|x] = e^(β₀ + Σ βⱼ xⱼ)` by Newton-Raphson
     * — the COUNT-outcome GLM ([[logisticFit]]'s sibling through the
     * shared canonical-link IRLS core: μ = e^η, Newton weight = μ):

@@ -864,6 +864,43 @@ class EventsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("huberFit: outlier resistance, zero-MAD OLS fallback") {
+    import spark.implicits._
+    // clean law y = 2 + 3x with jitter, plus ONE wild point
+    val clean = (1 to 60).map { i =>
+      val x = (i % 12).toDouble
+      (2.0 + 3.0 * x + (i % 5 - 2) * 0.1, x)
+    }
+    val dirty = clean :+ (500.0, 1.0)
+    val hub = Events.huberFit(dirty.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val ols = Events.olsFit(dirty.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // the single outlier drags OLS; Huber stays near the law (the
+    // preliminary-scale variant keeps a sliver of influence, so the
+    // gate is "close AND far better than OLS", not exact)
+    assert(math.abs(hub("x") - 3.0) < 0.2,
+      s"huber slope ${hub("x")}")
+    assert(math.abs(ols("x") - 3.0) > 0.5,
+      s"ols should be dragged, got ${ols("x")}")
+    assert(math.abs(hub("x") - 3.0) < math.abs(ols("x") - 3.0) / 3)
+    val down = Events.huberFit(dirty.toDF("y", "x"), "y", Seq("x"))
+      .collect()(0)
+    assert(down.getLong(5) >= 1L) // the outlier is downweighted
+    // exact fit: zero MAD -> scale 0, the OLS coefficients verbatim
+    val exact = (1 to 20).map(i => (2.0 + 3.0 * i, i.toDouble))
+    val e = Events.huberFit(exact.toDF("y", "x"), "y", Seq("x"))
+      .collect()
+    assert(e(0).getDouble(4) == 0.0 && e(0).getLong(5) == 0L)
+    assert(e.map(r => r.getString(1) -> r.getDouble(3)).toMap
+      .apply("x") == 3.0)
+    // partition invariance
+    def run(parts: Int) = Events.huberFit(
+      dirty.toDF("y", "x").repartition(parts), "y", Seq("x"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(11))
+  }
+
   test("poissonFit: binary covariate recovers exact log group means") {
     import spark.implicits._
     // saturated binary design: MLE fitted means = group means, so
