@@ -3950,7 +3950,30 @@ object SparkEntry {
     // machine, four reweighted solves.
     "q257_huber" -> ((s, dir) =>
       graft.ops.Events.huberFit(errTreatUsers(s, dir), "y",
-        Seq("engagement", "active_days"), iters = 4))
+        Seq("engagement", "active_days"), iters = 4)),
+
+    // Propensity-matched ATT (ops/Events.scala): each high-error user
+    // paired with its nearest control on the propensity score (with
+    // replacement, caliper 0.1) — the visible-pairs causal readout
+    // beside q244/q246; nearest neighbors via in-partition struct
+    // windows + the 32-row boundary carry.
+    "q258_matched_att" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).cast("decimal(38,12)"))
+            .cast("double").as("y"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"),
+          countDistinct(to_date(col("ts"))).cast("double")
+            .as("active_days"))
+        .select(col("user_id"),
+          when(col("n_err") >= 14, 1.0).otherwise(0.0).as("t"),
+          col("y"), col("engagement"), col("active_days"))
+      graft.ops.Events.matchedAte(perUser, "user_id", "t", "y",
+        Seq("engagement", "active_days"), iters = 6, caliper = 0.1)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9476,8 +9499,64 @@ object SparkEntry {
          |  UNION ALL SELECT 2, 'active_days', round(b.g_2_$p, 6)
          |    FROM e4_$p b) t, q4, sc, nd
          |ORDER BY t.term_idx""".stripMargin
+    },
+
+    // The IRLS propensity prefix, then the global-window replay of the
+    // nearest-control match: struct max/min backward/forward windows
+    // over (e, id), the operator's exact pick/caliper/ATT double order.
+    "q258_matched_att" -> {
+      val eta = "((b.c0 + b.c1 * engagement) + b.c2 * active_days)"
+      s"""${logitIrlsSql(errTreatPerRowIdSql, "t",
+          Seq("engagement", "active_days"), 6)},
+         |scored AS (SELECT u.id, u.t, u.y AS yy,
+         |    1.0::DOUBLE / (1.0::DOUBLE + exp(-$eta)) AS e
+         |  FROM u, b6 b),
+         |nb AS (SELECT *,
+         |    max(CASE WHEN t = 0.0 THEN
+         |        {'e': e, 'id': id, 'yy': yy} END)
+         |      OVER (ORDER BY e, id ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING) AS bwd,
+         |    min(CASE WHEN t = 0.0 THEN
+         |        {'e': e, 'id': id, 'yy': yy} END)
+         |      OVER (ORDER BY e, id ROWS BETWEEN 1 FOLLOWING
+         |        AND UNBOUNDED FOLLOWING) AS fwd
+         |  FROM scored),
+         |ch AS (SELECT *,
+         |    CASE WHEN bwd.e IS NOT NULL AND (fwd.e IS NULL OR
+         |      (e - bwd.e) <= (fwd.e - e)) THEN TRUE ELSE FALSE END
+         |      AS pickb
+         |  FROM nb WHERE t = 1.0),
+         |mm AS (SELECT *,
+         |    CASE WHEN pickb THEN (e - bwd.e) ELSE (fwd.e - e) END
+         |      AS dist,
+         |    CASE WHEN pickb THEN bwd.yy ELSE fwd.yy END AS my
+         |  FROM ch),
+         |agg AS (SELECT count(*)::BIGINT AS nt,
+         |    count(CASE WHEN (bwd.e IS NOT NULL OR fwd.e IS NOT NULL)
+         |      AND dist <= 0.1::DOUBLE THEN 1 END)::BIGINT AS nm,
+         |    (sum(CASE WHEN (bwd.e IS NOT NULL OR fwd.e IS NOT NULL)
+         |      AND dist <= 0.1::DOUBLE
+         |      THEN CAST(yy - my AS DECIMAL(38,12)) END))::DOUBLE AS sd
+         |  FROM mm),
+         |nc AS (SELECT count(*)::BIGINT AS c FROM scored WHERE t = 0.0)
+         |SELECT nt AS n_treated, nc.c AS n_control, nm AS n_matched,
+         |  CASE WHEN nm > 0 THEN round(sd / nm::DOUBLE, 6) END AS att
+         |FROM agg, nc""".stripMargin
     }
   )
+
+  /** [[errTreatPerRowSql]] with the user id carried through (q258's
+    * deterministic propensity-tie break). */
+  private val errTreatPerRowIdSql =
+    """SELECT user_id AS id,
+      |  CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) >= 14
+      |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS t,
+      |  (sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+      |       ELSE 0.0::DOUBLE END AS DECIMAL(38,12))))::DOUBLE AS y,
+      |  (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+      |    AS engagement,
+      |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS active_days
+      |FROM events GROUP BY user_id""".stripMargin
 
   /** q244/q245's shared per-user subquery (see [[errTreatUsers]]). */
   private val errTreatPerRowSql =

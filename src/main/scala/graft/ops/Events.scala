@@ -1068,6 +1068,144 @@ object Events {
       .toDF("n", "n_treated", "mu_treated", "mu_control", "ate")
   }
 
+  /** Propensity-score matching ATT (Rosenbaum & Rubin 1983, the
+    * with-replacement nearest-neighbor form): each treated subject is
+    * matched to its nearest CONTROL on the propensity score (within
+    * `caliper`), and the effect on the treated is the mean matched
+    * outcome difference — the causal readout people can SEE (pairs of
+    * comparable users), completing the family beside [[ipwAte]]'s
+    * weighting and [[aipwAte]]'s double robustness. With-replacement
+    * matching is chosen deliberately: it is order-free (greedy 1:1
+    * without replacement depends on a processing order — not
+    * replayable, not parallel). Nearest = min |e_t − e_c|, ties to the
+    * BACKWARD (≤) neighbor; treated with no control inside the caliper
+    * are reported unmatched, never silently dropped into the mean.
+    * Returns one row (n_treated, n_control, n_matched, att), 6 dp.
+    *
+    * 100 TB shape: the scored union range-partitions by (e, id) ONCE;
+    * nearest-control-before/after ride in-partition struct-max/min
+    * windows, with the cross-partition boundary carried by a 32-row
+    * per-partition first/last-control collect (the prefix-sum device
+    * generalized from sums to carried VALUES). No global sort, no
+    * pair explosion.
+    */
+  def matchedAte(df: DataFrame, idCol: String, treatCol: String,
+      yCol: String, xCols: Seq[String], iters: Int = 6,
+      caliper: Double = 0.05): DataFrame = {
+    require(iters >= 1 && iters <= 12, "matchedAte: iters must be 1..12")
+    require(caliper > 0, "matchedAte: caliper must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    // the caller's id breaks exact propensity ties (identical
+    // covariates -> identical e) deterministically — a generated id
+    // would make the matched outcome partition-dependent
+    val base0 = df.select(col(idCol).cast("long").as("__id") +:
+        col(treatCol).cast("double").as("__t") +:
+        col(yCol).cast("double").as("__yy") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__id").isNotNull && col("__t").isNotNull &&
+        col("__yy").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(true) // Newton steps + the match pass
+    val (pb, _, _) = irlsBeta(base0.withColumn("__y", col("__t")), k,
+      iters)
+    val eta = (0 until k).foldLeft(lit(pb(0)): Column)((acc, i) =>
+      acc + lit(pb(i + 1)) * col(s"__x$i"))
+    val scored = base0
+      .select(col("__id"), col("__t"), col("__yy"),
+        (lit(1.0) / (lit(1.0) + exp(-eta))).as("__e"))
+      .repartitionByRange(col("__e"), col("__id"))
+      .sortWithinPartitions(col("__e"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    // per-partition first/last CONTROL, carried across partitions
+    val ctrlStruct = when(col("__t") === 0.0,
+      struct(col("__e"), col("__id"), col("__yy")))
+    val bounds = scored
+      .groupBy(col("__pid"))
+      .agg(max(ctrlStruct).as("__last"), min(ctrlStruct).as("__first"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), Option(r.getStruct(1)),
+        Option(r.getStruct(2))))
+    val nPids = bounds.map(_._1).max + 1
+    // carryBack(p) = last control in any partition < p;
+    // carryFwd(p) = first control in any partition > p
+    val lastByPid = Array.fill[Option[(Double, Long, Double)]](nPids)(None)
+    val firstByPid = Array.fill[Option[(Double, Long, Double)]](nPids)(None)
+    bounds.foreach { case (p, l, f) =>
+      lastByPid(p) = l.map(s => (s.getDouble(0), s.getLong(1),
+        s.getDouble(2)))
+      firstByPid(p) = f.map(s => (s.getDouble(0), s.getLong(1),
+        s.getDouble(2)))
+    }
+    val carryBack = Array.fill[Option[(Double, Long, Double)]](nPids)(None)
+    var run: Option[(Double, Long, Double)] = None
+    for (p <- 0 until nPids) {
+      carryBack(p) = run
+      if (lastByPid(p).isDefined) run = lastByPid(p)
+    }
+    val carryFwd = Array.fill[Option[(Double, Long, Double)]](nPids)(None)
+    run = None
+    for (p <- (nPids - 1) to 0 by -1) {
+      carryFwd(p) = run
+      if (firstByPid(p).isDefined) run = firstByPid(p)
+    }
+    val carryDf = broadcast((0 until nPids).map { p =>
+      (p, carryBack(p).map(_._1), carryBack(p).map(_._3),
+        carryFwd(p).map(_._1), carryFwd(p).map(_._3))
+    }.toDF("__pid", "__cbe", "__cby", "__cfe", "__cfy"))
+    val wPrev = Window.partitionBy(col("__pid"))
+      .orderBy(col("__e"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("__pid"))
+      .orderBy(col("__e"), col("__id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withNbr = scored
+      .withColumn("__bwd", max(ctrlStruct).over(wPrev))
+      .withColumn("__fwd", min(ctrlStruct).over(wNext))
+      .join(carryDf, Seq("__pid"))
+      .withColumn("__be",
+        coalesce(col("__bwd.__e"), col("__cbe")))
+      .withColumn("__by",
+        when(col("__bwd.__e").isNotNull, col("__bwd.__yy"))
+          .otherwise(col("__cby")))
+      .withColumn("__fe",
+        coalesce(col("__fwd.__e"), col("__cfe")))
+      .withColumn("__fy",
+        when(col("__fwd.__e").isNotNull, col("__fwd.__yy"))
+          .otherwise(col("__cfy")))
+    val distB = col("__e") - col("__be")
+    val distF = col("__fe") - col("__e")
+    val pickB = col("__be").isNotNull &&
+      (col("__fe").isNull || distB <= distF)
+    val matchDist = when(pickB, distB).otherwise(distF)
+    val matchY = when(pickB, col("__by")).otherwise(col("__fy"))
+    val agg = withNbr.filter(col("__t") === 1.0)
+      .withColumn("__ok",
+        (col("__be").isNotNull || col("__fe").isNotNull) &&
+          matchDist <= lit(caliper))
+      .agg(count(lit(1)).as("nt"),
+        count(when(col("__ok"), 1)).as("nm"),
+        sum(when(col("__ok"),
+          d12(col("__yy") - matchY))).as("sdiff"))
+      .head()
+    val nc = scored.filter(col("__t") === 0.0).count()
+    val nt = agg.getLong(0)
+    val nm = agg.getLong(1)
+    require(nt > 0 && nc > 0, "matchedAte: need both arms")
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val att =
+      if (nm > 0) Some(r6(agg.getDecimal(2).doubleValue() / nm.toDouble))
+      else None
+    Seq((nt, nc, nm, att))
+      .toDF("n_treated", "n_control", "n_matched", "att")
+  }
+
   /** Augmented inverse-propensity-weighted (doubly-robust) ATE
     * (Robins, Rotnitzky & Zhao 1994): [[ipwAte]]'s weighting PLUS
     * per-arm OLS outcome models m₁(x)/m₀(x), combined so the estimate

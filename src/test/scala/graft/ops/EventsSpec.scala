@@ -864,6 +864,44 @@ class EventsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("matchedAte: exact ATT on flat outcomes, caliper, invariance") {
+    import spark.implicits._
+    // outcomes constant within arm: whichever control each treated
+    // matches, the pair difference is exactly 5
+    val flat = (1 to 40).map(i =>
+      (i.toLong, 1.0, 12.0, (i % 4 + 1).toDouble)) ++
+      (41 to 100).map(i => (i.toLong, 0.0, 7.0, (i % 4 + 1).toDouble))
+    val r = Events.matchedAte(flat.toDF("id", "t", "y", "x"), "id",
+      "t", "y", Seq("x")).collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(1) == 60L)
+    assert(r.getLong(2) == 40L && r.getDouble(3) == 5.0)
+    // overlap region matches at distance ~0; off-support treated fall
+    // outside a tiny caliper instead of silently matching far away
+    val sep = (1 to 30).map { i =>
+      val x = (i % 15 + 6).toDouble // treated x in 6..20
+      (i.toLong, 1.0, 1.0, x)
+    } ++ (31 to 90).map { i =>
+      val x = (i % 15 + 1).toDouble // control x in 1..15
+      (i.toLong, 0.0, 0.0, x)
+    }
+    val wide = Events.matchedAte(sep.toDF("id", "t", "y", "x"), "id",
+      "t", "y", Seq("x"), caliper = 1.0).collect()(0)
+    assert(wide.getLong(2) == wide.getLong(0)) // everyone matched
+    val tight = Events.matchedAte(sep.toDF("id", "t", "y", "x"), "id",
+      "t", "y", Seq("x"), caliper = 1e-9).collect()(0)
+    assert(tight.getLong(2) > 0 && tight.getLong(2) < tight.getLong(0))
+    // partition invariance: the boundary-carry must reproduce the
+    // single-partition match exactly
+    def run(parts: Int) = Events.matchedAte(
+      sep.toDF("id", "t", "y", "x").repartition(parts), "id", "t", "y",
+      Seq("x"), caliper = 0.5).collect()(0).toSeq
+    assert(run(1) == run(13))
+    intercept[IllegalArgumentException] {
+      Events.matchedAte(flat.filter(_._2 == 1.0).toDF("id", "t", "y", "x"),
+        "id", "t", "y", Seq("x")).collect()
+    }
+  }
+
   test("huberFit: outlier resistance, zero-MAD OLS fallback") {
     import spark.implicits._
     // clean law y = 2 + 3x with jitter, plus ONE wild point
