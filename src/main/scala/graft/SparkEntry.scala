@@ -3973,6 +3973,21 @@ object SparkEntry {
           col("y"), col("engagement"), col("active_days"))
       graft.ops.Events.matchedAte(perUser, "user_id", "t", "y",
         Seq("engagement", "active_days"), iters = 6, caliper = 0.1)
+    }),
+
+    // Quantile treatment effects (ops/Profile.scala): per-quantile
+    // purchase-value differences between the md5 arms — where in the
+    // distribution does the "effect" live, not just the mean; exact
+    // type-7 quantiles per arm, tau-keyed pivot.
+    "q259_qte" -> ((s, dir) => {
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B").as("grp"),
+          col("value"))
+      graft.ops.Profile.quantileTreatmentEffects(purchases, "grp",
+        "value")
     })
   )
 
@@ -9542,7 +9557,32 @@ object SparkEntry {
          |SELECT nt AS n_treated, nc.c AS n_control, nm AS n_matched,
          |  CASE WHEN nm > 0 THEN round(sd / nm::DOUBLE, 6) END AS att
          |FROM agg, nc""".stripMargin
-    }
+    },
+
+    // Grouped quantile_cont (the type-7 pairing with the exact rank
+    // machine) unpacked per tau, then the pivot + difference in the
+    // operator's double order.
+    "q259_qte" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    value::DOUBLE AS x
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |qq AS (SELECT g,
+        |    quantile_cont(x, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM v GROUP BY g),
+        |e AS (SELECT g,
+        |    unnest([{'tau': [0.1, 0.25, 0.5, 0.75, 0.9][i],
+        |             'qv': qs[i]} FOR i IN range(1, 6)]) AS u
+        |  FROM qq),
+        |p AS (SELECT u.tau AS tau,
+        |    max(CASE WHEN g = 'A' THEN u.qv END) AS qa,
+        |    max(CASE WHEN g = 'B' THEN u.qv END) AS qb
+        |  FROM e GROUP BY 1)
+        |SELECT tau, round(qa, 6) AS q_a, round(qb, 6) AS q_b,
+        |  round(qb - qa, 6) AS qte
+        |FROM p ORDER BY tau""".stripMargin
   )
 
   /** [[errTreatPerRowSql]] with the user id carried through (q258's

@@ -519,6 +519,29 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(1) == run(19))
   }
 
+  test("quantileTreatmentEffects: exact per-tau shifts") {
+    import spark.implicits._
+    // arm a = 1..100, arm b = a + 10 at the bottom half only: the QTE
+    // curve reads 10 at tau<=0.25 and ~0 at tau>=0.75
+    val a = (1 to 100).map(i => ("a", i.toDouble))
+    val b = (1 to 100).map(i =>
+      ("b", if (i <= 50) i + 10.0 else i.toDouble))
+    val out = Profile.quantileTreatmentEffects(
+      (a ++ b).toDF("g", "v"), "g", "v", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(out(0.1) == 10.0)
+    assert(out(0.9) == 0.0)
+    // pure location shift: every tau reads exactly the shift
+    val shift = Profile.quantileTreatmentEffects(
+      (a ++ a.map { case (_, v) => ("b", v + 7.0) }).toDF("g", "v"),
+      "g", "v", Seq(0.25, 0.5, 0.75)).collect()
+    assert(shift.forall(_.getDouble(3) == 7.0))
+    intercept[IllegalArgumentException] {
+      Profile.quantileTreatmentEffects(a.toDF("g", "v"), "g", "v")
+        .collect()
+    }
+  }
+
   test("kendallTauB: brute-force parity with and without ties") {
     import spark.implicits._
     def brute(pairs: Seq[(Double, Double)]): (Long, Long, Double) = {
