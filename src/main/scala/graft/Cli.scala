@@ -817,6 +817,18 @@ object Cli {
           case "embedding-drift" =>
             graft.ops.Similarity.centroidDrift(
               spark.read.parquet(req("ref")), df, req("vec-col"))
+          case "matched-att" =>
+            graft.ops.Events.matchedAte(df, id, req("treat-col"),
+              req("y-col"), req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt,
+              flags.getOrElse("caliper", "0.05").toDouble)
+          case "qte" =>
+            graft.ops.Profile.quantileTreatmentEffects(df,
+              req("group-col"), req("value-col"))
+          case "huber" =>
+            graft.ops.Events.huberFit(df, req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "4").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -869,7 +881,8 @@ object Cli {
            |         harmonic|pagerank|modularity|communities|wsssp|
            |         betweenness|ktruss|logrank|spearman|psi-drift|acf|
            |         logistic|ipw|aipw|lift|bleu|rouge|kendall|kmcurves|
-           |         poisson|keyness|decompose|conformal|embedding-drift
+           |         poisson|keyness|decompose|conformal|embedding-drift|
+           |         matched-att|qte|huber
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;
