@@ -3988,6 +3988,44 @@ object SparkEntry {
           col("value"))
       graft.ops.Profile.quantileTreatmentEffects(purchases, "grp",
         "value")
+    }),
+
+    // Mutual information (ops/Profile.scala): how many nats does
+    // `source` carry about `lang` — entropies off one contingency
+    // aggregation, every p·ln p term decimal-quantized; NMI rescales
+    // to [0,1] so it reads as a redundancy score.
+    "q260_mutual_info" -> ((s, dir) =>
+      graft.ops.Profile.mutualInformation(t(s, dir, "documents"),
+        "lang", "source")),
+
+    // Sample-ratio-mismatch guardrail (ops/Profile.scala): 2:1:1
+    // md5-bucketed arms over event users — chi-square GOF against the
+    // design weights, Wilson-Hilferty p; the check every A/B readout
+    // runs before anyone reads the metric.
+    "q261_srm" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), "a")
+          .when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("8", "9", "a", "b"), "b")
+          .otherwise("c").as("arm"))
+      graft.ops.Profile.srmCheck(users, "arm",
+        Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    }),
+
+    // Cochran-Armitage trend (ops/Profile.scala): does the fulfilled
+    // share fall monotonically across order-priority ranks — the
+    // dose-response test, scores 1..5 from the priority prefix, one
+    // decimal-quantized moments aggregation.
+    "q262_trend_test" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isNotNull)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("double")
+            .as("rank"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)
+            .as("fulfilled"))
+      graft.ops.Profile.cochranArmitage(orders, "rank", "fulfilled")
     })
   )
 
@@ -9582,7 +9620,136 @@ object SparkEntry {
         |  FROM e GROUP BY 1)
         |SELECT tau, round(qa, 6) AS q_a, round(qb, 6) AS q_b,
         |  round(qb - qa, 6) AS qte
-        |FROM p ORDER BY tau""".stripMargin
+        |FROM p ORDER BY tau""".stripMargin,
+
+    // Cell-grain replay: one contingency CTE, marginals, each entropy
+    // as a decimal-quantized p·ln p sum — the operator's exact double
+    // shapes (count/N division first, ln second, quantize third).
+    "q260_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
+        |    count(*)::BIGINT AS o
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nr AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |ma AS (SELECT a, sum(o)::BIGINT AS c FROM cells GROUP BY a),
+        |mb AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+        |ha AS (SELECT (-sum(CAST((c::DOUBLE / nr.n::DOUBLE) *
+        |    ln(c::DOUBLE / nr.n::DOUBLE) AS DECIMAL(38,12))))::DOUBLE
+        |    AS h
+        |  FROM ma, nr),
+        |hb AS (SELECT (-sum(CAST((c::DOUBLE / nr.n::DOUBLE) *
+        |    ln(c::DOUBLE / nr.n::DOUBLE) AS DECIMAL(38,12))))::DOUBLE
+        |    AS h
+        |  FROM mb, nr),
+        |hab AS (SELECT (-sum(CAST((o::DOUBLE / nr.n::DOUBLE) *
+        |    ln(o::DOUBLE / nr.n::DOUBLE) AS DECIMAL(38,12))))::DOUBLE
+        |    AS h
+        |  FROM cells, nr)
+        |SELECT nr.n AS n,
+        |  (SELECT count(*) FROM ma)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM mb)::BIGINT AS n_b,
+        |  round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b,
+        |  round(hab.h, 6) AS h_ab,
+        |  round(ha.h + hb.h - hab.h, 6) AS mi,
+        |  CASE WHEN ha.h > 0 AND hb.h > 0
+        |    THEN round((ha.h + hb.h - hab.h) / sqrt(ha.h * hb.h), 6)
+        |  END AS nmi
+        |FROM nr, ha, hb, hab""".stripMargin,
+
+    // Arm-grain replay: md5 bucketing, the design-weight spine, the
+    // decimal chi terms, and the Wilson-Hilferty + A&S 7.1.26 tail in
+    // the operator's exact double order.
+    "q261_srm" -> {
+      val z = "((pow(chi2 / 2.0::DOUBLE, 1.0::DOUBLE/3.0::DOUBLE) - " +
+        "(1.0::DOUBLE - 2.0::DOUBLE/18.0::DOUBLE)) / " +
+        "sqrt(2.0::DOUBLE/18.0::DOUBLE))"
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+         |arms AS (
+         |  SELECT CASE
+         |      WHEN substring(md5(user_id::VARCHAR), 1, 1)
+         |        IN ('0','1','2','3','4','5','6','7') THEN 'a'
+         |      WHEN substring(md5(user_id::VARCHAR), 1, 1)
+         |        IN ('8','9','a','b') THEN 'b'
+         |      ELSE 'c' END AS arm
+         |  FROM u),
+         |spine AS (SELECT * FROM (VALUES
+         |  ('a', 2.0::DOUBLE), ('b', 1.0::DOUBLE), ('c', 1.0::DOUBLE))
+         |  AS t(arm, w)),
+         |obs AS (SELECT arm, count(*)::BIGINT AS n FROM arms GROUP BY arm),
+         |g AS (SELECT s.arm, coalesce(o.n, 0)::BIGINT AS n,
+         |    s.w / 4.0::DOUBLE AS p
+         |  FROM spine s LEFT JOIN obs o ON o.arm = s.arm),
+         |tot AS (SELECT sum(n)::BIGINT AS N FROM g),
+         |terms AS (SELECT g.arm, g.n, g.p,
+         |    tot.N AS ntot, tot.N::DOUBLE * g.p AS e,
+         |    CAST((g.n - tot.N::DOUBLE * g.p) * (g.n - tot.N::DOUBLE * g.p)
+         |      / (tot.N::DOUBLE * g.p) AS DECIMAL(38,12)) AS chi
+         |  FROM g, tot),
+         |c2 AS (SELECT (sum(chi))::DOUBLE AS chi2 FROM terms),
+         |ztab AS (SELECT chi2, $z AS z FROM c2),
+         |poly AS (SELECT chi2, z,
+         |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z))
+         |      AS t
+         |  FROM ztab),
+         |tails AS (SELECT chi2, z,
+         |    exp(-abs(z) * abs(z) / 2.0::DOUBLE) /
+         |      sqrt(2.0::DOUBLE * pi()) *
+         |    (t * (0.319381530::DOUBLE + t * (-0.356563782::DOUBLE +
+         |     t * (1.781477937::DOUBLE + t * (-1.821255978::DOUBLE +
+         |      t * 1.330274429::DOUBLE))))) AS tail
+         |  FROM poly),
+         |pv AS (SELECT chi2,
+         |    CASE WHEN z >= 0 THEN tail
+         |      ELSE 1.0::DOUBLE - tail END AS p
+         |  FROM tails)
+         |SELECT t.arm, t.n,
+         |  round(t.n::DOUBLE / t.ntot::DOUBLE, 6) AS share,
+         |  round(t.p, 6) AS expected_share,
+         |  round(t.e, 6) AS expected_n,
+         |  round(pv.chi2, 6) AS chi2, 2::INT AS dof,
+         |  CASE WHEN t.ntot > 0 THEN
+         |    round(least(1.0::DOUBLE, greatest(0.0::DOUBLE, pv.p)), 6)
+         |  END AS p_value
+         |FROM terms t, pv ORDER BY t.arm""".stripMargin
+    },
+
+    // One moments CTE (decimal sums), then the z algebra and the A&S
+    // two-sided tail replayed double-for-double.
+    "q262_trend_test" ->
+      """WITH b AS (
+        |  SELECT substring(o_orderpriority, 1, 1)::DOUBLE AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0::DOUBLE
+        |      ELSE 0.0::DOUBLE END AS y
+        |  FROM orders WHERE o_orderpriority IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    (sum(CAST(y AS DECIMAL(38,12))))::DOUBLE AS sy,
+        |    (sum(CAST(s AS DECIMAL(38,12))))::DOUBLE AS ss,
+        |    (sum(CAST(s * s AS DECIMAL(38,12))))::DOUBLE AS sss,
+        |    (sum(CAST(s * y AS DECIMAL(38,12))))::DOUBLE AS ssy,
+        |    count(DISTINCT s)::BIGINT AS k
+        |  FROM b),
+        |alg AS (SELECT n, sy, k,
+        |    n::DOUBLE * ssy - sy * ss AS num,
+        |    (sy / n::DOUBLE) * (1.0::DOUBLE - sy / n::DOUBLE) *
+        |      (n::DOUBLE * sss - ss * ss) AS den2
+        |  FROM m),
+        |zz AS (SELECT n, sy, k, num / sqrt(den2) AS zv, den2 FROM alg),
+        |tt AS (SELECT *,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(zv))
+        |      AS t
+        |  FROM zz)
+        |SELECT n, sy::BIGINT AS n_pos, k AS n_levels,
+        |  CASE WHEN den2 > 0 THEN round(zv, 6) END AS z,
+        |  CASE WHEN den2 > 0 THEN round(least(1.0::DOUBLE,
+        |    2.0::DOUBLE * exp(-abs(zv) * abs(zv) / 2.0::DOUBLE) /
+        |    sqrt(2.0::DOUBLE * pi()) *
+        |    (t * (0.319381530::DOUBLE + t * (-0.356563782::DOUBLE +
+        |     t * (1.781477937::DOUBLE + t * (-1.821255978::DOUBLE +
+        |      t * 1.330274429::DOUBLE)))))), 6) END AS p_value
+        |FROM tt""".stripMargin
   )
 
   /** [[errTreatPerRowSql]] with the user id carried through (q258's

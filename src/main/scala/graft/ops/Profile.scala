@@ -1514,4 +1514,197 @@ object Profile {
         round(sum(col("__chi")).over(wAll).cast("double"), 6).as("chi2"))
       .orderBy(col("digit"))
   }
+
+  /** Mutual information between two categorical columns (Shannon 1948;
+    * Cover & Thomas ch. 2) — the feature-relevance / redundancy readout
+    * beside [[chiSquareIndependence]]: where chi-square asks "are these
+    * independent", MI says HOW MANY NATS one column tells you about the
+    * other, and NMI (`MI / √(H(X)·H(Y))`, Strehl & Ghosh 2002) rescales
+    * it to [0,1] so columns with different cardinalities compare. The
+    * standard screen for "does `source` already encode `lang`" before
+    * training on either.
+    *
+    * Returns one row (n, n_a, n_b, h_a, h_b, h_ab, mi, nmi), natural
+    * log, 6 dp; a degenerate axis (single category, H = 0) yields null
+    * nmi. Every entropy term `p·ln p` quantizes to DECIMAL(38,12)
+    * before summing — order-free exact addition, each double op
+    * replayable from the cell counts.
+    *
+    * 100 TB shape: ONE contingency aggregation (map-side combined)
+    * collapses the corpus to the category grid; marginals, N and all
+    * three entropies are grid-sized re-aggregations of that
+    * checkpointed frame. Nothing data-sized moves after the first pass.
+    */
+  def mutualInformation(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // category-grid-sized; consumers: N +
+        // both marginals + the joint entropy
+    val nRow = cells.agg(sum(col("__o")).as("__N"))
+    def ent(grain: DataFrame, cnt: Column): DataFrame = {
+      val p = cnt.cast("double") / col("__N").cast("double")
+      grain.crossJoin(nRow) // 1-row broadcast
+        .agg((-sum(d12(p * log(p)))).cast("double").as("__h"))
+    }
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__c"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val counts = cells.agg(sum(col("__o")).as("n"),
+      countDistinct(col("__a")).as("n_a"),
+      countDistinct(col("__b")).as("n_b"))
+    counts
+      .crossJoin(ent(ma, col("__c")).withColumnRenamed("__h", "__ha"))
+      .crossJoin(ent(mb, col("__c")).withColumnRenamed("__h", "__hb"))
+      .crossJoin(ent(cells, col("__o")).withColumnRenamed("__h", "__hab"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        round(col("__ha"), 6).as("h_a"),
+        round(col("__hb"), 6).as("h_b"),
+        round(col("__hab"), 6).as("h_ab"),
+        round(col("__ha") + col("__hb") - col("__hab"), 6).as("mi"),
+        when(col("__ha") > 0 && col("__hb") > 0,
+          round((col("__ha") + col("__hb") - col("__hab")) /
+            sqrt(col("__ha") * col("__hb")), 6)).as("nmi"))
+  }
+
+  /** Sample-ratio-mismatch check (Fabijan et al. 2019, "Diagnosing
+    * sample ratio mismatch in online controlled experiments") — the
+    * guardrail every A/B readout must pass BEFORE anyone reads the
+    * metric: are the realized arm counts consistent with the designed
+    * allocation? A failed SRM means broken randomization (bot
+    * filtering, redirect loss, logging skew) and invalidates the
+    * experiment regardless of the lift. `expected` maps each arm to
+    * its design weight (any positive scale — normalized internally);
+    * rows outside the declared arms are ignored (they are a different
+    * bug, surfaced by the per-arm counts themselves).
+    *
+    * Chi-square goodness of fit `Σ (n_i − N·p_i)²/(N·p_i)` on k = |arms|
+    * cells, dof = k−1; p via the Wilson-Hilferty (1931) cube-root
+    * normal approximation of the chi-square tail with the
+    * Abramowitz-Stegun 7.1.26 polynomial for Φ — closed-form, engine-
+    * replayable. Returns one row per declared arm (arm, n, share,
+    * expected_share, expected_n, chi2, dof, p_value), chi2/dof/p
+    * repeated on every row (the [[benford]] shape), ordered by arm.
+    *
+    * 100 TB shape: ONE count aggregation to the arm grain; everything
+    * after is k-row algebra (chi terms DECIMAL(38,12)-quantized, the
+    * all-rows window rides the k-row frame only).
+    */
+  def srmCheck(df: DataFrame, groupCol: String,
+      expected: Map[String, Double]): DataFrame = {
+    require(expected.size >= 2, "srmCheck: need >= 2 declared arms")
+    require(expected.values.forall(_ > 0),
+      "srmCheck: arm weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = expected.values.sum
+    val k = expected.size
+    val obs = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("arm"))
+      .filter(col("arm").isin(expected.keys.toSeq: _*))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val spine = expected.toSeq.sortBy(_._1).toDF("arm", "__w")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dof = (k - 1).toDouble
+    val g = spine.join(obs, Seq("arm"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__N", sum(col("n")).over(wAll)) // k-row frame
+      .withColumn("__p", col("__w") / lit(wsum))
+      .withColumn("__e", col("__N").cast("double") * col("__p"))
+      .withColumn("__chi",
+        ((col("n") - col("__e")) * (col("n") - col("__e")) /
+          col("__e")).cast("decimal(38,12)"))
+      .withColumn("chi2", sum(col("__chi")).over(wAll).cast("double"))
+    // Wilson-Hilferty: chi2_k ≈ k·(z·sqrt(2/(9k)) + 1 − 2/(9k))³ →
+    // upper tail at z = ((chi2/k)^(1/3) − (1 − 2/(9k))) / sqrt(2/(9k))
+    val c = 2.0 / (9.0 * dof)
+    val z = (pow(col("chi2") / lit(dof), lit(1.0 / 3.0)) -
+      lit(1.0 - c)) / lit(math.sqrt(c))
+    // A&S 7.1.26 upper normal tail at |z| (the polynomial is only
+    // valid for non-negative arguments); z < 0 folds back by symmetry
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val tail = exp(-az * az / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi)) *
+      poly
+    val p = when(z >= 0, tail).otherwise(lit(1.0) - tail)
+    g.select(col("arm"), col("n"),
+        round(col("n") / col("__N").cast("double"), 6).as("share"),
+        round(col("__p"), 6).as("expected_share"),
+        round(col("__e"), 6).as("expected_n"),
+        round(col("chi2"), 6).as("chi2"),
+        lit(k - 1).cast("int").as("dof"),
+        when(col("__N") > 0,
+          round(least(lit(1.0), greatest(lit(0.0), p)), 6))
+          .as("p_value"))
+      .orderBy(col("arm"))
+  }
+
+  /** Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is a
+    * BINARY outcome monotonically associated with an ORDERED exposure?
+    * The dose-response companion to [[chiSquareIndependence]] — chi-
+    * square spends dof on every cell pattern; the trend test pools all
+    * its power into the ordered alternative, which is what "does
+    * conversion fall with latency bucket" actually asks. Scores are
+    * the numeric exposure values themselves.
+    *
+    *   z = (N·Σsᵢyᵢ − R·Σsᵢ) / √( (R/N)·(1−R/N)·(N·Σsᵢ² − (Σsᵢ)²) )
+    *
+    * (per-row form; R = Σy, N = rows), two-sided p via the A&S 7.1.26
+    * normal tail. Returns one row (n, n_pos, n_levels, z, p_value),
+    * 6 dp; a degenerate input (all-same exposure or all-same outcome)
+    * yields null z/p.
+    *
+    * 100 TB shape: ONE moments aggregation (count, Σy, Σs, Σs², Σsy,
+    * distinct-score count — DECIMAL(38,12)-quantized, map-side
+    * combined); the z algebra runs on the 1-row collect.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base = df.select(col(scoreCol).cast("double").as("__s"),
+        col(outcomeCol).cast("double").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"),
+        sum(d12(col("__y"))).as("sy"),
+        sum(d12(col("__s"))).as("ss"),
+        sum(d12(col("__s") * col("__s"))).as("sss"),
+        sum(d12(col("__s") * col("__y"))).as("ssy"),
+        countDistinct(col("__s")).as("k"))
+      .head()
+    val n = m.getLong(0)
+    require(n > 0, "cochranArmitage: empty input after null filtering")
+    def dv(i: Int) = m.getDecimal(i).doubleValue()
+    val (r, ss, sss, ssy) = (dv(1), dv(2), dv(3), dv(4))
+    val kLevels = m.getLong(5)
+    val nn = n.toDouble
+    val num = nn * ssy - r * ss
+    val den2 = (r / nn) * (1.0 - r / nn) * (nn * sss - ss * ss)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (z, p) =
+      if (den2 > 0) {
+        val zv = num / math.sqrt(den2)
+        val ax = math.abs(zv)
+        // Abramowitz-Stegun 7.1.26 upper normal tail
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) *
+          poly
+        (Some(r6(zv)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    Seq((n, r.toLong, kLevels, z, p))
+      .toDF("n", "n_pos", "n_levels", "z", "p_value")
+  }
 }

@@ -733,5 +733,102 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("mutualInformation: naive replication, independence, identity") {
+    import spark.implicits._
+    val rows = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"),
+      ("y", "q"), ("y", "p"), ("x", "p"), ("y", "q"))
+    val r = Profile.mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    // naive entropies from the 2x2 table
+    val n = rows.size.toDouble
+    def h(ps: Seq[Double]) = -ps.map(p => p * math.log(p)).sum
+    val ha = h(Seq(4 / n, 4 / n))
+    val hb = h(Seq(4 / n, 4 / n))
+    val hab = h(Seq(3 / n, 1 / n, 1 / n, 3 / n))
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - ha) < 1e-6)
+    assert(math.abs(r.getDouble(5) - hab) < 1e-6)
+    val mi = ha + hb - hab
+    assert(math.abs(r.getDouble(6) - mi) < 1e-6)
+    assert(math.abs(r.getDouble(7) - mi / math.sqrt(ha * hb)) < 1e-6)
+    // independent columns -> MI ~ 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
+      yield Seq.fill(5)((a, b))).flatten.toDF("a", "b")
+    val ri = Profile.mutualInformation(ind, "a", "b").collect()(0)
+    assert(math.abs(ri.getDouble(6)) < 1e-9)
+    // identical columns -> NMI = 1
+    val same = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+      .toDF("a", "b")
+    val rs = Profile.mutualInformation(same, "a", "b").collect()(0)
+    assert(math.abs(rs.getDouble(7) - 1.0) < 1e-9)
+    // degenerate axis -> null NMI, zero MI
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val ro = Profile.mutualInformation(one, "a", "b").collect()(0)
+    assert(ro.isNullAt(7) && math.abs(ro.getDouble(6)) < 1e-9)
+  }
+
+  test("srmCheck: on-design vs broken allocation, zero-count arm") {
+    import spark.implicits._
+    // exactly on the 2:1:1 design -> chi2 = 0, p = 1
+    val good = (Seq.fill(50)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(25)("c")).toDF("arm")
+    val g = Profile.srmCheck(good, "arm",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5),
+          r.getInt(6), r.getDouble(7))).toMap
+    assert(g("a")._1 == 50L && g("b")._1 == 25L && g("c")._1 == 25L)
+    assert(g("a")._2 == 0.5 && g("a")._3 == 0.5)
+    assert(g.values.forall(v => v._4 == 0.0 && v._5 == 2))
+    assert(g("a")._6 > 0.99) // chi2 = 0 -> p ~ 1
+    // a badly broken 50/50 (designed) vs 90/10 (realized) -> tiny p
+    val bad = (Seq.fill(900)("a") ++ Seq.fill(100)("b")).toDF("arm")
+    val b = Profile.srmCheck(bad, "arm", Map("a" -> 1.0, "b" -> 1.0))
+      .collect()(0)
+    assert(b.getDouble(5) == 640.0) // (900-500)^2/500 * 2
+    assert(b.getDouble(7) < 1e-6)
+    // undeclared arms are ignored; a declared-but-absent arm counts 0
+    val partial = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(3)("zz")).toDF("arm")
+    val p = Profile.srmCheck(partial, "arm",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == Map("a" -> 10L, "b" -> 10L, "c" -> 0L))
+    intercept[IllegalArgumentException] {
+      Profile.srmCheck(good, "arm", Map("a" -> 1.0))
+    }
+  }
+
+  test("cochranArmitage: naive replication, direction, degenerate") {
+    import spark.implicits._
+    // conversion falls with dose 1..3: 8/10, 5/10, 2/10
+    val rows = (Seq.fill(8)((1.0, 1.0)) ++ Seq.fill(2)((1.0, 0.0)) ++
+      Seq.fill(5)((2.0, 1.0)) ++ Seq.fill(5)((2.0, 0.0)) ++
+      Seq.fill(2)((3.0, 1.0)) ++ Seq.fill(8)((3.0, 0.0)))
+    val df = rows.toDF("s", "y")
+    val r = Profile.cochranArmitage(df, "s", "y").collect()(0)
+    // naive per-row replication
+    val n = rows.size.toDouble
+    val sy = rows.map(_._2).sum
+    val ss = rows.map(_._1).sum
+    val sss = rows.map(t => t._1 * t._1).sum
+    val ssy = rows.map(t => t._1 * t._2).sum
+    val z = (n * ssy - sy * ss) /
+      math.sqrt((sy / n) * (1 - sy / n) * (n * sss - ss * ss))
+    assert(r.getLong(0) == 30L && r.getLong(1) == 15L &&
+      r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - z) < 1e-6)
+    assert(r.getDouble(3) < 0) // falling trend -> negative z
+    assert(r.getDouble(4) < 0.05) // clearly significant
+    // rising trend flips the sign
+    val up = df.withColumn("s", lit(4.0) - col("s"))
+    assert(Profile.cochranArmitage(up, "s", "y").collect()(0)
+      .getDouble(3) > 0)
+    // single exposure level -> null z/p
+    val flat = Seq((1.0, 1.0), (1.0, 0.0), (1.0, 1.0)).toDF("s", "y")
+    val rf = Profile.cochranArmitage(flat, "s", "y").collect()(0)
+    assert(rf.isNullAt(3) && rf.isNullAt(4))
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
