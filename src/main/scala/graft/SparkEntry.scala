@@ -255,6 +255,69 @@ object SparkEntry {
        |ORDER BY term_idx""".stripMargin
   }
 
+  /** [[graft.ops.Events.ridgeFit]]'s DuckDB replay: the OLS Gram
+    * moments with `lambda` added to the non-intercept diagonal before
+    * the same unrolled pivotless elimination; readout is coefficients
+    * only (term_idx, term, n, lambda, coef). */
+  private def ridgeOracleSql(perRow: String, k: Int,
+      terms: Seq[String], lambda: Double): String = {
+    require(terms.size == k)
+    val p = k + 1
+    val w2 = 2 * p + 1
+    val d = "DECIMAL(38,12)"
+    val notNull = (Seq("y") ++ (0 until k).map(i => s"x$i"))
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val momAggs = (Seq("count(*)::BIGINT AS n",
+      s"sum(CAST(y AS $d))::DOUBLE AS sy") ++
+      (0 until k).map(i => s"sum(CAST(x$i AS $d))::DOUBLE AS sx$i") ++
+      (0 until k).map(i =>
+        s"sum(CAST(x$i * y AS $d))::DOUBLE AS sx${i}y") ++
+      (for { i <- 0 until k; j <- i until k }
+        yield s"sum(CAST(x$i * x$j AS $d))::DOUBLE AS sx${i}x$j"))
+      .mkString(",\n    ")
+    def init(r: Int, j: Int): String = {
+      def gram(a: Int, b: Int): String =
+        if (a == 0 && b == 0) "n::DOUBLE"
+        else if (a == 0) s"sx${b - 1}"
+        else s"sx${math.min(a - 1, b - 1)}x${math.max(a - 1, b - 1)}"
+      val base =
+        if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+        else if (j == p) { if (r == 0) "sy" else s"sx${r - 1}y" }
+        else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+      if (j < p && j == r && r >= 1) s"($base + $lambda::DOUBLE)"
+      else base
+    }
+    val g0 = (for { r <- 0 until p; j <- 0 until w2 }
+      yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+    val steps = (0 until p).map { c =>
+      val entries = (for { r <- 0 until p; j <- 0 until w2 } yield {
+        val e =
+          if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+          else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+        s"$e AS g_${r}_$j"
+      }).mkString(",\n    ")
+      val from = if (c == 0) "g0" else s"s$c"
+      s"s${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
+    }.mkString(",\n")
+    val termRows = ("intercept" +: terms).zipWithIndex
+      .map { case (term, i) =>
+        s"""SELECT $i AS term_idx, '$term' AS term, pv.n AS n,
+           |  $lambda::DOUBLE AS lambda,
+           |  round(s.g_${i}_$p, 6) AS coef
+           |FROM s$p AS s, pv""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH u AS MATERIALIZED ($perRow),
+       |pv AS MATERIALIZED (
+       |  SELECT $momAggs
+       |  FROM u WHERE $notNull),
+       |g0 AS (SELECT
+       |    $g0
+       |  FROM pv),
+       |$steps
+       |$termRows
+       |ORDER BY term_idx""".stripMargin
+  }
+
   /** [[graft.ops.Events.olsFit]]'s DuckDB replay: single ungrouped
     * Gram moments over a `perRow` subquery producing (y, x0..x{k-1}),
     * then the shared unrolled elimination. */
@@ -311,16 +374,27 @@ object SparkEntry {
       "(mu * (1.0::DOUBLE - mu))")
 
   /** Family-generic IRLS unroll (`glmBeta`'s replay): `muSql` renders
-    * the inverse link from the eta expression, `wSql` the Newton
-    * weight in terms of `mu`. */
+    * the inverse link from the eta expression, `wSql` the Fisher
+    * weight in terms of `mu`, `residSql` the gradient residual in
+    * terms of `$yName`/`mu` (defaults to the canonical `(y - mu)`),
+    * and `seedIntercept` replays the log-link families' ln ȳ start. */
   private def glmIrlsSql(perRow: String, yName: String,
       xNames: Seq[String], iters: Int,
-      muSql: String => String, wSql: String): String = {
+      muSql: String => String, wSql: String,
+      residSql: String = null,
+      seedIntercept: Boolean = false): String = {
     val k = xNames.size
     val p = k + 1
     val w2 = 2 * p + 1
     val d = "DECIMAL(38,12)"
-    val b0 = (0 to k).map(i => s"0.0::DOUBLE AS c$i").mkString(", ")
+    val c0 =
+      if (seedIntercept)
+        s"(SELECT ln(sum(CAST($yName AS $d))::DOUBLE / " +
+          "count(*)::DOUBLE) FROM u)"
+      else "0.0::DOUBLE"
+    val b0 = (s"$c0 AS c0" +:
+      (1 to k).map(i => s"0.0::DOUBLE AS c$i")).mkString(", ")
+    val resid = Option(residSql).getOrElse(s"($yName - mu)")
     def etaExpr(alias: String) =
       (0 until k).foldLeft(s"$alias.c0")((acc, i) =>
         s"($acc + $alias.c${i + 1} * ${xNames(i)})")
@@ -329,7 +403,7 @@ object SparkEntry {
       else if (r == 0) s"w * ${xNames(c - 1)}"
       else s"w * ${xNames(r - 1)} * ${xNames(c - 1)}"
     def gTerm(r: Int) =
-      if (r == 0) s"($yName - mu)" else s"($yName - mu) * ${xNames(r - 1)}"
+      if (r == 0) resid else s"$resid * ${xNames(r - 1)}"
     val iterCtes = (1 to iters).map { it =>
       val mom = (Seq("count(*)::BIGINT AS n") ++
         (for { r <- 0 until p; c <- r until p }
@@ -4026,6 +4100,39 @@ object SparkEntry {
           when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)
             .as("fulfilled"))
       graft.ops.Profile.cochranArmitage(orders, "rank", "fulfilled")
+    }),
+
+    // Ridge regression (ops/Events.scala): q257's design solved with
+    // an L2 penalty on the non-intercept diagonal of the Gram matrix
+    // — the collinearity-stable face of q228's OLS (same moments,
+    // same pivotless solve, lambda added before elimination).
+    "q263_ridge" -> ((s, dir) =>
+      graft.ops.Events.ridgeFit(errTreatUsers(s, dir), "y",
+        Seq("engagement", "active_days"), lambda = 25.0)),
+
+    // Gamma GLM (ops/Events.scala): positive per-user purchase value
+    // ~ engagement + active days with V(mu) = mu² — Fisher scoring
+    // (W = 1, residual (y−mu)/mu), intercept seeded at ln ȳ; the
+    // right-skew-continuous face beside q252's count GLM.
+    "q264_gamma_glm" -> ((s, dir) =>
+      graft.ops.Events.gammaFit(errTreatUsers(s, dir), "y",
+        Seq("engagement", "active_days"), iters = 8)),
+
+    // Negative-binomial GLM (ops/Events.scala): overdispersed per-user
+    // error counts ~ engagement + active days at fixed alpha = 0.5 —
+    // q252's Poisson with the NB2 variance mu + alpha·mu² widening
+    // the standard errors.
+    "q265_negbin" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "error", 1))
+            .cast("double").as("n_err"),
+          count(when(col("event_type").isin("click", "view"), 1))
+            .cast("double").as("engagement"),
+          countDistinct(to_date(col("ts"))).cast("double")
+            .as("active_days"))
+      graft.ops.Events.negBinFit(perUser, "n_err",
+        Seq("engagement", "active_days"), alpha = 0.5, iters = 8)
     })
   )
 
@@ -9749,7 +9856,66 @@ object SparkEntry {
         |    (t * (0.319381530::DOUBLE + t * (-0.356563782::DOUBLE +
         |     t * (1.781477937::DOUBLE + t * (-1.821255978::DOUBLE +
         |      t * 1.330274429::DOUBLE)))))), 6) END AS p_value
-        |FROM tt""".stripMargin
+        |FROM tt""".stripMargin,
+
+    // The q228/q257 Gram device with lambda on the non-intercept
+    // diagonal before the same unrolled elimination — coefficients
+    // only (ridge SEs need the sandwich; the operator omits them too).
+    "q263_ridge" -> ridgeOracleSql(
+      s"SELECT y, engagement AS x0, active_days AS x1\n" +
+        s"FROM ($errTreatPerRowSql)",
+      2, Seq("engagement", "active_days"), lambda = 25.0),
+
+    // The q252 IRLS unroll with gamma shapes: W = 1, residual
+    // (y−mu)/mu, intercept seeded at ln(mean y) over the y > 0 slice.
+    "q264_gamma_glm" -> {
+      val perRow =
+        s"SELECT y, engagement, active_days\n" +
+          s"FROM ($errTreatPerRowSql)\nWHERE y > 0.0::DOUBLE"
+      val rows = Seq("intercept", "engagement", "active_days")
+        .zipWithIndex.map { case (tm, i) =>
+          val se = s"sqrt(s.g_${i}_${4 + i})"
+          s"""SELECT $i AS term_idx, '$tm' AS term, q.n AS n,
+             |  round(b.c$i, 6) AS coef, round($se, 6) AS se,
+             |  CASE WHEN round($se, 6) > 0.0::DOUBLE
+             |    THEN round(b.c$i / $se, 6) END AS z_stat
+             |FROM b8 b, e8_3 s, q8 q""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""${glmIrlsSql(perRow, "y", Seq("engagement", "active_days"), 8,
+          eta => s"exp($eta)", "1.0::DOUBLE",
+          residSql = "((y - mu) / mu)", seedIntercept = true)}
+         |$rows
+         |ORDER BY term_idx""".stripMargin
+    },
+
+    // The same unroll with NB2 shapes at alpha = 0.5: W =
+    // mu/(1+alpha·mu), residual (y−mu)/(1+alpha·mu), seeded intercept.
+    "q265_negbin" -> {
+      val perRow =
+        """SELECT
+          |  (count(CASE WHEN event_type = 'error' THEN 1 END))::DOUBLE
+          |    AS y,
+          |  (count(CASE WHEN event_type IN ('click','view') THEN 1 END))::DOUBLE
+          |    AS engagement,
+          |  (count(DISTINCT CAST(ts AS DATE)))::DOUBLE AS active_days
+          |FROM events GROUP BY user_id""".stripMargin
+      val rows = Seq("intercept", "engagement", "active_days")
+        .zipWithIndex.map { case (tm, i) =>
+          val se = s"sqrt(s.g_${i}_${4 + i})"
+          s"""SELECT $i AS term_idx, '$tm' AS term, q.n AS n,
+             |  round(b.c$i, 6) AS coef, round($se, 6) AS se,
+             |  CASE WHEN round($se, 6) > 0.0::DOUBLE
+             |    THEN round(b.c$i / $se, 6) END AS z_stat
+             |FROM b8 b, e8_3 s, q8 q""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""${glmIrlsSql(perRow, "y", Seq("engagement", "active_days"), 8,
+          eta => s"exp($eta)",
+          "(mu / (1.0::DOUBLE + 0.5::DOUBLE * mu))",
+          residSql = "((y - mu) / (1.0::DOUBLE + 0.5::DOUBLE * mu))",
+          seedIntercept = true)}
+         |$rows
+         |ORDER BY term_idx""".stripMargin
+    }
   )
 
   /** [[errTreatPerRowSql]] with the user id carried through (q258's

@@ -693,6 +693,78 @@ object Events {
       .orderBy(col("term_idx"))
   }
 
+  /** Ridge regression (Hoerl & Kennard 1970): [[olsFit]] with an L2
+    * penalty `λ` on every NON-intercept coefficient — the workhorse
+    * when regressors are collinear (one-hot groups, correlated
+    * engagement metrics) and the OLS solve goes unstable or the
+    * coefficients explode in opposite directions. Solves
+    * `(XᵀX + λ·diag(0,1,…,1)) β = Xᵀy` — the same Gram moments, the
+    * same pivotless solve, λ added to the non-intercept diagonal.
+    * λ = 0 IS [[olsFit]]'s coefficient vector. Returns one row per
+    * term (term_idx, term, n, lambda, coef), 6 dp — no SE column:
+    * ridge SEs require the sandwich (XᵀX+λI)⁻¹XᵀX(XᵀX+λI)⁻¹ and are
+    * rarely what a ridge user wants (use [[olsFit]] for inference).
+    * Caller contract: the penalty is applied on the RAW regressor
+    * scale — standardize upstream if the regressors' units differ.
+    *
+    * 100 TB shape: identical to [[olsFit]] — ONE decimal-quantized
+    * moments aggregation, a driver-side (k+1)×(k+1) solve.
+    */
+  def ridgeFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      lambda: Double): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 20,
+      "ridgeFit: need 1..20 regressors")
+    require(xCols.distinct.size == xCols.size,
+      "ridgeFit: regressors must be distinct")
+    require(lambda >= 0, "ridgeFit: lambda must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val p = k + 1
+    val base = df
+      .select(col(yCol).cast("double").as("__y") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__y"))).as("sy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    def dv(f: String) = {
+      val d = r.getDecimal(r.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val nL = r.getLong(r.fieldIndex("n"))
+    require(nL > p, s"ridgeFit: need n > $p rows, got $nL")
+    val nD = nL.toDouble
+    def gx(i: Int, j: Int) = dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+    val w = 2 * p + 1
+    val init = Array.tabulate(p, w) { (rr, j) =>
+      def gram(a: Int, b: Int): Double =
+        if (a == 0 && b == 0) nD
+        else if (a == 0) dv(s"sx${b - 1}")
+        else gx(a - 1, b - 1)
+      val ridge = if (j == rr && rr >= 1) lambda else 0.0
+      if (j < p) { (if (j >= rr) gram(rr, j) else gram(j, rr)) + ridge }
+      else if (j == p) { if (rr == 0) dv("sy") else dv(s"sx${rr - 1}y") }
+      else if (j == p + 1 + rr) 1.0 else 0.0
+    }
+    val (beta, _) = gaussJordan(init, p)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    terms.indices.map(i => (i, terms(i), nL, lambda, r6(beta(i))))
+      .toDF("term_idx", "term", "n", "lambda", "coef")
+      .orderBy(col("term_idx"))
+  }
+
   /** Difference-in-differences WITH covariates — the regression form
     * of [[diffInDiff]]: `y = β₀ + τ_g·T + τ_p·P + δ·T·P + Σ βⱼ xⱼ`
     * where T = treated group (larger label), P = post period (larger
@@ -749,16 +821,23 @@ object Events {
       mu => mu * (lit(1.0) - mu))
 
   /** The family-generic IRLS core: `muOf` maps the linear predictor to
-    * the mean (inverse link), `wOf` maps the mean to the Newton weight
-    * (the variance function for canonical links — μ(1−μ) for
-    * logistic, μ for Poisson); gradient is Xᵀ(y−μ) for ANY canonical
-    * link, so the loop is shared verbatim. */
+    * the mean (inverse link), `wOf` maps the mean to the Fisher weight
+    * W = (dμ/dη)²/V(μ) (μ(1−μ) for logistic, μ for Poisson, 1 for
+    * log-link gamma, μ/(1+αμ) for NB2), and `residOf` maps (y, μ) to
+    * the gradient residual (y−μ)·(dμ/dη)/V(μ) — (y−μ) for canonical
+    * links, (y−μ)/μ for log-link gamma, (y−μ)/(1+αμ) for NB2 — so one
+    * loop serves every one-parameter family. `start` seeds the
+    * intercept (ln ȳ for the log-link families, whose β = 0 start can
+    * overshoot into exp overflow; 0 for the canonical ones). */
   private def glmBeta(base: DataFrame, k: Int, iters: Int,
       muOf: Column => Column,
-      wOf: Column => Column): (Array[Double], Array[Double], Long) = {
+      wOf: Column => Column,
+      residOf: (Column, Column) => Column = (y, mu) => y - mu,
+      start: Double = 0.0): (Array[Double], Array[Double], Long) = {
     def d12(c: Column) = c.cast("decimal(38,12)")
     val p = k + 1
     var beta = Array.fill(p)(0.0)
+    beta(0) = start
     var invDiag = Array.fill(p)(0.0)
     var n = 0L
     for (_ <- 1 to iters) {
@@ -771,8 +850,8 @@ object Events {
         else if (r == 0) w * col(s"__x${c - 1}")
         else w * col(s"__x${r - 1}") * col(s"__x${c - 1}")
       def gTerm(r: Int): Column =
-        if (r == 0) col("__y") - mu
-        else (col("__y") - mu) * col(s"__x${r - 1}")
+        if (r == 0) residOf(col("__y"), mu)
+        else residOf(col("__y"), mu) * col(s"__x${r - 1}")
       val aggs = Seq(count(lit(1)).as("n")) ++
         (for { r <- 0 until p; c <- r until p }
           yield sum(d12(hTerm(r, c))).as(s"h_${r}_$c")) ++
@@ -987,6 +1066,99 @@ object Events {
     val base = logitBase(df, yCol, xCols)
     val (beta, invDiag, n) =
       glmBeta(base, xCols.size, iters, eta => exp(eta), mu => mu)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    val out = terms.indices.map { i =>
+      val se = math.sqrt(invDiag(i))
+      (i, terms(i), n, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "z_stat")
+      .orderBy(col("term_idx"))
+  }
+
+  /** ln(ȳ) over a pinned (__y, __x*) frame — the log-link families'
+    * intercept seed (ȳ from one decimal-quantized mean, replayable). */
+  private def logMeanY(base: DataFrame): Double = {
+    val r = base.agg(count(lit(1)).as("n"),
+      sum(col("__y").cast("decimal(38,12)")).as("sy")).head()
+    val n = r.getLong(0)
+    require(n > 0, "glm: empty input after null filtering")
+    val mean = r.getDecimal(1).doubleValue() / n.toDouble
+    require(mean > 0, s"glm: log link needs mean(y) > 0, got $mean")
+    math.log(mean)
+  }
+
+  /** Gamma regression with log link `E[y|x] = e^(β₀ + Σ βⱼ xⱼ)`,
+    * V(μ) = μ² (McCullagh & Nelder 1989 ch. 8) — the GLM for POSITIVE
+    * continuous outcomes whose spread grows with the mean (spend per
+    * user, session duration, claim size): OLS on such data lets the
+    * large-mean rows dominate the fit, and OLS-on-log(y) estimates the
+    * median, not the mean. Fisher scoring through [[poissonFit]]'s
+    * shared core with W = 1 and gradient residual (y−μ)/μ (log link is
+    * non-canonical for gamma — expected information, the standard
+    * choice), intercept seeded at ln ȳ so the first step cannot
+    * overshoot into exp overflow. Same per-term readout (term_idx,
+    * term, n, coef, se, z_stat); se from the final inverse Fisher
+    * information, UP TO the gamma dispersion φ (se·√φ̂ if the caller
+    * estimates one — the z ordering is φ-free). Caller contract:
+    * y > 0 (zeros belong to a hurdle/Tweedie model, not gamma).
+    *
+    * 100 TB shape: identical to [[poissonFit]] — one seed aggregation
+    * + iters × ONE decimal-quantized Gram aggregation, driver-side
+    * (k+1)×(k+1) solves; nothing data-sized leaves the executors.
+    */
+  def gammaFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, "gammaFit: iters must be 1..16")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = logitBase(df.filter(col(yCol).cast("double") > 0),
+      yCol, xCols)
+    val (beta, invDiag, n) = glmBeta(base, xCols.size, iters,
+      eta => exp(eta), _ => lit(1.0),
+      (y, mu) => (y - mu) / mu, start = logMeanY(base))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    val out = terms.indices.map { i =>
+      val se = math.sqrt(invDiag(i))
+      (i, terms(i), n, r6(beta(i)), r6(se),
+        if (r6(se) > 0) Some(r6(beta(i) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "coef", "se", "z_stat")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Negative-binomial (NB2) regression with log link, V(μ) = μ + αμ²
+    * (Cameron & Trivedi 1998) — [[poissonFit]] for OVERDISPERSED
+    * counts: real event counts (errors per user, visits per day)
+    * almost always have variance ≫ mean, which makes Poisson SEs
+    * anti-conservative; NB2 widens them by the dispersion α the caller
+    * supplies (α → 0 recovers Poisson; α from a pilot Poisson fit's
+    * Pearson statistic is the usual choice). Fisher scoring with
+    * W = μ/(1+αμ), gradient residual (y−μ)/(1+αμ), intercept seeded at
+    * ln ȳ. Same per-term readout (term_idx, term, n, coef, se,
+    * z_stat). Caller contract: y ≥ 0, α ≥ 0 fixed (a profiled α is a
+    * different, non-replayable estimator).
+    *
+    * 100 TB shape: identical to [[poissonFit]].
+    */
+  def negBinFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      alpha: Double, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, "negBinFit: iters must be 1..16")
+    require(alpha >= 0, "negBinFit: alpha must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = logitBase(df, yCol, xCols)
+    val (beta, invDiag, n) = glmBeta(base, xCols.size, iters,
+      eta => exp(eta),
+      mu => mu / (lit(1.0) + lit(alpha) * mu),
+      (y, mu) => (y - mu) / (lit(1.0) + lit(alpha) * mu),
+      start = logMeanY(base))
     def r6(x: Double) =
       if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
       else -math.floor(-x * 1e6 + 0.5) / 1e6

@@ -1092,4 +1092,84 @@ class EventsSpec extends AnyFunSuite {
       .collect().filter(_.getString(0) == "s")
     assert(so.map(_.getInt(1)).max == 2)
   }
+
+  test("ridgeFit: lambda=0 is OLS, shrinkage is monotone, lambda col") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val x0 = (i % 5).toDouble; val x1 = (i % 7).toDouble
+      (3.0 + 2.0 * x0 - 1.5 * x1 + (i % 3 - 1) * 0.25, x0, x1)
+    }
+    val df = rows.toDF("y", "x0", "x1")
+    def coefs(l: Double) = Events.ridgeFit(df, "y", Seq("x0", "x1"), l)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    val ols = Events.olsFit(df, "y", Seq("x0", "x1"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(coefs(0.0) == ols) // lambda = 0 IS the OLS solve
+    // growing lambda shrinks slope magnitudes monotonically
+    val c0 = coefs(0.0); val c1 = coefs(10.0); val c2 = coefs(1000.0)
+    assert(math.abs(c1("x0")) < math.abs(c0("x0")))
+    assert(math.abs(c2("x0")) < math.abs(c1("x0")))
+    assert(math.abs(c2("x1")) < math.abs(c1("x1")))
+    // lambda rides the output; partition invariance
+    val out = Events.ridgeFit(df, "y", Seq("x0", "x1"), 10.0).collect()
+    assert(out.forall(_.getDouble(3) == 10.0))
+    def run(parts: Int) = Events.ridgeFit(
+      df.repartition(parts), "y", Seq("x0", "x1"), 10.0)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+    intercept[IllegalArgumentException] {
+      Events.ridgeFit(df, "y", Seq("x0", "x1"), -1.0)
+    }
+  }
+
+  test("gammaFit: binary covariate recovers exact log group means, " +
+      "zeros dropped") {
+    import spark.implicits._
+    // saturated binary design: fitted group means = sample means, so
+    // intercept = ln(2), slope = ln(6/2) = ln(3) exactly (any V(mu))
+    val rows = (0 until 50).map(i => (if (i % 2 == 0) 1.0 else 3.0, 0.0)) ++
+      (0 until 50).map(i => (if (i % 2 == 0) 5.0 else 7.0, 1.0))
+    val out = Events.gammaFit(rows.toDF("y", "x"), "y", Seq("x"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(math.abs(out("intercept") - math.log(2.0)) < 1e-6)
+    assert(math.abs(out("x") - math.log(3.0)) < 1e-6)
+    // y <= 0 rows are dropped, not fitted
+    val withZero = ((0.0, 0.0) +: rows).toDF("y", "x")
+    val n = Events.gammaFit(withZero, "y", Seq("x"))
+      .collect()(0).getLong(2)
+    assert(n == 100L)
+    // partition invariance
+    def run(parts: Int) = Events.gammaFit(
+      rows.toDF("y", "x").repartition(parts), "y", Seq("x"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("negBinFit: alpha=0 is Poisson, alpha>0 widens SEs only") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (if (i % 2 == 0) 1.0 else 3.0, 0.0)) ++
+      (0 until 50).map(i => (if (i % 2 == 0) 5.0 else 7.0, 1.0))
+    val df = rows.toDF("y", "x")
+    def fit(a: Double) = Events.negBinFit(df, "y", Seq("x"), a)
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val pois = Events.poissonFit(df, "y", Seq("x"))
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val nb0 = fit(0.0)
+    // alpha = 0: identical coefficients to Poisson (same seed-started
+    // path converges to the same saturated MLE at 6 dp)
+    assert(math.abs(nb0("intercept")._1 - pois("intercept")._1) < 1e-6)
+    assert(math.abs(nb0("x")._1 - pois("x")._1) < 1e-6)
+    // saturated design: coefficients stay the exact log group means
+    // for ANY alpha; the SEs widen with alpha
+    val nb5 = fit(0.5)
+    assert(math.abs(nb5("intercept")._1 - math.log(2.0)) < 1e-6)
+    assert(math.abs(nb5("x")._1 - math.log(3.0)) < 1e-6)
+    assert(nb5("intercept")._2 > nb0("intercept")._2)
+    assert(nb5("x")._2 > nb0("x")._2)
+    intercept[IllegalArgumentException] {
+      Events.negBinFit(df, "y", Seq("x"), -0.1)
+    }
+  }
 }
