@@ -4133,7 +4133,23 @@ object SparkEntry {
             .as("active_days"))
       graft.ops.Events.negBinFit(perUser, "n_err",
         Seq("engagement", "active_days"), alpha = 0.5, iters = 8)
-    })
+    }),
+
+    // Simplified silhouette (ops/Similarity.scala): are the embedding
+    // labels geometrically real — per point, distance to its own
+    // label's centroid vs the nearest other centroid, scored per label;
+    // centroids from one dimension-keyed decimal aggregation, distances
+    // as a map-side expression block (no N×k join).
+    "q266_silhouette" -> ((s, dir) =>
+      graft.ops.Similarity.clusterSilhouette(t(s, dir, "embeddings"),
+        "embedding", "label")),
+
+    // Davies-Bouldin index (ops/Similarity.scala): the one-number
+    // separation readout beside q266 — max over rivals of
+    // (S_i+S_j)/M_ij averaged across clusters, lower is better.
+    "q267_davies_bouldin" -> ((s, dir) =>
+      graft.ops.Similarity.daviesBouldin(t(s, dir, "embeddings"),
+        "embedding", "label"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9915,8 +9931,85 @@ object SparkEntry {
           seedIntercept = true)}
          |$rows
          |ORDER BY term_idx""".stripMargin
-    }
+    },
+
+    // Dimension-grain replay: decimal centroid sums, per-(point,label)
+    // decimal distance sums, a/b off the distance table, the s-term
+    // CASE in the operator's double order, decimal-quantized means.
+    "q266_silhouette" ->
+      s"""$clusterCtePrefix
+         |SELECT own AS label, count(*)::BIGINT AS n,
+         |  round(sum(CAST(a AS DECIMAL(38,12)))::DOUBLE / count(*), 6)
+         |    AS mean_dist_own,
+         |  round(sum(CAST(b AS DECIMAL(38,12)))::DOUBLE / count(*), 6)
+         |    AS mean_dist_other,
+         |  round(sum(CAST(CASE WHEN greatest(a, b) > 0
+         |      THEN (b - a) / greatest(a, b)
+         |      ELSE 0.0::DOUBLE END AS DECIMAL(38,12)))::DOUBLE
+         |    / count(*), 6) AS silhouette
+         |FROM ab GROUP BY own ORDER BY own""".stripMargin,
+
+    // The same prefix; S_i per label, centroid-pair distances on the
+    // dimension grain, max-ratio per cluster quantized before the
+    // k-term mean; any coincident centroids null the index.
+    "q267_davies_bouldin" ->
+      s"""$clusterCtePrefix,
+         |si AS (SELECT own AS l,
+         |    sum(CAST(a AS DECIMAL(38,12)))::DOUBLE / count(*)::DOUBLE
+         |      AS s
+         |  FROM ab GROUP BY own),
+         |m AS (SELECT a.l AS la, b.l AS lb,
+         |    sqrt(sum(CAST((a.cx - b.cx) * (a.cx - b.cx)
+         |      AS DECIMAL(38,12)))::DOUBLE) AS m
+         |  FROM cent a JOIN cent b ON a.p = b.p AND a.l <> b.l
+         |  GROUP BY a.l, b.l),
+         |r AS (SELECT m.la,
+         |    max((sa.s + sb.s) / m.m) AS best, min(m.m) AS mmin
+         |  FROM m JOIN si sa ON sa.l = m.la JOIN si sb ON sb.l = m.lb
+         |  GROUP BY m.la),
+         |fin AS (SELECT count(*)::BIGINT AS k,
+         |    (sum(CAST(best AS DECIMAL(38,12))))::DOUBLE AS sb,
+         |    min(mmin) AS mm
+         |  FROM r)
+         |SELECT k, (SELECT sum(n)::BIGINT FROM cnt) AS n,
+         |  CASE WHEN mm > 0 THEN round(sb / k::DOUBLE, 6) END
+         |    AS db_index
+         |FROM fin""".stripMargin
   )
+
+  /** Shared q266/q267 oracle prefix: points → dimension grain →
+    * per-label decimal centroids → per-(point, candidate-label)
+    * decimal distance sums → own/nearest-other distances. */
+  private val clusterCtePrefix =
+    """WITH pts AS MATERIALIZED (
+      |  SELECT vec_id, label::VARCHAR AS l, embedding::DOUBLE[] AS v
+      |  FROM embeddings
+      |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+      |    AND len(embedding) > 0),
+      |cnt AS (SELECT l, count(*)::BIGINT AS n FROM pts GROUP BY l),
+      |ex AS MATERIALIZED (
+      |  SELECT vec_id, l, unnest(range(1, len(v) + 1))::INT AS p,
+      |    unnest(v) AS x
+      |  FROM pts),
+      |cent AS MATERIALIZED (
+      |  SELECT e.l, e.p,
+      |    sum(CAST(e.x AS DECIMAL(38,12)))::DOUBLE / c.n::DOUBLE AS cx
+      |  FROM ex e JOIN cnt c ON c.l = e.l
+      |  GROUP BY e.l, e.p, c.n),
+      |cv AS MATERIALIZED (
+      |  SELECT l, list(cx ORDER BY p) AS cvec FROM cent GROUP BY l),
+      |d AS MATERIALIZED (
+      |  SELECT p.vec_id, p.l AS own, c.l AS cand,
+      |    sqrt(list_reduce(
+      |      [(p.v[i] - c.cvec[i]) * (p.v[i] - c.cvec[i])
+      |        FOR i IN range(1, len(p.v) + 1)],
+      |      (a, b) -> a + b)) AS dist
+      |  FROM pts p, cv c),
+      |ab AS (
+      |  SELECT vec_id, own,
+      |    max(CASE WHEN cand = own THEN dist END) AS a,
+      |    min(CASE WHEN cand <> own THEN dist END) AS b
+      |  FROM d GROUP BY vec_id, own)""".stripMargin
 
   /** [[errTreatPerRowSql]] with the user id carried through (q258's
     * deterministic propensity-tie break). */

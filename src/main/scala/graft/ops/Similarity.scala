@@ -875,4 +875,195 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  /** Per-label mean vectors off ONE dimension-keyed decimal
+    * aggregation: returns (sorted labels, per-label counts, centroids
+    * as Array[Double]) — the shared machinery of [[clusterSilhouette]]
+    * and [[daviesBouldin]]. Labels × dims is the collect bound (k ≤
+    * 4096 enforced); ragged vectors fail loudly. */
+  private def labelCentroids(emb: DataFrame, vecCol: String,
+      labelCol: String)
+      : (Array[String], Map[String, Long], Map[String, Array[Double]],
+        DataFrame) = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val pts = emb
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
+      .select(col(labelCol).cast("string").as("__l"),
+        col(vecCol).as("__v"))
+      .localCheckpoint(true) // consumers: stats + centroid pass +
+        // the caller's distance pass
+    val stats = pts.groupBy(col("__l"))
+      .agg(count(lit(1)).as("n"), min(size(col("__v"))).as("dmin"),
+        max(size(col("__v"))).as("dmax"))
+      .collect()
+    require(stats.nonEmpty, "labelCentroids: empty input")
+    require(stats.length >= 2,
+      s"labelCentroids: need >= 2 labels, got ${stats.length}")
+    require(stats.length <= 4096,
+      s"labelCentroids: ${stats.length} labels exceed the 4096 bound")
+    val dim = stats.head.getInt(2)
+    require(stats.forall(r => r.getInt(2) == dim && r.getInt(3) == dim),
+      "labelCentroids: ragged vector dimensions")
+    val counts = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sums = pts
+      .select(col("__l"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__l"), col("__p"))
+      .agg(sum(d12(col("__x").cast("double"))).as("__s"))
+      .collect() // k x d rows — bounded by the 4096-label gate
+    val cents = sums.groupBy(_.getString(0)).map { case (l, rows) =>
+      val c = new Array[Double](dim)
+      rows.foreach(r => c(r.getInt(1)) =
+        r.getDecimal(2).doubleValue() / counts(l).toDouble)
+      l -> c
+    }
+    (counts.keys.toArray.sorted, counts, cents, pts)
+  }
+
+  /** Per-point distances to every label centroid as ONE map-side
+    * expression block (no join, no shuffle): column `__d_i` = euclidean
+    * distance to sorted-label i's centroid, squared-difference terms
+    * summed as a SEQUENTIAL double fold in array order — the exact op
+    * sequence DuckDB's `list_reduce` replays (a 0-seeded fold equals a
+    * first-element-seeded fold bitwise because 0.0 + t = t for the
+    * non-negative squares), so every distance double is engine-
+    * replayable without decimal quantization. */
+  private def centroidDistCols(labels: Array[String],
+      cents: Map[String, Array[Double]]): Seq[Column] = {
+    labels.toSeq.map { l =>
+      val terms = zip_with(col("__v"), typedlit(cents(l).toSeq),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
+      sqrt(aggregate(terms, lit(0.0), (acc, t) => acc + t))
+    }
+  }
+
+  /** Simplified silhouette of a LABELED embedding table (Rousseeuw
+    * 1987; the centroid form of Hruschka et al. 2004 — a(i)/b(i) are
+    * distances to centroids, not mean pairwise distances, which is the
+    * only formulation that is linear rather than quadratic in N): per
+    * point, a = distance to its own label's centroid, b = the nearest
+    * OTHER label's centroid, s = (b−a)/max(a,b) (0 when both are 0).
+    * THE per-cluster quality readout for any labeled/clustered
+    * embedding set — "are these labels geometrically real" — scoring
+    * each label by its mean silhouette: ≈1 compact and far from the
+    * rest, ≈0 on the boundary, <0 overlapping another cluster.
+    *
+    * Returns one row per label (label, n, mean_dist_own,
+    * mean_dist_other, silhouette), 6 dp, ordered by label; per-point
+    * a/b/s quantize to DECIMAL(38,12) before the group means.
+    *
+    * 100 TB shape: one dimension-keyed aggregation builds the k
+    * centroids (k·d driver bound, k ≤ 4096); distances ride a single
+    * MAP-SIDE expression block over the pinned points (no join, no
+    * N×k×d shuffle — the k centroid literals broadcast in the plan),
+    * then ONE label-keyed aggregate. Linear in N·k·d compute, one
+    * shuffle of k rows.
+    */
+  def clusterSilhouette(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val (labels, _, cents, pts) = labelCentroids(emb, vecCol, labelCol)
+    val dcols = centroidDistCols(labels, cents)
+    val withD = pts.select(col("__l") +:
+      dcols.zipWithIndex.map { case (c, i) => c.as(s"__d_$i") }: _*)
+    val own = labels.indices.foldLeft(lit(null).cast("double")) {
+      (acc, i) => when(col("__l") === labels(i), col(s"__d_$i"))
+        .otherwise(acc)
+    }
+    val otherCands = labels.indices.map(i =>
+      when(col("__l") =!= labels(i), col(s"__d_$i")))
+    val other = least(otherCands: _*)
+    val s = when(greatest(own, other) > 0,
+      (other - own) / greatest(own, other)).otherwise(lit(0.0))
+    withD
+      .select(col("__l").as("label"), d12(own).as("__a"),
+        d12(other).as("__b"), d12(s).as("__s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__a")).cast("double") / count(lit(1)), 6)
+          .as("mean_dist_own"),
+        round(sum(col("__b")).cast("double") / count(lit(1)), 6)
+          .as("mean_dist_other"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 6)
+          .as("silhouette"))
+      .orderBy(col("label"))
+  }
+
+  /** Davies-Bouldin index (Davies & Bouldin 1979) of a labeled
+    * embedding table — the one-number companion to
+    * [[clusterSilhouette]] (lower = better separated):
+    *
+    *   DB = (1/k) Σᵢ maxⱼ≠ᵢ (Sᵢ + Sⱼ) / Mᵢⱼ
+    *
+    * with Sᵢ = mean distance of label i's points to its centroid and
+    * Mᵢⱼ = centroid-to-centroid distance. Returns one row
+    * (k, n, db_index), 6 dp; coincident centroids (Mᵢⱼ = 0) make the
+    * pair's ratio infinite — reported as null db_index rather than a
+    * number (the labels are not a partition worth scoring).
+    *
+    * 100 TB shape: the same two passes as [[clusterSilhouette]] (one
+    * k·d centroid aggregation, one map-side distance pass into a
+    * k-row aggregate); the k×k ratio matrix is driver algebra with
+    * every cross-term DECIMAL(38,12)-quantized (replayable).
+    */
+  def daviesBouldin(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val (labels, counts, cents, pts) =
+      labelCentroids(emb, vecCol, labelCol)
+    val dcols = centroidDistCols(labels, cents)
+    val withD = pts.select(col("__l") +:
+      dcols.zipWithIndex.map { case (c, i) => c.as(s"__d_$i") }: _*)
+    val own = labels.indices.foldLeft(lit(null).cast("double")) {
+      (acc, i) => when(col("__l") === labels(i), col(s"__d_$i"))
+        .otherwise(acc)
+    }
+    val sRows = withD.select(col("__l"), d12(own).as("__a"))
+      .groupBy(col("__l"))
+      .agg(sum(col("__a")).as("__sa"), count(lit(1)).as("__n"))
+      .collect()
+    val sI = sRows.map(r => r.getString(0) ->
+      r.getDecimal(1).doubleValue() / r.getLong(2).toDouble).toMap
+    val k = labels.length
+    // M_ij with per-dim terms quantized exactly like the point
+    // distances (java BigDecimal HALF_UP at scale 12 = the engines'
+    // DECIMAL(38,12) cast), so the oracle replays every double
+    def q12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    def mDist(a: String, b: String): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      val (ca, cb) = (cents(a), cents(b))
+      var p = 0
+      while (p < ca.length) {
+        val d = ca(p) - cb(p)
+        acc = acc.add(q12(d * d))
+        p += 1
+      }
+      math.sqrt(acc.doubleValue())
+    }
+    var degenerate = false
+    var accSum = java.math.BigDecimal.ZERO
+    for (i <- 0 until k if !degenerate) {
+      var best = Double.NegativeInfinity
+      for (j <- 0 until k if j != i) {
+        val m = mDist(labels(i), labels(j))
+        if (m == 0.0) degenerate = true
+        else {
+          val r = (sI(labels(i)) + sI(labels(j))) / m
+          if (r > best) best = r
+        }
+      }
+      if (!degenerate) accSum = accSum.add(q12(best))
+    }
+    val n = counts.values.sum
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val db =
+      if (degenerate) None
+      else Some(r6(accSum.doubleValue() / k.toDouble))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((k.toLong, n, db)).toDF("k", "n", "db_index")
+  }
 }

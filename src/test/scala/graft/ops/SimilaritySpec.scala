@@ -441,4 +441,62 @@ class SimilaritySpec extends AnyFunSuite {
         df(Seq(Array(1f, 0f, 0f))), "v").collect()
     }
   }
+
+  test("clusterSilhouette: hand 2-D case, boundary point, one label") {
+    import spark.implicits._
+    // A = {(0,0),(0,2)} centroid (0,1); B = {(4,0),(4,2)} centroid
+    // (4,1): every point has a = 1, b = sqrt(17), same silhouette
+    val rows = Seq(("A", Array(0f, 0f)), ("A", Array(0f, 2f)),
+      ("B", Array(4f, 0f)), ("B", Array(4f, 2f)))
+    val out = Similarity.clusterSilhouette(rows.toDF("label", "v"),
+      "v", "label").collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val s17 = math.sqrt(17.0)
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L)
+      assert(r.getDouble(2) == 1.0) // mean a
+      assert(math.abs(r.getDouble(3) - s17) < 1e-6)
+      assert(math.abs(r.getDouble(4) - (s17 - 1.0) / s17) < 1e-6)
+    }
+    // a point sitting on the rival centroid scores negative
+    val mixed = Seq(("A", Array(0f, 0f)), ("A", Array(8f, 0f)),
+      ("B", Array(8.1f, 0f)), ("B", Array(7.9f, 0f)))
+    val m = Similarity.clusterSilhouette(mixed.toDF("label", "v"),
+      "v", "label").collect().map(r => r.getString(0) -> r.getDouble(4))
+      .toMap
+    assert(m("A") < 0 || m("A") < m("B")) // A straddles B's centroid
+    assert(m("B") > 0.9) // B is tight and far from A's centroid
+    // a single label is not scoreable
+    intercept[IllegalArgumentException] {
+      Similarity.clusterSilhouette(
+        Seq(("A", Array(0f, 0f)), ("A", Array(1f, 0f))).toDF("label", "v"),
+        "v", "label").collect()
+    }
+  }
+
+  test("daviesBouldin: hand index, coincident centroids null out") {
+    import spark.implicits._
+    val rows = Seq(("A", Array(0f, 0f)), ("A", Array(0f, 2f)),
+      ("B", Array(4f, 0f)), ("B", Array(4f, 2f)))
+    val r = Similarity.daviesBouldin(rows.toDF("label", "v"),
+      "v", "label").collect()(0)
+    // S_A = S_B = 1, M = 4 -> DB = (1+1)/4 = 0.5
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5)
+    // three clusters: each pairs with its worst rival
+    val three = rows ++ Seq(("C", Array(0f, 100f)), ("C", Array(0f, 102f)))
+    val r3 = Similarity.daviesBouldin(three.toDF("label", "v"),
+      "v", "label").collect()(0)
+    // A and B still pair at 0.5 each; remote C contributes
+    // 2/dist(A,C) = 0.02 -> DB = (0.5 + 0.5 + 0.02)/3
+    assert(r3.getLong(0) == 3L)
+    assert(math.abs(r3.getDouble(2) - 1.02 / 3.0) < 1e-6)
+    // coincident centroids -> null index, counts still reported
+    val coin = Seq(("A", Array(0f, 0f)), ("A", Array(2f, 0f)),
+      ("B", Array(1f, 1f)), ("B", Array(1f, -1f)))
+    val rc = Similarity.daviesBouldin(coin.toDF("label", "v"),
+      "v", "label").collect()(0)
+    assert(rc.getLong(0) == 2L && rc.isNullAt(2))
+  }
 }
