@@ -4149,7 +4149,15 @@ object SparkEntry {
     // (S_i+S_j)/M_ij averaged across clusters, lower is better.
     "q267_davies_bouldin" -> ((s, dir) =>
       graft.ops.Similarity.daviesBouldin(t(s, dir, "embeddings"),
-        "embedding", "label"))
+        "embedding", "label")),
+
+    // TextRank keywords (ops/TextAnalysis.scala): corpus keywords as
+    // the top-PageRank words of the adjacency co-occurrence graph —
+    // q208's weighted iteration on a text-built edge list, scores on
+    // the paper's mean-1 scale (PageRank × N).
+    "q268_textrank" -> ((s, dir) =>
+      graft.ops.TextAnalysis.textRank(t(s, dir, "documents"), "text",
+        topK = 25, iterations = 5))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -9974,7 +9982,54 @@ object SparkEntry {
          |SELECT k, (SELECT sum(n)::BIGINT FROM cnt) AS n,
          |  CASE WHEN mm > 0 THEN round(sb / k::DOUBLE, 6) END
          |    AS db_index
-         |FROM fin""".stripMargin
+         |FROM fin""".stripMargin,
+
+    // The q208 weighted-PageRank unroll on a text-built edge list:
+    // SQL tokenizer + stopword filter, adjacent-pair expansion,
+    // canonical pair counts, contributions as pr * (w/outw) (the
+    // operator's folded-share association), final score = pr × N.
+    "q268_textrank" -> {
+      val stop = graft.ops.TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString(", ")
+      val rounds = (1 to 5).map { i =>
+        val p = s"pr${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(p.pr * (e.w / d.outw)) AS c
+           |  FROM e JOIN $p p ON p.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |pr$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / m.n +
+           |      0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+           |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node, meta m)"""
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), t -> t <> '' AND t NOT IN ($stop)) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+         |prs AS (
+         |  SELECT u.a AS a, u.b AS b FROM (
+         |    SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+         |      FOR i IN range(1, len(t))]) AS u
+         |    FROM tok2)
+         |  WHERE u.a <> u.b),
+         |p0 AS (SELECT least(a, b) AS p1, greatest(a, b) AS p2,
+         |    count(*) AS w
+         |  FROM prs GROUP BY 1, 2),
+         |e AS (SELECT p1 AS src, p2 AS dst, w::DOUBLE AS w FROM p0
+         |      UNION ALL SELECT p2, p1, w::DOUBLE FROM p0),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |meta AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, sum(w)::DOUBLE AS outw FROM e GROUP BY src),
+         |pr0 AS (SELECT node, 1.0::DOUBLE / m.n AS pr
+         |        FROM nodes, meta m),
+         |$rounds
+         |SELECT node AS word, round(pr * m.n, 6) AS score
+         |FROM pr5, meta m
+         |ORDER BY score DESC, word LIMIT 25""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -630,4 +630,54 @@ object TextAnalysis {
         prf(col("__lcs"), lc, lr, "rougeL")): _*)
       .orderBy(col(idCol))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts"): corpus-level keywords as the
+    * highest-PageRank nodes of the word CO-OCCURRENCE graph —
+    * adjacent non-stopword token pairs become undirected edges
+    * weighted by their adjacency count, and [[graft.ops.Graph
+    * .pageRankWeighted]] runs on the symmetrized edge list. Scores are
+    * reported on TextRank's own scale (mean 1 over words): the paper's
+    * recursion uses constant (1−d) where PageRank uses (1−d)/N, and
+    * the two fixpoints differ by exactly ×N, so the rank order is
+    * identical and the scale is one multiplication — no second
+    * iteration scheme to maintain. Returns the top `topK` rows
+    * (word, score), 6 dp, score-desc / word-asc.
+    *
+    * 100 TB shape: tokenize + pair expansion are map-side; ONE
+    * vocab-pair-grain aggregation builds the edge list (bounded by
+    * vocabulary², in practice by co-occurrence sparsity), then the
+    * pinned-edge PageRank iteration (one join + node-sized aggregate
+    * per round). The corpus is scanned exactly once.
+    */
+  def textRank(docs: DataFrame, textCol: String, topK: Int = 20,
+      iterations: Int = 5): DataFrame = {
+    require(topK >= 1, "textRank: topK must be >= 1")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(filter(tokens(col(textCol)),
+        t => !t.isInCollection(stopwords)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val pairs = toks
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("a"),
+          element_at(col("__t"), i + 2).as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b")) // self-adjacency is not an edge
+      .select(least(col("a"), col("b")).as("p1"),
+        greatest(col("a"), col("b")).as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst"),
+        col("w")))
+      .localCheckpoint(true) // consumers: node count + the PR setup
+    val n = edges.select(col("src")).distinct().count()
+    require(n > 0, "textRank: no co-occurrence edges after filtering")
+    Graph.pageRankWeighted(edges, "src", "dst", "w", iterations)
+      .select(col("node").as("word"),
+        round(col("pr") * lit(n.toDouble), 6).as("score"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(topK)
+  }
 }

@@ -401,4 +401,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(capped.isNullAt(7) && capped.isNullAt(8) && capped.isNullAt(9))
     assert(!capped.isNullAt(1)) // rouge-n unaffected by the LCS cap
   }
+
+  test("textRank: symmetric pair, hub outranks leaves, stopwords out") {
+    import spark.implicits._
+    // one repeated bigram (+ a stopword-laced doc that reduces to the
+    // same pair): two symmetric nodes -> both score exactly 1.0
+    val sym = Seq("alpha beta alpha beta alpha", "the alpha the beta")
+      .toDF("text")
+    val s = TextAnalysis.textRank(sym, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s.keySet == Set("alpha", "beta"))
+    assert(s.values.forall(_ == 1.0))
+    // star graph: the hub holds more rank than any leaf
+    val star = Seq("hub one", "hub two", "hub three", "hub four")
+      .toDF("text")
+    val st = TextAnalysis.textRank(star, "text", topK = 10).collect()
+    assert(st.head.getString(0) == "hub")
+    assert(st.head.getDouble(1) > st(1).getDouble(1))
+    assert(st.length == 5)
+    // self-adjacency alone builds no edge -> loud failure
+    intercept[IllegalArgumentException] {
+      TextAnalysis.textRank(Seq("zz zz zz").toDF("text"), "text")
+    }
+    // topK caps the output
+    assert(TextAnalysis.textRank(star, "text", topK = 2)
+      .collect().length == 2)
+  }
 }
