@@ -4157,7 +4157,16 @@ object SparkEntry {
     // the paper's mean-1 scale (PageRank × N).
     "q268_textrank" -> ((s, dir) =>
       graft.ops.TextAnalysis.textRank(t(s, dir, "documents"), "text",
-        topK = 25, iterations = 5))
+        topK = 25, iterations = 5)),
+
+    // Time-decay attribution (ops/Events.scala): q188's range join with
+    // recency weights 0.5^age, age in whole 1-day half-lives — integer
+    // exponents keep the weight an exact power of two on both engines.
+    "q269_timedecay_attribution" -> ((s, dir) =>
+      graft.ops.Events.attributionTimeDecay(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        col("event_type") === "purchase",
+        lookbackMillis = 3L * 86400000L, halfLifeMillis = 86400000L))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10029,7 +10038,34 @@ object SparkEntry {
          |SELECT node AS word, round(pr * m.n, 6) AS score
          |FROM pr5, meta m
          |ORDER BY score DESC, word LIMIT 25""".stripMargin
-    }
+    },
+
+    // q188's join replay with the decay weight: integer whole-day age,
+    // power(0.5, age) exact in IEEE754, weight quantized to
+    // DECIMAL(38,12) BEFORE the per-conversion sum (order-invariant)
+    "q269_timedecay_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id AS u,
+        |             epoch_ms(ts)::BIGINT AS cms
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, epoch_ms(ts)::BIGINT AS tms,
+        |        event_type AS ch
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT cid, coalesce(ch, '(direct)') AS channel,
+        |        CASE WHEN ch IS NULL THEN 0
+        |          ELSE floor((cms - tms)::DOUBLE / 86400000.0::DOUBLE)::BIGINT
+        |        END AS age
+        |      FROM c LEFT JOIN t ON c.u = t.u AND t.tms <= c.cms
+        |        AND t.tms > c.cms - 259200000),
+        |w AS (SELECT cid, channel,
+        |        CAST(power(0.5::DOUBLE, age::DOUBLE) AS DECIMAL(38,12))
+        |          AS wq FROM j),
+        |k AS (SELECT cid, channel,
+        |        CAST(wq::DOUBLE /
+        |          (sum(wq) OVER (PARTITION BY cid))::DOUBLE
+        |          AS DECIMAL(38,12)) AS share FROM w)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        |  round(sum(share)::DOUBLE, 6) AS credit
+        |FROM k GROUP BY channel ORDER BY channel""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -2123,6 +2123,74 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** Time-decay multi-touch attribution: every touch in a conversion's
+    * lookback window gets a share proportional to `0.5^age`, where
+    * `age = floor((t_conv − t_touch) / halfLifeMillis)` — a touch one
+    * half-life before the conversion earns half the weight of one at
+    * conversion time. The recency-weighted member of the
+    * [[attribution]] / [[attributionLinear]] family; a conversion with
+    * no windowed touch credits `(direct)` in full.
+    *
+    * The decay exponent is an INTEGER (whole half-lives), so the
+    * weight is an exact power of two in IEEE754 — bit-identical across
+    * engines, unlike a fractional-exponent `pow` whose last ulp is
+    * libm-dependent. Shares quantize to DECIMAL(38,12) (partition-
+    * invariant); credit rounds to 6 dp and sums to the conversion
+    * count to that quantization, exactly as [[attributionLinear]].
+    *
+    * 100 TB shape: the same user-keyed range join (output bounded by
+    * touches-per-lookback), one conversion-key aggregate for the
+    * weight total, one channel-key fold — nothing conversion-unbounded.
+    */
+  def attributionTimeDecay(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      isConversion: Column, lookbackMillis: Long,
+      halfLifeMillis: Long): DataFrame = {
+    require(lookbackMillis > 0, "lookbackMillis must be positive")
+    require(halfLifeMillis > 0, "halfLifeMillis must be positive")
+    // 12-dp weight quantization underflows past 0.5^39; cap the whole-
+    // half-life span inside the window so no conversion's weight total
+    // can quantize to zero
+    require(lookbackMillis / halfLifeMillis <= 30,
+      "attributionTimeDecay: lookback must span <= 30 half-lives")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+      col(idCol).as("__id"), col(typeCol).as("__ch"),
+      isConversion.as("__conv"))
+    val conv = ev.filter(col("__conv"))
+      .select(col("__u"), col("__ms").as("__cms"), col("__id").as("__cid"))
+    val tch = ev.filter(!col("__conv"))
+      .select(col("__u"), col("__ms").as("__tms"), col("__ch"))
+    val paired = conv.join(tch,
+      conv("__u") === tch("__u") &&
+        col("__tms") <= col("__cms") &&
+        col("__tms") > col("__cms") - lit(lookbackMillis), "left")
+      .select(col("__cid"),
+        coalesce(col("__ch"), lit("(direct)")).as("channel"),
+        // age in whole half-lives: 0 for (direct) so its lone weight
+        // is 1.0 and the full credit lands, matching the linear op
+        when(col("__ch").isNull, lit(0L))
+          .otherwise(floor((col("__cms") - col("__tms")) /
+            lit(halfLifeMillis).cast("double")).cast("long"))
+          .as("__age"))
+      // exact power of two, quantized to DECIMAL(38,12) BEFORE the
+      // window sum so the per-conversion total is addition-order-
+      // invariant (raw double window sums are partition-order-sensitive)
+      .withColumn("__w",
+        pow(lit(0.5), col("__age").cast("double")).cast("decimal(38,12)"))
+    val wConv = Window.partitionBy(col("__cid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    paired
+      .withColumn("__share",
+        (col("__w").cast("double") /
+          sum(col("__w")).over(wConv).cast("double"))
+          .cast("decimal(38,12)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__share")).cast("double"), 6).as("credit"))
+      .orderBy(col("channel"))
+  }
+
   /** Simple exponential smoothing (SES) one-step forecast per key over
     * its OBSERVED daily-count series: the closed form of
     * `s_t = α·x_t + (1-α)·s_{t-1}`, `s_1 = x_1` —

@@ -431,6 +431,37 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("time-decay attribution: halved weight per whole half-life") {
+    // conv A at t=3min, half-life 1min: view@1 (age 2, w=.25),
+    // click@2 (age 1, w=.5) -> shares 1/3 and 2/3;
+    // conv B: view@1 sole touch -> 1; conv C: no touch -> (direct) 1
+    val rows = Seq(
+      (1L, 11L, "view", ts(1)), (1L, 12L, "click", ts(2)),
+      (1L, 13L, "purchase", ts(3)),
+      (2L, 21L, "view", ts(1)), (2L, 22L, "purchase", ts(2)),
+      (3L, 31L, "purchase", ts(5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.attributionTimeDecay(rows, "user_id", "event_type",
+        "ts", "event_id", col("event_type") === "purchase",
+        lookbackMillis = 600000L, halfLifeMillis = 60000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("(direct)", 1L, 1.0), ("click", 1L, 0.666667),
+      ("view", 2L, 1.333333)))
+    // credit still sums to the conversion count at the 6-dp readout
+    assert(math.abs(out.map(_._3).sum - 3.0) < 2e-6)
+  }
+
+  test("time-decay attribution: rejects a lookback past 30 half-lives") {
+    val rows = Seq((1L, 1L, "purchase", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    intercept[IllegalArgumentException] {
+      Events.attributionTimeDecay(rows, "user_id", "event_type", "ts",
+        "event_id", col("event_type") === "purchase",
+        lookbackMillis = 31L * 60000L, halfLifeMillis = 60000L)
+    }
+  }
+
   test("ses forecast: closed form equals the recursive definition") {
     // key A days 1..4 with counts 4, 2, 8, 6; alpha = 0.5
     // s1=4; s2=3; s3=5.5; s4=5.75
