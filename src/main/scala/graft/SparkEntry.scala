@@ -4166,7 +4166,21 @@ object SparkEntry {
       graft.ops.Events.attributionTimeDecay(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id",
         col("event_type") === "purchase",
-        lookbackMillis = 3L * 86400000L, halfLifeMillis = 86400000L))
+        lookbackMillis = 3L * 86400000L, halfLifeMillis = 86400000L)),
+
+    // Hill tail-index (ops/Profile.scala) of order totals: gamma over
+    // the top-500 order statistics via TakeOrderedAndProject (no global
+    // sort), log terms decimal-quantized.
+    "q270_hill_tail" -> ((s, dir) =>
+      graft.ops.Profile.hillTail(t(s, dir, "orders"), "o_totalprice",
+        k = 500)),
+
+    // Concentration (ops/Profile.scala): HHI + CR-4/CR-8 of supplier
+    // revenue — one supplier aggregate, 1-row total broadcast back,
+    // top-8 heap for the ratios.
+    "q271_concentration" -> ((s, dir) =>
+      graft.ops.Profile.concentration(t(s, dir, "lineitem"),
+        "l_suppkey", "l_extendedprice"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10065,7 +10079,50 @@ object SparkEntry {
         |          AS DECIMAL(38,12)) AS share FROM w)
         |SELECT channel, count(*)::BIGINT AS n_touches,
         |  round(sum(share)::DOUBLE, 6) AS credit
-        |FROM k GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM k GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // top-(k+1) value multiset is tie-proof (threshold terms are
+    // ln(1)=0); log terms quantized before the sum, gamma = sl/k
+    "q270_hill_tail" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+        |           WHERE o_totalprice IS NOT NULL
+        |             AND o_totalprice::DOUBLE > 0),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |top AS (SELECT x FROM v ORDER BY x DESC LIMIT 501),
+        |thr AS (SELECT min(x) AS t FROM top),
+        |s AS (SELECT sum(CAST(CASE WHEN x > t THEN ln(x / t)
+        |        ELSE 0.0::DOUBLE END AS DECIMAL(38,12)))::DOUBLE AS sl
+        |      FROM top, thr)
+        |SELECT nn.n AS n, 500::BIGINT AS k, round(thr.t, 6) AS threshold,
+        |  round(sl / 500.0::DOUBLE, 6) AS gamma_hat,
+        |  CASE WHEN sl / 500.0::DOUBLE > 0.0::DOUBLE
+        |    THEN round(1.0::DOUBLE / (sl / 500.0::DOUBLE), 6)
+        |  END AS alpha_hat
+        |FROM nn, thr, s""".stripMargin,
+
+    // exact DECIMAL entity totals; squared shares quantized before the
+    // global fold; CR ratios off the top-8 rows
+    "q271_concentration" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS e,
+        |    sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS ev
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(ev) AS t, count(*)::BIGINT AS n FROM per),
+        |hhi AS (SELECT sum(CAST((ev::DOUBLE / t.t::DOUBLE) *
+        |          (ev::DOUBLE / t.t::DOUBLE)
+        |          AS DECIMAL(38,12)))::DOUBLE AS s2
+        |        FROM per, tot t),
+        |top AS (SELECT ev, row_number() OVER (ORDER BY ev DESC) AS r
+        |        FROM per ORDER BY ev DESC LIMIT 8),
+        |cr AS (SELECT sum(CASE WHEN r <= 4 THEN ev END) AS c4,
+        |         sum(ev) AS c8 FROM top)
+        |SELECT tot.n AS n_entities, round(tot.t::DOUBLE, 6) AS total,
+        |  round(10000.0::DOUBLE * s2, 6) AS hhi,
+        |  round(c4::DOUBLE / tot.t::DOUBLE, 6) AS cr4,
+        |  round(c8::DOUBLE / tot.t::DOUBLE, 6) AS cr8
+        |FROM tot, hhi, cr""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -1707,4 +1707,105 @@ object Profile {
     Seq((n, r.toLong, kLevels, z, p))
       .toDF("n", "n_pos", "n_levels", "z", "p_value")
   }
+
+  /** Hill tail-index estimator (Hill 1975) over the top-k order
+    * statistics of a positive value column:
+    * `γ̂ = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1))` with `x_(1) ≥ …` the
+    * descending order statistics and `x_(k+1)` the threshold; `α̂ =
+    * 1/γ̂` is the Pareto tail exponent. The heavy-tail diagnostic
+    * behind "can I trust a mean here" — γ̂ near/above 1 means infinite
+    * variance territory (web degrees, doc lengths, spend).
+    *
+    * Ties at the threshold are safe: a term with `x = x_(k+1)` is
+    * ln(1) = 0, so the sum over all k+1 retained rows equals the sum
+    * over the k largest regardless of which tied row the limit kept.
+    * Log terms quantize to DECIMAL(38,12) (order-invariant sum);
+    * readouts round to 6 dp. Returns one row
+    * (n, k, threshold, gamma_hat, alpha_hat); alpha_hat is null when
+    * the top k+1 values are all equal (γ̂ = 0).
+    *
+    * 100 TB shape: `orderBy(desc).limit(k+1)` compiles to
+    * TakeOrderedAndProject — per-partition top-(k+1) heaps merged on
+    * the driver, no global sort shuffle; k is bounded at 100k. One
+    * full-scan count rides beside it.
+    */
+  def hillTail(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, "hillTail: k must be in 1..100000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && col("__x") > 0)
+    val n = base.count()
+    require(n > k + 1,
+      s"hillTail: need more than ${k + 1} positive values, got $n")
+    val top = base.orderBy(col("__x").desc).limit(k + 1)
+      .localCheckpoint(eager = true) // (k+1)-row frame; two consumers
+    val thr = top.agg(min(col("__x")).as("__thr"))
+    val m = top.crossJoin(broadcast(thr))
+      .agg(max(col("__thr")).as("thr"),
+        sum(when(col("__x") > col("__thr"),
+            log(col("__x") / col("__thr"))).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("sl"))
+      .head()
+    val gamma = m.getDecimal(1).doubleValue() / k.toDouble
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n, k.toLong, r6(m.getDouble(0)), r6(gamma),
+      if (gamma > 0) Some(r6(1.0 / gamma)) else None))
+      .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
+  }
+
+  /** Market-concentration readout of a per-entity value distribution:
+    * Herfindahl-Hirschman index `HHI = 10000 · Σ sᵢ²` (sᵢ = entity
+    * share of the total) plus the CR-4 / CR-8 concentration ratios
+    * (top-4 / top-8 entities' combined share). The one-row "is this
+    * corpus/revenue/source mix dominated by a few players" audit
+    * beside [[abcClassify]]'s per-entity banding and
+    * [[keySkewProfile]]'s shuffle-planning face.
+    *
+    * Entity totals sum in DECIMAL(38,12) (exact); each squared share
+    * quantizes to DECIMAL(38,12) before the global sum (order-
+    * invariant). Returns one row
+    * (n_entities, total, hhi, cr4, cr8), 6 dp.
+    *
+    * 100 TB shape: one entity-keyed aggregate, one 1-row total
+    * broadcast back, one entity-sized fold for HHI; the CR ratios ride
+    * a TakeOrderedAndProject top-8 (no global sort).
+    */
+  def concentration(df: DataFrame, entityCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val per = df
+      .select(col(entityCol).as("__e"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__e").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__e")).agg(sum(d12(col("__v"))).as("__ev"))
+      .localCheckpoint(eager = true) // entity-sized; three consumers
+    val tot = per.agg(sum(col("__ev")).as("__t"),
+      count(lit(1)).as("__n"))
+    val share = col("__ev").cast("double") / col("__t").cast("double")
+    val hhiRow = per.crossJoin(broadcast(tot))
+      .agg(max(col("__t")).as("t"), max(col("__n")).as("n"),
+        sum(d12(share * share)).as("s2"))
+      .head()
+    val total = hhiRow.getDecimal(0).doubleValue()
+    val nEnt = hhiRow.getLong(1)
+    require(nEnt > 0 && total != 0.0,
+      "concentration: need a non-empty, non-zero-total distribution")
+    val top8 = per.orderBy(col("__ev").desc).limit(8)
+      .collect().map(_.getDecimal(1)) // ≤ 8 rows
+    def crK(kk: Int) =
+      top8.take(kk).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        .doubleValue() / total
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((nEnt, r6(total),
+      r6(10000.0 * hhiRow.getDecimal(2).doubleValue()),
+      r6(crK(4)), r6(crK(8))))
+      .toDF("n_entities", "total", "hhi", "cr4", "cr8")
+  }
 }

@@ -830,5 +830,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(rf.isNullAt(3) && rf.isNullAt(4))
   }
 
+  test("hill tail: recovers a pure Pareto exponent") {
+    // exact Pareto(alpha) quantiles: x_i = (i/n)^(-1/alpha) over a
+    // uniform grid — the Hill estimate over any top-k is close to alpha
+    val alpha = 2.0
+    val xs = (1 to 5000).map(i => math.pow(i / 5000.0, -1.0 / alpha))
+    val r = Profile.hillTail(xs.toDF("x"), "x", k = 200).collect()(0)
+    assert(r.getLong(0) == 5000L && r.getLong(1) == 200L)
+    assert(math.abs(r.getDouble(4) - alpha) < 0.05,
+      s"alpha_hat=${r.getDouble(4)}")
+    // gamma is the reciprocal
+    assert(math.abs(r.getDouble(3) * r.getDouble(4) - 1.0) < 1e-4)
+  }
+
+  test("hill tail: all-equal top yields gamma 0 and a null alpha") {
+    val xs = Seq.fill(50)(7.0) ++ Seq(1.0, 2.0)
+    val r = Profile.hillTail(xs.toDF("x"), "x", k = 10).collect()(0)
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
+  test("concentration: HHI and CR match hand-computed shares") {
+    // entity values 50, 30, 10, 5, 3, 2 -> total 100
+    val rows = Seq(("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 5.0),
+      ("e", 3.0), ("f", 2.0)).toDF("e", "v")
+    val r = Profile.concentration(rows, "e", "v").collect()(0)
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 100.0)
+    val hhi = 10000.0 * (0.25 + 0.09 + 0.01 + 0.0025 + 0.0009 + 0.0004)
+    assert(math.abs(r.getDouble(2) - hhi) < 1e-6)
+    assert(r.getDouble(3) == 0.95) // top-4 share
+    assert(r.getDouble(4) == 1.0)  // only 6 entities: CR-8 = all
+  }
+
+  test("concentration: a monopoly reads 10000 HHI") {
+    val rows = Seq(("a", 9.0), ("b", 0.0)).toDF("e", "v")
+    val r = Profile.concentration(rows, "e", "v").collect()(0)
+    assert(r.getDouble(2) == 10000.0 && r.getDouble(3) == 1.0)
+  }
+
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 }
