@@ -4180,7 +4180,15 @@ object SparkEntry {
     // top-8 heap for the ratios.
     "q271_concentration" -> ((s, dir) =>
       graft.ops.Profile.concentration(t(s, dir, "lineitem"),
-        "l_suppkey", "l_extendedprice"))
+        "l_suppkey", "l_extendedprice")),
+
+    // EWMA control chart (ops/Events.scala): per-event-type daily
+    // counts on a 60-day zero-filled spine, λ=0.2, 3σ time-varying
+    // limits — the whole recursion is one aggregate() fold per key.
+    "q272_ewma_chart" -> ((s, dir) =>
+      graft.ops.Events.ewmaChart(t(s, dir, "events"), "event_type",
+        "ts", startDay = "2024-01-01", numDays = 60, lambda = 0.2,
+        limitL = 3.0))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10122,7 +10130,57 @@ object SparkEntry {
         |  round(10000.0::DOUBLE * s2, 6) AS hhi,
         |  round(c4::DOUBLE / tot.t::DOUBLE, 6) AS cr4,
         |  round(c8::DOUBLE / tot.t::DOUBLE, 6) AS cr8
-        |FROM tot, hhi, cr""".stripMargin
+        |FROM tot, hhi, cr""".stripMargin,
+
+    // the ewmaChart fold replayed as a recursive CTE over the same
+    // zero-filled spine: z seeded at mu, sigma from decimal-quantized
+    // squared deviations, ooc compared on the 6-dp readouts
+    "q272_ewma_chart" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT
+        |      AS idx,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ptf AS (SELECT * FROM pts WHERE idx >= 0 AND idx < 60),
+        |keys AS (SELECT DISTINCT key FROM ptf),
+        |spine AS (SELECT key, unnest(range(0, 60))::INT AS idx FROM keys),
+        |xs AS (SELECT s.key, s.idx, coalesce(p.n, 0)::DOUBLE AS x
+        |       FROM spine s LEFT JOIN ptf p
+        |         ON p.key = s.key AND p.idx = s.idx),
+        |mo AS (SELECT key, sum(x) / 60.0::DOUBLE AS mu
+        |       FROM xs GROUP BY key),
+        |sg AS (SELECT x.key,
+        |    sqrt(sum(CAST((x.x - mu) * (x.x - mu)
+        |      AS DECIMAL(38,12)))::DOUBLE / 60.0::DOUBLE) AS sigma
+        |  FROM xs x JOIN mo ON mo.key = x.key GROUP BY x.key, mu),
+        |ew AS (
+        |  SELECT key, -1 AS t, mu AS z FROM mo
+        |  UNION ALL
+        |  SELECT ew.key, ew.t + 1,
+        |    0.2::DOUBLE * x.x + 0.8::DOUBLE * ew.z
+        |  FROM ew JOIN xs x ON x.key = ew.key AND x.idx = ew.t + 1
+        |  WHERE ew.t < 59),
+        |lim AS (SELECT ew.key, ew.t AS day_idx, ew.z,
+        |    mo.mu + 3.0::DOUBLE * sg.sigma *
+        |      sqrt((0.2::DOUBLE / 1.8::DOUBLE) *
+        |        (1.0::DOUBLE - power(0.8::DOUBLE,
+        |          2.0::DOUBLE * (ew.t + 1)::DOUBLE))) AS ucl,
+        |    mo.mu - 3.0::DOUBLE * sg.sigma *
+        |      sqrt((0.2::DOUBLE / 1.8::DOUBLE) *
+        |        (1.0::DOUBLE - power(0.8::DOUBLE,
+        |          2.0::DOUBLE * (ew.t + 1)::DOUBLE))) AS lcl
+        |  FROM ew JOIN mo ON mo.key = ew.key
+        |  JOIN sg ON sg.key = ew.key
+        |  WHERE ew.t >= 0)
+        |SELECT l.key, l.day_idx, x.x::BIGINT AS x,
+        |  round(l.z, 6) AS ewma, round(l.ucl, 6) AS ucl,
+        |  round(l.lcl, 6) AS lcl,
+        |  (round(l.z, 6) > round(l.ucl, 6) OR
+        |   round(l.z, 6) < round(l.lcl, 6)) AS out_of_control
+        |FROM lim l JOIN xs x ON x.key = l.key AND x.idx = l.day_idx
+        |ORDER BY l.key, l.day_idx""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -2306,6 +2306,90 @@ object Events {
       .orderBy(col("key"))
   }
 
+  /** EWMA control chart (Roberts 1959): per key over a zero-filled
+    * daily spine, `z_t = λ·x_t + (1−λ)·z_{t−1}` with `z_0 = μ` (the
+    * series mean) and time-varying control limits
+    * `μ ± L·σ·sqrt(λ/(2−λ)·(1 − (1−λ)^{2t}))` (σ the population std
+    * of the spine). The standard small-shift process monitor — more
+    * sensitive than a Shewhart chart to sustained drifts, the batch
+    * face of a streaming drift alarm. Returns one row per (key, day):
+    * (key, day_idx, x, ewma, ucl, lcl, out_of_control), 6 dp; the
+    * out-of-control flag compares the ROUNDED readouts so the boolean
+    * is engine-replayable.
+    *
+    * 100 TB shape: one event-sized collapse to (key, day), then the
+    * whole recursion runs as a single `aggregate()` fold over the
+    * per-key numDays-array ([[holtWinters]]'s device) — sequential in
+    * t (inherent; numDays is a plan-time constant ≤ 366) and
+    * embarrassingly parallel across keys. μ is exact (integer-valued
+    * counts); σ's squared deviations quantize to DECIMAL(38,12), so
+    * every input to the fold is engine-identical.
+    */
+  def ewmaChart(events: DataFrame, keyCol: String, tsCol: String,
+      startDay: String, numDays: Int, lambda: Double,
+      limitL: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    require(limitL > 0 && limitL <= 10, "limitL must be in (0,10]")
+    require(numDays >= 2 && numDays <= 366,
+      "numDays in [2,366] — the spine is a plan-time constant")
+    val t0 = numDays
+    val counts = events
+      .select(col(keyCol).cast("string").as("key"),
+        datediff(to_date(col(tsCol)), to_date(lit(startDay))).as("__i"))
+      .filter(col("key").isNotNull &&
+        col("__i") >= 0 && col("__i") < t0)
+      .groupBy(col("key"), col("__i"))
+      .agg(count(lit(1)).as("__n"))
+    val xs = counts
+      .groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__n"))))
+        .as("__m"))
+      .select(col("key"),
+        transform(sequence(lit(0), lit(t0 - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("__xs"))
+    val nD = lit(t0.toDouble)
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)")
+    val base = xs
+      .withColumn("__mu",
+        aggregate(col("__xs"), lit(0.0), (a, x) => a + x) / nD)
+      .withColumn("__sg", sqrt(
+        aggregate(
+          transform(col("__xs"), x =>
+            ((x - col("__mu")) * (x - col("__mu")))
+              .cast("decimal(38,12)")),
+          zeroDec,
+          (a, x) => (a + x).cast("decimal(38,12)")).cast("double") / nD))
+    // the fold: state (z, per-step z's); array append is O(t) per step
+    // but t ≤ 366 — the cost lives in the bounded spine, not the data
+    val zArr = aggregate(col("__xs"),
+      struct(col("__mu").as("z"),
+        array().cast("array<double>").as("arr")),
+      (st, xv) => {
+        val zNew = lit(lambda) * xv + lit(1.0 - lambda) * st.getField("z")
+        struct(zNew.as("z"),
+          concat(st.getField("arr"), array(zNew)).as("arr"))
+      },
+      st => st.getField("arr"))
+    val perDay = base
+      .select(col("key"), col("__xs"), col("__mu"), col("__sg"),
+        posexplode(zArr).as(Seq("__pos", "__z")))
+      .withColumn("__t", (col("__pos") + 1).cast("double"))
+      .withColumn("__hw",
+        lit(limitL) * col("__sg") *
+          sqrt(lit(lambda / (2.0 - lambda)) *
+            (lit(1.0) - pow(lit(1.0 - lambda), lit(2.0) * col("__t")))))
+    perDay
+      .select(col("key"), col("__pos").as("day_idx"),
+        element_at(col("__xs"), col("__pos") + 1).cast("long").as("x"),
+        round(col("__z"), 6).as("ewma"),
+        round(col("__mu") + col("__hw"), 6).as("ucl"),
+        round(col("__mu") - col("__hw"), 6).as("lcl"))
+      .withColumn("out_of_control",
+        col("ewma") > col("ucl") || col("ewma") < col("lcl"))
+      .orderBy(col("key"), col("day_idx"))
+  }
+
   /** The shared Holt-Winters kernel: per-key zero-filled spine →
     * numDays-array → ONE `aggregate()` fold whose state carries
     * (ℓ, b, seasonal queue, backtest error accumulators). Returns the

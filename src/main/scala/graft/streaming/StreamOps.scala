@@ -68,6 +68,114 @@ object StreamOps {
       .withColumn("is_anomaly",
         coalesce(abs(col("robust_z")) > threshold, lit(false)))
 
+  /** One emitted chart day ([[streamingEwmaChart]]) — the exact column
+    * set of [[graft.ops.Events.ewmaChart]]'s per-day rows. */
+  case class EwmaReading(key: String, day_idx: Long, x: Long, ewma: Double,
+      ucl: Double, lcl: Double, out_of_control: Boolean)
+
+  /** Per-key chart state: open-day counts keyed by day index, the
+    * running EWMA, and the next day index to close. */
+  case class EwmaChartState(pending: Map[Long, Long], z: Double,
+      nextIdx: Long)
+
+  /** Streaming EWMA control chart — the continuous twin of
+    * [[graft.ops.Events.ewmaChart]] with the train-batch/score-stream
+    * split of [[streamingAnomalyScore]]: `baseline` carries the
+    * process center and spread per key as (key, mu, sigma) — typically
+    * the reference window's mean and population std, exactly what the
+    * batch face computes — and the live stream folds
+    * `z_t = λ·x_t + (1−λ)·z_{t−1}` (z₀ = μ) over UTC-day arrival
+    * counts, emitting one [[EwmaReading]] per (key, closed day) with
+    * the batch face's time-varying limits and 6-dp-rounded flag
+    * algebra, so identical input produces identical readouts (the
+    * batch-parity spec asserts it).
+    *
+    * Day indexes anchor at `startDay` (UTC midnight, like the batch
+    * spine); days the key was silent fold as x = 0 — the zero-filled
+    * spine is replicated, not skipped, INCLUDING leading zeros before
+    * the key's first event. A key goes on emitting zero-days as long
+    * as the GLOBAL watermark advances (the timeout re-arms every
+    * firing); a key absent from `baseline` is not monitored (unknown
+    * is not alarmed — the [[streamingAnomalyScore]] convention).
+    *
+    * State per key is (open-day counts ∪ z ∪ next index) — day-grain,
+    * watermark-bounded. The baseline is a driver-side map captured in
+    * the state closure: key domain must be bounded (it is a CHART —
+    * one series per monitored dimension value).
+    */
+  def streamingEwmaChart(events: DataFrame, keyCol: String, tsCol: String,
+      baseline: DataFrame, startDay: String, lambda: Double,
+      limitL: Double, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[EwmaReading] = {
+    import spark.implicits._
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    require(limitL > 0 && limitL <= 10, "limitL must be in (0,10]")
+    val dayMs = 86400000L
+    val startMs = java.time.LocalDate.parse(startDay)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val base = baseline
+      .select(col("key").cast("string"), col("mu").cast("double"),
+        col("sigma").cast("double"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    // close every day whose window end is at or before the watermark,
+    // zero-filling skipped indexes — the batch spine's fold, resumed
+    def close(key: String, st: EwmaChartState, wmMs: Long)
+        : (EwmaChartState, Seq[EwmaReading]) = {
+      val (mu, sigma) = base(key)
+      val lastComplete = (wmMs - startMs) / dayMs - 1
+      if (lastComplete < st.nextIdx) (st, Seq.empty)
+      else {
+        var z = st.z
+        val out = (st.nextIdx to lastComplete).map { idx =>
+          val x = st.pending.getOrElse(idx, 0L)
+          z = lambda * x + (1.0 - lambda) * z
+          val t = (idx + 1).toDouble
+          val hw = limitL * sigma *
+            math.sqrt(lambda / (2.0 - lambda) *
+              (1.0 - math.pow(1.0 - lambda, 2.0 * t)))
+          val (ew, u, l) = (r6(z), r6(mu + hw), r6(mu - hw))
+          EwmaReading(key, idx, x, ew, u, l, ew > u || ew < l)
+        }
+        (EwmaChartState(st.pending -- (st.nextIdx to lastComplete),
+          z, lastComplete + 1), out)
+      }
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("__ts"))
+      .filter(col("k").isNotNull)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaChartState, EwmaReading](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[EwmaChartState]) =>
+          if (!base.contains(key)) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse(
+              EwmaChartState(Map.empty, base(key)._1, 0L))
+            val merged = rows.foldLeft(st0.pending) { (m, r) =>
+              val idx = (r._2.getTime - startMs) / dayMs
+              if (r._2.getTime < startMs) m
+              else m.updated(idx, m.getOrElse(idx, 0L) + 1L)
+            }
+            val (stNew, out) =
+              close(key, EwmaChartState(merged, st0.z, st0.nextIdx), wm)
+            state.update(stNew)
+            // re-arm on every firing so silent keys keep closing
+            // zero-days as the global watermark moves
+            state.setTimeoutTimestamp(wm + 1)
+            out.iterator
+          }
+      }
+  }
+
   /** One closed window's drift readout ([[streamingKsDrift]]). */
   case class KsDrift(window_start: java.sql.Timestamp, n: Long,
       d_stat: Double, p_value: Double, drift: Boolean)

@@ -462,6 +462,32 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma chart: recursion, zero-fill, and control limits") {
+    // key A: 4 events day1, none day2 (zero-filled), 8 day3, 4 day4
+    // mu = 4, sigma = sqrt(8); lambda=.5: z = 4, 2, 5, 4.5
+    val rows = Seq.fill(4)(("A", day(1))) ++ Seq.fill(8)(("A", day(3))) ++
+      Seq.fill(4)(("A", day(4)))
+    val out = Events.ewmaChart(rows.toDF("k", "ts"), "k", "ts",
+        startDay = "2024-01-01", numDays = 4, lambda = 0.5, limitL = 3.0)
+      .collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 0L, 8L, 4L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(4.0, 2.0, 5.0, 4.5))
+    val sigma = math.sqrt(8.0)
+    val hw1 = 3.0 * sigma * math.sqrt(0.5 / 1.5 * (1 - 0.25))
+    assert(math.abs(out(0).getDouble(4) - (4.0 + hw1)) < 1e-6)
+    assert(out.forall(!_.getBoolean(6))) // all in control here
+  }
+
+  test("ewma chart: a large spike trips the out-of-control flag") {
+    val rows = (1 to 9).flatMap(d => Seq.fill(5)(("A", day(d)))) ++
+      Seq.fill(50)(("A", day(10)))
+    val out = Events.ewmaChart(rows.toDF("k", "ts"), "k", "ts",
+        startDay = "2024-01-01", numDays = 10, lambda = 0.9, limitL = 2.0)
+      .collect()
+    assert(!out(8).getBoolean(6) && out(9).getBoolean(6))
+  }
+
   test("ses forecast: closed form equals the recursive definition") {
     // key A days 1..4 with counts 4, 2, 8, 6; alpha = 0.5
     // s1=4; s2=3; s3=5.5; s4=5.75

@@ -76,6 +76,63 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA chart matches batch ewmaChart across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // key A daily counts on the 2024-01-01 spine: 4, 0, 8, 4 ->
+    // mu = 4, population sigma = sqrt(8) (exact in double AND in the
+    // batch face's decimal-quantized fold — integer deviations)
+    val baseline = Seq(("A", 4.0, math.sqrt(8.0))).toDF("key", "mu", "sigma")
+    val q = StreamOps.streamingEwmaChart(input.toDF(), "event_type", "ts",
+        baseline, startDay = "2024-01-01", lambda = 0.5, limitL = 3.0)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append).start()
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-0$day $hour%02d:00:00")
+    try {
+      // day 1's four events split across TWO micro-batches: state merges
+      input.addData((1 to 2).map(i =>
+        EventRow(i.toLong, at(1, i), 1, "A", 1.0)) :+
+        EventRow(99, at(1, 3), 1, "unmonitored", 1.0): _*)
+      q.processAllAvailable()
+      input.addData((3 to 4).map(i =>
+        EventRow(i.toLong, at(1, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      // day 3: 8 events; day 4: 4 events (day 2 is a zero-day)
+      input.addData((1 to 8).map(i =>
+        EventRow(10 + i.toLong, at(3, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 4).map(i =>
+        EventRow(20 + i.toLong, at(4, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      // sentinel far ahead: watermark passes day 4's end, closing 0..3
+      input.addData(EventRow(999, at(7, 12), 1, "A", 1.0))
+      q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT * FROM ewma_out WHERE day_idx < 4 ORDER BY day_idx")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      // batch face on the identical event set (sentinel excluded by the
+      // 4-day spine)
+      val batchEvents = ((1 to 4).map(i => ("A", at(1, i))) ++
+        (1 to 8).map(i => ("A", at(3, i))) ++
+        (1 to 4).map(i => ("A", at(4, i)))).toDF("k", "ts")
+      val batch = graft.ops.Events.ewmaChart(batchEvents, "k", "ts",
+          startDay = "2024-01-01", numDays = 4, lambda = 0.5,
+          limitL = 3.0)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      assert(stream.length == 4, s"got ${stream.length} chart rows")
+      assert(stream.toSeq == batch.toSeq)
+      // the unmonitored key emitted nothing
+      assert(spark.sql(
+        "SELECT count(*) FROM ewma_out WHERE key = 'unmonitored'")
+        .collect()(0).getLong(0) == 0L)
+    } finally q.stop()
+  }
+
   test("streaming KS drift matches batch ksTest across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
