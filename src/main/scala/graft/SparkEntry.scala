@@ -4188,7 +4188,25 @@ object SparkEntry {
     "q272_ewma_chart" -> ((s, dir) =>
       graft.ops.Events.ewmaChart(t(s, dir, "events"), "event_type",
         "ts", startDay = "2024-01-01", numDays = 60, lambda = 0.2,
-        limitL = 3.0))
+        limitL = 3.0)),
+
+    // AR(3) Yule-Walker fit (ops/Events.scala): Levinson-Durbin over
+    // the 6-dp ACF grain per event type — the solve runs on the
+    // series-count-bounded ACF frame, never on events.
+    "q273_ar_fit" -> ((s, dir) =>
+      graft.ops.Events.arFit(t(s, dir, "events"), "event_type", "ts",
+        p = 3)),
+
+    // ADF unit-root test (ops/Events.scala): daily 'view' counts,
+    // constant + 2 augmentation lags through the olsFit Gram device;
+    // the ADF stat is y_{t-1}'s t-ratio.
+    "q274_adf_test" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "view" && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Events.adfTest(daily, "day", "n", lags = 2)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10180,7 +10198,95 @@ object SparkEntry {
         |  (round(l.z, 6) > round(l.ucl, 6) OR
         |   round(l.z, 6) < round(l.lcl, 6)) AS out_of_control
         |FROM lim l JOIN xs x ON x.key = l.key AND x.idx = l.day_idx
-        |ORDER BY l.key, l.day_idx""".stripMargin
+        |ORDER BY l.key, l.day_idx""".stripMargin,
+
+    // q243's ACF replay to lag 3, rounded to the 6-dp grain, then the
+    // Levinson-Durbin recursion unrolled with the operator's exact
+    // fold order ((p21*a2) + (p22*a1), e guards before each division)
+    "q273_ar_fit" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, day, n,
+        |    count(*) OVER (PARTITION BY key) AS cnt,
+        |    (sum(CAST(n AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |      AS mean
+        |  FROM d),
+        |b2 AS (SELECT *, (n::DOUBLE - mean) AS dev FROM b),
+        |b3 AS (SELECT *,
+        |    sum(CAST(dev * dev AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY key) AS den
+        |  FROM b2),
+        |i AS (SELECT *, row_number()
+        |        OVER (PARTITION BY key ORDER BY day) AS idx FROM b3),
+        |ks AS (SELECT unnest(range(1, 4)) AS lag),
+        |lt AS (
+        |  SELECT a.key, a.den, ks.lag, a.dev * p.dev AS term
+        |  FROM i a JOIN ks ON TRUE
+        |    JOIN i p ON p.key = a.key AND p.idx = a.idx - ks.lag),
+        |rk AS (
+        |  SELECT key, lag, max(den) AS den,
+        |    sum(CAST(term AS DECIMAL(38,12))) AS num
+        |  FROM lt GROUP BY key, lag),
+        |rr AS (SELECT key, lag,
+        |    CASE WHEN den::DOUBLE > 0.0::DOUBLE
+        |      THEN round(num::DOUBLE / den::DOUBLE, 6) END AS r
+        |  FROM rk),
+        |pv AS (SELECT key,
+        |    max(CASE WHEN lag = 1 THEN r END) AS a1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS a2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS a3
+        |  FROM rr GROUP BY key),
+        |pvf AS (SELECT * FROM pv WHERE a1 IS NOT NULL
+        |          AND a2 IS NOT NULL AND a3 IS NOT NULL),
+        |l1 AS (SELECT key, a1, a2, a3, a1 AS k1,
+        |    (1.0::DOUBLE - (a1 * a1)) AS e1 FROM pvf),
+        |l2 AS (SELECT *, CASE WHEN e1 <> 0.0::DOUBLE
+        |    THEN (a2 - (k1 * a1)) / e1 END AS k2 FROM l1),
+        |l2b AS (SELECT *, (k1 - (k2 * k1)) AS p21, k2 AS p22,
+        |    (e1 * (1.0::DOUBLE - (k2 * k2))) AS e2
+        |  FROM l2 WHERE k2 IS NOT NULL),
+        |l3 AS (SELECT *, CASE WHEN e2 <> 0.0::DOUBLE
+        |    THEN (a3 - ((p21 * a2) + (p22 * a1))) / e2 END AS k3
+        |  FROM l2b),
+        |fin AS (SELECT key, (p21 - (k3 * p22)) AS p31,
+        |    (p22 - (k3 * p21)) AS p32, k3 AS p33,
+        |    (e2 * (1.0::DOUBLE - (k3 * k3))) AS e3
+        |  FROM l3 WHERE k3 IS NOT NULL)
+        |SELECT key, lag, round(phi, 6) AS phi,
+        |  round(e3, 6) AS var_ratio
+        |FROM (
+        |  SELECT key, 1 AS lag, p31 AS phi, e3 FROM fin
+        |  UNION ALL SELECT key, 2, p32, e3 FROM fin
+        |  UNION ALL SELECT key, 3, p33, e3 FROM fin)
+        |ORDER BY key, lag""".stripMargin,
+
+    // daily-count lag frame via window functions, then the shared
+    // olsFit Gram replay; the ADF readout is term_idx 1 (y_{t-1})
+    "q274_adf_test" -> {
+      val perRow =
+        """WITH ds AS (
+          |  SELECT ts::DATE AS day, count(*)::BIGINT AS nn
+          |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+          |  GROUP BY 1),
+          |s1 AS (SELECT day, nn::DOUBLE AS yy FROM ds),
+          |lg AS (SELECT day, yy,
+          |    lag(yy, 1) OVER (ORDER BY day) AS ylag FROM s1),
+          |dd AS (SELECT day, (yy - ylag) AS dy, ylag FROM lg)
+          |SELECT (dy) AS y, ylag AS x0,
+          |  lag(dy, 1) OVER (ORDER BY day) AS x1,
+          |  lag(dy, 2) OVER (ORDER BY day) AS x2
+          |FROM dd""".stripMargin
+      s"""SELECT n, 2 AS lags, coef AS beta, t_stat AS adf_stat,
+         |  CASE WHEN t_stat IS NOT NULL
+         |    THEN t_stat < -2.86::DOUBLE END AS stationary
+         |FROM (
+         |${olsFitOracleSql(perRow, 3, Seq("ylag", "dl1", "dl2"))}
+         |) WHERE term_idx = 1""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -2526,4 +2526,110 @@ object Events {
         round(col("acf_raw"), 6).as("acf"), col("lb_q"))
       .orderBy(col("key"), col("lag"))
   }
+
+  /** AR(p) autoregression fit per key by Yule-Walker: solve the
+    * Toeplitz system `R·φ = r` over the series' autocorrelations with
+    * the Levinson-Durbin recursion (Durbin 1960). Input
+    * autocorrelations are [[acf]]'s 6-dp readouts — quantized BEFORE
+    * the solve on both faces, so the recursion's every double is
+    * engine-replayable. Returns one row per (key, lag ≤ p):
+    * (key, lag, phi, var_ratio) where `phi` is the order-p
+    * coefficient φ_{p,lag} and `var_ratio = E_p = Π(1−k_m²)` the
+    * innovation-variance share left after conditioning on p lags (1 =
+    * the AR terms explain nothing, → 0 = near-deterministic). 6 dp.
+    *
+    * Keys whose series is too short for lag p (a missing/null ACF) or
+    * hits a degenerate step (E_m = 0, |ACF| = 1) are omitted — stated,
+    * not silently emitted as NaN.
+    *
+    * 100 TB shape: the heavy work is [[acf]]'s one event-sized
+    * collapse + calendar-bounded windows; the solve runs on the
+    * collected (key × p) ACF frame — bounded by the number of
+    * monitored SERIES (the [[graft.streaming.StreamOps.streamingEwmaChart]]
+    * baseline argument), never by events.
+    */
+  def arFit(events: DataFrame, keyCol: String, tsCol: String,
+      p: Int): DataFrame = {
+    require(p >= 1 && p <= 5, "arFit: p must be in 1..5")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = acf(events, keyCol, tsCol, maxLag = p)
+      .select(col("key"), col("lag"), col("acf"))
+      .collect() // (keys × p) — series-count-bounded, not event-bounded
+    val byKey = rows.groupBy(_.getString(0))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = byKey.toSeq.sortBy(_._1).flatMap { case (key, rs) =>
+      val r = new Array[Double](p + 1)
+      var complete = true
+      (1 to p).foreach { l =>
+        rs.find(_.getInt(1) == l) match {
+          case Some(row) if !row.isNullAt(2) => r(l) = row.getDouble(2)
+          case _ => complete = false
+        }
+      }
+      if (!complete) Seq.empty
+      else {
+        val phi = Array.ofDim[Double](p + 1, p + 1)
+        val e = new Array[Double](p + 1)
+        e(0) = 1.0
+        var degenerate = false
+        (1 to p).foreach { m =>
+          if (!degenerate) {
+            if (e(m - 1) == 0.0) degenerate = true
+            else {
+              val acc = (1 until m).foldLeft(0.0)((a, j) =>
+                a + phi(m - 1)(j) * r(m - j))
+              val k = (r(m) - acc) / e(m - 1)
+              phi(m)(m) = k
+              (1 until m).foreach(j =>
+                phi(m)(j) = phi(m - 1)(j) - k * phi(m - 1)(m - j))
+              e(m) = e(m - 1) * (1.0 - k * k)
+            }
+          }
+        }
+        if (degenerate) Seq.empty
+        else (1 to p).map(l => (key, l, r6(phi(p)(l)), r6(e(p))))
+      }
+    }
+    out.toDF("key", "lag", "phi", "var_ratio")
+      .orderBy(col("key"), col("lag"))
+  }
+
+  /** Augmented Dickey-Fuller unit-root test (constant-only model) of a
+    * single ordered series: the OLS regression
+    * `Δy_t = α + β·y_{t−1} + Σ_{i≤lags} γ_i·Δy_{t−i} + ε` via
+    * [[olsFit]]'s one-aggregation Gram device; the ADF statistic is
+    * β's t-ratio. `stationary` flags adf_stat < −2.86 (the asymptotic
+    * 5% critical value for the constant-only case, MacKinnon 1991),
+    * compared on the 6-dp readout. Returns one row
+    * (n, lags, beta, adf_stat, stationary); adf_stat/stationary null
+    * when β's se rounds to 0.
+    *
+    * The lag frame rides ONE unpartitioned window — bounded by the
+    * SERIES length (a calendar-bounded daily spine, the [[acf]]
+    * argument), not by events: aggregate upstream to series grain
+    * first.
+    */
+  def adfTest(series: DataFrame, orderCol: String, valueCol: String,
+      lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 10, "adfTest: lags must be in 0..10")
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val base0 = series
+      .select(col(orderCol).as("__o"),
+        col(valueCol).cast("double").as("__y"))
+      .filter(col("__y").isNotNull && col("__o").isNotNull)
+      .withColumn("__ylag", lag(col("__y"), 1).over(w))
+      .withColumn("__dy", col("__y") - col("__ylag"))
+    val withLags = (1 to lags).foldLeft(base0)((acc, i) =>
+      acc.withColumn(s"__dl$i", lag(col("__dy"), i).over(w)))
+    val fit = olsFit(withLags, "__dy",
+      "__ylag" +: (1 to lags).map(i => s"__dl$i"))
+    val beta = fit.filter(col("term") === "__ylag")
+    beta.select(col("n"), lit(lags).as("lags"),
+        col("coef").as("beta"), col("t_stat").as("adf_stat"))
+      .withColumn("stationary",
+        when(col("adf_stat").isNotNull, col("adf_stat") < -2.86))
+  }
 }

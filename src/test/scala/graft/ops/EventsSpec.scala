@@ -462,6 +462,44 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("arFit: order-1 and order-2 match the closed-form Yule-Walker") {
+    // periodic daily counts -> strong, known autocorrelation structure
+    val rows = (1 to 28).flatMap(d =>
+      Seq.fill(10 + 3 * (d % 3))(("A", day(d))))
+    val df = rows.toDF("k", "ts")
+    val acf = Events.acf(df, "k", "ts", maxLag = 2).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val (r1, r2) = (acf(1), acf(2))
+    val p1 = Events.arFit(df, "k", "ts", p = 1).collect()
+    assert(p1.length == 1)
+    assert(math.abs(p1(0).getDouble(2) - r1) < 1e-6)
+    assert(math.abs(p1(0).getDouble(3) - (1 - r1 * r1)) < 1e-6)
+    val p2 = Events.arFit(df, "k", "ts", p = 2).collect()
+    val den = 1 - r1 * r1
+    assert(math.abs(p2(0).getDouble(2) - r1 * (1 - r2) / den) < 1e-5)
+    assert(math.abs(p2(1).getDouble(2) - (r2 - r1 * r1) / den) < 1e-5)
+  }
+
+  test("arFit: a series shorter than p lags is omitted") {
+    val rows = Seq(("B", day(1)), ("B", day(2)))
+    assert(Events.arFit(rows.toDF("k", "ts"), "k", "ts", p = 3)
+      .collect().isEmpty)
+  }
+
+  test("adfTest: mean-reverting series flags stationary, a trend does not") {
+    // alternating 5,9,5,9... -> strongly mean-reverting differences
+    val alt = (1 to 28).map(d =>
+      (day(d), (if (d % 2 == 0) 5.0 else 9.0) + 0.3 * (d % 5)))
+      .toDF("day", "v")
+    val ra = Events.adfTest(alt, "day", "v", lags = 1).collect()(0)
+    assert(ra.getDouble(3) < -2.86 && ra.getBoolean(4))
+    // accelerating trend: nowhere near the stationarity critical value
+    val trend = (1 to 28).map(d => (day(d), d * d + 0.5 * (d % 3)))
+      .toDF("day", "v")
+    val rt = Events.adfTest(trend, "day", "v", lags = 1).collect()(0)
+    assert(!rt.getBoolean(4))
+  }
+
   test("ewma chart: recursion, zero-fill, and control limits") {
     // key A: 4 events day1, none day2 (zero-filled), 8 day3, 4 day4
     // mu = 4, sigma = sqrt(8); lambda=.5: z = 4, 2, 5, 4.5
