@@ -209,6 +209,33 @@ object SparkEntry {
     * (one CTE per elimination step, the operator's exact expression
     * shapes) plus the per-term readout. Returns the SQL fragment from
     * `g0` onward (caller supplies the WITH prefix ending at `pv`). */
+  /** The bare unrolled pivotless elimination as a prefixed CTE chain —
+    * `gjUnrollSql`'s steps without the term-row readout, composable
+    * (two chains with distinct prefixes share one `pv`). Emits CTEs
+    * `${prefix}0 .. ${prefix}p`; the final one holds `g_r_{p}` (β) and
+    * `g_r_{p+1+r}` (inverse diagonal) in the operator's exact
+    * expression shapes. */
+  private def gjChainSql(p: Int, init: (Int, Int) => String,
+      fromCte: String, prefix: String): String = {
+    val w = 2 * p + 1
+    val g0 = (for { r <- 0 until p; j <- 0 until w }
+      yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+    val steps = (0 until p).map { c =>
+      val entries = (for { r <- 0 until p; j <- 0 until w } yield {
+        val e =
+          if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+          else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+        s"$e AS g_${r}_$j"
+      }).mkString(",\n    ")
+      val from = if (c == 0) s"${prefix}0" else s"$prefix$c"
+      s"$prefix${c + 1} AS (SELECT\n    $entries\n  FROM $from)"
+    }.mkString(",\n")
+    s"""${prefix}0 AS (SELECT
+       |    $g0
+       |  FROM $fromCte),
+       |$steps""".stripMargin
+  }
+
   private def gjUnrollSql(p: Int, init: (Int, Int) => String,
       rhs: Seq[String], terms: Seq[String]): String = {
     val w = 2 * p + 1
@@ -4206,7 +4233,31 @@ object SparkEntry {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
       graft.ops.Events.adfTest(daily, "day", "n", lags = 2)
-    })
+    }),
+
+    // Granger causality (ops/Events.scala): does daily click volume
+    // predict next days' purchase volume beyond purchases' own lags?
+    // One Gram aggregation feeds BOTH nested models; F off the two RSS.
+    "q275_granger" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull &&
+          col("event_type").isin("purchase", "click"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"))
+      graft.ops.Events.grangerTest(daily, "day", "n_purchase",
+        "n_click", lags = 2)
+    }),
+
+    // Variance inflation factors (ops/Events.scala): collinearity
+    // audit of three lineitem measures off the 6-dp correlation grain,
+    // inverted with the shared pivotless elimination.
+    "q276_vif" -> ((s, dir) =>
+      graft.ops.Events.vif(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10286,6 +10337,126 @@ object SparkEntry {
          |FROM (
          |${olsFitOracleSql(perRow, 3, Seq("ylag", "dl1", "dl2"))}
          |) WHERE term_idx = 1""".stripMargin
+    },
+
+    // one Gram moments CTE feeds TWO prefixed elimination chains
+    // (restricted p=3, unrestricted p=5); F from the raw RSS pair in
+    // the operator's exact double order
+    "q275_granger" -> {
+      val d = "DECIMAL(38,12)"
+      val k = 4
+      val perRow =
+        """SELECT yy AS y, lag(yy, 1) OVER (ORDER BY day) AS x0,
+          |  lag(yy, 2) OVER (ORDER BY day) AS x1,
+          |  lag(xx, 1) OVER (ORDER BY day) AS x2,
+          |  lag(xx, 2) OVER (ORDER BY day) AS x3
+          |FROM (
+          |  SELECT day, np::DOUBLE AS yy, nc::DOUBLE AS xx FROM (
+          |    SELECT ts::DATE AS day,
+          |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |        END)::BIGINT AS np,
+          |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+          |        END)::BIGINT AS nc
+          |    FROM events
+          |    WHERE ts IS NOT NULL
+          |      AND event_type IN ('purchase', 'click')
+          |    GROUP BY 1))""".stripMargin
+      val notNull = (Seq("y") ++ (0 until k).map(i => s"x$i"))
+        .map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val momAggs = (Seq("count(*)::BIGINT AS n",
+        s"sum(CAST(y AS $d))::DOUBLE AS sy",
+        s"sum(CAST(y * y AS $d))::DOUBLE AS syy") ++
+        (0 until k).map(i => s"sum(CAST(x$i AS $d))::DOUBLE AS sx$i") ++
+        (0 until k).map(i =>
+          s"sum(CAST(x$i * y AS $d))::DOUBLE AS sx${i}y") ++
+        (for { i <- 0 until k; j <- i until k }
+          yield s"sum(CAST(x$i * x$j AS $d))::DOUBLE AS sx${i}x$j"))
+        .mkString(",\n    ")
+      def initFor(idx: Seq[Int]): (Int, Int) => String = {
+        val p = idx.size + 1
+        (r, j) => {
+          def gram(a: Int, b: Int): String =
+            if (a == 0 && b == 0) "n::DOUBLE"
+            else if (a == 0) s"sx${idx(b - 1)}"
+            else {
+              val (lo, hi) = (math.min(idx(a - 1), idx(b - 1)),
+                math.max(idx(a - 1), idx(b - 1)))
+              s"sx${lo}x$hi"
+            }
+          if (j < p) { if (j >= r) gram(r, j) else gram(j, r) }
+          else if (j == p) {
+            if (r == 0) "sy" else s"sx${idx(r - 1)}y"
+          }
+          else if (j == p + 1 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+        }
+      }
+      def rssSql(p: Int, fin: String, rhs: Seq[String]): String =
+        (0 until p).foldLeft("pv.syy") { (acc, i) =>
+          s"($acc - ($fin.g_${i}_$p * ${rhs(i)}))"
+        }
+      val rhsU = "pv.sy" +: (0 until 4).map(i => s"pv.sx${i}y")
+      val rhsR = Seq("pv.sy", "pv.sx0y", "pv.sx1y")
+      s"""WITH u AS MATERIALIZED ($perRow),
+         |pv AS MATERIALIZED (
+         |  SELECT $momAggs
+         |  FROM u WHERE $notNull),
+         |${gjChainSql(5, initFor(0 until 4), "pv", "uq")},
+         |${gjChainSql(3, initFor(0 until 2), "pv", "rq")},
+         |fin AS (SELECT pv.n AS n,
+         |    ${rssSql(3, "r", rhsR)} AS rss_r,
+         |    ${rssSql(5, "s", rhsU)} AS rss_u
+         |  FROM uq5 s, rq3 r, pv)
+         |SELECT n, 2 AS lags, round(rss_r, 6) AS rss_restricted,
+         |  round(rss_u, 6) AS rss_unrestricted,
+         |  CASE WHEN rss_u > 0.0::DOUBLE
+         |    THEN round(((rss_r - rss_u) / 2.0::DOUBLE) /
+         |      (rss_u / (n - 5)::DOUBLE), 6) END AS f_stat,
+         |  2 AS df1, (n - 5)::BIGINT AS df2
+         |FROM fin""".stripMargin
+    },
+
+    // 6-dp correlation grain -> the shared pivotless elimination over
+    // [R | 0 | I]; VIF_j is the inverse diagonal
+    "q276_vif" -> {
+      val init: (Int, Int) => String = (r, j) =>
+        if (j < 3) {
+          if (r == j) "1.0::DOUBLE"
+          else {
+            val (lo, hi) = (math.min(r, j), math.max(r, j))
+            s"r$lo$hi"
+          }
+        }
+        else if (j == 4 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+      s"""WITH b AS (SELECT l_quantity::DOUBLE AS x0,
+         |    l_extendedprice::DOUBLE AS x1, l_discount::DOUBLE AS x2
+         |  FROM lineitem),
+         |m AS (SELECT count(*)::DOUBLE AS n,
+         |    sum(CAST(x0 AS DECIMAL(38,12)))::DOUBLE AS s0,
+         |    sum(CAST(x0 * x0 AS DECIMAL(38,12)))::DOUBLE AS ss0,
+         |    sum(CAST(x1 AS DECIMAL(38,12)))::DOUBLE AS s1,
+         |    sum(CAST(x1 * x1 AS DECIMAL(38,12)))::DOUBLE AS ss1,
+         |    sum(CAST(x2 AS DECIMAL(38,12)))::DOUBLE AS s2,
+         |    sum(CAST(x2 * x2 AS DECIMAL(38,12)))::DOUBLE AS ss2,
+         |    sum(CAST(x0 * x1 AS DECIMAL(38,12)))::DOUBLE AS p01,
+         |    sum(CAST(x0 * x2 AS DECIMAL(38,12)))::DOUBLE AS p02,
+         |    sum(CAST(x1 * x2 AS DECIMAL(38,12)))::DOUBLE AS p12
+         |  FROM b),
+         |rv AS (SELECT
+         |    round((n * p01 - s0 * s1) / sqrt(n * ss0 - s0 * s0)
+         |      / sqrt(n * ss1 - s1 * s1), 6) AS r01,
+         |    round((n * p02 - s0 * s2) / sqrt(n * ss0 - s0 * s0)
+         |      / sqrt(n * ss2 - s2 * s2), 6) AS r02,
+         |    round((n * p12 - s1 * s2) / sqrt(n * ss1 - s1 * s1)
+         |      / sqrt(n * ss2 - s2 * s2), 6) AS r12
+         |  FROM m),
+         |${gjChainSql(3, init, "rv", "v")}
+         |SELECT * FROM (
+         |  SELECT 0 AS term_idx, 'l_quantity' AS "column",
+         |    round(g_0_4, 6) AS vif FROM v3
+         |  UNION ALL SELECT 1, 'l_extendedprice', round(g_1_5, 6)
+         |    FROM v3
+         |  UNION ALL SELECT 2, 'l_discount', round(g_2_6, 6) FROM v3)
+         |ORDER BY term_idx""".stripMargin
     }
   )
 

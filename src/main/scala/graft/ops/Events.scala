@@ -2632,4 +2632,147 @@ object Events {
       .withColumn("stationary",
         when(col("adf_stat").isNotNull, col("adf_stat") < -2.86))
   }
+
+  /** Granger causality test (Granger 1969): does x's history improve
+    * the prediction of y beyond y's own? Fits the unrestricted model
+    * `y_t ~ 1 + y_{t−1..L} + x_{t−1..L}` and the restricted
+    * `y_t ~ 1 + y_{t−1..L}` on the SAME listwise-complete sample and
+    * reports `F = ((RSS_r − RSS_u)/L) / (RSS_u/(n − 2L − 1))` with
+    * (df1 = L, df2 = n − 2L − 1). Both solves come from ONE Gram
+    * aggregation — the restricted normal equations are a subset of the
+    * unrestricted moments. Returns one row
+    * (n, lags, rss_restricted, rss_unrestricted, f_stat, df1, df2),
+    * 6 dp; f_stat is null when RSS_u rounds non-positive (exact fit).
+    *
+    * The lag frame rides one series-length-bounded unpartitioned
+    * window (the [[adfTest]] argument: aggregate to series grain
+    * upstream). 100 TB shape: one aggregation, two driver-side
+    * (≤17×35) eliminations.
+    */
+  def grangerTest(series: DataFrame, orderCol: String, yCol: String,
+      xCol: String, lags: Int): DataFrame = {
+    require(lags >= 1 && lags <= 8, "grangerTest: lags must be in 1..8")
+    val spark = series.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val base0 = series
+      .select(col(orderCol).as("__o"),
+        col(yCol).cast("double").as("__y0"),
+        col(xCol).cast("double").as("__x0"))
+      .filter(col("__o").isNotNull && col("__y0").isNotNull &&
+        col("__x0").isNotNull)
+    val withLags = (1 to lags).foldLeft(base0)((acc, i) =>
+      acc.withColumn(s"__yl$i", lag(col("__y0"), i).over(w))
+        .withColumn(s"__xl$i", lag(col("__x0"), i).over(w)))
+    val k = 2 * lags
+    // design columns x0..x{L-1} = y lags, xL..x{2L-1} = x lags
+    val regs = (1 to lags).map(i => s"__yl$i") ++
+      (1 to lags).map(i => s"__xl$i")
+    val base = withLags
+      .select(col("__y0").as("__y") +:
+        regs.zipWithIndex.map { case (c, i) => col(c).as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__y"))).as("sy"),
+      sum(d12(col("__y") * col("__y"))).as("syy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    def dv(f: String) = {
+      val d = r.getDecimal(r.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val nL = r.getLong(r.fieldIndex("n"))
+    val pU = k + 1
+    require(nL > pU, s"grangerTest: need n > $pU rows, got $nL")
+    val nD = nL.toDouble
+    def gx(i: Int, j: Int) = dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+    // solve a sub-design over regressor indexes `idx` (plus intercept)
+    def rssFor(idx: Seq[Int]): Double = {
+      val p = idx.size + 1
+      val wdt = 2 * p + 1
+      val init = Array.tabulate(p, wdt) { (rr, j) =>
+        def gram(a: Int, b: Int): Double =
+          if (a == 0 && b == 0) nD
+          else if (a == 0) dv(s"sx${idx(b - 1)}")
+          else gx(idx(a - 1), idx(b - 1))
+        if (j < p) { if (j >= rr) gram(rr, j) else gram(j, rr) }
+        else if (j == p) {
+          if (rr == 0) dv("sy") else dv(s"sx${idx(rr - 1)}y")
+        }
+        else if (j == p + 1 + rr) 1.0 else 0.0
+      }
+      val (beta, _) = gaussJordan(init, p)
+      val rhs = Array.tabulate(p)(i => init(i)(p))
+      var rss = dv("syy")
+      for (i <- 0 until p) rss -= beta(i) * rhs(i)
+      rss
+    }
+    val rssU = rssFor(0 until k)
+    val rssR = rssFor(0 until lags)
+    val dof2 = nL - pU
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val f =
+      if (rssU > 0)
+        Some(r6(((rssR - rssU) / lags.toDouble) /
+          (rssU / dof2.toDouble)))
+      else None
+    Seq((nL, lags, r6(rssR), r6(rssU), f, lags, dof2))
+      .toDF("n", "lags", "rss_restricted", "rss_unrestricted",
+        "f_stat", "df1", "df2")
+  }
+
+  /** Variance inflation factors: for each regressor, how much its
+    * coefficient variance is inflated by collinearity with the others
+    * — `VIF_j = (R⁻¹)_{jj}` over the correlation matrix R of the
+    * regressor set (Belsley-Kuh-Welsch 1980). The pre-flight check
+    * before trusting [[olsFit]]/[[olsAdjust]] coefficients; VIF > 10
+    * is the classic alarm. R comes from
+    * [[graft.ops.Profile.correlationMatrix]]'s 6-dp readouts —
+    * quantized BEFORE the inversion on both faces (the [[arFit]]
+    * device), so the elimination is engine-replayable. Returns one row
+    * per regressor: (term_idx, column, vif), 6 dp. A degenerate column
+    * (zero variance → null correlation) or an exactly-singular R
+    * fails loudly rather than emitting NaN.
+    *
+    * 100 TB shape: correlationMatrix's single moments aggregation;
+    * the k×k inversion runs on C(k,2) collected readouts, k ≤ 12.
+    */
+  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12,
+      "vif: need 2..12 columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = graft.ops.Profile.correlationMatrix(df, cols).collect()
+    val k = cols.size
+    val rM = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    pairs.foreach { row =>
+      val a = cols.indexOf(row.getString(0))
+      val b = cols.indexOf(row.getString(1))
+      require(!row.isNullAt(3),
+        s"vif: degenerate correlation for (${row.getString(0)}, " +
+          s"${row.getString(1)}) — zero-variance column?")
+      rM(a)(b) = row.getDouble(3)
+      rM(b)(a) = row.getDouble(3)
+    }
+    val wdt = 2 * k + 1
+    val init = Array.tabulate(k, wdt) { (i, j) =>
+      if (j < k) rM(i)(j)
+      else if (j == k + 1 + i) 1.0 else 0.0
+    }
+    val (_, invDiag) = gaussJordan(init, k)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    cols.zipWithIndex.map { case (c, i) => (i, c, r6(invDiag(i))) }
+      .toDF("term_idx", "column", "vif")
+      .orderBy(col("term_idx"))
+  }
 }

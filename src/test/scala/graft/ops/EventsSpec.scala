@@ -500,6 +500,40 @@ class EventsSpec extends AnyFunSuite {
     assert(!rt.getBoolean(4))
   }
 
+  test("grangerTest: a lagged driver shows a large F, noise does not") {
+    // y_t follows x_{t-1} with a wobble; x is a rich periodic signal
+    val xs = (1 to 60).map(d => (d % 7 + 0.3 * (d % 4)).toDouble)
+    val ys = (1 to 60).map(d =>
+      (if (d >= 2) xs(d - 2) else 0.0) + 0.1 * (d % 3))
+    val df = (1 to 60).map(d => (day(d % 28 + 1, d / 28), ys(d - 1),
+      xs(d - 1))).toDF("o", "y", "x")
+    val r = Events.grangerTest(df, "o", "y", "x", lags = 2).collect()(0)
+    assert(r.getLong(0) == 58L && r.getInt(1) == 2)
+    assert(r.getDouble(4) > 10.0, s"forward F=${r.getDouble(4)}")
+    // reverse direction: x does not follow y -> much weaker F
+    val rev = Events.grangerTest(df, "o", "x", "y", lags = 2).collect()(0)
+    assert(rev.getDouble(4) < r.getDouble(4) / 3.0)
+    // RSS nesting invariant: the restricted model can't fit better
+    assert(r.getDouble(2) >= r.getDouble(3))
+  }
+
+  test("vif: a near-duplicate column inflates, an independent one doesn't") {
+    val rows = (1 to 200).map { i =>
+      val x = (i % 13).toDouble
+      (x, x + 0.05 * (i % 5), (i % 7).toDouble)
+    }.toDF("x", "x_dup", "z")
+    val out = Events.vif(rows, Seq("x", "x_dup", "z")).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("x", "x_dup", "z"))
+    assert(out(0).getDouble(2) > 10.0 && out(1).getDouble(2) > 10.0)
+    assert(out(2).getDouble(2) < 2.0)
+    // k=2 closed form: VIF = 1/(1-r^2) for both columns
+    val two = Events.vif(rows, Seq("x", "z")).collect()
+    val r = graft.ops.Profile.correlationMatrix(rows, Seq("x", "z"))
+      .collect()(0).getDouble(3)
+    assert(math.abs(two(0).getDouble(2) - 1.0 / (1 - r * r)) < 1e-5)
+    assert(two(0).getDouble(2) == two(1).getDouble(2))
+  }
+
   test("ewma chart: recursion, zero-fill, and control limits") {
     // key A: 4 events day1, none day2 (zero-filled), 8 day3, 4 day4
     // mu = 4, sigma = sqrt(8); lambda=.5: z = 4, 2, 5, 4.5
