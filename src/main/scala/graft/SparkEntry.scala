@@ -4257,7 +4257,16 @@ object SparkEntry {
     // inverted with the shared pivotless elimination.
     "q276_vif" -> ((s, dir) =>
       graft.ops.Events.vif(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount")))
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // Multinomial naive Bayes (ops/Classify.scala): language-ID over
+    // the documents table, trained and scored in-plan — smoothed
+    // per-term logs regrouped so the unseen-term mass never joins.
+    "q277_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Classify.naiveBayes(docs, docs, "lang", "text",
+        "doc_id")
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10457,7 +10466,58 @@ object SparkEntry {
          |    FROM v3
          |  UNION ALL SELECT 2, 'l_discount', round(g_2_6, 6) FROM v3)
          |ORDER BY term_idx""".stripMargin
-    }
+    },
+
+    // full NB replay: SQL tokenizer, (class, term) counts, class
+    // constants (prior, smoothed denominator), decimal-quantized log
+    // fold, argmax on the 6-dp score with label tiebreak
+    "q277_naive_bayes" ->
+      """WITH trd AS (
+        |  SELECT lang AS lab,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE lang IS NOT NULL),
+        |trtok AS (SELECT lab, unnest(tk) AS term FROM trd),
+        |model AS (SELECT lab, term, count(*)::BIGINT AS tf
+        |          FROM trtok GROUP BY lab, term),
+        |vf AS (SELECT count(DISTINCT term)::BIGINT AS v FROM model),
+        |perlab AS (
+        |  SELECT d.lab, d.ndocs, coalesce(m.tot, 0)::BIGINT AS tot
+        |  FROM (SELECT lab, count(*)::BIGINT AS ndocs FROM trd
+        |        GROUP BY lab) d
+        |  LEFT JOIN (SELECT lab, sum(tf)::BIGINT AS tot FROM model
+        |             GROUP BY lab) m ON m.lab = d.lab),
+        |tot AS (SELECT count(*)::BIGINT AS nall FROM trd),
+        |consts AS (SELECT lab,
+        |    ln(ndocs::DOUBLE / nall::DOUBLE) AS prior,
+        |    ln((tot + v)::DOUBLE) AS den
+        |  FROM perlab, vf, tot),
+        |ted AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |dlen AS (SELECT doc_id,
+        |    (CASE WHEN tk IS NULL THEN 0 ELSE len(tk) END)::DOUBLE
+        |      AS nd FROM ted),
+        |dt AS (SELECT doc_id, unnest(tk) AS term, 1 AS one FROM ted),
+        |dtc AS (SELECT doc_id, term, count(*)::BIGINT AS tfd
+        |        FROM dt GROUP BY doc_id, term),
+        |part AS (SELECT d.doc_id, m.lab,
+        |    sum(CAST(d.tfd::DOUBLE * ln(m.tf::DOUBLE + 1.0::DOUBLE)
+        |      AS DECIMAL(38,12))) AS s
+        |  FROM dtc d JOIN model m ON m.term = d.term
+        |  GROUP BY d.doc_id, m.lab),
+        |scored AS (SELECT l.doc_id, c.lab,
+        |    round((c.prior + coalesce(p.s::DOUBLE, 0.0::DOUBLE)) -
+        |      l.nd * c.den, 6) AS score
+        |  FROM dlen l CROSS JOIN consts c
+        |  LEFT JOIN part p ON p.doc_id = l.doc_id AND p.lab = c.lab),
+        |rk AS (SELECT doc_id, lab, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r
+        |  FROM scored)
+        |SELECT doc_id, lab AS pred, score FROM rk WHERE r = 1
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

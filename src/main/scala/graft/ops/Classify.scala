@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -274,4 +275,81 @@ object Classify {
       .groupBy(col("y"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("y"), col("pred"))
+
+  /** Multinomial naive Bayes with Laplace (+1) smoothing, trained and
+    * scored wholly in-plan — the bag-of-words baseline classifier
+    * (McCallum & Nigam 1998) beside [[trainLogReg]]'s hashed
+    * discriminative face. Per class c and test doc d:
+    *
+    *   score(c,d) = ln P(c) + Σ_{t∈d} tf_d(t)·ln(tf_c(t)+1)
+    *                − N_d·ln(tot_c + V)
+    *
+    * — the smoothed `Σ tf_d ln((tf_c+1)/(tot_c+V))` regrouped so
+    * unseen terms contribute ln(1) = 0 and drop from the join: no
+    * dense vocab×class grid is ever materialized. Prediction is the
+    * argmax over classes on the 6-dp score, ties to the smaller label
+    * (deterministic, engine-replayable). Returns one row per test doc:
+    * (doc_id, pred, score).
+    *
+    * 100 TB shape: model = one (class, term) aggregation; scoring = a
+    * term-keyed join of the test doc-term frame against the model
+    * (output ≤ test tokens × classes), one (doc, class) fold with
+    * DECIMAL(38,12)-quantized log terms, a broadcast class-constants
+    * frame, and a doc-keyed window bounded by the class count. Class
+    * cardinality must be bounded (it is a CLASSIFIER); vocab need not.
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame, labelCol: String,
+      textCol: String, idCol: String): DataFrame = {
+    def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(38,12)")
+    val trDocs = train
+      .select(col(labelCol).cast("string").as("lab"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(col("lab").isNotNull)
+    val trTok = trDocs
+      .select(col("lab"), explode(col("__tk")).as("term"))
+    val model = trTok.groupBy(col("lab"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // (class × term); two consumers
+    val vFrame = model.agg(countDistinct(col("term")).as("__v"))
+    val perLab = trDocs.groupBy(col("lab"))
+      .agg(count(lit(1)).as("__ndocs"))
+      .join(model.groupBy(col("lab"))
+        .agg(sum(col("tf")).as("__tot")), Seq("lab"), "left")
+      .na.fill(0L, Seq("__tot"))
+    val totDocs = trDocs.agg(count(lit(1)).as("__nall"))
+    val labConsts = perLab.crossJoin(vFrame).crossJoin(totDocs)
+      .select(col("lab"),
+        log(col("__ndocs").cast("double") / col("__nall").cast("double"))
+          .as("__prior"),
+        log((col("__tot") + col("__v")).cast("double")).as("__den"))
+    val teDocs = test
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val docLen = teDocs.select(col("doc_id"),
+      when(col("__tk").isNull, lit(0))
+        .otherwise(size(col("__tk"))).cast("double").as("__nd"))
+    val dt = teDocs
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tfd"))
+    val partial = dt.join(model, Seq("term"))
+      .select(col("doc_id"), col("lab"),
+        d12(col("__tfd").cast("double") *
+          log(col("tf").cast("double") + lit(1.0))).as("__t"))
+      .groupBy(col("doc_id"), col("lab"))
+      .agg(sum(col("__t")).as("__s"))
+    val scored = docLen.crossJoin(broadcast(labConsts))
+      .join(partial, Seq("doc_id", "lab"), "left")
+      .withColumn("score",
+        round((col("__prior") +
+          coalesce(col("__s").cast("double"), lit(0.0))) -
+          col("__nd") * col("__den"), 6))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lab")) // class-count-bounded
+    scored
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("lab").as("pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -183,4 +183,38 @@ class ClassifySpec extends AnyFunSuite {
     assert(m.weights.values.forall(v => !v.isNaN))
     assert(m.lossTrace.length == 5) // NaN marks skipped steps in the trace
   }
+
+  test("naiveBayes: smoothed scores, argmax, and unseen-term fallback") {
+    val train = Seq((1L, "a", "x x y"), (2L, "b", "z z"))
+      .toDF("doc_id", "lab", "text")
+    val test = Seq((10L, "x x"), (11L, "z"), (12L, "q"), (13L, ""))
+      .toDF("doc_id", "text")
+    val out = Classify.naiveBayes(train, test, "lab", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out(10L)._1 == "a" && out(11L)._1 == "b")
+    // hand-check doc 10 under class a: prior ln(1/2), tf(x|a)=2,
+    // tot_a=3, V=3 -> 2*ln(3) - 2*ln(6) + ln(.5)
+    val expA = math.floor((math.log(0.5) + 2 * math.log(3.0) -
+      2.0 * math.log(6.0)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(out(10L)._2 - expA) < 1e-9)
+    // unseen term: no (doc,class) join rows; the smaller smoothed
+    // denominator (class b: tot 2 + V 3) wins over a's (3 + 3)
+    assert(out(12L)._1 == "b")
+    // empty text: scores reduce to the priors (tied) -> label tiebreak
+    assert(out(13L)._1 == "a")
+  }
+
+  test("naiveBayes: language ID on a separable corpus is accurate") {
+    val train = (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", "the quick brown fox and the dog")
+      else (i.toLong, "fr", "le renard brun et le chien vite")
+    }.toDF("doc_id", "lab", "text")
+    val test = Seq((100L, "en", "the dog and the fox"),
+      (101L, "fr", "le chien et le renard"))
+      .toDF("doc_id", "lab", "text")
+    val out = Classify.naiveBayes(train, test, "lab", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(100L) == "en" && out(101L) == "fr")
+  }
 }
