@@ -4266,7 +4266,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.Classify.naiveBayes(docs, docs, "lang", "text",
         "doc_id")
-    })
+    }),
+
+    // PMI collocations (ops/TextAnalysis.scala): top adjacent bigrams
+    // by pointwise mutual information over the documents corpus —
+    // adjacency on the raw stream, stopword/short/rare pairs cut after.
+    "q278_collocations" -> ((s, dir) =>
+      graft.ops.TextAnalysis.collocations(t(s, dir, "documents"),
+        "text", minCount = 5L, topK = 50))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10517,7 +10524,41 @@ object SparkEntry {
         |    OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r
         |  FROM scored)
         |SELECT doc_id, lab AS pred, score FROM rk WHERE r = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // raw-stream adjacency pairs + unigram counts; PMI in the
+    // operator's exact double shape; 6-dp tiebreak ordering
+    "q278_collocations" -> {
+      val stop = graft.ops.TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, count(*)::BIGINT AS cw FROM uni GROUP BY w),
+         |tt AS (SELECT sum(cw)::BIGINT AS T FROM uc),
+         |prs AS (
+         |  SELECT u.a AS w1, u.b AS w2 FROM (
+         |    SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+         |      FOR i IN range(1, len(t))]) AS u
+         |    FROM toks WHERE len(t) >= 2)),
+         |pc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+         |       FROM prs GROUP BY w1, w2),
+         |tp AS (SELECT sum(n_pair)::BIGINT AS P FROM pc),
+         |kept AS (
+         |  SELECT p.w1, p.w2, p.n_pair, a.cw AS c1, b.cw AS c2
+         |  FROM pc p JOIN uc a ON a.w = p.w1 JOIN uc b ON b.w = p.w2
+         |  WHERE p.n_pair >= 5
+         |    AND p.w1 NOT IN ($stop) AND p.w2 NOT IN ($stop)
+         |    AND length(p.w1) >= 2 AND length(p.w2) >= 2)
+         |SELECT w1, w2, n_pair,
+         |  round(ln((n_pair::DOUBLE / P::DOUBLE) /
+         |    ((c1::DOUBLE / T::DOUBLE) * (c2::DOUBLE / T::DOUBLE))), 6)
+         |    AS pmi
+         |FROM kept, tp, tt
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

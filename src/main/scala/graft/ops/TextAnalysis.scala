@@ -680,4 +680,63 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("word"))
       .limit(topK)
   }
+
+  /** PMI collocations (Church & Hanks 1990): directional adjacent
+    * bigrams scored by pointwise mutual information
+    * `PMI(a,b) = ln( (c_ab/P) / ((c_a/T)·(c_b/T)) )` — how much more
+    * often the pair occurs than independence predicts. Adjacency is
+    * computed on the RAW token stream (removing stopwords first would
+    * fabricate adjacencies that never occurred); stopword-bearing and
+    * single-character pairs are filtered AFTER counting, and a pair
+    * must appear `minCount` times (PMI's low-frequency pathology is
+    * cut, stated). Returns the topK by (6-dp PMI desc, w1, w2):
+    * (w1, w2, n_pair, pmi).
+    *
+    * 100 TB shape: one token explode → pair aggregate (bigram-vocab-
+    * sized), unigram counts joined pair-keyed twice, totals as two
+    * 1-row broadcast crossJoins; the top-k is TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "collocations: topK must be >= 1")
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true) // consumers: unigrams, pairs (both totals
+      // ride their aggregates)
+    val uni = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true) // vocab-sized; joined twice + totalled
+    val totTok = uni.agg(sum(col("cw")).as("__T"))
+    val pairs = toks
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("a"),
+          element_at(col("__t"), i + 2).as("b")))).as("__p"))
+      .select(col("__p.a").as("w1"), col("__p.b").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true) // bigram-vocab-sized; total + readout
+    val totPair = pairs.agg(sum(col("n_pair")).as("__P"))
+    val kept = pairs
+      .filter(col("n_pair") >= minCount &&
+        !col("w1").isInCollection(stopwords) &&
+        !col("w2").isInCollection(stopwords) &&
+        length(col("w1")) >= 2 && length(col("w2")) >= 2)
+      .join(uni.select(col("w").as("w1"), col("cw").as("__c1")),
+        Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("__c2")),
+        Seq("w2"))
+      .crossJoin(broadcast(totPair)).crossJoin(broadcast(totTok))
+    kept
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") /
+            col("__P").cast("double")) /
+          ((col("__c1").cast("double") / col("__T").cast("double")) *
+            (col("__c2").cast("double") / col("__T").cast("double")))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

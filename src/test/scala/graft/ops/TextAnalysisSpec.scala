@@ -427,4 +427,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.textRank(star, "text", topK = 2)
       .collect().length == 2)
   }
+
+  test("collocations: PMI matches the hand formula, filters apply") {
+    // "nova york" always adjacent (4x); "rio" floats free; "de" is a
+    // stopword-free 2-char token but "a" is single-char (filtered)
+    val docs = Seq(
+      "nova york rio", "nova york", "rio nova york",
+      "nova york a rio rio").toDF("text")
+    val out = TextAnalysis.collocations(docs, "text",
+      minCount = 2L, topK = 10).collect()
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == ("nova", "york"))
+    // T = 13 tokens, P = 9 pairs, c(nova,york)=4, c(nova)=4, c(york)=4
+    val pmi = math.log((4.0 / 9.0) / ((4.0 / 13.0) * (4.0 / 13.0)))
+    assert(math.abs(top.getDouble(3) - pmi) < 1e-6)
+    // single-char tokens never appear in a kept pair
+    assert(out.forall(r => r.getString(0).length >= 2 &&
+      r.getString(1).length >= 2))
+    // below minCount is cut
+    assert(!out.exists(r => r.getLong(2) < 2L))
+  }
 }
