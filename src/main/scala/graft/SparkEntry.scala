@@ -4273,7 +4273,16 @@ object SparkEntry {
     // adjacency on the raw stream, stopword/short/rare pairs cut after.
     "q278_collocations" -> ((s, dir) =>
       graft.ops.TextAnalysis.collocations(t(s, dir, "documents"),
-        "text", minCount = 5L, topK = 50))
+        "text", minCount = 5L, topK = 50)),
+
+    // Markov removal-effect attribution (ops/Events.scala): the
+    // absorbing-chain counterfactual — credit = conversion probability
+    // lost when all paths through a channel are cut; 40 quantized
+    // chain steps on the collected (channels+2)² matrix.
+    "q279_markov_attribution" -> ((s, dir) =>
+      graft.ops.Events.markovAttribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        col("event_type") === "purchase"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10558,6 +10567,90 @@ object SparkEntry {
          |    AS pmi
          |FROM kept, tp, tt
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+    },
+
+    // journeys -> transition matrix in SQL windows, then the 40-step
+    // quantized chain unrolled once per scenario (base + one removal
+    // per channel); every step's terms CAST to DECIMAL(38,12) before
+    // the sum, exactly the operator's fold
+    "q279_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      val steps = 40
+      def chain(pfx: String, where: String): String = {
+        val stepCtes = (1 to 40).map { k =>
+          s"""$pfx$k AS MATERIALIZED (
+             |  SELECT t.dst AS state,
+             |    sum(CAST(m.p::DOUBLE * t.p AS DECIMAL(38,12))) AS p
+             |  FROM $pfx${k - 1} m JOIN ${pfx}tr t ON t.src = m.state
+             |  GROUP BY t.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""${pfx}tr AS MATERIALIZED (SELECT * FROM trf $where),
+           |${pfx}0 AS (SELECT '(start)' AS state,
+           |  CAST(1.0::DOUBLE AS DECIMAL(38,12)) AS p),
+           |$stepCtes,
+           |${pfx}p AS (SELECT coalesce(
+           |    max(CASE WHEN state = '(conv)' THEN p END)::DOUBLE,
+           |    0.0::DOUBLE) AS p FROM $pfx$steps)""".stripMargin
+      }
+      val scen = channels.zipWithIndex.map { case (c, i) =>
+        chain(s"c$i",
+          s"WHERE src <> '$c' AND dst <> '$c'")
+      }.mkString(",\n")
+      val reRows = channels.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS channel, (SELECT p FROM c${i}p) AS pc"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id AS u, epoch_ms(ts)::BIGINT AS ms,
+         |    event_id::BIGINT AS id, event_type AS ch,
+         |    (event_type = 'purchase') AS conv
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |fc AS MATERIALIZED (SELECT u, ms AS cms, id AS cid FROM (
+         |  SELECT u, ms, id, row_number()
+         |    OVER (PARTITION BY u ORDER BY ms, id) AS rn
+         |  FROM ev WHERE conv) WHERE rn = 1),
+         |tch AS MATERIALIZED (
+         |  SELECT e.u, e.ms, e.id, e.ch
+         |  FROM ev e LEFT JOIN fc ON fc.u = e.u
+         |  WHERE NOT e.conv AND (fc.u IS NULL OR e.ms < fc.cms
+         |    OR (e.ms = fc.cms AND e.id < fc.cid))),
+         |inr AS (SELECT coalesce(lag(ch)
+         |    OVER (PARTITION BY u ORDER BY ms, id), '(start)') AS src,
+         |    ch AS dst FROM tch),
+         |lst AS (SELECT u, ch AS lch FROM (
+         |  SELECT u, ch, row_number()
+         |    OVER (PARTITION BY u ORDER BY ms DESC, id DESC) AS rn
+         |  FROM tch) WHERE rn = 1),
+         |usr AS (SELECT DISTINCT u FROM ev),
+         |trm AS (SELECT coalesce(l.lch, '(start)') AS src,
+         |    CASE WHEN f.u IS NOT NULL THEN '(conv)'
+         |      ELSE '(null)' END AS dst
+         |  FROM usr LEFT JOIN lst l ON l.u = usr.u
+         |  LEFT JOIN fc f ON f.u = usr.u),
+         |trc AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+         |  SELECT * FROM inr UNION ALL SELECT * FROM trm)
+         |  GROUP BY src, dst),
+         |tot AS (SELECT src, sum(cnt)::BIGINT AS t FROM trc
+         |        GROUP BY src),
+         |trf AS MATERIALIZED (
+         |  SELECT c.src, c.dst, c.cnt::DOUBLE / t.t::DOUBLE AS p
+         |  FROM trc c JOIN tot t ON t.src = c.src
+         |  UNION ALL SELECT '(conv)', '(conv)', 1.0::DOUBLE
+         |  UNION ALL SELECT '(null)', '(null)', 1.0::DOUBLE),
+         |${chain("bb", "")},
+         |$scen,
+         |nc AS (SELECT count(*)::BIGINT AS n FROM fc),
+         |re AS ($reRows),
+         |r2 AS (SELECT channel, pc,
+         |    (1.0::DOUBLE - pc / (SELECT p FROM bbp)) AS re FROM re),
+         |se AS (SELECT sum(CAST(re AS DECIMAL(38,12)))::DOUBLE AS s
+         |       FROM r2)
+         |SELECT channel, round(pc, 6) AS p_conv_removed,
+         |  round(re, 6) AS removal_effect,
+         |  CASE WHEN s > 0.0::DOUBLE
+         |    THEN round((re / s) * (SELECT n FROM nc)::DOUBLE, 6)
+         |  END AS credit
+         |FROM r2, se ORDER BY channel""".stripMargin
     }
   )
 

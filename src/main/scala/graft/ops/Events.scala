@@ -2191,6 +2191,135 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** Markov removal-effect attribution (the absorbing-chain model,
+    * Anderl et al. 2016): per-user journeys — every touch before the
+    * user's FIRST conversion, in (ts, id) order — become a first-order
+    * Markov chain over states {(start), channels, (conv), (null)}; a
+    * channel's credit is its REMOVAL EFFECT, `1 − P_c(conv)/P(conv)`,
+    * the share of conversion probability that disappears when every
+    * path through the channel is cut. The counterfactual member of the
+    * attribution family ([[attribution]] first/last,
+    * [[attributionLinear]], [[attributionTimeDecay]]).
+    *
+    * P(conv) is the '(conv)' mass after exactly 40 chain steps from
+    * unit mass on '(start)' (absorbing self-loops on conv/null); each
+    * step's incoming terms quantize to DECIMAL(38,12) before summing,
+    * so the whole iteration is partition- and engine-invariant. Removal
+    * drops all transitions touching the channel (the lost mass never
+    * absorbs — exactly the redirect-to-null convention). Credits
+    * distribute the converted-user count by normalized removal effect.
+    * Returns (channel, p_conv_removed, removal_effect, credit), 6 dp;
+    * share/credit are null if every removal effect quantizes to 0.
+    *
+    * 100 TB shape: journeys ride user-keyed windows (per-user event
+    * counts, the funnel bound); transitions collapse to a
+    * (channels+2)²-sized frame — the ONLY collect — and the 40-step
+    * vector iteration runs on that driver-side matrix. Channel
+    * cardinality is capped at 50 (it is a marketing-channel model).
+    */
+  def markovAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      isConversion: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = 40
+    val ev = events.select(col(userCol).as("__u"),
+      unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+      col(idCol).cast("long").as("__id"),
+      col(typeCol).cast("string").as("__ch"),
+      isConversion.as("__conv"))
+      .filter(col("__u").isNotNull && col("__ch").isNotNull)
+      .localCheckpoint(eager = true) // touches + first-conv + users
+    val wConvRank = Window.partitionBy(col("__u"))
+      .orderBy(col("__ms"), col("__id"))
+    val fc = ev.filter(col("__conv"))
+      .withColumn("__rn", row_number().over(wConvRank))
+      .filter(col("__rn") === 1)
+      .select(col("__u"), col("__ms").as("__cms"), col("__id").as("__cid"))
+    val touches = ev.filter(!col("__conv"))
+      .join(fc, Seq("__u"), "left")
+      .filter(col("__cms").isNull ||
+        col("__ms") < col("__cms") ||
+        (col("__ms") === col("__cms") && col("__id") < col("__cid")))
+      .select(col("__u"), col("__ms"), col("__id"), col("__ch"))
+      .localCheckpoint(eager = true) // inner transitions + last touch
+    val wUser = Window.partitionBy(col("__u"))
+      .orderBy(col("__ms"), col("__id"))
+    val inner = touches
+      .select(coalesce(lag(col("__ch"), 1).over(wUser), lit("(start)"))
+        .as("src"), col("__ch").as("dst"))
+    val lastT = touches
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__u"))
+          .orderBy(col("__ms").desc, col("__id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("__u"), col("__ch").as("__last"))
+    val term = ev.select(col("__u")).distinct()
+      .join(lastT, Seq("__u"), "left")
+      .join(fc.select(col("__u"), lit(true).as("__cv")), Seq("__u"),
+        "left")
+      .select(coalesce(col("__last"), lit("(start)")).as("src"),
+        when(col("__cv").isNotNull, lit("(conv)")).otherwise(lit("(null)"))
+          .as("dst"))
+    val trRows = inner.unionByName(term)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect() // (channels+2)² — channel-bounded, never event-bounded
+    val nConv = fc.count()
+    require(nConv > 0, "markovAttribution: no conversions")
+    val channels = trRows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.filterNot(Set("(start)", "(conv)", "(null)")).sorted
+    require(channels.nonEmpty, "markovAttribution: no touch channels")
+    require(channels.length <= 50,
+      s"markovAttribution: ${channels.length} channels (max 50) — " +
+        "bucket the channel dimension upstream")
+    val outTot = trRows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    val baseTr = trRows.map { r =>
+      (r.getString(0), r.getString(1),
+        r.getLong(2).toDouble / outTot(r.getString(0)).toDouble)
+    } ++ Seq(("(conv)", "(conv)", 1.0), ("(null)", "(null)", 1.0))
+    def q12(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    // 40 quantized chain steps; returns the absorbed (conv) mass
+    def pConv(tr: Seq[(String, String, Double)]): Double = {
+      val bySrc = tr.groupBy(_._1)
+      var mass = Map[String, java.math.BigDecimal](
+        "(start)" -> java.math.BigDecimal.ONE.setScale(12))
+      (1 to steps).foreach { _ =>
+        val next = scala.collection.mutable.Map[String,
+          java.math.BigDecimal]()
+        mass.foreach { case (s, m) =>
+          bySrc.getOrElse(s, Seq.empty).foreach { case (_, d, p) =>
+            val termV = q12(m.doubleValue * p)
+            next(d) = next.getOrElse(d,
+              java.math.BigDecimal.ZERO).add(termV)
+          }
+        }
+        mass = next.toMap
+      }
+      mass.get("(conv)").map(_.doubleValue).getOrElse(0.0)
+    }
+    val pb = pConv(baseTr)
+    require(pb > 0, "markovAttribution: base conversion mass is zero")
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val pcs = channels.map { c =>
+      c -> pConv(baseTr.filter(t => t._1 != c && t._2 != c))
+    }
+    val res = pcs.map { case (c, pc) => (c, pc, 1.0 - pc / pb) }
+    val se = res.map { case (_, _, re) => q12(re) }
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+    val out = res.map { case (c, pc, re) =>
+      val share = if (se > 0) Some(re / se) else None
+      (c, r6(pc), r6(re), share.map(s => r6(s * nConv.toDouble)))
+    }
+    out.toSeq
+      .toDF("channel", "p_conv_removed", "removal_effect", "credit")
+      .orderBy(col("channel"))
+  }
+
   /** Simple exponential smoothing (SES) one-step forecast per key over
     * its OBSERVED daily-count series: the closed form of
     * `s_t = α·x_t + (1-α)·s_{t-1}`, `s_1 = x_1` —

@@ -431,6 +431,40 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("markov attribution: removal effects match the hand-solved chain") {
+    // u1: a -> conv; u2: b -> (null); u3: a -> b -> conv
+    // P(conv) = 2/3; remove a -> 1/6 (RE 3/4); remove b -> 1/3 (RE 1/2)
+    val rows = Seq(
+      (1L, 11L, "a", ts(1)), (1L, 12L, "purchase", ts(2)),
+      (2L, 21L, "b", ts(1)),
+      (3L, 31L, "a", ts(1)), (3L, 32L, "b", ts(2)),
+      (3L, 33L, "purchase", ts(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.markovAttribution(rows, "user_id", "event_type",
+        "ts", "event_id", col("event_type") === "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(out("a")._1 - 1.0 / 6) < 1e-5)
+    assert(math.abs(out("a")._2 - 0.75) < 1e-5)
+    assert(math.abs(out("b")._2 - 0.5) < 1e-5)
+    // credits split 2 conversions 0.6/0.4
+    assert(math.abs(out("a")._3 - 1.2) < 1e-4)
+    assert(math.abs(out("b")._3 - 0.8) < 1e-4)
+  }
+
+  test("markov attribution: touches after the first conversion are cut") {
+    val rows = Seq(
+      (1L, 11L, "a", ts(1)), (1L, 12L, "purchase", ts(2)),
+      (1L, 13L, "b", ts(3)), // post-conversion: must not enter the chain
+      (2L, 21L, "a", ts(1)), (2L, 22L, "purchase", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.markovAttribution(rows, "user_id", "event_type",
+        "ts", "event_id", col("event_type") === "purchase")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a")) // b never appears
+    assert(out(0).getDouble(2) == 1.0) // removing a kills every path
+  }
+
   test("time-decay attribution: halved weight per whole half-life") {
     // conv A at t=3min, half-life 1min: view@1 (age 2, w=.25),
     // click@2 (age 1, w=.5) -> shares 1/3 and 2/3;
