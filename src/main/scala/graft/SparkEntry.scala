@@ -4282,7 +4282,19 @@ object SparkEntry {
     "q279_markov_attribution" -> ((s, dir) =>
       graft.ops.Events.markovAttribution(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id",
-        col("event_type") === "purchase"))
+        col("event_type") === "purchase")),
+
+    // Grid-bucketed DBSCAN (ops/Similarity.scala): density clustering
+    // of the embedding cloud's first two dimensions — 3×3-cell
+    // ε-neighbor join, core/border/noise roles, pointer-jumping CC.
+    "q280_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+      graft.ops.Similarity.dbscan(pts, "vec_id", "x", "y",
+        eps = 0.05, minPts = 5)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10651,7 +10663,60 @@ object SparkEntry {
          |    THEN round((re / s) * (SELECT n FROM nc)::DOUBLE, 6)
          |  END AS credit
          |FROM r2, se ORDER BY channel""".stripMargin
-    }
+    },
+
+    // grid cells + 3×3 probe join + exact ε filter, core counts,
+    // reachability CC (the q184 device), min-id border adoption
+    "q280_dbscan" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id AS id, embedding[1]::DOUBLE AS x,
+        |    embedding[2]::DOUBLE AS y,
+        |    floor(embedding[1]::DOUBLE / 0.05::DOUBLE)::BIGINT AS cx,
+        |    floor(embedding[2]::DOUBLE / 0.05::DOUBLE)::BIGINT AS cy
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+        |off AS (SELECT a.dx, b.dy
+        |  FROM (VALUES (-1), (0), (1)) a(dx),
+        |       (VALUES (-1), (0), (1)) b(dy)),
+        |probes AS (SELECT id AS ida, x AS xa, y AS ya,
+        |    cx + dx AS cx, cy + dy AS cy FROM pts, off),
+        |pairs AS MATERIALIZED (
+        |  SELECT p.ida, q.id AS idb
+        |  FROM probes p JOIN pts q ON q.cx = p.cx AND q.cy = p.cy
+        |  WHERE (p.xa - q.x) * (p.xa - q.x) +
+        |    (p.ya - q.y) * (p.ya - q.y)
+        |    <= (0.05::DOUBLE * 0.05::DOUBLE)),
+        |deg AS (SELECT ida, count(*)::BIGINT AS deg FROM pairs
+        |        GROUP BY ida),
+        |core AS MATERIALIZED (SELECT ida AS id FROM deg
+        |                      WHERE deg >= 5),
+        |ce AS (SELECT p.ida AS s, p.idb AS t FROM pairs p
+        |  JOIN core a ON a.id = p.ida JOIN core b ON b.id = p.idb
+        |  WHERE p.ida < p.idb),
+        |e AS (SELECT s, t FROM ce UNION SELECT t, s FROM ce),
+        |reach(node, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.node),
+        |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |corelab AS MATERIALIZED (
+        |  SELECT c.id, coalesce(l.comp, c.id) AS cluster
+        |  FROM core c LEFT JOIN lab l ON l.node = c.id),
+        |border AS (
+        |  SELECT p.ida AS id, min(p.idb) AS adopt FROM pairs p
+        |  JOIN core b ON b.id = p.idb
+        |  LEFT JOIN core a ON a.id = p.ida
+        |  WHERE a.id IS NULL GROUP BY p.ida),
+        |bl AS (SELECT border.id, cl.cluster FROM border
+        |       JOIN corelab cl ON cl.id = border.adopt)
+        |SELECT pts.id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |    WHEN bl.id IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  coalesce(cl.cluster, bl.cluster) AS cluster
+        |FROM pts LEFT JOIN corelab cl ON cl.id = pts.id
+        |LEFT JOIN bl ON bl.id = pts.id
+        |ORDER BY pts.id""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

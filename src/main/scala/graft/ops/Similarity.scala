@@ -1066,4 +1066,93 @@ object Similarity {
     import spark.implicits._
     Seq((k.toLong, n, db)).toDF("k", "n", "db_index")
   }
+
+  /** Grid-bucketed DBSCAN (Ester et al. 1996) over 2-D points: density
+    * clustering without a k — core points (≥ minPts neighbors within
+    * eps, self included), components over the core-core ε-graph,
+    * border points adopted by their minimum-id core neighbor, the rest
+    * noise. Ties and the classic order-dependence are resolved
+    * deterministically (min-id everywhere), stated rather than hidden.
+    * Returns (id, role ∈ core|border|noise, cluster) with cluster =
+    * the component's minimum core id (null for noise), ordered by id.
+    *
+    * 100 TB shape: the ε-neighbor search is the GRID join — each point
+    * probes only its 3×3 cell neighborhood (cell = floor(coord/eps)),
+    * so candidate pairs are local-density-bounded, never all-pairs;
+    * core flags are one pair-count aggregate; the component pass is
+    * [[graft.ops.Dedup.connectedComponents]]'s pointer-jumping
+    * label propagation (O(log diameter) rounds). A pathological eps
+    * (≫ data spread) degrades to all-pairs — size eps to the density
+    * question being asked.
+    */
+  def dbscan(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0, "dbscan: eps must be positive")
+    require(minPts >= 1, "dbscan: minPts must be >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points
+      .select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("id").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .withColumn("cx", floor(col("x") / lit(eps)).cast("long"))
+      .withColumn("cy", floor(col("y") / lit(eps)).cast("long"))
+      .localCheckpoint(eager = true) // probes + build side + readout
+    val offsets = (for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy")))
+    val probes = pts
+      .select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"),
+        explode(array(offsets: _*)).as("__o"),
+        col("cx"), col("cy"))
+      .select(col("ida"), col("xa"), col("ya"),
+        (col("cx") + col("__o.dx")).as("cx"),
+        (col("cy") + col("__o.dy")).as("cy"))
+    val eps2 = eps * eps
+    val pairs = probes
+      .join(pts.select(col("id").as("idb"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps2))
+      .select(col("ida"), col("idb"))
+      .localCheckpoint(eager = true) // neighbor counts + edges + border
+    val degrees = pairs.groupBy(col("ida")).agg(count(lit(1)).as("deg"))
+    val core = degrees.filter(col("deg") >= minPts)
+      .select(col("ida").as("id"))
+      .localCheckpoint(eager = true) // edge endpoints + border adopt
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ida")), Seq("ida"))
+      .join(core.select(col("id").as("idb")), Seq("idb"))
+      .filter(col("ida") < col("idb"))
+    val comps = graft.ops.Dedup.connectedComponents(coreEdges,
+      "ida", "idb")
+      .select(col("id"), col("cluster_id").as("comp"))
+    // isolated core points (no core neighbor) form their own cluster
+    val coreLab = core.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .localCheckpoint(eager = true) // border adopt + readout
+    val border = pairs
+      .join(core.select(col("id").as("idb"), lit(1).as("__bc")),
+        Seq("idb"))
+      .join(core.select(col("id").as("ida"), lit(1).as("__ac")),
+        Seq("ida"), "left")
+      .filter(col("__ac").isNull) // a is not core, b is
+      .groupBy(col("ida").as("id"))
+      .agg(min(col("idb")).as("__adopt")) // min-id core neighbor
+      .join(coreLab.select(col("id").as("__adopt"),
+        col("cluster")), Seq("__adopt"))
+      .select(col("id"), col("cluster"))
+    pts.select(col("id"))
+      .join(coreLab.select(col("id"), col("cluster").as("__cc")),
+        Seq("id"), "left")
+      .join(border.select(col("id"), col("cluster").as("__bc2")),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc2").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc2")).as("cluster"))
+      .orderBy(col("id"))
+  }
 }

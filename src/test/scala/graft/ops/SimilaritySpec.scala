@@ -499,4 +499,37 @@ class SimilaritySpec extends AnyFunSuite {
       "v", "label").collect()(0)
     assert(rc.getLong(0) == 2L && rc.isNullAt(2))
   }
+
+  test("dbscan: planted blobs, a border point, and noise") {
+    import spark.implicits._
+    // blob A: ids 1-5 packed at (0,0); blob B: ids 11-15 at (1,1);
+    // id 20 within eps of A's edge but density-thin (border);
+    // ids 30, 31 far away (noise)
+    val a = (1 to 5).map(i => (i.toLong, 0.004 * i, 0.0))
+    val b = (11 to 15).map(i => (i.toLong, 1.0 + 0.004 * (i - 10), 1.0))
+    // id 20: within eps of ids 4 and 5 only -> 3 with self < minPts 4
+    val rest = Seq((20L, 0.004 * 5 + 0.045, 0.0), (30L, 5.0, 5.0),
+      (31L, -3.0, 2.0))
+    val pts = (a ++ b ++ rest).toSeq.toDF("id", "x", "y")
+    val out = Similarity.dbscan(pts, "id", "x", "y",
+        eps = 0.05, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    (1 to 5).foreach(i => assert(out(i.toLong) == ("core", 1L)))
+    (11 to 15).foreach(i => assert(out(i.toLong) == ("border", 1L) ||
+      out(i.toLong) == ("core", 11L)))
+    assert((11 to 15).forall(i => out(i.toLong)._1 == "core"))
+    assert(out(20L)._1 == "border" && out(20L)._2 == 1L)
+    assert(out(30L) == ("noise", -1L) && out(31L) == ("noise", -1L))
+  }
+
+  test("dbscan: minPts above any density marks everything noise") {
+    import spark.implicits._
+    val pts = (1 to 4).map(i => (i.toLong, 0.01 * i, 0.0)).toSeq
+      .toDF("id", "x", "y")
+    val out = Similarity.dbscan(pts, "id", "x", "y",
+      eps = 0.05, minPts = 10).collect()
+    assert(out.forall(r => r.getString(1) == "noise" && r.isNullAt(2)))
+  }
 }
