@@ -4294,7 +4294,21 @@ object SparkEntry {
           element_at(col("embedding"), 2).cast("double").as("y"))
       graft.ops.Similarity.dbscan(pts, "vec_id", "x", "y",
         eps = 0.05, minPts = 5)
-    })
+    }),
+
+    // Gumbel block-maxima fit (ops/Profile.scala): daily maximum order
+    // totals -> method-of-moments location/scale + 30/365-day return
+    // levels; hillTail's "how bad can a day get" companion.
+    "q281_gumbel" -> ((s, dir) =>
+      graft.ops.Profile.gumbelFit(t(s, dir, "orders"),
+        to_date(col("o_orderdate")), "o_totalprice")),
+
+    // Cohort LTV curve (ops/Events.scala): weekly signup cohorts,
+    // purchase value accumulated per week offset to the observed
+    // horizon, cumulative LTV per user.
+    "q282_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Events.cohortLtv(t(s, dir, "events"), "user_id", "ts",
+        "value", col("event_type") === "purchase", maxWeeks = 12))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10716,7 +10730,77 @@ object SparkEntry {
         |  coalesce(cl.cluster, bl.cluster) AS cluster
         |FROM pts LEFT JOIN corelab cl ON cl.id = pts.id
         |LEFT JOIN bl ON bl.id = pts.id
-        |ORDER BY pts.id""".stripMargin
+        |ORDER BY pts.id""".stripMargin,
+
+    // daily block maxima -> decimal moments -> method-of-moments
+    // Gumbel location/scale and the return-level algebra in the
+    // operator's exact double order
+    "q281_gumbel" ->
+      """WITH mx AS (
+        |  SELECT max(o_totalprice::DOUBLE) AS m FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY o_orderdate::DATE),
+        |m1 AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(m AS DECIMAL(38,12)))::DOUBLE AS sm FROM mx),
+        |mm AS (SELECT n, sm / n::DOUBLE AS mean FROM m1),
+        |m2 AS (SELECT sum(CAST((m - mean) * (m - mean)
+        |    AS DECIMAL(38,12)))::DOUBLE AS sd2 FROM mx, mm),
+        |alg AS (SELECT n, mean, sqrt(sd2 / n::DOUBLE) AS sd
+        |        FROM mm, m2),
+        |fin AS (SELECT n,
+        |    (mean - 0.5772156649015329::DOUBLE *
+        |      (sd * sqrt(6.0::DOUBLE) / pi())) AS mu,
+        |    (sd * sqrt(6.0::DOUBLE) / pi()) AS beta
+        |  FROM alg)
+        |SELECT n AS n_blocks, round(mu, 6) AS mu,
+        |  round(beta, 6) AS beta,
+        |  round(mu - beta * ln(-ln(1.0::DOUBLE -
+        |    1.0::DOUBLE / 30.0::DOUBLE)), 6) AS level_30,
+        |  round(mu - beta * ln(-ln(1.0::DOUBLE -
+        |    1.0::DOUBLE / 365.0::DOUBLE)), 6) AS level_365
+        |FROM fin""".stripMargin,
+
+    // the q176 cohort device + an offset spine capped at the observed
+    // horizon; revenue in exact DECIMAL, per-cohort running sum
+    "q282_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, date_trunc('week', ts) AS wk,
+        |    value AS v, (event_type = 'purchase') AS sp
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mk AS (SELECT *, min(wk) OVER (PARTITION BY u) AS cohort_week
+        |       FROM ev),
+        |mo AS (SELECT *,
+        |    (date_diff('day', cohort_week, wk) / 7)::INT AS week_offset
+        |  FROM mk),
+        |mof AS (SELECT * FROM mo WHERE week_offset <= 12),
+        |sizes AS (SELECT cohort_week,
+        |    count(DISTINCT u)::BIGINT AS cohort_size
+        |  FROM mof GROUP BY cohort_week),
+        |hz AS (SELECT max(wk) AS maxwk FROM mof),
+        |spend AS (SELECT cohort_week, week_offset,
+        |    count(DISTINCT u)::BIGINT AS n_buyers,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS rev
+        |  FROM mof WHERE sp AND v IS NOT NULL
+        |  GROUP BY cohort_week, week_offset),
+        |spine AS (SELECT s.cohort_week, s.cohort_size,
+        |    unnest(range(0, least(12,
+        |      (date_diff('day', s.cohort_week, hz.maxwk) / 7)::INT)
+        |      + 1))::INT AS week_offset
+        |  FROM sizes s, hz),
+        |j AS (SELECT sp.cohort_week, sp.week_offset, sp.cohort_size,
+        |    coalesce(d.n_buyers, 0)::BIGINT AS n_buyers,
+        |    coalesce(d.rev, CAST(0 AS DECIMAL(38,12))) AS rev
+        |  FROM spine sp LEFT JOIN spend d
+        |    ON d.cohort_week = sp.cohort_week
+        |    AND d.week_offset = sp.week_offset)
+        |SELECT cohort_week, week_offset, cohort_size, n_buyers,
+        |  round(rev::DOUBLE, 6) AS revenue,
+        |  round((sum(rev) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::DOUBLE / cohort_size::DOUBLE, 6)
+        |    AS cum_ltv_per_user
+        |FROM j ORDER BY cohort_week, week_offset""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -1600,6 +1600,78 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Cohort lifetime-value curve — [[cohortRetention]]'s revenue
+    * sibling: users cohort by the week of their FIRST event, qualifying
+    * spend (rows matching `isSpend`, summed over `valueCol`) lands in
+    * its week offset, and each cohort's curve accumulates to cumulative
+    * LTV per user. The readout every growth team tapes to the wall:
+    * "how much is a week-N-old cohort worth so far". Returns one row
+    * per (cohort_week, week_offset ≤ maxWeeks):
+    * (cohort_week, week_offset, cohort_size, n_buyers, revenue,
+    * cum_ltv_per_user), revenue exact-DECIMAL-summed, readouts 6 dp.
+    * Offsets with no spend still appear up to each cohort's OBSERVED
+    * horizon — the log's last week (a flat observed week is data; an
+    * unobserved future week is not, and emitting it as zero would
+    * understate young cohorts).
+    *
+    * 100 TB shape: one user-keyed window finds cohorts, one
+    * (cohort, offset) aggregate collapses spend, the spine is
+    * cohort×maxWeeks (calendar-bounded), and the cumulative sum rides
+    * a per-cohort window over ≤ maxWeeks rows.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, isSpend: Column, maxWeeks: Int): DataFrame = {
+    require(maxWeeks >= 1 && maxWeeks <= 520,
+      "cohortLtv: maxWeeks in 1..520")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val ev = events
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).as("__wk"),
+        col(valueCol).cast("double").as("__v"),
+        isSpend.as("__sp"))
+      .filter(col("__u").isNotNull && col("__wk").isNotNull)
+    val wUser = Window.partitionBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = ev
+      .withColumn("cohort_week", min(col("__wk")).over(wUser))
+      .withColumn("week_offset",
+        (datediff(col("__wk"), col("cohort_week")) / 7).cast("int"))
+      .filter(col("week_offset") <= maxWeeks)
+      .localCheckpoint(eager = true) // sizes + spend read it
+    val sizes = marked.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("__u")).as("cohort_size"))
+    val spend = marked
+      .filter(col("__sp") && col("__v").isNotNull)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_buyers"),
+        sum(d12(col("__v"))).as("__rev"))
+    val horizon = marked.agg(max(col("__wk")).as("__maxwk"))
+    val spine = sizes
+      .crossJoin(broadcast(horizon))
+      .select(col("cohort_week"), col("cohort_size"),
+        explode(sequence(lit(0),
+          least(lit(maxWeeks),
+            (datediff(col("__maxwk"), col("cohort_week")) / 7)
+              .cast("int")))).as("week_offset"))
+    val wCum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(spend, Seq("cohort_week", "week_offset"), "left")
+      .select(col("cohort_week"), col("week_offset"),
+        col("cohort_size"),
+        coalesce(col("n_buyers"), lit(0L)).as("n_buyers"),
+        coalesce(col("__rev"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,12)")).as("__rev2"))
+      .withColumn("revenue", round(col("__rev2").cast("double"), 6))
+      .withColumn("cum_ltv_per_user",
+        round(sum(col("__rev2")).over(wCum).cast("double") /
+          col("cohort_size").cast("double"), 6))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_buyers"), col("revenue"), col("cum_ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Top user journeys: each user's first `pathLen` events (by
     * (ts, id) — deterministic under simultaneous events) joined into a
     * path string, counted across users, topK by (count desc, path).

@@ -1756,6 +1756,50 @@ object Profile {
       .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
   }
 
+  /** Gumbel extreme-value fit over block maxima (Gumbel 1958, method
+    * of moments): block the data by `blockCol`, take each block's max,
+    * and fit `β = s·√6/π`, `μ = m − γ·β` (γ = Euler-Mascheroni) on the
+    * maxima's mean/population-std — the classic "how bad can a day
+    * get" tail model, with return levels
+    * `x_T = μ − β·ln(−ln(1 − 1/T))` for T = 30 and 365 blocks. The
+    * moments complement [[hillTail]]'s polynomial-tail exponent: Hill
+    * asks how heavy the tail is, Gumbel what a 1-in-T block extreme
+    * looks like. Returns one row
+    * (n_blocks, mu, beta, level_30, level_365), 6 dp.
+    *
+    * 100 TB shape: one block-keyed max aggregate, one moments
+    * aggregate over the block-sized frame (squared deviations
+    * DECIMAL(38,12)-quantized), algebra on the 1-row collect.
+    */
+  def gumbelFit(df: DataFrame, blockCol: Column,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val maxima = df
+      .select(blockCol.as("__b"), col(valueCol).cast("double").as("__x"))
+      .filter(col("__b").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__b")).agg(max(col("__x")).as("__m"))
+    val m1 = maxima.agg(count(lit(1)).as("n"),
+      sum(d12(col("__m"))).as("sm")).head()
+    val n = m1.getLong(0)
+    require(n >= 2, s"gumbelFit: need >= 2 blocks, got $n")
+    val mean = m1.getDecimal(1).doubleValue() / n.toDouble
+    val m2 = maxima.agg(
+      sum(d12((col("__m") - lit(mean)) * (col("__m") - lit(mean))))
+        .as("sd2")).head()
+    val sd = math.sqrt(m2.getDecimal(0).doubleValue() / n.toDouble)
+    val euler = 0.5772156649015329
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - euler * beta
+    def lvl(tt: Double) = mu - beta * math.log(-math.log(1.0 - 1.0 / tt))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n, r6(mu), r6(beta), r6(lvl(30.0)), r6(lvl(365.0))))
+      .toDF("n_blocks", "mu", "beta", "level_30", "level_365")
+  }
+
   /** Market-concentration readout of a per-entity value distribution:
     * Herfindahl-Hirschman index `HHI = 10000 · Σ sᵢ²` (sᵢ = entity
     * share of the total) plus the CR-4 / CR-8 concentration ratios

@@ -431,6 +431,25 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("cohortLtv: spine, horizon cap, and per-user accumulation") {
+    // week1 cohort: u1 (buys 10 in wk1, 20 in wk2), u2 (never buys);
+    // week2 cohort: u3 buys 5. day(1)=Mon 2024-01-01, day(8)=next week
+    val rows = Seq(
+      (1L, day(1), "purchase", 10.0), (1L, day(9), "purchase", 20.0),
+      (2L, day(2), "view", 0.0),
+      (3L, day(8), "purchase", 5.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Events.cohortLtv(rows, "user_id", "ts", "value",
+        col("event_type") === "purchase", maxWeeks = 12)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // cohort 1 (2 users): offset 0 rev 10 -> 5/user; offset 1 rev 20
+    // -> cumulative 15/user. cohort 2 (1 user): offset 0 only (horizon)
+    assert(out.toSeq == Seq(
+      (0, 2L, 1L, 10.0, 5.0), (1, 2L, 1L, 20.0, 15.0),
+      (0, 1L, 1L, 5.0, 5.0)))
+  }
+
   test("markov attribution: removal effects match the hand-solved chain") {
     // u1: a -> conv; u2: b -> (null); u3: a -> b -> conv
     // P(conv) = 2/3; remove a -> 1/6 (RE 3/4); remove b -> 1/3 (RE 1/2)

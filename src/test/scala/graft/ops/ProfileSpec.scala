@@ -849,6 +849,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("gumbelFit: moments algebra and return-level ordering") {
+    // blocks 1..4 with maxima 10, 12, 14, 16: mean 13, pop var 5
+    val rows = Seq((1, 10.0), (1, 3.0), (2, 12.0), (3, 14.0), (4, 16.0))
+      .toDF("b", "v")
+    val r = Profile.gumbelFit(rows, col("b"), "v").collect()(0)
+    assert(r.getLong(0) == 4L)
+    val sd = math.sqrt(5.0)
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = 13.0 - 0.5772156649015329 * beta
+    assert(math.abs(r.getDouble(1) - mu) < 1e-6)
+    assert(math.abs(r.getDouble(2) - beta) < 1e-6)
+    // rarer extremes sit further out
+    assert(r.getDouble(4) > r.getDouble(3) && r.getDouble(3) > mu)
+    intercept[IllegalArgumentException] {
+      Profile.gumbelFit(Seq((1, 1.0)).toDF("b", "v"), col("b"), "v")
+        .collect()
+    }
+  }
+
   test("concentration: HHI and CR match hand-computed shares") {
     // entity values 50, 30, 10, 5, 3, 2 -> total 100
     val rows = Seq(("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 5.0),
