@@ -4308,7 +4308,14 @@ object SparkEntry {
     // horizon, cumulative LTV per user.
     "q282_cohort_ltv" -> ((s, dir) =>
       graft.ops.Events.cohortLtv(t(s, dir, "events"), "user_id", "ts",
-        "value", col("event_type") === "purchase", maxWeeks = 12))
+        "value", col("event_type") === "purchase", maxWeeks = 12)),
+
+    // Tabular CUSUM monitor (ops/Events.scala): per-event-type daily
+    // counts, slack k=0.5σ, decision interval h=4σ — the
+    // sustained-shift alarm beside q272's EWMA chart.
+    "q283_cusum_monitor" -> ((s, dir) =>
+      graft.ops.Events.cusumMonitor(t(s, dir, "events"), "event_type",
+        "ts", startDay = "2024-01-01", numDays = 30, k = 0.5, h = 4.0))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10800,7 +10807,51 @@ object SparkEntry {
         |      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND CURRENT ROW))::DOUBLE / cohort_size::DOUBLE, 6)
         |    AS cum_ltv_per_user
-        |FROM j ORDER BY cohort_week, week_offset""".stripMargin
+        |FROM j ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q272's spine/moments replay; the two-sided CUSUM recursion rides
+    // one recursive CTE state row (sp, sn), alarms on the 6-dp readout
+    "q283_cusum_monitor" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT
+        |      AS idx,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ptf AS (SELECT * FROM pts WHERE idx >= 0 AND idx < 30),
+        |keys AS (SELECT DISTINCT key FROM ptf),
+        |spine AS (SELECT key, unnest(range(0, 30))::INT AS idx FROM keys),
+        |xs AS (SELECT s.key, s.idx, coalesce(p.n, 0)::DOUBLE AS x
+        |       FROM spine s LEFT JOIN ptf p
+        |         ON p.key = s.key AND p.idx = s.idx),
+        |mo AS (SELECT key, sum(x) / 30.0::DOUBLE AS mu
+        |       FROM xs GROUP BY key),
+        |sg AS (SELECT x.key,
+        |    sqrt(sum(CAST((x.x - mu) * (x.x - mu)
+        |      AS DECIMAL(38,12)))::DOUBLE / 30.0::DOUBLE) AS sigma
+        |  FROM xs x JOIN mo ON mo.key = x.key GROUP BY x.key, mu),
+        |cs AS (
+        |  SELECT mo.key, -1 AS t, 0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn
+        |  FROM mo
+        |  UNION ALL
+        |  SELECT cs.key, cs.t + 1,
+        |    greatest(0.0::DOUBLE,
+        |      cs.sp + (x.x - mo.mu - 0.5::DOUBLE * sg.sigma)),
+        |    greatest(0.0::DOUBLE,
+        |      cs.sn + (mo.mu - x.x - 0.5::DOUBLE * sg.sigma))
+        |  FROM cs JOIN xs x ON x.key = cs.key AND x.idx = cs.t + 1
+        |  JOIN mo ON mo.key = cs.key JOIN sg ON sg.key = cs.key
+        |  WHERE cs.t < 29)
+        |SELECT c.key, c.t AS day_idx, x.x::BIGINT AS x,
+        |  round(c.sp, 6) AS s_pos, round(c.sn, 6) AS s_neg,
+        |  round(4.0::DOUBLE * sg.sigma, 6) AS "limit",
+        |  (round(c.sp, 6) > round(4.0::DOUBLE * sg.sigma, 6) OR
+        |   round(c.sn, 6) > round(4.0::DOUBLE * sg.sigma, 6)) AS alarm
+        |FROM cs c JOIN xs x ON x.key = c.key AND x.idx = c.t
+        |JOIN sg ON sg.key = c.key
+        |WHERE c.t >= 0
+        |ORDER BY c.key, c.t""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

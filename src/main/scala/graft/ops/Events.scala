@@ -2591,6 +2591,85 @@ object Events {
       .orderBy(col("key"), col("day_idx"))
   }
 
+  /** Tabular (decision-interval) CUSUM monitor (Page 1954): per key
+    * over the zero-filled daily spine,
+    * `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k·σ))` and
+    * `S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k·σ))` with S±₀ = 0, alarm
+    * when either exceeds `h·σ`. The sustained-small-shift alarm beside
+    * [[ewmaChart]] (CUSUM accumulates evidence; EWMA discounts it) and
+    * the MONITOR face of [[cusumChangepoint]]'s retrospective scan.
+    * μ/σ are the spine's own mean / population std ([[ewmaChart]]'s
+    * convention; the streaming twin takes them as a trained baseline).
+    * Returns one row per (key, day):
+    * (key, day_idx, x, s_pos, s_neg, limit, alarm), 6 dp; the alarm
+    * compares the rounded readouts (engine-replayable).
+    *
+    * 100 TB shape: identical to [[ewmaChart]] — one event-sized
+    * collapse, one `aggregate()` fold per key over the plan-time
+    * spine, parallel across keys.
+    */
+  def cusumMonitor(events: DataFrame, keyCol: String, tsCol: String,
+      startDay: String, numDays: Int, k: Double,
+      h: Double): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(h > 0, "h must be positive")
+    require(numDays >= 2 && numDays <= 366,
+      "numDays in [2,366] — the spine is a plan-time constant")
+    val t0 = numDays
+    val counts = events
+      .select(col(keyCol).cast("string").as("key"),
+        datediff(to_date(col(tsCol)), to_date(lit(startDay))).as("__i"))
+      .filter(col("key").isNotNull &&
+        col("__i") >= 0 && col("__i") < t0)
+      .groupBy(col("key"), col("__i"))
+      .agg(count(lit(1)).as("__n"))
+    val xs = counts
+      .groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__n"))))
+        .as("__m"))
+      .select(col("key"),
+        transform(sequence(lit(0), lit(t0 - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("__xs"))
+    val nD = lit(t0.toDouble)
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)")
+    val base = xs
+      .withColumn("__mu",
+        aggregate(col("__xs"), lit(0.0), (a, x) => a + x) / nD)
+      .withColumn("__sg", sqrt(
+        aggregate(
+          transform(col("__xs"), x =>
+            ((x - col("__mu")) * (x - col("__mu")))
+              .cast("decimal(38,12)")),
+          zeroDec,
+          (a, x) => (a + x).cast("decimal(38,12)")).cast("double") / nD))
+    val slack = lit(k) * col("__sg")
+    val sArr = aggregate(col("__xs"),
+      struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+        array().cast("array<struct<sp:double,sn:double>>").as("arr")),
+      (st, xv) => {
+        val spNew = greatest(lit(0.0),
+          st.getField("sp") + (xv - col("__mu") - slack))
+        val snNew = greatest(lit(0.0),
+          st.getField("sn") + (col("__mu") - xv - slack))
+        struct(spNew.as("sp"), snNew.as("sn"),
+          concat(st.getField("arr"),
+            array(struct(spNew.as("sp"), snNew.as("sn")))).as("arr"))
+      },
+      st => st.getField("arr"))
+    base
+      .select(col("key"), col("__xs"), col("__sg"),
+        posexplode(sArr).as(Seq("__pos", "__s")))
+      .select(col("key"), col("__pos").as("day_idx"),
+        element_at(col("__xs"), col("__pos") + 1).cast("long").as("x"),
+        round(col("__s.sp"), 6).as("s_pos"),
+        round(col("__s.sn"), 6).as("s_neg"),
+        round(lit(h) * col("__sg"), 6).as("limit"))
+      .withColumn("alarm",
+        col("s_pos") > col("limit") || col("s_neg") > col("limit"))
+      .orderBy(col("key"), col("day_idx"))
+  }
+
   /** The shared Holt-Winters kernel: per-key zero-filled spine →
     * numDays-array → ONE `aggregate()` fold whose state carries
     * (ℓ, b, seasonal queue, backtest error accumulators). Returns the

@@ -176,6 +176,95 @@ object StreamOps {
       }
   }
 
+  /** One emitted CUSUM day ([[streamingCusumMonitor]]) — the exact
+    * column set of [[graft.ops.Events.cusumMonitor]]'s per-day rows. */
+  case class CusumReading(key: String, day_idx: Long, x: Long,
+      s_pos: Double, s_neg: Double, limit: Double, alarm: Boolean)
+
+  /** Per-key CUSUM state: open-day counts, the two running sums, and
+    * the next day index to close. */
+  case class CusumState(pending: Map[Long, Long], sp: Double, sn: Double,
+      nextIdx: Long)
+
+  /** Streaming tabular CUSUM monitor — the continuous twin of
+    * [[graft.ops.Events.cusumMonitor]], wired exactly like
+    * [[streamingEwmaChart]]: `baseline` carries (key, mu, sigma) from a
+    * reference window, the live stream folds the two one-sided sums
+    * over UTC-day arrival counts (interior AND leading zero-days
+    * replicated), and each closed day emits one [[CusumReading]] with
+    * the batch face's 6-dp alarm algebra — the batch-parity spec
+    * asserts bit-equality. Keys absent from `baseline` are not
+    * monitored. State per key is day-grain and watermark-bounded.
+    */
+  def streamingCusumMonitor(events: DataFrame, keyCol: String,
+      tsCol: String, baseline: DataFrame, startDay: String, k: Double,
+      h: Double, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[CusumReading] = {
+    import spark.implicits._
+    require(k >= 0, "k must be >= 0")
+    require(h > 0, "h must be positive")
+    val dayMs = 86400000L
+    val startMs = java.time.LocalDate.parse(startDay)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val base = baseline
+      .select(col("key").cast("string"), col("mu").cast("double"),
+        col("sigma").cast("double"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    def close(key: String, st: CusumState, wmMs: Long)
+        : (CusumState, Seq[CusumReading]) = {
+      val (mu, sigma) = base(key)
+      val lim = r6(h * sigma)
+      val lastComplete = (wmMs - startMs) / dayMs - 1
+      if (lastComplete < st.nextIdx) (st, Seq.empty)
+      else {
+        var sp = st.sp; var sn = st.sn
+        val out = (st.nextIdx to lastComplete).map { idx =>
+          val x = st.pending.getOrElse(idx, 0L)
+          sp = math.max(0.0, sp + (x - mu - k * sigma))
+          sn = math.max(0.0, sn + (mu - x - k * sigma))
+          val (spR, snR) = (r6(sp), r6(sn))
+          CusumReading(key, idx, x, spR, snR, lim,
+            spR > lim || snR > lim)
+        }
+        (CusumState(st.pending -- (st.nextIdx to lastComplete),
+          sp, sn, lastComplete + 1), out)
+      }
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("__ts"))
+      .filter(col("k").isNotNull)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumReading](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[CusumState]) =>
+          if (!base.contains(key)) Iterator.empty
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse(
+              CusumState(Map.empty, 0.0, 0.0, 0L))
+            val merged = rows.foldLeft(st0.pending) { (m, r) =>
+              val idx = (r._2.getTime - startMs) / dayMs
+              if (r._2.getTime < startMs) m
+              else m.updated(idx, m.getOrElse(idx, 0L) + 1L)
+            }
+            val (stNew, out) =
+              close(key, CusumState(merged, st0.sp, st0.sn, st0.nextIdx),
+                wm)
+            state.update(stNew)
+            state.setTimeoutTimestamp(wm + 1)
+            out.iterator
+          }
+      }
+  }
+
   /** One closed window's drift readout ([[streamingKsDrift]]). */
   case class KsDrift(window_start: java.sql.Timestamp, n: Long,
       d_stat: Double, p_value: Double, drift: Boolean)

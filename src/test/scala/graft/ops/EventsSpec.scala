@@ -613,6 +613,25 @@ class EventsSpec extends AnyFunSuite {
     assert(!out(8).getBoolean(6) && out(9).getBoolean(6))
   }
 
+  test("cusum monitor: one-sided sums accumulate and reset at zero") {
+    // counts 4, 0, 8, 4; mu 4, sigma sqrt(8); k=0.5 -> slack 1.414...
+    val rows = Seq.fill(4)(("A", day(1))) ++ Seq.fill(8)(("A", day(3))) ++
+      Seq.fill(4)(("A", day(4)))
+    val out = Events.cusumMonitor(rows.toDF("k", "ts"), "k", "ts",
+        startDay = "2024-01-01", numDays = 4, k = 0.5, h = 0.8)
+      .collect()
+    val slack = 0.5 * math.sqrt(8.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // s_pos: 0, 0, 8-4-slack, then minus (4-4+slack)
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0,
+      r6(4.0 - slack), r6(math.max(0.0, (4.0 - slack) + (0.0 - slack)))))
+    // s_neg: 0, then 4-0-slack, then reset to 0 by the spike
+    assert(out(1).getDouble(4) == r6(4.0 - slack))
+    assert(out(2).getDouble(4) == 0.0)
+    // the spike day alarms at h=0.8 (limit 0.8*sigma ≈ 2.26 < 2.586)
+    assert(out(2).getBoolean(6) && !out(0).getBoolean(6))
+  }
+
   test("ses forecast: closed form equals the recursive definition") {
     // key A days 1..4 with counts 4, 2, 8, 6; alpha = 0.5
     // s1=4; s2=3; s3=5.5; s4=5.75

@@ -133,6 +133,48 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM monitor matches batch cusumMonitor") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // same series as the EWMA twin: counts 4, 0, 8, 4 -> mu 4, sigma √8
+    val baseline = Seq(("A", 4.0, math.sqrt(8.0))).toDF("key", "mu", "sigma")
+    val q = StreamOps.streamingCusumMonitor(input.toDF(), "event_type",
+        "ts", baseline, startDay = "2024-01-01", k = 0.5, h = 0.8)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-0$day $hour%02d:00:00")
+    try {
+      input.addData((1 to 4).map(i =>
+        EventRow(i.toLong, at(1, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 8).map(i =>
+        EventRow(10 + i.toLong, at(3, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 4).map(i =>
+        EventRow(20 + i.toLong, at(4, i), 1, "A", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(EventRow(999, at(7, 12), 1, "A", 1.0))
+      q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT * FROM cusum_out WHERE day_idx < 4 ORDER BY day_idx")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      val batchEvents = ((1 to 4).map(i => ("A", at(1, i))) ++
+        (1 to 8).map(i => ("A", at(3, i))) ++
+        (1 to 4).map(i => ("A", at(4, i)))).toDF("k", "ts")
+      val batch = graft.ops.Events.cusumMonitor(batchEvents, "k", "ts",
+          startDay = "2024-01-01", numDays = 4, k = 0.5, h = 0.8)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      assert(stream.length == 4, s"got ${stream.length} rows")
+      assert(stream.toSeq == batch.toSeq)
+      assert(stream.exists(_._7)) // the day-3 spike alarms at h=0.8
+    } finally q.stop()
+  }
+
   test("streaming KS drift matches batch ksTest across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
