@@ -4315,7 +4315,25 @@ object SparkEntry {
     // sustained-shift alarm beside q272's EWMA chart.
     "q283_cusum_monitor" -> ((s, dir) =>
       graft.ops.Events.cusumMonitor(t(s, dir, "events"), "event_type",
-        "ts", startDay = "2024-01-01", numDays = 30, k = 0.5, h = 4.0))
+        "ts", startDay = "2024-01-01", numDays = 30, k = 0.5, h = 4.0)),
+
+    // Empirical-Bayes rate shrinkage (ops/Profile.scala): per-user
+    // purchase-per-event rates pulled toward the moment-matched Beta
+    // prior — the thin-key CTR fix.
+    "q284_eb_shrinkage" -> ((s, dir) =>
+      graft.ops.Profile.ebShrinkRates(t(s, dir, "events"), "user_id",
+        col("event_type") === "purchase")),
+
+    // KPSS stationarity test (ops/Events.scala): q274's daily 'view'
+    // series with the hypotheses flipped — stationary null, Bartlett
+    // long-run variance at 2 lags.
+    "q285_kpss" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "view" && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Events.kpssTest(daily, "day", "n", lags = 2)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10851,7 +10869,76 @@ object SparkEntry {
         |FROM cs c JOIN xs x ON x.key = c.key AND x.idx = c.t
         |JOIN sg ON sg.key = c.key
         |WHERE c.t >= 0
-        |ORDER BY c.key, c.t""".stripMargin
+        |ORDER BY c.key, c.t""".stripMargin,
+
+    // per-key rates, two decimal moments passes, the Beta prior
+    // algebra, and the shrink readout in the operator's double order
+    "q284_eb_shrinkage" ->
+      """WITH pk AS (
+        |  SELECT user_id AS key, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END)::BIGINT AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |pr AS (SELECT key, n, x, x::DOUBLE / n::DOUBLE AS raw FROM pk),
+        |m1 AS (SELECT count(*)::BIGINT AS k,
+        |    sum(CAST(raw AS DECIMAL(38,12)))::DOUBLE AS sr FROM pr),
+        |mm AS (SELECT k, sr / k::DOUBLE AS mean FROM m1),
+        |m2 AS (SELECT sum(CAST((raw - mean) * (raw - mean)
+        |    AS DECIMAL(38,12)))::DOUBLE AS sv FROM pr, mm),
+        |prior AS (SELECT
+        |    (mean * (1.0::DOUBLE - mean) / (sv / k::DOUBLE)
+        |      - 1.0::DOUBLE) AS ab,
+        |    mean * (mean * (1.0::DOUBLE - mean) / (sv / k::DOUBLE)
+        |      - 1.0::DOUBLE) AS alpha
+        |  FROM mm, m2)
+        |SELECT key, n, x, round(raw, 6) AS raw_rate,
+        |  round((x::DOUBLE + alpha) / (n::DOUBLE + ab), 6)
+        |    AS shrunk_rate,
+        |  round(alpha, 6) AS alpha, round(ab - alpha, 6) AS beta
+        |FROM pr, prior ORDER BY key""".stripMargin,
+
+    // demeaned partial sums + Bartlett long-run variance in the
+    // operator's exact fold order; eta compared at 6 dp
+    "q285_kpss" ->
+      """WITH ds AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS nn
+        |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |s1 AS (SELECT day, nn::DOUBLE AS y FROM ds),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy FROM s1),
+        |mm AS (SELECT n, sy / n::DOUBLE AS mean FROM m),
+        |e0 AS (SELECT day, (y - mean) AS e FROM s1, mm),
+        |e1 AS (SELECT day, e,
+        |    (sum(CAST(e AS DECIMAL(38,12))) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::DOUBLE AS S,
+        |    lag(e, 1) OVER (ORDER BY day) AS el1,
+        |    lag(e, 2) OVER (ORDER BY day) AS el2
+        |  FROM e0),
+        |agg AS (SELECT
+        |    sum(CAST(S * S AS DECIMAL(38,12)))::DOUBLE AS ss2,
+        |    sum(CAST(e * e AS DECIMAL(38,12)))::DOUBLE AS g0,
+        |    sum(CAST(e * el1 AS DECIMAL(38,12)))::DOUBLE AS g1,
+        |    sum(CAST(e * el2 AS DECIMAL(38,12)))::DOUBLE AS g2
+        |  FROM e1),
+        |lr AS (SELECT
+        |    ((g0 / n::DOUBLE +
+        |      (2.0::DOUBLE * (1.0::DOUBLE - 1.0::DOUBLE / 3.0::DOUBLE))
+        |        * (g1 / n::DOUBLE)) +
+        |      (2.0::DOUBLE * (1.0::DOUBLE - 2.0::DOUBLE / 3.0::DOUBLE))
+        |        * (g2 / n::DOUBLE)) AS v,
+        |    ss2, n
+        |  FROM agg, mm)
+        |SELECT n, 2 AS lags,
+        |  CASE WHEN v > 0.0::DOUBLE
+        |    THEN round((ss2 / (n::DOUBLE * n::DOUBLE)) / v, 6)
+        |  END AS eta,
+        |  CASE WHEN v > 0.0::DOUBLE
+        |    THEN round((ss2 / (n::DOUBLE * n::DOUBLE)) / v, 6)
+        |      < 0.463::DOUBLE
+        |  END AS stationary
+        |FROM lr""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

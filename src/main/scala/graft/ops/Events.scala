@@ -2913,6 +2913,68 @@ object Events {
         when(col("adf_stat").isNotNull, col("adf_stat") < -2.86))
   }
 
+  /** KPSS level-stationarity test (Kwiatkowski-Phillips-Schmidt-Shin
+    * 1992) — [[adfTest]]'s complement with the hypotheses flipped (ADF:
+    * unit-root null; KPSS: stationary null — agreeing tests settle the
+    * question). η = (Σ_t S_t² / n²) / σ̂²_lr over the demeaned series'
+    * partial sums, with the Newey-West long-run variance under Bartlett
+    * weights `w_l = 1 − l/(L+1)`. `stationary` flags η < 0.463 (the
+    * 5% critical value, level case), compared on the 6-dp readout.
+    * Returns one row (n, lags, eta, stationary); eta is null when the
+    * long-run variance is ≤ 0 (constant series).
+    *
+    * Same shape contract as [[adfTest]]: the series is calendar-
+    * bounded, the windows unpartitioned-but-bounded, every sum
+    * DECIMAL(38,12)-quantized.
+    */
+  def kpssTest(series: DataFrame, orderCol: String, valueCol: String,
+      lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 10, "kpssTest: lags must be in 0..10")
+    val spark = series.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base = series
+      .select(col(orderCol).as("__o"),
+        col(valueCol).cast("double").as("__y"))
+      .filter(col("__o").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(eager = true) // series-sized; mean + residual
+    val m = base.agg(count(lit(1)).as("n"), sum(d12(col("__y"))).as("sy"))
+      .head()
+    val n = m.getLong(0)
+    require(n > lags + 1, s"kpssTest: need n > ${lags + 1}, got $n")
+    val mean = m.getDecimal(1).doubleValue() / n.toDouble
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val wCum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val resid0 = base
+      .withColumn("__e", col("__y") - lit(mean))
+      .withColumn("__S", sum(d12(col("__e"))).over(wCum).cast("double"))
+    val withLags = (1 to lags).foldLeft(resid0)((acc, l) =>
+      acc.withColumn(s"__el$l", lag(col("__e"), l).over(w)))
+    val aggs = Seq(sum(d12(col("__S") * col("__S"))).as("ss2"),
+      sum(d12(col("__e") * col("__e"))).as("g0")) ++
+      (1 to lags).map(l =>
+        sum(d12(col("__e") * col(s"__el$l"))).as(s"g$l"))
+    val r = withLags.agg(aggs.head, aggs.tail: _*).head()
+    def dv(f: String) = {
+      val d = r.getDecimal(r.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val nD = n.toDouble
+    var lr = dv("g0") / nD
+    (1 to lags).foreach { l =>
+      lr += 2.0 * (1.0 - l.toDouble / (lags + 1).toDouble) *
+        (dv(s"g$l") / nD)
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val eta =
+      if (lr > 0) Some(r6((dv("ss2") / (nD * nD)) / lr)) else None
+    Seq((n, lags, eta, eta.map(_ < 0.463)))
+      .toDF("n", "lags", "eta", "stationary")
+  }
+
   /** Granger causality test (Granger 1969): does x's history improve
     * the prediction of y beyond y's own? Fits the unrestricted model
     * `y_t ~ 1 + y_{t−1..L} + x_{t−1..L}` and the restricted

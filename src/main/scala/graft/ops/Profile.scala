@@ -1756,6 +1756,62 @@ object Profile {
       .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
   }
 
+  /** Empirical-Bayes rate shrinkage (beta-binomial moment matching,
+    * Robbins 1956 / the James-Stein idea for proportions): per-key
+    * success rates `x/n` are pulled toward the population with a Beta
+    * prior fitted by moments over the per-key raw rates —
+    * `α+β = m(1−m)/v − 1`, `α = m(α+β)` — and each key reads
+    * `(x+α)/(n+α+β)`. The fix for "this item has 1/1 = 100% CTR":
+    * thin keys shrink hard, fat keys barely move. Returns one row per
+    * key: (key, n, x, raw_rate, shrunk_rate, alpha, beta), 6 dp.
+    * Degenerate populations (zero/over-dispersed variance → no valid
+    * Beta) fail loudly.
+    *
+    * 100 TB shape: one key aggregate, two moments passes over the
+    * pinned KEY-sized frame (squared deviations DECIMAL-quantized),
+    * prior algebra on the 1-row collect, map-side shrink readout.
+    */
+  def ebShrinkRates(df: DataFrame, keyCol: String,
+      isSuccess: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val perKey = df
+      .select(col(keyCol).as("key"),
+        when(isSuccess, lit(1L)).otherwise(lit(0L)).as("__s"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
+      .withColumn("raw",
+        col("x").cast("double") / col("n").cast("double"))
+      .localCheckpoint(eager = true) // key-sized; moments + readout
+    val m1 = perKey.agg(count(lit(1)).as("k"),
+      sum(d12(col("raw"))).as("sr")).head()
+    val kCnt = m1.getLong(0)
+    require(kCnt >= 2, s"ebShrinkRates: need >= 2 keys, got $kCnt")
+    val mean = m1.getDecimal(1).doubleValue() / kCnt.toDouble
+    val m2 = perKey.agg(
+      sum(d12((col("raw") - lit(mean)) * (col("raw") - lit(mean))))
+        .as("sv")).head()
+    val v = m2.getDecimal(0).doubleValue() / kCnt.toDouble
+    require(v > 0 && v < mean * (1.0 - mean),
+      s"ebShrinkRates: rate variance $v outside (0, m(1-m)) — no " +
+        "valid Beta prior (all-equal or over-dispersed rates)")
+    val ab = mean * (1.0 - mean) / v - 1.0
+    val alpha = mean * ab
+    val beta = ab - alpha
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    perKey
+      .select(col("key"), col("n"), col("x"),
+        round(col("raw"), 6).as("raw_rate"),
+        round((col("x").cast("double") + lit(alpha)) /
+          (col("n").cast("double") + lit(ab)), 6).as("shrunk_rate"),
+        lit(r6(alpha)).as("alpha"), lit(r6(beta)).as("beta"))
+      .orderBy(col("key"))
+  }
+
   /** Gumbel extreme-value fit over block maxima (Gumbel 1958, method
     * of moments): block the data by `blockCol`, take each block's max,
     * and fit `β = s·√6/π`, `μ = m − γ·β` (γ = Euler-Mascheroni) on the

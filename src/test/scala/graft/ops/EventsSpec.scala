@@ -553,6 +553,22 @@ class EventsSpec extends AnyFunSuite {
     assert(!rt.getBoolean(4))
   }
 
+  test("kpssTest: mean-reverting series passes, a trend fails") {
+    val alt = (1 to 28).map(d =>
+      (day(d), (if (d % 2 == 0) 5.0 else 9.0) + 0.3 * (d % 5)))
+      .toDF("day", "v")
+    val ra = Events.kpssTest(alt, "day", "v", lags = 2).collect()(0)
+    assert(ra.getBoolean(3), s"eta=${ra.getDouble(2)}")
+    val trend = (1 to 28).map(d => (day(d), d * 2.0 + 0.1 * (d % 3)))
+      .toDF("day", "v")
+    val rt = Events.kpssTest(trend, "day", "v", lags = 2).collect()(0)
+    assert(!rt.getBoolean(3) && rt.getDouble(2) > 0.463)
+    // constant series: zero long-run variance -> null eta
+    val const = (1 to 10).map(d => (day(d), 4.0)).toDF("day", "v")
+    val rc = Events.kpssTest(const, "day", "v", lags = 2).collect()(0)
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
   test("grangerTest: a lagged driver shows a large F, noise does not") {
     // y_t follows x_{t-1} with a wobble; x is a rich periodic signal
     val xs = (1 to 60).map(d => (d % 7 + 0.3 * (d % 4)).toDouble)

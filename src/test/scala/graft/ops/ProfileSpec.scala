@@ -849,6 +849,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("ebShrinkRates: thin keys shrink hard, fat keys barely move") {
+    // population of varied rates + one thin and one fat key at 0.5
+    val bg = (1 to 10).flatMap { k =>
+      val n = 20; val x = 2 * k // rates 0.1 .. 1.0
+      (1 to n).map(i => (s"bg$k", i <= x))
+    }
+    val thin = Seq(("thin", true), ("thin", false))          // 1/2
+    val fat = (1 to 100).map(i => ("fat", i <= 50))          // 50/100
+    val df = (bg ++ thin ++ fat).toDF("k", "s")
+    val out = Profile.ebShrinkRates(df, "k", col("s")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val (rawT, shT) = out("thin"); val (rawF, shF) = out("fat")
+    assert(rawT == 0.5 && rawF == 0.5)
+    assert(math.abs(shF - 0.5) < math.abs(shT - 0.5),
+      s"fat moved $shF, thin moved $shT")
+    // all shrunk rates stay inside (0,1)
+    assert(out.values.forall { case (_, s) => s > 0 && s < 1 })
+  }
+
   test("gumbelFit: moments algebra and return-level ordering") {
     // blocks 1..4 with maxima 10, 12, 14, 16: mean 13, pop var 5
     val rows = Seq((1, 10.0), (1, 3.0), (2, 12.0), (3, 14.0), (4, 16.0))
