@@ -59,8 +59,8 @@ object ScaleCheck {
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
-    // sfbench100 evalscale streamtwins statfaces) to run a subset; no
-    // args = everything
+    // sfbench100 evalscale streamtwins statfaces monitorfaces) to run
+    // a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -2538,6 +2538,129 @@ object ScaleCheck {
     println(f"STATFACES> lift rows=20000000 top_lift=" +
       f"${lc.head.getDouble(4)}%.3f top_capture=" +
       f"${lc.head.getDouble(5)}%.3f t=$tLift%.1f s")
+    }
+
+    if (run("monitorfaces")) {
+    // ---- 5ah. Monitoring/attribution/density faces at volume ----------
+    // The round-15c shapes, each gated on a PLANTED truth: the
+    // EWMA/CUSUM folds over a 5M-event × 100-key × 60-day spine with a
+    // level shift planted in ONE key (the alarm must fire there and
+    // only fire late-period there); Markov attribution over 5M events
+    // whose converting journeys always pass through one channel (its
+    // removal effect must dominate); DBSCAN over 1M 2-D points with two
+    // planted dense blobs in a uniform noise field (exactly the blobs
+    // must come back as clusters).
+    import java.sql.Timestamp
+    val nEv5 = 5000000L
+    // ~833 events/key/day baseline; key 7 concentrates a third of its
+    // mass into days >= 45 (a ~2.3x late-period level shift)
+    val ev5 = spark.range(nEv5).select(col("id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(100L)).as("k"),
+        pmod(xxhash64(col("id"), lit(13)), lit(60L)).as("d0"))
+      .withColumn("day",
+        when(col("k") === 7 &&
+          pmod(xxhash64(col("id"), lit(17)), lit(3L)) === 0,
+          col("d0") % 15 + 45).otherwise(col("d0")))
+      .select(concat(lit("key"), lpad(col("k").cast("string"), 3, "0"))
+          .as("key"),
+        (unix_micros(lit(Timestamp.valueOf("2024-01-01 00:00:00"))) /
+          1000000L + col("day") * 86400L).cast("timestamp").as("ts"))
+      .localCheckpoint(true)
+    val (ew, tEw) = time {
+      graft.ops.Events.ewmaChart(ev5, "key", "ts", "2024-01-01", 60,
+        lambda = 0.2, limitL = 3.0).collect()
+    }
+    val ewShift = ew.filter(r => r.getString(0) == "key007" &&
+      r.getBoolean(6))
+    require(ewShift.nonEmpty && ewShift.forall(_.getInt(1) >= 44),
+      s"EWMA must alarm key007 only in the shifted window: " +
+        s"${ewShift.take(3).mkString(",")}")
+    println(f"MONITOR> ewma rows=$nEv5 keys=100 days=60 " +
+      f"alarm_days_key007=${ewShift.length} t=$tEw%.1f s")
+    val (cu, tCu) = time {
+      graft.ops.Events.cusumMonitor(ev5, "key", "ts", "2024-01-01", 60,
+        k = 0.5, h = 4.0).collect()
+    }
+    // CUSUM accumulates: the shift inflates key007's own mu, so the
+    // PRE-shift days legitimately build s_neg — gate on the shifted
+    // window alarming and on key007 dominating the alarm mass, not on
+    // per-day placement
+    val cuShift = cu.filter(r => r.getString(0) == "key007" &&
+      r.getBoolean(6))
+    require(cuShift.nonEmpty && cuShift.map(_.getInt(1)).max >= 45,
+      "CUSUM must alarm key007 in the shifted window")
+    val cuOtherDays = cu.count(r => r.getString(0) != "key007" &&
+      r.getBoolean(6))
+    require(cuShift.length * 10 > cuOtherDays,
+      s"key007 (${cuShift.length} alarm days) must dominate the " +
+        s"other 99 keys' total ($cuOtherDays)")
+    println(f"MONITOR> cusum rows=$nEv5 key007_alarm_days=" +
+      f"${cuShift.length} other_keys_total=$cuOtherDays t=$tCu%.1f s")
+    // Markov attribution: 1M users x 5 events; converting users (1 in
+    // 4) ALWAYS touch 'golden' right before converting; 7 other
+    // channels fill the rest.
+    val nU = 1000000L
+    val journeys = spark.range(nU).select(col("id").as("u"))
+      .withColumn("conv",
+        pmod(xxhash64(col("u"), lit(19)), lit(4L)) === 0)
+      .select(col("u"), col("conv"),
+        explode(sequence(lit(0), lit(4))).as("step"))
+      .select(col("u"),
+        (col("u") * 10 + col("step")).as("event_id"),
+        (unix_micros(lit(Timestamp.valueOf("2024-01-01 00:00:00"))) /
+          1000000L + col("step") * 3600L).cast("timestamp").as("ts"),
+        when(col("conv") && col("step") === 4, "purchase")
+          .when(col("conv") && col("step") === 3, "golden")
+          .otherwise(concat(lit("ch"),
+            pmod(xxhash64(col("u"), col("step")), lit(7L))
+              .cast("string"))).as("event_type"))
+      .localCheckpoint(true)
+    val (ma, tMa) = time {
+      graft.ops.Events.markovAttribution(journeys, "u", "event_type",
+        "ts", "event_id", col("event_type") === "purchase").collect()
+    }
+    val golden = ma.find(_.getString(0) == "golden").get
+    val maxOther = ma.filter(_.getString(0) != "golden")
+      .map(_.getDouble(2)).max
+    require(golden.getDouble(2) > 0.9 && maxOther < 0.5,
+      s"the mandatory channel must dominate: golden=" +
+        s"${golden.getDouble(2)} maxOther=$maxOther")
+    println(f"MONITOR> markov rows=${nU * 5} channels=${ma.length} " +
+      f"golden_re=${golden.getDouble(2)}%.3f t=$tMa%.1f s")
+    // DBSCAN: two 0.5-wide blobs of 50k points each (+ ~63 expected
+    // eps-neighbors per blob point at eps 0.01 — comfortably core) over
+    // a 900k-point uniform noise field on [0,10]^2 (~2.8 expected
+    // neighbors — noise). The blob spread matters: it keeps the grid
+    // cells ~20 points deep, so the candidate join stays local-density-
+    // bounded instead of quadratic-in-a-cell.
+    val blob = spark.range(100000L).select(col("id"),
+        (col("id") % 2).as("b"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(500000L)).cast("double")
+          / 1000000.0).as("jx"),
+        (pmod(xxhash64(col("id"), lit(29)), lit(500000L)).cast("double")
+          / 1000000.0).as("jy"))
+      .select(col("id"),
+        (lit(2.0) + col("b") * 5.0 + col("jx")).as("x"),
+        (lit(2.0) + col("b") * 5.0 + col("jy")).as("y"))
+    val noise = spark.range(900000L).select((col("id") + 100000L).as("id"),
+        (pmod(xxhash64(col("id"), lit(31)), lit(1000000L)).cast("double")
+          / 100000.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(37)), lit(1000000L)).cast("double")
+          / 100000.0).as("y"))
+    val pts1m = blob.unionByName(noise).localCheckpoint(true)
+    val (db, tDb) = time {
+      graft.ops.Similarity.dbscan(pts1m, "id", "x", "y",
+        eps = 0.01, minPts = 30)
+        .groupBy(col("role"), col("cluster"))
+        .agg(count(lit(1)).as("n")).collect()
+    }
+    val clusters = db.filter(r => r.getString(0) == "core" &&
+      r.getLong(2) > 10000)
+    require(clusters.length == 2,
+      s"exactly the two planted blobs must return: " +
+        s"${db.mkString(",")}")
+    println(f"MONITOR> dbscan points=1000000 big_clusters=" +
+      f"${clusters.length} t=$tDb%.1f s")
     }
 
     if (run("sfbench100")) {
