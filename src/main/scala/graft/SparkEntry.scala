@@ -4333,7 +4333,35 @@ object SparkEntry {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
       graft.ops.Events.kpssTest(daily, "day", "n", lags = 2)
-    })
+    }),
+
+    // Batch sessionization (ops/Events.scala): 30-minute gap sessions
+    // over the event log — one user-keyed exchange carries the lag
+    // window, the boundary count, and the per-session collapse.
+    "q286_sessionize" -> ((s, dir) =>
+      graft.ops.Events.sessionizeBatch(t(s, dir, "events"), "user_id",
+        "ts", "event_id", gapMillis = 30L * 60000L)),
+
+    // Two-proportion z-test (ops/Profile.scala): do urgent orders ship
+    // late more often than low-priority ones? Pooled z + unpooled CI.
+    "q287_two_proportion" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.ops.Profile.twoProportionTest(orders, "o_orderpriority",
+        col("o_orderstatus") === "F")
+    }),
+
+    // HBOS outliers (ops/Profile.scala): rare corners of the
+    // (quantity, price, discount) space — per-feature histogram
+    // densities, top-100 by summed negative log density. The id is the
+    // unique line key (orderkey·10 + linenumber) so the top-k tiebreak
+    // is total.
+    "q288_hbos" -> ((s, dir) =>
+      graft.ops.Profile.hbos(
+        t(s, dir, "lineitem").withColumn("line_id",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+        "line_id", Seq("l_quantity", "l_extendedprice", "l_discount"),
+        bins = 20, topK = 100))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -10938,7 +10966,109 @@ object SparkEntry {
         |    THEN round((ss2 / (n::DOUBLE * n::DOUBLE)) / v, 6)
         |      < 0.463::DOUBLE
         |  END AS stationary
-        |FROM lr""".stripMargin
+        |FROM lr""".stripMargin,
+
+    // lag window gap flags -> running session index -> per-session
+    // collapse, all on the (ms, id) order
+    "q286_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_ms(ts)::BIGINT AS ms,
+        |    event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT u, ms, id,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY u ORDER BY ms, id)),
+        |s AS (SELECT u, ms,
+        |    (sum(brk) OVER (PARTITION BY u ORDER BY ms, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::BIGINT AS session_idx
+        |  FROM g)
+        |SELECT u AS "user", session_idx, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS start_ms, max(ms)::BIGINT AS end_ms,
+        |  (max(ms) - min(ms))::BIGINT AS duration_ms
+        |FROM s GROUP BY u, session_idx
+        |ORDER BY u, session_idx""".stripMargin,
+
+    // one grouped count, the pooled-z / A&S-tail / unpooled-CI algebra
+    // in the operator's exact double order
+    "q287_two_proportion" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1
+        |      ELSE 0 END)::BIGINT AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 1),
+        |ab AS (SELECT
+        |    max(CASE WHEN g = '1-URGENT' THEN n END)::BIGINT AS na,
+        |    max(CASE WHEN g = '1-URGENT' THEN x END)::BIGINT AS xa,
+        |    max(CASE WHEN g = '5-LOW' THEN n END)::BIGINT AS nb,
+        |    max(CASE WHEN g = '5-LOW' THEN x END)::BIGINT AS xb
+        |  FROM m),
+        |a1 AS (SELECT na, xa, nb, xb,
+        |    xa::DOUBLE / na::DOUBLE AS pa,
+        |    xb::DOUBLE / nb::DOUBLE AS pb,
+        |    (xa + xb)::DOUBLE / (na + nb)::DOUBLE AS pool FROM ab),
+        |a2 AS (SELECT *, (pb - pa) AS diff FROM a1),
+        |a3 AS (SELECT *,
+        |    CASE WHEN pool > 0.0::DOUBLE AND pool < 1.0::DOUBLE
+        |      THEN diff / sqrt(pool * (1.0::DOUBLE - pool) *
+        |        (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE))
+        |    END AS zv,
+        |    sqrt(pa * (1.0::DOUBLE - pa) / na::DOUBLE +
+        |      pb * (1.0::DOUBLE - pb) / nb::DOUBLE) AS seu
+        |  FROM a2),
+        |a4 AS (SELECT *, abs(zv) AS ax,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(zv))
+        |      AS tt FROM a3)
+        |SELECT na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round(diff, 6) AS diff, round(zv, 6) AS z,
+        |  CASE WHEN zv IS NOT NULL THEN
+        |    round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |      (exp(-ax * ax / 2.0::DOUBLE) /
+        |        sqrt(2.0::DOUBLE * pi()) *
+        |       (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |        tt * 1.330274429::DOUBLE))))))), 6)
+        |  END AS p_value,
+        |  round(diff - 1.959963984540054::DOUBLE * seu, 6) AS ci_lo,
+        |  round(diff + 1.959963984540054::DOUBLE * seu, 6) AS ci_hi
+        |FROM a4""".stripMargin,
+
+    // per-feature equal-width bins over [min,max], bin-grain counts
+    // joined back, the fixed-order per-row negative-log-density sum
+    "q288_hbos" ->
+      """WITH b AS (
+        |  SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS id,
+        |    l_quantity::DOUBLE AS x0, l_extendedprice::DOUBLE AS x1,
+        |    l_discount::DOUBLE AS x2
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |mm AS (SELECT count(*)::BIGINT AS n,
+        |    min(x0) AS lo0, max(x0) AS hi0, min(x1) AS lo1,
+        |    max(x1) AS hi1, min(x2) AS lo2, max(x2) AS hi2 FROM b),
+        |bn AS (SELECT id,
+        |    least(19, floor((x0 - lo0) /
+        |      ((hi0 - lo0) / 20.0::DOUBLE))::INT) AS b0,
+        |    least(19, floor((x1 - lo1) /
+        |      ((hi1 - lo1) / 20.0::DOUBLE))::INT) AS b1,
+        |    least(19, floor((x2 - lo2) /
+        |      ((hi2 - lo2) / 20.0::DOUBLE))::INT) AS b2
+        |  FROM b, mm),
+        |c0 AS (SELECT b0, count(*)::BIGINT AS n0 FROM bn GROUP BY b0),
+        |c1 AS (SELECT b1, count(*)::BIGINT AS n1 FROM bn GROUP BY b1),
+        |c2 AS (SELECT b2, count(*)::BIGINT AS n2 FROM bn GROUP BY b2)
+        |SELECT bn.id AS id,
+        |  round(((-ln(n0::DOUBLE / n::DOUBLE)) +
+        |    (-ln(n1::DOUBLE / n::DOUBLE))) +
+        |    (-ln(n2::DOUBLE / n::DOUBLE)), 6) AS score,
+        |  b0 AS l_quantity_bin, b1 AS l_extendedprice_bin,
+        |  b2 AS l_discount_bin
+        |FROM bn JOIN c0 USING (b0) JOIN c1 USING (b1)
+        |JOIN c2 USING (b2), mm
+        |ORDER BY score DESC, id LIMIT 100""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

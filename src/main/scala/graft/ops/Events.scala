@@ -1600,6 +1600,42 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Batch gap-based sessionization — the batch face of
+    * [[graft.streaming.StreamOps.sessionize]]: a user's events split
+    * into sessions wherever the gap to the previous event exceeds
+    * `gapMillis`; ties at the same timestamp order by `idCol`
+    * (deterministic). Returns one row per session:
+    * (user, session_idx, n_events, start_ms, end_ms, duration_ms),
+    * session_idx 1-based in time order.
+    *
+    * 100 TB shape: ONE user-keyed exchange carries the lag window, the
+    * session-boundary running count (same partitioning — no second
+    * shuffle), and the per-session collapse. Per-user partitions are
+    * bounded by user activity (the funnel/topPaths bound).
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMillis: Long): DataFrame = {
+    require(gapMillis > 0, "gapMillis must be positive")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ms"), col("__id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol).as("__u"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+        col(idCol).as("__id"))
+      .filter(col("__u").isNotNull && col("__ms").isNotNull)
+      .withColumn("__gap",
+        when(lag(col("__ms"), 1).over(w).isNull ||
+          col("__ms") - lag(col("__ms"), 1).over(w) > gapMillis, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__gap")).over(wCum))
+      .groupBy(col("__u").as("user"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ms")).as("start_ms"),
+        max(col("__ms")).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy(col("user"), col("session_idx"))
+  }
+
   /** Cohort lifetime-value curve — [[cohortRetention]]'s revenue
     * sibling: users cohort by the week of their FIRST event, qualifying
     * spend (rows matching `isSpend`, summed over `valueCol`) lands in

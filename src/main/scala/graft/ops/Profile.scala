@@ -1756,6 +1756,126 @@ object Profile {
       .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
   }
 
+  /** Two-proportion z-test — the plain conversion-rate A/B readout
+    * (the [[srmCheck]]/[[msprtTest]] family's fixed-horizon staple):
+    * pooled-SE z with the A&S 7.1.26 two-sided p, plus the unpooled
+    * 95% CI on the rate difference. Labels sort; exactly two required.
+    * Returns one row (n_a, x_a, n_b, x_b, rate_a, rate_b, diff, z,
+    * p_value, ci_lo, ci_hi), 6 dp; z/p null when the pooled rate is
+    * degenerate (0 or 1).
+    *
+    * 100 TB shape: ONE grouped count aggregation; algebra on the
+    * 2-row collect.
+    */
+  def twoProportionTest(df: DataFrame, groupCol: String,
+      isSuccess: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = df
+      .select(col(groupCol).cast("string").as("__g"),
+        when(isSuccess, lit(1L)).otherwise(lit(0L)).as("__s"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
+      .collect()
+    val labels = m.map(_.getString(0)).sorted
+    require(labels.length == 2,
+      s"twoProportionTest: need exactly 2 groups, got " +
+        labels.mkString(","))
+    def row(l: String) = m.find(_.getString(0) == l).get
+    val (na, xa) = (row(labels(0)).getLong(1), row(labels(0)).getLong(2))
+    val (nb, xb) = (row(labels(1)).getLong(1), row(labels(1)).getLong(2))
+    require(na > 0 && nb > 0, "twoProportionTest: empty group")
+    val (pa, pb) = (xa.toDouble / na.toDouble, xb.toDouble / nb.toDouble)
+    val diff = pb - pa
+    val pool = (xa + xb).toDouble / (na + nb).toDouble
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (z, p) =
+      if (pool > 0 && pool < 1) {
+        val se = math.sqrt(pool * (1.0 - pool) *
+          (1.0 / na.toDouble + 1.0 / nb.toDouble))
+        val zv = diff / se
+        val ax = math.abs(zv)
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) *
+          poly
+        (Some(r6(zv)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    val seU = math.sqrt(pa * (1.0 - pa) / na.toDouble +
+      pb * (1.0 - pb) / nb.toDouble)
+    Seq((na, xa, nb, xb, r6(pa), r6(pb), r6(diff), z, p,
+      r6(diff - 1.959963984540054 * seU),
+      r6(diff + 1.959963984540054 * seU)))
+      .toDF("n_a", "x_a", "n_b", "x_b", "rate_a", "rate_b", "diff",
+        "z", "p_value", "ci_lo", "ci_hi")
+  }
+
+  /** Histogram-based outlier score (HBOS, Goldstein & Dengel 2012):
+    * per feature, equal-width bins over the observed [min, max]; a
+    * row's score is `Σ_f −ln(count_bin/n)` — rare corners of the
+    * feature space score high. The linear-time tabular outlier
+    * detector (each feature independent — it misses correlation
+    * outliers, stated; [[graft.ops.Similarity.dbscan]] is the density
+    * face). Returns the topK rows by (score desc, id):
+    * (id, score, then one `<col>_bin` per feature), 6 dp.
+    *
+    * 100 TB shape: one min/max aggregate (collected as plan literals),
+    * one count aggregate per feature at BIN grain (bins-bounded),
+    * broadcast-joined back; the top-k is TakeOrderedAndProject.
+    */
+  def hbos(df: DataFrame, idCol: String, cols: Seq[String],
+      bins: Int = 20, topK: Int = 100): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 12, "hbos: need 1..12 columns")
+    require(bins >= 2 && bins <= 1000, "hbos: bins in 2..1000")
+    require(topK >= 1, "hbos: topK must be >= 1")
+    val base = df
+      .select(col(idCol).as("id") +:
+        cols.map(c => col(c).cast("double").as(c)): _*)
+      .filter(col("id").isNotNull &&
+        cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .localCheckpoint(eager = true) // bounds + per-feature counts + scan
+    val mmAggs = count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+        max(col(c)).as(s"__hi_$c")))
+    val mm = base.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val n = mm.getLong(0)
+    require(n > 0, "hbos: empty input after null filtering")
+    val bounds = cols.map { c =>
+      val lo = mm.getDouble(mm.fieldIndex(s"__lo_$c"))
+      val hi = mm.getDouble(mm.fieldIndex(s"__hi_$c"))
+      require(hi > lo, s"hbos: constant column '$c' carries no signal")
+      c -> (lo, hi)
+    }.toMap
+    def binOf(c: String): Column = {
+      val (lo, hi) = bounds(c)
+      least(lit(bins - 1), floor((col(c) - lit(lo)) /
+        lit((hi - lo) / bins.toDouble)).cast("int"))
+    }
+    val binned = base.select(col("id") +:
+      cols.map(c => binOf(c).as(s"${c}_bin")): _*)
+      .localCheckpoint(eager = true) // per-feature counts + the scan
+    val withDens = cols.foldLeft(binned) { (acc, c) =>
+      val cnt = binned.groupBy(col(s"${c}_bin"))
+        .agg(count(lit(1)).as(s"__cnt_$c"))
+      acc.join(broadcast(cnt), Seq(s"${c}_bin"))
+    }
+    // per-ROW sum in fixed column order (an expression tree, not an
+    // aggregation) — deterministic without quantization
+    val score = cols.map(c =>
+      -log(col(s"__cnt_$c").cast("double") / lit(n.toDouble)))
+      .reduce(_ + _)
+    withDens
+      .withColumn("score", round(score, 6))
+      .select(col("id") +: col("score") +:
+        cols.map(c => col(s"${c}_bin")): _*)
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Empirical-Bayes rate shrinkage (beta-binomial moment matching,
     * Robbins 1956 / the James-Stein idea for proportions): per-key
     * success rates `x/n` are pulled toward the population with a Beta

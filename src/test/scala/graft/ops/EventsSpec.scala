@@ -431,6 +431,21 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("sessionizeBatch: gaps split, ties order by id, stats per session") {
+    // u1: events at 0 and 10 min (one session), then 50 min (new);
+    // u2: one event
+    val rows = Seq(
+      (1L, 11L, ts(0)), (1L, 12L, ts(10)), (1L, 13L, ts(50)),
+      (2L, 21L, ts(5)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Events.sessionizeBatch(rows, "user_id", "ts", "event_id",
+        gapMillis = 30L * 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 600000L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
   test("cohortLtv: spine, horizon cap, and per-user accumulation") {
     // week1 cohort: u1 (buys 10 in wk1, 20 in wk2), u2 (never buys);
     // week2 cohort: u3 buys 5. day(1)=Mon 2024-01-01, day(8)=next week

@@ -849,6 +849,43 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("twoProportionTest: pooled z, CI, and degenerate pool") {
+    // A: 2/10, B: 8/10 -> diff 0.6, clearly significant
+    val rows = (1 to 10).map(i => ("A", i <= 2)) ++
+      (1 to 10).map(i => ("B", i <= 8))
+    val r = Profile.twoProportionTest(rows.toDF("g", "s"), "g",
+      col("s")).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L &&
+      r.getLong(3) == 8L)
+    assert(r.getDouble(6) == 0.6)
+    val pool = 0.5
+    val z = 0.6 / math.sqrt(pool * 0.5 * (0.1 + 0.1))
+    assert(math.abs(r.getDouble(7) - z) < 1e-6)
+    assert(r.getDouble(8) < 0.05)      // significant
+    assert(r.getDouble(9) > 0)         // CI excludes zero
+    // all-success pool -> null z/p, CI still reported
+    val deg = Seq(("A", true), ("B", true)).toDF("g", "s")
+    val rd = Profile.twoProportionTest(deg, "g", col("s")).collect()(0)
+    assert(rd.isNullAt(7) && rd.isNullAt(8) && rd.getDouble(9) == 0.0)
+  }
+
+  test("hbos: a planted far-corner outlier tops the score") {
+    // dense mass near (0,0); one point alone at (100,100)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (i % 10).toDouble, (i % 7).toDouble)) :+
+      (999L, 100.0, 100.0)
+    val out = Profile.hbos(rows.toDF("id", "x", "y"), "id",
+      Seq("x", "y"), bins = 10, topK = 5).collect()
+    assert(out.head.getLong(0) == 999L)
+    // its bins are the clamped top bin on both axes
+    assert(out.head.getInt(2) == 9 && out.head.getInt(3) == 9)
+    assert(out.head.getDouble(1) > out(1).getDouble(1))
+    intercept[IllegalArgumentException] {
+      Profile.hbos(Seq((1L, 5.0), (2L, 5.0)).toDF("id", "x"), "id",
+        Seq("x")).collect()
+    }
+  }
+
   test("ebShrinkRates: thin keys shrink hard, fat keys barely move") {
     // population of varied rates + one thin and one fat key at 0.5
     val bg = (1 to 10).flatMap { k =>
