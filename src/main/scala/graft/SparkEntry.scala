@@ -4361,7 +4361,50 @@ object SparkEntry {
         t(s, dir, "lineitem").withColumn("line_id",
           col("l_orderkey") * 10 + col("l_linenumber")),
         "line_id", Seq("l_quantity", "l_extendedprice", "l_discount"),
-        bins = 20, topK = 100))
+        bins = 20, topK = 100)),
+
+    // Diebold-Mariano (ops/Events.scala): persistence vs 7-day-mean
+    // forecasts of the daily view series — which one is significantly
+    // more accurate, under a Bartlett long-run variance.
+    "q289_dm_test" -> ((s, dir) => {
+      val w = Window.orderBy(col("day"))
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "view" && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("e1", col("n") - lag(col("n"), 1).over(w))
+        .withColumn("e2", col("n") -
+          avg(col("n")).over(w.rowsBetween(-7, -1)))
+        .filter(col("e1").isNotNull)
+      graft.ops.Events.dmTest(daily, "day", "e1", "e2", lags = 2)
+    }),
+
+    // Cross-correlation (ops/Events.scala): daily click vs purchase
+    // counts at lags -5..5 — the lead-lag scout before q275's Granger.
+    "q290_ccf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull &&
+          col("event_type").isin("purchase", "click"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      graft.ops.Events.ccf(daily, "day", "x", "y", maxLag = 5)
+    }),
+
+    // Periodogram (ops/Events.scala): spectral power of the daily
+    // event count at candidate periods 3/5/7/10/14 — the seasonLen
+    // scout before q232's Holt-Winters.
+    "q291_periodogram" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Events.periodogram(daily, "day", "n",
+        periods = Seq(3, 5, 7, 10, 14))
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11068,7 +11111,126 @@ object SparkEntry {
         |  b2 AS l_discount_bin
         |FROM bn JOIN c0 USING (b0) JOIN c1 USING (b1)
         |JOIN c2 USING (b2), mm
-        |ORDER BY score DESC, id LIMIT 100""".stripMargin
+        |ORDER BY score DESC, id LIMIT 100""".stripMargin,
+
+    // loss differential d = e1^2 - e2^2 over the window-built
+    // forecasts, then the KPSS-style Bartlett LRV and the A&S tail in
+    // the operator's exact fold order
+    "q289_dm_test" ->
+      """WITH ds AS (
+        |  SELECT ts::DATE AS day, count(*)::DOUBLE AS n
+        |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (SELECT day, n,
+        |    (n - lag(n, 1) OVER (ORDER BY day)) AS e1,
+        |    (n - avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS e2
+        |  FROM ds),
+        |ff AS (SELECT day, (e1 * e1 - e2 * e2) AS d FROM f
+        |       WHERE e1 IS NOT NULL
+        |         AND (e1 * e1 - e2 * e2) IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(d AS DECIMAL(38,12)))::DOUBLE AS sd FROM ff),
+        |mm AS (SELECT n, sd / n::DOUBLE AS dbar FROM m),
+        |e0 AS (SELECT day, (d - dbar) AS e FROM ff, mm),
+        |e1c AS (SELECT day, e,
+        |    lag(e, 1) OVER (ORDER BY day) AS el1,
+        |    lag(e, 2) OVER (ORDER BY day) AS el2 FROM e0),
+        |agg AS (SELECT
+        |    sum(CAST(e * e AS DECIMAL(38,12)))::DOUBLE AS g0,
+        |    sum(CAST(e * el1 AS DECIMAL(38,12)))::DOUBLE AS g1,
+        |    sum(CAST(e * el2 AS DECIMAL(38,12)))::DOUBLE AS g2
+        |  FROM e1c),
+        |lr AS (SELECT
+        |    ((g0 / n::DOUBLE +
+        |      (2.0::DOUBLE * (1.0::DOUBLE - 1.0::DOUBLE / 3.0::DOUBLE))
+        |        * (g1 / n::DOUBLE)) +
+        |      (2.0::DOUBLE * (1.0::DOUBLE - 2.0::DOUBLE / 3.0::DOUBLE))
+        |        * (g2 / n::DOUBLE)) AS v, n, dbar
+        |  FROM agg, mm),
+        |st AS (SELECT *, CASE WHEN v > 0.0::DOUBLE
+        |    THEN dbar / sqrt(v / n::DOUBLE) END AS stat FROM lr),
+        |p4 AS (SELECT *, abs(stat) AS ax,
+        |    1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(stat))
+        |      AS tt FROM st)
+        |SELECT n, 2 AS lags, round(dbar, 6) AS d_bar,
+        |  round(stat, 6) AS dm_stat,
+        |  CASE WHEN stat IS NOT NULL THEN
+        |    round(least(1.0::DOUBLE, 2.0::DOUBLE *
+        |      (exp(-ax * ax / 2.0::DOUBLE) /
+        |        sqrt(2.0::DOUBLE * pi()) *
+        |       (tt * (0.319381530::DOUBLE + tt * (-0.356563782::DOUBLE +
+        |        tt * (1.781477937::DOUBLE + tt * (-1.821255978::DOUBLE +
+        |        tt * 1.330274429::DOUBLE))))))), 6)
+        |  END AS p_value
+        |FROM p4""".stripMargin,
+
+    // demeaned pair products via the index self-join over lags -5..5
+    "q290_ccf" ->
+      """WITH ds AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END)::BIGINT AS y
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(x::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS sx,
+        |    sum(CAST(y::DOUBLE AS DECIMAL(38,12)))::DOUBLE AS sy
+        |  FROM ds),
+        |dv AS (SELECT day, (x::DOUBLE - sx / n::DOUBLE) AS dx,
+        |    (y::DOUBLE - sy / n::DOUBLE) AS dy FROM ds, m),
+        |i AS (SELECT *, row_number() OVER (ORDER BY day) AS idx
+        |      FROM dv),
+        |ks AS (SELECT unnest(range(-5, 6)) AS lag),
+        |lt AS (SELECT ks.lag, a.dx * p.dy AS term
+        |  FROM i a JOIN ks ON TRUE
+        |  JOIN i p ON p.idx = a.idx + ks.lag),
+        |sums AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+        |    sum(CAST(term AS DECIMAL(38,12))) AS num
+        |  FROM lt GROUP BY lag),
+        |den AS (SELECT
+        |    sum(CAST(dx * dx AS DECIMAL(38,12)))::DOUBLE AS vx,
+        |    sum(CAST(dy * dy AS DECIMAL(38,12)))::DOUBLE AS vy FROM dv)
+        |SELECT lag::INT AS lag, n_pairs,
+        |  CASE WHEN vx > 0.0::DOUBLE AND vy > 0.0::DOUBLE
+        |    THEN round(num::DOUBLE / sqrt(vx) / sqrt(vy), 6)
+        |  END AS ccf
+        |FROM sums, den ORDER BY lag""".stripMargin,
+
+    // per-period cos/sin weighted sums off the 0-based index; is_peak
+    // ranks the 6-dp powers (period breaks ties)
+    "q291_periodogram" -> {
+      val periods = Seq(3, 5, 7, 10, 14)
+      val trig = periods.flatMap { p =>
+        val c = s"(2.0::DOUBLE * pi() / ${p.toDouble}::DOUBLE)"
+        Seq(
+          s"sum(CAST(dev * cos(t * $c) AS DECIMAL(38,12)))::DOUBLE AS a$p",
+          s"sum(CAST(dev * sin(t * $c) AS DECIMAL(38,12)))::DOUBLE AS b$p")
+      }.mkString(",\n    ")
+      val rows = periods.map { p =>
+        s"SELECT $p AS period, round((a$p * a$p + b$p * b$p) " +
+          s"/ nn::DOUBLE, 6) AS power FROM tr, m"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ds AS (
+         |  SELECT ts::DATE AS day, count(*)::BIGINT AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |s1 AS (SELECT day, n::DOUBLE AS y FROM ds),
+         |m AS (SELECT count(*)::BIGINT AS nn,
+         |    sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy FROM s1),
+         |ix AS (SELECT
+         |    (row_number() OVER (ORDER BY day) - 1)::DOUBLE AS t,
+         |    (y - sy / nn::DOUBLE) AS dev FROM s1, m),
+         |tr AS (SELECT
+         |    $trig
+         |  FROM ix),
+         |pw AS ($rows)
+         |SELECT period, power,
+         |  (rank() OVER (ORDER BY power DESC, period) = 1) AS is_peak
+         |FROM pw ORDER BY period""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

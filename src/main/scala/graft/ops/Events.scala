@@ -3011,6 +3011,190 @@ object Events {
       .toDF("n", "lags", "eta", "stationary")
   }
 
+  /** Diebold-Mariano forecast comparison (Diebold & Mariano 1995):
+    * given two competing forecasts' errors on the SAME series, is one
+    * significantly more accurate? The loss differential
+    * `d_t = e1_t² − e2_t²` (squared-error loss) is tested for zero
+    * mean with a Bartlett/Newey-West long-run variance (the [[kpssTest]]
+    * machinery — forecast errors autocorrelate by construction):
+    * `DM = d̄ / sqrt(LRV/n)`, two-sided A&S normal p. DM < 0 favors
+    * model 1. Returns one row (n, lags, d_bar, dm_stat, p_value);
+    * stat/p null when the LRV is ≤ 0 (identical forecasts).
+    *
+    * Same bounded-series contract as [[adfTest]]/[[kpssTest]].
+    */
+  def dmTest(series: DataFrame, orderCol: String, e1Col: String,
+      e2Col: String, lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 10, "dmTest: lags must be in 0..10")
+    val spark = series.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base = series
+      .select(col(orderCol).as("__o"),
+        (col(e1Col).cast("double") * col(e1Col).cast("double") -
+          col(e2Col).cast("double") * col(e2Col).cast("double"))
+          .as("__d"))
+      .filter(col("__o").isNotNull && col("__d").isNotNull)
+      .localCheckpoint(eager = true) // mean pass + residual pass
+    val m = base.agg(count(lit(1)).as("n"), sum(d12(col("__d"))).as("sd"))
+      .head()
+    val n = m.getLong(0)
+    require(n > lags + 1, s"dmTest: need n > ${lags + 1}, got $n")
+    val dbar = m.getDecimal(1).doubleValue() / n.toDouble
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val resid0 = base.withColumn("__e", col("__d") - lit(dbar))
+    val withLags = (1 to lags).foldLeft(resid0)((acc, l) =>
+      acc.withColumn(s"__el$l", lag(col("__e"), l).over(w)))
+    val aggs = Seq(sum(d12(col("__e") * col("__e"))).as("g0")) ++
+      (1 to lags).map(l =>
+        sum(d12(col("__e") * col(s"__el$l"))).as(s"g$l"))
+    val r = withLags.agg(aggs.head, aggs.tail: _*).head()
+    def dv(f: String) = {
+      val d = r.getDecimal(r.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val nD = n.toDouble
+    var lrv = dv("g0") / nD
+    (1 to lags).foreach { l =>
+      lrv += 2.0 * (1.0 - l.toDouble / (lags + 1).toDouble) *
+        (dv(s"g$l") / nD)
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (dm, p) =
+      if (lrv > 0) {
+        val stat = dbar / math.sqrt(lrv / nD)
+        val ax = math.abs(stat)
+        val tt = 1.0 / (1.0 + 0.2316419 * ax)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        val tail = math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) *
+          poly
+        (Some(r6(stat)), Some(r6(math.min(1.0, 2.0 * tail))))
+      } else (None, None)
+    Seq((n, lags, r6(dbar), dm, p))
+      .toDF("n", "lags", "d_bar", "dm_stat", "p_value")
+  }
+
+  /** Cross-correlation function between two aligned series — [[acf]]'s
+    * two-variable sibling and the lead-lag scout before [[grangerTest]]:
+    * `r_xy(k) = Σ (x_t − x̄)(y_{t+k} − ȳ) / sqrt(Σdx² · Σdy²)` for
+    * k ∈ [−maxLag, maxLag]; a peak at POSITIVE k means x leads y by k
+    * steps. Returns (lag, n_pairs, ccf), 6 dp, ordered by lag;
+    * degenerate axes yield null ccf.
+    *
+    * Same shape as [[acf]]: bounded series, one unpartitioned-but-
+    * bounded window for the shifted pairing, DECIMAL-quantized sums.
+    */
+  def ccf(series: DataFrame, orderCol: String, xCol: String,
+      yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, "ccf: maxLag must be in 1..30")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base0 = series
+      .select(col(orderCol).as("__o"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__o").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .localCheckpoint(eager = true) // moments + the lag frame
+    val m = base0.agg(count(lit(1)).as("n"),
+      sum(d12(col("__x"))).as("sx"), sum(d12(col("__y"))).as("sy"))
+      .head()
+    val n = m.getLong(0)
+    require(n > maxLag, s"ccf: need n > $maxLag points, got $n")
+    val xbar = m.getDecimal(1).doubleValue() / n.toDouble
+    val ybar = m.getDecimal(2).doubleValue() / n.toDouble
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val dev = base0
+      .withColumn("__dx", col("__x") - lit(xbar))
+      .withColumn("__dy", col("__y") - lit(ybar))
+    // lag k > 0: x_t pairs y_{t+k} -> dy led by k; negative k mirrors
+    val withLeads = (1 to maxLag).foldLeft(dev)((acc, k) =>
+      acc.withColumn(s"__yl$k", lead(col("__dy"), k).over(w))
+        .withColumn(s"__xl$k", lead(col("__dx"), k).over(w)))
+    val lagTerms =
+      struct(lit(0).as("lag"), (col("__dx") * col("__dy")).as("term")) +:
+        ((1 to maxLag).map(k => struct(lit(k).as("lag"),
+          (col("__dx") * col(s"__yl$k")).as("term"))) ++
+          (1 to maxLag).map(k => struct(lit(-k).as("lag"),
+            (col("__dy") * col(s"__xl$k")).as("term"))))
+    val sums = withLeads
+      .select(explode(array(lagTerms: _*)).as("__lt"))
+      .select(col("__lt.lag").as("lag"), col("__lt.term").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(d12(col("term"))).as("num"))
+    val denoms = dev.agg(
+      sum(d12(col("__dx") * col("__dx"))).as("__vx"),
+      sum(d12(col("__dy") * col("__dy"))).as("__vy"))
+    sums.crossJoin(broadcast(denoms))
+      .select(col("lag"), col("n_pairs"),
+        when(col("__vx").cast("double") > 0 &&
+          col("__vy").cast("double") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("__vx").cast("double")) /
+            sqrt(col("__vy").cast("double")), 6)).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Fixed-period periodogram: spectral power of a series at CANDIDATE
+    * periods — `P(p) = (a_p² + b_p²)/n` with `a_p = Σ dev_t·cos(2πt/p)`,
+    * `b_p = Σ dev_t·sin(2πt/p)` over the 0-based time index. The
+    * "which cycle length is real" scout before committing a
+    * [[holtWinters]] seasonLen; each candidate is two weighted sums in
+    * ONE aggregation pass (no FFT needed for a handful of business-
+    * plausible periods). Returns (period, power, is_peak), 6 dp —
+    * is_peak marks the max-power row (ties to the smallest period).
+    *
+    * Bounded-series contract; trig factors are per-row expressions on
+    * identical doubles (the house ln/exp 6-dp discipline).
+    */
+  def periodogram(series: DataFrame, orderCol: String, valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.size <= 20,
+      "periodogram: need 1..20 candidate periods")
+    require(periods.forall(p => p >= 2 && p <= 1000),
+      "periodogram: periods must be in 2..1000")
+    require(periods.distinct.size == periods.size,
+      "periodogram: periods must be distinct")
+    val spark = series.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base0 = series
+      .select(col(orderCol).as("__o"),
+        col(valueCol).cast("double").as("__y"))
+      .filter(col("__o").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(eager = true) // mean + the indexed pass
+    val m = base0.agg(count(lit(1)).as("n"), sum(d12(col("__y"))).as("sy"))
+      .head()
+    val n = m.getLong(0)
+    require(n >= 4, s"periodogram: need >= 4 points, got $n")
+    val ybar = m.getDecimal(1).doubleValue() / n.toDouble
+    val w = Window.orderBy(col("__o")) // series-length-bounded
+    val indexed = base0
+      .withColumn("__t", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__dev", col("__y") - lit(ybar))
+    val aggs = periods.flatMap { p =>
+      val ang = col("__t") * lit(2.0 * math.Pi / p.toDouble)
+      Seq(sum(d12(col("__dev") * cos(ang))).as(s"a$p"),
+        sum(d12(col("__dev") * sin(ang))).as(s"b$p"))
+    }
+    val r = indexed.agg(aggs.head, aggs.tail: _*).head()
+    def dv(f: String) = r.getDecimal(r.fieldIndex(f)).doubleValue()
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val powers = periods.sorted.map { p =>
+      val (a, b) = (dv(s"a$p"), dv(s"b$p"))
+      (p, r6((a * a + b * b) / n.toDouble))
+    }
+    val best = powers.maxBy { case (p, pw) => (pw, -p) }._1
+    powers.map { case (p, pw) => (p, pw, p == best) }
+      .toDF("period", "power", "is_peak")
+      .orderBy(col("period"))
+  }
+
   /** Granger causality test (Granger 1969): does x's history improve
     * the prediction of y beyond y's own? Fits the unrestricted model
     * `y_t ~ 1 + y_{t−1..L} + x_{t−1..L}` and the restricted

@@ -568,6 +568,45 @@ class EventsSpec extends AnyFunSuite {
     assert(!rt.getBoolean(4))
   }
 
+  test("dmTest: a strictly better model reads negative and significant") {
+    // model 1 errs ~0.1, model 2 errs ~2 + wobble
+    val rows = (1 to 28).map(d =>
+      (day(d), 0.1 * (d % 2), 2.0 + 0.3 * (d % 4))).toDF("o", "e1", "e2")
+    val r = Events.dmTest(rows, "o", "e1", "e2", lags = 2).collect()(0)
+    assert(r.getDouble(3) < 0 && r.getDouble(4) < 0.05)
+    // identical errors: zero differential, zero LRV -> nulls
+    val same = (1 to 20).map(d => (day(d), 1.0, 1.0)).toDF("o", "e1", "e2")
+    val rs = Events.dmTest(same, "o", "e1", "e2", lags = 2).collect()(0)
+    assert(rs.getDouble(2) == 0.0 && rs.isNullAt(3) && rs.isNullAt(4))
+  }
+
+  test("ccf: a planted 2-step lead peaks at lag +2") {
+    val xs = (1 to 30).map(d => (d % 7 + 0.2 * (d % 3)).toDouble)
+    val rows = (1 to 30).map { d =>
+      val y = if (d >= 3) xs(d - 3) else 0.0 // y_t = x_{t-2}
+      (day(d % 28 + 1, d / 28), xs(d - 1), y)
+    }.toDF("o", "x", "y")
+    val out = Events.ccf(rows, "o", "x", "y", maxLag = 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == (-4 to 4).toSet)
+    assert(out(2)._1 == 28L) // n - |k| pairs
+    val peak = out.maxBy(_._2._2)
+    assert(peak._1 == 2, s"peak at ${peak._1}: $out")
+    // edge rows (y = 0 before the lead kicks in) dilute the magnitude
+    assert(out(2)._2 > 0.6)
+  }
+
+  test("periodogram: a weekly cycle peaks at period 7") {
+    val daily = (1 to 56).map(d =>
+      (day(d % 28 + 1, d / 28), 10 + (if (d % 7 == 0) 12 else 0)))
+      .toDF("day", "n")
+    val out = Events.periodogram(daily, "day", "n",
+      periods = Seq(3, 5, 7, 11)).collect()
+    val peak = out.filter(_.getBoolean(2))
+    assert(peak.length == 1 && peak(0).getInt(0) == 7,
+      out.mkString(","))
+  }
+
   test("kpssTest: mean-reverting series passes, a trend fails") {
     val alt = (1 to 28).map(d =>
       (day(d), (if (d % 2 == 0) 5.0 else 9.0) + 0.3 * (d % 5)))
