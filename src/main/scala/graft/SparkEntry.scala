@@ -4404,6 +4404,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       graft.ops.Events.periodogram(daily, "day", "n",
         periods = Seq(3, 5, 7, 10, 14))
+    }),
+
+    // Event study (ops/Events.scala): per-event-type daily rate in the
+    // 14 days before vs from Jan 16 — one conditional-sum aggregation.
+    "q292_event_study" -> ((s, dir) =>
+      graft.ops.Events.eventStudy(t(s, dir, "events"), "event_type",
+        "ts", interventionDay = "2024-01-16", windowDays = 14)),
+
+    // Retention half-life (ops/Events.scala): ln(retention) ~ offset
+    // over the pooled cohort matrix cells through the olsFit Gram
+    // device; half-life = ln2 / -slope.
+    "q293_retention_halflife" -> ((s, dir) =>
+      graft.ops.Events.retentionHalfLife(t(s, dir, "events"),
+        "user_id", "ts")),
+
+    // Chapman capture-recapture (ops/Profile.scala): total active
+    // population from the week-1 and week-2 user samples.
+    "q294_capture_recapture" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(to_date(col("ts"))
+        .between("2024-01-01", "2024-01-07"))
+      val b = ev.filter(to_date(col("ts"))
+        .between("2024-01-08", "2024-01-14"))
+      graft.ops.Profile.captureRecapture(a, b, "user_id")
     })
   )
 
@@ -11230,7 +11254,90 @@ object SparkEntry {
          |SELECT period, power,
          |  (rank() OVER (ORDER BY power DESC, period) = 1) AS is_peak
          |FROM pw ORDER BY period""".stripMargin
-    }
+    },
+
+    // one conditional-sum aggregation; lifts off the rounded means
+    "q292_event_study" ->
+      """WITH e AS (
+        |  SELECT event_type AS key,
+        |    date_diff('day', DATE '2024-01-16', ts::DATE)::INT AS d
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT key,
+        |    sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END)::BIGINT AS np
+        |  FROM e WHERE d >= -14 AND d < 14 GROUP BY key),
+        |b AS (SELECT key,
+        |    round(nb::DOUBLE / 14.0::DOUBLE, 6) AS base_mean,
+        |    round(np::DOUBLE / 14.0::DOUBLE, 6) AS post_mean FROM g)
+        |SELECT key, base_mean, post_mean,
+        |  round(post_mean - base_mean, 6) AS abs_lift,
+        |  CASE WHEN base_mean > 0.0::DOUBLE
+        |    THEN round((post_mean - base_mean) / base_mean, 6)
+        |  END AS pct_lift
+        |FROM b ORDER BY key""".stripMargin,
+
+    // the q167 cohort replay feeds the shared olsFit elimination; the
+    // half-life transform runs on the ROUNDED slope (both faces)
+    "q293_retention_halflife" -> {
+      val perRow =
+        """WITH uw AS (
+          |  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+          |  FROM events),
+          |fw AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY 1),
+          |mm AS (
+          |  SELECT cohort_week,
+          |    (date_diff('day', cohort_week, wk) / 7)::INT
+          |      AS week_offset,
+          |    count(*) AS n_users
+          |  FROM uw JOIN fw USING (u) GROUP BY 1, 2),
+          |ss AS (
+          |  SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+          |    OVER (PARTITION BY cohort_week) AS cohort_size
+          |  FROM mm),
+          |rr AS (SELECT week_offset,
+          |    round(n_users::DOUBLE / cohort_size, 6) AS ret FROM ss)
+          |SELECT ln(ret) AS y, week_offset::DOUBLE AS x0
+          |FROM rr WHERE week_offset >= 1 AND ret > 0.0::DOUBLE"""
+          .stripMargin
+      val ols = olsFitOracleSql(perRow, 1, Seq("w"))
+      s"""SELECT s.n AS n_cells, s.coef AS slope, i.coef AS intercept,
+         |  s.r2 AS r2,
+         |  CASE WHEN s.coef < 0.0::DOUBLE
+         |    THEN round(ln(2.0::DOUBLE) / -s.coef, 6)
+         |  END AS half_life_weeks
+         |FROM (
+         |$ols
+         |) s, (
+         |$ols
+         |) i WHERE s.term_idx = 1 AND i.term_idx = 0""".stripMargin
+    },
+
+    // two distinct collapses + one overlap join; Chapman + Seber
+    // algebra in the operator's exact double order
+    "q294_capture_recapture" ->
+      """WITH a AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND ts::DATE BETWEEN '2024-01-01' AND '2024-01-07'),
+        |b AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND ts::DATE BETWEEN '2024-01-08' AND '2024-01-14'),
+        |c AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n1,
+        |  (SELECT count(*) FROM b)::BIGINT AS n2,
+        |  (SELECT count(*) FROM a JOIN b USING (id))::BIGINT AS m),
+        |alg AS (SELECT n1, n2, m,
+        |    (((n1::DOUBLE + 1.0::DOUBLE) * (n2::DOUBLE + 1.0::DOUBLE))
+        |      / (m::DOUBLE + 1.0::DOUBLE) - 1.0::DOUBLE) AS nh,
+        |    sqrt((((n1::DOUBLE + 1.0::DOUBLE) *
+        |      (n2::DOUBLE + 1.0::DOUBLE)) *
+        |      (n1::DOUBLE - m::DOUBLE) * (n2::DOUBLE - m::DOUBLE)) /
+        |      (((m::DOUBLE + 1.0::DOUBLE) * (m::DOUBLE + 1.0::DOUBLE))
+        |        * (m::DOUBLE + 2.0::DOUBLE))) AS se
+        |  FROM c)
+        |SELECT n1, n2, m AS m_overlap, round(nh, 6) AS n_hat,
+        |  round(se, 6) AS se,
+        |  round(nh - 1.959963984540054::DOUBLE * se, 6) AS ci_lo,
+        |  round(nh + 1.959963984540054::DOUBLE * se, 6) AS ci_hi
+        |FROM alg""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

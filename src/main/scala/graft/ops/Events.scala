@@ -1600,6 +1600,78 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Event study around an intervention date: per key, the mean daily
+    * event rate over the `windowDays` BEFORE `interventionDay` vs the
+    * window from it — the "did the launch move the metric" readout
+    * (pre/post means over fixed-length windows; missing days count as
+    * zero, which a conditional SUM gives for free — no spine needed).
+    * Returns (key, base_mean, post_mean, abs_lift, pct_lift), 6 dp;
+    * pct_lift null when the baseline is zero. Keys with no event in
+    * either window don't appear (no row ≠ a zero row — stated).
+    *
+    * 100 TB shape: ONE key-grouped aggregation with two conditional
+    * sums; nothing else.
+    */
+  def eventStudy(events: DataFrame, keyCol: String, tsCol: String,
+      interventionDay: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 365,
+      "eventStudy: windowDays in 1..365")
+    val d = datediff(to_date(col(tsCol)), to_date(lit(interventionDay)))
+    val wD = lit(windowDays.toDouble)
+    events
+      .select(col(keyCol).cast("string").as("key"), d.as("__d"))
+      .filter(col("key").isNotNull &&
+        col("__d") >= -windowDays && col("__d") < windowDays)
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("__d") < 0, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__d") >= 0, 1L).otherwise(0L)).as("__np"))
+      .select(col("key"),
+        round(col("__nb").cast("double") / wD, 6).as("base_mean"),
+        round(col("__np").cast("double") / wD, 6).as("post_mean"))
+      .withColumn("abs_lift",
+        round(col("post_mean") - col("base_mean"), 6))
+      .withColumn("pct_lift",
+        when(col("base_mean") > 0,
+          round((col("post_mean") - col("base_mean")) /
+            col("base_mean"), 6)))
+      .orderBy(col("key"))
+  }
+
+  /** Pooled retention-decay fit: ln(retention) regressed on the week
+    * offset over every (cohort, offset ≥ 1) cell of
+    * [[cohortRetention]]'s matrix — the exponential-churn summary
+    * (constant weekly churn ⇔ geometric retention ⇔ linear log), with
+    * `half_life_weeks = ln 2 / (−slope)`. Fitting on the matrix's own
+    * 6-dp readouts keeps both faces on one grain. Returns one row
+    * (n_cells, slope, intercept, r2, half_life_weeks), 6 dp;
+    * half-life null when the slope isn't negative (no decay).
+    *
+    * Shape: cohortRetention's one user-week collapse + [[olsFit]]'s
+    * single Gram aggregation over the cohort×offset-sized matrix.
+    */
+  def retentionHalfLife(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = cohortRetention(events, userCol, tsCol)
+      .filter(col("week_offset") >= 1 && col("retention") > 0)
+      .select(col("week_offset").cast("double").as("__w"),
+        log(col("retention")).as("__lr"))
+    val fit = olsFit(cells, "__lr", Seq("__w")).collect()
+    val slope = fit.find(_.getString(1) == "__w").get
+    val icept = fit.find(_.getString(1) == "intercept").get
+    val n = slope.getLong(2)
+    val (b, a) = (slope.getDouble(3), icept.getDouble(3))
+    val r2 = if (slope.isNullAt(6)) None else Some(slope.getDouble(6))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val hl = if (b < 0) Some(r6(math.log(2.0) / -b)) else None
+    Seq((n, b, a, r2, hl))
+      .toDF("n_cells", "slope", "intercept", "r2", "half_life_weeks")
+  }
+
   /** Batch gap-based sessionization — the batch face of
     * [[graft.streaming.StreamOps.sessionize]]: a user's events split
     * into sessions wherever the gap to the previous event exceeds

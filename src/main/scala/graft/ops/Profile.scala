@@ -1756,6 +1756,47 @@ object Profile {
       .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
   }
 
+  /** Chapman capture-recapture estimate (Chapman 1951, the
+    * bias-corrected Lincoln-Petersen): from two overlapping samples of
+    * a closed population, `N̂ = (n1+1)(n2+1)/(m+1) − 1` with Seber's
+    * variance — the "how many exist that we haven't seen" estimator
+    * (total active users from two observation windows, crawl coverage
+    * from two crawl passes, dedup-universe size from two shards).
+    * Returns one row (n1, n2, m_overlap, n_hat, se, ci_lo, ci_hi),
+    * 6 dp, CI at 95%; a zero overlap still estimates (the +1 terms),
+    * with the honest huge variance.
+    *
+    * 100 TB shape: two distinct-key collapses + one key-keyed join for
+    * the overlap; algebra on three counts.
+    */
+  def captureRecapture(sampleA: DataFrame, sampleB: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = sampleA.sparkSession
+    import spark.implicits._
+    val a = sampleA.select(col(idCol).as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+      .localCheckpoint(eager = true) // count + overlap
+    val b = sampleB.select(col(idCol).as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+      .localCheckpoint(eager = true)
+    val n1 = a.count()
+    val n2 = b.count()
+    require(n1 > 0 && n2 > 0, "captureRecapture: empty sample")
+    val m = a.join(b, Seq("__id")).count()
+    val (d1, d2, dm) = (n1.toDouble, n2.toDouble, m.toDouble)
+    val nHat = (d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0
+    val varN = (d1 + 1.0) * (d2 + 1.0) * (d1 - dm) * (d2 - dm) /
+      ((dm + 1.0) * (dm + 1.0) * (dm + 2.0))
+    val se = math.sqrt(varN)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n1, n2, m, r6(nHat), r6(se),
+      r6(nHat - 1.959963984540054 * se),
+      r6(nHat + 1.959963984540054 * se)))
+      .toDF("n1", "n2", "m_overlap", "n_hat", "se", "ci_lo", "ci_hi")
+  }
+
   /** Two-proportion z-test — the plain conversion-rate A/B readout
     * (the [[srmCheck]]/[[msprtTest]] family's fixed-horizon staple):
     * pooled-SE z with the A&S 7.1.26 two-sided p, plus the unpooled

@@ -431,6 +431,33 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("eventStudy: pre/post means with zero-days free via the sums") {
+    // key A: 14 events before (1/day), 28 after (2/day); key B only
+    // before -> post 0, pct -1
+    val rows = (1 to 14).map(d => ("A", day(d))) ++
+      (15 to 28).flatMap(d => Seq(("A", day(d)), ("A", day(d)))) ++
+      (1 to 14).map(d => ("B", day(d)))
+    val out = Events.eventStudy(rows.toDF("k", "ts"), "k", "ts",
+        interventionDay = "2024-01-15", windowDays = 14)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(out("A") == (1.0, 2.0, 1.0))   // +100% lift
+    assert(out("B") == (1.0, 0.0, -1.0))  // vanished
+  }
+
+  test("retentionHalfLife: a planted geometric decay recovers its rate") {
+    // one cohort of 64 users; user u stays active for floor(log2-ish)
+    // weeks: retention halves weekly -> slope ln(1/2), half-life 1
+    val rows = (1 to 64).flatMap { u =>
+      val weeks = (0 to 3).takeWhile(w => u <= 64 / (1 << w))
+      weeks.map(w => (u.toLong, day(w * 7 + 1)))
+    }.toDF("user_id", "ts")
+    val r = Events.retentionHalfLife(rows, "user_id", "ts").collect()(0)
+    assert(math.abs(r.getDouble(1) - math.log(0.5)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6) // one-week half-life
+    assert(r.getDouble(3) > 0.999)                // exact geometric: r2~1
+  }
+
   test("sessionizeBatch: gaps split, ties order by id, stats per session") {
     // u1: events at 0 and 10 min (one session), then 50 min (new);
     // u2: one event

@@ -849,6 +849,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("captureRecapture: Chapman estimate on a known population") {
+    // population 1..100; sample A = 1..50, B = 26..75 -> m = 25
+    // Chapman: 51*51/26 - 1 = 99.04
+    val a = (1 to 50).map(_.toLong).toDF("id")
+    val b = (26 to 75).map(_.toLong).toDF("id")
+    val r = Profile.captureRecapture(a, b, "id").collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L &&
+      r.getLong(2) == 25L)
+    assert(math.abs(r.getDouble(3) - (51.0 * 51.0 / 26.0 - 1.0)) < 1e-6)
+    // the true population sits inside the CI
+    assert(r.getDouble(5) < 100.0 && r.getDouble(6) > 100.0)
+    // duplicates in a sample don't inflate the counts
+    val aDup = (a.union(a))
+    val rd = Profile.captureRecapture(aDup, b, "id").collect()(0)
+    assert(rd.getLong(0) == 50L)
+  }
+
   test("twoProportionTest: pooled z, CI, and degenerate pool") {
     // A: 2/10, B: 8/10 -> diff 0.6, clearly significant
     val rows = (1 to 10).map(i => ("A", i <= 2)) ++
