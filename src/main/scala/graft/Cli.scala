@@ -829,6 +829,98 @@ object Cli {
             graft.ops.Events.huberFit(df, req("y-col"),
               req("x-cols").split(",").toSeq,
               flags.getOrElse("iters", "4").toInt)
+          case "timedecay-attribution" =>
+            graft.ops.Events.attributionTimeDecay(df, user, typ, ts, id,
+              col(typ) === req("conversion"),
+              flags.getOrElse("lookback-ms", "259200000").toLong,
+              flags.getOrElse("halflife-ms", "86400000").toLong)
+          case "markov-attribution" =>
+            graft.ops.Events.markovAttribution(df, user, typ, ts, id,
+              col(typ) === req("conversion"))
+          case "ewma" =>
+            graft.ops.Events.ewmaChart(df, typ, ts, req("start-day"),
+              flags.getOrElse("days", "60").toInt,
+              flags.getOrElse("lambda", "0.2").toDouble,
+              flags.getOrElse("limit", "3.0").toDouble)
+          case "cusum" =>
+            graft.ops.Events.cusumMonitor(df, typ, ts, req("start-day"),
+              flags.getOrElse("days", "60").toInt,
+              flags.getOrElse("slack", "0.5").toDouble,
+              flags.getOrElse("h", "4.0").toDouble)
+          case "arfit" =>
+            graft.ops.Events.arFit(df, typ, ts,
+              flags.getOrElse("p", "3").toInt)
+          case "adf" =>
+            graft.ops.Events.adfTest(df, req("order-col"),
+              req("value-col"), flags.getOrElse("lags", "2").toInt)
+          case "kpss" =>
+            graft.ops.Events.kpssTest(df, req("order-col"),
+              req("value-col"), flags.getOrElse("lags", "2").toInt)
+          case "granger" =>
+            graft.ops.Events.grangerTest(df, req("order-col"),
+              req("y-col"), req("x-col"),
+              flags.getOrElse("lags", "2").toInt)
+          case "vif" =>
+            graft.ops.Events.vif(df, req("x-cols").split(",").toSeq)
+          case "naive-bayes" =>
+            graft.ops.Classify.naiveBayes(
+              spark.read.parquet(req("train")), df, req("label-col"),
+              req("text-col"), id)
+          case "collocations" =>
+            graft.ops.TextAnalysis.collocations(df, req("text-col"),
+              flags.getOrElse("min-count", "5").toLong,
+              flags.getOrElse("k", "50").toInt)
+          case "dbscan" =>
+            graft.ops.Similarity.dbscan(df, id, req("x-col"),
+              req("y-col"), req("eps").toDouble,
+              flags.getOrElse("min-pts", "5").toInt)
+          case "hill" =>
+            graft.ops.Profile.hillTail(df, req("value-col"),
+              flags.getOrElse("k", "500").toInt)
+          case "gumbel" =>
+            graft.ops.Profile.gumbelFit(df,
+              org.apache.spark.sql.functions.to_date(col(ts)),
+              req("value-col"))
+          case "concentration" =>
+            graft.ops.Profile.concentration(df, req("entity-col"),
+              req("value-col"))
+          case "eb-shrink" =>
+            graft.ops.Profile.ebShrinkRates(df, req("key-col"),
+              col(typ) === req("success"))
+          case "cohort-ltv" =>
+            graft.ops.Events.cohortLtv(df, user, ts, req("value-col"),
+              col(typ) === req("conversion"),
+              flags.getOrElse("max-weeks", "52").toInt)
+          case "sessionize" =>
+            graft.ops.Events.sessionizeBatch(df, user, ts, id,
+              flags.getOrElse("gap-ms", "1800000").toLong)
+          case "two-proportion" =>
+            graft.ops.Profile.twoProportionTest(df, req("group-col"),
+              col(req("success-col")) === true)
+          case "hbos" =>
+            graft.ops.Profile.hbos(df, id,
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("bins", "20").toInt,
+              flags.getOrElse("k", "100").toInt)
+          case "dm" =>
+            graft.ops.Events.dmTest(df, req("order-col"), req("e1-col"),
+              req("e2-col"), flags.getOrElse("lags", "2").toInt)
+          case "ccf" =>
+            graft.ops.Events.ccf(df, req("order-col"), req("x-col"),
+              req("y-col"), flags.getOrElse("max-lag", "7").toInt)
+          case "periodogram" =>
+            graft.ops.Events.periodogram(df, req("order-col"),
+              req("value-col"),
+              req("periods").split(",").toSeq.map(_.toInt))
+          case "event-study" =>
+            graft.ops.Events.eventStudy(df, typ, ts,
+              req("intervention-day"),
+              flags.getOrElse("window-days", "14").toInt)
+          case "retention-halflife" =>
+            graft.ops.Events.retentionHalfLife(df, user, ts)
+          case "capture-recapture" =>
+            graft.ops.Profile.captureRecapture(df,
+              spark.read.parquet(req("other")), req("id-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -882,7 +974,12 @@ object Cli {
            |         betweenness|ktruss|logrank|spearman|psi-drift|acf|
            |         logistic|ipw|aipw|lift|bleu|rouge|kendall|kmcurves|
            |         poisson|keyness|decompose|conformal|embedding-drift|
-           |         matched-att|qte|huber
+           |         matched-att|qte|huber|timedecay-attribution|
+           |         markov-attribution|ewma|cusum|arfit|adf|kpss|granger|
+           |         vif|naive-bayes|collocations|dbscan|hill|gumbel|
+           |         concentration|eb-shrink|cohort-ltv|sessionize|
+           |         two-proportion|hbos|dm|ccf|periodogram|event-study|
+           |         retention-halflife|capture-recapture
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;
