@@ -921,6 +921,10 @@ object Cli {
           case "capture-recapture" =>
             graft.ops.Profile.captureRecapture(df,
               spark.read.parquet(req("other")), req("id-col"))
+          case "cox" =>
+            graft.ops.Events.coxPh(df, req("time-col"), req("event-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -979,7 +983,7 @@ object Cli {
            |         vif|naive-bayes|collocations|dbscan|hill|gumbel|
            |         concentration|eb-shrink|cohort-ltv|sessionize|
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
-           |         retention-halflife|capture-recapture
+           |         retention-halflife|capture-recapture|cox
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

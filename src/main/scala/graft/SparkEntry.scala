@@ -4428,6 +4428,17 @@ object SparkEntry {
       val b = ev.filter(to_date(col("ts"))
         .between("2024-01-08", "2024-01-14"))
       graft.ops.Profile.captureRecapture(a, b, "user_id")
+    }),
+
+    // Cox proportional hazards (ops/Events.scala): the q240/q251
+    // subject frame's arm as a covariate — log hazard ratio of the B
+    // arm by 6 Newton steps on the Breslow partial likelihood, every
+    // risk-set sum a time-grain suffix window.
+    "q295_cox_ph" -> ((s, dir) => {
+      val arms = survivalArms(s, dir)
+        .select(col("t"), col("e"),
+          when(col("grp") === "B", 1.0).otherwise(0.0).as("treated"))
+      graft.ops.Events.coxPh(arms, "t", "e", Seq("treated"), iters = 6)
     })
   )
 
@@ -11337,7 +11348,71 @@ object SparkEntry {
         |  round(se, 6) AS se,
         |  round(nh - 1.959963984540054::DOUBLE * se, 6) AS ci_lo,
         |  round(nh + 1.959963984540054::DOUBLE * se, 6) AS ci_hi
-        |FROM alg""".stripMargin
+        |FROM alg""".stripMargin,
+
+    // the q240 subject frame + six unrolled Newton steps on the
+    // Breslow partial likelihood: per step an exp(xβ) projection,
+    // time-grain decimal aggregates, suffix-window risk sums, the
+    // quantized gradient/Hessian fold, and the k=1 elimination
+    "q295_cox_ph" -> {
+      val steps = (1 to 6).map { i =>
+        s"""w$i AS (SELECT t, e, x0,
+           |    exp(0.0::DOUBLE + (b.c0 * x0)) AS wg
+           |  FROM pu2, bet${i - 1} b),
+           |gr$i AS (SELECT t, sum(e)::BIGINT AS d,
+           |    sum(CAST(CASE WHEN e = 1 THEN x0 ELSE 0.0::DOUBLE END
+           |      AS DECIMAL(38,12))) AS sx0,
+           |    sum(CAST(wg AS DECIMAL(38,12))) AS rw,
+           |    sum(CAST(wg * x0 AS DECIMAL(38,12))) AS rwx0,
+           |    sum(CAST(wg * x0 * x0 AS DECIMAL(38,12))) AS rwxx
+           |  FROM w$i GROUP BY t),
+           |sf$i AS (SELECT *,
+           |    (sum(rw) OVER sfx)::DOUBLE AS S0,
+           |    (sum(rwx0) OVER sfx)::DOUBLE AS S1,
+           |    (sum(rwxx) OVER sfx)::DOUBLE AS S2
+           |  FROM gr$i WINDOW sfx AS (ORDER BY t
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |mo$i AS (SELECT
+           |    sum(CAST(sx0::DOUBLE - d::DOUBLE * (S1 / S0)
+           |      AS DECIMAL(38,12)))::DOUBLE AS g0,
+           |    sum(CAST(d::DOUBLE * (S2 / S0 - (S1 / S0) * (S1 / S0))
+           |      AS DECIMAL(38,12)))::DOUBLE AS h00
+           |  FROM sf$i WHERE d > 0),
+           |bet$i AS MATERIALIZED (SELECT
+           |    (b.c0 + (m.g0 / m.h00)) AS c0,
+           |    (1.0::DOUBLE / m.h00) AS inv0
+           |  FROM bet${i - 1} b, mo$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id AS u,
+         |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+         |a AS (SELECT u, min(ms) AS anchor FROM ev
+         |      WHERE et = 'signup' GROUP BY u),
+         |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+         |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+         |       GROUP BY ev.u),
+         |mx AS (SELECT max(ms) AS fin FROM ev),
+         |pu AS (SELECT
+         |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+         |      THEN 'A' ELSE 'B' END AS g,
+         |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT
+         |      AS t,
+         |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+         |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+         |pu2 AS MATERIALIZED (SELECT t, e,
+         |    CASE WHEN g = 'B' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         |      AS x0 FROM pu),
+         |nn AS (SELECT count(*)::BIGINT AS n, sum(e)::BIGINT AS d
+         |       FROM pu2),
+         |bet0 AS (SELECT 0.0::DOUBLE AS c0, 0.0::DOUBLE AS inv0),
+         |$steps
+         |SELECT 0 AS term_idx, 'treated' AS term, nn.n AS n,
+         |  nn.d AS n_events, round(b.c0, 6) AS coef,
+         |  round(exp(b.c0), 6) AS hazard_ratio,
+         |  round(sqrt(b.inv0), 6) AS se,
+         |  CASE WHEN round(sqrt(b.inv0), 6) > 0.0::DOUBLE
+         |    THEN round(b.c0 / sqrt(b.inv0), 6) END AS z
+         |FROM bet6 b, nn""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -1906,6 +1906,125 @@ object Events {
     * (calendar-bounded for bucketed durations — the same documented
     * contract as [[timeToEventSurvival]]).
     */
+  /** Cox proportional hazards (Cox 1972, Breslow ties) — the survival
+    * workhorse beside [[kmCurves]]/[[graft.ops.Profile.logRankTest]]:
+    * log hazard ratios for k covariates by Newton-Raphson on the
+    * partial likelihood. Per iteration (β as plan literals), every
+    * risk-set quantity collapses to the DISTINCT-TIME grain — per time
+    * t the deaths `d_t`, the dying subjects' covariate sums, and the
+    * exp(xβ)-weighted moments of subjects AT t — then `S0/S1/S2`
+    * (risk-set sums over T ≥ t) are SUFFIX sums over that grain (the
+    * logRankTest device; the unpartitioned window is time-grain-
+    * bounded, never subject-bounded), and the gradient/Hessian are one
+    * grain-sized decimal-quantized fold + a k×k driver solve. Returns
+    * one row per covariate: (term_idx, term, n, n_events, coef,
+    * hazard_ratio, se, z), 6 dp — coef > 0 means the covariate raises
+    * the hazard (shortens survival).
+    *
+    * 100 TB shape: `iters` × (one subject-sized projection + one
+    * time-grain aggregation + grain windows + one 1-row moments
+    * collect); k ≤ 10, so the Hessian is a plan-time constant.
+    */
+  def coxPh(df: DataFrame, timeCol: String, eventCol: String,
+      xCols: Seq[String], iters: Int = 6): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 10,
+      "coxPh: need 1..10 covariates")
+    require(xCols.distinct.size == xCols.size,
+      "coxPh: covariates must be distinct")
+    require(iters >= 1 && iters <= 12, "coxPh: iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val base = df
+      .select(col(timeCol).cast("double").as("__t") +:
+        col(eventCol).cast("long").as("__e") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__t").isNotNull && col("__e").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(eager = true) // iters consumers
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(col("__e")).as("d")).head()
+    val n = counts.getLong(0)
+    val nEvents = counts.getLong(1)
+    require(nEvents > k,
+      s"coxPh: need more events than covariates, got $nEvents")
+    val wSuffix = Window.orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // time-grain-bounded unpartitioned suffix window (the logRank
+    // argument): rows here are DISTINCT event times, not subjects
+    var beta = Array.fill(k)(0.0)
+    var invDiag = Array.fill(k)(0.0)
+    (1 to iters).foreach { _ =>
+      val eta = (0 until k).foldLeft(lit(0.0): Column)((acc, j) =>
+        acc + lit(beta(j)) * col(s"__x$j"))
+      val wgt = exp(eta)
+      val grainAggs =
+        Seq(sum(col("__e")).as("d")) ++
+          (0 until k).map(j => sum(d12(when(col("__e") === 1L,
+            col(s"__x$j")).otherwise(lit(0.0)))).as(s"sx$j")) ++
+          Seq(sum(d12(wgt)).as("rw")) ++
+          (0 until k).map(j =>
+            sum(d12(wgt * col(s"__x$j"))).as(s"rwx$j")) ++
+          (for { j <- 0 until k; l <- j until k } yield
+            sum(d12(wgt * col(s"__x$j") * col(s"__x$l")))
+              .as(s"rwxx${j}_$l"))
+      val grain = base.groupBy(col("__t"))
+        .agg(grainAggs.head, grainAggs.tail: _*)
+      val withS = grain
+        .withColumn("__S0", sum(col("rw")).over(wSuffix).cast("double"))
+      val withS1 = (0 until k).foldLeft(withS)((acc, j) =>
+        acc.withColumn(s"__S1_$j",
+          sum(col(s"rwx$j")).over(wSuffix).cast("double")))
+      val withS2 = (for { j <- 0 until k; l <- j until k }
+        yield (j, l)).foldLeft(withS1) { case (acc, (j, l)) =>
+        acc.withColumn(s"__S2_${j}_$l",
+          sum(col(s"rwxx${j}_$l")).over(wSuffix).cast("double"))
+      }
+      val dD = col("d").cast("double")
+      val momAggs =
+        (0 until k).map(j =>
+          sum(d12(col(s"sx$j").cast("double") -
+            dD * (col(s"__S1_$j") / col("__S0")))).as(s"g$j")) ++
+          (for { j <- 0 until k; l <- j until k } yield
+            sum(d12(dD * (col(s"__S2_${j}_$l") / col("__S0") -
+              (col(s"__S1_$j") / col("__S0")) *
+                (col(s"__S1_$l") / col("__S0"))))).as(s"h${j}_$l"))
+      val m = withS2.filter(col("d") > 0)
+        .agg(momAggs.head, momAggs.tail: _*).head()
+      def dv(f: String) = {
+        val d = m.getDecimal(m.fieldIndex(f))
+        if (d == null) 0.0 else d.doubleValue()
+      }
+      // Newton step: solve H·δ = g with the shared pivotless scheme
+      val p = k
+      val wdt = 2 * p + 1
+      val init = Array.tabulate(p, wdt) { (r, j) =>
+        if (j < p) {
+          val (lo, hi) = (math.min(r, j), math.max(r, j))
+          dv(s"h${lo}_$hi")
+        }
+        else if (j == p) dv(s"g$r")
+        else if (j == p + 1 + r) 1.0 else 0.0
+      }
+      val (delta, inv) = gaussJordan(init, p)
+      beta = Array.tabulate(k)(j => beta(j) + delta(j))
+      invDiag = inv
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = (0 until k).map { j =>
+      val se = math.sqrt(invDiag(j))
+      (j, xCols(j), n, nEvents, r6(beta(j)), r6(math.exp(beta(j))),
+        r6(se), if (r6(se) > 0) Some(r6(beta(j) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "n_events", "coef",
+      "hazard_ratio", "se", "z")
+      .orderBy(col("term_idx"))
+  }
+
   def kmCurves(df: DataFrame, groupCol: String, timeCol: String,
       eventCol: String): DataFrame = {
     val vals = df

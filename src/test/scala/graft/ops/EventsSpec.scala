@@ -431,6 +431,35 @@ class EventsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 3.0) // one credit per conversion, exact
   }
 
+  test("coxPh: a planted 2x hazard recovers coef ~ ln 2") {
+    // deterministic exponential grids: treated (x=1) hazard 2, control 1
+    val n = 300
+    def times(h: Double) = (1 to n).map(i =>
+      -math.log(1.0 - (i - 0.5) / n) / h)
+    val rows = times(2.0).map(t => (t, 1L, 1.0)) ++
+      times(1.0).map(t => (t, 1L, 0.0))
+    val df = rows.toDF("t", "e", "x")
+    val r = Events.coxPh(df, "t", "e", Seq("x")).collect()(0)
+    assert(r.getLong(2) == 600L && r.getLong(3) == 600L)
+    assert(math.abs(r.getDouble(4) - math.log(2.0)) < 0.08,
+      s"coef=${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 2.0) < 0.2) // hazard ratio ~ 2
+    assert(r.getDouble(7) > 5.0)                 // clearly significant
+  }
+
+  test("coxPh: a null covariate reads ~zero and partition-invariant") {
+    val rows = (1 to 200).map(i =>
+      ((i % 37 + 1).toDouble, 1L, (i % 2).toDouble, (i % 5).toDouble))
+    val df = rows.toDF("t", "e", "junk", "real")
+    def run(parts: Int) =
+      Events.coxPh(df.repartition(parts), "t", "e",
+        Seq("junk", "real")).collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a == run(13)) // decimal-quantized end to end
+    val junk = a.head
+    assert(math.abs(junk(4).asInstanceOf[Double]) < 0.15)
+  }
+
   test("eventStudy: pre/post means with zero-days free via the sums") {
     // key A: 14 events before (1/day), 28 after (2/day); key B only
     // before -> post 0, pct -1
