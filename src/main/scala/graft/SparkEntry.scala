@@ -4439,7 +4439,21 @@ object SparkEntry {
         .select(col("t"), col("e"),
           when(col("grp") === "B", 1.0).otherwise(0.0).as("treated"))
       graft.ops.Events.coxPh(arms, "t", "e", Seq("treated"), iters = 6)
-    })
+    }),
+
+    // Burstiness (ops/Events.scala): Fano factor of per-type daily
+    // counts over the global span — zero-days enter the variance
+    // analytically, no spine.
+    "q296_burstiness" -> ((s, dir) =>
+      graft.ops.Events.burstiness(t(s, dir, "events"), "event_type",
+        "ts")),
+
+    // Heaps'-law fit (ops/TextAnalysis.scala): vocabulary growth over
+    // doc_id deciles via the first-occurrence device + exact decile
+    // thresholds; log-log OLS beta/K.
+    "q297_heaps_law" -> ((s, dir) =>
+      graft.ops.TextAnalysis.heapsLaw(t(s, dir, "documents"),
+        "doc_id", "text"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11412,6 +11426,94 @@ object SparkEntry {
          |  CASE WHEN round(sqrt(b.inv0), 6) > 0.0::DOUBLE
          |    THEN round(b.c0 / sqrt(b.inv0), 6) END AS z
          |FROM bet6 b, nn""".stripMargin
+    },
+
+    // spine-free variance with the zero-days folded in analytically;
+    // fano/flag on the shared double shapes
+    "q296_burstiness" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT (date_diff('day', min(day), max(day)) + 1)::BIGINT
+        |         AS span FROM d),
+        |pk AS (SELECT key, count(*)::BIGINT AS days_active,
+        |    sum(n)::BIGINT AS tot,
+        |    sum(CAST(n * n AS DECIMAL(38,12))) AS ss
+        |  FROM d GROUP BY key),
+        |alg AS (SELECT key, span, days_active,
+        |    (tot::DOUBLE / span::DOUBLE) AS m,
+        |    ((ss::DOUBLE - 2.0::DOUBLE * (tot::DOUBLE / span::DOUBLE)
+        |        * tot::DOUBLE +
+        |      span::DOUBLE * (tot::DOUBLE / span::DOUBLE) *
+        |        (tot::DOUBLE / span::DOUBLE)) / span::DOUBLE) AS v
+        |  FROM pk, sp)
+        |SELECT key, span AS n_days, days_active, round(m, 6) AS mean,
+        |  round(v, 6) AS variance,
+        |  CASE WHEN m > 0.0::DOUBLE THEN round(v / m, 6) END AS fano,
+        |  CASE WHEN m > 0.0::DOUBLE THEN round(v / m, 6) > 1.0::DOUBLE
+        |  END AS overdispersed
+        |FROM alg ORDER BY key""".stripMargin,
+
+    // first-occurrence device + quantile_cont decile thresholds +
+    // the q189 log-log moment fit over the non-degenerate points
+    "q297_heaps_law" -> {
+      val toks = (1 to 10).map(i =>
+        s"sum(CASE WHEN doc_id::DOUBLE <= (SELECT qv[$i] FROM th) " +
+          s"THEN ntok ELSE 0 END)::BIGINT AS tok_$i").mkString(",\n    ")
+      val typs = (1 to 10).map(i =>
+        s"count(CASE WHEN fd::DOUBLE <= (SELECT qv[$i] FROM th) " +
+          s"THEN 1 END)::BIGINT AS typ_$i").mkString(",\n    ")
+      val ptRows = (1 to 10).map(i =>
+        s"SELECT $i AS decile, tok_$i AS tokens, typ_$i AS types " +
+          "FROM tok, typ").mkString("\nUNION ALL ")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |pd AS (SELECT doc_id,
+         |    (CASE WHEN tk IS NULL THEN 0 ELSE len(tk) END)::BIGINT
+         |      AS ntok FROM b),
+         |fo AS (SELECT unnest(tk) AS term, doc_id FROM b),
+         |fo2 AS (SELECT term, min(doc_id)::BIGINT AS fd FROM fo
+         |        GROUP BY term),
+         |th AS (SELECT quantile_cont(doc_id::DOUBLE,
+         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0])
+         |    AS qv FROM pd),
+         |tok AS (SELECT
+         |    $toks
+         |  FROM pd),
+         |typ AS (SELECT
+         |    $typs
+         |  FROM fo2),
+         |pts AS ($ptRows),
+         |ptf AS MATERIALIZED (SELECT * FROM pts
+         |  WHERE tokens > 0 AND types > 0),
+         |mm AS (SELECT count(*)::DOUBLE AS n,
+         |    sum(CAST(ln(tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
+         |      AS sx,
+         |    sum(CAST(ln(types::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
+         |      AS sy,
+         |    sum(CAST(ln(tokens::DOUBLE) * ln(tokens::DOUBLE)
+         |      AS DECIMAL(38,12)))::DOUBLE AS sxx,
+         |    sum(CAST(ln(types::DOUBLE) * ln(types::DOUBLE)
+         |      AS DECIMAL(38,12)))::DOUBLE AS syy,
+         |    sum(CAST(ln(tokens::DOUBLE) * ln(types::DOUBLE)
+         |      AS DECIMAL(38,12)))::DOUBLE AS sxy
+         |  FROM ptf),
+         |fit AS (SELECT
+         |    ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS beta,
+         |    sx, sy, n, sxx, syy, sxy FROM mm),
+         |fit2 AS (SELECT beta,
+         |    exp((sy - beta * sx) / n) AS k,
+         |    ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |      ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         |  FROM fit)
+         |SELECT decile, tokens, types, round(beta, 6) AS beta,
+         |  round(k, 6) AS k, round(r2, 6) AS r2
+         |FROM ptf, fit2 ORDER BY decile""".stripMargin
     }
   )
 

@@ -1600,6 +1600,57 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Burstiness (Fano factor) per key: variance-to-mean ratio of daily
+    * counts over the log's global [min, max] day span — Poisson
+    * arrivals read ≈ 1, bursty traffic ≫ 1, metronomes < 1. The
+    * zero-days enter the variance WITHOUT a spine:
+    * `Σ(n_d − m)² over observed days + (span − observed)·m²` — the
+    * missing days' deviations are all exactly m². Returns
+    * (key, n_days, days_active, mean, variance, fano, overdispersed),
+    * 6 dp; fano null for a zero-mean key; the flag is fano > 1 on the
+    * 6-dp readout.
+    *
+    * 100 TB shape: one (key, day) collapse, one key fold, a 1-row span
+    * frame broadcast — nothing key-unbounded.
+    */
+  def burstiness(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val daily = events
+      .select(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("__day"))
+      .filter(col("key").isNotNull && col("__day").isNotNull)
+      .groupBy(col("key"), col("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = true) // span + per-key fold
+    val span = daily.agg(
+      (datediff(max(col("__day")), min(col("__day"))) + 1)
+        .cast("long").as("__span"))
+    val perKey = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("days_active"),
+        sum(col("__n")).as("__tot"),
+        sum(d12(col("__n") * col("__n"))).as("__ss"))
+    perKey.crossJoin(broadcast(span))
+      .withColumn("__m",
+        col("__tot").cast("double") / col("__span").cast("double"))
+      // Σ(n−m)² over ALL span days = Σn² − 2mΣn + span·m² (zero-days
+      // included analytically — same double algebra on both faces)
+      .withColumn("__var",
+        (col("__ss").cast("double") -
+          lit(2.0) * col("__m") * col("__tot").cast("double") +
+          col("__span").cast("double") * col("__m") * col("__m")) /
+          col("__span").cast("double"))
+      .select(col("key"), col("__span").as("n_days"),
+        col("days_active"),
+        round(col("__m"), 6).as("mean"),
+        round(col("__var"), 6).as("variance"),
+        when(col("__m") > 0, round(col("__var") / col("__m"), 6))
+          .as("fano"))
+      .withColumn("overdispersed",
+        when(col("fano").isNotNull, col("fano") > 1.0))
+      .orderBy(col("key"))
+  }
+
   /** Event study around an intervention date: per key, the mean daily
     * event rate over the `windowDays` BEFORE `interventionDay` vs the
     * window from it — the "did the launch move the metric" readout

@@ -681,6 +681,81 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978): `V(N) ≈ K·N^β` —
+    * how fast the vocabulary grows as the corpus does, THE corpus
+    * planning number (β ≈ 0.4-0.6 for natural text; a fixed-vocab
+    * generator reads β → 0, which is exactly what §6's q134 curve
+    * diagnosis needed). The cumulative-distinct problem becomes
+    * embarrassingly parallel through the FIRST-OCCURRENCE device:
+    * `types(N) = |{terms whose min doc_id ≤ N}|`, so one term-grain
+    * aggregate + one conditional fold replace any ordered scan; the
+    * checkpoints are exact doc_id deciles from the distributed
+    * quantile machine. Returns one row per non-degenerate decile:
+    * (decile, tokens, types, beta, k, r2) with the log-log OLS fit
+    * (decimal-quantized moments over ≤ 10 points) repeated on each
+    * row, 6 dp.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__tk"))
+      .filter(col("doc_id").isNotNull)
+    val perDoc = base
+      .select(col("doc_id"),
+        when(col("__tk").isNull, lit(0))
+          .otherwise(size(col("__tk"))).cast("long").as("__ntok"))
+      .localCheckpoint(eager = true) // thresholds + token fold
+    val firstOcc = base
+      .select(col("doc_id"), explode(col("__tk")).as("__term"))
+      .groupBy(col("__term")).agg(min(col("doc_id")).as("__fd"))
+      .localCheckpoint(eager = true) // vocab-sized; one fold
+    val qs = (1 to 10).map(_ / 10.0)
+    val thr = graft.ops.Quantiles.exact(perDoc.select(col("doc_id")),
+        "doc_id", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val tokAggs = qs.map(q =>
+      sum(when(col("doc_id") <= lit(thr(q)), col("__ntok"))
+        .otherwise(lit(0L))).as(s"__tok_${(q * 10).round}"))
+    val typAggs = qs.map(q =>
+      count(when(col("__fd") <= lit(thr(q)), lit(1)))
+        .as(s"__typ_${(q * 10).round}"))
+    val tokRow = perDoc.agg(tokAggs.head, tokAggs.tail: _*).head()
+    val typRow = firstOcc.agg(typAggs.head, typAggs.tail: _*).head()
+    val pts = qs.map { q =>
+      val i = (q * 10).round.toInt
+      (i, tokRow.getLong(tokRow.fieldIndex(s"__tok_$i")),
+        typRow.getLong(typRow.fieldIndex(s"__typ_$i")))
+    }.filter(p => p._2 > 0 && p._3 > 0)
+    require(pts.size >= 3,
+      "heapsLaw: need >= 3 non-degenerate deciles")
+    def q12(x: Double) = new java.math.BigDecimal(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    def sumQ(f: ((Int, Long, Long)) => Double) =
+      pts.map(p => q12(f(p)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    val nP = pts.size.toDouble
+    val sx = sumQ(p => math.log(p._2.toDouble))
+    val sy = sumQ(p => math.log(p._3.toDouble))
+    val sxx = sumQ(p => math.log(p._2.toDouble) * math.log(p._2.toDouble))
+    val syy = sumQ(p => math.log(p._3.toDouble) * math.log(p._3.toDouble))
+    val sxy = sumQ(p => math.log(p._2.toDouble) * math.log(p._3.toDouble))
+    val beta = (nP * sxy - sx * sy) / (nP * sxx - sx * sx)
+    val icept = (sy - beta * sx) / nP
+    val r2 = (nP * sxy - sx * sy) * (nP * sxy - sx * sy) /
+      ((nP * sxx - sx * sx) * (nP * syy - sy * sy))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    pts.map { case (i, tok, typ) =>
+      (i, tok, typ, r6(beta), r6(math.exp(icept)), r6(r2))
+    }.toDF("decile", "tokens", "types", "beta", "k", "r2")
+      .orderBy(col("decile"))
+  }
+
   /** PMI collocations (Church & Hanks 1990): directional adjacent
     * bigrams scored by pointwise mutual information
     * `PMI(a,b) = ln( (c_ab/P) / ((c_a/T)·(c_b/T)) )` — how much more

@@ -460,6 +460,19 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(junk(4).asInstanceOf[Double]) < 0.15)
   }
 
+  test("burstiness: constant traffic reads fano 0, a burst reads huge") {
+    // span days 1..10; A: 5/day steady, B: all 50 on day 1
+    val rows = (1 to 10).flatMap(d => Seq.fill(5)(("A", day(d)))) ++
+      Seq.fill(50)(("B", day(1)))
+    val out = Events.burstiness(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    assert(out("A") == (10L, 5.0, 0.0, false))
+    // B: mean 5, var = ((50-5)^2 + 9*25)/10 = 225 -> fano 45
+    assert(out("B")._2 == 5.0 && out("B")._3 == 45.0 && out("B")._4)
+  }
+
   test("eventStudy: pre/post means with zero-days free via the sums") {
     // key A: 14 events before (1/day), 28 after (2/day); key B only
     // before -> post 0, pct -1

@@ -428,6 +428,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("heapsLaw: linear vocab growth fits beta ~ 1, fixed vocab ~ 0") {
+    // every doc introduces one fresh word plus two stock words
+    val grow = (1L to 200L).map(i => (i, s"w$i common stock"))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.heapsLaw(grow, "doc_id", "text").collect()
+    assert(g.length == 10)
+    assert(math.abs(g.head.getDouble(3) - 1.0) < 0.12,
+      s"beta=${g.head.getDouble(3)}")
+    assert(g.head.getDouble(5) > 0.99) // near-perfect log-log line
+    // types strictly non-decreasing along the curve
+    assert(g.map(_.getLong(2)).sliding(2).forall(p => p(0) <= p(1)))
+    // fixed tiny vocab: the curve flattens
+    val flat = (1L to 200L).map(i => (i, s"a b c d"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.heapsLaw(flat, "doc_id", "text").collect()
+    assert(math.abs(f.head.getDouble(3)) < 0.05)
+  }
+
   test("collocations: PMI matches the hand formula, filters apply") {
     // "nova york" always adjacent (4x); "rio" floats free; "de" is a
     // stopword-free 2-char token but "a" is single-char (filtered)
