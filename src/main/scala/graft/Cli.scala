@@ -925,6 +925,10 @@ object Cli {
             graft.ops.Events.coxPh(df, req("time-col"), req("event-col"),
               req("x-cols").split(",").toSeq,
               flags.getOrElse("iters", "6").toInt)
+          case "burstiness" =>
+            graft.ops.Events.burstiness(df, typ, ts)
+          case "heaps" =>
+            graft.ops.TextAnalysis.heapsLaw(df, id, req("text-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -983,7 +987,8 @@ object Cli {
            |         vif|naive-bayes|collocations|dbscan|hill|gumbel|
            |         concentration|eb-shrink|cohort-ltv|sessionize|
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
-           |         retention-halflife|capture-recapture|cox
+           |         retention-halflife|capture-recapture|cox|
+           |         burstiness|heaps
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;
