@@ -850,6 +850,10 @@ object Cli {
           case "arfit" =>
             graft.ops.Events.arFit(df, typ, ts,
               flags.getOrElse("p", "3").toInt)
+          case "arforecast" =>
+            graft.ops.Events.arForecast(df, typ, ts,
+              flags.getOrElse("p", "3").toInt,
+              flags.getOrElse("horizon", "3").toInt)
           case "adf" =>
             graft.ops.Events.adfTest(df, req("order-col"),
               req("value-col"), flags.getOrElse("lags", "2").toInt)
@@ -988,7 +992,7 @@ object Cli {
            |         concentration|eb-shrink|cohort-ltv|sessionize|
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
            |         retention-halflife|capture-recapture|cox|
-           |         burstiness|heaps
+           |         burstiness|heaps|arforecast
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

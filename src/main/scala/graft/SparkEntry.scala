@@ -4453,7 +4453,13 @@ object SparkEntry {
     // thresholds; log-log OLS beta/K.
     "q297_heaps_law" -> ((s, dir) =>
       graft.ops.TextAnalysis.heapsLaw(t(s, dir, "documents"),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    // AR(3) 3-step forecast (ops/Events.scala): q273's fit recursed
+    // forward in deviation space from the last three observed days.
+    "q298_ar_forecast" -> ((s, dir) =>
+      graft.ops.Events.arForecast(t(s, dir, "events"), "event_type",
+        "ts", p = 3, horizon = 3))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11514,7 +11520,94 @@ object SparkEntry {
          |SELECT decile, tokens, types, round(beta, 6) AS beta,
          |  round(k, 6) AS k, round(r2, 6) AS r2
          |FROM ptf, fit2 ORDER BY decile""".stripMargin
-    }
+    },
+
+    // q273's Levinson chain through fin, then the deviation-space
+    // recursion on the ROUNDED phis (the operator consumes arFit's
+    // 6-dp readouts) from the last three observed days
+    "q298_ar_forecast" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, day, n,
+        |    count(*) OVER (PARTITION BY key) AS cnt,
+        |    (sum(CAST(n AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |      AS mean
+        |  FROM d),
+        |b2 AS (SELECT *, (n::DOUBLE - mean) AS dev FROM b),
+        |b3 AS (SELECT *,
+        |    sum(CAST(dev * dev AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY key) AS den
+        |  FROM b2),
+        |i AS (SELECT *, row_number()
+        |        OVER (PARTITION BY key ORDER BY day) AS idx FROM b3),
+        |ks AS (SELECT unnest(range(1, 4)) AS lag),
+        |lt AS (
+        |  SELECT a.key, a.den, ks.lag, a.dev * p.dev AS term
+        |  FROM i a JOIN ks ON TRUE
+        |    JOIN i p ON p.key = a.key AND p.idx = a.idx - ks.lag),
+        |rk AS (
+        |  SELECT key, lag, max(den) AS den,
+        |    sum(CAST(term AS DECIMAL(38,12))) AS num
+        |  FROM lt GROUP BY key, lag),
+        |rr AS (SELECT key, lag,
+        |    CASE WHEN den::DOUBLE > 0.0::DOUBLE
+        |      THEN round(num::DOUBLE / den::DOUBLE, 6) END AS r
+        |  FROM rk),
+        |pv AS (SELECT key,
+        |    max(CASE WHEN lag = 1 THEN r END) AS a1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS a2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS a3
+        |  FROM rr GROUP BY key),
+        |pvf AS (SELECT * FROM pv WHERE a1 IS NOT NULL
+        |          AND a2 IS NOT NULL AND a3 IS NOT NULL),
+        |l1 AS (SELECT key, a1, a2, a3, a1 AS k1,
+        |    (1.0::DOUBLE - (a1 * a1)) AS e1 FROM pvf),
+        |l2 AS (SELECT *, CASE WHEN e1 <> 0.0::DOUBLE
+        |    THEN (a2 - (k1 * a1)) / e1 END AS k2 FROM l1),
+        |l2b AS (SELECT *, (k1 - (k2 * k1)) AS p21, k2 AS p22,
+        |    (e1 * (1.0::DOUBLE - (k2 * k2))) AS e2
+        |  FROM l2 WHERE k2 IS NOT NULL),
+        |l3 AS (SELECT *, CASE WHEN e2 <> 0.0::DOUBLE
+        |    THEN (a3 - ((p21 * a2) + (p22 * a1))) / e2 END AS k3
+        |  FROM l2b),
+        |fin AS (SELECT key,
+        |    round((p21 - (k3 * p22)), 6) AS p31,
+        |    round((p22 - (k3 * p21)), 6) AS p32,
+        |    round(k3, 6) AS p33
+        |  FROM l3 WHERE k3 IS NOT NULL),
+        |mu AS (SELECT key,
+        |    sum(CAST(n AS DECIMAL(38,12)))::DOUBLE /
+        |      count(*)::DOUBLE AS mean
+        |  FROM d GROUP BY key),
+        |lp AS (SELECT key, day, n, row_number()
+        |    OVER (PARTITION BY key ORDER BY day DESC) AS rn FROM d),
+        |dv AS (SELECT l.key,
+        |    max(CASE WHEN rn = 1 THEN n::DOUBLE - mean END) AS d0,
+        |    max(CASE WHEN rn = 2 THEN n::DOUBLE - mean END) AS d1,
+        |    max(CASE WHEN rn = 3 THEN n::DOUBLE - mean END) AS d2
+        |  FROM lp l JOIN mu ON mu.key = l.key WHERE rn <= 3
+        |  GROUP BY l.key),
+        |fc AS (SELECT f.key, mu.mean, dv.d0, dv.d1, dv.d2,
+        |    f.p31, f.p32, f.p33,
+        |    (((0.0::DOUBLE + (f.p31 * dv.d0)) + (f.p32 * dv.d1)) +
+        |      (f.p33 * dv.d2)) AS f1
+        |  FROM fin f JOIN dv ON dv.key = f.key
+        |  JOIN mu ON mu.key = f.key),
+        |fc2 AS (SELECT *,
+        |    (((0.0::DOUBLE + (p31 * f1)) + (p32 * d0)) +
+        |      (p33 * d1)) AS f2 FROM fc),
+        |fc3 AS (SELECT *,
+        |    (((0.0::DOUBLE + (p31 * f2)) + (p32 * f1)) +
+        |      (p33 * d0)) AS f3 FROM fc2)
+        |SELECT key, h, forecast FROM (
+        |  SELECT key, 1 AS h, round(mean + f1, 6) AS forecast FROM fc3
+        |  UNION ALL SELECT key, 2, round(mean + f2, 6) FROM fc3
+        |  UNION ALL SELECT key, 3, round(mean + f3, 6) FROM fc3)
+        |ORDER BY key, h""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -3155,6 +3155,70 @@ object Events {
       .orderBy(col("key"), col("lag"))
   }
 
+  /** AR(p) h-step forecast — the [[arFit]] loop closed: per key, the
+    * fitted φ's recurse forward in DEVIATION space from the last p
+    * observed daily counts, `x̂_{T+h} = μ + Σ_j φ_j·(x̃_{T+h−j} − μ)`
+    * (forecast deviations feed back for h > 1, converging to the mean
+    * as an AR must). Uses arFit's 6-dp φ grain and the same series
+    * mean; keys arFit omits (short/degenerate) are omitted here too.
+    * Returns (key, h, forecast), 6 dp, h = 1..horizon.
+    *
+    * 100 TB shape: arFit's one event-sized collapse; the last-p frame
+    * rides a key-partitioned window; the recursion runs on the
+    * series-count-bounded collect.
+    */
+  def arForecast(events: DataFrame, keyCol: String, tsCol: String,
+      p: Int, horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 14,
+      "arForecast: horizon must be in 1..14")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val phi = arFit(events, keyCol, tsCol, p).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true) // two consumers: moments + last-p
+    val moments = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("__cnt"), sum(d12(col("__n"))).as("__sn"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(2).doubleValue() / r.getLong(1).toDouble))
+      .toMap
+    val wDesc = Window.partitionBy(col("key"))
+      .orderBy(col("__day").desc)
+    val lastP = daily
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= p)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        // __rn = 1 is the most recent observation
+        k -> rs.sortBy(_.getInt(rs.head.fieldIndex("__rn")))
+          .map(_.getLong(rs.head.fieldIndex("__n")).toDouble)
+      }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = phi.keys.toSeq.sorted.flatMap { k =>
+      val ph = phi(k)
+      val mu = moments(k)
+      val obs = lastP.getOrElse(k, Array.empty[Double])
+      if (obs.length < p) Seq.empty
+      else {
+        var devs = obs.take(p).map(_ - mu).toVector // most recent first
+        (1 to horizon).map { h =>
+          val nd = (1 to p).foldLeft(0.0)((acc, j) =>
+            acc + ph(j - 1) * devs(j - 1))
+          devs = nd +: devs.dropRight(1)
+          (k, h, r6(mu + nd))
+        }
+      }
+    }
+    out.toDF("key", "h", "forecast").orderBy(col("key"), col("h"))
+  }
+
   /** Augmented Dickey-Fuller unit-root test (constant-only model) of a
     * single ordered series: the OLS regression
     * `Δy_t = α + β·y_{t−1} + Σ_{i≤lags} γ_i·Δy_{t−i} + ε` via

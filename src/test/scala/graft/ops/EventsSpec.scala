@@ -617,6 +617,27 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(p2(1).getDouble(2) - (r2 - r1 * r1) / den) < 1e-5)
   }
 
+  test("arForecast: an alternating series forecasts the alternation") {
+    // 10, 2, 10, 2, ... over 20 days: AR(1) phi ~ -1; the 1-step
+    // forecast from a high day must swing low, the 2-step back high
+    val rows = (1 to 20).flatMap(d =>
+      Seq.fill(if (d % 2 == 1) 10 else 2)(("A", day(d))))
+    val df = rows.toDF("k", "ts")
+    val out = Events.arForecast(df, "k", "ts", p = 1, horizon = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val mean = 6.0 // (10+2)/2
+    assert(out(1) > mean && out(2) < mean && out(3) > mean,
+      s"$out") // day 20 was low -> h=1 swings high
+    // manual recursion from arFit's own phi: exact agreement
+    val phi = Events.arFit(df, "k", "ts", p = 1).collect()(0)
+      .getDouble(2)
+    val lastDev = 2.0 - mean
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1) == r6(mean + phi * lastDev))
+    // |phi| < 1: the forecast decays toward the mean
+    assert(math.abs(out(3) - mean) < math.abs(out(1) - mean))
+  }
+
   test("arFit: a series shorter than p lags is omitted") {
     val rows = Seq(("B", day(1)), ("B", day(2)))
     assert(Events.arFit(rows.toDF("k", "ts"), "k", "ts", p = 3)
