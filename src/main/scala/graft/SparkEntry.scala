@@ -4459,7 +4459,14 @@ object SparkEntry {
     // forward in deviation space from the last three observed days.
     "q298_ar_forecast" -> ((s, dir) =>
       graft.ops.Events.arForecast(t(s, dir, "events"), "event_type",
-        "ts", p = 3, horizon = 3))
+        "ts", p = 3, horizon = 3)),
+
+    // Robust location card (ops/Profile.scala): mean vs 5%-trimmed vs
+    // winsorized vs median/MAD of order totals — exact type-7
+    // thresholds, decimal sums.
+    "q299_robust_location" -> ((s, dir) =>
+      graft.ops.Profile.robustLocation(t(s, dir, "orders"),
+        "o_totalprice", trim = 0.05))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11607,7 +11614,32 @@ object SparkEntry {
         |  SELECT key, 1 AS h, round(mean + f1, 6) AS forecast FROM fc3
         |  UNION ALL SELECT key, 2, round(mean + f2, 6) FROM fc3
         |  UNION ALL SELECT key, 3, round(mean + f3, 6) FROM fc3)
-        |ORDER BY key, h""".stripMargin
+        |ORDER BY key, h""".stripMargin,
+
+    // quantile_cont thresholds (the exact type-7 twin), inclusive
+    // trim window, clamp for winsorize, second quantile pass for MAD
+    "q299_robust_location" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+        |           WHERE o_totalprice IS NOT NULL),
+        |th AS (SELECT quantile_cont(x, [0.05, 0.5, 0.95]) AS qv FROM v),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS s,
+        |    count(CASE WHEN x >= (SELECT qv[1] FROM th)
+        |      AND x <= (SELECT qv[3] FROM th) THEN 1 END)::BIGINT AS tn,
+        |    sum(CAST(CASE WHEN x >= (SELECT qv[1] FROM th)
+        |      AND x <= (SELECT qv[3] FROM th) THEN x
+        |      ELSE 0.0::DOUBLE END AS DECIMAL(38,12)))::DOUBLE AS ts,
+        |    sum(CAST(least(greatest(x, (SELECT qv[1] FROM th)),
+        |      (SELECT qv[3] FROM th)) AS DECIMAL(38,12)))::DOUBLE AS ws
+        |  FROM v),
+        |md AS (SELECT quantile_cont(abs(x - (SELECT qv[2] FROM th)),
+        |    0.5) AS mad FROM v)
+        |SELECT n, round(s / n::DOUBLE, 6) AS mean,
+        |  round(ts / tn::DOUBLE, 6) AS trimmed_mean,
+        |  round(ws / n::DOUBLE, 6) AS winsorized_mean,
+        |  round((SELECT qv[2] FROM th), 6) AS median,
+        |  round(mad, 6) AS mad
+        |FROM m, md""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -1756,6 +1756,62 @@ object Profile {
       .toDF("n", "k", "threshold", "gamma_hat", "alpha_hat")
   }
 
+  /** Robust-location summary: mean, trimmed mean (values inside the
+    * [trim, 1−trim] exact quantiles, thresholds INCLUSIVE), winsorized
+    * mean (values clamped to those thresholds —
+    * [[graft.ops.Curation.winsorize]]'s readout face), median, and MAD
+    * (median absolute deviation) — the one-row "can I trust the mean"
+    * card for a heavy-tailed column ([[hillTail]] says how heavy; this
+    * says what to use instead). All thresholds come from the
+    * distributed exact type-7 quantile machine; sums are
+    * DECIMAL(38,12)-quantized. Returns one row
+    * (n, mean, trimmed_mean, winsorized_mean, median, mad), 6 dp.
+    *
+    * 100 TB shape: two quantile passes (value grain + deviation grain)
+    * + two moments aggregations; thresholds ride as plan literals.
+    */
+  def robustLocation(df: DataFrame, valueCol: String,
+      trim: Double = 0.05): DataFrame = {
+    require(trim > 0 && trim < 0.5, "robustLocation: trim in (0, 0.5)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val base = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .localCheckpoint(eager = true) // quantiles + moments + MAD pass
+    val qs = graft.ops.Quantiles.exact(base, "__x",
+        Seq(trim, 0.5, 1.0 - trim))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    require(qs.nonEmpty, "robustLocation: empty input")
+    val (lo, med, hi) = (qs(trim), qs(0.5), qs(1.0 - trim))
+    val m = base.agg(count(lit(1)).as("n"),
+        sum(d12(col("__x"))).as("s"),
+        count(when(col("__x") >= lo && col("__x") <= hi, lit(1)))
+          .as("tn"),
+        sum(d12(when(col("__x") >= lo && col("__x") <= hi, col("__x"))
+          .otherwise(lit(0.0)))).as("ts"),
+        sum(d12(least(greatest(col("__x"), lit(lo)), lit(hi))))
+          .as("ws"))
+      .head()
+    val n = m.getLong(0)
+    val tn = m.getLong(2)
+    require(tn > 0, "robustLocation: trim removed everything")
+    val mad = graft.ops.Quantiles.exact(
+        base.select(abs(col("__x") - lit(med)).as("__d")), "__d",
+        Seq(0.5))
+      .collect()(0).getDouble(1)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    Seq((n,
+      r6(m.getDecimal(1).doubleValue() / n.toDouble),
+      r6(m.getDecimal(3).doubleValue() / tn.toDouble),
+      r6(m.getDecimal(4).doubleValue() / n.toDouble),
+      r6(med), r6(mad)))
+      .toDF("n", "mean", "trimmed_mean", "winsorized_mean", "median",
+        "mad")
+  }
+
   /** Chapman capture-recapture estimate (Chapman 1951, the
     * bias-corrected Lincoln-Petersen): from two overlapping samples of
     * a closed population, `N̂ = (n1+1)(n2+1)/(m+1) − 1` with Seber's

@@ -849,6 +849,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("robustLocation: outliers move the mean, not the robust faces") {
+    // 1..99 symmetric body + one absurd outlier
+    val xs = (1 to 99).map(_.toDouble) :+ 100000.0
+    val r = Profile.robustLocation(xs.toDF("x"), "x", trim = 0.05)
+      .collect()(0)
+    val mean = r.getDouble(1)
+    assert(mean > 1000) // dragged by the outlier
+    assert(r.getDouble(2) < 60 && r.getDouble(2) > 40) // trimmed ~50
+    assert(r.getDouble(3) < mean)                       // winsor < mean
+    assert(r.getDouble(4) == 50.5)                      // type-7 median
+    // MAD of ~uniform 1..99 around 50.5: ~25
+    assert(math.abs(r.getDouble(5) - 25.0) < 2.0)
+    intercept[IllegalArgumentException] {
+      Profile.robustLocation(xs.toDF("x"), "x", trim = 0.5)
+    }
+  }
+
   test("captureRecapture: Chapman estimate on a known population") {
     // population 1..100; sample A = 1..50, B = 26..75 -> m = 25
     // Chapman: 51*51/26 - 1 = 99.04
