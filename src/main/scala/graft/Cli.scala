@@ -933,6 +933,18 @@ object Cli {
             graft.ops.Events.burstiness(df, typ, ts)
           case "heaps" =>
             graft.ops.TextAnalysis.heapsLaw(df, id, req("text-col"))
+          case "sequences" =>
+            graft.ops.Events.frequentSequences(df, user, typ, ts, id,
+              flags.getOrElse("min-support", "100").toLong,
+              flags.getOrElse("max-len", "3").toInt)
+          case "uplift" =>
+            graft.ops.Events.upliftTLearner(df, req("treat-col"),
+              req("y-col"), flags.get("x-cols").map(_.split(",").toSeq)
+                .getOrElse(Seq.empty), req("segment-col"))
+          case "strength" =>
+            graft.ops.Events.seasonalStrength(df, typ, ts)
+          case "binseg" =>
+            graft.ops.Events.binarySegmentation(df, typ, ts)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -992,7 +1004,8 @@ object Cli {
            |         concentration|eb-shrink|cohort-ltv|sessionize|
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
            |         retention-halflife|capture-recapture|cox|
-           |         burstiness|heaps|arforecast
+           |         burstiness|heaps|arforecast|sequences|uplift|
+           |         strength|binseg
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

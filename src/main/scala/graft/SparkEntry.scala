@@ -4279,10 +4279,21 @@ object SparkEntry {
     // absorbing-chain counterfactual — credit = conversion probability
     // lost when all paths through a channel are cut; 40 quantized
     // chain steps on the collected (channels+2)² matrix.
-    "q279_markov_attribution" -> ((s, dir) =>
+    "q279_markov_attribution" -> ((s, dir) => {
+      // the oracle unrolls one removal chain per channel, hardcoded —
+      // guard that the dataset's non-conversion types still ARE that
+      // set, so a testdata change desynchronizes loudly, not silently
+      val got = t(s, dir, "events")
+        .filter(col("event_type").isNotNull &&
+          col("event_type") =!= "purchase")
+        .select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // |types|-bounded
+      require(got == Seq("click", "error", "signup", "view"),
+        s"q279 oracle channel set drifted: ${got.mkString(",")}")
       graft.ops.Events.markovAttribution(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id",
-        col("event_type") === "purchase")),
+        col("event_type") === "purchase")
+    }),
 
     // Grid-bucketed DBSCAN (ops/Similarity.scala): density clustering
     // of the embedding cloud's first two dimensions — 3×3-cell
@@ -4466,7 +4477,40 @@ object SparkEntry {
     // thresholds, decimal sums.
     "q299_robust_location" -> ((s, dir) =>
       graft.ops.Profile.robustLocation(t(s, dir, "orders"),
-        "o_totalprice", trim = 0.05))
+        "o_totalprice", trim = 0.05)),
+
+    // PrefixSpan-lite frequent sequences (ops/Events.scala): gap-
+    // allowed event-type subsequences supported by >= 120 of the 150
+    // users, grown to length 3 by greedy-min-end rounds.
+    "q300_frequent_sequences" -> ((s, dir) =>
+      graft.ops.Events.frequentSequences(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        minSupport = 120L, maxLen = 3)),
+
+    // Uplift T-learner (ops/Events.scala): per-arm Gram-solve outcome
+    // models on the q244 treatment frame, engagement as covariate,
+    // uplift read per active-days segment.
+    "q301_uplift_tlearner" -> ((s, dir) => {
+      val u = errTreatUsers(s, dir)
+        .withColumn("segment",
+          when(col("active_days") >= 28.0, "high").otherwise("low"))
+      graft.ops.Events.upliftTLearner(u, "t", "y",
+        Seq("engagement"), "segment")
+    }),
+
+    // Seasonal/trend strength (ops/Events.scala): Hyndman's F_trend /
+    // F_seasonal over q254's decomposition — the forecastability
+    // triage per event type.
+    "q302_seasonal_strength" -> ((s, dir) =>
+      graft.ops.Events.seasonalStrength(t(s, dir, "events"),
+        "event_type", "ts")),
+
+    // Binary-segmentation changepoints (ops/Events.scala): q197's
+    // argmax-|CUSUM| split, then the same scan inside each half —
+    // depth-2 offline changepoint tree per event type.
+    "q303_binary_segmentation" -> ((s, dir) =>
+      graft.ops.Events.binarySegmentation(t(s, dir, "events"),
+        "event_type", "ts"))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11639,7 +11683,227 @@ object SparkEntry {
         |  round(ws / n::DOUBLE, 6) AS winsorized_mean,
         |  round((SELECT qv[2] FROM th), 6) AS median,
         |  round(mad, 6) AS mad
-        |FROM m, md""".stripMargin
+        |FROM m, md""".stripMargin,
+
+    // greedy-min-end growth unrolled once per length: per round the
+    // pruned (user, pattern, end) state joins the positioned log on
+    // pos > end, min(pos) per grown pattern, support prune at 120
+    "q300_frequent_sequences" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS it,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |o1 AS MATERIALIZED (
+        |  SELECT u, it AS pat, min(pos) AS e FROM ev GROUP BY u, it),
+        |f1 AS MATERIALIZED (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o1 GROUP BY pat
+        |  HAVING count(*) >= 120),
+        |of1 AS MATERIALIZED (
+        |  SELECT o.u, o.pat, o.e FROM o1 o JOIN f1 f ON f.pat = o.pat),
+        |o2 AS MATERIALIZED (
+        |  SELECT o.u, o.pat || '>' || e.it AS pat, min(e.pos) AS e
+        |  FROM of1 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |  GROUP BY 1, 2),
+        |f2 AS MATERIALIZED (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o2 GROUP BY pat
+        |  HAVING count(*) >= 120),
+        |of2 AS MATERIALIZED (
+        |  SELECT o.u, o.pat, o.e FROM o2 o JOIN f2 f ON f.pat = o.pat),
+        |o3 AS MATERIALIZED (
+        |  SELECT o.u, o.pat || '>' || e.it AS pat, min(e.pos) AS e
+        |  FROM of2 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |  GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o3 GROUP BY pat
+        |  HAVING count(*) >= 120)
+        |SELECT pat AS pattern, 1 AS length, support FROM f1
+        |UNION ALL SELECT pat, 2, support FROM f2
+        |UNION ALL SELECT pat, 3, support FROM f3
+        |ORDER BY 2 ASC, 3 DESC, 1 ASC""".stripMargin,
+
+    // two per-arm Gram chains (gjChainSql prefixes ga/gb) off ONE
+    // pivoted moments row, then the segment-grain plug-in readout —
+    // mu_a(seg) = beta_a0 + beta_a1 * xbar in the operator's exact
+    // left-assoc double shapes
+    "q301_uplift_tlearner" -> {
+      val perRow =
+        s"""SELECT t, y, engagement AS x0,
+           |  CASE WHEN active_days >= 28.0::DOUBLE THEN 'high'
+           |    ELSE 'low' END AS seg
+           |FROM ($errTreatPerRowSql)""".stripMargin
+      def armInit(arm: String): (Int, Int) => String = (r, j) =>
+        if (j < 2) {
+          if (r == 0 && j == 0) s"n$arm::DOUBLE"
+          else if (r == 1 && j == 1) s"sx0x0$arm"
+          else s"sx0$arm"
+        }
+        else if (j == 2) { if (r == 0) s"sy$arm" else s"sx0y$arm" }
+        else if (j == 3 + r) "1.0::DOUBLE" else "0.0::DOUBLE"
+      def mu(pfx: String) =
+        s"$pfx.g_0_2 + $pfx.g_1_2 * (sx0 / n::DOUBLE)"
+      s"""WITH u AS MATERIALIZED ($perRow),
+         |mom AS MATERIALIZED (
+         |  SELECT t, count(*)::BIGINT AS n,
+         |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         |    sum(CAST(x0 AS DECIMAL(38,12))) AS sx0,
+         |    sum(CAST(x0 * y AS DECIMAL(38,12))) AS sx0y,
+         |    sum(CAST(x0 * x0 AS DECIMAL(38,12))) AS sx0x0
+         |  FROM u WHERE t IS NOT NULL AND y IS NOT NULL
+         |    AND x0 IS NOT NULL AND seg IS NOT NULL
+         |  GROUP BY t),
+         |pv AS MATERIALIZED (SELECT
+         |    max(CASE WHEN t = 0.0::DOUBLE THEN n END)::BIGINT AS na,
+         |    max(CASE WHEN t = 0.0::DOUBLE THEN sy END)::DOUBLE AS sya,
+         |    max(CASE WHEN t = 0.0::DOUBLE THEN sx0 END)::DOUBLE AS sx0a,
+         |    max(CASE WHEN t = 0.0::DOUBLE THEN sx0y END)::DOUBLE
+         |      AS sx0ya,
+         |    max(CASE WHEN t = 0.0::DOUBLE THEN sx0x0 END)::DOUBLE
+         |      AS sx0x0a,
+         |    max(CASE WHEN t = 1.0::DOUBLE THEN n END)::BIGINT AS nb,
+         |    max(CASE WHEN t = 1.0::DOUBLE THEN sy END)::DOUBLE AS syb,
+         |    max(CASE WHEN t = 1.0::DOUBLE THEN sx0 END)::DOUBLE AS sx0b,
+         |    max(CASE WHEN t = 1.0::DOUBLE THEN sx0y END)::DOUBLE
+         |      AS sx0yb,
+         |    max(CASE WHEN t = 1.0::DOUBLE THEN sx0x0 END)::DOUBLE
+         |      AS sx0x0b
+         |  FROM mom),
+         |${gjChainSql(2, armInit("a"), "pv", "ga")},
+         |${gjChainSql(2, armInit("b"), "pv", "gb")},
+         |sg AS (SELECT seg AS segment, count(*)::BIGINT AS n,
+         |    sum(CAST(x0 AS DECIMAL(38,12)))::DOUBLE AS sx0
+         |  FROM u WHERE t IS NOT NULL AND y IS NOT NULL
+         |    AND x0 IS NOT NULL AND seg IS NOT NULL
+         |  GROUP BY seg)
+         |SELECT segment, n,
+         |  round(${mu("ga2")}, 6) AS mu0_hat,
+         |  round(${mu("gb2")}, 6) AS mu1_hat,
+         |  round((${mu("gb2")}) - (${mu("ga2")}), 6) AS uplift
+         |FROM sg, ga2, gb2
+         |ORDER BY segment""".stripMargin
+    },
+
+    // q254's decomposition CTEs verbatim, then one key-grain variance
+    // aggregation over the ROUNDED components — Hyndman's
+    // F = max(0, 1 - Var(R)/Var(component + R)), population variances
+    // from decimal-quantized moment sums
+    "q302_seasonal_strength" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT *,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      (sum(n) OVER w7)::DOUBLE / 7.0::DOUBLE END AS trend,
+        |    dayofweek(day) + 1 AS dow
+        |  FROM d
+        |  WINDOW w7 AS (PARTITION BY key ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |b2 AS (SELECT *, n::DOUBLE - trend AS detr FROM b),
+        |s AS (SELECT key, dow,
+        |    (sum(CAST(detr AS DECIMAL(38,12))))::DOUBLE /
+        |      (count(*))::DOUBLE AS raw
+        |  FROM b2 WHERE detr IS NOT NULL GROUP BY key, dow),
+        |s2 AS (SELECT key, dow, raw -
+        |    (sum(CAST(raw AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |    AS adj
+        |  FROM s),
+        |comp AS MATERIALIZED (
+        |  SELECT b2.key, round(trend, 6) AS tr, round(adj, 6) AS se,
+        |    round(b2.n::DOUBLE - trend - adj, 6) AS re
+        |  FROM b2 LEFT JOIN s2 ON s2.key = b2.key AND s2.dow = b2.dow
+        |  WHERE round(trend, 6) IS NOT NULL),
+        |g AS (SELECT key, count(*)::BIGINT AS n_days,
+        |    sum(CAST(re AS DECIMAL(38,12)))::DOUBLE AS sr1,
+        |    sum(CAST(re * re AS DECIMAL(38,12)))::DOUBLE AS sr2,
+        |    sum(CAST(tr + re AS DECIMAL(38,12)))::DOUBLE AS st1,
+        |    sum(CAST((tr + re) * (tr + re) AS DECIMAL(38,12)))::DOUBLE
+        |      AS st2,
+        |    sum(CAST(se + re AS DECIMAL(38,12)))::DOUBLE AS ss1,
+        |    sum(CAST((se + re) * (se + re) AS DECIMAL(38,12)))::DOUBLE
+        |      AS ss2
+        |  FROM comp GROUP BY key),
+        |v AS (SELECT key, n_days,
+        |    ((sr2 - (sr1 * sr1) / n_days::DOUBLE) / n_days::DOUBLE)
+        |      AS var_r,
+        |    ((st2 - (st1 * st1) / n_days::DOUBLE) / n_days::DOUBLE)
+        |      AS var_tr,
+        |    ((ss2 - (ss1 * ss1) / n_days::DOUBLE) / n_days::DOUBLE)
+        |      AS var_sr
+        |  FROM g)
+        |SELECT key, n_days,
+        |  CASE WHEN var_tr > 0.0::DOUBLE THEN
+        |    round(greatest(0.0::DOUBLE,
+        |      1.0::DOUBLE - var_r / var_tr), 6) END AS trend_strength,
+        |  CASE WHEN var_sr > 0.0::DOUBLE THEN
+        |    round(greatest(0.0::DOUBLE,
+        |      1.0::DOUBLE - var_r / var_sr), 6) END AS seasonal_strength
+        |FROM v ORDER BY key""".stripMargin,
+
+    // q197's scan replayed at both levels: full series, then inside
+    // each (key, side) half tagged by the level-1 pick — every CUSUM
+    // a decimal-quantized ordered window, picks row_number, side
+    // means conditional aggs
+    "q303_binary_segmentation" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type AS key, ts::DATE AS dy, count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT key, sum(n) / count(*)::DOUBLE AS mean FROM d
+        |       GROUP BY key),
+        |c1 AS MATERIALIZED (SELECT d.key, dy, n,
+        |    (sum(CAST(n - mean AS DECIMAL(38,12))) OVER
+        |      (PARTITION BY d.key ORDER BY dy ROWS BETWEEN UNBOUNDED
+        |       PRECEDING AND CURRENT ROW))::DOUBLE AS cusum
+        |  FROM d JOIN m1 ON d.key = m1.key),
+        |p1 AS (SELECT key, dy AS cd, round(abs(cusum), 6) AS mac,
+        |    row_number() OVER (PARTITION BY key
+        |      ORDER BY abs(cusum) DESC, dy) AS rn
+        |  FROM c1),
+        |l1 AS MATERIALIZED (SELECT c1.key, cd, mac,
+        |    min(dy) AS seg_start, max(dy) AS seg_end,
+        |    count(*)::BIGINT AS n_days,
+        |    round(avg(CASE WHEN dy <= cd THEN n END), 6) AS mean_before,
+        |    round(avg(CASE WHEN dy > cd THEN n END), 6) AS mean_after
+        |  FROM c1 JOIN (SELECT * FROM p1 WHERE rn = 1) p
+        |    ON c1.key = p.key
+        |  GROUP BY c1.key, cd, mac),
+        |d2 AS MATERIALIZED (SELECT d.key,
+        |    CASE WHEN dy <= l1.cd THEN 'pre' ELSE 'post' END AS side,
+        |    dy, n
+        |  FROM d JOIN l1 ON l1.key = d.key),
+        |m2 AS (SELECT key, side, sum(n) / count(*)::DOUBLE AS mean
+        |       FROM d2 GROUP BY key, side),
+        |c2 AS MATERIALIZED (SELECT d2.key, d2.side, dy, n,
+        |    (sum(CAST(n - mean AS DECIMAL(38,12))) OVER
+        |      (PARTITION BY d2.key, d2.side ORDER BY dy ROWS BETWEEN
+        |       UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cusum
+        |  FROM d2 JOIN m2 ON m2.key = d2.key AND m2.side = d2.side),
+        |p2 AS (SELECT key, side, dy AS cd, round(abs(cusum), 6) AS mac,
+        |    row_number() OVER (PARTITION BY key, side
+        |      ORDER BY abs(cusum) DESC, dy) AS rn
+        |  FROM c2),
+        |l2 AS (SELECT c2.key, c2.side, cd, mac,
+        |    min(dy) AS seg_start, max(dy) AS seg_end,
+        |    count(*)::BIGINT AS n_days,
+        |    round(avg(CASE WHEN dy <= cd THEN n END), 6) AS mean_before,
+        |    round(avg(CASE WHEN dy > cd THEN n END), 6) AS mean_after
+        |  FROM c2 JOIN (SELECT * FROM p2 WHERE rn = 1) p
+        |    ON c2.key = p.key AND c2.side = p.side
+        |  GROUP BY c2.key, c2.side, cd, mac)
+        |SELECT key, 1 AS level, 'all' AS segment, seg_start, seg_end,
+        |  n_days, cd AS change_day, mac AS max_abs_cusum,
+        |  mean_before, mean_after
+        |FROM l1
+        |UNION ALL
+        |SELECT key, 2, side, seg_start, seg_end, n_days, cd, mac,
+        |  mean_before, mean_after
+        |FROM l2 WHERE n_days >= 2
+        |ORDER BY key, level, segment""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -322,9 +322,12 @@ object Classify {
         log(col("__ndocs").cast("double") / col("__nall").cast("double"))
           .as("__prior"),
         log((col("__tot") + col("__v")).cast("double")).as("__den"))
+    // null test ids would collapse into one pseudo-document at the
+    // doc_id grain — exclude them, mirroring the train-side label filter
     val teDocs = test
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(col("doc_id").isNotNull)
     val docLen = teDocs.select(col("doc_id"),
       when(col("__tk").isNull, lit(0))
         .otherwise(size(col("__tk"))).cast("double").as("__nd"))

@@ -3616,6 +3616,8 @@ object Events {
   def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 12,
       "vif: need 2..12 columns")
+    require(cols.distinct.size == cols.size,
+      "vif: columns must be distinct")
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = graft.ops.Profile.correlationMatrix(df, cols).collect()
@@ -3642,5 +3644,308 @@ object Events {
     cols.zipWithIndex.map { case (c, i) => (i, c, r6(invDiag(i))) }
       .toDF("term_idx", "column", "vif")
       .orderBy(col("term_idx"))
+  }
+
+  /** Seasonal/trend strength (Hyndman & Athanasopoulos, FPP3 §4.5,
+    * Wang-Smith-Hyndman 2006): per key, the two forecastability
+    * scalars over [[seasonalDecompose]]'s additive components —
+    * `F_trend = max(0, 1 − Var(R)/Var(T+R))` (how much the
+    * seasonally-adjusted series is explained by trend) and
+    * `F_seasonal = max(0, 1 − Var(R)/Var(S+R))` (how much the
+    * detrended series is explained by season). The triage number a
+    * planner reads before trusting an [[arForecast]]/[[holtWinters]]
+    * projection: strengths near 0 say the series is noise. Returns one
+    * row per key (key, n_days, trend_strength, seasonal_strength),
+    * 6 dp, over the days where the centered trend exists (edge days
+    * have no 7-MA and are excluded on both faces). A flat component
+    * (zero variance in T+R or S+R) has no defined strength → null.
+    *
+    * Variances are population (÷n) with every sum quantized to
+    * DECIMAL(38,12) first — the strengths are partition-invariant and
+    * engine-replayable over the decomposition's 6-dp components.
+    *
+    * 100 TB shape: [[seasonalDecompose]]'s passes plus ONE key-grain
+    * aggregation over its calendar-sized output — nothing event-sized
+    * moves after the decomposition's first collapse.
+    */
+  def seasonalStrength(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val comp = seasonalDecompose(events, keyCol, tsCol)
+      .filter(col("trend").isNotNull)
+      .select(col("key"), col("remainder").as("__r"),
+        (col("trend") + col("remainder")).as("__tr"),
+        (col("seasonal") + col("remainder")).as("__sr"))
+    val m = comp.groupBy(col("key")).agg(
+      count(lit(1)).as("n_days"),
+      sum(d12(col("__r"))).cast("double").as("__sr1"),
+      sum(d12(col("__r") * col("__r"))).cast("double").as("__sr2"),
+      sum(d12(col("__tr"))).cast("double").as("__st1"),
+      sum(d12(col("__tr") * col("__tr"))).cast("double").as("__st2"),
+      sum(d12(col("__sr"))).cast("double").as("__ss1"),
+      sum(d12(col("__sr") * col("__sr"))).cast("double").as("__ss2"))
+    val nD = col("n_days").cast("double")
+    def popVar(s1: Column, s2: Column) = (s2 - (s1 * s1) / nD) / nD
+    val varR = popVar(col("__sr1"), col("__sr2"))
+    val varTR = popVar(col("__st1"), col("__st2"))
+    val varSR = popVar(col("__ss1"), col("__ss2"))
+    m.select(col("key"), col("n_days"),
+        when(varTR > 0.0, round(greatest(lit(0.0),
+          lit(1.0) - varR / varTR), 6)).as("trend_strength"),
+        when(varSR > 0.0, round(greatest(lit(0.0),
+          lit(1.0) - varR / varSR), 6)).as("seasonal_strength"))
+      .orderBy(col("key"))
+  }
+
+  /** Binary-segmentation changepoint scan (Scott & Knott 1974; the
+    * offline companion to [[cusumChangepoint]]'s single split and the
+    * streaming CUSUM monitor): per key, the argmax-|CUSUM| split of
+    * the full daily series (level 1), then the same scan re-run inside
+    * each resulting half (level 2, depth-capped) — the standard "this
+    * source changed twice" readout. Returns one row per scanned
+    * segment: (key, level, segment ∈ all|pre|post, seg_start, seg_end,
+    * n_days, change_day, max_abs_cusum, mean_before, mean_after),
+    * 6 dp, ties on |CUSUM| to the earliest day. A level-2 side with a
+    * single day has no interior structure and emits no row;
+    * mean_after is null only when the pick is the segment's last day.
+    *
+    * Every scan is one grain aggregate over the (key, day) frame: the
+    * CUSUM windows partition BY KEY (level 2: key+side) over
+    * calendar-bounded series, deviations quantize to DECIMAL(38,12)
+    * (exact ordered cumulative sums), the pick is a row_number, the
+    * side means conditional aggs — [[cusumChangepoint]]'s exact
+    * shapes, so the two levels are engine-replayable.
+    *
+    * 100 TB shape: ONE event-sized collapse to (key, day); both levels
+    * ride that calendar-sized frame — the recursion never re-touches
+    * the event log.
+    */
+  def binarySegmentation(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true) // consumers: level-1 scan + side tagging
+    def scan(d: DataFrame, grp: Seq[String]): DataFrame = {
+      val gcols = grp.map(col)
+      val wAll = Window.partitionBy(gcols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.partitionBy(gcols: _*).orderBy(col("__day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(gcols: _*)
+        .orderBy(abs(col("__cusum")).desc, col("__day"))
+      val cus = d
+        .withColumn("__mean", sum(col("__n")).over(wAll) /
+          count(lit(1)).over(wAll).cast("double"))
+        .withColumn("__dev",
+          (col("__n") - col("__mean")).cast("decimal(38,12)"))
+        .withColumn("__cusum",
+          sum(col("__dev")).over(wCum).cast("double"))
+        .localCheckpoint(true) // consumers: the pick + both side means
+      val pick = cus
+        .withColumn("__rn", row_number().over(wPick))
+        .where(col("__rn") === 1)
+        .select(gcols :+ col("__day").as("__cd") :+
+          round(abs(col("__cusum")), 6).as("max_abs_cusum"): _*)
+      cus.join(pick, grp)
+        .groupBy(gcols :+ col("__cd") :+ col("max_abs_cusum"): _*)
+        .agg(min(col("__day")).as("seg_start"),
+          max(col("__day")).as("seg_end"),
+          count(lit(1)).as("n_days"),
+          round(avg(when(col("__day") <= col("__cd"), col("__n"))), 6)
+            .as("mean_before"),
+          round(avg(when(col("__day") > col("__cd"), col("__n"))), 6)
+            .as("mean_after"))
+    }
+    val l1 = scan(daily, Seq("key"))
+      .localCheckpoint(true) // consumers: readout + side tagging
+    val sides = daily
+      .join(l1.select(col("key"), col("__cd").as("__l1cd")), Seq("key"))
+      .withColumn("__side",
+        when(col("__day") <= col("__l1cd"), "pre").otherwise("post"))
+      .select(col("key"), col("__side"), col("__day"), col("__n"))
+    val l2 = scan(sides, Seq("key", "__side"))
+      .where(col("n_days") >= 2)
+    def readout(d: DataFrame, level: Int, seg: Column) =
+      d.select(col("key"), lit(level).as("level"), seg.as("segment"),
+        col("seg_start"), col("seg_end"), col("n_days"),
+        col("__cd").as("change_day"), col("max_abs_cusum"),
+        col("mean_before"), col("mean_after"))
+    readout(l1, 1, lit("all"))
+      .unionByName(readout(l2, 2, col("__side")))
+      .orderBy(col("key"), col("level"), col("segment"))
+  }
+
+  /** Frequent event subsequences — PrefixSpan-lite (Pei et al. 2001,
+    * support-threshold growth without the projected-database
+    * machinery): a pattern ⟨a₁>…>a_ℓ⟩ is supported by a user when the
+    * user's (ts, id)-ordered event types contain it as a (gap-allowed)
+    * subsequence; patterns with support ≥ `minSupport` users are kept,
+    * grown one item per round up to `maxLen`. The "what do users do
+    * before churning" tool beside [[topPaths]]' whole-prefix view and
+    * [[markovTransitions]]' one-step view. Returns
+    * (pattern, length, support), ordered (length, support desc,
+    * pattern).
+    *
+    * Containment is decided by greedy leftmost matching: per
+    * (user, pattern) only the MINIMAL end position is carried, and a
+    * pattern extends iff some later event matches — exact for
+    * subsequence containment, state linear in patterns, not
+    * occurrences. Growth is anti-monotone (support(p·x) ≤ support(p)),
+    * so pruning each round at `minSupport` loses nothing.
+    *
+    * 100 TB shape: positions ride ONE user-key window; each of the
+    * ≤ maxLen−1 growth rounds is a user-keyed join of the pruned
+    * (user, pattern, end) state against the typed log plus a
+    * pattern-grain support count — state is |users| × |frequent
+    * patterns|, never occurrence-sized, and the frequent-pattern
+    * prune is a broadcast semi-join. maxLen is capped at 4: candidate
+    * space is |alphabet|^ℓ and a real mining run raises `minSupport`,
+    * not the cap.
+    */
+  def frequentSequences(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, minSupport: Long,
+      maxLen: Int = 3): DataFrame = {
+    require(minSupport >= 1, "frequentSequences: minSupport must be >= 1")
+    require(maxLen >= 1 && maxLen <= 4,
+      "frequentSequences: maxLen must be in 1..4")
+    val wk = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__id"))
+    val ev = events
+      .select(col(userCol).as("__u"),
+        col(typeCol).cast("string").as("__it"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .filter(col("__u").isNotNull && col("__it").isNotNull &&
+        col("__ts").isNotNull)
+      .withColumn("__pos", row_number().over(wk))
+      .select(col("__u"), col("__it"), col("__pos"))
+      .localCheckpoint(true) // re-probed once per growth round
+    def support(occ: DataFrame): DataFrame = occ
+      .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val occ1 = ev.groupBy(col("__u"), col("__it"))
+      .agg(min(col("__pos")).as("__end"))
+      .withColumnRenamed("__it", "pattern")
+      .localCheckpoint(true) // consumers: support + prune
+    var freq = support(occ1)
+      .localCheckpoint(true) // consumers: readout union + prune
+    var out = freq.withColumn("length", lit(1))
+    var occF = occ1.join(broadcast(freq.select(col("pattern"))),
+      Seq("pattern"), "left_semi")
+    for (len <- 2 to maxLen) {
+      val ext = occF.join(ev, Seq("__u"))
+        .where(col("__pos") > col("__end"))
+        .select(col("__u"),
+          concat(col("pattern"), lit(">"), col("__it")).as("pattern"),
+          col("__pos"))
+        .groupBy(col("__u"), col("pattern"))
+        .agg(min(col("__pos")).as("__end"))
+        .localCheckpoint(true) // consumers: support + prune
+      val f = support(ext)
+        .localCheckpoint(true) // consumers: readout union + prune
+      out = out.unionByName(f.withColumn("length", lit(len)))
+      if (len < maxLen)
+        occF = ext.join(broadcast(f.select(col("pattern"))),
+          Seq("pattern"), "left_semi")
+    }
+    out.select(col("pattern"), col("length"), col("support"))
+      .orderBy(col("length"), col("support").desc, col("pattern"))
+  }
+
+  /** Uplift T-learner (Künzel et al. 2019's two-model meta-learner):
+    * fit [[olsFit]]'s Gram-solve outcome model SEPARATELY on the
+    * treated and control strata, then read the per-segment uplift
+    * `τ̂(seg) = μ̂₁(x̄_seg) − μ̂₀(x̄_seg)` — the tool that turns an
+    * average-effect readout ([[olsAdjust]]/`ipwAte`) into a targeting
+    * policy ("ship WHERE the effect is positive"). Because both models
+    * are linear, the segment-mean plug-in equals the mean of per-row
+    * predictions over the segment — no per-row scoring pass is needed.
+    * Returns one row per segment:
+    * (segment, n, mu0_hat, mu1_hat, uplift), 6 dp.
+    *
+    * `treatCol` must carry exactly the two arms 0 and 1 (numeric);
+    * rows with a null treatment, outcome, covariate or segment are
+    * listwise-deleted (they fit in no stratum). With zero covariates
+    * the two models are the arm means and every segment's uplift is
+    * the raw mean difference — the spec's degenerate cross-check.
+    *
+    * 100 TB shape: ONE grouped aggregation computes both arms'
+    * DECIMAL(38,12)-quantized Gram moments (2 rows × O(k²) collected,
+    * k ≤ 20); the two (k+1)×(k+1) solves run on the driver; the
+    * readout is ONE segment-grain aggregation with the βs as plan
+    * literals. Nothing user-sized is ever collected.
+    */
+  def upliftTLearner(users: DataFrame, treatCol: String, yCol: String,
+      covariates: Seq[String], segmentCol: String): DataFrame = {
+    require(covariates.size <= 20,
+      "upliftTLearner: need 0..20 covariates")
+    require(covariates.distinct.size == covariates.size,
+      "upliftTLearner: covariates must be distinct")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = covariates.size
+    val p = k + 1
+    val base = users
+      .select(col(treatCol).cast("double").as("__t") +:
+        col(yCol).cast("double").as("__y") +:
+        col(segmentCol).cast("string").as("__seg") +:
+        covariates.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull &&
+        col("__seg").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull)
+          .foldLeft(lit(true))(_ && _))
+      .localCheckpoint(true) // consumers: per-arm Gram + segment means
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d12(col("__y"))).as("sy")) ++
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"sx$i")) ++
+      (0 until k).map(i =>
+        sum(d12(col(s"__x$i") * col("__y"))).as(s"sx${i}y")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d12(col(s"__x$i") * col(s"__x$j"))).as(s"sx${i}x$j"))
+    val m = base.groupBy(col("__t")).agg(aggs.head, aggs.tail: _*)
+      .collect() // 2 rows × O(k²) moments — bounded, k ≤ 20
+    val labels = m.map(_.getDouble(0)).sorted.toSeq
+    require(labels == Seq(0.0, 1.0),
+      s"upliftTLearner: treatment must be exactly {0, 1}, got " +
+        labels.mkString(","))
+    def solve(r: org.apache.spark.sql.Row): Array[Double] = {
+      def dv(f: String) = {
+        val d = r.getDecimal(r.fieldIndex(f))
+        if (d == null) 0.0 else d.doubleValue()
+      }
+      val nL = r.getLong(r.fieldIndex("n"))
+      require(nL > p,
+        s"upliftTLearner: arm ${r.getDouble(0)} needs n > $p rows, " +
+          s"got $nL")
+      val nD = nL.toDouble
+      def gx(i: Int, j: Int) =
+        dv(s"sx${math.min(i, j)}x${math.max(i, j)}")
+      val w = 2 * p + 1
+      val init = Array.tabulate(p, w) { (rr, j) =>
+        def gram(a: Int, b: Int): Double =
+          if (a == 0 && b == 0) nD
+          else if (a == 0) dv(s"sx${b - 1}")
+          else gx(a - 1, b - 1)
+        if (j < p) { if (j >= rr) gram(rr, j) else gram(j, rr) }
+        else if (j == p) { if (rr == 0) dv("sy") else dv(s"sx${rr - 1}y") }
+        else if (j == p + 1 + rr) 1.0 else 0.0
+      }
+      gaussJordan(init, p)._1
+    }
+    val b0 = solve(m.find(_.getDouble(0) == 0.0).get)
+    val b1 = solve(m.find(_.getDouble(0) == 1.0).get)
+    val segAggs = count(lit(1)).as("n") +:
+      (0 until k).map(i => sum(d12(col(s"__x$i"))).as(s"__sx$i"))
+    val seg = base.groupBy(col("__seg").as("segment"))
+      .agg(segAggs.head, segAggs.tail: _*)
+    def mu(b: Array[Double]): Column =
+      (0 until k).foldLeft(lit(b(0)): Column) { (acc, i) =>
+        acc + lit(b(i + 1)) *
+          (col(s"__sx$i").cast("double") / col("n").cast("double"))
+      }
+    val mu0 = mu(b0)
+    val mu1 = mu(b1)
+    seg.select(col("segment"), col("n"),
+        round(mu0, 6).as("mu0_hat"), round(mu1, 6).as("mu1_hat"),
+        round(mu1 - mu0, 6).as("uplift"))
+      .orderBy(col("segment"))
   }
 }

@@ -2108,9 +2108,13 @@ object Profile {
       .agg(max(col("__t")).as("t"), max(col("__n")).as("n"),
         sum(d12(share * share)).as("s2"))
       .head()
+    // empty input leaves every max() NULL — read the count first so
+    // the intended message surfaces instead of an NPE on the decimal
+    val nEnt = if (hhiRow.isNullAt(1)) 0L else hhiRow.getLong(1)
+    require(nEnt > 0,
+      "concentration: need a non-empty, non-zero-total distribution")
     val total = hhiRow.getDecimal(0).doubleValue()
-    val nEnt = hhiRow.getLong(1)
-    require(nEnt > 0 && total != 0.0,
+    require(total != 0.0,
       "concentration: need a non-empty, non-zero-total distribution")
     val top8 = per.orderBy(col("__ev").desc).limit(8)
       .collect().map(_.getDecimal(1)) // ≤ 8 rows

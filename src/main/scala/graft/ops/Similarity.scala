@@ -1084,6 +1084,10 @@ object Similarity {
     * label propagation (O(log diameter) rounds). A pathological eps
     * (≫ data spread) degrades to all-pairs — size eps to the density
     * question being asked.
+    *
+    * Input contract: ids must be castable to long — a non-numeric id
+    * fails loudly (never a silent drop); rows whose id, x or y IS NULL
+    * carry no point and are excluded (no output row).
     */
   def dbscan(points: DataFrame, idCol: String, xCol: String,
       yCol: String, eps: Double, minPts: Int): DataFrame = {
@@ -1091,8 +1095,13 @@ object Similarity {
     require(minPts >= 1, "dbscan: minPts must be >= 1")
     val spark = points.sparkSession
     import spark.implicits._
+    val idL = col(idCol).cast("long")
     val pts = points
-      .select(col(idCol).cast("long").as("id"),
+      .select(
+        when(col(idCol).isNotNull && idL.isNull,
+          raise_error(concat(lit("dbscan: id not castable to long: "),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise(idL).as("id"),
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
       .filter(col("id").isNotNull && col("x").isNotNull &&

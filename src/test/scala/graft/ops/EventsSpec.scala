@@ -1533,4 +1533,153 @@ class EventsSpec extends AnyFunSuite {
       Events.negBinFit(df, "y", Seq("x"), -0.1)
     }
   }
+
+  test("seasonalStrength: pure trend and pure season hit the poles") {
+    import spark.implicits._
+    // pure trend: counts 1..21 — interior remainder and seasonal are
+    // exactly 0, so F_trend = 1 and Var(S+R) = 0 -> null F_seasonal
+    val ramp = (1 to 21).flatMap(t => Seq.fill(t)(("a", day(t))))
+    val tr = Events.seasonalStrength(ramp.toDF("k", "at"), "k", "at")
+      .collect()
+    assert(tr.length == 1)
+    assert(tr(0).getLong(1) == 15L) // 21 days minus 3-day edges
+    assert(tr(0).getDouble(2) == 1.0, s"trend strength: ${tr(0)}")
+    assert(tr(0).isNullAt(3), s"flat S+R must yield null: ${tr(0)}")
+    // pure season: a fixed weekly pattern, zero trend — every 7-day
+    // mean is constant, remainder 0 -> F_seasonal = 1, null F_trend
+    val pat = Seq(2, 3, 4, 5, 4, 3, 2)
+    val season = (1 to 21).flatMap(t =>
+      Seq.fill(pat((t - 1) % 7))(("a", day(t))))
+    val se = Events.seasonalStrength(season.toDF("k", "at"), "k", "at")
+      .collect()
+    assert(se.length == 1)
+    assert(se(0).isNullAt(2), s"flat T+R must yield null: ${se(0)}")
+    assert(se(0).getDouble(3) == 1.0, s"seasonal strength: ${se(0)}")
+    // noise on top of the ramp: both strengths defined, in [0, 1]
+    val noisy = (1 to 21).flatMap(t =>
+      Seq.fill(t + (t * 13 % 5))(("a", day(t))))
+    val nz = Events.seasonalStrength(noisy.toDF("k", "at"), "k", "at")
+      .collect()(0)
+    assert(!nz.isNullAt(2) && !nz.isNullAt(3))
+    assert(nz.getDouble(2) >= 0.0 && nz.getDouble(2) <= 1.0)
+    assert(nz.getDouble(3) >= 0.0 && nz.getDouble(3) <= 1.0)
+  }
+
+  test("binarySegmentation: planted two-break series splits at both breaks") {
+    import spark.implicits._
+    // days 1-10 count 10, 11-20 count 20, 21-30 count 60: the level-1
+    // CUSUM peaks at day 20 (|cusum| = 300), level-2 pre at day 10
+    val rows = (1 to 30).flatMap { d =>
+      val c = if (d <= 10) 10 else if (d <= 20) 20 else 60
+      Seq.fill(c)(("a", day(d)))
+    }
+    val out = Events.binarySegmentation(rows.toDF("k", "at"), "k", "at")
+      .collect()
+      .map(r => (r.getInt(1), r.getString(2)) ->
+        (r.getDate(3).toString, r.getDate(4).toString, r.getLong(5),
+          r.getDate(6).toString, r.getDouble(7),
+          Option(r.get(8)).map(_.asInstanceOf[Double]),
+          Option(r.get(9)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size == 3)
+    assert(out((1, "all")) == (("2024-01-01", "2024-01-30", 30L,
+      "2024-01-20", 300.0, Some(15.0), Some(60.0))))
+    assert(out((2, "pre")) == (("2024-01-01", "2024-01-20", 20L,
+      "2024-01-10", 50.0, Some(10.0), Some(20.0))))
+    // post half is constant: all-zero CUSUM ties to the earliest day
+    assert(out((2, "post")) == (("2024-01-21", "2024-01-30", 10L,
+      "2024-01-21", 0.0, Some(60.0), Some(60.0))))
+    // a single-day key has no interior: level-1 row only
+    val one = Events.binarySegmentation(
+      Seq(("b", day(5))).toDF("k", "at"), "k", "at").collect()
+    assert(one.length == 1 && one(0).getInt(1) == 1)
+    assert(one(0).getDouble(7) == 0.0 && one(0).isNullAt(9))
+    // partition invariance
+    def run(parts: Int) = Events.binarySegmentation(
+      rows.toDF("k", "at").repartition(parts), "k", "at")
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(19))
+  }
+
+  test("frequentSequences: planted supports, greedy min-end, anti-monotone") {
+    import spark.implicits._
+    // u1: a b c | u2: a c b | u3: a b — supports at minSupport = 2:
+    // L1 a:3 b:3 c:2; L2 a>b:3 a>c:2 (b>c, c>b at 1 are pruned); no L3
+    val rows = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(1), 2L), (1L, "c", ts(2), 3L),
+      (2L, "a", ts(0), 4L), (2L, "c", ts(1), 5L), (2L, "b", ts(2), 6L),
+      (3L, "a", ts(0), 7L), (3L, "b", ts(1), 8L))
+      .toDF("u", "et", "at", "id")
+    val out = Events.frequentSequences(rows, "u", "et", "at", "id",
+        minSupport = 2L, maxLen = 3)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "a" -> ((1, 3L)), "b" -> ((1, 3L)), "c" -> ((1, 2L)),
+      "a>b" -> ((2, 3L)), "a>c" -> ((2, 2L))))
+    // anti-monotone: an extension never out-supports its prefix or item
+    out.keys.filter(_.contains(">")).foreach { pat =>
+      val items = pat.split(">")
+      val prefix = items.init.mkString(">")
+      assert(out(pat)._2 <= out(prefix)._2, s"$pat vs prefix")
+      assert(out(pat)._2 <= out(items.last)._2, s"$pat vs last item")
+    }
+    // greedy min-end, not first-occurrence: u = b a b c contains
+    // a>b>c only via the SECOND b — carrying min(pos of b) globally
+    // would miss it
+    val tricky = Seq(
+      (1L, "b", ts(0), 1L), (1L, "a", ts(1), 2L),
+      (1L, "b", ts(2), 3L), (1L, "c", ts(3), 4L))
+      .toDF("u", "et", "at", "id")
+    val t3 = Events.frequentSequences(tricky, "u", "et", "at", "id",
+        minSupport = 1L, maxLen = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(t3.contains("a>b>c"), s"greedy growth missed a>b>c: $t3")
+    // ordering ties break on the id column, not arrival order
+    val tie = Seq((1L, "x", ts(0), 2L), (1L, "y", ts(0), 1L))
+      .toDF("u", "et", "at", "id")
+    val t2 = Events.frequentSequences(tie, "u", "et", "at", "id",
+        minSupport = 1L, maxLen = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(t2.contains("y>x") && !t2.contains("x>y"))
+    intercept[IllegalArgumentException] {
+      Events.frequentSequences(rows, "u", "et", "at", "id", 2L, 5)
+    }
+  }
+
+  test("upliftTLearner: exact per-arm lines and the k=0 mean-difference face") {
+    import spark.implicits._
+    // arm 0: y = 1 + 2x, arm 1: y = 2 + 5x, exact fits — segment s1
+    // holds x in {0,1} (pooled mean 0.5), s2 holds {2,3} (mean 2.5)
+    val rows = for {
+      t <- Seq(0.0, 1.0); x <- Seq(0.0, 1.0, 2.0, 3.0)
+    } yield (t, if (t == 0.0) 1.0 + 2.0 * x else 2.0 + 5.0 * x, x,
+      if (x <= 1.0) "s1" else "s2")
+    val df = rows.toDF("t", "y", "x", "seg")
+    val out = Events.upliftTLearner(df, "t", "y", Seq("x"), "seg")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // mu0(s1) = 1 + 2*0.5 = 2, mu1(s1) = 2 + 5*0.5 = 4.5 -> uplift 2.5
+    assert(out("s1") == ((4L, 2.0, 4.5, 2.5)))
+    // mu0(s2) = 6, mu1(s2) = 14.5 -> uplift 8.5
+    assert(out("s2") == ((4L, 6.0, 14.5, 8.5)))
+    // k = 0: both models collapse to the arm means, so every segment's
+    // uplift IS the two-arm mean difference (the olsAdjust cross-check)
+    val out0 = Events.upliftTLearner(df, "t", "y", Seq(), "seg")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // arm means: mean(1,3,5,7) = 4, mean(2,7,12,17) = 9.5 -> 5.5
+    assert(out0("s1") == 5.5 && out0("s2") == 5.5)
+    // treatment levels must be exactly {0, 1}
+    intercept[IllegalArgumentException] {
+      Events.upliftTLearner(
+        df.withColumn("t", col("t") + org.apache.spark.sql.functions
+          .lit(1.0)), "t", "y", Seq("x"), "seg")
+    }
+    // null segments are listwise-deleted, not grouped
+    val withNull = df.union(Seq((0.0, 9.0, 9.0, null: String))
+      .toDF("t", "y", "x", "seg"))
+    val outN = Events.upliftTLearner(withNull, "t", "y", Seq("x"), "seg")
+      .collect()
+    assert(outN.map(_.getString(0)).toSet == Set("s1", "s2"))
+  }
 }
