@@ -11825,9 +11825,11 @@ object SparkEntry {
         |      AS st2,
         |    sum(CAST(se + re AS DECIMAL(38,12)))::DOUBLE AS ss1,
         |    sum(CAST((se + re) * (se + re) AS DECIMAL(38,12)))::DOUBLE
-        |      AS ss2
+        |      AS ss2,
+        |    min(tr + re) AS tmin, max(tr + re) AS tmax,
+        |    min(se + re) AS smin, max(se + re) AS smax
         |  FROM comp GROUP BY key),
-        |v AS (SELECT key, n_days,
+        |v AS (SELECT key, n_days, tmin, tmax, smin, smax,
         |    ((sr2 - (sr1 * sr1) / n_days::DOUBLE) / n_days::DOUBLE)
         |      AS var_r,
         |    ((st2 - (st1 * st1) / n_days::DOUBLE) / n_days::DOUBLE)
@@ -11836,10 +11838,10 @@ object SparkEntry {
         |      AS var_sr
         |  FROM g)
         |SELECT key, n_days,
-        |  CASE WHEN var_tr > 0.0::DOUBLE THEN
+        |  CASE WHEN tmin <> tmax AND var_tr > 0.0::DOUBLE THEN
         |    round(greatest(0.0::DOUBLE,
         |      1.0::DOUBLE - var_r / var_tr), 6) END AS trend_strength,
-        |  CASE WHEN var_sr > 0.0::DOUBLE THEN
+        |  CASE WHEN smin <> smax AND var_sr > 0.0::DOUBLE THEN
         |    round(greatest(0.0::DOUBLE,
         |      1.0::DOUBLE - var_r / var_sr), 6) END AS seasonal_strength
         |FROM v ORDER BY key""".stripMargin,

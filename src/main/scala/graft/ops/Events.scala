@@ -3658,7 +3658,12 @@ object Events {
     * row per key (key, n_days, trend_strength, seasonal_strength),
     * 6 dp, over the days where the centered trend exists (edge days
     * have no 7-MA and are excluded on both faces). A flat component
-    * (zero variance in T+R or S+R) has no defined strength → null.
+    * (T+R or S+R constant at the 6-dp grain) has no defined strength →
+    * null. Flatness is decided by min = max on the quantized
+    * components, NOT by the variance's FP sign: the moment-formula
+    * variance of a constant ~1e3-magnitude series cancels to ±1e-8,
+    * and a positive residue would silently turn "undefined" into a
+    * fake 1.0 (caught by SCALECHECK §5ai's volume poles).
     *
     * Variances are population (÷n) with every sum quantized to
     * DECIMAL(38,12) first — the strengths are partition-invariant and
@@ -3683,17 +3688,21 @@ object Events {
       sum(d12(col("__tr"))).cast("double").as("__st1"),
       sum(d12(col("__tr") * col("__tr"))).cast("double").as("__st2"),
       sum(d12(col("__sr"))).cast("double").as("__ss1"),
-      sum(d12(col("__sr") * col("__sr"))).cast("double").as("__ss2"))
+      sum(d12(col("__sr") * col("__sr"))).cast("double").as("__ss2"),
+      min(col("__tr")).as("__tmin"), max(col("__tr")).as("__tmax"),
+      min(col("__sr")).as("__smin"), max(col("__sr")).as("__smax"))
     val nD = col("n_days").cast("double")
     def popVar(s1: Column, s2: Column) = (s2 - (s1 * s1) / nD) / nD
     val varR = popVar(col("__sr1"), col("__sr2"))
     val varTR = popVar(col("__st1"), col("__st2"))
     val varSR = popVar(col("__ss1"), col("__ss2"))
     m.select(col("key"), col("n_days"),
-        when(varTR > 0.0, round(greatest(lit(0.0),
-          lit(1.0) - varR / varTR), 6)).as("trend_strength"),
-        when(varSR > 0.0, round(greatest(lit(0.0),
-          lit(1.0) - varR / varSR), 6)).as("seasonal_strength"))
+        when(col("__tmin") =!= col("__tmax") && varTR > 0.0,
+          round(greatest(lit(0.0),
+            lit(1.0) - varR / varTR), 6)).as("trend_strength"),
+        when(col("__smin") =!= col("__smax") && varSR > 0.0,
+          round(greatest(lit(0.0),
+            lit(1.0) - varR / varSR), 6)).as("seasonal_strength"))
       .orderBy(col("key"))
   }
 

@@ -59,8 +59,8 @@ object ScaleCheck {
     // setjoin invert sketch rangejoin cms sq8 idxmerge bpetrain unitrain
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
-    // sfbench100 evalscale streamtwins statfaces monitorfaces) to run
-    // a subset; no args = everything
+    // sfbench100 evalscale streamtwins statfaces monitorfaces
+    // seqfaces) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -2661,6 +2661,145 @@ object ScaleCheck {
         s"${db.mkString(",")}")
     println(f"MONITOR> dbscan points=1000000 big_clusters=" +
       f"${clusters.length} t=$tDb%.1f s")
+    }
+
+    if (run("seqfaces")) {
+    // ---- 5ai. Sequence/uplift/strength/segmentation faces at volume ---
+    // The round-16 shapes, each gated on a PLANTED truth: frequent
+    // sequences over 5M events where a promo->buy subsequence is
+    // planted in exactly the even users (its support must read exactly
+    // 500k and buy>promo must not exist); binary segmentation over a
+    // 5.4M-event spine with two level breaks per key (both picks must
+    // land on the planted break days for all 100 keys);
+    // seasonalStrength's poles on pure-season/pure-trend keys at
+    // volume; upliftTLearner recovering exact per-arm lines on 5M
+    // users.
+    import java.sql.Timestamp
+    val tBase = unix_micros(lit(Timestamp.valueOf("2024-01-01 00:00:00"))) /
+      1000000L
+    val nUseq = 1000000L
+    val seqEv = spark.range(nUseq).select(col("id").as("u"))
+      .withColumn("even", col("u") % 2 === 0)
+      .select(col("u"), col("even"),
+        explode(sequence(lit(0), lit(4))).as("step"))
+      .select(col("u"), (col("u") * 10 + col("step")).as("event_id"),
+        (tBase + col("step") * 3600L).cast("timestamp").as("ts"),
+        when(col("even") && col("step") === 1, "promo")
+          .when(col("even") && col("step") === 4, "buy")
+          .otherwise(concat(lit("ch"),
+            pmod(xxhash64(col("u"), col("step")), lit(6L))
+              .cast("string"))).as("event_type"))
+      .localCheckpoint(true)
+    val (fs, tFs) = time {
+      graft.ops.Events.frequentSequences(seqEv, "u", "event_type", "ts",
+        "event_id", minSupport = 400000L, maxLen = 3).collect()
+    }
+    val fsMap = fs.map(r => r.getString(0) -> r.getLong(2)).toMap
+    require(fsMap.get("promo>buy").contains(nUseq / 2),
+      s"planted support must be exact: ${fsMap.get("promo>buy")}")
+    require(fsMap.get("buy").contains(nUseq / 2),
+      s"buy exists only in even users: ${fsMap.get("buy")}")
+    require(!fsMap.contains("buy>promo"),
+      "buy always FOLLOWS promo — the reversed pattern must not mine")
+    fs.filter(_.getString(0).contains(">")).foreach { r =>
+      val prefix = r.getString(0).split(">").init.mkString(">")
+      require(r.getLong(2) <= fsMap(prefix),
+        s"anti-monotone broke: ${r.getString(0)} vs $prefix")
+    }
+    println(f"SEQ> rows=${nUseq * 5} mined=${fs.length} " +
+      f"promo_buy=${fsMap("promo>buy")} t=$tFs%.1f s")
+    seqEv.unpersist(true) // release the pinned fixture before the next
+    // face — stale checkpoint blocks otherwise evict mid-measurement
+    // and the LAST face eats the churn (uplift read 50 s dirty, 3 s
+    // clean)
+    // binary segmentation: 100 keys x 90 days, 200 -> 400 at day 30
+    // and -> 1200 at day 60. Level-1 |CUSUM| peaks at day 59
+    // (2024-02-29), the pre-half's at day 29 (2024-01-30), the
+    // constant post-half ties to its first day (2024-03-01).
+    val segRows = spark.range(100L).select(col("id").as("k"))
+      .select(concat(lit("key"), lpad(col("k").cast("string"), 3, "0"))
+          .as("key"),
+        explode(sequence(lit(0), lit(89))).as("day"))
+      .withColumn("c", when(col("day") < 30, 200)
+        .when(col("day") < 60, 400).otherwise(1200))
+      .select(col("key"), col("day"),
+        explode(sequence(lit(1), col("c"))).as("i"))
+      .select(col("key"),
+        (tBase + col("day") * 86400L).cast("timestamp").as("ts"))
+      .localCheckpoint(true)
+    val (bs, tBs) = time {
+      graft.ops.Events.binarySegmentation(segRows, "key", "ts").collect()
+    }
+    require(bs.length == 300, s"3 segments x 100 keys, got ${bs.length}")
+    def picks(level: Int, seg: String) = bs
+      .filter(r => r.getInt(1) == level &&
+        (seg == null || r.getString(2) == seg))
+      .map(_.getDate(6).toString).distinct.toSeq
+    require(picks(1, null) == Seq("2024-02-29"),
+      s"level-1 pick must be the big break: ${picks(1, null)}")
+    require(picks(2, "pre") == Seq("2024-01-30"),
+      s"pre-half pick must be the small break: ${picks(2, "pre")}")
+    require(picks(2, "post") == Seq("2024-03-01"),
+      s"constant post-half ties to its first day: ${picks(2, "post")}")
+    println(f"SEQ> binseg rows=5400000 keys=100 picks_exact=true " +
+      f"t=$tBs%.1f s")
+    segRows.unpersist(true)
+    // seasonalStrength poles at volume: keys 0-49 pure weekly pattern
+    // (x3 scale), keys 50-99 pure ramp — F_seasonal/F_trend must read
+    // exactly 1 with the flat component null, same as the unit fixture
+    val ssRows = spark.range(100L).select(col("id").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(27))).as("day"))
+      .withColumn("c", when(col("k") < 50,
+          element_at(array(lit(1200), lit(1500), lit(1800), lit(2100),
+            lit(1800), lit(1500), lit(1200)),
+            (col("day") % 7 + 1).cast("int")))
+        .otherwise((col("day") + 1) * 120))
+      .select(concat(lit("key"), lpad(col("k").cast("string"), 3, "0"))
+          .as("key"), col("day"),
+        explode(sequence(lit(1), col("c"))).as("i"))
+      .select(col("key"),
+        (tBase + col("day") * 86400L).cast("timestamp").as("ts"))
+      .localCheckpoint(true)
+    val (ss, tSs) = time {
+      graft.ops.Events.seasonalStrength(ssRows, "key", "ts").collect()
+    }
+    require(ss.length == 100)
+    ss.foreach { r =>
+      val season = r.getString(0).drop(3).toInt < 50
+      if (season) require(r.isNullAt(2) && r.getDouble(3) == 1.0,
+        s"pure-season pole broke: $r")
+      else require(r.getDouble(2) == 1.0 && r.isNullAt(3),
+        s"pure-trend pole broke: $r")
+    }
+    println(f"SEQ> strength rows=~5.6M keys=100 poles_exact=true " +
+      f"t=$tSs%.1f s")
+    ssRows.unpersist(true)
+    // upliftTLearner: 5M users, exact lines y = 1+2x / 2+5x, segments
+    // split at x = 5 — recovered uplift must match 1 + 3*xbar_seg
+    val nUup = 5000000L
+    val up = spark.range(nUup).select(
+        pmod(xxhash64(col("id"), lit(41)), lit(2L)).cast("double")
+          .as("t"),
+        (pmod(xxhash64(col("id"), lit(43)), lit(1000L)).cast("double") /
+          100.0).as("x"))
+      .withColumn("y", when(col("t") === 0.0,
+        lit(1.0) + lit(2.0) * col("x"))
+        .otherwise(lit(2.0) + lit(5.0) * col("x")))
+      .withColumn("seg", when(col("x") < 5.0, "lo").otherwise("hi"))
+      .localCheckpoint(true)
+    val xbar = up.groupBy(col("seg")).agg(avg(col("x")).as("xb"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (ul, tUl) = time {
+      graft.ops.Events.upliftTLearner(up, "t", "y", Seq("x"), "seg")
+        .collect()
+    }
+    ul.foreach { r =>
+      val want = 1.0 + 3.0 * xbar(r.getString(0))
+      require(math.abs(r.getDouble(4) - want) < 1e-4,
+        s"uplift must match the closed form: $r vs $want")
+    }
+    println(f"SEQ> uplift rows=$nUup segs=${ul.length} closed_form_ok " +
+      f"t=$tUl%.1f s")
     }
 
     if (run("sfbench100")) {
