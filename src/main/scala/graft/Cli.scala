@@ -945,6 +945,15 @@ object Cli {
             graft.ops.Events.seasonalStrength(df, typ, ts)
           case "binseg" =>
             graft.ops.Events.binarySegmentation(df, typ, ts)
+          case "quantile-reg" =>
+            graft.ops.Events.quantileFit(df, req("y-col"),
+              req("x-cols").split(",").toSeq,
+              flags.getOrElse("tau", "0.5").toDouble,
+              flags.getOrElse("iters", "6").toInt)
+          case "prob-best" =>
+            graft.ops.Profile.probBest(df, req("group-col"),
+              col(req("success-col")) === true,
+              flags.getOrElse("grid", "4000").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -1005,7 +1014,7 @@ object Cli {
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
            |         retention-halflife|capture-recapture|cox|
            |         burstiness|heaps|arforecast|sequences|uplift|
-           |         strength|binseg
+           |         strength|binseg|quantile-reg|prob-best
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

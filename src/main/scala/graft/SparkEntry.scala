@@ -4510,7 +4510,28 @@ object SparkEntry {
     // depth-2 offline changepoint tree per event type.
     "q303_binary_segmentation" -> ((s, dir) =>
       graft.ops.Events.binarySegmentation(t(s, dir, "events"),
-        "event_type", "ts"))
+        "event_type", "ts")),
+
+    // Median regression (ops/Events.scala): pinball-IRLS quantile fit
+    // of purchase value on engagement/active days — the robust
+    // conditional-median face beside q257's Huber.
+    "q304_quantile_reg" -> ((s, dir) =>
+      graft.ops.Events.quantileFit(errTreatUsers(s, dir), "y",
+        Seq("engagement", "active_days"), tau = 0.5, iters = 4)),
+
+    // Bayesian probability-to-beat (ops/Profile.scala): md5-split
+    // arms, per-user purchase conversion, Beta posteriors on a
+    // 4000-point midpoint grid — P(rate_B > rate_A).
+    "q305_prob_best" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1)
+          .otherwise(0)).as("conv"))
+        .withColumn("grp",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B"))
+      graft.ops.Profile.probBest(u, "grp", col("conv") === 1)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -11905,7 +11926,147 @@ object SparkEntry {
         |SELECT key, 2, side, seg_start, seg_end, n_days, cd, mac,
         |  mean_before, mean_after
         |FROM l2 WHERE n_days >= 2
-        |ORDER BY key, level, segment""".stripMargin
+        |ORDER BY key, level, segment""".stripMargin,
+
+    // the q257 full-re-solve unroll with pinball weights: OLS start,
+    // then 4 weighted-Gram eliminations with
+    // w = (tau | 1-tau) / max(|r|, eps); loss = decimal pinball mean
+    "q304_quantile_reg" -> {
+      val xs = Seq("engagement", "active_days")
+      val k = xs.size
+      val p = k + 1
+      val w = p + 1
+      val d = "DECIMAL(38,12)"
+      def linB(alias: String) =
+        s"(($alias.g_0_$p + $alias.g_1_$p * engagement) + " +
+          s"$alias.g_2_$p * active_days)"
+      def elim(tag: String, from: String): String = {
+        val steps = (0 until p).map { c =>
+          val entries = (for { r <- 0 until p; j <- 0 until w } yield {
+            val e2 =
+              if (r == c) s"(g_${c}_$j / g_${c}_$c)"
+              else s"(g_${r}_$j - (g_${r}_$c * (g_${c}_$j / g_${c}_$c)))"
+            s"$e2 AS g_${r}_$j"
+          }).mkString(",\n    ")
+          val src = if (c == 0) s"${tag}0" else s"$tag$c"
+          s"$tag${c + 1} AS (SELECT\n    $entries\n  FROM $src)"
+        }.mkString(",\n")
+        def init(r: Int, j: Int): String = {
+          def gram(a: Int, b: Int): String =
+            if (a == 0 && b == 0) "h_0_0"
+            else s"h_${math.min(a, b)}_${math.max(a, b)}"
+          if (j < p) gram(r, j) else s"g_$r"
+        }
+        val g0 = (for { r <- 0 until p; j <- 0 until w }
+          yield s"${init(r, j)} AS g_${r}_$j").mkString(",\n    ")
+        s"""${tag}0 AS (SELECT
+           |    $g0
+           |  FROM $from),
+           |$steps""".stripMargin
+      }
+      def wMoments(tag: String, src: String): String = {
+        def x(i: Int) = xs(i - 1)
+        def hT(r: Int, c: Int) =
+          if (r == 0 && c == 0) "w"
+          else if (r == 0) s"w * ${x(c)}"
+          else s"w * ${x(r)} * ${x(c)}"
+        def gT(r: Int) = if (r == 0) "w * y" else s"w * ${x(r)} * y"
+        val mom = (Seq("count(*)::BIGINT AS n") ++
+          (for { r <- 0 until p; c <- r until p }
+            yield s"sum(CAST(${hT(r, c)} AS $d))::DOUBLE AS h_${r}_$c") ++
+          (0 until p).map(r =>
+            s"sum(CAST(${gT(r)} AS $d))::DOUBLE AS g_$r"))
+          .mkString(",\n    ")
+        s"""$tag AS MATERIALIZED (SELECT
+           |    $mom
+           |  FROM ($src))""".stripMargin
+      }
+      val olsMom = wMoments("q0", "SELECT u.*, 1.0::DOUBLE AS w FROM u")
+      def wExpr(bAlias: String) =
+        s"""(CASE WHEN (y - ${linB(bAlias)}) > 0.0::DOUBLE
+           |      THEN 0.5::DOUBLE ELSE 0.5::DOUBLE END) /
+           |    greatest(abs(y - ${linB(bAlias)}), 1e-6::DOUBLE)"""
+          .stripMargin
+      val iters = (1 to 4).map { i =>
+        val bSrc = if (i == 1) s"o$p" else s"e${i - 1}_$p"
+        val rows =
+          s"""SELECT u.*, ${wExpr("b")}
+             |    AS w
+             |  FROM u, $bSrc b""".stripMargin
+        s"""${wMoments(s"q$i", rows)},
+           |${elim(s"e${i}_", s"q$i")}"""
+      }.mkString(",\n")
+      s"""WITH u AS MATERIALIZED ($errTreatPerRowSql),
+         |$olsMom,
+         |${elim("o", "q0")},
+         |$iters,
+         |ls AS (SELECT (sum(CAST(
+         |    CASE WHEN (y - ${linB("b")}) > 0.0::DOUBLE
+         |      THEN 0.5::DOUBLE * (y - ${linB("b")})
+         |      ELSE (-0.5::DOUBLE) * (y - ${linB("b")}) END
+         |    AS $d)))::DOUBLE AS sl
+         |  FROM u, e4_$p b)
+         |SELECT t.term_idx, t.term, q4.n, 0.5::DOUBLE AS tau, t.coef,
+         |  round(ls.sl / q4.n::DOUBLE, 6) AS loss
+         |FROM (
+         |  SELECT 0 AS term_idx, 'intercept' AS term,
+         |    round(b.g_0_$p, 6) AS coef FROM e4_$p b
+         |  UNION ALL SELECT 1, 'engagement', round(b.g_1_$p, 6)
+         |    FROM e4_$p b
+         |  UNION ALL SELECT 2, 'active_days', round(b.g_2_$p, 6)
+         |    FROM e4_$p b) t, q4, ls
+         |ORDER BY t.term_idx""".stripMargin
+    },
+
+    // counts -> uniform-prior Beta posteriors on the 4000-point
+    // midpoint grid: log masses, max-shifted exp, decimal running CDF
+    // and normalizers, the trapezoid-free midpoint cross sum
+    "q305_prob_best" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS grp
+        |  FROM events GROUP BY user_id),
+        |cnt AS (SELECT grp, count(*)::BIGINT AS n,
+        |    count(CASE WHEN conv = 1 THEN 1 END)::BIGINT AS c
+        |  FROM u GROUP BY grp),
+        |pv AS MATERIALIZED (SELECT
+        |    max(CASE WHEN grp = 'A' THEN n END)::BIGINT AS na,
+        |    max(CASE WHEN grp = 'A' THEN c END)::BIGINT AS ca,
+        |    max(CASE WHEN grp = 'B' THEN n END)::BIGINT AS nb,
+        |    max(CASE WHEN grp = 'B' THEN c END)::BIGINT AS cb
+        |  FROM cnt),
+        |grid AS (SELECT (i::DOUBLE - 0.5::DOUBLE) / 4000.0::DOUBLE AS p
+        |  FROM range(1, 4001) t(i)),
+        |g2 AS MATERIALIZED (SELECT p,
+        |    ca::DOUBLE * ln(p) +
+        |      (na - ca)::DOUBLE * ln(1.0::DOUBLE - p) AS la,
+        |    cb::DOUBLE * ln(p) +
+        |      (nb - cb)::DOUBLE * ln(1.0::DOUBLE - p) AS lb
+        |  FROM grid, pv),
+        |mx AS (SELECT max(la) AS ma, max(lb) AS mb FROM g2),
+        |g3 AS MATERIALIZED (SELECT p, exp(la - ma) AS ta,
+        |    exp(lb - mb) AS tb
+        |  FROM g2, mx),
+        |g4 AS (SELECT p, ta, tb,
+        |    coalesce((sum(CAST(ta AS DECIMAL(38,12))) OVER
+        |      (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |       1 PRECEDING))::DOUBLE, 0.0::DOUBLE) AS cuma
+        |  FROM g3),
+        |agg AS (SELECT
+        |    (sum(CAST(ta AS DECIMAL(38,12))))::DOUBLE AS za,
+        |    (sum(CAST(tb AS DECIMAL(38,12))))::DOUBLE AS zb,
+        |    (sum(CAST(tb * (cuma + ta / 2.0::DOUBLE)
+        |      AS DECIMAL(38,12))))::DOUBLE AS num
+        |  FROM g4)
+        |SELECT 'A' AS group_a, na AS n_a, ca AS conv_a,
+        |  round(ca::DOUBLE / na::DOUBLE, 6) AS rate_a,
+        |  'B' AS group_b, nb AS n_b, cb AS conv_b,
+        |  round(cb::DOUBLE / nb::DOUBLE, 6) AS rate_b,
+        |  round(num / (za * zb), 6) AS prob_b_beats_a
+        |FROM agg, pv""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

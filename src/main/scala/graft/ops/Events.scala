@@ -3957,4 +3957,85 @@ object Events {
         round(mu1 - mu0, 6).as("uplift"))
       .orderBy(col("segment"))
   }
+
+  /** Quantile regression `Q_τ(y|x) = β₀ + Σ βⱼ xⱼ` (Koenker & Bassett
+    * 1978) by IRLS on the pinball loss — [[huberFit]]'s sibling for
+    * CONDITIONAL QUANTILES: median regression (τ = 0.5) when one wild
+    * row must not drag the fit, tail regression (τ = 0.9) when the
+    * question is "what does the p90 latency/spend look like as a
+    * function of x", the asymmetric complement to [[olsFit]]'s mean.
+    * Procedure (every step engine-replayable): OLS start, then `iters`
+    * full weighted-least-squares re-solves with the standard pinball
+    * IRLS weight `w = (τ if r > 0 else 1−τ) / max(|r|, eps)` — each
+    * step one decimal-quantized weighted Gram aggregation + a
+    * driver-side (k+1)×(k+1) solve. Fixed `iters` and a fixed `eps`
+    * smoothing floor keep the trajectory deterministic (the exact LP
+    * solution needs a simplex pass no engine replays; the IRLS
+    * iterate converges to it as eps → 0 and residuals ≫ eps). Returns
+    * one row per term (term_idx, term, n, tau, coef, loss) — `loss`
+    * is the mean pinball loss at the final fit (repeated per row),
+    * 6 dp.
+    *
+    * 100 TB shape: identical to [[huberFit]] — one pinned projected
+    * base, (1 + iters) × ONE ungrouped moments aggregation (map-side
+    * combined), solves on the driver. k ≤ 20.
+    */
+  def quantileFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      tau: Double, iters: Int = 6, eps: Double = 1e-6): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, "quantileFit: tau must be in (0,1)")
+    require(iters >= 1 && iters <= 12,
+      "quantileFit: iters must be 1..12")
+    require(eps > 0, "quantileFit: eps must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val p = k + 1
+    val base = logitBase(df, yCol, xCols)
+    def lin(b: Array[Double]) =
+      (0 until k).foldLeft(lit(b(0)): Column)((acc, i) =>
+        acc + lit(b(i + 1)) * col(s"__x$i"))
+    var beta = olsBetaFromBase(base, k)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val rCol = col("__y") - lin(beta)
+      val w = when(rCol > 0.0, lit(tau)).otherwise(lit(1.0 - tau)) /
+        greatest(abs(rCol), lit(eps))
+      def hTerm(r: Int, c: Int): Column =
+        if (r == 0 && c == 0) w
+        else if (r == 0) w * col(s"__x${c - 1}")
+        else w * col(s"__x${r - 1}") * col(s"__x${c - 1}")
+      def gTerm(r: Int): Column =
+        if (r == 0) w * col("__y")
+        else w * col(s"__x${r - 1}") * col("__y")
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (for { r <- 0 until p; c <- r until p }
+          yield sum(d12(hTerm(r, c))).as(s"h_${r}_$c")) ++
+        (0 until p).map(r => sum(d12(gTerm(r))).as(s"g_$r"))
+      val m = base.agg(aggs.head, aggs.tail: _*).head()
+      n = m.getLong(0)
+      require(n > p, s"quantileFit: need n > $p rows, got $n")
+      def dv(f: String) = m.getDecimal(m.fieldIndex(f)).doubleValue()
+      val w2 = 2 * p + 1
+      val init = Array.tabulate(p, w2) { (r, j) =>
+        if (j < p) dv(s"h_${math.min(r, j)}_${math.max(r, j)}")
+        else if (j == p) dv(s"g_$r")
+        else if (j == p + 1 + r) 1.0 else 0.0
+      }
+      beta = gaussJordan(init, p)._1
+    }
+    val rFin = col("__y") - lin(beta)
+    val pin = when(rFin > 0.0, lit(tau) * rFin)
+      .otherwise(lit(tau - 1.0) * rFin)
+    val lossRow = base.agg(sum(d12(pin)).as("__sl")).head()
+    val loss = lossRow.getDecimal(0).doubleValue() / n.toDouble
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val terms = "intercept" +: xCols
+    terms.indices
+      .map(i => (i, terms(i), n, tau, r6(beta(i)), r6(loss)))
+      .toDF("term_idx", "term", "n", "tau", "coef", "loss")
+      .orderBy(col("term_idx"))
+  }
 }

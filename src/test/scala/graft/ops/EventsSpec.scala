@@ -1682,4 +1682,48 @@ class EventsSpec extends AnyFunSuite {
       .collect()
     assert(outN.map(_.getString(0)).toSet == Set("s1", "s2"))
   }
+
+  test("quantileFit: exact line, outlier resistance, tau ordering") {
+    import spark.implicits._
+    // exact linear data: zero residuals leave every pinball weight at
+    // the same eps floor, so the weighted solve IS the OLS solve and
+    // the line is recovered exactly at any tau
+    val line = (1 to 20).map(i => (1.0 + 2.0 * i, i.toDouble))
+      .toDF("y", "x")
+    Seq(0.5, 0.9).foreach { tau =>
+      val f = Events.quantileFit(line, "y", Seq("x"), tau)
+        .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+      assert(f("intercept") == 1.0 && f("x") == 2.0, s"tau=$tau: $f")
+    }
+    // median regression shrugs off one wild row that drags OLS hard
+    val dirty = ((1 to 20).map(i => (1.0 + 2.0 * i, i.toDouble)) :+
+      (1000.0, 10.0)).toDF("y", "x")
+    val med = Events.quantileFit(dirty, "y", Seq("x"), tau = 0.5,
+        iters = 8)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(math.abs(med("x") - 2.0) < 1e-3, s"slope dragged: $med")
+    assert(math.abs(med("intercept") - 1.0) < 1e-2, s"icept: $med")
+    val ols = Events.olsFit(dirty, "y", Seq("x")).collect()
+    assert(math.abs(ols(0).getDouble(3) - 1.0) > 5.0,
+      "the fixture must actually drag OLS")
+    // heteroskedastic two-level noise: the tau=0.9 line sits above the
+    // tau=0.1 line (higher intercept), both slopes near the truth
+    val het = (1 to 40).map(i =>
+      (i.toDouble + (if (i % 2 == 0) 10.0 else 0.0), i.toDouble))
+      .toDF("y", "x")
+    def icept(tau: Double) = Events.quantileFit(het, "y", Seq("x"),
+      tau, iters = 8).collect()(0).getDouble(4)
+    assert(icept(0.9) > icept(0.1) + 5.0,
+      s"tau ordering: ${icept(0.9)} vs ${icept(0.1)}")
+    // loss echoes: zero on the exact fit, positive otherwise
+    val lossExact = Events.quantileFit(line, "y", Seq("x"), 0.5)
+      .collect()(0).getDouble(5)
+    assert(lossExact == 0.0)
+    intercept[IllegalArgumentException] {
+      Events.quantileFit(line, "y", Seq("x"), tau = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Events.quantileFit(line, "y", Seq("x"), 0.5, iters = 0)
+    }
+  }
 }

@@ -977,4 +977,37 @@ class ProfileSpec extends AnyFunSuite {
   }
 
   private def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("probBest: closed form, symmetry, dominance, guards") {
+    import spark.implicits._
+    // A: 1 user 0 conv -> Beta(1,2); B: 1 user 1 conv -> Beta(2,1);
+    // P(pB > pA) = 5/6 in closed form
+    val tiny = Seq(("A", 0), ("B", 1)).toDF("g", "conv")
+    val p0 = Profile.probBest(tiny, "g", col("conv") === 1)
+      .collect()(0)
+    assert(math.abs(p0.getDouble(8) - 5.0 / 6.0) < 5e-6, s"$p0")
+    assert(p0.getString(0) == "A" && p0.getString(4) == "B")
+    assert(p0.getLong(1) == 1L && p0.getLong(6) == 1L)
+    // identical arms: exactly symmetric posterior race -> 0.5
+    val sym = (1 to 50).flatMap(i =>
+      Seq(("A", i % 5 == 0), ("B", i % 5 == 0)))
+      .toDF("g", "c")
+    val ps = Profile.probBest(sym, "g", col("c"))
+      .collect()(0).getDouble(8)
+    assert(math.abs(ps - 0.5) < 1e-5, s"symmetry: $ps")
+    // a dominant arm saturates
+    val dom = ((1 to 100).map(i => ("A", i <= 10)) ++
+      (1 to 100).map(i => ("B", i <= 60))).toDF("g", "c")
+    val pd = Profile.probBest(dom, "g", col("c"))
+      .collect()(0).getDouble(8)
+    assert(pd > 0.999, s"dominance: $pd")
+    // guards: arm count and grid bounds
+    intercept[IllegalArgumentException] {
+      Profile.probBest(tiny.filter(col("g") === "A"), "g",
+        col("conv") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.probBest(tiny, "g", col("conv") === 1, gridN = 10)
+    }
+  }
 }
