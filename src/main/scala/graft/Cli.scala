@@ -954,6 +954,9 @@ object Cli {
             graft.ops.Profile.probBest(df, req("group-col"),
               col(req("success-col")) === true,
               flags.getOrElse("grid", "4000").toInt)
+          case "rmst" =>
+            graft.ops.Events.rmst(df, req("group-col"),
+              req("time-col"), req("event-col"), req("tau").toDouble)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
@@ -1014,7 +1017,7 @@ object Cli {
            |         two-proportion|hbos|dm|ccf|periodogram|event-study|
            |         retention-halflife|capture-recapture|cox|
            |         burstiness|heaps|arforecast|sequences|uplift|
-           |         strength|binseg|quantile-reg|prob-best
+           |         strength|binseg|quantile-reg|prob-best|rmst
            |         [--user u] [--type t] [--ts ts] [--id-col id]
            |         (funnel: --steps a,b,c [--within-ms N];
            |          survival: --anchor T --target T;

@@ -4531,7 +4531,15 @@ object SparkEntry {
           when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
             "A").otherwise("B"))
       graft.ops.Profile.probBest(u, "grp", col("conv") === 1)
-    })
+    }),
+
+    // Restricted mean survival time (ops/Events.scala): area under
+    // the q251 KM curves through hour 168 — expected time-to-purchase
+    // within the first week, per arm; needs neither proportional
+    // hazards nor a median crossing.
+    "q306_rmst" -> ((s, dir) =>
+      graft.ops.Events.rmst(survivalArms(s, dir), "grp", "t", "e",
+        tauTime = 168.0))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -12066,7 +12074,65 @@ object SparkEntry {
         |  'B' AS group_b, nb AS n_b, cb AS conv_b,
         |  round(cb::DOUBLE / nb::DOUBLE, 6) AS rate_b,
         |  round(num / (za * zb), 6) AS prob_b_beats_a
-        |FROM agg, pv""".stripMargin
+        |FROM agg, pv""".stripMargin,
+
+    // the q251 curve CTEs, then exact step-function area: per curve
+    // row S(prev)·(t − prev) (+ the last row's tail to tau), decimal-
+    // quantized per row, ONE group sum; empty truncation → tau
+    "q306_rmst" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+        |a AS (SELECT u, min(ms) AS anchor FROM ev
+        |      WHERE et = 'signup' GROUP BY u),
+        |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+        |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+        |       GROUP BY ev.u),
+        |mx AS (SELECT max(ms) AS fin FROM ev),
+        |pu AS (SELECT
+        |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT AS t,
+        |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+        |km AS (SELECT g, t, sum(e)::BIGINT AS n_events,
+        |         sum(1 - e)::BIGINT AS n_censored FROM pu GROUP BY g, t),
+        |w AS (SELECT g, t, n_events, n_censored,
+        |    (sum(n_events + n_censored) OVER (PARTITION BY g)
+        |     - coalesce(sum(n_events + n_censored) OVER
+        |         (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        |  FROM km),
+        |s AS (SELECT *,
+        |    CASE WHEN n_events < n_at_risk THEN
+        |      CAST(ln(1 - n_events::DOUBLE / n_at_risk)
+        |        AS DECIMAL(38,12)) END AS lnq
+        |  FROM w),
+        |curve AS MATERIALIZED (SELECT g AS grp, t::DOUBLE AS t,
+        |    CASE WHEN n_events = n_at_risk THEN 0.0
+        |      ELSE round(exp((sum(lnq) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        ::DOUBLE), 6)
+        |    END AS survival
+        |  FROM s),
+        |gs AS (SELECT DISTINCT grp FROM curve),
+        |seg AS (SELECT grp,
+        |    CAST(ps * (t - pt) + CASE WHEN lastrow
+        |      THEN survival * (168.0::DOUBLE - t)
+        |      ELSE 0.0::DOUBLE END AS DECIMAL(38,12)) AS aa,
+        |    CASE WHEN lastrow THEN survival END AS stau
+        |  FROM (SELECT grp, t, survival,
+        |      coalesce(lag(t) OVER wd, 0.0::DOUBLE) AS pt,
+        |      coalesce(lag(survival) OVER wd, 1.0::DOUBLE) AS ps,
+        |      lead(t) OVER wd IS NULL AS lastrow
+        |    FROM curve WHERE t <= 168.0::DOUBLE
+        |    WINDOW wd AS (PARTITION BY grp ORDER BY t))),
+        |ag AS (SELECT grp, (sum(aa))::DOUBLE AS r, max(stau) AS s2
+        |       FROM seg GROUP BY grp)
+        |SELECT gs.grp, 168.0::DOUBLE AS tau,
+        |  round(coalesce(r, 168.0::DOUBLE), 6) AS rmst,
+        |  round(coalesce(s2, 1.0::DOUBLE), 6) AS survival_at_tau
+        |FROM gs LEFT JOIN ag ON ag.grp = gs.grp
+        |ORDER BY gs.grp""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -205,16 +205,16 @@ class PlanShapeSpec extends AnyFunSuite {
       lp.contains("Aggregate"), "vocab factoring lost:\n" + lp.take(800))
   }
 
-  test("q295-q305 (round 15c/16 additions) never plan a cartesian product") {
+  test("q295-q306 (round 15c/16 additions) never plan a cartesian product") {
     // the PLANAUDIT cart=0 invariant, asserted for the newest battery:
     // Cox, burstiness, Heaps, AR forecast, robust location, frequent
     // sequences, uplift, seasonal strength, binary segmentation,
-    // quantile regression, probability-to-beat
+    // quantile regression, probability-to-beat, RMST
     Seq("q295_cox_ph", "q296_burstiness", "q297_heaps_law",
       "q298_ar_forecast", "q299_robust_location",
       "q300_frequent_sequences", "q301_uplift_tlearner",
       "q302_seasonal_strength", "q303_binary_segmentation",
-      "q304_quantile_reg", "q305_prob_best").foreach { q =>
+      "q304_quantile_reg", "q305_prob_best", "q306_rmst").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q planned a cartesian:\n${p.take(500)}")

@@ -1726,4 +1726,40 @@ class EventsSpec extends AnyFunSuite {
       Events.quantileFit(line, "y", Seq("x"), 0.5, iters = 0)
     }
   }
+
+  test("rmst: exact step-function areas, truncation, empty-truncation spine") {
+    import spark.implicits._
+    // arm A: die at 1 (of 3), die at 2, censor at 3 -> S = 2/3, 1/3,
+    // 1/3; arm C: everyone dies by 2 -> S = 0.5 then pinned 0
+    val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0),
+      ("C", 1L, 1), ("C", 2L, 1)).toDF("g", "t", "e")
+    val out = Events.rmst(df, "g", "t", "e", tauTime = 5.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // A: 1·1 + 0.666667·1 + 0.333333·1 + 0.333333·2 = 2.666666
+    assert(out("A") == ((5.0, 2.666666, 0.333333)), s"${out("A")}")
+    // C: 1·1 + 0.5·1 + 0·3 = 1.5, survival pinned to 0 at tau
+    assert(out("C") == ((5.0, 1.5, 0.0)), s"${out("C")}")
+    // tau before the first event: S ≡ 1 -> RMST = tau (the left-join
+    // spine keeps the group even though the truncated curve is empty)
+    val early = Events.rmst(df, "g", "t", "e", tauTime = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(early("A") == ((0.5, 1.0)) && early("C") == ((0.5, 1.0)))
+    // mid-interval truncation integrates the partial step
+    val mid = Events.rmst(df, "g", "t", "e", tauTime = 1.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(mid("A") - 4.0 / 3.0) < 1e-5, s"${mid("A")}")
+    assert(math.abs(mid("C") - 1.25) < 1e-5, s"${mid("C")}")
+    intercept[IllegalArgumentException] {
+      Events.rmst(df, "g", "t", "e", tauTime = 0.0)
+    }
+    // partition invariance
+    val big = (1 to 2000).map(i => (if (i % 2 == 0) "A" else "B",
+      (i * 7 % 53).toLong + 1L, i % 3 min 1))
+    def run(parts: Int) = Events.rmst(
+      big.toDF("g", "t", "e").repartition(parts), "g", "t", "e", 30.0)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
 }
