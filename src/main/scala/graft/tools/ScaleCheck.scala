@@ -2800,6 +2800,78 @@ object ScaleCheck {
     }
     println(f"SEQ> uplift rows=$nUup segs=${ul.length} closed_form_ok " +
       f"t=$tUl%.1f s")
+    // quantileFit: 5M exact-line rows + 1% planted sky-high outliers —
+    // the median line must come back; OLS on the same data is dragged
+    val qr = up.select(col("x"),
+        when(pmod(xxhash64(col("x"), lit(47)), lit(100L)) === 0,
+          lit(10000.0))
+          .otherwise(lit(1.0) + lit(2.0) * col("x")).as("y"))
+      .localCheckpoint(true)
+    val (qf, tQf) = time {
+      graft.ops.Events.quantileFit(qr, "y", Seq("x"), tau = 0.5,
+        iters = 8).collect()
+    }
+    val qm = qf.map(r => r.getString(1) -> r.getDouble(4)).toMap
+    require(math.abs(qm("x") - 2.0) < 1e-3 &&
+      math.abs(qm("intercept") - 1.0) < 1e-2,
+      s"median line must resist the 1% plant: $qm")
+    val qOls = graft.ops.Events.olsFit(qr, "y", Seq("x"))
+      .collect()(0).getDouble(3)
+    require(math.abs(qOls - 1.0) > 5.0,
+      s"the plant must actually drag OLS: $qOls")
+    println(f"SEQ> quantile rows=$nUup median_line_ok ols_icept=" +
+      f"$qOls%.0f t=$tQf%.1f s")
+    qr.unpersist(true)
+    up.unpersist(true)
+    // rmst: 2M uncensored subjects, integer times hash-uniform on
+    // 1..100 — with no censoring RMST(tau) IS E[min(T, tau)], so the
+    // operator must match the direct mean to the survival grain's 6-dp
+    // resolution
+    val surv = spark.range(2000000L).select(
+        when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+        (pmod(xxhash64(col("id"), lit(53)), lit(100L)) + 1L).as("t"),
+        lit(1).as("e"))
+      .localCheckpoint(true)
+    val expRm = surv
+      .groupBy(col("g")).agg(
+        (sum(least(col("t"), lit(50L)).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (rm, tRm) = time {
+      graft.ops.Events.rmst(surv, "g", "t", "e", tauTime = 50.0)
+        .collect()
+    }
+    rm.foreach { r =>
+      require(math.abs(r.getDouble(2) - expRm(r.getString(0))) < 1e-3,
+        s"RMST must equal E[min(T,tau)] uncensored: $r vs " +
+          s"${expRm(r.getString(0))}")
+    }
+    println(f"SEQ> rmst subjects=2000000 e_min_parity_ok t=$tRm%.1f s")
+    surv.unpersist(true)
+    // probBest: 1M-user arms — exact-symmetry 0.5 and saturated
+    // dominance must hold where the z-test is the usual tool
+    // pair users 2k/2k+1 across arms via FLOOR division (a bare /2 is
+    // double division in Spark SQL and would unpair the odd ids)
+    val pb = spark.range(2000000L).select(
+        when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+        (pmod(xxhash64((col("id") / 2).cast("long"), lit(59)),
+          lit(10L)) === 0).as("c"))
+    val (pbs, tPb) = time {
+      graft.ops.Profile.probBest(pb, "g", col("c")).collect()(0)
+    }
+    require(math.abs(pbs.getDouble(8) - 0.5) < 1e-5,
+      s"identical 1M-user arms must read 0.5: $pbs")
+    val pb2 = spark.range(2000000L).select(
+        when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+        when(col("id") % 2 === 0,
+          pmod(xxhash64(col("id"), lit(61)), lit(10L)) === 0)
+          .otherwise(pmod(xxhash64(col("id"), lit(61)), lit(5L)) === 0)
+          .as("c"))
+    val pd2 = graft.ops.Profile.probBest(pb2, "g", col("c"))
+      .collect()(0).getDouble(8)
+    require(pd2 > 0.9999, s"10%% vs 20%% at 1M users must saturate: $pd2")
+    println(f"SEQ> probbest users=2000000 sym=0.5 dom=$pd2%.4f " +
+      f"t=$tPb%.1f s")
     }
 
     if (run("sfbench100")) {
