@@ -4520,17 +4520,19 @@ object SparkEntry {
         Seq("engagement", "active_days"), tau = 0.5, iters = 4)),
 
     // Bayesian probability-to-beat (ops/Profile.scala): md5-split
-    // arms, per-user purchase conversion, Beta posteriors on a
-    // 4000-point midpoint grid — P(rate_B > rate_A).
+    // arms, conversion = a heavy purchaser (>= 14 purchase events —
+    // every user buys at least once, so "any purchase" would saturate
+    // both posteriors at 1), Beta posteriors on a 4000-point midpoint
+    // grid — P(rate_B > rate_A) + the expected loss of each decision.
     "q305_prob_best" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1)
-          .otherwise(0)).as("conv"))
+        .agg(count(when(col("event_type") === "purchase", 1))
+          .as("n_buy"))
         .withColumn("grp",
           when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
             "A").otherwise("B"))
-      graft.ops.Profile.probBest(u, "grp", col("conv") === 1)
+      graft.ops.Profile.probBest(u, "grp", col("n_buy") >= 14)
     }),
 
     // Restricted mean survival time (ops/Events.scala): area under
@@ -12032,13 +12034,13 @@ object SparkEntry {
     "q305_prob_best" ->
       """WITH u AS MATERIALIZED (
         |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_buy,
         |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '8'
         |      THEN 'A' ELSE 'B' END AS grp
         |  FROM events GROUP BY user_id),
         |cnt AS (SELECT grp, count(*)::BIGINT AS n,
-        |    count(CASE WHEN conv = 1 THEN 1 END)::BIGINT AS c
+        |    count(CASE WHEN n_buy >= 14 THEN 1 END)::BIGINT AS c
         |  FROM u GROUP BY grp),
         |pv AS MATERIALIZED (SELECT
         |    max(CASE WHEN grp = 'A' THEN n END)::BIGINT AS na,
@@ -12061,19 +12063,35 @@ object SparkEntry {
         |g4 AS (SELECT p, ta, tb,
         |    coalesce((sum(CAST(ta AS DECIMAL(38,12))) OVER
         |      (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |       1 PRECEDING))::DOUBLE, 0.0::DOUBLE) AS cuma
-        |  FROM g3),
+        |       1 PRECEDING))::DOUBLE, 0.0::DOUBLE) AS cuma,
+        |    coalesce((sum(CAST(ta AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sa1,
+        |    coalesce((sum(CAST(ta * p AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sa2,
+        |    coalesce((sum(CAST(tb AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sb1,
+        |    coalesce((sum(CAST(tb * p AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sb2
+        |  FROM g3
+        |  WINDOW sfx AS (ORDER BY p ROWS BETWEEN 1 FOLLOWING AND
+        |    UNBOUNDED FOLLOWING)),
         |agg AS (SELECT
         |    (sum(CAST(ta AS DECIMAL(38,12))))::DOUBLE AS za,
         |    (sum(CAST(tb AS DECIMAL(38,12))))::DOUBLE AS zb,
         |    (sum(CAST(tb * (cuma + ta / 2.0::DOUBLE)
-        |      AS DECIMAL(38,12))))::DOUBLE AS num
+        |      AS DECIMAL(38,12))))::DOUBLE AS num,
+        |    (sum(CAST(ta * (sb2 - p * sb1)
+        |      AS DECIMAL(38,12))))::DOUBLE AS ela,
+        |    (sum(CAST(tb * (sa2 - p * sa1)
+        |      AS DECIMAL(38,12))))::DOUBLE AS elb
         |  FROM g4)
         |SELECT 'A' AS group_a, na AS n_a, ca AS conv_a,
         |  round(ca::DOUBLE / na::DOUBLE, 6) AS rate_a,
         |  'B' AS group_b, nb AS n_b, cb AS conv_b,
         |  round(cb::DOUBLE / nb::DOUBLE, 6) AS rate_b,
-        |  round(num / (za * zb), 6) AS prob_b_beats_a
+        |  round(num / (za * zb), 6) AS prob_b_beats_a,
+        |  round(ela / (za * zb), 6) AS exp_loss_a,
+        |  round(elb / (za * zb), 6) AS exp_loss_b
         |FROM agg, pv""".stripMargin,
 
     // the q251 curve CTEs, then exact step-function area: per curve

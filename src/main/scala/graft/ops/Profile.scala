@@ -2136,9 +2136,18 @@ object Profile {
     * `Beta(1 + conv, 1 + n − conv)` per arm, the probability that the
     * second arm's true rate exceeds the first's,
     * `P(p_b > p_a) = ∫ pdf_b(x)·cdf_a(x) dx`, evaluated on a fixed
-    * midpoint grid (deterministic, engine-replayable — no sampling).
+    * midpoint grid (deterministic, engine-replayable — no sampling),
+    * plus the EXPECTED LOSS of each decision — `exp_loss_a =
+    * E[(p_b − p_a)⁺]` (the rate given up if you ship A) and
+    * `exp_loss_b = E[(p_a − p_b)⁺]` — the standard Bayesian stopping
+    * criterion (ship when the chosen arm's expected loss drops below
+    * the care-about threshold; it converges even when the arms are
+    * truly equal, where P(best) hovers at 0.5 forever). Same-cell mass
+    * pairs contribute 0 to the loss sums (the midpoint convention;
+    * bias O(cell²), far below 6 dp at any realistic posterior width).
     * Arms order by label; returns ONE row (group_a, n_a, conv_a,
-    * rate_a, group_b, n_b, conv_b, rate_b, prob_b_beats_a), 6 dp.
+    * rate_a, group_b, n_b, conv_b, rate_b, prob_b_beats_a,
+    * exp_loss_a, exp_loss_b), 6 dp.
     *
     * Grid contract: the posterior scale is ~√(p(1−p)/n); the default
     * 4,000-point grid resolves it to ~60 points per posterior sd at
@@ -2192,13 +2201,22 @@ object Profile {
       .select(col("__p"),
         exp(col("__la") - col("__ma")).as("__ta"),
         exp(col("__lb") - col("__mb")).as("__tb"))
-    // gridN-bounded by construction: the one deliberate unpartitioned
-    // ordered window in this operator
+    // gridN-bounded by construction: the deliberate unpartitioned
+    // ordered windows in this operator (prefix CDF + suffix moments)
     val wCdf = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val g4 = g3.withColumn("__cuma",
-      coalesce(sum(d12(col("__ta"))).over(wCdf).cast("double"),
-        lit(0.0)))
+    val wSuf = Window.orderBy(col("__p"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    def sufSum(c: Column) =
+      coalesce(sum(d12(c)).over(wSuf).cast("double"), lit(0.0))
+    val g4 = g3
+      .withColumn("__cuma",
+        coalesce(sum(d12(col("__ta"))).over(wCdf).cast("double"),
+          lit(0.0)))
+      .withColumn("__sa1", sufSum(col("__ta")))
+      .withColumn("__sa2", sufSum(col("__ta") * col("__p")))
+      .withColumn("__sb1", sufSum(col("__tb")))
+      .withColumn("__sb2", sufSum(col("__tb") * col("__p")))
     def r6(x: Double) =
       if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
       else -math.floor(-x * 1e6 + 0.5) / 1e6
@@ -2207,13 +2225,23 @@ object Profile {
         sum(d12(col("__tb"))).cast("double").as("__zb"),
         sum(d12(col("__tb") *
           (col("__cuma") + col("__ta") / lit(2.0))))
-          .cast("double").as("__num"))
+          .cast("double").as("__num"),
+        sum(d12(col("__ta") *
+          (col("__sb2") - col("__p") * col("__sb1"))))
+          .cast("double").as("__ela"),
+        sum(d12(col("__tb") *
+          (col("__sa2") - col("__p") * col("__sa1"))))
+          .cast("double").as("__elb"))
       .select(lit(ga).as("group_a"), lit(na).as("n_a"),
         lit(ca).as("conv_a"),
         lit(r6(ca.toDouble / na.toDouble)).as("rate_a"),
         lit(gb).as("group_b"), lit(nb).as("n_b"), lit(cb).as("conv_b"),
         lit(r6(cb.toDouble / nb.toDouble)).as("rate_b"),
         round(col("__num") / (col("__za") * col("__zb")), 6)
-          .as("prob_b_beats_a"))
+          .as("prob_b_beats_a"),
+        round(col("__ela") / (col("__za") * col("__zb")), 6)
+          .as("exp_loss_a"),
+        round(col("__elb") / (col("__za") * col("__zb")), 6)
+          .as("exp_loss_b"))
   }
 }

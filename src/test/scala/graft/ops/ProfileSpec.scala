@@ -988,6 +988,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(p0.getDouble(8) - 5.0 / 6.0) < 5e-6, s"$p0")
     assert(p0.getString(0) == "A" && p0.getString(4) == "B")
     assert(p0.getLong(1) == 1L && p0.getLong(6) == 1L)
+    // closed-form expected losses for Beta(1,2) vs Beta(2,1):
+    // E[(pB-pA)+] = 11/30 (loss of shipping A), E[(pA-pB)+] = 1/30
+    assert(math.abs(p0.getDouble(9) - 11.0 / 30.0) < 2e-5, s"$p0")
+    assert(math.abs(p0.getDouble(10) - 1.0 / 30.0) < 2e-5, s"$p0")
+    // identity: exp_loss_a - exp_loss_b = E[pB] - E[pA] (posterior
+    // means (c+1)/(n+2) = 2/3 and 1/3)
+    assert(math.abs((p0.getDouble(9) - p0.getDouble(10)) - 1.0 / 3.0)
+      < 2e-5, s"$p0")
     // identical arms: exactly symmetric posterior race -> 0.5
     val sym = (1 to 50).flatMap(i =>
       Seq(("A", i % 5 == 0), ("B", i % 5 == 0)))
