@@ -2244,4 +2244,69 @@ object Profile {
         round(col("__elb") / (col("__za") * col("__zb")), 6)
           .as("exp_loss_b"))
   }
+
+  /** The [[probBest]] grid race on four collected counts — shared by
+    * the streaming twin ([[graft.streaming.StreamOps.streamingProbBest]]),
+    * which holds only (n, conv) per arm in state and needs the readout
+    * per micro-batch. Mirrors the in-plan arithmetic EXACTLY: the same
+    * midpoint grid doubles, ln/exp term shapes, max shift, and every
+    * sum accumulated as 12-dp-quantized decimals in grid order (the
+    * window mirror) — `BigDecimal.valueOf(x).setScale(12, HALF_UP)` IS
+    * Spark's double→DECIMAL(38,12) cast (the streamingMsprt device),
+    * so batch and streaming cannot drift. Returns
+    * (prob_b_beats_a, exp_loss_a, exp_loss_b), 6 dp.
+    */
+  def probBestAlgebra(na: Long, ca: Long, nb: Long, cb: Long,
+      gridN: Int = 4000): (Double, Double, Double) = {
+    require(gridN >= 100 && gridN <= 20000,
+      "probBestAlgebra: gridN must be in 100..20000")
+    require(na >= ca && nb >= cb && ca >= 0 && cb >= 0 &&
+      na >= 1 && nb >= 1, "probBestAlgebra: need 0 <= conv <= n, n >= 1")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q12(x: Double) = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    val n = gridN
+    val ps = Array.tabulate(n)(i => ((i + 1).toDouble - 0.5) / n.toDouble)
+    def masses(c: Long, f: Long): Array[Double] = {
+      val lm = ps.map(x =>
+        c.toDouble * math.log(x) + f.toDouble * math.log(1.0 - x))
+      val m = lm.max
+      lm.map(x => math.exp(x - m))
+    }
+    val ta = masses(ca, na - ca)
+    val tb = masses(cb, nb - cb)
+    val cuma = new Array[Double](n)
+    var accA = JBD.ZERO
+    for (i <- 0 until n) {
+      cuma(i) = accA.doubleValue
+      accA = accA.add(q12(ta(i)))
+    }
+    val za = accA
+    def suffix(t: Array[Double], withP: Boolean): Array[Double] = {
+      val out = new Array[Double](n)
+      var s = JBD.ZERO
+      for (i <- n - 1 to 0 by -1) {
+        out(i) = s.doubleValue
+        s = s.add(q12(if (withP) t(i) * ps(i) else t(i)))
+      }
+      out
+    }
+    val sa1 = suffix(ta, withP = false)
+    val sa2 = suffix(ta, withP = true)
+    val sb1 = suffix(tb, withP = false)
+    val sb2 = suffix(tb, withP = true)
+    var zb = JBD.ZERO; var num = JBD.ZERO
+    var ela = JBD.ZERO; var elb = JBD.ZERO
+    for (i <- 0 until n) {
+      zb = zb.add(q12(tb(i)))
+      num = num.add(q12(tb(i) * (cuma(i) + ta(i) / 2.0)))
+      ela = ela.add(q12(ta(i) * (sb2(i) - ps(i) * sb1(i))))
+      elb = elb.add(q12(tb(i) * (sa2(i) - ps(i) * sa1(i))))
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val den = za.doubleValue * zb.doubleValue
+    (r6(num.doubleValue / den), r6(ela.doubleValue / den),
+      r6(elb.doubleValue / den))
+  }
 }

@@ -766,6 +766,72 @@ object StreamOps {
       }
   }
 
+  /** One experiment's running Bayesian readout
+    * ([[streamingProbBest]]); emitted once per micro-batch that
+    * touches the key. */
+  case class ProbBestReading(key: String, n_a: Long, conv_a: Long,
+      n_b: Long, conv_b: Long, prob_b_beats_a: Option[Double],
+      exp_loss_a: Option[Double], exp_loss_b: Option[Double])
+
+  /** Per-key cumulative arm counts ([[streamingProbBest]]) — four
+    * longs, O(1) state regardless of stream length. */
+  case class ProbBestState(na: Long, ca: Long, nb: Long, cb: Long)
+
+  /** Streaming Bayesian A/B monitor — the continuous face of
+    * [[graft.ops.Profile.probBest]]: per experiment key the state
+    * holds ONLY the four cumulative arm counts, and each micro-batch
+    * that touches the key emits one [[ProbBestReading]] with
+    * P(p_b > p_a) and both expected losses from
+    * [[graft.ops.Profile.probBestAlgebra]] — the batch operator's
+    * exact grid arithmetic (the parity spec asserts bit-equality at
+    * 6 dp against the batch face on the cumulative data). Expected
+    * loss is the standard Bayesian stopping rule for CONTINUOUS
+    * monitoring: ship when the chosen arm's loss drops below the
+    * care-about threshold (it converges even for truly-equal arms,
+    * where P(best) never resolves). Arms are the EXPLICIT
+    * `labelA`/`labelB` (stable across batches); other labels drop;
+    * a key that has seen only one arm reads null. State never
+    * expires (four longs per key, stated).
+    */
+  def streamingProbBest(events: DataFrame, keyCol: String,
+      groupCol: String, successCol: String, labelA: String,
+      labelB: String, gridN: Int = 4000)(
+      implicit spark: SparkSession): Dataset[ProbBestReading] = {
+    import spark.implicits._
+    require(labelA != labelB,
+      "streamingProbBest: arm labels must differ")
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        col(groupCol).cast("string").as("g"),
+        col(successCol).cast("boolean").as("s"))
+      .filter(col("k").isNotNull && col("s").isNotNull &&
+        col("g").isin(labelA, labelB))
+      .as[(String, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ProbBestState, ProbBestReading](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Boolean)],
+            state: GroupState[ProbBestState]) =>
+          val s0 = state.getOption
+            .getOrElse(ProbBestState(0L, 0L, 0L, 0L))
+          val s1 = rows.foldLeft(s0) { case (s, (_, g, ok)) =>
+            val inc = if (ok) 1L else 0L
+            if (g == labelA) s.copy(na = s.na + 1, ca = s.ca + inc)
+            else s.copy(nb = s.nb + 1, cb = s.cb + inc)
+          }
+          state.update(s1)
+          if (s1.na >= 1 && s1.nb >= 1) {
+            val (p, ela, elb) = graft.ops.Profile.probBestAlgebra(
+              s1.na, s1.ca, s1.nb, s1.cb, gridN)
+            Iterator(ProbBestReading(key, s1.na, s1.ca, s1.nb, s1.cb,
+              Some(p), Some(ela), Some(elb)))
+          } else {
+            Iterator(ProbBestReading(key, s1.na, s1.ca, s1.nb, s1.cb,
+              None, None, None))
+          }
+      }
+  }
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

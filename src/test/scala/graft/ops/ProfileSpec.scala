@@ -1017,5 +1017,17 @@ class ProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Profile.probBest(tiny, "g", col("conv") === 1, gridN = 10)
     }
+    // the driver-side algebra (the streaming twin's kernel) is
+    // bit-identical to the in-plan grid on the same counts
+    val (p, ela, elb) = Profile.probBestAlgebra(1, 0, 1, 1)
+    assert(p == p0.getDouble(8) && ela == p0.getDouble(9) &&
+      elb == p0.getDouble(10), s"algebra drifted: ($p,$ela,$elb) vs $p0")
+    val mixed = ((1 to 40).map(i => ("A", i % 3 == 0)) ++
+      (1 to 37).map(i => ("B", i % 2 == 0))).toDF("g", "c")
+    val bm = Profile.probBest(mixed, "g", col("c")).collect()(0)
+    val (p2, ela2, elb2) =
+      Profile.probBestAlgebra(40, 40 / 3, 37, 18)
+    assert(p2 == bm.getDouble(8) && ela2 == bm.getDouble(9) &&
+      elb2 == bm.getDouble(10), s"($p2,$ela2,$elb2) vs $bm")
   }
 }

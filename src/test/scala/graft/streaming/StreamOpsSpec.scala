@@ -482,6 +482,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming probBest matches the batch grid bit-for-bit on the " +
+    "cumulative counts") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Boolean)]
+    val q = StreamOps.streamingProbBest(
+        input.toDF().toDF("exp", "arm", "ok"), "exp", "arm", "ok",
+        labelA = "A", labelB = "B")
+      .writeStream.format("memory").queryName("pb_out")
+      .outputMode(OutputMode.Append).start()
+    val b1 = Seq(("e1", "A", true), ("e1", "A", false),
+      ("e1", "B", true), ("e1", "junk", true))
+    val b2 = Seq(("e1", "A", true), ("e1", "B", true),
+      ("e1", "B", false), ("e1", "B", true))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM pb_out ORDER BY n_a, n_b")
+        .collect()
+      assert(rows.length == 2) // one reading per micro-batch
+      val last = rows.last
+      assert(last.getLong(1) == 3L && last.getLong(3) == 4L)
+      // cumulative parity with the batch face ('junk' arm dropped)
+      import org.apache.spark.sql.functions.{col => c}
+      val batch = graft.ops.Profile.probBest(
+        (b1 ++ b2).filter(_._2 != "junk").toDF("g0", "arm", "ok")
+          .select(c("arm"), c("ok")), "arm", c("ok"))
+        .collect()(0)
+      assert(last.getDouble(5) == batch.getDouble(8), "prob")
+      assert(last.getDouble(6) == batch.getDouble(9), "exp_loss_a")
+      assert(last.getDouble(7) == batch.getDouble(10), "exp_loss_b")
+      // the first look (only batch-1 counts) is a DIFFERENT posterior
+      assert(rows.head.getDouble(5) != last.getDouble(5))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
