@@ -939,7 +939,8 @@ object Cli {
               flags.getOrElse("max-len", "3").toInt)
           case "uplift" =>
             graft.ops.Events.upliftTLearner(df, req("treat-col"),
-              req("y-col"), flags.get("x-cols").map(_.split(",").toSeq)
+              req("y-col"), flags.get("x-cols")
+                .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
                 .getOrElse(Seq.empty), req("segment-col"))
           case "strength" =>
             graft.ops.Events.seasonalStrength(df, typ, ts)

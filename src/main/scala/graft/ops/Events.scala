@@ -874,11 +874,11 @@ object Events {
   }
 
   private def logitBase(df: DataFrame, yCol: String,
-      xCols: Seq[String]): DataFrame = {
+      xCols: Seq[String], op: String = "logistic"): DataFrame = {
     require(xCols.nonEmpty && xCols.size <= 20,
-      "logistic: need 1..20 regressors")
+      s"$op: need 1..20 regressors")
     require(xCols.distinct.size == xCols.size,
-      "logistic: regressors must be distinct")
+      s"$op: regressors must be distinct")
     val k = xCols.size
     df.select(col(yCol).cast("double").as("__y") +:
         xCols.zipWithIndex.map { case (c, i) =>
@@ -908,7 +908,7 @@ object Events {
     require(iters >= 1 && iters <= 12, "logisticFit: iters must be 1..12")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = logitBase(df, yCol, xCols)
+    val base = logitBase(df, yCol, xCols, "logisticFit")
     val (beta, invDiag, n) = irlsBeta(base, xCols.size, iters)
     def r6(x: Double) =
       if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
@@ -982,7 +982,7 @@ object Events {
     def d12(c: Column) = c.cast("decimal(38,12)")
     val k = xCols.size
     val p = k + 1
-    val base = logitBase(df, yCol, xCols)
+    val base = logitBase(df, yCol, xCols, "huberFit")
     def lin(b: Array[Double]) =
       (0 until k).foldLeft(lit(b(0)): Column)((acc, i) =>
         acc + lit(b(i + 1)) * col(s"__x$i"))
@@ -1063,7 +1063,7 @@ object Events {
     require(iters >= 1 && iters <= 16, "poissonFit: iters must be 1..16")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = logitBase(df, yCol, xCols)
+    val base = logitBase(df, yCol, xCols, "poissonFit")
     val (beta, invDiag, n) =
       glmBeta(base, xCols.size, iters, eta => exp(eta), mu => mu)
     def r6(x: Double) =
@@ -1116,7 +1116,7 @@ object Events {
     val spark = df.sparkSession
     import spark.implicits._
     val base = logitBase(df.filter(col(yCol).cast("double") > 0),
-      yCol, xCols)
+      yCol, xCols, "gammaFit")
     val (beta, invDiag, n) = glmBeta(base, xCols.size, iters,
       eta => exp(eta), _ => lit(1.0),
       (y, mu) => (y - mu) / mu, start = logMeanY(base))
@@ -1153,7 +1153,7 @@ object Events {
     require(alpha >= 0, "negBinFit: alpha must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = logitBase(df, yCol, xCols)
+    val base = logitBase(df, yCol, xCols, "negBinFit")
     val (beta, invDiag, n) = glmBeta(base, xCols.size, iters,
       eta => exp(eta),
       mu => mu / (lit(1.0) + lit(alpha) * mu),
@@ -3827,6 +3827,16 @@ object Events {
       .withColumn("__pos", row_number().over(wk))
       .select(col("__u"), col("__it"), col("__pos"))
       .localCheckpoint(true) // re-probed once per growth round
+    // '>' is the pattern delimiter: an item containing it would make
+    // ⟨"a>b"⟩ ambiguous with ⟨a>b⟩, silently merging state and support
+    // across genuinely different patterns — fail loudly instead (the
+    // dbscan id-guard convention); one early-terminating probe of the
+    // pinned typed log
+    val badItem = ev.where(col("__it").contains(">"))
+      .select(col("__it")).head(1)
+    require(badItem.isEmpty,
+      s"frequentSequences: item type '${badItem.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "contains the pattern delimiter '>' — rename or pre-escape it")
     def support(occ: DataFrame): DataFrame = occ
       .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
@@ -3991,7 +4001,7 @@ object Events {
     def d12(c: Column) = c.cast("decimal(38,12)")
     val k = xCols.size
     val p = k + 1
-    val base = logitBase(df, yCol, xCols)
+    val base = logitBase(df, yCol, xCols, "quantileFit")
     def lin(b: Array[Double]) =
       (0 until k).foldLeft(lit(b(0)): Column)((acc, i) =>
         acc + lit(b(i + 1)) * col(s"__x$i"))

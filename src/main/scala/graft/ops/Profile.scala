@@ -2149,12 +2149,19 @@ object Profile {
     * rate_a, group_b, n_b, conv_b, rate_b, prob_b_beats_a,
     * exp_loss_a, exp_loss_b), 6 dp.
     *
-    * Grid contract: the posterior scale is ~√(p(1−p)/n); the default
-    * 4,000-point grid resolves it to ~60 points per posterior sd at
-    * n = 10k and is 6-dp-accurate for the A/B sizes a Bayesian readout
-    * serves. For n ≫ 10⁶ the posteriors are narrower than the grid —
-    * use [[twoProportionTest]] (the normal approximation is exact
-    * there) or raise `gridN`.
+    * Grid contract (ENFORCED): the posterior scale is ~√(p(1−p)/n);
+    * the default 4,000-point grid resolves it to ~60 points per
+    * posterior sd at n = 10k and is 6-dp-accurate for the A/B sizes a
+    * Bayesian readout serves. Each arm's exact Beta posterior sd must
+    * be ≥ 3 grid cells (3/gridN) or the call FAILS LOUDLY — for
+    * n ≫ 10⁶ the posteriors are narrower than the grid and the race
+    * silently loses resolution, so use [[twoProportionTest]] (the
+    * normal approximation is exact there) or raise `gridN`.
+    *
+    * Null contract: rows with a null success value are DROPPED, not
+    * counted as failures — the same contract as the streaming twin
+    * [[graft.streaming.StreamOps.streamingProbBest]], so the
+    * documented batch/streaming parity holds on nullable successes.
     *
     * Determinism: the grid masses are exp/ln doubles on identical
     * inputs (cross-engine at 6 dp, the house rule); every SUM over the
@@ -2176,7 +2183,7 @@ object Profile {
     val per = users
       .select(col(groupCol).cast("string").as("__g"),
         success.cast("boolean").as("__s"))
-      .filter(col("__g").isNotNull)
+      .filter(col("__g").isNotNull && col("__s").isNotNull)
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), count(when(col("__s"), 1)).as("__c"))
       .collect() // 2 rows — group-grain, bounded
@@ -2187,6 +2194,12 @@ object Profile {
       srt(0).getLong(2))
     val (gb, nb, cb) = (srt(1).getString(0), srt(1).getLong(1),
       srt(1).getLong(2))
+    Seq((ga, na, ca), (gb, nb, cb)).foreach { case (g, n, c) =>
+      require(betaSd(n, c) >= 3.0 / gridN,
+        s"probBest: arm $g's posterior (n=$n) is narrower than 3 grid " +
+          s"cells at gridN=$gridN — raise gridN or use " +
+          "twoProportionTest (exact in the normal regime)")
+    }
     val grid = spark.range(1, gridN + 1L)
       .select(((col("id").cast("double") - lit(0.5)) /
         lit(gridN.toDouble)).as("__p"))
@@ -2245,6 +2258,15 @@ object Profile {
           .as("exp_loss_b"))
   }
 
+  /** Exact Beta(1+c, 1+n−c) posterior sd — the [[probBest]] family's
+    * grid-resolution rail (a posterior narrower than a few grid cells
+    * aliases to one cell and the race silently loses resolution). */
+  private[graft] def betaSd(n: Long, c: Long): Double = {
+    val a = c.toDouble + 1.0
+    val b = (n - c).toDouble + 1.0
+    math.sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0)))
+  }
+
   /** The [[probBest]] grid race on four collected counts — shared by
     * the streaming twin ([[graft.streaming.StreamOps.streamingProbBest]]),
     * which holds only (n, conv) per arm in state and needs the readout
@@ -2262,6 +2284,9 @@ object Profile {
       "probBestAlgebra: gridN must be in 100..20000")
     require(na >= ca && nb >= cb && ca >= 0 && cb >= 0 &&
       na >= 1 && nb >= 1, "probBestAlgebra: need 0 <= conv <= n, n >= 1")
+    require(betaSd(na, ca) >= 3.0 / gridN && betaSd(nb, cb) >= 3.0 / gridN,
+      s"probBestAlgebra: a posterior is narrower than 3 grid cells at " +
+        s"gridN=$gridN — raise gridN or use twoProportionTest")
     import java.math.{BigDecimal => JBD, RoundingMode}
     def q12(x: Double) = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
     val n = gridN

@@ -789,9 +789,15 @@ object StreamOps {
     * monitoring: ship when the chosen arm's loss drops below the
     * care-about threshold (it converges even for truly-equal arms,
     * where P(best) never resolves). Arms are the EXPLICIT
-    * `labelA`/`labelB` (stable across batches); other labels drop;
-    * a key that has seen only one arm reads null. State never
-    * expires (four longs per key, stated).
+    * `labelA`/`labelB` (stable across batches); other labels drop,
+    * as do rows with a null success (the batch face filters them
+    * identically — the stated null contract of the pair); a key that
+    * has seen only one arm reads null, and so does a key whose
+    * posterior has outgrown the grid (the batch face's ≥ 3-cell
+    * resolution rail — batch fails loudly there, but a continuous
+    * monitor must not crash mid-run, so the stream reads null and the
+    * caller switches to [[streamingMsprt]]). State never expires
+    * (four longs per key, stated).
     */
   def streamingProbBest(events: DataFrame, keyCol: String,
       groupCol: String, successCol: String, labelA: String,
@@ -820,7 +826,13 @@ object StreamOps {
             else s.copy(nb = s.nb + 1, cb = s.cb + inc)
           }
           state.update(s1)
-          if (s1.na >= 1 && s1.nb >= 1) {
+          // the batch face's grid-resolution rail: once a posterior
+          // outgrows the grid the stream reads null (a monitor must
+          // not crash mid-run) — switch to streamingMsprt there
+          val resolved = graft.ops.Profile.betaSd(s1.na, s1.ca) >=
+            3.0 / gridN &&
+            graft.ops.Profile.betaSd(s1.nb, s1.cb) >= 3.0 / gridN
+          if (s1.na >= 1 && s1.nb >= 1 && resolved) {
             val (p, ela, elb) = graft.ops.Profile.probBestAlgebra(
               s1.na, s1.ca, s1.nb, s1.cb, gridN)
             Iterator(ProbBestReading(key, s1.na, s1.ca, s1.nb, s1.cb,

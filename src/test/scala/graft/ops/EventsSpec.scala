@@ -1644,6 +1644,14 @@ class EventsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Events.frequentSequences(rows, "u", "et", "at", "id", 2L, 5)
     }
+    // an item type containing the '>' delimiter would silently merge
+    // state across genuinely different patterns — fail loudly instead
+    val amb = Seq((1L, "a>b", ts(0), 1L), (1L, "c", ts(1), 2L))
+      .toDF("u", "et", "at", "id")
+    val e = intercept[IllegalArgumentException] {
+      Events.frequentSequences(amb, "u", "et", "at", "id", 1L, 2)
+    }
+    assert(e.getMessage.contains("delimiter"), e.getMessage)
   }
 
   test("upliftTLearner: exact per-arm lines and the k=0 mean-difference face") {
@@ -1725,6 +1733,12 @@ class EventsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Events.quantileFit(line, "y", Seq("x"), 0.5, iters = 0)
     }
+    // bad regressors surface as quantileFit's own error, not the
+    // shared base projection's 'logistic:' prefix
+    val pfx = intercept[IllegalArgumentException] {
+      Events.quantileFit(line, "y", Seq.empty, 0.5)
+    }
+    assert(pfx.getMessage.contains("quantileFit:"), pfx.getMessage)
   }
 
   test("rmst: exact step-function areas, truncation, empty-truncation spine") {

@@ -1030,4 +1030,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(p2 == bm.getDouble(8) && ela2 == bm.getDouble(9) &&
       elb2 == bm.getDouble(10), s"($p2,$ela2,$elb2) vs $bm")
   }
+
+  test("probBest: grid-resolution rail + null-success contract") {
+    import spark.implicits._
+    // n = 10^8 at the default grid: posterior sd ~5e-5, far below the
+    // 3-cell floor (3/4000) — the algebra fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Profile.probBestAlgebra(100000000L, 50000000L, 100L, 50L)
+    }
+    assert(e.getMessage.contains("narrower than 3 grid cells"),
+      e.getMessage)
+    // batch face, same rail at a coarse grid: sd(300, 150) ≈ 0.029 <
+    // 3/100 — and the failing arm is named
+    val big = ((1 to 300).map(i => ("A", i % 2 == 0)) ++
+      (1 to 50).map(i => ("B", i % 2 == 0))).toDF("g", "c")
+    val eb = intercept[IllegalArgumentException] {
+      Profile.probBest(big, "g", col("c"), gridN = 100)
+    }
+    assert(eb.getMessage.contains("arm A"), eb.getMessage)
+    // well-resolved counts still pass at the same grid
+    Profile.probBestAlgebra(50L, 25L, 50L, 30L, gridN = 100)
+    // a null success value DROPS the row (the streaming twin's
+    // contract), it is not a non-converting trial
+    val withNull = Seq(("A", Some(true)), ("A", None),
+      ("A", Some(false)), ("B", Some(true)), ("B", None),
+      ("B", Some(false))).toDF("g", "c")
+    val r = Profile.probBest(withNull, "g", col("c")).collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(5) == 2L, s"$r")
+    assert(r.getLong(2) == 1L && r.getLong(6) == 1L, s"$r")
+  }
 }
