@@ -955,6 +955,10 @@ object Cli {
             graft.ops.Profile.probBest(df, req("group-col"),
               col(req("success-col")) === true,
               flags.getOrElse("grid", "4000").toInt)
+          case "prob-best-k" =>
+            graft.ops.Profile.probBestK(df, req("group-col"),
+              col(req("success-col")) === true,
+              flags.getOrElse("grid", "4000").toInt)
           case "rmst" =>
             graft.ops.Events.rmst(df, req("group-col"),
               req("time-col"), req("event-col"), req("tau").toDouble)

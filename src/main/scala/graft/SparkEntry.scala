@@ -4541,7 +4541,22 @@ object SparkEntry {
     // hazards nor a median crossing.
     "q306_rmst" -> ((s, dir) =>
       graft.ops.Events.rmst(survivalArms(s, dir), "grp", "t", "e",
-        tauTime = 168.0))
+        tauTime = 168.0)),
+
+    // K-arm Bayesian probability-to-beat (ops/Profile.scala): the
+    // q305 experiment split three ways (md5 first hex char thirds) —
+    // per arm P(best) = ∫ pdf·∏ others' cdf and the expected loss of
+    // shipping it, on the shared 4000-point normalized grid race.
+    "q307_prob_best_multi" -> ((s, dir) => {
+      val hx = substring(md5(col("user_id").cast("string")), 1, 1)
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", 1))
+          .as("n_buy"))
+        .withColumn("grp",
+          when(hx < "6", "A").when(hx < "b", "B").otherwise("C"))
+      graft.ops.Profile.probBestK(u, "grp", col("n_buy") >= 14)
+    })
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -12150,7 +12165,119 @@ object SparkEntry {
         |  round(coalesce(r, 168.0::DOUBLE), 6) AS rmst,
         |  round(coalesce(s2, 1.0::DOUBLE), 6) AS survival_at_tau
         |FROM gs LEFT JOIN ag ON ag.grp = gs.grp
-        |ORDER BY gs.grp""".stripMargin
+        |ORDER BY gs.grp""".stripMargin,
+
+    // the q305 grid device generalized to three arms on NORMALIZED
+    // masses: per-arm decimal prefix CDFs (exclusive + inclusive),
+    // max-of-others pmf as the CDF-product difference, suffix moments,
+    // one decimal fold per arm for P(best) and expected loss
+    "q307_prob_best_multi" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_buy,
+        |    CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) < '6'
+        |      THEN 'A'
+        |      WHEN substring(md5(user_id::VARCHAR), 1, 1) < 'b'
+        |      THEN 'B' ELSE 'C' END AS grp
+        |  FROM events GROUP BY user_id),
+        |cnt AS (SELECT grp, count(*)::BIGINT AS n,
+        |    count(CASE WHEN n_buy >= 14 THEN 1 END)::BIGINT AS c
+        |  FROM u GROUP BY grp),
+        |pv AS MATERIALIZED (SELECT
+        |    max(CASE WHEN grp = 'A' THEN n END)::BIGINT AS na,
+        |    max(CASE WHEN grp = 'A' THEN c END)::BIGINT AS ca,
+        |    max(CASE WHEN grp = 'B' THEN n END)::BIGINT AS nb,
+        |    max(CASE WHEN grp = 'B' THEN c END)::BIGINT AS cb,
+        |    max(CASE WHEN grp = 'C' THEN n END)::BIGINT AS nc,
+        |    max(CASE WHEN grp = 'C' THEN c END)::BIGINT AS cc
+        |  FROM cnt),
+        |grid AS (SELECT (i::DOUBLE - 0.5::DOUBLE) / 4000.0::DOUBLE AS p
+        |  FROM range(1, 4001) t(i)),
+        |g2 AS MATERIALIZED (SELECT p,
+        |    ca::DOUBLE * ln(p) +
+        |      (na - ca)::DOUBLE * ln(1.0::DOUBLE - p) AS la,
+        |    cb::DOUBLE * ln(p) +
+        |      (nb - cb)::DOUBLE * ln(1.0::DOUBLE - p) AS lb,
+        |    cc::DOUBLE * ln(p) +
+        |      (nc - cc)::DOUBLE * ln(1.0::DOUBLE - p) AS lc
+        |  FROM grid, pv),
+        |mx AS (SELECT max(la) AS ma, max(lb) AS mb, max(lc) AS mc
+        |  FROM g2),
+        |g3 AS MATERIALIZED (SELECT p, exp(la - ma) AS ta,
+        |    exp(lb - mb) AS tb, exp(lc - mc) AS tc
+        |  FROM g2, mx),
+        |zs AS (SELECT
+        |    (sum(CAST(ta AS DECIMAL(38,12))))::DOUBLE AS za,
+        |    (sum(CAST(tb AS DECIMAL(38,12))))::DOUBLE AS zb,
+        |    (sum(CAST(tc AS DECIMAL(38,12))))::DOUBLE AS zc
+        |  FROM g3),
+        |g3n AS MATERIALIZED (SELECT p, ta / za AS ua, tb / zb AS ub,
+        |    tc / zc AS uc FROM g3, zs),
+        |g4 AS MATERIALIZED (SELECT p, ua, ub, uc,
+        |    coalesce((sum(CAST(ua AS DECIMAL(38,12))) OVER prev)
+        |      ::DOUBLE, 0.0::DOUBLE) AS cpa,
+        |    (sum(CAST(ua AS DECIMAL(38,12))) OVER incl)::DOUBLE AS cia,
+        |    coalesce((sum(CAST(ub AS DECIMAL(38,12))) OVER prev)
+        |      ::DOUBLE, 0.0::DOUBLE) AS cpb,
+        |    (sum(CAST(ub AS DECIMAL(38,12))) OVER incl)::DOUBLE AS cib,
+        |    coalesce((sum(CAST(uc AS DECIMAL(38,12))) OVER prev)
+        |      ::DOUBLE, 0.0::DOUBLE) AS cpc,
+        |    (sum(CAST(uc AS DECIMAL(38,12))) OVER incl)::DOUBLE AS cic
+        |  FROM g3n
+        |  WINDOW prev AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING),
+        |    incl AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW)),
+        |g5 AS MATERIALIZED (SELECT *,
+        |    cib * cic - cpb * cpc AS qma,
+        |    cia * cic - cpa * cpc AS qmb,
+        |    cia * cib - cpa * cpb AS qmc
+        |  FROM g4),
+        |g6 AS MATERIALIZED (SELECT *,
+        |    coalesce((sum(CAST(qma AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm1a,
+        |    coalesce((sum(CAST(qma * p AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm2a,
+        |    coalesce((sum(CAST(qmb AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm1b,
+        |    coalesce((sum(CAST(qmb * p AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm2b,
+        |    coalesce((sum(CAST(qmc AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm1c,
+        |    coalesce((sum(CAST(qmc * p AS DECIMAL(38,12))) OVER sfx)
+        |      ::DOUBLE, 0.0::DOUBLE) AS sm2c
+        |  FROM g5
+        |  WINDOW sfx AS (ORDER BY p ROWS BETWEEN 1 FOLLOWING AND
+        |    UNBOUNDED FOLLOWING)),
+        |agg AS (SELECT
+        |    (sum(CAST(ua * ((cpb + ub / 2.0::DOUBLE) *
+        |      (cpc + uc / 2.0::DOUBLE)) AS DECIMAL(38,12))))::DOUBLE
+        |      AS pba,
+        |    (sum(CAST(ub * ((cpa + ua / 2.0::DOUBLE) *
+        |      (cpc + uc / 2.0::DOUBLE)) AS DECIMAL(38,12))))::DOUBLE
+        |      AS pbb,
+        |    (sum(CAST(uc * ((cpa + ua / 2.0::DOUBLE) *
+        |      (cpb + ub / 2.0::DOUBLE)) AS DECIMAL(38,12))))::DOUBLE
+        |      AS pbc,
+        |    (sum(CAST(ua * (sm2a - p * sm1a) AS DECIMAL(38,12))))
+        |      ::DOUBLE AS ela,
+        |    (sum(CAST(ub * (sm2b - p * sm1b) AS DECIMAL(38,12))))
+        |      ::DOUBLE AS elb,
+        |    (sum(CAST(uc * (sm2c - p * sm1c) AS DECIMAL(38,12))))
+        |      ::DOUBLE AS elc
+        |  FROM g6)
+        |SELECT 'A' AS "group", na AS n, ca AS conv,
+        |  round(ca::DOUBLE / na::DOUBLE, 6) AS rate,
+        |  round(pba, 6) AS prob_best, round(ela, 6) AS exp_loss
+        |FROM agg, pv
+        |UNION ALL
+        |SELECT 'B', nb, cb, round(cb::DOUBLE / nb::DOUBLE, 6),
+        |  round(pbb, 6), round(elb, 6) FROM agg, pv
+        |UNION ALL
+        |SELECT 'C', nc, cc, round(cc::DOUBLE / nc::DOUBLE, 6),
+        |  round(pbc, 6), round(elc, 6) FROM agg, pv
+        |ORDER BY "group"""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

@@ -2334,4 +2334,241 @@ object Profile {
     (r6(num.doubleValue / den), r6(ela.doubleValue / den),
       r6(elb.doubleValue / den))
   }
+
+  /** Multi-arm (A/B/n) Bayesian "probability to beat" — [[probBest]]
+    * generalized from two arms to 2 ≤ K ≤ 8: with independent
+    * uniform-prior Beta posteriors per arm, each arm's probability of
+    * being the BEST, `P(arm i best) = ∫ pdf_i(x)·∏_{j≠i} cdf_j(x) dx`,
+    * and its EXPECTED LOSS `E[(max_{j≠i} p_j − p_i)⁺]` — the K-arm
+    * Bayesian stopping criterion (ship arm i when its expected loss
+    * drops below the care-about threshold), both on the same
+    * deterministic midpoint grid. Ties in a cell use the midpoint
+    * convention for P(best) (each same-cell pair splits ½/½, so the
+    * K probabilities sum to 1 up to quantization) and contribute 0 to
+    * the loss (bias O(cell²), far below 6 dp). At K = 2 the readout
+    * equals [[probBest]]'s at 6 dp (prob_best of the higher arm =
+    * prob_b_beats_a; the losses map 1:1) — the reduction the spec
+    * pins. Returns ONE ROW PER ARM (group, n, conv, rate, prob_best,
+    * exp_loss), ordered by group label, 6 dp.
+    *
+    * Mechanics (every step engine-replayable): per arm the log Beta
+    * mass on the midpoint grid, max-shifted exp, then NORMALIZED by
+    * the arm's decimal-quantized grid total (unlike the 2-arm face's
+    * end-of-race division — K unnormalized CDF products would
+    * overflow DECIMAL(38,12)'s 26 integer digits by K = 8). The
+    * running per-arm CDFs (exclusive and inclusive) ride the one
+    * gridN-bounded ordered window; the max-of-others pmf is the
+    * difference of the others' CDF products
+    * `qm_i(x) = ∏_{j≠i} F_j(x) − ∏_{j≠i} F_j(x−1)` (at K = 2 exactly
+    * the other arm's pmf, which is how the reduction holds); the loss
+    * is the same suffix-moment contraction as the 2-arm face,
+    * `Σ_x m_i(x)·Σ_{u>x} qm_i(u)·(p_u − p_x)`. Every grid sum is
+    * DECIMAL(38,12)-quantized — accumulation order cannot move the
+    * readout. Null contract and the ≥ 3-grid-cell resolution rail are
+    * [[probBest]]'s.
+    *
+    * 100 TB shape: ONE group-keyed collapse of the input (K ≤ 8 rows
+    * collected); everything after runs on the constant-size grid
+    * frame — 2K running-CDF columns + 2K suffix-moment columns over
+    * three window specs on gridN rows.
+    */
+  def probBestK(users: DataFrame, groupCol: String, success: Column,
+      gridN: Int = 4000): DataFrame = {
+    require(gridN >= 100 && gridN <= 20000,
+      "probBestK: gridN must be in 100..20000")
+    val spark = users.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val per = users
+      .select(col(groupCol).cast("string").as("__g"),
+        success.cast("boolean").as("__s"))
+      .filter(col("__g").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), count(when(col("__s"), 1)).as("__c"))
+      .collect() // K <= 8 rows — group-grain, bounded
+    require(per.length >= 2 && per.length <= 8,
+      s"probBestK: need 2..8 groups, got ${per.length}")
+    val srt = per.sortBy(_.getString(0))
+    val arms = srt.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    arms.foreach { case (g, n, c) =>
+      require(betaSd(n, c) >= 3.0 / gridN,
+        s"probBestK: arm $g's posterior (n=$n) is narrower than 3 grid " +
+          s"cells at gridN=$gridN — raise gridN or use pairwise " +
+          "twoProportionTest (exact in the normal regime)")
+    }
+    val kk = arms.size
+    val grid = spark.range(1, gridN + 1L)
+      .select(((col("id").cast("double") - lit(0.5)) /
+        lit(gridN.toDouble)).as("__p"))
+    def logm(c: Long, f: Long) =
+      lit(c.toDouble) * log(col("__p")) +
+        lit(f.toDouble) * log(lit(1.0) - col("__p"))
+    val g2 = grid.select(col("__p") +: arms.zipWithIndex.map {
+      case ((_, n, c), i) => logm(c, n - c).as(s"__l$i") }: _*)
+    val mx = g2.agg(max(col("__l0")).as("__m0"),
+      (1 until kk).map(i => max(col(s"__l$i")).as(s"__m$i")): _*)
+    val g3 = g2.crossJoin(broadcast(mx))
+      .select(col("__p") +: (0 until kk).map(i =>
+        exp(col(s"__l$i") - col(s"__m$i")).as(s"__t$i")): _*)
+    val zs = g3.agg(sum(d12(col("__t0"))).as("__z0"),
+      (1 until kk).map(i => sum(d12(col(s"__t$i"))).as(s"__z$i")): _*)
+    val g3n = g3.crossJoin(broadcast(zs))
+      .select(col("__p") +: (0 until kk).map(i =>
+        (col(s"__t$i") / col(s"__z$i").cast("double"))
+          .as(s"__u$i")): _*)
+    // gridN-bounded by construction: the deliberate unpartitioned
+    // ordered windows in this operator (per-arm prefix CDFs, both
+    // exclusive and inclusive, + max-of-others suffix moments)
+    val wPrev = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.orderBy(col("__p"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val g4 = (0 until kk).foldLeft(g3n) { (acc, i) =>
+      acc
+        .withColumn(s"__cp$i",
+          coalesce(sum(d12(col(s"__u$i"))).over(wPrev).cast("double"),
+            lit(0.0)))
+        .withColumn(s"__ci$i",
+          sum(d12(col(s"__u$i"))).over(wIncl).cast("double"))
+    }
+    def prodOthers(i: Int, mk: Int => Column): Column =
+      (0 until kk).filter(_ != i).map(mk)
+        .reduceLeft(_ * _) // left-assoc: the algebra mirrors this order
+    val g5 = (0 until kk).foldLeft(g4) { (acc, i) =>
+      acc.withColumn(s"__qm$i",
+        prodOthers(i, j => col(s"__ci$j")) -
+          prodOthers(i, j => col(s"__cp$j")))
+    }
+    def sufSum(c: Column) =
+      coalesce(sum(d12(c)).over(wSuf).cast("double"), lit(0.0))
+    val g6 = (0 until kk).foldLeft(g5) { (acc, i) =>
+      acc
+        .withColumn(s"__sm1_$i", sufSum(col(s"__qm$i")))
+        .withColumn(s"__sm2_$i", sufSum(col(s"__qm$i") * col("__p")))
+    }
+    val aggExprs = (0 until kk).flatMap { i =>
+      Seq(
+        sum(d12(col(s"__u$i") *
+          prodOthers(i, j => col(s"__cp$j") + col(s"__u$j") / lit(2.0))))
+          .cast("double").as(s"__pb$i"),
+        sum(d12(col(s"__u$i") *
+          (col(s"__sm2_$i") - col("__p") * col(s"__sm1_$i"))))
+          .cast("double").as(s"__el$i"))
+    }
+    val one = g6.agg(aggExprs.head, aggExprs.tail: _*)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val armStructs = arms.zipWithIndex.map { case ((g, n, c), i) =>
+      struct(lit(g).as("group"), lit(n).as("n"), lit(c).as("conv"),
+        lit(r6(c.toDouble / n.toDouble)).as("rate"),
+        round(col(s"__pb$i"), 6).as("prob_best"),
+        round(col(s"__el$i"), 6).as("exp_loss"))
+    }
+    one.select(explode(array(armStructs: _*)).as("__r"))
+      .select(col("__r.group").as("group"), col("__r.n").as("n"),
+        col("__r.conv").as("conv"), col("__r.rate").as("rate"),
+        col("__r.prob_best").as("prob_best"),
+        col("__r.exp_loss").as("exp_loss"))
+      .orderBy(col("group"))
+  }
+
+  /** The [[probBestK]] grid race on K collected (n, conv) pairs —
+    * shared by the streaming twin
+    * ([[graft.streaming.StreamOps.streamingProbBestK]]). Mirrors the
+    * in-plan arithmetic EXACTLY: normalized masses, per-arm decimal
+    * prefix CDFs, the left-assoc others-products, and every grid sum
+    * accumulated as 12-dp-quantized decimals in grid order —
+    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` IS Spark's
+    * double→DECIMAL(38,12) cast, so batch and streaming cannot drift.
+    * Returns per arm (prob_best, exp_loss) in input order, 6 dp.
+    */
+  def probBestKAlgebra(counts: Seq[(Long, Long)],
+      gridN: Int = 4000): Seq[(Double, Double)] = {
+    require(gridN >= 100 && gridN <= 20000,
+      "probBestKAlgebra: gridN must be in 100..20000")
+    require(counts.size >= 2 && counts.size <= 8,
+      s"probBestKAlgebra: need 2..8 arms, got ${counts.size}")
+    counts.foreach { case (n, c) =>
+      require(c >= 0 && n >= c && n >= 1,
+        "probBestKAlgebra: need 0 <= conv <= n, n >= 1")
+      require(betaSd(n, c) >= 3.0 / gridN,
+        s"probBestKAlgebra: a posterior is narrower than 3 grid cells " +
+          s"at gridN=$gridN — raise gridN")
+    }
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q12(x: Double) = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    val kk = counts.size
+    val gn = gridN
+    val ps = Array.tabulate(gn)(i => ((i + 1).toDouble - 0.5) / gn.toDouble)
+    val us: Array[Array[Double]] = counts.map { case (n, c) =>
+      val lm = ps.map(x =>
+        c.toDouble * math.log(x) +
+          (n - c).toDouble * math.log(1.0 - x))
+      val m = lm.max
+      val t = lm.map(x => math.exp(x - m))
+      var z = JBD.ZERO
+      t.foreach(x => z = z.add(q12(x)))
+      val zd = z.doubleValue
+      t.map(_ / zd)
+    }.toArray
+    // per-arm exclusive/inclusive decimal prefix CDFs, per-cell doubles
+    val cp = Array.ofDim[Double](kk, gn)
+    val ci = Array.ofDim[Double](kk, gn)
+    for (i <- 0 until kk) {
+      var acc = JBD.ZERO
+      for (x <- 0 until gn) {
+        cp(i)(x) = acc.doubleValue
+        acc = acc.add(q12(us(i)(x)))
+        ci(i)(x) = acc.doubleValue
+      }
+    }
+    def prodOthers(i: Int, v: Array[Array[Double]], x: Int): Double = {
+      var r = Double.NaN
+      var first = true
+      for (j <- 0 until kk; if j != i) {
+        r = if (first) v(j)(x) else r * v(j)(x)
+        first = false
+      }
+      r
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    (0 until kk).map { i =>
+      val qm = Array.tabulate(gn)(x =>
+        prodOthers(i, ci, x) - prodOthers(i, cp, x))
+      // suffix moments of the max-of-others pmf (the window mirror)
+      val sm1 = new Array[Double](gn)
+      val sm2 = new Array[Double](gn)
+      var s1 = JBD.ZERO
+      var s2 = JBD.ZERO
+      for (x <- gn - 1 to 0 by -1) {
+        sm1(x) = s1.doubleValue
+        sm2(x) = s2.doubleValue
+        s1 = s1.add(q12(qm(x)))
+        s2 = s2.add(q12(qm(x) * ps(x)))
+      }
+      var pb = JBD.ZERO
+      var el = JBD.ZERO
+      for (x <- 0 until gn) {
+        val mid = {
+          var r = Double.NaN
+          var first = true
+          for (j <- 0 until kk; if j != i) {
+            val f = cp(j)(x) + us(j)(x) / 2.0
+            r = if (first) f else r * f
+            first = false
+          }
+          r
+        }
+        pb = pb.add(q12(us(i)(x) * mid))
+        el = el.add(q12(us(i)(x) * (sm2(x) - ps(x) * sm1(x))))
+      }
+      (r6(pb.doubleValue), r6(el.doubleValue))
+    }
+  }
 }

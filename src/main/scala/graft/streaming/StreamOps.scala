@@ -844,6 +844,80 @@ object StreamOps {
       }
   }
 
+  /** One arm's running readout in a K-arm experiment
+    * ([[streamingProbBestK]]); K rows emitted per micro-batch that
+    * touches the key. */
+  case class ProbBestKReading(key: String, arm: String, n: Long,
+      conv: Long, prob_best: Option[Double], exp_loss: Option[Double])
+
+  /** Per-key cumulative K-arm counts ([[streamingProbBestK]]) — 2K
+    * longs, O(K) state regardless of stream length. */
+  case class ProbBestKState(ns: Seq[Long], cs: Seq[Long])
+
+  /** Streaming K-arm (A/B/n) Bayesian monitor — the continuous face
+    * of [[graft.ops.Profile.probBestK]]: per experiment key the state
+    * holds ONLY the 2K cumulative arm counts, and each micro-batch
+    * that touches the key emits one [[ProbBestKReading]] PER ARM with
+    * P(arm best) and its expected loss from
+    * [[graft.ops.Profile.probBestKAlgebra]] — the batch operator's
+    * exact grid arithmetic (the parity spec asserts bit-equality at
+    * 6 dp against the batch face on the cumulative data). Arms are
+    * the EXPLICIT `labels` (2..8, stable across batches); other
+    * labels and null successes drop (the batch face's contract); a
+    * key missing any arm reads null, as does a key whose posterior
+    * has outgrown the grid (the batch face's ≥ 3-cell resolution
+    * rail — a continuous monitor must not crash mid-run). State never
+    * expires (2K longs per key, stated).
+    */
+  def streamingProbBestK(events: DataFrame, keyCol: String,
+      groupCol: String, successCol: String, labels: Seq[String],
+      gridN: Int = 4000)(
+      implicit spark: SparkSession): Dataset[ProbBestKReading] = {
+    import spark.implicits._
+    require(labels.size >= 2 && labels.size <= 8,
+      "streamingProbBestK: need 2..8 arm labels")
+    require(labels.distinct.size == labels.size,
+      "streamingProbBestK: arm labels must be distinct")
+    val kk = labels.size
+    val idx = labels.zipWithIndex.toMap
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        col(groupCol).cast("string").as("g"),
+        col(successCol).cast("boolean").as("s"))
+      .filter(col("k").isNotNull && col("s").isNotNull &&
+        col("g").isin(labels.map(x => x: Any): _*))
+      .as[(String, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ProbBestKState, ProbBestKReading](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Boolean)],
+            state: GroupState[ProbBestKState]) =>
+          val s0 = state.getOption.getOrElse(ProbBestKState(
+            Seq.fill(kk)(0L), Seq.fill(kk)(0L)))
+          val ns = s0.ns.toArray
+          val cs = s0.cs.toArray
+          rows.foreach { case (_, g, ok) =>
+            val i = idx(g)
+            ns(i) += 1L
+            if (ok) cs(i) += 1L
+          }
+          val s1 = ProbBestKState(ns.toSeq, cs.toSeq)
+          state.update(s1)
+          val resolved = (0 until kk).forall(i => ns(i) >= 1L &&
+            graft.ops.Profile.betaSd(ns(i), cs(i)) >= 3.0 / gridN)
+          if (resolved) {
+            val out = graft.ops.Profile.probBestKAlgebra(
+              (0 until kk).map(i => (ns(i), cs(i))), gridN)
+            (0 until kk).iterator.map(i =>
+              ProbBestKReading(key, labels(i), ns(i), cs(i),
+                Some(out(i)._1), Some(out(i)._2)))
+          } else {
+            (0 until kk).iterator.map(i =>
+              ProbBestKReading(key, labels(i), ns(i), cs(i), None, None))
+          }
+      }
+  }
+
   /** Streaming exact dedup with watermark-bounded state: each key's
     * fingerprint lives in the state store only until the watermark passes
     * it (`dropDuplicatesWithinWatermark`), so state stays proportional to

@@ -1031,6 +1031,74 @@ class ProfileSpec extends AnyFunSuite {
       elb2 == bm.getDouble(10), s"($p2,$ela2,$elb2) vs $bm")
   }
 
+  test("probBestK: K=3 closed forms, K=2 reduction, algebra parity, " +
+    "guards") {
+    import spark.implicits._
+    // A: 1 user 0 conv -> Beta(1,2); B: 1 user 1 conv -> Beta(2,1);
+    // C: 2 users 1 conv -> Beta(2,2). Polynomial integrals in closed
+    // form: P(A best) = 11/105, P(B best) = 67/105, P(C best) = 27/105
+    // and E[(max others − arm)+] = 5/12, 1/12, 1/4.
+    val tiny = Seq(("A", 0), ("B", 1), ("C", 1), ("C", 0))
+      .toDF("g", "conv")
+    val r = Profile.probBestK(tiny, "g", col("conv") === 1).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 1L, 2L))
+    val pb = r.map(_.getDouble(4))
+    val el = r.map(_.getDouble(5))
+    assert(math.abs(pb(0) - 11.0 / 105.0) < 1e-5, pb.mkString(","))
+    assert(math.abs(pb(1) - 67.0 / 105.0) < 1e-5, pb.mkString(","))
+    assert(math.abs(pb(2) - 27.0 / 105.0) < 1e-5, pb.mkString(","))
+    assert(math.abs(pb.sum - 1.0) < 2e-6, s"sum ${pb.sum}")
+    assert(math.abs(el(0) - 5.0 / 12.0) < 5e-5, el.mkString(","))
+    assert(math.abs(el(1) - 1.0 / 12.0) < 5e-5, el.mkString(","))
+    assert(math.abs(el(2) - 1.0 / 4.0) < 5e-5, el.mkString(","))
+    // the driver-side K-arm algebra (the streaming twin's kernel) is
+    // bit-identical to the in-plan race on the same counts
+    val alg = Profile.probBestKAlgebra(Seq((1L, 0L), (1L, 1L), (2L, 1L)))
+    alg.zip(r).foreach { case ((ap, ae), row) =>
+      assert(ap == row.getDouble(4) && ae == row.getDouble(5),
+        s"algebra drifted: ($ap,$ae) vs $row")
+    }
+    // K = 2 reduction: the K-arm race reads exactly the 2-arm face
+    val mixed = ((1 to 40).map(i => ("A", i % 3 == 0)) ++
+      (1 to 37).map(i => ("B", i % 2 == 0))).toDF("g", "c")
+    val two = Profile.probBestK(mixed, "g", col("c")).collect()
+    val ref = Profile.probBest(mixed, "g", col("c")).collect()(0)
+    assert(two(1).getDouble(4) == ref.getDouble(8),
+      s"P(B best) ${two(1).getDouble(4)} vs ${ref.getDouble(8)}")
+    assert(two(0).getDouble(5) == ref.getDouble(9),
+      s"loss A ${two(0).getDouble(5)} vs ${ref.getDouble(9)}")
+    assert(two(1).getDouble(5) == ref.getDouble(10),
+      s"loss B ${two(1).getDouble(5)} vs ${ref.getDouble(10)}")
+    // symmetric arms split evenly; a dominant arm's loss vanishes
+    val sym = (1 to 30).flatMap(i =>
+      Seq(("A", i % 5 == 0), ("B", i % 5 == 0), ("C", i % 5 == 0)))
+      .toDF("g", "c")
+    val ps = Profile.probBestK(sym, "g", col("c")).collect()
+    ps.foreach(row => assert(math.abs(row.getDouble(4) - 1.0 / 3.0)
+      < 1e-5, row.toString))
+    val dom = ((1 to 100).map(i => ("A", i <= 10)) ++
+      (1 to 100).map(i => ("B", i <= 60)) ++
+      (1 to 100).map(i => ("C", i <= 15))).toDF("g", "c")
+    val pd = Profile.probBestK(dom, "g", col("c")).collect()
+    assert(pd(1).getDouble(4) > 0.999 && pd(1).getDouble(5) < 1e-4,
+      pd.mkString(";"))
+    // guards: arm count, grid bounds, the resolution rail
+    intercept[IllegalArgumentException] {
+      Profile.probBestK(tiny.filter(col("g") === "A"), "g",
+        col("conv") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.probBestK(tiny, "g", col("conv") === 1, gridN = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.probBestKAlgebra(Seq((100000000L, 50000000L), (100L, 50L)))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.probBestKAlgebra(Seq((10L, 5L)))
+    }
+  }
+
   test("probBest: grid-resolution rail + null-success contract") {
     import spark.implicits._
     // n = 10^8 at the default grid: posterior sd ~5e-5, far below the

@@ -520,6 +520,48 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming probBestK matches the batch K-arm race bit-for-bit " +
+    "on the cumulative counts") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Boolean)]
+    val q = StreamOps.streamingProbBestK(
+        input.toDF().toDF("exp", "arm", "ok"), "exp", "arm", "ok",
+        labels = Seq("A", "B", "C"))
+      .writeStream.format("memory").queryName("pbk_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1 misses arm C entirely -> null readings for every arm
+    val b1 = Seq(("e1", "A", true), ("e1", "A", false),
+      ("e1", "B", true), ("e1", "junk", true))
+    val b2 = Seq(("e1", "C", true), ("e1", "C", false),
+      ("e1", "B", false), ("e1", "A", true))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT * FROM pbk_out ORDER BY (prob_best IS NOT NULL), arm")
+        .collect()
+      assert(rows.length == 6) // 3 arms x 2 micro-batches
+      val first = rows.take(3)
+      assert(first.forall(_.isNullAt(4)), first.mkString(";"))
+      val last = rows.drop(3)
+      assert(last.map(_.getString(1)).toSeq == Seq("A", "B", "C"))
+      assert(last.map(_.getLong(2)).toSeq == Seq(3L, 2L, 2L))
+      // cumulative parity with the batch face ('junk' arm dropped)
+      import org.apache.spark.sql.functions.{col => c}
+      val batch = graft.ops.Profile.probBestK(
+        (b1 ++ b2).filter(_._2 != "junk").toDF("g0", "arm", "ok")
+          .select(c("arm"), c("ok")), "arm", c("ok"))
+        .collect()
+      last.zip(batch).foreach { case (s, b) =>
+        assert(s.getDouble(4) == b.getDouble(4), s"prob: $s vs $b")
+        assert(s.getDouble(5) == b.getDouble(5), s"loss: $s vs $b")
+      }
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
