@@ -936,7 +936,9 @@ object Cli {
           case "sequences" =>
             graft.ops.Events.frequentSequences(df, user, typ, ts, id,
               flags.getOrElse("min-support", "100").toLong,
-              flags.getOrElse("max-len", "3").toInt)
+              flags.getOrElse("max-len", "3").toInt,
+              flags.get("max-gap-events").map(_.toLong),
+              flags.get("max-gap-ms").map(_.toLong))
           case "uplift" =>
             graft.ops.Events.upliftTLearner(df, req("treat-col"),
               req("y-col"), flags.get("x-cols")

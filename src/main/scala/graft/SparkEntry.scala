@@ -4556,7 +4556,17 @@ object SparkEntry {
         .withColumn("grp",
           when(hx < "6", "A").when(hx < "b", "B").otherwise("C"))
       graft.ops.Profile.probBestK(u, "grp", col("n_buy") >= 14)
-    })
+    }),
+
+    // Gap-constrained frequent sequences (ops/Events.scala): q300's
+    // mining with consecutive matched items at most 2 events apart —
+    // the "within a burst" form; all-feasible-ends state (min-end is
+    // not exact under a gap), support = distinct users.
+    "q311_sequences_gapped" -> ((s, dir) =>
+      graft.ops.Events.frequentSequences(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        minSupport = 100L, maxLen = 3,
+        maxGapEvents = Some(2L)))
   )
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -12277,7 +12287,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'C', nc, cc, round(cc::DOUBLE / nc::DOUBLE, 6),
         |  round(pbc, 6), round(elc, 6) FROM agg, pv
-        |ORDER BY "group"""".stripMargin
+        |ORDER BY "group"""".stripMargin,
+
+    // the q300 rounds with ALL match ends carried (no min(pos)
+    // collapse — min-end is inexact under a gap), the <= 2-position
+    // gap predicate on each growth join, DISTINCT-user support
+    "q311_sequences_gapped" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS it,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |f1 AS MATERIALIZED (
+        |  SELECT it AS pat, count(DISTINCT u)::BIGINT AS support
+        |  FROM ev GROUP BY it HAVING count(DISTINCT u) >= 100),
+        |of1 AS MATERIALIZED (
+        |  SELECT e.u, e.it AS pat, e.pos AS e FROM ev e
+        |  JOIN f1 f ON f.pat = e.it),
+        |o2 AS MATERIALIZED (
+        |  SELECT DISTINCT o.u, o.pat || '>' || e.it AS pat, e.pos AS e
+        |  FROM of1 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |    AND e.pos - o.e <= 2),
+        |f2 AS MATERIALIZED (
+        |  SELECT pat, count(DISTINCT u)::BIGINT AS support FROM o2
+        |  GROUP BY pat HAVING count(DISTINCT u) >= 100),
+        |of2 AS MATERIALIZED (
+        |  SELECT o.u, o.pat, o.e FROM o2 o JOIN f2 f ON f.pat = o.pat),
+        |o3 AS MATERIALIZED (
+        |  SELECT DISTINCT o.u, o.pat || '>' || e.it AS pat, e.pos AS e
+        |  FROM of2 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |    AND e.pos - o.e <= 2),
+        |f3 AS (
+        |  SELECT pat, count(DISTINCT u)::BIGINT AS support FROM o3
+        |  GROUP BY pat HAVING count(DISTINCT u) >= 100)
+        |SELECT pat AS pattern, 1 AS length, support FROM f1
+        |UNION ALL SELECT pat, 2, support FROM f2
+        |UNION ALL SELECT pat, 3, support FROM f3
+        |ORDER BY 2 ASC, 3 DESC, 1 ASC""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

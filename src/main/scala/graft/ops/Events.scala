@@ -3801,31 +3801,56 @@ object Events {
     * occurrences. Growth is anti-monotone (support(p·x) ≤ support(p)),
     * so pruning each round at `minSupport` loses nothing.
     *
+    * GAP CONSTRAINTS (`maxGapEvents` / `maxGapMs`, both optional):
+    * "within a session / within an hour" mining — consecutive matched
+    * items must sit ≤ maxGapEvents positions and/or ≤ maxGapMs
+    * milliseconds apart. Under a gap constraint greedy min-end is NOT
+    * exact (the earliest match of a prefix can be too far from every
+    * extension that a later match reaches), so the constrained path
+    * carries ALL feasible match ends per (user, pattern) — state is
+    * (pattern × matching occurrence)-grain, still event-bounded and
+    * deduplicated per round, and the gap predicate bounds each state
+    * row's probe fan-out (≤ maxGapEvents successors when given).
+    * Support counts DISTINCT users. With neither gap set the min-end
+    * path runs unchanged.
+    *
     * 100 TB shape: positions ride ONE user-key window; each of the
     * ≤ maxLen−1 growth rounds is a user-keyed join of the pruned
-    * (user, pattern, end) state against the typed log plus a
-    * pattern-grain support count — state is |users| × |frequent
-    * patterns|, never occurrence-sized, and the frequent-pattern
-    * prune is a broadcast semi-join. maxLen is capped at 4: candidate
-    * space is |alphabet|^ℓ and a real mining run raises `minSupport`,
-    * not the cap.
+    * (user, pattern, end) state against the typed log — the probe is
+    * first semi-joined to the round's SURVIVING users (shrinks every
+    * round; AQE broadcasts it when small) — plus a pattern-grain
+    * support count. Min-end state is |users| × |frequent patterns|,
+    * never occurrence-sized, and the frequent-pattern prune is a
+    * broadcast semi-join. maxLen is capped at 4: candidate space is
+    * |alphabet|^ℓ and a real mining run raises `minSupport`, not the
+    * cap.
     */
   def frequentSequences(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String, minSupport: Long,
-      maxLen: Int = 3): DataFrame = {
+      maxLen: Int = 3, maxGapEvents: Option[Long] = None,
+      maxGapMs: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, "frequentSequences: minSupport must be >= 1")
     require(maxLen >= 1 && maxLen <= 4,
       "frequentSequences: maxLen must be in 1..4")
+    maxGapEvents.foreach(g => require(g >= 1,
+      "frequentSequences: maxGapEvents must be >= 1"))
+    maxGapMs.foreach(g => require(g >= 0,
+      "frequentSequences: maxGapMs must be >= 0"))
+    val gapped = maxGapEvents.nonEmpty || maxGapMs.nonEmpty
     val wk = Window.partitionBy(col("__u"))
       .orderBy(col("__ts"), col("__id"))
-    val ev = events
+    val evW = events
       .select(col(userCol).as("__u"),
         col(typeCol).cast("string").as("__it"),
         col(tsCol).as("__ts"), col(idCol).as("__id"))
       .filter(col("__u").isNotNull && col("__it").isNotNull &&
         col("__ts").isNotNull)
       .withColumn("__pos", row_number().over(wk))
-      .select(col("__u"), col("__it"), col("__pos"))
+    val ev = (if (gapped)
+        evW.withColumn("__ms",
+            unix_millis(col("__ts").cast("timestamp")))
+          .select(col("__u"), col("__it"), col("__pos"), col("__ms"))
+      else evW.select(col("__u"), col("__it"), col("__pos")))
       .localCheckpoint(true) // re-probed once per growth round
     // '>' is the pattern delimiter: an item containing it would make
     // ⟨"a>b"⟩ ambiguous with ⟨a>b⟩, silently merging state and support
@@ -3837,36 +3862,80 @@ object Events {
     require(badItem.isEmpty,
       s"frequentSequences: item type '${badItem.headOption.map(_.getString(0)).getOrElse("")}' " +
         "contains the pattern delimiter '>' — rename or pre-escape it")
-    def support(occ: DataFrame): DataFrame = occ
-      .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
-    val occ1 = ev.groupBy(col("__u"), col("__it"))
-      .agg(min(col("__pos")).as("__end"))
-      .withColumnRenamed("__it", "pattern")
-      .localCheckpoint(true) // consumers: support + prune
-    var freq = support(occ1)
-      .localCheckpoint(true) // consumers: readout union + prune
-    var out = freq.withColumn("length", lit(1))
-    var occF = occ1.join(broadcast(freq.select(col("pattern"))),
-      Seq("pattern"), "left_semi")
-    for (len <- 2 to maxLen) {
-      val ext = occF.join(ev, Seq("__u"))
-        .where(col("__pos") > col("__end"))
-        .select(col("__u"),
-          concat(col("pattern"), lit(">"), col("__it")).as("pattern"),
-          col("__pos"))
-        .groupBy(col("__u"), col("pattern"))
+    // the probe prune shared by both paths: the round's event frame
+    // restricted to users still carrying state (shrinks every round;
+    // AQE broadcasts the survivor list when it is small)
+    def prune(occF: DataFrame): DataFrame =
+      ev.join(occF.select(col("__u")).distinct(), Seq("__u"),
+        "left_semi")
+    if (!gapped) {
+      def support(occ: DataFrame): DataFrame = occ
+        .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
+        .where(col("support") >= minSupport)
+      val occ1 = ev.groupBy(col("__u"), col("__it"))
         .agg(min(col("__pos")).as("__end"))
+        .withColumnRenamed("__it", "pattern")
         .localCheckpoint(true) // consumers: support + prune
-      val f = support(ext)
+      var freq = support(occ1)
         .localCheckpoint(true) // consumers: readout union + prune
-      out = out.unionByName(f.withColumn("length", lit(len)))
-      if (len < maxLen)
-        occF = ext.join(broadcast(f.select(col("pattern"))),
-          Seq("pattern"), "left_semi")
+      var out = freq.withColumn("length", lit(1))
+      var occF = occ1.join(broadcast(freq.select(col("pattern"))),
+        Seq("pattern"), "left_semi")
+      for (len <- 2 to maxLen) {
+        val ext = occF.join(prune(occF), Seq("__u"))
+          .where(col("__pos") > col("__end"))
+          .select(col("__u"),
+            concat(col("pattern"), lit(">"), col("__it")).as("pattern"),
+            col("__pos"))
+          .groupBy(col("__u"), col("pattern"))
+          .agg(min(col("__pos")).as("__end"))
+          .localCheckpoint(true) // consumers: support + prune
+        val f = support(ext)
+          .localCheckpoint(true) // consumers: readout union + prune
+        out = out.unionByName(f.withColumn("length", lit(len)))
+        if (len < maxLen)
+          occF = ext.join(broadcast(f.select(col("pattern"))),
+            Seq("pattern"), "left_semi")
+      }
+      out.select(col("pattern"), col("length"), col("support"))
+        .orderBy(col("length"), col("support").desc, col("pattern"))
+    } else {
+      // all-feasible-ends state: exact under gap constraints where
+      // min-end is not (see the scaladoc); support = distinct users
+      def support(occ: DataFrame): DataFrame = occ
+        .groupBy(col("pattern"))
+        .agg(countDistinct(col("__u")).as("support"))
+        .where(col("support") >= minSupport)
+      val gapCond = Seq(
+        maxGapEvents.map(g => col("__pos") - col("__end") <= g),
+        maxGapMs.map(g => col("__ms") - col("__ets") <= g))
+        .flatten.reduceLeft(_ && _)
+      val occ1 = ev.select(col("__u"), col("__it").as("pattern"),
+          col("__pos").as("__end"), col("__ms").as("__ets"))
+        .localCheckpoint(true) // consumers: support + prune
+      var freq = support(occ1)
+        .localCheckpoint(true) // consumers: readout union + prune
+      var out = freq.withColumn("length", lit(1))
+      var occF = occ1.join(broadcast(freq.select(col("pattern"))),
+        Seq("pattern"), "left_semi")
+      for (len <- 2 to maxLen) {
+        val ext = occF.join(prune(occF), Seq("__u"))
+          .where(col("__pos") > col("__end") && gapCond)
+          .select(col("__u"),
+            concat(col("pattern"), lit(">"), col("__it")).as("pattern"),
+            col("__pos").as("__end"), col("__ms").as("__ets"))
+          .distinct() // several prior ends can reach one new end
+          .localCheckpoint(true) // consumers: support + prune
+        val f = support(ext)
+          .localCheckpoint(true) // consumers: readout union + prune
+        out = out.unionByName(f.withColumn("length", lit(len)))
+        if (len < maxLen)
+          occF = ext.join(broadcast(f.select(col("pattern"))),
+            Seq("pattern"), "left_semi")
+      }
+      out.select(col("pattern"), col("length"), col("support"))
+        .orderBy(col("length"), col("support").desc, col("pattern"))
     }
-    out.select(col("pattern"), col("length"), col("support"))
-      .orderBy(col("length"), col("support").desc, col("pattern"))
   }
 
   /** Uplift T-learner (Künzel et al. 2019's two-model meta-learner):

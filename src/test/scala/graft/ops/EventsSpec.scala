@@ -1654,6 +1654,52 @@ class EventsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("delimiter"), e.getMessage)
   }
 
+  test("frequentSequences: gap constraints carry all feasible ends") {
+    import spark.implicits._
+    // a(1) a(2) b(3) at maxGapEvents = 1: the min-end 'a' (pos 1) is
+    // 2 away from b, only the SECOND 'a' reaches it — min-end state
+    // would miss the pattern, all-ends state finds it
+    val plant = Seq((1L, "a", ts(0), 1L), (1L, "a", ts(1), 2L),
+      (1L, "b", ts(2), 3L)).toDF("u", "et", "at", "id")
+    val g1 = Events.frequentSequences(plant, "u", "et", "at", "id",
+        1L, 2, maxGapEvents = Some(1L)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g1("a>b") == 1L, g1.toString)
+    // the gap splits a planted pattern: at adjacent-only, a>c loses
+    // u1 (distance 2) and drops below minSupport; a>b keeps u1+u3
+    val rows = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(1), 2L), (1L, "c", ts(2), 3L),
+      (2L, "a", ts(0), 4L), (2L, "c", ts(1), 5L), (2L, "b", ts(2), 6L),
+      (3L, "a", ts(0), 7L), (3L, "b", ts(1), 8L))
+      .toDF("u", "et", "at", "id")
+    val tight = Events.frequentSequences(rows, "u", "et", "at", "id",
+        2L, 3, maxGapEvents = Some(1L)).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(tight == Map(
+      "a" -> ((1, 3L)), "b" -> ((1, 3L)), "c" -> ((1, 2L)),
+      "a>b" -> ((2, 2L))), tight.toString)
+    // a gap wider than any sequence reproduces the unconstrained
+    // readout exactly (distinct-user support == min-end state count)
+    val loose = Events.frequentSequences(rows, "u", "et", "at", "id",
+        2L, 3, maxGapEvents = Some(1000L)).collect()
+      .map(_.toSeq).toSet
+    val base = Events.frequentSequences(rows, "u", "et", "at", "id",
+        2L, 3).collect().map(_.toSeq).toSet
+    assert(loose == base, s"$loose vs $base")
+    // time gap: b at +10 min only matches within a generous window
+    val tg = Seq((1L, "x", ts(0), 1L), (1L, "y", ts(10), 2L))
+      .toDF("u", "et", "at", "id")
+    def mined(ms: Long) = Events.frequentSequences(tg, "u", "et",
+        "at", "id", 1L, 2, maxGapMs = Some(ms)).collect()
+      .map(_.getString(0)).toSet
+    assert(mined(60000L) == Set("x", "y"), "1 min excludes")
+    assert(mined(3600000L) == Set("x", "y", "x>y"), "1 h includes")
+    intercept[IllegalArgumentException] {
+      Events.frequentSequences(rows, "u", "et", "at", "id", 1L, 2,
+        maxGapEvents = Some(0L))
+    }
+  }
+
   test("upliftTLearner: exact per-arm lines and the k=0 mean-difference face") {
     import spark.implicits._
     // arm 0: y = 1 + 2x, arm 1: y = 2 + 5x, exact fits — segment s1
