@@ -964,6 +964,9 @@ object Cli {
           case "rmst" =>
             graft.ops.Events.rmst(df, req("group-col"),
               req("time-col"), req("event-col"), req("tau").toDouble)
+          case "competing-risks" =>
+            graft.ops.Events.ajIncidence(df, req("group-col"),
+              req("time-col"), req("cause-col"))
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)

@@ -4566,8 +4566,49 @@ object SparkEntry {
       graft.ops.Events.frequentSequences(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id",
         minSupport = 100L, maxLen = 3,
-        maxGapEvents = Some(2L)))
+        maxGapEvents = Some(2L))),
+
+    // Aalen-Johansen competing risks (ops/Events.scala): from signup,
+    // the first-purchase vs first-error race per user — per-cause
+    // cumulative incidence built on all-cause KM left-limits, per md5
+    // arm; the q240/q251 family's answer to "which outcome wins".
+    "q309_competing_risks" -> ((s, dir) =>
+      graft.ops.Events.ajIncidence(competingArms(s, dir), "grp", "t",
+        "cause"))
   )
+
+  /** q309's per-subject competing-risks frame: md5 arms, hours from
+    * first signup to the FIRST of {purchase, error} at or after it
+    * (same-millisecond ties break to purchase — deterministic), null
+    * cause = right-censored at the log's max timestamp. */
+  private def competingArms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").as("u"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_type").as("et"))
+    val anchors = ev.filter(col("et") === "signup")
+      .groupBy(col("u")).agg(min(col("ms")).as("anchor"))
+    val firsts = ev.filter(col("et").isin("purchase", "error"))
+      .join(anchors, Seq("u"))
+      .where(col("ms") >= col("anchor"))
+      .groupBy(col("u"))
+      .agg(min(when(col("et") === "purchase", col("ms"))).as("mp"),
+        min(when(col("et") === "error", col("ms"))).as("me"))
+    val end = ev.agg(max(col("ms")).as("fin"))
+    val winsP = col("mp").isNotNull &&
+      (col("me").isNull || col("mp") <= col("me"))
+    val cause = when(winsP, "purchase")
+      .when(col("me").isNotNull, "error")
+    val evt = when(winsP, col("mp")).when(col("me").isNotNull, col("me"))
+    anchors.join(firsts, Seq("u"), "left")
+      .crossJoin(broadcast(end))
+      .select(
+        when(substring(md5(col("u").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("grp"),
+        floor((coalesce(evt, col("fin")) - col("anchor")) /
+          lit(3600000.0)).cast("long").as("t"),
+        cause.as("cause"))
+  }
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
     * signup to first at-or-after purchase, right-censored at the log's
@@ -12325,7 +12366,72 @@ object SparkEntry {
         |SELECT pat AS pattern, 1 AS length, support FROM f1
         |UNION ALL SELECT pat, 2, support FROM f2
         |UNION ALL SELECT pat, 3, support FROM f3
-        |ORDER BY 2 ASC, 3 DESC, 1 ASC""".stripMargin
+        |ORDER BY 2 ASC, 3 DESC, 1 ASC""".stripMargin,
+
+    // the q306 subject-frame device with a purchase-vs-error race
+    // (ties to purchase), then the AJ product: all-cause KM windows
+    // for S(t-) and S(t), a (g,t,cause) grain join, decimal-quantized
+    // S(t-)*d_c/n terms, per-(g,cause) running incidence
+    "q309_competing_risks" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+        |a AS (SELECT u, min(ms) AS anchor FROM ev
+        |      WHERE et = 'signup' GROUP BY u),
+        |fc AS (SELECT ev.u,
+        |    min(CASE WHEN et = 'purchase' THEN ms END) AS mp,
+        |    min(CASE WHEN et = 'error' THEN ms END) AS me
+        |  FROM ev JOIN a ON ev.u = a.u
+        |  WHERE ev.ms >= a.anchor AND ev.et IN ('purchase', 'error')
+        |  GROUP BY ev.u),
+        |mx AS (SELECT max(ms) AS fin FROM ev),
+        |pu AS MATERIALIZED (SELECT
+        |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS g,
+        |    floor((coalesce(
+        |      CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
+        |        THEN mp WHEN me IS NOT NULL THEN me END, fin)
+        |      - anchor) / 3600000.0)::BIGINT AS t,
+        |    CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
+        |      THEN 'purchase'
+        |      WHEN me IS NOT NULL THEN 'error' END AS cause
+        |  FROM a LEFT JOIN fc ON a.u = fc.u CROSS JOIN mx),
+        |km AS (SELECT g, t, count(cause)::BIGINT AS d,
+        |    sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS cns
+        |  FROM pu GROUP BY g, t),
+        |w AS (SELECT g, t, d, cns,
+        |    (sum(d + cns) OVER (PARTITION BY g)
+        |     - coalesce(sum(d + cns) OVER (PARTITION BY g ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       0))::BIGINT AS nr
+        |  FROM km),
+        |s AS (SELECT *,
+        |    CASE WHEN d < nr THEN
+        |      CAST(ln(1 - d::DOUBLE / nr) AS DECIMAL(38,12)) END AS lnq
+        |  FROM w),
+        |s2 AS MATERIALIZED (SELECT g, t, nr,
+        |    CASE WHEN d = nr THEN 0.0::DOUBLE
+        |      ELSE round(exp((sum(lnq) OVER wc)::DOUBLE), 6)
+        |    END AS survival,
+        |    coalesce(exp((sum(lnq) OVER wp)::DOUBLE), 1.0::DOUBLE)
+        |      AS sprev
+        |  FROM s
+        |  WINDOW wc AS (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wp AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING)),
+        |pc AS (SELECT g, t, cause, count(*)::BIGINT AS dc FROM pu
+        |  WHERE cause IS NOT NULL GROUP BY g, t, cause),
+        |j AS (SELECT pc.g, pc.t, pc.cause, s2.nr, pc.dc, s2.survival,
+        |    CAST(s2.sprev * (pc.dc::DOUBLE / s2.nr::DOUBLE)
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM pc JOIN s2 ON pc.g = s2.g AND pc.t = s2.t)
+        |SELECT g AS grp, t::DOUBLE AS t, cause, nr AS n_at_risk,
+        |  dc AS n_events, survival,
+        |  round((sum(term) OVER (PARTITION BY g, cause ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    ::DOUBLE, 6) AS cif
+        |FROM j ORDER BY grp, cause, t""".stripMargin
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

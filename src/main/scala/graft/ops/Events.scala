@@ -2116,6 +2116,89 @@ object Events {
       .orderBy(col(groupCol), col("t"))
   }
 
+  /** Aalen-Johansen cumulative incidence under COMPETING RISKS
+    * (Aalen & Johansen 1978) — the correct per-cause probability
+    * curve when subjects can fail from more than one cause
+    * (churn vs upgrade, purchase vs error): per (group, t, cause),
+    * `CIF_c(t) = Σ_{s ≤ t} Ŝ(s−) · d_c(s) / n(s)` where Ŝ(s−) is the
+    * ALL-CAUSE Kaplan-Meier survival just before s. Treating each
+    * cause alone and censoring the others (1 − KM per cause)
+    * overstates every incidence because it redistributes competing
+    * failures; Aalen-Johansen's incidences add up — Σ_c CIF_c(t) =
+    * 1 − Ŝ(t) exactly (the telescoping identity the single-cause
+    * spec pins). Input contract: one row per subject with a NULL
+    * cause meaning right-censored and any non-null cause string an
+    * observed failure. Returns one row per (group, t, cause) with an
+    * event of that cause: (group, t, cause, n_at_risk, n_events,
+    * survival, cif) — `survival` is the all-cause KM AT t (0 exactly
+    * when every at-risk subject fails, necessarily the group's last
+    * row), `cif` the running 6-dp incidence. Per-term products are
+    * DECIMAL(38,12)-quantized before the one running sum
+    * (order-invariant, engine-replayable).
+    *
+    * 100 TB shape: [[kmCurves]]' passes — one (group, time) and one
+    * (group, time, cause) grain aggregation off the subject frame,
+    * group-partitioned windows on the time grain, a time-grain join,
+    * then (group, cause)-partitioned running sums. Nothing
+    * subject-sized moves after the grain collapse.
+    */
+  def ajIncidence(df: DataFrame, groupCol: String, timeCol: String,
+      causeCol: String): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(timeCol).cast("double").as("t"),
+        col(causeCol).cast("string").as("__c"))
+      .localCheckpoint(true) // consumers: all-cause grain + cause grain
+    val km = vals.groupBy(col("__g"), col("t"))
+      .agg(count(col("__c")).as("n_events"), // count() skips nulls
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_censored"))
+    val wAll = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leaving = col("n_events") + col("n_censored")
+    // a row with n_events = n_at_risk is necessarily its group's
+    // last (nobody remains), so the null __lnq it leaves can never
+    // poison a LATER row's prefix sums
+    val base = km
+      .withColumn("n_at_risk",
+        sum(leaving).over(wAll) -
+          coalesce(sum(leaving).over(wPrev), lit(0L)))
+      .withColumn("__lnq",
+        when(col("n_events") < col("n_at_risk"),
+          log(lit(1.0) -
+            col("n_events").cast("double") / col("n_at_risk")))
+          .cast("decimal(38,12)"))
+      .withColumn("survival",
+        when(col("n_events") === col("n_at_risk"), 0.0)
+          .otherwise(round(
+            exp(sum(col("__lnq")).over(wCum).cast("double")), 6)))
+      .withColumn("__sprev",
+        coalesce(exp(sum(col("__lnq")).over(wPrev).cast("double")),
+          lit(1.0)))
+      .select(col("__g"), col("t"), col("n_at_risk"),
+        col("survival"), col("__sprev"))
+    val perCause = vals.filter(col("__c").isNotNull)
+      .groupBy(col("__g"), col("t"), col("__c").as("cause"))
+      .agg(count(lit(1)).as("n_events"))
+    val wCif = Window.partitionBy(col("__g"), col("cause"))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCause.join(base, Seq("__g", "t"))
+      .withColumn("__term", d12(col("__sprev") *
+        (col("n_events").cast("double") /
+          col("n_at_risk").cast("double"))))
+      .withColumn("cif",
+        round(sum(col("__term")).over(wCif).cast("double"), 6))
+      .select(col("__g").as(groupCol), col("t"), col("cause"),
+        col("n_at_risk"), col("n_events"), col("survival"), col("cif"))
+      .orderBy(col(groupCol), col("cause"), col("t"))
+  }
+
   /** Shared (key, day) count collapse for the per-key daily-series
     * operators (anomaly/seasonality/CUSUM/Theil-Sen/SES): nulls
     * dropped, key canonicalized to its string form, ONE event-sized

@@ -1787,6 +1787,59 @@ class EventsSpec extends AnyFunSuite {
     assert(pfx.getMessage.contains("quantileFit:"), pfx.getMessage)
   }
 
+  test("ajIncidence: hand-computed CIFs, single-cause = 1 - KM, " +
+    "additivity") {
+    import spark.implicits._
+    // 4 subjects, one group: t=1 cause a (nr=4, S->3/4), t=2 cause b
+    // (nr=3, term = 0.75/3), t=3 censored, t=4 cause a (nr=1, last
+    // subject dies -> survival pinned 0, term = S(2)=0.5)
+    val rows = Seq(("X", 1.0, Some("a")), ("X", 2.0, Some("b")),
+      ("X", 3.0, None), ("X", 4.0, Some("a")))
+      .toDF("g", "tt", "cz")
+    val r = Events.ajIncidence(rows, "g", "tt", "cz").collect()
+    assert(r.length == 3)
+    val byKey = r.map(x => (x.getString(2), x.getDouble(1)) -> x).toMap
+    val a1 = byKey(("a", 1.0))
+    assert(a1.getLong(3) == 4L && a1.getLong(4) == 1L)
+    assert(a1.getDouble(5) == 0.75 && a1.getDouble(6) == 0.25, s"$a1")
+    val b2 = byKey(("b", 2.0))
+    assert(b2.getLong(3) == 3L && b2.getDouble(5) == 0.5 &&
+      b2.getDouble(6) == 0.25, s"$b2")
+    val a4 = byKey(("a", 4.0))
+    assert(a4.getLong(3) == 1L && a4.getDouble(5) == 0.0 &&
+      a4.getDouble(6) == 0.75, s"$a4")
+    // additivity at the end: sum of final CIFs = 1 - final survival
+    assert(math.abs((0.75 + 0.25) - (1.0 - 0.0)) < 1e-9)
+    // single cause reduces to 1 - KM at every event time (telescoping)
+    val mixed = (1 to 40).map { i =>
+      val t = (i % 7 + 1).toDouble
+      val e = if (i % 3 == 0) None else Some("e")
+      ("G", t, e)
+    }.toDF("g", "tt", "cz")
+    val aj = Events.ajIncidence(mixed, "g", "tt", "cz")
+      .collect().map(x => x.getDouble(1) -> x.getDouble(6)).toMap
+    val km = Events.kmCurves(mixed
+        .withColumn("ev",
+          org.apache.spark.sql.functions.when(col("cz").isNotNull, 1L)
+            .otherwise(0L)),
+        "g", "tt", "ev")
+      .collect().filter(_.getLong(3) > 0) // event rows only
+      .map(x => x.getDouble(1) -> x.getDouble(5)).toMap
+    assert(aj.keySet == km.keySet, s"$aj vs $km")
+    aj.foreach { case (t, cif) =>
+      assert(math.abs(cif - (1.0 - km(t))) < 2e-6, s"t=$t: $cif vs km")
+    }
+    // two causes at one time share S(t-) and n_at_risk
+    val tie = Seq(("Y", 1.0, Some("a")), ("Y", 1.0, Some("b")),
+      ("Y", 2.0, None)).toDF("g", "tt", "cz")
+    val rt = Events.ajIncidence(tie, "g", "tt", "cz").collect()
+    assert(rt.length == 2)
+    rt.foreach { x =>
+      assert(x.getLong(3) == 3L && math.abs(x.getDouble(6) - 1.0 / 3.0)
+        < 1e-6, s"$x")
+    }
+  }
+
   test("rmst: exact step-function areas, truncation, empty-truncation spine") {
     import spark.implicits._
     // arm A: die at 1 (of 3), die at 2, censor at 3 -> S = 2/3, 1/3,
