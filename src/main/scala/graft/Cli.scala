@@ -967,6 +967,10 @@ object Cli {
           case "competing-risks" =>
             graft.ops.Events.ajIncidence(df, req("group-col"),
               req("time-col"), req("cause-col"))
+          case "cox-zph" =>
+            graft.ops.Events.coxPhTest(df, req("time-col"),
+              req("event-col"), req("x-cols").split(",").toSeq,
+              flags.getOrElse("iters", "6").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)

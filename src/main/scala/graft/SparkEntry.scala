@@ -4574,7 +4574,18 @@ object SparkEntry {
     // arm; the q240/q251 family's answer to "which outcome wins".
     "q309_competing_risks" -> ((s, dir) =>
       graft.ops.Events.ajIncidence(competingArms(s, dir), "grp", "t",
-        "cause"))
+        "cause")),
+
+    // Schoenfeld-style PH diagnostic (ops/Events.scala): q295's fit,
+    // then its Schoenfeld residuals regressed on event rank — the
+    // check that the hazard ratio is actually constant over time.
+    "q310_cox_zph" -> ((s, dir) => {
+      val arms = survivalArms(s, dir)
+        .select(col("t"), col("e"),
+          when(col("grp") === "B", 1.0).otherwise(0.0).as("treated"))
+      graft.ops.Events.coxPhTest(arms, "t", "e", Seq("treated"),
+        iters = 6)
+    })
   )
 
   /** q309's per-subject competing-risks frame: md5 arms, hours from
@@ -12431,7 +12442,105 @@ object SparkEntry {
         |  round((sum(term) OVER (PARTITION BY g, cause ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |    ::DOUBLE, 6) AS cif
-        |FROM j ORDER BY grp, cause, t""".stripMargin
+        |FROM j ORDER BY grp, cause, t""".stripMargin,
+
+    // the q295 Newton unroll verbatim, then a 7th grain pass at bet6,
+    // Schoenfeld residuals sx - d*S1/S0 per event time, the rank
+    // window, one decimal 6-moment fold, trend algebra in the
+    // operator's exact double shapes
+    "q310_cox_zph" -> {
+      val steps = (1 to 6).map { i =>
+        s"""w$i AS (SELECT t, e, x0,
+           |    exp(0.0::DOUBLE + (b.c0 * x0)) AS wg
+           |  FROM pu2, bet${i - 1} b),
+           |gr$i AS (SELECT t, sum(e)::BIGINT AS d,
+           |    sum(CAST(CASE WHEN e = 1 THEN x0 ELSE 0.0::DOUBLE END
+           |      AS DECIMAL(38,12))) AS sx0,
+           |    sum(CAST(wg AS DECIMAL(38,12))) AS rw,
+           |    sum(CAST(wg * x0 AS DECIMAL(38,12))) AS rwx0,
+           |    sum(CAST(wg * x0 * x0 AS DECIMAL(38,12))) AS rwxx
+           |  FROM w$i GROUP BY t),
+           |sf$i AS (SELECT *,
+           |    (sum(rw) OVER sfx)::DOUBLE AS S0,
+           |    (sum(rwx0) OVER sfx)::DOUBLE AS S1,
+           |    (sum(rwxx) OVER sfx)::DOUBLE AS S2
+           |  FROM gr$i WINDOW sfx AS (ORDER BY t
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |mo$i AS (SELECT
+           |    sum(CAST(sx0::DOUBLE - d::DOUBLE * (S1 / S0)
+           |      AS DECIMAL(38,12)))::DOUBLE AS g0,
+           |    sum(CAST(d::DOUBLE * (S2 / S0 - (S1 / S0) * (S1 / S0))
+           |      AS DECIMAL(38,12)))::DOUBLE AS h00
+           |  FROM sf$i WHERE d > 0),
+           |bet$i AS MATERIALIZED (SELECT
+           |    (b.c0 + (m.g0 / m.h00)) AS c0,
+           |    (1.0::DOUBLE / m.h00) AS inv0
+           |  FROM bet${i - 1} b, mo$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id AS u,
+         |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+         |a AS (SELECT u, min(ms) AS anchor FROM ev
+         |      WHERE et = 'signup' GROUP BY u),
+         |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+         |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+         |       GROUP BY ev.u),
+         |mx AS (SELECT max(ms) AS fin FROM ev),
+         |pu AS (SELECT
+         |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+         |      THEN 'A' ELSE 'B' END AS g,
+         |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT
+         |      AS t,
+         |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+         |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+         |pu2 AS MATERIALIZED (SELECT t, e,
+         |    CASE WHEN g = 'B' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         |      AS x0 FROM pu),
+         |bet0 AS (SELECT 0.0::DOUBLE AS c0, 0.0::DOUBLE AS inv0),
+         |$steps,
+         |w7 AS (SELECT t, e, x0,
+         |    exp(0.0::DOUBLE + (b.c0 * x0)) AS wg
+         |  FROM pu2, bet6 b),
+         |gr7 AS (SELECT t, sum(e)::BIGINT AS d,
+         |    sum(CAST(CASE WHEN e = 1 THEN x0 ELSE 0.0::DOUBLE END
+         |      AS DECIMAL(38,12))) AS sx0,
+         |    sum(CAST(wg AS DECIMAL(38,12))) AS rw,
+         |    sum(CAST(wg * x0 AS DECIMAL(38,12))) AS rwx0
+         |  FROM w7 GROUP BY t),
+         |sf7 AS (SELECT *,
+         |    (sum(rw) OVER sfx)::DOUBLE AS S0,
+         |    (sum(rwx0) OVER sfx)::DOUBLE AS S1
+         |  FROM gr7 WINDOW sfx AS (ORDER BY t
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |res AS (SELECT t,
+         |    (row_number() OVER (ORDER BY t))::DOUBLE AS g,
+         |    sx0::DOUBLE - d::DOUBLE * (S1 / S0) AS r
+         |  FROM sf7 WHERE d > 0),
+         |mom AS (SELECT count(*)::BIGINT AS m,
+         |    (sum(CAST(g AS DECIMAL(38,12))))::DOUBLE AS sg,
+         |    (sum(CAST(g * g AS DECIMAL(38,12))))::DOUBLE AS sg2,
+         |    (sum(CAST(r AS DECIMAL(38,12))))::DOUBLE AS sr,
+         |    (sum(CAST(r * r AS DECIMAL(38,12))))::DOUBLE AS sr2,
+         |    (sum(CAST(g * r AS DECIMAL(38,12))))::DOUBLE AS sgr
+         |  FROM res),
+         |alg AS (SELECT m,
+         |    (m::DOUBLE * sgr - sg * sr) AS num,
+         |    (m::DOUBLE * sg2 - sg * sg) AS vg,
+         |    (m::DOUBLE * sr2 - sr * sr) AS vr
+         |  FROM mom),
+         |alg2 AS (SELECT m, vg, vr, num / vg AS slope,
+         |    num / (sqrt(vg) * sqrt(vr)) AS corr
+         |  FROM alg)
+         |SELECT 0 AS term_idx, 'treated' AS term, m AS n_times,
+         |  round(b.c0, 6) AS coef,
+         |  CASE WHEN vg > 0.0::DOUBLE THEN round(slope, 6) END AS slope,
+         |  CASE WHEN vg > 0.0::DOUBLE AND vr > 0.0::DOUBLE
+         |    THEN round(corr, 6) END AS corr,
+         |  CASE WHEN vg > 0.0::DOUBLE AND vr > 0.0::DOUBLE AND m > 2
+         |    AND corr * corr < 1.0::DOUBLE
+         |    THEN round(corr * sqrt(m::DOUBLE - 2.0::DOUBLE) /
+         |      sqrt(1.0::DOUBLE - corr * corr), 6) END AS z
+         |FROM alg2, bet6 b""".stripMargin
+    }
   )
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →

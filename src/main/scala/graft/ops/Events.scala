@@ -1976,63 +1976,71 @@ object Events {
     * time-grain aggregation + grain windows + one 1-row moments
     * collect); k ≤ 10, so the Hessian is a plan-time constant.
     */
-  def coxPh(df: DataFrame, timeCol: String, eventCol: String,
-      xCols: Seq[String], iters: Int = 6): DataFrame = {
-    require(xCols.nonEmpty && xCols.size <= 10,
-      "coxPh: need 1..10 covariates")
-    require(xCols.distinct.size == xCols.size,
-      "coxPh: covariates must be distinct")
-    require(iters >= 1 && iters <= 12, "coxPh: iters must be in 1..12")
-    val spark = df.sparkSession
-    import spark.implicits._
-    def d12(c: Column) = c.cast("decimal(38,12)")
+  /** The shared Cox projected base: (__t, __e, __x*) listwise-null-
+    * deleted and pinned (consumed once per Newton step, plus the
+    * diagnostic's residual pass). */
+  private def coxBase(df: DataFrame, timeCol: String,
+      eventCol: String, xCols: Seq[String]): DataFrame = {
     val k = xCols.size
-    val base = df
-      .select(col(timeCol).cast("double").as("__t") +:
+    df.select(col(timeCol).cast("double").as("__t") +:
         col(eventCol).cast("long").as("__e") +:
         xCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("double").as(s"__x$i") }: _*)
       .filter(col("__t").isNotNull && col("__e").isNotNull &&
         (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
       .localCheckpoint(eager = true) // iters consumers
-    val counts = base.agg(count(lit(1)).as("n"),
-      sum(col("__e")).as("d")).head()
-    val n = counts.getLong(0)
-    val nEvents = counts.getLong(1)
-    require(nEvents > k,
-      s"coxPh: need more events than covariates, got $nEvents")
+  }
+
+  /** One pass of the Cox partial-likelihood grain at a fixed β: per
+    * distinct time the death count `d`, the dying subjects' covariate
+    * sums `sx_j`, and the exp(xβ)-weighted risk-set suffix sums
+    * `__S0/__S1_j/__S2_j_l` (rows are DISTINCT event times — the
+    * unpartitioned suffix window is time-grain-bounded, the logRank
+    * argument). Shared verbatim by [[coxPh]]'s Newton steps and
+    * [[coxPhTest]]'s Schoenfeld residual pass so the two cannot
+    * drift. */
+  private def coxGrain(base: DataFrame, k: Int,
+      beta: Array[Double]): DataFrame = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
     val wSuffix = Window.orderBy(col("__t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // time-grain-bounded unpartitioned suffix window (the logRank
-    // argument): rows here are DISTINCT event times, not subjects
+    val eta = (0 until k).foldLeft(lit(0.0): Column)((acc, j) =>
+      acc + lit(beta(j)) * col(s"__x$j"))
+    val wgt = exp(eta)
+    val grainAggs =
+      Seq(sum(col("__e")).as("d")) ++
+        (0 until k).map(j => sum(d12(when(col("__e") === 1L,
+          col(s"__x$j")).otherwise(lit(0.0)))).as(s"sx$j")) ++
+        Seq(sum(d12(wgt)).as("rw")) ++
+        (0 until k).map(j =>
+          sum(d12(wgt * col(s"__x$j"))).as(s"rwx$j")) ++
+        (for { j <- 0 until k; l <- j until k } yield
+          sum(d12(wgt * col(s"__x$j") * col(s"__x$l")))
+            .as(s"rwxx${j}_$l"))
+    val grain = base.groupBy(col("__t"))
+      .agg(grainAggs.head, grainAggs.tail: _*)
+    val withS = grain
+      .withColumn("__S0", sum(col("rw")).over(wSuffix).cast("double"))
+    val withS1 = (0 until k).foldLeft(withS)((acc, j) =>
+      acc.withColumn(s"__S1_$j",
+        sum(col(s"rwx$j")).over(wSuffix).cast("double")))
+    (for { j <- 0 until k; l <- j until k }
+      yield (j, l)).foldLeft(withS1) { case (acc, (j, l)) =>
+      acc.withColumn(s"__S2_${j}_$l",
+        sum(col(s"rwxx${j}_$l")).over(wSuffix).cast("double"))
+    }
+  }
+
+  /** [[coxPh]]'s fixed-count Newton-Raphson on the Breslow partial
+    * likelihood over an already-projected base — returns (β, the
+    * inverse-Hessian diagonal at the last step). */
+  private def coxNewton(base: DataFrame, k: Int,
+      iters: Int): (Array[Double], Array[Double]) = {
+    def d12(c: Column) = c.cast("decimal(38,12)")
     var beta = Array.fill(k)(0.0)
     var invDiag = Array.fill(k)(0.0)
     (1 to iters).foreach { _ =>
-      val eta = (0 until k).foldLeft(lit(0.0): Column)((acc, j) =>
-        acc + lit(beta(j)) * col(s"__x$j"))
-      val wgt = exp(eta)
-      val grainAggs =
-        Seq(sum(col("__e")).as("d")) ++
-          (0 until k).map(j => sum(d12(when(col("__e") === 1L,
-            col(s"__x$j")).otherwise(lit(0.0)))).as(s"sx$j")) ++
-          Seq(sum(d12(wgt)).as("rw")) ++
-          (0 until k).map(j =>
-            sum(d12(wgt * col(s"__x$j"))).as(s"rwx$j")) ++
-          (for { j <- 0 until k; l <- j until k } yield
-            sum(d12(wgt * col(s"__x$j") * col(s"__x$l")))
-              .as(s"rwxx${j}_$l"))
-      val grain = base.groupBy(col("__t"))
-        .agg(grainAggs.head, grainAggs.tail: _*)
-      val withS = grain
-        .withColumn("__S0", sum(col("rw")).over(wSuffix).cast("double"))
-      val withS1 = (0 until k).foldLeft(withS)((acc, j) =>
-        acc.withColumn(s"__S1_$j",
-          sum(col(s"rwx$j")).over(wSuffix).cast("double")))
-      val withS2 = (for { j <- 0 until k; l <- j until k }
-        yield (j, l)).foldLeft(withS1) { case (acc, (j, l)) =>
-        acc.withColumn(s"__S2_${j}_$l",
-          sum(col(s"rwxx${j}_$l")).over(wSuffix).cast("double"))
-      }
+      val withS2 = coxGrain(base, k, beta)
       val dD = col("d").cast("double")
       val momAggs =
         (0 until k).map(j =>
@@ -2063,6 +2071,27 @@ object Events {
       beta = Array.tabulate(k)(j => beta(j) + delta(j))
       invDiag = inv
     }
+    (beta, invDiag)
+  }
+
+  def coxPh(df: DataFrame, timeCol: String, eventCol: String,
+      xCols: Seq[String], iters: Int = 6): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 10,
+      "coxPh: need 1..10 covariates")
+    require(xCols.distinct.size == xCols.size,
+      "coxPh: covariates must be distinct")
+    require(iters >= 1 && iters <= 12, "coxPh: iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xCols.size
+    val base = coxBase(df, timeCol, eventCol, xCols)
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(col("__e")).as("d")).head()
+    val n = counts.getLong(0)
+    val nEvents = counts.getLong(1)
+    require(nEvents > k,
+      s"coxPh: need more events than covariates, got $nEvents")
+    val (beta, invDiag) = coxNewton(base, k, iters)
     def r6(x: Double) =
       if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
       else -math.floor(-x * 1e6 + 0.5) / 1e6
@@ -2073,6 +2102,92 @@ object Events {
     }
     out.toDF("term_idx", "term", "n", "n_events", "coef",
       "hazard_ratio", "se", "z")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Proportional-hazards diagnostic for [[coxPh]] — the check the
+    * fit is otherwise trusted without (Grambsch & Therneau 1994's
+    * idea, the pragmatic identity-transform form): at the FITTED β,
+    * per event time the Schoenfeld residual
+    * `r_j(t) = Σ_{deaths at t} x_j − d_t·(S1_j/S0)(t)` (the same
+    * risk-set grain the Newton pass already computes), regressed on
+    * the EVENT RANK of t. Under proportional hazards the residuals
+    * are trendless; a covariate whose effect grows or fades over time
+    * shows a signed slope. Returns one row per covariate:
+    * (term_idx, term, n_times, coef, slope, corr, z) — `slope` the
+    * residual-vs-rank OLS slope, `corr` the Pearson correlation, `z`
+    * the t-form trend statistic `corr·√(m−2)/√(1−corr²)` (null when
+    * m ≤ 2, a moment degenerates, or |corr| rounds to 1); |z| ≳ 2
+    * flags a PH violation. 6 dp.
+    *
+    * The fit is [[coxNewton]] (identical trajectory to [[coxPh]] —
+    * same base, same steps); the residual pass is ONE more
+    * [[coxGrain]] at the final β plus a time-grain rank window and a
+    * DECIMAL(38,12)-quantized 6-moment fold; the trend algebra runs
+    * on the driver in fixed double shapes (engine-replayable).
+    *
+    * 100 TB shape: [[coxPh]]'s per-iteration passes + one extra
+    * grain pass; the moments collect is one row of 6k doubles.
+    */
+  def coxPhTest(df: DataFrame, timeCol: String, eventCol: String,
+      xCols: Seq[String], iters: Int = 6): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 10,
+      "coxPhTest: need 1..10 covariates")
+    require(xCols.distinct.size == xCols.size,
+      "coxPhTest: covariates must be distinct")
+    require(iters >= 1 && iters <= 12,
+      "coxPhTest: iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val k = xCols.size
+    val base = coxBase(df, timeCol, eventCol, xCols)
+    val nEvents = base.agg(sum(col("__e"))).head().getLong(0)
+    require(nEvents > k,
+      s"coxPhTest: need more events than covariates, got $nEvents")
+    val (beta, _) = coxNewton(base, k, iters)
+    // event-time rank over the (already time-grain) death rows — the
+    // unpartitioned window is grain-bounded, the coxGrain argument
+    val wRank = Window.orderBy(col("__t"))
+    val res = coxGrain(base, k, beta)
+      .filter(col("d") > 0)
+      .withColumn("__g", row_number().over(wRank).cast("double"))
+    val dD = col("d").cast("double")
+    def rj(j: Int) = col(s"sx$j").cast("double") -
+      dD * (col(s"__S1_$j") / col("__S0"))
+    val momAggs = Seq(count(lit(1)).as("m"),
+      sum(d12(col("__g"))).as("sg"),
+      sum(d12(col("__g") * col("__g"))).as("sg2")) ++
+      (0 until k).flatMap(j => Seq(
+        sum(d12(rj(j))).as(s"sr$j"),
+        sum(d12(rj(j) * rj(j))).as(s"sr2_$j"),
+        sum(d12(col("__g") * rj(j))).as(s"sgr$j")))
+    val mRow = res.agg(momAggs.head, momAggs.tail: _*).head()
+    def dv(f: String) = {
+      val d = mRow.getDecimal(mRow.fieldIndex(f))
+      if (d == null) 0.0 else d.doubleValue()
+    }
+    val m = mRow.getLong(0)
+    val mD = m.toDouble
+    val (sg, sg2) = (dv("sg"), dv("sg2"))
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = (0 until k).map { j =>
+      val (sr, sr2, sgr) = (dv(s"sr$j"), dv(s"sr2_$j"), dv(s"sgr$j"))
+      val num = mD * sgr - sg * sr
+      val vg = mD * sg2 - sg * sg
+      val vr = mD * sr2 - sr * sr
+      val slope = if (vg > 0) Some(r6(num / vg)) else None
+      val corr = if (vg > 0 && vr > 0)
+        Some(num / (math.sqrt(vg) * math.sqrt(vr))) else None
+      val z = corr.filter(c => m > 2 && c * c < 1.0)
+        .map(c => r6(c * math.sqrt(mD - 2.0) /
+          math.sqrt(1.0 - c * c)))
+      (j, xCols(j), m, r6(beta(j)), slope, corr.map(r6), z)
+    }
+    out.toDF("term_idx", "term", "n_times", "coef", "slope", "corr",
+      "z")
       .orderBy(col("term_idx"))
   }
 

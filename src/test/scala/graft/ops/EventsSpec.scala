@@ -460,6 +460,43 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(junk(4).asInstanceOf[Double]) < 0.15)
   }
 
+  test("coxPhTest: planted time-varying effect flagged, proportional " +
+    "fixture passes") {
+    // proportional: exact exponential grids, hazard ratio 2 at every
+    // time — Schoenfeld residuals are trendless
+    val n = 300
+    def times(h: Double) = (1 to n).map(i =>
+      -math.log(1.0 - (i - 0.5) / n) / h)
+    val prop = (times(2.0).map(t => (t, 1L, 1.0)) ++
+      times(1.0).map(t => (t, 1L, 0.0))).toDF("t", "e", "x")
+    val rp = Events.coxPhTest(prop, "t", "e", Seq("x")).collect()(0)
+    assert(!rp.isNullAt(6) && math.abs(rp.getDouble(6)) < 2.0,
+      s"proportional fixture flagged: $rp")
+    // time-varying with OVERLAP (separation would diverge the fit and
+    // flatten the residuals): treated deaths on the sqrt grid are
+    // LATE-loaded (t = 100·sqrt(u) exceeds the uniform grid), so the
+    // treated hazard RISES relative to control — early deaths skew
+    // x=0, late ones x=1, a positive residual-vs-rank trend
+    val tv = ((1 to 200).map(i =>
+        (100.0 * math.sqrt((i - 0.5) / 200.0), 1L, 1.0)) ++
+      (1 to 200).map(i =>
+        (100.0 * (i - 0.5) / 200.0, 1L, 0.0))).toDF("t", "e", "x")
+    val rt = Events.coxPhTest(tv, "t", "e", Seq("x")).collect()(0)
+    assert(!rt.isNullAt(6) && math.abs(rt.getDouble(6)) > 2.0,
+      s"time-varying effect not flagged: $rt")
+    assert(rt.getDouble(5) > 0.0, s"trend sign: $rt")
+    // coef matches coxPh's fit (same base, same Newton trajectory)
+    val fit = Events.coxPh(prop, "t", "e", Seq("x")).collect()(0)
+    assert(rp.getDouble(3) == fit.getDouble(4), s"$rp vs $fit")
+    // partition invariance (decimal-quantized end to end)
+    def run(parts: Int) = Events.coxPhTest(prop.repartition(parts),
+      "t", "e", Seq("x")).collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+    intercept[IllegalArgumentException] {
+      Events.coxPhTest(prop, "t", "e", Seq.empty)
+    }
+  }
+
   test("burstiness: constant traffic reads fano 0, a burst reads huge") {
     // span days 1..10; A: 5/day steady, B: all 50 on day 1
     val rows = (1 to 10).flatMap(d => Seq.fill(5)(("A", day(d)))) ++
