@@ -933,6 +933,13 @@ object Cli {
             graft.ops.Events.burstiness(df, typ, ts)
           case "heaps" =>
             graft.ops.TextAnalysis.heapsLaw(df, id, req("text-col"))
+          case "topics" =>
+            graft.ops.TextAnalysis.latentTopics(df, id,
+              req("text-col"),
+              flags.getOrElse("k", "4").toInt,
+              flags.getOrElse("iters", "3").toInt,
+              flags.getOrElse("vocab", "300").toInt,
+              flags.getOrElse("top-terms", "10").toInt)
           case "sequences" =>
             graft.ops.Events.frequentSequences(df, user, typ, ts, id,
               flags.getOrElse("min-support", "100").toLong,

@@ -2215,13 +2215,19 @@ object Profile {
         exp(col("__la") - col("__ma")).as("__ta"),
         exp(col("__lb") - col("__mb")).as("__tb"))
     // gridN-bounded by construction: the deliberate unpartitioned
-    // ordered windows in this operator (prefix CDF + suffix moments)
+    // ordered windows in this operator (prefix CDF + suffix moments).
+    // Suffix sums are TOTAL − inclusive prefix — bit-identical to a
+    // suffix frame (DECIMAL subtraction is exact) but O(grid) where
+    // Spark's UNBOUNDED FOLLOWING frame rescans per row (O(grid²) —
+    // 100 s at gridN 20k)
     val wCdf = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wSuf = Window.orderBy(col("__p"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val wIncl = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     def sufSum(c: Column) =
-      coalesce(sum(d12(c)).over(wSuf).cast("double"), lit(0.0))
+      (sum(d12(c)).over(wTot) - sum(d12(c)).over(wIncl)).cast("double")
     val g4 = g3
       .withColumn("__cuma",
         coalesce(sum(d12(col("__ta"))).over(wCdf).cast("double"),
@@ -2424,8 +2430,8 @@ object Profile {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wIncl = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wSuf = Window.orderBy(col("__p"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val g4 = (0 until kk).foldLeft(g3n) { (acc, i) =>
       acc
         .withColumn(s"__cp$i",
@@ -2442,8 +2448,10 @@ object Profile {
         prodOthers(i, j => col(s"__ci$j")) -
           prodOthers(i, j => col(s"__cp$j")))
     }
+    // suffix moments as TOTAL − inclusive prefix: decimal-exact, and
+    // O(grid) where an UNBOUNDED FOLLOWING frame rescans per row
     def sufSum(c: Column) =
-      coalesce(sum(d12(c)).over(wSuf).cast("double"), lit(0.0))
+      (sum(d12(c)).over(wTot) - sum(d12(c)).over(wIncl)).cast("double")
     val g6 = (0 until kk).foldLeft(g5) { (acc, i) =>
       acc
         .withColumn(s"__sm1_$i", sufSum(col(s"__qm$i")))

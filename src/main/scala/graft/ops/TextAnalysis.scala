@@ -814,4 +814,119 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Latent topic discovery by PLSA-EM (Hofmann 1999, probabilistic
+    * latent semantic analysis) — the "what is actually in this crawl"
+    * tool a curation run needs BEFORE setting mixture weights: the
+    * corpus's (doc, term) count matrix is decomposed into k latent
+    * topics, `P(w|d) = Σ_z P(w|z)·P(z|d)`, by `iters` fixed EM steps,
+    * and the readout is each topic's top terms:
+    * (topic, rank, term, weight), weight = P(term|topic) at 6 dp,
+    * ordered (topic, rank). Unlike the DECLARED-domain readouts
+    * (source mixtures, lang-id), nothing here trusts metadata — the
+    * topics come from co-occurrence alone.
+    *
+    * Determinism (engine-replayable, no RNG): the vocabulary is the
+    * top `vocabSize` terms by corpus frequency (ties break on the
+    * term); P(w|z) initializes from the arithmetic perturbation
+    * `1 + ((rank·131 + z·197) mod 1009)/1009` of uniform (the
+    * symmetry breaker — pure integer arithmetic, identical in any
+    * engine); P(z|d) starts uniform. Every E-step responsibility is a
+    * fixed left-assoc double shape; every M-step aggregation is
+    * DECIMAL(38,12)-quantized, so accumulation order cannot move the
+    * fit. Fixed `iters` (EM is monotone in likelihood; the point is a
+    * reproducible decomposition, not convergence detection).
+    *
+    * 100 TB shape: one token explode → ONE (doc, term) count
+    * collapse (pinned; re-consumed per EM step); the vocabulary is a
+    * TakeOrdered top-V (never a global sort) and rides every join as
+    * a BROADCAST; per EM step ONE doc-keyed shuffle of the count
+    * frame joins P(z|d), two grain aggregations rebuild the factors,
+    * and the topic-term matrix stays V×k-bounded (collect-free —
+    * it is broadcast as a frame, never driver literals). State on
+    * executors is O(docs·k) + O(V·k), never corpus-sized.
+    */
+  def latentTopics(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, iters: Int = 3, vocabSize: Int = 300,
+      topTerms: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 10, "latentTopics: k must be in 2..10")
+    require(iters >= 1 && iters <= 6,
+      "latentTopics: iters must be in 1..6")
+    require(vocabSize >= 10 && vocabSize <= 5000,
+      "latentTopics: vocabSize must be in 10..5000")
+    require(topTerms >= 1 && topTerms <= 50,
+      "latentTopics: topTerms must be in 1..50")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val zs = 0 until k
+    val cdw = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__d"),
+        explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__d"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumers: vocab pick + count frame
+    val wV = Window.orderBy(col("__tot").desc, col("__w"))
+    val vocab = cdw.groupBy(col("__w"))
+      .agg(sum(col("__n")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__w")).limit(vocabSize)
+      // the row_number window runs on the ALREADY top-V frame
+      // (TakeOrderedAndProject above it) — vocabSize-bounded, stated
+      .withColumn("__r", row_number().over(wV) - 1)
+      .select(col("__w"), col("__r"))
+      .localCheckpoint(true) // consumers: init + count prune
+    val cnt = cdw.join(broadcast(vocab), Seq("__w"))
+      .select(col("__d"), col("__w"),
+        col("__n").cast("double").as("__n"))
+      .localCheckpoint(true) // consumed once per EM step
+    // init P(w|z): uniform + the integer-mod perturbation, decimal-
+    // normalized per topic
+    val praw = vocab.select(col("__w") +: zs.map(z =>
+      (lit(1.0) + ((col("__r") * 131 + lit(z * 197)) % 1009)
+        .cast("double") / lit(1009.0)).as(s"__raw$z")): _*)
+    val ptotAgg = zs.map(z => sum(d12(col(s"__raw$z"))).as(s"__t$z"))
+    val ptot = praw.agg(ptotAgg.head, ptotAgg.tail: _*)
+    var pwz = praw.crossJoin(broadcast(ptot))
+      .select(col("__w") +: zs.map(z =>
+        (col(s"__raw$z") / col(s"__t$z").cast("double"))
+          .as(s"__pw$z")): _*)
+    var pzd = cnt.select(col("__d")).distinct()
+      .select(col("__d") +: zs.map(z =>
+        lit(1.0 / k).as(s"__pd$z")): _*)
+    for (_ <- 1 to iters) {
+      val j = cnt.join(broadcast(pwz), Seq("__w"))
+        .join(pzd, Seq("__d"))
+      val raws = zs.map(z => col(s"__pw$z") * col(s"__pd$z"))
+      val denom = raws.reduceLeft(_ + _)
+      val resp = j.select(col("__d") +: col("__w") +: zs.map(z =>
+          (col("__n") * raws(z) / denom).as(s"__c$z")): _*)
+        .localCheckpoint(true) // consumers: both M-step grains
+      val pdAggs = zs.map(z => sum(d12(col(s"__c$z"))).as(s"__s$z"))
+      val pdRaw = resp.groupBy(col("__d"))
+        .agg(pdAggs.head, pdAggs.tail: _*)
+      val pdTot = zs.map(z => col(s"__s$z").cast("double"))
+        .reduceLeft(_ + _)
+      pzd = pdRaw.select(col("__d") +: zs.map(z =>
+        (col(s"__s$z").cast("double") / pdTot).as(s"__pd$z")): _*)
+      val pwRaw = resp.groupBy(col("__w"))
+        .agg(pdAggs.head, pdAggs.tail: _*)
+      val pwTotAgg = zs.map(z => sum(col(s"__s$z")).as(s"__t$z"))
+      val pwTot = pwRaw.agg(pwTotAgg.head, pwTotAgg.tail: _*)
+      pwz = pwRaw.crossJoin(broadcast(pwTot))
+        .select(col("__w") +: zs.map(z =>
+          (col(s"__s$z").cast("double") / col(s"__t$z").cast("double"))
+            .as(s"__pw$z")): _*)
+    }
+    val wTop = Window.partitionBy(col("topic"))
+      .orderBy(col("__p").desc, col("term"))
+    val arr = array(zs.map(z =>
+      struct(lit(z).as("topic"), col(s"__pw$z").as("__p"))): _*)
+    pwz.select(col("__w").as("term"), explode(arr).as("__e"))
+      .select(col("__e.topic").as("topic"), col("term"),
+        col("__e.__p").as("__p"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topTerms)
+      .select(col("topic"), col("rank"), col("term"),
+        round(col("__p"), 6).as("weight"))
+      .orderBy(col("topic"), col("rank"))
+  }
 }

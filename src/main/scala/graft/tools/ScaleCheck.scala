@@ -60,7 +60,7 @@ object ScaleCheck {
     // shards warc packing kll wordpiece quantiles pagerank evalrank
     // knref releasediff webeval opq batchbm25 events recgraph tailfaces graphx sfbench
     // sfbench100 evalscale streamtwins statfaces monitorfaces
-    // seqfaces) to run a subset; no args = everything
+    // seqfaces r17faces) to run a subset; no args = everything
     val want = args.map(_.toLowerCase).toSet
     def run(tag: String): Boolean = want.isEmpty || want(tag)
 
@@ -2856,8 +2856,12 @@ object ScaleCheck {
         when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
         (pmod(xxhash64((col("id") / 2).cast("long"), lit(59)),
           lit(10L)) === 0).as("c"))
+    // 1M-user arms at 10% sit below the default grid's 3-cell
+    // resolution rail (sd ~3e-4 < 3/4000) — the operator now fails
+    // loudly there; gridN=20000 is the documented mitigation
     val (pbs, tPb) = time {
-      graft.ops.Profile.probBest(pb, "g", col("c")).collect()(0)
+      graft.ops.Profile.probBest(pb, "g", col("c"), gridN = 20000)
+        .collect()(0)
     }
     require(math.abs(pbs.getDouble(8) - 0.5) < 1e-5,
       s"identical 1M-user arms must read 0.5: $pbs")
@@ -2867,11 +2871,134 @@ object ScaleCheck {
           pmod(xxhash64(col("id"), lit(61)), lit(10L)) === 0)
           .otherwise(pmod(xxhash64(col("id"), lit(61)), lit(5L)) === 0)
           .as("c"))
-    val pd2 = graft.ops.Profile.probBest(pb2, "g", col("c"))
+    val pd2 = graft.ops.Profile.probBest(pb2, "g", col("c"),
+        gridN = 20000)
       .collect()(0).getDouble(8)
     require(pd2 > 0.9999, s"10%% vs 20%% at 1M users must saturate: $pd2")
     println(f"SEQ> probbest users=2000000 sym=0.5 dom=$pd2%.4f " +
       f"t=$tPb%.1f s")
+    }
+
+    if (run("r17faces")) {
+    // ---- 5aj. Round-17 faces at volume, each gated on a planted
+    // truth: gap-constrained sequences (the planted promo..buy pair
+    // sits exactly 3 positions apart — invisible at gap 2, exact 500k
+    // support at gap 3); Aalen-Johansen closed-form incidences on 4M
+    // subjects; the PH diagnostic flagging a late-loaded treated arm
+    // at 1M subjects on a bucketed (bounded) time grain; 3-arm
+    // probBestK with planted 10/11/12% rates; PLSA pulling two
+    // disjoint planted vocabulary blocks apart on 2M docs.
+    import java.sql.Timestamp
+    val tB17 = unix_micros(lit(Timestamp.valueOf("2024-01-01 00:00:00"))) /
+      1000000L
+    val nU17 = 1000000L
+    val seq17 = spark.range(nU17).select(col("id").as("u"))
+      .withColumn("even", col("u") % 2 === 0)
+      .select(col("u"), col("even"),
+        explode(sequence(lit(0), lit(4))).as("step"))
+      .select(col("u"), (col("u") * 10 + col("step")).as("event_id"),
+        (tB17 + col("step") * 3600L).cast("timestamp").as("ts"),
+        when(col("even") && col("step") === 1, "promo")
+          .when(col("even") && col("step") === 4, "buy")
+          .otherwise(concat(lit("ch"),
+            pmod(xxhash64(col("u"), col("step")), lit(6L))
+              .cast("string"))).as("event_type"))
+      .localCheckpoint(true)
+    val (g3, tG3) = time {
+      graft.ops.Events.frequentSequences(seq17, "u", "event_type",
+        "ts", "event_id", minSupport = 400000L, maxLen = 2,
+        maxGapEvents = Some(3L)).collect()
+    }
+    val g3m = g3.map(r => r.getString(0) -> r.getLong(2)).toMap
+    require(g3m.get("promo>buy").contains(nU17 / 2),
+      s"gap=3 must keep the planted pair exact: ${g3m.get("promo>buy")}")
+    val (g2o, tG2) = time {
+      graft.ops.Events.frequentSequences(seq17, "u", "event_type",
+        "ts", "event_id", minSupport = 400000L, maxLen = 2,
+        maxGapEvents = Some(2L)).collect()
+    }
+    require(!g2o.exists(_.getString(0) == "promo>buy"),
+      "gap=2 must split the planted pair (3 positions apart)")
+    println(f"R17> gapseq events=${nU17 * 5} gap3=${g3m("promo>buy")} " +
+      f"gap2_absent t3=$tG3%.1f s t2=$tG2%.1f s")
+    seq17.unpersist(true)
+    // Aalen-Johansen: 50% cause a at t=1, 30% cause b at t=2, 20%
+    // censored at t=3 -> CIF_a(1) = 0.5 and CIF_b(2) = 0.5*(0.3/0.5)
+    // = 0.3, both exact at 6 dp for ANY n
+    val nAj = 4000000L
+    val aj = spark.range(nAj).select(lit("G").as("g"),
+      when(col("id") % 10 < 5, 1.0).when(col("id") % 10 < 8, 2.0)
+        .otherwise(3.0).as("tt"),
+      when(col("id") % 10 < 5, "a").when(col("id") % 10 < 8, "b")
+        .as("cz"))
+    val (ajr, tAj) = time {
+      graft.ops.Events.ajIncidence(aj, "g", "tt", "cz").collect()
+    }
+    val ajm = ajr.map(r =>
+      (r.getString(2), r.getDouble(1)) -> r.getDouble(6)).toMap
+    require(ajm(("a", 1.0)) == 0.5 && ajm(("b", 2.0)) == 0.3,
+      s"closed-form CIFs must be exact: $ajm")
+    println(f"R17> aj subjects=$nAj cif_a=0.5 cif_b=0.3 t=$tAj%.1f s")
+    // PH diagnostic at 1M subjects: the spec's late-loaded treated
+    // arm on a 200-bucket time grain (grain-bounded windows) — the
+    // violation must flag; the exact-proportional bucketed twin must
+    // not be pathological (finite readout)
+    val nCx = 500000L
+    val cox17 = spark.range(nCx).select(
+        floor(lit(200.0) *
+          sqrt((col("id").cast("double") + 0.5) / nCx)).as("t"),
+        lit(1L).as("e"), lit(1.0).as("x"))
+      .unionAll(spark.range(nCx).select(
+        floor(lit(200.0) * ((col("id").cast("double") + 0.5) / nCx))
+          .as("t"), lit(1L).as("e"), lit(0.0).as("x")))
+    val (cxr, tCx) = time {
+      graft.ops.Events.coxPhTest(cox17, "t", "e", Seq("x")).collect()(0)
+    }
+    require(!cxr.isNullAt(6) && math.abs(cxr.getDouble(6)) > 2.0,
+      s"volume PH violation must flag: $cxr")
+    println(f"R17> coxzph subjects=${2 * nCx} z=${cxr.getDouble(6)} " +
+      f"t=$tCx%.1f s")
+    // 3-arm probBestK, planted rates 10/11/12%: the 12% arm must
+    // saturate and its expected loss vanish; this n sits below the
+    // default grid's resolution rail — gridN=20000 is the documented
+    // mitigation
+    val pbk = spark.range(1800000L).select(
+        concat(lit("arm"), (col("id") % 3).cast("string")).as("g"),
+        (pmod(xxhash64(col("id"), lit(71)), lit(100L)) <
+          lit(10L) + col("id") % 3).as("c"))
+    val (pkr, tPk) = time {
+      graft.ops.Profile.probBestK(pbk, "g", col("c"), gridN = 20000)
+        .collect()
+    }
+    require(pkr.last.getString(0) == "arm2" &&
+      pkr.last.getDouble(4) > 0.999 && pkr.last.getDouble(5) < 1e-4,
+      s"planted best arm must saturate: ${pkr.mkString(";")}")
+    println(f"R17> probbestk users=1800000 " +
+      f"p_best2=${pkr.last.getDouble(4)}%.4f t=$tPk%.1f s")
+    // PLSA: 2M docs, two disjoint 30-word blocks — both topics' top
+    // terms must come back pure, one block each
+    val vocA17 = (0 until 30).map(i => s"alpha$i")
+    val vocB17 = (0 until 30).map(i => s"beta$i")
+    val blkA = array(vocA17.map(lit): _*)
+    val blkB = array(vocB17.map(lit): _*)
+    val lt17 = spark.range(2000000L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j => element_at(
+        when(col("id") % 2 === 0, blkA).otherwise(blkB),
+        (pmod(xxhash64(col("id"), lit(j)), lit(30L)) + 1)
+          .cast("int"))): _*).as("text"))
+      .localCheckpoint(true)
+    val (ltr, tLt) = time {
+      graft.ops.TextAnalysis.latentTopics(lt17, "doc_id", "text",
+        k = 2, iters = 6, vocabSize = 60, topTerms = 10).collect()
+    }
+    val tops17 = ltr.groupBy(_.getInt(0))
+      .map { case (_, rs) => rs.map(_.getString(2)).toSet }.toSet
+    require(tops17.forall(s => s.subsetOf(vocA17.toSet) ||
+        s.subsetOf(vocB17.toSet)) && tops17.size == 2 &&
+        tops17.map(s => s.subsetOf(vocA17.toSet)).size == 2,
+      s"planted blocks must separate pure: $tops17")
+    println(f"R17> plsa docs=2000000 pure_blocks=2 t=$tLt%.1f s")
+    lt17.unpersist(true)
     }
 
     if (run("sfbench100")) {

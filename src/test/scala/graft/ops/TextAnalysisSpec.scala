@@ -465,4 +465,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     // below minCount is cut
     assert(!out.exists(r => r.getLong(2) < 2L))
   }
+
+  test("latentTopics: planted disjoint vocabularies separate, " +
+    "deterministic, guards") {
+    import spark.implicits._
+    // 30 fruit docs + 30 animal docs with DISJOINT vocabularies: EM
+    // from the perturbed-uniform init must pull the blocks apart
+    val fruit = Seq("apple", "banana", "cherry", "date")
+    val beast = Seq("zebra", "yak", "wolf", "vole")
+    def doc(words: Seq[String], i: Int): String =
+      (0 until 12).map(j => words((i + j) % 4)).mkString(" ")
+    val docs = ((1 to 30).map(i => (i.toLong, doc(fruit, i))) ++
+      (1 to 30).map(i => (30L + i, doc(beast, i))))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.latentTopics(docs, "doc_id", "text",
+      k = 2, iters = 6, vocabSize = 10, topTerms = 4)
+    val rows = out.collect()
+    assert(rows.length == 8)
+    val byTopic = rows.groupBy(_.getInt(0))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    assert(byTopic.keySet == Set(0, 1))
+    // each topic's top-4 is one pure block (either assignment)
+    val tops = byTopic.values.map(_.toSet).toSet
+    assert(tops == Set(fruit.toSet, beast.toSet), s"$byTopic")
+    // weights are probabilities over the topic's vocabulary slice
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 &&
+      r.getDouble(3) <= 1.0))
+    // deterministic + partition-invariant (decimal-quantized M steps)
+    def run(parts: Int) = TextAnalysis.latentTopics(
+      docs.repartition(parts), "doc_id", "text",
+      k = 2, iters = 6, vocabSize = 10, topTerms = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(17))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.latentTopics(docs, "doc_id", "text", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.latentTopics(docs, "doc_id", "text", iters = 0)
+    }
+  }
 }
