@@ -15,11 +15,30 @@ import org.apache.spark.sql.SparkSession
   * spillover read as phantom 30-70% regressions on untouched queries
   * (the r11 q76-q80 cluster — refuted by adjacent re-timing). Each run
   * executes via count() (forces the full plan, discards row transfer).
+  *
+  * Self-diagnosis (the r15 q60 / r16 q280 phantom lesson — run-position
+  * noise on a shared box reads as a regression): every timed run also
+  * records its JVM GC time and process-CPU deltas, the kept (min) run's
+  * pair rides the qtimes entries as `"qNN":[sec, gc_ms]`, and the final
+  * headline carries the suite totals — a query whose wall time moved
+  * while its gc_ms exploded and its neighbors read flat is a box
+  * artifact, refutable from the artifact alone. `--shuffle-order <seed>`
+  * permutes the query order deterministically so a position-correlated
+  * swing can be separated from a code regression by re-running with a
+  * different seed. `--out <path>` writes the COMPLETE per-query record
+  * (full names, position, sec/gc/cpu) as JSON lines — the driver's
+  * stdout tail keeps only the last ~2 KB, so the full surface lives in
+  * the file (committed as BENCH_r{N}_local.json by the isolated runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    def argOf(flag: String): Option[String] =
+      args.sliding(2).collectFirst {
+        case Array(f, v) if f == flag => v }
+    val seed = argOf("--shuffle-order").map(_.toLong)
+    val outPath = argOf("--out")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -30,21 +49,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val inOrder = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = seed match {
+      case Some(s) => new scala.util.Random(s).shuffle(inOrder)
+      case None    => inOrder
+    }
+
+    import java.lang.management.ManagementFactory
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def cpuMsNow(): Long = ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1000000L
+      case _ => 0L
+    }
 
     // Per query: warm once (untimed), time twice, min. A query that
     // THROWS is recorded as an error, never as a timing — a failed
     // query's elapsed-to-exception is not a measurement and must not
     // make the bench artifact look healthier than the correctness
     // artifact. Min of the runs that succeeded; error only if both
-    // timed runs failed.
-    val all: Seq[(String, Either[String, Double])] =
+    // timed runs failed. The kept run's gc/cpu deltas travel with it.
+    case class Timing(sec: Double, gcMs: Long, cpuMs: Long)
+    val all: Seq[(String, Either[String, Timing])] =
       sorted.zipWithIndex.map { case ((name, fn), i) =>
-        def run(): Either[String, Double] = {
+        def run(): Either[String, Timing] = {
+          val g0 = gcMsNow(); val c0 = cpuMsNow()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Right((System.nanoTime() - t0) / 1e9)
+            Right(Timing((System.nanoTime() - t0) / 1e9,
+              gcMsNow() - g0, cpuMsNow() - c0))
           } catch { case e: Throwable =>
             Left(Option(e.getMessage).getOrElse(e.getClass.getName)
               .takeWhile(_ != '\n').take(120))
@@ -52,7 +90,7 @@ object Bench {
         }
         run() // warm: JIT/codegen/footers, discarded
         val r = (run(), run()) match {
-          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Right(a), Right(b)) => Right(if (a.sec <= b.sec) a else b)
           case (Right(a), Left(_))  => Right(a)
           case (Left(_), Right(b))  => Right(b)
           case (Left(m), Left(_))   => Left(m)
@@ -70,10 +108,32 @@ object Bench {
     val errors = all.collect { case (k, Left(m)) => (k, m) }
     val results = all.collect { case (k, Right(v)) => (k, v) }
     val qs = all.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Right(v)) => "\"" + k + "\":" + v.sec
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
+    val gcTotal = results.map(_._2.gcMs).sum
+    val cpuTotal = results.map(_._2.cpuMs).sum / 1000.0
+    val seedJson = seed.map(_.toString).getOrElse("null")
+    // The complete per-query record (never truncated) when asked for:
+    // one JSON line per query with its run position — the isolated
+    // bench commits this as BENCH_r{N}_local.json
+    outPath.foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try {
+        w.println(s"""{"metric":"bench_meta","sf":"$sfDir","cpus":$cpus,"seed":$seedJson,"n_queries":${results.size},"n_errors":${errors.size},"total_sec":$total,"gc_ms":$gcTotal,"cpu_s":$cpuTotal}""")
+        all.zipWithIndex.foreach {
+          case ((k, Right(v)), i) => w.println(String.format(
+            java.util.Locale.ROOT,
+            """{"q":"%s","pos":%d,"sec":%.3f,"gc_ms":%d,"cpu_ms":%d}""",
+            k, Int.box(i), Double.box(v.sec), Long.box(v.gcMs),
+            Long.box(v.cpuMs)))
+          case ((k, Left(m)), i) => w.println(
+            s"""{"q":"$k","pos":$i,"err":"${m.replace("\\", "\\\\")
+              .replace("\"", "\\\"")}"}""")
+        }
+      } finally w.close()
+    }
     // Output ordering is deliberate: the driver captures a bounded TAIL
     // (last ~2000 BYTES) of stdout, so anything printed early can be
     // truncated from the front. The whole per-query surface must fit in
@@ -82,11 +142,11 @@ object Bench {
     //     metric "total_full" so no consumer confuses it with the
     //     headline) — bonus if it survives;
     //  2. grouped per-query lines, ~13 queries each: short unique "qNN"
-    //     keys + 3-decimal seconds keep the full timing set under
-    //     ~1.5 KB total, so EVERY query's number survives any plausible
-    //     tail window (one line per query never fit: ~55 B each > 2 KB);
+    //     keys + [3-decimal seconds, gc_ms of the kept run] — the pair
+    //     is what makes a box phantom refutable per query;
     //  3. the short final headline (metric "total" — the key the driver
-    //     parses) with the earliest 7 full-name timings as a cross-check.
+    //     parses) with suite gc/cpu totals, the shuffle seed, and the
+    //     earliest 7 full-name timings as a cross-check.
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":${errors.size},"sf":"$sfDir"}""")
     val shortKey = "^(q[0-9]+).*$".r
     val grouped = all.map { case (k, ev) =>
@@ -95,7 +155,7 @@ object Bench {
         // Locale.ROOT: the f-interpolator uses the JVM default locale, and
         // a comma-decimal locale (de_DE etc.) would corrupt the JSON
         case Right(v) => String.format(java.util.Locale.ROOT,
-          "\"%s\":%.3f", sk, Double.box(v))
+          "\"%s\":[%.3f,%d]", sk, Double.box(v.sec), Long.box(v.gcMs))
         case Left(_) => "\"" + sk + "\":\"err\""
       }
     }.grouped(13).toSeq
@@ -105,9 +165,9 @@ object Bench {
     errors.foreach { case (k, m) =>
       println(s"""{"metric":"qerror","query":"$k","err":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
     }
-    val head = results.take(7).map { case (k, v) => "\"" + k + "\":" + v }
+    val head = results.take(7).map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","head_queries":$head}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"gc_ms":$gcTotal,"cpu_s":$cpuTotal,"seed":$seedJson,"sf":"$sfDir","head_queries":$head}""")
     spark.stop()
   }
 }
