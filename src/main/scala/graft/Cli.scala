@@ -940,6 +940,12 @@ object Cli {
               flags.getOrElse("iters", "3").toInt,
               flags.getOrElse("vocab", "300").toInt,
               flags.getOrElse("top-terms", "10").toInt)
+          case "topic-mixture" =>
+            graft.ops.TextAnalysis.latentTopicMixture(df, id,
+              req("text-col"),
+              flags.getOrElse("k", "4").toInt,
+              flags.getOrElse("iters", "3").toInt,
+              flags.getOrElse("vocab", "300").toInt)
           case "sequences" =>
             graft.ops.Events.frequentSequences(df, user, typ, ts, id,
               flags.getOrElse("min-support", "100").toLong,

@@ -4585,6 +4585,13 @@ object SparkEntry {
         "doc_id", "text", k = 4, iters = 3, vocabSize = 300,
         topTerms = 8)),
 
+    // Per-doc topic mixture (ops/TextAnalysis.scala): the q308
+    // factors read at document grain — P(topic|doc) per (doc, topic)
+    // plus the argmax routing label a curation run stratifies on.
+    "q312_topic_mixture" -> ((s, dir) =>
+      graft.ops.TextAnalysis.latentTopicMixture(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, iters = 3, vocabSize = 300)),
+
     // Schoenfeld-style PH diagnostic (ops/Events.scala): q295's fit,
     // then its Schoenfeld residuals regressed on event rank — the
     // check that the hazard ratio is actually constant over time.
@@ -12459,67 +12466,10 @@ object SparkEntry {
     // double shapes, M-step sums decimal-quantized) -> per-topic
     // top-8 rank
     "q308_latent_topics" -> {
-      val k = 4
-      val iters = 3
-      val zs = 0 until k
-      val praw = zs.map(z =>
-        s"1.0::DOUBLE + ((r * 131 + ${z * 197}) % 1009)::DOUBLE / " +
-          s"1009.0::DOUBLE AS raw$z").mkString(",\n    ")
-      val ptot = zs.map(z =>
-        s"sum(CAST(raw$z AS DECIMAL(38,12))) AS t$z").mkString(", ")
-      val pw0 = zs.map(z => s"raw$z / t$z::DOUBLE AS pw$z")
-        .mkString(", ")
-      val pd0 = zs.map(z => s"1.0::DOUBLE / $k.0::DOUBLE AS pd$z")
-        .mkString(", ")
-      val denom = zs.map(z => s"pw.pw$z * pd.pd$z").mkString(" + ")
-      val steps = (1 to iters).map { i =>
-        val resp = zs.map(z =>
-          s"c.n * (pw.pw$z * pd.pd$z) / ($denom) AS c$z")
-          .mkString(",\n    ")
-        val sums = zs.map(z =>
-          s"sum(CAST(c$z AS DECIMAL(38,12))) AS s$z").mkString(", ")
-        val pdTot = zs.map(z => s"s$z::DOUBLE").mkString(" + ")
-        val pdN = zs.map(z => s"s$z::DOUBLE / ($pdTot) AS pd$z")
-          .mkString(", ")
-        val pwT = zs.map(z => s"sum(s$z) AS t$z").mkString(", ")
-        val pwN = zs.map(z => s"s$z::DOUBLE / t$z::DOUBLE AS pw$z")
-          .mkString(", ")
-        s"""r$i AS MATERIALIZED (SELECT c.d, c.w,
-           |    $resp
-           |  FROM cnt c JOIN pw${i - 1} pw ON pw.w = c.w
-           |  JOIN pd${i - 1} pd ON pd.d = c.d),
-           |pdr$i AS (SELECT d, $sums FROM r$i GROUP BY d),
-           |pd$i AS MATERIALIZED (SELECT d, $pdN FROM pdr$i),
-           |pwr$i AS MATERIALIZED (SELECT w, $sums FROM r$i GROUP BY w),
-           |pwt$i AS (SELECT $pwT FROM pwr$i),
-           |pw$i AS MATERIALIZED (SELECT w, $pwN FROM pwr$i, pwt$i)"""
-          .stripMargin
-      }.mkString(",\n")
-      val lng = zs.map(z =>
-        s"SELECT $z AS topic, w AS term, pw$z AS p FROM pw$iters")
+      val lng = (0 until 4).map(z =>
+        s"SELECT $z AS topic, w AS term, pw$z AS p FROM pw3")
         .mkString("\nUNION ALL ")
-      s"""WITH b AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x <> '') AS tk
-         |  FROM documents
-         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-         |tok AS (SELECT doc_id AS d, unnest(tk) AS w FROM b),
-         |cdw AS MATERIALIZED (SELECT d, w, count(*)::BIGINT AS n
-         |  FROM tok GROUP BY d, w),
-         |voc AS MATERIALIZED (SELECT w,
-         |    (row_number() OVER (ORDER BY tot DESC, w) - 1)::INT AS r
-         |  FROM (SELECT w, sum(n)::BIGINT AS tot FROM cdw GROUP BY w
-         |        ORDER BY tot DESC, w LIMIT 300)),
-         |cnt AS MATERIALIZED (SELECT c.d, c.w, c.n::DOUBLE AS n
-         |  FROM cdw c JOIN voc v ON v.w = c.w),
-         |praw AS (SELECT w,
-         |    $praw
-         |  FROM voc),
-         |ptot AS (SELECT $ptot FROM praw),
-         |pw0 AS MATERIALIZED (SELECT w, $pw0 FROM praw, ptot),
-         |pd0 AS MATERIALIZED (SELECT d, $pd0
-         |  FROM (SELECT DISTINCT d FROM cnt)),
-         |$steps,
+      s"""WITH $plsaOracleBase,
          |lng AS ($lng),
          |rk AS (SELECT topic, term, p,
          |    row_number() OVER (PARTITION BY topic
@@ -12527,6 +12477,23 @@ object SparkEntry {
          |  FROM lng)
          |SELECT topic, rnk::INT AS rank, term, round(p, 6) AS weight
          |FROM rk WHERE rnk <= 8 ORDER BY topic, rank""".stripMargin
+    },
+
+    // the q308 EM chain read at DOCUMENT grain: P(topic|doc) rows +
+    // the argmax routing flag (raw-double rank, ties to lower topic)
+    "q312_topic_mixture" -> {
+      val lng = (0 until 4).map(z =>
+        s"SELECT d, $z AS topic, pd$z AS p FROM pd3")
+        .mkString("\nUNION ALL ")
+      s"""WITH $plsaOracleBase,
+         |lng AS ($lng),
+         |rk AS (SELECT d, topic, p,
+         |    row_number() OVER (PARTITION BY d
+         |      ORDER BY p DESC, topic) AS rnk
+         |  FROM lng)
+         |SELECT d AS doc_id, topic, round(p, 6) AS weight,
+         |  rnk = 1 AS is_dominant
+         |FROM rk ORDER BY doc_id, topic""".stripMargin
     },
 
     // the q295 Newton unroll verbatim, then a 7th grain pass at bet6,
@@ -12627,6 +12594,74 @@ object SparkEntry {
          |FROM alg2, bet6 b""".stripMargin
     }
   )
+
+  /** Shared q308/q312 PLSA oracle base: the heapsLaw tokenize device
+    * → (doc, term) counts → top-300 vocab → the integer-mod
+    * perturbed-uniform init → 3 unrolled EM rounds (responsibilities
+    * in the operator's exact left-assoc double shapes, M-step sums
+    * decimal-quantized). Ends with pw3 (topic-term) and pd3
+    * (doc-topic) materialized; the two queries differ only in which
+    * factor they read out. */
+  private val plsaOracleBase: String = {
+    val k = 4
+    val iters = 3
+    val zs = 0 until k
+    val praw = zs.map(z =>
+      s"1.0::DOUBLE + ((r * 131 + ${z * 197}) % 1009)::DOUBLE / " +
+        s"1009.0::DOUBLE AS raw$z").mkString(",\n    ")
+    val ptot = zs.map(z =>
+      s"sum(CAST(raw$z AS DECIMAL(38,12))) AS t$z").mkString(", ")
+    val pw0 = zs.map(z => s"raw$z / t$z::DOUBLE AS pw$z")
+      .mkString(", ")
+    val pd0 = zs.map(z => s"1.0::DOUBLE / $k.0::DOUBLE AS pd$z")
+      .mkString(", ")
+    val denom = zs.map(z => s"pw.pw$z * pd.pd$z").mkString(" + ")
+    val steps = (1 to iters).map { i =>
+      val resp = zs.map(z =>
+        s"c.n * (pw.pw$z * pd.pd$z) / ($denom) AS c$z")
+        .mkString(",\n    ")
+      val sums = zs.map(z =>
+        s"sum(CAST(c$z AS DECIMAL(38,12))) AS s$z").mkString(", ")
+      val pdTot = zs.map(z => s"s$z::DOUBLE").mkString(" + ")
+      val pdN = zs.map(z => s"s$z::DOUBLE / ($pdTot) AS pd$z")
+        .mkString(", ")
+      val pwT = zs.map(z => s"sum(s$z) AS t$z").mkString(", ")
+      val pwN = zs.map(z => s"s$z::DOUBLE / t$z::DOUBLE AS pw$z")
+        .mkString(", ")
+      s"""r$i AS MATERIALIZED (SELECT c.d, c.w,
+         |    $resp
+         |  FROM cnt c JOIN pw${i - 1} pw ON pw.w = c.w
+         |  JOIN pd${i - 1} pd ON pd.d = c.d),
+         |pdr$i AS (SELECT d, $sums FROM r$i GROUP BY d),
+         |pd$i AS MATERIALIZED (SELECT d, $pdN FROM pdr$i),
+         |pwr$i AS MATERIALIZED (SELECT w, $sums FROM r$i GROUP BY w),
+         |pwt$i AS (SELECT $pwT FROM pwr$i),
+         |pw$i AS MATERIALIZED (SELECT w, $pwN FROM pwr$i, pwt$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""b AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS tk
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |tok AS (SELECT doc_id AS d, unnest(tk) AS w FROM b),
+       |cdw AS MATERIALIZED (SELECT d, w, count(*)::BIGINT AS n
+       |  FROM tok GROUP BY d, w),
+       |voc AS MATERIALIZED (SELECT w,
+       |    (row_number() OVER (ORDER BY tot DESC, w) - 1)::INT AS r
+       |  FROM (SELECT w, sum(n)::BIGINT AS tot FROM cdw GROUP BY w
+       |        ORDER BY tot DESC, w LIMIT 300)),
+       |cnt AS MATERIALIZED (SELECT c.d, c.w, c.n::DOUBLE AS n
+       |  FROM cdw c JOIN voc v ON v.w = c.w),
+       |praw AS (SELECT w,
+       |    $praw
+       |  FROM voc),
+       |ptot AS (SELECT $ptot FROM praw),
+       |pw0 AS MATERIALIZED (SELECT w, $pw0 FROM praw, ptot),
+       |pd0 AS MATERIALIZED (SELECT d, $pd0
+       |  FROM (SELECT DISTINCT d FROM cnt)),
+       |$steps""".stripMargin
+  }
 
   /** Shared q266/q267 oracle prefix: points → dimension grain →
     * per-label decimal centroids → per-(point, candidate-label)

@@ -849,13 +849,70 @@ object TextAnalysis {
   def latentTopics(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, iters: Int = 3, vocabSize: Int = 300,
       topTerms: Int = 10): DataFrame = {
-    require(k >= 2 && k <= 10, "latentTopics: k must be in 2..10")
-    require(iters >= 1 && iters <= 6,
-      "latentTopics: iters must be in 1..6")
-    require(vocabSize >= 10 && vocabSize <= 5000,
-      "latentTopics: vocabSize must be in 10..5000")
     require(topTerms >= 1 && topTerms <= 50,
       "latentTopics: topTerms must be in 1..50")
+    val (pwz, _) = plsaFactors(docs, idCol, textCol, k, iters,
+      vocabSize, "latentTopics")
+    val zs = 0 until k
+    val wTop = Window.partitionBy(col("topic"))
+      .orderBy(col("__p").desc, col("term"))
+    val arr = array(zs.map(z =>
+      struct(lit(z).as("topic"), col(s"__pw$z").as("__p"))): _*)
+    pwz.select(col("__w").as("term"), explode(arr).as("__e"))
+      .select(col("__e.topic").as("topic"), col("term"),
+        col("__e.__p").as("__p"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topTerms)
+      .select(col("topic"), col("rank"), col("term"),
+        round(col("__p"), 6).as("weight"))
+      .orderBy(col("topic"), col("rank"))
+  }
+
+  /** Per-document topic mixture — [[latentTopics]]' ROUTING face:
+    * the same PLSA-EM factors, read at document grain as
+    * (doc, topic, weight = P(topic|doc), is_dominant), one row per
+    * (doc, topic), ordered (doc, topic). `is_dominant` marks the
+    * argmax topic (raw-double comparison, ties break to the lower
+    * topic index) — the label a curation pipeline routes or
+    * stratifies on once [[latentTopics]]' top-terms readout has named
+    * the topics. Docs with no in-vocabulary token emit nothing (they
+    * carry no evidence). Same determinism contract and 100 TB shape
+    * as [[latentTopics]]; the readout adds one doc-partitioned rank
+    * window over the k-row-per-doc frame.
+    */
+  def latentTopicMixture(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, iters: Int = 3,
+      vocabSize: Int = 300): DataFrame = {
+    val (_, pzd) = plsaFactors(docs, idCol, textCol, k, iters,
+      vocabSize, "latentTopicMixture")
+    val zs = 0 until k
+    val arr = array(zs.map(z =>
+      struct(lit(z).as("topic"), col(s"__pd$z").as("__p"))): _*)
+    val wDom = Window.partitionBy(col("__d"))
+      .orderBy(col("__p").desc, col("topic"))
+    pzd.select(col("__d"), explode(arr).as("__e"))
+      .select(col("__d"), col("__e.topic").as("topic"),
+        col("__e.__p").as("__p"))
+      .withColumn("__rk", row_number().over(wDom))
+      .select(col("__d").as(idCol), col("topic"),
+        round(col("__p"), 6).as("weight"),
+        (col("__rk") === 1).as("is_dominant"))
+      .orderBy(col(idCol), col("topic"))
+  }
+
+  /** The shared PLSA-EM core behind [[latentTopics]] (topic-term
+    * readout) and [[latentTopicMixture]] (doc-mixture readout):
+    * returns the final (P(w|z) frame keyed `__w`/`__pw*`,
+    * P(z|d) frame keyed `__d`/`__pd*`). One implementation — the two
+    * readouts cannot drift. */
+  private def plsaFactors(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, iters: Int, vocabSize: Int,
+      op: String): (DataFrame, DataFrame) = {
+    require(k >= 2 && k <= 10, s"$op: k must be in 2..10")
+    require(iters >= 1 && iters <= 6,
+      s"$op: iters must be in 1..6")
+    require(vocabSize >= 10 && vocabSize <= 5000,
+      s"$op: vocabSize must be in 10..5000")
     def d12(c: Column) = c.cast("decimal(38,12)")
     val zs = 0 until k
     val cdw = docs
@@ -916,17 +973,6 @@ object TextAnalysis {
           (col(s"__s$z").cast("double") / col(s"__t$z").cast("double"))
             .as(s"__pw$z")): _*)
     }
-    val wTop = Window.partitionBy(col("topic"))
-      .orderBy(col("__p").desc, col("term"))
-    val arr = array(zs.map(z =>
-      struct(lit(z).as("topic"), col(s"__pw$z").as("__p"))): _*)
-    pwz.select(col("__w").as("term"), explode(arr).as("__e"))
-      .select(col("__e.topic").as("topic"), col("term"),
-        col("__e.__p").as("__p"))
-      .withColumn("rank", row_number().over(wTop))
-      .where(col("rank") <= topTerms)
-      .select(col("topic"), col("rank"), col("term"),
-        round(col("__p"), 6).as("weight"))
-      .orderBy(col("topic"), col("rank"))
+    (pwz, pzd)
   }
 }

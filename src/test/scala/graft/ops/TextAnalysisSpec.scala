@@ -504,5 +504,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.latentTopics(docs, "doc_id", "text", iters = 0)
     }
+    // the mixture face: every fruit doc routes to the fruit topic,
+    // every animal doc to the other; weights per doc sum to ~1; one
+    // dominant row per doc
+    val fruitTopic = byTopic.find(_._2.toSet == fruit.toSet).get._1
+    val mix = TextAnalysis.latentTopicMixture(docs, "doc_id", "text",
+      k = 2, iters = 6, vocabSize = 10).collect()
+    assert(mix.length == 120) // 60 docs x 2 topics
+    val byDoc = mix.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      assert(math.abs(rs.map(_.getDouble(2)).sum - 1.0) < 1e-5, s"$d")
+      val dom = rs.filter(_.getBoolean(3))
+      assert(dom.length == 1, s"doc $d dominant rows: ${dom.length}")
+      val want = if (d <= 30) fruitTopic else 1 - fruitTopic
+      assert(dom.head.getInt(1) == want,
+        s"doc $d routed to ${dom.head.getInt(1)}, want $want")
+    }
   }
 }
