@@ -980,6 +980,16 @@ object Cli {
           case "competing-risks" =>
             graft.ops.Events.ajIncidence(df, req("group-col"),
               req("time-col"), req("cause-col"))
+          case "rmtl" =>
+            graft.ops.Events.rmtl(df, req("group-col"),
+              req("time-col"), req("cause-col"), req("tau").toDouble)
+          case "sequence-rules" =>
+            graft.ops.Events.sequenceRules(df, user, typ, ts, id,
+              flags.getOrElse("min-support", "100").toLong,
+              flags.getOrElse("max-len", "3").toInt,
+              flags.getOrElse("min-confidence", "0.0").toDouble,
+              flags.get("max-gap-events").map(_.toLong),
+              flags.get("max-gap-ms").map(_.toLong))
           case "cox-zph" =>
             graft.ops.Events.coxPhTest(df, req("time-col"),
               req("event-col"), req("x-cols").split(",").toSeq,

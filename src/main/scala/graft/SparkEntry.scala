@@ -4592,6 +4592,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.latentTopicMixture(t(s, dir, "documents"),
         "doc_id", "text", k = 4, iters = 3, vocabSize = 300)),
 
+    // Sequence rules (ops/Events.scala): q300's frequent patterns
+    // read as "after ⟨antecedent⟩, X% do ⟨consequent⟩" — confidence
+    // = support(pattern)/support(antecedent), cut at 0.5.
+    "q313_sequence_rules" -> ((s, dir) =>
+      graft.ops.Events.sequenceRules(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        minSupport = 120L, maxLen = 3, minConfidence = 0.5)),
+
+    // Restricted mean time lost (ops/Events.scala): the q309 AJ
+    // curves integrated through hour 168 — expected hours lost to
+    // first-purchase vs first-error within the week, per arm;
+    // RMST + sum RMTL = tau by construction.
+    "q314_rmtl" -> ((s, dir) =>
+      graft.ops.Events.rmtl(competingArms(s, dir), "grp", "t",
+        "cause", tauTime = 168.0)),
+
     // Schoenfeld-style PH diagnostic (ops/Events.scala): q295's fit,
     // then its Schoenfeld residuals regressed on event rank — the
     // check that the hazard ratio is actually constant over time.
@@ -12357,6 +12373,56 @@ object SparkEntry {
         |  round(pbc, 6), round(elc, 6) FROM agg, pv
         |ORDER BY "group"""".stripMargin,
 
+    // the q300 chain, then each length-ge-2 pattern split on its last
+    // '>' and joined to its antecedent's support for the confidence
+    "q313_sequence_rules" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS it,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |o1 AS MATERIALIZED (
+        |  SELECT u, it AS pat, min(pos) AS e FROM ev GROUP BY u, it),
+        |f1 AS MATERIALIZED (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o1 GROUP BY pat
+        |  HAVING count(*) >= 120),
+        |of1 AS MATERIALIZED (
+        |  SELECT o.u, o.pat, o.e FROM o1 o JOIN f1 f ON f.pat = o.pat),
+        |o2 AS MATERIALIZED (
+        |  SELECT o.u, o.pat || '>' || e.it AS pat, min(e.pos) AS e
+        |  FROM of1 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |  GROUP BY 1, 2),
+        |f2 AS MATERIALIZED (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o2 GROUP BY pat
+        |  HAVING count(*) >= 120),
+        |of2 AS MATERIALIZED (
+        |  SELECT o.u, o.pat, o.e FROM o2 o JOIN f2 f ON f.pat = o.pat),
+        |o3 AS MATERIALIZED (
+        |  SELECT o.u, o.pat || '>' || e.it AS pat, min(e.pos) AS e
+        |  FROM of2 o JOIN ev e ON e.u = o.u AND e.pos > o.e
+        |  GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT pat, count(*)::BIGINT AS support FROM o3 GROUP BY pat
+        |  HAVING count(*) >= 120),
+        |ru AS (
+        |  SELECT regexp_replace(r.pat, '>[^>]*$', '') AS antecedent,
+        |    regexp_extract(r.pat, '[^>]*$') AS consequent,
+        |    r.length, r.support, p.support AS prefix_support,
+        |    round(r.support::DOUBLE / p.support::DOUBLE, 6)
+        |      AS confidence
+        |  FROM (SELECT pat, 2 AS length, support FROM f2
+        |        UNION ALL SELECT pat, 3, support FROM f3) r
+        |  JOIN (SELECT pat, support FROM f1
+        |        UNION ALL SELECT pat, support FROM f2) p
+        |    ON p.pat = regexp_replace(r.pat, '>[^>]*$', ''))
+        |SELECT antecedent, consequent, length, support,
+        |  prefix_support, confidence
+        |FROM ru WHERE confidence >= 0.5::DOUBLE
+        |ORDER BY length, confidence DESC, antecedent, consequent"""
+        .stripMargin,
+
     // the q300 rounds with ALL match ends carried (no min(pos)
     // collapse — min-end is inexact under a gap), the <= 2-position
     // gap predicate on each growth join, DISTINCT-user support
@@ -12400,65 +12466,27 @@ object SparkEntry {
     // for S(t-) and S(t), a (g,t,cause) grain join, decimal-quantized
     // S(t-)*d_c/n terms, per-(g,cause) running incidence
     "q309_competing_risks" ->
-      """WITH ev AS (SELECT user_id AS u,
-        |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
-        |a AS (SELECT u, min(ms) AS anchor FROM ev
-        |      WHERE et = 'signup' GROUP BY u),
-        |fc AS (SELECT ev.u,
-        |    min(CASE WHEN et = 'purchase' THEN ms END) AS mp,
-        |    min(CASE WHEN et = 'error' THEN ms END) AS me
-        |  FROM ev JOIN a ON ev.u = a.u
-        |  WHERE ev.ms >= a.anchor AND ev.et IN ('purchase', 'error')
-        |  GROUP BY ev.u),
-        |mx AS (SELECT max(ms) AS fin FROM ev),
-        |pu AS MATERIALIZED (SELECT
-        |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
-        |      THEN 'A' ELSE 'B' END AS g,
-        |    floor((coalesce(
-        |      CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
-        |        THEN mp WHEN me IS NOT NULL THEN me END, fin)
-        |      - anchor) / 3600000.0)::BIGINT AS t,
-        |    CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
-        |      THEN 'purchase'
-        |      WHEN me IS NOT NULL THEN 'error' END AS cause
-        |  FROM a LEFT JOIN fc ON a.u = fc.u CROSS JOIN mx),
-        |km AS (SELECT g, t, count(cause)::BIGINT AS d,
-        |    sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END)::BIGINT
-        |      AS cns
-        |  FROM pu GROUP BY g, t),
-        |w AS (SELECT g, t, d, cns,
-        |    (sum(d + cns) OVER (PARTITION BY g)
-        |     - coalesce(sum(d + cns) OVER (PARTITION BY g ORDER BY t
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |       0))::BIGINT AS nr
-        |  FROM km),
-        |s AS (SELECT *,
-        |    CASE WHEN d < nr THEN
-        |      CAST(ln(1 - d::DOUBLE / nr) AS DECIMAL(38,12)) END AS lnq
-        |  FROM w),
-        |s2 AS MATERIALIZED (SELECT g, t, nr,
-        |    CASE WHEN d = nr THEN 0.0::DOUBLE
-        |      ELSE round(exp((sum(lnq) OVER wc)::DOUBLE), 6)
-        |    END AS survival,
-        |    coalesce(exp((sum(lnq) OVER wp)::DOUBLE), 1.0::DOUBLE)
-        |      AS sprev
-        |  FROM s
-        |  WINDOW wc AS (PARTITION BY g ORDER BY t ROWS BETWEEN
-        |      UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wp AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND 1 PRECEDING)),
-        |pc AS (SELECT g, t, cause, count(*)::BIGINT AS dc FROM pu
-        |  WHERE cause IS NOT NULL GROUP BY g, t, cause),
-        |j AS (SELECT pc.g, pc.t, pc.cause, s2.nr, pc.dc, s2.survival,
-        |    CAST(s2.sprev * (pc.dc::DOUBLE / s2.nr::DOUBLE)
-        |      AS DECIMAL(38,12)) AS term
-        |  FROM pc JOIN s2 ON pc.g = s2.g AND pc.t = s2.t)
+      s"""WITH $ajOracleBase
         |SELECT g AS grp, t::DOUBLE AS t, cause, nr AS n_at_risk,
-        |  dc AS n_events, survival,
-        |  round((sum(term) OVER (PARTITION BY g, cause ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |    ::DOUBLE, 6) AS cif
-        |FROM j ORDER BY grp, cause, t""".stripMargin,
+        |  dc AS n_events, survival, cif
+        |FROM cv ORDER BY grp, cause, t""".stripMargin,
+
+    // the q309 curve truncated at tau = 168: per (g, cause) row
+    // CIF(t)·(min(next_t, tau) − t), decimal-quantized, one group
+    // fold + the last row's CIF — Andersen's "time lost" integral
+    "q314_rmtl" ->
+      s"""WITH $ajOracleBase,
+        |fl AS (SELECT g, cause, t::DOUBLE AS t, cif FROM cv
+        |  WHERE t::DOUBLE <= 168.0::DOUBLE),
+        |seg AS (SELECT g, cause, cif, t,
+        |    coalesce(lead(t) OVER w, 168.0::DOUBLE) AS nt,
+        |    lead(t) OVER w IS NULL AS lastrow
+        |  FROM fl WINDOW w AS (PARTITION BY g, cause ORDER BY t))
+        |SELECT g AS grp, cause, 168.0::DOUBLE AS tau,
+        |  round((sum(CAST(cif * (nt - t) AS DECIMAL(38,12))))::DOUBLE,
+        |    6) AS rmtl,
+        |  round(max(CASE WHEN lastrow THEN cif END), 6) AS cif_at_tau
+        |FROM seg GROUP BY g, cause ORDER BY grp, cause""".stripMargin,
 
     // the heapsLaw tokenize device -> (doc, term) counts -> top-300
     // vocab -> the integer-mod perturbed-uniform init -> 3 unrolled
@@ -12594,6 +12622,71 @@ object SparkEntry {
          |FROM alg2, bet6 b""".stripMargin
     }
   )
+
+  /** Shared q309/q314 Aalen-Johansen oracle base: the q306 subject
+    * device with a purchase-vs-error race (ties to purchase), the
+    * all-cause KM windows for S(t−) and S(t), the (g, t, cause) grain
+    * join, and the decimal-quantized running incidence — ends at the
+    * `cv` curve (g, t, cause, nr, dc, survival, cif) MATERIALIZED. */
+  private val ajOracleBase: String =
+    """ev AS (SELECT user_id AS u,
+      |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+      |a AS (SELECT u, min(ms) AS anchor FROM ev
+      |      WHERE et = 'signup' GROUP BY u),
+      |fc AS (SELECT ev.u,
+      |    min(CASE WHEN et = 'purchase' THEN ms END) AS mp,
+      |    min(CASE WHEN et = 'error' THEN ms END) AS me
+      |  FROM ev JOIN a ON ev.u = a.u
+      |  WHERE ev.ms >= a.anchor AND ev.et IN ('purchase', 'error')
+      |  GROUP BY ev.u),
+      |mx AS (SELECT max(ms) AS fin FROM ev),
+      |pu AS MATERIALIZED (SELECT
+      |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+      |      THEN 'A' ELSE 'B' END AS g,
+      |    floor((coalesce(
+      |      CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
+      |        THEN mp WHEN me IS NOT NULL THEN me END, fin)
+      |      - anchor) / 3600000.0)::BIGINT AS t,
+      |    CASE WHEN mp IS NOT NULL AND (me IS NULL OR mp <= me)
+      |      THEN 'purchase'
+      |      WHEN me IS NOT NULL THEN 'error' END AS cause
+      |  FROM a LEFT JOIN fc ON a.u = fc.u CROSS JOIN mx),
+      |km AS (SELECT g, t, count(cause)::BIGINT AS d,
+      |    sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |      AS cns
+      |  FROM pu GROUP BY g, t),
+      |w AS (SELECT g, t, d, cns,
+      |    (sum(d + cns) OVER (PARTITION BY g)
+      |     - coalesce(sum(d + cns) OVER (PARTITION BY g ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |       0))::BIGINT AS nr
+      |  FROM km),
+      |s AS (SELECT *,
+      |    CASE WHEN d < nr THEN
+      |      CAST(ln(1 - d::DOUBLE / nr) AS DECIMAL(38,12)) END AS lnq
+      |  FROM w),
+      |s2 AS MATERIALIZED (SELECT g, t, nr,
+      |    CASE WHEN d = nr THEN 0.0::DOUBLE
+      |      ELSE round(exp((sum(lnq) OVER wc)::DOUBLE), 6)
+      |    END AS survival,
+      |    coalesce(exp((sum(lnq) OVER wp)::DOUBLE), 1.0::DOUBLE)
+      |      AS sprev
+      |  FROM s
+      |  WINDOW wc AS (PARTITION BY g ORDER BY t ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wp AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING)),
+      |pc AS (SELECT g, t, cause, count(*)::BIGINT AS dc FROM pu
+      |  WHERE cause IS NOT NULL GROUP BY g, t, cause),
+      |j AS (SELECT pc.g, pc.t, pc.cause, s2.nr, pc.dc, s2.survival,
+      |    CAST(s2.sprev * (pc.dc::DOUBLE / s2.nr::DOUBLE)
+      |      AS DECIMAL(38,12)) AS term
+      |  FROM pc JOIN s2 ON pc.g = s2.g AND pc.t = s2.t),
+      |cv AS MATERIALIZED (SELECT g, t, cause, nr, dc, survival,
+      |    round((sum(term) OVER (PARTITION BY g, cause ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |      ::DOUBLE, 6) AS cif
+      |  FROM j)""".stripMargin
 
   /** Shared q308/q312 PLSA oracle base: the heapsLaw tokenize device
     * → (doc, term) counts → top-300 vocab → the integer-mod

@@ -4136,6 +4136,51 @@ object Events {
     }
   }
 
+  /** Sequence association rules — the ACTIONABLE face of
+    * [[frequentSequences]]: every frequent pattern of length ≥ 2 read
+    * as the rule "users who did ⟨antecedent⟩ go on to do
+    * ⟨consequent⟩", with `confidence = support(pattern) /
+    * support(antecedent)` — "after promo, 80% buy" instead of a bare
+    * support count. Same mining contract (min-end growth, or all-ends
+    * under the optional gap constraints — anti-monotonicity
+    * guarantees every rule's antecedent was itself mined, so the
+    * confidence join never misses). Returns (antecedent, consequent,
+    * length, support, prefix_support, confidence ≥ `minConfidence`),
+    * ordered (length, confidence desc, antecedent, consequent), 6 dp.
+    *
+    * 100 TB shape: [[frequentSequences]]' passes, then ONE pinned
+    * pattern-grain frame self-joined on the antecedent (both sides
+    * frequent-pattern-sized — broadcastable by construction).
+    */
+  def sequenceRules(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, minSupport: Long,
+      maxLen: Int = 3, minConfidence: Double = 0.0,
+      maxGapEvents: Option[Long] = None,
+      maxGapMs: Option[Long] = None): DataFrame = {
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      "sequenceRules: minConfidence must be in [0, 1]")
+    val fs = frequentSequences(events, userCol, typeCol, tsCol, idCol,
+        minSupport, maxLen, maxGapEvents, maxGapMs)
+      .localCheckpoint(true) // consumers: rule base + antecedent lookup
+    val rules = fs.where(col("length") >= 2)
+      .select(
+        expr("array_join(slice(split(pattern, '>'), 1, length - 1), " +
+          "'>')").as("antecedent"),
+        expr("element_at(split(pattern, '>'), length)").as("consequent"),
+        col("length"), col("support"))
+    rules
+      .join(fs.select(col("pattern").as("antecedent"),
+        col("support").as("prefix_support")), Seq("antecedent"))
+      .withColumn("confidence",
+        round(col("support").cast("double") /
+          col("prefix_support").cast("double"), 6))
+      .where(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("length"),
+        col("support"), col("prefix_support"), col("confidence"))
+      .orderBy(col("length"), col("confidence").desc,
+        col("antecedent"), col("consequent"))
+  }
+
   /** Uplift T-learner (Künzel et al. 2019's two-model meta-learner):
     * fit [[olsFit]]'s Gram-solve outcome model SEPARATELY on the
     * treated and control strata, then read the per-segment uplift
@@ -4369,5 +4414,48 @@ object Events {
         round(coalesce(col("__r"), lit(tauTime)), 6).as("rmst"),
         round(coalesce(col("__s"), lit(1.0)), 6).as("survival_at_tau"))
       .orderBy(col(groupCol))
+  }
+
+  /** Restricted mean time LOST per competing cause (Andersen 2013's
+    * "years lost" decomposition) — [[rmst]]'s counterpart under
+    * competing risks: per (group, cause),
+    * `RMTL_c(τ) = ∫₀^τ CIF_c(t) dt`, the expected time lost to cause
+    * c within the first τ units. Because S(t) + Σ_c CIF_c(t) = 1 at
+    * every t, `RMST(τ) + Σ_c RMTL_c(τ) = τ` exactly — the identity
+    * the spec pins against [[rmst]] on the all-cause collapse of the
+    * same frame. Input contract is [[ajIncidence]]'s (null cause =
+    * censored); the integral is exact step algebra over its
+    * right-continuous 6-dp curve (each curve row contributes
+    * CIF(t)·(min(next_t, τ) − t), quantized to DECIMAL(38,12) before
+    * the one group sum; the area before a cause's first event is 0
+    * by construction, and a cause with no event by τ is absent —
+    * read RMTL 0). Returns (group, cause, tau, rmtl, cif_at_tau),
+    * 6 dp, ordered (group, cause).
+    *
+    * 100 TB shape: [[ajIncidence]]' passes, then one lead window +
+    * one aggregate on the (group, cause, time)-grain curve frame.
+    */
+  def rmtl(df: DataFrame, groupCol: String, timeCol: String,
+      causeCol: String, tauTime: Double): DataFrame = {
+    require(tauTime > 0, "rmtl: tauTime must be positive")
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val curve = ajIncidence(df, groupCol, timeCol, causeCol)
+      .select(col(groupCol), col("cause"), col("t"), col("cif"))
+      .localCheckpoint(true) // consumers: the truncated area fold
+    val wOrd = Window.partitionBy(col(groupCol), col("cause"))
+      .orderBy(col("t"))
+    curve.filter(col("t") <= lit(tauTime))
+      .withColumn("__nt",
+        coalesce(lead(col("t"), 1).over(wOrd), lit(tauTime)))
+      .withColumn("__lastRow", lead(col("t"), 1).over(wOrd).isNull)
+      .groupBy(col(groupCol), col("cause"))
+      .agg(
+        sum(d12(col("cif") * (col("__nt") - col("t"))))
+          .cast("double").as("__area"),
+        max(when(col("__lastRow"), col("cif"))).as("__cTau"))
+      .select(col(groupCol), col("cause"),
+        lit(tauTime).as("tau"), round(col("__area"), 6).as("rmtl"),
+        round(col("__cTau"), 6).as("cif_at_tau"))
+      .orderBy(col(groupCol), col("cause"))
   }
 }

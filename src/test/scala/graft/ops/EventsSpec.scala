@@ -1737,6 +1737,67 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceRules: exact confidences, threshold, gap consistency") {
+    import spark.implicits._
+    // u1: a b c | u2: a c b | u3: a b — at minSupport 2 the frequent
+    // patterns are a:3 b:3 c:2 a>b:3 a>c:2, so the rules read
+    // a=>b conf 3/3 and a=>c conf 2/3
+    val rows = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(1), 2L), (1L, "c", ts(2), 3L),
+      (2L, "a", ts(0), 4L), (2L, "c", ts(1), 5L), (2L, "b", ts(2), 6L),
+      (3L, "a", ts(0), 7L), (3L, "b", ts(1), 8L))
+      .toDF("u", "et", "at", "id")
+    val r = Events.sequenceRules(rows, "u", "et", "at", "id", 2L, 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r == Map(("a", "b") -> ((3L, 3L, 1.0)),
+      ("a", "c") -> ((2L, 3L, 0.666667))), r.toString)
+    // the confidence threshold cuts the weaker rule
+    val hi = Events.sequenceRules(rows, "u", "et", "at", "id", 2L, 3,
+        minConfidence = 0.9).collect()
+    assert(hi.length == 1 && hi(0).getString(1) == "b", hi.mkString(";"))
+    // under a gap the supports (and so the confidences) follow the
+    // gapped mining: adjacent-only keeps a=>b at 2/3
+    val g = Events.sequenceRules(rows, "u", "et", "at", "id", 2L, 3,
+        maxGapEvents = Some(1L)).collect()
+    assert(g.length == 1 && g(0).getString(1) == "b" &&
+      g(0).getDouble(5) == 0.666667, g.mkString(";"))
+    intercept[IllegalArgumentException] {
+      Events.sequenceRules(rows, "u", "et", "at", "id", 2L, 3,
+        minConfidence = 1.5)
+    }
+  }
+
+  test("rmtl: exact step areas, the tau identity with rmst, absent cause") {
+    import spark.implicits._
+    // the ajIncidence hand fixture: CIF_a = 0.25 on [1,4), 0.75 on
+    // [4,5); CIF_b = 0.25 on [2,5) — areas 1.5 and 0.75 at tau = 5
+    val rows = Seq(("X", 1.0, Some("a")), ("X", 2.0, Some("b")),
+      ("X", 3.0, None), ("X", 4.0, Some("a")))
+      .toDF("g", "tt", "cz")
+    val r = Events.rmtl(rows, "g", "tt", "cz", tauTime = 5.0)
+      .collect().map(x => x.getString(1) ->
+        (x.getDouble(3), x.getDouble(4))).toMap
+    assert(r == Map("a" -> ((1.5, 0.75)), "b" -> ((0.75, 0.25))),
+      r.toString)
+    // S + sum CIF = 1 pointwise, so RMST + sum RMTL = tau exactly
+    val rm = Events.rmst(rows
+        .withColumn("e", org.apache.spark.sql.functions
+          .when(col("cz").isNotNull, 1L).otherwise(0L)),
+        "g", "tt", "e", tauTime = 5.0)
+      .collect()(0).getDouble(2)
+    assert(math.abs(rm + r.values.map(_._1).sum - 5.0) < 2e-6,
+      s"identity: $rm + ${r.values.map(_._1).sum}")
+    // a cause with no event by tau is absent (reads RMTL 0)
+    val early = Events.rmtl(rows, "g", "tt", "cz", tauTime = 1.5)
+      .collect()
+    assert(early.length == 1 && early(0).getString(1) == "a" &&
+      early(0).getDouble(3) == 0.125, early.mkString(";"))
+    intercept[IllegalArgumentException] {
+      Events.rmtl(rows, "g", "tt", "cz", tauTime = 0.0)
+    }
+  }
+
   test("upliftTLearner: exact per-arm lines and the k=0 mean-difference face") {
     import spark.implicits._
     // arm 0: y = 1 + 2x, arm 1: y = 2 + 5x, exact fits — segment s1
