@@ -2921,6 +2921,19 @@ object ScaleCheck {
       "gap=2 must split the planted pair (3 positions apart)")
     println(f"R17> gapseq events=${nU17 * 5} gap3=${g3m("promo>buy")} " +
       f"gap2_absent t3=$tG3%.1f s t2=$tG2%.1f s")
+    // rules: promo=>buy holds in EVERY promo user -> confidence
+    // exactly 1.0 (both supports are the planted 500k)
+    val (rl17, tRl) = time {
+      graft.ops.Events.sequenceRules(seq17, "u", "event_type", "ts",
+        "event_id", minSupport = 400000L, maxLen = 2,
+        minConfidence = 0.9, maxGapEvents = Some(3L)).collect()
+    }
+    val promoRule = rl17.find(r =>
+      r.getString(0) == "promo" && r.getString(1) == "buy")
+    require(promoRule.exists(_.getDouble(5) == 1.0),
+      s"planted rule must read confidence 1.0: ${rl17.mkString(";")}")
+    println(f"R17> seqrules rules=${rl17.length} promo_buy_conf=1.0 " +
+      f"t=$tRl%.1f s")
     seq17.unpersist(true)
     // Aalen-Johansen: 50% cause a at t=1, 30% cause b at t=2, 20%
     // censored at t=3 -> CIF_a(1) = 0.5 and CIF_b(2) = 0.5*(0.3/0.5)
@@ -2939,6 +2952,18 @@ object ScaleCheck {
     require(ajm(("a", 1.0)) == 0.5 && ajm(("b", 2.0)) == 0.3,
       s"closed-form CIFs must be exact: $ajm")
     println(f"R17> aj subjects=$nAj cif_a=0.5 cif_b=0.3 t=$tAj%.1f s")
+    // time lost through tau=3: CIF_a = 0.5 on [1,3) -> 1.0,
+    // CIF_b = 0.3 on [2,3) -> 0.3; with RMST(3) = 1 + 0.5 + 0.2 = 1.7
+    // the identity RMST + sum RMTL = tau closes exactly
+    val (rml, tRml) = time {
+      graft.ops.Events.rmtl(aj, "g", "tt", "cz", tauTime = 3.0)
+        .collect()
+    }
+    val rmlm = rml.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    require(rmlm == Map("a" -> 1.0, "b" -> 0.3),
+      s"closed-form RMTLs must be exact: $rmlm")
+    println(f"R17> rmtl subjects=$nAj lost_a=1.0 lost_b=0.3 " +
+      f"t=$tRml%.1f s")
     // PH diagnostic at 1M subjects: the spec's late-loaded treated
     // arm on a 200-bucket time grain (grain-bounded windows) — the
     // violation must flag; the exact-proportional bucketed twin must
@@ -2998,6 +3023,29 @@ object ScaleCheck {
         tops17.map(s => s.subsetOf(vocA17.toSet)).size == 2,
       s"planted blocks must separate pure: $tops17")
     println(f"R17> plsa docs=2000000 pure_blocks=2 t=$tLt%.1f s")
+    // the mixture face routes docs to their block's topic. Purity is
+    // >= 99.5%, not 100: the fixed 6 EM rounds leave tail leakage in
+    // P(w|z) (the TOP terms are pure — the gate above — but the
+    // leakiest tail words can flip the handful of docs drawn mostly
+    // from them; measured 1,060/1,000,000 = 0.11% on this plant)
+    val (mx17, tMx) = time {
+      graft.ops.TextAnalysis.latentTopicMixture(lt17, "doc_id",
+          "text", k = 2, iters = 6, vocabSize = 60)
+        .where(col("is_dominant"))
+        .groupBy((col("doc_id") % 2).as("blk"), col("topic"))
+        .agg(count(lit(1)).as("n")).collect()
+    }
+    val byBlk = mx17.groupBy(_.getLong(0)).map { case (b, rs) =>
+      b -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    val dom0 = byBlk(0L).maxBy(_._2)
+    val dom1 = byBlk(1L).maxBy(_._2)
+    require(dom0._1 != dom1._1 &&
+        dom0._2 >= 995000L && dom1._2 >= 995000L &&
+        mx17.map(_.getLong(2)).sum == 2000000L,
+      s"mixture routing must be >= 99.5%% pure per block: " +
+        mx17.mkString(";"))
+    println(f"R17> mixture docs=2000000 purity0=${dom0._2} " +
+      f"purity1=${dom1._2} t=$tMx%.1f s")
     lt17.unpersist(true)
     }
 
