@@ -56,6 +56,13 @@ object Cli {
     go(args.toList, Map.empty)
   }
 
+  /** The one comma-list parser for every --x-cols / --keys / --steps
+    * style flag: trims each segment and drops empties, so
+    * `--x-cols 'a, b'` resolves column `b`, not the confusing ` b`
+    * (the uplift-mode convention applied everywhere). */
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
   def main(args: Array[String]): Unit = args.toList match {
     case "snapshot" :: rest =>
       val flags = parseFlags(rest)
@@ -300,7 +307,7 @@ object Cli {
         val idCol = flags.getOrElse("id-col", "doc_id")
         val textCol = flags.getOrElse("text-col", "text")
         val hashCols = flags.get("hash-cols")
-          .map(_.split(",").toSeq).getOrElse(Seq(textCol))
+          .map(splitCols).getOrElse(Seq(textCol))
         val minTokens = flags.getOrElse("min-tokens", "1").toInt
         val tokenGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           df => df.filter(
@@ -574,9 +581,9 @@ object Cli {
       try {
         val before = spark.read.parquet(req("before"))
         val after = spark.read.parquet(req("after"))
-        val keys = req("keys").split(",").toSeq
+        val keys = splitCols(req("keys"))
         val compare = flags.get("compare")
-          .map(_.split(",").toSeq)
+          .map(splitCols)
           .getOrElse(before.columns.toSeq.filterNot(keys.contains))
         val delta = graft.snapshot.Diff.diff(before, after, keys, compare)
         delta.write.mode("overwrite").parquet(req("out"))
@@ -625,7 +632,7 @@ object Cli {
         val id = flags.getOrElse("id-col", "event_id")
         val out = flags.getOrElse("mode", "funnel") match {
           case "funnel" =>
-            val steps = req("steps").split(",").toSeq
+            val steps = splitCols(req("steps"))
             flags.get("within-ms") match {
               case Some(ms) => graft.ops.Events.funnelWithin(df, user, typ,
                 ts, steps, ms.toLong)
@@ -687,7 +694,7 @@ object Cli {
               req("period-col"), req("y-col"))
           case "balance" =>
             graft.ops.Events.covariateBalance(df, req("group-col"),
-              req("covariates").split(",").toSeq)
+              splitCols(req("covariates")))
           case "fdr" =>
             graft.ops.Profile.bhAdjust(df, req("p-col"))
           case "harmonic" =>
@@ -707,11 +714,11 @@ object Cli {
             }
           case "ols" =>
             graft.ops.Events.olsAdjust(df, req("variant-col"),
-              req("y-col"), req("covariates").split(",").toSeq)
+              req("y-col"), splitCols(req("covariates")))
           case "did-adjusted" =>
             graft.ops.Events.didAdjusted(df, req("group-col"),
               req("period-col"), req("y-col"),
-              flags.get("covariates").map(_.split(",").toSeq)
+              flags.get("covariates").map(splitCols)
                 .getOrElse(Seq.empty))
           case "bootstrap-diff" =>
             graft.ops.Profile.bootstrapCiMeanDiff(df, id,
@@ -776,15 +783,15 @@ object Cli {
               flags.getOrElse("max-lag", "7").toInt)
           case "logistic" =>
             graft.ops.Events.logisticFit(df, req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
           case "ipw" =>
             graft.ops.Events.ipwAte(df, req("treat-col"), req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
           case "aipw" =>
             graft.ops.Events.aipwAte(df, req("treat-col"), req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
           case "lift" =>
             graft.ops.Eval.liftChart(df, req("score-col"),
@@ -803,7 +810,7 @@ object Cli {
               req("time-col"), req("event-col"))
           case "poisson" =>
             graft.ops.Events.poissonFit(df, req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "8").toInt)
           case "keyness" =>
             graft.ops.TextAnalysis.keyness(df,
@@ -819,7 +826,7 @@ object Cli {
               spark.read.parquet(req("ref")), df, req("vec-col"))
           case "matched-att" =>
             graft.ops.Events.matchedAte(df, id, req("treat-col"),
-              req("y-col"), req("x-cols").split(",").toSeq,
+              req("y-col"), splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt,
               flags.getOrElse("caliper", "0.05").toDouble)
           case "qte" =>
@@ -827,7 +834,7 @@ object Cli {
               req("group-col"), req("value-col"))
           case "huber" =>
             graft.ops.Events.huberFit(df, req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "4").toInt)
           case "timedecay-attribution" =>
             graft.ops.Events.attributionTimeDecay(df, user, typ, ts, id,
@@ -865,7 +872,7 @@ object Cli {
               req("y-col"), req("x-col"),
               flags.getOrElse("lags", "2").toInt)
           case "vif" =>
-            graft.ops.Events.vif(df, req("x-cols").split(",").toSeq)
+            graft.ops.Events.vif(df, splitCols(req("x-cols")))
           case "naive-bayes" =>
             graft.ops.Classify.naiveBayes(
               spark.read.parquet(req("train")), df, req("label-col"),
@@ -903,7 +910,7 @@ object Cli {
               col(req("success-col")) === true)
           case "hbos" =>
             graft.ops.Profile.hbos(df, id,
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("bins", "20").toInt,
               flags.getOrElse("k", "100").toInt)
           case "dm" =>
@@ -915,7 +922,7 @@ object Cli {
           case "periodogram" =>
             graft.ops.Events.periodogram(df, req("order-col"),
               req("value-col"),
-              req("periods").split(",").toSeq.map(_.toInt))
+              splitCols(req("periods")).map(_.toInt))
           case "event-study" =>
             graft.ops.Events.eventStudy(df, typ, ts,
               req("intervention-day"),
@@ -927,7 +934,7 @@ object Cli {
               spark.read.parquet(req("other")), req("id-col"))
           case "cox" =>
             graft.ops.Events.coxPh(df, req("time-col"), req("event-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
           case "burstiness" =>
             graft.ops.Events.burstiness(df, typ, ts)
@@ -955,7 +962,7 @@ object Cli {
           case "uplift" =>
             graft.ops.Events.upliftTLearner(df, req("treat-col"),
               req("y-col"), flags.get("x-cols")
-                .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+                .map(splitCols)
                 .getOrElse(Seq.empty), req("segment-col"))
           case "strength" =>
             graft.ops.Events.seasonalStrength(df, typ, ts)
@@ -963,7 +970,7 @@ object Cli {
             graft.ops.Events.binarySegmentation(df, typ, ts)
           case "quantile-reg" =>
             graft.ops.Events.quantileFit(df, req("y-col"),
-              req("x-cols").split(",").toSeq,
+              splitCols(req("x-cols")),
               flags.getOrElse("tau", "0.5").toDouble,
               flags.getOrElse("iters", "6").toInt)
           case "prob-best" =>
@@ -992,7 +999,7 @@ object Cli {
               flags.get("max-gap-ms").map(_.toLong))
           case "cox-zph" =>
             graft.ops.Events.coxPhTest(df, req("time-col"),
-              req("event-col"), req("x-cols").split(",").toSeq,
+              req("event-col"), splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
           case other => sys.error(s"analyze: unknown --mode $other")
         }

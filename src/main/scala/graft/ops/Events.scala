@@ -4060,6 +4060,19 @@ object Events {
     require(badItem.isEmpty,
       s"frequentSequences: item type '${badItem.headOption.map(_.getString(0)).getOrElse("")}' " +
         "contains the pattern delimiter '>' — rename or pre-escape it")
+    // under maxGapMs every row's gap predicate reads __ms; a tsCol value
+    // that fails the timestamp cast yields null __ms, the predicate
+    // evaluates null, and that extension would silently drop — shrinking
+    // support counts with no signal. Fail loudly instead (the delimiter
+    // guard's convention; sessionize filters such rows explicitly and
+    // SAYS so — here a dropped row also breaks __pos adjacency, so
+    // filtering quietly is not an option). One early-terminating probe.
+    if (maxGapMs.nonEmpty) {
+      val badTs = ev.where(col("__ms").isNull).select(col("__u")).head(1)
+      require(badTs.isEmpty,
+        "frequentSequences: a non-null tsCol value failed the timestamp " +
+          "cast (null __ms) under maxGapMs — cast or clean tsCol upstream")
+    }
     // the probe prune shared by both paths: the round's event frame
     // restricted to users still carrying state (shrinks every round;
     // AQE broadcasts the survivor list when it is small)

@@ -1087,13 +1087,25 @@ object Profile {
       .agg(sum(col("__wx1")).as("__swx1"), sum(col("__w1")).as("__sw1"),
         sum(col("__wx2")).as("__swx2"), sum(col("__w2")).as("__sw2"))
       .localCheckpoint(true) // halves-sized; TWO consumers (the union)
+    // a replica that resamples the whole frame to zero total weight
+    // (P ≈ e^(−n) per replica — real at tiny n) must yield a NULL mean,
+    // not an ANSI DIVIDE_BY_ZERO: guard the division, drop the replica
+    // (DuckDB's x/0 → NULL + quantile_cont's null-skip do the same, so
+    // the two engines stay aligned), and refuse a frame so degenerate
+    // that fewer than half the replicas survived
     val means = perDigest
       .select((col("__g") * 2).as("__b"),
-        (col("__swx1").cast("double") / col("__sw1")).as("__m"))
+        when(col("__sw1") > 0,
+          col("__swx1").cast("double") / col("__sw1")).as("__m"))
       .unionAll(perDigest
         .select((col("__g") * 2 + 1).as("__b"),
-          (col("__swx2").cast("double") / col("__sw2")).as("__m")))
-      .filter(col("__b") < replicas)
+          when(col("__sw2") > 0,
+            col("__swx2").cast("double") / col("__sw2")).as("__m")))
+      .filter(col("__b") < replicas && col("__m").isNotNull)
+    val valid = means.count()
+    require(valid >= replicas / 2,
+      s"bootstrapCiMean: only $valid of $replicas replicas drew nonzero " +
+        "total weight — the frame is too small to bootstrap")
     val qs = Quantiles.exact(means, "__m",
         Seq(alpha / 2, 1 - alpha / 2), builtinMaxRows = 0L)
       .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
@@ -1175,17 +1187,28 @@ object Profile {
       .agg(sum(col("__wx1")).as("__swx1"), sum(col("__w1")).as("__sw1"),
         sum(col("__wx2")).as("__swx2"), sum(col("__w2")).as("__sw2"))
       .localCheckpoint(true) // (halves × 2)-sized; TWO consumers
+    // same zero-weight guard as bootstrapCiMean: a replica that draws a
+    // group to zero total weight gets a NULL arm mean (not an ANSI
+    // DIVIDE_BY_ZERO — observed on ~15-row groups, P ≈ e^(−n)); the
+    // null propagates through the diff and the replica drops, exactly
+    // what DuckDB's x/0 → NULL does on the oracle side
     val gm = perDigest
       .select((col("__g") * 2).as("__b"), col("__grp"),
-        (col("__swx1").cast("double") / col("__sw1")).as("__m"))
+        when(col("__sw1") > 0,
+          col("__swx1").cast("double") / col("__sw1")).as("__m"))
       .unionAll(perDigest
         .select((col("__g") * 2 + 1).as("__b"), col("__grp"),
-          (col("__swx2").cast("double") / col("__sw2")).as("__m")))
+          when(col("__sw2") > 0,
+            col("__swx2").cast("double") / col("__sw2")).as("__m")))
       .filter(col("__b") < replicas)
     val diffs = gm.groupBy(col("__b"))
       .agg((max(when(col("__grp") === labels(1), col("__m"))) -
         max(when(col("__grp") === labels(0), col("__m")))).as("__d"))
       .filter(col("__d").isNotNull)
+    val valid = diffs.count()
+    require(valid >= replicas / 2,
+      s"bootstrapCiMeanDiff: only $valid of $replicas replicas drew " +
+        "nonzero weight in both arms — the frame is too small to bootstrap")
     val qs = Quantiles.exact(diffs, "__d",
         Seq(alpha / 2, 1 - alpha / 2), builtinMaxRows = 0L)
       .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))

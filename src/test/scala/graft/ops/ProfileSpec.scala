@@ -365,6 +365,28 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap zero-weight replicas: tiny frames drop degenerate " +
+    "replicas instead of dividing by zero") {
+    import spark.implicits._
+    // two-row constant frame: P(a replica zeroes BOTH weights) = e^(-2)
+    // ≈ 0.135, so of 100 replicas ~13 resample to zero total weight —
+    // before the guard each threw DIVIDE_BY_ZERO under ANSI; now they
+    // drop and every surviving replica's mean IS the constant
+    val tiny = Seq((1L, 42.5), (2L, 42.5)).toDF("id", "v")
+    val r = Profile.bootstrapCiMean(tiny, "id", "v", replicas = 100)
+      .collect()(0)
+    assert(r.getDouble(1) == 42.5 && r.getDouble(2) == 42.5 &&
+      r.getDouble(3) == 42.5)
+    // diff face: 5 constant rows per arm — a replica zeroing either arm
+    // (P ≈ 2e^(-5)) drops; survivors all read the same constant diff
+    val rows = (1 to 5).map(i => (i.toLong, "A", 10.0)) ++
+      (6 to 10).map(i => (i.toLong, "B", 14.0))
+    val d = Profile.bootstrapCiMeanDiff(rows.toDF("id", "g", "v"),
+      "id", "g", "v", replicas = 100).collect()(0)
+    assert(d.getDouble(4) == 4.0 && d.getDouble(5) == 4.0 &&
+      d.getDouble(6) == 4.0)
+  }
+
   test("msprtTest: hand algebra, null-effect calm, strong-effect alarm, " +
     "degenerate arms") {
     import spark.implicits._
