@@ -4608,6 +4608,31 @@ object SparkEntry {
       graft.ops.Events.rmtl(competingArms(s, dir), "grp", "t",
         "cause", tauTime = 168.0)),
 
+    // Item-item collaborative filtering (ops/Recommend.scala): per-part
+    // top-5 co-purchase neighbor lists by cosine over the order-basket
+    // co-occurrence matrix — the "customers who bought X also bought Y"
+    // candidate generator beside q179's global rule dashboard.
+    "q315_item_similarity" -> ((s, dir) =>
+      graft.ops.Recommend.itemSimilarity(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
+        maxBasketSize = 1000)),
+
+    // Item-based top-N recommendations (ops/Recommend.scala): q315's
+    // neighbor lists scored against each customer's purchase history
+    // (Σ cosine over neighbor edges leaving their parts, already-bought
+    // parts excluded) — the per-customer readout of the CF stack.
+    "q320_recommend_items" -> ((s, dir) => {
+      val sims = graft.ops.Recommend.itemSimilarity(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
+        maxBasketSize = 1000)
+      val hist = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      graft.ops.Recommend.recommendItems(hist, "cust", "part", sims,
+        topN = 3)
+    }),
+
     // Schoenfeld-style PH diagnostic (ops/Events.scala): q295's fit,
     // then its Schoenfeld residuals regressed on event rank — the
     // check that the hazard ratio is actually constant over time.
@@ -12487,6 +12512,74 @@ object SparkEntry {
         |    6) AS rmtl,
         |  round(max(CASE WHEN lastrow THEN cif END), 6) AS cif_at_tau
         |FROM seg GROUP BY g, cause ORDER BY grp, cause""".stripMargin,
+
+    // the q179 distinct-collapse + basket rail + pair self-join, pairs
+    // mirrored to both directions, cosine/lift in the operator's exact
+    // double shapes, per-item rank window on the 6-dp cosine
+    "q315_item_similarity" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
+        |kept AS (SELECT bi.b, bi.i FROM bi SEMI JOIN ok ON bi.b = ok.b),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM kept),
+        |ic AS (SELECT i, count(*) AS c FROM kept GROUP BY i),
+        |h AS (SELECT a.i AS item, b.i AS neighbor, count(*) AS n_both
+        |      FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |p AS (SELECT item, neighbor, n_both FROM h
+        |      UNION ALL SELECT neighbor, item, n_both FROM h),
+        |sc AS (SELECT p.item, p.neighbor, ci.c AS n_item,
+        |    cn.c AS n_neighbor, p.n_both,
+        |    round(p.n_both::DOUBLE /
+        |      sqrt(ci.c::DOUBLE * cn.c::DOUBLE), 6) AS cosine,
+        |    round(p.n_both::DOUBLE * nb / (ci.c * cn.c), 6) AS lift
+        |  FROM p JOIN ic ci ON p.item = ci.i
+        |    JOIN ic cn ON p.neighbor = cn.i CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY cosine DESC, neighbor) AS rank
+        |  FROM sc)
+        |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
+        |  rank
+        |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // the q315 chain reused as the neighbor frame, scored against the
+    // distinct customer-part history: decimal-quantized cosine sum per
+    // (customer, candidate), already-bought anti-join, top-3 rank on
+    // the 6-dp score
+    "q320_recommend_items" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
+        |kept AS (SELECT bi.b, bi.i FROM bi SEMI JOIN ok ON bi.b = ok.b),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM kept),
+        |ic AS (SELECT i, count(*) AS c FROM kept GROUP BY i),
+        |h AS (SELECT a.i AS item, b.i AS neighbor, count(*) AS n_both
+        |      FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |p AS (SELECT item, neighbor, n_both FROM h
+        |      UNION ALL SELECT neighbor, item, n_both FROM h),
+        |sc AS (SELECT p.item, p.neighbor,
+        |    round(p.n_both::DOUBLE /
+        |      sqrt(ci.c::DOUBLE * cn.c::DOUBLE), 6) AS cosine
+        |  FROM p JOIN ic ci ON p.item = ci.i
+        |    JOIN ic cn ON p.neighbor = cn.i),
+        |topk AS MATERIALIZED (SELECT item, neighbor, cosine,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cosine DESC, neighbor) AS rnk
+        |  FROM sc QUALIFY rnk <= 5),
+        |hist AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |agg AS (SELECT h2.u, e.neighbor AS it,
+        |    sum(CAST(e.cosine AS DECIMAL(38,12))) AS s
+        |  FROM hist h2 JOIN topk e ON h2.it = e.item
+        |  GROUP BY 1, 2),
+        |fil AS (SELECT agg.u, agg.it, agg.s FROM agg
+        |  ANTI JOIN hist ON agg.u = hist.u AND agg.it = hist.it),
+        |rk2 AS (SELECT u, it, round(s::DOUBLE, 6) AS score,
+        |    row_number() OVER (PARTITION BY u
+        |      ORDER BY round(s::DOUBLE, 6) DESC, it) AS rank
+        |  FROM fil)
+        |SELECT u AS "user", it AS item, score, rank
+        |FROM rk2 WHERE rank <= 3 ORDER BY "user", rank""".stripMargin,
 
     // the heapsLaw tokenize device -> (doc, term) counts -> top-300
     // vocab -> the integer-mod perturbed-uniform init -> 3 unrolled

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -81,6 +82,129 @@ object Recommend {
           (col("n_a") * col("n_b")), 6).as("lift"))
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)
+  }
+
+  /** Item-item similarity (Sarwar et al. 2001; Linden, Smith & York
+    * 2003's item-to-item CF) — the "users who did X also did Y"
+    * neighbor lists behind every recommender candidate generator:
+    * cosine over the basket co-occurrence matrix,
+    * `cos(a,b) = n_ab / √(n_a·n_b)`, plus lift, read as per-item
+    * TOP-K NEIGHBOR LISTS (the artifact [[recommendItems]] scores
+    * against; [[marketBasket]] reads the same matrix as a global
+    * rule dashboard instead).
+    *
+    * Returns one row per (item, neighbor) with rank ≤ `topKPerItem`:
+    * (item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
+    * rank) — both directions of every pair (neighbor lists are
+    * asymmetric: b can make a's top-k while a misses b's), rank by
+    * (6-dp cosine desc, neighbor), ordered (item, rank).
+    *
+    * 100 TB shape: [[marketBasket]]'s exactly — the log collapses to
+    * DISTINCT (basket, item) first, pairs come from ONE self-join on
+    * the basket key with the `maxBasketSize` quadratic rail,
+    * marginals re-aggregate the same pinned frame, `minPairCount`
+    * prunes before the marginal joins. The mirror-to-both-directions
+    * union and the rank window run on the PAIR-grain frame (pair-
+    * bounded, item-partitioned — never basket- or log-sized).
+    */
+  def itemSimilarity(txns: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, topKPerItem: Int = 10,
+      maxBasketSize: Int = 1000): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(topKPerItem > 0, "topKPerItem must be positive")
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    val bi = txns
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .localCheckpoint(true)
+    val okBaskets = bi.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") <= maxBasketSize)
+      .select(col("__b"))
+    val kept = bi.join(okBaskets, Seq("__b"), "left_semi")
+      .localCheckpoint(true) // consumers: marginals, total, pair join
+    val nBaskets = kept.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val itemCnt = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // item-sized; joined twice
+    val half = kept.select(col("__b"), col("__i").as("item"))
+      .join(kept.select(col("__b"), col("__i").as("neighbor")), Seq("__b"))
+      .where(col("item") < col("neighbor"))
+      .groupBy(col("item"), col("neighbor"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minPairCount)
+    // mirror to both directions BEFORE ranking: neighbor lists need
+    // every pair under each endpoint
+    val pairs = half.unionByName(half.select(
+      col("neighbor").as("item"), col("item").as("neighbor"),
+      col("n_both")))
+    val wItem = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    pairs
+      .join(itemCnt.select(col("__i").as("item"), col("__c").as("n_item")),
+        Seq("item"))
+      .join(itemCnt.select(col("__i").as("neighbor"),
+        col("__c").as("n_neighbor")), Seq("neighbor"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item"), col("neighbor"), col("n_item"),
+        col("n_neighbor"), col("n_both"),
+        round(col("n_both").cast("double") /
+          sqrt(col("n_item").cast("double") *
+            col("n_neighbor").cast("double")), 6).as("cosine"),
+        round(col("n_both").cast("double") * col("__n") /
+          (col("n_item") * col("n_neighbor")), 6).as("lift"))
+      .withColumn("rank", row_number().over(wItem))
+      .where(col("rank") <= topKPerItem)
+      .orderBy(col("item"), col("rank"))
+  }
+
+  /** Item-based top-N recommendations — [[itemSimilarity]]'s neighbor
+    * lists scored against each user's interaction history:
+    * `score(u, c) = Σ_{i ∈ items(u)} cos(i, c)` over every neighbor
+    * edge (i → c) leaving the user's items, candidates the user
+    * already interacted with excluded (recommending what they already
+    * did is a wasted slot). The Sarwar et al. 2001 weighted-sum
+    * scorer with unit "ratings" (interaction counts collapse to
+    * presence — a purchase log, not a star matrix).
+    *
+    * `sims` is [[itemSimilarity]] output (or any (item, neighbor,
+    * cosine) frame). Returns (user, item, score, rank ≤ topN),
+    * ordered (user, rank); rank by (6-dp score desc, item). Cosine
+    * terms quantize to DECIMAL(38,12) before the per-candidate sum —
+    * order-free exact addition, engine-replayable.
+    *
+    * 100 TB shape: the history collapses to DISTINCT (user, item);
+    * scoring is ONE equi-join on the item key against the topK-per-
+    * item-bounded neighbor frame (k·|items| rows — broadcast when the
+    * catalog is small, hash-partitioned when not) + one (user,
+    * candidate)-keyed aggregation; the already-seen exclusion is a
+    * left-anti self-join on the SAME collapsed history; the rank
+    * window is user-partitioned over the candidate-grain frame. No
+    * user×catalog cross product anywhere.
+    */
+  def recommendItems(interactions: DataFrame, userCol: String,
+      itemCol: String, sims: DataFrame, topN: Int = 10): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val hist = interactions
+      .select(col(userCol).as("user"), col(itemCol).as("item"))
+      .filter(col("user").isNotNull && col("item").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // consumers: scoring join + seen-exclusion
+    val edges = sims.select(col("item"), col("neighbor"),
+      col("cosine").cast("decimal(38,12)").as("__w"))
+    val wUser = Window.partitionBy(col("user"))
+      .orderBy(col("score").desc, col("item"))
+    hist
+      .join(edges, Seq("item"))
+      .groupBy(col("user"), col("neighbor").as("item"))
+      .agg(sum(col("__w")).as("__s"))
+      .join(hist, Seq("user", "item"), "left_anti")
+      .select(col("user"), col("item"),
+        round(col("__s").cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(wUser))
+      .where(col("rank") <= topN)
+      .orderBy(col("user"), col("rank"))
   }
 
   /** RFM segmentation (Hughes 1994's recency/frequency/monetary): per

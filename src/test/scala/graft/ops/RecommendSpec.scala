@@ -50,6 +50,65 @@ class RecommendSpec extends AnyFunSuite {
     assert(math.abs(out(("a", "b"))._4 - 2.0 / 3) < 1e-6)
   }
 
+  test("itemSimilarity: hand-computed cosine/lift neighbor lists, " +
+    "both directions, topK cut") {
+    // b1: {a,b}  b2: {a,b,c}  b3: {a,c}   N=3
+    // n_a=3 n_b=2 n_c=2; n_ab=2 n_ac=2 n_bc=1
+    // cos(a,b) = cos(a,c) = 2/sqrt(6); cos(b,c) = 1/2
+    val txns = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "c")).toDF("basket", "item")
+    val out = Recommend.itemSimilarity(txns, "basket", "item",
+        minPairCount = 1, topKPerItem = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getInt(7)))
+      .toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val c26 = r6(2.0 / math.sqrt(6.0))
+    // both directions present; a's ties (b, c at 2/sqrt 6) rank by name
+    assert(out(("a", "b")) == ((3L, 2L, 2L, c26, 1.0, 1)))
+    assert(out(("a", "c")) == ((3L, 2L, 2L, c26, 1.0, 2)))
+    assert(out(("b", "a")) == ((2L, 3L, 2L, c26, 1.0, 1)))
+    assert(out(("b", "c")) == ((2L, 2L, 1L, 0.5, 0.75, 2)))
+    assert(out(("c", "a")) == ((2L, 3L, 2L, c26, 1.0, 1)))
+    assert(out(("c", "b")) == ((2L, 2L, 1L, 0.5, 0.75, 2)))
+    // topKPerItem = 1 keeps exactly each item's rank-1 row
+    val top1 = Recommend.itemSimilarity(txns, "basket", "item",
+        minPairCount = 1, topKPerItem = 1).collect()
+    assert(top1.length == 3 && top1.forall(_.getInt(7) == 1))
+  }
+
+  test("recommendItems: weighted-sum scores, seen exclusion, tie order") {
+    val txns = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "c")).toDF("basket", "item")
+    val sims = Recommend.itemSimilarity(txns, "basket", "item",
+      minPairCount = 1, topKPerItem = 10)
+    // u1 owns {a}: candidates b and c tie at cos(a,b) = cos(a,c) —
+    // rank breaks on item name; u2 owns {a,b}: only c survives the
+    // seen-exclusion, score = cos(a,c) + cos(b,c)
+    val hist = Seq(("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("user_id", "item_id")
+    val recs = Recommend.recommendItems(hist, "user_id", "item_id",
+        sims, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3)))
+      .toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val c26 = r6(2.0 / math.sqrt(6.0))
+    assert(recs(("u1", "b")) == ((c26, 1)))
+    assert(recs(("u1", "c")) == ((c26, 2)))
+    assert(recs(("u2", "c")) == ((r6(c26 + 0.5), 1)))
+    assert(recs.size == 3) // nothing else recommended
+    // topN cut: u1 keeps only its rank-1 candidate
+    val top1 = Recommend.recommendItems(hist, "user_id", "item_id",
+      sims, topN = 1).collect()
+    assert(top1.count(_.getString(0) == "u1") == 1)
+  }
+
   test("rfm: quantile-threshold scores on a hand-checked population") {
     import java.sql.Timestamp
     def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
