@@ -4617,6 +4617,14 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
         maxBasketSize = 1000)),
 
+    // Kruskal-Wallis k-group rank test (ops/Profile.scala): does ANY
+    // order priority shift the order-value distribution? q222's
+    // prefix-sum rank device widened to all 5 groups; tie-corrected H,
+    // chi-square(4) p via the closed-form tail ladder, rank-eta².
+    "q316_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Profile.kruskalWallis(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
+
     // Item-based top-N recommendations (ops/Recommend.scala): q315's
     // neighbor lists scored against each customer's purchase history
     // (Σ cosine over neighbor edges leaving their parts, already-bought
@@ -12540,6 +12548,69 @@ object SparkEntry {
         |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
         |  rank
         |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // the q222 grain/rank replay widened to 5 conditional count
+    // columns; per-group half-integer rank sums, decimal tie cubes,
+    // the H/C/eta algebra in the operator's exact double order, and
+    // the even-df chi-square tail e^(-h/2)·(1 + h/2) unrolled for df=4
+    "q316_kruskal_wallis" -> {
+      val labels = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val cs = labels.zipWithIndex.map { case (l, i) =>
+        s"count(CASE WHEN g = '$l' THEN 1 END) AS c$i" }
+        .mkString(",\n    ")
+      val tSum = (0 until 5).map(i => s"c$i").mkString(" + ")
+      val nSums = (0 until 5).map(i =>
+        s"sum(c$i)::BIGINT AS n$i").mkString(",\n    ")
+      val rSums = (0 until 5).map(i =>
+        s"sum(c$i * (cum + ($tSum + 1) / 2.0::DOUBLE)) AS r$i")
+        .mkString(",\n    ")
+      val sumr2 = (0 until 5).map(i => s"r$i * r$i / n$i")
+        .mkString(" + ")
+      val rows = labels.zipWithIndex.map { case (l, i) =>
+        s"SELECT '$l' AS grp, n$i AS n, r$i AS rs FROM alg2" }
+        .mkString("\nUNION ALL ")
+      s"""WITH v AS (
+         |  SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS x
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         |grain AS (
+         |  SELECT x,
+         |    $cs
+         |  FROM v GROUP BY x),
+         |rk AS (
+         |  SELECT *, coalesce(sum($tSum) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM grain),
+         |agg AS (
+         |  SELECT
+         |    $nSums,
+         |    $rSums,
+         |    sum(($tSum)::DECIMAL(38,0) * ($tSum)::DECIMAL(38,0) *
+         |      ($tSum)::DECIMAL(38,0) - ($tSum)::DECIMAL(38,0))::DOUBLE
+         |      AS ties
+         |  FROM rk),
+         |alg AS (
+         |  SELECT *, (n0 + n1 + n2 + n3 + n4)::BIGINT AS n,
+         |    (0.0::DOUBLE + $sumr2) AS sumr2
+         |  FROM agg),
+         |alg2 AS (
+         |  SELECT *,
+         |    (12.0::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0::DOUBLE)) *
+         |      sumr2 - 3.0::DOUBLE * (n::DOUBLE + 1.0::DOUBLE)) /
+         |    (1.0::DOUBLE - ties /
+         |      (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h
+         |  FROM alg),
+         |pg AS (SELECT grp, n, rs FROM ($rows))
+         |SELECT pg.grp AS "group", pg.n, round(pg.rs, 6) AS rank_sum,
+         |  round(pg.rs / pg.n, 6) AS mean_rank, round(a.h, 6) AS h,
+         |  4 AS dof,
+         |  round(least(1.0::DOUBLE, exp(-(a.h / 2.0::DOUBLE)) *
+         |    (1.0::DOUBLE + a.h / 2.0::DOUBLE)), 6) AS p_value,
+         |  round((a.h - 5.0::DOUBLE + 1.0::DOUBLE) /
+         |    (a.n - 5)::DOUBLE, 6) AS eta_sq
+         |FROM pg, alg2 a ORDER BY "group"""".stripMargin
+    },
 
     // the q315 chain reused as the neighbor frame, scored against the
     // distinct customer-part history: decimal-quantized cosine sum per

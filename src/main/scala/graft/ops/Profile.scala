@@ -507,6 +507,148 @@ object Profile {
       .toDF("n_a", "n_b", "u_a", "u_b", "z", "p_value")
   }
 
+  /** Upper tail of the chi-square distribution at integer df — the
+    * closed-form ladder (engine-replayable; a gamma-function library
+    * call would pin the oracle to one libm): even df unrolls to
+    * `e^(−x/2) · Σ_{j<df/2} (x/2)^j / j!` (term-recurrence, left-assoc
+    * sum); odd df starts at `Q(x;1) = 2·Φ̄(√x)` (the A&S 7.1.26
+    * polynomial) and climbs `Q(x;ν+2) = Q(x;ν) +
+    * x^(ν/2)·e^(−x/2) / (2^(ν/2)·Γ(ν/2+1))` with the half-integer
+    * gammas maintained by the factorial recurrence. */
+  private[graft] def chiSqUpperTail(x: Double, df: Int): Double = {
+    require(df >= 1, "chiSqUpperTail: df must be >= 1")
+    if (x <= 0) 1.0
+    else if (df % 2 == 0) {
+      val hx = x / 2.0
+      var term = 1.0
+      var s = 1.0
+      var j = 1
+      while (j <= df / 2 - 1) { term = term * hx / j; s = s + term; j += 1 }
+      math.min(1.0, math.exp(-hx) * s)
+    } else {
+      val ax = math.sqrt(x)
+      val tt = 1.0 / (1.0 + 0.2316419 * ax)
+      val poly = tt * (0.319381530 + tt * (-0.356563782 +
+        tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+      var q = 2.0 *
+        (math.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.Pi) * poly)
+      var nu = 1
+      var g = math.sqrt(math.Pi) / 2.0 // Γ(3/2)
+      while (nu < df) {
+        q = q + math.pow(x, nu / 2.0) * math.exp(-x / 2.0) /
+          (math.pow(2.0, nu / 2.0) * g)
+        g = g * (nu / 2.0 + 1.0) // Γ(ν/2+1) → Γ(ν/2+2)
+        nu += 2
+      }
+      math.min(1.0, q)
+    }
+  }
+
+  /** Kruskal-Wallis H test (Kruskal & Wallis 1952): [[mannWhitney]]
+    * generalized to k groups — "did ANY arm's distribution shift" for
+    * a continuous metric across an A/B/n experiment, without the
+    * normality the one-way ANOVA borrows. Mid-ranks for ties on the
+    * POOLED ranking, the standard tie correction, chi-square(k−1)
+    * p-value through the closed-form tail ladder:
+    *
+    *   H = [ 12/(N(N+1)) · Σ_i R_i²/n_i − 3(N+1) ] / C,
+    *   C = 1 − Σ(t³−t)/(N³−N),    p = P(χ²_{k−1} > H),
+    *   η² = (H − k + 1)/(N − k)   (the rank-eta effect size — how much
+    *   of the rank variance the grouping explains).
+    *
+    * Returns one row per group (group, n, rank_sum, mean_rank) with
+    * the shared (h, dof, p_value, eta_sq) repeated on every row
+    * ([[benford]]'s convention for k-row readouts), ordered by group,
+    * 6 dp. An all-tied input (C = 0) yields null h/p/eta_sq; with
+    * k = 2 the 6-dp H equals [[mannWhitney]]'s z² (the consistency
+    * identity, spec-pinned). Rank sums are exact half-integers below
+    * 2^53; the Σ R_i²/n_i fold quantizes each term to DECIMAL(38,12)
+    * (order-free — the same contract as the plan-side aggregations).
+    *
+    * 100 TB shape: [[mannWhitney]]'s exactly — ONE (value, group)
+    * grain collapse, ranks ride the range-partition prefix-sum device
+    * over the value grain, per-group rank sums fold in the same
+    * aggregate (k conditional columns, k ≤ 20 a plan-time constant),
+    * and the H/p algebra runs on the k-row collect.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__x"))
+    val labels = vals.select(col("__g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = labels.length
+    require(k >= 2 && k <= 20,
+      s"kruskalWallis: need 2..20 groups, got $k")
+    val cAggs = labels.zipWithIndex.toSeq.map { case (l, i) =>
+      count(when(col("__g") === l, 1)).as(s"__c$i") }
+    val grain = vals.groupBy(col("__x"))
+      .agg(cAggs.head, cAggs.tail: _*)
+      .repartitionByRange(col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries
+    val t = (0 until k).map(i => col(s"__c$i")).reduce(_ + _)
+    val offsets = grain.groupBy(col("__pid"))
+      .agg(sum(t).as("__c"))
+      .collect().sortBy(_.getInt(0))
+    var running = 0L
+    val offsetRows = offsets.map { r =>
+      val here = running; running += r.getLong(1); (r.getInt(0), here)
+    }
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs =
+      (0 until k).map(i => sum(col(s"__c$i")).as(s"__n$i")) ++
+        // mid-rank of a tied run (cum+1 .. cum+t) = cum + (t+1)/2
+        (0 until k).map(i =>
+          sum(col(s"__c$i") * (col("__cum") + (t + 1) / lit(2.0)))
+            .as(s"__r$i")) ++
+        Seq(sum({ val td = t.cast("decimal(38,0)")
+          td * td * td - td }).as("__ties"))
+    val m = grain
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("__cum",
+        coalesce(sum(t).over(w), lit(0L)) + col("__off"))
+      .agg(aggs.head, aggs.tail: _*)
+      .head()
+    val ns = (0 until k).map(i => m.getLong(i))
+    require(ns.forall(_ > 0), "kruskalWallis: every group must be non-empty")
+    val rs = (0 until k).map(i => m.getDouble(k + i))
+    val ties = m.getDecimal(2 * k).doubleValue()
+    val nTot = ns.sum
+    val nd = nTot.toDouble
+    // Σ R_i²/n_i as a FIXED label-order left-assoc double fold — a
+    // k-term driver-side sum in one deterministic expression order
+    // needs no quantization (the per-row-sum convention), and the
+    // oracle writes the same literal chain
+    val sumR2n = (0 until k).foldLeft(0.0)((acc, i) =>
+      acc + rs(i) * rs(i) / ns(i))
+    val hRaw = 12.0 / (nd * (nd + 1.0)) * sumR2n - 3.0 * (nd + 1.0)
+    val c = 1.0 - ties / (nd * nd * nd - nd)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val (h, p, eta) =
+      if (c > 0) {
+        val hv = hRaw / c
+        val etaV =
+          if (nTot > k) Some(r6((hv - k + 1.0) / (nTot - k).toDouble))
+          else None
+        (Some(r6(hv)), Some(r6(chiSqUpperTail(hv, k - 1))), etaV)
+      } else (None, None, None)
+    labels.zipWithIndex.toSeq.map { case (l, i) =>
+      (l, ns(i), r6(rs(i)), r6(rs(i) / ns(i)), h, k - 1, p, eta)
+    }.toDF("group", "n", "rank_sum", "mean_rank", "h", "dof",
+      "p_value", "eta_sq")
+      .orderBy(col("group"))
+  }
+
   /** Log-rank test (Mantel 1966; Peto & Peto 1972): did two arms'
     * SURVIVAL CURVES differ? The censoring-aware companion to
     * [[mannWhitney]] — comparing raw durations rank-sums a

@@ -365,6 +365,70 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSqUpperTail: textbook 5% critical values at df 1..5") {
+    // (critical value, df) pairs with P(chi2_df > x) = 0.05
+    val crit = Seq((3.841459, 1), (5.991465, 2), (7.814728, 3),
+      (9.487729, 4), (11.070498, 5))
+    crit.foreach { case (x, df) =>
+      val p = Profile.chiSqUpperTail(x, df)
+      assert(math.abs(p - 0.05) < 1e-4, s"df=$df: $p")
+    }
+    assert(Profile.chiSqUpperTail(0.0, 3) == 1.0)
+    assert(Profile.chiSqUpperTail(1000.0, 2) < 1e-12)
+  }
+
+  test("kruskalWallis: naive-rank parity with ties, and k=2 H equals " +
+    "mannWhitney z-squared") {
+    import spark.implicits._
+    val data = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 2.0), ("b", 3.0), ("b", 6.0), ("b", 6.0), ("b", 9.0),
+      ("c", 4.0), ("c", 6.0), ("c", 7.0), ("c", 8.0))
+    val out = Profile.kruskalWallis(data.toDF("g", "v"), "g", "v")
+      .collect()
+    assert(out.length == 3)
+    // naive: pool, sort, average tied ranks, H with tie correction
+    val sorted = data.map(_._2).sorted
+    def rank(x: Double): Double = {
+      val lo = sorted.indexOf(x)
+      val hi = sorted.lastIndexOf(x)
+      (lo + 1 + hi + 1) / 2.0
+    }
+    val byG = data.groupBy(_._1).view.mapValues(_.map(t => rank(t._2)))
+    val n = data.size.toDouble
+    val sumR2n = byG.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (_, rks)) =>
+        acc + rks.sum * rks.sum / rks.size }
+    val hRaw = 12.0 / (n * (n + 1.0)) * sumR2n - 3.0 * (n + 1.0)
+    val ties = sorted.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val h = hRaw / (1.0 - ties / (n * n * n - n))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.head.getDouble(4) == r6(h), s"${out.head.getDouble(4)} vs $h")
+    assert(out.head.getInt(5) == 2)
+    assert(out.head.getDouble(6) == r6(Profile.chiSqUpperTail(h, 2)))
+    // per-group rank sums match the naive pooled ranks
+    val rsMap = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    byG.foreach { case (g, rks) => assert(rsMap(g) == r6(rks.sum)) }
+    // identity: with k = 2 groups, tie-corrected H = mannWhitney z²
+    val two = data.filter(t => t._1 != "c").toDF("g", "v")
+    val kw = Profile.kruskalWallis(two, "g", "v").collect().head
+    val mw = Profile.mannWhitney(two, "g", "v").collect().head
+    val z = mw.getDouble(4)
+    assert(math.abs(kw.getDouble(4) - z * z) < 1e-5,
+      s"H=${kw.getDouble(4)} vs z²=${z * z}")
+    // degenerate: all values tied -> null h/p/eta
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    val fr = Profile.kruskalWallis(flat, "g", "v").collect().head
+    assert(fr.isNullAt(4) && fr.isNullAt(6) && fr.isNullAt(7))
+    // partition invariance
+    val p3 = Profile.kruskalWallis(data.toDF("g", "v").repartition(3),
+      "g", "v").collect().map(_.toSeq)
+    val p17 = Profile.kruskalWallis(data.toDF("g", "v").repartition(17),
+      "g", "v").collect().map(_.toSeq)
+    assert(p3.toSeq == p17.toSeq)
+  }
+
   test("bootstrap zero-weight replicas: tiny frames drop degenerate " +
     "replicas instead of dividing by zero") {
     import spark.implicits._
