@@ -4617,6 +4617,18 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
         maxBasketSize = 1000)),
 
+    // Stratified Cox PH (ops/Events.scala): q295's treated-arm hazard
+    // ratio refit with per-stratum baseline hazards (second md5 hex
+    // digit buckets as strata) — each stratum its own risk sets, one
+    // pooled beta; the standard remedy once q310 flags a violation.
+    "q317_cox_strata" -> ((s, dir) => {
+      val arms = survivalArmsStrat(s, dir)
+        .select(col("t"), col("e"), col("strat"),
+          when(col("grp") === "B", 1.0).otherwise(0.0).as("treated"))
+      graft.ops.Events.coxPhStratified(arms, "t", "e", Seq("treated"),
+        "strat", iters = 6)
+    }),
+
     // Kruskal-Wallis k-group rank test (ops/Profile.scala): does ANY
     // order priority shift the order-value distribution? q222's
     // prefix-sum rank device widened to all 5 groups; tie-corrected H,
@@ -4684,6 +4696,34 @@ object SparkEntry {
         floor((coalesce(evt, col("fin")) - col("anchor")) /
           lit(3600000.0)).cast("long").as("t"),
         cause.as("cause"))
+  }
+
+  /** q317's stratified subject frame: [[survivalArms]] plus a second-
+    * md5-hex-digit stratum bucket (s0/s1) — deterministic, independent
+    * of the arm split (which reads the FIRST digit). */
+  private def survivalArmsStrat(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").as("u"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_type").as("et"))
+    val anchors = ev.filter(col("et") === "signup")
+      .groupBy(col("u")).agg(min(col("ms")).as("anchor"))
+    val firstEvt = ev.filter(col("et") === "purchase")
+      .join(anchors, Seq("u"))
+      .where(col("ms") >= col("anchor"))
+      .groupBy(col("u")).agg(min(col("ms")).as("evt"))
+    val end = ev.agg(max(col("ms")).as("fin"))
+    anchors
+      .join(firstEvt, Seq("u"), "left")
+      .crossJoin(broadcast(end))
+      .select(
+        when(substring(md5(col("u").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("grp"),
+        when(substring(md5(col("u").cast("string")), 2, 1) < "8", "s0")
+          .otherwise("s1").as("strat"),
+        floor((coalesce(col("evt"), col("fin")) - col("anchor")) /
+          lit(3600000.0)).cast("long").as("t"),
+        when(col("evt").isNotNull, 1).otherwise(0).as("e"))
   }
 
   /** Shared q240/q251 per-subject frame: md5 arms, hours from first
@@ -12548,6 +12588,72 @@ object SparkEntry {
         |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
         |  rank
         |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // the q295 Newton unroll with the stratum key threaded through:
+    // per-step grain grouped by (stratum, time), suffix risk windows
+    // PARTITION BY stratum, one pooled gradient/Hessian fold over all
+    // strata's grain rows — same bet-chain elimination, plus n_strata
+    "q317_cox_strata" -> {
+      val steps = (1 to 6).map { i =>
+        s"""w$i AS (SELECT st, t, e, x0,
+           |    exp(0.0::DOUBLE + (b.c0 * x0)) AS wg
+           |  FROM pu2, bet${i - 1} b),
+           |gr$i AS (SELECT st, t, sum(e)::BIGINT AS d,
+           |    sum(CAST(CASE WHEN e = 1 THEN x0 ELSE 0.0::DOUBLE END
+           |      AS DECIMAL(38,12))) AS sx0,
+           |    sum(CAST(wg AS DECIMAL(38,12))) AS rw,
+           |    sum(CAST(wg * x0 AS DECIMAL(38,12))) AS rwx0,
+           |    sum(CAST(wg * x0 * x0 AS DECIMAL(38,12))) AS rwxx
+           |  FROM w$i GROUP BY st, t),
+           |sf$i AS (SELECT *,
+           |    (sum(rw) OVER sfx)::DOUBLE AS S0,
+           |    (sum(rwx0) OVER sfx)::DOUBLE AS S1,
+           |    (sum(rwxx) OVER sfx)::DOUBLE AS S2
+           |  FROM gr$i WINDOW sfx AS (PARTITION BY st ORDER BY t
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |mo$i AS (SELECT
+           |    sum(CAST(sx0::DOUBLE - d::DOUBLE * (S1 / S0)
+           |      AS DECIMAL(38,12)))::DOUBLE AS g0,
+           |    sum(CAST(d::DOUBLE * (S2 / S0 - (S1 / S0) * (S1 / S0))
+           |      AS DECIMAL(38,12)))::DOUBLE AS h00
+           |  FROM sf$i WHERE d > 0),
+           |bet$i AS MATERIALIZED (SELECT
+           |    (b.c0 + (m.g0 / m.h00)) AS c0,
+           |    (1.0::DOUBLE / m.h00) AS inv0
+           |  FROM bet${i - 1} b, mo$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id AS u,
+         |    (epoch_ms(ts)::BIGINT) AS ms, event_type AS et FROM events),
+         |a AS (SELECT u, min(ms) AS anchor FROM ev
+         |      WHERE et = 'signup' GROUP BY u),
+         |tg AS (SELECT ev.u, min(ms) AS evt FROM ev JOIN a ON ev.u = a.u
+         |       WHERE ev.et = 'purchase' AND ev.ms >= a.anchor
+         |       GROUP BY ev.u),
+         |mx AS (SELECT max(ms) AS fin FROM ev),
+         |pu AS (SELECT
+         |    CASE WHEN substring(md5(a.u::VARCHAR), 1, 1) < '8'
+         |      THEN 'A' ELSE 'B' END AS g,
+         |    CASE WHEN substring(md5(a.u::VARCHAR), 2, 1) < '8'
+         |      THEN 's0' ELSE 's1' END AS st,
+         |    floor((coalesce(evt, fin) - anchor) / 3600000.0)::BIGINT
+         |      AS t,
+         |    CASE WHEN evt IS NULL THEN 0 ELSE 1 END AS e
+         |  FROM a LEFT JOIN tg ON a.u = tg.u CROSS JOIN mx),
+         |pu2 AS MATERIALIZED (SELECT st, t, e,
+         |    CASE WHEN g = 'B' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         |      AS x0 FROM pu),
+         |nn AS (SELECT count(*)::BIGINT AS n, sum(e)::BIGINT AS d,
+         |       count(DISTINCT st)::BIGINT AS ns FROM pu2),
+         |bet0 AS (SELECT 0.0::DOUBLE AS c0, 0.0::DOUBLE AS inv0),
+         |$steps
+         |SELECT 0 AS term_idx, 'treated' AS term, nn.n AS n,
+         |  nn.d AS n_events, nn.ns AS n_strata, round(b.c0, 6) AS coef,
+         |  round(exp(b.c0), 6) AS hazard_ratio,
+         |  round(sqrt(b.inv0), 6) AS se,
+         |  CASE WHEN round(sqrt(b.inv0), 6) > 0.0::DOUBLE
+         |    THEN round(b.c0 / sqrt(b.inv0), 6) END AS z
+         |FROM bet6 b, nn""".stripMargin
+    },
 
     // the q222 grain/rank replay widened to 5 conditional count
     // columns; per-group half-integer rank sums, decimal tie cubes,

@@ -2000,9 +2000,14 @@ object Events {
     * [[coxPhTest]]'s Schoenfeld residual pass so the two cannot
     * drift. */
   private def coxGrain(base: DataFrame, k: Int,
-      beta: Array[Double]): DataFrame = {
+      beta: Array[Double], strat: Boolean = false): DataFrame = {
     def d12(c: Column) = c.cast("decimal(38,12)")
-    val wSuffix = Window.orderBy(col("__t"))
+    // stratified face: risk sets live PER STRATUM — the grain gains the
+    // stratum key and the suffix window partitions on it (rows stay
+    // time-grain-bounded per stratum); the unstratified path is the
+    // identical plan it always was
+    val wSuffix = (if (strat) Window.partitionBy(col("__s")).orderBy(col("__t"))
+      else Window.orderBy(col("__t")))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val eta = (0 until k).foldLeft(lit(0.0): Column)((acc, j) =>
       acc + lit(beta(j)) * col(s"__x$j"))
@@ -2017,7 +2022,8 @@ object Events {
         (for { j <- 0 until k; l <- j until k } yield
           sum(d12(wgt * col(s"__x$j") * col(s"__x$l")))
             .as(s"rwxx${j}_$l"))
-    val grain = base.groupBy(col("__t"))
+    val grain = (if (strat) base.groupBy(col("__s"), col("__t"))
+      else base.groupBy(col("__t")))
       .agg(grainAggs.head, grainAggs.tail: _*)
     val withS = grain
       .withColumn("__S0", sum(col("rw")).over(wSuffix).cast("double"))
@@ -2035,12 +2041,12 @@ object Events {
     * likelihood over an already-projected base — returns (β, the
     * inverse-Hessian diagonal at the last step). */
   private def coxNewton(base: DataFrame, k: Int,
-      iters: Int): (Array[Double], Array[Double]) = {
+      iters: Int, strat: Boolean = false): (Array[Double], Array[Double]) = {
     def d12(c: Column) = c.cast("decimal(38,12)")
     var beta = Array.fill(k)(0.0)
     var invDiag = Array.fill(k)(0.0)
     (1 to iters).foreach { _ =>
-      val withS2 = coxGrain(base, k, beta)
+      val withS2 = coxGrain(base, k, beta, strat)
       val dD = col("d").cast("double")
       val momAggs =
         (0 until k).map(j =>
@@ -2101,6 +2107,76 @@ object Events {
         r6(se), if (r6(se) > 0) Some(r6(beta(j) / se)) else None)
     }
     out.toDF("term_idx", "term", "n", "n_events", "coef",
+      "hazard_ratio", "se", "z")
+      .orderBy(col("term_idx"))
+  }
+
+  /** Stratified Cox proportional hazards — the standard REMEDY once
+    * [[coxPhTest]] flags a covariate as PH-violating: move it (or any
+    * nuisance grouping — site, cohort, device) into the STRATA, where
+    * each stratum keeps its own unconstrained baseline hazard, and fit
+    * ONE shared β for the remaining covariates across all strata. The
+    * stratified Breslow partial likelihood is the plain one summed per
+    * stratum: risk sets never cross strata (each stratum's own
+    * [[coxGrain]] suffix sums — the grain gains the stratum key and
+    * the window partitions on it), while the gradient/Hessian fold
+    * pools every stratum's grain rows into the same Newton step. With
+    * one stratum the trajectory is BIT-IDENTICAL to [[coxPh]] (the
+    * suffix sums and moment folds are decimal-quantized — partitioning
+    * a constant key moves nothing), spec-pinned.
+    *
+    * Returns one row per covariate: (term_idx, term, n, n_events,
+    * n_strata, coef, hazard_ratio, se, z), 6 dp — [[coxPh]]'s readout
+    * plus the stratum count.
+    *
+    * 100 TB shape: [[coxPh]]'s exactly — `iters` × (one subject-sized
+    * projection + ONE (stratum, time)-grain aggregation + stratum-
+    * partitioned grain windows + one 1-row moments collect); strata
+    * ride the SAME shuffles as the time grain, so stratifying adds no
+    * pass and no new exchange.
+    */
+  def coxPhStratified(df: DataFrame, timeCol: String, eventCol: String,
+      xCols: Seq[String], strataCol: String,
+      iters: Int = 6): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 10,
+      "coxPhStratified: need 1..10 covariates")
+    require(xCols.distinct.size == xCols.size,
+      "coxPhStratified: covariates must be distinct")
+    require(!xCols.contains(strataCol),
+      "coxPhStratified: strataCol cannot also be a covariate")
+    require(iters >= 1 && iters <= 12,
+      "coxPhStratified: iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xCols.size
+    val base = df.select(col(timeCol).cast("double").as("__t") +:
+        col(eventCol).cast("long").as("__e") +:
+        col(strataCol).cast("string").as("__s") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+      .filter(col("__t").isNotNull && col("__e").isNotNull &&
+        col("__s").isNotNull &&
+        (0 until k).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+      .localCheckpoint(eager = true) // iters consumers
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(col("__e")).as("d"),
+      countDistinct(col("__s")).as("ns")).head()
+    val n = counts.getLong(0)
+    val nEvents = counts.getLong(1)
+    val nStrata = counts.getLong(2)
+    require(nEvents > k,
+      s"coxPhStratified: need more events than covariates, got $nEvents")
+    val (beta, invDiag) = coxNewton(base, k, iters, strat = true)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = (0 until k).map { j =>
+      val se = math.sqrt(invDiag(j))
+      (j, xCols(j), n, nEvents, nStrata, r6(beta(j)),
+        r6(math.exp(beta(j))), r6(se),
+        if (r6(se) > 0) Some(r6(beta(j) / se)) else None)
+    }
+    out.toDF("term_idx", "term", "n", "n_events", "n_strata", "coef",
       "hazard_ratio", "se", "z")
       .orderBy(col("term_idx"))
   }

@@ -460,6 +460,56 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(junk(4).asInstanceOf[Double]) < 0.15)
   }
 
+  test("coxPhStratified: one stratum is bit-identical to coxPh, " +
+    "confounded strata recover the true effect") {
+    val n = 300
+    def times(h: Double, m: Int = n) = (1 to m).map(i =>
+      -math.log(1.0 - (i - 0.5) / m) / h)
+    // 1-stratum parity: partitioning the suffix windows by a constant
+    // key moves nothing (decimal-quantized end to end) — the Newton
+    // trajectory must be BIT-identical to coxPh's
+    val flat = (times(2.0).map(t => (t, 1L, "all", 1.0)) ++
+      times(1.0).map(t => (t, 1L, "all", 0.0))).toDF("t", "e", "s", "x")
+    val strat1 = Events.coxPhStratified(flat, "t", "e", Seq("x"), "s")
+      .collect()(0)
+    val plain = Events.coxPh(flat, "t", "e", Seq("x")).collect()(0)
+    assert(strat1.getLong(4) == 1L)
+    assert((strat1.getDouble(5), strat1.getDouble(6), strat1.getDouble(7),
+      strat1.getDouble(8)) == ((plain.getDouble(4), plain.getDouble(5),
+      plain.getDouble(6), plain.getDouble(7))))
+    // stratum-confounded treatment: s0 is a slow clinic (baseline 1,
+    // 20% treated), s1 a fast one (baseline 20, 80% treated); within
+    // EACH stratum the treated hazard is exactly 2x. The pooled fit
+    // confounds clinic speed with treatment and overshoots ln 2 badly;
+    // per-stratum risk sets remove the clinic baseline and recover it
+    val rows =
+      times(1.0, 160).map(t => (t, 1L, "s0", 0.0)) ++
+        times(2.0, 40).map(t => (t, 1L, "s0", 1.0)) ++
+        times(20.0, 40).map(t => (t, 1L, "s1", 0.0)) ++
+        times(40.0, 160).map(t => (t, 1L, "s1", 1.0))
+    val df = rows.toDF("t", "e", "s", "x")
+    val strat = Events.coxPhStratified(df, "t", "e", Seq("x"), "s")
+      .collect()(0)
+    val pooled = Events.coxPh(df.select(col("t"), col("e"), col("x")),
+      "t", "e", Seq("x")).collect()(0)
+    assert(strat.getLong(4) == 2L)
+    assert(math.abs(strat.getDouble(5) - math.log(2.0)) < 0.15,
+      s"stratified coef=${strat.getDouble(5)}")
+    assert(pooled.getDouble(4) - math.log(2.0) > 0.4,
+      s"pooled coef=${pooled.getDouble(4)} not confounded as planted")
+    // partition invariance (decimal-quantized end to end)
+    def run(parts: Int) = Events.coxPhStratified(df.repartition(parts),
+      "t", "e", Seq("x"), "s").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+    // guards
+    intercept[IllegalArgumentException] {
+      Events.coxPhStratified(df, "t", "e", Seq("s", "x"), "s")
+    }
+    intercept[IllegalArgumentException] {
+      Events.coxPhStratified(df, "t", "e", Seq.empty, "s")
+    }
+  }
+
   test("coxPhTest: planted time-varying effect flagged, proportional " +
     "fixture passes") {
     // proportional: exact exponential grids, hazard ratio 2 at every
