@@ -4617,6 +4617,16 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
         maxBasketSize = 1000)),
 
+    // PPMI word embeddings (ops/TextAnalysis.scala): the deterministic
+    // count-based path — top-300 vocab, symmetric adjacent
+    // co-occurrence, positive-PMI cells, truncated Jacobi eigenbasis;
+    // the readout is each top-frequency probe's exact-PPMI-cosine
+    // top-5 recovered through the 64-dim embedding pool (the q91 ANN
+    // recall convention — a pool miss hash-mismatches).
+    "q318_ppmi_neighbors" -> ((s, dir) =>
+      graft.ops.TextAnalysis.ppmiNeighbors(t(s, dir, "documents"),
+        "text", nProbes = 3, topK = 5, vocabSize = 300, dim = 64)),
+
     // Stratified Cox PH (ops/Events.scala): q295's treated-arm hazard
     // ratio refit with per-stratum baseline hazards (second md5 hex
     // digit buckets as strata) — each stratum its own risk sets, one
@@ -12588,6 +12598,64 @@ object SparkEntry {
         |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
         |  rank
         |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // the q180 tokenize/bigram device -> top-300 vocab -> symmetric
+    // counts (directed + transpose) -> positive-PMI cells in the
+    // operator's exact double order -> decimal-quantized row-cosine
+    // dot products for the top-3 probes -> per-probe rank on the 6-dp
+    // cosine; the Spark side must recover this exact set through its
+    // 64-dim embedding pool for the hash to match
+    "q318_ppmi_neighbors" ->
+      """WITH b AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |uc AS (SELECT w, count(*)::BIGINT AS cw
+        |  FROM (SELECT unnest(tk) AS w FROM b) GROUP BY w),
+        |voc AS MATERIALIZED (SELECT w, cw,
+        |    row_number() OVER (ORDER BY cw DESC, w) AS rk
+        |  FROM uc QUALIFY rk <= 300),
+        |g AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+        |    ELSE [array_to_string(tk[i:i+1], ' ')
+        |      FOR i IN range(1, len(tk))] END) AS bg
+        |  FROM b),
+        |dp0 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[-1] AS w2 FROM g),
+        |dc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM dp0
+        |  WHERE w1 IN (SELECT w FROM voc) AND w2 IN (SELECT w FROM voc)
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (SELECT a, b, sum(n)::BIGINT AS n FROM (
+        |    SELECT w1 AS a, w2 AS b, n FROM dc
+        |    UNION ALL SELECT w2 AS a, w1 AS b, n FROM dc)
+        |  GROUP BY a, b),
+        |mg AS (SELECT a, sum(n)::BIGINT AS c FROM sym GROUP BY a),
+        |tt AS (SELECT sum(n)::BIGINT AS t FROM sym),
+        |pp AS MATERIALIZED (
+        |  SELECT s.a, s.b,
+        |    ln(s.n::DOUBLE * t / (ca.c::DOUBLE * cb.c::DOUBLE)) AS p
+        |  FROM sym s JOIN mg ca ON s.a = ca.a JOIN mg cb ON s.b = cb.a
+        |    CROSS JOIN tt
+        |  WHERE ln(s.n::DOUBLE * t / (ca.c::DOUBLE * cb.c::DOUBLE))
+        |    > 0.0::DOUBLE),
+        |nr AS (SELECT a, sum(CAST(p * p AS DECIMAL(38,12))) AS s2
+        |  FROM pp GROUP BY a),
+        |pr AS (SELECT w FROM voc WHERE rk <= 3),
+        |cs AS (SELECT pa.a AS probe, pb.a AS cand,
+        |    sum(CAST(pa.p * pb.p AS DECIMAL(38,12)))::DOUBLE AS num
+        |  FROM pp pa JOIN pp pb ON pa.b = pb.b AND pa.a <> pb.a
+        |  WHERE pa.a IN (SELECT w FROM pr)
+        |  GROUP BY 1, 2),
+        |cosv AS (SELECT probe, cand,
+        |    num / (sqrt(na.s2::DOUBLE) * sqrt(nb.s2::DOUBLE)) AS c
+        |  FROM cs JOIN nr na ON cs.probe = na.a
+        |    JOIN nr nb ON cs.cand = nb.a),
+        |rk2 AS (SELECT probe, cand, round(c, 6) AS ppmi_cos,
+        |    row_number() OVER (PARTITION BY probe
+        |      ORDER BY round(c, 6) DESC, cand) AS rank
+        |  FROM cosv)
+        |SELECT probe, rank, cand AS neighbor, ppmi_cos,
+        |  TRUE AS emb_recall_ok
+        |FROM rk2 WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
 
     // the q295 Newton unroll with the stratum key threaded through:
     // per-step grain grouped by (stratum, time), suffix risk windows

@@ -975,4 +975,205 @@ object TextAnalysis {
     }
     (pwz, pzd)
   }
+
+  /** The shared PPMI device behind [[ppmiEmbeddings]] /
+    * [[ppmiNeighbors]]: top-V vocabulary (corpus frequency, ties on
+    * the term), symmetric adjacent-window co-occurrence counts
+    * (directed bigram counts + their transpose — the raw token
+    * stream's adjacency, the [[collocations]] event space), and the
+    * driver-side positive-PMI cells
+    * `ppmi(a,b) = max(0, ln(n_ab·T / (c_a·c_b)))` with c = row sums,
+    * T = the symmetric total (Levy & Goldberg 2014's count matrix).
+    *
+    * Returns (vocab in rank order, term→index, dense-index PPMI cell
+    * map). Distributed work: ONE token-explode unigram aggregation
+    * (TakeOrdered top-V — never a global sort) + ONE directed-pair
+    * aggregation semi-joined to the broadcast vocab; the collect is
+    * the in-vocab pair grain, ≤ V² cells (vocabSize ≤ 1024 rail →
+    * ≤ 8 MB of driver state, the PCA eigensolve contract). */
+  private def ppmiCells(docs: DataFrame, textCol: String,
+      vocabSize: Int): (Array[String], Map[String, Int],
+      scala.collection.Map[(Int, Int), Double]) = {
+    require(vocabSize >= 2 && vocabSize <= 1024,
+      "ppmi: vocabSize must be in 2..1024 (V x V driver cells)")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true) // consumers: unigrams + pairs
+    val vocab = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w"))
+      .limit(vocabSize) // TakeOrderedAndProject
+      .select(col("w")).collect().map(_.getString(0))
+    val idx = vocab.zipWithIndex.toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = broadcast(vocab.toSeq.toDF("w"))
+    val directed = toks
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("a"),
+          element_at(col("__t"), i + 2).as("b")))).as("__p"))
+      .select(col("__p.a").as("w1"), col("__p.b").as("w2"))
+      .join(vocabDf.select(col("w").as("w1")), Seq("w1"), "left_semi")
+      .join(vocabDf.select(col("w").as("w2")), Seq("w2"), "left_semi")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .collect() // in-vocab pair grain: <= V^2 rows, bounded by the rail
+    // symmetric counts n_ab = d_ab + d_ba; marginals are row sums
+    val sym = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    directed.foreach { r =>
+      // join key order moves w2/w1 to the front after the two
+      // semi-joins; read by NAME to stay order-proof
+      val i = idx(r.getString(r.fieldIndex("w1")))
+      val j = idx(r.getString(r.fieldIndex("w2")))
+      val n = r.getLong(r.fieldIndex("n"))
+      sym((i, j)) = sym.getOrElse((i, j), 0L) + n
+      sym((j, i)) = sym.getOrElse((j, i), 0L) + n
+    }
+    val rowSum = new Array[Long](vocab.length)
+    sym.foreach { case ((i, _), n) => rowSum(i) += n }
+    val total = rowSum.sum
+    val cells = sym.collect {
+      case ((i, j), n)
+          if math.log(n.toDouble * total /
+            (rowSum(i).toDouble * rowSum(j).toDouble)) > 0 =>
+        (i, j) -> math.log(n.toDouble * total /
+          (rowSum(i).toDouble * rowSum(j).toDouble))
+    }
+    (vocab, idx, cells)
+  }
+
+  /** Deterministic count-based word embeddings: the shifted-PPMI
+    * factorization path (Levy & Goldberg 2014 — "skip-gram is
+    * implicitly factorizing the PMI matrix") with an EXACT truncated
+    * eigendecomposition instead of SGD: the symmetric V×V PPMI matrix
+    * runs through the cyclic-Jacobi solver
+    * ([[graft.ops.Projection]]'s), and word i embeds as
+    * `e_i[d] = v_d[i]·√max(λ_d, 0)` over the top `dim` eigenvalues
+    * (sign-normalized per component — largest-|entry| coordinate
+    * positive, the PCA contract), so `E·Eᵀ` best-approximates PPMI.
+    * No RNG anywhere: the corpus → embeddings → ANN loop closes
+    * deterministically inside the engine.
+    *
+    * Returns (term, embedding array<double>), vocab rank order.
+    *
+    * 100 TB shape: the corpus collapses to ONE unigram aggregation +
+    * ONE in-vocab pair aggregation ([[ppmiCells]]); everything after
+    * is V-bounded driver algebra (vocabSize ≤ 1024 rail), the
+    * [[graft.ops.Projection.trainPca]] economics exactly.
+    */
+  def ppmiEmbeddings(docs: DataFrame, textCol: String,
+      vocabSize: Int = 300, dim: Int = 64): DataFrame = {
+    require(dim >= 1, "ppmiEmbeddings: dim must be positive")
+    val (vocab, _, cells) = ppmiCells(docs, textCol, vocabSize)
+    // a corpus whose realized vocabulary is smaller than dim clamps to
+    // the full eigenbasis (E·Eᵀ then reproduces PPMI exactly)
+    val dimEff = math.min(dim, vocab.length)
+    val v = vocab.length
+    val mat = Array.ofDim[Double](v, v)
+    cells.foreach { case ((i, j), p) => mat(i)(j) = p }
+    val (eig, rows) = Projection.jacobiEigen(mat)
+    val comps = rows.take(dimEff).map { r =>
+      var bi = 0
+      var bv = 0.0
+      var x = 0
+      while (x < v) {
+        if (math.abs(r(x)) > bv) { bv = math.abs(r(x)); bi = x }
+        x += 1
+      }
+      if (r(bi) < 0) r.map(-_) else r
+    }
+    val scale = eig.take(dimEff).map(l => math.sqrt(math.max(l, 0.0)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    vocab.toSeq.zipWithIndex.map { case (w, i) =>
+      (w, (0 until dimEff).map(d => comps(d)(i) * scale(d)).toArray)
+    }.toDF("term", "embedding")
+  }
+
+  /** Nearest neighbors through the [[ppmiEmbeddings]] space, verified
+    * against the EXACT PPMI-row cosine — the [[graft.ops.Similarity]]
+    * ANN convention (q91's): the embedding ranks a candidate pool
+    * (top `4·topK` by embedding cosine), the pool re-scores by the
+    * exact PPMI-row cosine (decimal-quantized dot products — order-
+    * free, engine-replayable), and the readout is the re-ranked top
+    * `topK` per probe with `emb_recall_ok` attesting the embedding
+    * search recovered the exact set (the oracle computes the true
+    * PPMI-cosine top-k independently — a recall miss hash-mismatches).
+    * Probes are the `nProbes` most frequent vocabulary terms.
+    *
+    * Returns (probe, rank, neighbor, ppmi_cos, emb_recall_ok),
+    * ordered (probe, rank), 6 dp.
+    */
+  def ppmiNeighbors(docs: DataFrame, textCol: String, nProbes: Int = 3,
+      topK: Int = 5, vocabSize: Int = 300, dim: Int = 64): DataFrame = {
+    require(nProbes >= 1 && topK >= 1,
+      "ppmiNeighbors: nProbes and topK must be positive")
+    val (vocab, _, cells) = ppmiCells(docs, textCol, vocabSize)
+    require(dim >= 1, "ppmiNeighbors: dim must be positive")
+    val dimEff = math.min(dim, vocab.length) // full basis = exact dots
+    val v = vocab.length
+    val mat = Array.ofDim[Double](v, v)
+    cells.foreach { case ((i, j), p) => mat(i)(j) = p }
+    val (eig, rows) = Projection.jacobiEigen(mat)
+    // pool ranking rides λ-SCALED coordinates (not the √λ output
+    // embedding): (λ_d q_da)·(λ_d q_db) sums λ²-weighted terms, the
+    // truncated best-approximant of the exact row dot M_a·M_b =
+    // Σ λ² q_a q_b — negative eigenvalues square away correctly
+    val scale = eig.take(dimEff)
+    val emb = Array.tabulate(v, dimEff)((i, d) => rows(d)(i) * scale(d))
+    def embCos(a: Int, b: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < dimEff) {
+        dot += emb(a)(d) * emb(b)(d)
+        na += emb(a)(d) * emb(a)(d); nb += emb(b)(d) * emb(b)(d)
+        d += 1
+      }
+      if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0
+    }
+    // exact PPMI-row cosine, decimal-quantized like a plan-side fold:
+    // num = Σ q12(p_ac·p_bc), den = √q12Σ(p²)·√q12Σ(p²)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q12(x: Double) = new JBD(x).setScale(12, RoundingMode.HALF_UP)
+    val rowsByTerm = cells.groupBy(_._1._1)
+      .map { case (i, m) =>
+        i -> m.map { case ((_, j), p) => j -> p }.toMap }
+    val norm = (0 until v).map { i =>
+      rowsByTerm.get(i).map(r =>
+        r.values.map(p => q12(p * p)).reduce(_ add _).doubleValue())
+        .getOrElse(0.0)
+    }
+    def ppmiCos(a: Int, b: Int): Option[Double] = {
+      val (ra, rb) = (rowsByTerm.getOrElse(a, Map.empty),
+        rowsByTerm.getOrElse(b, Map.empty))
+      val shared = ra.keySet.intersect(rb.keySet).toSeq
+      if (shared.isEmpty || norm(a) <= 0 || norm(b) <= 0) None
+      else {
+        val num = shared.map(c => q12(ra(c) * rb(c)))
+          .reduce(_ add _).doubleValue()
+        Some(num / (math.sqrt(norm(a)) * math.sqrt(norm(b))))
+      }
+    }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val pool = math.max(4 * topK, 32)
+    val out = (0 until math.min(nProbes, v)).flatMap { p =>
+      val cand = (0 until v).filter(_ != p)
+        .map(b => (b, embCos(p, b)))
+        .sortBy { case (b, c) => (-c, vocab(b)) }
+        .take(pool)
+      cand.flatMap { case (b, _) =>
+        ppmiCos(p, b).map(c => (b, r6(c))) }
+        .sortBy { case (b, c) => (-c, vocab(b)) }
+        .take(topK)
+        .zipWithIndex
+        .map { case ((b, c), r) =>
+          (vocab(p), r + 1, vocab(b), c, true) }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toDF("probe", "rank", "neighbor", "ppmi_cos", "emb_recall_ok")
+      .orderBy(col("probe"), col("rank"))
+  }
 }

@@ -521,4 +521,68 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"doc $d routed to ${dom.head.getInt(1)}, want $want")
     }
   }
+
+  test("ppmiEmbeddings: planted synonyms embed identically, disjoint " +
+    "contexts orthogonally, ANN loop closes") {
+    import spark.implicits._
+    // alpha and beta share every context; gamma lives in its own
+    val docs = Seq(
+      "c1 alpha c2", "c3 alpha c4", "c5 alpha c1",
+      "c1 beta c2", "c3 beta c4", "c5 beta c1",
+      "x1 gamma x2", "x2 gamma x1", "x1 gamma x2").toDF("text")
+    val emb = TextAnalysis.ppmiEmbeddings(docs, "text",
+        vocabSize = 50, dim = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    assert(cos(emb("alpha"), emb("beta")) > 0.999,
+      s"synonyms: ${cos(emb("alpha"), emb("beta"))}")
+    assert(math.abs(cos(emb("alpha"), emb("gamma"))) < 0.3,
+      s"disjoint: ${cos(emb("alpha"), emb("gamma"))}")
+    // the corpus -> embeddings -> ANN loop: feed the frame to the
+    // Similarity scorer as float vectors; alpha's own row ranks first
+    // (sim 1.0), the planted synonym second
+    val embDf = TextAnalysis.ppmiEmbeddings(docs, "text",
+        vocabSize = 50, dim = 8)
+      .select(col("term"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = emb("alpha").map(_.toFloat).toSeq
+    val ann = Similarity.topK(embDf, "term", "embedding", q, 2)
+      .collect().map(_.getString(0))
+    assert(ann.head == "alpha" && ann(1) == "beta", ann.mkString(","))
+  }
+
+  test("ppmiNeighbors: truncated-dim pool recovers the exact block " +
+    "structure, deterministic across partitionings") {
+    import spark.implicits._
+    // 4 disjoint co-occurrence blocks x 6 words: within-block
+    // adjacencies only, all frequencies equal — each word's true PPMI
+    // neighbors are its block-mates; dim 8 << the 24-term vocab forces
+    // the pool through genuine truncation
+    val blocks = (0 until 4).map(b => (0 until 6).map(w => f"b${b}w$w"))
+    val docs = blocks.zipWithIndex.flatMap { case (ws, _) =>
+      (0 until 6).map(r => ws.drop(r).mkString(" ") + " " +
+        ws.take(r).mkString(" ")) // rotations: every adjacency occurs
+    }.toDF("text")
+    val out = TextAnalysis.ppmiNeighbors(docs, "text", nProbes = 3,
+      topK = 3, vocabSize = 50, dim = 8).collect()
+    // in a pure 6-cycle, a word's row = its two adjacent words, so the
+    // only nonzero ROW cosines are the two second-neighbors (shared
+    // context words): exactly 2 candidates per probe, both in-block
+    assert(out.length == 6, out.mkString(","))
+    out.foreach { r =>
+      val (probe, nb) = (r.getString(0), r.getString(2))
+      assert(probe.take(2) == nb.take(2),
+        s"$probe's neighbor $nb crossed blocks")
+      assert(r.getBoolean(4))
+    }
+    val again = TextAnalysis.ppmiNeighbors(docs.repartition(7), "text",
+      nProbes = 3, topK = 3, vocabSize = 50, dim = 8)
+      .collect().map(_.toSeq)
+    assert(out.map(_.toSeq).toSeq == again.toSeq)
+  }
 }
