@@ -4617,6 +4617,21 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2, topKPerItem = 5,
         maxBasketSize = 1000)),
 
+    // AR(3) forecast intervals (ops/Events.scala): q298's point
+    // forecasts made decision-grade — per-key in-sample one-step
+    // residual quantiles (exact, distribution-free) widened by sqrt(h).
+    "q319_ar_forecast_interval" -> ((s, dir) =>
+      graft.ops.Events.arForecastInterval(t(s, dir, "events"),
+        "event_type", "ts", p = 3, horizon = 3, ciAlpha = 0.05)),
+
+    // Holt-Winters one-step interval (ops/Events.scala): q232's
+    // next-day forecast banded by the backtest residuals' empirical
+    // (2.5%, 97.5%) quantiles per key.
+    "q321_hw_interval" -> ((s, dir) =>
+      graft.ops.Events.holtWintersInterval(t(s, dir, "events"),
+        "event_type", "ts", "2024-01-01", numDays = 28, seasonLen = 7,
+        alpha = 0.4, beta = 0.1, gamma = 0.2, ciAlpha = 0.05)),
+
     // PPMI word embeddings (ops/TextAnalysis.scala): the deterministic
     // count-based path — top-300 vocab, symmetric adjacent
     // co-occurrence, positive-PMI cells, truncated Jacobi eigenbasis;
@@ -12598,6 +12613,130 @@ object SparkEntry {
         |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, lift,
         |  rank
         |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // the q298 Levinson chain + an in-sample one-step residual CTE
+    // (dev_t minus the rounded-phi prediction, the recursion's exact
+    // left-assoc shape), grouped quantile_cont bands, sqrt(h) widening
+    "q319_ar_forecast_interval" ->
+      """WITH d AS (
+        |  SELECT event_type::VARCHAR AS key, ts::DATE AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, day, n,
+        |    count(*) OVER (PARTITION BY key) AS cnt,
+        |    (sum(CAST(n AS DECIMAL(38,12))) OVER (PARTITION BY key))
+        |      ::DOUBLE / (count(*) OVER (PARTITION BY key))::DOUBLE
+        |      AS mean
+        |  FROM d),
+        |b2 AS (SELECT *, (n::DOUBLE - mean) AS dev FROM b),
+        |b3 AS (SELECT *,
+        |    sum(CAST(dev * dev AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY key) AS den
+        |  FROM b2),
+        |i AS (SELECT *, row_number()
+        |        OVER (PARTITION BY key ORDER BY day) AS idx FROM b3),
+        |ks AS (SELECT unnest(range(1, 4)) AS lag),
+        |lt AS (
+        |  SELECT a.key, a.den, ks.lag, a.dev * p.dev AS term
+        |  FROM i a JOIN ks ON TRUE
+        |    JOIN i p ON p.key = a.key AND p.idx = a.idx - ks.lag),
+        |rk AS (
+        |  SELECT key, lag, max(den) AS den,
+        |    sum(CAST(term AS DECIMAL(38,12))) AS num
+        |  FROM lt GROUP BY key, lag),
+        |rr AS (SELECT key, lag,
+        |    CASE WHEN den::DOUBLE > 0.0::DOUBLE
+        |      THEN round(num::DOUBLE / den::DOUBLE, 6) END AS r
+        |  FROM rk),
+        |pv AS (SELECT key,
+        |    max(CASE WHEN lag = 1 THEN r END) AS a1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS a2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS a3
+        |  FROM rr GROUP BY key),
+        |pvf AS (SELECT * FROM pv WHERE a1 IS NOT NULL
+        |          AND a2 IS NOT NULL AND a3 IS NOT NULL),
+        |l1 AS (SELECT key, a1, a2, a3, a1 AS k1,
+        |    (1.0::DOUBLE - (a1 * a1)) AS e1 FROM pvf),
+        |l2 AS (SELECT *, CASE WHEN e1 <> 0.0::DOUBLE
+        |    THEN (a2 - (k1 * a1)) / e1 END AS k2 FROM l1),
+        |l2b AS (SELECT *, (k1 - (k2 * k1)) AS p21, k2 AS p22,
+        |    (e1 * (1.0::DOUBLE - (k2 * k2))) AS e2
+        |  FROM l2 WHERE k2 IS NOT NULL),
+        |l3 AS (SELECT *, CASE WHEN e2 <> 0.0::DOUBLE
+        |    THEN (a3 - ((p21 * a2) + (p22 * a1))) / e2 END AS k3
+        |  FROM l2b),
+        |fin AS (SELECT key,
+        |    round((p21 - (k3 * p22)), 6) AS p31,
+        |    round((p22 - (k3 * p21)), 6) AS p32,
+        |    round(k3, 6) AS p33
+        |  FROM l3 WHERE k3 IS NOT NULL),
+        |rs0 AS (SELECT i.key,
+        |    (i.dev - (((0.0::DOUBLE + (f.p31 * a1.dev)) +
+        |      (f.p32 * a2.dev)) + (f.p33 * a3.dev))) AS r
+        |  FROM i JOIN fin f ON f.key = i.key
+        |    JOIN i a1 ON a1.key = i.key AND a1.idx = i.idx - 1
+        |    JOIN i a2 ON a2.key = i.key AND a2.idx = i.idx - 2
+        |    JOIN i a3 ON a3.key = i.key AND a3.idx = i.idx - 3),
+        |qb AS (SELECT key, quantile_cont(r, [0.025, 0.975]) AS q
+        |  FROM rs0 GROUP BY key),
+        |mu AS (SELECT key,
+        |    sum(CAST(n AS DECIMAL(38,12)))::DOUBLE /
+        |      count(*)::DOUBLE AS mean
+        |  FROM d GROUP BY key),
+        |lp AS (SELECT key, day, n, row_number()
+        |    OVER (PARTITION BY key ORDER BY day DESC) AS rn FROM d),
+        |dv AS (SELECT l.key,
+        |    max(CASE WHEN rn = 1 THEN n::DOUBLE - mean END) AS d0,
+        |    max(CASE WHEN rn = 2 THEN n::DOUBLE - mean END) AS d1,
+        |    max(CASE WHEN rn = 3 THEN n::DOUBLE - mean END) AS d2
+        |  FROM lp l JOIN mu ON mu.key = l.key WHERE rn <= 3
+        |  GROUP BY l.key),
+        |fc AS (SELECT f.key, mu.mean, dv.d0, dv.d1, dv.d2,
+        |    f.p31, f.p32, f.p33,
+        |    (((0.0::DOUBLE + (f.p31 * dv.d0)) + (f.p32 * dv.d1)) +
+        |      (f.p33 * dv.d2)) AS f1
+        |  FROM fin f JOIN dv ON dv.key = f.key
+        |  JOIN mu ON mu.key = f.key),
+        |fc2 AS (SELECT *,
+        |    (((0.0::DOUBLE + (p31 * f1)) + (p32 * d0)) +
+        |      (p33 * d1)) AS f2 FROM fc),
+        |fc3 AS (SELECT *,
+        |    (((0.0::DOUBLE + (p31 * f2)) + (p32 * f1)) +
+        |      (p33 * d0)) AS f3 FROM fc2)
+        |SELECT key, h, forecast, lo, hi FROM (
+        |  SELECT f.key, 1 AS h, round(mean + f1, 6) AS forecast,
+        |    round(mean + f1 + q[1] * sqrt(1.0::DOUBLE), 6) AS lo,
+        |    round(mean + f1 + q[2] * sqrt(1.0::DOUBLE), 6) AS hi
+        |  FROM fc3 f JOIN qb ON qb.key = f.key
+        |  UNION ALL
+        |  SELECT f.key, 2, round(mean + f2, 6),
+        |    round(mean + f2 + q[1] * sqrt(2.0::DOUBLE), 6),
+        |    round(mean + f2 + q[2] * sqrt(2.0::DOUBLE), 6)
+        |  FROM fc3 f JOIN qb ON qb.key = f.key
+        |  UNION ALL
+        |  SELECT f.key, 3, round(mean + f3, 6),
+        |    round(mean + f3 + q[1] * sqrt(3.0::DOUBLE), 6),
+        |    round(mean + f3 + q[2] * sqrt(3.0::DOUBLE), 6)
+        |  FROM fc3 f JOIN qb ON qb.key = f.key)
+        |ORDER BY key, h""".stripMargin,
+
+    // the q232 recursive fold + a one-step residual CTE off each hw
+    // state row (x_{t+1} against the pre-update l+b+s1), grouped
+    // quantile_cont bands on the raw errors
+    "q321_hw_interval" -> (hwOracleCte(7, 28, 0.4, 0.1, 0.2) +
+      s""",
+         |res AS (SELECT hw.key, (x.x - (hw.l + hw.b + hw.s1)) AS r
+         |  FROM hw JOIN xs x ON x.key = hw.key AND x.idx = hw.t + 1),
+         |qb AS (SELECT key, quantile_cont(r, [0.025, 0.975]) AS q
+         |  FROM res GROUP BY key)
+         |SELECT f.key, 21 AS n_eval,
+         |  round(f.l + f.b + f.s1, 6) AS forecast,
+         |  round(f.l + f.b + f.s1 + q[1], 6) AS lo,
+         |  round(f.l + f.b + f.s1 + q[2], 6) AS hi
+         |FROM (SELECT key, l, b, s1 FROM hw WHERE t = 27) f
+         |  JOIN qb ON qb.key = f.key
+         |ORDER BY f.key""".stripMargin),
 
     // the q180 tokenize/bigram device -> top-300 vocab -> symmetric
     // counts (directed + transpose) -> positive-PMI cells in the

@@ -3059,6 +3059,53 @@ object Events {
       .orderBy(col("key"))
   }
 
+  /** One-step prediction interval for [[holtWinters]] — the band that
+    * makes the point forecast decision-grade: the fold's one-step
+    * errors (the [[holtWintersBacktest]] residuals, kept per step) are
+    * quantiled per key at (α/2, 1−α/2) via the distributed exact-
+    * quantile machine, and the next-day interval is
+    * `forecast + [q_lo, q_hi]` — empirical, distribution-free bands
+    * (a Gaussian ±z·σ̂ would assert a symmetry count data rarely has).
+    * Returns (key, n_eval, forecast, lo, hi), 6 dp.
+    *
+    * 100 TB shape: [[holtWinters]]'s fold + one explode of the
+    * (numDays − seasonLen)-bounded residual arrays +
+    * [[graft.ops.Quantiles.exactByKey]] (bit-matching
+    * `quantile_cont`) + one key-grain join. Nothing beyond the fold
+    * touches event-sized data.
+    */
+  def holtWintersInterval(events: DataFrame, keyCol: String,
+      tsCol: String, startDay: String, numDays: Int, seasonLen: Int,
+      alpha: Double, beta: Double, gamma: Double,
+      ciAlpha: Double = 0.05): DataFrame = {
+    require(ciAlpha > 0 && ciAlpha < 1, "ciAlpha must be in (0,1)")
+    val (xs, fin) = hwFold(events, keyCol, tsCol, startDay, numDays,
+      seasonLen, alpha, beta, gamma)
+    val pinned = xs.select(col("key"),
+        fin.getField("l").as("__l"), fin.getField("b").as("__b"),
+        element_at(fin.getField("s"), 1).as("__s"),
+        fin.getField("errs").as("__errs"))
+      .localCheckpoint(true) // consumers: residual explode + readout
+    val resid = pinned.select(col("key"),
+      explode(col("__errs")).as("__r"))
+    val qs = Quantiles.exactByKey(resid, "key", "__r",
+      Seq(ciAlpha / 2, 1 - ciAlpha / 2))
+    val piv = qs.groupBy(col("key"))
+      .agg(max(when(col("q") === ciAlpha / 2, col("exact_q")))
+        .as("__qlo"),
+        max(when(col("q") === 1 - ciAlpha / 2, col("exact_q")))
+          .as("__qhi"))
+    pinned
+      .join(piv, Seq("key"))
+      .select(col("key"), lit(numDays - seasonLen).as("n_eval"),
+        round(col("__l") + col("__b") + col("__s"), 6).as("forecast"),
+        round(col("__l") + col("__b") + col("__s") + col("__qlo"), 6)
+          .as("lo"),
+        round(col("__l") + col("__b") + col("__s") + col("__qhi"), 6)
+          .as("hi"))
+      .orderBy(col("key"))
+  }
+
   /** EWMA control chart (Roberts 1959): per key over a zero-filled
     * daily spine, `z_t = λ·x_t + (1−λ)·z_{t−1}` with `z_0 = μ` (the
     * series mean) and time-varying control limits
@@ -3263,7 +3310,8 @@ object Events {
     val s0 = transform(slice(col("__xs"), 1, m), v => v - l0)
     val init = struct(l0.as("l"), b0.as("b"), s0.as("s"),
       lit(0.0).as("sae"), lit(0.0).as("sse"), lit(0.0).as("sape"),
-      lit(0.0).as("nz"))
+      lit(0.0).as("nz"),
+      array().cast("array<double>").as("errs"))
     val step = (acc: Column, xv: Column) => {
       val l = acc.getField("l"); val b = acc.getField("b")
       val s = acc.getField("s")
@@ -3281,7 +3329,11 @@ object Events {
         (acc.getField("sape") +
           when(xv =!= 0.0, abs(e) / abs(xv)).otherwise(0.0)).as("sape"),
         (acc.getField("nz") +
-          when(xv =!= 0.0, 1.0).otherwise(0.0)).as("nz"))
+          when(xv =!= 0.0, 1.0).otherwise(0.0)).as("nz"),
+        // the raw one-step errors, kept per step for the interval
+        // face's residual quantiles (array append is O(t) per step —
+        // the cost lives in the bounded spine, the ewma argument)
+        concat(acc.getField("errs"), array(e)).as("errs"))
     }
     (xs, aggregate(slice(col("__xs"), m + 1, t0 - m), init, step))
   }
@@ -3491,6 +3543,105 @@ object Events {
       }
     }
     out.toDF("key", "h", "forecast").orderBy(col("key"), col("h"))
+  }
+
+  /** Prediction intervals for [[arForecast]] — empirical bands from
+    * the model's own IN-SAMPLE one-step residuals: at every observed
+    * step with p predecessors, `r_t = dev_t − Σ_j φ_j·dev_{t−j}` (the
+    * same 6-dp φ grain and series mean the forecast uses), the per-key
+    * (α/2, 1−α/2) residual quantiles come from the distributed
+    * exact-quantile machine, and horizon h widens by √h
+    * (uncorrelated-step forecast-error growth — the standard AR
+    * scaling; empirical quantiles, not Gaussian ±z·σ̂, so skewed count
+    * noise keeps its skew):
+    * `[lo, hi] = forecast_h + [q_lo, q_hi]·√h`. Keys [[arFit]] omits
+    * are omitted here too. Returns (key, h, forecast, lo, hi), 6 dp.
+    *
+    * 100 TB shape: [[arForecast]]'s passes + ONE key-windowed lag
+    * projection over the daily grain (series-bounded) feeding
+    * [[graft.ops.Quantiles.exactByKey]]; the interval algebra rides
+    * the series-count-bounded collect.
+    */
+  def arForecastInterval(events: DataFrame, keyCol: String,
+      tsCol: String, p: Int, horizon: Int,
+      ciAlpha: Double = 0.05): DataFrame = {
+    require(horizon >= 1 && horizon <= 14,
+      "arForecastInterval: horizon must be in 1..14")
+    require(ciAlpha > 0 && ciAlpha < 1,
+      "arForecastInterval: ciAlpha must be in (0,1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def d12(c: Column) = c.cast("decimal(38,12)")
+    val phi = arFit(events, keyCol, tsCol, p).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val daily = dailyCounts(events, keyCol, tsCol, "__day", "__n",
+      pin = true) // consumers: moments + last-p + the residual lags
+    val moments = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("__cnt"), sum(d12(col("__n"))).as("__sn"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(2).doubleValue() / r.getLong(1).toDouble))
+      .toMap
+    val phiDf = broadcast(phi.toSeq.sortBy(_._1)
+      .map { case (k, a) => (k, a.toSeq) }.toDF("key", "__phi"))
+    val muDf = broadcast(moments.toSeq.sortBy(_._1)
+      .toDF("key", "__mu"))
+    val wKey = Window.partitionBy(col("key")).orderBy(col("__day"))
+    val lagged = (1 to p).foldLeft(
+      daily.join(phiDf, Seq("key")).join(muDf, Seq("key")))(
+      (acc, j) => acc.withColumn(s"__l$j",
+        lag(col("__n"), j).over(wKey)))
+      .filter((1 to p).map(j => col(s"__l$j").isNotNull)
+        .reduce(_ && _))
+    // r_t = dev_t − (((0 + φ1·dev_{t−1}) + φ2·dev_{t−2}) + …) — the
+    // forecast recursion's exact left-assoc shape at in-sample steps
+    val pred = (1 to p).foldLeft(lit(0.0): Column)((acc, j) =>
+      acc + element_at(col("__phi"), j) *
+        (col(s"__l$j").cast("double") - col("__mu")))
+    val resid = lagged.select(col("key"),
+      ((col("__n").cast("double") - col("__mu")) - pred).as("__r"))
+    val qrows = Quantiles.exactByKey(resid, "key", "__r",
+        Seq(ciAlpha / 2, 1 - ciAlpha / 2))
+      .collect() // keys × 2 — series-count-bounded
+    val qlo = qrows.filter(_.getDouble(1) == ciAlpha / 2)
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val qhi = qrows.filter(_.getDouble(1) == 1 - ciAlpha / 2)
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val wDesc = Window.partitionBy(col("key"))
+      .orderBy(col("__day").desc)
+    val lastP = daily
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= p)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(rs.head.fieldIndex("__rn")))
+          .map(_.getLong(rs.head.fieldIndex("__n")).toDouble)
+      }
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val out = phi.keys.toSeq.sorted.flatMap { k =>
+      val ph = phi(k)
+      val mu = moments(k)
+      val obs = lastP.getOrElse(k, Array.empty[Double])
+      if (obs.length < p || !qlo.contains(k)) Seq.empty
+      else {
+        var devs = obs.take(p).map(_ - mu).toVector // most recent first
+        (1 to horizon).map { h =>
+          val nd = (1 to p).foldLeft(0.0)((acc, j) =>
+            acc + ph(j - 1) * devs(j - 1))
+          devs = nd +: devs.dropRight(1)
+          (k, h, r6(mu + nd),
+            r6(mu + nd + qlo(k) * math.sqrt(h.toDouble)),
+            r6(mu + nd + qhi(k) * math.sqrt(h.toDouble)))
+        }
+      }
+    }
+    out.toDF("key", "h", "forecast", "lo", "hi")
+      .orderBy(col("key"), col("h"))
   }
 
   /** Augmented Dickey-Fuller unit-root test (constant-only model) of a

@@ -725,6 +725,81 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(out(3) - mean) < math.abs(out(1) - mean))
   }
 
+  test("arForecastInterval: bands bracket the shared point forecast, " +
+    "widen with sqrt(h), and cover the in-sample residuals") {
+    // 60-day mean-reverting pseudo-noise around 20 (deterministic)
+    def dayN(d: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atStartOfDay())
+    val rows = (1 to 60).flatMap(d =>
+      Seq.fill(20 + (d * 7 % 5) - 2)(("A", dayN(d))))
+    val df = rows.toDF("k", "ts")
+    val out = Events.arForecastInterval(df, "k", "ts", p = 2,
+        horizon = 3, ciAlpha = 0.05).collect()
+      .map(r => r.getInt(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 3)
+    // the point forecast IS arForecast's (shared phi/mean/recursion)
+    val pf = Events.arForecast(df, "k", "ts", p = 2, horizon = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (1 to 3).foreach { h =>
+      val (f, lo, hi) = out(h)
+      assert(f == pf(h), s"h=$h: $f vs ${pf(h)}")
+      assert(lo <= f && f <= hi, s"h=$h band [$lo,$hi] vs $f")
+    }
+    // sqrt(h) widening: the h=3 band is strictly wider than h=1's
+    assert(out(3)._3 - out(3)._2 > out(1)._3 - out(1)._2)
+    // nominal coverage on the planted noise: the (2.5, 97.5)% band
+    // around each one-step prediction covers >= 95% of the in-sample
+    // days by the empirical-quantile construction
+    val (_, lo1, hi1) = out(1)
+    val (qlo, qhi) = (lo1 - pf(1), hi1 - pf(1)) // h=1: raw quantiles
+    val daysN = (1 to 60).map(d => (20 + (d * 7 % 5) - 2).toDouble)
+    val mu = daysN.sum / daysN.size
+    val phi = Events.arFit(df, "k", "ts", p = 2).collect()
+      .sortBy(_.getInt(1)).map(_.getDouble(2))
+    val resids = (2 until 60).map { t =>
+      (daysN(t) - mu) -
+        (phi(0) * (daysN(t - 1) - mu) + phi(1) * (daysN(t - 2) - mu))
+    }
+    val covered = resids.count(r => r >= qlo - 1e-6 && r <= qhi + 1e-6)
+    assert(covered.toDouble / resids.size >= 0.95,
+      s"coverage ${covered.toDouble / resids.size}")
+  }
+
+  test("holtWintersInterval: constant series pins zero-width bands; " +
+    "noisy series brackets the shared forecast") {
+    val const = (0 until 14).flatMap(d => (1 to 3).map(i =>
+      ("k", Timestamp.valueOf(f"2024-01-${d + 1}%02d 0$i:00:00"))))
+      .toDF("key", "ts")
+    // perfectly predictable: every one-step error is 0, so the
+    // empirical band collapses onto the forecast exactly
+    val c = Events.holtWintersInterval(const, "key", "ts", "2024-01-01",
+      numDays = 14, seasonLen = 7, alpha = 0.3, beta = 0.2,
+      gamma = 0.1).collect()(0)
+    assert(c.getInt(1) == 7)
+    assert(c.getDouble(2) == 3.0 && c.getDouble(3) == 3.0 &&
+      c.getDouble(4) == 3.0)
+    // bumpy series: band brackets the q232-shape forecast, lo < hi
+    val perDay = (0 until 28).map(d =>
+      if (d == 5) 0 else 1 + (d * 5 + d % 7 * 3) % 6)
+    val rows = perDay.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i =>
+        ("k", Timestamp.valueOf(f"2024-01-${d + 1}%02d ${8 + i}%02d:30:00")))
+    }
+    val df = rows.toDF("key", "ts")
+    val r = Events.holtWintersInterval(df, "key", "ts", "2024-01-01",
+      numDays = 28, seasonLen = 7, alpha = 0.4, beta = 0.15,
+      gamma = 0.25).collect()(0)
+    val f = Events.holtWinters(df, "key", "ts", "2024-01-01",
+      numDays = 28, seasonLen = 7, alpha = 0.4, beta = 0.15,
+      gamma = 0.25).collect()(0)
+    assert(r.getInt(1) == 21)
+    assert(r.getDouble(2) == f.getDouble(5)) // shared forecast
+    assert(r.getDouble(3) < r.getDouble(4))
+    assert(r.getDouble(3) <= r.getDouble(2) &&
+      r.getDouble(2) <= r.getDouble(4))
+  }
+
   test("arFit: a series shorter than p lags is omitted") {
     val rows = Seq(("B", day(1)), ("B", day(2)))
     assert(Events.arFit(rows.toDF("k", "ts"), "k", "ts", p = 3)
