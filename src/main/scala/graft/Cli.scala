@@ -1001,6 +1001,56 @@ object Cli {
             graft.ops.Events.coxPhTest(df, req("time-col"),
               req("event-col"), splitCols(req("x-cols")),
               flags.getOrElse("iters", "6").toInt)
+          case "cox-strata" =>
+            graft.ops.Events.coxPhStratified(df, req("time-col"),
+              req("event-col"), splitCols(req("x-cols")),
+              req("strata-col"), flags.getOrElse("iters", "6").toInt)
+          case "kruskal" =>
+            graft.ops.Profile.kruskalWallis(df, req("group-col"),
+              req("value-col"))
+          case "item-similarity" =>
+            graft.ops.Recommend.itemSimilarity(df, req("basket-col"),
+              req("item-col"),
+              flags.getOrElse("min-pair-count", "2").toLong,
+              flags.getOrElse("top-k", "10").toInt,
+              flags.getOrElse("max-basket", "1000").toInt)
+          case "recommend" =>
+            // users double as baskets: the history frame both builds
+            // the neighbor lists and gets scored against them
+            graft.ops.Recommend.recommendItems(df, user,
+              req("item-col"),
+              graft.ops.Recommend.itemSimilarity(df, user,
+                req("item-col"),
+                flags.getOrElse("min-pair-count", "2").toLong,
+                flags.getOrElse("top-k", "10").toInt,
+                flags.getOrElse("max-basket", "1000").toInt),
+              flags.getOrElse("top-n", "10").toInt)
+          case "ppmi-embeddings" =>
+            graft.ops.TextAnalysis.ppmiEmbeddings(df,
+              flags.getOrElse("text-col", "text"),
+              flags.getOrElse("vocab", "300").toInt,
+              flags.getOrElse("dim", "64").toInt)
+          case "ppmi-neighbors" =>
+            graft.ops.TextAnalysis.ppmiNeighbors(df,
+              flags.getOrElse("text-col", "text"),
+              flags.getOrElse("probes", "3").toInt,
+              flags.getOrElse("top-k", "5").toInt,
+              flags.getOrElse("vocab", "300").toInt,
+              flags.getOrElse("dim", "64").toInt)
+          case "ar-interval" =>
+            graft.ops.Events.arForecastInterval(df, typ, ts,
+              flags.getOrElse("p", "3").toInt,
+              flags.getOrElse("horizon", "3").toInt,
+              flags.getOrElse("ci-alpha", "0.05").toDouble)
+          case "hw-interval" =>
+            graft.ops.Events.holtWintersInterval(df, typ, ts,
+              req("start-day"),
+              flags.getOrElse("num-days", "28").toInt,
+              flags.getOrElse("season", "7").toInt,
+              flags.getOrElse("alpha", "0.4").toDouble,
+              flags.getOrElse("beta", "0.1").toDouble,
+              flags.getOrElse("gamma", "0.2").toDouble,
+              flags.getOrElse("ci-alpha", "0.05").toDouble)
           case other => sys.error(s"analyze: unknown --mode $other")
         }
         out.write.mode("overwrite").parquet(dest)
