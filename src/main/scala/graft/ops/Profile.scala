@@ -1213,7 +1213,12 @@ object Profile {
     // `halves` rows; the replica fan-out happens on THAT frame (tiny).
     val w1 = wFor(col("__hex1"))
     val w2 = wFor(col("__hex2"))
-    val perDigest = vals
+    // the ⌈B/2⌉ digests per row are the operator's entire cost, and they
+    // are minted map-side of the __g exchange — on a single-row-group
+    // local file that map side is ONE task (guide §2.5), so the hash
+    // work must fan out to the session's cores first (no-op at scale,
+    // where the scan partitions already exceed defaultParallelism)
+    val perDigest = Scale.fanOut(vals)
       .withColumn("__g", explode(typedLit((0 until halves).toList)))
       .withColumn("__h", md5(concat(
         col("__id").cast("string"), lit(":"),
@@ -1313,7 +1318,12 @@ object Profile {
     val halves = (replicas + 1) / 2
     val w1 = wFor(col("__hex1"))
     val w2 = wFor(col("__hex2"))
-    val perDigest = vals
+    // the ⌈B/2⌉ digests per row are the operator's entire cost, and they
+    // are minted map-side of the __g exchange — on a single-row-group
+    // local file that map side is ONE task (guide §2.5), so the hash
+    // work must fan out to the session's cores first (no-op at scale,
+    // where the scan partitions already exceed defaultParallelism)
+    val perDigest = Scale.fanOut(vals)
       .withColumn("__g", explode(typedLit((0 until halves).toList)))
       .withColumn("__h", md5(concat(
         col("__id").cast("string"), lit(":"),
@@ -1550,7 +1560,12 @@ object Profile {
           sum(d(xg * xg)).as(s"__sxx$p"), sum(d(yg * yg)).as(s"__syy$p"),
           sum(d(xg * yg)).as(s"__sxy$p"))
       }
-    val m0 = dfp.groupBy().agg(aggs.head, aggs.tail: _*)
+    // the DECIMAL moment sums are ~15-36 BigDecimal folds per row and
+    // run map-side of the global aggregation — on a single-row-group
+    // local file that is ONE task (guide §2.5); fan the pinned narrow
+    // frame out first (no-op at scale). Order-free: every term is an
+    // exact DECIMAL(38,12) sum.
+    val m0 = Scale.fanOut(dfp).groupBy().agg(aggs.head, aggs.tail: _*)
     // null-free path: alias the shared moments into the per-pair names
     // the readout below expects — the algebra is one code path
     val m = (if (nullFree) {

@@ -143,4 +143,43 @@ object Scale {
         xxhash64(col(bigKey)), bloom))
       .join(small, big(bigKey) === small(smallKey))
   }
+
+  /** Fan a small-bytes / CPU-heavy frame out to the session's full
+    * parallelism before an expensive per-row fold (hash fan-outs,
+    * DECIMAL moment sums, tokenization). The optimization-guide §2.5
+    * case "one huge unsplittable file — repartition immediately after
+    * the read": a single-row-group parquet file scans as ONE partition
+    * no matter the core count, and everything map-side of the next
+    * exchange (including partial aggregation) runs single-threaded on
+    * it. No-op when the frame already carries at least
+    * `defaultParallelism` partitions — the 100 TB case, where the scan
+    * itself provides the parallelism — so the extra narrow shuffle is
+    * paid exactly where the input cannot parallelize. Deterministic
+    * (round-robin repartition sorts before assigning, SPARK-23207) and
+    * result-neutral: callers fold the fanned frame through key-based
+    * aggregation over order-free (DECIMAL / integer) terms.
+    *
+    * Call ONLY on pinned (`localCheckpoint`ed) or exchange-free frames:
+    * the partition probe converts the plan to an RDD, which under AQE
+    * materializes any shuffle stages below it — on a pinned frame the
+    * RDD already exists and the probe is free.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[fanOut]] for operator INPUTS with arbitrary lineage: applies only
+    * when the frame is scan-shaped (projections/filters over one leaf —
+    * see `GraftSqlShim.scanShaped`), where the partition probe is free
+    * and an under-parallel scan (the single-row-group local file, one
+    * gzip blob, a tiny table) provably serializes the caller's per-row
+    * work. Frames that already carry joins/aggregates arrive behind an
+    * exchange sized by `spark.sql.shuffle.partitions` and are returned
+    * untouched — so is any streaming frame.
+    */
+  def fanOutIfScan(df: DataFrame): DataFrame =
+    if (!df.isStreaming &&
+        org.apache.spark.sql.GraftSqlShim.scanShaped(df)) fanOut(df)
+    else df
 }

@@ -467,11 +467,17 @@ object TextAnalysis {
     import spark.implicits._
     val maxN = 4
     def ngrams(a: Column, n: Int): Column = tokenNgrams(a, n)
-    val base = pairs
-      .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
-        col(idCol).isNotNull)
-      .select(col(idCol).as("__id"), tokens(col(candCol)).as("__c"),
-        tokens(col(refCol)).as("__r"))
+    // fan a scan-shaped input out BEFORE tokenizing: tokenization and
+    // the per-order gram explodes below are the per-row cost, and on a
+    // single-row-group local file they would otherwise run map-side on
+    // ONE task (guide §2.5). No-op at scale or behind an exchange.
+    val base = Scale.fanOutIfScan(pairs
+        .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
+          col(idCol).isNotNull)
+        .select(col(idCol).as("__id"), col(candCol).as("__cs"),
+          col(refCol).as("__rs")))
+      .select(col("__id"), tokens(col("__cs")).as("__c"),
+        tokens(col("__rs")).as("__r"))
       .localCheckpoint(true) // consumers: lengths + one gram pass a side
     // ONE aggregation carries the pair count, both corpus lengths and
     // every order's candidate-gram total
@@ -594,11 +600,16 @@ object TextAnalysis {
 
   def rougeScores(pairs: DataFrame, candCol: String, refCol: String,
       idCol: String, maxTokens: Int = 10000): DataFrame = {
-    val base = pairs
-      .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
-        col(idCol).isNotNull)
-      .select(col(idCol).as("__id"), tokens(col(candCol)).as("__c"),
-        tokens(col(refCol)).as("__r"))
+    // same scan-aware fan-out as bleuCorpus: the gram explodes and the
+    // O(n·m) LCS kernel below are the per-row cost and must not run on
+    // one scan task (guide §2.5)
+    val base = Scale.fanOutIfScan(pairs
+        .filter(col(candCol).isNotNull && col(refCol).isNotNull &&
+          col(idCol).isNotNull)
+        .select(col(idCol).as("__id"), col(candCol).as("__cs"),
+          col(refCol).as("__rs")))
+      .select(col("__id"), tokens(col("__cs")).as("__c"),
+        tokens(col("__rs")).as("__r"))
       .localCheckpoint(true) // consumers: 4 gram passes + the readout
     def gramCounts(c: String, n: Int) = base
       .select(col("__id"), explode(tokenNgrams(col(c), n)).as("__g"))

@@ -24,6 +24,28 @@ object GraftSqlShim {
     * ordering — only the statistics annotation changes. No-op on frames
     * whose root is not a LogicalRDD.
     */
+  /** True when the frame's optimized plan is "scan-shaped": projections /
+    * filters over a single leaf (file relation, pinned RDD, or local
+    * rows) — no join, aggregate, window, or exchange anywhere. On such a
+    * plan, converting to an RDD to probe the partition count is free (no
+    * job, no AQE stage materialization), which is what
+    * `graft.ops.Scale.fanOutIfScan` needs to decide whether a repartition
+    * would buy parallelism. Conservative: anything unrecognized is NOT
+    * scan-shaped.
+    */
+  def scanShaped(df: Dataset[Row]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: execution.datasources.LogicalRelation => true
+      case _: execution.LogicalRDD                  => true
+      case _: LocalRelation                         => true
+      case pr: Project                              => walk(pr.child)
+      case f: Filter                                => walk(f.child)
+      case _                                        => false
+    }
+    walk(df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan)
+  }
+
   def freshStats(df: Dataset[Row]): Dataset[Row] = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     ds.queryExecution.logical match {

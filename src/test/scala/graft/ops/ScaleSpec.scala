@@ -116,4 +116,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(graft.ops.Scale.bloomPrunedJoin(big, small, "bk", "sk")
       .count() == 0L)
   }
+
+  test("fanOut spreads an under-parallel pinned frame without changing rows") {
+    val p = spark.sparkContext.defaultParallelism
+    val one = spark.range(0, 1000).select(col("id"))
+      .coalesce(1).localCheckpoint(true)
+    assert(one.rdd.getNumPartitions == 1)
+    val fanned = Scale.fanOut(one)
+    assert(fanned.rdd.getNumPartitions == p)
+    // row multiset unchanged (round-robin repartition moves, never drops)
+    assert(fanned.agg(count(lit(1)), sum(col("id"))).collect().toSeq ==
+      one.agg(count(lit(1)), sum(col("id"))).collect().toSeq)
+    // already-parallel frames pass through untouched (the 100 TB no-op)
+    val wide = spark.range(0, 1000).toDF()
+      .repartition(p).localCheckpoint(true)
+    assert(Scale.fanOut(wide) eq wide)
+  }
+
+  test("fanOutIfScan fans scan-shaped frames only") {
+    val p = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("fanout_scan").toString
+    spark.range(0, 500).select(col("id"), (col("id") % 5).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("id") >= 10)
+      .select(col("id"), col("k"))
+    assert(Scale.fanOutIfScan(scan).rdd.getNumPartitions == p)
+    // an aggregated (non-scan) frame is returned untouched — its plan
+    // already sits behind a shuffle sized by spark.sql.shuffle.partitions
+    val agged = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    assert(Scale.fanOutIfScan(agged) eq agged)
+  }
 }
