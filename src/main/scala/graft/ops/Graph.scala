@@ -38,6 +38,30 @@ object Graph {
     .distinct()
     .localCheckpoint(true)
 
+  /** Bloom-prefilter a wedge stream against the canonical edge set
+    * BEFORE the closing equi-join (guide §3.2): the wedge frame is the
+    * one super-linear frame in the triangle family (Σ outdeg², ≫ m even
+    * under degree orientation) and the closing join's sort-merge would
+    * SORT all of it — while the overwhelming majority of wedges close
+    * nothing (triangles are sparse). A 1%-fpp Bloom filter over the
+    * m edge keys drops non-closing wedges map-side, inside codegen,
+    * before the exchange; false positives only pass extra rows THROUGH
+    * to the join, which drops them — the count is exactly unchanged.
+    * The filter is edge-sized (~1.2 GB per 10⁹ edges at 1% fpp), i.e.
+    * bounded by the same "edge frame is pinnable" contract the rest of
+    * the family already assumes. Empty graphs skip the build
+    * (stat.bloomFilter NPEs on an empty frame; the join is empty anyway).
+    */
+  private def bloomPruneWedges(wedges: DataFrame,
+      canon: DataFrame): DataFrame = {
+    val nEdges = canon.count()
+    if (nEdges == 0L) return wedges
+    val bloom = canon.select(xxhash64(col("a"), col("b")).as("__h"))
+      .stat.bloomFilter("__h", nEdges, 0.01)
+    wedges.filter(graft.functions.bloom_might_contain(
+      xxhash64(col("x"), col("y")), bloom))
+  }
+
   /** Node degrees of a canonical edge frame: (n, d). */
   private def degrees(canon: DataFrame): DataFrame = canon
     .select(col("a").as("n"))
@@ -308,7 +332,8 @@ object Graph {
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
     val wedges = w1.join(w2, Seq("u")).where(col("x") < col("y"))
-    val triangles = wedges.join(canon
+    val triangles = bloomPruneWedges(wedges, canon)
+      .join(canon
         .select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = canon.agg(count(lit(1)).as("n_edges"))
@@ -327,7 +352,8 @@ object Graph {
     val oriented = orientEdges(canon, deg)
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
-    val tri = w1.join(w2, Seq("u")).where(col("x") < col("y"))
+    val tri = bloomPruneWedges(
+        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon)
       .join(canon.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"))
       .localCheckpoint(true) // three consumers below
@@ -405,7 +431,8 @@ object Graph {
     val oriented = orientEdges(canon, deg0)
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
-    val triangles = w1.join(w2, Seq("u")).where(col("x") < col("y"))
+    val triangles = bloomPruneWedges(
+        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon)
       .join(canon.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
     val nodeTri = triangles.select(col("u").as("n"))
       .unionAll(triangles.select(col("x").as("n")))

@@ -342,7 +342,12 @@ object Multimodal {
       StructField("id", idType),
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
-    ids.mapPartitions { rows =>
+    // the per-row synthesis is opaque to Catalyst (mapPartitions) and
+    // runs wherever the id frame sits — on a single-row-group local file
+    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
+    // first (no-op at scale). Content is a pure function of the id, so
+    // the result is layout-free.
+    Scale.fanOutIfScan(ids).mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l
@@ -398,7 +403,12 @@ object Multimodal {
       StructField("id", idType),
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
-    ids.mapPartitions { rows =>
+    // the per-row synthesis is opaque to Catalyst (mapPartitions) and
+    // runs wherever the id frame sits — on a single-row-group local file
+    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
+    // first (no-op at scale). Content is a pure function of the id, so
+    // the result is layout-free.
+    Scale.fanOutIfScan(ids).mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l
@@ -488,7 +498,12 @@ object Multimodal {
       StructField("id", idType),
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
-    ids.mapPartitions { rows =>
+    // the per-row synthesis is opaque to Catalyst (mapPartitions) and
+    // runs wherever the id frame sits — on a single-row-group local file
+    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
+    // first (no-op at scale). Content is a pure function of the id, so
+    // the result is layout-free.
+    Scale.fanOutIfScan(ids).mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l
