@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 
 /** Link-graph analytics for corpus curation. PageRank is the classic
   * source-quality signal (rank hosts by who links to them — the
@@ -249,11 +248,37 @@ object Graph {
     def cut(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
 
+    // Dangling mass travels as a DRIVER LITERAL, not a per-iteration
+    // 1-row subquery: the old `pr.filter(!__out).agg(sum)` branch cost
+    // every iteration a scan-aggregate stage plus a broadcast build —
+    // under AQE, two extra scheduled jobs per iteration of a node-sized
+    // frame (guide §2.4: remove work from the loop, the per-stage floor
+    // is the local cost; at scale it is one fewer pass over the rank
+    // frame per iteration). dm for iteration i+1 = Σ pr_i over dangling
+    // nodes rides iteration i's OWN checkpoint job as an observe()
+    // metric; only the initial vector pays a dedicated (bounded,
+    // node-sized) aggregate. The sum folds in DECIMAL(38,18) so the
+    // metric is task-order-invariant (accumulator merges arrive in
+    // completion order; a double fold there would wobble at 1 ulp).
+    val dmExpr = sum(when(!col("__out"), col("pr"))
+      .otherwise(lit(0.0)).cast("decimal(38,18)")).as("__dm")
+    def dmOf(m: Any): Double = m match {
+      case null => 0.0
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: BigDecimal => d.doubleValue
+      case other => other.toString.toDouble
+    }
+
     // initial rank = the teleport vector (1/|S| on seeds, 0 elsewhere);
     // over the uniform path this is exactly the historical 1/n
     var pr = nodesF.select(col("node"),
       when(col("__seed"), lit(1.0 / nTel)).otherwise(lit(0.0)).as("pr"),
       col("__out"))
+    var dm = {
+      val r = pr.filter(!col("__out"))
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm")).head()
+      r.getDouble(0)
+    }
     var i = 1
     var converged = false
     while (i <= iterations && !converged) {
@@ -261,19 +286,14 @@ object Graph {
           ec("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("cshare")).as("c"))
-      // dangling mass off the carried flag: a filter-aggregate over the
-      // rank frame itself, no join
-      val dangling = pr.filter(!col("__out"))
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       // teleport AND dangling mass both land on the seed set only
       // (uniform path: every node — the same doubles as before)
       val stepped = nodesF.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (when(col("__seed"), lit((1.0 - damping) / nTel))
             .otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              when(col("__seed"), col("dm") / lit(nTel))
+              when(col("__seed"), lit(dm / nTel))
                 .otherwise(lit(0.0)))).as("pr"),
           col("__out"))
       if (tolerance > 0) {
@@ -283,18 +303,27 @@ object Graph {
         val obs = org.apache.spark.sql.Observation()
         val pinned = cut(stepped.join(
             pr.select(col("node"), col("pr").as("__prev")), Seq("node"))
-          .observe(obs, sum(abs(col("pr") - col("__prev"))).as("l1"))
+          .observe(obs, sum(abs(col("pr") - col("__prev"))).as("l1"),
+            dmExpr)
           .drop("__prev")) // eager checkpoint runs the job, fires the metric
         pr = pinned
+        dm = dmOf(obs.get("__dm"))
         val l1 = obs.get("l1")
         // null l1 = zero rows = empty graph: trivially converged (the
         // Dedup convergence-probe convention) — otherwise an empty input
         // would spin maxIterations of empty jobs
         if (l1 == null || l1.asInstanceOf[Double] < tolerance)
           converged = true
+      } else if (i < iterations) {
+        // checkpoint EVERY iteration: the pin is one job, and it is the
+        // pass the next iteration's dm metric must ride anyway (the old
+        // every-2nd cadence saved a pin but paid the dangling subquery
+        // and re-planned the unpinned iteration's lineage twice)
+        val obs = org.apache.spark.sql.Observation()
+        pr = cut(stepped.observe(obs, dmExpr))
+        dm = dmOf(obs.get("__dm"))
       } else {
-        pr = if (i % checkpointEvery == 0 && i < iterations)
-          cut(stepped) else stepped
+        pr = stepped // final iteration: the caller's action materializes it
       }
       i += 1
     }
@@ -390,12 +419,20 @@ object Graph {
     var round = 0
     var done = n == 0L
     while (round < maxRounds && !done) {
+      // the surviving-edge count rides the round's own checkpoint as an
+      // observe() metric — one scheduled job per round instead of two
+      val obs = org.apache.spark.sql.Observation()
       val keep = e
         .join(edgeSupport(e), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b"))
+        .observe(obs, count(lit(1)).as("m"))
         .localCheckpoint(true)
-      val kept = keep.count()
+      val kept = obs.get("m") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
       if (kept == n) done = true
       else { e = keep; n = kept }
       round += 1
@@ -495,19 +532,25 @@ object Graph {
     var labels = adj.select(col("z").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .localCheckpoint(true)
-    val wPick = Window.partitionBy(col("node"))
-      .orderBy(col("__c").desc, col("__nl"))
     var i = 0
     var done = false
     while (i < iterations && !done) {
+      // argmax by (count desc, label asc) as a TWO-LEVEL AGGREGATE:
+      // min(struct(-count, label)) picks exactly the row the old
+      // row_number window picked, but folds map-side as a hash
+      // aggregate instead of paying the window's per-round
+      // exchange+SORT over the whole (node, label) frame (guide §2.3
+      // "aggregate before you shuffle"; struct ordering is field-order
+      // lexicographic, so -count then label IS the window's order)
       val next = adj
         .join(labels.select(col("node").as("n"),
           col("community").as("__nl")), Seq("n"))
         .groupBy(col("z").as("node"), col("__nl"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(wPick))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("__nl").as("community"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("k"), col("__nl").as("l")))
+          .as("__p"))
+        .select(col("node"), col("__p.l").as("community"))
       if (converge) {
         // the change count rides the round's own checkpoint job via a
         // node-sized join against the previous labels (same node set
@@ -643,19 +686,20 @@ object Graph {
     }
     var bestLabels = labels
     var bestQ = qOf(labels) // singleton partition: Q = -Σ(d/2m)² ≤ 0
-    val wPick = Window.partitionBy(col("node"))
-      .orderBy(col("__c").desc, col("__nl"))
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
+      // same two-level argmax aggregate as lpaImpl (min(struct(-count,
+      // label)) ≡ the old row_number window, sans the per-round sort)
       labels = adj
         .join(labels.select(col("node").as("n"),
           col("community").as("__nl")), Seq("n"))
         .groupBy(col("z").as("node"), col("__nl"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(wPick))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("__nl").as("community"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("k"), col("__nl").as("l")))
+          .as("__p"))
+        .select(col("node"), col("__p.l").as("community"))
         .localCheckpoint(true)
       val q = qOf(labels)
       if (q - bestQ < minGain) done = true
@@ -722,51 +766,54 @@ object Graph {
     var scores = nodes.select(col("node"),
         lit(1.0 / n0).as("hub"), lit(1.0 / n0).as("auth"))
       .localCheckpoint(true)
-    // each L1 total is a 1-row aggregate over the RAW (pre-join) mass
-    // frame, crossJoined back as a broadcast — PageRank's dangling-mass
-    // device. Summing the raw frame instead of the coalesced node frame
-    // is exact: absent nodes contribute d12(0.0) = 0. The earlier form
-    // (an unpartitioned window over the node frame) funneled the entire
-    // score frame through ONE task twice per iteration. Lineage cuts
-    // also reset the carried size estimate (freshStats) or the per-round
-    // 1-row crossJoins compound through Catalyst's stats arithmetic —
-    // the pageRankImpl lesson.
+    // Each L1 total is an observe() metric riding its raw mass frame's
+    // OWN pin (sum quantized to d12, cast double — identical to the old
+    // broadcast 1-row aggregate's value) and re-enters the plan as a
+    // driver literal. The old shape paid four pins per iteration
+    // (rawAuth, withAuth, rawHub, next) plus two broadcast builds; an
+    // intermediate experiment that dropped ALL pins and trusted
+    // exchange reuse DOUBLED task time (AQE re-plans the broadcast
+    // subqueries separately, so the shared shuffles were not dedup'd) —
+    // so the raw frames pin (each has two consumers in different jobs)
+    // and `withAuth` is eliminated instead: the hub half-step reads the
+    // pinned rawAuth directly (nodes absent from rawAuth carry auth 0
+    // and contribute d12(0) = 0 to every hub sum — dropping those zero
+    // terms changes no decimal total), and the iteration's score frame
+    // assembles from the two pinned raws with left joins. Three pins,
+    // zero broadcasts, zero recompute per iteration. Lineage cuts also
+    // reset the carried size estimate (freshStats) — the pageRankImpl
+    // lesson.
     def cut(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlShim.freshStats(df.localCheckpoint(true))
+    def totOf(m: Any): Double = m match {
+      case null => 0.0
+      case d: java.lang.Double => d.doubleValue
+      case other => other.toString.toDouble
+    }
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
-      // auth step: sum incoming hub mass, L1-renormalize. The raw mass
-      // frame pins (node-sized) because it has TWO consumers — the L1
-      // total and the score join; unpinned, the broadcast build would
-      // re-run the edge join per half-step
-      val rawAuth = e.join(scores.select(col("node").as("src"),
+      val obsA = org.apache.spark.sql.Observation()
+      val rawAuth = cut(e.join(scores.select(col("node").as("src"),
           col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(d12(col("hub"))).cast("double").as("__ra"))
-        .localCheckpoint(true)
-      val totAuth = rawAuth.agg(
-        sum(d12(col("__ra"))).cast("double").as("__ta"))
-      val withAuth = cut(scores.select(col("node"), col("hub"))
-        .join(rawAuth, Seq("node"), "left")
-        .crossJoin(broadcast(totAuth))
-        .select(col("node"), col("hub"),
-          (coalesce(col("__ra"), lit(0.0)) / col("__ta")).as("auth"))
-        ) // consumers: rawHub join + final select
-      // hub step: sum outgoing (new) auth mass, L1-renormalize
-      val rawHub = e.join(withAuth.select(col("node").as("dst"),
-          col("auth").as("__a")), Seq("dst"))
+        .observe(obsA, sum(d12(col("__ra"))).cast("double").as("__ta")))
+      val ta = totOf(obsA.get("__ta"))
+      // hub step: sum outgoing (new) auth mass over the pinned rawAuth
+      val obsH = org.apache.spark.sql.Observation()
+      val rawHub = cut(e.join(rawAuth.select(col("node").as("dst"),
+          (col("__ra") / lit(ta)).as("__a")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(d12(col("__a"))).cast("double").as("__rh"))
-        .localCheckpoint(true)
-      val totHub = rawHub.agg(
-        sum(d12(col("__rh"))).cast("double").as("__th"))
-      val next = withAuth.select(col("node"), col("auth"))
+        .observe(obsH, sum(d12(col("__rh"))).cast("double").as("__th")))
+      val th = totOf(obsH.get("__th"))
+      val next = scores.select(col("node"))
+        .join(rawAuth, Seq("node"), "left")
         .join(rawHub, Seq("node"), "left")
-        .crossJoin(broadcast(totHub))
         .select(col("node"),
-          (coalesce(col("__rh"), lit(0.0)) / col("__th")).as("hub"),
-          col("auth"))
+          (coalesce(col("__rh"), lit(0.0)) / lit(th)).as("hub"),
+          (coalesce(col("__ra"), lit(0.0)) / lit(ta)).as("auth"))
       if (tolerance > 0) {
         // round delta vs start-of-round scores, observed on the
         // checkpoint pass itself (both frames node-sized, same node set)
@@ -814,6 +861,13 @@ object Graph {
     require(maxRounds >= 1 && maxRounds <= 50, "maxRounds in [1,50]")
     val canon = canonEdges(edges, srcCol, dstCol)
     var live = canon
+    // per round ONE scheduled action: `keep` is not pinned (it is
+    // referenced by both semi-joins of the SAME plan, where exchange
+    // reuse dedups its aggregate), and the fixpoint probe rides the
+    // round's own checkpoint as an observe() count against the running
+    // edge tally — the old shape paid a keep-pin plus two count jobs
+    // per round on top of the materialization
+    var n = live.count()
     var r = 0
     var converged = false
     // maxRounds bounds REAL peel rounds; convergence is only observable
@@ -823,16 +877,22 @@ object Graph {
     while (r < maxRounds + 1 && !converged) {
       val deg = degrees(live)
       val keep = deg.where(col("d") >= k).select(col("n"))
-        .localCheckpoint(true)
+      val obs = org.apache.spark.sql.Observation()
       val next = live
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+        .observe(obs, count(lit(1)).as("m"))
         .localCheckpoint(true)
-      // fixpoint when no edge was peeled this round (cheap: both
-      // frames are pinned, the counts are metadata-speed)
-      converged = next.count() == live.count()
+      // fixpoint when no edge was peeled this round; null = zero rows
+      val kept = obs.get("m") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
+      converged = kept == n
       live = next
+      n = kept
       r += 1
     }
     require(converged,
@@ -889,22 +949,29 @@ object Graph {
     val canon = canonEdges(edges, srcCol, dstCol)
     val adj = canon.select(col("a").as("z"), col("b").as("n"))
       .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
-    var dist = seeds.select(col(seedCol).as("node")).distinct()
+    val level0 = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0).as("dist"))
       .localCheckpoint(true)
-    var frontier = dist
+    // the visited set is a LAZY union of the pinned per-hop frontiers:
+    // re-pinning the running union each hop wrote Σh |visited_h| rows
+    // (quadratic in hops) and paid an extra scheduled job per hop for
+    // data every member frame already holds materialized — the
+    // randomWalks step-buffer device applied to BFS
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    def dist(): DataFrame = levels.reduce(_ unionAll _)
+    var frontier = level0
     var h = 1
     while (h <= maxHops) {
       frontier = frontier
         .join(adj, frontier("node") === adj("z"))
         .select(col("n").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(dist(), Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint(true)
-      dist = dist.unionAll(frontier).localCheckpoint(true)
+      levels += frontier
       h += 1
     }
-    dist.orderBy(col("dist"), col("node"))
+    dist().orderBy(col("dist"), col("node"))
   }
 
   /** Deterministic random walks over the UNDIRECTED graph — the
@@ -940,8 +1007,12 @@ object Graph {
         col(nodeCol).as("node")).distinct()
       .select(col("walk_id"), lit(0).as("step"), col("node"))
       .localCheckpoint(true)
-    require(cur.count() ==
-        cur.select(col("walk_id")).distinct().count(),
+    // both guard counts fold into ONE aggregate job over the pinned
+    // start frame (the old shape scheduled a count job plus a
+    // distinct+count job for the same bounded frame)
+    val guard = cur.agg(count(lit(1)).as("n"),
+      countDistinct(col("walk_id")).as("d")).head()
+    require(guard.getLong(0) == guard.getLong(1),
       "randomWalks: walk ids must be unique — a duplicated id would " +
         "interleave two walks into one argmin chain")
     // each step frame is already checkpointed — accumulate them in a
@@ -994,22 +1065,27 @@ object Graph {
     val adj = canon.select(col("a").as("z"), col("b").as("n"))
       .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
       .localCheckpoint(true)
-    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+    val level0 = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
       .localCheckpoint(true)
-    var frontier = dist
+    // lazy union of pinned per-hop frontiers — the hopDistance device:
+    // one pin per hop instead of two, no quadratic re-materialization
+    // of the running (seed, node) set
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    def dist(): DataFrame = levels.reduce(_ unionAll _)
+    var frontier = level0
     var h = 1
     while (h <= maxHops) {
       frontier = frontier
         .join(adj, frontier("node") === adj("z"))
         .select(col("seed"), col("n").as("node")).distinct()
-        .join(dist, Seq("seed", "node"), "left_anti")
+        .join(dist(), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h).as("dist"))
         .localCheckpoint(true)
-      dist = dist.unionAll(frontier).localCheckpoint(true)
+      levels += frontier
       h += 1
     }
-    dist.filter(col("dist") > 0) // self-distance carries no mass
+    dist().filter(col("dist") > 0) // self-distance carries no mass
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),
         round(sum((lit(1.0) / col("dist"))
@@ -1061,34 +1137,46 @@ object Graph {
     val adj = canon.select(col("a").as("z"), col("b").as("n"), col("w"))
       .unionAll(canon.select(col("b").as("z"), col("a").as("n"), col("w")))
       .localCheckpoint(true)
-    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+    val level0 = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0.0).as("dist"))
       .localCheckpoint(true)
-    var frontier = dist
+    // the running best-distance set is a LAZY min-merge over the pinned
+    // per-hop improvement frames (the hopDistance device, min-plus
+    // flavored): each improvement frame only ever holds strictly better
+    // distances, so min over their union IS the merged set — the old
+    // shape re-materialized that merge every hop (an extra scheduled
+    // job re-writing the whole running set for rows the pinned frames
+    // already hold) and paid a separate isEmpty action per hop, which
+    // now rides the improvement checkpoint as an observe() count
+    val improvedFrames = scala.collection.mutable.ArrayBuffer(level0)
+    def best(): DataFrame = improvedFrames.reduce(_ unionAll _)
+      .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+    var frontier = level0
     var h = 1
     var done = false
     while (h <= maxHops && !done) {
+      val obs = org.apache.spark.sql.Observation()
       val improved = frontier
         .join(adj, frontier("node") === adj("z"))
         .select(col("seed"), col("n").as("node"),
           (col("dist") + col("w")).as("dist"))
         .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
-        .join(dist.select(col("seed"), col("node"),
+        .join(best().select(col("seed"), col("node"),
           col("dist").as("__old")), Seq("seed", "node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .select(col("seed"), col("node"), col("dist"))
+        .observe(obs, count(lit(1)).as("m"))
         .localCheckpoint(true)
-      if (improved.isEmpty) done = true
-      else {
-        dist = dist.unionAll(improved)
-          .groupBy(col("seed"), col("node"))
-          .agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        frontier = improved
+      val m = obs.get("m") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
       }
+      if (m == 0L) done = true
+      else { improvedFrames += improved; frontier = improved }
       h += 1
     }
-    dist.select(col("seed"), col("node"), round(col("dist"), 6).as("dist"))
+    best().select(col("seed"), col("node"), round(col("dist"), 6).as("dist"))
       .orderBy(col("seed"), col("node"))
   }
 
@@ -1132,8 +1220,11 @@ object Graph {
         lit(1).cast("decimal(38,0)").as("sigma"))
       .localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(level0)
-    var visited = level0.select(col("seed"), col("node"))
-      .localCheckpoint(true)
+    // the visited set is a lazy union over the pinned levels (the
+    // hopDistance device): the old per-hop visited pin doubled the
+    // actions per hop and re-wrote the whole running set every round
+    def visited(): DataFrame =
+      levels.map(_.select(col("seed"), col("node"))).reduce(_ unionAll _)
     var h = 1
     while (h <= maxHops) {
       val prev = levels.last
@@ -1142,11 +1233,9 @@ object Graph {
         .select(col("seed"), col("n").as("node"), col("sigma"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited, Seq("seed", "node"), "left_anti")
+        .join(visited(), Seq("seed", "node"), "left_anti")
         .localCheckpoint(true)
       levels += next
-      visited = visited.unionAll(next.select(col("seed"), col("node")))
-        .localCheckpoint(true)
       h += 1
     }
     // backward: deepest level has no in-cap successors -> δ = 0; each
