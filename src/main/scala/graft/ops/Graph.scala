@@ -51,13 +51,22 @@ object Graph {
     * the family already assumes. Empty graphs skip the build
     * (stat.bloomFilter NPEs on an empty frame; the join is empty anyway).
     */
-  private def bloomPruneWedges(wedges: DataFrame,
-      canon: DataFrame): DataFrame = {
-    val nEdges = canon.count()
+  private def bloomPruneWedges(wedges: DataFrame, canon: DataFrame,
+      edgeCount: Option[Long] = None): DataFrame = {
+    // callers that already track the surviving edge tally (the kTruss
+    // peel loop) pass it in — one fewer scheduled count job per
+    // triangle enumeration; one-shot callers pay a bounded count of
+    // the pinned frame exactly as before
+    val nEdges = edgeCount.getOrElse(canon.count())
     if (nEdges == 0L) return wedges
-    val bloom = canon.select(xxhash64(col("a"), col("b")).as("__h"))
-      .stat.bloomFilter("__h", nEdges, 0.01)
-    wedges.filter(graft.functions.bloom_might_contain(
+    // the filter rides a REAL broadcast, not a codegen reference obj:
+    // at 10⁹ edges it is ~1.2 GB, and a reference obj re-ships that
+    // with every task closure of every stage referencing the probe
+    // (the InSortedLongs rule applied here)
+    val bloom = canon.sparkSession.sparkContext.broadcast(
+      canon.select(xxhash64(col("a"), col("b")).as("__h"))
+        .stat.bloomFilter("__h", nEdges, 0.01))
+    wedges.filter(graft.functions.bloom_might_contain_bc(
       xxhash64(col("x"), col("y")), bloom))
   }
 
@@ -376,13 +385,14 @@ object Graph {
     * of [[kTruss]]; enumeration reuses [[triangleCount]]'s
     * degree-oriented pivot device (no hub mints d² wedges on one
     * reducer), each triangle crediting its three canonical edges. */
-  private def edgeSupport(canon: DataFrame): DataFrame = {
+  private def edgeSupport(canon: DataFrame,
+      edgeCount: Option[Long] = None): DataFrame = {
     val deg = degrees(canon)
     val oriented = orientEdges(canon, deg)
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
     val tri = bloomPruneWedges(
-        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon)
+        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon, edgeCount)
       .join(canon.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"))
       .localCheckpoint(true) // three consumers below
@@ -423,7 +433,7 @@ object Graph {
       // observe() metric — one scheduled job per round instead of two
       val obs = org.apache.spark.sql.Observation()
       val keep = e
-        .join(edgeSupport(e), Seq("a", "b"), "left")
+        .join(edgeSupport(e, Some(n)), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b"))
         .observe(obs, count(lit(1)).as("m"))
@@ -439,7 +449,7 @@ object Graph {
     }
     require(done, s"kTruss: not converged after $maxRounds rounds " +
       s"($n edges still peeling) — raise maxRounds")
-    e.join(edgeSupport(e), Seq("a", "b"), "left")
+    e.join(edgeSupport(e, Some(n)), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
       .orderBy(col("a"), col("b"))

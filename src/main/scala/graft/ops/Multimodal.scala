@@ -343,11 +343,13 @@ object Multimodal {
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
     // the per-row synthesis is opaque to Catalyst (mapPartitions) and
-    // runs wherever the id frame sits — on a single-row-group local file
-    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
-    // first (no-op at scale). Content is a pure function of the id, so
-    // the result is layout-free.
-    Scale.fanOutIfScan(ids).mapPartitions { rows =>
+    // runs wherever the id frame sits. A round-18 fanOutIfScan here
+    // measured FLAT on the image queries and ~2x SLOWER on q60/q136 in
+    // both arbitrated bench runs (the id frame is tiny and the fixed
+    // round-robin exchange outweighed the synthesis CPU), and at scale
+    // the guard no-op'd it anyway — removed per guide §1 (keep only
+    // measured wins).
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l
@@ -404,11 +406,13 @@ object Multimodal {
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
     // the per-row synthesis is opaque to Catalyst (mapPartitions) and
-    // runs wherever the id frame sits — on a single-row-group local file
-    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
-    // first (no-op at scale). Content is a pure function of the id, so
-    // the result is layout-free.
-    Scale.fanOutIfScan(ids).mapPartitions { rows =>
+    // runs wherever the id frame sits. A round-18 fanOutIfScan here
+    // measured FLAT on the image queries and ~2x SLOWER on q60/q136 in
+    // both arbitrated bench runs (the id frame is tiny and the fixed
+    // round-robin exchange outweighed the synthesis CPU), and at scale
+    // the guard no-op'd it anyway — removed per guide §1 (keep only
+    // measured wins).
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l
@@ -499,11 +503,13 @@ object Multimodal {
       StructField("content", BinaryType)))
     val idIdx = ids.schema.fieldIndex(idCol)
     // the per-row synthesis is opaque to Catalyst (mapPartitions) and
-    // runs wherever the id frame sits — on a single-row-group local file
-    // that is ONE task (guide §2.5); fan a scan-shaped id frame out
-    // first (no-op at scale). Content is a pure function of the id, so
-    // the result is layout-free.
-    Scale.fanOutIfScan(ids).mapPartitions { rows =>
+    // runs wherever the id frame sits. A round-18 fanOutIfScan here
+    // measured FLAT on the image queries and ~2x SLOWER on q60/q136 in
+    // both arbitrated bench runs (the id frame is tiny and the fixed
+    // round-robin exchange outweighed the synthesis CPU), and at scale
+    // the guard no-op'd it anyway — removed per guide §1 (keep only
+    // measured wins).
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val seed = r.get(idIdx) match {
           case l: Long => l

@@ -1318,12 +1318,12 @@ object Profile {
     val halves = (replicas + 1) / 2
     val w1 = wFor(col("__hex1"))
     val w2 = wFor(col("__hex2"))
-    // the ⌈B/2⌉ digests per row are the operator's entire cost, and they
-    // are minted map-side of the __g exchange — on a single-row-group
-    // local file that map side is ONE task (guide §2.5), so the hash
-    // work must fan out to the session's cores first (no-op at scale,
-    // where the scan partitions already exceed defaultParallelism)
-    val perDigest = Scale.fanOut(vals)
+    // no fan-out here, unlike bootstrapCiMean: this operator's input
+    // (the two-arm experiment frame) arrives multi-partition already,
+    // and the round-18 fan-out cost a consistent +0.4 s in both
+    // arbitrated bench runs for zero parallelism gained — removed per
+    // guide §1 (keep only measured wins)
+    val perDigest = vals
       .withColumn("__g", explode(typedLit((0 until halves).toList)))
       .withColumn("__h", md5(concat(
         col("__id").cast("string"), lit(":"),

@@ -165,6 +165,13 @@ object Scale {
     * RDD already exists and the probe is free.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // the doc contract above, enforced in code: a df.rdd probe on a
+    // frame with un-materialized shuffles would, under AQE, run those
+    // stages just to read a partition count — only leaf / scan-shaped
+    // plans (the pinned LogicalRDD and file-scan cases) may be probed
+    require(org.apache.spark.sql.GraftSqlShim.scanShaped(df),
+      "Scale.fanOut: frame is not pinned/scan-shaped — localCheckpoint " +
+        "it first, or route through fanOutIfScan")
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -11,19 +11,6 @@ object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Rebuild a just-`localCheckpoint`ed frame's `LogicalRDD` WITHOUT the
-    * origin statistics Spark carries over from the checkpointed plan
-    * (SPARK-39748). Iterative algorithms need this: a join's size
-    * estimate is the PRODUCT of its children's `sizeInBytes`, so when
-    * iteration i's plan references iteration i-1's frame k>1 times, the
-    * carried estimate grows as bits×k^i — exponentially — until
-    * Catalyst's BigInt stats arithmetic throws `BigInteger would
-    * overflow supported range`. Dropping the origin stats falls back to
-    * `spark.sql.defaultSizeInBytes`, which resets the compounding at
-    * every checkpoint. Zero-copy: same RDD, same partitioning, same
-    * ordering — only the statistics annotation changes. No-op on frames
-    * whose root is not a LogicalRDD.
-    */
   /** True when the frame's optimized plan is "scan-shaped": projections /
     * filters over a single leaf (file relation, pinned RDD, or local
     * rows) — no join, aggregate, window, or exchange anywhere. On such a
@@ -46,6 +33,19 @@ object GraftSqlShim {
     walk(df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan)
   }
 
+  /** Rebuild a just-`localCheckpoint`ed frame's `LogicalRDD` WITHOUT the
+    * origin statistics Spark carries over from the checkpointed plan
+    * (SPARK-39748). Iterative algorithms need this: a join's size
+    * estimate is the PRODUCT of its children's `sizeInBytes`, so when
+    * iteration i's plan references iteration i-1's frame k>1 times, the
+    * carried estimate grows as bits×k^i — exponentially — until
+    * Catalyst's BigInt stats arithmetic throws `BigInteger would
+    * overflow supported range`. Dropping the origin stats falls back to
+    * `spark.sql.defaultSizeInBytes`, which resets the compounding at
+    * every checkpoint. Zero-copy: same RDD, same partitioning, same
+    * ordering — only the statistics annotation changes. No-op on frames
+    * whose root is not a LogicalRDD.
+    */
   def freshStats(df: Dataset[Row]): Dataset[Row] = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     ds.queryExecution.logical match {
