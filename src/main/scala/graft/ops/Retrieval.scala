@@ -554,11 +554,19 @@ object Retrieval {
       textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"ngram order must be >= 2, got $n")
     val ks = keep.map(col)
-    df.select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-      .filter(size(col("__toks")) >= n)
+    // no "size(__toks) >= n" filter: predicate pushdown substitutes the
+    // alias below the projection, so the filter re-tokenized every row
+    // (two regex splits per doc — guide §4.4's double-eval, measured as
+    // the family's hot path). The slice length clamps at 0 instead:
+    // a short doc's slices are all empty, arrays_zip of empties is
+    // empty, and the explode emits nothing — row-identical output,
+    // ONE tokenize.
+    df
+      .select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
       .select(ks :+ explode(arrays_zip(
         (1 to n).map(i => slice(col("__toks"), lit(i),
-          size(col("__toks")) - (n - 1)).as(s"w$i")): _*)).as("__p"): _*)
+          greatest(size(col("__toks")) - (n - 1), lit(0)))
+          .as(s"w$i")): _*)).as("__p"): _*)
       .select(ks ++ (1 to n).map(i => col(s"__p.w$i").as(s"w$i")): _*)
   }
 
@@ -576,8 +584,12 @@ object Retrieval {
   private[graft] def paddedNgrams(df: DataFrame, keep: Seq[String],
       textCol: String, n: Int): DataFrame = {
     val ks = keep.map(col)
-    val base = df.select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-      .filter(size(col("__toks")) >= 1)
+    // same shape as [[ngramPairs]]: no size filter (it re-tokenized
+    // every row via predicate pushdown — a token-free doc's slices are
+    // already empty at length size(__toks) = 0, so the explode drops
+    // it), and the scan fan-out above the tokenize
+    val base = df
+      .select(ks :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
     val pad = concat(array_repeat(lit(null).cast("string"), n - 1),
       col("__toks"))
     base.select(ks :+ explode(arrays_zip(
