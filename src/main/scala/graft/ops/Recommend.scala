@@ -10,19 +10,58 @@ import org.apache.spark.sql.{Column, DataFrame}
   * association-rule readout behind every retail dashboard (Agrawal &
   * Srikant 1994's support/confidence frame plus lift).
   *
-  * 100 TB shape: the log collapses to DISTINCT (basket, item) first —
-  * everything after is item-pair-sized, not event-sized. Pairs come
-  * from ONE self-join on the basket key (sum over baskets of
-  * |basket|², bounded by the basket-size cap — a retail basket is tens
-  * of items, so the quadratic term is a small constant; the rail
+  * 100 TB shape: the log collapses to one sorted DISTINCT item array
+  * per basket in a single exchange (`collect_set` — the distinct and
+  * the basket grouping are the same shuffle), pinned; pairs stream
+  * out of two generators per basket row (sum over baskets of
+  * |basket|², bounded by the basket-size cap — a retail basket is
+  * tens of items, so the quadratic term is a small constant; the rail
   * rejects degenerate "baskets" like a crawler session with 10⁵
-  * items). Item marginals are an item-sized re-agg of the SAME
-  * distinct frame (pinned — no second pass over the log), the basket
-  * total is a 1-row broadcast, and minPairCount prunes the long tail
-  * before the marginal joins. Ratios divide longs (exact IEEE, engine-
-  * portable) and round to 6 dp.
+  * items, right after the aggregate whose buffer is only linear in
+  * basket size). Item marginals re-explode the SAME pinned arrays (no
+  * second pass over the log), the basket total is a 1-row broadcast,
+  * and minPairCount prunes the long tail before the marginal joins.
+  * Ratios divide longs (exact IEEE, engine-portable), 6 dp.
   */
 object Recommend {
+
+  /** The shared basket collapse: one row per basket holding its sorted
+    * DISTINCT item array, size-railed, PINNED (consumers: basket
+    * total, item marginals, pair counts). `collect_set` IS the
+    * "distinct (basket, item)" collapse, so the whole log pays exactly
+    * ONE exchange — the former shape paid a (basket, item) distinct,
+    * a basket-size aggregate, a size semi-join back AND a pair
+    * self-join on the basket key (two more shuffles of the collapsed
+    * log plus the sort-merge machinery). The rail still kills the
+    * quadratic pair cost; the array buffer itself is linear in basket
+    * size and bounded by the rail right after the aggregate.
+    */
+  private def basketArrays(txns: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame =
+    txns.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__is"))
+      .where(size(col("__is")) <= maxBasketSize)
+      .select(col("__is"))
+      .localCheckpoint(true)
+
+  /** (item_a, item_b, n_ab), item_a < item_b, n_ab >= minPairCount,
+    * from the pinned basket arrays: each basket's C(sz, 2) pairs
+    * stream out of two generators (the triangle family's sort-free
+    * pair-expansion device) — ascending array order makes item_a <
+    * item_b by construction, and the count folds map-side.
+    */
+  private def pairCounts(baskets: DataFrame,
+      minPairCount: Long): DataFrame =
+    baskets
+      .select(posexplode(col("__is")).as(Seq("__x", "item_a")),
+        col("__is"))
+      .select(col("item_a"),
+        explode(slice(col("__is"), col("__x") + lit(2),
+          size(col("__is")))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
 
   /** Market-basket association scores for item pairs co-occurring in
     * at least `minPairCount` baskets.
@@ -44,29 +83,11 @@ object Recommend {
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(topK > 0, "topK must be positive")
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
-    // one distinct exchange collapses the log; pinned — consumers are
-    // the basket-size rail, the pair self-join, the item marginals,
-    // and the basket total
-    val bi = txns
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-      .localCheckpoint(true)
-    val okBaskets = bi.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .where(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val kept = bi.join(okBaskets, Seq("__b"), "left_semi")
-      .localCheckpoint(true)
-    val nBaskets = kept.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val itemCnt = kept.groupBy(col("__i"))
-      .agg(count(lit(1)).as("__c"))
-    val pairs = kept.select(col("__b"), col("__i").as("item_a"))
-      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
-      .where(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minPairCount)
+    val baskets = basketArrays(txns, basketCol, itemCol, maxBasketSize)
+    val nBaskets = baskets.agg(count(lit(1)).as("__n"))
+    val itemCnt = baskets.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = pairCounts(baskets, minPairCount)
     pairs
       .join(itemCnt.select(col("__i").as("item_a"), col("__c").as("n_a")),
         Seq("item_a"))
@@ -99,13 +120,13 @@ object Recommend {
     * asymmetric: b can make a's top-k while a misses b's), rank by
     * (6-dp cosine desc, neighbor), ordered (item, rank).
     *
-    * 100 TB shape: [[marketBasket]]'s exactly — the log collapses to
-    * DISTINCT (basket, item) first, pairs come from ONE self-join on
-    * the basket key with the `maxBasketSize` quadratic rail,
-    * marginals re-aggregate the same pinned frame, `minPairCount`
-    * prunes before the marginal joins. The mirror-to-both-directions
-    * union and the rank window run on the PAIR-grain frame (pair-
-    * bounded, item-partitioned — never basket- or log-sized).
+    * 100 TB shape: [[marketBasket]]'s exactly — one exchange collapses
+    * the log to per-basket sorted item arrays, pairs stream out of the
+    * generators under the `maxBasketSize` quadratic rail, marginals
+    * re-explode the same pinned arrays, `minPairCount` prunes before
+    * the marginal joins. The mirror-to-both-directions union and the
+    * rank window run on the PAIR-grain frame (pair-bounded, item-
+    * partitioned — never basket- or log-sized).
     */
   def itemSimilarity(txns: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 2, topKPerItem: Int = 10,
@@ -113,27 +134,15 @@ object Recommend {
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(topKPerItem > 0, "topKPerItem must be positive")
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
-    val bi = txns
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-      .localCheckpoint(true)
-    val okBaskets = bi.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .where(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val kept = bi.join(okBaskets, Seq("__b"), "left_semi")
-      .localCheckpoint(true) // consumers: marginals, total, pair join
-    val nBaskets = kept.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val itemCnt = kept.groupBy(col("__i"))
-      .agg(count(lit(1)).as("__c"))
+    val baskets = basketArrays(txns, basketCol, itemCol, maxBasketSize)
+    val nBaskets = baskets.agg(count(lit(1)).as("__n"))
+    val itemCnt = baskets.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // item-sized; joined twice
-    val half = kept.select(col("__b"), col("__i").as("item"))
-      .join(kept.select(col("__b"), col("__i").as("neighbor")), Seq("__b"))
-      .where(col("item") < col("neighbor"))
-      .groupBy(col("item"), col("neighbor"))
-      .agg(count(lit(1)).as("n_both"))
-      .where(col("n_both") >= minPairCount)
+    val half = pairCounts(baskets, minPairCount)
+      .withColumnRenamed("item_a", "item")
+      .withColumnRenamed("item_b", "neighbor")
+      .withColumnRenamed("n_ab", "n_both")
     // mirror to both directions BEFORE ranking: neighbor lists need
     // every pair under each endpoint
     val pairs = half.unionByName(half.select(
