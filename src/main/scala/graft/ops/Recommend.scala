@@ -202,8 +202,16 @@ object Recommend {
       .localCheckpoint(true) // consumers: scoring join + seen-exclusion
     val edges = sims.select(col("item"), col("neighbor"),
       col("cosine").cast("decimal(38,12)").as("__w"))
-    val wUser = Window.partitionBy(col("user"))
-      .orderBy(col("score").desc, col("item"))
+    // per-user top-N as one hash aggregate (collect → in-row sort →
+    // slice) instead of the rank window's exchange + full sort of the
+    // candidate grain: ascending (−score, item) struct order IS
+    // (score desc, item) — the window's exact pick, position = rank.
+    // Bounded: a user's candidate set is ≤ |history(u)| × k neighbor
+    // edges, so the per-group buffer is capped by the same rail that
+    // caps the scoring join's fan-out (unlike a per-ITEM top-k, where
+    // a celebrity item's full neighbor list would be unbounded —
+    // itemSimilarity keeps its spillable window for exactly that
+    // reason).
     hist
       .join(edges, Seq("item"))
       .groupBy(col("user"), col("neighbor").as("item"))
@@ -211,8 +219,13 @@ object Recommend {
       .join(hist, Seq("user", "item"), "left_anti")
       .select(col("user"), col("item"),
         round(col("__s").cast("double"), 6).as("score"))
-      .withColumn("rank", row_number().over(wUser))
-      .where(col("rank") <= topN)
+      .groupBy(col("user"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("s"), col("item").as("i")))), 1, topN)
+        .as("__top"))
+      .select(col("user"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("user"), col("__t.i").as("item"),
+        (-col("__t.s")).as("score"), (col("__r") + 1).as("rank"))
       .orderBy(col("user"), col("rank"))
   }
 
