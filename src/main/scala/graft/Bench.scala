@@ -178,6 +178,47 @@ object Bench {
     val head = results.take(7).map { case (k, v) => "\"" + jesc(k) + "\":" + v.sec }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"gc_ms":$gcTotal,"cpu_s":$cpuTotal,"seed":$seedJson,"sf":"${jesc(sfDir)}","head_queries":$head}""")
+    // 4. one best-effort per-query DELTA line vs the newest committed
+    //    isolated record (BENCH_r*_local*.json in the working dir):
+    //    the driver keeps only the stdout tail, which truncated the
+    //    round-18 per-query comparison to nothing — this line carries
+    //    the geomean speedup and the 10 largest absolute moves so a
+    //    per-query signal survives the byte window even when the
+    //    qtimes parts do not. Read-only, after every timing, inside a
+    //    Try: a missing/unreadable record prints nothing and can never
+    //    fail or slow the bench. Additions-only — the `total` line
+    //    above is byte-identical with or without this.
+    scala.util.Try {
+      val dir = new java.io.File(".")
+      val prevFile = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+.*local.*\\.json"))
+        .sortBy(_.lastModified).lastOption
+      prevFile.foreach { pf =>
+        val rx = """"q":"([^"]+)".*?"sec":([0-9.eE+-]+)""".r
+        val prev = scala.io.Source.fromFile(pf).getLines()
+          .flatMap(l => rx.findFirstMatchIn(l)
+            .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+        val common = results.collect {
+          case (k, v) if prev.get(k).exists(_ > 0) && v.sec > 0 =>
+            (k, prev(k), v.sec)
+        }
+        if (common.nonEmpty) {
+          val geo = math.exp(common.map { case (_, p, n) =>
+            math.log(p / n) }.sum / common.size)
+          val shortK = "^(q[0-9]+).*$".r
+          val top = common.sortBy { case (_, p, n) => -math.abs(n - p) }
+            .take(10).map { case (k, p, n) =>
+              val sk = k match { case shortK(x) => x; case _ => k }
+              String.format(java.util.Locale.ROOT,
+                "\"%s\":[%.3f,%.3f]", jesc(sk), Double.box(p),
+                Double.box(n))
+            }.mkString("{", ",", "}")
+          println(String.format(java.util.Locale.ROOT,
+            """{"metric":"delta_vs_prev","prev":"%s","n_common":%d,"geomean_speedup":%.4f,"top_moves":%s}""",
+            jesc(pf.getName), Int.box(common.size), Double.box(geo), top))
+        }
+      }
+    }
     spark.stop()
   }
 }
