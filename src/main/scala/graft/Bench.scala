@@ -190,8 +190,12 @@ object Bench {
     //    above is byte-identical with or without this.
     scala.util.Try {
       val dir = new java.io.File(".")
+      // an isolated run's own --out record is newest by construction —
+      // exclude it, or the line would compare the run against itself
+      val self = outPath.map(p => new java.io.File(p).getCanonicalPath)
       val prevFile = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+.*local.*\\.json"))
+        .filter(f => f.getName.matches("BENCH_r\\d+.*local.*\\.json") &&
+          !self.contains(f.getCanonicalPath))
         .sortBy(_.lastModified).lastOption
       prevFile.foreach { pf =>
         val rx = """"q":"([^"]+)".*?"sec":([0-9.eE+-]+)""".r
